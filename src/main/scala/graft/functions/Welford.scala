@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Mergeable central-moment state: (n, mean, M2, M3, M4, min, max, absSum).
+  *
+  * This is the "Welford state" the reference's stats filters persist so that
+  * per-worker shards can be exactly combined later (reference
+  * `domains/mesh/filters/stats.py:675-836`; online update
+  * `domains/da/filters/stats.py:541-574`). In Spark the partial/final split is
+  * native to hash aggregation, so this Aggregator both *computes* the moments
+  * (reduce = Welford/Pébay online update) and *merges* partial states
+  * (merge = Chan et al. 1979 pairwise formulas, reference `stats.py:757-802`).
+  */
+final case class WelfordState(
+    n: Long,
+    mean: Double,
+    m2: Double,
+    m3: Double,
+    m4: Double,
+    min: Double,
+    max: Double,
+    absSum: Double) {
+
+  def variancePop: Double = if (n > 0) m2 / n else Double.NaN
+  def stddevPop: Double = math.sqrt(variancePop)
+  /** Population skewness g1 = (M3/n) / (M2/n)^{3/2}. */
+  def skewness: Double =
+    if (n > 0 && m2 > 0) math.sqrt(n.toDouble) * m3 / math.pow(m2, 1.5) else Double.NaN
+  /** Population excess kurtosis g2 = n*M4/M2^2 - 3. */
+  def kurtosis: Double =
+    if (n > 0 && m2 > 0) n.toDouble * m4 / (m2 * m2) - 3.0 else Double.NaN
+  def absMean: Double = if (n > 0) absSum / n else Double.NaN
+}
+
+object WelfordState {
+  val zero: WelfordState = WelfordState(
+    0L, 0.0, 0.0, 0.0, 0.0,
+    Double.PositiveInfinity, Double.NegativeInfinity, 0.0)
+
+  /** Online single-observation update (Pébay 2008 / Welford). */
+  def update(s: WelfordState, x: Double): WelfordState = {
+    val n1 = s.n + 1
+    val delta = x - s.mean
+    val deltaN = delta / n1
+    val deltaN2 = deltaN * deltaN
+    val term1 = delta * deltaN * s.n
+    val mean = s.mean + deltaN
+    val m4 = s.m4 + term1 * deltaN2 * (n1 * n1 - 3L * n1 + 3L) +
+      6.0 * deltaN2 * s.m2 - 4.0 * deltaN * s.m3
+    val m3 = s.m3 + term1 * deltaN * (n1 - 2L) - 3.0 * deltaN * s.m2
+    val m2 = s.m2 + term1
+    WelfordState(n1, mean, m2, m3, m4,
+      math.min(s.min, x), math.max(s.max, x), s.absSum + math.abs(x))
+  }
+
+  /** Chan et al. 1979 pairwise merge — exact combination of two shards. */
+  def merge(a: WelfordState, b: WelfordState): WelfordState = {
+    if (a.n == 0) return b
+    if (b.n == 0) return a
+    val na = a.n.toDouble
+    val nb = b.n.toDouble
+    val n = na + nb
+    val delta = b.mean - a.mean
+    val mean = a.mean + delta * nb / n
+    val m2 = a.m2 + b.m2 + delta * delta * na * nb / n
+    val m3 = a.m3 + b.m3 +
+      delta * delta * delta * na * nb * (na - nb) / (n * n) +
+      3.0 * delta * (na * b.m2 - nb * a.m2) / n
+    val m4 = a.m4 + b.m4 +
+      math.pow(delta, 4) * na * nb * (na * na - na * nb + nb * nb) / (n * n * n) +
+      6.0 * delta * delta * (na * na * b.m2 + nb * nb * a.m2) / (n * n) +
+      4.0 * delta * (na * b.m3 - nb * a.m3) / n
+    WelfordState(a.n + b.n, mean, m2, m3, m4,
+      math.min(a.min, b.min), math.max(a.max, b.max), a.absSum + b.absSum)
+  }
+}
+
+/** Typed Aggregator wrapping the Welford/Chan algebra; usable as a UDAF column.
+  * Spark runs `reduce` map-side (partial agg) and `merge` at the final agg — the
+  * distributed equivalent of the reference's shard files + `gather_pipeline`
+  * (`run/__init__.py:318-394`), with no intermediate files.
+  */
+class WelfordAgg extends Aggregator[Double, WelfordState, WelfordState] {
+  override def zero: WelfordState = WelfordState.zero
+  override def reduce(b: WelfordState, x: Double): WelfordState = WelfordState.update(b, x)
+  override def merge(a: WelfordState, b: WelfordState): WelfordState = WelfordState.merge(a, b)
+  override def finish(r: WelfordState): WelfordState = r
+  override def bufferEncoder: Encoder[WelfordState] = Encoders.product[WelfordState]
+  override def outputEncoder: Encoder[WelfordState] = Encoders.product[WelfordState]
+}
+
+object Welford {
+  /** `welford(col)` → struct(n, mean, m2, m3, m4, min, max, absSum). */
+  lazy val welford = udaf(new WelfordAgg)
+  def apply(c: Column): Column = welford(c)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Welford
+
+/** The reference's aggregation family (SURVEY §2.3) re-expressed as grouped
+  * DataFrame aggregations. All of these compile to Spark's partial+final hash
+  * aggregate — map-side combine replaces the reference's per-worker shard files
+  * and `merge()` pass (`run/__init__.py:318-394`). At 100 TB the plan is a single
+  * shuffle on the (small-cardinality) group keys with partial aggregation doing
+  * almost all the reduction before the exchange.
+  */
+object StatsOps {
+
+  /** Unpivot wide numeric columns into long `(field, value)` format — the
+    * reference's per-field iteration (`domains/mesh/filters/stats.py:107-138`)
+    * becomes a `stack` projection (narrow, no shuffle).
+    */
+  def toLong(df: DataFrame, cols: Seq[String],
+             keep: Seq[String] = Nil): DataFrame = {
+    val stackExpr = cols.map(c => s"'$c', cast($c as double)").mkString(", ")
+    df.selectExpr(keep ++ Seq(s"stack(${cols.size}, $stackExpr) as (field, value)"): _*)
+  }
+
+  /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group spatial mean of
+    * every field. Shard merge is Spark's shuffle — free.
+    */
+  def meanByGroup(df: DataFrame, groupCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        valueCols.map(c => avg(col(c)).as(s"mean_$c")): _*)
+
+  /** MeshStatsFilter (`domains/mesh/filters/stats.py:232`): the full per-field
+    * stats family — all Spark built-ins, one shuffle, partial+final agg.
+    * `percentile` is exact (reference uses exact median); at 100 TB swap for
+    * `percentile_approx` — the reference itself declares median non-mergeable
+    * (`stats.py:825-827`).
+    */
+  def fieldStats(df: DataFrame, fieldCol: String = "field",
+                 valueCol: String = "value"): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(col(fieldCol)).agg(
+      count(v).as("n"),
+      avg(v).as("mean"),
+      var_pop(v).as("var_pop"),
+      stddev_pop(v).as("std_pop"),
+      min(v).as("min"),
+      max(v).as("max"),
+      expr(s"percentile($valueCol, 0.5)").as("median"),
+      avg(abs(v)).as("abs_mean"),
+      max(abs(v)).as("abs_max"),
+      skewness(v).as("skew"),
+      kurtosis(v).as("kurt"))
+  }
+
+  /** Emit the raw mergeable Welford state columns (n, mean, m2, m3, m4, min,
+    * max, abs_sum) per group — artifact-schema parity with the reference
+    * (`stats.py:77-104`), via the custom Aggregator (Chan merge).
+    */
+  def welfordState(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val w = Welford(col(valueCol)).as("w")
+    df.groupBy(groupCols.map(col): _*).agg(w)
+      .select(groupCols.map(col) ++ Seq(
+        col("w.n").as("n"), col("w.mean").as("mean"),
+        col("w.m2").as("m2"), col("w.m3").as("m3"), col("w.m4").as("m4"),
+        col("w.min").as("min"), col("w.max").as("max"),
+        col("w.absSum").as("abs_sum")): _*)
+  }
+
+  /** DataArrayStatsFilter (`domains/da/filters/stats.py:47`): streaming moments
+    * with the reduced dimension (time) as the row axis — a grouped agg over the
+    * remaining grid dims.
+    */
+  def gridStats(df: DataFrame, dims: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(dims.map(col): _*).agg(
+      count(v).as("n"),
+      avg(v).as("mean"),
+      var_pop(v).as("var_pop"),
+      min(v).as("min"),
+      max(v).as("max"),
+      skewness(v).as("skew"))
+  }
+
+  /** MeshQualityFilter NaN/Inf census (`domains/mesh/filters/quality.py:693`):
+    * per-field invalid-value counts as conditional sums.
+    */
+  def nanInfCensus(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val exprs = cols.flatMap { c =>
+      Seq(
+        sum(when(isnan(col(c)), 1L).otherwise(0L)).as(s"n_nan_$c"),
+        sum(when(col(c) === Double.PositiveInfinity ||
+          col(c) === Double.NegativeInfinity, 1L).otherwise(0L)).as(s"n_inf_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+}

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Physics
-import graft.operators.{RelationalOps, StatsOps}
+import graft.functions.{Physics, Text}
+import graft.operators.{DedupOps, MultimodalOps, RelationalOps, SimilarityOps, StatsOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -63,7 +63,122 @@ object SparkEntry {
     "q_array_explode" -> (qArrayExplode _),
     "q_point_to_cell_mean" -> (qPointToCellMean _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_exact_dedup" -> (qExactDedup _),
+    "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_minhash_signatures" -> (qMinhashSignatures _),
+    "q_lsh_band_pairs" -> (qLshBandPairs _),
+    "q_simhash" -> (qSimhash _),
+    "q_cosine_pairs" -> (qCosinePairs _),
+    "q_topk_cosine" -> (qTopkCosine _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_doc_fingerprints" -> (qDocFingerprints _),
+    "q_token_stats" -> (qTokenStats _),
+    "q_multimodal_frames" -> (qMultimodalFrames _),
   )
+
+  // ------------------------------------------ LLM-pipeline queries (SURVEY §7.1.9)
+
+  private val ShingleK = 3
+
+  /** Exact dedup (`dropDuplicates` family): canonical-content groups with
+    * survivor id and copy count — one hash-groupBy, map-side combine.
+    */
+  private def qExactDedup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDupGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  /** N-gram Jaccard near-dup: sparse inverted-index join over 3-gram shingles. */
+  private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+    DedupOps.jaccardPairs(sh, "doc_id", 0.2)
+      .select(col("da"), col("db"), rnd("jac", 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  /** MinHash signatures: 16 permutation minima per doc, one aggregation pass. */
+  private def qMinhashSignatures(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashSignatures(
+      DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK),
+      "doc_id")
+      .orderBy("doc_id")
+
+  /** LSH banding: candidate pairs sharing any (band, band-key) bucket — the
+    * O(n²)-avoiding near-dup scale path.
+    */
+  private def qLshBandPairs(s: SparkSession, dir: String): DataFrame =
+    DedupOps.bandPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK),
+        "doc_id"),
+      "doc_id")
+      .orderBy("da", "db")
+
+  /** SimHash 32-bit fingerprints: per-bit weighted sums packed to a long. */
+  private def qSimhash(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Embedding near-dup: all-pairs cosine ≥ τ (brute-force verification tier). */
+  private def qCosinePairs(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.3)
+      .orderBy("ia", "ib")
+
+  /** ANN baseline: brute-force cosine top-k for a query subset, deterministic
+    * tie-break on (rounded score desc, id asc).
+    */
+  private def qTopkCosine(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.topKCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 5, 20L)
+      .orderBy("ia", "rank")
+
+  /** Text quality scoring: length/token/stopword/digit features + composite. */
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        rnd("avg_token_len", 4).as("avg_token_len"),
+        rnd("stop_ratio", 4).as("stop_ratio"),
+        rnd("digit_ratio", 4).as("digit_ratio"),
+        rnd("quality_score", 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Language-ID: stopword-hit argmax with fixed priority order. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextOps.languageId(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id") +:
+        TextOps.stopwords.map { case (l, _) => col(s"s_$l").cast("long").as(s"s_$l") } :+
+        col("lang_pred"): _*)
+      .orderBy("doc_id")
+
+  /** Document fingerprints: canonical-content md5 per doc. */
+  private def qDocFingerprints(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** BPE-ish token accounting per (lang, source). */
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val nt = Text.bpeTokenCount(col("text"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nt.cast("long")).as("sum_tokens"),
+        rnd(avg(nt), 4).as("avg_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  /** Multimodal binary plumbing: opaque payload + frame-sampled window
+    * fingerprints (pure binary column arithmetic; ASCII text ⇒ the DuckDB
+    * VARCHAR mirror hashes the same bytes).
+    */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.frameSample(
+      MultimodalOps.withPayload(Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", 4, 32)
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("frame"), col("off"), col("frame_md5"))
+      .orderBy("doc_id", "frame")
 
   /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group mean of every
     * field — one shuffle, partial+final hash agg.
@@ -306,7 +421,155 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB mirrors of the Text/Dedup column primitives. The md5-derived
+    * 60-bit hash is `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` — identical
+    * bytes hashed on both sides (ASCII text ⇒ VARCHAR == UTF-8 binary).
+    */
+  private val NormSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** Distinct (doc_id, 3-gram shingle) rows — mirrors `Text.shingles(c, 3)`. */
+  private val ShingleCte =
+    s"""ws AS (SELECT doc_id, string_split($NormSql, ' ') AS w FROM documents),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${ShingleK - 1})) AS i
+       |        FROM ws WHERE len(w) >= $ShingleK),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+${ShingleK - 1}], ' ') AS sh FROM pos)""".stripMargin
+
+  private val SigCols = DedupOps.permA.indices.map { i =>
+    s"min((${DedupOps.permA(i)} * h + ${DedupOps.permB(i)}) % ${DedupOps.MinhashPrime}) AS sig_$i"
+  }.mkString(", ")
+
+  private val SigCte =
+    s"""$ShingleCte,
+       |h AS (SELECT doc_id, ${hash64Sql("sh")} % ${DedupOps.MinhashPrime} AS h FROM sh),
+       |sig AS (SELECT doc_id, $SigCols FROM h GROUP BY 1)""".stripMargin
+
+  private val BandUnion = (0 until DedupOps.NumPerms / DedupOps.BandRows).map { b =>
+    val ks = (0 until DedupOps.BandRows).map(r => s"sig_${b * DedupOps.BandRows + r}").mkString(", ")
+    s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS bk FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val SimhashBitSums = (0 until 32).map { j =>
+    s"sum(((h >> $j) & 1) * 2 - 1) AS b_$j"
+  }.mkString(", ")
+  private val SimhashPacked = (0 until 32).map { j =>
+    s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  /** Double-precision cosine between two embedding rows (aliases a, b). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) /
+       | (sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) *
+       |  sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))""".stripMargin
+
+  private val StopPatterns: Map[String, String] = TextOps.stopwords.toMap
+
+  def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
+
+  private def llmOracleSql: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      s"""SELECT md5($NormSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH $ShingleCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT da, db, round(CAST(c AS DOUBLE) / (x.sz + y.sz - c) + 1e-9, 4) AS jac
+         |FROM p JOIN sz x ON x.doc_id = p.da JOIN sz y ON y.doc_id = p.db
+         |WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.2
+         |ORDER BY da, db""".stripMargin,
+
+    "q_minhash_signatures" ->
+      s"""WITH $SigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_lsh_band_pairs" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion)
+         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |FROM band a JOIN band b USING (band, bk)
+         |WHERE a.doc_id < b.doc_id ORDER BY da, db""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${hash64Sql("tok")} AS h FROM t),
+         |b AS (SELECT doc_id, $SimhashBitSums FROM h GROUP BY 1)
+         |SELECT doc_id, CAST($SimhashPacked AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_cosine_pairs" ->
+      s"""WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.3 ORDER BY ia, ib""".stripMargin,
+
+    "q_topk_cosine" ->
+      s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |r AS (SELECT ia, ib, cos_r,
+         |  CAST(row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT ia, rank, ib, cos_r FROM r WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,
+         |    len(string_split($NormSql, ' ')) AS n_tokens,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("en")}')) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_chars, n_tokens, n_stop,
+         |    CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS atl,
+         |    CAST(n_stop AS DOUBLE) / n_tokens AS sr,
+         |    CAST(n_digit AS DOUBLE) / n_chars AS dr
+         |  FROM f)
+         |SELECT doc_id, n_chars, n_tokens, n_stop AS n_stopwords,
+         |  round(atl + 1e-9, 4) AS avg_token_len, round(sr + 1e-9, 4) AS stop_ratio,
+         |  round(dr + 1e-9, 4) AS digit_ratio,
+         |  round(least(1.0, greatest(0.0, 0.2 + sr * 2.0 + atl * 0.05 - dr * 3.0)) + 1e-9, 4)
+         |    AS quality_score
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("en")}')) AS s_en,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("de")}')) AS s_de,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("fr")}')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("es")}')) AS s_es
+         |  FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM sc)
+         |SELECT doc_id, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+         |       WHEN s_de = best AND best > 0 THEN 'de'
+         |       WHEN s_fr = best AND best > 0 THEN 'fr'
+         |       WHEN s_es = best AND best > 0 THEN 'es'
+         |       ELSE 'und' END AS lang_pred
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprints" ->
+      s"""SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_stats" ->
+      s"""WITH t AS (SELECT lang, source,
+         |    len(regexp_extract_all(text, '${Text.BpePattern}')) AS nt FROM documents)
+         |SELECT lang, source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  round(avg(nt) + 1e-9, 4) AS avg_tokens
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |f AS (SELECT doc_id, text, n, unnest(generate_series(0, 3)) AS frame FROM d),
+         |o AS (SELECT doc_id, text, n, frame,
+         |      greatest(1, 1 + (frame * (n - 32)) // 3) AS off FROM f)
+         |SELECT doc_id, n AS n_bytes, CAST(frame AS INTEGER) AS frame, off,
+         |  md5(substring(text, CAST(off AS INTEGER), 32)) AS frame_md5
+         |FROM o ORDER BY doc_id, frame""".stripMargin,
+  )
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q_mean_filter" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(avg(l_quantity) + 1e-9, 4) AS mean_qty,

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (BASELINE.json scope
+  * extension): normalization, tokenization, shingling, and a deterministic
+  * md5-derived 64-bit hash that is reproducible in any engine (the DuckDB
+  * oracle mirrors it as `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+  *
+  * Everything here is pure Catalyst column arithmetic — codegen'd, no UDFs —
+  * so the hot dedup paths stay inside whole-stage codegen at 100 TB.
+  */
+object Text {
+
+  /** Whitespace-collapsed, lower-cased canonical form. */
+  def norm(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the canonical form. */
+  def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** Deterministic 60-bit positive hash from the md5 hex prefix. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Content fingerprint (rolling-hash analogue): md5 of the canonical form. */
+  def fingerprint(c: Column): Column = md5(norm(c).cast("binary"))
+
+  /** Word k-gram shingles of the canonical form (empty array when the text is
+    * shorter than k tokens — mirrors generate_series emptiness in SQL).
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val ws = tokens(c)
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(k)))))
+      .otherwise(array())
+  }
+
+  /** Count of regex matches (shared stopword machinery for lang-id/quality). */
+  def patternCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("int")
+
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * punctuation. Valid in both Java regex and RE2 so the oracle mirrors it
+    * verbatim via `regexp_extract_all`.
+    */
+  val BpePattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
+
+  /** Token count under the BPE-ish pre-tokenizer. */
+  def bpeTokenCount(c: Column): Column = patternCount(c, BpePattern)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * frame-sample run per-partition over the bytes (the reference streams
+  * binary mesh/grid payloads the same way — `domains/mesh/sources/vti.py:145`
+  * reads dense binary grids, `d3plot.py:334` binary timestep frames).
+  *
+  * The actual image/audio codecs are NOT in this container, so `decodeStub`
+  * is a clearly-marked deterministic fake; the Spark-side plumbing — binary
+  * schema, metadata struct, frame slicing, partition-wise batch shape — is
+  * real and oracle-checkable (frame slicing + hashing is pure Catalyst binary
+  * arithmetic, mirrored in DuckDB over BLOBs).
+  */
+object MultimodalOps {
+
+  /** Ingest: attach an opaque binary payload column + typed metadata. Stands
+    * in for `spark.read.format("binaryFile")` which at 100 TB maps each
+    * object-store blob to one row without driver-side listing bottlenecks
+    * (Spark distributes the file listing).
+    */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        length(col(textCol).cast("binary")).as("n_bytes"),
+        lit("text/plain").as("mime"),
+        crc32(col(textCol).cast("binary")).as("checksum")).as("meta"))
+
+  /** Frame-sample: slice `nFrames` fixed-width byte windows at evenly spaced
+    * offsets and fingerprint each — the video-keyframe access pattern, as
+    * pure binary column arithmetic (no UDF, stays in codegen).
+    */
+  def frameSample(payloads: DataFrame, idCol: String,
+                  nFrames: Int, frameBytes: Int): DataFrame = {
+    val n = col("meta.n_bytes")
+    val frames = (0 until nFrames).map { i =>
+      // offset_i = 1 + floor(i * (n - frameBytes) / max(1, nFrames-1)), clamped ≥ 1
+      val off = greatest(lit(1L),
+        lit(1L) + floor((lit(i.toLong) * (n - frameBytes)) /
+          lit(math.max(1, nFrames - 1).toLong)).cast("long"))
+      struct(lit(i).as("frame"), off.as("off"),
+        md5(substr(col("payload"), off.cast("int"), lit(frameBytes))).as("frame_md5"))
+    }
+    payloads.select(col(idCol), col("meta.n_bytes").as("n_bytes"),
+      explode(array(frames: _*)).as("f"))
+      .select(col(idCol), col("n_bytes"), col("f.frame").as("frame"),
+        col("f.off").as("off"), col("f.frame_md5").as("frame_md5"))
+  }
+
+  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_byte", DoubleType)))
+
+  /** STUB decoder — the real codec (JPEG/PNG/WAV) is not in this container.
+    * Deterministic fake: "dimensions" derive from the byte length, the
+    * "pixel mean" is the true byte mean, so tests pin exact values. Runs
+    * iterator-in/iterator-out per partition — the real decoder drops in with
+    * zero plumbing changes (same batch shape as `mapInPandas` in PySpark).
+    */
+  def decodeStub(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    val rows = payloads.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // --- stub: replace with the real image decode ---
+        val w = math.max(1, bytes.length / 16)
+        val h = if (bytes.isEmpty) 0 else 16
+        val mean = if (bytes.isEmpty) 0.0
+                   else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        Row(id, w, h, mean)
+      }
+    }
+    spark.createDataFrame(rows, decodedSchema)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * `cosine` is sequential-fold column arithmetic (functions.aggregate over
+  * zip_with), so the summation order is deterministic and oracle-matchable.
+  * The brute-force pair join is the correctness baseline; at 100 TB the same
+  * verification runs behind an LSH/IVF bucket join (`DedupOps.bandPairs` is
+  * the textual analogue; a hyperplane-LSH variant follows the same
+  * bucket-then-verify shape).
+  */
+object SimilarityOps {
+
+  /** dot(a,b) as a double fold with deterministic (sequential) order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** All-pairs cosine ≥ τ (brute-force baseline; restrict with a bucket join
+    * at scale). The threshold is applied to the *rounded* score so the
+    * kept-pair set is engine-stable (an unrounded `cos >= τ` could disagree
+    * across engines on ~1e-16 summation noise exactly at the boundary).
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(idCol).as("ia"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("cos_r", round(cosine(col("va"), col("vb")) + lit(1e-9), 4))
+      .filter(col("cos_r") >= tau)
+      .select("ia", "ib", "cos_r")
+  }
+
+  /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
+    * desc, id asc) so ties are deterministic across engines.
+    */
+  def topKCosine(df: DataFrame, idCol: String, vecCol: String,
+                 k: Int, maxQueryId: Long): DataFrame = {
+    val q = df.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("ia"), col(vecCol).as("va"))
+    val c = df.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+    val scored = q.crossJoin(c).filter(col("ia") =!= col("ib"))
+      .withColumn("cos_r", round(cosine(col("va"), col("vb")) + lit(1e-9), 4))
+    val w = Window.partitionBy(col("ia")).orderBy(col("cos_r").desc, col("ib"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("cos_r"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding-similarity hot path.
+  *
+  * `aggregate(zip_with(...))` higher-order functions evaluate one boxed
+  * lambda call per element — inside an all-pairs join that is O(n²·dim)
+  * interpreted allocations. This expression is a primitive float loop with
+  * `doGenCode`, so it stays inside whole-stage codegen (and its interpreted
+  * `eval` path, used by nested-loop join conditions, is still a boxing-free
+  * JIT-friendly loop).
+  *
+  * Semantics match the HOF formulation and the DuckDB oracle exactly:
+  * sequential left-to-right sum of `(double)a[i] * (double)b[i]`.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Codegen'd dot product over two `Array[Float]` columns. */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -69,11 +69,15 @@ object DedupOps {
     * aggregates — no row explosion, partial agg does the heavy lifting.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String): DataFrame = {
-    val h31 = Text.hash64(col("sh")) % MinhashPrime
+    // Materialize the md5-derived hash ONCE per row in a projection below the
+    // aggregate — inlining it into the 16 min() update expressions would
+    // md5 every shingle 16× in the partial agg.
+    val withH = shingles.select(col(idCol),
+      (Text.hash64(col("sh")) % MinhashPrime).as("h31"))
     val sigs = (0 until NumPerms).map { i =>
-      min((lit(permA(i)) * h31 + lit(permB(i))) % MinhashPrime).as(s"sig_$i")
+      min((lit(permA(i)) * col("h31") + lit(permB(i))) % MinhashPrime).as(s"sig_$i")
     }
-    shingles.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
+    withH.groupBy(col(idCol)).agg(sigs.head, sigs.tail: _*)
   }
 
   /** LSH banding: docs sharing any (band, bandKey) bucket become candidate

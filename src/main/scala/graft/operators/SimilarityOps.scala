@@ -15,14 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** dot(a,b) as a double fold with deterministic (sequential) order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a,b): sequential double fold via the codegen'd native expression
+    * (`graft.functions.FloatVecDot`) — identical summation order to the HOF
+    * formulation `aggregate(zip_with(...))` but ~elementwise-primitive speed.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotF(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
@@ -32,10 +31,15 @@ object SimilarityOps {
     * across engines on ~1e-16 summation noise exactly at the boundary).
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val a = df.select(col(idCol).as("ia"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+    // Norms are precomputed per ROW below the join — recomputing them per
+    // PAIR inside the cross join would redo O(n) work n² times.
+    val a = df.select(col(idCol).as("ia"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
     a.crossJoin(b).filter(col("ia") < col("ib"))
-      .withColumn("cos_r", round(cosine(col("va"), col("vb")) + lit(1e-9), 4))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
       .filter(col("cos_r") >= tau)
       .select("ia", "ib", "cos_r")
   }
@@ -46,10 +50,11 @@ object SimilarityOps {
   def topKCosine(df: DataFrame, idCol: String, vecCol: String,
                  k: Int, maxQueryId: Long): DataFrame = {
     val q = df.filter(col(idCol) < maxQueryId)
-      .select(col(idCol).as("ia"), col(vecCol).as("va"))
-    val c = df.select(col(idCol).as("ib"), col(vecCol).as("vb"))
+      .select(col(idCol).as("ia"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"))
+    val c = df.select(col(idCol).as("ib"), col(vecCol).as("vb"), l2Norm(col(vecCol)).as("nb"))
     val scored = q.crossJoin(c).filter(col("ia") =!= col("ib"))
-      .withColumn("cos_r", round(cosine(col("va"), col("vb")) + lit(1e-9), 4))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
     val w = Window.partitionBy(col("ia")).orderBy(col("cos_r").desc, col("ib"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Physics
+import graft.operators.{RelationalOps, StatsOps, TextOps}
+
+/** Relational combinators, stats family, physics kernels, and text analysis on
+  * tiny literal frames with hand-computed golden values.
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("remaining: anti-join drops completed work") {
+    val s = spark
+    import s.implicits._
+    val work = (1 to 10).toDF("idx")
+    val done = Seq(2, 4, 6).toDF("idx")
+    val left = RelationalOps.remaining(work, done, "idx").collect().map(_.getInt(0)).toSet
+    assert(left == Set(1, 3, 5, 7, 8, 9, 10))
+  }
+
+  test("canonicalEdges: undirected dedup, self-loops dropped") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 2), (2, 1), (3, 3), (1, 3)).toDF("a", "b")
+    val e = RelationalOps.canonicalEdges(df, "a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(e == Set((1, 2), (1, 3)))
+  }
+
+  test("keepFirst: survivor is min order key, dup count right") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("k", 5L), ("k", 3L), ("k", 9L), ("j", 1L)).toDF("key", "ord")
+    val r = RelationalOps.keepFirst(df, Seq("key"), "ord").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("k") == ((3L, 3L)))
+    assert(r("j") == ((1L, 1L)))
+  }
+
+  test("reassignIds: contiguous per-partition ids in order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 30), ("a", 10), ("a", 20), ("b", 5)).toDF("p", "v")
+    val r = RelationalOps.reassignIds(df, Seq("p"), Seq(col("v")))
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getInt(2)).toMap
+    assert(r(("a", 10)) == 1 && r(("a", 20)) == 2 && r(("a", 30)) == 3 && r(("b", 5)) == 1)
+  }
+
+  test("unionHighestPriority: lowest priority number wins per key") {
+    val s = spark
+    import s.implicits._
+    val b0 = Seq(("t", 1.0), ("u", 2.0)).toDF("k", "v")
+    val b1 = Seq(("t", 9.0), ("w", 3.0)).toDF("k", "v")
+    val r = RelationalOps.unionHighestPriority(Seq((b0, 0), (b1, 1)), Seq("k"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r == Map("t" -> 1.0, "u" -> 2.0, "w" -> 3.0))
+  }
+
+  test("fieldStats: analytic moments for [1,2,3,4]") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).map(("x", _)).toDF("field", "value")
+    val r = StatsOps.fieldStats(df).collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("mean") == 2.5)
+    assert(r.getAs[Double]("var_pop") == 1.25)
+    assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 4.0)
+    assert(r.getAs[Double]("median") == 2.5)
+    assert(math.abs(r.getAs[Double]("skew")) < 1e-12)
+  }
+
+  test("nanInfCensus counts NaN / Inf / null separately") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[Option[Double]](Some(1.0), Some(Double.NaN),
+      Some(Double.PositiveInfinity), None).toDF("x")
+    val r = StatsOps.nanInfCensus(df, Seq("x")).collect()(0)
+    assert(r.getAs[Long]("n_nan_x") == 1)
+    assert(r.getAs[Long]("n_inf_x") == 1)
+    assert(r.getAs[Long]("n_null_x") == 1)
+  }
+
+  test("vonMises: hydrostatic stress → 0; uniaxial → |s|; pure shear → sqrt(3)|t|") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("hydro", 5.0, 5.0, 5.0, 0.0, 0.0, 0.0),
+      ("uni", 7.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      ("shear", 0.0, 0.0, 0.0, 2.0, 0.0, 0.0)
+    ).toDF("case", "sxx", "syy", "szz", "sxy", "syz", "szx")
+    val r = df.select(col("case"), Physics.vonMises(col("sxx"), col("syy"),
+      col("szz"), col("sxy"), col("syz"), col("szx")).as("vm"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("hydro") == 0.0)
+    assert(r("uni") == 7.0)
+    assert(math.abs(r("shear") - 2.0 * math.sqrt(3)) < 1e-12)
+  }
+
+  test("languageId picks the dominant stopword language") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund ist nicht der beste und"),
+      (3L, "xyz qrs tuv")
+    ).toDF("doc_id", "text")
+    val r = TextOps.languageId(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(x.length - 1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("qualityFeatures: analytic features for a known doc") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "the fox runs 42")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_chars") == 15)
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_stopwords") == 1)   // "the"
+    assert(r.getAs[Double]("digit_ratio") == 2.0 / 15)
+    assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** FloatVecDot (native expression) + cosine similarity on analytic vectors. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("dot: codegen path matches analytic values") {
+    val r = vecs.crossJoin(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .select(col("vec_id"), col("id2"),
+        SimilarityOps.dot(col("embedding"), col("e2")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(r((0L, 0L)) == 1.0)
+    assert(r((0L, 1L)) == 0.0)
+    assert(r((0L, 2L)) == 1.0)
+    assert(r((2L, 2L)) == 2.0)
+    assert(r((0L, 3L)) == 2.0)
+  }
+
+  test("dot: interpreted eval (join condition) matches too") {
+    // A filter inside a nested-loop cross-join condition exercises eval()
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val hits = a.crossJoin(b)
+      .filter(SimilarityOps.dot(col("va"), col("vb")) > 1.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((0L, 3L), (3L, 0L), (2L, 2L), (2L, 3L), (3L, 2L), (3L, 3L)))
+  }
+
+  test("dot is null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, Option(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("id", "a", "b")
+    val r = df.select(SimilarityOps.dot(col("a"), col("b")).as("d")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("cosine: orthogonal 0, parallel 1, 45° = 1/sqrt(2)") {
+    val r = vecs.crossJoin(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .select(col("vec_id"), col("id2"),
+        SimilarityOps.cosine(col("embedding"), col("e2")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(r((0L, 1L)) == 0.0)
+    assert(r((0L, 3L)) == 1.0)
+    assert(math.abs(r((0L, 2L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("topKCosine: deterministic ranking with id tie-break") {
+    val r = SimilarityOps.topKCosine(vecs, "vec_id", "embedding", 2, 1L).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    // query 0: best = vec 3 (cos 1.0), then vec 2 (cos .7071)
+    assert(r.toSeq == Seq((0L, 1, 3L), (0L, 2, 2L)))
+  }
+
+  test("cosinePairs keeps only pairs at/above the rounded threshold") {
+    val pairs = SimilarityOps.cosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.DedupOps
+
+/** Text primitives + dedup family on hand-constructed documents with
+  * analytically known shingle sets and Jaccard values.
+  */
+class TextDedupSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "THE  quick  Brown fox jumps"),   // same canonical form as 1
+      (3L, "the quick brown cat sleeps"),
+      (4L, "completely different text here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("norm collapses whitespace and case") {
+    val r = docs.select(Text.norm(col("text")).as("n")).collect().map(_.getString(0))
+    assert(r(0) == "the quick brown fox jumps")
+    assert(r(1) == "the quick brown fox jumps")
+  }
+
+  test("shingles: k-grams of canonical tokens; short text → empty") {
+    val s = spark
+    import s.implicits._
+    val r = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    assert(r(2L) == r(1L))
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Text.shingles(col("text"), 3).as("sh")).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("hash64 is deterministic, positive, 60-bit") {
+    val r = docs.select(Text.hash64(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(r.forall(h => h >= 0 && h < (1L << 60)))
+    val r2 = docs.select(Text.hash64(col("text")).as("h")).collect().map(_.getLong(0))
+    assert(r.sameElements(r2))
+  }
+
+  test("exactDupGroups: canonical equals collapse, survivor is min id") {
+    val r = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.length == 3)
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 2L) // docs 1+2 collapse
+  }
+
+  test("jaccardPairs: analytic 3-gram Jaccard") {
+    // doc1/doc2 identical canonical → J = 1.0
+    // doc1/doc3: shingles {tqb,qbf,bfj} vs {tqb,qbc,bcs}: |∩|=1, |∪|=5 → 0.2
+    val sh = DedupOps.shingleSet(docs, "doc_id", "text", 3)
+    val pairs = DedupOps.jaccardPairs(sh, "doc_id", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(math.abs(pairs((1L, 3L)) - 0.2) < 1e-12)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sh = DedupOps.shingleSet(docs, "doc_id", "text", 3)
+    val sig = DedupOps.minhashSignatures(sh, "doc_id").orderBy("doc_id").collect()
+    val s1 = sig(0).toSeq.drop(1)
+    val s2 = sig(1).toSeq.drop(1)
+    assert(s1 == s2)
+    assert(sig(0).schema.fieldNames.count(_.startsWith("sig_")) == DedupOps.NumPerms)
+  }
+
+  test("bandPairs: exact duplicates are always candidates") {
+    val sh = DedupOps.shingleSet(docs, "doc_id", "text", 3)
+    val cands = DedupOps.bandPairs(DedupOps.minhashSignatures(sh, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("simhash: identical canonical docs get identical fingerprints") {
+    val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L) != r(4L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint + metrics ledger as partitioned Parquet (replaces the
+  * reference's SQLite store, schema `core/pipeline_store.py:540-620`).
+  *
+  * Layout: `<dir>/index_results/` rows `(run_id, idx, status, wall_ns,
+  * n_rows, finished_at)`; `<dir>/runs/` rows `(run_id, config_json,
+  * started_at)`. Appends are per-run-partition files, so concurrent runs of
+  * different pipelines never collide. Resume = anti-join of the work list
+  * against completed indices (`core/base.py:595-602` → SURVEY §2.5) — a
+  * broadcastable join when the remaining-run ledger is small, a shuffled
+  * anti-join at 100 TB, both picked by Catalyst.
+  */
+final class Ledger(dir: String) {
+  private def idxPath = s"$dir/index_results"
+  private def runsPath = s"$dir/runs"
+
+  def recordRunStart(spark: SparkSession, runId: String, configJson: String): Unit = {
+    import spark.implicits._
+    Seq((runId, configJson, System.currentTimeMillis()))
+      .toDF("run_id", "config_json", "started_at")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(runsPath)
+  }
+
+  def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
+                      wallNs: Long, nRows: Long): Unit = {
+    if (indices.isEmpty) return
+    import spark.implicits._
+    indices.toDF("idx")
+      .withColumn("run_id", lit(runId))
+      .withColumn("status", lit("completed"))
+      .withColumn("wall_ns", lit(wallNs))
+      .withColumn("n_rows", lit(nRows))
+      .withColumn("finished_at", lit(System.currentTimeMillis()))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
+  }
+
+  def recordError(spark: SparkSession, runId: String, idx: Long, error: String): Unit = {
+    import spark.implicits._
+    Seq((idx, runId, "error", 0L, 0L, System.currentTimeMillis(), error))
+      .toDF("idx", "run_id", "status", "wall_ns", "n_rows", "finished_at", "error")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/errors")
+  }
+
+  /** Completed indices for a run — empty frame when the ledger doesn't exist. */
+  def completedIndices(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    if (!new java.io.File(idxPath).exists()) Seq.empty[Long].toDF("idx")
+    else spark.read.parquet(idxPath)
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .select("idx").distinct()
+  }
+
+  /** Checkpoint skip: work list minus completed ledger (left-anti join). */
+  def remaining(spark: SparkSession, runId: String, work: DataFrame,
+                idxCol: String): DataFrame =
+    work.join(completedIndices(spark, runId).withColumnRenamed("idx", idxCol),
+      Seq(idxCol), "left_anti")
+
+  /** Per-run summary over the metrics rows (dashboard query layer,
+    * `dashboard/data.py:49-321`, as one grouped aggregation).
+    */
+  def runSummary(spark: SparkSession): DataFrame =
+    spark.read.parquet(idxPath)
+      .groupBy("run_id", "status")
+      .agg(count(lit(1)).as("n_indices"),
+        sum("n_rows").as("total_rows"),
+        avg("wall_ns").as("mean_wall_ns"),
+        max("finished_at").as("last_finished_at"))
+}

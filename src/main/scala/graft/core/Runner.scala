@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Result of one `runPipeline` invocation. */
+final case class RunResult(
+    runId: String,
+    nTotal: Long,
+    nSkipped: Long,
+    nExecuted: Long,
+    writtenPaths: Seq[String])
+
+/** Distributed pipeline execution with resume (reference
+  * `run/__init__.py:169-315` + `core/base.py:508-689`, re-expressed on
+  * Spark's scheduler):
+  *
+  *  - the *index* is a partition-key column of the source DataFrame (one
+  *    curator index == one group of rows), not a Python worker unit;
+  *  - checkpoint skip is a ledger anti-join BEFORE the action, so skipped
+  *    indices are never read past the scan (partition pruning applies when
+  *    the source is partitioned by the index column);
+  *  - the reference's per-worker shard files + `gather_pipeline` merge are
+  *    replaced by Spark's partial+final aggregation and its all-or-nothing
+  *    file commit protocol — per-index isolation survives as per-partition
+  *    task retry.
+  */
+object Runner {
+
+  def runPipeline(spark: SparkSession, pipeline: Pipeline, idxCol: String,
+                  ledgerDir: String, resume: Boolean = true): RunResult = {
+    val ledger = new Ledger(ledgerDir)
+    val runId = pipeline.configHash.take(16)
+    val t0 = System.nanoTime()
+
+    val full = pipeline.dataFrame(spark)
+    val work = if (resume) ledger.remaining(spark, runId, full, idxCol) else full
+
+    // Index accounting: total vs remaining (both tiny aggregates).
+    val nTotal = full.select(idxCol).distinct().count()
+    val todo = work.select(col(idxCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (todo.isEmpty)
+      return RunResult(runId, nTotal, nTotal, 0, Nil)
+
+    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
+    // `observe` piggybacks the row count on the sink's single action —
+    // re-counting after the write would execute the whole plan twice.
+    val obs = org.apache.spark.sql.Observation(s"graft_$runId")
+    val observed = work.observe(obs, count(lit(1)).as("n_rows"))
+    val paths = pipeline.sink match {
+      case Some(s) => s.write(observed)
+      case None => observed.count(); Nil // metrics-only run
+    }
+    val nRows = obs.get("n_rows").asInstanceOf[Long]
+    ledger.recordCompleted(spark, runId, todo, System.nanoTime() - t0, nRows)
+    RunResult(runId, nTotal, nTotal - todo.length, todo.length, paths)
+  }
+}

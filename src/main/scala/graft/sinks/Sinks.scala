@@ -1,0 +1,46 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.core.PSink
+
+/** Sink family (SURVEY §2.4): the reference's naming-template file layouts
+  * become `partitionBy` directory layouts — Spark's write path guarantees one
+  * committed file set per partition (the `partition_indices` collision
+  * avoidance of `zarr_writer.py:471-512` for free).
+  */
+object Sinks {
+
+  private def listPartitionDirs(out: String): Seq[String] = {
+    val root = new java.io.File(out)
+    if (!root.exists()) Nil
+    else root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+      .map(_.getPath).sorted.toSeq
+  }
+
+  /** MeshSink layout (`mesh_writer.py:71,113-146`): `{index}/...` naming
+    * template → `partitionBy(index)` directories. Append mode keeps per-run
+    * isolation (each task commits its own files).
+    */
+  def partitionedParquet(df: DataFrame, out: String,
+                         partitionCols: Seq[String]): Seq[String] = {
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(out)
+    listPartitionDirs(out)
+  }
+
+  /** NetCDF4Sink year-split layout (`netcdf_writer.py:55-74`):
+    * `<out>/<variable>/<year>` from the timestamp column.
+    */
+  def byVariableYear(df: DataFrame, out: String, varCol: String,
+                     tsCol: String): Seq[String] = {
+    df.withColumn("year", year(col(tsCol)))
+      .write.mode(SaveMode.Append).partitionBy(varCol, "year").parquet(out)
+    listPartitionDirs(out)
+  }
+
+  /** PSink factory for the pipeline/registry layer. */
+  def parquetSink(out: String, partitionCols: Seq[String]): PSink =
+    PSink("parquet", Map("path" -> out, "partition_by" -> partitionCols.mkString(",")),
+      df => partitionedParquet(df, out, partitionCols))
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.sinks.Sinks
+
+/** Pipeline algebra, config identity, serialization round-trip, and
+  * ledger-resume semantics (reference `core/base.py`, `core/serialization.py`,
+  * `core/pipeline_store.py`, `run/__init__.py`).
+  */
+class CoreSpec extends SparkSpec {
+
+  private def mkSource(n: Int = 10): PSource =
+    PSource("range", Map("n" -> n.toString), s => {
+      s.range(n).withColumnRenamed("id", "idx")
+        .withColumn("value", col("idx") * 2)
+    })
+
+  private val doubleFilter: PFilter =
+    PFilter("double", Map("factor" -> "2"), df => df.withColumn("value", col("value") * 2))
+
+  test("builder is immutable: filter/write return new pipelines") {
+    val p0 = Pipeline(mkSource())
+    val p1 = p0.filter(doubleFilter)
+    val p2 = p1.write(PSink("noop", Map.empty, _ => Nil))
+    assert(p0.filters.isEmpty && p1.filters.length == 1)
+    assert(p0.sink.isEmpty && p1.sink.isEmpty && p2.sink.nonEmpty)
+  }
+
+  test("configHash is stable and param-order independent") {
+    val a = Pipeline(mkSource()).filter(
+      PFilter("f", Map("x" -> "1", "y" -> "2"), identity[DataFrame]))
+    val b = Pipeline(mkSource()).filter(
+      PFilter("f", Map("y" -> "2", "x" -> "1"), identity[DataFrame]))
+    assert(a.configHash == b.configHash)
+    val c = a.filter(doubleFilter)
+    assert(a.configHash != c.configHash)
+  }
+
+  test("serialization round-trip preserves config identity") {
+    val reg = new Registry
+    reg.registerSource("range")(ps => mkSource(ps("n").toInt))
+    reg.registerFilter("double")(_ => doubleFilter)
+    reg.registerSink("noop")(_ => PSink("noop", Map.empty, _ => Nil))
+    val p = Pipeline(mkSource()).filter(doubleFilter)
+      .write(PSink("noop", Map.empty, _ => Nil))
+    val path = Files.createTempDirectory("graft").resolve("pipe.yaml").toString
+    Serialization.save(p, path)
+    val loaded = Serialization.load(path, reg)
+    assert(loaded.configHash == p.configHash)
+    assert(loaded.filters.map(_.name) == p.filters.map(_.name))
+    // loaded pipeline is executable
+    assert(loaded.dataFrame(spark).count() == 10)
+  }
+
+  test("runner resume: completed indices are skipped; rerun is a no-op") {
+    val dir = Files.createTempDirectory("graft-ledger").toString
+    val out = Files.createTempDirectory("graft-out").toString
+    val p = Pipeline(mkSource(10))
+      .filter(doubleFilter)
+      .write(Sinks.parquetSink(s"$out/data", Seq("idx")))
+
+    // Pre-mark indices 0-4 completed (simulates a killed earlier run).
+    val runId = p.configHash.take(16)
+    new Ledger(dir).recordCompleted(spark, runId, Seq(0L, 1L, 2L, 3L, 4L), 0L, 0L)
+
+    val r1 = Runner.runPipeline(spark, p, "idx", dir)
+    assert(r1.nTotal == 10 && r1.nSkipped == 5 && r1.nExecuted == 5)
+    // only the 5 remaining indices were written
+    // partition-dir columns read back type-inferred (int) → cast
+    val written = spark.read.parquet(s"$out/data")
+      .select(col("idx").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(written == Set(5L, 6L, 7L, 8L, 9L))
+
+    val r2 = Runner.runPipeline(spark, p, "idx", dir)
+    assert(r2.nExecuted == 0 && r2.nSkipped == 10)
+
+    // ledger summary sees the completed run
+    val summary = new Ledger(dir).runSummary(spark)
+      .filter(col("run_id") === runId && col("status") === "completed").collect()
+    assert(summary.nonEmpty)
+  }
+
+  test("runner without resume executes everything") {
+    val dir = Files.createTempDirectory("graft-ledger2").toString
+    val p = Pipeline(mkSource(6)).filter(doubleFilter)
+    val r = Runner.runPipeline(spark, p, "idx", dir, resume = false)
+    assert(r.nExecuted == 6 && r.nSkipped == 0)
+    assert(new Ledger(dir).completedIndices(spark, r.runId).count() == 6)
+  }
+
+  test("year-split sink writes (variable, year) partition layout") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-yr").toString
+    val df = Seq(
+      ("t2m", "2023-03-01 00:00:00", 1.0),
+      ("t2m", "2024-07-01 00:00:00", 2.0),
+      ("u10", "2023-05-01 00:00:00", 3.0)
+    ).toDF("variable", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    Sinks.byVariableYear(df, s"$out/nc", "variable", "ts")
+    val dirs = new java.io.File(s"$out/nc").listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("variable=t2m", "variable=u10"))
+    val years = new java.io.File(s"$out/nc/variable=t2m").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(years == Set("year=2023", "year=2024"))
+  }
+}

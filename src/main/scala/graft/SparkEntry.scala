@@ -75,7 +75,44 @@ object SparkEntry {
     "q_doc_fingerprints" -> (qDocFingerprints _),
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_mesh_quality" -> (qMeshQuality _),
   )
+
+  /** MeshQualityFilter geometry kernels (`quality.py:147-426`) over 2-D
+    * triangles synthesized per lineitem row: aspect ratio, equiangle
+    * skewness, signed scaled Jacobian, area — aggregated per return flag.
+    */
+  private def qMeshQuality(s: SparkSession, dir: String): DataFrame = {
+    import graft.mesh.Geometry
+    val wide = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("double").as("x0"),
+      (col("l_discount") * 100.0).as("y0"), lit(0.0).as("z0"),
+      (col("l_extendedprice") / 1000.0).as("x1"),
+      (col("l_tax") * 100.0).as("y1"), lit(0.0).as("z1"),
+      (col("l_linenumber") * 7.0).as("x2"),
+      (col("l_partkey") % 13).cast("double").as("y2"), lit(0.0).as("z2"))
+    val v0 = Geometry.Vec.at(0); val v1 = Geometry.Vec.at(1); val v2 = Geometry.Vec.at(2)
+    val angles = Geometry.triangleAngles(v0, v1, v2)
+    val edges = Geometry.triangleEdgeLens(v0, v1, v2)
+    val perCell = wide.select(col("l_returnflag"),
+      edges.reduce(least(_, _)).as("min_edge"),
+      Geometry.aspectRatio(edges).as("aspect"),
+      Geometry.equiangleSkewness(angles, math.Pi / 3).as("skew"),
+      Geometry.scaledJacobianTri2D(v0, v1, v2).as("jac"),
+      Geometry.triangleArea(v0, v1, v2).as("area"))
+      // exclude zero-edge (duplicate-vertex) cells: their ~1e30 aspect would
+      // dominate the mean with pure eps noise on both engines
+      .filter(col("min_edge") > 1e-12)
+    perCell.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      rnd(avg("aspect"), 4).as("aspect_mean"),
+      rnd(max("aspect"), 2).as("aspect_max"),
+      rnd(avg("skew"), 4).as("skew_mean"),
+      rnd(avg("jac"), 4).as("jac_mean"),
+      sum(when(col("jac") < 0.0, 1L).otherwise(0L)).as("n_inverted"),
+      rnd(avg("area"), 4).as("area_mean"))
+      .orderBy("l_returnflag")
+  }
 
   // ------------------------------------------ LLM-pipeline queries (SURVEY §7.1.9)
 
@@ -569,7 +606,47 @@ object SparkEntry {
          |FROM o ORDER BY doc_id, frame""".stripMargin,
   )
 
+  /** q_mesh_quality mirror: identical edge/angle/Jacobian formulas inline
+    * (eps = 1e-30 guards and acos clamps match `graft.mesh.Geometry`).
+    */
+  private val MeshQualityOracle: (String, String) = "q_mesh_quality" ->
+    s"""WITH tri AS (SELECT l_returnflag,
+       |    CAST(l_quantity AS DOUBLE) AS x0, l_discount*100.0 AS y0,
+       |    l_extendedprice/1000.0 AS x1, l_tax*100.0 AS y1,
+       |    l_linenumber*7.0 AS x2, CAST(l_partkey % 13 AS DOUBLE) AS y2
+       |  FROM lineitem),
+       |e AS (SELECT l_returnflag,
+       |    x1-x0 AS ax, y1-y0 AS ay,        -- e01
+       |    x2-x0 AS bx, y2-y0 AS by,        -- e02
+       |    x2-x1 AS cx, y2-y1 AS cy         -- e12
+       |  FROM tri),
+       |m AS (SELECT l_returnflag,
+       |    sqrt(ax*ax+ay*ay) AS la, sqrt(bx*bx+by*by) AS lb, sqrt(cx*cx+cy*cy) AS lc,
+       |    acos(least(1.0, greatest(-1.0, (ax*bx+ay*by)/(sqrt(ax*ax+ay*ay)*sqrt(bx*bx+by*by)+1e-30)))) AS a0,
+       |    acos(least(1.0, greatest(-1.0, ((-ax)*cx+(-ay)*cy)/(sqrt(ax*ax+ay*ay)*sqrt(cx*cx+cy*cy)+1e-30)))) AS a1,
+       |    acos(least(1.0, greatest(-1.0, ((-bx)*(-cx)+(-by)*(-cy))/(sqrt(bx*bx+by*by)*sqrt(cx*cx+cy*cy)+1e-30)))) AS a2,
+       |    (ax*by - ay*bx) / (sqrt(ax*ax+ay*ay)*sqrt(bx*bx+by*by) + 1e-30) AS jac,
+       |    abs(ax*by - ay*bx) / 2.0 AS area
+       |  FROM e),
+       |q AS (SELECT l_returnflag,
+       |    greatest(la, lb, lc) / (least(la, lb, lc) + 1e-30) AS aspect,
+       |    least(la, lb, lc) AS min_edge,
+       |    least(1.0, greatest(0.0,
+       |      greatest(greatest(a0, a1, a2) - pi()/3, pi()/3 - least(a0, a1, a2))
+       |        / (pi() - pi()/3))) AS skew,
+       |    jac, area
+       |  FROM m)
+       |SELECT l_returnflag, count(*) AS n,
+       |  round(avg(aspect) + 1e-9, 4) AS aspect_mean,
+       |  round(max(aspect) + 1e-6, 2) AS aspect_max,
+       |  round(avg(skew) + 1e-9, 4) AS skew_mean,
+       |  round(avg(jac) + 1e-9, 4) AS jac_mean,
+       |  CAST(sum(CASE WHEN jac < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+       |  round(avg(area) + 1e-9, 4) AS area_mean
+       |FROM q WHERE min_edge > 1e-12 GROUP BY 1 ORDER BY 1""".stripMargin
+
   private def coreOracleSql: Map[String, String] = Map(
+    MeshQualityOracle,
     "q_mean_filter" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(avg(l_quantity) + 1e-9, 4) AS mean_qty,

@@ -76,7 +76,19 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_mesh_quality" -> (qMeshQuality _),
+    "q_atom_offsets" -> (qAtomOffsets _),
   )
+
+  /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
+    * distributed exclusive prefix sum — two-pass range-partitioned cumsum,
+    * NOT a single-task global window.
+    */
+  private def qAtomOffsets(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.exclusivePrefixSum(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars")
+      .select("doc_id", "n_chars", "offset")
+      .orderBy("doc_id")
 
   /** MeshQualityFilter geometry kernels (`quality.py:147-426`) over 2-D
     * triangles synthesized per lineitem row: aspect ratio, equiangle
@@ -647,6 +659,12 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    "q_atom_offsets" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars
+        |    AS BIGINT) AS offset
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mean_filter" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(avg(l_quantity) + 1e-9, 4) AS mean_qty,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.WelfordState
+import graft.streaming.StreamingStats
+
+/** Streaming semantics: windowed stats with watermark over a MemoryStream,
+  * stateful Welford accumulation across triggers, and batch/stream agreement.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("windowedGridStats over a MemoryStream matches the batch run") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Double, Long)]
+    val base = 1700000040L  // minute-aligned epoch so the manual golden below holds
+    val rows = Seq(
+      ("t2m", 1.0, base + 10), ("t2m", 3.0, base + 50),      // window 0
+      ("t2m", 5.0, base + 70), ("u10", 2.0, base + 20))       // window 1 / other key
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("variable", "value", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+
+    val agg = StreamingStats.windowedGridStats(
+      shape(input.toDF()), "ts", Seq("variable"), "value", "1 minute", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("wgs").outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = s.table("wgs")
+        .select("variable", "n", "mean", "min", "max")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+      val want = StreamingStats.windowedGridStats(
+        shape(rows.toDF()), "ts", Seq("variable"), "value", "1 minute", "10 seconds")
+        .select("variable", "n", "mean", "min", "max")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(got.exists { case (v, n, m) => v == "t2m" && n == 2 && m == 2.0 })
+    } finally q.stop()
+  }
+
+  test("welfordPerKey accumulates state across triggers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingStats.welfordPerKey(input.toDS())
+      .toDF("key", "state")
+      .writeStream.format("memory").queryName("wpk").outputMode("update").start()
+    try {
+      input.addData(("a", 2.0), ("a", 4.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 6.0))
+      q.processAllAvailable()
+      // last update for key 'a' must reflect ALL FOUR... (2,4,6) = 3 samples
+      val last = s.table("wpk").select("key", "state.n", "state.mean", "state.m2")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(last("a") == (("a", 3L, 4.0, 8.0)))   // [2,4,6]: mean 4, M2 8
+      assert(last("b") == (("b", 1L, 10.0, 0.0)))
+    } finally q.stop()
+  }
+
+  test("streaming state equals the batch Welford aggregator") {
+    val s = spark
+    import s.implicits._
+    val xs = (1 to 100).map(i => ("k", math.cos(i) * 10))
+    val batch = StreamingStats.welfordPerKey(xs.toDS()).collect()(0)._2
+    val direct = xs.map(_._2).foldLeft(WelfordState.zero)(WelfordState.update)
+    assert(batch.n == direct.n && math.abs(batch.mean - direct.mean) < 1e-12 &&
+      math.abs(batch.m2 - direct.m2) < 1e-9)
+  }
+}

@@ -65,6 +65,7 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
     "q_lsh_band_pairs" -> (qLshBandPairs _),
     "q_simhash" -> (qSimhash _),
@@ -137,10 +138,29 @@ object SparkEntry {
     DedupOps.exactDupGroups(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("fp")
 
-  /** N-gram Jaccard near-dup: sparse inverted-index join over 3-gram shingles. */
+  /** Max shingle document-frequency for the Jaccard queries (stop-shingle cut). */
+  private val MaxShingleDf = 100
+
+  /** N-gram Jaccard near-dup: sparse inverted-index join over 3-gram
+    * shingles, ultra-common shingles dropped (bounds the pair blowup).
+    */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK)
-    DedupOps.jaccardPairs(sh, "doc_id", 0.2)
+    DedupOps.jaccardPairs(sh, "doc_id", 0.2, maxDocFreq = Some(MaxShingleDf))
+      .select(col("da"), col("db"), rnd("jac", 4).as("jac"))
+      .orderBy("da", "db")
+  }
+
+  /** The composed scale path: LSH band candidates → Jaccard verification —
+    * the O(n²)-free near-dup pipeline end to end.
+    */
+  private def qLshJaccard(s: SparkSession, dir: String): DataFrame = {
+    // one shared, persisted shingle set feeds both the LSH and verify tiers
+    val sh = DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = DedupOps.bandPairs(DedupOps.minhashSignatures(sh, "doc_id"), "doc_id")
+    DedupOps.jaccardPairs(sh, "doc_id", 0.2, candidates = Some(cands),
+      maxDocFreq = Some(MaxShingleDf))
       .select(col("da"), col("db"), rnd("jac", 4).as("jac"))
       .orderBy("da", "db")
   }
@@ -523,11 +543,31 @@ object SparkEntry {
 
     "q_jaccard_pairs" ->
       s"""WITH $ShingleCte,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |sh2 AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf) f
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
          |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-         |      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |      FROM sh2 a JOIN sh2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT da, db, round(CAST(c AS DOUBLE) / (x.sz + y.sz - c) + 1e-9, 4) AS jac
          |FROM p JOIN sz x ON x.doc_id = p.da JOIN sz y ON y.doc_id = p.db
+         |WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.2
+         |ORDER BY da, db""".stripMargin,
+
+    "q_lsh_jaccard" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM band a JOIN band b USING (band, bk) WHERE a.doc_id < b.doc_id),
+         |sh2 AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf) f
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh2 a JOIN sh2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pc AS (SELECT p.* FROM p JOIN cand USING (da, db))
+         |SELECT da, db, round(CAST(c AS DOUBLE) / (x.sz + y.sz - c) + 1e-9, 4) AS jac
+         |FROM pc JOIN sz x ON x.doc_id = pc.da JOIN sz y ON y.doc_id = pc.db
          |WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.2
          |ORDER BY da, db""".stripMargin,
 

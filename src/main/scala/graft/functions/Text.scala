@@ -26,16 +26,19 @@ object Text {
   /** Content fingerprint (rolling-hash analogue): md5 of the canonical form. */
   def fingerprint(c: Column): Column = md5(norm(c).cast("binary"))
 
-  /** Word k-gram shingles of the canonical form (empty array when the text is
-    * shorter than k tokens — mirrors generate_series emptiness in SQL).
+  /** Word k-gram shingles from an already-materialized token-array COLUMN
+    * (empty array when shorter than k tokens — mirrors generate_series
+    * emptiness in SQL). Callers must materialize the tokens in their own
+    * projection first: putting `tokens(text)` directly in here would place
+    * the whole regex/split subtree inside the `transform` lambda, and
+    * Catalyst re-evaluates lambda-captured subtrees once PER ELEMENT —
+    * measured 12s → 1s on 5000 docs.
     */
-  def shingles(c: Column, k: Int): Column = {
-    val ws = tokens(c)
+  def shinglesFromTokens(ws: Column, k: Int): Column =
     when(size(ws) >= k,
       transform(sequence(lit(1), size(ws) - (k - 1)),
         i => concat_ws(" ", slice(ws, i, lit(k)))))
       .otherwise(array())
-  }
 
   /** Count of regex matches (shared stopword machinery for lang-id/quality). */
   def patternCount(c: Column, pattern: String): Column =

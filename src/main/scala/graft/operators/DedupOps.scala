@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.Text
 
 /** Deduplication family for training-data curation — exact, MinHash-LSH,
@@ -30,6 +31,15 @@ object DedupOps {
   val permB: IndexedSeq[Long] =
     (1 to NumPerms).map(i => (2246822519L * i) % MinhashPrime)
 
+  /** Persist a subplan that the operator references more than once (self-join
+    * or multi-branch reuse) — otherwise each branch recomputes the whole
+    * hash/shingle subtree AND Janino recompiles its codegen. Same pattern as
+    * MLlib's LSH models; no-op if the caller already persisted.
+    */
+  private def cached(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Exact dedup: canonical-content fingerprint groups with the surviving
     * (minimum) id and the duplicate count.
     */
@@ -38,24 +48,48 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (id, shingle) rows — the sparse set representation shared by
-    * Jaccard and MinHash.
+    * Jaccard and MinHash. Tokens are materialized in their own projection so
+    * the shingle lambda slices a computed array instead of re-tokenizing per
+    * position (see `Text.shinglesFromTokens`).
     */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol), explode(Text.shingles(col(textCol), k)).as("sh"))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("_ws"))
+      .select(col(idCol), explode(Text.shinglesFromTokens(col("_ws"), k)).as("sh"))
       .distinct()
 
   /** N-gram Jaccard near-dup pairs via the sparse inverted-index join:
     * docs sharing a shingle → common counts → |A∩B| / |A∪B| ≥ τ.
     * `candidates` (e.g. from `bandPairs`) restricts the pair space at scale.
     */
-  def jaccardPairs(shingles: DataFrame, idCol: String, tau: Double,
-                   candidates: Option[DataFrame] = None): DataFrame = {
+  /** N-gram Jaccard near-dup pairs via the sparse inverted-index join.
+    * `maxDocFreq` drops shingles present in more than that many docs before
+    * ANY pairing — the standard stop-shingle cut that bounds the per-shingle
+    * pair blowup to maxDocFreq² (without it, one ubiquitous shingle makes the
+    * join quadratic in corpus size). Sizes are computed on the SAME filtered
+    * set, so Jaccard stays internally consistent.
+    */
+  def jaccardPairs(shingles0: DataFrame, idCol: String, tau: Double,
+                   candidates: Option[DataFrame] = None,
+                   maxDocFreq: Option[Int] = None): DataFrame = {
+    val filtered = maxDocFreq.fold(shingles0) { df =>
+      val rare = shingles0.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= df).select("sh")
+      shingles0.join(rare, Seq("sh"), "left_semi")
+    }
+    val shingles = cached(filtered) // referenced 3× (sizes + both join sides)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col(idCol).as("da"), col("sh"))
     val b = shingles.select(col(idCol).as("db"), col("sh"))
-    val rawPairs = a.join(b, Seq("sh")).filter(col("da") < col("db"))
-    val restricted = candidates.fold(rawPairs)(c => rawPairs.join(c, Seq("da", "db"), "left_semi"))
-    restricted
+    // With candidates, drive the join FROM the candidate pairs — per-candidate
+    // shingle intersection, O(|candidates| · shingles/doc). A semi-join on the
+    // all-pairs join would still execute the full quadratic inverted index
+    // before filtering (verified via .explain).
+    val common = candidates match {
+      case Some(c) => c.select(col("da"), col("db"))
+        .join(a, Seq("da")).join(b, Seq("db", "sh"))
+      case None => a.join(b, Seq("sh")).filter(col("da") < col("db"))
+    }
+    common
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
       .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
       .join(sizes.select(col(idCol).as("db"), col("sz").as("szb")), "db")
@@ -83,13 +117,14 @@ object DedupOps {
   /** LSH banding: docs sharing any (band, bandKey) bucket become candidate
     * pairs — the O(n²)-avoiding scale path for near-dup detection.
     */
-  def bandPairs(signatures: DataFrame, idCol: String): DataFrame = {
+  def bandPairs(signatures0: DataFrame, idCol: String): DataFrame = {
+    val signatures = cached(signatures0) // referenced once per band
     val nBands = NumPerms / BandRows
-    val banded = (0 until nBands).map { b =>
+    val banded = cached((0 until nBands).map { b =>
       val key = concat_ws("_",
         (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*)
       signatures.select(col(idCol), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)) // self-joined below
     val l = banded.select(col(idCol).as("da"), col("band"), col("band_key"))
     val r = banded.select(col(idCol).as("db"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key")).filter(col("da") < col("db"))

@@ -30,12 +30,14 @@ class TextDedupSpec extends SparkSpec {
   test("shingles: k-grams of canonical tokens; short text → empty") {
     val s = spark
     import s.implicits._
-    val r = docs.select(col("doc_id"), Text.shingles(col("text"), 3).as("sh"))
+    val r = docs.select(col("doc_id"), Text.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), Text.shinglesFromTokens(col("ws"), 3).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(r(1L) == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
     assert(r(2L) == r(1L))
     val short = Seq((9L, "one two")).toDF("doc_id", "text")
-      .select(Text.shingles(col("text"), 3).as("sh")).collect()(0).getSeq[String](0)
+      .select(Text.tokens(col("text")).as("ws"))
+      .select(Text.shinglesFromTokens(col("ws"), 3).as("sh")).collect()(0).getSeq[String](0)
     assert(short.isEmpty)
   }
 

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.mesh.Boundaries
+import graft.operators.FieldOps
+
+/** Field select/precision/info filters + boundary synthesis. */
+class FieldBoundarySpec extends SparkSpec {
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2.5, 3.5f, "k", Seq(1.0, 2.0)))
+      .toDF("id", "d", "f", "s", "arr")
+  }
+
+  test("fieldSelect: include whitelist keeps keys; exclude drops; both errors") {
+    assert(FieldOps.fieldSelect(df, Seq("id"), include = Seq("d")).columns.toSeq == Seq("id", "d"))
+    assert(FieldOps.fieldSelect(df, Seq("id"), exclude = Seq("arr", "s")).columns.toSeq == Seq("id", "d", "f"))
+    intercept[IllegalArgumentException] {
+      FieldOps.fieldSelect(df, Seq("id"), include = Seq("d"), exclude = Seq("f"))
+    }
+    intercept[IllegalArgumentException] {
+      FieldOps.fieldSelect(df, Seq("id"), include = Seq("nope"))
+    }
+  }
+
+  test("precisionCast: doubles → float, recursing through arrays and structs") {
+    val s = spark
+    import s.implicits._
+    val nested = df.select(col("id"), struct(col("d"), col("arr")).as("td"), col("arr"))
+    val out = FieldOps.precisionCast(nested)
+    val tdType = out.schema("td").dataType.asInstanceOf[StructType]
+    assert(tdType("d").dataType == FloatType)
+    assert(tdType("arr").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(out.schema("arr").dataType.asInstanceOf[ArrayType].elementType == FloatType)
+    assert(out.schema("id").dataType == LongType)     // non-float untouched
+    val r = out.select(col("td.d")).collect()(0).getFloat(0)
+    assert(r == 2.5f)
+  }
+
+  test("fieldInfo: per-group inventory as JSON") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, 1.0, Option(2.0)), (1L, 3.0, None), (2L, 5.0, Option(6.0)))
+      .toDF("mesh_id", "a", "b")
+    val r = FieldOps.fieldInfo(d, "mesh_id", Seq("a", "b"))
+      .orderBy("mesh_id").collect()
+    assert(r(0).getAs[Long]("n_rows") == 2)
+    val json = r(0).getAs[String]("fields_json")
+    assert(json.contains("\"field\":\"a\"") && json.contains("\"n_non_null\":1"))
+  }
+
+  test("boxTunnel: six faces, res² vertices each, coordinates on the box") {
+    val b = Boundaries.boxTunnel(spark, 0, 10, -1, 1, 0, 2, res = 5)
+    assert(b.count() == 6 * 25)
+    val names = b.select("boundary").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("inlet", "outlet", "wall_ymin", "wall_ymax", "wall_zmin", "wall_zmax"))
+    val inletX = b.filter(col("boundary") === "inlet").select("x").distinct().collect()
+    assert(inletX.length == 1 && inletX(0).getDouble(0) == 0.0)
+    val r = b.agg(min("x"), max("x"), min("y"), max("y"), min("z"), max("z")).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 10.0)
+    assert(r.getDouble(2) == -1.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 2.0)
+  }
+
+  test("inject: keep-existing by default, overwrite replaces") {
+    val s = spark
+    import s.implicits._
+    val existing = Seq(("inlet", 99.0)).toDF("boundary", "x")
+    val gen = Boundaries.boxTunnel(spark, 0, 1, 0, 1, 0, 1, res = 2)
+    val kept = Boundaries.inject(existing, gen)
+    // existing inlet kept; generated inlet dropped; other 5 faces added
+    assert(kept.filter(col("boundary") === "inlet").count() == 1)
+    assert(kept.select("boundary").distinct().count() == 6)
+    val over = Boundaries.inject(existing, gen, overwrite = true)
+    assert(over.filter(col("boundary") === "inlet").count() == 4) // res²=4 grid
+  }
+}

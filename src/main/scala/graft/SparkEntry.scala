@@ -78,7 +78,33 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
+    "q_ann_pairs" -> (qAnnPairs _),
+    "q_grid_coarsen" -> (qGridCoarsen _),
   )
+
+  /** Structured-grid block-mean coarsening (VTI grid restriction,
+    * `vti.py:17-41` long layout): events mapped onto a (i, j) grid, factor-4
+    * block means.
+    */
+  private def qGridCoarsen(s: SparkSession, dir: String): DataFrame =
+    graft.grid.GridOps.coarsen(
+      Tables.events(s, dir).select(col("event_type").as("field"),
+        (col("user_id") % 32).as("i"), (col("event_id") % 64).as("j"),
+        col("value")),
+      Seq("i", "j"), 4)
+      .select(col("field"), col("i"), col("j"), col("n_cells"),
+        rnd("value", 4).as("value"))
+      .orderBy("field", "i", "j")
+
+  /** ANN scale path: hyperplane-LSH bucket join → exact cosine verify.
+    * Deliberately has NO oracleSql entry: the hyperplane constants are not
+    * practically mirrorable in SQL, so the driver records the weaker
+    * rows-only check; `SimilaritySpec` pins recall/subset properties instead.
+    */
+  private def qAnnPairs(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.25, nPlanes = 6)
+      .orderBy("ia", "ib")
 
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
     * distributed exclusive prefix sum — two-pass range-partitioned cumsum,
@@ -699,6 +725,13 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    "q_grid_coarsen" ->
+      """SELECT event_type AS field,
+        |  CAST((user_id % 32) // 4 AS BIGINT) AS i,
+        |  CAST((event_id % 64) // 4 AS BIGINT) AS j,
+        |  count(*) AS n_cells, round(avg(value) + 1e-9, 4) AS value
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_atom_offsets" ->
       """SELECT doc_id, n_chars,

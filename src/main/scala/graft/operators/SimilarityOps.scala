@@ -44,6 +44,47 @@ object SimilarityOps {
       .select("ia", "ib", "cos_r")
   }
 
+  /** Deterministic random hyperplanes (splitmix64-derived components in
+    * [-1, 1]) — the signature machinery for hyperplane LSH.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Float]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(dim) { d =>
+        (graft.sources.RandomMeshSource.unit(seed * 7919L + p * 10007L + d) * 2 - 1).toFloat
+      }
+    }
+
+  /** Hyperplane-LSH bucket id: bit p = sign(v · r_p), packed to a long. Same
+    * bucket ⇒ likely-high cosine; the codegen'd dot keeps this a narrow
+    * projection. This is the ANN scale path (SURVEY §7.1.9): bucket join
+    * replaces the O(n²) cross join, exact cosine re-ranks within buckets.
+    */
+  def bucketSignature(v: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (pl, i) =>
+      when(dot(v, typedLit(pl)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN near-dup pairs: same-bucket candidates → exact rounded cosine ≥ τ.
+    * Recall < 1 by construction (pairs split across buckets are missed) —
+    * that's the LSH trade; raise recall with fewer planes or multi-probe.
+    */
+  def annCosinePairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                     nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      bucketSignature(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col(idCol).as("ia"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
+      .filter(col("cos_r") >= tau)
+      .select("ia", "ib", "cos_r")
+  }
+
   /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
     * desc, id asc) so ties are deterministic across engines.
     */

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.MetricsListener
+import graft.grid.GridOps
+import graft.operators.SimilarityOps
+
+/** Grid ops, hyperplane-LSH ANN, metrics listener. */
+class GridAnnSpec extends SparkSpec {
+
+  private def grid = {
+    val s = spark
+    import s.implicits._
+    // 4×4 grid, value = i*10 + j
+    (for { i <- 0L until 4L; j <- 0L until 4L } yield ("t2m", i, j, (i * 10 + j).toDouble))
+      .toDF("field", "i", "j", "value")
+  }
+
+  test("coarsen: factor-2 block means") {
+    val c = GridOps.coarsen(grid, Seq("i", "j"), 2)
+    val m = c.collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(4)).toMap
+    // block (0,0) = mean(0,1,10,11) = 5.5 ; block (1,1) = mean(22,23,32,33) = 27.5
+    assert(m((0L, 0L)) == 5.5)
+    assert(m((1L, 1L)) == 27.5)
+    assert(c.collect().forall(_.getLong(3) == 4)) // n_cells
+  }
+
+  test("slicePlane and crop") {
+    val sl = GridOps.slicePlane(grid, "i", 2L)
+    assert(sl.count() == 4 && !sl.columns.contains("i"))
+    val cr = GridOps.crop(grid, Map("i" -> (1L, 2L), "j" -> (0L, 1L)))
+    assert(cr.count() == 4)
+  }
+
+  test("withPhysicalCoords: origin + index*spacing") {
+    val p = GridOps.withPhysicalCoords(grid, Seq("i", "j"), Seq(100.0, -2.0), Seq(0.5, 0.25))
+    val r = p.filter(col("i") === 3 && col("j") === 2)
+      .select("i_phys", "j_phys").collect()(0)
+    assert(r.getDouble(0) == 101.5 && r.getDouble(1) == -1.5)
+  }
+
+  test("ANN bucket pairs: subset of brute force, finds identical vectors") {
+    val s = spark
+    import s.implicits._
+    // three tight clusters of 3 + noise vectors
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => (math.sin(seed * 31 + d) * 10).toFloat)
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 3).map(k => ((c * 3 + k).toLong, v(c)))   // identical within cluster
+    } ++ (9 until 14).map(i => (i.toLong, v(i * 7 + 100)))
+    val df = rows.toDF("vec_id", "embedding")
+
+    val ann = SimilarityOps.annCosinePairs(df, "vec_id", "embedding", 0.99, nPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.cosinePairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(brute))
+    // identical vectors always share every bucket → all within-cluster pairs found
+    val expectedClusters = (0 until 3).flatMap { c =>
+      val ids = (0 until 3).map(k => (c * 3 + k).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(expectedClusters.subsetOf(ann))
+  }
+
+  test("MetricsListener records action durations and observed metrics") {
+    val s = spark
+    import s.implicits._
+    val l = MetricsListener.attach(s)
+    try {
+      val obs = org.apache.spark.sql.Observation("m")
+      Seq(1, 2, 3).toDF("x").observe(obs, count(lit(1)).as("n")).collect()
+      // listener events deliver asynchronously — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (l.records.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val recs = l.records
+      assert(recs.nonEmpty)
+      assert(recs.exists(r => r.durationNs > 0))
+      assert(recs.exists(r => r.observed.contains("m")))
+    } finally s.listenerManager.unregister(l)
+  }
+}

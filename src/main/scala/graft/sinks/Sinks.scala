@@ -24,8 +24,15 @@ object Sinks {
     * isolation (each task commits its own files).
     */
   def partitionedParquet(df: DataFrame, out: String,
-                         partitionCols: Seq[String]): Seq[String] = {
-    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(out)
+                         partitionCols: Seq[String],
+                         maxRecordsPerFile: Long = 0): Seq[String] = {
+    // maxRecordsPerFile is the MeshZarrSink chunk-size budget
+    // (`mesh_zarr.py:141-160`): bounds each committed file like the
+    // reference bounds each zarr chunk's MB target.
+    val w = df.write.mode(SaveMode.Append)
+    val w2 = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    w2.partitionBy(partitionCols: _*).parquet(out)
     listPartitionDirs(out)
   }
 

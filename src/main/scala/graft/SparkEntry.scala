@@ -80,7 +80,20 @@ object SparkEntry {
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
     "q_grid_coarsen" -> (qGridCoarsen _),
+    "q_dedup_clusters" -> (qDedupClusters _),
   )
+
+  /** Dedup cluster resolution: cosine-near-dup pairs as edges → connected
+    * components (iterative min-label propagation) → survivor per cluster.
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.3)
+      .select(col("ia").as("da"), col("ib").as("db"))
+    DedupOps.resolveClusters(emb.select("vec_id"), "vec_id", pairs)
+      .select(col("vec_id"), col("component"), col("is_survivor"))
+      .orderBy("vec_id")
+  }
 
   /** Structured-grid block-mean coarsening (VTI grid restriction,
     * `vti.py:17-41` long layout): events mapped onto a (i, j) grid, factor-4
@@ -725,6 +738,21 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
+         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         |e AS (SELECT da, db FROM p WHERE cos_r >= 0.3),
+         |sym(a, b) AS (SELECT da, db FROM e UNION SELECT db, da FROM e),
+         |walk(node, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node)
+         |SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component,
+         |  node = min(label) AS is_survivor
+         |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin,
 
     "q_grid_coarsen" ->
       """SELECT event_type AS field,

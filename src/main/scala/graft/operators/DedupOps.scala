@@ -131,6 +131,49 @@ object DedupOps {
       .select("da", "db").distinct()
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every node ends labeled with the minimum id reachable in
+    * its component — the dedup *cluster resolution* step (pairs → clusters →
+    * one survivor each). Converges in O(diameter) rounds with a driver-side
+    * convergence check; near-dup clusters are shallow (dup groups, not web
+    * graphs), so rounds stay small. At extreme skew swap in
+    * large-star/small-star (Kiveris et al.) — same DataFrame shape.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = cached(
+      pairs.select(col("da").as("a"), col("db").as("b"))
+        .union(pairs.select(col("db").as("a"), col("da").as("b"))))
+    // localCheckpoint (not persist) each round: persist keeps the LOGICAL
+    // plan, so an iterative join would grow the lineage until planning
+    // itself OOMs; checkpointing truncates it to the materialized result.
+    // On a cluster prefer reliable checkpoint(dir) for fault tolerance.
+    var labels = ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val propagated = labels.join(sym, col("node") === col("a"))
+        .select(col("b").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = propagated.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = propagated
+      converged = changed == 0
+      it += 1
+    }
+    labels.withColumnRenamed("node", idCol).withColumnRenamed("label", "component")
+  }
+
+  /** Dedup resolution: (id, component, is_survivor) — survivor = min id per
+    * cluster; singletons survive trivially.
+    */
+  def resolveClusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    connectedComponents(ids, idCol, pairs)
+      .withColumn("is_survivor", col(idCol) === col("component"))
+
   /** SimHash (32-bit): per-token hash bits weighted ±1 and summed per bit
     * position; the fingerprint packs the positive-sum bits. One groupBy with
     * 32 conditional sums — no explosion beyond the token rows.

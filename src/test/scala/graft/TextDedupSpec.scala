@@ -82,6 +82,30 @@ class TextDedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("connectedComponents: min-label per component, survivors resolved") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 7L).toDF("doc_id")
+    // components {1,2,3}, {4,5}, {6}, {7}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("da", "db")
+    val r = graft.operators.DedupOps.resolveClusters(ids, "doc_id", pairs)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((1L, true)) && r(2L) == ((1L, false)) && r(3L) == ((1L, false)))
+    assert(r(4L) == ((4L, true)) && r(5L) == ((4L, false)))
+    assert(r(6L) == ((6L, true)) && r(7L) == ((7L, true)))
+  }
+
+  test("connectedComponents converges on a chain (diameter > 1 round)") {
+    val s = spark
+    import s.implicits._
+    val n = 12L
+    val ids = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
+    val r = graft.operators.DedupOps.connectedComponents(ids, "doc_id", chain)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to n).forall(r(_) == 1L))
+  }
+
   test("simhash: identical canonical docs get identical fingerprints") {
     val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.mesh.MeshOps
+import graft.sources.VtkXmlSource
+
+/** ASCII VTU parsing: structure, reader-level pruning, mesh-ops composition. */
+class VtkXmlSourceSpec extends SparkSpec {
+
+  // unit right triangle + one extra point; two triangles; two point fields
+  private val vtu =
+    """<?xml version="1.0"?>
+      |<VTKFile type="UnstructuredGrid" version="0.1">
+      | <UnstructuredGrid>
+      |  <Piece NumberOfPoints="4" NumberOfCells="2">
+      |   <Points>
+      |    <DataArray type="Float64" NumberOfComponents="3" format="ascii">
+      |      0 0 0  1 0 0  0 1 0  1 1 0
+      |    </DataArray>
+      |   </Points>
+      |   <Cells>
+      |    <DataArray type="Int64" Name="connectivity" format="ascii">0 1 2 1 3 2</DataArray>
+      |    <DataArray type="Int64" Name="offsets" format="ascii">3 6</DataArray>
+      |    <DataArray type="UInt8" Name="types" format="ascii">5 5</DataArray>
+      |   </Cells>
+      |   <PointData>
+      |    <DataArray type="Float64" Name="u" format="ascii">1 2 3 4</DataArray>
+      |    <DataArray type="Float64" Name="p" format="ascii">10 20 30 40</DataArray>
+      |   </PointData>
+      |  </Piece>
+      | </UnstructuredGrid>
+      |</VTKFile>""".stripMargin
+
+  test("parseVtu: points, ragged cells, point data") {
+    val p = VtkXmlSource.parseVtu(vtu.getBytes("UTF-8"))
+    assert(p.points.length == 4 && p.points(3).toSeq == Seq(1.0, 1.0, 0.0))
+    assert(p.cells.map(_.toSeq).toSeq == Seq(Seq(0L, 1L, 2L), Seq(1L, 3L, 2L)))
+    assert(p.pointData.keySet == Set("u", "p"))
+    assert(p.pointData("u").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("reader-level include/exclude prunes arrays during parse") {
+    val inc = VtkXmlSource.parseVtu(vtu.getBytes("UTF-8"), include = Set("u"))
+    assert(inc.pointData.keySet == Set("u"))
+    val exc = VtkXmlSource.parseVtu(vtu.getBytes("UTF-8"), exclude = Set("u"))
+    assert(exc.pointData.keySet == Set("p"))
+  }
+
+  test("read glob → long tables → mesh quality + point-to-cell compose") {
+    val dir = Files.createTempDirectory("vtu").toString
+    Files.writeString(Paths.get(dir, "a.vtu"), vtu)
+    Files.writeString(Paths.get(dir, "b.vtu"), vtu)
+    val (points, cells, pointData) = VtkXmlSource.read(spark, dir)
+    assert(points.count() == 8 && cells.count() == 4 && pointData.count() == 16)
+
+    val report = MeshOps.triangleQualityReport(points, cells)
+    assert(report.count() == 2)
+    val r = report.collect()(0)
+    // unit right triangles: aspect √2, area 1/2, no degenerates
+    assert(math.abs(r.getAs[Double]("geom_max_aspect_ratio") - math.sqrt(2)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("vol_mean") - 0.5) < 1e-9)
+    assert(r.getAs[Long]("geom_n_degenerate_cells") == 0)
+
+    val cellMeans = MeshOps.pointDataToCellData(cells, pointData)
+      .filter(col("field") === "u")
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    // cell 0 = mean(u[0,1,2]) = 2 ; cell 1 = mean(u[1,3,2]) = 3
+    assert(cellMeans.values.toSet == Set(2.0, 3.0))
+  }
+}

@@ -81,7 +81,18 @@ object SparkEntry {
     "q_ann_pairs" -> (qAnnPairs _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_sessionize" -> (qSessionize _),
   )
+
+  /** Event sessionization (inactivity gap > 1 h starts a new session):
+    * per-(user, session) event counts and value sums.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.sessionize(Tables.events(s, dir), "user_id", "ts", 3600L,
+      tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
 
   /** Dedup cluster resolution: cosine-near-dup pairs as edges → connected
     * components (iterative min-label propagation) → survivor per cluster.
@@ -738,6 +749,19 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    "q_sessionize" ->
+      """WITH s AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 3600
+        |       THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT user_id, value,
+        |  CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value) + 1e-6, 2) AS sum_value
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE

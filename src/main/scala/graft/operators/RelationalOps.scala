@@ -64,6 +64,41 @@ object RelationalOps {
     derived.fold(withConsts)(g => withConsts.crossJoin(broadcast(g)))
   }
 
+  /** Skew-safe equi-join: replicate the small side across `nSalts` salt
+    * values and scatter the big side's hot keys deterministically (hash of a
+    * unique column), so one hot key spreads over nSalts reducers instead of
+    * one straggler task. AQE's skew-join handles sort-merge cases at
+    * runtime; explicit salting is for the planned-broadcast-miss / extreme
+    * single-key cases (SURVEY §4 "Skewed keys → salting or AQE").
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 bigUniqueCol: String, nSalts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(hash(col(bigUniqueCol)), lit(nSalts)))
+    val saltedSmall = small.crossJoin(
+      small.sparkSession.range(nSalts).select(col("id").cast("int").as("_salt")))
+    saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Event sessionization: a new session starts after an inactivity gap >
+    * `gapSeconds`; session ids are per-entity cumulative counts of session
+    * starts. Two partition-bounded windows, no global ordering.
+    */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (tsCol +: tieBreak).map(col)
+    val byTime = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+    val cum = Window.partitionBy(col(entityCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev", lag(col(tsCol), 1).over(byTime))
+      .withColumn("_new_session",
+        when(col("_prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_prev")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_new_session")).over(cum))
+      .drop("_prev", "_new_session")
+  }
+
   /** ERA5 multi-backend merge (`domains/da/sources/era5.py:377-382`): union the
     * per-backend frames, then keep the highest-priority row per key — the
     * reference's "first backend that has the variable wins" routing.

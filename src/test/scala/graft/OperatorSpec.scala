@@ -57,6 +57,37 @@ class OperatorSpec extends SparkSpec {
     assert(r == Map("t" -> 1.0, "u" -> 2.0, "w" -> 3.0))
   }
 
+  test("saltedJoin equals the plain join result") {
+    val s = spark
+    import s.implicits._
+    // hot key "a" on the big side
+    val big = ((1 to 50).map(i => ("a", i.toLong)) ++ Seq(("b", 100L), ("c", 200L)))
+      .toDF("k", "uid")
+    val small = Seq(("a", 1.0), ("b", 2.0), ("d", 4.0)).toDF("k", "w")
+    val plain = big.join(small, "k").select("k", "uid", "w")
+      .collect().map(_.toSeq).toSet
+    val salted = RelationalOps.saltedJoin(big, small, "k", "uid", 4)
+      .select("k", "uid", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.size == 51)
+  }
+
+  test("sessionize: gap threshold splits sessions per entity") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 02:00:00"),                       // > 1h gap → new session
+      (2L, "2024-01-01 05:00:00")
+    ).toDF("user_id", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val r = RelationalOps.sessionize(df, "user_id", "ts", 3600L)
+      .select("user_id", "ts", "session_id").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1).toString.take(19)) -> x.getLong(2)).toMap
+    assert(r((1L, "2024-01-01 00:00:00")) == 1L)
+    assert(r((1L, "2024-01-01 00:10:00")) == 1L)
+    assert(r((1L, "2024-01-01 02:00:00")) == 2L)
+    assert(r((2L, "2024-01-01 05:00:00")) == 1L)
+  }
+
   test("fieldStats: analytic moments for [1,2,3,4]") {
     val s = spark
     import s.implicits._

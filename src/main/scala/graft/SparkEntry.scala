@@ -82,7 +82,33 @@ object SparkEntry {
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
+    "q_redact" -> (qRedact _),
+    "q_token_budget" -> (qTokenBudget _),
   )
+
+  /** PII-style redaction census: md5 of scrubbed text + replacement counts. */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CurationOps
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(CurationOps.redact(col("text"))).as("clean_md5"),
+        (length(col("text")) - length(CurationOps.redact(col("text"))))
+          .cast("long").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget greedy prefix per language: docs in doc_id order until the
+    * cumulative BPE token count passes 10k tokens.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CurationOps
+    val prepared = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Text.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    CurationOps.tokenBudgetSelect(prepared, "lang", "doc_id", "n_tokens", 10000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"))
+      .orderBy("lang", "doc_id")
+  }
 
   /** Event sessionization (inactivity gap > 1 h starts a new session):
     * per-(user, session) event counts and value sums.
@@ -749,6 +775,26 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    "q_redact" -> {
+      val r = graft.operators.CurationOps.redactions
+      val scrub = r.foldLeft("text") { case (acc, (pat, rep)) =>
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+      }
+      s"""SELECT doc_id, md5($scrub) AS clean_md5,
+         |  CAST(length(text) - length($scrub) AS BIGINT) AS chars_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(text, '${Text.BpePattern}')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 10000 ORDER BY lang, doc_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, ts, event_id, value,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Training-data curation operators beyond the dedup/similarity families:
+  * PII-style redaction, quality gating, stratified sampling, and
+  * token-budget selection. All narrow or single-shuffle.
+  */
+object CurationOps {
+
+  /** Redaction patterns (valid in Java regex AND RE2 so oracles mirror them
+    * verbatim): emails, bare URLs, long digit runs (ids/phones).
+    */
+  val redactions: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "[0-9]{7,}" -> "<NUM>")
+
+  /** Scrub sensitive spans from a text column (applied in declaration order). */
+  def redact(c: Column): Column =
+    redactions.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Quality gate: keep docs whose quality features pass thresholds —
+    * a predicate over `TextOps.qualityFeatures` output, pushed to the scan
+    * when the features are materialized columns.
+    */
+  def qualityGate(features: DataFrame, minTokens: Long, minStopRatio: Double,
+                  maxDigitRatio: Double): DataFrame =
+    features.filter(col("n_tokens") >= minTokens &&
+      col("stop_ratio") >= minStopRatio && col("digit_ratio") <= maxDigitRatio)
+
+  /** Seeded stratified sample: per-stratum fractions via `sampleBy` —
+    * deterministic for a fixed seed and partitioning.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Token-budget selection: per group, keep documents in priority order
+    * until the cumulative token count exceeds the budget (greedy prefix).
+    * One partition-bounded window — the "fill the training mix" operator.
+    */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, orderCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Convenience: documents table → (doc_id, redacted text, token count). */
+  def preprocess(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), redact(col(textCol)).as("text_clean"),
+      Text.bpeTokenCount(col(textCol)).cast("long").as("n_tokens"))
+}

@@ -128,6 +128,49 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(r("shear") - 2.0 * math.sqrt(3)) < 1e-12)
   }
 
+  test("redact scrubs emails, urls, digit runs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("mail bob@example.com then http://x.io/page and id 12345678 end")
+      .toDF("text")
+    val r = df.select(graft.operators.CurationOps.redact(col("text"))).collect()(0).getString(0)
+    assert(r == "mail <EMAIL> then <URL> and id <NUM> end")
+  }
+
+  test("tokenBudgetSelect: greedy prefix per group under budget") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("en", 1L, 40L), ("en", 2L, 50L), ("en", 3L, 20L),  // cum: 40, 90, 110
+      ("de", 4L, 100L), ("de", 5L, 1L)                      // cum: 100, 101
+    ).toDF("lang", "doc_id", "n_tokens")
+    val kept = graft.operators.CurationOps
+      .tokenBudgetSelect(df, "lang", "doc_id", "n_tokens", 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("qualityGate filters on thresholds; stratifiedSample is seed-deterministic") {
+    val s = spark
+    import s.implicits._
+    val feats = Seq(
+      (1L, 100L, 0.2, 0.01), (2L, 5L, 0.2, 0.01), (3L, 100L, 0.0, 0.5)
+    ).toDF("doc_id", "n_tokens", "stop_ratio", "digit_ratio")
+    val kept = graft.operators.CurationOps.qualityGate(feats, 10L, 0.1, 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+
+    val docs = (1 to 200).map(i => (i.toLong, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val a = graft.operators.CurationOps
+      .stratifiedSample(docs, "lang", Map("en" -> 0.5, "de" -> 0.1), 42L)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.operators.CurationOps
+      .stratifiedSample(docs, "lang", Map("en" -> 0.5, "de" -> 0.1), 42L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("languageId picks the dominant stopword language") {
     val s = spark
     import s.implicits._

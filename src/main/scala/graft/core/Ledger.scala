@@ -45,12 +45,28 @@ final class Ledger(dir: String) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/errors")
   }
 
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    // Hadoop FS API, not java.io.File — the ledger dir may be HDFS/S3/GCS
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Completed indices for a run — empty frame when the ledger doesn't exist. */
   def completedIndices(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
-    if (!new java.io.File(idxPath).exists()) Seq.empty[Long].toDF("idx")
+    if (!pathExists(spark, idxPath)) Seq.empty[Long].toDF("idx")
     else spark.read.parquet(idxPath)
       .filter(col("run_id") === runId && col("status") === "completed")
+      .select("idx").distinct()
+  }
+
+  /** Failed indices for a run (`core/base.py:858-951` failed_indices). */
+  def failedIndices(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    val errPath = s"$dir/errors"
+    if (!pathExists(spark, errPath)) Seq.empty[Long].toDF("idx")
+    else spark.read.parquet(errPath)
+      .filter(col("run_id") === runId)
       .select("idx").distinct()
   }
 

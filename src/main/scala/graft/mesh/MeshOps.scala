@@ -134,6 +134,32 @@ object MeshOps {
       .distinct()
   }
 
+  /** Timestep pivot (`OpenRadiossSource`/`MeshZarrSink`,
+    * `mesh_zarr.py:105`): long displacements → wide per-node columns
+    * `d{x,y,z}_t{k}` for the known timestep set (explicit values keep the
+    * pivot a single pass without a distinct-scan).
+    */
+  def pivotTimesteps(disps: DataFrame, timesteps: Seq[Int]): DataFrame = {
+    val pivoted = disps.groupBy(col("mesh_id"), col("point_id"))
+      .pivot("t", timesteps)
+      .agg(first(col("dx")).as("dx"), first(col("dy")).as("dy"), first(col("dz")).as("dz"))
+    // spark names columns "<t>_dx" — normalize to dx_t<k>
+    val renamed = timesteps.flatMap { t =>
+      Seq(s"${t}_dx" -> s"dx_t$t", s"${t}_dy" -> s"dy_t$t", s"${t}_dz" -> s"dz_t$t")
+    }
+    renamed.foldLeft(pivoted) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** Reconstruct absolute positions from reference coords + displacements
+    * (`mesh_zarr.py:105` builds `mesh_pos (T,N,3)` the same way).
+    */
+  def reconstructPositions(points: DataFrame, disps: DataFrame): DataFrame =
+    disps.join(points, Seq("mesh_id", "point_id"))
+      .select(col("mesh_id"), col("point_id"), col("t"),
+        (col("x") + col("dx")).as("px"),
+        (col("y") + col("dy")).as("py"),
+        (col("z") + col("dz")).as("pz"))
+
   /** MeshQualityFilter geometry report for triangle meshes
     * (`quality.py:434`, artifact schema `quality.py:103-139`): per-mesh
     * aspect/skewness/angle/area/Jacobian statistics + degenerate, zero-area,

@@ -152,6 +152,26 @@ class MeshSpec extends SparkSpec {
     assert(alive.collect().map(_.getLong(1)).toSet == Set(0L))
   }
 
+  test("pivotTimesteps + reconstructPositions round trip") {
+    val s = spark
+    import s.implicits._
+    val disps = Seq(
+      (1L, 0L, 0, 0.0, 0.0, 0.0), (1L, 0L, 1, 0.5, 0.1, 0.0),
+      (1L, 1L, 0, 0.0, 0.0, 0.0), (1L, 1L, 1, -0.5, 0.0, 0.2)
+    ).toDF("mesh_id", "point_id", "t", "dx", "dy", "dz")
+    val wide = MeshOps.pivotTimesteps(disps, Seq(0, 1))
+    assert(wide.columns.toSet.contains("dx_t1"))
+    val r = wide.filter(col("point_id") === 0L).collect()(0)
+    assert(r.getAs[Double]("dx_t1") == 0.5 && r.getAs[Double]("dy_t1") == 0.1)
+
+    val pts = Seq((1L, 0L, 10.0, 20.0, 30.0), (1L, 1L, 0.0, 0.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val pos = MeshOps.reconstructPositions(pts, disps)
+      .filter(col("point_id") === 0L && col("t") === 1)
+      .collect()(0)
+    assert(pos.getAs[Double]("px") == 10.5 && pos.getAs[Double]("py") == 20.1)
+  }
+
   test("cellEdges: unique undirected edges") {
     val e = MeshOps.cellEdges(cells).filter(col("mesh_id") === 1L).collect()
       .map(r => (r.getLong(1), r.getLong(2))).toSet

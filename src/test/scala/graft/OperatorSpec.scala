@@ -128,6 +128,17 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(r("shear") - 2.0 * math.sqrt(3)) < 1e-12)
   }
 
+  test("typed Dataset models round-trip the driver tables") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.model.Model.documents(spark, dir)
+    val d = docs.head()
+    assert(d.text.nonEmpty && d.n_chars == d.text.length)
+    val emb = graft.model.Model.embeddings(spark, dir).head()
+    assert(emb.embedding.length == 64)
+    val ev = graft.model.Model.events(spark, dir).head()
+    assert(ev.ts != null && ev.event_type.nonEmpty)
+  }
+
   test("redact scrubs emails, urls, digit runs") {
     val s = spark
     import s.implicits._

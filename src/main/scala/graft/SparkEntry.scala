@@ -153,7 +153,7 @@ object SparkEntry {
     */
   private def qAnnPairs(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      tau = 0.25, nPlanes = 6)
+      tau = 0.25, nPlanes = 6, dimHint = 64)
       .orderBy("ia", "ib")
 
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):

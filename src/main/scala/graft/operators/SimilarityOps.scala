@@ -69,8 +69,10 @@ object SimilarityOps {
     * that's the LSH trade; raise recall with fewer planes or multi-probe.
     */
   def annCosinePairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-                     nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+                     nPlanes: Int = 8, seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+    // dimHint avoids the extra probe job when the caller knows the width
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val bucketed = df.select(col(idCol), col(vecCol),
       bucketSignature(col(vecCol), planes).as("bucket"))

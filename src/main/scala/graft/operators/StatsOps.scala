@@ -38,8 +38,15 @@ object StatsOps {
     * (`stats.py:825-827`).
     */
   def fieldStats(df: DataFrame, fieldCol: String = "field",
-                 valueCol: String = "value"): DataFrame = {
+                 valueCol: String = "value",
+                 approxMedian: Boolean = false): DataFrame = {
     val v = col(valueCol)
+    // exact percentile buffers every value per group — right for the oracle
+    // gate; at 100 TB pass approxMedian=true (bounded-memory sketch; the
+    // reference itself declares median non-mergeable, stats.py:825-827)
+    val median =
+      if (approxMedian) percentile_approx(v, lit(0.5), lit(10000))
+      else expr(s"percentile($valueCol, 0.5)")
     df.groupBy(col(fieldCol)).agg(
       count(v).as("n"),
       avg(v).as("mean"),
@@ -47,7 +54,7 @@ object StatsOps {
       stddev_pop(v).as("std_pop"),
       min(v).as("min"),
       max(v).as("max"),
-      expr(s"percentile($valueCol, 0.5)").as("median"),
+      median.as("median"),
       avg(abs(v)).as("abs_mean"),
       max(abs(v)).as("abs_max"),
       skewness(v).as("skew"),

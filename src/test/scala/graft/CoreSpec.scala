@@ -94,6 +94,22 @@ class CoreSpec extends SparkSpec {
     assert(new Ledger(dir).completedIndices(spark, r.runId).count() == 6)
   }
 
+  test("CacheStore: compute once, read through thereafter, invalidate works") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-cache").toString
+    var computes = 0
+    def compute = { computes += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val a = CacheStore.readThrough(spark, dir, "k1")(compute)
+    val b = CacheStore.readThrough(spark, dir, "k1")(compute)
+    assert(computes == 1)
+    assert(a.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2)))
+    assert(b.count() == 2)
+    CacheStore.invalidate(spark, dir, "k1")
+    CacheStore.readThrough(spark, dir, "k1")(compute)
+    assert(computes == 2)
+  }
+
   test("year-split sink writes (variable, year) partition layout") {
     val s = spark
     import s.implicits._

@@ -16,8 +16,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * `eval` path, used by nested-loop join conditions, is still a boxing-free
   * JIT-friendly loop).
   *
-  * Semantics match the HOF formulation and the DuckDB oracle exactly:
-  * sequential left-to-right sum of `(double)a[i] * (double)b[i]`.
+  * Semantics match the HOF formulation and the DuckDB oracle exactly for
+  * non-null float elements: sequential left-to-right sum of
+  * `(double)a[i] * (double)b[i]`. Divergence from `zip_with` on edge inputs,
+  * by design: length mismatch folds over the common prefix (zip_with
+  * null-pads), and a null ELEMENT contributes its value slot rather than
+  * nulling the whole sum — embedding columns are dense, non-null arrays.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

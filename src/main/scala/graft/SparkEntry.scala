@@ -84,7 +84,60 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_wall_nodes" -> (qWallNodes _),
+    "q_union_priority" -> (qUnionPriority _),
+    "q_boundary_box" -> (qBoundaryBox _),
+    "q_merge_points" -> (qMergePoints _),
   )
+
+  /** WallNodeFilter mask (`wall_node.py:68-100`): events as a displacement
+    * series (user=node, event sequence=time, value=dx) — keep nodes whose
+    * max |d − d₀| ≥ threshold.
+    */
+  private def qWallNodes(s: SparkSession, dir: String): DataFrame = {
+    val disps = Tables.events(s, dir).select(
+      (col("user_id") % 4).as("mesh_id"), col("user_id").as("point_id"),
+      col("event_id").as("t"), col("value").as("dx"),
+      lit(0.0).as("dy"), lit(0.0).as("dz"))
+    graft.mesh.MeshOps.deformingNodes(disps, 10.0)
+      .orderBy("mesh_id", "point_id")
+  }
+
+  /** ERA5 multi-backend routing (`era5.py:377-382`): highest-priority backend
+    * wins per key — two derived "backends" over supplier balances.
+    */
+  private def qUnionPriority(s: SparkSession, dir: String): DataFrame = {
+    val b0 = Tables.supplier(s, dir).filter(col("s_nationkey") < 12)
+      .select(col("s_suppkey"), rnd(col("s_acctbal"), 2).as("v"))
+    val b1 = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), rnd(col("s_acctbal") * 2, 2).as("v"))
+    RelationalOps.unionHighestPriority(Seq((b0, 0), (b1, 1)), Seq("s_suppkey"))
+      .orderBy("s_suppkey")
+  }
+
+  /** BoxTunnel boundary generator (`generators.py:70-120`): deterministic
+    * six-face vertex grid, summarized per boundary.
+    */
+  private def qBoundaryBox(s: SparkSession, dir: String): DataFrame =
+    graft.mesh.Boundaries.boxTunnel(s, 0.0, 10.0, -2.0, 2.0, 0.0, 4.0, 8)
+      .groupBy(col("boundary"))
+      .agg(count(lit(1)).as("n_vertices"),
+        rnd(sum(col("x") + col("y") + col("z")), 4).as("coord_sum"),
+        rnd(min("x"), 4).as("min_x"), rnd(max("z"), 4).as("max_z"))
+      .orderBy("boundary")
+
+  /** CleanFilter point merge (`clean.py:39`): embedding components as coords,
+    * tol-quantized duplicate collapse to the min id.
+    */
+  private def qMergePoints(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.embeddings(s, dir).select(
+      (col("vec_id") % 8).as("mesh_id"), col("vec_id").as("point_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"),
+      element_at(col("embedding"), 3).cast("double").as("z"))
+    graft.mesh.MeshOps.mergeDuplicatePoints(pts, 0.25)
+      .orderBy("mesh_id", "point_id")
+  }
 
   /** PII-style redaction census: md5 of scrubbed text + replacement counts. */
   private def qRedact(s: SparkSession, dir: String): DataFrame = {
@@ -795,6 +848,54 @@ object SparkEntry {
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)
          |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 10000 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_wall_nodes" ->
+      """WITH d AS (SELECT user_id % 4 AS mesh_id, user_id AS point_id, value,
+        |  first_value(value) OVER (PARTITION BY user_id ORDER BY event_id) AS v0
+        |  FROM events),
+        |m AS (SELECT mesh_id, point_id, max(abs(value - v0)) AS md
+        |  FROM d GROUP BY 1, 2)
+        |SELECT mesh_id, point_id FROM m WHERE md >= 10.0
+        |ORDER BY mesh_id, point_id""".stripMargin,
+
+    "q_union_priority" ->
+      """WITH b0 AS (SELECT s_suppkey, round(s_acctbal + 1e-6, 2) AS v, 0 AS p
+        |  FROM supplier WHERE s_nationkey < 12),
+        |b1 AS (SELECT s_suppkey, round(s_acctbal * 2 + 1e-6, 2) AS v, 1 AS p
+        |  FROM supplier),
+        |u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+        |r AS (SELECT s_suppkey, v,
+        |  row_number() OVER (PARTITION BY s_suppkey ORDER BY p) AS rn FROM u)
+        |SELECT s_suppkey, v FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
+
+    "q_boundary_box" ->
+      """WITH g AS (SELECT CAST(a.i AS DOUBLE)/7 AS u, CAST(b.j AS DOUBLE)/7 AS v
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS i) a,
+        |       (SELECT unnest(generate_series(0, 7)) AS j) b),
+        |f AS (
+        |  SELECT 'inlet' AS boundary, 0.0 AS x, -2.0 + v*4.0 AS y, u*4.0 AS z FROM g
+        |  UNION ALL SELECT 'outlet', 10.0, -2.0 + v*4.0, u*4.0 FROM g
+        |  UNION ALL SELECT 'wall_ymin', u*10.0, -2.0, v*4.0 FROM g
+        |  UNION ALL SELECT 'wall_ymax', u*10.0, 2.0, v*4.0 FROM g
+        |  UNION ALL SELECT 'wall_zmin', u*10.0, -2.0 + v*4.0, 0.0 FROM g
+        |  UNION ALL SELECT 'wall_zmax', u*10.0, -2.0 + v*4.0, 4.0 FROM g)
+        |SELECT boundary, count(*) AS n_vertices,
+        |  round(sum(x + y + z) + 1e-9, 4) AS coord_sum,
+        |  round(min(x) + 1e-9, 4) AS min_x, round(max(z) + 1e-9, 4) AS max_z
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_merge_points" ->
+      """WITH p AS (SELECT vec_id % 8 AS mesh_id, vec_id AS point_id,
+        |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+        |  CAST(embedding[3] AS DOUBLE) AS z
+        |  FROM embeddings),
+        |q AS (SELECT mesh_id, point_id,
+        |  CAST(round(x/0.25) AS BIGINT) AS qx, CAST(round(y/0.25) AS BIGINT) AS qy,
+        |  CAST(round(z/0.25) AS BIGINT) AS qz FROM p)
+        |SELECT mesh_id, point_id,
+        |  CAST(min(point_id) OVER (PARTITION BY mesh_id, qx, qy, qz) AS BIGINT)
+        |    AS new_point_id
+        |FROM q ORDER BY mesh_id, point_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, ts, event_id, value,

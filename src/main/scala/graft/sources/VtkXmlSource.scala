@@ -22,10 +22,33 @@ import org.apache.spark.sql.functions._
   *  - output is the long mesh model (`mesh/MeshOps`): points / cells /
   *    point_data tables keyed by file path, ready for the mesh filter family.
   *
-  * Scope: ASCII format (the reference's appended-binary/base64/zlib modes are
-  * encoding variants of the same structure — deferred format plumbing).
+  * Scope: ASCII and inline base64 `format="binary"` DataArrays (little-endian,
+  * UInt32/UInt64 byte-count header — the VTK default layout); the appended-
+  * data section and zlib compression remain deferred.
   */
 object VtkXmlSource {
+
+  /** Decode one inline-binary DataArray payload: base64(header ++ data). */
+  private def decodeBinary(b64: String, vtkType: String,
+                           headerType: String): Array[Double] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64.replaceAll("\\s", ""))
+    val headerLen = if (headerType == "UInt64") 8 else 4
+    val buf = java.nio.ByteBuffer.wrap(bytes, headerLen, bytes.length - headerLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vtkType match {
+      case "Float64" =>
+        Array.fill((bytes.length - headerLen) / 8)(buf.getDouble)
+      case "Float32" =>
+        Array.fill((bytes.length - headerLen) / 4)(buf.getFloat.toDouble)
+      case "Int64" =>
+        Array.fill((bytes.length - headerLen) / 8)(buf.getLong.toDouble)
+      case "Int32" =>
+        Array.fill((bytes.length - headerLen) / 4)(buf.getInt.toDouble)
+      case "UInt8" =>
+        Array.fill(bytes.length - headerLen)((buf.get() & 0xff).toDouble)
+      case other => throw new IllegalArgumentException(s"unsupported binary type $other")
+    }
+  }
 
   final case class VtuPiece(
       points: Array[Array[Double]],              // (n, 3)
@@ -44,6 +67,9 @@ object VtkXmlSource {
 
     var section = ""                              // Points | Cells | PointData
     var arrayName = ""
+    var arrayFormat = "ascii"
+    var arrayType = "Float64"
+    var headerType = "UInt32"
     var keepArray = false
     val text = new StringBuilder
     var pointsFlat: Array[Double] = Array.empty
@@ -59,9 +85,14 @@ object VtkXmlSource {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
+              case "VTKFile" =>
+                headerType = Option(r.getAttributeValue(null, "header_type"))
+                  .getOrElse("UInt32")
               case "Points" | "Cells" | "PointData" => section = r.getLocalName
               case "DataArray" =>
                 arrayName = Option(r.getAttributeValue(null, "Name")).getOrElse("")
+                arrayFormat = Option(r.getAttributeValue(null, "format")).getOrElse("ascii")
+                arrayType = Option(r.getAttributeValue(null, "type")).getOrElse("Float64")
                 keepArray = section match {
                   case "Points" => true
                   case "Cells" => arrayName == "connectivity" || arrayName == "offsets"
@@ -76,12 +107,15 @@ object VtkXmlSource {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "DataArray" if keepArray =>
-                val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+                val nums: Array[Double] =
+                  if (arrayFormat == "binary")
+                    decodeBinary(text.toString, arrayType, headerType)
+                  else text.toString.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
                 section match {
-                  case "Points" => pointsFlat = toks.map(_.toDouble)
-                  case "Cells" if arrayName == "connectivity" => connectivity = toks.map(_.toLong)
-                  case "Cells" if arrayName == "offsets" => offsets = toks.map(_.toLong)
-                  case "PointData" => pointData(arrayName) = toks.map(_.toDouble)
+                  case "Points" => pointsFlat = nums
+                  case "Cells" if arrayName == "connectivity" => connectivity = nums.map(_.toLong)
+                  case "Cells" if arrayName == "offsets" => offsets = nums.map(_.toLong)
+                  case "PointData" => pointData(arrayName) = nums
                   case _ =>
                 }
                 keepArray = false

@@ -49,6 +49,64 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(exc.pointData.keySet == Set("p"))
   }
 
+  test("inline base64 binary DataArrays decode identically to ascii") {
+    val b64 = {
+      def enc(doubles: Array[Double]): String = {
+        val bb = java.nio.ByteBuffer.allocate(4 + doubles.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(doubles.length * 8)
+        doubles.foreach(bb.putDouble)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      def encL(longs: Array[Long]): String = {
+        val bb = java.nio.ByteBuffer.allocate(4 + longs.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(longs.length * 8)
+        longs.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+      s"""<?xml version="1.0"?>
+         |<VTKFile type="UnstructuredGrid" header_type="UInt32">
+         | <UnstructuredGrid><Piece NumberOfPoints="3" NumberOfCells="1">
+         |  <Points><DataArray type="Float64" NumberOfComponents="3" format="binary">${enc(Array(0, 0, 0, 1, 0, 0, 0, 1, 0))}</DataArray></Points>
+         |  <Cells>
+         |   <DataArray type="Int64" Name="connectivity" format="binary">${encL(Array(0L, 1L, 2L))}</DataArray>
+         |   <DataArray type="Int64" Name="offsets" format="binary">${encL(Array(3L))}</DataArray>
+         |  </Cells>
+         |  <PointData><DataArray type="Float64" Name="u" format="binary">${enc(Array(1.5, 2.5, 3.5))}</DataArray></PointData>
+         | </Piece></UnstructuredGrid>
+         |</VTKFile>""".stripMargin
+    }
+    val p = VtkXmlSource.parseVtu(b64.getBytes("UTF-8"))
+    assert(p.points.length == 3 && p.points(2).toSeq == Seq(0.0, 1.0, 0.0))
+    assert(p.cells.map(_.toSeq).toSeq == Seq(Seq(0L, 1L, 2L)))
+    assert(p.pointData("u").toSeq == Seq(1.5, 2.5, 3.5))
+  }
+
+  test("VtuSink write → VtkXmlSource read round trip") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("vtu-rt").toString
+    val pts = Seq(
+      (7L, 0L, 0.0, 0.0, 0.0), (7L, 1L, 2.0, 0.0, 0.0), (7L, 2L, 0.0, 3.0, 0.0)
+    ).toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((7L, 0L, Seq(0L, 1L, 2L))).toDF("mesh_id", "cell_id", "vertices")
+    val pd = Seq((7L, 0L, "u", 1.0), (7L, 1L, "u", 2.0), (7L, 2L, "u", 4.0))
+      .toDF("mesh_id", "point_id", "field", "value")
+
+    val paths = graft.sinks.VtuSink.write(pts, cls, pd, dir)
+    assert(paths.length == 1 && paths(0).endsWith("mesh_7.vtu"))
+
+    val (rp, rc, rpd) = VtkXmlSource.read(spark, dir)
+    assert(rp.count() == 3 && rc.count() == 1 && rpd.count() == 3)
+    val coords = rp.orderBy("point_id").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    assert(coords == Seq((0.0, 0.0, 0.0), (2.0, 0.0, 0.0), (0.0, 3.0, 0.0)))
+    val u = rpd.orderBy("point_id").collect().map(_.getDouble(3)).toSeq
+    assert(u == Seq(1.0, 2.0, 4.0))
+    assert(rc.collect()(0).getSeq[Long](2) == Seq(0L, 1L, 2L))
+  }
+
   test("read glob → long tables → mesh quality + point-to-cell compose") {
     val dir = Files.createTempDirectory("vtu").toString
     Files.writeString(Paths.get(dir, "a.vtu"), vtu)

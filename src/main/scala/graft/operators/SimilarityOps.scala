@@ -64,26 +64,45 @@ object SimilarityOps {
       when(dot(v, typedLit(pl)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe bucket ids: the exact bucket plus every single-bit flip —
+    * standard multi-probe LSH; a pair differing in one hyperplane sign still
+    * collides on some probe. Probe factor = nPlanes+1 rows per vector.
+    */
+  def probeBuckets(v: Column, planes: Seq[Array[Float]]): Column = {
+    val sig = bucketSignature(v, planes)
+    array(sig +: planes.indices.map(i => sig.bitwiseXOR(lit(1L << i))): _*)
+  }
+
   /** ANN near-dup pairs: same-bucket candidates → exact rounded cosine ≥ τ.
     * Recall < 1 by construction (pairs split across buckets are missed) —
-    * that's the LSH trade; raise recall with fewer planes or multi-probe.
+    * `multiProbe` extends the candidate set with single-bit-flip probes
+    * (left side only, so each colliding pair appears once).
     */
   def annCosinePairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-                     nPlanes: Int = 8, seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+                     nPlanes: Int = 8, seed: Long = 42L, dimHint: Int = 0,
+                     multiProbe: Boolean = false): DataFrame = {
     // dimHint avoids the extra probe job when the caller knows the width
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
-    val bucketed = df.select(col(idCol), col(vecCol),
+    val a =
+      if (multiProbe)
+        df.select(col(idCol).as("ia"), col(vecCol).as("va"),
+          l2Norm(col(vecCol)).as("na"),
+          explode(probeBuckets(col(vecCol), planes)).as("bucket"))
+      else
+        df.select(col(idCol).as("ia"), col(vecCol).as("va"),
+          l2Norm(col(vecCol)).as("na"),
+          bucketSignature(col(vecCol), planes).as("bucket"))
+    val b = df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"),
       bucketSignature(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col(idCol).as("ia"), col(vecCol).as("va"),
-      l2Norm(col(vecCol)).as("na"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("ib"), col(vecCol).as("vb"),
-      l2Norm(col(vecCol)).as("nb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
+    val scored = a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
       .withColumn("cos_r",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
       .filter(col("cos_r") >= tau)
+    // only multi-probe can produce the same pair via several probes
+    (if (multiProbe) scored.dropDuplicates("ia", "ib") else scored)
       .select("ia", "ib", "cos_r")
   }
 

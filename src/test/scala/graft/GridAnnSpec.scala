@@ -56,6 +56,11 @@ class GridAnnSpec extends SparkSpec {
     val brute = SimilarityOps.cosinePairs(df, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ann.subsetOf(brute))
+    // multi-probe never loses candidates and still verifies exactly
+    val probed = SimilarityOps.annCosinePairs(df, "vec_id", "embedding", 0.99,
+      nPlanes = 6, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(probed) && probed.subsetOf(brute))
     // identical vectors always share every bucket → all within-cluster pairs found
     val expectedClusters = (0 until 3).flatMap { c =>
       val ids = (0 until 3).map(k => (c * 3 + k).toLong)

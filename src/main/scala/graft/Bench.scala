@@ -5,28 +5,52 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. Queries run in sorted name order (stable across
   * rounds for the driver's BENCH_r{N} comparison) and the cache is cleared
   * between queries so persisted subplans from one query can't skew the next.
+  *
+  * Each query runs SPARK_GRAFT_REPS times (default 3) and reports the
+  * median, so one loaded run on a shared VM can't fail the 2× gate. A query
+  * that throws is recorded as -1 with its name in "errors" (never its
+  * time-to-failure as a wall time) and is not retried.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var ok = true
+      var i = 0
+      while (ok && i < reps) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            ok = false
+        }
+        spark.catalog.clearCache()
+        i += 1
+      }
+      val med =
+        if (times.isEmpty) { failed ::= name; -1.0 }
+        else times.sorted.apply(times.size / 2)
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -164,6 +164,12 @@ object DedupOps {
       converged = changed == 0
       it += 1
     }
+    // Never return silently-wrong labels: a component with diameter > maxIter
+    // would diverge from the recursive-CTE oracle. Callers with deep chains
+    // raise maxIter or switch to large-star/small-star.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds; " +
+        "raise maxIter or use large-star/small-star for deep components")
     labels.withColumnRenamed("node", idCol).withColumnRenamed("label", "component")
   }
 

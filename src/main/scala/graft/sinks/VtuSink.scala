@@ -11,15 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object VtuSink {
 
-  /** Write `<out>/mesh_<id>.vtu` for each mesh. Returns written paths. */
+  /** Write `<out>/mesh_<id>.vtu` for each mesh. Returns written paths.
+    *
+    * Connectivity in a VTU file is POSITIONAL (an index into the Points array
+    * as written), so `vertices` point ids are remapped to the position of each
+    * point in the point_id-sorted Points array — non-contiguous ids (after
+    * `dropUnusedPoints` / `mergeDuplicatePoints`+remap) stay correct. A vertex
+    * referencing a point absent from `points` fails loudly.
+    *
+    * Cell type comes from an optional `cell_type` column in `cells` (any VTK
+    * type code); without it only 3-vertex (triangle, 5) and 4-vertex
+    * (tetrahedron, 10) cells are inferable — anything else throws rather than
+    * silently writing a wrong type.
+    */
   def write(points: DataFrame, cells: DataFrame, pointData: DataFrame,
             out: String): Seq[String] = {
     val spark = points.sparkSession
     val pts = points.groupBy(col("mesh_id")).agg(
       sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
         .as("pts"))
+    val typeCol =
+      if (cells.columns.contains("cell_type")) col("cell_type").cast("int")
+      else lit(-1)
     val cls = cells.groupBy(col("mesh_id")).agg(
-      sort_array(collect_list(struct(col("cell_id"), col("vertices")))).as("cls"))
+      sort_array(collect_list(struct(col("cell_id"), col("vertices"), typeCol.as("cell_type"))))
+        .as("cls"))
     val pd = pointData
       .groupBy(col("mesh_id"), col("field"))
       .agg(sort_array(collect_list(struct(col("point_id"), col("value")))).as("vals"))
@@ -52,10 +68,25 @@ object VtuSink {
 
     val coords = pts.map(p => s"${p.getDouble(1)} ${p.getDouble(2)} ${p.getDouble(3)}")
       .mkString(" ")
-    val conn = cls.flatMap(_.getSeq[Long](1)).mkString(" ")
+    // point_id -> positional index in the Points array as written
+    val posOf: Map[Long, Int] =
+      pts.iterator.zipWithIndex.map { case (p, i) => p.getLong(0) -> i }.toMap
+    val conn = cls.flatMap(_.getSeq[Long](1)).map { pid =>
+      posOf.getOrElse(pid, throw new IllegalArgumentException(
+        s"cell vertex references point_id $pid absent from points"))
+    }.mkString(" ")
     val offsets = cls.scanLeft(0L)((acc, c) => acc + c.getSeq[Long](1).length)
       .drop(1).mkString(" ")
-    val types = cls.map(c => if (c.getSeq[Long](1).length == 3) 5 else 10).mkString(" ")
+    val types = cls.map { c =>
+      val explicit = c.getInt(2)
+      if (explicit >= 0) explicit
+      else c.getSeq[Long](1).length match {
+        case 3 => 5   // VTK_TRIANGLE
+        case 4 => 10  // VTK_TETRA
+        case n => throw new IllegalArgumentException(
+          s"cannot infer VTK cell type for $n-vertex cell ${c.get(0)}; pass a cell_type column")
+      }
+    }.mkString(" ")
     val pdArrays = fields.map { f =>
       val name = f.getString(0)
       val vals = f.getSeq[Row](1).map(_.getDouble(1)).mkString(" ")

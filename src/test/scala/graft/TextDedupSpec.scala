@@ -106,6 +106,17 @@ class TextDedupSpec extends SparkSpec {
     assert((1L to n).forall(r(_) == 1L))
   }
 
+  test("connectedComponents throws (not silently wrong) past maxIter") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 6L).toDF("doc_id")
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      graft.operators.DedupOps.connectedComponents(ids, "doc_id", chain, maxIter = 2)
+        .count()
+    }
+  }
+
   test("simhash: identical canonical docs get identical fingerprints") {
     val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -107,6 +107,45 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(rc.collect()(0).getSeq[Long](2) == Seq(0L, 1L, 2L))
   }
 
+  test("VtuSink remaps non-contiguous point ids to positional connectivity") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("vtu-gap").toString
+    // ids 10/20/30 (post-merge shape): positional connectivity must be 0 1 2
+    val pts = Seq(
+      (1L, 10L, 0.0, 0.0, 0.0), (1L, 20L, 1.0, 0.0, 0.0), (1L, 30L, 0.0, 1.0, 0.0)
+    ).toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((1L, 0L, Seq(10L, 20L, 30L))).toDF("mesh_id", "cell_id", "vertices")
+    val pd = Seq((1L, 10L, "u", 1.0), (1L, 20L, "u", 2.0), (1L, 30L, "u", 3.0))
+      .toDF("mesh_id", "point_id", "field", "value")
+    graft.sinks.VtuSink.write(pts, cls, pd, dir)
+    val xml = Files.readString(Paths.get(dir, "mesh_1.vtu"))
+    assert(xml.contains(""">0 1 2</DataArray>""") || xml.contains("""format="ascii">0 1 2<"""))
+    val (rp, rc, _) = VtkXmlSource.read(spark, dir)
+    assert(rp.count() == 3)
+    assert(rc.collect()(0).getSeq[Long](2) == Seq(0L, 1L, 2L))
+  }
+
+  test("VtuSink honors explicit cell_type and rejects uninferable counts") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("vtu-ct").toString
+    val pts = (0L to 3L).map(i => (1L, i, i.toDouble, 0.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val pd = Seq.empty[(Long, Long, String, Double)]
+      .toDF("mesh_id", "point_id", "field", "value")
+    // explicit quad (VTK type 9) — would otherwise be mis-inferred as a tet
+    val quad = Seq((1L, 0L, Seq(0L, 1L, 2L, 3L), 9)).toDF("mesh_id", "cell_id", "vertices", "cell_type")
+    graft.sinks.VtuSink.write(pts, quad, pd, dir)
+    val xml = Files.readString(Paths.get(dir, "mesh_1.vtu"))
+    assert(xml.contains("""Name="types" format="ascii">9<"""))
+    // a 2-vertex cell with no explicit type must fail loudly
+    val bad = Seq((1L, 0L, Seq(0L, 1L))).toDF("mesh_id", "cell_id", "vertices")
+    intercept[org.apache.spark.SparkException] {
+      graft.sinks.VtuSink.write(pts, bad, pd, dir)
+    }
+  }
+
   test("read glob → long tables → mesh quality + point-to-cell compose") {
     val dir = Files.createTempDirectory("vtu").toString
     Files.writeString(Paths.get(dir, "a.vtu"), vtu)

@@ -173,15 +173,40 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
 
-  /** Dedup cluster resolution: cosine-near-dup pairs as edges → connected
-    * components (iterative min-label propagation) → survivor per cluster.
+  /** Near-dup triples planted deterministically over the embeddings table:
+    * each vector gets two perturbed copies (±0.003/component, exact integer
+    * arithmetic × 0.0005 mirrored bit-for-bit in DuckDB via an indexed
+    * list_transform lambda), giving planted cosines ≈ 0.9999 against a
+    * random-pair background ≤ 0.56 — the separation regime where LSH-based
+    * near-dup detection is meaningful. The (i+1) matches DuckDB's 1-based
+    * lambda index.
+    */
+  private[graft] def plantedTriples(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Seq(0, 1, 2).map { c =>
+      emb.select((col("vec_id") * 3 + c).cast("long").as("id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            lit(c) * (((col("vec_id") * 31 + (i + 1) * 7) % 13) - 6) * lit(0.0005))
+          .cast("array<float>").as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Dedup cluster resolution at scale: multi-table hyperplane-LSH candidate
+    * pairs (bucket join, never all-pairs) → exact-cosine verify at τ=0.9 →
+    * connected components → survivor per cluster. The edge generation is the
+    * O(n²)-free path; the brute-force recursive-CTE oracle checks the same
+    * cluster labels. Within-triple redundancy (3 edges per planted triangle)
+    * plus cluster-level comparison make the LSH edge set effectively
+    * recall-complete at the planted cos ≈ 0.9999 (see SimilaritySpec pin).
     */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val pairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.3)
+    val trip = plantedTriples(s, dir)
+    val pairs = SimilarityOps.annCosinePairsMulti(trip, "id", "embedding",
+      tau = 0.9, nTables = 6, planesPerTable = 12, dimHint = 64)
       .select(col("ia").as("da"), col("ib").as("db"))
-    DedupOps.resolveClusters(emb.select("vec_id"), "vec_id", pairs)
-      .select(col("vec_id"), col("component"), col("is_survivor"))
+    DedupOps.resolveClusters(trip.select("id"), "id", pairs)
+      .select(col("id").as("vec_id"), col("component"), col("is_survivor"))
       .orderBy("vec_id")
   }
 
@@ -199,14 +224,16 @@ object SparkEntry {
         rnd("value", 4).as("value"))
       .orderBy("field", "i", "j")
 
-  /** ANN scale path: hyperplane-LSH bucket join → exact cosine verify.
-    * Deliberately has NO oracleSql entry: the hyperplane constants are not
-    * practically mirrorable in SQL, so the driver records the weaker
-    * rows-only check; `SimilaritySpec` pins recall/subset properties instead.
+  /** ANN scale path: MULTI-TABLE hyperplane LSH (L=12 tables × k=3 planes;
+    * k grows with log2(n/bucket-target) at real scale) → bucket join →
+    * exact cosine verify. Deliberately has NO oracleSql entry: the
+    * hyperplane constants are not practically mirrorable in SQL, so the
+    * driver records the weaker rows-only check; `SimilaritySpec` pins
+    * recall ≥ 0.9 vs the brute-force pairs instead.
     */
   private def qAnnPairs(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.annCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-      tau = 0.25, nPlanes = 6, dimHint = 64)
+    SimilarityOps.annCosinePairsMulti(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.25, nTables = 12, planesPerTable = 3, dimHint = 64)
       .orderBy("ia", "ib")
 
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
@@ -910,15 +937,24 @@ object SparkEntry {
         |  round(sum(value) + 1e-6, 2) AS sum_value
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Brute-force mirror of the planted-triple near-dup clustering: the same
+    // deterministic perturbation (1-based lambda index = Spark's i+1), all
+    // pairs at τ=0.9, recursive-CTE component labels.
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |p AS (SELECT a.vec_id AS da, b.vec_id AS db,
-         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-         |e AS (SELECT da, db FROM p WHERE cos_r >= 0.3),
+         |trip AS (SELECT CAST(vec_id*3 + c AS BIGINT) AS id,
+         |  list_transform(embedding::DOUBLE[],
+         |    (x, i) -> x + c * ((vec_id*31 + i*7) % 13 - 6) * 0.0005)::FLOAT[] AS v
+         |  FROM embeddings, (VALUES (0), (1), (2)) t(c)),
+         |p AS (SELECT a.id AS da, b.id AS db,
+         |  round(list_dot_product(a.v::DOUBLE[], b.v::DOUBLE[]) /
+         |    (sqrt(list_dot_product(a.v::DOUBLE[], a.v::DOUBLE[])) *
+         |     sqrt(list_dot_product(b.v::DOUBLE[], b.v::DOUBLE[]))) + 1e-9, 4) AS cos_r
+         |  FROM trip a JOIN trip b ON a.id < b.id),
+         |e AS (SELECT da, db FROM p WHERE cos_r >= 0.9),
          |sym(a, b) AS (SELECT da, db FROM e UNION SELECT db, da FROM e),
          |walk(node, label) AS (
-         |  SELECT vec_id, vec_id FROM embeddings
+         |  SELECT id, id FROM trip
          |  UNION
          |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node)
          |SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component,

@@ -106,6 +106,53 @@ object SimilarityOps {
       .select("ia", "ib", "cos_r")
   }
 
+  /** Multi-table hyperplane LSH near-dup pairs — the 100 TB ANN shape.
+    *
+    * One hyperplane table with k planes has 2^k buckets: recall per pair is
+    * p^k (p = 1 − θ/π), and raising k for selectivity kills recall. The
+    * standard fix (same as MinHash banding, `DedupOps.bandPairs`) is L
+    * INDEPENDENT tables unioned: per-pair miss probability (1 − p^k)^L decays
+    * geometrically in L while bucket occupancy stays n/2^k per table. Grow k
+    * with log2(n / target bucket size) so within-bucket self-joins stay
+    * bounded as the corpus grows; L then buys back recall at linear cost.
+    *
+    * Shape: signatures for all L tables are computed in ONE projection over
+    * the persisted base (L·k codegen'd FloatVecDot calls), exploded to
+    * (table, bucket, id) rows, self-joined per (table, bucket) bucket —
+    * never all-pairs — deduplicated, and only then verified with the exact
+    * rounded cosine (candidate-driven verify: the quadratic space is never
+    * materialized).
+    */
+  def annCosinePairsMulti(df: DataFrame, idCol: String, vecCol: String,
+                          tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
+                          seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    val tablePlanes = (0 until nTables).map { t =>
+      hyperplanes(dim, planesPerTable, seed + 1299721L * (t + 1))
+    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"),
+      array(tablePlanes.zipWithIndex.map { case (pl, t) =>
+        struct(lit(t).as("tbl"), bucketSignature(col(vecCol), pl).as("bucket"))
+      }: _*).as("tb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = base.select(col("id"), explode(col("tb")).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("ia"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("ib")),
+        Seq("tbl", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    cand
+      .join(base.select(col("id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
+      .join(base.select(col("id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
+      .filter(col("cos_r") >= tau)
+      .select("ia", "ib", "cos_r")
+  }
+
   /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
     * desc, id asc) so ties are deterministic across engines.
     */

@@ -69,6 +69,64 @@ class GridAnnSpec extends SparkSpec {
     assert(expectedClusters.subsetOf(ann))
   }
 
+  test("multi-table LSH: subset of brute force, full recall on tight clusters") {
+    val s = spark
+    import s.implicits._
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => (math.sin(seed * 31 + d) * 10).toFloat)
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 3).map(k => ((c * 3 + k).toLong, v(c)))
+    } ++ (9 until 14).map(i => (i.toLong, v(i * 7 + 100)))
+    val df = rows.toDF("vec_id", "embedding")
+    val multi = SimilarityOps.annCosinePairsMulti(df, "vec_id", "embedding", 0.99,
+      nTables = 4, planesPerTable = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.cosinePairs(df, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi.subsetOf(brute))
+    val expectedClusters = (0 until 3).flatMap { c =>
+      val ids = (0 until 3).map(k => (c * 3 + k).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(expectedClusters.subsetOf(multi))
+  }
+
+  test("multi-table LSH recall ≥ 0.9 at τ=0.25 on real embeddings (q_ann_pairs config)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.annCosinePairsMulti(emb, "vec_id", "embedding", 0.25,
+      nTables = 12, planesPerTable = 3, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.subsetOf(brute), "verify step must make ANN pairs a brute-force subset")
+    val recall = ann.size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall < 0.9 (${ann.size}/${brute.size})")
+  }
+
+  test("planted-triple edges: multi-table LSH == brute force (q_dedup_clusters edge set)") {
+    val trip = SparkEntry.plantedTriples(spark, "/root/testdata/sf0.001")
+    val ann = SimilarityOps.annCosinePairsMulti(trip, "id", "embedding", 0.9,
+      nTables = 6, planesPerTable = 12, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilarityOps.cosinePairs(trip, "id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == brute, s"LSH edges must equal brute edges: missing ${brute -- ann}, extra ${ann -- brute}")
+    // occupancy stays bounded: no bucket degenerates toward O(n)
+    val planes = SimilarityOps.hyperplanes(64, 12, 42L + 1299721L)
+    val occ = trip.select(SimilarityOps.bucketSignature(col("embedding"), planes).as("b"))
+      .groupBy("b").count().agg(max("count")).first().getLong(0)
+    assert(occ <= 100, s"max bucket occupancy $occ")
+  }
+
+  test("annCosinePairsMulti plan has no cartesian/nested-loop join") {
+    val trip = SparkEntry.plantedTriples(spark, "/root/testdata/sf0.001")
+    val plan = SimilarityOps.annCosinePairsMulti(trip, "id", "embedding", 0.9,
+      nTables = 6, planesPerTable = 12, dimHint = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "plan contains CartesianProduct")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "plan contains BroadcastNestedLoopJoin")
+  }
+
   test("MetricsListener records action durations and observed metrics") {
     val s = spark
     import s.implicits._

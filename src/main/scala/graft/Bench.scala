@@ -41,8 +41,10 @@ object Bench {
         spark.catalog.clearCache()
         i += 1
       }
+      // Any rep failure marks the query failed — a query that succeeds on
+      // rep 1 but OOMs on rep 2 must not report a healthy-looking median.
       val med =
-        if (times.isEmpty) { failed ::= name; -1.0 }
+        if (!ok) { failed ::= name; -1.0 }
         else times.sorted.apply(times.size / 2)
       name -> med
     }

@@ -224,17 +224,27 @@ object SparkEntry {
         rnd("value", 4).as("value"))
       .orderBy("field", "i", "j")
 
-  /** ANN scale path: MULTI-TABLE hyperplane LSH (L=12 tables × k=3 planes;
-    * k grows with log2(n/bucket-target) at real scale) → bucket join →
-    * exact cosine verify. Deliberately has NO oracleSql entry: the
-    * hyperplane constants are not practically mirrorable in SQL, so the
-    * driver records the weaker rows-only check; `SimilaritySpec` pins
-    * recall ≥ 0.9 vs the brute-force pairs instead.
+  /** ANN scale path: MULTI-TABLE hyperplane LSH → bucket join → exact cosine
+    * verify. The (L, k) here are RECALL-driven for the low τ=0.25 target: at
+    * τ=0.25 the per-plane collision probability is only ~0.58, so k must stay
+    * small (3) for any recall and the candidate set is dense — at this τ that
+    * is inherent to hyperplane LSH, not a tuning miss. The scale discipline is
+    * `annPlanesFor(n, targetBucket)`: k = log2(n/targetBucket) keeps bucket
+    * occupancy (and therefore within-bucket join work) CONSTANT as n grows,
+    * and L buys recall back geometrically; high-τ near-dup detection (the 100
+    * TB dedup case, cf. qDedupClusters at τ=0.9, k=12) is where LSH prunes
+    * hard. Deliberately has NO oracleSql entry: the hyperplane constants are
+    * not practically mirrorable in SQL, so the driver records the weaker
+    * rows-only check; `SimilaritySpec` pins recall ≥ 0.9 vs brute force.
     */
-  private def qAnnPairs(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.annCosinePairsMulti(Tables.embeddings(s, dir), "vec_id", "embedding",
-      tau = 0.25, nTables = 12, planesPerTable = 3, dimHint = 64)
+  private def qAnnPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilarityOps.annCosinePairsMulti(emb, "vec_id", "embedding",
+      tau = 0.25, nTables = 12,
+      planesPerTable = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L),
+      dimHint = 64)
       .orderBy("ia", "ib")
+  }
 
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
     * distributed exclusive prefix sum — two-pass range-partitioned cumsum,

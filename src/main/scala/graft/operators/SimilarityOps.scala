@@ -123,6 +123,13 @@ object SimilarityOps {
     * rounded cosine (candidate-driven verify: the quadratic space is never
     * materialized).
     */
+  /** Planes per table for a target bucket occupancy: k = ⌈log2(n/target)⌉,
+    * floored at 1. Growing k with log2(n) keeps within-bucket self-join work
+    * constant as the corpus grows; raise L to recover the recall k costs.
+    */
+  def annPlanesFor(n: Long, targetBucket: Long): Int =
+    math.max(1, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
   def annCosinePairsMulti(df: DataFrame, idCol: String, vecCol: String,
                           tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
                           seed: Long = 42L, dimHint: Int = 0): DataFrame = {
@@ -131,12 +138,22 @@ object SimilarityOps {
     val tablePlanes = (0 until nTables).map { t =>
       hyperplanes(dim, planesPerTable, seed + 1299721L * (t + 1))
     }
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Persist lifecycle (same contract as DedupOps.cached): `base` is
+    // referenced three times (bucket explode + both verify sides), so it is
+    // persisted here unless the CALLER already persisted `df` — in which case
+    // the caller owns the lifecycle and nothing extra is cached. The persist
+    // created here lives until the session's cache is cleared; callers doing
+    // repeated one-shot invocations should `spark.catalog.clearCache()` (or
+    // persist the input themselves and unpersist it when done).
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
       array(tablePlanes.zipWithIndex.map { case (pl, t) =>
         struct(lit(t).as("tbl"), bucketSignature(col(vecCol), pl).as("bucket"))
       }: _*).as("tb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
     val buckets = base.select(col("id"), explode(col("tb")).as("tb"))
       .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val cand = buckets.select(col("tbl"), col("bucket"), col("id").as("ia"))

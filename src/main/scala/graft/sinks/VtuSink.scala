@@ -30,8 +30,11 @@ object VtuSink {
     val pts = points.groupBy(col("mesh_id")).agg(
       sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
         .as("pts"))
+    // coalesce: a null cell_type falls through to vertex-count inference (or
+    // its descriptive error) instead of an opaque executor-side NPE
     val typeCol =
-      if (cells.columns.contains("cell_type")) col("cell_type").cast("int")
+      if (cells.columns.contains("cell_type"))
+        coalesce(col("cell_type").cast("int"), lit(-1))
       else lit(-1)
     val cls = cells.groupBy(col("mesh_id")).agg(
       sort_array(collect_list(struct(col("cell_id"), col("vertices"), typeCol.as("cell_type"))))

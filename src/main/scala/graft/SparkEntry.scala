@@ -88,7 +88,49 @@ object SparkEntry {
     "q_union_priority" -> (qUnionPriority _),
     "q_boundary_box" -> (qBoundaryBox _),
     "q_merge_points" -> (qMergePoints _),
+    "q_vtu_roundtrip" -> (qVtuRoundtrip _),
   )
+
+  /** Full VTU sink→source cycle in the production layout (appended raw +
+    * vtkZLibDataCompressor blocks, the format nearly all real-world VTU
+    * uses): meshes derived from the embeddings table, written as
+    * appended-zlib .vtu, re-read by `VtkXmlSource`, then aggregated. Binary
+    * Float64 is bit-exact through the cycle, so the oracle can compute the
+    * same aggregates straight from the parquet table.
+    */
+  private def qVtuRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pts = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    // cells: consecutive point triples per mesh (leftover <3 group dropped)
+    val w = Window.partitionBy("mesh_id").orderBy("point_id")
+    val cls = pts
+      .withColumn("g", ((row_number().over(w) - 1) / 3).cast("long"))
+      .groupBy(col("mesh_id"), col("g").as("cell_id"))
+      .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
+        count(lit(1)).as("nv"))
+      .filter(col("nv") === 3).drop("nv")
+    val pd = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"), lit("v").as("field"),
+      col("embedding")(3).cast("double").as("value"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_vtu_rt_${math.abs(dir.hashCode)}"
+    graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended-zlib")
+
+    val (rp, rc, rpd) = graft.sources.VtkXmlSource.read(s, out)
+    def meshOf = regexp_extract(col("mesh_id"), "mesh_(\\d+)\\.vtu", 1).cast("long")
+    val np = rp.groupBy(meshOf.as("mesh_id"))
+      .agg(count(lit(1)).as("n_points"), sum("x").as("sx"))
+    val nc = rc.groupBy(meshOf.as("mesh_id")).agg(count(lit(1)).as("n_cells"))
+    val sv = rpd.filter(col("field") === "v")
+      .groupBy(meshOf.as("mesh_id")).agg(sum("value").as("sv"))
+    np.join(nc, Seq("mesh_id")).join(sv, Seq("mesh_id"))
+      .select(col("mesh_id"), col("n_points"), col("n_cells"),
+        rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
+      .orderBy("mesh_id")
+  }
 
   /** WallNodeFilter mask (`wall_node.py:68-100`): events as a displacement
     * series (user=node, event sequence=time, value=dx) — keep nodes whose
@@ -933,6 +975,17 @@ object SparkEntry {
         |  CAST(min(point_id) OVER (PARTITION BY mesh_id, qx, qy, qz) AS BIGINT)
         |    AS new_point_id
         |FROM q ORDER BY mesh_id, point_id""".stripMargin,
+
+    // Mirrors q_vtu_roundtrip WITHOUT the file cycle: the appended-zlib VTU
+    // write→read is bit-exact for Float64, so aggregates over the re-read
+    // mesh equal aggregates over the source parquet.
+    "q_vtu_roundtrip" ->
+      """WITH p AS (SELECT vec_id % 4 AS mesh_id,
+        |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[4] AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
+        |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, ts, event_id, value,

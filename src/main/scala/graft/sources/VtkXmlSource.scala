@@ -1,16 +1,17 @@
 package graft.sources
 
 import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
 
-import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** VTK XML UnstructuredGrid (`.vtu`, ASCII) reader (reference
-  * `domains/mesh/sources/vtk.py:74` + Rust `vtk/parser.rs:303`), Spark-first:
+/** VTK XML mesh reader (reference `domains/mesh/sources/vtk.py:74` + Rust
+  * `vtk/parser.rs:303`, `vtk/reader.rs:38,60`), Spark-first:
   *
   *  - file distribution via `binaryFile` (one row per file, content as bytes
   *    — Spark distributes listing and assigns files to tasks);
@@ -22,54 +23,220 @@ import org.apache.spark.sql.functions._
   *  - output is the long mesh model (`mesh/MeshOps`): points / cells /
   *    point_data tables keyed by file path, ready for the mesh filter family.
   *
-  * Scope: ASCII and inline base64 `format="binary"` DataArrays (little-endian,
-  * UInt32/UInt64 byte-count header — the VTK default layout); the appended-
-  * data section and zlib compression remain deferred.
+  * DataArray layouts covered (the full VTK XML matrix):
+  *  - `format="ascii"`;
+  *  - `format="binary"` (inline base64), uncompressed single-stream
+  *    `b64(header ++ data)` and zlib-compressed two-stream
+  *    `b64(block header) ++ b64(compressed blocks)`;
+  *  - `format="appended"` with `encoding="raw"` and `encoding="base64"`,
+  *    offsets into the post-`_` AppendedData block, both uncompressed and
+  *    zlib block-compressed (`compressor="vtkZLibDataCompressor"`);
+  *  - `header_type` UInt32 (default) and UInt64, little-endian.
+  *
+  * Grid types: UnstructuredGrid (`.vtu`, Cells) and PolyData (`.vtp`, Polys
+  * as cells; Verts/Lines/Strips are ignored). StructuredGrid (`.vts`) points
+  * and point data parse through the same path (its cells are implicit in the
+  * extent and not emitted). LZMA/LZ4 compressors and big-endian files throw.
   */
 object VtkXmlSource {
-
-  /** Decode one inline-binary DataArray payload: base64(header ++ data). */
-  private def decodeBinary(b64: String, vtkType: String,
-                           headerType: String): Array[Double] = {
-    val bytes = java.util.Base64.getDecoder.decode(b64.replaceAll("\\s", ""))
-    val headerLen = if (headerType == "UInt64") 8 else 4
-    val buf = java.nio.ByteBuffer.wrap(bytes, headerLen, bytes.length - headerLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    vtkType match {
-      case "Float64" =>
-        Array.fill((bytes.length - headerLen) / 8)(buf.getDouble)
-      case "Float32" =>
-        Array.fill((bytes.length - headerLen) / 4)(buf.getFloat.toDouble)
-      case "Int64" =>
-        Array.fill((bytes.length - headerLen) / 8)(buf.getLong.toDouble)
-      case "Int32" =>
-        Array.fill((bytes.length - headerLen) / 4)(buf.getInt.toDouble)
-      case "UInt8" =>
-        Array.fill(bytes.length - headerLen)((buf.get() & 0xff).toDouble)
-      case other => throw new IllegalArgumentException(s"unsupported binary type $other")
-    }
-  }
 
   final case class VtuPiece(
       points: Array[Array[Double]],              // (n, 3)
       cells: Array[Array[Long]],                 // ragged connectivity
       pointData: Map[String, Array[Double]])
 
-  /** Parse one ASCII .vtu byte payload. `include`/`exclude` act on PointData
-    * array names (include wins if both; empty include = all).
+  // ---------------------------------------------------------------- decoding
+
+  private def wordSize(ht: String): Int = if (ht == "UInt64") 8 else 4
+
+  private def readWord(b: Array[Byte], off: Int, ht: String): Long = {
+    val buf = ByteBuffer.wrap(b, off, wordSize(ht)).order(ByteOrder.LITTLE_ENDIAN)
+    if (ht == "UInt64") buf.getLong else buf.getInt.toLong & 0xffffffffL
+  }
+
+  /** Inflate one zlib block; `outLen` is the known uncompressed size. */
+  private def inflate(src: Array[Byte], off: Int, len: Int, outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(src, off, len)
+      val out = new Array[Byte](outLen)
+      var written = 0
+      while (written < outLen && !inf.finished()) {
+        val n = inf.inflate(out, written, outLen - written)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated zlib block in VTK data")
+        written += n
+      }
+      require(written == outLen, s"zlib block inflated to $written bytes, expected $outLen")
+      out
+    } finally inf.end()
+  }
+
+  /** Inflate the VTK block-compressed layout given its already-decoded
+    * header words `[nBlocks, blockSize, lastSize, c_1..c_N]` and a reader
+    * for the concatenated compressed blocks.
+    */
+  private def inflateBlocks(header: Array[Byte], ht: String,
+                            compressedAt: (Int, Int) => Array[Byte]): Array[Byte] = {
+    val ws = wordSize(ht)
+    val nb = readWord(header, 0, ht).toInt
+    val blockSize = readWord(header, ws, ht).toInt
+    val last0 = readWord(header, 2 * ws, ht).toInt
+    val lastSize = if (last0 == 0) blockSize else last0
+    val sizes = Array.tabulate(nb)(i => readWord(header, (3 + i) * ws, ht).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    var i = 0
+    while (i < nb) {
+      val rawLen = if (i == nb - 1) lastSize else blockSize
+      out.write(inflate(compressedAt(off, sizes(i)), 0, sizes(i), rawLen))
+      off += sizes(i)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Raw (appended `encoding="raw"`) payload at byte offset `off`. */
+  private def decodeRawPayload(app: Array[Byte], off: Int, ht: String,
+                               compressed: Boolean): Array[Byte] = {
+    val ws = wordSize(ht)
+    if (!compressed) {
+      val n = readWord(app, off, ht).toInt
+      java.util.Arrays.copyOfRange(app, off + ws, off + ws + n)
+    } else {
+      val nb = readWord(app, off, ht).toInt
+      val header = java.util.Arrays.copyOfRange(app, off, off + (3 + nb) * ws)
+      val dataStart = off + (3 + nb) * ws
+      inflateBlocks(header, ht,
+        (o, len) => java.util.Arrays.copyOfRange(app, dataStart + o, dataStart + o + len))
+    }
+  }
+
+  /** base64 chars needed to encode n bytes (including padding). */
+  private def b64Chars(n: Int): Int = 4 * ((n + 2) / 3)
+
+  /** Decode `nChars` of base64 starting at char `off` (whitespace must
+    * already be stripped; `off` must be a stream-aligned 4-char boundary).
+    */
+  private def b64Slice(s: String, off: Int, nChars: Int): Array[Byte] =
+    java.util.Base64.getMimeDecoder.decode(
+      s.substring(off, math.min(off + nChars, s.length)))
+
+  /** Base64 payload (inline `format="binary"` text, or appended
+    * `encoding="base64"` at char offset `off`). Uncompressed data is ONE
+    * stream b64(header ++ data); compressed is TWO concatenated streams
+    * b64(block header) ++ b64(compressed blocks) — each padded separately.
+    * Decodes only the chars this array owns, so it is safe inside a shared
+    * appended block where other arrays follow.
+    */
+  private def decodeB64Payload(s: String, off: Int, ht: String,
+                               compressed: Boolean): Array[Byte] = {
+    val ws = wordSize(ht)
+    if (!compressed) {
+      val head = b64Slice(s, off, b64Chars(ws))      // ≥ ws bytes decoded
+      val n = readWord(head, 0, ht).toInt
+      val all = b64Slice(s, off, b64Chars(ws + n))
+      java.util.Arrays.copyOfRange(all, ws, ws + n)
+    } else {
+      val first = b64Slice(s, off, b64Chars(ws))
+      val nb = readWord(first, 0, ht).toInt
+      val headerBytes = (3 + nb) * ws
+      val header = b64Slice(s, off, b64Chars(headerBytes))
+      val dataOff = off + b64Chars(headerBytes)       // second stream start
+      val ws3 = wordSize(ht)
+      val totalComp = (0 until nb)
+        .map(i => readWord(header, (3 + i) * ws3, ht).toInt).sum
+      val comp = b64Slice(s, dataOff, b64Chars(totalComp))
+      inflateBlocks(header, ht,
+        (o, len) => java.util.Arrays.copyOfRange(comp, o, o + len))
+    }
+  }
+
+  /** Reinterpret a raw little-endian payload as doubles per the VTK type. */
+  private def typedDoubles(bytes: Array[Byte], vtkType: String): Array[Double] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    vtkType match {
+      case "Float64" => Array.fill(bytes.length / 8)(buf.getDouble)
+      case "Float32" => Array.fill(bytes.length / 4)(buf.getFloat.toDouble)
+      case "Int64"   => Array.fill(bytes.length / 8)(buf.getLong.toDouble)
+      case "UInt64"  => Array.fill(bytes.length / 8)(buf.getLong.toDouble)
+      case "Int32"   => Array.fill(bytes.length / 4)(buf.getInt.toDouble)
+      case "UInt32"  => Array.fill(bytes.length / 4)(buf.getInt.toLong.&(0xffffffffL).toDouble)
+      case "Int16"   => Array.fill(bytes.length / 2)(buf.getShort.toDouble)
+      case "UInt16"  => Array.fill(bytes.length / 2)((buf.getShort & 0xffff).toDouble)
+      case "Int8"    => Array.fill(bytes.length)(buf.get().toDouble)
+      case "UInt8"   => Array.fill(bytes.length)((buf.get() & 0xff).toDouble)
+      case other => throw new IllegalArgumentException(s"unsupported binary type $other")
+    }
+  }
+
+  // ------------------------------------------------------- appended section
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = from
+    val limit = hay.length - needle.length
+    while (i <= limit) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a VTK XML file into a well-formed XML head and the AppendedData
+    * block (bytes after the `_` marker, trimmed of the closing tag). With
+    * `encoding="raw"` the file is NOT well-formed XML past `<AppendedData>`
+    * (raw bytes are embedded), so the head is cut at the tag and re-closed —
+    * the same byte-scan strategy the reference's Rust reader uses.
+    */
+  private[sources] def splitAppended(bytes: Array[Byte]): (Array[Byte], Option[(String, Array[Byte])]) = {
+    val openIdx = indexOfBytes(bytes, "<AppendedData".getBytes("US-ASCII"), 0)
+    if (openIdx < 0) return (bytes, None)
+    val head = new String(bytes, openIdx, math.min(512, bytes.length - openIdx), "US-ASCII")
+    val enc = "encoding\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(head)
+      .map(_.group(1)).getOrElse("base64")
+    val tagEnd = indexOfBytes(bytes, ">".getBytes("US-ASCII"), openIdx)
+    val underscore = indexOfBytes(bytes, "_".getBytes("US-ASCII"), tagEnd)
+    require(underscore >= 0, "AppendedData section has no '_' data marker")
+    val closeIdx = {
+      // raw binary may contain the byte pattern by chance: take the LAST match
+      val needle = "</AppendedData".getBytes("US-ASCII")
+      var last = -1
+      var at = indexOfBytes(bytes, needle, underscore)
+      while (at >= 0) { last = at; at = indexOfBytes(bytes, needle, at + 1) }
+      if (last < 0) bytes.length else last
+    }
+    val data = java.util.Arrays.copyOfRange(bytes, underscore + 1, closeIdx)
+    val xmlHead = (new String(bytes, 0, openIdx, "UTF-8") + "</VTKFile>").getBytes("UTF-8")
+    (xmlHead, Some((enc, data)))
+  }
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Parse one .vtu/.vtp/.vts byte payload in any of the supported layouts.
+    * `include`/`exclude` act on PointData array names (include wins if both;
+    * empty include = all).
     */
   def parseVtu(bytes: Array[Byte], include: Set[String] = Set.empty,
                exclude: Set[String] = Set.empty): VtuPiece = {
+    val (xmlBytes, appended) = splitAppended(bytes)
+    // base64-appended offsets address CHARS of the whitespace-stripped block
+    lazy val appendedB64: String =
+      new String(appended.get._2, "US-ASCII").replaceAll("\\s", "")
+
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val r = f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xmlBytes))
 
-    var section = ""                              // Points | Cells | PointData
+    var section = ""                         // Points | Cells | Polys | PointData
     var arrayName = ""
     var arrayFormat = "ascii"
     var arrayType = "Float64"
+    var arrayOffset = 0L
     var headerType = "UInt32"
+    var compressed = false
     var keepArray = false
     val text = new StringBuilder
     var pointsFlat: Array[Double] = Array.empty
@@ -80,6 +247,23 @@ object VtkXmlSource {
     def wanted(name: String): Boolean =
       (include.isEmpty || include.contains(name)) && !exclude.contains(name)
 
+    def decode(): Array[Double] = arrayFormat match {
+      case "ascii" =>
+        text.toString.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      case "binary" =>
+        typedDoubles(
+          decodeB64Payload(text.toString.replaceAll("\\s", ""), 0, headerType, compressed),
+          arrayType)
+      case "appended" =>
+        val (enc, data) = appended.getOrElse(throw new IllegalArgumentException(
+          s"DataArray '$arrayName' is format=appended but the file has no AppendedData"))
+        val payload =
+          if (enc == "raw") decodeRawPayload(data, arrayOffset.toInt, headerType, compressed)
+          else decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+        typedDoubles(payload, arrayType)
+      case other => throw new IllegalArgumentException(s"unsupported DataArray format $other")
+    }
+
     try {
       while (r.hasNext) {
         r.next() match {
@@ -88,14 +272,24 @@ object VtkXmlSource {
               case "VTKFile" =>
                 headerType = Option(r.getAttributeValue(null, "header_type"))
                   .getOrElse("UInt32")
-              case "Points" | "Cells" | "PointData" => section = r.getLocalName
+                Option(r.getAttributeValue(null, "byte_order")).foreach { bo =>
+                  require(bo == "LittleEndian", s"unsupported byte_order $bo")
+                }
+                Option(r.getAttributeValue(null, "compressor")).foreach { c =>
+                  require(c == "vtkZLibDataCompressor", s"unsupported compressor $c")
+                  compressed = true
+                }
+              case "Points" | "Cells" | "Polys" | "PointData" => section = r.getLocalName
               case "DataArray" =>
                 arrayName = Option(r.getAttributeValue(null, "Name")).getOrElse("")
                 arrayFormat = Option(r.getAttributeValue(null, "format")).getOrElse("ascii")
                 arrayType = Option(r.getAttributeValue(null, "type")).getOrElse("Float64")
+                arrayOffset = Option(r.getAttributeValue(null, "offset"))
+                  .map(_.trim.toLong).getOrElse(0L)
                 keepArray = section match {
                   case "Points" => true
-                  case "Cells" => arrayName == "connectivity" || arrayName == "offsets"
+                  case "Cells" | "Polys" =>
+                    arrayName == "connectivity" || arrayName == "offsets"
                   case "PointData" => wanted(arrayName)
                   case _ => false
                 }
@@ -107,19 +301,18 @@ object VtkXmlSource {
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "DataArray" if keepArray =>
-                val nums: Array[Double] =
-                  if (arrayFormat == "binary")
-                    decodeBinary(text.toString, arrayType, headerType)
-                  else text.toString.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+                val nums = decode()
                 section match {
                   case "Points" => pointsFlat = nums
-                  case "Cells" if arrayName == "connectivity" => connectivity = nums.map(_.toLong)
-                  case "Cells" if arrayName == "offsets" => offsets = nums.map(_.toLong)
+                  case "Cells" | "Polys" if arrayName == "connectivity" =>
+                    connectivity = nums.map(_.toLong)
+                  case "Cells" | "Polys" if arrayName == "offsets" =>
+                    offsets = nums.map(_.toLong)
                   case "PointData" => pointData(arrayName) = nums
                   case _ =>
                 }
                 keepArray = false
-              case "Points" | "Cells" | "PointData" => section = ""
+              case "Points" | "Cells" | "Polys" | "PointData" => section = ""
               case _ =>
             }
           case _ =>
@@ -140,15 +333,16 @@ object VtkXmlSource {
     VtuPiece(pts, cells, pointData.toMap)
   }
 
-  /** Long-model tables from a glob of ASCII .vtu files:
-    * (points, cells, point_data), mesh keyed by file path.
+  /** Long-model tables from a glob of VTK XML files (`.vtu`/`.vtp`/`.vts`
+    * by default): (points, cells, point_data), mesh keyed by file path.
     */
   def read(spark: SparkSession, pathGlob: String,
            include: Set[String] = Set.empty,
-           exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame) = {
+           exclude: Set[String] = Set.empty,
+           globFilter: String = "*.vt[ups]"): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.vtu").load(pathGlob)
+      .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
 

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.mesh.MeshOps
 import graft.sources.VtkXmlSource
 
-/** ASCII VTU parsing: structure, reader-level pruning, mesh-ops composition. */
+/** VTK XML parsing across the full layout matrix (ascii, inline base64,
+  * appended raw/base64, zlib blocks, UInt32/UInt64 headers, .vtp), plus
+  * reader-level pruning and mesh-ops composition.
+  */
 class VtkXmlSourceSpec extends SparkSpec {
 
   // unit right triangle + one extra point; two triangles; two point fields
@@ -144,6 +147,130 @@ class VtkXmlSourceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       graft.sinks.VtuSink.write(pts, bad, pd, dir)
     }
+  }
+
+  // mesh big enough that appended-zlib coords span multiple 32 KiB blocks
+  private def bigMesh(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val pts = (0 until n).map(i => (1L, i.toLong, i * 0.5, i * 0.25, -i * 0.125))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = (0 until n - 2 by 3).map(i => (1L, (i / 3).toLong, Seq(i.toLong, i + 1L, i + 2L)))
+      .toDF("mesh_id", "cell_id", "vertices")
+    val pd = (0 until n).map(i => (1L, i.toLong, "u", math.sin(i * 0.01)))
+      .toDF("mesh_id", "point_id", "field", "value")
+    (pts, cls, pd)
+  }
+
+  private def roundTrip(format: String, n: Int): Unit = {
+    val dir = Files.createTempDirectory(s"vtu-$format").toString
+    val (pts, cls, pd) = bigMesh(n)
+    graft.sinks.VtuSink.write(pts, cls, pd, dir, format)
+    val bytes = Files.readAllBytes(Paths.get(dir, "mesh_1.vtu"))
+    val p = VtkXmlSource.parseVtu(bytes)
+    assert(p.points.length == n)
+    (0 until n).foreach { i =>
+      assert(p.points(i).toSeq == Seq(i * 0.5, i * 0.25, -i * 0.125))
+    }
+    assert(p.cells.length == (n - 2 + 2) / 3 || p.cells.length == ((n - 3) / 3 + 1))
+    assert(p.cells(1).toSeq == Seq(3L, 4L, 5L))
+    assert(p.pointData("u").toSeq == (0 until n).map(i => math.sin(i * 0.01)))
+  }
+
+  test("appended raw round trip is bit-exact") { roundTrip("appended", 100) }
+
+  test("appended zlib round trip is bit-exact across multiple 32 KiB blocks") {
+    // 5000 points → 120 KB of coords → 4 zlib blocks
+    roundTrip("appended-zlib", 5000)
+  }
+
+  test("base64-appended + UInt32 headers decode (uncompressed, two arrays)") {
+    def stream(doubles: Array[Double]): String = {
+      val bb = java.nio.ByteBuffer.allocate(4 + doubles.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(doubles.length * 8)
+      doubles.foreach(bb.putDouble)
+      java.util.Base64.getEncoder.encodeToString(bb.array())
+    }
+    val coords = stream(Array(0, 0, 0, 1, 0, 0, 0, 1, 0))
+    val u = stream(Array(9.5, 8.5, 7.5))
+    val xml =
+      s"""<?xml version="1.0"?>
+         |<VTKFile type="UnstructuredGrid" header_type="UInt32">
+         | <UnstructuredGrid><Piece NumberOfPoints="3" NumberOfCells="0">
+         |  <Points><DataArray type="Float64" NumberOfComponents="3" format="appended" offset="0"/></Points>
+         |  <Cells/>
+         |  <PointData><DataArray type="Float64" Name="u" format="appended" offset="${coords.length}"/></PointData>
+         | </Piece></UnstructuredGrid>
+         | <AppendedData encoding="base64">_$coords$u</AppendedData>
+         |</VTKFile>""".stripMargin
+    val p = VtkXmlSource.parseVtu(xml.getBytes("UTF-8"))
+    assert(p.points.length == 3 && p.points(1).toSeq == Seq(1.0, 0.0, 0.0))
+    assert(p.pointData("u").toSeq == Seq(9.5, 8.5, 7.5))
+  }
+
+  test("inline base64 + zlib (two-stream, UInt32 header) decodes") {
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val vals = Array(1.25, -2.5, 3.75, 100.0)
+    val raw = {
+      val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(bb.putDouble); bb.array()
+    }
+    val comp = deflate(raw)
+    val header = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(1).putInt(raw.length).putInt(raw.length).putInt(comp.length).array()
+    val b64 = java.util.Base64.getEncoder.encodeToString(header) +
+      java.util.Base64.getEncoder.encodeToString(comp)
+    val xml =
+      s"""<?xml version="1.0"?>
+         |<VTKFile type="UnstructuredGrid" header_type="UInt32" compressor="vtkZLibDataCompressor">
+         | <UnstructuredGrid><Piece NumberOfPoints="0" NumberOfCells="0">
+         |  <PointData><DataArray type="Float64" Name="w" format="binary">$b64</DataArray></PointData>
+         | </Piece></UnstructuredGrid>
+         |</VTKFile>""".stripMargin
+    val p = VtkXmlSource.parseVtu(xml.getBytes("UTF-8"))
+    assert(p.pointData("w").toSeq == vals.toSeq)
+  }
+
+  test(".vtp PolyData: Polys parse as cells") {
+    val vtp =
+      """<?xml version="1.0"?>
+        |<VTKFile type="PolyData" version="0.1">
+        | <PolyData>
+        |  <Piece NumberOfPoints="4" NumberOfPolys="2">
+        |   <Points>
+        |    <DataArray type="Float32" NumberOfComponents="3" format="ascii">
+        |      0 0 0  1 0 0  0 1 0  1 1 0
+        |    </DataArray>
+        |   </Points>
+        |   <Polys>
+        |    <DataArray type="Int32" Name="connectivity" format="ascii">0 1 2 1 3 2</DataArray>
+        |    <DataArray type="Int32" Name="offsets" format="ascii">3 6</DataArray>
+        |   </Polys>
+        |   <PointData>
+        |    <DataArray type="Float64" Name="u" format="ascii">1 2 3 4</DataArray>
+        |   </PointData>
+        |  </Piece>
+        | </PolyData>
+        |</VTKFile>""".stripMargin
+    val p = VtkXmlSource.parseVtu(vtp.getBytes("UTF-8"))
+    assert(p.points.length == 4)
+    assert(p.cells.map(_.toSeq).toSeq == Seq(Seq(0L, 1L, 2L), Seq(1L, 3L, 2L)))
+    assert(p.pointData("u").toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    // .vtp files are picked up by the default read glob
+    val dir = Files.createTempDirectory("vtp").toString
+    Files.writeString(Paths.get(dir, "m.vtp"), vtp)
+    val (points, cells, _) = VtkXmlSource.read(spark, dir)
+    assert(points.count() == 4 && cells.count() == 2)
   }
 
   test("read glob → long tables → mesh quality + point-to-cell compose") {

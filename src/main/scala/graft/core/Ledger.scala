@@ -38,6 +38,25 @@ final class Ledger(dir: String) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
   }
 
+  /** Distributed variant: `indices` is a single-column (`idx`, long)
+    * DataFrame written straight to the ledger — the index set never lands
+    * on the driver (at 100 TB a run can have millions of indices). Returns
+    * the recorded count, piggybacked on the write via `observe`.
+    */
+  def recordCompleted(spark: SparkSession, runId: String, indices: DataFrame,
+                      wallNs: Long, nRows: Long): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    indices.select(col("idx").cast("long"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("status", lit("completed"))
+      .withColumn("wall_ns", lit(wallNs))
+      .withColumn("n_rows", lit(nRows))
+      .withColumn("finished_at", lit(System.currentTimeMillis()))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode(SaveMode.Append).parquet(idxPath)
+    obs.get("n").asInstanceOf[Long]
+  }
+
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String): Unit = {
     import spark.implicits._
     Seq((idx, runId, "error", 0L, 0L, System.currentTimeMillis(), error))

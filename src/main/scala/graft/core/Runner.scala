@@ -34,18 +34,20 @@ object Runner {
     val t0 = System.nanoTime()
 
     val full = pipeline.dataFrame(spark)
+    val completed = ledger.completedIndices(spark, runId)
     val work = if (resume) ledger.remaining(spark, runId, full, idxCol) else full
 
-    // Index accounting: total vs remaining (both tiny aggregates).
-    val nTotal = full.select(idxCol).distinct().count()
-    val todo = work.select(col(idxCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (todo.isEmpty)
-      return RunResult(runId, nTotal, nTotal, 0, Nil)
+    // Skip probe on the INDEX COLUMN only (column-pruned anti-join scan):
+    // stops at the first un-completed row in the normal case; in the
+    // everything-done case it reads just the index column, never full rows.
+    if (resume && work.select(idxCol).isEmpty) {
+      val done = completed.count()
+      return RunResult(runId, done, done, 0, Nil)
+    }
 
     ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
     // `observe` piggybacks the row count on the sink's single action —
-    // re-counting after the write would execute the whole plan twice.
+    // the source is scanned exactly ONCE at full width.
     val obs = org.apache.spark.sql.Observation(s"graft_$runId")
     val observed = work.observe(obs, count(lit(1)).as("n_rows"))
     val paths = pipeline.sink match {
@@ -53,7 +55,19 @@ object Runner {
       case None => observed.count(); Nil // metrics-only run
     }
     val nRows = obs.get("n_rows").asInstanceOf[Long]
-    ledger.recordCompleted(spark, runId, todo, System.nanoTime() - t0, nRows)
-    RunResult(runId, nTotal, nTotal - todo.length, todo.length, paths)
+
+    // Accounting AFTER the action succeeded, fully distributed: the executed
+    // index set (= full minus previously-completed) is written straight to
+    // the ledger — never collected to the driver — and costs one pruned scan
+    // of the index column only (partition listing when idx partitions the
+    // source). Its count rides on the ledger write's own observe.
+    val executedIdx0 = full.select(col(idxCol).cast("long").as("idx")).distinct()
+    val executedIdx =
+      if (resume) executedIdx0.join(completed, Seq("idx"), "left_anti")
+      else executedIdx0
+    val nExecuted = ledger.recordCompleted(spark, runId, executedIdx,
+      System.nanoTime() - t0, nRows)
+    val nBefore = if (resume) completed.count() else 0L
+    RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths)
   }
 }

@@ -89,7 +89,47 @@ object SparkEntry {
     "q_boundary_box" -> (qBoundaryBox _),
     "q_merge_points" -> (qMergePoints _),
     "q_vtu_roundtrip" -> (qVtuRoundtrip _),
+    "q_tet_quality" -> (qTetQuality _),
   )
+
+  /** Tetrahedral MeshQualityFilter report (`quality.py:180-262,648`): tets
+    * assembled from embeddings (4 consecutive vectors = 1 tet, 3 meshes),
+    * aspect / signed-volume / signed-scaled-Jacobian statistics. The oracle
+    * mirrors the exact arithmetic ORDER of the Geometry kernels (IEEE ops in
+    * identical order ⇒ bit-equal per-cell values; aggregate means are
+    * epsilon-round-guarded). Dihedral-angle columns are spec-pinned in
+    * MeshSpec instead (acos + outward-normal sign machinery has no practical
+    * SQL mirror).
+    */
+  private def qTetQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val tet = (col("vec_id") / 4).cast("long")
+    val pts = emb.select((tet % 3).as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    val cls = emb.select(tet.as("tet"), col("vec_id").cast("long").as("pid"))
+      .groupBy("tet")
+      .agg(sort_array(collect_list(col("pid"))).as("vertices"), count(lit(1)).as("nv"))
+      .filter(col("nv") === 4)
+      .select((col("tet") % 3).as("mesh_id"), col("tet").as("cell_id"), col("vertices"))
+    graft.mesh.MeshOps.tetQualityReport(pts, cls)
+      .select(col("mesh_id"), col("n_cells"),
+        rnd("geom_min_aspect_ratio", 4).as("aspect_min"),
+        rnd("geom_max_aspect_ratio", 4).as("aspect_max"),
+        rnd("geom_mean_aspect_ratio", 4).as("aspect_mean"),
+        rnd("vol_min", 6).as("vol_min"),
+        rnd("vol_max", 6).as("vol_max"),
+        rnd("vol_mean", 6).as("vol_mean"),
+        rnd("vol_std", 6).as("vol_std"),
+        col("vol_n_inverted"),
+        rnd("jac_min", 6).as("jac_min"),
+        rnd("jac_max", 6).as("jac_max"),
+        rnd("jac_mean", 6).as("jac_mean"),
+        col("jac_n_inverted"), col("jac_n_poor"))
+      .orderBy("mesh_id")
+  }
 
   /** Full VTU sink→source cycle in the production layout (appended raw +
     * vtkZLibDataCompressor blocks, the format nearly all real-world VTU
@@ -986,6 +1026,52 @@ object SparkEntry {
         |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors the Geometry tet kernels with IDENTICAL IEEE operation order
+    // (edge norms, triple product, aspect/vol/jac) so per-cell values are
+    // bit-equal; only the aggregate means rely on the epsilon round guard.
+    "q_tet_quality" ->
+      """WITH p AS (SELECT vec_id // 4 AS tet, CAST(vec_id % 4 AS INT) AS pos,
+        |    CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
+        |    CAST(embedding[3] AS DOUBLE) AS z
+        |  FROM embeddings),
+        |w AS (SELECT tet % 3 AS mesh_id, tet,
+        |    max(CASE WHEN pos=0 THEN x END) AS x0, max(CASE WHEN pos=0 THEN y END) AS y0, max(CASE WHEN pos=0 THEN z END) AS z0,
+        |    max(CASE WHEN pos=1 THEN x END) AS x1, max(CASE WHEN pos=1 THEN y END) AS y1, max(CASE WHEN pos=1 THEN z END) AS z1,
+        |    max(CASE WHEN pos=2 THEN x END) AS x2, max(CASE WHEN pos=2 THEN y END) AS y2, max(CASE WHEN pos=2 THEN z END) AS z2,
+        |    max(CASE WHEN pos=3 THEN x END) AS x3, max(CASE WHEN pos=3 THEN y END) AS y3, max(CASE WHEN pos=3 THEN z END) AS z3
+        |  FROM p GROUP BY 1, 2 HAVING count(*) = 4),
+        |e AS (SELECT mesh_id,
+        |    sqrt((x1-x0)*(x1-x0)+(y1-y0)*(y1-y0)+(z1-z0)*(z1-z0)) AS l01,
+        |    sqrt((x2-x0)*(x2-x0)+(y2-y0)*(y2-y0)+(z2-z0)*(z2-z0)) AS l02,
+        |    sqrt((x3-x0)*(x3-x0)+(y3-y0)*(y3-y0)+(z3-z0)*(z3-z0)) AS l03,
+        |    sqrt((x2-x1)*(x2-x1)+(y2-y1)*(y2-y1)+(z2-z1)*(z2-z1)) AS l12,
+        |    sqrt((x3-x1)*(x3-x1)+(y3-y1)*(y3-y1)+(z3-z1)*(z3-z1)) AS l13,
+        |    sqrt((x3-x2)*(x3-x2)+(y3-y2)*(y3-y2)+(z3-z2)*(z3-z2)) AS l23,
+        |    ((x1-x0)*((y2-y0)*(z3-z0)-(z2-z0)*(y3-y0))
+        |     +(y1-y0)*((z2-z0)*(x3-x0)-(x2-x0)*(z3-z0))
+        |     +(z1-z0)*((x2-x0)*(y3-y0)-(y2-y0)*(x3-x0))) AS trip
+        |  FROM w),
+        |c AS (SELECT mesh_id,
+        |    greatest(l01,l02,l03,l12,l13,l23)/(least(l01,l02,l03,l12,l13,l23)+1e-30) AS aspect,
+        |    trip/6.0 AS vol,
+        |    trip/(l01*l02*l03+1e-30) AS jac
+        |  FROM e)
+        |SELECT mesh_id, count(*) AS n_cells,
+        |  round(min(aspect)+1e-9,4) AS aspect_min,
+        |  round(max(aspect)+1e-9,4) AS aspect_max,
+        |  round(avg(aspect)+1e-9,4) AS aspect_mean,
+        |  round(min(vol)+1e-9,6) AS vol_min,
+        |  round(max(vol)+1e-9,6) AS vol_max,
+        |  round(avg(vol)+1e-9,6) AS vol_mean,
+        |  round(stddev_pop(vol)+1e-9,6) AS vol_std,
+        |  CAST(sum(CASE WHEN vol < 0 THEN 1 ELSE 0 END) AS BIGINT) AS vol_n_inverted,
+        |  round(min(jac)+1e-9,6) AS jac_min,
+        |  round(max(jac)+1e-9,6) AS jac_max,
+        |  round(avg(jac)+1e-9,6) AS jac_mean,
+        |  CAST(sum(CASE WHEN jac < 0 THEN 1 ELSE 0 END) AS BIGINT) AS jac_n_inverted,
+        |  CAST(sum(CASE WHEN abs(jac) < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS jac_n_poor
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, ts, event_id, value,

@@ -202,4 +202,44 @@ object MeshOps {
       sum(when(col("jac") < 0.0, 1L).otherwise(0L)).as("jac_n_inverted"),
       sum(when(abs(col("jac")) < 0.2, 1L).otherwise(0L)).as("jac_n_poor"))
   }
+
+  /** MeshQualityFilter geometry report for tetrahedral meshes
+    * (`quality.py:180-262,648`): per-mesh aspect / dihedral-angle / signed
+    * scaled-Jacobian / signed-volume statistics with degenerate, inverted,
+    * near-zero and poor counts — the tet analogue of
+    * `triangleQualityReport`, one grouped aggregation over codegen'd
+    * per-cell column expressions (no UDFs).
+    */
+  def tetQualityReport(points: DataFrame, cells: DataFrame): DataFrame = {
+    val wide = cellsWithCoords(points, cells, 4)
+    val v0 = Vec.at(0); val v1 = Vec.at(1); val v2 = Vec.at(2); val v3 = Vec.at(3)
+    val dih = Geometry.tetDihedralAngles(v0, v1, v2, v3)
+    val perCell = wide.select(col("mesh_id"),
+      Geometry.aspectRatio(Geometry.tetEdgeLens(v0, v1, v2, v3)).as("aspect"),
+      (dih.reduce(least(_, _)) * (180.0 / math.Pi)).as("min_dihedral_deg"),
+      (dih.reduce(greatest(_, _)) * (180.0 / math.Pi)).as("max_dihedral_deg"),
+      Geometry.degenerate(dih).cast("long").as("is_degen"),
+      Geometry.tetVolume(v0, v1, v2, v3).as("vol"),
+      Geometry.scaledJacobianTet(v0, v1, v2, v3).as("jac"))
+    perCell.groupBy(col("mesh_id")).agg(
+      count(lit(1)).as("n_cells"),
+      min("aspect").as("geom_min_aspect_ratio"),
+      max("aspect").as("geom_max_aspect_ratio"),
+      avg("aspect").as("geom_mean_aspect_ratio"),
+      min("min_dihedral_deg").as("geom_min_dihedral_deg"),
+      max("max_dihedral_deg").as("geom_max_dihedral_deg"),
+      avg("min_dihedral_deg").as("geom_mean_min_dihedral_deg"),
+      sum("is_degen").as("geom_n_degenerate_cells"),
+      min("vol").as("vol_min"),
+      max("vol").as("vol_max"),
+      avg("vol").as("vol_mean"),
+      stddev_pop(col("vol")).as("vol_std"),
+      sum(when(col("vol") < 0.0, 1L).otherwise(0L)).as("vol_n_inverted"),
+      sum(when(abs(col("vol")) < Geometry.Eps, 1L).otherwise(0L)).as("vol_n_zero"),
+      min("jac").as("jac_min"),
+      max("jac").as("jac_max"),
+      avg("jac").as("jac_mean"),
+      sum(when(col("jac") < 0.0, 1L).otherwise(0L)).as("jac_n_inverted"),
+      sum(when(abs(col("jac")) < 0.2, 1L).otherwise(0L)).as("jac_n_poor"))
+  }
 }

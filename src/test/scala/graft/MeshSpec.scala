@@ -52,6 +52,31 @@ class MeshSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("vol_max") - 6.0) < eps)  // 3-4-5 area
   }
 
+  test("tetQualityReport: regular tetrahedron pins") {
+    val s = spark
+    import s.implicits._
+    // regular tet, edge 2√2; this vertex order gives NEGATIVE orientation
+    val pts = Seq(
+      (1L, 0L, 1.0, 1.0, 1.0), (1L, 1L, 1.0, -1.0, -1.0),
+      (1L, 2L, -1.0, 1.0, -1.0), (1L, 3L, -1.0, -1.0, 1.0)
+    ).toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((1L, 0L, Seq(0L, 1L, 2L, 3L))).toDF("mesh_id", "cell_id", "vertices")
+    val r = MeshOps.tetQualityReport(pts, cls).collect()(0)
+    assert(r.getAs[Long]("n_cells") == 1)
+    assert(math.abs(r.getAs[Double]("geom_min_aspect_ratio") - 1.0) < eps)
+    // every dihedral of a regular tet is acos(1/3) ≈ 70.5288°
+    val dih = math.toDegrees(math.acos(1.0 / 3.0))
+    assert(math.abs(r.getAs[Double]("geom_min_dihedral_deg") - dih) < 1e-6)
+    assert(math.abs(r.getAs[Double]("geom_max_dihedral_deg") - dih) < 1e-6)
+    assert(r.getAs[Long]("geom_n_degenerate_cells") == 0)
+    // |vol| = a³/(6√2) = 8/3 for a = 2√2; signed volume is negative here
+    assert(math.abs(r.getAs[Double]("vol_min") + 8.0 / 3.0) < eps)
+    assert(r.getAs[Long]("vol_n_inverted") == 1)
+    // |jac| = 6·vol/a³ = 1/√2
+    assert(math.abs(r.getAs[Double]("jac_min") + 1.0 / math.sqrt(2)) < eps)
+    assert(r.getAs[Long]("jac_n_inverted") == 1)
+  }
+
   test("right 3-4-5 triangle: aspect 5/3, jac = sin(90°) = 1 via cross") {
     val wide = MeshOps.cellsWithCoords(points, cells, 3)
       .filter(col("cell_id") === 1L)

@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LS-DYNA d3plot binary reader (reference `domains/mesh/sources/d3plot.py`
+  * — which delegates decode to lasso-python; this is an independent JVM
+  * decoder of the PUBLIC "LS-DYNA Database Binary Output Files" layout),
+  * Spark-first: `binaryFile` distribution + per-file word-addressed decode
+  * inside `flatMap`, emitting the long mesh model plus per-state tables.
+  *
+  * Supported subset (the shape the reference's crash pipelines consume):
+  *  - little-endian 32-bit words (float32 / int32), single file (no
+  *    d3plot01.. family continuation);
+  *  - control block (64 words): TITLE[10], NDIM, NUMNP, NGLBV, IT/IU/IV/IA,
+  *    NEL8/NUMMAT8/NV3D, NEL2/NUMMAT2/NV1D, NEL4/NUMMAT4/NV2D, MAXINT
+  *    (1-based manual words 1..64);
+  *  - geometry: node coords (NUMNP×3), solid conn (NEL8×9: 8 nodes+part),
+  *    beam conn skipped (NEL2×6), shell conn (NEL4×5: 4 nodes+part);
+  *  - state data per timestep: TIME, NGLBV globals (skipped), node
+  *    temperatures if IT=1 (skipped), current node coordinates if IU=1
+  *    (exposed as the per-state node vector, lasso's `node_displacement`),
+  *    node velocity/acceleration blocks skipped, solid element vars
+  *    skipped, shell vars with NV2D == MAXINT·7 (6 Voigt stress
+  *    components + effective plastic strain per through-thickness
+  *    integration layer — the reference reads MAXINT=2);
+  *  - EOF marker −999999.0 where the next state's TIME would be.
+  *
+  * Anything outside the subset throws with a descriptive message rather
+  * than mis-decoding.
+  */
+object D3PlotSource {
+
+  final case class ShellState(
+      time: Float,
+      nodeVec: Array[Array[Float]],            // (NUMNP, 3) current coords
+      shellStress: Array[Array[Array[Float]]], // (NEL4, MAXINT, 6) Voigt
+      shellEpsp: Array[Array[Float]])          // (NEL4, MAXINT)
+
+  final case class D3PlotFile(
+      title: String,
+      coords: Array[Array[Float]],             // (NUMNP, 3)
+      solids: Array[(Array[Long], Long)],      // (8 nodes 0-based, part)
+      shells: Array[(Array[Long], Long)],      // (4 nodes 0-based, part)
+      states: Array[ShellState])
+
+  private val EofMarker = -999999.0f
+
+  def parse(bytes: Array[Byte]): D3PlotFile = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nWords = bytes.length / 4
+    def fw(i: Int): Float = buf.getFloat(i * 4)
+    def iw(i: Int): Int = buf.getInt(i * 4)
+
+    require(nWords >= 64, s"d3plot too short: $nWords words < 64-word control block")
+    val title = new String(bytes, 0, 40, "US-ASCII").trim
+    // 1-based manual word numbers → 0-based indices
+    val ndim0 = iw(15)
+    val numnp = iw(16)
+    val nglbv = iw(18)
+    val it = iw(19); val iu = iw(20); val iv = iw(21); val ia = iw(22)
+    val nel8 = iw(23); val nv3d = iw(27)
+    val nel2 = iw(28); val nv1d = iw(30)
+    val nel4 = iw(31); val nv2d = iw(33)
+    val maxint = iw(36)
+    // NDIM 4 = 3D with mass-scaled nodal data — geometry is still 3-D
+    val ndim = if (ndim0 == 4) 3 else ndim0
+    require(ndim == 3, s"unsupported NDIM $ndim0 (only 3-D)")
+    require(numnp > 0 && numnp < Int.MaxValue / 4, s"implausible NUMNP $numnp")
+    require(it == 0, "nodal temperature block (IT!=0) not supported")
+    require(maxint > 0 || nel4 == 0, s"MAXINT $maxint invalid with NEL4 $nel4")
+    if (nel4 > 0)
+      require(nv2d == maxint * 7,
+        s"unsupported shell var layout NV2D=$nv2d (expect MAXINT*7=${maxint * 7}: " +
+        "6 Voigt stress + plastic strain per layer)")
+
+    var w = 64
+    // geometry: nodes
+    val coords = Array.tabulate(numnp)(n =>
+      Array(fw(w + n * 3), fw(w + n * 3 + 1), fw(w + n * 3 + 2)))
+    w += numnp * 3
+    // solids: 8 node ids + part id, all 1-based
+    val solids = Array.tabulate(nel8) { e =>
+      val base = w + e * 9
+      (Array.tabulate(8)(k => iw(base + k).toLong - 1), iw(base + 8).toLong)
+    }
+    w += nel8 * 9
+    w += nel2 * 6 // beams: 6 words each, skipped
+    val shells = Array.tabulate(nel4) { e =>
+      val base = w + e * 5
+      (Array.tabulate(4)(k => iw(base + k).toLong - 1), iw(base + 4).toLong)
+    }
+    w += nel4 * 5
+
+    // state data
+    val states = Array.newBuilder[ShellState]
+    val stateWords = 1 + nglbv +
+      (if (iu == 1) numnp * 3 else 0) +
+      (if (iv == 1) numnp * 3 else 0) +
+      (if (ia == 1) numnp * 3 else 0) +
+      nel8 * nv3d + nel2 * nv1d + nel4 * nv2d
+    while (w < nWords && fw(w) != EofMarker) {
+      require(w + stateWords <= nWords,
+        s"truncated state at word $w (need $stateWords, have ${nWords - w})")
+      val time = fw(w)
+      var p = w + 1 + nglbv
+      val nodeVec =
+        if (iu == 1) {
+          val a = Array.tabulate(numnp)(n =>
+            Array(fw(p + n * 3), fw(p + n * 3 + 1), fw(p + n * 3 + 2)))
+          p += numnp * 3
+          a
+        } else Array.empty[Array[Float]]
+      if (iv == 1) p += numnp * 3
+      if (ia == 1) p += numnp * 3
+      p += nel8 * nv3d + nel2 * nv1d
+      val stress = Array.ofDim[Array[Array[Float]]](nel4)
+      val epsp = Array.ofDim[Array[Float]](nel4)
+      var e = 0
+      while (e < nel4) {
+        val sb = Array.ofDim[Array[Float]](maxint)
+        val eb = new Array[Float](maxint)
+        var l = 0
+        while (l < maxint) {
+          val base = p + e * nv2d + l * 7
+          sb(l) = Array.tabulate(6)(k => fw(base + k))
+          eb(l) = fw(base + 6)
+          l += 1
+        }
+        stress(e) = sb; epsp(e) = eb
+        e += 1
+      }
+      states += ShellState(time, nodeVec, stress, epsp)
+      w += stateWords
+    }
+    D3PlotFile(title, coords, solids, shells, states.result())
+  }
+
+  /** LS-DYNA `.k` keyword file → part-id → shell thickness (reference
+    * `d3plot.py:158-227`, Rust `kfile.rs`): `*PART` cards map part→section
+    * (card line 2: part_id section_id …), `*SECTION_SHELL` cards map
+    * section→thickness (card line 2: t1..t4; thickness = mean of the
+    * positive values, falling back to the mean of all, else 0). `$`
+    * comment lines and blanks are ignored.
+    */
+  def parseKFile(text: String): Map[Long, Double] = {
+    val lines = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("$")).toVector
+    val partToSection = scala.collection.mutable.Map.empty[Long, Long]
+    val sectionThickness = scala.collection.mutable.Map.empty[Long, Double]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.toUpperCase.contains("*PART")) {
+        // i+1 = part name, i+2 = part_id section_id material_id …
+        if (i + 2 < lines.length) {
+          val toks = lines(i + 2).split("\\s+")
+          if (toks.length >= 2)
+            (toks(0).toLongOption, toks(1).toLongOption) match {
+              case (Some(p), Some(s)) => partToSection(p) = s
+              case _ =>
+            }
+        }
+        i += 3
+      } else if (line.toUpperCase.contains("*SECTION_SHELL")) {
+        i += 1
+        while (i < lines.length && !lines(i).startsWith("*")) {
+          if (lines(i).head.isDigit) {
+            val sectionId = lines(i).split("\\s+").head.toLongOption
+            val tLine = if (i + 1 < lines.length) lines(i + 1) else ""
+            val tVals = tLine.split("\\s+").filter(_.nonEmpty)
+              .map(t => t.toDoubleOption.getOrElse(0.0))
+            val pos = tVals.filter(_ > 0.0)
+            val thickness =
+              if (pos.nonEmpty) pos.sum / pos.length
+              else if (tVals.nonEmpty) tVals.sum / tVals.length
+              else 0.0
+            sectionId.foreach(sectionThickness(_) = thickness)
+            i += 2
+          } else i += 1
+        }
+      } else i += 1
+    }
+    partToSection.map { case (p, s) => p -> sectionThickness.getOrElse(s, 0.0) }.toMap
+  }
+
+  /** Per-node thickness: element thickness from the part map, averaged over
+    * each node's incident elements (reference `d3plot.py:230-278` — the
+    * node-thickness scatter, here one explode + groupBy, no loops). Parts
+    * absent from the map contribute 0.
+    */
+  def nodeThickness(cells: DataFrame, partThickness: Map[Long, Double]): DataFrame = {
+    val tMap = typedLit(partThickness)
+    cells.select(col("mesh_id"),
+      explode(col("vertices")).as("point_id"),
+      coalesce(element_at(tMap, col("part_id")), lit(0.0)).as("et"))
+      .groupBy(col("mesh_id"), col("point_id"))
+      .agg(avg(col("et")).as("thickness"))
+  }
+
+  /** Long-model tables from a glob of d3plot files:
+    * (points, cells, states, shell_data), mesh keyed by file path.
+    *
+    *  - points:     (mesh_id, point_id, x, y, z) — reference configuration
+    *  - cells:      (mesh_id, cell_id, vertices, part_id, cell_type)
+    *                solids then shells, VTK type codes 12 (hexa) / 9 (quad)
+    *  - states:     (mesh_id, t, time, point_id, dx, dy, dz) — per-state
+    *                node vector (current coordinates when IU=1)
+    *  - shell_data: (mesh_id, t, cell_id, layer, sx, sy, sz, txy, tyz, tzx,
+    *                epsp) — per-layer Voigt stress + plastic strain; reduce
+    *                layers and apply `Physics.vonMises` downstream
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           globFilter: String = "*d3plot*"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val parsed = raw.map { case (path, bytes) => (path, parse(bytes)) }.persist()
+
+    val points = parsed.flatMap { case (path, f) =>
+      f.coords.iterator.zipWithIndex.map { case (c, i) =>
+        (path, i.toLong, c(0).toDouble, c(1).toDouble, c(2).toDouble)
+      }.toSeq
+    }.toDF("mesh_id", "point_id", "x", "y", "z")
+
+    val cells = parsed.flatMap { case (path, f) =>
+      val solidRows = f.solids.iterator.zipWithIndex.map { case ((vs, part), i) =>
+        (path, i.toLong, vs.toSeq, part, 12) // VTK_HEXAHEDRON
+      }
+      val shellRows = f.shells.iterator.zipWithIndex.map { case ((vs, part), i) =>
+        (path, (f.solids.length + i).toLong, vs.toSeq, part, 9) // VTK_QUAD
+      }
+      (solidRows ++ shellRows).toSeq
+    }.toDF("mesh_id", "cell_id", "vertices", "part_id", "cell_type")
+
+    val states = parsed.flatMap { case (path, f) =>
+      f.states.iterator.zipWithIndex.flatMap { case (st, t) =>
+        st.nodeVec.iterator.zipWithIndex.map { case (v, n) =>
+          (path, t, st.time.toDouble, n.toLong,
+            v(0).toDouble, v(1).toDouble, v(2).toDouble)
+        }
+      }.toSeq
+    }.toDF("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")
+
+    val shellData = parsed.flatMap { case (path, f) =>
+      val nSolids = f.solids.length
+      f.states.iterator.zipWithIndex.flatMap { case (st, t) =>
+        st.shellStress.iterator.zipWithIndex.flatMap { case (layers, e) =>
+          layers.iterator.zipWithIndex.map { case (s, l) =>
+            (path, t, (nSolids + e).toLong, l,
+              s(0).toDouble, s(1).toDouble, s(2).toDouble,
+              s(3).toDouble, s(4).toDouble, s(5).toDouble,
+              st.shellEpsp(e)(l).toDouble)
+          }
+        }
+      }.toSeq
+    }.toDF("mesh_id", "t", "cell_id", "layer",
+      "sx", "sy", "sz", "txy", "tyz", "tzx", "epsp")
+
+    (points, cells, states, shellData)
+  }
+}

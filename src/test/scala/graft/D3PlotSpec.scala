@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.D3PlotSource
+
+/** D3plot binary decode: a synthetic fixture written word-for-word per the
+  * public LS-DYNA database layout (64-word control block, geometry, state
+  * data, EOF marker) must decode byte-exactly into the long model, and
+  * compose with the von Mises kernel.
+  */
+class D3PlotSpec extends SparkSpec {
+
+  // fixture: 4 nodes, 1 quad shell, 2 states, MAXINT=2 layers
+  private val coords = Array(
+    Array(0.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f),
+    Array(1.0f, 1.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+  private val state0Coords = coords
+  private val state1Coords = coords.map(c => Array(c(0) + 0.5f, c(1), c(2) - 0.25f))
+  // layer stresses chosen so the layer MEAN is a pure shear τxy=3 at t1
+  private val t1Stress = Array( // (layer, voigt6)
+    Array(10f, 10f, 10f, 2f, 0f, 0f), Array(10f, 10f, 10f, 4f, 0f, 0f))
+  private val t1Epsp = Array(0.01f, 0.03f)
+
+  private def fixtureBytes(title: String): Array[Byte] = {
+    val numnp = 4; val nel4 = 1; val maxint = 2; val nglbv = 2
+    val nv2d = maxint * 7
+    val nStates = 2
+    val stateWords = 1 + nglbv + numnp * 3 + nel4 * nv2d
+    val total = 64 + numnp * 3 + nel4 * 5 + nStates * stateWords + 1
+    val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+    def pad(s: String, n: Int) = s.padTo(n, ' ').take(n)
+    bb.put(pad(title, 40).getBytes("US-ASCII"))        // words 0-9: TITLE
+    (10 until 64).foreach { w =>
+      w match {
+        case 15 => bb.putInt(4)       // NDIM (4 = 3-D)
+        case 16 => bb.putInt(numnp)   // NUMNP
+        case 18 => bb.putInt(nglbv)   // NGLBV
+        case 20 => bb.putInt(1)       // IU
+        case 31 => bb.putInt(nel4)    // NEL4
+        case 32 => bb.putInt(1)       // NUMMAT4
+        case 33 => bb.putInt(nv2d)    // NV2D
+        case 36 => bb.putInt(maxint)  // MAXINT
+        case _  => bb.putInt(0)
+      }
+    }
+    coords.foreach(c => c.foreach(bb.putFloat))        // geometry: nodes
+    Seq(1, 2, 3, 4).foreach(bb.putInt); bb.putInt(7)   // shell conn (1-based) + part
+    // states
+    Seq((0.0f, state0Coords, Array(Array.fill(6)(0f), Array.fill(6)(0f)), Array(0f, 0f)),
+        (1.5f, state1Coords, t1Stress, t1Epsp)).foreach {
+      case (time, cs, stress, epsp) =>
+        bb.putFloat(time)
+        (0 until nglbv).foreach(_ => bb.putFloat(99f)) // globals (skipped)
+        cs.foreach(c => c.foreach(bb.putFloat))
+        (0 until maxint).foreach { l =>
+          stress(l).foreach(bb.putFloat); bb.putFloat(epsp(l))
+        }
+    }
+    bb.putFloat(-999999.0f)                            // EOF marker
+    bb.array()
+  }
+
+  test("parse: control block, geometry, states decode word-exactly") {
+    val f = D3PlotSource.parse(fixtureBytes("crash run 1"))
+    assert(f.title == "crash run 1")
+    assert(f.coords.map(_.toSeq).toSeq == coords.map(_.toSeq).toSeq)
+    assert(f.solids.isEmpty)
+    assert(f.shells.length == 1)
+    assert(f.shells(0)._1.toSeq == Seq(0L, 1L, 2L, 3L) && f.shells(0)._2 == 7L)
+    assert(f.states.length == 2)
+    assert(f.states(0).time == 0.0f && f.states(1).time == 1.5f)
+    assert(f.states(1).nodeVec(2).toSeq == Seq(1.5f, 1.0f, -0.25f))
+    assert(f.states(1).shellStress(0).map(_.toSeq).toSeq == t1Stress.map(_.toSeq).toSeq)
+    assert(f.states(1).shellEpsp(0).toSeq == t1Epsp.toSeq)
+  }
+
+  test("unsupported layouts fail loudly, not silently") {
+    val good = fixtureBytes("x")
+    // corrupt NV2D (word 33) to an unsupported layout
+    val bad = good.clone()
+    ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN).putInt(33 * 4, 11)
+    val e = intercept[IllegalArgumentException] { D3PlotSource.parse(bad) }
+    assert(e.getMessage.contains("NV2D"))
+    val short = good.take(100)
+    intercept[IllegalArgumentException] { D3PlotSource.parse(short) }
+  }
+
+  test("parseKFile: PART→SECTION_SHELL thickness with comments and fallbacks") {
+    val k =
+      """$ comment header
+        |*KEYWORD
+        |*PART
+        |left door panel
+        |        1         10        100
+        |*PART
+        |roof
+        |        2         20        100
+        |*SECTION_SHELL
+        |$ elform card
+        |        10         2
+        |      1.5       1.5       0.0       0.0
+        |        20         2
+        |      0.0       0.0       0.0       0.0
+        |*END""".stripMargin
+    val m = D3PlotSource.parseKFile(k)
+    // section 10: mean of positive (1.5, 1.5) = 1.5; section 20: all zero → 0
+    assert(m == Map(1L -> 1.5, 2L -> 0.0))
+  }
+
+  test("nodeThickness: incident-element average via part map") {
+    val s = spark
+    import s.implicits._
+    // node 1 shared by parts 1 (t=1.5) and 2 (t=0.5) → 1.0; part 9 unmapped → 0
+    val cells = Seq(
+      ("m", 0L, Seq(0L, 1L), 1L), ("m", 1L, Seq(1L, 2L), 2L), ("m", 2L, Seq(3L), 9L)
+    ).toDF("mesh_id", "cell_id", "vertices", "part_id")
+    val t = D3PlotSource.nodeThickness(cells, Map(1L -> 1.5, 2L -> 0.5))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(t == Map(0L -> 1.5, 1L -> 1.0, 2L -> 0.5, 3L -> 0.0))
+  }
+
+  test("read: long tables + layer-mean von Mises compose") {
+    val dir = Files.createTempDirectory("d3p").toString
+    Files.createDirectories(Paths.get(dir, "run_a"))
+    Files.createDirectories(Paths.get(dir, "run_b"))
+    Files.write(Paths.get(dir, "run_a", "d3plot"), fixtureBytes("run a"))
+    Files.write(Paths.get(dir, "run_b", "d3plot"), fixtureBytes("run b"))
+
+    val (points, cells, states, shellData) = D3PlotSource.read(spark, s"$dir/*")
+    assert(points.count() == 8 && cells.count() == 2)
+    assert(states.count() == 2 * 2 * 4)          // runs × states × nodes
+    assert(shellData.count() == 2 * 2 * 1 * 2)   // runs × states × cells × layers
+
+    val vs = cells.select("vertices").collect()(0).getSeq[Long](0)
+    assert(vs == Seq(0L, 1L, 2L, 3L))
+    assert(cells.select("part_id").collect().map(_.getLong(0)).toSet == Set(7L))
+
+    // layer-mean stress at t=1 is hydrostatic 10 + τxy mean(2,4)=3 → vm = 3√3
+    val vm = shellData.filter(col("t") === 1)
+      .groupBy(col("mesh_id"), col("cell_id"), col("t"))
+      .agg(avg("sx").as("sx"), avg("sy").as("sy"), avg("sz").as("sz"),
+        avg("txy").as("txy"), avg("tyz").as("tyz"), avg("tzx").as("tzx"),
+        avg("epsp").as("epsp"))
+      .withColumn("stress_vm", graft.functions.Physics.vonMises(
+        col("sx"), col("sy"), col("sz"), col("txy"), col("tyz"), col("tzx")))
+      .collect()
+    assert(vm.length == 2)
+    vm.foreach { r =>
+      assert(math.abs(r.getAs[Double]("stress_vm") - 3 * math.sqrt(3)) < 1e-9)
+      assert(math.abs(r.getAs[Double]("epsp") - 0.02) < 1e-9)
+    }
+
+    // per-state node vectors round-trip (current coords at t1)
+    val d = states.filter(col("t") === 1 && col("point_id") === 2)
+      .select("dx", "dy", "dz").collect()(0)
+    assert((d.getDouble(0), d.getDouble(1), d.getDouble(2)) == (1.5, 1.0, -0.25))
+  }
+}

@@ -90,7 +90,89 @@ object SparkEntry {
     "q_merge_points" -> (qMergePoints _),
     "q_vtu_roundtrip" -> (qVtuRoundtrip _),
     "q_tet_quality" -> (qTetQuality _),
+    "q_field_info" -> (qFieldInfo _),
+    "q_atomic_info" -> (qAtomicInfo _),
+    "q_quality_gate" -> (qQualityGate _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_random_mesh" -> (qRandomMesh _),
   )
+
+  /** MeshInfoFilter inventory (`mesh_info.py:94`): per-group field records
+    * through the operator's JSON-lines contract and back out (from_json +
+    * explode), proving the round trip.
+    */
+  private def qFieldInfo(s: SparkSession, dir: String): DataFrame = {
+    val info = graft.operators.FieldOps.fieldInfo(
+      Tables.customer(s, dir), "c_mktsegment", Seq("c_acctbal", "c_name"))
+    val schema = "array<struct<field:string,dtype:string,n_non_null:bigint,est_bytes:bigint>>"
+    info.select(col("c_mktsegment"), col("n_rows"),
+      explode(from_json(col("fields_json"), schema, Map.empty[String, String])).as("f"))
+      .select(col("c_mktsegment"), col("n_rows"), col("f.field").as("field"),
+        col("f.dtype").as("dtype"), col("f.n_non_null").as("n_non_null"),
+        col("f.est_bytes").as("est_bytes"))
+      .orderBy("c_mktsegment", "field")
+  }
+
+  /** AtomicInfoFilter (`atomic_info.py:44-76`): structural metadata over
+    * synthesized systems (embeddings as atom arrays). `species` (an
+    * array_distinct) is excluded: its ORDER is engine-specific; the
+    * order-free `n_species` is checked instead.
+    */
+  private def qAtomicInfo(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val systems = emb.select(col("vec_id").as("sys_id"),
+      transform(col("embedding"),
+        x => (floor(x.cast("double") * 4) + 5).cast("int")).as("atomic_numbers"),
+      slice(col("embedding"), 1, 8).as("edge_index_src"),
+      lit(true).as("pbc"),
+      col("embedding")(0).cast("double").as("energy"))
+    graft.graph.GraphOps.atomicInfo(systems)
+      .select(col("sys_id"), col("n_atoms").cast("long").as("n_atoms"),
+        col("n_edges").cast("long").as("n_edges"),
+        col("n_species").cast("long").as("n_species"),
+        col("pbc"), rnd("energy", 4).as("energy"))
+      .orderBy("sys_id")
+  }
+
+  /** Quality gate over `qualityFeatures`: thresholds compare exact rationals
+    * (int/int divisions), so the kept set is engine-stable without rounding.
+    */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CurationOps.qualityGate(
+      TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text"),
+      minTokens = 20, minStopRatio = 0.02, maxDigitRatio = 0.1)
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        rnd("stop_ratio", 4).as("stop_ratio"),
+        rnd("digit_ratio", 4).as("digit_ratio"),
+        rnd("quality_score", 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Content-hash stratified sample: partitioning-independent training-mix
+    * split (the scale-correct replacement for rand-based sampleBy).
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CurationOps.stratifiedSampleByHash(
+      Tables.documents(s, dir), "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 0.25))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** RandomMeshSource (custom DSv2, one partition per mesh index): the
+    * structural contract — exactly `points_per_mesh` rows per mesh with
+    * dense point ids — checked against a pure generator oracle; the
+    * splitmix64 value stream itself is pinned in RandomMeshSourceSpec.
+    */
+  private def qRandomMesh(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RandomMeshSource")
+      .option("n_meshes", 6).option("points_per_mesh", 500).option("seed", 7)
+      .load()
+      .groupBy(col("mesh_id"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("point_id")).as("min_pid"),
+        max(col("point_id")).as("max_pid"),
+        sum(col("point_id")).as("sum_pid"))
+      .orderBy("mesh_id")
 
   /** Tetrahedral MeshQualityFilter report (`quality.py:180-262,648`): tets
     * assembled from embeddings (4 consecutive vectors = 1 tet, 3 meshes),
@@ -1072,6 +1154,63 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN jac < 0 THEN 1 ELSE 0 END) AS BIGINT) AS jac_n_inverted,
         |  CAST(sum(CASE WHEN abs(jac) < 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS jac_n_poor
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_field_info" ->
+      """WITH g AS (SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(count(c_acctbal) AS BIGINT) AS n_a, CAST(count(c_name) AS BIGINT) AS n_c
+        |  FROM customer GROUP BY 1)
+        |SELECT c_mktsegment, n_rows, 'c_acctbal' AS field, 'double' AS dtype,
+        |  n_a AS n_non_null, n_a * 8 AS est_bytes FROM g
+        |UNION ALL
+        |SELECT c_mktsegment, n_rows, 'c_name', 'string', n_c, n_c * 8 FROM g
+        |ORDER BY c_mktsegment, field""".stripMargin,
+
+    "q_atomic_info" ->
+      """SELECT vec_id AS sys_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_atoms,
+        |  CAST(8 AS BIGINT) AS n_edges,
+        |  CAST(len(list_distinct(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 4) + 5 AS INT)))) AS BIGINT) AS n_species,
+        |  true AS pbc,
+        |  round(CAST(embedding[1] AS DOUBLE) + 1e-9, 4) AS energy
+        |FROM embeddings ORDER BY sys_id""".stripMargin,
+
+    // Same feature pipeline as q_text_quality, gated: thresholds compare
+    // exact int/int rationals, so the kept set is engine-stable unrounded.
+    "q_quality_gate" ->
+      s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,
+         |    len(string_split($NormSql, ' ')) AS n_tokens,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("en")}')) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_chars, n_tokens, n_stop,
+         |    CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS atl,
+         |    CAST(n_stop AS DOUBLE) / n_tokens AS sr,
+         |    CAST(n_digit AS DOUBLE) / n_chars AS dr
+         |  FROM f)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(sr + 1e-9, 4) AS stop_ratio, round(dr + 1e-9, 4) AS digit_ratio,
+         |  round(least(1.0, greatest(0.0, 0.2 + sr * 2.0 + atl * 0.05 - dr * 3.0)) + 1e-9, 4)
+         |    AS quality_score
+         |FROM g WHERE n_tokens >= 20 AND sr >= 0.02 AND dr <= 0.1
+         |ORDER BY doc_id""".stripMargin,
+
+    // 60-bit md5 bucket mirror (see q_doc_fingerprints): ASCII digits ⇒
+    // VARCHAR md5 == binary md5.
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 <
+        |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+        |            WHEN 'fr' THEN 1000 WHEN 'es' THEN 2500 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Pure generator oracle: the DSv2 source's structural contract
+    // (dense per-mesh point ids); the value stream is spec-pinned.
+    "q_random_mesh" ->
+      """SELECT CAST(m.range AS BIGINT) AS mesh_id, CAST(500 AS BIGINT) AS n_points,
+        |  CAST(0 AS BIGINT) AS min_pid, CAST(499 AS BIGINT) AS max_pid,
+        |  CAST(124750 AS BIGINT) AS sum_pid
+        |FROM range(0, 6) m ORDER BY mesh_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, ts, event_id, value,

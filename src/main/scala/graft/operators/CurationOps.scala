@@ -42,6 +42,23 @@ object CurationOps {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Content-hash stratified sample: keep a row when its key's 60-bit md5
+    * bucket (of 10 000) falls under the stratum's fraction. Unlike
+    * `sampleBy` (rand per row ⇒ result depends on partitioning), this is a
+    * pure row function — identical output on any cluster layout, any rerun,
+    * any engine — which is what a 100 TB training-mix split actually needs.
+    * Strata absent from `fractions` are dropped (sampleBy's contract).
+    */
+  def stratifiedSampleByHash(df: DataFrame, stratumCol: String, keyCol: String,
+                             fractions: Map[String, Double]): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % 10000L
+    val fracCol = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket < fracCol * 10000.0)
+  }
+
   /** Token-budget selection: per group, keep documents in priority order
     * until the cumulative token count exceeds the budget (greedy prefix).
     * One partition-bounded window — the "fill the training mix" operator.

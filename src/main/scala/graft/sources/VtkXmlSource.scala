@@ -335,19 +335,29 @@ object VtkXmlSource {
 
   /** Long-model tables from a glob of VTK XML files (`.vtu`/`.vtp`/`.vts`
     * by default): (points, cells, point_data), mesh keyed by file path.
+    *
+    * Array pruning happens DURING the per-file parse: either a single
+    * global `include`/`exclude` set, or per-path `keyFilterRules`
+    * (longest-glob-wins, `_key_filter.py:45-110`) resolved per file —
+    * rules take precedence over the global sets when both are given.
     */
   def read(spark: SparkSession, pathGlob: String,
            include: Set[String] = Set.empty,
            exclude: Set[String] = Set.empty,
-           globFilter: String = "*.vt[ups]"): (DataFrame, DataFrame, DataFrame) = {
+           globFilter: String = "*.vt[ups]",
+           keyFilterRules: Seq[KeyFilters.KeyFilterRule] = Nil): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
 
+    val rules = keyFilterRules // serialized into the task closure
     val pieces = raw.map { case (path, bytes) =>
-      val p = parseVtu(bytes, include, exclude)
+      val (inc, exc) =
+        if (rules.nonEmpty) KeyFilters.resolveArrays(path, rules)
+        else (include, exclude)
+      val p = parseVtu(bytes, inc, exc)
       (path, p.points.map(a => (a(0), a(1), a(2))), p.cells,
         p.pointData.toSeq.map { case (k, v) => (k, v) })
     }.persist()

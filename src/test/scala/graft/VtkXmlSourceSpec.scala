@@ -273,6 +273,45 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(points.count() == 4 && cells.count() == 2)
   }
 
+  test("KeyFilters: longest-glob-wins resolution and fnmatch semantics") {
+    import graft.sources.KeyFilters
+    import graft.sources.KeyFilters.KeyFilterRule
+    assert(KeyFilters.globMatches("/data/run1/volume_01.vtu", "*/volume_*.vtu"))
+    assert(!KeyFilters.globMatches("/data/run1/surface.vtp", "*.vtu"))
+    assert(KeyFilters.globMatches("a/b.vts", "a/b.vt[us]"))
+    assert(!KeyFilters.globMatches("a/b.vtp", "a/b.vt[!p]"))
+
+    val rules = Seq(
+      KeyFilterRule("*.vtu", "exclude", Set("p")),
+      KeyFilterRule("*/volume_*.vtu", "include", Set("u")))
+    // both match → longer (more specific) include rule wins
+    assert(KeyFilters.resolveArrays("/d/volume_1.vtu", rules) == (Set("u"), Set.empty))
+    // only the generic rule matches
+    assert(KeyFilters.resolveArrays("/d/surface_1.vtu", rules) == (Set.empty, Set("p")))
+    // no rule matches → no pruning
+    assert(KeyFilters.resolveArrays("/d/m.vtp", rules) == (Set.empty, Set.empty))
+
+    // per-path value resolution: longest pattern wins, default otherwise
+    val spec = Seq("*" -> 2, "*/tri_*.vtp" -> 1)
+    assert(KeyFilters.resolvePathValue(spec, "/d/tri_0.vtp", 3) == 1)
+    assert(KeyFilters.resolvePathValue(spec, "/d/other.vtu", 3) == 2)
+    assert(KeyFilters.resolvePathValue(Seq("x_*" -> 9), "/d/y", 3) == 3)
+  }
+
+  test("read with per-path rules prunes arrays per file") {
+    val dir = Files.createTempDirectory("vtu-rules").toString
+    Files.writeString(Paths.get(dir, "volume_a.vtu"), vtu)
+    Files.writeString(Paths.get(dir, "surface_b.vtu"), vtu)
+    import graft.sources.KeyFilters.KeyFilterRule
+    val (_, _, pointData) = VtkXmlSource.read(spark, dir, keyFilterRules = Seq(
+      KeyFilterRule("*.vtu", "exclude", Set("p", "u")),
+      KeyFilterRule("*/volume_*.vtu", "include", Set("u"))))
+    val byFile = pointData.groupBy("mesh_id", "field").count().collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1)))
+    // volume file keeps only u; surface file keeps nothing
+    assert(byFile.toSet == Set(("volume_a.vtu", "u")))
+  }
+
   test("read glob → long tables → mesh quality + point-to-cell compose") {
     val dir = Files.createTempDirectory("vtu").toString
     Files.writeString(Paths.get(dir, "a.vtu"), vtu)

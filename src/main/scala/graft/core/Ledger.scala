@@ -57,6 +57,31 @@ final class Ledger(dir: String) {
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Per-scheduler-stage wall-time rows for a run — the reference's
+    * `stage_metrics` table (`pipeline_store.py:565-572`, stage_order ↔
+    * stageId order, stage_name ↔ Spark's stage callsite name).
+    */
+  def recordStageMetrics(spark: SparkSession, runId: String,
+                         stages: Seq[StageListener#StageRec]): Unit = {
+    if (stages.isEmpty) return
+    import spark.implicits._
+    stages.sortBy(_.stageId).zipWithIndex
+      .map { case (s, ord) =>
+        (runId, ord, s.stageId, s.name, s.wallNs, s.executorRunNs, s.nTasks)
+      }
+      .toDF("run_id", "stage_order", "stage_id", "stage_name",
+        "wall_ns", "executor_run_ns", "n_tasks")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stage_metrics")
+  }
+
+  /** Stage rows for a run — empty frame when none were recorded. */
+  def stageMetrics(spark: SparkSession, runId: String): DataFrame = {
+    val p = s"$dir/stage_metrics"
+    if (!pathExists(spark, p))
+      spark.emptyDataFrame
+    else spark.read.parquet(p).filter(col("run_id") === runId)
+  }
+
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String): Unit = {
     import spark.implicits._
     Seq((idx, runId, "error", 0L, 0L, System.currentTimeMillis(), error))

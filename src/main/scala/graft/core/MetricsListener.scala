@@ -42,3 +42,55 @@ object MetricsListener {
     l
   }
 }
+
+/** Scheduler-stage timing collector — the per-stage analogue of the
+  * reference's `stage_metrics` table (`pipeline_store.py:565-572`). Where
+  * the reference times each generator stage, Spark's unit of attributable
+  * wall time is the scheduler stage; each completed stage records wall
+  * time, summed executor task time, and task count.
+  */
+final class StageListener extends org.apache.spark.scheduler.SparkListener {
+  final case class StageRec(stageId: Int, name: String, wallNs: Long,
+                            executorRunNs: Long, nTasks: Int)
+
+  private val buf = mutable.ArrayBuffer.empty[StageRec]
+
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val si = sc.stageInfo
+    val wallNs = (for { s <- si.submissionTime; c <- si.completionTime }
+      yield (c - s) * 1000000L).getOrElse(0L)
+    buf.synchronized {
+      buf += StageRec(si.stageId, si.name, wallNs,
+        si.taskMetrics.executorRunTime * 1000000L, si.numTasks)
+    }
+  }
+
+  def records: Seq[StageRec] = buf.synchronized(buf.toVector)
+
+  /** Listener events are delivered asynchronously; wait until the record
+    * count is stable (or the timeout passes) before reading.
+    */
+  def awaitQuiesce(timeoutMs: Long = 2000L, stableMs: Long = 100L): Seq[StageRec] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var last = -1
+    while (System.currentTimeMillis() < deadline) {
+      val n = buf.synchronized(buf.length)
+      if (n == last && n > 0) return records
+      last = n
+      Thread.sleep(stableMs)
+    }
+    records
+  }
+}
+
+object StageListener {
+  /** Attach to the SparkContext; detach with `detach` when done. */
+  def attach(spark: SparkSession): StageListener = {
+    val l = new StageListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+  def detach(spark: SparkSession, l: StageListener): Unit =
+    spark.sparkContext.removeSparkListener(l)
+}

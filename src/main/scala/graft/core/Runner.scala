@@ -50,11 +50,19 @@ object Runner {
     // the source is scanned exactly ONCE at full width.
     val obs = org.apache.spark.sql.Observation(s"graft_$runId")
     val observed = work.observe(obs, count(lit(1)).as("n_rows"))
-    val paths = pipeline.sink match {
-      case Some(s) => s.write(observed)
-      case None => observed.count(); Nil // metrics-only run
-    }
+    // per-scheduler-stage wall time for the ledger's stage_metrics table
+    val stages = StageListener.attach(spark)
+    val paths =
+      try {
+        val p = pipeline.sink match {
+          case Some(s) => s.write(observed)
+          case None => observed.count(); Nil // metrics-only run
+        }
+        stages.awaitQuiesce() // async bus: drain before detaching
+        p
+      } finally StageListener.detach(spark, stages)
     val nRows = obs.get("n_rows").asInstanceOf[Long]
+    ledger.recordStageMetrics(spark, runId, stages.records)
 
     // Accounting AFTER the action succeeded, fully distributed: the executed
     // index set (= full minus previously-completed) is written straight to

@@ -94,6 +94,23 @@ class CoreSpec extends SparkSpec {
     assert(new Ledger(dir).completedIndices(spark, r.runId).count() == 6)
   }
 
+  test("run records per-stage wall-time rows (stage_metrics parity)") {
+    val dir = Files.createTempDirectory("graft-ledger3").toString
+    val p = Pipeline(mkSource(8))
+      .filter(doubleFilter)
+      .filter(PFilter("agg", Map.empty,
+        df => df.groupBy(col("idx") % 2).agg(sum(col("value")).as("value"))
+          .withColumnRenamed("(idx % 2)", "idx")))
+    val r = Runner.runPipeline(spark, p, "idx", dir, resume = false)
+    val stages = new Ledger(dir).stageMetrics(spark, r.runId)
+    // the groupBy forces ≥2 scheduler stages; rows carry ordered names+times
+    assert(stages.count() >= 2)
+    val rows = stages.orderBy("stage_order").collect()
+    assert(rows.map(_.getAs[Int]("stage_order")).toSeq == rows.indices.toSeq)
+    assert(rows.forall(_.getAs[Long]("wall_ns") >= 0L))
+    assert(rows.forall(_.getAs[String]("stage_name").nonEmpty))
+  }
+
   test("CacheStore: compute once, read through thereafter, invalidate works") {
     val s = spark
     import s.implicits._

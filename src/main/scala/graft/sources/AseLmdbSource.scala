@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ASE LMDB (`.aselmdb`) reader (reference `domains/atm/sources/aselmdb.py`
+  * + Rust `lmdb/reader.rs:110-189` — which delegate to an LMDB library;
+  * this is an independent read-only walker of the PUBLIC LMDB on-disk
+  * format), Spark-first: file distribution via `binaryFile`, per-file
+  * B-tree walk + zlib/JSON decode inside `flatMap`.
+  *
+  * LMDB layout walked (little-endian, NO_SUB_DIR single-file env):
+  *  - pages 0/1 are meta pages; the one with the larger txnid wins. Page
+  *    size from meta.dbs[FREE].md_pad; main-DB root from
+  *    meta.dbs[MAIN].md_root (P_INVALID = empty).
+  *  - page header (16 B): pgno u64, pad u16, flags u16, lower u16,
+  *    upper u16; node-offset array of u16 from byte 16, node count
+  *    = (lower − 16) / 2.
+  *  - branch node (flags bit 0x01 on page): child pgno in (lo, hi,
+  *    flags) 48-bit split; leaf node (0x02): data size = lo | hi<<16,
+  *    key bytes at +8, data after key — unless node flag F_BIGDATA
+  *    (0x01), where the data is a u64 overflow pgno and the value bytes
+  *    sit after that page's 16-byte header (overflow pages contiguous).
+  *
+  * ASE specifics on top: keys are row-id strings with reserved keys
+  * `nextid`/`deleted_ids`/`metadata` skipped; values are
+  * zlib-compressed JSON rows whose numpy arrays appear as
+  * `{"__ndarray__": [shape, dtype, flatdata]}` objects.
+  */
+object AseLmdbSource {
+
+  private val MetaMagic = 0xBEEFC0DE
+  private val PInvalid = -1L // 0xFFFF.. as signed
+  private val PBranch = 0x01
+  private val PLeaf = 0x02
+  private val FBigData = 0x01
+  val ReservedKeys: Set[String] = Set("nextid", "deleted_ids", "metadata")
+
+  /** Walk every (key, value) pair in an LMDB file image. */
+  def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def u16(off: Int): Int = buf.getShort(off) & 0xffff
+    def u32(off: Int): Long = buf.getInt(off).toLong & 0xffffffffL
+    def u64(off: Int): Long = buf.getLong(off)
+
+    // meta pages at file offsets 0 and psize; meta struct starts after the
+    // 16-byte page header: magic@0, version@4, dbs[0].md_pad(=psize)@24,
+    // dbs[1].md_root@112, txnid@128
+    require(bytes.length >= 16 + 132, "file too short for an LMDB meta page")
+    require(u32(16) == (MetaMagic.toLong & 0xffffffffL),
+      f"bad LMDB magic 0x${u32(16)}%x (not an LMDB file)")
+    val psize = u32(16 + 24).toInt
+    require(psize >= 512 && psize <= (1 << 16), s"implausible LMDB page size $psize")
+    val meta0 = 16
+    val meta1 = psize + 16
+    val chosen =
+      if (bytes.length > meta1 + 132 && u64(meta1 + 128) > u64(meta0 + 128)) meta1
+      else meta0
+    val root = u64(chosen + 112)
+    if (root == PInvalid) return Nil
+
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    def walk(pgno: Long): Unit = {
+      val base = (pgno * psize).toInt
+      require(base >= 0 && base + 16 <= bytes.length, s"page $pgno out of range")
+      val flags = u16(base + 10)
+      val nKeys = (u16(base + 12) - 16) / 2
+      var i = 0
+      while (i < nKeys) {
+        val nodeOff = base + u16(base + 16 + 2 * i)
+        val lo = u16(nodeOff); val hi = u16(nodeOff + 2)
+        val nflags = u16(nodeOff + 4); val ksize = u16(nodeOff + 6)
+        if ((flags & PBranch) != 0) {
+          walk(lo.toLong | (hi.toLong << 16) | (nflags.toLong << 32))
+        } else if ((flags & PLeaf) != 0) {
+          val key = new String(bytes, nodeOff + 8, ksize, "US-ASCII")
+          val dataSize = (lo.toLong | (hi.toLong << 16)).toInt
+          val value =
+            if ((nflags & FBigData) != 0) {
+              val ovf = u64(nodeOff + 8 + ksize)
+              val doff = (ovf * psize).toInt + 16
+              java.util.Arrays.copyOfRange(bytes, doff, doff + dataSize)
+            } else
+              java.util.Arrays.copyOfRange(bytes, nodeOff + 8 + ksize,
+                nodeOff + 8 + ksize + dataSize)
+          out += key -> value
+        } else throw new IllegalArgumentException(
+          f"page $pgno has unsupported flags 0x$flags%x")
+        i += 1
+      }
+    }
+    walk(root)
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput())
+          throw new IllegalArgumentException("truncated zlib value in LMDB row")
+        out.write(chunk, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Data rows from a glob of `.aselmdb` files: (db_id, row_id, json) —
+    * reserved keys skipped, values zlib-inflated (plain-JSON values pass
+    * through), ordered ids. JSON stays a string: extract typed columns
+    * with `ndarray`/`systems` below, so unqueried fields are never parsed.
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           globFilter: String = "*.aselmdb"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        parse(bytes).iterator
+          .filter { case (k, _) => !ReservedKeys.contains(k) }
+          .flatMap { case (k, v) =>
+            k.toLongOption.map { id =>
+              val payload =
+                if (v.length >= 2 && (v(0) & 0xff) == 0x78) inflate(v) else v
+              (path, id, new String(payload, "UTF-8"))
+            }
+          }.toSeq
+      }.toDF("db_id", "row_id", "json")
+  }
+
+  /** Flat data of an ASE `__ndarray__` field (`[shape, dtype, flatdata]`),
+    * tolerating the plain-JSON-list form some writers emit. `ddl` is the
+    * element DDL type, e.g. "array<double>" / "array<bigint>".
+    */
+  def ndarray(json: Column, field: String, ddl: String): Column =
+    from_json(coalesce(
+      get_json_object(json, s"$$.$field.__ndarray__[2]"),
+      get_json_object(json, s"$$.$field")), ddl, Map.empty[String, String])
+
+  /** Typed atm-domain systems table from raw rows: atomic numbers,
+    * flattened (3N) positions, energy, periodic flags.
+    */
+  def systems(rows: DataFrame): DataFrame =
+    rows.select(col("db_id"), col("row_id").as("sys_id"),
+      ndarray(col("json"), "numbers", "array<int>").as("atomic_numbers"),
+      ndarray(col("json"), "positions", "array<double>").as("positions"),
+      get_json_object(col("json"), "$.energy").cast("double").as("energy"),
+      ndarray(col("json"), "pbc", "array<boolean>").as("pbc"))
+}

@@ -333,6 +333,160 @@ object VtkXmlSource {
     VtuPiece(pts, cells, pointData.toMap)
   }
 
+  // ------------------------------------------------------------- ImageData
+
+  final case class VtiGrid(
+      extent: Array[Int],                  // x0 x1 y0 y1 z0 z1 (point extent)
+      origin: Array[Double],
+      spacing: Array[Double],
+      pointData: Map[String, Array[Double]],
+      cellData: Map[String, Array[Double]])
+
+  /** Parse a `.vti` ImageData payload (reference `sources/vti.py:100-143`):
+    * WholeExtent/Origin/Spacing metadata, PointData arrays on the
+    * (nx, ny, nz) point lattice and CellData arrays on the
+    * (nx−1, ny−1, nz−1) cell lattice, x fastest-varying — every DataArray
+    * layout the .vtu path supports (ascii / inline base64 / appended,
+    * ± zlib) decodes here too.
+    */
+  def parseVti(bytes: Array[Byte], include: Set[String] = Set.empty,
+               exclude: Set[String] = Set.empty): VtiGrid = {
+    val (xmlBytes, appended) = splitAppended(bytes)
+    lazy val appendedB64: String =
+      new String(appended.get._2, "US-ASCII").replaceAll("\\s", "")
+
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xmlBytes))
+
+    var extent = Array(0, 0, 0, 0, 0, 0)
+    var origin = Array(0.0, 0.0, 0.0)
+    var spacing = Array(1.0, 1.0, 1.0)
+    var section = ""
+    var arrayName = ""
+    var arrayFormat = "ascii"
+    var arrayType = "Float64"
+    var arrayOffset = 0L
+    var headerType = "UInt32"
+    var compressed = false
+    var keepArray = false
+    val text = new StringBuilder
+    val pointData = mutable.LinkedHashMap.empty[String, Array[Double]]
+    val cellData = mutable.LinkedHashMap.empty[String, Array[Double]]
+
+    def wanted(name: String): Boolean =
+      (include.isEmpty || include.contains(name)) && !exclude.contains(name)
+
+    def decode(): Array[Double] = arrayFormat match {
+      case "ascii" =>
+        text.toString.trim.split("\\s+").filter(_.nonEmpty).map(_.toDouble)
+      case "binary" =>
+        typedDoubles(
+          decodeB64Payload(text.toString.replaceAll("\\s", ""), 0, headerType, compressed),
+          arrayType)
+      case "appended" =>
+        val (enc, data) = appended.getOrElse(throw new IllegalArgumentException(
+          s"DataArray '$arrayName' is format=appended but the file has no AppendedData"))
+        val payload =
+          if (enc == "raw") decodeRawPayload(data, arrayOffset.toInt, headerType, compressed)
+          else decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+        typedDoubles(payload, arrayType)
+      case other => throw new IllegalArgumentException(s"unsupported DataArray format $other")
+    }
+
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "VTKFile" =>
+                headerType = Option(r.getAttributeValue(null, "header_type"))
+                  .getOrElse("UInt32")
+                Option(r.getAttributeValue(null, "compressor")).foreach { c =>
+                  require(c == "vtkZLibDataCompressor", s"unsupported compressor $c")
+                  compressed = true
+                }
+              case "ImageData" =>
+                def nums(a: String): Option[Array[Double]] =
+                  Option(r.getAttributeValue(null, a))
+                    .map(_.trim.split("\\s+").map(_.toDouble))
+                nums("WholeExtent").foreach(e => extent = e.map(_.toInt))
+                nums("Origin").foreach(origin = _)
+                nums("Spacing").foreach(spacing = _)
+              case "PointData" | "CellData" => section = r.getLocalName
+              case "DataArray" =>
+                arrayName = Option(r.getAttributeValue(null, "Name")).getOrElse("")
+                arrayFormat = Option(r.getAttributeValue(null, "format")).getOrElse("ascii")
+                arrayType = Option(r.getAttributeValue(null, "type")).getOrElse("Float64")
+                arrayOffset = Option(r.getAttributeValue(null, "offset"))
+                  .map(_.trim.toLong).getOrElse(0L)
+                keepArray = (section == "PointData" || section == "CellData") &&
+                  wanted(arrayName)
+                text.clear()
+              case _ =>
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (keepArray) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "DataArray" if keepArray =>
+                if (section == "PointData") pointData(arrayName) = decode()
+                else cellData(arrayName) = decode()
+                keepArray = false
+              case "PointData" | "CellData" => section = ""
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+    } finally r.close()
+    VtiGrid(extent, origin, spacing, pointData.toMap, cellData.toMap)
+  }
+
+  /** Long structured-grid tables from a glob of `.vti` files:
+    * point_data (grid_id, field, i, j, k, x, y, z, value) on the point
+    * lattice and cell_data (same shape, cell-center coords) on the cell
+    * lattice — x fastest-varying, the VTK array order.
+    */
+  def readVti(spark: SparkSession, pathGlob: String,
+              include: Set[String] = Set.empty,
+              exclude: Set[String] = Set.empty): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.vti").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val grids = raw.map { case (path, bytes) =>
+      val g = parseVti(bytes, include, exclude)
+      (path, g.extent, g.origin, g.spacing,
+        g.pointData.toSeq.map { case (k, v) => (k, v) },
+        g.cellData.toSeq.map { case (k, v) => (k, v) })
+    }.persist()
+
+    def longRows(cell: Boolean) = grids.flatMap {
+      case (path, extent, origin, spacing, pd, cd) =>
+        val nx = extent(1) - extent(0) + 1
+        val ny = extent(3) - extent(2) + 1
+        val nz = extent(5) - extent(4) + 1
+        val (dx, dy, dz) = (math.max(nx - (if (cell) 1 else 0), 1),
+          math.max(ny - (if (cell) 1 else 0), 1),
+          math.max(nz - (if (cell) 1 else 0), 1))
+        val shift = if (cell) 0.5 else 0.0
+        (if (cell) cd else pd).iterator.flatMap { case (field, vals) =>
+          vals.iterator.zipWithIndex.map { case (v, idx) =>
+            val i = idx % dx; val j = (idx / dx) % dy; val k = idx / (dx * dy)
+            (path, field, extent(0) + i, extent(2) + j, extent(4) + k,
+              origin(0) + (extent(0) + i + shift) * spacing(0),
+              origin(1) + (extent(2) + j + shift) * spacing(1),
+              origin(2) + (extent(4) + k + shift) * spacing(2), v)
+          }
+        }.toSeq
+    }.toDF("grid_id", "field", "i", "j", "k", "x", "y", "z", "value")
+
+    (longRows(cell = false), longRows(cell = true))
+  }
+
   /** Long-model tables from a glob of VTK XML files (`.vtu`/`.vtp`/`.vts`
     * by default): (points, cells, point_data), mesh keyed by file path.
     *

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.AseLmdbSource
+
+/** LMDB walker + ASE row decode: a fixture built page-by-page per the
+  * public LMDB layout (dual meta pages, branch → leaf descent, inline and
+  * overflow values) must decode into the long row model and the typed
+  * systems table.
+  */
+class AseLmdbSpec extends SparkSpec {
+
+  private val psize = 4096
+
+  private def zlib(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes("UTF-8")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private val row1 =
+    """{"numbers":{"__ndarray__":[[2],"int64",[1,8]]},
+      |"positions":{"__ndarray__":[[2,3],"float64",[0.0,0.0,0.0,1.5,0.0,0.0]]},
+      |"energy":-3.25,"pbc":[true,true,false]}""".stripMargin.replaceAll("\n", "")
+  private val row2 =
+    """{"numbers":[6,6,8],"positions":{"__ndarray__":[[3,3],"float64",
+      |[0,0,0,1,1,1,2,2,2]]},"energy":7.5,"pbc":{"__ndarray__":[[3],"bool",
+      |[true,true,true]]}}""".stripMargin.replaceAll("\n", "")
+
+  /** Build a single-file LMDB image: meta 0/1, leaf pages 2 (keys "1",
+    * "nextid") and 3 (key "2" as BIGDATA → overflow 5), branch root 4.
+    */
+  private def lmdbBytes(): Array[Byte] = {
+    val img = ByteBuffer.allocate(psize * 6).order(ByteOrder.LITTLE_ENDIAN)
+
+    def pageHeader(pgno: Int, flags: Int, nKeys: Int): Unit = {
+      img.position(pgno * psize)
+      img.putLong(pgno.toLong).putShort(0.toShort).putShort(flags.toShort)
+      img.putShort((16 + 2 * nKeys).toShort).putShort(psize.toShort)
+    }
+    def putLeafNode(pgno: Int, slot: Int, off: Int, key: String,
+                    data: Array[Byte], bigOvfPgno: Int = -1): Unit = {
+      img.putShort(pgno * psize + 16 + 2 * slot, off.toShort)
+      val base = pgno * psize + off
+      img.position(base)
+      val size = data.length
+      img.putShort((size & 0xffff).toShort).putShort((size >> 16).toShort)
+      img.putShort((if (bigOvfPgno >= 0) 1 else 0).toShort) // F_BIGDATA
+      img.putShort(key.length.toShort)
+      img.put(key.getBytes("US-ASCII"))
+      if (bigOvfPgno >= 0) img.putLong(bigOvfPgno.toLong) else img.put(data)
+    }
+    def putBranchNode(pgno: Int, slot: Int, off: Int, key: String, child: Int): Unit = {
+      img.putShort(pgno * psize + 16 + 2 * slot, off.toShort)
+      img.position(pgno * psize + off)
+      img.putShort((child & 0xffff).toShort).putShort(((child >> 16) & 0xffff).toShort)
+      img.putShort(0.toShort).putShort(key.length.toShort)
+      img.put(key.getBytes("US-ASCII"))
+    }
+    def meta(pgno: Int, txnid: Long, root: Long): Unit = {
+      pageHeader(pgno, 0x08, 0) // P_META
+      val m = pgno * psize + 16
+      img.position(m)
+      img.putInt(0xBEEFC0DE).putInt(1)   // magic, version
+      img.putLong(0L).putLong(psize * 6L) // address, mapsize
+      img.putInt(psize).putShort(0.toShort).putShort(0.toShort) // dbs[0] pad=psize
+      img.putLong(0L).putLong(0L).putLong(0L).putLong(0L).putLong(-1L) // free db
+      img.putInt(0).putShort(0.toShort).putShort(2.toShort)     // dbs[1], depth 2
+      img.putLong(1L).putLong(2L).putLong(1L).putLong(3L)
+      img.putLong(root)                   // md_root @ meta+112
+      img.putLong(5L).putLong(txnid)      // last_pg, txnid @ meta+128
+    }
+
+    val z1 = zlib(row1); val z2 = zlib(row2)
+    meta(0, 0L, root = 2L) // stale meta points at a leaf; ignored (lower txnid)
+    meta(1, 1L, root = 4L)
+    pageHeader(2, 0x02, 2) // leaf: "1" inline, "nextid" inline (reserved)
+    putLeafNode(2, 0, 100, "1", z1)
+    putLeafNode(2, 1, 100 + 8 + 1 + z1.length + 6, "nextid", "3".getBytes)
+    pageHeader(3, 0x02, 1) // leaf: "2" as BIGDATA → overflow page 5
+    putLeafNode(3, 0, 100, "2", z2, bigOvfPgno = 5)
+    pageHeader(4, 0x01, 2) // branch root → leaves 2 and 3
+    putBranchNode(4, 0, 100, "", 2)
+    putBranchNode(4, 1, 120, "2", 3)
+    img.position(5 * psize)
+    img.putLong(5L).putShort(0.toShort).putShort(0x04.toShort) // P_OVERFLOW
+    img.putInt(1)
+    img.position(5 * psize + 16)
+    img.put(z2)
+    img.array()
+  }
+
+  test("parse walks branch -> leaf -> overflow and meta txnid selection") {
+    val kv = AseLmdbSource.parse(lmdbBytes()).toMap
+    assert(kv.keySet == Set("1", "2", "nextid"))
+    assert(new String(kv("nextid"), "US-ASCII") == "3")
+    // values round-trip through zlib
+    def inflate(b: Array[Byte]) = {
+      val i = new java.util.zip.Inflater(); i.setInput(b)
+      val out = new Array[Byte](65536); val n = i.inflate(out); i.end()
+      new String(out, 0, n, "UTF-8")
+    }
+    assert(inflate(kv("1")) == row1)
+    assert(inflate(kv("2")) == row2)
+    // non-LMDB bytes fail loudly
+    intercept[IllegalArgumentException] {
+      AseLmdbSource.parse(Array.fill[Byte](8192)(7))
+    }
+  }
+
+  test("read + systems: reserved keys skipped, ndarray/plain forms decode") {
+    val dir = Files.createTempDirectory("ase").toString
+    Files.write(Paths.get(dir, "db0.aselmdb"), lmdbBytes())
+    val rows = AseLmdbSource.read(spark, dir)
+    assert(rows.count() == 2) // nextid skipped
+    val sys = AseLmdbSource.systems(rows).orderBy("sys_id").collect()
+    assert(sys(0).getAs[scala.collection.Seq[Int]]("atomic_numbers") == Seq(1, 8))
+    assert(sys(0).getAs[scala.collection.Seq[Double]]("positions") == Seq(0.0, 0.0, 0.0, 1.5, 0.0, 0.0))
+    assert(sys(0).getAs[Double]("energy") == -3.25)
+    assert(sys(0).getAs[scala.collection.Seq[Boolean]]("pbc") == Seq(true, true, false))
+    // plain-list numbers + ndarray pbc on row 2
+    assert(sys(1).getAs[scala.collection.Seq[Int]]("atomic_numbers") == Seq(6, 6, 8))
+    assert(sys(1).getAs[Double]("energy") == 7.5)
+    assert(sys(1).getAs[scala.collection.Seq[Boolean]]("pbc") == Seq(true, true, true))
+    // composes with the atm operators
+    val info = graft.graph.GraphOps.atomicInfo(
+      AseLmdbSource.systems(rows)
+        .withColumn("edge_index_src", col("atomic_numbers"))
+        .withColumnRenamed("db_id", "ignore"))
+    assert(info.count() == 2)
+  }
+}

@@ -89,6 +89,28 @@ final class Ledger(dir: String) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/errors")
   }
 
+  /** Structured run logs — the reference's `logs` table
+    * (`pipeline_store.py:592-604`): (run_id, ts, level, logger, message,
+    * idx). Batched appends: collect log rows, write once per flush, so
+    * logging never becomes one-file-per-message at scale.
+    */
+  def recordLogs(spark: SparkSession, runId: String,
+                 entries: Seq[(String, String, String, Long)]): Unit = {
+    if (entries.isEmpty) return
+    import spark.implicits._
+    entries.toDF("level", "logger_name", "message", "idx")
+      .withColumn("run_id", lit(runId))
+      .withColumn("ts", lit(System.currentTimeMillis()))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/logs")
+  }
+
+  /** Log rows for a run, empty when none were written. */
+  def logs(spark: SparkSession, runId: String): DataFrame = {
+    val p = s"$dir/logs"
+    if (!pathExists(spark, p)) spark.emptyDataFrame
+    else spark.read.parquet(p).filter(col("run_id") === runId)
+  }
+
   private def pathExists(spark: SparkSession, p: String): Boolean = {
     // Hadoop FS API, not java.io.File — the ledger dir may be HDFS/S3/GCS
     val hp = new org.apache.hadoop.fs.Path(p)

@@ -333,6 +333,65 @@ object VtkXmlSource {
     VtuPiece(pts, cells, pointData.toMap)
   }
 
+  // ------------------------------------------------------------ MultiBlock
+
+  /** Referenced datasets of a `.vtm` vtkMultiBlockDataSet file: (block
+    * index, name, file) in document order. The .vtm itself is a small XML
+    * manifest; its children are ordinary .vtu/.vtp/.vti files.
+    */
+  def parseVtm(bytes: Array[Byte]): Seq[(Int, String, String)] = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(Int, String, String)]
+    var i = 0
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "DataSet") {
+          Option(r.getAttributeValue(null, "file")).foreach { file =>
+            val idx = Option(r.getAttributeValue(null, "index"))
+              .flatMap(_.toIntOption).getOrElse(i)
+            val name = Option(r.getAttributeValue(null, "name")).getOrElse("")
+            out += ((idx, name, file))
+            i += 1
+          }
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** Long-model tables for every dataset referenced by `.vtm` manifests
+    * under a glob: manifests are tiny (read + resolved driver-side, like
+    * the reference's multiblock listing); the referenced mesh files
+    * themselves are read distributed through `read`. Adds a `block` column
+    * joining each mesh back to (manifest, block index, name).
+    */
+  def readVtm(spark: SparkSession, pathGlob: String,
+              include: Set[String] = Set.empty,
+              exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val manifests = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.vtm").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])].collect()
+    val blocks = manifests.flatMap { case (vtmPath, bytes) =>
+      val base = vtmPath.replaceAll("/[^/]+$", "")
+      parseVtm(bytes).map { case (idx, name, file) =>
+        val resolved = if (file.startsWith("/") || file.contains("://")) file
+                       else s"$base/$file"
+        (vtmPath, idx, name, resolved)
+      }
+    }.toSeq
+    val blockDf = blocks.toDF("vtm_path", "block", "block_name", "mesh_id")
+    val paths = blocks.map(_._4).distinct
+    require(paths.nonEmpty, s"no DataSet references under $pathGlob")
+    val (points, cells, pointData) =
+      read(spark, paths.mkString(","), include, exclude, globFilter = "*")
+    (points, cells, pointData, blockDf)
+  }
+
   // ------------------------------------------------------------- ImageData
 
   final case class VtiGrid(
@@ -501,8 +560,10 @@ object VtkXmlSource {
            globFilter: String = "*.vt[ups]",
            keyFilterRules: Seq[KeyFilters.KeyFilterRule] = Nil): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
+    // comma-separated multi-path form (used by readVtm's resolved refs)
     val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .option("pathGlobFilter", globFilter)
+      .load(pathGlob.split(",").map(_.trim).filter(_.nonEmpty): _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
 

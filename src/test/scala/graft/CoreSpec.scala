@@ -111,6 +111,19 @@ class CoreSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("stage_name").nonEmpty))
   }
 
+  test("ledger logs table: batched append + per-run read-back") {
+    val dir = Files.createTempDirectory("graft-logs").toString
+    val led = new Ledger(dir)
+    led.recordLogs(spark, "run_a", Seq(
+      ("INFO", "graft.runner", "started", -1L),
+      ("ERROR", "graft.sink", "index 4 failed", 4L)))
+    led.recordLogs(spark, "run_b", Seq(("INFO", "graft.runner", "other run", -1L)))
+    val a = led.logs(spark, "run_a")
+    assert(a.count() == 2)
+    assert(a.filter(col("level") === "ERROR").select("idx").collect()(0).getLong(0) == 4L)
+    assert(led.logs(spark, "run_b").count() == 1)
+  }
+
   test("CacheStore: compute once, read through thereafter, invalidate works") {
     val s = spark
     import s.implicits._

@@ -312,6 +312,33 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(byFile.toSet == Set(("volume_a.vtu", "u")))
   }
 
+  test(".vtm multiblock: manifest parse + distributed read of referenced files") {
+    val dir = Files.createTempDirectory("vtm").toString
+    Files.writeString(Paths.get(dir, "blk0.vtu"), vtu)
+    Files.writeString(Paths.get(dir, "blk1.vtu"), vtu)
+    val vtm =
+      s"""<?xml version="1.0"?>
+         |<VTKFile type="vtkMultiBlockDataSet" version="1.0">
+         | <vtkMultiBlockDataSet>
+         |  <DataSet index="0" name="inlet" file="blk0.vtu"/>
+         |  <DataSet index="1" name="outlet" file="blk1.vtu"/>
+         | </vtkMultiBlockDataSet>
+         |</VTKFile>""".stripMargin
+    Files.writeString(Paths.get(dir, "case.vtm"), vtm)
+
+    val refs = VtkXmlSource.parseVtm(vtm.getBytes("UTF-8"))
+    assert(refs == Seq((0, "inlet", "blk0.vtu"), (1, "outlet", "blk1.vtu")))
+
+    val (points, cells, _, blocks) = VtkXmlSource.readVtm(spark, dir)
+    assert(points.count() == 8 && cells.count() == 4)
+    val b = blocks.orderBy("block").collect()
+    assert(b.map(_.getAs[String]("block_name")).toSeq == Seq("inlet", "outlet"))
+    // block table joins meshes back to manifest entries
+    val joined = points.join(blocks, Seq("mesh_id")).groupBy("block_name").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(joined == Map("inlet" -> 4L, "outlet" -> 4L))
+  }
+
   test("read glob → long tables → mesh quality + point-to-cell compose") {
     val dir = Files.createTempDirectory("vtu").toString
     Files.writeString(Paths.get(dir, "a.vtu"), vtu)

@@ -170,6 +170,87 @@ object SimilarityOps {
       .select("ia", "ib", "cos_r")
   }
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse quantizer: k-means over the (normalized-dot) similarity,
+    * deterministic init (k rows with the smallest xxhash64 of the id) and a
+    * fixed number of Lloyd rounds. Centroids are COLLECTED — the coarse
+    * quantizer is tiny by design (k ≪ n; k·dim floats), exactly what IVF
+    * indexes broadcast to every searcher at scale. Assignment and the
+    * mean-recompute are distributed DataFrame ops (argmax over k codegen'd
+    * dots; posexplode + grouped avg), so the corpus is never collected.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 5, dimHint: Int = 0): Seq[Array[Float]] = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    var centroids: Seq[Array[Float]] = df
+      .orderBy(xxhash64(col(idCol)))
+      .limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray).toSeq
+    var it = 0
+    while (it < iters) {
+      val assigned = df.select(col(vecCol).as("v"),
+        assignColumn(col(vecCol), centroids).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect() // k·dim rows — the quantizer, not the corpus
+      val next = centroids.toArray.clone()
+      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val c = new Array[Float](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+        next(cid) = c
+      }
+      centroids = next.toSeq
+      it += 1
+    }
+    centroids
+  }
+
+  /** cid of the max-dot centroid (deterministic ties → lowest cid). */
+  private def assignColumn(v: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, typedLit(c)).as("s"), lit(-i).as("nid"))
+    }
+    (-array_max(array(scored: _*)).getField("nid")).cast("int")
+  }
+
+  /** The `nProbe` highest-dot centroid ids for a query vector. */
+  private def probeColumn(v: Column, centroids: Seq[Array[Float]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dot(v, typedLit(c)).as("s"), lit(-i).as("nid"))
+    }
+    transform(slice(array_sort(array(scored: _*),
+      (a, b) => when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .otherwise(signum(b.getField("nid") - a.getField("nid")).cast("int"))),
+      1, nProbe), s => (-s.getField("nid")).cast("int"))
+  }
+
+  /** IVF top-k: corpus partitioned into centroid lists once, each query
+    * scans only its `nProbe` nearest lists with the exact rounded cosine —
+    * searched fraction ≈ nProbe/k of the corpus instead of all of it, the
+    * classic IVF trade (recall vs fraction probed). Same output contract as
+    * `topKCosine`.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              maxQueryId: Long, centroids: Seq[Array[Float]],
+              nProbe: Int = 4): DataFrame = {
+    val lists = df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"), assignColumn(col(vecCol), centroids).as("cid"))
+    val queries = df.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("ia"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"),
+        explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
+    val scored = queries.join(lists, Seq("cid")).filter(col("ia") =!= col("ib"))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
+    val w = Window.partitionBy(col("ia")).orderBy(col("cos_r").desc, col("ib"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("cos_r"))
+  }
+
   /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
     * desc, id asc) so ties are deterministic across engines.
     */

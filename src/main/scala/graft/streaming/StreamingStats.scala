@@ -38,6 +38,20 @@ object StreamingStats {
         col("min") :+ col("max"): _*)
   }
 
+  /** Streaming exact dedup: keep the first arrival per content fingerprint,
+    * watermark-bounded state (fingerprints older than the delay are evicted,
+    * so state is O(rate × delay), not O(corpus)). Works identically on a
+    * batch frame (dropDuplicates without state) — the Dataset contract. This
+    * is the streaming face of `DedupOps.exactDupGroups` for continuous
+    * ingestion pipelines.
+    */
+  def dedupByFingerprint(df: DataFrame, tsCol: String, fpCol: String,
+                         watermarkDelay: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(fpCol)
+    else df.dropDuplicates(fpCol)
+
   /** Per-key running Welford state, updated incrementally each trigger —
     * exactly-once streaming accumulation with the Chan-mergeable state.
     */

@@ -71,4 +71,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 3L)))
   }
+
+  test("IVF: deterministic quantizer, probe-bounded search, recall@10 vs brute") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 4, dimHint = 64)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    // deterministic: same call → same centroids
+    val cents2 = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 4, dimHint = 64)
+    assert(cents.map(_.toSeq) == cents2.map(_.toSeq))
+
+    val brute = SimilarityOps.topKCosine(emb, "vec_id", "embedding", 10, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // random embeddings are IVF's WORST case (no cluster structure), so the
+    // pin is modest; clustered real corpora sit far above it
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", 10, 20L,
+      cents, nProbe = 8).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall@10 $recall < 0.7 (${(ivf & brute).size}/${brute.size})")
+    // probing all lists must reproduce brute force exactly
+    val full = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", 10, 20L,
+      cents, nProbe = 16).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == brute)
+  }
 }

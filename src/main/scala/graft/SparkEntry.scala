@@ -95,7 +95,102 @@ object SparkEntry {
     "q_quality_gate" -> (qQualityGate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_random_mesh" -> (qRandomMesh _),
+    "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
+    "q_stl_roundtrip" -> (qStlRoundtrip _),
   )
+
+  /** Full d3plot sink→source cycle: embeddings-derived shell meshes (quads
+    * of 4 consecutive points, 2 runs) with 2 states of node vectors and
+    * 2-layer shell stress/strain, written as real d3plot binaries and
+    * re-read by `D3PlotSource`. Float32 words round-trip exactly; stress/
+    * epsp are exact binary fractions of the cell id so their sums admit a
+    * closed-form oracle; dx mirrors the double→float32 cast per term.
+    */
+  private def qD3plotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pts = emb.select((col("vec_id") % 2).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    val w = Window.partitionBy("mesh_id").orderBy("point_id")
+    val quads = pts
+      .withColumn("g", ((row_number().over(w) - 1) / 4).cast("long"))
+      .groupBy(col("mesh_id"), col("g").as("cell_id"))
+      .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
+        count(lit(1)).as("nv"))
+      .filter(col("nv") === 4).drop("nv")
+      .withColumn("part_id", lit(1L))
+    val states = Seq(0, 1).map { t =>
+      emb.select((col("vec_id") % 2).cast("long").as("mesh_id"),
+        lit(t).as("t"), lit(t * 0.5).as("time"),
+        col("vec_id").cast("long").as("point_id"),
+        (col("embedding")(3).cast("double") +
+          lit(t) * col("embedding")(4).cast("double")).as("dx"),
+        lit(0.0).as("dy"), lit(0.0).as("dz"))
+    }.reduce(_ unionByName _)
+    val shellData = Seq(0, 1).flatMap { t =>
+      Seq(0, 1).map { l =>
+        quads.select(col("mesh_id"), lit(t).as("t"), col("cell_id"),
+          lit(l).as("layer"),
+          ((col("cell_id") + 1) * 0.25 * (l + 1)).as("sx"),
+          lit(0.0).as("sy"), lit(0.0).as("sz"), lit(0.0).as("txy"),
+          lit(0.0).as("tyz"), lit(0.0).as("tzx"),
+          ((col("cell_id") + lit(t)) * 0.125).as("epsp"))
+      }
+    }.reduce(_ unionByName _)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_d3p_rt_${math.abs(dir.hashCode)}"
+    graft.sinks.D3PlotSink.write(pts, quads, states, shellData, out)
+
+    val (rp, _, rs, rsh) = graft.sources.D3PlotSource.read(s, s"$out/*")
+    def meshOf(c: org.apache.spark.sql.Column) =
+      regexp_extract(c, "/(\\d+)/d3plot$", 1).cast("long")
+    val np = rp.groupBy(meshOf(col("mesh_id")).as("mesh_id"))
+      .agg(count(lit(1)).as("n_points"))
+    val st = rs.groupBy(meshOf(col("mesh_id")).as("mesh_id"))
+      .agg(countDistinct(col("t")).as("n_states"), sum(col("dx")).as("sdx"))
+    val sh = rsh.groupBy(meshOf(col("mesh_id")).as("mesh_id"))
+      .agg((count(lit(1)) / 4).cast("long").as("n_cells"),
+        sum(col("sx")).as("ssx"), sum(col("epsp")).as("sepsp"))
+    np.join(st, Seq("mesh_id")).join(sh, Seq("mesh_id"))
+      .select(col("mesh_id"), col("n_points"), col("n_cells"), col("n_states"),
+        rnd(col("sdx"), 2).as("sum_dx"), rnd(col("ssx"), 2).as("sum_sx"),
+        rnd(col("sepsp"), 2).as("sum_epsp"))
+      .orderBy("mesh_id")
+  }
+
+  /** Binary STL sink→source cycle: consecutive point triples per mesh as
+    * facets, written as binary STL (computed facet normals) and re-read;
+    * STL repeats vertices per facet, so each kept point appears exactly
+    * once and the coordinate sum mirrors a rank-filtered scan.
+    */
+  private def qStlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pts = emb.select((col("vec_id") % 3).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    val w = Window.partitionBy("mesh_id").orderBy("point_id")
+    val tris = pts
+      .withColumn("g", ((row_number().over(w) - 1) / 3).cast("long"))
+      .groupBy(col("mesh_id"), col("g").as("cell_id"))
+      .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
+        count(lit(1)).as("nv"))
+      .filter(col("nv") === 3).drop("nv")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stl_rt_${math.abs(dir.hashCode)}"
+    graft.sinks.StlSink.write(pts, tris, out)
+
+    val (rp, rc, _) = graft.sources.StlSource.read(s, s"$out")
+    def meshOf = regexp_extract(col("mesh_id"), "mesh_(\\d+)\\.stl", 1).cast("long")
+    rp.groupBy(meshOf.as("mesh_id"))
+      .agg(count(lit(1)).as("n_points"), sum(col("x")).as("sx"))
+      .join(rc.groupBy(meshOf.as("mesh_id")).agg(count(lit(1)).as("n_facets")),
+        Seq("mesh_id"))
+      .select(col("mesh_id"), col("n_points"), col("n_facets"),
+        rnd(col("sx"), 2).as("sum_x"))
+      .orderBy("mesh_id")
+  }
 
   /** MeshInfoFilter inventory (`mesh_info.py:94`): per-group field records
     * through the operator's JSON-lines contract and back out (from_json +
@@ -1203,6 +1298,35 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
         |            WHEN 'fr' THEN 1000 WHEN 'es' THEN 2500 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    // d3plot cycle mirror: float32 words round-trip exactly; sx/epsp are
+    // exact binary fractions (powers of two × small ints) so their sums
+    // collapse to closed forms; dx mirrors the per-term double→float cast.
+    "q_d3plot_roundtrip" ->
+      """WITH m AS (SELECT vec_id % 2 AS mesh_id,
+        |    CAST(embedding[4] AS DOUBLE) AS e4, CAST(embedding[5] AS DOUBLE) AS e5
+        |  FROM embeddings),
+        |a AS (SELECT mesh_id, count(*) AS n_points, count(*) // 4 AS n_cells,
+        |    sum(e4 + CAST(CAST(e4 + e5 AS FLOAT) AS DOUBLE)) AS sdx
+        |  FROM m GROUP BY 1)
+        |SELECT mesh_id, n_points, n_cells, CAST(2 AS BIGINT) AS n_states,
+        |  round(sdx + 1e-6, 2) AS sum_dx,
+        |  round(1.5 * n_cells * (n_cells + 1) / 2 + 1e-6, 2) AS sum_sx,
+        |  round(0.25 * n_cells * n_cells + 1e-6, 2) AS sum_epsp
+        |FROM a ORDER BY mesh_id""".stripMargin,
+
+    // STL cycle mirror: each kept point (first 3·⌊n/3⌋ per mesh in id
+    // order) appears exactly once among the re-read facet corners.
+    "q_stl_roundtrip" ->
+      """WITH p AS (SELECT vec_id % 3 AS mesh_id, vec_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY vec_id % 3 ORDER BY vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY vec_id % 3) AS n
+        |  FROM embeddings)
+        |SELECT mesh_id, CAST(3 * (n // 3) AS BIGINT) AS n_points,
+        |  CAST(n // 3 AS BIGINT) AS n_facets,
+        |  round(sum(CASE WHEN rn <= 3 * (n // 3) THEN x ELSE 0 END) + 1e-6, 2) AS sum_x
+        |FROM p GROUP BY mesh_id, n ORDER BY mesh_id""".stripMargin,
 
     // Pure generator oracle: the DSv2 source's structural contract
     // (dense per-mesh point ids); the value stream is spec-pinned.

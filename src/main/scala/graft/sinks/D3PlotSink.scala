@@ -1,0 +1,120 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** LS-DYNA d3plot writer — the byte-level inverse of
+  * `sources/D3PlotSource.parse` (same public database layout, same
+  * supported subset: 32-bit LE words, shells with NV2D = MAXINT·7, IU=1
+  * node coordinates per state). Produces corpora that real LS-DYNA tooling
+  * and `D3PlotSource` both read; used for sink→source round-trip gating
+  * the same way `VtuSink` gates the VTU path.
+  *
+  * One `<out>/<mesh_id>/d3plot` per mesh, assembled per-mesh on executors
+  * (collect_list — one run fits in memory, the reference's own working
+  * assumption for a single simulation).
+  */
+object D3PlotSink {
+
+  /** points:    (mesh_id, point_id, x, y, z)
+    * cells:     (mesh_id, cell_id, vertices[4], part_id)
+    * states:    (mesh_id, t, time, point_id, dx, dy, dz)
+    * shellData: (mesh_id, t, cell_id, layer, sx, sy, sz, txy, tyz, tzx, epsp)
+    * Layers per cell must be uniform (MAXINT). Returns written paths.
+    */
+  def write(points: DataFrame, cells: DataFrame, states: DataFrame,
+            shellData: DataFrame, out: String, title: String = "graft"): Seq[String] = {
+    val spark = points.sparkSession
+    val pts = points.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
+        .as("pts"))
+    val cls = cells.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("cell_id"), col("vertices"), col("part_id"))))
+        .as("cls"))
+    val sts = states.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("t"), col("point_id"), col("time"),
+        col("dx"), col("dy"), col("dz")))).as("sts"))
+    val shd = shellData.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("t"), col("cell_id"), col("layer"),
+        col("sx"), col("sy"), col("sz"), col("txy"), col("tyz"), col("tzx"),
+        col("epsp")))).as("shd"))
+    val assembled = pts.join(cls, Seq("mesh_id"))
+      .join(sts, Seq("mesh_id")).join(shd, Seq("mesh_id"))
+
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    assembled.map { row =>
+      val meshId = row.get(row.fieldIndex("mesh_id"))
+      val bytes = render(row, title)
+      val path = new org.apache.hadoop.fs.Path(s"$out/$meshId/d3plot")
+      val fs = path.getFileSystem(hadoopConf.value)
+      val os = fs.create(path, true)
+      try os.write(bytes) finally os.close()
+      path.toString
+    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+  }
+
+  private def render(row: Row, title: String): Array[Byte] = {
+    val pts = row.getSeq[Row](row.fieldIndex("pts"))
+    val cls = row.getSeq[Row](row.fieldIndex("cls"))
+    val sts = row.getSeq[Row](row.fieldIndex("sts"))
+    val shd = row.getSeq[Row](row.fieldIndex("shd"))
+    val numnp = pts.length
+    val nel4 = cls.length
+    val nStates = sts.iterator.map(_.getInt(0)).distinct.length
+    val maxint =
+      if (shd.isEmpty) 1
+      else shd.iterator.map(_.getInt(2)).max + 1
+    val nv2d = maxint * 7
+
+    // point_id -> 1-based positional node index (d3plot connectivity)
+    val posOf: Map[Long, Int] =
+      pts.iterator.zipWithIndex.map { case (p, i) => p.getLong(0) -> (i + 1) }.toMap
+
+    val stateWords = 1 + numnp * 3 + nel4 * nv2d // NGLBV=0, IU=1
+    val total = 64 + numnp * 3 + nel4 * 5 + nStates * stateWords + 1
+    val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(title.padTo(40, ' ').take(40).getBytes("US-ASCII"))
+    (10 until 64).foreach {
+      case 15 => bb.putInt(4)        // NDIM (3-D)
+      case 16 => bb.putInt(numnp)
+      case 20 => bb.putInt(1)        // IU
+      case 31 => bb.putInt(nel4)
+      case 32 => bb.putInt(1)        // NUMMAT4
+      case 33 => bb.putInt(nv2d)
+      case 36 => bb.putInt(maxint)
+      case _  => bb.putInt(0)
+    }
+    pts.foreach { p =>
+      bb.putFloat(p.getDouble(1).toFloat)
+      bb.putFloat(p.getDouble(2).toFloat)
+      bb.putFloat(p.getDouble(3).toFloat)
+    }
+    cls.foreach { c =>
+      val vs = c.getSeq[Long](1)
+      require(vs.length == 4, s"d3plot shells are 4-node; cell ${c.get(0)} has ${vs.length}")
+      vs.foreach(v => bb.putInt(posOf.getOrElse(v, throw new IllegalArgumentException(
+        s"cell vertex references point_id $v absent from points"))))
+      bb.putInt(c.getLong(2).toInt)
+    }
+    // states: rows already sorted by (t, point_id) / (t, cell_id, layer)
+    val byT = sts.groupBy(_.getInt(0))
+    val shdByT = shd.groupBy(_.getInt(0))
+    byT.keys.toSeq.sorted.foreach { t =>
+      val rows = byT(t)
+      bb.putFloat(rows.head.getDouble(2).toFloat) // time
+      rows.foreach { r =>
+        bb.putFloat(r.getDouble(3).toFloat)
+        bb.putFloat(r.getDouble(4).toFloat)
+        bb.putFloat(r.getDouble(5).toFloat)
+      }
+      shdByT.getOrElse(t, Seq.empty).foreach { r =>
+        (3 to 9).foreach(i => bb.putFloat(r.getDouble(i).toFloat))
+      }
+    }
+    bb.putFloat(-999999.0f)
+    bb.array()
+  }
+}

@@ -97,7 +97,29 @@ object SparkEntry {
     "q_random_mesh" -> (qRandomMesh _),
     "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
+    "q_zarr_roundtrip" -> (qZarrRoundtrip _),
   )
+
+  /** Zarr v2 sink→source cycle (the reference's primary output format):
+    * events aggregated onto a 32×64 grid, written as a real chunked+zlib
+    * zarr array (8×16 chunks, executor-parallel disjoint chunk writes),
+    * re-read distributed, and reduced. `<f8` cells round-trip bit-exactly,
+    * so the oracle rebuilds the same lattice (fill = 0) straight from the
+    * events table.
+    */
+  private def qZarrRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select((col("user_id") % 32).as("i"), (col("event_id") % 64).as("j"),
+        col("value"))
+      .groupBy("i", "j").agg(sum("value").as("value"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_rt_${math.abs(dir.hashCode)}"
+    graft.sinks.ZarrStore.writeArray2D(g, out, shape = (32L, 64L), chunks = (8, 16))
+    graft.sinks.ZarrStore.readArray2D(s, out)
+      .agg(count(lit(1)).as("n_cells"),
+        rnd(sum("value"), 2).as("sum_value"),
+        rnd(min("value"), 2).as("min_value"),
+        rnd(max("value"), 2).as("max_value"))
+  }
 
   /** Full d3plot sink→source cycle: embeddings-derived shell meshes (quads
     * of 4 consecutive points, 2 runs) with 2 states of node vectors and
@@ -1314,6 +1336,20 @@ object SparkEntry {
         |  round(1.5 * n_cells * (n_cells + 1) / 2 + 1e-6, 2) AS sum_sx,
         |  round(0.25 * n_cells * n_cells + 1e-6, 2) AS sum_epsp
         |FROM a ORDER BY mesh_id""".stripMargin,
+
+    // Zarr cycle mirror: <f8 cells are bit-exact through the chunk files,
+    // so the oracle rebuilds the full fill-padded lattice from events.
+    "q_zarr_roundtrip" ->
+      """WITH g AS (SELECT user_id % 32 AS i, event_id % 64 AS j, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT a.range AS i, b.range AS j FROM range(32) a, range(64) b),
+        |f AS (SELECT l.i, l.j, coalesce(g.v, 0.0) AS v
+        |  FROM l LEFT JOIN g ON l.i = g.i AND l.j = g.j)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(sum(v) + 1e-6, 2) AS sum_value,
+        |  round(min(v) + 1e-6, 2) AS min_value,
+        |  round(max(v) + 1e-6, 2) AS max_value
+        |FROM f""".stripMargin,
 
     // STL cycle mirror: each kept point (first 3·⌊n/3⌋ per mesh in id
     // order) appears exactly once among the re-read facet corners.

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ZarrStore
+
+/** Zarr v2 store: chunk layout, fill values, edge clipping, round trip. */
+class ZarrSpec extends SparkSpec {
+
+  test("writeArray2D: chunk grid, .zarray metadata, fill chunks") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("zarr").toString + "/arr"
+    // 5×7 array, 2×3 chunks → 3×3 chunk grid with edge clipping
+    val df = Seq((0L, 0L, 1.5), (4L, 6L, -2.25), (2L, 3L, 8.0))
+      .toDF("i", "j", "value")
+    ZarrStore.writeArray2D(df, dir, shape = (5L, 7L), chunks = (2, 3))
+
+    val meta = Files.readString(Paths.get(dir, ".zarray"))
+    assert(meta.contains("\"shape\":[5,7]") && meta.contains("\"chunks\":[2,3]"))
+    assert(meta.contains("\"<f8\"") && meta.contains("\"zlib\""))
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(files == Set(".zarray", "0.0", "0.1", "0.2", "1.0", "1.1", "1.2",
+      "2.0", "2.1", "2.2"))
+  }
+
+  test("write → read round trip with fills and edge chunks") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("zarr-rt").toString + "/arr"
+    val cells = for (i <- 0L until 5L; j <- 0L until 7L if (i + j) % 3 == 0)
+      yield (i, j, i * 10.0 + j)
+    ZarrStore.writeArray2D(cells.toDF("i", "j", "value"), dir, (5L, 7L), (2, 3),
+      fillValue = -1.0)
+    val back = ZarrStore.readArray2D(spark, dir)
+    assert(back.count() == 35) // full lattice, edge chunks clipped
+    val m = back.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cells.foreach { case (i, j, v) => assert(m((i, j)) == v) }
+    assert(m((0L, 1L)) == -1.0) // fill value where no row existed
+    assert(m.keySet == (for (i <- 0L until 5L; j <- 0L until 7L) yield (i, j)).toSet)
+  }
+}

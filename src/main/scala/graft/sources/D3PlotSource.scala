@@ -48,7 +48,78 @@ object D3PlotSource {
 
   private val EofMarker = -999999.0f
 
-  def parse(bytes: Array[Byte]): D3PlotFile = {
+  /** Per-state layout parameters extracted from the control block. */
+  private final case class StateLayout(
+      numnp: Int, nglbv: Int, iu: Int, iv: Int, ia: Int,
+      nel8: Int, nv3d: Int, nel2: Int, nv1d: Int, nel4: Int, nv2d: Int,
+      maxint: Int) {
+    def stateWords: Int = 1 + nglbv +
+      (if (iu == 1) numnp * 3 else 0) +
+      (if (iv == 1) numnp * 3 else 0) +
+      (if (ia == 1) numnp * 3 else 0) +
+      nel8 * nv3d + nel2 * nv1d + nel4 * nv2d
+  }
+
+  /** States from `bytes` starting at word `from` (a root file's post-
+    * geometry offset, or 0 for a family continuation file, whose payload
+    * is state data only).
+    */
+  private def parseStates(bytes: Array[Byte], from: Int,
+                          lay: StateLayout): Array[ShellState] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nWords = bytes.length / 4
+    def fw(i: Int): Float = buf.getFloat(i * 4)
+    val states = Array.newBuilder[ShellState]
+    var w = from
+    while (w < nWords && fw(w) != EofMarker) {
+      require(w + lay.stateWords <= nWords,
+        s"truncated state at word $w (need ${lay.stateWords}, have ${nWords - w})")
+      val time = fw(w)
+      var p = w + 1 + lay.nglbv
+      val nodeVec =
+        if (lay.iu == 1) {
+          val a = Array.tabulate(lay.numnp)(n =>
+            Array(fw(p + n * 3), fw(p + n * 3 + 1), fw(p + n * 3 + 2)))
+          p += lay.numnp * 3
+          a
+        } else Array.empty[Array[Float]]
+      if (lay.iv == 1) p += lay.numnp * 3
+      if (lay.ia == 1) p += lay.numnp * 3
+      p += lay.nel8 * lay.nv3d + lay.nel2 * lay.nv1d
+      val stress = Array.ofDim[Array[Array[Float]]](lay.nel4)
+      val epsp = Array.ofDim[Array[Float]](lay.nel4)
+      var e = 0
+      while (e < lay.nel4) {
+        val sb = Array.ofDim[Array[Float]](lay.maxint)
+        val eb = new Array[Float](lay.maxint)
+        var l = 0
+        while (l < lay.maxint) {
+          val base = p + e * lay.nv2d + l * 7
+          sb(l) = Array.tabulate(6)(k => fw(base + k))
+          eb(l) = fw(base + 6)
+          l += 1
+        }
+        stress(e) = sb; epsp(e) = eb
+        e += 1
+      }
+      states += ShellState(time, nodeVec, stress, epsp)
+      w += lay.stateWords
+    }
+    states.result()
+  }
+
+  /** Parse a root d3plot plus its family continuation files (`d3plot01`,
+    * `d3plot02`, … — state data only, no control block), in order.
+    */
+  def parseFamily(root: Array[Byte], continuations: Seq[Array[Byte]]): D3PlotFile = {
+    val (file, lay) = parseRoot(root)
+    val extra = continuations.flatMap(parseStates(_, 0, lay))
+    file.copy(states = file.states ++ extra)
+  }
+
+  def parse(bytes: Array[Byte]): D3PlotFile = parseRoot(bytes)._1
+
+  private def parseRoot(bytes: Array[Byte]): (D3PlotFile, StateLayout) = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nWords = bytes.length / 4
     def fw(i: Int): Float = buf.getFloat(i * 4)
@@ -94,48 +165,10 @@ object D3PlotSource {
     }
     w += nel4 * 5
 
-    // state data
-    val states = Array.newBuilder[ShellState]
-    val stateWords = 1 + nglbv +
-      (if (iu == 1) numnp * 3 else 0) +
-      (if (iv == 1) numnp * 3 else 0) +
-      (if (ia == 1) numnp * 3 else 0) +
-      nel8 * nv3d + nel2 * nv1d + nel4 * nv2d
-    while (w < nWords && fw(w) != EofMarker) {
-      require(w + stateWords <= nWords,
-        s"truncated state at word $w (need $stateWords, have ${nWords - w})")
-      val time = fw(w)
-      var p = w + 1 + nglbv
-      val nodeVec =
-        if (iu == 1) {
-          val a = Array.tabulate(numnp)(n =>
-            Array(fw(p + n * 3), fw(p + n * 3 + 1), fw(p + n * 3 + 2)))
-          p += numnp * 3
-          a
-        } else Array.empty[Array[Float]]
-      if (iv == 1) p += numnp * 3
-      if (ia == 1) p += numnp * 3
-      p += nel8 * nv3d + nel2 * nv1d
-      val stress = Array.ofDim[Array[Array[Float]]](nel4)
-      val epsp = Array.ofDim[Array[Float]](nel4)
-      var e = 0
-      while (e < nel4) {
-        val sb = Array.ofDim[Array[Float]](maxint)
-        val eb = new Array[Float](maxint)
-        var l = 0
-        while (l < maxint) {
-          val base = p + e * nv2d + l * 7
-          sb(l) = Array.tabulate(6)(k => fw(base + k))
-          eb(l) = fw(base + 6)
-          l += 1
-        }
-        stress(e) = sb; epsp(e) = eb
-        e += 1
-      }
-      states += ShellState(time, nodeVec, stress, epsp)
-      w += stateWords
-    }
-    D3PlotFile(title, coords, solids, shells, states.result())
+    // state data (shared with family continuation files)
+    val lay = StateLayout(numnp, nglbv, iu, iv, ia,
+      nel8, nv3d, nel2, nv1d, nel4, nv2d, maxint)
+    (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay)), lay)
   }
 
   /** LS-DYNA `.k` keyword file → part-id → shell thickness (reference
@@ -219,7 +252,15 @@ object D3PlotSource {
       .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    val parsed = raw.map { case (path, bytes) => (path, parse(bytes)) }.persist()
+    // family continuation files (d3plot01, d3plot02, …) carry state data
+    // only: group per run directory, root file first (lexicographic:
+    // "d3plot" < "d3plot01"), continuations appended in order
+    val parsed = raw
+      .groupByKey { case (path, _) => path.replaceAll("/[^/]*$", "") }
+      .mapGroups { (_, it) =>
+        val files = it.toSeq.sortBy(_._1)
+        (files.head._1, parseFamily(files.head._2, files.tail.map(_._2)))
+      }.persist()
 
     val points = parsed.flatMap { case (path, f) =>
       f.coords.iterator.zipWithIndex.map { case (c, i) =>

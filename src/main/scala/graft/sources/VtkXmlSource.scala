@@ -333,6 +333,71 @@ object VtkXmlSource {
     VtuPiece(pts, cells, pointData.toMap)
   }
 
+  // --------------------------------------------------------- StructuredGrid
+
+  /** Point extent of a StructuredGrid piece (its cells are implicit). */
+  def parsePieceExtent(bytes: Array[Byte]): Array[Int] = {
+    val (xmlBytes, _) = splitAppended(bytes)
+    val head = new String(xmlBytes, "UTF-8")
+    "<Piece[^>]*Extent=\"([^\"]+)\"".r.findFirstMatchIn(head)
+      .orElse("WholeExtent=\"([^\"]+)\"".r.findFirstMatchIn(head))
+      .map(_.group(1).trim.split("\\s+").map(_.toInt))
+      .getOrElse(throw new IllegalArgumentException("no Extent in StructuredGrid"))
+  }
+
+  /** Implicit hexahedral connectivity of a structured point lattice, VTK
+    * hexahedron vertex order, x fastest (point idx = i + nx·(j + ny·k)).
+    */
+  def structuredCells(extent: Array[Int]): Array[Array[Long]] = {
+    val nx = extent(1) - extent(0) + 1
+    val ny = extent(3) - extent(2) + 1
+    val nz = extent(5) - extent(4) + 1
+    def pid(i: Int, j: Int, k: Int): Long = (i + nx.toLong * (j + ny.toLong * k))
+    val out = Array.newBuilder[Array[Long]]
+    for (k <- 0 until math.max(nz - 1, 0); j <- 0 until math.max(ny - 1, 0);
+         i <- 0 until math.max(nx - 1, 0))
+      out += Array(pid(i, j, k), pid(i + 1, j, k), pid(i + 1, j + 1, k),
+        pid(i, j + 1, k), pid(i, j, k + 1), pid(i + 1, j, k + 1),
+        pid(i + 1, j + 1, k + 1), pid(i, j + 1, k + 1))
+    out.result()
+  }
+
+  /** Long-model tables from a glob of `.vts` StructuredGrid files: explicit
+    * points/point-data parse through the shared path; the hex cells are
+    * generated from the piece extent (VTK_HEXAHEDRON, type 12).
+    */
+  def readVts(spark: SparkSession, pathGlob: String,
+              include: Set[String] = Set.empty,
+              exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.vts").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val pieces = raw.map { case (path, bytes) =>
+      val p = parseVtu(bytes, include, exclude)
+      (path, p.points.map(a => (a(0), a(1), a(2))),
+        structuredCells(parsePieceExtent(bytes)),
+        p.pointData.toSeq.map { case (k, v) => (k, v) })
+    }.persist()
+    val points = pieces.flatMap { case (path, pts, _, _) =>
+      pts.iterator.zipWithIndex.map { case ((x, y, z), i) =>
+        (path, i.toLong, x, y, z)
+      }.toSeq
+    }.toDF("mesh_id", "point_id", "x", "y", "z")
+    val cells = pieces.flatMap { case (path, _, cs, _) =>
+      cs.iterator.zipWithIndex.map { case (vs, i) =>
+        (path, i.toLong, vs.toSeq, 12)
+      }.toSeq
+    }.toDF("mesh_id", "cell_id", "vertices", "cell_type")
+    val pointData = pieces.flatMap { case (path, _, _, pd) =>
+      pd.iterator.flatMap { case (field, vals) =>
+        vals.iterator.zipWithIndex.map { case (v, i) => (path, i.toLong, field, v) }
+      }.toSeq
+    }.toDF("mesh_id", "point_id", "field", "value")
+    (points, cells, pointData)
+  }
+
   // ------------------------------------------------------------ MultiBlock
 
   /** Referenced datasets of a `.vtm` vtkMultiBlockDataSet file: (block

@@ -89,6 +89,32 @@ class D3PlotSpec extends SparkSpec {
     intercept[IllegalArgumentException] { D3PlotSource.parse(short) }
   }
 
+  test("family files: d3plot01 continuation states append in order") {
+    // continuation payload = one state, no control block: slice it out of a
+    // fixture whose second state starts right after geometry + state 0
+    val full = fixtureBytes("fam")
+    val numnp = 4; val nglbv = 2; val nv2d = 14
+    val stateWords = 1 + nglbv + numnp * 3 + nv2d
+    val geomEnd = (64 + numnp * 3 + 5) * 4
+    val state1Start = geomEnd + stateWords * 4
+    val rootOnly = full.take(state1Start) ++ full.takeRight(4) // state0 + EOF
+    val cont = full.slice(state1Start, state1Start + stateWords * 4) ++ full.takeRight(4)
+
+    val f = D3PlotSource.parseFamily(rootOnly, Seq(cont))
+    assert(f.states.length == 2)
+    assert(f.states(0).time == 0.0f && f.states(1).time == 1.5f)
+    assert(f.states(1).shellEpsp(0).toSeq == t1Epsp.toSeq)
+
+    // distributed read assembles the family per run directory
+    val dir = Files.createTempDirectory("d3fam").toString
+    Files.createDirectories(Paths.get(dir, "run"))
+    Files.write(Paths.get(dir, "run", "d3plot"), rootOnly)
+    Files.write(Paths.get(dir, "run", "d3plot01"), cont)
+    val (_, _, states, _) = D3PlotSource.read(spark, s"$dir/*")
+    assert(states.select("t").distinct().count() == 2)
+    assert(states.count() == 2 * 4)
+  }
+
   test("parseKFile: PART→SECTION_SHELL thickness with comments and fallbacks") {
     val k =
       """$ comment header

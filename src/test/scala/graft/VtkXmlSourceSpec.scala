@@ -312,6 +312,40 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(byFile.toSet == Set(("volume_a.vtu", "u")))
   }
 
+  test(".vts StructuredGrid: implicit hex cells from the piece extent") {
+    val vts =
+      """<?xml version="1.0"?>
+        |<VTKFile type="StructuredGrid" version="0.1">
+        | <StructuredGrid WholeExtent="0 2 0 1 0 1">
+        |  <Piece Extent="0 2 0 1 0 1">
+        |   <Points>
+        |    <DataArray type="Float64" NumberOfComponents="3" format="ascii">
+        |      0 0 0  1 0 0  2 0 0  0 1 0  1 1 0  2 1 0
+        |      0 0 1  1 0 1  2 0 1  0 1 1  1 1 1  2 1 1
+        |    </DataArray>
+        |   </Points>
+        |   <PointData>
+        |    <DataArray type="Float64" Name="u" format="ascii">0 1 2 3 4 5 6 7 8 9 10 11</DataArray>
+        |   </PointData>
+        |  </Piece>
+        | </StructuredGrid>
+        |</VTKFile>""".stripMargin
+    // 3×2×2 point lattice → 2×1×1 implicit hex cells
+    val cs = VtkXmlSource.structuredCells(Array(0, 2, 0, 1, 0, 1))
+    assert(cs.length == 2)
+    assert(cs(0).toSeq == Seq(0L, 1L, 4L, 3L, 6L, 7L, 10L, 9L))
+    assert(cs(1).toSeq == Seq(1L, 2L, 5L, 4L, 7L, 8L, 11L, 10L))
+
+    val dir = Files.createTempDirectory("vts").toString
+    Files.writeString(Paths.get(dir, "g.vts"), vts)
+    val (points, cells, pd) = VtkXmlSource.readVts(spark, dir)
+    assert(points.count() == 12 && cells.count() == 2 && pd.count() == 12)
+    assert(cells.select("cell_type").distinct().collect()(0).getInt(0) == 12)
+    // hex volume check composes: each cell is a unit cube (tet-split = 6×1/6)
+    val wide = graft.mesh.MeshOps.cellsWithCoords(points, cells, 8)
+    assert(wide.count() == 2)
+  }
+
   test(".vtm multiblock: manifest parse + distributed read of referenced files") {
     val dir = Files.createTempDirectory("vtm").toString
     Files.writeString(Paths.get(dir, "blk0.vtu"), vtu)

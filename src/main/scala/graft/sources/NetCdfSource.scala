@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NetCDF classic reader (CDF-1 and CDF-2, the public netCDF "classic
+  * format spec"), Spark-first — the real ingestion path behind the
+  * ERA5/GFS/HRRR long-grid pattern (the reference's da sources read NetCDF
+  * via xarray; this is an independent JVM decoder of the classic
+  * container):
+  *
+  *  - header: magic `CDF\x01|\x02`, numrecs, dim list, global attributes,
+  *    variable list (name, dimids, attributes, type, vsize, begin offset —
+  *    u32 in CDF-1, u64 in CDF-2);
+  *  - data: fixed-size variables at `begin`, row-major; record variables
+  *    interleaved per record with the record stride = Σ aligned vsize of
+  *    all record variables;
+  *  - types: byte/char/short/int/float/double; values padded to 4-byte
+  *    boundaries per the spec.
+  *
+  * `read` emits the long model: a `vars` table (variable, dims, shape,
+  * record flag) and a `data` table (variable, linear row-major `pos`,
+  * value as double) — the grid operators' input shape. NetCDF-4 (HDF5
+  * container) is out of scope and rejected by magic.
+  */
+object NetCdfSource {
+
+  final case class NcDim(name: String, length: Long) // 0 = record dim
+  final case class NcAttr(name: String, value: String)
+  final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
+                         vsize: Long, begin: Long, attrs: Seq[NcAttr])
+  final case class NcFile(numRecs: Long, dims: Seq[NcDim], gattrs: Seq[NcAttr],
+                          vars: Seq[NcVar])
+
+  private val TagDim = 0x0A
+  private val TagVar = 0x0B
+  private val TagAttr = 0x0C
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
+    case other => throw new IllegalArgumentException(s"bad nc_type $other")
+  }
+
+  private final class Cursor(bytes: Array[Byte]) {
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    def u32(): Long = buf.getInt.toLong & 0xffffffffL
+    def u64(): Long = buf.getLong
+    def name(): String = {
+      val n = u32().toInt
+      val b = new Array[Byte](n); buf.get(b)
+      skipPad(n)
+      new String(b, "UTF-8")
+    }
+    def skipPad(n: Int): Unit = { val r = n % 4; if (r != 0) buf.position(buf.position() + (4 - r)) }
+    def attrs(): Seq[NcAttr] = {
+      val tag = u32(); val count = u32().toInt
+      require(tag == TagAttr || (tag == 0 && count == 0), s"bad attr tag $tag")
+      (0 until count).map { _ =>
+        val nm = name(); val t = u32().toInt; val n = u32().toInt
+        val raw = new Array[Byte](typeSize(t) * n); buf.get(raw)
+        skipPad(raw.length)
+        val v =
+          if (t == 2) new String(raw, "UTF-8")
+          else {
+            val vb = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+            (0 until n).map(_ => t match {
+              case 1 => vb.get().toString
+              case 3 => vb.getShort.toString
+              case 4 => vb.getInt.toString
+              case 5 => vb.getFloat.toString
+              case 6 => vb.getDouble.toString
+            }).mkString(",")
+          }
+        NcAttr(nm, v)
+      }
+    }
+  }
+
+  def parseHeader(bytes: Array[Byte]): NcFile = {
+    require(bytes.length > 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
+      "not a NetCDF classic file (CDF magic missing; NetCDF-4/HDF5 unsupported)")
+    val version = bytes(3).toInt
+    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    val c = new Cursor(bytes)
+    c.buf.position(4)
+    val numRecs = c.u32() // 0xFFFFFFFF = STREAMING; treated as a count below
+    val dimTag = c.u32(); val dimCount = c.u32().toInt
+    require(dimTag == TagDim || (dimTag == 0 && dimCount == 0), s"bad dim tag $dimTag")
+    val dims = (0 until dimCount).map(_ => NcDim(c.name(), c.u32()))
+    val gattrs = c.attrs()
+    val varTag = c.u32(); val varCount = c.u32().toInt
+    require(varTag == TagVar || (varTag == 0 && varCount == 0), s"bad var tag $varTag")
+    val vars = (0 until varCount).map { _ =>
+      val nm = c.name()
+      val nd = c.u32().toInt
+      val dimIds = (0 until nd).map(_ => c.u32().toInt)
+      val vattrs = c.attrs()
+      val t = c.u32().toInt
+      val vsize = c.u32()
+      val begin = if (version == 2) c.u64() else c.u32()
+      NcVar(nm, dimIds, t, vsize, begin, vattrs)
+    }
+    NcFile(numRecs, dims, gattrs, vars)
+  }
+
+  private def readValue(buf: ByteBuffer, off: Long, t: Int, i: Long): Double = {
+    val p = (off + i * typeSize(t)).toInt
+    t match {
+      case 1 => buf.get(p).toDouble
+      case 2 => (buf.get(p) & 0xff).toDouble
+      case 3 => buf.getShort(p).toDouble
+      case 4 => buf.getInt(p).toDouble
+      case 5 => buf.getFloat(p).toDouble
+      case 6 => buf.getDouble(p)
+    }
+  }
+
+  /** Decode every variable of one file to (variable, pos, value) triples,
+    * `pos` the row-major linear index with the record dimension outermost.
+    */
+  def values(bytes: Array[Byte]): Seq[(String, Long, Double)] = {
+    val f = parseHeader(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val recVars = f.vars.filter(v => v.dimIds.headOption.exists(f.dims(_).length == 0L))
+    // spec: if exactly one record variable, it is NOT padded to 4 bytes
+    val recStride =
+      if (recVars.length == 1) recVars.head.vsize
+      else recVars.map(v => (v.vsize + 3) / 4 * 4).sum
+    val out = Seq.newBuilder[(String, Long, Double)]
+    f.vars.foreach { v =>
+      val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
+      val fixedShape = v.dimIds.drop(if (isRec) 1 else 0).map(f.dims(_).length)
+      val perRec = fixedShape.product.max(1L)
+      if (!isRec) {
+        (0L until perRec).foreach { i =>
+          out += ((v.name, i, readValue(buf, v.begin, v.ncType, i)))
+        }
+      } else {
+        (0L until f.numRecs).foreach { r =>
+          val base = v.begin + r * recStride
+          (0L until perRec).foreach { i =>
+            out += ((v.name, r * perRec + i, readValue(buf, base, v.ncType, i)))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Long tables from a glob of `.nc` files: vars (file, variable, dims,
+    * shape, is_record) and data (file, variable, pos, value).
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           globFilter: String = "*.nc"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])].persist()
+    val vars = raw.flatMap { case (path, bytes) =>
+      val f = parseHeader(bytes)
+      f.vars.map { v =>
+        val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
+        val shape = v.dimIds.map(d =>
+          if (f.dims(d).length == 0L) f.numRecs else f.dims(d).length)
+        (path, v.name, v.dimIds.map(f.dims(_).name), shape, isRec)
+      }
+    }.toDF("file", "variable", "dims", "shape", "is_record")
+    val data = raw.flatMap { case (path, bytes) =>
+      values(bytes).map { case (v, pos, x) => (path, v, pos, x) }
+    }.toDF("file", "variable", "pos", "value")
+    (vars, data)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.NetCdfSource
+
+/** NetCDF classic (CDF-1) decode: byte-built fixture with a record
+  * variable, fixed variable, attributes — into the long grid model.
+  */
+class NetCdfSpec extends SparkSpec {
+
+  private val latVals = Array(10.5, 20.5)
+  private val t2mRec0 = Array(1f, 2f, 3f, 4f, 5f, 6f)
+  private val t2mRec1 = Array(10f, 20f, 30f, 40f, 50f, 60f)
+
+  /** CDF-1: dims (time=record, lat=2, lon=3); vars lat(double), t2m(float,
+    * record × lat × lon); global attr title="test".
+    */
+  private def ncBytes(beginLat: Int = 0, beginT2m: Int = 0): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    def name(s: String): Unit = {
+      o.writeInt(s.length); o.write(s.getBytes("UTF-8"))
+      val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+    }
+    o.write("CDF".getBytes); o.write(1)
+    o.writeInt(2)                       // numrecs
+    o.writeInt(0x0A); o.writeInt(3)     // dim list
+    name("time"); o.writeInt(0)
+    name("lat"); o.writeInt(2)
+    name("lon"); o.writeInt(3)
+    o.writeInt(0x0C); o.writeInt(1)     // global attrs
+    name("title"); o.writeInt(2); o.writeInt(4); o.write("test".getBytes)
+    o.writeInt(0x0B); o.writeInt(2)     // var list
+    name("lat"); o.writeInt(1); o.writeInt(1)
+    o.writeInt(0); o.writeInt(0)        // absent vattrs
+    o.writeInt(6); o.writeInt(16); o.writeInt(beginLat)
+    name("t2m"); o.writeInt(3); o.writeInt(0); o.writeInt(1); o.writeInt(2)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(5); o.writeInt(24); o.writeInt(beginT2m)
+    // data
+    latVals.foreach(o.writeDouble)
+    t2mRec0.foreach(o.writeFloat)
+    t2mRec1.foreach(o.writeFloat)
+    o.flush(); bos.toByteArray
+  }
+
+  private def fixture: Array[Byte] = {
+    val headerLen = ncBytes().length - (16 + 24 * 2) // total minus data
+    ncBytes(beginLat = headerLen, beginT2m = headerLen + 16)
+  }
+
+  test("parseHeader: dims, attrs, vars, offsets") {
+    val f = NetCdfSource.parseHeader(fixture)
+    assert(f.numRecs == 2)
+    assert(f.dims.map(d => d.name -> d.length) ==
+      Seq("time" -> 0L, "lat" -> 2L, "lon" -> 3L))
+    assert(f.gattrs == Seq(NetCdfSource.NcAttr("title", "test")))
+    assert(f.vars.map(_.name) == Seq("lat", "t2m"))
+    assert(f.vars(1).dimIds == Seq(0, 1, 2) && f.vars(1).ncType == 5)
+    // NetCDF-4 (HDF5) rejected by magic
+    intercept[IllegalArgumentException] {
+      NetCdfSource.parseHeader("HDF\r\n".getBytes("ISO-8859-1") ++ new Array[Byte](16))
+    }
+  }
+
+  test("values: fixed + record variables decode in row-major order") {
+    val vs = NetCdfSource.values(fixture)
+    val lat = vs.filter(_._1 == "lat").sortBy(_._2).map(_._3)
+    assert(lat == Seq(10.5, 20.5))
+    val t2m = vs.filter(_._1 == "t2m").sortBy(_._2).map(_._3)
+    assert(t2m == (t2mRec0 ++ t2mRec1).map(_.toDouble).toSeq)
+  }
+
+  test("read: long tables compose with grid stats") {
+    val dir = Files.createTempDirectory("nc").toString
+    Files.write(Paths.get(dir, "era.nc"), fixture)
+    val (vars, data) = NetCdfSource.read(spark, dir)
+    assert(vars.count() == 2)
+    val t2mShape = vars.filter(col("variable") === "t2m").collect()(0)
+    assert(t2mShape.getAs[scala.collection.Seq[Long]]("shape") == Seq(2L, 2L, 3L))
+    assert(t2mShape.getAs[Boolean]("is_record"))
+
+    // pos → (t, lat, lon) lattice, then per-time means over the grid
+    val grid = data.filter(col("variable") === "t2m")
+      .withColumn("t", (col("pos") / 6).cast("int"))
+      .withColumn("lat", ((col("pos") % 6) / 3).cast("int"))
+      .withColumn("lon", (col("pos") % 3).cast("int"))
+    val means = grid.groupBy("t").agg(avg("value").as("m")).orderBy("t")
+      .collect().map(_.getDouble(1))
+    assert(means.toSeq == Seq(3.5, 35.0))
+  }
+}

@@ -74,12 +74,17 @@ final class Ledger(dir: String) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stage_metrics")
   }
 
-  /** Stage rows for a run — empty frame when none were recorded. */
+  /** Stage rows for a run — an empty frame WITH the table schema when none
+    * were recorded, so filters/selects on the no-rows path still resolve.
+    */
   def stageMetrics(spark: SparkSession, runId: String): DataFrame = {
     val p = s"$dir/stage_metrics"
-    if (!pathExists(spark, p))
-      spark.emptyDataFrame
-    else spark.read.parquet(p).filter(col("run_id") === runId)
+    if (!pathExists(spark, p)) {
+      import spark.implicits._
+      Seq.empty[(String, Int, Int, String, Long, Long, Int)]
+        .toDF("run_id", "stage_order", "stage_id", "stage_name",
+          "wall_ns", "executor_run_ns", "n_tasks")
+    } else spark.read.parquet(p).filter(col("run_id") === runId)
   }
 
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String): Unit = {
@@ -104,11 +109,14 @@ final class Ledger(dir: String) {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/logs")
   }
 
-  /** Log rows for a run, empty when none were written. */
+  /** Log rows for a run — schema-typed empty frame when none were written. */
   def logs(spark: SparkSession, runId: String): DataFrame = {
     val p = s"$dir/logs"
-    if (!pathExists(spark, p)) spark.emptyDataFrame
-    else spark.read.parquet(p).filter(col("run_id") === runId)
+    if (!pathExists(spark, p)) {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Long, String, Long)]
+        .toDF("level", "logger_name", "message", "idx", "run_id", "ts")
+    } else spark.read.parquet(p).filter(col("run_id") === runId)
   }
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {

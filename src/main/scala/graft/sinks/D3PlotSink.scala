@@ -104,6 +104,14 @@ object D3PlotSink {
     val shdByT = shd.groupBy(_.getInt(0))
     byT.keys.toSeq.sorted.foreach { t =>
       val rows = byT(t)
+      // the layout is DENSE: any missing row would shift every later word
+      require(rows.length == numnp,
+        s"state $t has ${rows.length} node rows, need $numnp (dense layout)")
+      require(shdByT.get(t).forall(_.length == nel4 * maxint),
+        s"state $t has ${shdByT.get(t).map(_.length).getOrElse(0)} shell rows, " +
+        s"need ${nel4 * maxint} (nel4·maxint)")
+      require(shdByT.contains(t) || nel4 == 0,
+        s"state $t missing shell rows for $nel4 shells")
       bb.putFloat(rows.head.getDouble(2).toFloat) // time
       rows.foreach { r =>
         bb.putFloat(r.getDouble(3).toFloat)

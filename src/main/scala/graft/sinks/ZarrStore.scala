@@ -73,6 +73,12 @@ object ZarrStore {
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
 
+    // a rewrite must not inherit stale chunks from a previous store at the
+    // same path (the fill loop below would skip existing files)
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (outFs.exists(outPath)) outFs.delete(outPath, true)
+
     // one task per populated chunk; empty chunks are materialized below
     df.select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
       col("value").cast("double").as("value"))

@@ -48,7 +48,7 @@ object AseLmdbSource {
     // meta pages at file offsets 0 and psize; meta struct starts after the
     // 16-byte page header: magic@0, version@4, dbs[0].md_pad(=psize)@24,
     // dbs[1].md_root@112, txnid@128
-    require(bytes.length >= 16 + 132, "file too short for an LMDB meta page")
+    require(bytes.length >= 16 + 136, "file too short for an LMDB meta page")
     require(u32(16) == (MetaMagic.toLong & 0xffffffffL),
       f"bad LMDB magic 0x${u32(16)}%x (not an LMDB file)")
     val psize = u32(16 + 24).toInt
@@ -56,7 +56,7 @@ object AseLmdbSource {
     val meta0 = 16
     val meta1 = psize + 16
     val chosen =
-      if (bytes.length > meta1 + 132 && u64(meta1 + 128) > u64(meta0 + 128)) meta1
+      if (bytes.length >= meta1 + 136 && u64(meta1 + 128) > u64(meta0 + 128)) meta1
       else meta0
     val root = u64(chosen + 112)
     if (root == PInvalid) return Nil

@@ -136,6 +136,14 @@ object D3PlotSource {
     val nel2 = iw(28); val nv1d = iw(30)
     val nel4 = iw(31); val nv2d = iw(33)
     val maxint = iw(36)
+    // blocks this subset does not decode MUST be absent, or every later
+    // word offset would silently shift (SPH words 38-39, arbitrary
+    // numbering NARBS word 40, thick shells NELT word 41; 1-based)
+    val nmsph = iw(37); val ngpsph = iw(38); val narbs = iw(39); val nelt = iw(40)
+    require(nmsph == 0 && ngpsph == 0,
+      s"SPH blocks (NMSPH=$nmsph, NGPSPH=$ngpsph) not supported")
+    require(narbs == 0, s"arbitrary-numbering block (NARBS=$narbs) not supported")
+    require(nelt == 0, s"thick-shell block (NELT=$nelt) not supported")
     // NDIM 4 = 3D with mass-scaled nodal data — geometry is still 3-D
     val ndim = if (ndim0 == 4) 3 else ndim0
     require(ndim == 3, s"unsupported NDIM $ndim0 (only 3-D)")
@@ -252,14 +260,22 @@ object D3PlotSource {
       .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    // family continuation files (d3plot01, d3plot02, …) carry state data
-    // only: group per run directory, root file first (lexicographic:
-    // "d3plot" < "d3plot01"), continuations appended in order
+    // Family continuation files (d3plot01, d3plot02, … — state data only)
+    // belong to the bare `d3plot` root in the same directory, ordered
+    // NUMERICALLY (d3plot2 before d3plot10). Any other matching file is an
+    // independent root; continuations without a root fail loudly.
     val parsed = raw
       .groupByKey { case (path, _) => path.replaceAll("/[^/]*$", "") }
-      .mapGroups { (_, it) =>
-        val files = it.toSeq.sortBy(_._1)
-        (files.head._1, parseFamily(files.head._2, files.tail.map(_._2)))
+      .flatMapGroups { (dir, it) =>
+        val files = it.toSeq
+        def base(p: String) = p.split("/").last
+        val (conts, roots) = files.partition(f => base(f._1).matches("d3plot\\d+"))
+        val sortedConts = conts.sortBy(f => base(f._1).drop("d3plot".length).toInt)
+        val (familyRoot, soloRoots) = roots.partition(f => base(f._1) == "d3plot")
+        require(sortedConts.isEmpty || familyRoot.nonEmpty,
+          s"$dir has continuation files ${sortedConts.map(f => base(f._1))} but no d3plot root")
+        familyRoot.map { case (p, b) => (p, parseFamily(b, sortedConts.map(_._2))) } ++
+          soloRoots.sortBy(_._1).map { case (p, b) => (p, parse(b)) }
       }.persist()
 
     val points = parsed.flatMap { case (path, f) =>

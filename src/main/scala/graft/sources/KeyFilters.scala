@@ -23,13 +23,26 @@ object KeyFilters {
         case '*' => sb.append(".*")
         case '?' => sb.append('.')
         case '[' =>
-          val j = pattern.indexOf(']', i + 1)
+          // fnmatch: a ']' FIRST in the class (after optional '!') is a
+          // literal member, so the closing bracket search starts past it
+          val clsStart = i + 1
+          val litEnd =
+            if (clsStart < pattern.length && pattern(clsStart) == '!') clsStart + 1
+            else clsStart
+          val searchFrom =
+            if (litEnd < pattern.length && pattern(litEnd) == ']') litEnd + 1
+            else litEnd
+          val j = if (searchFrom >= pattern.length) -1
+                  else pattern.indexOf(']', searchFrom)
           if (j < 0) sb.append("\\[")
           else {
-            val cls = pattern.substring(i + 1, j)
-            sb.append('[')
-              .append(if (cls.startsWith("!")) "^" + cls.substring(1) else cls)
-              .append(']')
+            // escape regex-class metacharacters fnmatch treats literally
+            val cls0 = pattern.substring(clsStart, j)
+            val neg = cls0.startsWith("!")
+            val body = (if (neg) cls0.substring(1) else cls0)
+              .replace("\\", "\\\\").replace("&", "\\&").replace("[", "\\[")
+              .replace("]", "\\]").replace("^", "\\^")
+            sb.append('[').append(if (neg) "^" + body else body).append(']')
             i = j
           }
         case c if "\\.(){}+^$|".indexOf(c) >= 0 => sb.append('\\').append(c)

@@ -85,7 +85,9 @@ object NetCdfSource {
     require(version == 1 || version == 2, s"unsupported CDF version $version")
     val c = new Cursor(bytes)
     c.buf.position(4)
-    val numRecs = c.u32() // 0xFFFFFFFF = STREAMING; treated as a count below
+    val numRecs = c.u32()
+    require(numRecs != 0xffffffffL,
+      "STREAMING numrecs (0xFFFFFFFF) unsupported — record count unknown at write time")
     val dimTag = c.u32(); val dimCount = c.u32().toInt
     require(dimTag == TagDim || (dimTag == 0 && dimCount == 0), s"bad dim tag $dimTag")
     val dims = (0 until dimCount).map(_ => NcDim(c.name(), c.u32()))

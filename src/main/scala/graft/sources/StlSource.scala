@@ -35,7 +35,11 @@ object StlSource {
   private def isBinary(bytes: Array[Byte]): Boolean = {
     if (bytes.length < 84) return false
     val n = ByteBuffer.wrap(bytes, 80, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
-    n >= 0 && bytes.length == 84L + 50L * n
+    // tolerate trailing padding/newlines after the declared records (common
+    // in the wild); an ascii file can't satisfy the length relation AND
+    // lack "facet" in its head
+    val head = new String(bytes, 0, math.min(512, bytes.length), "ISO-8859-1")
+    n > 0 && bytes.length >= 84L + 50L * n && !head.contains("facet")
   }
 
   private def parseBinary(bytes: Array[Byte]): StlMesh = {
@@ -61,10 +65,13 @@ object StlSource {
   }
 
   private def parseAscii(bytes: Array[Byte]): StlMesh = {
+    val text = new String(bytes, "US-ASCII")
+    require(text.contains("solid"),
+      "not an STL file: no binary record structure and no ascii 'solid' keyword")
     val normals = Array.newBuilder[Array[Double]]
     val vertices = Array.newBuilder[Array[Double]]
     var nVerts = 0
-    new String(bytes, "US-ASCII").linesIterator.map(_.trim).foreach { line =>
+    text.linesIterator.map(_.trim).foreach { line =>
       if (line.startsWith("facet normal")) {
         val t = line.split("\\s+")
         require(t.length >= 5, s"malformed facet line: $line")

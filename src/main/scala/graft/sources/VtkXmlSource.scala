@@ -527,6 +527,9 @@ object VtkXmlSource {
               case "VTKFile" =>
                 headerType = Option(r.getAttributeValue(null, "header_type"))
                   .getOrElse("UInt32")
+                Option(r.getAttributeValue(null, "byte_order")).foreach { bo =>
+                  require(bo == "LittleEndian", s"unsupported byte_order $bo")
+                }
                 Option(r.getAttributeValue(null, "compressor")).foreach { c =>
                   require(c == "vtkZLibDataCompressor", s"unsupported compressor $c")
                   compressed = true

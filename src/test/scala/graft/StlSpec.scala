@@ -55,6 +55,14 @@ class StlSpec extends SparkSpec {
     assert(b.normals(0).toSeq == Seq(0.0, 0.0, 1.0))
   }
 
+  test("binary with trailing padding still parses; junk bytes fail loudly") {
+    val padded = binaryStl ++ "\n\n".getBytes
+    assert(StlSource.parse(padded).normals.length == 2)
+    intercept[IllegalArgumentException] {
+      StlSource.parse(Array.fill[Byte](200)(9)) // neither binary nor ascii
+    }
+  }
+
   test("read → long tables → weld + quality compose") {
     val dir = Files.createTempDirectory("stl").toString
     Files.writeString(Paths.get(dir, "a.stl"), asciiStl)

@@ -296,6 +296,13 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(KeyFilters.resolvePathValue(spec, "/d/tri_0.vtp", 3) == 1)
     assert(KeyFilters.resolvePathValue(spec, "/d/other.vtu", 3) == 2)
     assert(KeyFilters.resolvePathValue(Seq("x_*" -> 9), "/d/y", 3) == 3)
+
+    // fnmatch class edge cases: leading ']' is a literal; regex metachars
+    // inside a class stay literal
+    assert(KeyFilters.globMatches("a]b", "a[]]b"))
+    assert(!KeyFilters.globMatches("axb", "a[]]b"))
+    assert(KeyFilters.globMatches("a&b", "a[&x]b"))
+    assert(KeyFilters.globMatches("a^b", "a[x^]b"))
   }
 
   test("read with per-path rules prunes arrays per file") {

@@ -98,7 +98,23 @@ object SparkEntry {
     "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
+    "q_salted_join" -> (qSaltedJoin _),
   )
+
+  /** Skew-salted equi-join vs a plain-join oracle: salting must be
+    * result-invariant (it only changes the shuffle layout), so the salted
+    * lineitem⋈orders aggregates equal DuckDB's plain join.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k"), col("l_partkey"), col("l_quantity"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), rnd(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
 
   /** Zarr v2 sink→source cycle (the reference's primary output format):
     * events aggregated onto a 32×64 grid, written as a real chunked+zlib
@@ -1336,6 +1352,14 @@ object SparkEntry {
         |  round(1.5 * n_cells * (n_cells + 1) / 2 + 1e-6, 2) AS sum_sx,
         |  round(0.25 * n_cells * n_cells + 1e-6, 2) AS sum_epsp
         |FROM a ORDER BY mesh_id""".stripMargin,
+
+    // Salting only changes the shuffle layout — the result must equal a
+    // plain join.
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Zarr cycle mirror: <f8 cells are bit-exact through the chunk files,
     // so the oracle rebuilds the full fill-padded lattice from events.

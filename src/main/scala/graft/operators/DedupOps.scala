@@ -140,24 +140,33 @@ object DedupOps {
     * large-star/small-star (Kiveris et al.) — same DataFrame shape.
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val sym = cached(
       pairs.select(col("da").as("a"), col("db").as("b"))
         .union(pairs.select(col("db").as("a"), col("da").as("b"))))
     // localCheckpoint (not persist) each round: persist keeps the LOGICAL
     // plan, so an iterative join would grow the lineage until planning
     // itself OOMs; checkpointing truncates it to the materialized result.
-    // On a cluster prefer reliable checkpoint(dir) for fault tolerance.
-    var labels = ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label"))
-      .localCheckpoint()
+    // `checkpointDir` switches to RELIABLE checkpoints (HDFS/S3-backed) so
+    // a lost executor mid-iteration replays from storage, not from the
+    // whole lineage — the cluster fault-tolerance mode.
+    checkpointDir.foreach { d =>
+      val sc = ids.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
+    def checkpointed(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var labels = checkpointed(
+      ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val propagated = labels.join(sym, col("node") === col("a"))
-        .select(col("b").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val propagated = checkpointed(
+        labels.join(sym, col("node") === col("a"))
+          .select(col("b").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
       val changed = propagated.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
       labels = propagated

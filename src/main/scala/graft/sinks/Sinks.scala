@@ -46,6 +46,28 @@ object Sinks {
     listPartitionDirs(out)
   }
 
+  /** GridSidecarSink (`vti.py` memmap sidecars → zarr arrays): one zarr v2
+    * array per field of a long (field, i, j, value) grid, stored beside
+    * the mesh outputs as `<out>/<field>/`. A `.zgroup` marks the store
+    * root so zarr tooling opens it as a group.
+    */
+  def gridSidecar(df: DataFrame, out: String, shape: (Long, Long),
+                  chunks: (Int, Int)): Seq[String] = {
+    val spark = df.sparkSession
+    val fields = df.select("field").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val paths = fields.map { f =>
+      ZarrStore.writeArray2D(df.filter(col("field") === f).select("i", "j", "value"),
+        s"$out/$f", shape, chunks)
+    }
+    val zg = new org.apache.hadoop.fs.Path(s"$out/.zgroup")
+    val fs = zg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    val os = fs.create(zg, true)
+    try os.write("""{"zarr_format":2}""".getBytes("UTF-8")) finally os.close()
+    paths
+  }
+
   /** PSink factory for the pipeline/registry layer. */
   def parquetSink(out: String, partitionCols: Seq[String]): PSink =
     PSink("parquet", Map("path" -> out, "partition_by" -> partitionCols.mkString(",")),

@@ -106,6 +106,20 @@ class TextDedupSpec extends SparkSpec {
     assert((1L to n).forall(r(_) == 1L))
   }
 
+  test("connectedComponents: reliable checkpoint(dir) mode converges identically") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val ids = (1L to 8L).toDF("doc_id")
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("da", "db")
+    val r = graft.operators.DedupOps.connectedComponents(ids, "doc_id", chain,
+      checkpointDir = Some(dir))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 8L).forall(r(_) == 1L))
+    // reliable checkpoints actually landed on storage
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
   test("connectedComponents throws (not silently wrong) past maxIter") {
     val s = spark
     import s.implicits._

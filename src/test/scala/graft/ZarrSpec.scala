@@ -26,6 +26,20 @@ class ZarrSpec extends SparkSpec {
       "2.0", "2.1", "2.2"))
   }
 
+  test("gridSidecar: one zarr array per field + .zgroup marker") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("sidecar").toString + "/grids"
+    val df = Seq(("t2m", 0L, 0L, 1.0), ("t2m", 1L, 1L, 2.0), ("u10", 0L, 1L, 9.0))
+      .toDF("field", "i", "j", "value")
+    val paths = graft.sinks.Sinks.gridSidecar(df, out, shape = (2L, 2L), chunks = (2, 2))
+    assert(paths.length == 2)
+    assert(Files.exists(Paths.get(out, ".zgroup")))
+    val t2m = ZarrStore.readArray2D(spark, s"$out/t2m")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(t2m == Map((0L, 0L) -> 1.0, (0L, 1L) -> 0.0, (1L, 0L) -> 0.0, (1L, 1L) -> 2.0))
+  }
+
   test("write → read round trip with fills and edge chunks") {
     val s = spark
     import s.implicits._

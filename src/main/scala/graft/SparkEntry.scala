@@ -99,7 +99,27 @@ object SparkEntry {
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
   )
+
+  /** NetCDF classic sink→source cycle (the da-domain's real format):
+    * events aggregated onto per-event-type (time, lat, lon) record grids,
+    * written as CDF-1 files, re-read by `NetCdfSource`, reduced per
+    * (variable, record). `<f8` cells round-trip bit-exactly, so the oracle
+    * rebuilds the same sums straight from events (fills contribute 0).
+    */
+  private def qNetcdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_nc_rt_${math.abs(dir.hashCode)}"
+    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
+    val (_, data) = graft.sources.NetCdfSource.read(s, out)
+    data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("variable", "t")
+  }
 
   /** Skew-salted equi-join vs a plain-join oracle: salting must be
     * result-invariant (it only changes the shuffle layout), so the salted
@@ -1352,6 +1372,14 @@ object SparkEntry {
         |  round(1.5 * n_cells * (n_cells + 1) / 2 + 1e-6, 2) AS sum_sx,
         |  round(0.25 * n_cells * n_cells + 1e-6, 2) AS sum_epsp
         |FROM a ORDER BY mesh_id""".stripMargin,
+
+    // NetCDF cycle mirror: <f8 record grids round-trip bit-exactly; fills
+    // are 0 so per-(variable, record) sums come straight from events.
+    "q_netcdf_roundtrip" ->
+      """SELECT event_type AS variable, event_id % 2 AS t,
+        |  CAST(128 AS BIGINT) AS n_cells,
+        |  round(sum(value) + 1e-6, 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Salting only changes the shuffle layout — the result must equal a
     // plain join.

@@ -100,7 +100,22 @@ object SparkEntry {
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
+    "q_ivf_topk" -> (qIvfTopk _),
   )
+
+  /** IVF top-k at nProbe = k (every list probed): provably exhaustive, so
+    * the brute-force SQL mirror applies exactly — this gates the IVF
+    * machinery (quantizer, list assignment, probe ranking, re-rank) while
+    * SimilaritySpec pins the recall/probe trade at nProbe < k.
+    */
+  private def qIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 3, dimHint = 64)
+    SimilarityOps.ivfTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
+      centroids = cents, nProbe = 16)
+      .orderBy("ia", "rank")
+  }
 
   /** NetCDF classic sink→source cycle (the da-domain's real format):
     * events aggregated onto per-event-type (time, lat, lon) record grids,
@@ -1078,6 +1093,18 @@ object SparkEntry {
          |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.3 ORDER BY ia, ib""".stripMargin,
 
     "q_topk_cosine" ->
+      s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |r AS (SELECT ia, ib, cos_r,
+         |  CAST(row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT ia, rank, ib, cos_r FROM r WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // Same mirror as q_topk_cosine: at nProbe = k the IVF search is
+    // exhaustive by construction.
+    "q_ivf_topk" ->
       s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id

@@ -353,6 +353,41 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(wide.count() == 2)
   }
 
+  test("timestep series: per-run file order → t index, displacement vs t0") {
+    def vtuAt(shift: Double, u: Double) =
+      s"""<?xml version="1.0"?>
+         |<VTKFile type="UnstructuredGrid">
+         | <UnstructuredGrid><Piece NumberOfPoints="3" NumberOfCells="1">
+         |  <Points><DataArray type="Float64" NumberOfComponents="3" format="ascii">
+         |    $shift 0 0  ${1 + shift} 0 0  $shift 1 0
+         |  </DataArray></Points>
+         |  <Cells>
+         |   <DataArray type="Int64" Name="connectivity" format="ascii">0 1 2</DataArray>
+         |   <DataArray type="Int64" Name="offsets" format="ascii">3</DataArray>
+         |  </Cells>
+         |  <PointData><DataArray type="Float64" Name="u" format="ascii">$u $u $u</DataArray></PointData>
+         | </Piece></UnstructuredGrid>
+         |</VTKFile>""".stripMargin
+    val root = Files.createTempDirectory("series").toString
+    Files.createDirectories(Paths.get(root, "run_a"))
+    Files.writeString(Paths.get(root, "run_a", "anim_000.vtu"), vtuAt(0.0, 1.0))
+    Files.writeString(Paths.get(root, "run_a", "anim_001.vtu"), vtuAt(0.25, 2.0))
+    Files.writeString(Paths.get(root, "run_a", "anim_002.vtu"), vtuAt(0.75, 3.0))
+
+    val (points, cells, states, pd) =
+      graft.sources.VtkTimeSeriesSource.read(spark, root)
+    assert(points.count() == 3 && cells.count() == 1)
+    assert(states.count() == 9 && pd.count() == 9)
+    // displacement at t2 = 0.75 in x for every point
+    val d2 = states.filter(col("t") === 2).select("dx").distinct().collect()
+    assert(d2.map(_.getDouble(0)).toSeq == Seq(0.75))
+    assert(states.filter(col("t") === 0).select(max(abs(col("dx")))).first().getDouble(0) == 0.0)
+    // per-timestep nodal field arrives with its t
+    val u = pd.groupBy("t").agg(avg("value").as("u")).orderBy("t")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(u == Seq(1.0, 2.0, 3.0))
+  }
+
   test(".vtm multiblock: manifest parse + distributed read of referenced files") {
     val dir = Files.createTempDirectory("vtm").toString
     Files.writeString(Paths.get(dir, "blk0.vtu"), vtu)

@@ -1401,12 +1401,20 @@ object SparkEntry {
         |FROM a ORDER BY mesh_id""".stripMargin,
 
     // NetCDF cycle mirror: <f8 record grids round-trip bit-exactly; fills
-    // are 0 so per-(variable, record) sums come straight from events.
+    // are 0. The lattice is rebuilt COMPLETE (every variable × record),
+    // because the sink always writes nRecs records even when a
+    // (variable, parity) group has no events.
     "q_netcdf_roundtrip" ->
-      """SELECT event_type AS variable, event_id % 2 AS t,
-        |  CAST(128 AS BIGINT) AS n_cells,
-        |  round(sum(value) + 1e-6, 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT DISTINCT e.event_type AS variable, r.range AS t
+        |  FROM events e, range(2) r),
+        |f AS (SELECT l.variable, l.t, coalesce(g.v, 0.0) AS v
+        |  FROM l LEFT JOIN g ON l.variable = g.variable AND l.t = g.t)
+        |SELECT variable, t, CAST(128 AS BIGINT) AS n_cells,
+        |  round(v + 1e-6, 2) AS sum_value
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     // Salting only changes the shuffle layout — the result must equal a
     // plain join.

@@ -150,26 +150,45 @@ object DedupOps {
     // itself OOMs; checkpointing truncates it to the materialized result.
     // `checkpointDir` switches to RELIABLE checkpoints (HDFS/S3-backed) so
     // a lost executor mid-iteration replays from storage, not from the
-    // whole lineage — the cluster fault-tolerance mode.
-    checkpointDir.foreach { d =>
-      val sc = ids.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    // whole lineage — the cluster fault-tolerance mode. The dir is set
+    // unconditionally (the caller asked for THIS dir; note it updates the
+    // session's checkpoint location), and superseded iterations' files are
+    // deleted once no longer referenced — Spark does not clean reliable
+    // checkpoints itself, so 20 iterations would otherwise leave 20 full
+    // label-table snapshots on storage.
+    val sc = ids.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    val ckptFs = checkpointDir.map { _ =>
+      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      (root.getFileSystem(sc.hadoopConfiguration), root)
     }
-    def checkpointed(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    var labels = checkpointed(
+    def listCkpt(): Set[String] = ckptFs.map { case (fs, root) =>
+      if (!fs.exists(root)) Set.empty[String]
+      else fs.listStatus(root).map(_.getPath.toString).toSet
+    }.getOrElse(Set.empty)
+    def checkpointed(df: DataFrame): (DataFrame, Set[String]) = {
+      val before = listCkpt()
+      val out = if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      (out, listCkpt() -- before) // dirs this checkpoint created
+    }
+    def dropCkptDirs(dirs: Set[String]): Unit = ckptFs.foreach { case (fs, _) =>
+      dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    }
+    var (labels, labelDirs) = checkpointed(
       ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val propagated = checkpointed(
+      val (propagated, newDirs) = checkpointed(
         labels.join(sym, col("node") === col("a"))
           .select(col("b").as("node"), col("label"))
           .union(labels)
           .groupBy(col("node")).agg(min(col("label")).as("label")))
       val changed = propagated.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).limit(1).count()
+      dropCkptDirs(labelDirs) // old labels no longer referenced past here
       labels = propagated
+      labelDirs = newDirs
       converged = changed == 0
       it += 1
     }

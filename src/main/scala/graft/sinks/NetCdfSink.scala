@@ -42,6 +42,8 @@ object NetCdfSink {
 
   private def render(name: String, cells: Seq[Row],
                      nLat: Int, nLon: Int, nRecs: Int): Array[Byte] = {
+    require(!name.contains("/"),
+      s"variable name '$name' contains '/' — would write outside the store")
     val perRec = nLat * nLon
     val data = Array.fill(nRecs * perRec)(0.0)
     cells.foreach { c =>
@@ -53,8 +55,10 @@ object NetCdfSink {
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
     def nm(s: String): Unit = {
-      o.writeInt(s.length); o.write(s.getBytes("UTF-8"))
-      val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+      // length and padding are over the UTF-8 BYTES, not Java chars
+      val b = s.getBytes("UTF-8")
+      o.writeInt(b.length); o.write(b)
+      val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
     def header(begin: Int): Unit = {
       o.write("CDF".getBytes); o.write(1)

@@ -54,12 +54,16 @@ object Sinks {
   def gridSidecar(df: DataFrame, out: String, shape: (Long, Long),
                   chunks: (Int, Int)): Seq[String] = {
     val spark = df.sparkSession
-    val fields = df.select("field").distinct()
+    // one distinct pass + one write per field would otherwise recompute
+    // the (possibly expensive) upstream plan N+1 times
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fields = cached.select("field").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
-    val paths = fields.map { f =>
-      ZarrStore.writeArray2D(df.filter(col("field") === f).select("i", "j", "value"),
-        s"$out/$f", shape, chunks)
-    }
+    val paths =
+      try fields.map { f =>
+        ZarrStore.writeArray2D(cached.filter(col("field") === f).select("i", "j", "value"),
+          s"$out/$f", shape, chunks)
+      } finally cached.unpersist()
     val zg = new org.apache.hadoop.fs.Path(s"$out/.zgroup")
     val fs = zg.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.setWriteChecksum(false)

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * inside `flatMap`, emitting the long mesh model plus per-state tables.
   *
   * Supported subset (the shape the reference's crash pipelines consume):
-  *  - little-endian 32-bit words (float32 / int32), single file (no
-  *    d3plot01.. family continuation);
+  *  - little-endian 32-bit words (float32 / int32); family continuation
+  *    files (d3plot01, d3plot02, … — state data only) assemble per run
+  *    via `parseFamily` / `read`;
   *  - control block (64 words): TITLE[10], NDIM, NUMNP, NGLBV, IT/IU/IV/IA,
   *    NEL8/NUMMAT8/NV3D, NEL2/NUMMAT2/NV1D, NEL4/NUMMAT4/NV2D, MAXINT
   *    (1-based manual words 1..64);
@@ -300,7 +301,7 @@ object D3PlotSource {
           (path, t, st.time.toDouble, n.toLong,
             v(0).toDouble, v(1).toDouble, v(2).toDouble)
         }
-      }.toSeq
+      } // iterator: streams out of the task, not materialized
     }.toDF("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")
 
     val shellData = parsed.flatMap { case (path, f) =>
@@ -314,7 +315,7 @@ object D3PlotSource {
               st.shellEpsp(e)(l).toDouble)
           }
         }
-      }.toSeq
+      } // iterator: streams out of the task, not materialized
     }.toDF("mesh_id", "t", "cell_id", "layer",
       "sx", "sy", "sz", "txy", "tyz", "tzx", "epsp")
 

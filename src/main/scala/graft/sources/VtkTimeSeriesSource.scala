@@ -58,22 +58,33 @@ object VtkTimeSeriesSource {
     val cells = runs.flatMap { case (run, _, cs, _, _) =>
       cs.iterator.zipWithIndex.map { case (vs, i) => (run, i.toLong, vs.toSeq) }.toSeq
     }.toDF("run_id", "cell_id", "vertices")
+    // iterators, not .toSeq: the timesteps × points expansion streams out
+    // of the task instead of materializing next to the held series
     val states = runs.flatMap { case (run, p0, _, series, _) =>
       series.iterator.zipWithIndex.flatMap { case (pts, t) =>
         pts.iterator.zipWithIndex.map { case ((x, y, z), i) =>
           val (x0, y0, z0) = p0(i)
           (run, t, i.toLong, x, y, z, x - x0, y - y0, z - z0)
         }
-      }.toSeq
+      }
     }.toDF("run_id", "t", "point_id", "px", "py", "pz", "dx", "dy", "dz")
-    val pointData = runs.flatMap { case (run, _, _, _, fieldsPerT) =>
+    val pointData = runs.flatMap { case (run, p0, _, _, fieldsPerT) =>
+      val nPts = p0.length
       fieldsPerT.iterator.zipWithIndex.flatMap { case (fields, t) =>
         fields.iterator.flatMap { case (field, vals) =>
-          vals.iterator.zipWithIndex.map { case (v, i) =>
-            (run, t, i.toLong, field, v)
+          // multi-component arrays (velocity etc.): values interleave per
+          // point; emit one row per (point, component) with a suffixed name
+          val comps =
+            if (nPts == 0 || vals.length % nPts != 0) 1
+            else vals.length / nPts
+          require(vals.length == nPts * comps,
+            s"field $field has ${vals.length} values for $nPts points")
+          vals.iterator.zipWithIndex.map { case (v, flat) =>
+            val name = if (comps == 1) field else s"${field}_${flat % comps}"
+            (run, t, (flat / comps).toLong, name, v)
           }
         }
-      }.toSeq
+      }
     }.toDF("run_id", "t", "point_id", "field", "value")
     (points, cells, states, pointData)
   }

@@ -1,0 +1,244 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{NetCdfSource, StlSource, VtkXmlSource}
+
+/** Property tests for the pure byte-level codecs: layout invariance and
+  * write→parse identities under randomized shapes, sizes and encodings —
+  * the block-boundary / padding / header-width edge cases a fixed fixture
+  * can miss. Pure JVM (no Spark session), so hundreds of cases are cheap.
+  */
+class CodecPropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // exact binary fractions: equality-safe through float32 and text round trips
+  private val exactD: Gen[Double] =
+    Gen.chooseNum(-(1 << 20), 1 << 20).map(_ / 1024.0)
+
+  // ------------------------------------------------------------------ VTK
+
+  /** The same arrays must decode identically through EVERY DataArray
+    * layout: ascii, inline base64 ± zlib, appended raw/base64 ± zlib,
+    * UInt32/UInt64 headers — including sizes that straddle the 32 KiB
+    * zlib block boundary.
+    */
+  test("VTK: decoded arrays are layout-invariant") {
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    def le(doubles: Seq[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(doubles.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      doubles.foreach(bb.putDouble); bb.array()
+    }
+    def header(ht: String, n: Long): Array[Byte] = {
+      val w = if (ht == "UInt64") 8 else 4
+      val bb = ByteBuffer.allocate(w).order(ByteOrder.LITTLE_ENDIAN)
+      if (ht == "UInt64") bb.putLong(n) else bb.putInt(n.toInt)
+      bb.array()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def zlibLayout(raw: Array[Byte], ht: String): (Array[Byte], Array[Byte]) = {
+      val block = 32768
+      val blocks = if (raw.isEmpty) Array.empty[Array[Byte]]
+                   else raw.grouped(block).toArray
+      val comp = blocks.map(deflate)
+      val w = if (ht == "UInt64") 8 else 4
+      val hb = ByteBuffer.allocate(w * (3 + comp.length)).order(ByteOrder.LITTLE_ENDIAN)
+      def put(n: Long): Unit = if (ht == "UInt64") hb.putLong(n) else hb.putInt(n.toInt)
+      put(blocks.length.toLong); put(block.toLong)
+      put(if (blocks.isEmpty) 0L else blocks.last.length.toLong)
+      comp.foreach(c => put(c.length.toLong))
+      (hb.array(), comp.flatten)
+    }
+
+    val gen = for {
+      n <- Gen.chooseNum(1, 6000) // up to ~47 KB of doubles → 2 zlib blocks
+      vals <- Gen.listOfN(n, exactD)
+      ht <- Gen.oneOf("UInt32", "UInt64")
+      layout <- Gen.oneOf("ascii", "binary", "binary-zlib", "appended-raw",
+        "appended-raw-zlib", "appended-b64")
+    } yield (vals, ht, layout)
+
+    check(Prop.forAllNoShrink(gen) { case (vals, ht, layout) =>
+      val raw = le(vals)
+      val comp = if (layout.endsWith("zlib")) """ compressor="vtkZLibDataCompressor"""" else ""
+      val xml = layout match {
+        case "ascii" =>
+          s"""<VTKFile type="UnstructuredGrid" header_type="$ht">
+             |<UnstructuredGrid><Piece><PointData>
+             |<DataArray type="Float64" Name="v" format="ascii">${vals.mkString(" ")}</DataArray>
+             |</PointData></Piece></UnstructuredGrid></VTKFile>""".stripMargin.getBytes("UTF-8")
+        case "binary" =>
+          val payload = b64(header(ht, raw.length.toLong) ++ raw)
+          s"""<VTKFile type="UnstructuredGrid" header_type="$ht">
+             |<UnstructuredGrid><Piece><PointData>
+             |<DataArray type="Float64" Name="v" format="binary">$payload</DataArray>
+             |</PointData></Piece></UnstructuredGrid></VTKFile>""".stripMargin.getBytes("UTF-8")
+        case "binary-zlib" =>
+          val (h, d) = zlibLayout(raw, ht)
+          val payload = b64(h) + b64(d)
+          s"""<VTKFile type="UnstructuredGrid" header_type="$ht"$comp>
+             |<UnstructuredGrid><Piece><PointData>
+             |<DataArray type="Float64" Name="v" format="binary">$payload</DataArray>
+             |</PointData></Piece></UnstructuredGrid></VTKFile>""".stripMargin.getBytes("UTF-8")
+        case "appended-raw" | "appended-raw-zlib" =>
+          val data = if (layout.endsWith("zlib")) {
+            val (h, d) = zlibLayout(raw, ht); h ++ d
+          } else header(ht, raw.length.toLong) ++ raw
+          val head =
+            s"""<VTKFile type="UnstructuredGrid" header_type="$ht"$comp>
+               |<UnstructuredGrid><Piece><PointData>
+               |<DataArray type="Float64" Name="v" format="appended" offset="0"/>
+               |</PointData></Piece></UnstructuredGrid>
+               |<AppendedData encoding="raw">_""".stripMargin
+          head.getBytes("UTF-8") ++ data ++ "</AppendedData></VTKFile>".getBytes("UTF-8")
+        case "appended-b64" =>
+          val payload = b64(header(ht, raw.length.toLong) ++ raw)
+          s"""<VTKFile type="UnstructuredGrid" header_type="$ht">
+             |<UnstructuredGrid><Piece><PointData>
+             |<DataArray type="Float64" Name="v" format="appended" offset="0"/>
+             |</PointData></Piece></UnstructuredGrid>
+             |<AppendedData encoding="base64">_$payload</AppendedData></VTKFile>""".stripMargin.getBytes("UTF-8")
+      }
+      val got = VtkXmlSource.parseVtu(xml).pointData("v").toSeq
+      Prop(got == vals) :| s"layout=$layout ht=$ht n=${vals.length}"
+    }, n = 60)
+  }
+
+  // ------------------------------------------------------------------ STL
+
+  test("STL: binary render → parse identity; ascii agrees") {
+    val triGen = Gen.listOfN(9, exactD.map(_.toFloat))
+    val meshGen = for {
+      nf <- Gen.chooseNum(1, 40)
+      tris <- Gen.listOfN(nf, triGen)
+    } yield tris
+
+    check(Prop.forAllNoShrink(meshGen) { tris =>
+      val bb = ByteBuffer.allocate(84 + 50 * tris.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.position(80); bb.putInt(tris.length)
+      tris.foreach { t =>
+        bb.putFloat(0f).putFloat(0f).putFloat(1f)
+        t.foreach(bb.putFloat)
+        bb.putShort(0.toShort)
+      }
+      val bin = StlSource.parse(bb.array())
+      // print the DOUBLE value: Float.toString's shortest form round-trips
+      // through float parsing, not the double parsing the ascii reader does
+      val ascii =
+        ("solid g\n" + tris.map { t =>
+          " facet normal 0 0 1\n  outer loop\n" +
+            t.grouped(3).map(v =>
+              s"   vertex ${v(0).toDouble} ${v(1).toDouble} ${v(2).toDouble}").mkString("\n") +
+            "\n  endloop\n endfacet"
+        }.mkString("\n") + "\nendsolid g").getBytes("US-ASCII")
+      val asc = StlSource.parse(ascii)
+      Prop(bin.vertices.map(_.toSeq).toSeq == tris.flatMap(_.grouped(3).map(_.map(_.toDouble).toSeq)) &&
+        asc.vertices.map(_.toSeq).toSeq == bin.vertices.map(_.toSeq).toSeq)
+    })
+  }
+
+  // --------------------------------------------------------------- NetCDF
+
+  test("NetCDF: random record grids render → values identity") {
+    val gen = for {
+      nLat <- Gen.chooseNum(1, 4)
+      nLon <- Gen.chooseNum(1, 5)
+      nRecs <- Gen.chooseNum(0, 3)
+      vals <- Gen.listOfN(nRecs * nLat * nLon, exactD)
+    } yield (nLat, nLon, nRecs, vals)
+
+    check(Prop.forAllNoShrink(gen) { case (nLat, nLon, nRecs, vals) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def nm(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+        val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+      }
+      def hdr(begin: Int): Unit = {
+        o.write("CDF".getBytes); o.write(1)
+        o.writeInt(nRecs)
+        o.writeInt(0x0A); o.writeInt(3)
+        nm("time"); o.writeInt(0)
+        nm("lat"); o.writeInt(nLat)
+        nm("lon"); o.writeInt(nLon)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(0x0B); o.writeInt(1)
+        nm("v"); o.writeInt(3)
+        o.writeInt(0); o.writeInt(1); o.writeInt(2)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(6); o.writeInt(nLat * nLon * 8); o.writeInt(begin)
+      }
+      hdr(0); val len = bos.size(); bos.reset(); hdr(len)
+      vals.foreach(o.writeDouble); o.flush()
+      val got = NetCdfSource.values(bos.toByteArray)
+        .filter(_._1 == "v").sortBy(_._2).map(_._3)
+      Prop(got == vals) :| s"$nRecs×$nLat×$nLon"
+    })
+  }
+
+  // --------------------------------------------------------------- d3plot
+
+  test("d3plot: random shell runs render → parse identity") {
+    val gen = for {
+      numnp <- Gen.chooseNum(4, 20)
+      nel4 <- Gen.chooseNum(0, 5)
+      maxint <- Gen.chooseNum(1, 3)
+      nStates <- Gen.chooseNum(0, 3)
+      coords <- Gen.listOfN(numnp * 3, exactD.map(_.toFloat))
+      stateVals <- Gen.listOfN(nStates * (numnp * 3 + nel4 * maxint * 7),
+        exactD.map(_.toFloat))
+    } yield (numnp, nel4, maxint, nStates, coords, stateVals)
+
+    check(Prop.forAllNoShrink(gen) { case (numnp, nel4, maxint, nStates, coords, stateVals) =>
+      val nv2d = maxint * 7
+      val stateWords = 1 + numnp * 3 + nel4 * nv2d
+      val total = 64 + numnp * 3 + nel4 * 5 + nStates * stateWords + 1
+      val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("prop".padTo(40, ' ').getBytes("US-ASCII"))
+      (10 until 64).foreach {
+        case 15 => bb.putInt(4)
+        case 16 => bb.putInt(numnp)
+        case 20 => bb.putInt(1)
+        case 31 => bb.putInt(nel4)
+        case 32 => bb.putInt(1)
+        case 33 => bb.putInt(if (nel4 > 0) nv2d else 0)
+        case 36 => bb.putInt(if (nel4 > 0) maxint else 0)
+        case _  => bb.putInt(0)
+      }
+      coords.foreach(bb.putFloat)
+      (0 until nel4).foreach { e =>
+        Seq(1, 2, 3, 4).foreach(bb.putInt); bb.putInt(e + 1)
+      }
+      val perState = stateVals.grouped(numnp * 3 + nel4 * nv2d).toSeq
+      perState.zipWithIndex.foreach { case (vs, t) =>
+        bb.putFloat(t * 1.0f)
+        vs.foreach(bb.putFloat)
+      }
+      bb.putFloat(-999999.0f)
+      val f = graft.sources.D3PlotSource.parse(bb.array())
+      val coordsOk = f.coords.flatten.toSeq == coords
+      val statesOk = f.states.length == nStates &&
+        f.states.zipWithIndex.forall { case (st, t) =>
+          val vs = perState(t)
+          st.nodeVec.flatten.toSeq == vs.take(numnp * 3) &&
+            st.shellStress.flatten.flatten.toSeq ++ Seq.empty ==
+              (0 until nel4).flatMap(e => (0 until maxint).flatMap(l =>
+                vs.slice(numnp * 3 + e * nv2d + l * 7, numnp * 3 + e * nv2d + l * 7 + 6)))
+        }
+      Prop(coordsOk && statesOk) :| s"numnp=$numnp nel4=$nel4 maxint=$maxint states=$nStates"
+    }, n = 60)
+  }
+}

@@ -101,7 +101,19 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
   )
+
+  /** SimHash banded pair detection vs an all-pairs popcount oracle: the
+    * pigeonhole banding must find EXACTLY the pairs within the Hamming
+    * radius (it is lossless, unlike probabilistic LSH).
+    */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = DedupOps.simhash(Tables.documents(s, dir), "doc_id", "text")
+    DedupOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .select(col("ia"), col("ib"), col("hamming"))
+      .orderBy("ia", "ib")
+  }
 
   /** IVF top-k at nProbe = k (every list probed): provably exhaustive, so
     * the brute-force SQL mirror applies exactly — this gates the IVF
@@ -1085,6 +1097,19 @@ object SparkEntry {
          |h AS (SELECT doc_id, ${hash64Sql("tok")} AS h FROM t),
          |b AS (SELECT doc_id, $SimhashBitSums FROM h GROUP BY 1)
          |SELECT doc_id, CAST($SimhashPacked AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin,
+
+    // All-pairs popcount mirror: banding is lossless (pigeonhole), so the
+    // banded pair set must equal the brute-force Hamming filter.
+    "q_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${hash64Sql("tok")} AS h FROM t),
+         |b AS (SELECT doc_id, $SimhashBitSums FROM h GROUP BY 1),
+         |s AS (SELECT doc_id, CAST($SimhashPacked AS BIGINT) AS sh FROM b)
+         |SELECT a.doc_id AS ia, c.doc_id AS ib,
+         |  CAST(bit_count(xor(a.sh, c.sh)) AS INTEGER) AS hamming
+         |FROM s a JOIN s c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.sh, c.sh)) <= 3
+         |ORDER BY ia, ib""".stripMargin,
 
     "q_cosine_pairs" ->
       s"""WITH p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

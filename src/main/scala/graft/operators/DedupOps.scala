@@ -226,4 +226,38 @@ object DedupOps {
     toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), packed.as("simhash"))
   }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming`, banded: by
+    * pigeonhole, two signatures within h bits agree EXACTLY on at least one
+    * of h+1 disjoint bit bands, so candidates come from a (band, band_key)
+    * bucket self-join — never all-pairs — and only candidates pay the exact
+    * popcount verify. The same shape as MinHash banding / multi-table LSH:
+    * the 100 TB-safe scheme for simhash dedup.
+    */
+  def simhashPairs(signatures0: DataFrame, idCol: String,
+                   maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"need ${maxHamming + 1} bands from $bits bits")
+    val signatures = cached(signatures0)
+    val nBands = maxHamming + 1
+    val w = bits / nBands
+    val banded = (0 until nBands).map { b =>
+      val lo = b * w
+      val width = if (b == nBands - 1) bits - lo else w
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      signatures.select(col(idCol), lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("band_key"))
+    }.reduce(_ unionByName _)
+    val cand = banded.select(col("band"), col("band_key"), col(idCol).as("ia"))
+      .join(banded.select(col("band"), col("band_key"), col(idCol).as("ib")),
+        Seq("band", "band_key"))
+      .filter(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    cand
+      .join(signatures.select(col(idCol).as("ia"), col("simhash").as("sa")), "ia")
+      .join(signatures.select(col(idCol).as("ib"), col("simhash").as("sb")), "ib")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("ia", "ib", "hamming")
+  }
 }

@@ -106,6 +106,19 @@ class TextDedupSpec extends SparkSpec {
     assert((1L to n).forall(r(_) == 1L))
   }
 
+  test("simhashPairs: banded candidates, lossless within radius, no cartesian") {
+    val s = spark
+    import s.implicits._
+    // ids 1/2 differ in 2 bits (≤3), 3 is far, 4 == 1 exactly
+    val sigs = Seq((1L, 0xF0F0L), (2L, 0xF0F3L), (3L, 0x0F0F0F0FL), (4L, 0xF0F0L))
+      .toDF("doc_id", "simhash")
+    val pairs = graft.operators.DedupOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2), (1L, 4L, 0), (2L, 4L, 2)))
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("connectedComponents: reliable checkpoint(dir) mode converges identically") {
     val s = spark
     import s.implicits._

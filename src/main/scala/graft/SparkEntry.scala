@@ -33,6 +33,24 @@ object SparkEntry {
     round(c + lit(if (d <= 2) 1e-6 else 1e-9), d)
   private def rnd(name: String, d: Int): org.apache.spark.sql.Column = rnd(col(name), d)
 
+  /** Tmp output dir for a sink→source round-trip query, CLEARED first: a
+    * stale store from a prior run with a different mesh/variable set (or a
+    * `dir.hashCode` collision between two sf dirs) must never leak into the
+    * re-read glob and break the oracle comparison.
+    */
+  private def freshTmpDir(prefix: String, dir: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/${prefix}_${math.abs(dir.hashCode)}"
+    val p = new java.io.File(out)
+    if (p.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(p)
+    }
+    out
+  }
+
   /** Flagship: regional-revenue 5-table join (NS-cylinder join shape,
     * reference `domains/mesh/sources/ns_cylinder.py:17-40`) on sf0.001.
     */
@@ -140,7 +158,7 @@ object SparkEntry {
       .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
         (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
       .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_nc_rt_${math.abs(dir.hashCode)}"
+    val out = freshTmpDir("graft_nc_rt", dir)
     graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
     val (_, data) = graft.sources.NetCdfSource.read(s, out)
     data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
@@ -175,7 +193,7 @@ object SparkEntry {
       .select((col("user_id") % 32).as("i"), (col("event_id") % 64).as("j"),
         col("value"))
       .groupBy("i", "j").agg(sum("value").as("value"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zarr_rt_${math.abs(dir.hashCode)}"
+    val out = freshTmpDir("graft_zarr_rt", dir)
     graft.sinks.ZarrStore.writeArray2D(g, out, shape = (32L, 64L), chunks = (8, 16))
     graft.sinks.ZarrStore.readArray2D(s, out)
       .agg(count(lit(1)).as("n_cells"),
@@ -224,7 +242,7 @@ object SparkEntry {
           ((col("cell_id") + lit(t)) * 0.125).as("epsp"))
       }
     }.reduce(_ unionByName _)
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_d3p_rt_${math.abs(dir.hashCode)}"
+    val out = freshTmpDir("graft_d3p_rt", dir)
     graft.sinks.D3PlotSink.write(pts, quads, states, shellData, out)
 
     val (rp, _, rs, rsh) = graft.sources.D3PlotSource.read(s, s"$out/*")
@@ -263,7 +281,7 @@ object SparkEntry {
       .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
         count(lit(1)).as("nv"))
       .filter(col("nv") === 3).drop("nv")
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stl_rt_${math.abs(dir.hashCode)}"
+    val out = freshTmpDir("graft_stl_rt", dir)
     graft.sinks.StlSink.write(pts, tris, out)
 
     val (rp, rc, _) = graft.sources.StlSource.read(s, s"$out")
@@ -418,7 +436,7 @@ object SparkEntry {
     val pd = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
       col("vec_id").cast("long").as("point_id"), lit("v").as("field"),
       col("embedding")(3).cast("double").as("value"))
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_vtu_rt_${math.abs(dir.hashCode)}"
+    val out = freshTmpDir("graft_vtu_rt", dir)
     graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended-zlib")
 
     val (rp, rc, rpd) = graft.sources.VtkXmlSource.read(s, out)

@@ -49,15 +49,31 @@ object MetricsListener {
   * wall time is the scheduler stage; each completed stage records wall
   * time, summed executor task time, and task count.
   */
-final class StageListener extends org.apache.spark.scheduler.SparkListener {
+final class StageListener(jobGroup: Option[String]) extends org.apache.spark.scheduler.SparkListener {
   final case class StageRec(stageId: Int, name: String, wallNs: Long,
                             executorRunNs: Long, nTasks: Int)
 
   private val buf = mutable.ArrayBuffer.empty[StageRec]
+  // completion events carry no scheduler properties, so job-group membership
+  // is resolved at SUBMISSION time (SparkListenerStageSubmitted.properties)
+  // and remembered by stage id until completion
+  private val accepted = mutable.Set.empty[Int]
+
+  override def onStageSubmitted(
+      ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+    jobGroup.foreach { g =>
+      val sg = Option(ss.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      if (sg.contains(g)) buf.synchronized { accepted += ss.stageInfo.stageId; () }
+    }
 
   override def onStageCompleted(
       sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
     val si = sc.stageInfo
+    val mine = buf.synchronized {
+      jobGroup.isEmpty || accepted.remove(si.stageId)
+    }
+    if (!mine) return // a concurrent job in the same session — not this run's
     val wallNs = (for { s <- si.submissionTime; c <- si.completionTime }
       yield (c - s) * 1000000L).getOrElse(0L)
     buf.synchronized {
@@ -85,9 +101,14 @@ final class StageListener extends org.apache.spark.scheduler.SparkListener {
 }
 
 object StageListener {
-  /** Attach to the SparkContext; detach with `detach` when done. */
-  def attach(spark: SparkSession): StageListener = {
-    val l = new StageListener
+  /** Attach to the SparkContext; detach with `detach` when done. When
+    * `jobGroup` is given, only stages submitted under that
+    * `sc.setJobGroup` id are recorded — the listener sits on the SHARED
+    * SparkContext, so without the filter a concurrent job on another
+    * thread would leak its stages into this run's stage_metrics.
+    */
+  def attach(spark: SparkSession, jobGroup: Option[String] = None): StageListener = {
+    val l = new StageListener(jobGroup)
     spark.sparkContext.addSparkListener(l)
     l
   }

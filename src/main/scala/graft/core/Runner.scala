@@ -50,17 +50,24 @@ object Runner {
     // the source is scanned exactly ONCE at full width.
     val obs = org.apache.spark.sql.Observation(s"graft_$runId")
     val observed = work.observe(obs, count(lit(1)).as("n_rows"))
-    // per-scheduler-stage wall time for the ledger's stage_metrics table
-    val stages = StageListener.attach(spark)
+    // per-scheduler-stage wall time for the ledger's stage_metrics table,
+    // scoped to THIS run's job group so concurrent jobs in the same session
+    // don't pollute stage_metrics
+    val group = s"graft_run_$runId"
+    val stages = StageListener.attach(spark, Some(group))
     val paths =
       try {
+        spark.sparkContext.setJobGroup(group, s"graft pipeline $runId")
         val p = pipeline.sink match {
           case Some(s) => s.write(observed)
           case None => observed.count(); Nil // metrics-only run
         }
         stages.awaitQuiesce() // async bus: drain before detaching
         p
-      } finally StageListener.detach(spark, stages)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        StageListener.detach(spark, stages)
+      }
     val nRows = obs.get("n_rows").asInstanceOf[Long]
     ledger.recordStageMetrics(spark, runId, stages.records)
 
@@ -73,9 +80,13 @@ object Runner {
     val executedIdx =
       if (resume) executedIdx0.join(completed, Seq("idx"), "left_anti")
       else executedIdx0
+    // nBefore MUST be materialized before recordCompleted appends this run's
+    // indices to the same index_results path — counting afterwards would rely
+    // on the stale file-index snapshot staying stale (fragile under cache
+    // invalidation or a concurrent writer).
+    val nBefore = if (resume) completed.count() else 0L
     val nExecuted = ledger.recordCompleted(spark, runId, executedIdx,
       System.nanoTime() - t0, nRows)
-    val nBefore = if (resume) completed.count() else 0L
     RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths)
   }
 }

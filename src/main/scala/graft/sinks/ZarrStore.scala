@@ -90,8 +90,14 @@ object ZarrStore {
         byChunk.foreach { case ((cci, ccj), rs) =>
           val buf = Array.fill(ci * cj)(fillValue)
           rs.foreach { r =>
-            val li = (r.getLong(0) - cci.toLong * ci).toInt
-            val lj = (r.getLong(1) - ccj.toLong * cj).toInt
+            val gi = r.getLong(0); val gj = r.getLong(1)
+            // out-of-shape rows would land in out-of-grid chunk files that
+            // readArray2D clips away — fail loudly instead (NetCdfSink.render
+            // applies the same per-cell bounds contract)
+            require(gi >= 0 && gi < n && gj >= 0 && gj < m,
+              s"zarr cell ($gi, $gj) outside array shape ($n, $m)")
+            val li = (gi - cci.toLong * ci).toInt
+            val lj = (gj - ccj.toLong * cj).toInt
             buf(li * cj + lj) = r.getDouble(2)
           }
           val bb = ByteBuffer.allocate(ci * cj * 8).order(ByteOrder.LITTLE_ENDIAN)

@@ -62,7 +62,12 @@ object AseLmdbSource {
     if (root == PInvalid) return Nil
 
     val out = Seq.newBuilder[(String, Array[Byte])]
+    // a corrupt/malicious file with a branch-page cycle must fail with the
+    // parser's descriptive IllegalArgumentException contract, not recurse to
+    // StackOverflowError
+    val visited = scala.collection.mutable.Set.empty[Long]
     def walk(pgno: Long): Unit = {
+      require(visited.add(pgno), s"B-tree cycle: page $pgno visited twice")
       val base = (pgno * psize).toInt
       require(base >= 0 && base + 16 <= bytes.length, s"page $pgno out of range")
       val flags = u16(base + 10)

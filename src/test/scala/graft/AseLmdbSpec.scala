@@ -115,6 +115,16 @@ class AseLmdbSpec extends SparkSpec {
     }
   }
 
+  test("branch-page cycle fails descriptively, not StackOverflowError") {
+    val img = lmdbBytes()
+    // re-point the branch root's first child (u16 lo at page4+100) at the
+    // root itself, forming a 4 -> 4 cycle
+    ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(4 * psize + 100, 4.toShort)
+    val e = intercept[IllegalArgumentException] { AseLmdbSource.parse(img) }
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("read + systems: reserved keys skipped, ndarray/plain forms decode") {
     val dir = Files.createTempDirectory("ase").toString
     Files.write(Paths.get(dir, "db0.aselmdb"), lmdbBytes())

@@ -26,6 +26,20 @@ class ZarrSpec extends SparkSpec {
       "2.0", "2.1", "2.2"))
   }
 
+  test("writeArray2D rejects out-of-shape cells instead of silently dropping") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("zarr").toString + "/oob"
+    val df = Seq((0L, 0L, 1.0), (10L, 3L, 2.0)) // i=10 outside 5×7
+      .toDF("i", "j", "value")
+    val e = intercept[Exception] {
+      ZarrStore.writeArray2D(df, dir, shape = (5L, 7L), chunks = (2, 3))
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("outside array shape"))
+  }
+
   test("gridSidecar: one zarr array per field + .zgroup marker") {
     val s = spark
     import s.implicits._

@@ -1047,11 +1047,13 @@ object SparkEntry {
     s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS bk FROM sig"
   }.mkString(" UNION ALL ")
 
-  private val SimhashBitSums = (0 until 32).map { j =>
+  // 64-bit simhash mirror (matches DedupOps.simhash's default width; the
+  // 60-bit hash leaves bits 60-63 structurally zero on both sides)
+  private val SimhashBitSums = (0 until 64).map { j =>
     s"sum(((h >> $j) & 1) * 2 - 1) AS b_$j"
   }.mkString(", ")
-  private val SimhashPacked = (0 until 32).map { j =>
-    s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)"
+  private val SimhashPacked = (0 until 64).map { j =>
+    s"(CASE WHEN b_$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
   /** Double-precision cosine between two embedding rows (aliases a, b). */

@@ -208,12 +208,19 @@ object DedupOps {
     connectedComponents(ids, idCol, pairs)
       .withColumn("is_survivor", col(idCol) === col("component"))
 
-  /** SimHash (32-bit): per-token hash bits weighted ±1 and summed per bit
-    * position; the fingerprint packs the positive-sum bits. One groupBy with
-    * 32 conditional sums — no explosion beyond the token rows.
+  /** SimHash: per-token hash bits weighted ±1 and summed per bit position;
+    * the fingerprint packs the positive-sum bits. One groupBy with `bits`
+    * conditional sums — no explosion beyond the token rows.
+    *
+    * Default is 64-bit: with `maxHamming = 3` pigeonhole banding that gives
+    * 16-bit band keys (65 k buckets/band) instead of 32-bit's 8-bit keys
+    * (256 buckets/band) — the difference between a bucket self-join that
+    * stays sparse at 10⁹ docs and one that degenerates toward O(n²/256).
+    * (`Text.hash64` carries 60 effective bits, so bits 60-63 of the pack are
+    * structurally zero — the top band still spans 4096 distinct keys.)
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-              bits: Int = 32): DataFrame = {
+              bits: Int = 64): DataFrame = {
     val toks = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("h", Text.hash64(col("tok")))
@@ -235,7 +242,7 @@ object DedupOps {
     * the 100 TB-safe scheme for simhash dedup.
     */
   def simhashPairs(signatures0: DataFrame, idCol: String,
-                   maxHamming: Int = 3, bits: Int = 32): DataFrame = {
+                   maxHamming: Int = 3, bits: Int = 64): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need ${maxHamming + 1} bands from $bits bits")
     val signatures = cached(signatures0)

@@ -144,6 +144,34 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs 64-bit default: lossless vs brute popcount on full-width sigs") {
+    val s = spark
+    import s.implicits._
+    // deterministic 60-bit-ish signatures spanning the full default width
+    val rng = new scala.util.Random(7)
+    val sigs = (1L to 40L).map { i =>
+      val base = rng.nextLong() & 0x0FFFFFFFFFFFFFFFL // like Text.hash64: 60-bit positive
+      (i, if (i % 5 == 0) base ^ (1L << rng.nextInt(60)) else base)
+    }.toDF("doc_id", "simhash")
+    val banded = graft.operators.DedupOps.simhashPairs(sigs, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(banded == brute)
+  }
+
+  test("simhash default width is 64-bit (fingerprints use bits above 31)") {
+    val fps = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    // under the old 32-bit pack every fingerprint was < 2^32; at 64-bit the
+    // upper 60-bit hash bits reach the pack (bits 60-63 stay zero)
+    assert(fps.exists(_ >= (1L << 32)))
+    assert(fps.forall(f => f >= 0 && (f >> 60) == 0))
+  }
+
   test("simhash: identical canonical docs get identical fingerprints") {
     val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

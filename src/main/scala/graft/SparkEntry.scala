@@ -120,6 +120,9 @@ object SparkEntry {
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_atomic_stats" -> (qAtomicStats _),
+    "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
+    "q_ledger_summary" -> (qLedgerSummary _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -330,6 +333,107 @@ object SparkEntry {
         col("n_species").cast("long").as("n_species"),
         col("pbc"), rnd("energy", 4).as("energy"))
       .orderBy("sys_id")
+  }
+
+  /** AtomicStatsFilter (`domains/atm/filters/stats.py:273`): per-field
+    * moments over system-level array columns — explode + one grouped agg
+    * (partial/final combine; no row blowup beyond the atom rows).
+    */
+  private def qAtomicStats(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val systems = emb.select(col("vec_id").as("sys_id"),
+      transform(col("embedding"), x => x.cast("double")).as("positions"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 4) + 5).as("charges"))
+    val p = graft.graph.GraphOps.perAtomFieldStats(systems, "positions")
+      .withColumn("field", lit("positions"))
+    val c = graft.graph.GraphOps.perAtomFieldStats(systems, "charges")
+      .withColumn("field", lit("charges"))
+    p.unionByName(c)
+      .select(col("field"), col("n"),
+        rnd("mean", 4).as("mean"), rnd("var_pop", 4).as("var_pop"),
+        rnd("min", 4).as("min"), rnd("max", 4).as("max"))
+      .orderBy("field")
+  }
+
+  /** ASELMDBSource round trip (`domains/atm/sources/aselmdb.py:647,806`):
+    * embeddings → ASE JSON rows (numpy arrays in `__ndarray__` form) →
+    * executor-built LMDB shard files → page-walk read-back → typed systems.
+    * Values survive exactly: float→double casts and Double↔string JSON
+    * round-trips are lossless, so the oracle mirrors straight off the
+    * original embeddings parquet.
+    */
+  private def qAselmdbRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val json = emb.select(col("vec_id").cast("long").as("row_id"),
+      concat(
+        lit("{\"numbers\":{\"__ndarray__\":[["), size(col("embedding")),
+        lit("],\"int64\",["),
+        concat_ws(",", transform(col("embedding"),
+          x => (floor(x.cast("double") * 4) + 5).cast("long").cast("string"))),
+        lit("]]},\"positions\":{\"__ndarray__\":[["), size(col("embedding")),
+        lit("],\"float64\",["),
+        concat_ws(",", transform(col("embedding"),
+          x => x.cast("double").cast("string"))),
+        lit("]]},\"energy\":"),
+        col("embedding")(0).cast("double").cast("string"), lit("}")).as("json"))
+      .repartition(4) // several LMDB shards, several branch/overflow layouts
+    val out = freshTmpDir("graft_ase_rt", dir)
+    graft.sinks.AseLmdbSink.write(json, out)
+    val sys = graft.sources.AseLmdbSource.systems(
+      graft.sources.AseLmdbSource.read(s, out))
+    sys.select(col("sys_id"),
+      size(col("atomic_numbers")).cast("long").as("n_atoms"),
+      size(array_distinct(col("atomic_numbers"))).cast("long").as("n_species"),
+      rnd("energy", 4).as("energy"),
+      rnd(aggregate(col("positions"), lit(0.0), (acc, x) => acc + x), 4).as("sum_pos"))
+      .orderBy("sys_id")
+  }
+
+  /** The ledger-oracle pipeline: STATIC name/params (only the load closure
+    * touches `dir`), so `canonicalConfig`/`configHash` — the §2.5 config
+    * identity — are compile-time-known and the oracle can assert the exact
+    * run_id and config length as literals.
+    */
+  private def ledgerPipelineFor(dir: String): graft.core.Pipeline =
+    graft.core.Pipeline(
+      graft.core.PSource("orders_by_mod8", Map("table" -> "orders", "mod" -> "8"),
+        sp => Tables.orders(sp, dir).withColumn("idx", col("o_orderkey") % 8)),
+      Vector(graft.core.PFilter("open_orders", Map("status" -> "O"),
+        df => df.filter(col("o_orderstatus") === "O"))),
+      None) // metrics-only run: the count action drives execution
+
+  /** Ledger-as-data (§2.5: checkpoint/resume, run identity, stage metrics,
+    * DB schema — reference `core/pipeline_store.py:540-620`): run the static
+    * pipeline twice on a fresh ledger — first executes, second resumes to a
+    * full skip — then summarize the ledger PARQUET itself. Every emitted
+    * value is deterministic: counts come from the orders table, the run id
+    * and config length from the byte-stable canonical config.
+    */
+  private def qLedgerSummary(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_ledger_rt", dir)
+    val pipe = ledgerPipelineFor(dir)
+    graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val r2 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val runId = pipe.configHash.take(16)
+    val idxRes = s.read.parquet(s"$ledgerDir/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+    val runs = s.read.parquet(s"$ledgerDir/runs").filter(col("run_id") === runId)
+    val stages = new graft.core.Ledger(ledgerDir).stageMetrics(s, runId)
+    idxRes
+      .agg(count(lit(1)).as("n_index_rows"),
+        countDistinct(col("idx")).as("n_indices"),
+        min(col("idx")).as("min_idx"), max(col("idx")).as("max_idx"),
+        max(col("n_rows")).as("observed_rows"),
+        (min(col("wall_ns")) > 0).cast("int").as("wall_positive"))
+      .crossJoin(runs.agg(count(lit(1)).as("n_runs"),
+        max(col("run_id")).as("run_id"),
+        max(length(col("config_json"))).cast("long").as("config_len")))
+      .crossJoin(stages.agg(
+        (count(lit(1)) > 0).cast("int").as("has_stage_metrics"),
+        (min(col("wall_ns")) >= 0).cast("int").as("stage_wall_nonneg")))
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .withColumn("run2_skipped", lit(r2.nSkipped))
   }
 
   /** Quality gate over `qualityFeatures`: thresholds compare exact rationals
@@ -1399,6 +1503,51 @@ object SparkEntry {
         |  true AS pbc,
         |  round(CAST(embedding[1] AS DOUBLE) + 1e-9, 4) AS energy
         |FROM embeddings ORDER BY sys_id""".stripMargin,
+
+    "q_ledger_summary" -> {
+      // config identity is dir-independent by construction, so the expected
+      // run id / config length are LITERALS — the oracle pins the exact hash
+      val p = ledgerPipelineFor("")
+      val runId = p.configHash.take(16)
+      val cfgLen = p.canonicalConfig.length
+      s"""WITH i AS (SELECT DISTINCT o_orderkey % 8 AS idx FROM orders)
+         |SELECT CAST(count(*) AS BIGINT) AS n_index_rows,
+         |  CAST(count(*) AS BIGINT) AS n_indices,
+         |  CAST(min(idx) AS BIGINT) AS min_idx,
+         |  CAST(max(idx) AS BIGINT) AS max_idx,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+         |     WHERE o_orderstatus = 'O') AS observed_rows,
+         |  1 AS wall_positive,
+         |  CAST(1 AS BIGINT) AS n_runs,
+         |  '$runId' AS run_id,
+         |  CAST($cfgLen AS BIGINT) AS config_len,
+         |  1 AS has_stage_metrics, 1 AS stage_wall_nonneg,
+         |  CAST(0 AS BIGINT) AS run2_executed,
+         |  CAST(count(*) AS BIGINT) AS run2_skipped
+         |FROM i""".stripMargin
+    },
+
+    "q_aselmdb_roundtrip" ->
+      """SELECT vec_id AS sys_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_atoms,
+        |  CAST(len(list_distinct(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 4) + 5 AS BIGINT)))) AS BIGINT) AS n_species,
+        |  round(CAST(embedding[1] AS DOUBLE) + 1e-9, 4) AS energy,
+        |  round(list_sum(embedding::DOUBLE[]) + 1e-9, 4) AS sum_pos
+        |FROM embeddings ORDER BY sys_id""".stripMargin,
+
+    "q_atomic_stats" ->
+      """WITH pos AS (SELECT unnest(embedding::DOUBLE[]) AS v FROM embeddings),
+        |chg AS (SELECT floor(unnest(embedding::DOUBLE[]) * 4) + 5 AS v FROM embeddings),
+        |s AS (
+        |  SELECT 'positions' AS field, count(*) AS n, avg(v) AS mean,
+        |    var_pop(v) AS var_pop, min(v) AS mn, max(v) AS mx FROM pos
+        |  UNION ALL
+        |  SELECT 'charges', count(*), avg(v), var_pop(v), min(v), max(v) FROM chg)
+        |SELECT field, n, round(mean + 1e-9, 4) AS mean,
+        |  round(var_pop + 1e-9, 4) AS var_pop,
+        |  round(mn + 1e-9, 4) AS min, round(mx + 1e-9, 4) AS max
+        |FROM s ORDER BY field""".stripMargin,
 
     // Same feature pipeline as q_text_quality, gated: thresholds compare
     // exact int/int rationals, so the kept set is engine-stable unrounded.

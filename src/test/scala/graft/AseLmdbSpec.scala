@@ -115,6 +115,39 @@ class AseLmdbSpec extends SparkSpec {
     }
   }
 
+  test("AseLmdbSink.buildImage round-trips through parse: inline, overflow, multi-leaf") {
+    val rng = new scala.util.Random(11)
+    // values spanning inline (< page/4) and BIGDATA overflow (> page) sizes,
+    // enough entries to force multiple leaves under a branch root
+    val entries = (1 to 120).map { i =>
+      val len = if (i % 17 == 0) 9000 + rng.nextInt(3000) else 40 + rng.nextInt(800)
+      val v = Array.fill[Byte](len)((i % 97).toByte)
+      i.toString -> v
+    }
+    val img = graft.sinks.AseLmdbSink.buildImage(entries)
+    val back = AseLmdbSource.parse(img).toMap
+    assert(back.keySet == entries.map(_._1).toSet)
+    entries.foreach { case (k, v) =>
+      assert(java.util.Arrays.equals(back(k), v), s"value mismatch at key $k")
+    }
+  }
+
+  test("AseLmdbSink.write -> AseLmdbSource.read round trip on executors") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("asew").toString + "/store"
+    val df = (1L to 50L).map(i => (i, s"""{"energy":$i.5}""")).toDF("row_id", "json")
+      .repartition(3)
+    val paths = graft.sinks.AseLmdbSink.write(df, dir)
+    assert(paths.nonEmpty && paths.forall(_.endsWith(".aselmdb")))
+    val rows = AseLmdbSource.read(spark, dir)
+    assert(rows.count() == 50)
+    val e = rows.select(col("row_id"),
+      get_json_object(col("json"), "$.energy").cast("double").as("energy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 50L).forall(i => e(i) == i + 0.5))
+  }
+
   test("branch-page cycle fails descriptively, not StackOverflowError") {
     val img = lmdbBytes()
     // re-point the branch root's first child (u16 lo at page4+100) at the

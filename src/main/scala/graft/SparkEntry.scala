@@ -123,6 +123,7 @@ object SparkEntry {
     "q_atomic_stats" -> (qAtomicStats _),
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
     "q_ledger_summary" -> (qLedgerSummary _),
+    "q_volume_assembly" -> (qVolumeAssembly _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -550,6 +551,49 @@ object SparkEntry {
     val nc = rc.groupBy(meshOf.as("mesh_id")).agg(count(lit(1)).as("n_cells"))
     val sv = rpd.filter(col("field") === "v")
       .groupBy(meshOf.as("mesh_id")).agg(sum("value").as("sv"))
+    np.join(nc, Seq("mesh_id")).join(sv, Seq("mesh_id"))
+      .select(col("mesh_id"), col("n_points"), col("n_cells"),
+        rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
+      .orderBy("mesh_id")
+  }
+
+  /** DrivAerML multi-part volume assembly (`drivaerml.py:275-301,624-733`):
+    * meshes written as VTU, byte-sharded into the `run_<i>/
+    * volume_<i>.vtu.NN.part` layout, re-assembled by `DrivAerMlSource`
+    * (contiguity-checked concat, one task per run) and aggregated. The
+    * assembled bytes are identical to the written file, so the oracle is
+    * the same parquet-side mirror as q_vtu_roundtrip.
+    */
+  private def qVolumeAssembly(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pts = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    val w = Window.partitionBy("mesh_id").orderBy("point_id")
+    val cls = pts
+      .withColumn("g", ((row_number().over(w) - 1) / 3).cast("long"))
+      .groupBy(col("mesh_id"), col("g").as("cell_id"))
+      .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
+        count(lit(1)).as("nv"))
+      .filter(col("nv") === 3).drop("nv")
+    val pd = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"), lit("v").as("field"),
+      col("embedding")(3).cast("double").as("value"))
+    val flat = freshTmpDir("graft_dml_flat", dir)
+    graft.sinks.VtuSink.write(pts, cls, pd, flat, format = "appended-zlib")
+    val root = freshTmpDir("graft_dml_runs", dir)
+    // small shards force several .NN.part files per run
+    graft.sources.DrivAerMlSource.shardToRunLayout(s, flat, root, partBytes = 1500)
+
+    val (rp, rc, rpd) = graft.sources.DrivAerMlSource.readVolume(s, root)
+    def runOf = regexp_extract(col("mesh_id"), "run_(\\d+)", 1).cast("long")
+    val np = rp.groupBy(runOf.as("mesh_id"))
+      .agg(count(lit(1)).as("n_points"), sum("x").as("sx"))
+    val nc = rc.groupBy(runOf.as("mesh_id")).agg(count(lit(1)).as("n_cells"))
+    val sv = rpd.filter(col("field") === "v")
+      .groupBy(runOf.as("mesh_id")).agg(sum("value").as("sv"))
     np.join(nc, Seq("mesh_id")).join(sv, Seq("mesh_id"))
       .select(col("mesh_id"), col("n_points"), col("n_cells"),
         rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
@@ -1431,6 +1475,15 @@ object SparkEntry {
     // write→read is bit-exact for Float64, so aggregates over the re-read
     // mesh equal aggregates over the source parquet.
     "q_vtu_roundtrip" ->
+      """WITH p AS (SELECT vec_id % 4 AS mesh_id,
+        |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[4] AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
+        |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Assembly is byte-identity, so the mirror is q_vtu_roundtrip's.
+    "q_volume_assembly" ->
       """WITH p AS (SELECT vec_id % 4 AS mesh_id,
         |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[4] AS DOUBLE) AS v
         |  FROM embeddings)

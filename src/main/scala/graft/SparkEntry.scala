@@ -124,6 +124,8 @@ object SparkEntry {
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
     "q_ledger_summary" -> (qLedgerSummary _),
     "q_volume_assembly" -> (qVolumeAssembly _),
+    "q_mesh_sink_layout" -> (qMeshSinkLayout _),
+    "q_grid_sidecar" -> (qGridSidecar _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -598,6 +600,47 @@ object SparkEntry {
       .select(col("mesh_id"), col("n_points"), col("n_cells"),
         rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
       .orderBy("mesh_id")
+  }
+
+  /** MeshSink naming-template layout (`mesh_writer.py:71,113-146`): write
+    * partitioned by the template column, then re-read and recover the key
+    * FROM THE FILE PATHS (`input_file_name` + regexp) — the oracle checks
+    * that the on-disk layout itself carries the right rows per key.
+    */
+  private def qMeshSinkLayout(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_meshsink", dir)
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+      col("l_quantity"))
+    graft.sinks.Sinks.partitionedParquet(li, out, Seq("flag"))
+    s.read.parquet(out)
+      .withColumn("_file", input_file_name())
+      .groupBy(regexp_extract(col("_file"), "flag=([^/]+)/", 1).as("flag"))
+      .agg(count(lit(1)).as("n_rows"), rnd(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("flag")
+  }
+
+  /** GridSidecarSink (`grid_sidecar.py:50`): one zarr array per field beside
+    * the mesh outputs. Field names are discovered from the STORE LAYOUT (not
+    * hardcoded), each array read back dense (fills = 0), aggregated per
+    * field against the source events.
+    */
+  private def qGridSidecar(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_sidecar", dir)
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("field"), (col("user_id") % 16).as("i"),
+        (col("event_id") % 32).as("j"), col("value"))
+      .groupBy("field", "i", "j").agg(sum("value").as("value"))
+    graft.sinks.Sinks.gridSidecar(g, out, shape = (16L, 32L), chunks = (8, 8))
+    // store-layout discovery: one dir per field (bounded by the field count)
+    val root = new java.io.File(out)
+    val fields = root.listFiles().filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    fields.map { f =>
+      graft.sinks.ZarrStore.readArray2D(s, s"$out/$f").withColumn("field", lit(f))
+    }.reduce(_ unionByName _)
+      .groupBy("field")
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("field")
   }
 
   /** WallNodeFilter mask (`wall_node.py:68-100`): events as a displacement
@@ -1481,6 +1524,18 @@ object SparkEntry {
         |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mesh_sink_layout" ->
+      """SELECT l_returnflag AS flag, count(*) AS n_rows,
+        |  round(sum(l_quantity) + 1e-6, 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 512 = the dense 16x32 grid each field's sidecar array materializes
+    // (absent cells hold fill 0.0, which leaves the sums unchanged).
+    "q_grid_sidecar" ->
+      """SELECT event_type AS field, CAST(512 AS BIGINT) AS n_cells,
+        |  round(sum(value) + 1e-6, 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Assembly is byte-identity, so the mirror is q_vtu_roundtrip's.
     "q_volume_assembly" ->

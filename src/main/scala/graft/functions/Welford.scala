@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{col, udaf}
 
 /** Mergeable central-moment state: (n, mean, M2, M3, M4, min, max, absSum).
   *
@@ -96,4 +96,48 @@ object Welford {
   /** `welford(col)` → struct(n, mean, m2, m3, m4, min, max, absSum). */
   lazy val welford = udaf(new WelfordAgg)
   def apply(c: Column): Column = welford(c)
+
+  /** Deterministic-reduction mode (reference `stats.py:757-802` artifact
+    * parity): the default Aggregator is algebraically exact but its merge
+    * TREE depends on Spark's partitioning, so emitted doubles can differ
+    * from the reference's by last-bit rounding. Here the caller fixes the
+    * shard decomposition (`shardCol` — the reference's per-worker shard
+    * index) and the row order within each shard (`orderCol`); each shard
+    * folds its rows IN ORDER with the online update on an executor, and the
+    * shard states merge LEFT-TO-RIGHT in shard order on the driver — the
+    * exact formula sequence `gather_pipeline` applies to shard files, so
+    * (n, mean, m2, m3, m4) match bit-for-bit.
+    *
+    * The driver-side fold is bounded by the SHARD COUNT (one tiny state per
+    * shard — the same cardinality the reference gathers), never by rows.
+    */
+  def deterministicState(df: org.apache.spark.sql.DataFrame, shardCol: String,
+                         orderCol: String, valueCol: String): WelfordState = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val states = df
+      .select(col(shardCol).cast("long").as("_shard"),
+        col(orderCol).cast("long").as("_ord"),
+        col(valueCol).cast("double").as("_v"))
+      .repartition(col("_shard"))          // one shard never spans partitions
+      .sortWithinPartitions("_shard", "_ord")
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        // consecutive-run grouping: rows arrive sorted by (_shard, _ord)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, WelfordState)]
+        var cur = Option.empty[Long]
+        var acc = WelfordState.zero
+        it.foreach { case (sh, _, v) =>
+          if (!cur.contains(sh)) {
+            cur.foreach(c => out += ((c, acc)))
+            cur = Some(sh); acc = WelfordState.zero
+          }
+          acc = WelfordState.update(acc, v)
+        }
+        cur.foreach(c => out += ((c, acc)))
+        out.iterator
+      }
+      .collect()
+    states.sortBy(_._1).map(_._2).foldLeft(WelfordState.zero)(WelfordState.merge)
+  }
 }

@@ -179,13 +179,21 @@ object DedupOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val (propagated, newDirs) = checkpointed(
-        labels.join(sym, col("node") === col("a"))
-          .select(col("b").as("node"), col("label"))
-          .union(labels)
-          .groupBy(col("node")).agg(min(col("label")).as("label")))
-      val changed = propagated.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      // Convergence detection piggybacks on the propagation action itself:
+      // the old labels are LEFT-joined below the checkpoint and the
+      // changed-count rides an `observe` on the same job — one action per
+      // round instead of propagation + a separate count job.
+      val obs = org.apache.spark.sql.Observation()
+      val prop = labels.join(sym, col("node") === col("a"))
+        .select(col("b").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "_old"), Seq("node"), "left")
+        .observe(obs, sum(when(col("_old").isNull ||
+          col("label") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
+        .select("node", "label")
+      val (propagated, newDirs) = checkpointed(prop)
+      val changed = obs.get("changed").asInstanceOf[Long]
       dropCkptDirs(labelDirs) // old labels no longer referenced past here
       labels = propagated
       labelDirs = newDirs

@@ -71,6 +71,34 @@ class WelfordSpec extends SparkSpec {
     assert(approx(s.absMean, 5.0))
   }
 
+  test("deterministicState matches the reference formula sequence BIT-FOR-BIT") {
+    val s = spark
+    import s.implicits._
+    // (shard, order, value) with shards of uneven sizes; the reference
+    // sequence is: per-shard in-order online update, then left-to-right
+    // Chan merge in shard order
+    val rowsGen = Gen.listOf(for {
+      sh <- Gen.choose(0, 4)
+      v <- Gen.chooseNum(-1e3, 1e3)
+    } yield (sh, v)).map(_.zipWithIndex.map { case ((sh, v), i) => (sh, i, v) })
+    def bitEq(a: WelfordState, b: WelfordState): Boolean = {
+      def d(x: Double, y: Double) =
+        java.lang.Double.doubleToRawLongBits(x) == java.lang.Double.doubleToRawLongBits(y)
+      a.n == b.n && d(a.mean, b.mean) && d(a.m2, b.m2) && d(a.m3, b.m3) &&
+        d(a.m4, b.m4) && d(a.min, b.min) && d(a.max, b.max) && d(a.absSum, b.absSum)
+    }
+    val p = Prop.forAllNoShrink(rowsGen) { rows =>
+      val reference = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rs) => fold(rs.sortBy(_._2).map(_._3)) }
+        .foldLeft(WelfordState.zero)(WelfordState.merge)
+      val df = rows.toDF("shard", "ord", "v").repartition(7) // adversarial layout
+      val got = Welford.deterministicState(df, "shard", "ord", "v")
+      bitEq(got, reference)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Spark UDAF partial+final agg equals driver-side fold") {
     val s = spark
     import s.implicits._

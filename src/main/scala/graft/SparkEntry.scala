@@ -126,6 +126,7 @@ object SparkEntry {
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
     "q_grid_sidecar" -> (qGridSidecar _),
+    "q_ansys_routing" -> (qAnsysRouting _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -165,7 +166,10 @@ object SparkEntry {
         (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
       .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
     val out = freshTmpDir("graft_nc_rt", dir)
-    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
+    // CDF-5 (64-bit classic): the widened container is what the round trip
+    // gates; CDF-1 stays pinned in NetCdfSpec/CodecPropertySpec
+    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2,
+      version = 5)
     val (_, data) = graft.sources.NetCdfSource.read(s, out)
     data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
@@ -641,6 +645,32 @@ object SparkEntry {
       .groupBy("field")
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("field")
+  }
+
+  /** AnsysRSTSource curator contract (`ansys_rst.py:187-310`): decoded
+    * result rows (the DPF boundary) → subset selection, known-result
+    * location registry (unknown defaults nodal), vector-component field
+    * naming, and the nodal/elemental routing split — summarized per routed
+    * field. Results synthesized from events; `stress` and the unknown
+    * `custom_result` are OUTSIDE the subset, so their absence from the
+    * output is part of what the oracle checks.
+    */
+  private def qAnsysRouting(s: SparkSession, dir: String): DataFrame = {
+    val names = Seq("temperature", "displacement", "heat_flux", "stress", "custom_result")
+    val raw = Tables.events(s, dir).select(
+      (col("user_id") % 3).as("mesh_id"),
+      element_at(typedLit(names), (col("event_id") % 5 + 1).cast("int")).as("result"),
+      (col("event_id") % 100).as("idx"),
+      when(col("event_id") % 2 === 0, lit(null).cast("string"))
+        .otherwise((col("event_id") % 3).cast("string")).as("component"),
+      col("value"))
+    val (pd, cd) = graft.sources.AnsysResults.route(raw,
+      subset = Seq("temperature", "displacement", "heat_flux"))
+    pd.select(lit("nodal").as("loc"), col("field"), col("value"))
+      .unionByName(cd.select(lit("elemental").as("loc"), col("field"), col("value")))
+      .groupBy("loc", "field")
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("loc", "field")
   }
 
   /** WallNodeFilter mask (`wall_node.py:68-100`): events as a displacement
@@ -1524,6 +1554,26 @@ object SparkEntry {
         |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ansys_routing" ->
+      """WITH raw AS (SELECT
+        |    ['temperature','displacement','heat_flux','stress','custom_result']
+        |      [CAST(event_id % 5 AS INT) + 1] AS result,
+        |    CASE WHEN event_id % 2 = 0 THEN NULL
+        |         ELSE CAST(event_id % 3 AS VARCHAR) END AS component,
+        |    value
+        |  FROM events),
+        |f AS (SELECT * FROM raw
+        |  WHERE result IN ('temperature','displacement','heat_flux')),
+        |n AS (SELECT
+        |    CASE WHEN result IN ('heat_flux','stress','elastic_strain')
+        |         THEN 'elemental' ELSE 'nodal' END AS loc,
+        |    CASE WHEN component IS NULL THEN result
+        |         ELSE result || '_' || component END AS field,
+        |    value
+        |  FROM f)
+        |SELECT loc, field, count(*) AS n, round(sum(value) + 1e-6, 2) AS sum_value
+        |FROM n GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_mesh_sink_layout" ->
       """SELECT l_returnflag AS flag, count(*) AS n_rows,

@@ -5,13 +5,16 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** NetCDF classic (CDF-1) writer — the byte-level inverse of
+/** NetCDF classic (CDF-1 or CDF-5) writer — the byte-level inverse of
   * `sources/NetCdfSource` for the da-domain sink path (reference
   * `domains/da/sinks/netcdf_writer.py` writes NetCDF via xarray; this
   * emits the classic container directly). One `<out>/<variable>.nc` per
   * variable, assembled per-variable on executors: a `time` record
   * dimension over a fixed (lat, lon) grid, one `<f8` record variable
   * named after the group, cells absent from the input filled with 0.
+  * `version = 5` writes the 64-bit-classic container (every NON_NEG field
+  * widened to INT64) — the step toward the reference's NETCDF4 output that
+  * stays inside the public classic spec.
   */
 object NetCdfSink {
 
@@ -19,7 +22,8 @@ object NetCdfSink {
     * bounds t (0-based). Returns written paths.
     */
   def writeRecordGrids(df: DataFrame, out: String, shape: (Int, Int),
-                       nRecs: Int): Seq[String] = {
+                       nRecs: Int, version: Int = 1): Seq[String] = {
+    require(version == 1 || version == 5, s"unsupported CDF version $version")
     val spark = df.sparkSession
     val grouped = df.groupBy(col("variable")).agg(
       collect_list(struct(col("t").cast("int").as("t"),
@@ -30,7 +34,7 @@ object NetCdfSink {
     val (nLat, nLon) = shape
     grouped.map { row =>
       val variable = row.getString(0)
-      val bytes = render(variable, row.getSeq[Row](1), nLat, nLon, nRecs)
+      val bytes = render(variable, row.getSeq[Row](1), nLat, nLon, nRecs, version)
       val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc")
       val fs = path.getFileSystem(hadoopConf.value)
       fs.setWriteChecksum(false)
@@ -41,9 +45,10 @@ object NetCdfSink {
   }
 
   private def render(name: String, cells: Seq[Row],
-                     nLat: Int, nLon: Int, nRecs: Int): Array[Byte] = {
+                     nLat: Int, nLon: Int, nRecs: Int, version: Int): Array[Byte] = {
     require(!name.contains("/"),
       s"variable name '$name' contains '/' — would write outside the store")
+    val wide = version == 5
     val perRec = nLat * nLon
     val data = Array.fill(nRecs * perRec)(0.0)
     cells.foreach { c =>
@@ -54,32 +59,34 @@ object NetCdfSink {
     }
     val bos = new ByteArrayOutputStream()
     val o = new DataOutputStream(bos)
+    // NON_NEG: INT in CDF-1, INT64 in CDF-5 (section tags stay INT)
+    def nn(v: Long): Unit = if (wide) o.writeLong(v) else o.writeInt(v.toInt)
     def nm(s: String): Unit = {
       // length and padding are over the UTF-8 BYTES, not Java chars
       val b = s.getBytes("UTF-8")
-      o.writeInt(b.length); o.write(b)
+      nn(b.length.toLong); o.write(b)
       val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
-    def header(begin: Int): Unit = {
-      o.write("CDF".getBytes); o.write(1)
-      o.writeInt(nRecs)
-      o.writeInt(0x0A); o.writeInt(3)              // dims
-      nm("time"); o.writeInt(0)
-      nm("lat"); o.writeInt(nLat)
-      nm("lon"); o.writeInt(nLon)
-      o.writeInt(0); o.writeInt(0)                 // no global attrs
-      o.writeInt(0x0B); o.writeInt(1)              // one record variable
-      nm(name); o.writeInt(3)
-      o.writeInt(0); o.writeInt(1); o.writeInt(2)  // (time, lat, lon)
-      o.writeInt(0); o.writeInt(0)                 // no var attrs
+    def header(begin: Long): Unit = {
+      o.write("CDF".getBytes); o.write(version)
+      nn(nRecs.toLong)
+      o.writeInt(0x0A); nn(3L)                     // dims
+      nm("time"); nn(0L)
+      nm("lat"); nn(nLat.toLong)
+      nm("lon"); nn(nLon.toLong)
+      o.writeInt(0); nn(0L)                        // no global attrs
+      o.writeInt(0x0B); nn(1L)                     // one record variable
+      nm(name); nn(3L)
+      nn(0L); nn(1L); nn(2L)                       // (time, lat, lon)
+      o.writeInt(0); nn(0L)                        // no var attrs
       o.writeInt(6)                                // double
-      o.writeInt(perRec * 8)                       // vsize per record
-      o.writeInt(begin)
+      nn(perRec * 8L)                              // vsize per record
+      if (wide) o.writeLong(begin) else o.writeInt(begin.toInt)
     }
-    header(0)                                      // sizing pass
+    header(0L)                                     // sizing pass
     val headerLen = bos.size()
     bos.reset()
-    header(headerLen)
+    header(headerLen.toLong)
     data.foreach(o.writeDouble)
     o.flush()
     bos.toByteArray

@@ -5,20 +5,23 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** NetCDF classic reader (CDF-1 and CDF-2, the public netCDF "classic
-  * format spec"), Spark-first — the real ingestion path behind the
+/** NetCDF classic reader (CDF-1, CDF-2, and CDF-5 — the public netCDF
+  * "classic format spec"), Spark-first — the real ingestion path behind the
   * ERA5/GFS/HRRR long-grid pattern (the reference's da sources read NetCDF
   * via xarray; this is an independent JVM decoder of the classic
   * container):
   *
-  *  - header: magic `CDF\x01|\x02`, numrecs, dim list, global attributes,
-  *    variable list (name, dimids, attributes, type, vsize, begin offset —
-  *    u32 in CDF-1, u64 in CDF-2);
+  *  - header: magic `CDF\x01|\x02|\x05`, numrecs, dim list, global
+  *    attributes, variable list (name, dimids, attributes, type, vsize,
+  *    begin offset — u32 in CDF-1, u64 in CDF-2/5); in CDF-5 every NON_NEG
+  *    quantity (counts, name lengths, dim lengths, dimids, vsize, numrecs)
+  *    widens to 64 bits while section tags stay 4-byte;
   *  - data: fixed-size variables at `begin`, row-major; record variables
   *    interleaved per record with the record stride = Σ aligned vsize of
   *    all record variables;
-  *  - types: byte/char/short/int/float/double; values padded to 4-byte
-  *    boundaries per the spec.
+  *  - types: byte/char/short/int/float/double, plus the CDF-5 additions
+  *    ubyte/ushort/uint/int64/uint64; values padded to 4-byte boundaries
+  *    per the spec.
   *
   * `read` emits the long model: a `vars` table (variable, dims, shape,
   * record flag) and a `data` table (variable, linear row-major `pos`,
@@ -39,26 +42,28 @@ object NetCdfSource {
   private val TagAttr = 0x0C
 
   private def typeSize(t: Int): Int = t match {
-    case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
+    case 1 | 2 | 7 => 1; case 3 | 8 => 2; case 4 | 5 | 9 => 4; case 6 | 10 | 11 => 8
     case other => throw new IllegalArgumentException(s"bad nc_type $other")
   }
 
-  private final class Cursor(bytes: Array[Byte]) {
+  private final class Cursor(bytes: Array[Byte], wide: Boolean) {
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     def u32(): Long = buf.getInt.toLong & 0xffffffffL
     def u64(): Long = buf.getLong
+    /** NON_NEG per the spec grammar: INT in CDF-1/2, INT64 in CDF-5. */
+    def nonNeg(): Long = if (wide) u64() else u32()
     def name(): String = {
-      val n = u32().toInt
+      val n = nonNeg().toInt
       val b = new Array[Byte](n); buf.get(b)
       skipPad(n)
       new String(b, "UTF-8")
     }
     def skipPad(n: Int): Unit = { val r = n % 4; if (r != 0) buf.position(buf.position() + (4 - r)) }
     def attrs(): Seq[NcAttr] = {
-      val tag = u32(); val count = u32().toInt
+      val tag = u32(); val count = nonNeg().toInt
       require(tag == TagAttr || (tag == 0 && count == 0), s"bad attr tag $tag")
       (0 until count).map { _ =>
-        val nm = name(); val t = u32().toInt; val n = u32().toInt
+        val nm = name(); val t = u32().toInt; val n = nonNeg().toInt
         val raw = new Array[Byte](typeSize(t) * n); buf.get(raw)
         skipPad(raw.length)
         val v =
@@ -71,6 +76,10 @@ object NetCdfSource {
               case 4 => vb.getInt.toString
               case 5 => vb.getFloat.toString
               case 6 => vb.getDouble.toString
+              case 7 => (vb.get() & 0xff).toString
+              case 8 => (vb.getShort & 0xffff).toString
+              case 9 => (vb.getInt.toLong & 0xffffffffL).toString
+              case 10 | 11 => vb.getLong.toString
             }).mkString(",")
           }
         NcAttr(nm, v)
@@ -82,26 +91,28 @@ object NetCdfSource {
     require(bytes.length > 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F',
       "not a NetCDF classic file (CDF magic missing; NetCDF-4/HDF5 unsupported)")
     val version = bytes(3).toInt
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val c = new Cursor(bytes)
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
+    val wide = version == 5
+    val c = new Cursor(bytes, wide)
     c.buf.position(4)
-    val numRecs = c.u32()
-    require(numRecs != 0xffffffffL,
-      "STREAMING numrecs (0xFFFFFFFF) unsupported — record count unknown at write time")
-    val dimTag = c.u32(); val dimCount = c.u32().toInt
+    val numRecs = c.nonNeg()
+    require(numRecs != (if (wide) -1L else 0xffffffffL),
+      "STREAMING numrecs unsupported — record count unknown at write time")
+    val dimTag = c.u32(); val dimCount = c.nonNeg().toInt
     require(dimTag == TagDim || (dimTag == 0 && dimCount == 0), s"bad dim tag $dimTag")
-    val dims = (0 until dimCount).map(_ => NcDim(c.name(), c.u32()))
+    val dims = (0 until dimCount).map(_ => NcDim(c.name(), c.nonNeg()))
     val gattrs = c.attrs()
-    val varTag = c.u32(); val varCount = c.u32().toInt
+    val varTag = c.u32(); val varCount = c.nonNeg().toInt
     require(varTag == TagVar || (varTag == 0 && varCount == 0), s"bad var tag $varTag")
     val vars = (0 until varCount).map { _ =>
       val nm = c.name()
-      val nd = c.u32().toInt
-      val dimIds = (0 until nd).map(_ => c.u32().toInt)
+      val nd = c.nonNeg().toInt
+      val dimIds = (0 until nd).map(_ => c.nonNeg().toInt)
       val vattrs = c.attrs()
       val t = c.u32().toInt
-      val vsize = c.u32()
-      val begin = if (version == 2) c.u64() else c.u32()
+      val vsize = c.nonNeg()
+      val begin = if (version >= 2) c.u64() else c.u32()
       NcVar(nm, dimIds, t, vsize, begin, vattrs)
     }
     NcFile(numRecs, dims, gattrs, vars)
@@ -116,6 +127,11 @@ object NetCdfSource {
       case 4 => buf.getInt(p).toDouble
       case 5 => buf.getFloat(p).toDouble
       case 6 => buf.getDouble(p)
+      case 7 => (buf.get(p) & 0xff).toDouble
+      case 8 => (buf.getShort(p) & 0xffff).toDouble
+      case 9 => (buf.getInt(p).toLong & 0xffffffffL).toDouble
+      case 10 => buf.getLong(p).toDouble
+      case 11 => buf.getLong(p).toDouble // uint64 beyond 2^63 loses to double anyway
     }
   }
 

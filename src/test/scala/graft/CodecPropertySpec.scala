@@ -189,6 +189,43 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("NetCDF CDF-5: 64-bit-classic render → values identity") {
+    val gen = for {
+      nLat <- Gen.chooseNum(1, 4)
+      nLon <- Gen.chooseNum(1, 5)
+      nRecs <- Gen.chooseNum(0, 3)
+      vals <- Gen.listOfN(nRecs * nLat * nLon, exactD)
+    } yield (nLat, nLon, nRecs, vals)
+
+    check(Prop.forAllNoShrink(gen) { case (nLat, nLon, nRecs, vals) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def nm(s: String): Unit = { // CDF-5: name length is INT64
+        val b = s.getBytes("UTF-8"); o.writeLong(b.length.toLong); o.write(b)
+        val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+      }
+      def hdr(begin: Long): Unit = {
+        o.write("CDF".getBytes); o.write(5)
+        o.writeLong(nRecs.toLong)
+        o.writeInt(0x0A); o.writeLong(3L)      // tag INT, count INT64
+        nm("time"); o.writeLong(0L)
+        nm("lat"); o.writeLong(nLat.toLong)
+        nm("lon"); o.writeLong(nLon.toLong)
+        o.writeInt(0); o.writeLong(0L)
+        o.writeInt(0x0B); o.writeLong(1L)
+        nm("v"); o.writeLong(3L)
+        o.writeLong(0L); o.writeLong(1L); o.writeLong(2L) // dimids INT64
+        o.writeInt(0); o.writeLong(0L)
+        o.writeInt(6); o.writeLong(nLat * nLon * 8L); o.writeLong(begin)
+      }
+      hdr(0L); val len = bos.size(); bos.reset(); hdr(len.toLong)
+      vals.foreach(o.writeDouble); o.flush()
+      val got = NetCdfSource.values(bos.toByteArray)
+        .filter(_._1 == "v").sortBy(_._2).map(_._3)
+      Prop(got == vals) :| s"cdf5 $nRecs×$nLat×$nLon"
+    })
+  }
+
   // --------------------------------------------------------------- d3plot
 
   test("d3plot: random shell runs render → parse identity") {

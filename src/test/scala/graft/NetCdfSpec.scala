@@ -75,6 +75,26 @@ class NetCdfSpec extends SparkSpec {
     assert(t2m == (t2mRec0 ++ t2mRec1).map(_.toDouble).toSeq)
   }
 
+  test("CDF-5 sink -> source round trip; version byte actually 5") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq((0, 0, 0, 1.5), (0, 1, 2, -2.25), (1, 0, 1, 8.0))
+      .toDF("t", "i", "j", "value").withColumn("variable", lit("t2m"))
+    val dir = Files.createTempDirectory("nc5").toString + "/store"
+    val paths = graft.sinks.NetCdfSink.writeRecordGrids(cells, dir,
+      shape = (2, 3), nRecs = 2, version = 5)
+    assert(paths.length == 1)
+    val bytes = Files.readAllBytes(Paths.get(new java.net.URI(paths.head).getPath))
+    assert(bytes(3) == 5.toByte)
+    val (vars, data) = NetCdfSource.read(spark, dir)
+    assert(vars.count() == 1)
+    val got = data.filter(col("variable") === "t2m").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(got.length == 12)
+    assert(got(0) == 1.5 && got(5) == -2.25 && got(7) == 8.0)
+    assert(got.sum == 1.5 - 2.25 + 8.0)
+  }
+
   test("read: long tables compose with grid stats") {
     val dir = Files.createTempDirectory("nc").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

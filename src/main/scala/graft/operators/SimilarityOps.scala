@@ -132,7 +132,28 @@ object SimilarityOps {
 
   def annCosinePairsMulti(df: DataFrame, idCol: String, vecCol: String,
                           tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
-                          seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+                          seed: Long = 42L, dimHint: Int = 0): DataFrame =
+    annMultiInternal(df, idCol, vecCol, tau, nTables, planesPerTable, seed, dimHint)._1
+
+  /** Eager variant for library callers looping over corpora: materializes
+    * the pair set (localCheckpoint — the result is bounded by the candidate
+    * pairs that survive τ), then RELEASES the internal signature-base cache
+    * before returning, so repeated invocations never accumulate
+    * MEMORY_AND_DISK blocks waiting for a global `clearCache()`.
+    */
+  def annCosinePairsMultiEager(df: DataFrame, idCol: String, vecCol: String,
+                               tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
+                               seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+    val (res, owned) =
+      annMultiInternal(df, idCol, vecCol, tau, nTables, planesPerTable, seed, dimHint)
+    val out = res.localCheckpoint(true) // materialize while base is cached
+    owned.foreach(_.unpersist(true))
+    out
+  }
+
+  private def annMultiInternal(df: DataFrame, idCol: String, vecCol: String,
+                               tau: Double, nTables: Int, planesPerTable: Int,
+                               seed: Long, dimHint: Int): (DataFrame, Option[DataFrame]) = {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     val tablePlanes = (0 until nTables).map { t =>
@@ -141,17 +162,18 @@ object SimilarityOps {
     // Persist lifecycle (same contract as DedupOps.cached): `base` is
     // referenced three times (bucket explode + both verify sides), so it is
     // persisted here unless the CALLER already persisted `df` — in which case
-    // the caller owns the lifecycle and nothing extra is cached. The persist
-    // created here lives until the session's cache is cleared; callers doing
-    // repeated one-shot invocations should `spark.catalog.clearCache()` (or
-    // persist the input themselves and unpersist it when done).
+    // the caller owns the lifecycle and nothing extra is cached. The lazy
+    // variant's persist lives until the session's cache is cleared; looping
+    // callers should use `annCosinePairsMultiEager`, which materializes and
+    // releases it before returning.
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
       array(tablePlanes.zipWithIndex.map { case (pl, t) =>
         struct(lit(t).as("tbl"), bucketSignature(col(vecCol), pl).as("bucket"))
       }: _*).as("tb"))
+    val persistedHere = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val base =
-      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      if (persistedHere)
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
     val buckets = base.select(col("id"), explode(col("tb")).as("tb"))
@@ -161,13 +183,14 @@ object SimilarityOps {
         Seq("tbl", "bucket"))
       .filter(col("ia") < col("ib"))
       .select("ia", "ib").distinct()
-    cand
+    val res = cand
       .join(base.select(col("id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
       .join(base.select(col("id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
       .withColumn("cos_r",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
       .filter(col("cos_r") >= tau)
       .select("ia", "ib", "cos_r")
+    (res, if (persistedHere) Some(base) else None)
   }
 
   // ------------------------------------------------------------------ IVF

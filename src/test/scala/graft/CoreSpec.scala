@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -122,6 +122,38 @@ class CoreSpec extends SparkSpec {
     assert(a.count() == 2)
     assert(a.filter(col("level") === "ERROR").select("idx").collect()(0).getLong(0) == 4L)
     assert(led.logs(spark, "run_b").count() == 1)
+  }
+
+  test("LedgerCatalog: list/inspect/remove/removeOlderThan over a cache root") {
+    val root = Files.createTempDirectory("graft-cache").toString
+    // two real pipeline runs into distinct ledger dirs under the root
+    val pa = Pipeline(mkSource(6)).filter(doubleFilter)
+    val pb = Pipeline(mkSource(9))
+    Runner.runPipeline(spark, pa, "idx", s"$root/store_a")
+    Thread.sleep(5) // distinct started_at ordering
+    Runner.runPipeline(spark, pb, "idx", s"$root/store_b")
+    // a non-ledger dir and a corrupt store must be skipped silently
+    Files.createDirectories(Paths.get(root, "not_a_ledger"))
+    Files.createDirectories(Paths.get(root, "corrupt/runs"))
+    Files.write(Paths.get(root, "corrupt/runs/junk.parquet"), Array[Byte](1, 2, 3))
+
+    val infos = LedgerCatalog.list(spark, root)
+    assert(infos.map(_.name) == Seq("store_b", "store_a")) // newest first
+    val a = infos.find(_.name == "store_a").get
+    assert(a.sourceName == "range" && a.filterNames == Seq("double"))
+    assert(a.total == 6 && a.completed == 6 && a.failed == 0)
+    assert(a.runIds == Seq(pa.configHash.take(16)))
+    assert(a.sizeBytes > 0)
+    assert(LedgerCatalog.totalSize(spark, root) >= a.sizeBytes)
+
+    // ambiguous prefix refuses; exact and unique-prefix remove work
+    intercept[IllegalArgumentException] {
+      LedgerCatalog.remove(spark, root, Seq("store_"))
+    }
+    assert(LedgerCatalog.remove(spark, root, Seq("store_a")) == 1)
+    assert(LedgerCatalog.list(spark, root).map(_.name) == Seq("store_b"))
+    assert(LedgerCatalog.removeOlderThan(spark, root, System.currentTimeMillis() + 1000) == 1)
+    assert(LedgerCatalog.list(spark, root).isEmpty)
   }
 
   test("CacheStore: compute once, read through thereafter, invalidate works") {

@@ -91,6 +91,33 @@ class GridAnnSpec extends SparkSpec {
     assert(expectedClusters.subsetOf(multi))
   }
 
+  test("eager multi-table LSH: same pairs, internal cache released") {
+    val s = spark
+    import s.implicits._
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(16)(d => (math.sin(seed * 31 + d) * 10).toFloat)
+    val rows = (0 until 3).flatMap { c =>
+      (0 until 3).map(k => ((c * 3 + k).toLong, v(c)))
+    } ++ (9 until 14).map(i => (i.toLong, v(i * 7 + 100)))
+    val df = rows.toDF("vec_id", "embedding")
+    spark.catalog.clearCache()
+    val lazyPairs = SimilarityOps.annCosinePairsMulti(df, "vec_id", "embedding", 0.99,
+      nTables = 4, planesPerTable = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val eager = SimilarityOps.annCosinePairsMultiEager(df, "vec_id", "embedding", 0.99,
+      nTables = 4, planesPerTable = 6)
+    val got = eager.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == lazyPairs)
+    // the serialized signature-base cache is gone; only the materialized
+    // result's localCheckpoint blocks (deserialized) may remain
+    val leaked = sc.getPersistentRDDs
+      .filter { case (id, rdd) => !before.contains(id) && !rdd.getStorageLevel.deserialized }
+    assert(leaked.isEmpty, s"leaked serialized cache blocks: ${leaked.keys}")
+  }
+
   test("multi-table LSH recall ≥ 0.9 at τ=0.25 on real embeddings (q_ann_pairs config)") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.25)

@@ -85,6 +85,10 @@ object D3PlotSink {
       case 32 => bb.putInt(1)        // NUMMAT4
       case 33 => bb.putInt(nv2d)
       case 36 => bb.putInt(maxint)
+      case 43 => bb.putInt(1000)     // IOSHL(1): stress on
+      case 44 => bb.putInt(1000)     // IOSHL(2): epsp on
+      case 45 => bb.putInt(999)      // IOSHL(3): resultants off
+      case 46 => bb.putInt(999)      // IOSHL(4): thickness+ off
       case _  => bb.putInt(0)
     }
     pts.foreach { p =>

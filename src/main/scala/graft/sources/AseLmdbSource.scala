@@ -35,11 +35,32 @@ object AseLmdbSource {
   private val PInvalid = -1L // 0xFFFF.. as signed
   private val PBranch = 0x01
   private val PLeaf = 0x02
+  private val PSubPage = 0x40
   private val FBigData = 0x01
+  private val FSubData = 0x02
+  private val FDupData = 0x04
   val ReservedKeys: Set[String] = Set("nextid", "deleted_ids", "metadata")
 
-  /** Walk every (key, value) pair in an LMDB file image. */
-  def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** One decoded record: `db` is "" for the main database or the named
+    * sub-database the record lives in; DUPSORT keys yield one entry per
+    * duplicate data item.
+    */
+  final case class LmdbEntry(db: String, key: String, value: Array[Byte])
+
+  /** Walk every (key, value) of the MAIN database (sub-database descriptor
+    * nodes are resolved by `parseAll`, not emitted here).
+    */
+  def parse(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    parseAll(bytes).collect { case LmdbEntry("", k, v) => k -> v }
+
+  /** Walk the whole environment: main DB, named sub-databases (F_SUBDATA
+    * descriptor nodes whose 48-byte MDB_db value carries the sub-tree
+    * root), and DUPSORT duplicates (F_DUPDATA nodes holding an embedded
+    * sub-page, or F_DUPDATA|F_SUBDATA nodes holding a dup sub-TREE whose
+    * keys are the data items) — reference `aselmdb.py:647` reads the main
+    * DB; this closes the rest of the public LMDB surface.
+    */
+  def parseAll(bytes: Array[Byte]): Seq[LmdbEntry] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def u16(off: Int): Int = buf.getShort(off) & 0xffff
     def u32(off: Int): Long = buf.getInt(off).toLong & 0xffffffffL
@@ -61,12 +82,38 @@ object AseLmdbSource {
     val root = u64(chosen + 112)
     if (root == PInvalid) return Nil
 
-    val out = Seq.newBuilder[(String, Array[Byte])]
+    val out = Seq.newBuilder[LmdbEntry]
     // a corrupt/malicious file with a branch-page cycle must fail with the
     // parser's descriptive IllegalArgumentException contract, not recurse to
     // StackOverflowError
     val visited = scala.collection.mutable.Set.empty[Long]
-    def walk(pgno: Long): Unit = {
+
+    /** Root pgno out of a 48-byte MDB_db descriptor (md_root at +40). */
+    def dbRoot(value: Array[Byte]): Long = {
+      require(value.length == 48,
+        s"sub-database descriptor must be 48 bytes, got ${value.length}")
+      ByteBuffer.wrap(value).order(ByteOrder.LITTLE_ENDIAN).getLong(40)
+    }
+
+    /** Dup items of an embedded DUPSORT sub-page (offsets are relative to
+      * the sub-page start, so the copied value parses standalone).
+      */
+    def subPageItems(sub: Array[Byte]): Seq[String] = {
+      require(sub.length >= 16, "truncated DUPSORT sub-page")
+      val sb = ByteBuffer.wrap(sub).order(ByteOrder.LITTLE_ENDIAN)
+      val flags = sb.getShort(10) & 0xffff
+      require((flags & PSubPage) != 0 && (flags & PLeaf) != 0,
+        f"expected LEAF sub-page, flags 0x$flags%x")
+      val n = ((sb.getShort(12) & 0xffff) - 16) / 2
+      (0 until n).map { i =>
+        val off = sb.getShort(16 + 2 * i) & 0xffff
+        val ksize = sb.getShort(off + 6) & 0xffff
+        new String(sub, off + 8, ksize, "US-ASCII")
+      }
+    }
+
+    /** Generic B-tree walk from `pgno`, yielding (key, nodeFlags, value). */
+    def walkTree(pgno: Long)(emit: (String, Int, Array[Byte]) => Unit): Unit = {
       require(visited.add(pgno), s"B-tree cycle: page $pgno visited twice")
       val base = (pgno * psize).toInt
       require(base >= 0 && base + 16 <= bytes.length, s"page $pgno out of range")
@@ -78,7 +125,7 @@ object AseLmdbSource {
         val lo = u16(nodeOff); val hi = u16(nodeOff + 2)
         val nflags = u16(nodeOff + 4); val ksize = u16(nodeOff + 6)
         if ((flags & PBranch) != 0) {
-          walk(lo.toLong | (hi.toLong << 16) | (nflags.toLong << 32))
+          walkTree(lo.toLong | (hi.toLong << 16) | (nflags.toLong << 32))(emit)
         } else if ((flags & PLeaf) != 0) {
           val key = new String(bytes, nodeOff + 8, ksize, "US-ASCII")
           val dataSize = (lo.toLong | (hi.toLong << 16)).toInt
@@ -90,13 +137,35 @@ object AseLmdbSource {
             } else
               java.util.Arrays.copyOfRange(bytes, nodeOff + 8 + ksize,
                 nodeOff + 8 + ksize + dataSize)
-          out += key -> value
+          emit(key, nflags, value)
         } else throw new IllegalArgumentException(
           f"page $pgno has unsupported flags 0x$flags%x")
         i += 1
       }
     }
-    walk(root)
+
+    def walkDb(dbName: String, rootPg: Long): Unit = {
+      if (rootPg == PInvalid) return // empty (sub-)database
+      walkTree(rootPg) { (key, nflags, value) =>
+        if ((nflags & FDupData) != 0) {
+          if ((nflags & FSubData) != 0) {
+            // large dup set: a sub-TREE whose keys ARE the data items
+            val r = dbRoot(value)
+            if (r != PInvalid) walkTree(r) { (item, _, _) =>
+              out += LmdbEntry(dbName, key, item.getBytes("US-ASCII"))
+            }
+          } else
+            subPageItems(value).foreach(item =>
+              out += LmdbEntry(dbName, key, item.getBytes("US-ASCII")))
+        } else if ((nflags & FSubData) != 0 && dbName.isEmpty)
+          // named sub-database registered in the main DB
+          walkDb(key, dbRoot(value))
+        else
+          out += LmdbEntry(dbName, key, value)
+      }
+    }
+
+    walkDb("", root)
     out.result()
   }
 

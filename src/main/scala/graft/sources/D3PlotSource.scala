@@ -12,25 +12,31 @@ import org.apache.spark.sql.functions._
   * inside `flatMap`, emitting the long mesh model plus per-state tables.
   *
   * Supported subset (the shape the reference's crash pipelines consume):
-  *  - little-endian 32-bit words (float32 / int32); family continuation
-  *    files (d3plot01, d3plot02, … — state data only) assemble per run
-  *    via `parseFamily` / `read`;
+  *  - little-endian 32-bit OR 64-bit words (word size auto-detected from
+  *    control-block plausibility; 64-bit floats downcast to fp32 exactly as
+  *    the reference's `_downcast_fp32` does); family continuation files
+  *    (d3plot01, d3plot02, … — state data only) assemble per run via
+  *    `parseFamily` / `read`;
   *  - control block (64 words): TITLE[10], NDIM, NUMNP, NGLBV, IT/IU/IV/IA,
-  *    NEL8/NUMMAT8/NV3D, NEL2/NUMMAT2/NV1D, NEL4/NUMMAT4/NV2D, MAXINT
-  *    (1-based manual words 1..64);
+  *    NEL8/NUMMAT8/NV3D, NEL2/NUMMAT2/NV1D, NEL4/NUMMAT4/NV2D, NEIPS,
+  *    MAXINT, NELT/NV3DT, NARBS, IOSHL(1-4) (1-based manual words 1..64);
   *  - geometry: node coords (NUMNP×3), solid conn (NEL8×9: 8 nodes+part),
-  *    beam conn skipped (NEL2×6), shell conn (NEL4×5: 4 nodes+part);
-  *  - state data per timestep: TIME, NGLBV globals (skipped), node
-  *    temperatures if IT=1 (skipped), current node coordinates if IU=1
-  *    (exposed as the per-state node vector, lasso's `node_displacement`),
-  *    node velocity/acceleration blocks skipped, solid element vars
-  *    skipped, shell vars with NV2D == MAXINT·7 (6 Voigt stress
-  *    components + effective plastic strain per through-thickness
-  *    integration layer — the reference reads MAXINT=2);
+  *    thick-shell conn skipped (NELT×9), beam conn skipped (NEL2×6), shell
+  *    conn (NEL4×5: 4 nodes+part), arbitrary-numbering block skipped
+  *    wholesale (NARBS words — connectivity stays internally numbered);
+  *  - state data per timestep: TIME, NGLBV globals (skipped), current node
+  *    coordinates if IU=1 (exposed as the per-state node vector, lasso's
+  *    `node_displacement`), node velocity/acceleration blocks skipped,
+  *    solid (NEL8·NV3D) and thick-shell (NELT·NV3DT) vars skipped, shell
+  *    vars in the general layout NV2D = MAXINT·(6·IOSHL1 + IOSHL2 + NEIPS)
+  *    + 8·IOSHL3 + 4·IOSHL4 [+ 12 when ISTRN, inferred from the residual]:
+  *    per-layer 6 Voigt stress + effective plastic strain decoded, extra
+  *    history vars / resultants / strain tails skipped by stride;
   *  - EOF marker −999999.0 where the next state's TIME would be.
   *
-  * Anything outside the subset throws with a descriptive message rather
-  * than mis-decoding.
+  * Anything outside the subset (SPH particle blocks, IOSHL stress/epsp
+  * flags off with shells present, unrecognized NV2D residuals) throws with
+  * a descriptive message rather than mis-decoding.
   */
 object D3PlotSource {
 
@@ -49,16 +55,52 @@ object D3PlotSource {
 
   private val EofMarker = -999999.0f
 
-  /** Per-state layout parameters extracted from the control block. */
+  /** Word-addressed view over the file bytes: 32-bit words read f32/i32,
+    * 64-bit words read f64/i64 (floats downcast to fp32, matching the
+    * reference's `_downcast_fp32`).
+    */
+  private final class Words(bytes: Array[Byte], val ws: Int) {
+    private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def nWords: Int = bytes.length / ws
+    def f(w: Int): Float =
+      if (ws == 4) buf.getFloat(w * 4) else buf.getDouble(w * 8).toFloat
+    def int(w: Int): Int =
+      if (ws == 4) buf.getInt(w * 4) else buf.getLong(w * 8).toInt
+  }
+
+  /** Control-block plausibility at a candidate word size — the standard
+    * detection for 64-bit d3plot files (a 64-bit file misread as 32-bit
+    * lands NDIM inside the 80-byte title text).
+    */
+  private def plausible(bytes: Array[Byte], ws: Int): Boolean = {
+    if (bytes.length < 64 * ws) return false
+    val wd = new Words(bytes, ws)
+    val ndim = wd.int(15); val numnp = wd.int(16)
+    val nel8 = wd.int(23); val nel4 = wd.int(31)
+    ndim >= 2 && ndim <= 7 && numnp >= 0 && numnp < (1 << 28) &&
+      nel8 >= 0 && nel8 < (1 << 28) && nel4 >= 0 && nel4 < (1 << 28)
+  }
+
+  private[sources] def detectWordSize(bytes: Array[Byte]): Int =
+    if (plausible(bytes, 4)) 4
+    else if (plausible(bytes, 8)) 8
+    else throw new IllegalArgumentException(
+      "not a decodable d3plot: control block implausible at both 32-bit and 64-bit word size")
+
+  /** Per-state layout parameters extracted from the control block.
+    * `nvLayer` is the per-integration-layer stride (6 stress + epsp +
+    * NEIPS extra history vars); the shell block may carry resultant /
+    * strain words after the layers, covered by the `nv2d` stride.
+    */
   private final case class StateLayout(
-      numnp: Int, nglbv: Int, iu: Int, iv: Int, ia: Int,
-      nel8: Int, nv3d: Int, nel2: Int, nv1d: Int, nel4: Int, nv2d: Int,
-      maxint: Int) {
+      ws: Int, numnp: Int, nglbv: Int, iu: Int, iv: Int, ia: Int,
+      nel8: Int, nv3d: Int, nelt: Int, nv3dt: Int, nel2: Int, nv1d: Int,
+      nel4: Int, nv2d: Int, maxint: Int, nvLayer: Int) {
     def stateWords: Int = 1 + nglbv +
       (if (iu == 1) numnp * 3 else 0) +
       (if (iv == 1) numnp * 3 else 0) +
       (if (ia == 1) numnp * 3 else 0) +
-      nel8 * nv3d + nel2 * nv1d + nel4 * nv2d
+      nel8 * nv3d + nelt * nv3dt + nel2 * nv1d + nel4 * nv2d
   }
 
   /** States from `bytes` starting at word `from` (a root file's post-
@@ -67,9 +109,9 @@ object D3PlotSource {
     */
   private def parseStates(bytes: Array[Byte], from: Int,
                           lay: StateLayout): Array[ShellState] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val nWords = bytes.length / 4
-    def fw(i: Int): Float = buf.getFloat(i * 4)
+    val wd = new Words(bytes, lay.ws)
+    val nWords = wd.nWords
+    def fw(i: Int): Float = wd.f(i)
     val states = Array.newBuilder[ShellState]
     var w = from
     while (w < nWords && fw(w) != EofMarker) {
@@ -86,7 +128,7 @@ object D3PlotSource {
         } else Array.empty[Array[Float]]
       if (lay.iv == 1) p += lay.numnp * 3
       if (lay.ia == 1) p += lay.numnp * 3
-      p += lay.nel8 * lay.nv3d + lay.nel2 * lay.nv1d
+      p += lay.nel8 * lay.nv3d + lay.nelt * lay.nv3dt + lay.nel2 * lay.nv1d
       val stress = Array.ofDim[Array[Array[Float]]](lay.nel4)
       val epsp = Array.ofDim[Array[Float]](lay.nel4)
       var e = 0
@@ -95,7 +137,7 @@ object D3PlotSource {
         val eb = new Array[Float](lay.maxint)
         var l = 0
         while (l < lay.maxint) {
-          val base = p + e * lay.nv2d + l * 7
+          val base = p + e * lay.nv2d + l * lay.nvLayer
           sb(l) = Array.tabulate(6)(k => fw(base + k))
           eb(l) = fw(base + 6)
           l += 1
@@ -121,13 +163,14 @@ object D3PlotSource {
   def parse(bytes: Array[Byte]): D3PlotFile = parseRoot(bytes)._1
 
   private def parseRoot(bytes: Array[Byte]): (D3PlotFile, StateLayout) = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val nWords = bytes.length / 4
-    def fw(i: Int): Float = buf.getFloat(i * 4)
-    def iw(i: Int): Int = buf.getInt(i * 4)
+    val ws = detectWordSize(bytes)
+    val wd = new Words(bytes, ws)
+    val nWords = wd.nWords
+    def fw(i: Int): Float = wd.f(i)
+    def iw(i: Int): Int = wd.int(i)
 
     require(nWords >= 64, s"d3plot too short: $nWords words < 64-word control block")
-    val title = new String(bytes, 0, 40, "US-ASCII").trim
+    val title = new String(bytes, 0, 10 * ws, "US-ASCII").trim
     // 1-based manual word numbers → 0-based indices
     val ndim0 = iw(15)
     val numnp = iw(16)
@@ -136,25 +179,47 @@ object D3PlotSource {
     val nel8 = iw(23); val nv3d = iw(27)
     val nel2 = iw(28); val nv1d = iw(30)
     val nel4 = iw(31); val nv2d = iw(33)
+    val neips = iw(35)
     val maxint = iw(36)
-    // blocks this subset does not decode MUST be absent, or every later
-    // word offset would silently shift (SPH words 38-39, arbitrary
-    // numbering NARBS word 40, thick shells NELT word 41; 1-based)
+    // SPH particles are a separate element universe the reference's crash
+    // pipelines never consume (`d3plot.py` scope) — still rejected; NARBS
+    // and thick shells are now handled by skipping their blocks at the
+    // documented strides
     val nmsph = iw(37); val ngpsph = iw(38); val narbs = iw(39); val nelt = iw(40)
+    val nv3dt = if (nelt > 0) iw(42) else 0
     require(nmsph == 0 && ngpsph == 0,
       s"SPH blocks (NMSPH=$nmsph, NGPSPH=$ngpsph) not supported")
-    require(narbs == 0, s"arbitrary-numbering block (NARBS=$narbs) not supported")
-    require(nelt == 0, s"thick-shell block (NELT=$nelt) not supported")
+    // IOSHL flags encode on/off as 1000/999; legacy minimal writers leave
+    // them 0 — default stress/epsp ON and resultants OFF then (the
+    // NV2D consistency check below still rejects a wrong guess)
+    def ioshl(idx: Int, zeroDefault: Int): Int = iw(idx) match {
+      case 1000 => 1
+      case 999 => 0
+      case 0 => zeroDefault
+      case other => throw new IllegalArgumentException(
+        s"bad IOSHL flag $other at control word ${idx + 1}")
+    }
+    val ios1 = ioshl(43, 1); val ios2 = ioshl(44, 1)
+    val ios3 = ioshl(45, 0); val ios4 = ioshl(46, 0)
     // NDIM 4 = 3D with mass-scaled nodal data — geometry is still 3-D
     val ndim = if (ndim0 == 4) 3 else ndim0
     require(ndim == 3, s"unsupported NDIM $ndim0 (only 3-D)")
     require(numnp > 0 && numnp < Int.MaxValue / 4, s"implausible NUMNP $numnp")
     require(it == 0, "nodal temperature block (IT!=0) not supported")
     require(maxint > 0 || nel4 == 0, s"MAXINT $maxint invalid with NEL4 $nel4")
-    if (nel4 > 0)
-      require(nv2d == maxint * 7,
-        s"unsupported shell var layout NV2D=$nv2d (expect MAXINT*7=${maxint * 7}: " +
-        "6 Voigt stress + plastic strain per layer)")
+    val nvLayer = 6 + 1 + neips
+    if (nel4 > 0) {
+      require(ios1 == 1 && ios2 == 1,
+        s"shells present but stress/epsp flags off (IOSHL=${iw(43)},${iw(44)}) — " +
+          "per-layer decode would read garbage")
+      // residual after layers: force/moment resultants (8·IOSHL3 + 4·IOSHL4)
+      // and optionally the ISTRN strain tail (12 words), all skipped by the
+      // nv2d stride; any other residual means an unknown layout
+      val base = maxint * nvLayer + 8 * ios3 + 4 * ios4
+      require(nv2d == base || nv2d == base + 12,
+        s"unsupported shell var layout NV2D=$nv2d (expect $base [+12 with ISTRN]: " +
+          s"MAXINT·(6+1+NEIPS=$nvLayer) + 8·IOSHL3 + 4·IOSHL4)")
+    }
 
     var w = 64
     // geometry: nodes
@@ -167,16 +232,20 @@ object D3PlotSource {
       (Array.tabulate(8)(k => iw(base + k).toLong - 1), iw(base + 8).toLong)
     }
     w += nel8 * 9
+    w += nelt * 9 // thick shells: 8 nodes + part, skipped
     w += nel2 * 6 // beams: 6 words each, skipped
     val shells = Array.tabulate(nel4) { e =>
       val base = w + e * 5
       (Array.tabulate(4)(k => iw(base + k).toLong - 1), iw(base + 4).toLong)
     }
     w += nel4 * 5
+    // arbitrary user numbering: NARBS words of external ids — connectivity
+    // stays internally numbered, so the whole block is a stride skip
+    w += narbs
 
     // state data (shared with family continuation files)
-    val lay = StateLayout(numnp, nglbv, iu, iv, ia,
-      nel8, nv3d, nel2, nv1d, nel4, nv2d, maxint)
+    val lay = StateLayout(ws, numnp, nglbv, iu, iv, ia,
+      nel8, nv3d, nelt, nv3dt, nel2, nv1d, nel4, nv2d, maxint, nvLayer)
     (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay)), lay)
   }
 

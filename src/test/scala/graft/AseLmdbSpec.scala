@@ -115,6 +115,81 @@ class AseLmdbSpec extends SparkSpec {
     }
   }
 
+  test("parseAll: named sub-databases, DUPSORT sub-pages and dup sub-trees") {
+    val psz = 4096
+    val img = ByteBuffer.allocate(psz * 8).order(ByteOrder.LITTLE_ENDIAN)
+    def pageHeader(pgno: Int, flags: Int, nKeys: Int): Unit = {
+      img.position(pgno * psz)
+      img.putLong(pgno.toLong).putShort(0.toShort).putShort(flags.toShort)
+      img.putShort((16 + 2 * nKeys).toShort).putShort(psz.toShort)
+    }
+    def putNode(pgno: Int, slot: Int, off: Int, key: String,
+                data: Array[Byte], nflags: Int): Unit = {
+      img.putShort(pgno * psz + 16 + 2 * slot, off.toShort)
+      val base = pgno * psz + off
+      img.position(base)
+      img.putShort((data.length & 0xffff).toShort)
+        .putShort((data.length >> 16).toShort)
+      img.putShort(nflags.toShort).putShort(key.length.toShort)
+      img.put(key.getBytes("US-ASCII")).put(data)
+    }
+    def dbDescriptor(root: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(40, root)
+      b.array()
+    }
+    def meta(pgno: Int, txnid: Long, root: Long): Unit = {
+      pageHeader(pgno, 0x08, 0)
+      val m = pgno * psz + 16
+      img.position(m)
+      img.putInt(0xBEEFC0DE).putInt(1)
+      img.putLong(0L).putLong(psz * 8L)
+      img.putInt(psz).putShort(0.toShort).putShort(0.toShort)
+      img.putLong(0L).putLong(0L).putLong(0L).putLong(0L).putLong(-1L)
+      img.position(m + 112)
+      img.putLong(root)
+      img.putLong(7L).putLong(txnid)
+    }
+    // embedded DUPSORT sub-page (offsets relative to sub-page start):
+    // two dup items "a1", "b22"
+    val subPage = {
+      val b = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(0L).putShort(0.toShort).putShort((0x40 | 0x02).toShort)
+      b.putShort((16 + 4).toShort).putShort(64.toShort)
+      b.putShort(16, 24.toShort); b.putShort(18, 36.toShort)
+      b.position(24); b.putShort(0.toShort).putShort(0.toShort)
+      b.putShort(0.toShort).putShort(2.toShort); b.put("a1".getBytes)
+      b.position(36); b.putShort(0.toShort).putShort(0.toShort)
+      b.putShort(0.toShort).putShort(3.toShort); b.put("b22".getBytes)
+      b.array()
+    }
+    meta(0, 0L, 2L); meta(1, 1L, 2L)
+    pageHeader(2, 0x02, 4) // main leaf
+    putNode(2, 0, 120, "dup", subPage, nflags = 0x04)            // F_DUPDATA
+    putNode(2, 1, 120 + 8 + 3 + subPage.length + 5, "dupt",
+      dbDescriptor(4L), nflags = 0x06)                           // dup sub-tree
+    putNode(2, 2, 320, "plain", "hello".getBytes, nflags = 0)
+    putNode(2, 3, 340, "side", dbDescriptor(3L), nflags = 0x02)  // named sub-DB
+    pageHeader(3, 0x02, 2) // sub-DB leaf
+    putNode(3, 0, 100, "s1", "v1".getBytes, nflags = 0)
+    putNode(3, 1, 120, "s2", "v2".getBytes, nflags = 0)
+    pageHeader(4, 0x02, 2) // dup sub-tree leaf: keys ARE the data items
+    putNode(4, 0, 100, "x9", Array.empty[Byte], nflags = 0)
+    putNode(4, 1, 120, "y10", Array.empty[Byte], nflags = 0)
+
+    val all = AseLmdbSource.parseAll(img.array())
+    def vals(db: String, key: String): Set[String] =
+      all.filter(e => e.db == db && e.key == key)
+        .map(e => new String(e.value, "US-ASCII")).toSet
+    assert(vals("", "dup") == Set("a1", "b22"))
+    assert(vals("", "dupt") == Set("x9", "y10"))
+    assert(vals("", "plain") == Set("hello"))
+    assert(vals("side", "s1") == Set("v1") && vals("side", "s2") == Set("v2"))
+    // main-DB view hides descriptor nodes but keeps dup expansions
+    val mainKeys = AseLmdbSource.parse(img.array()).map(_._1).toSet
+    assert(mainKeys == Set("dup", "dupt", "plain"))
+  }
+
   test("AseLmdbSink.buildImage round-trips through parse: inline, overflow, multi-leaf") {
     val rng = new scala.util.Random(11)
     // values spanning inline (< page/4) and BIGDATA overflow (> page) sizes,

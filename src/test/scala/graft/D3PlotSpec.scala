@@ -78,6 +78,85 @@ class D3PlotSpec extends SparkSpec {
     assert(f.states(1).shellEpsp(0).toSeq == t1Epsp.toSeq)
   }
 
+  /** General-layout fixture: word size 4/8, NEIPS extra history vars,
+    * IOSHL(3)/(4) resultants, ISTRN strain tail, NARBS numbering block —
+    * all the strides the decoder must SKIP without disturbing the decoded
+    * stress/epsp. Extra words carry the sentinel 42 so a stride bug reads
+    * it into a decoded field and fails the equality below.
+    */
+  private def mkFixture(ws: Int, neips: Int, ios3: Boolean, ios4: Boolean,
+                        istrn: Boolean, narbs: Int, title: String): Array[Byte] = {
+    val numnp = 4; val nel4 = 1; val maxint = 2; val nglbv = 2
+    val nvLayer = 7 + neips
+    val nv2d = maxint * nvLayer + (if (ios3) 8 else 0) + (if (ios4) 4 else 0) +
+      (if (istrn) 12 else 0)
+    val nStates = 2
+    val stateWords = 1 + nglbv + numnp * 3 + nel4 * nv2d
+    val total = 64 + numnp * 3 + nel4 * 5 + narbs + nStates * stateWords + 1
+    val bb = ByteBuffer.allocate(total * ws).order(ByteOrder.LITTLE_ENDIAN)
+    def pi(v: Int): Unit = { if (ws == 4) bb.putInt(v) else bb.putLong(v.toLong); () }
+    def pf(v: Float): Unit = { if (ws == 4) bb.putFloat(v) else bb.putDouble(v.toDouble); () }
+    bb.put(title.padTo(10 * ws, ' ').take(10 * ws).getBytes("US-ASCII"))
+    (10 until 64).foreach {
+      case 15 => pi(4)
+      case 16 => pi(numnp)
+      case 18 => pi(nglbv)
+      case 20 => pi(1)
+      case 31 => pi(nel4)
+      case 32 => pi(1)
+      case 33 => pi(nv2d)
+      case 35 => pi(neips)
+      case 36 => pi(maxint)
+      case 39 => pi(narbs)
+      case 43 => pi(1000)
+      case 44 => pi(1000)
+      case 45 => pi(if (ios3) 1000 else 999)
+      case 46 => pi(if (ios4) 1000 else 999)
+      case _ => pi(0)
+    }
+    coords.foreach(c => c.foreach(pf))
+    Seq(1, 2, 3, 4).foreach(pi); pi(7)
+    (0 until narbs).foreach(_ => pi(4242)) // numbering block, skipped
+    Seq((0.0f, state0Coords, Array(Array.fill(6)(0f), Array.fill(6)(0f)), Array(0f, 0f)),
+        (1.5f, state1Coords, t1Stress, t1Epsp)).foreach {
+      case (time, cs, stress, epsp) =>
+        pf(time)
+        (0 until nglbv).foreach(_ => pf(99f))
+        cs.foreach(c => c.foreach(pf))
+        (0 until maxint).foreach { l =>
+          stress(l).foreach(pf); pf(epsp(l))
+          (0 until neips).foreach(_ => pf(42f)) // extra history, skipped
+        }
+        val tail = (if (ios3) 8 else 0) + (if (ios4) 4 else 0) + (if (istrn) 12 else 0)
+        (0 until tail).foreach(_ => pf(42f))     // resultants/strain, skipped
+    }
+    pf(-999999.0f)
+    bb.array()
+  }
+
+  private def assertDecodes(bytes: Array[Byte], title: String): Unit = {
+    val f = D3PlotSource.parse(bytes)
+    assert(f.title == title)
+    assert(f.coords.map(_.toSeq).toSeq == coords.map(_.toSeq).toSeq)
+    assert(f.shells.length == 1 && f.shells(0)._1.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(f.states.length == 2 && f.states(1).time == 1.5f)
+    assert(f.states(1).shellStress(0).map(_.toSeq).toSeq == t1Stress.map(_.toSeq).toSeq)
+    assert(f.states(1).shellEpsp(0).toSeq == t1Epsp.toSeq)
+  }
+
+  test("64-bit word files decode identically (word size auto-detected)") {
+    assertDecodes(mkFixture(8, 0, ios3 = false, ios4 = false, istrn = false,
+      narbs = 0, "wide run"), "wide run")
+  }
+
+  test("NEIPS history vars, IOSHL resultants, ISTRN tail, NARBS all skip cleanly") {
+    assertDecodes(mkFixture(4, 3, ios3 = true, ios4 = true, istrn = true,
+      narbs = 17, "rich layout"), "rich layout")
+    // and the same rich layout at 64-bit words
+    assertDecodes(mkFixture(8, 2, ios3 = true, ios4 = false, istrn = true,
+      narbs = 9, "rich wide"), "rich wide")
+  }
+
   test("unsupported layouts fail loudly, not silently") {
     val good = fixtureBytes("x")
     // corrupt NV2D (word 33) to an unsupported layout

@@ -127,6 +127,7 @@ object SparkEntry {
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
     "q_grid_sidecar" -> (qGridSidecar _),
     "q_ansys_routing" -> (qAnsysRouting _),
+    "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -160,6 +161,24 @@ object SparkEntry {
     * (variable, record). `<f8` cells round-trip bit-exactly, so the oracle
     * rebuilds the same sums straight from events (fills contribute 0).
     */
+  /** NetCDF-4 sink→source cycle: the same record-grid contract as
+    * q_netcdf_roundtrip but through the HDF5 CONTAINER (`Hdf5Store` —
+    * superblock, symbol-table group, contiguous f64 datasets), the storage
+    * layer the reference's netcdf_writer produces via the netCDF4 lib.
+    */
+  private def qNetcdf4Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val out = freshTmpDir("graft_nc4_rt", dir)
+    graft.sinks.NetCdf4Sink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
+    val (_, data) = graft.sources.Hdf5Source.read(s, out)
+    data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("variable", "t")
+  }
+
   private def qNetcdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.events(s, dir)
       .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
@@ -1756,6 +1775,20 @@ object SparkEntry {
     // are 0. The lattice is rebuilt COMPLETE (every variable × record),
     // because the sink always writes nRecs records even when a
     // (variable, parity) group has no events.
+    // Same mirror as q_netcdf_roundtrip: the HDF5 container also
+    // round-trips <f8 cells bit-exactly.
+    "q_netcdf4_roundtrip" ->
+      """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT DISTINCT e.event_type AS variable, r.range AS t
+        |  FROM events e, range(2) r),
+        |f AS (SELECT l.variable, l.t, coalesce(g.v, 0.0) AS v
+        |  FROM l LEFT JOIN g ON l.variable = g.variable AND l.t = g.t)
+        |SELECT variable, t, CAST(128 AS BIGINT) AS n_cells,
+        |  round(v + 1e-6, 2) AS sum_value
+        |FROM f ORDER BY 1, 2""".stripMargin,
+
     "q_netcdf_roundtrip" ->
       """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
         |    sum(value) AS v

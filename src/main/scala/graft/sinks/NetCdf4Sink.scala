@@ -1,0 +1,47 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** NetCDF-4 flavored sink: the same record-grid contract as `NetCdfSink`
+  * (df: (variable, t, i, j, value) → one file per variable, dense
+  * (time, lat, lon) grid, absent cells 0), but emitting the HDF5
+  * CONTAINER via `Hdf5Store` — the storage layer the reference's
+  * `netcdf_writer.py:75` produces through the netCDF4 lib. One dataset
+  * per file, named after the variable, dims (nRecs, nLat, nLon).
+  */
+object NetCdf4Sink {
+
+  def writeRecordGrids(df: DataFrame, out: String, shape: (Int, Int),
+                       nRecs: Int): Seq[String] = {
+    val spark = df.sparkSession
+    val grouped = df.groupBy(col("variable")).agg(
+      collect_list(struct(col("t").cast("int").as("t"),
+        col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("value").cast("double").as("v"))).as("cells"))
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val (nLat, nLon) = shape
+    grouped.map { row =>
+      val variable = row.getString(0)
+      require(!variable.contains("/"),
+        s"variable name '$variable' contains '/' — would write outside the store")
+      val perRec = nLat * nLon
+      val data = Array.fill(nRecs * perRec)(0.0)
+      row.getSeq[Row](1).foreach { c =>
+        val (t, i, j) = (c.getInt(0), c.getInt(1), c.getInt(2))
+        require(t >= 0 && t < nRecs && i >= 0 && i < nLat && j >= 0 && j < nLon,
+          s"cell ($t,$i,$j) outside (${nRecs}×$nLat×$nLon)")
+        data(t * perRec + i * nLon + j) = c.getDouble(3)
+      }
+      val bytes = Hdf5Store.render(
+        Seq((variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data)))
+      val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc4")
+      val fs = path.getFileSystem(hadoopConf.value)
+      fs.setWriteChecksum(false)
+      val os = fs.create(path, true)
+      try os.write(bytes) finally os.close()
+      path.toString
+    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+  }
+}

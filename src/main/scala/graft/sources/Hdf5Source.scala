@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HDF5 (NetCDF-4 container) ingestion — the read side of
+  * `sinks/NetCdf4Sink`/`Hdf5Store`, emitting the same long grid model as
+  * `NetCdfSource`: a `vars` table (file, variable, dims) and a `data`
+  * table (file, variable, row-major pos, value). File distribution via
+  * `binaryFile`, per-file decode in `flatMap` on executors.
+  */
+object Hdf5Source {
+
+  def read(spark: SparkSession, pathGlob: String,
+           globFilter: String = "*.nc4"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])].persist()
+    val vars = raw.flatMap { case (path, bytes) =>
+      graft.sinks.Hdf5Store.parse(bytes).map { case (name, dims, _) =>
+        (path, name, dims)
+      }
+    }.toDF("file", "variable", "dims")
+    val data = raw.flatMap { case (path, bytes) =>
+      graft.sinks.Hdf5Store.parse(bytes).flatMap { case (name, _, vals) =>
+        vals.iterator.zipWithIndex.map { case (v, i) => (path, name, i.toLong, v) }
+      }
+    }.toDF("file", "variable", "pos", "value")
+    (vars, data)
+  }
+}

@@ -226,6 +226,32 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ----------------------------------------------------------------- HDF5
+
+  test("HDF5: random dataset sets render → parse identity") {
+    val dsGen = for {
+      n <- Gen.chooseNum(1, 5)
+      specs <- Gen.listOfN(n, for {
+        rank <- Gen.chooseNum(1, 3)
+        dims <- Gen.listOfN(rank, Gen.chooseNum(1L, 4L))
+        vals <- Gen.listOfN(dims.product.toInt, exactD)
+      } yield (dims, vals))
+    } yield specs.zipWithIndex.map { case ((dims, vals), i) =>
+      (s"var_$i", dims: Seq[Long], vals.toArray)
+    }
+
+    check(Prop.forAllNoShrink(dsGen) { datasets =>
+      val img = graft.sinks.Hdf5Store.render(datasets)
+      val back = graft.sinks.Hdf5Store.parse(img)
+      Prop(back.map(_._1) == datasets.map(_._1).sorted &&
+        datasets.forall { case (n, dims, vals) =>
+          back.find(_._1 == n).exists { case (_, d2, v2) =>
+            d2 == dims && v2.toSeq == vals.toSeq
+          }
+        }) :| s"${datasets.length} datasets"
+    })
+  }
+
   // --------------------------------------------------------------- d3plot
 
   test("d3plot: random shell runs render → parse identity") {

@@ -95,6 +95,33 @@ class NetCdfSpec extends SparkSpec {
     assert(got.sum == 1.5 - 2.25 + 8.0)
   }
 
+  test("NetCDF-4 (HDF5 container) sink -> source round trip") {
+    val s = spark
+    import s.implicits._
+    val cells = Seq((0, 0, 0, 1.5), (0, 1, 2, -2.25), (1, 0, 1, 8.0))
+      .toDF("t", "i", "j", "value").withColumn("variable", lit("t2m"))
+      .unionByName(Seq((0, 1, 1, 4.0)).toDF("t", "i", "j", "value")
+        .withColumn("variable", lit("u10")))
+    val dir = Files.createTempDirectory("nc4").toString + "/store"
+    val paths = graft.sinks.NetCdf4Sink.writeRecordGrids(cells, dir,
+      shape = (2, 3), nRecs = 2)
+    assert(paths.length == 2)
+    // the files really are HDF5 containers
+    val bytes = Files.readAllBytes(Paths.get(new java.net.URI(paths.head).getPath))
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
+    val (vars, data) = graft.sources.Hdf5Source.read(spark, dir)
+    assert(vars.count() == 2)
+    val dims = vars.filter(col("variable") === "t2m").collect()(0)
+      .getAs[scala.collection.Seq[Long]]("dims")
+    assert(dims == Seq(2L, 2L, 3L))
+    val t2m = data.filter(col("variable") === "t2m").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(t2m.length == 12 && t2m(0) == 1.5 && t2m(5) == -2.25 && t2m(7) == 8.0)
+    val u10 = data.filter(col("variable") === "u10").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(u10.sum == 4.0 && u10(4) == 4.0)
+  }
+
   test("read: long tables compose with grid stats") {
     val dir = Files.createTempDirectory("nc").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

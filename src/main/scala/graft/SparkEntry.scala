@@ -128,6 +128,7 @@ object SparkEntry {
     "q_grid_sidecar" -> (qGridSidecar _),
     "q_ansys_routing" -> (qAnsysRouting _),
     "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
+    "q_streaming_stats" -> (qStreamingStats _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -161,6 +162,44 @@ object SparkEntry {
     * (variable, record). `<f8` cells round-trip bit-exactly, so the oracle
     * rebuilds the same sums straight from events (fills contribute 0).
     */
+  /** §2.7 streaming as a CORRECTNESS entry: the events table read as a
+    * FILE STREAM (`readStream.parquet`), put through the same
+    * `StreamingStats.windowedGridStats` used by the batch path, driven to
+    * completion with `Trigger.AvailableNow` into a memory sink (complete
+    * output mode — no window sits unflushed behind the watermark), then
+    * compared against a pure batch SQL mirror of the tumbling window. The
+    * stream/batch agreement the reference can't express is what this row
+    * gates.
+    */
+  private def qStreamingStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir) // sets the nanosAsLong reader conf for the session
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // The file-stream source owns a DIRECTORY (its real deployment shape:
+    // an ingest dir files land in); the test table is a bare file, so stage
+    // it into one (one driver-side file copy of a fixture, not a data path).
+    val streamDir = freshTmpDir("graft_stream_src", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingStats.windowedGridStats(
+      stream, "ts", Seq("event_type"), "value",
+      windowDur = "30 days", watermarkDelay = "1 hour")
+    val qname = s"graft_stream_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .select(col("window_start"), col("event_type"), col("n"),
+        rnd("mean", 4).as("mean"), rnd("var_pop", 4).as("var_pop"),
+        rnd("min", 4).as("min"), rnd("max", 4).as("max"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** NetCDF-4 sink→source cycle: the same record-grid contract as
     * q_netcdf_roundtrip but through the HDF5 CONTAINER (`Hdf5Store` —
     * superblock, symbol-table group, contiguous f64 datasets), the storage
@@ -1775,6 +1814,21 @@ object SparkEntry {
     // are 0. The lattice is rebuilt COMPLETE (every variable × record),
     // because the sink always writes nRecs records even when a
     // (variable, parity) group has no events.
+    // Tumbling-window mirror in exact integer microseconds: Spark's window
+    // start = ts_us - ts_us % dur_us; DuckDB reads the raw TIMESTAMP_NS and
+    // epoch_ns keeps full precision (epoch() would round through a double).
+    "q_streaming_stats" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_ns(ts) // 1000 AS us, value FROM events),
+        |w AS (SELECT make_timestamp(us - us % 2592000000000) AS window_start,
+        |    event_type, value FROM e)
+        |SELECT window_start, event_type, count(value) AS n,
+        |  round(avg(value) + 1e-9, 4) AS mean,
+        |  round(var_pop(value) + 1e-9, 4) AS var_pop,
+        |  round(min(value) + 1e-9, 4) AS min,
+        |  round(max(value) + 1e-9, 4) AS max
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // Same mirror as q_netcdf_roundtrip: the HDF5 container also
     // round-trips <f8 cells bit-exactly.
     "q_netcdf4_roundtrip" ->

@@ -178,10 +178,15 @@ object SparkEntry {
     // an ingest dir files land in); the test table is a bare file, so stage
     // it into one (one driver-side file copy of a fixture, not a data path).
     val streamDir = freshTmpDir("graft_stream_src", dir)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(s"$streamDir/events.parquet"))
+    // Hadoop FileUtil handles BOTH layouts: a bare parquet file and a
+    // Spark-written directory of part files (a plain Files.copy of the
+    // latter would create an empty dir and the stream would see no files)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/events.parquet")
+    val fs = srcP.getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, dstP.getFileSystem(hconf), dstP,
+      false, hconf)
     val stream = s.readStream.schema(raw.schema).parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = graft.streaming.StreamingStats.windowedGridStats(

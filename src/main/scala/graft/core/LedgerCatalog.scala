@@ -56,10 +56,15 @@ object LedgerCatalog {
         re.findFirstMatchIn(cfg).map(_.group(1)).getOrElse("")
       }
       val filterRe = "\\{\"name\":\"([^\"]*)\",\"params\"".r
-      // filters array sits between source and sink in the canonical JSON
+      // filters array sits between source and sink in the canonical JSON;
+      // bound it by the `],"sink":` separator, which cannot occur inside a
+      // string value (esc() escapes every quote) — a bare indexOf("]")
+      // would stop at a ']' inside a param value like "[0-9]+"
       val filtersSection = cfg.indexOf("\"filters\":[") match {
         case -1 => ""
-        case i => cfg.substring(i, cfg.indexOf("]", i).max(i))
+        case i =>
+          val end = cfg.indexOf("],\"sink\":", i)
+          cfg.substring(i, if (end >= 0) end else cfg.length)
       }
       val idxPath = new org.apache.hadoop.fs.Path(s"$dir/index_results")
       val (total, completed) =

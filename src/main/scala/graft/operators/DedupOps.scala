@@ -254,11 +254,25 @@ object DedupOps {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need ${maxHamming + 1} bands from $bits bits")
     val signatures = cached(signatures0)
+    // Effective-width guard: signatures built NARROWER than `bits` (e.g.
+    // 32-bit fingerprints under the 64-bit default) would turn every band
+    // above the real width into a constant-key bucket — a silent
+    // whole-corpus self-join. Rebanding over the effective width is
+    // lossless: bits above it are identical across the corpus (every pair
+    // trivially agrees there), and pigeonhole over the low bands still
+    // covers ≤ maxHamming flips. One tiny agg over the cached signatures.
+    val bounds = signatures.agg(min(col("simhash")), max(col("simhash"))).first()
+    val effBits =
+      if (bounds.isNullAt(0)) bits // empty corpus: banding is vacuous
+      else if (bounds.getLong(0) < 0) 64
+      else math.max(maxHamming + 1,
+        64 - java.lang.Long.numberOfLeadingZeros(bounds.getLong(1) | 1L))
+    val bandedBits = math.min(bits, effBits)
     val nBands = maxHamming + 1
-    val w = bits / nBands
+    val w = bandedBits / nBands
     val banded = (0 until nBands).map { b =>
       val lo = b * w
-      val width = if (b == nBands - 1) bits - lo else w
+      val width = if (b == nBands - 1) bandedBits - lo else w
       val mask = if (width >= 64) -1L else (1L << width) - 1
       signatures.select(col(idCol), lit(b).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("band_key"))

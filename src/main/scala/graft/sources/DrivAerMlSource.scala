@@ -23,7 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object DrivAerMlSource {
 
-  private val RunDirRe = ".*/run_(\\d+)/[^/]+$".r
   private val PartRe = ".*/volume_(\\d+)\\.vtu\\.(\\d+)\\.part$".r
   private val DirectRe = ".*/volume_(\\d+)\\.vtu$".r
 
@@ -103,7 +102,9 @@ object DrivAerMlSource {
       val piece = VtkXmlSource.parseVtu(bytes, inc, exc)
       (s"run_$runId", piece.points.map(a => (a(0), a(1), a(2))), piece.cells,
         piece.pointData.toSeq.map { case (k, v) => (k, v) })
-    }.persist() // three tables project from one parse
+    }.persist() // three tables project from one parse; the caller releases
+                // via unpersist/clearCache once the frames are consumed
+                // (same lifecycle as VtkXmlSource.read / NetCdfSource.read)
 
     val points = pieces.flatMap { case (mesh, pts, _, _) =>
       pts.zipWithIndex.map { case ((x, y, z), i) => (mesh, i.toLong, x, y, z) }

@@ -14,19 +14,23 @@ object Hdf5Source {
   def read(spark: SparkSession, pathGlob: String,
            globFilter: String = "*.nc4"): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val raw = spark.read.format("binaryFile")
+    // parse ONCE per file; the persisted dataset (shared by both returned
+    // frames) holds decoded values, not raw file bytes — same lifecycle as
+    // the other binary sources: released by unpersist/clearCache when the
+    // caller is done with both frames
+    val parsed = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
-      .as[(String, Array[Byte])].persist()
-    val vars = raw.flatMap { case (path, bytes) =>
-      graft.sinks.Hdf5Store.parse(bytes).map { case (name, dims, _) =>
-        (path, name, dims)
-      }
-    }.toDF("file", "variable", "dims")
-    val data = raw.flatMap { case (path, bytes) =>
-      graft.sinks.Hdf5Store.parse(bytes).flatMap { case (name, _, vals) =>
-        vals.iterator.zipWithIndex.map { case (v, i) => (path, name, i.toLong, v) }
-      }
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.sinks.Hdf5Store.parse(bytes).map { case (name, dims, vals) =>
+          (path, name, dims, vals)
+        }
+      }.persist()
+    val vars = parsed.map { case (path, name, dims, _) => (path, name, dims) }
+      .toDF("file", "variable", "dims")
+    val data = parsed.flatMap { case (path, name, _, vals) =>
+      vals.iterator.zipWithIndex.map { case (v, i) => (path, name, i.toLong, v) }
     }.toDF("file", "variable", "pos", "value")
     (vars, data)
   }

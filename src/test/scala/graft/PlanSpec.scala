@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression pins — the 100 TB properties PLANS.md narrates,
+  * asserted on the actual plans so a regression fails CI instead of only
+  * drifting the prose: scan pushdown, broadcast dims, partial+final
+  * aggregation, candidate-driven (never cartesian) dedup joins, and the
+  * two-pass prefix sum.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_field_select_pushdown: predicates AND pruned columns reach the parquet scan") {
+    val p = formatted("q_field_select_pushdown")
+    assert(p.contains("PushedFilters"), "no filter pushdown section in the scan")
+    assert(p.contains("l_shipdate") && p.contains("GreaterThan"),
+      "expected shipdate/discount predicates in PushedFilters")
+    // projection pruning: the scan must NOT read the wide remainder of lineitem
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q_join_regional_revenue: bounded dims broadcast, agg is partial+final") {
+    val p = formatted("q_join_regional_revenue")
+    assert(p.contains("BroadcastHashJoin"), "bounded dims must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "aggregation must split partial+final")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup/similarity candidate joins never degrade to cartesian products") {
+    Seq("q_exact_dedup", "q_jaccard_pairs", "q_lsh_band_pairs", "q_simhash_pairs",
+      "q_salted_join", "q_sessionize", "q_token_budget", "q_topk_cosine")
+      .foreach { q =>
+        val p = formatted(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+        // two legitimate bounded nested-loops: brute top-k over its bounded
+        // query set, and the salt-range replication of the SMALL join side
+        // (that replication IS the salting technique)
+        if (q != "q_topk_cosine" && q != "q_salted_join")
+          assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+      }
+  }
+
+  test("q_atom_offsets: prefix sum is the two-pass form, not one global window task") {
+    val p = formatted("q_atom_offsets")
+    // a bare Window.orderBy (no partitionBy) would plan a single-partition
+    // Sort+Window over ALL rows; the two-pass form windows within the
+    // range partitions instead
+    assert(!p.contains("Window [") || p.contains("_pid"),
+      "global window without partition-local structure")
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION"),
+      "expected the range-partitioned first pass")
+  }
+
+  test("q_exact_dedup: one reduction shuffle, map-side partial aggregation") {
+    val p = formatted("q_exact_dedup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    // formatted output names each node once in the detail section as
+    // "(n) Exchange"; the only shuffles allowed are the one aggregation
+    // reduction plus the oracle-determinism orderBy
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      "more shuffles than the one reduction + output sort need")
+  }
+
+  test("whole-stage codegen covers the text-derivation hot paths") {
+    // AQE inserts WholeStageCodegen per-stage at EXECUTION — run the query,
+    // then inspect the final adaptive plan
+    val df = SparkEntry.queries("q_text_quality")(spark, dir)
+    df.collect() // executes THIS queryExecution (count() would plan a new one)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages render as "*(n) Project"-style star markers; the
+    // feature projection must carry one
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).nonEmpty,
+      "text feature projection fell out of whole-stage codegen")
+  }
+}

@@ -131,38 +131,28 @@ object DedupOps {
       .select("da", "db").distinct()
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every node ends labeled with the minimum id reachable in
-    * its component — the dedup *cluster resolution* step (pairs → clusters →
-    * one survivor each). Converges in O(diameter) rounds with a driver-side
-    * convergence check; near-dup clusters are shallow (dup groups, not web
-    * graphs), so rounds stay small. At extreme skew swap in
-    * large-star/small-star (Kiveris et al.) — same DataFrame shape.
+  /** Per-round checkpoint lifecycle shared by the iterative graph
+    * algorithms: localCheckpoint (not persist) each round — persist keeps
+    * the LOGICAL plan, so an iterative join would grow the lineage until
+    * planning itself OOMs; checkpointing truncates it to the materialized
+    * result. `checkpointDir` switches to RELIABLE checkpoints (HDFS/S3-
+    * backed) so a lost executor mid-iteration replays from storage, not
+    * from the whole lineage — the cluster fault-tolerance mode. The dir is
+    * set unconditionally (the caller asked for THIS dir; note it updates
+    * the session's checkpoint location), and superseded iterations' files
+    * are deleted once no longer referenced — Spark does not clean reliable
+    * checkpoints itself, so N iterations would otherwise leave N full
+    * snapshots on storage.
     */
-  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
-    val sym = cached(
-      pairs.select(col("da").as("a"), col("db").as("b"))
-        .union(pairs.select(col("db").as("a"), col("da").as("b"))))
-    // localCheckpoint (not persist) each round: persist keeps the LOGICAL
-    // plan, so an iterative join would grow the lineage until planning
-    // itself OOMs; checkpointing truncates it to the materialized result.
-    // `checkpointDir` switches to RELIABLE checkpoints (HDFS/S3-backed) so
-    // a lost executor mid-iteration replays from storage, not from the
-    // whole lineage — the cluster fault-tolerance mode. The dir is set
-    // unconditionally (the caller asked for THIS dir; note it updates the
-    // session's checkpoint location), and superseded iterations' files are
-    // deleted once no longer referenced — Spark does not clean reliable
-    // checkpoints itself, so 20 iterations would otherwise leave 20 full
-    // label-table snapshots on storage.
-    val sc = ids.sparkSession.sparkContext
+  private final class CkptCycle(spark: org.apache.spark.sql.SparkSession,
+                                checkpointDir: Option[String]) {
+    private val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    val ckptFs = checkpointDir.map { _ =>
+    private val ckptFs = checkpointDir.map { _ =>
       val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
       (root.getFileSystem(sc.hadoopConfiguration), root)
     }
-    def listCkpt(): Set[String] = ckptFs.map { case (fs, root) =>
+    private def listCkpt(): Set[String] = ckptFs.map { case (fs, root) =>
       if (!fs.exists(root)) Set.empty[String]
       else fs.listStatus(root).map(_.getPath.toString).toSet
     }.getOrElse(Set.empty)
@@ -174,6 +164,27 @@ object DedupOps {
     def dropCkptDirs(dirs: Set[String]): Unit = ckptFs.foreach { case (fs, _) =>
       dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
     }
+  }
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every node ends labeled with the minimum id reachable in
+    * its component — the dedup *cluster resolution* step (pairs → clusters →
+    * one survivor each). Converges in O(diameter) rounds with the
+    * convergence check riding the propagation job; near-dup clusters are
+    * shallow (dup groups, not web graphs), so rounds stay small. For deep
+    * or extremely skewed components use `connectedComponentsStars`
+    * (large-star/small-star, O(log²) rounds) — identical output, pinned by
+    * spec.
+    */
+  def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sym = cached(
+      pairs.select(col("da").as("a"), col("db").as("b"))
+        .union(pairs.select(col("db").as("a"), col("da").as("b"))))
+    val ckpt = new CkptCycle(ids.sparkSession, checkpointDir)
+    def checkpointed(df: DataFrame): (DataFrame, Set[String]) = ckpt.checkpointed(df)
+    def dropCkptDirs(dirs: Set[String]): Unit = ckpt.dropCkptDirs(dirs)
     var (labels, labelDirs) = checkpointed(
       ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label")))
     var converged = false
@@ -207,6 +218,81 @@ object DedupOps {
       s"connectedComponents did not converge after $maxIter rounds; " +
         "raise maxIter or use large-star/small-star for deep components")
     labels.withColumnRenamed("node", idCol).withColumnRenamed("label", "component")
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+    * public algorithm): each round rewires every node's neighborhood toward
+    * its local minimum, collapsing any component to a star on its global
+    * minimum in O(log²) rounds regardless of DIAMETER — the swap-in for
+    * deep chains or web-scale skew where min-label propagation's
+    * O(diameter) rounds would dominate. Same inputs and output schema as
+    * `connectedComponents`; results are identical (spec-pinned).
+    *
+    *  - large-star: per node u, attach every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star: per node u over its smaller-or-equal neighborhood N,
+    *    attach N ∪ {u} to m = min(N ∪ u);
+    *  - convergence when a round leaves the (count, xor-of-hash) edge
+    *    summary unchanged — one cheap agg on the checkpointed round
+    *    result instead of a set-equality join (a collision needs equal
+    *    counts AND an exact 64-bit checksum match on different sets).
+    */
+  def connectedComponentsStars(ids: DataFrame, idCol: String, pairs: DataFrame,
+                               maxIter: Int = 25,
+                               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = ids.sparkSession
+    val ckpt = new CkptCycle(spark, checkpointDir)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val withM = dir.join(m, "u")
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def summary(e: DataFrame): (Long, Long) = {
+      // xor-fold: order-independent and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var (edges, edgeDirs) = ckpt.checkpointed(
+      pairs.select(col("da").cast("long").as("u"), col("db").cast("long").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var prev = summary(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val (next, newDirs) = ckpt.checkpointed(smallStar(largeStar(edges)))
+      val cur = summary(next)
+      ckpt.dropCkptDirs(edgeDirs)
+      edges = next
+      edgeDirs = newDirs
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge after $maxIter rounds")
+    // converged edges form stars u -> root; nodes absent from any pair are
+    // their own singleton components
+    val labels = edges.select(col("u").as("node"), col("v").as("component"))
+    ids.select(col(idCol).cast("long").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("component"), col("node")).as("component"))
   }
 
   /** Dedup resolution: (id, component, is_survivor) — survivor = min id per

@@ -172,6 +172,39 @@ class TextDedupSpec extends SparkSpec {
     assert(fps.forall(f => f >= 0 && (f >> 60) == 0))
   }
 
+  test("connectedComponentsStars == min-label CC; deep chains converge in log rounds") {
+    val s = spark
+    import s.implicits._
+    // clustered random graph: 60 nodes, triples + extra random intra-cluster
+    // edges, plus isolated singletons
+    val rng = new scala.util.Random(13)
+    val edges = (0 until 20).flatMap { c =>
+      val ids = (0 until 3).map(k => (c * 3 + k).toLong)
+      val ring = ids.zip(ids.tail :+ ids.head)
+      ring ++ (if (rng.nextBoolean()) Seq((ids(0), ids(2))) else Nil)
+    }
+    val ids = (0L until 66L).toDF("doc_id") // 60 clustered + 6 singletons
+    val pairs = edges.toDF("da", "db")
+    val expected = graft.operators.DedupOps.connectedComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = graft.operators.DedupOps.connectedComponentsStars(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == expected)
+
+    // a 200-deep chain: min-label would need ~200 rounds (its default
+    // maxIter=20 throws); the star algorithm collapses it well inside 15
+    val n = 200L
+    val chainIds = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      graft.operators.DedupOps.connectedComponents(chainIds, "doc_id", chain).count()
+    }
+    val r = graft.operators.DedupOps.connectedComponentsStars(
+      chainIds, "doc_id", chain, maxIter = 15)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to n).forall(r(_) == 1L))
+  }
+
   test("simhash: identical canonical docs get identical fingerprints") {
     val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

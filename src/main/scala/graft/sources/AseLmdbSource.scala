@@ -35,6 +35,7 @@ object AseLmdbSource {
   private val PInvalid = -1L // 0xFFFF.. as signed
   private val PBranch = 0x01
   private val PLeaf = 0x02
+  private val PLeaf2 = 0x20
   private val PSubPage = 0x40
   private val FBigData = 0x01
   private val FSubData = 0x02
@@ -96,19 +97,31 @@ object AseLmdbSource {
     }
 
     /** Dup items of an embedded DUPSORT sub-page (offsets are relative to
-      * the sub-page start, so the copied value parses standalone).
+      * the sub-page start, so the copied value parses standalone). Two
+      * layouts per the LMDB source: regular LEAF sub-pages hold full nodes;
+      * LEAF2 sub-pages (fixed-size dup items) pack the raw keys back to
+      * back from offset 16, item size in the header's pad field.
       */
     def subPageItems(sub: Array[Byte]): Seq[String] = {
       require(sub.length >= 16, "truncated DUPSORT sub-page")
       val sb = ByteBuffer.wrap(sub).order(ByteOrder.LITTLE_ENDIAN)
       val flags = sb.getShort(10) & 0xffff
-      require((flags & PSubPage) != 0 && (flags & PLeaf) != 0,
-        f"expected LEAF sub-page, flags 0x$flags%x")
-      val n = ((sb.getShort(12) & 0xffff) - 16) / 2
-      (0 until n).map { i =>
-        val off = sb.getShort(16 + 2 * i) & 0xffff
-        val ksize = sb.getShort(off + 6) & 0xffff
-        new String(sub, off + 8, ksize, "US-ASCII")
+      require((flags & PSubPage) != 0 && (flags & (PLeaf | PLeaf2)) != 0,
+        f"expected LEAF/LEAF2 sub-page, flags 0x$flags%x")
+      if ((flags & PLeaf2) != 0) {
+        val ksize = sb.getShort(8) & 0xffff // mp_pad carries the item size
+        require(ksize > 0, "LEAF2 sub-page with zero item size")
+        // mp_lower advances 2 bytes per key on EVERY page kind (LMDB's
+        // NUMKEYS macro); LEAF2 keys pack at ksize stride from offset 16
+        val n = ((sb.getShort(12) & 0xffff) - 16) / 2
+        (0 until n).map(i => new String(sub, 16 + i * ksize, ksize, "US-ASCII"))
+      } else {
+        val n = ((sb.getShort(12) & 0xffff) - 16) / 2
+        (0 until n).map { i =>
+          val off = sb.getShort(16 + 2 * i) & 0xffff
+          val ksize = sb.getShort(off + 6) & 0xffff
+          new String(sub, off + 8, ksize, "US-ASCII")
+        }
       }
     }
 

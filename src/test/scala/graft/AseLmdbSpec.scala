@@ -163,13 +163,24 @@ class AseLmdbSpec extends SparkSpec {
       b.putShort(0.toShort).putShort(3.toShort); b.put("b22".getBytes)
       b.array()
     }
+    // LEAF2 sub-page: fixed 4-byte dup items "AAAA", "BBBB" packed at
+    // ksize stride from offset 16; mp_pad = ksize, lower = 16 + 2*n
+    val leaf2Sub = {
+      val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(0L).putShort(4.toShort)                 // pgno, mp_pad=ksize
+      b.putShort((0x40 | 0x20).toShort)                 // P_SUBP | P_LEAF2
+      b.putShort((16 + 2 * 2).toShort).putShort(32.toShort)
+      b.position(16); b.put("AAAA".getBytes).put("BBBB".getBytes)
+      b.array()
+    }
     meta(0, 0L, 2L); meta(1, 1L, 2L)
-    pageHeader(2, 0x02, 4) // main leaf
+    pageHeader(2, 0x02, 5) // main leaf
     putNode(2, 0, 120, "dup", subPage, nflags = 0x04)            // F_DUPDATA
     putNode(2, 1, 120 + 8 + 3 + subPage.length + 5, "dupt",
       dbDescriptor(4L), nflags = 0x06)                           // dup sub-tree
     putNode(2, 2, 320, "plain", "hello".getBytes, nflags = 0)
     putNode(2, 3, 340, "side", dbDescriptor(3L), nflags = 0x02)  // named sub-DB
+    putNode(2, 4, 400, "dupf", leaf2Sub, nflags = 0x04)          // LEAF2 dups
     pageHeader(3, 0x02, 2) // sub-DB leaf
     putNode(3, 0, 100, "s1", "v1".getBytes, nflags = 0)
     putNode(3, 1, 120, "s2", "v2".getBytes, nflags = 0)
@@ -182,12 +193,13 @@ class AseLmdbSpec extends SparkSpec {
       all.filter(e => e.db == db && e.key == key)
         .map(e => new String(e.value, "US-ASCII")).toSet
     assert(vals("", "dup") == Set("a1", "b22"))
+    assert(vals("", "dupf") == Set("AAAA", "BBBB")) // LEAF2 fixed-size dups
     assert(vals("", "dupt") == Set("x9", "y10"))
     assert(vals("", "plain") == Set("hello"))
     assert(vals("side", "s1") == Set("v1") && vals("side", "s2") == Set("v2"))
     // main-DB view hides descriptor nodes but keeps dup expansions
     val mainKeys = AseLmdbSource.parse(img.array()).map(_._1).toSet
-    assert(mainKeys == Set("dup", "dupt", "plain"))
+    assert(mainKeys == Set("dup", "dupf", "dupt", "plain"))
   }
 
   test("AseLmdbSink.buildImage round-trips through parse: inline, overflow, multi-leaf") {

@@ -6,10 +6,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * NETCDF4 output (`domains/da/sinks/netcdf_writer.py:75` writes via the
   * netCDF4 lib, whose on-disk container is HDF5; this is an independent
   * implementation of the PUBLIC "HDF5 File Format Specification" v0
-  * layout). Scope: one root group holding up to 8 contiguous IEEE-f64
-  * little-endian datasets — the record-grid shape the da sinks emit.
-  * NetCDF-4's dimension-scale annotations are attribute sugar on top of
-  * this container and are out of scope.
+  * layout). Scope: one root group holding up to 8 IEEE-f64 little-endian
+  * datasets, each either CONTIGUOUS or CHUNKED with the deflate filter —
+  * chunked+deflate being what the netCDF4 lib emits by default. NetCDF-4's
+  * dimension-scale annotations are attribute sugar on top of this
+  * container and are out of scope.
   *
   * Layout written (all structures 8-aligned, offsets/lengths 8 bytes):
   *  - superblock v0 (96 B) with the root symbol-table entry caching the
@@ -18,9 +19,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - group B-tree v1 (one leaf) → one SNOD symbol-table node (≤ 8
   *    entries, name-ordered) → per-dataset object headers;
   *  - each dataset object header v1: Dataspace (v1, simple), Datatype
-  *    (class 1 float, f64 LE), Fill Value (v2, undefined), Data Layout
-  *    (v3 contiguous → address + size);
-  *  - contiguous f64 data blobs.
+  *    (class 1 float, f64 LE), Fill Value (v2, undefined), then either a
+  *    v3 class-1 contiguous Data Layout (address + size), or a Filter
+  *    Pipeline (deflate, id 1) + v3 class-2 chunked Data Layout whose
+  *    chunk B-tree (v1, node type 1) keys carry (nbytes, filter mask,
+  *    element-space offsets) per chunk — full edge chunks, fill-padded;
+  *  - contiguous f64 blobs / per-chunk deflate streams.
   *
   * The parser walks the same structures generically (any B-tree level,
   * multiple SNODs, unknown header messages skipped by size), so it reads
@@ -35,62 +39,187 @@ object Hdf5Store {
   private val MsgDatatype = 0x0003
   private val MsgFillValue = 0x0005
   private val MsgLayout = 0x0008
+  private val MsgFilterPipeline = 0x000B
   private val MsgSymbolTable = 0x0011
+
+  private val DeflateFilterId = 1
 
   private def align8(n: Int): Int = (n + 7) & ~7
 
+  /** One dataset to render: row-major f64 `values` of shape `dims`;
+    * `chunkDims` switches to the chunked layout (with deflate when
+    * `deflate` is set — the netCDF4 default shape).
+    */
+  final case class H5Dataset(name: String, dims: Seq[Long], values: Array[Double],
+                             chunkDims: Option[Seq[Long]] = None,
+                             deflate: Boolean = false)
+
+  private def zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  private def inflate(b: Array[Byte], outLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b)
+      val out = new Array[Byte](outLen)
+      var n = 0
+      while (n < outLen && !inf.finished()) n += inf.inflate(out, n, outLen - n)
+      require(n == outLen, s"HDF5 chunk inflated to $n bytes, expected $outLen")
+      out
+    } finally inf.end()
+  }
+
   // ------------------------------------------------------------- writer
 
-  /** Render datasets (name, dims, row-major f64 values) into a complete
-    * HDF5 file image.
-    */
-  def render(datasets: Seq[(String, Seq[Long], Array[Double])]): Array[Byte] = {
+  /** Backwards-compatible contiguous entry point. */
+  def render(datasets: Seq[(String, Seq[Long], Array[Double])]): Array[Byte] =
+    renderDatasets(datasets.map { case (n, d, v) => H5Dataset(n, d, v) })
+
+  def renderDatasets(datasets: Seq[H5Dataset]): Array[Byte] = {
     require(datasets.nonEmpty, "HDF5 file needs at least one dataset")
     require(datasets.length <= 8,
       s"${datasets.length} datasets exceed one symbol-table node (max 8)")
-    datasets.foreach { case (name, dims, vals) =>
-      require(name.nonEmpty && !name.contains("/"), s"bad dataset name '$name'")
-      require(dims.product == vals.length,
-        s"dataset '$name': dims ${dims.mkString("x")} != ${vals.length} values")
+    datasets.foreach { d =>
+      require(d.name.nonEmpty && !d.name.contains("/"), s"bad dataset name '${d.name}'")
+      require(d.dims.product == d.values.length,
+        s"dataset '${d.name}': dims ${d.dims.mkString("x")} != ${d.values.length} values")
+      d.chunkDims.foreach { cd =>
+        require(cd.length == d.dims.length && cd.forall(_ > 0),
+          s"dataset '${d.name}': chunk rank/extents invalid")
+      }
+      require(d.chunkDims.isDefined || !d.deflate,
+        s"dataset '${d.name}': deflate requires the chunked layout")
     }
-    val ds = datasets.sortBy(_._1) // SNOD entries must be name-ordered
+    val ds = datasets.sortBy(_.name) // SNOD entries must be name-ordered
 
     // local heap data: offset 0 holds the empty string (root link name)
     val heapBuf = new java.io.ByteArrayOutputStream()
     heapBuf.write(new Array[Byte](8)) // "" + pad
-    val nameOffsets = ds.map { case (name, _, _) =>
+    val nameOffsets = ds.map { d =>
       val off = heapBuf.size()
-      val b = name.getBytes("US-ASCII")
+      val b = d.name.getBytes("US-ASCII")
       heapBuf.write(b); heapBuf.write(0)
       (0 until (align8(b.length + 1) - b.length - 1)).foreach(_ => heapBuf.write(0))
       off.toLong
     }
     val heapData = heapBuf.toByteArray
 
-    def dsHeaderMessagesSize(rank: Int): Int =
-      (8 + 8 + rank * 8) + (8 + 24) + (8 + 8) + (8 + 24)
+    // ---- dense full chunks (edge chunks fill-padded with 0), compressed
+    // up front so every address/size is known before layout
+    final case class Chunk(offsets: Seq[Long], bytes: Array[Byte])
+    def chunksOf(d: H5Dataset): Seq[Chunk] = {
+      val cd = d.chunkDims.get
+      val rank = d.dims.length
+      val grid = d.dims.zip(cd).map { case (n, c) => ((n + c - 1) / c).toInt }
+      val chunkElems = cd.product.toInt
+      val strides = d.dims.scanRight(1L)(_ * _).tail // row-major element strides
+      def cells(gridIdx: Seq[Int]): Array[Byte] = {
+        val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+        val base = gridIdx.zip(cd).map { case (g, c) => g * c }
+        // iterate the chunk's local lattice row-major
+        val local = Array.fill(rank)(0L)
+        var i = 0
+        while (i < chunkElems) {
+          val coord = base.zip(local).map { case (b, l) => b + l }
+          val inside = coord.zip(d.dims).forall { case (x, n) => x < n }
+          val v =
+            if (inside) d.values(coord.zip(strides).map { case (x, s) => x * s }.sum.toInt)
+            else 0.0
+          buf.putDouble(v)
+          // increment local lattice counter (last dim fastest)
+          var k = rank - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            local(k) += 1
+            if (local(k) == cd(k)) { local(k) = 0; k -= 1 } else carry = false
+          }
+          i += 1
+        }
+        buf.array()
+      }
+      def walk(prefix: List[Int], dim: Int): Seq[Seq[Int]] =
+        if (dim == rank) Seq(prefix.reverse)
+        else (0 until grid(dim)).flatMap(g => walk(g :: prefix, dim + 1))
+      walk(Nil, 0).map { gi =>
+        val raw = cells(gi)
+        Chunk(gi.zip(cd).map { case (g, c) => g * c.toLong } :+ 0L,
+          if (d.deflate) zlib(raw) else raw)
+      }
+    }
+    val chunkSets: Seq[Option[Seq[Chunk]]] =
+      ds.map(d => d.chunkDims.map(_ => chunksOf(d)))
+    // chunk B-tree: leaves of ≤ 64 entries under one internal root when
+    // needed (64 × 64 = 4096 chunks per dataset before a deeper tree)
+    val chunkLeafGroups: Seq[Option[Seq[Seq[Chunk]]]] =
+      chunkSets.map(_.map { cs =>
+        val groups = cs.grouped(64).toSeq
+        require(groups.length <= 64,
+          s"${cs.length} chunks exceed a two-level chunk B-tree (max 4096)")
+        groups
+      })
+
+    def ohMessagesSize(d: H5Dataset): Int = {
+      val rank = d.dims.length
+      val base = (8 + 8 + rank * 8) + (8 + 24) + (8 + 8)
+      d.chunkDims match {
+        case None => base + (8 + 24)
+        case Some(_) =>
+          base + (if (d.deflate) 8 + 24 else 0) + (8 + align8(3 + 8 + (rank + 1) * 4))
+      }
+    }
 
     // ---- address plan (sequential, 8-aligned)
-    val sbAddr = 0
     val rootOhAddr = 96
-    val rootOhSize = 16 + 8 + 16 // prefix(12+4 pad) + msg hdr + symbol table msg
+    val rootOhSize = 16 + 8 + 16
     val btreeAddr = rootOhAddr + rootOhSize
-    val btreeSize = align8(24 + 8 + 8 + 8) // hdr + key0, child0, key1
+    val btreeSize = align8(24 + 8 + 8 + 8)
     val heapHdrAddr = btreeAddr + btreeSize
     val heapHdrSize = 32
     val heapDataAddr = heapHdrAddr + heapHdrSize
-    val snodAddr = heapDataAddr + heapData.length
-    val snodSize = align8(8 + 40 * ds.length)
-    var cursor = snodAddr + snodSize
-    val ohAddrs = ds.map { case (_, dims, _) =>
-      val a = cursor
-      cursor += 16 + dsHeaderMessagesSize(dims.length)
-      a
+    var cursor = heapDataAddr + heapData.length
+    val snodAddr = cursor
+    cursor += align8(8 + 40 * ds.length)
+    val ohAddrs = ds.map { d =>
+      val a = cursor; cursor += 16 + ohMessagesSize(d); a
     }
-    val dataAddrs = ds.map { case (_, _, vals) =>
-      val a = cursor
-      cursor += align8(vals.length * 8)
-      a
+    // chunk B-tree nodes: leaf nodes first, then (if several) the internal
+    // root over them; rootAddr is what the layout message points at
+    val chunkKeySize = ds.map(d => 8 + (d.dims.length + 1) * 8)
+    final case class BtreePlan(rootAddr: Int, leafAddrs: Seq[Int])
+    val chunkBtreePlans: Seq[Option[BtreePlan]] = ds.indices.map { i =>
+      chunkLeafGroups(i).map { groups =>
+        val ks = chunkKeySize(i)
+        val leafAddrs = groups.map { g =>
+          val a = cursor
+          cursor += align8(24 + (g.length + 1) * ks + g.length * 8)
+          a
+        }
+        val root =
+          if (groups.length == 1) leafAddrs.head
+          else {
+            val a = cursor
+            cursor += align8(24 + (groups.length + 1) * ks + groups.length * 8)
+            a
+          }
+        BtreePlan(root, leafAddrs)
+      }
+    }
+    // data blobs: contiguous arrays or per-chunk streams
+    val dataAddrs = ds.indices.map { i =>
+      chunkSets(i) match {
+        case None =>
+          val a = cursor; cursor += align8(ds(i).values.length * 8); Left(a): Either[Int, Seq[Int]]
+        case Some(cs) =>
+          Right(cs.map { c => val a = cursor; cursor += align8(c.bytes.length); a })
+      }
     }
     val eof = cursor
 
@@ -98,12 +227,11 @@ object Hdf5Store {
 
     // ---- superblock v0
     img.put(Signature)
-    img.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // versions + reserved
-    img.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte) // shm ver, offsets, lengths, reserved
-    img.putShort(4.toShort).putShort(16.toShort)                // group leaf/internal k
-    img.putInt(0)                                               // consistency flags
+    img.put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    img.put(0.toByte).put(8.toByte).put(8.toByte).put(0.toByte)
+    img.putShort(4.toShort).putShort(16.toShort)
+    img.putInt(0)
     img.putLong(0L).putLong(Undef).putLong(eof.toLong).putLong(Undef)
-    // root symbol table entry: name offset 0, root OH, cached btree+heap
     img.putLong(0L).putLong(rootOhAddr.toLong).putInt(1).putInt(0)
     img.putLong(btreeAddr.toLong).putLong(heapHdrAddr.toLong)
     require(img.position() == 96, s"superblock is ${img.position()} bytes")
@@ -117,7 +245,7 @@ object Hdf5Store {
     img.position(rootOhAddr)
     img.put(1.toByte).put(0.toByte).putShort(1.toShort)
     img.putInt(1).putInt(8 + 16)
-    img.putInt(0) // v1 prefix pad to 8-align the messages
+    img.putInt(0)
     msgHeader(MsgSymbolTable, 16)
     img.putLong(btreeAddr.toLong).putLong(heapHdrAddr.toLong)
 
@@ -126,9 +254,9 @@ object Hdf5Store {
     img.put("TREE".getBytes("US-ASCII"))
     img.put(0.toByte).put(0.toByte).putShort(1.toShort)
     img.putLong(Undef).putLong(Undef)
-    img.putLong(nameOffsets.head)  // key 0: lowest name in child
-    img.putLong(snodAddr.toLong)   // child 0
-    img.putLong(nameOffsets.last)  // key 1: highest name in child
+    img.putLong(nameOffsets.head)
+    img.putLong(snodAddr.toLong)
+    img.putLong(nameOffsets.last)
 
     // ---- local heap
     img.position(heapHdrAddr)
@@ -143,44 +271,109 @@ object Hdf5Store {
     img.put(1.toByte).put(0.toByte).putShort(ds.length.toShort)
     ds.zipWithIndex.foreach { case (_, i) =>
       img.putLong(nameOffsets(i)).putLong(ohAddrs(i).toLong)
-      img.putInt(0).putInt(0).putLong(0L).putLong(0L) // no cache, scratch 0
+      img.putInt(0).putInt(0).putLong(0L).putLong(0L)
     }
 
     // ---- dataset object headers
-    ds.zipWithIndex.foreach { case ((_, dims, vals), i) =>
+    ds.zipWithIndex.foreach { case (d, i) =>
+      val rank = d.dims.length
+      val nMsgs = 3 + (if (d.chunkDims.isDefined && d.deflate) 2 else 1)
       img.position(ohAddrs(i))
-      img.put(1.toByte).put(0.toByte).putShort(4.toShort)
-      img.putInt(1).putInt(dsHeaderMessagesSize(dims.length))
-      img.putInt(0) // prefix pad
-      // dataspace v1: version, rank, flags, 5 reserved, dims
-      msgHeader(MsgDataspace, 8 + dims.length * 8)
-      img.put(1.toByte).put(dims.length.toByte).put(0.toByte)
+      img.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort)
+      img.putInt(1).putInt(ohMessagesSize(d))
+      img.putInt(0)
+      // dataspace v1
+      msgHeader(MsgDataspace, 8 + rank * 8)
+      img.put(1.toByte).put(rank.toByte).put(0.toByte)
       img.put(new Array[Byte](5))
-      dims.foreach(img.putLong)
-      // datatype: class 1 (float) v1, f64 LE (bit field: LE order,
-      // implied-MSB mantissa norm, sign bit 63), 12 property bytes
+      d.dims.foreach(img.putLong)
+      // datatype: f64 LE
       msgHeader(MsgDatatype, 24)
       img.put(0x11.toByte).put(0x20.toByte).put(63.toByte).put(0.toByte)
-      img.putInt(8) // datatype size in bytes
-      img.putShort(0.toShort).putShort(64.toShort) // bit offset, precision
+      img.putInt(8)
+      img.putShort(0.toShort).putShort(64.toShort)
       img.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
-      img.putInt(1023) // exponent bias
-      img.putInt(0)    // pad 20 -> 24
+      img.putInt(1023)
+      img.putInt(0)
       // fill value v2, undefined
       msgHeader(MsgFillValue, 8)
       img.put(2.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
       img.putInt(0)
-      // data layout v3, contiguous
-      msgHeader(MsgLayout, 24)
-      img.put(3.toByte).put(1.toByte)
-      img.putLong(dataAddrs(i).toLong).putLong(vals.length * 8L)
-      img.put(new Array[Byte](6)) // pad 18 -> 24
+      d.chunkDims match {
+        case None =>
+          msgHeader(MsgLayout, 24)
+          img.put(3.toByte).put(1.toByte)
+          val addr = dataAddrs(i).left.getOrElse(
+            throw new IllegalStateException("contiguous dataset without address"))
+          img.putLong(addr.toLong).putLong(d.values.length * 8L)
+          img.put(new Array[Byte](6))
+        case Some(cd) =>
+          if (d.deflate) {
+            // filter pipeline v1: one deflate filter, level in client data
+            // (8 header + 12 filter description, padded to 24)
+            msgHeader(MsgFilterPipeline, 24)
+            img.put(1.toByte).put(1.toByte)
+            img.put(new Array[Byte](6))
+            img.putShort(DeflateFilterId.toShort).putShort(0.toShort)
+            img.putShort(0.toShort).putShort(1.toShort)
+            img.putInt(6) // compression level
+            img.putInt(0) // pad 20 -> 24
+          }
+          val lsize = align8(3 + 8 + (rank + 1) * 4)
+          msgHeader(MsgLayout, lsize)
+          img.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
+          img.putLong(chunkBtreePlans(i).get.rootAddr.toLong)
+          cd.foreach(c => img.putInt(c.toInt))
+          img.putInt(8) // element size dim
+          img.put(new Array[Byte](lsize - (3 + 8 + (rank + 1) * 4)))
+      }
     }
 
-    // ---- data blobs
-    ds.zipWithIndex.foreach { case ((_, _, vals), i) =>
-      img.position(dataAddrs(i))
-      vals.foreach(img.putDouble)
+    // ---- chunk B-trees + chunk data
+    ds.indices.foreach { i =>
+      (chunkLeafGroups(i), chunkBtreePlans(i), dataAddrs(i)) match {
+        case (Some(groups), Some(plan), Right(addrs)) =>
+          def key(c: Chunk): Unit = {
+            img.putInt(c.bytes.length).putInt(0) // nbytes, filter mask
+            c.offsets.foreach(img.putLong)
+          }
+          def boundKey(): Unit = { // one past the array in element space
+            img.putInt(0).putInt(0)
+            ds(i).dims.foreach(img.putLong)
+            img.putLong(0L)
+          }
+          val addrGroups = {
+            val it = addrs.iterator
+            groups.map(g => g.map(_ => it.next()))
+          }
+          groups.zip(addrGroups).zip(plan.leafAddrs).zipWithIndex.foreach {
+            case (((g, as), leafAddr), gi) =>
+              img.position(leafAddr)
+              img.put("TREE".getBytes("US-ASCII"))
+              img.put(1.toByte).put(0.toByte).putShort(g.length.toShort)
+              img.putLong(Undef).putLong(Undef)
+              g.zip(as).foreach { case (c, a) => key(c); img.putLong(a.toLong) }
+              // right bound: next leaf's first chunk, or the array bound
+              if (gi + 1 < groups.length) key(groups(gi + 1).head) else boundKey()
+          }
+          if (groups.length > 1) {
+            img.position(plan.rootAddr)
+            img.put("TREE".getBytes("US-ASCII"))
+            img.put(1.toByte).put(1.toByte).putShort(groups.length.toShort)
+            img.putLong(Undef).putLong(Undef)
+            groups.zip(plan.leafAddrs).foreach { case (g, la) =>
+              key(g.head); img.putLong(la.toLong)
+            }
+            boundKey()
+          }
+          groups.flatten.zip(addrs).foreach { case (c, a) =>
+            img.position(a); img.put(c.bytes)
+          }
+        case (None, _, Left(addr)) =>
+          img.position(addr)
+          ds(i).values.foreach(img.putDouble)
+        case _ => ()
+      }
     }
     img.array()
   }
@@ -197,14 +390,12 @@ object Hdf5Store {
     require(bytes(8) == 0, s"unsupported superblock version ${bytes(8)}")
     require(bytes(13) == 8 && bytes(14) == 8,
       "only 8-byte offsets/lengths supported")
-    // root STE: after 24-byte prefix + 32 bytes of addresses
     val steBase = 24 + 32
     val cacheType = buf.getInt(steBase + 16)
     require(cacheType == 1, s"root symbol-table entry cache type $cacheType unsupported")
     val btreeAddr = buf.getLong(steBase + 24)
     val heapAddr = buf.getLong(steBase + 32)
 
-    // local heap: name strings live in its data segment
     require(new String(bytes, heapAddr.toInt, 4, "US-ASCII") == "HEAP", "bad heap signature")
     val heapDataAddr = buf.getLong(heapAddr.toInt + 24)
     def heapName(off: Long): String = {
@@ -214,19 +405,18 @@ object Hdf5Store {
       sb.toString
     }
 
-    // group B-tree walk (any level) -> SNOD symbol-table entries
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def walkBtree(addr: Long): Unit = {
+    def walkGroupBtree(addr: Long): Unit = {
       val a = addr.toInt
       require(new String(bytes, a, 4, "US-ASCII") == "TREE", "bad B-tree signature")
       require(bytes(a + 4) == 0, "not a group B-tree")
       val level = bytes(a + 5)
       val used = buf.getShort(a + 6) & 0xffff
-      var p = a + 24 + 8 // skip siblings + key 0
+      var p = a + 24 + 8
       (0 until used).foreach { _ =>
         val child = buf.getLong(p)
-        if (level > 0) walkBtree(child) else readSnod(child)
-        p += 16 // child + next key
+        if (level > 0) walkGroupBtree(child) else readSnod(child)
+        p += 16
       }
     }
     def readSnod(addr: Long): Unit = {
@@ -238,19 +428,21 @@ object Hdf5Store {
         entries += ((heapName(buf.getLong(e)), buf.getLong(e + 8)))
       }
     }
-    walkBtree(btreeAddr)
+    walkGroupBtree(btreeAddr)
 
-    // per-dataset object header: find dataspace + datatype + layout
     entries.toSeq.map { case (name, ohAddr) =>
       val a = ohAddr.toInt
       require(bytes(a) == 1, s"dataset '$name': unsupported object header version ${bytes(a)}")
       val nMsgs = buf.getShort(a + 2) & 0xffff
       val headerSize = buf.getInt(a + 8)
-      var p = a + 16 // prefix 12 + 4 pad
+      var p = a + 16
       val end = p + headerSize
       var dims = Seq.empty[Long]
+      var layoutClass = -1
       var dataAddr = Undef
       var dataSize = 0L
+      var chunkDims = Seq.empty[Long]
+      var deflated = false
       var sawF64 = false
       var seen = 0
       while (p < end && seen < nMsgs) {
@@ -267,20 +459,84 @@ object Hdf5Store {
             require(cls == 1 && sz == 8,
               s"dataset '$name': only f64 supported (class $cls size $sz)")
             sawF64 = true
+          case MsgFilterPipeline =>
+            val n = bytes(body + 1).toInt
+            require(n == 1, s"dataset '$name': $n filters unsupported")
+            val fid = buf.getShort(body + 8) & 0xffff
+            require(fid == DeflateFilterId,
+              s"dataset '$name': filter $fid unsupported (deflate only)")
+            deflated = true
           case MsgLayout =>
-            require(bytes(body) == 3 && bytes(body + 1) == 1,
-              s"dataset '$name': only v3 contiguous layout supported")
-            dataAddr = buf.getLong(body + 2)
-            dataSize = buf.getLong(body + 10)
-          case _ => () // fill value / unknown: skip by size
+            require(bytes(body) == 3, s"dataset '$name': layout message v${bytes(body)}")
+            layoutClass = bytes(body + 1).toInt
+            layoutClass match {
+              case 1 =>
+                dataAddr = buf.getLong(body + 2)
+                dataSize = buf.getLong(body + 10)
+              case 2 =>
+                val dimy = bytes(body + 2).toInt // rank + 1
+                dataAddr = buf.getLong(body + 3) // chunk B-tree
+                chunkDims = (0 until dimy - 1).map(r => buf.getInt(body + 11 + r * 4).toLong)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"dataset '$name': layout class $other unsupported")
+            }
+          case _ => ()
         }
         p = body + size
         seen += 1
       }
       require(sawF64 && dataAddr != Undef, s"dataset '$name': incomplete object header")
-      val n = (dataSize / 8).toInt
-      require(dims.product == n.toLong, s"dataset '$name': dims/data size mismatch")
-      val vals = Array.tabulate(n)(i => buf.getDouble((dataAddr + i * 8L).toInt))
+
+      val total = dims.product.toInt
+      val vals = new Array[Double](total)
+      if (layoutClass == 1) {
+        require(dataSize / 8 == total.toLong, s"dataset '$name': dims/data size mismatch")
+        (0 until total).foreach(i => vals(i) = buf.getDouble((dataAddr + i * 8L).toInt))
+      } else {
+        val rank = dims.length
+        val chunkElems = chunkDims.product.toInt
+        val strides = dims.scanRight(1L)(_ * _).tail
+        val keySize = 8 + (rank + 1) * 8
+        def walkChunkBtree(addr: Long): Unit = {
+          val n0 = addr.toInt
+          require(new String(bytes, n0, 4, "US-ASCII") == "TREE", "bad chunk B-tree")
+          require(bytes(n0 + 4) == 1, "not a chunk B-tree")
+          val level = bytes(n0 + 5)
+          val used = buf.getShort(n0 + 6) & 0xffff
+          var p2 = n0 + 24
+          (0 until used).foreach { _ =>
+            val nbytes = buf.getInt(p2)
+            val offs = (0 until rank).map(r => buf.getLong(p2 + 8 + r * 8))
+            val child = buf.getLong(p2 + keySize)
+            if (level > 0) walkChunkBtree(child)
+            else {
+              val raw0 = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
+              val raw = if (deflated) inflate(raw0, chunkElems * 8) else raw0
+              require(raw.length == chunkElems * 8, s"dataset '$name': bad chunk size")
+              val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+              // scatter the dense chunk, clipping fill-padded edge cells
+              val local = Array.fill(rank)(0L)
+              var i = 0
+              while (i < chunkElems) {
+                val coord = offs.zip(local).map { case (b, l) => b + l }
+                if (coord.zip(dims).forall { case (x, n) => x < n })
+                  vals(coord.zip(strides).map { case (x, s) => x * s }.sum.toInt) =
+                    cb.getDouble(i * 8)
+                var k = rank - 1
+                var carry = true
+                while (k >= 0 && carry) {
+                  local(k) += 1
+                  if (local(k) == chunkDims(k)) { local(k) = 0; k -= 1 } else carry = false
+                }
+                i += 1
+              }
+            }
+            p2 += keySize + 8
+          }
+        }
+        walkChunkBtree(dataAddr)
+      }
       (name, dims, vals)
     }.sortBy(_._1)
   }

@@ -34,8 +34,11 @@ object NetCdf4Sink {
           s"cell ($t,$i,$j) outside (${nRecs}×$nLat×$nLon)")
         data(t * perRec + i * nLon + j) = c.getDouble(3)
       }
-      val bytes = Hdf5Store.render(
-        Seq((variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data)))
+      // chunked (one record per chunk) + deflate — the layout the netCDF4
+      // lib emits by default for record variables
+      val bytes = Hdf5Store.renderDatasets(Seq(Hdf5Store.H5Dataset(
+        variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data,
+        chunkDims = Some(Seq(1L, nLat.toLong, nLon.toLong)), deflate = true)))
       val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc4")
       val fs = path.getFileSystem(hadoopConf.value)
       fs.setWriteChecksum(false)

@@ -252,6 +252,45 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("HDF5 chunked+deflate: render → parse identity incl. edge chunks") {
+    import graft.sinks.Hdf5Store
+    val dsGen = for {
+      n <- Gen.chooseNum(1, 4)
+      specs <- Gen.listOfN(n, for {
+        rank <- Gen.chooseNum(1, 3)
+        dims <- Gen.listOfN(rank, Gen.chooseNum(1L, 6L))
+        // chunk extents independent of dims → edge chunks get fill-padded
+        chunks <- Gen.listOfN(rank, Gen.chooseNum(1L, 4L))
+        deflate <- Gen.oneOf(true, false)
+        vals <- Gen.listOfN(dims.product.toInt, exactD)
+      } yield (dims, chunks, deflate, vals))
+    } yield specs.zipWithIndex.map { case ((dims, chunks, deflate, vals), i) =>
+      Hdf5Store.H5Dataset(s"var_$i", dims, vals.toArray, Some(chunks), deflate)
+    }
+
+    check(Prop.forAllNoShrink(dsGen) { datasets =>
+      val img = Hdf5Store.renderDatasets(datasets)
+      val back = Hdf5Store.parse(img)
+      Prop(datasets.forall { d =>
+        back.find(_._1 == d.name).exists { case (_, d2, v2) =>
+          d2 == d.dims && v2.toSeq == d.values.toSeq
+        }
+      }) :| s"${datasets.length} chunked datasets"
+    })
+  }
+
+  test("HDF5 chunked: many chunks span a two-level B-tree") {
+    import graft.sinks.Hdf5Store
+    // 299 elements / chunk 2 → 150 chunks → 3 leaf nodes + internal root
+    val vals = Array.tabulate(299)(i => i * 0.5 - 70.25)
+    val img = Hdf5Store.renderDatasets(Seq(
+      Hdf5Store.H5Dataset("big", Seq(299L), vals, Some(Seq(2L)), deflate = true)))
+    val back = Hdf5Store.parse(img)
+    assert(back.length == 1)
+    assert(back.head._2 == Seq(299L))
+    assert(back.head._3.toSeq == vals.toSeq)
+  }
+
   // --------------------------------------------------------------- d3plot
 
   test("d3plot: random shell runs render → parse identity") {

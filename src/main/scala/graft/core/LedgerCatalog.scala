@@ -51,11 +51,17 @@ object LedgerCatalog {
       if (runs.isEmpty) return None
       val created = runs.map(_.getLong(2)).min
       val cfg = runs.minBy(_.getLong(2)).getString(1)
+      // the canonical config escapes quotes/backslashes inside names, so the
+      // string-value pattern must consume escape PAIRS ((?:[^"\\]|\\.)*) and
+      // unescape — a bare [^"]* would truncate a name at its first \"
+      val strVal = "((?:[^\"\\\\]|\\\\.)*)"
+      def unesc(s: String): String =
+        s.replace("\\\"", "\"").replace("\\\\", "\\")
       def jsonName(path: String): String = {
-        val re = ("\"" + path + "\":\\{\"name\":\"([^\"]*)\"").r
-        re.findFirstMatchIn(cfg).map(_.group(1)).getOrElse("")
+        val re = ("\"" + path + "\":\\{\"name\":\"" + strVal + "\"").r
+        re.findFirstMatchIn(cfg).map(m => unesc(m.group(1))).getOrElse("")
       }
-      val filterRe = "\\{\"name\":\"([^\"]*)\",\"params\"".r
+      val filterRe = ("\\{\"name\":\"" + strVal + "\",\"params\"").r
       // filters array sits between source and sink in the canonical JSON;
       // bound it by the `],"sink":` separator, which cannot occur inside a
       // string value (esc() escapes every quote) — a bare indexOf("]")
@@ -81,7 +87,7 @@ object LedgerCatalog {
       Some(LedgerInfo(p.getName, dir, dirSize(fs, p), created,
         runs.map(_.getString(0)).distinct.sorted.toSeq,
         jsonName("source"), jsonName("sink"),
-        filterRe.findAllMatchIn(filtersSection).map(_.group(1)).toSeq,
+        filterRe.findAllMatchIn(filtersSection).map(m => unesc(m.group(1))).toSeq,
         total + failed, completed, failed))
     } catch {
       case scala.util.control.NonFatal(_) => None // corrupt store: skip

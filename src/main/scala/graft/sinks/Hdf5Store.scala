@@ -396,10 +396,19 @@ object Hdf5Store {
     val btreeAddr = buf.getLong(steBase + 24)
     val heapAddr = buf.getLong(steBase + 32)
 
-    require(new String(bytes, heapAddr.toInt, 4, "US-ASCII") == "HEAP", "bad heap signature")
+    // render is Int-bounded, but externally produced files can carry ≥2 GiB
+    // addresses — fail with a clear diagnostic, not a wrapped-negative index
+    def toOffset(addr: Long, what: String): Int = {
+      require(addr >= 0 && addr <= Int.MaxValue,
+        s"$what address $addr beyond this parser's 2 GiB limit")
+      addr.toInt
+    }
+
+    require(new String(bytes, toOffset(heapAddr, "local heap"), 4, "US-ASCII") == "HEAP",
+      "bad heap signature")
     val heapDataAddr = buf.getLong(heapAddr.toInt + 24)
     def heapName(off: Long): String = {
-      var p = (heapDataAddr + off).toInt
+      var p = toOffset(heapDataAddr + off, "heap string")
       val sb = new StringBuilder
       while (bytes(p) != 0) { sb.append(bytes(p).toChar); p += 1 }
       sb.toString
@@ -407,7 +416,7 @@ object Hdf5Store {
 
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def walkGroupBtree(addr: Long): Unit = {
-      val a = addr.toInt
+      val a = toOffset(addr, "group B-tree node")
       require(new String(bytes, a, 4, "US-ASCII") == "TREE", "bad B-tree signature")
       require(bytes(a + 4) == 0, "not a group B-tree")
       val level = bytes(a + 5)
@@ -420,7 +429,7 @@ object Hdf5Store {
       }
     }
     def readSnod(addr: Long): Unit = {
-      val a = addr.toInt
+      val a = toOffset(addr, "SNOD")
       require(new String(bytes, a, 4, "US-ASCII") == "SNOD", "bad SNOD signature")
       val n = buf.getShort(a + 6) & 0xffff
       (0 until n).foreach { i =>
@@ -431,7 +440,7 @@ object Hdf5Store {
     walkGroupBtree(btreeAddr)
 
     entries.toSeq.map { case (name, ohAddr) =>
-      val a = ohAddr.toInt
+      val a = toOffset(ohAddr, s"dataset '$name' object header")
       require(bytes(a) == 1, s"dataset '$name': unsupported object header version ${bytes(a)}")
       val nMsgs = buf.getShort(a + 2) & 0xffff
       val headerSize = buf.getInt(a + 8)
@@ -492,14 +501,15 @@ object Hdf5Store {
       val vals = new Array[Double](total)
       if (layoutClass == 1) {
         require(dataSize / 8 == total.toLong, s"dataset '$name': dims/data size mismatch")
-        (0 until total).foreach(i => vals(i) = buf.getDouble((dataAddr + i * 8L).toInt))
+        (0 until total).foreach(i =>
+          vals(i) = buf.getDouble(toOffset(dataAddr + i * 8L, s"dataset '$name' data")))
       } else {
         val rank = dims.length
         val chunkElems = chunkDims.product.toInt
         val strides = dims.scanRight(1L)(_ * _).tail
         val keySize = 8 + (rank + 1) * 8
         def walkChunkBtree(addr: Long): Unit = {
-          val n0 = addr.toInt
+          val n0 = toOffset(addr, "chunk B-tree node")
           require(new String(bytes, n0, 4, "US-ASCII") == "TREE", "bad chunk B-tree")
           require(bytes(n0 + 4) == 1, "not a chunk B-tree")
           val level = bytes(n0 + 5)
@@ -511,7 +521,8 @@ object Hdf5Store {
             val child = buf.getLong(p2 + keySize)
             if (level > 0) walkChunkBtree(child)
             else {
-              val raw0 = java.util.Arrays.copyOfRange(bytes, child.toInt, child.toInt + nbytes)
+              val c0 = toOffset(child, s"dataset '$name' chunk")
+              val raw0 = java.util.Arrays.copyOfRange(bytes, c0, c0 + nbytes)
               val raw = if (deflated) inflate(raw0, chunkElems * 8) else raw0
               require(raw.length == chunkElems * 8, s"dataset '$name': bad chunk size")
               val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)

@@ -132,6 +132,20 @@ object AseLmdbSource {
       require(base >= 0 && base + 16 <= bytes.length, s"page $pgno out of range")
       val flags = u16(base + 10)
       val nKeys = (u16(base + 12) - 16) / 2
+      if ((flags & PLeaf2) != 0) {
+        // full LEAF2 page (DUPFIXED dup sub-tree that outgrew its embedded
+        // sub-page): raw fixed-size keys back to back from offset 16, item
+        // size in the header's pad field — no node headers, no offset array
+        val ksize = u16(base + 8)
+        require(ksize > 0, s"LEAF2 page $pgno with zero item size")
+        var j = 0
+        while (j < nKeys) {
+          emit(new String(bytes, base + 16 + j * ksize, ksize, "US-ASCII"),
+            0, Array.emptyByteArray)
+          j += 1
+        }
+        return
+      }
       var i = 0
       while (i < nKeys) {
         val nodeOff = base + u16(base + 16 + 2 * i)

@@ -174,7 +174,7 @@ class AseLmdbSpec extends SparkSpec {
       b.array()
     }
     meta(0, 0L, 2L); meta(1, 1L, 2L)
-    pageHeader(2, 0x02, 5) // main leaf
+    pageHeader(2, 0x02, 6) // main leaf
     putNode(2, 0, 120, "dup", subPage, nflags = 0x04)            // F_DUPDATA
     putNode(2, 1, 120 + 8 + 3 + subPage.length + 5, "dupt",
       dbDescriptor(4L), nflags = 0x06)                           // dup sub-tree
@@ -184,9 +184,15 @@ class AseLmdbSpec extends SparkSpec {
     pageHeader(3, 0x02, 2) // sub-DB leaf
     putNode(3, 0, 100, "s1", "v1".getBytes, nflags = 0)
     putNode(3, 1, 120, "s2", "v2".getBytes, nflags = 0)
+    putNode(2, 5, 460, "dupt2", dbDescriptor(5L), nflags = 0x06) // LEAF2 tree
     pageHeader(4, 0x02, 2) // dup sub-tree leaf: keys ARE the data items
     putNode(4, 0, 100, "x9", Array.empty[Byte], nflags = 0)
     putNode(4, 1, 120, "y10", Array.empty[Byte], nflags = 0)
+    // full LEAF2 page (DUPFIXED dup sub-tree grown past its embedded
+    // sub-page): flags P_LEAF|P_LEAF2, raw 3-byte items from offset 16
+    pageHeader(5, 0x02 | 0x20, 2)
+    img.putShort(5 * psz + 8, 3.toShort) // mp_pad = fixed item size
+    img.position(5 * psz + 16); img.put("cc1".getBytes).put("dd2".getBytes)
 
     val all = AseLmdbSource.parseAll(img.array())
     def vals(db: String, key: String): Set[String] =
@@ -195,11 +201,12 @@ class AseLmdbSpec extends SparkSpec {
     assert(vals("", "dup") == Set("a1", "b22"))
     assert(vals("", "dupf") == Set("AAAA", "BBBB")) // LEAF2 fixed-size dups
     assert(vals("", "dupt") == Set("x9", "y10"))
+    assert(vals("", "dupt2") == Set("cc1", "dd2")) // full LEAF2 tree page
     assert(vals("", "plain") == Set("hello"))
     assert(vals("side", "s1") == Set("v1") && vals("side", "s2") == Set("v2"))
     // main-DB view hides descriptor nodes but keeps dup expansions
     val mainKeys = AseLmdbSource.parse(img.array()).map(_._1).toSet
-    assert(mainKeys == Set("dup", "dupf", "dupt", "plain"))
+    assert(mainKeys == Set("dup", "dupf", "dupt", "dupt2", "plain"))
   }
 
   test("AseLmdbSink.buildImage round-trips through parse: inline, overflow, multi-leaf") {

@@ -156,6 +156,16 @@ class CoreSpec extends SparkSpec {
     assert(LedgerCatalog.list(spark, root).isEmpty)
   }
 
+  test("LedgerCatalog: names with quotes/backslashes survive config extraction") {
+    val root = Files.createTempDirectory("graft-cache-esc").toString
+    val p = Pipeline(mkSource(4)).filter(
+      PFilter("""say "hi" \now""", Map.empty, identity[DataFrame]))
+    Runner.runPipeline(spark, p, "idx", s"$root/store_q")
+    val info = LedgerCatalog.inspect(spark, s"$root/store_q").get
+    assert(info.filterNames == Seq("""say "hi" \now"""))
+    assert(info.sourceName == "range")
+  }
+
   test("CacheStore: compute once, read through thereafter, invalidate works") {
     val s = spark
     import s.implicits._

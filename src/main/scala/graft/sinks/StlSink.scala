@@ -16,7 +16,9 @@ object StlSink {
   /** points (mesh_id, point_id, x, y, z); cells (mesh_id, cell_id,
     * vertices[3]). Returns written paths.
     */
-  def write(points: DataFrame, cells: DataFrame, out: String): Seq[String] = {
+  def write(points: DataFrame, cells: DataFrame, out: String,
+            nameTemplate: String = "mesh_{id}.stl"): Seq[String] = {
+    require(nameTemplate.contains("{id}"), "nameTemplate must contain {id}")
     val spark = points.sparkSession
     val pts = points.groupBy(col("mesh_id")).agg(
       sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
@@ -26,10 +28,12 @@ object StlSink {
     val assembled = pts.join(cls, Seq("mesh_id"))
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val template = nameTemplate
     assembled.map { row =>
       val meshId = row.get(row.fieldIndex("mesh_id"))
       val bytes = render(row)
-      val path = new org.apache.hadoop.fs.Path(s"$out/mesh_$meshId.stl")
+      val path = new org.apache.hadoop.fs.Path(
+        s"$out/${template.replace("{id}", String.valueOf(meshId))}")
       val fs = path.getFileSystem(hadoopConf.value)
       val os = fs.create(path, true)
       try os.write(bytes) finally os.close()

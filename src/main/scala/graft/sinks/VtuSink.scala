@@ -38,9 +38,12 @@ object VtuSink {
     * silently writing a wrong type.
     */
   def write(points: DataFrame, cells: DataFrame, pointData: DataFrame,
-            out: String, format: String = "ascii"): Seq[String] = {
+            out: String, format: String = "ascii",
+            cellData: Option[DataFrame] = None,
+            nameTemplate: String = "mesh_{id}.vtu"): Seq[String] = {
     require(Set("ascii", "appended", "appended-zlib")(format),
       s"unknown VTU format '$format'")
+    require(nameTemplate.contains("{id}"), "nameTemplate must contain {id}")
     val spark = points.sparkSession
     val pts = points.groupBy(col("mesh_id")).agg(
       sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
@@ -59,15 +62,29 @@ object VtuSink {
       .agg(sort_array(collect_list(struct(col("point_id"), col("value")))).as("vals"))
       .groupBy(col("mesh_id"))
       .agg(sort_array(collect_list(struct(col("field"), col("vals")))).as("fields"))
+    // cell data (one value per cell) renders as a CellData section; absent →
+    // the join below leaves the column null and extract emits no section
+    val cd = cellData.getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, String, Double)]
+        .toDF("mesh_id", "cell_id", "field", "value")
+    }
+      .groupBy(col("mesh_id"), col("field"))
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("value")))).as("vals"))
+      .groupBy(col("mesh_id"))
+      .agg(sort_array(collect_list(struct(col("field"), col("vals")))).as("cell_fields"))
     val assembled = pts.join(cls, Seq("mesh_id"))
       .join(pd, Seq("mesh_id"), "left")
+      .join(cd, Seq("mesh_id"), "left")
 
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val template = nameTemplate
     assembled.map { row =>
       val meshId = row.get(row.fieldIndex("mesh_id"))
       val bytes = render(row, format)
-      val path = new org.apache.hadoop.fs.Path(s"$out/mesh_$meshId.vtu")
+      val path = new org.apache.hadoop.fs.Path(
+        s"$out/${template.replace("{id}", String.valueOf(meshId))}")
       val fs = path.getFileSystem(hadoopConf.value)
       val os = fs.create(path, true)
       try os.write(bytes) finally os.close()
@@ -83,7 +100,8 @@ object VtuSink {
       conn: Array[Long],          // positional indices
       offsets: Array[Long],
       types: Array[Int],
-      fields: Seq[(String, Array[Double])])
+      fields: Seq[(String, Array[Double])],
+      cellFields: Seq[(String, Array[Double])])
 
   private def extract(row: Row): MeshArrays = {
     val pts = row.getSeq[Row](row.fieldIndex("pts"))
@@ -91,6 +109,9 @@ object VtuSink {
     val fields: Seq[Row] =
       if (row.isNullAt(row.fieldIndex("fields"))) Seq.empty
       else row.getSeq[Row](row.fieldIndex("fields"))
+    val cellFields: Seq[Row] =
+      if (row.isNullAt(row.fieldIndex("cell_fields"))) Seq.empty
+      else row.getSeq[Row](row.fieldIndex("cell_fields"))
 
     val coords = pts.iterator.flatMap(p =>
       Iterator(p.getDouble(1), p.getDouble(2), p.getDouble(3))).toArray
@@ -116,7 +137,10 @@ object VtuSink {
     val fieldArrays = fields.map { f =>
       (f.getString(0), f.getSeq[Row](1).map(_.getDouble(1)).toArray)
     }
-    MeshArrays(coords, conn, offsets, types, fieldArrays)
+    val cellFieldArrays = cellFields.map { f =>
+      (f.getString(0), f.getSeq[Row](1).map(_.getDouble(1)).toArray)
+    }
+    MeshArrays(coords, conn, offsets, types, fieldArrays, cellFieldArrays)
   }
 
   private def render(row: Row, format: String): Array[Byte] = {
@@ -131,6 +155,9 @@ object VtuSink {
   private def renderAscii(m: MeshArrays): String = {
     val nPts = m.coords.length / 3
     val pdArrays = m.fields.map { case (name, vals) =>
+      s"""    <DataArray type="Float64" Name="$name" format="ascii">${vals.mkString(" ")}</DataArray>"""
+    }.mkString("\n")
+    val cdArrays = m.cellFields.map { case (name, vals) =>
       s"""    <DataArray type="Float64" Name="$name" format="ascii">${vals.mkString(" ")}</DataArray>"""
     }.mkString("\n")
     s"""<?xml version="1.0"?>
@@ -148,6 +175,9 @@ object VtuSink {
        |   <PointData>
        |$pdArrays
        |   </PointData>
+       |   <CellData>
+       |$cdArrays
+       |   </CellData>
        |  </Piece>
        | </UnstructuredGrid>
        |</VTKFile>""".stripMargin
@@ -209,6 +239,9 @@ object VtuSink {
           ("Cells", "types", "UInt8", byteBytes(m.types))) ++
         m.fields.map { case (name, vals) =>
           ("PointData", name, "Float64", doubleBytes(vals))
+        } ++
+        m.cellFields.map { case (name, vals) =>
+          ("CellData", name, "Float64", doubleBytes(vals))
         }
     val payloads = arrays.map { case (_, _, _, d) => payload(d, zlib) }
     val offsets = payloads.scanLeft(0L)(_ + _.length)
@@ -239,6 +272,9 @@ object VtuSink {
          |   <PointData>
          |${inSection("PointData")}
          |   </PointData>
+         |   <CellData>
+         |${inSection("CellData")}
+         |   </CellData>
          |  </Piece>
          | </UnstructuredGrid>
          | <AppendedData encoding="raw">

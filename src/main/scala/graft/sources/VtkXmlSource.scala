@@ -43,7 +43,8 @@ object VtkXmlSource {
   final case class VtuPiece(
       points: Array[Array[Double]],              // (n, 3)
       cells: Array[Array[Long]],                 // ragged connectivity
-      pointData: Map[String, Array[Double]])
+      pointData: Map[String, Array[Double]],
+      cellData: Map[String, Array[Double]] = Map.empty)
 
   // ---------------------------------------------------------------- decoding
 
@@ -230,7 +231,7 @@ object VtkXmlSource {
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     val r = f.createXMLStreamReader(new ByteArrayInputStream(xmlBytes))
 
-    var section = ""                         // Points | Cells | Polys | PointData
+    var section = ""                         // Points | Cells | Polys | PointData | CellData
     var arrayName = ""
     var arrayFormat = "ascii"
     var arrayType = "Float64"
@@ -243,6 +244,7 @@ object VtkXmlSource {
     var connectivity: Array[Long] = Array.empty
     var offsets: Array[Long] = Array.empty
     val pointData = mutable.LinkedHashMap.empty[String, Array[Double]]
+    val cellData = mutable.LinkedHashMap.empty[String, Array[Double]]
 
     def wanted(name: String): Boolean =
       (include.isEmpty || include.contains(name)) && !exclude.contains(name)
@@ -279,7 +281,8 @@ object VtkXmlSource {
                   require(c == "vtkZLibDataCompressor", s"unsupported compressor $c")
                   compressed = true
                 }
-              case "Points" | "Cells" | "Polys" | "PointData" => section = r.getLocalName
+              case "Points" | "Cells" | "Polys" | "PointData" | "CellData" =>
+                section = r.getLocalName
               case "DataArray" =>
                 arrayName = Option(r.getAttributeValue(null, "Name")).getOrElse("")
                 arrayFormat = Option(r.getAttributeValue(null, "format")).getOrElse("ascii")
@@ -290,7 +293,7 @@ object VtkXmlSource {
                   case "Points" => true
                   case "Cells" | "Polys" =>
                     arrayName == "connectivity" || arrayName == "offsets"
-                  case "PointData" => wanted(arrayName)
+                  case "PointData" | "CellData" => wanted(arrayName)
                   case _ => false
                 }
                 text.clear()
@@ -309,10 +312,11 @@ object VtkXmlSource {
                   case "Cells" | "Polys" if arrayName == "offsets" =>
                     offsets = nums.map(_.toLong)
                   case "PointData" => pointData(arrayName) = nums
+                  case "CellData" => cellData(arrayName) = nums
                   case _ =>
                 }
                 keepArray = false
-              case "Points" | "Cells" | "Polys" | "PointData" => section = ""
+              case "Points" | "Cells" | "Polys" | "PointData" | "CellData" => section = ""
               case _ =>
             }
           case _ =>
@@ -330,7 +334,7 @@ object VtkXmlSource {
       }
       out.result()
     }
-    VtuPiece(pts, cells, pointData.toMap)
+    VtuPiece(pts, cells, pointData.toMap, cellData.toMap)
   }
 
   // --------------------------------------------------------- StructuredGrid

@@ -110,6 +110,38 @@ class VtkXmlSourceSpec extends SparkSpec {
     assert(rc.collect()(0).getSeq[Long](2) == Seq(0L, 1L, 2L))
   }
 
+  test("VtuSink cellData + nameTemplate round trip (ascii and appended-zlib)") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (3L, 0L, 0.0, 0.0, 0.0), (3L, 1L, 2.0, 0.0, 0.0), (3L, 2L, 0.0, 3.0, 0.0),
+      (3L, 3L, 1.0, 1.0, 1.0)
+    ).toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((3L, 0L, Seq(0L, 1L, 2L)), (3L, 1L, Seq(1L, 2L, 3L)))
+      .toDF("mesh_id", "cell_id", "vertices")
+    val pd = Seq((3L, 0L, "u", 1.0), (3L, 1L, "u", 2.0), (3L, 2L, "u", 4.0),
+      (3L, 3L, "u", 8.0)).toDF("mesh_id", "point_id", "field", "value")
+    val cd = Seq((3L, 0L, "p", 0.5), (3L, 1L, "p", -2.25),
+      (3L, 0L, "q", 7.0), (3L, 1L, "q", 9.0))
+      .toDF("mesh_id", "cell_id", "field", "value")
+    Seq("ascii", "appended-zlib").foreach { fmt =>
+      val dir = Files.createTempDirectory(s"vtu-cd-$fmt").toString
+      val paths = graft.sinks.VtuSink.write(pts, cls, pd, dir, fmt,
+        cellData = Some(cd), nameTemplate = "volume_{id}.vtu")
+      assert(paths.length == 1 && paths(0).endsWith("volume_3.vtu"))
+      val p = VtkXmlSource.parseVtu(Files.readAllBytes(Paths.get(dir, "volume_3.vtu")))
+      assert(p.pointData("u").toSeq == Seq(1.0, 2.0, 4.0, 8.0))
+      assert(p.cellData("p").toSeq == Seq(0.5, -2.25))
+      assert(p.cellData("q").toSeq == Seq(7.0, 9.0))
+    }
+    // include/exclude filters apply to CellData arrays too
+    val dir2 = Files.createTempDirectory("vtu-cd-f").toString
+    graft.sinks.VtuSink.write(pts, cls, pd, dir2, "ascii", cellData = Some(cd))
+    val p2 = VtkXmlSource.parseVtu(
+      Files.readAllBytes(Paths.get(dir2, "mesh_3.vtu")), exclude = Set("q"))
+    assert(p2.cellData.keySet == Set("p") && p2.pointData.keySet == Set("u"))
+  }
+
   test("VtuSink remaps non-contiguous point ids to positional connectivity") {
     val s = spark
     import s.implicits._

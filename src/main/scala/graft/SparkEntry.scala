@@ -124,6 +124,7 @@ object SparkEntry {
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
     "q_ledger_summary" -> (qLedgerSummary _),
     "q_volume_assembly" -> (qVolumeAssembly _),
+    "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
     "q_grid_sidecar" -> (qGridSidecar _),
     "q_ansys_routing" -> (qAnsysRouting _),
@@ -667,6 +668,92 @@ object SparkEntry {
       .select(col("mesh_id"), col("n_points"), col("n_cells"),
         rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
       .orderBy("mesh_id")
+  }
+
+  /** AhmedML multi-mode DomainMesh assembly (`ahmedml.py:379-394,600-728`):
+    * the dataset's exact run layout (volume VTU with CellData fields,
+    * boundary VTP with PointData, STL geometry, slice planes, CSV
+    * metadata) is fixtured from the embeddings table, then read back
+    * through every mode — `readDomain` (interior = volume cell centroids
+    * carrying cell data as point data, fp32 downcast; boundary kept as the
+    * `surface` part), `readStl`, `readSlices`, and the CSV global-data
+    * attach (`-`→`_` keys, `varref_` prefix, missing geo file for runs
+    * 1..2 → NULL). The fp32 casts are lossless for the raw embedding
+    * values (parquet float32), so only the centroid/cell-sum derivations
+    * carry rounding, absorbed by the epsilon round guard.
+    */
+  private def qAhmedmlMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select((col("vec_id") % 3).cast("long").as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"),
+      col("embedding")(3).cast("double").as("v"))
+    val w = Window.partitionBy("mesh_id").orderBy("point_id")
+    val cls = base
+      .withColumn("g", ((row_number().over(w) - 1) / 3).cast("long"))
+      .groupBy(col("mesh_id"), col("g").as("cell_id"))
+      .agg(sort_array(collect_list(col("point_id"))).as("vertices"),
+        sum("v").as("p"), count(lit(1)).as("nv"))
+      .filter(col("nv") === 3)
+    val cells = cls.select("mesh_id", "cell_id", "vertices")
+    val cellData = cls.select(col("mesh_id"), col("cell_id"),
+      lit("p").as("field"), col("p").as("value"))
+    val pts = base.select("mesh_id", "point_id", "x", "y", "z")
+    val pd = base.select(col("mesh_id"), col("point_id"),
+      lit("cp").as("field"), col("v").as("value"))
+    val noPd = Seq.empty[(Long, Long, String, Double)]
+      .toDF("mesh_id", "point_id", "field", "value")
+
+    val root = freshTmpDir("graft_ahmedml", dir)
+    graft.sinks.VtuSink.write(pts, cells, noPd, root, format = "appended-zlib",
+      cellData = Some(cellData), nameTemplate = "run_{id}/volume_{id}.vtu")
+    graft.sinks.VtuSink.write(pts, cells, pd, root, format = "appended-zlib",
+      nameTemplate = "run_{id}/boundary_{id}.vtp", polyData = true)
+    graft.sinks.StlSink.write(pts, cells, root,
+      nameTemplate = "run_{id}/ahmed_{id}.stl")
+    Seq("xNormal", "yNormal").foreach { ax =>
+      graft.sinks.VtuSink.write(pts, cells, pd, root,
+        nameTemplate = s"run_{id}/slices/$ax-autocfd-{id}.vtp", polyData = true)
+    }
+    (0 until 3).foreach { r =>
+      graft.sources.AhmedMlSource.writeCsv(s, s"$root/run_$r/force_mom_$r.csv",
+        Seq("cd" -> (0.25 + r / 8.0), "cl" -> (-r / 16.0)))
+      graft.sources.AhmedMlSource.writeCsv(s,
+        s"$root/run_$r/force_mom_varref_$r.csv", Seq("cd" -> (r / 4.0)))
+      if (r == 0) // runs 1..2 exercise the missing-file skip
+        graft.sources.AhmedMlSource.writeCsv(s,
+          s"$root/run_$r/geo_parameters_$r.csv", Seq("slant-angle" -> 25.0))
+    }
+
+    val d = graft.sources.AhmedMlSource.readDomain(s, root)
+    val interior = d.interiorPoints.groupBy("run_id")
+      .agg(count(lit(1)).as("n_interior"),
+        sum(col("x").cast("double")).as("sum_cx"))
+    val ipd = d.interiorPointData.filter(col("field") === "p")
+      .groupBy("run_id").agg(sum(col("value").cast("double")).as("sum_p"))
+    val surf = d.surfacePoints.groupBy("run_id")
+      .agg(count(lit(1)).as("n_surface_points"))
+    val scp = d.surfacePointData.filter(col("field") === "cp")
+      .groupBy("run_id").agg(sum(col("value").cast("double")).as("sum_cp"))
+    val (_, stlC, _) = graft.sources.AhmedMlSource.readStl(s, root)
+    val stl = stlC.groupBy("run_id").agg(count(lit(1)).as("n_stl_facets"))
+    val (slp, _, _) = graft.sources.AhmedMlSource.readSlices(s, root)
+    val slices = slp.select("run_id", "slice_name").distinct()
+      .groupBy("run_id").agg(count(lit(1)).as("n_slices"))
+    val gd = d.globalData.groupBy("run_id")
+      .pivot("key", Seq("cd", "varref_cd", "slant_angle"))
+      .agg(first(col("value").cast("double")))
+    interior.join(ipd, Seq("run_id")).join(surf, Seq("run_id"))
+      .join(scp, Seq("run_id")).join(stl, Seq("run_id"))
+      .join(slices, Seq("run_id")).join(gd, Seq("run_id"), "left")
+      .select(col("run_id"), col("n_interior"), rnd("sum_cx", 2).as("sum_cx"),
+        rnd("sum_p", 2).as("sum_p"), col("n_surface_points"),
+        rnd("sum_cp", 2).as("sum_cp"), col("n_stl_facets"), col("n_slices"),
+        col("cd"), col("varref_cd"), col("slant_angle"))
+      .orderBy("run_id")
   }
 
   /** MeshSink naming-template layout (`mesh_writer.py:71,113-146`): write
@@ -1658,6 +1745,34 @@ object SparkEntry {
         |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Interior = volume cell centroids (fp32) with the cell's data as point
+    // data; surface = boundary VTP; globals = exact-fraction CSV constants.
+    // Embedding elements are parquet float32, so only the centroid avg and
+    // the per-cell sum round through REAL.
+    "q_ahmedml_multi" ->
+      """WITH b AS (SELECT vec_id % 3 AS run_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[4] AS DOUBLE) AS v,
+        |    (row_number() OVER (PARTITION BY vec_id % 3 ORDER BY vec_id) - 1) // 3 AS cell_id
+        |  FROM embeddings),
+        |c AS (SELECT run_id, cell_id,
+        |    CAST(CAST(avg(x) AS REAL) AS DOUBLE) AS cx,
+        |    CAST(CAST(sum(v) AS REAL) AS DOUBLE) AS p
+        |  FROM b GROUP BY 1, 2 HAVING count(*) = 3),
+        |i AS (SELECT run_id, count(*) AS n_interior,
+        |    round(sum(cx) + 1e-6, 2) AS sum_cx,
+        |    round(sum(p) + 1e-6, 2) AS sum_p,
+        |    count(*) AS n_stl_facets
+        |  FROM c GROUP BY 1),
+        |s AS (SELECT run_id, count(*) AS n_surface_points,
+        |    round(sum(v) + 1e-6, 2) AS sum_cp
+        |  FROM b GROUP BY 1)
+        |SELECT run_id, n_interior, sum_cx, sum_p, n_surface_points, sum_cp,
+        |  n_stl_facets, CAST(2 AS BIGINT) AS n_slices,
+        |  0.25 + run_id / 8.0 AS cd, run_id / 4.0 AS varref_cd,
+        |  CASE WHEN run_id = 0 THEN 25.0 END AS slant_angle
+        |FROM i JOIN s USING (run_id) ORDER BY run_id""".stripMargin,
 
     // Mirrors the Geometry tet kernels with IDENTICAL IEEE operation order
     // (edge norms, triple product, aspect/vol/jac) so per-cell values are

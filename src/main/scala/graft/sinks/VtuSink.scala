@@ -40,7 +40,8 @@ object VtuSink {
   def write(points: DataFrame, cells: DataFrame, pointData: DataFrame,
             out: String, format: String = "ascii",
             cellData: Option[DataFrame] = None,
-            nameTemplate: String = "mesh_{id}.vtu"): Seq[String] = {
+            nameTemplate: String = "mesh_{id}.vtu",
+            polyData: Boolean = false): Seq[String] = {
     require(Set("ascii", "appended", "appended-zlib")(format),
       s"unknown VTU format '$format'")
     require(nameTemplate.contains("{id}"), "nameTemplate must contain {id}")
@@ -80,9 +81,10 @@ object VtuSink {
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val template = nameTemplate
+    val poly = polyData
     assembled.map { row =>
       val meshId = row.get(row.fieldIndex("mesh_id"))
-      val bytes = render(row, format)
+      val bytes = render(row, format, poly)
       val path = new org.apache.hadoop.fs.Path(
         s"$out/${template.replace("{id}", String.valueOf(meshId))}")
       val fs = path.getFileSystem(hadoopConf.value)
@@ -143,16 +145,16 @@ object VtuSink {
     MeshArrays(coords, conn, offsets, types, fieldArrays, cellFieldArrays)
   }
 
-  private def render(row: Row, format: String): Array[Byte] = {
+  private def render(row: Row, format: String, poly: Boolean): Array[Byte] = {
     val m = extract(row)
     format match {
-      case "ascii" => renderAscii(m).getBytes("UTF-8")
-      case "appended" => renderAppended(m, zlib = false)
-      case "appended-zlib" => renderAppended(m, zlib = true)
+      case "ascii" => renderAscii(m, poly).getBytes("UTF-8")
+      case "appended" => renderAppended(m, zlib = false, poly)
+      case "appended-zlib" => renderAppended(m, zlib = true, poly)
     }
   }
 
-  private def renderAscii(m: MeshArrays): String = {
+  private def renderAscii(m: MeshArrays, poly: Boolean): String = {
     val nPts = m.coords.length / 3
     val pdArrays = m.fields.map { case (name, vals) =>
       s"""    <DataArray type="Float64" Name="$name" format="ascii">${vals.mkString(" ")}</DataArray>"""
@@ -160,18 +162,28 @@ object VtuSink {
     val cdArrays = m.cellFields.map { case (name, vals) =>
       s"""    <DataArray type="Float64" Name="$name" format="ascii">${vals.mkString(" ")}</DataArray>"""
     }.mkString("\n")
+    val (root, pieceAttrs, cellSec) =
+      if (poly) ("PolyData",
+        s"""NumberOfPoints="$nPts" NumberOfVerts="0" NumberOfLines="0" NumberOfStrips="0" NumberOfPolys="${m.types.length}"""",
+        "Polys")
+      else ("UnstructuredGrid",
+        s"""NumberOfPoints="$nPts" NumberOfCells="${m.types.length}"""", "Cells")
+    // PolyData has no types array — cell shape is implied by the offsets
+    val typesArray =
+      if (poly) ""
+      else s"""
+       |    <DataArray type="UInt8" Name="types" format="ascii">${m.types.mkString(" ")}</DataArray>""".stripMargin
     s"""<?xml version="1.0"?>
-       |<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
-       | <UnstructuredGrid>
-       |  <Piece NumberOfPoints="$nPts" NumberOfCells="${m.types.length}">
+       |<VTKFile type="$root" version="0.1" byte_order="LittleEndian">
+       | <$root>
+       |  <Piece $pieceAttrs>
        |   <Points>
        |    <DataArray type="Float64" NumberOfComponents="3" format="ascii">${m.coords.mkString(" ")}</DataArray>
        |   </Points>
-       |   <Cells>
+       |   <$cellSec>
        |    <DataArray type="Int64" Name="connectivity" format="ascii">${m.conn.mkString(" ")}</DataArray>
-       |    <DataArray type="Int64" Name="offsets" format="ascii">${m.offsets.mkString(" ")}</DataArray>
-       |    <DataArray type="UInt8" Name="types" format="ascii">${m.types.mkString(" ")}</DataArray>
-       |   </Cells>
+       |    <DataArray type="Int64" Name="offsets" format="ascii">${m.offsets.mkString(" ")}</DataArray>$typesArray
+       |   </$cellSec>
        |   <PointData>
        |$pdArrays
        |   </PointData>
@@ -179,7 +191,7 @@ object VtuSink {
        |$cdArrays
        |   </CellData>
        |  </Piece>
-       | </UnstructuredGrid>
+       | </$root>
        |</VTKFile>""".stripMargin
   }
 
@@ -230,13 +242,21 @@ object VtuSink {
       out.toByteArray
     }
 
-  private def renderAppended(m: MeshArrays, zlib: Boolean): Array[Byte] = {
+  private def renderAppended(m: MeshArrays, zlib: Boolean,
+                             poly: Boolean = false): Array[Byte] = {
     val nPts = m.coords.length / 3
+    val (root, pieceAttrs, cellSec) =
+      if (poly) ("PolyData",
+        s"""NumberOfPoints="$nPts" NumberOfVerts="0" NumberOfLines="0" NumberOfStrips="0" NumberOfPolys="${m.types.length}"""",
+        "Polys")
+      else ("UnstructuredGrid",
+        s"""NumberOfPoints="$nPts" NumberOfCells="${m.types.length}"""", "Cells")
     val arrays: Seq[(String, String, String, Array[Byte])] =
-      Seq(("Points", "", "Float64", doubleBytes(m.coords)),
-          ("Cells", "connectivity", "Int64", longBytes(m.conn)),
-          ("Cells", "offsets", "Int64", longBytes(m.offsets)),
-          ("Cells", "types", "UInt8", byteBytes(m.types))) ++
+      (Seq(("Points", "", "Float64", doubleBytes(m.coords)),
+          (cellSec, "connectivity", "Int64", longBytes(m.conn)),
+          (cellSec, "offsets", "Int64", longBytes(m.offsets))) ++
+        (if (poly) Nil // PolyData has no types array
+         else Seq((cellSec, "types", "UInt8", byteBytes(m.types))))) ++
         m.fields.map { case (name, vals) =>
           ("PointData", name, "Float64", doubleBytes(vals))
         } ++
@@ -260,15 +280,15 @@ object VtuSink {
     val compAttr = if (zlib) """ compressor="vtkZLibDataCompressor"""" else ""
     val head =
       s"""<?xml version="1.0"?>
-         |<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian" header_type="UInt64"$compAttr>
-         | <UnstructuredGrid>
-         |  <Piece NumberOfPoints="$nPts" NumberOfCells="${m.types.length}">
+         |<VTKFile type="$root" version="1.0" byte_order="LittleEndian" header_type="UInt64"$compAttr>
+         | <$root>
+         |  <Piece $pieceAttrs>
          |   <Points>
          |${inSection("Points")}
          |   </Points>
-         |   <Cells>
-         |${inSection("Cells")}
-         |   </Cells>
+         |   <$cellSec>
+         |${inSection(cellSec)}
+         |   </$cellSec>
          |   <PointData>
          |${inSection("PointData")}
          |   </PointData>
@@ -276,7 +296,7 @@ object VtuSink {
          |${inSection("CellData")}
          |   </CellData>
          |  </Piece>
-         | </UnstructuredGrid>
+         | </$root>
          | <AppendedData encoding="raw">
          |  _""".stripMargin
     val tail = "\n </AppendedData>\n</VTKFile>\n"

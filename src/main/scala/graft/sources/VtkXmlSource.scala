@@ -631,6 +631,21 @@ object VtkXmlSource {
            exclude: Set[String] = Set.empty,
            globFilter: String = "*.vt[ups]",
            keyFilterRules: Seq[KeyFilters.KeyFilterRule] = Nil): (DataFrame, DataFrame, DataFrame) = {
+    val (p, c, pd, _) = readAll(spark, pathGlob, include, exclude, globFilter,
+      keyFilterRules)
+    (p, c, pd)
+  }
+
+  /** Like [[read]] but also returns the CellData arrays as a fourth table
+    * `(mesh_id, cell_id, field, value)` — the AhmedML/DrivAerML volume
+    * files carry their flow fields as cell data (`ahmedml.py:774-883`,
+    * interior point-cloud uses cell_data at the centroids).
+    */
+  def readAll(spark: SparkSession, pathGlob: String,
+              include: Set[String] = Set.empty,
+              exclude: Set[String] = Set.empty,
+              globFilter: String = "*.vt[ups]",
+              keyFilterRules: Seq[KeyFilters.KeyFilterRule] = Nil): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     // comma-separated multi-path form (used by readVtm's resolved refs)
     val raw = spark.read.format("binaryFile")
@@ -646,20 +661,26 @@ object VtkXmlSource {
         else (include, exclude)
       val p = parseVtu(bytes, inc, exc)
       (path, p.points.map(a => (a(0), a(1), a(2))), p.cells,
-        p.pointData.toSeq.map { case (k, v) => (k, v) })
+        p.pointData.toSeq.map { case (k, v) => (k, v) },
+        p.cellData.toSeq.map { case (k, v) => (k, v) })
     }.persist()
 
-    val points = pieces.flatMap { case (path, pts, _, _) =>
+    val points = pieces.flatMap { case (path, pts, _, _, _) =>
       pts.zipWithIndex.map { case ((x, y, z), i) => (path, i.toLong, x, y, z) }
     }.toDF("mesh_id", "point_id", "x", "y", "z")
-    val cells = pieces.flatMap { case (path, _, cs, _) =>
+    val cells = pieces.flatMap { case (path, _, cs, _, _) =>
       cs.zipWithIndex.map { case (vs, i) => (path, i.toLong, vs.toSeq) }
     }.toDF("mesh_id", "cell_id", "vertices")
-    val pointData = pieces.flatMap { case (path, _, _, pd) =>
+    val pointData = pieces.flatMap { case (path, _, _, pd, _) =>
       pd.flatMap { case (field, vals) =>
         vals.zipWithIndex.map { case (v, i) => (path, i.toLong, field, v) }
       }
     }.toDF("mesh_id", "point_id", "field", "value")
-    (points, cells, pointData)
+    val cellData = pieces.flatMap { case (path, _, _, _, cd) =>
+      cd.flatMap { case (field, vals) =>
+        vals.zipWithIndex.map { case (v, i) => (path, i.toLong, field, v) }
+      }
+    }.toDF("mesh_id", "cell_id", "field", "value")
+    (points, cells, pointData, cellData)
   }
 }

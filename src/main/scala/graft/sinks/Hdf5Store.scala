@@ -6,29 +6,37 @@ import java.nio.{ByteBuffer, ByteOrder}
   * NETCDF4 output (`domains/da/sinks/netcdf_writer.py:75` writes via the
   * netCDF4 lib, whose on-disk container is HDF5; this is an independent
   * implementation of the PUBLIC "HDF5 File Format Specification" v0
-  * layout). Scope: one root group holding up to 8 IEEE-f64 little-endian
-  * datasets, each either CONTIGUOUS or CHUNKED with the deflate filter —
-  * chunked+deflate being what the netCDF4 lib emits by default. NetCDF-4's
-  * dimension-scale annotations are attribute sugar on top of this
-  * container and are out of scope.
+  * layout). Scope: one root group of IEEE-f64 little-endian datasets,
+  * each either CONTIGUOUS or CHUNKED with the deflate filter —
+  * chunked+deflate being what the netCDF4 lib emits by default — plus
+  * the netCDF-4 dimension-scale annotations: `CLASS=DIMENSION_SCALE` /
+  * `NAME` / `_Netcdf4Dimid` attributes on coordinate datasets and a
+  * `DIMENSION_LIST` attribute (vlen of object references through a
+  * global heap collection) on data variables.
   *
   * Layout written (all structures 8-aligned, offsets/lengths 8 bytes):
   *  - superblock v0 (96 B) with the root symbol-table entry caching the
   *    group B-tree and local-heap addresses;
   *  - root group object header v1 with a Symbol Table message;
-  *  - group B-tree v1 (one leaf) → one SNOD symbol-table node (≤ 8
-  *    entries, name-ordered) → per-dataset object headers;
+  *  - group B-tree v1 (one leaf node) → one SNOD symbol-table node per 8
+  *    datasets (entries name-ordered across nodes) → per-dataset object
+  *    headers;
   *  - each dataset object header v1: Dataspace (v1, simple), Datatype
-  *    (class 1 float, f64 LE), Fill Value (v2, undefined), then either a
-  *    v3 class-1 contiguous Data Layout (address + size), or a Filter
-  *    Pipeline (deflate, id 1) + v3 class-2 chunked Data Layout whose
-  *    chunk B-tree (v1, node type 1) keys carry (nbytes, filter mask,
-  *    element-space offsets) per chunk — full edge chunks, fill-padded;
+  *    (class 1 float, f64 LE), Fill Value (v2, undefined), the
+  *    dimension-scale / dimension-list Attribute messages (v1), then
+  *    either a v3 class-1 contiguous Data Layout (address + size), or a
+  *    Filter Pipeline (deflate, id 1) + v3 class-2 chunked Data Layout
+  *    whose chunk B-tree (v1, node type 1) keys carry (nbytes, filter
+  *    mask, element-space offsets) per chunk — full edge chunks,
+  *    fill-padded;
+  *  - one GCOL global-heap collection holding the DIMENSION_LIST object
+  *    references (one 8-byte object-header address per referenced scale);
   *  - contiguous f64 blobs / per-chunk deflate streams.
   *
   * The parser walks the same structures generically (any B-tree level,
   * multiple SNODs, unknown header messages skipped by size), so it reads
-  * a superset of what `render` writes.
+  * a superset of what `render` writes. REFERENCE_LIST back-pointers (an
+  * optimization hint, not needed to resolve dimensions) are not written.
   */
 object Hdf5Store {
 
@@ -39,20 +47,38 @@ object Hdf5Store {
   private val MsgDatatype = 0x0003
   private val MsgFillValue = 0x0005
   private val MsgLayout = 0x0008
+  private val MsgAttribute = 0x000C
   private val MsgFilterPipeline = 0x000B
   private val MsgSymbolTable = 0x0011
 
   private val DeflateFilterId = 1
+  private val ScaleClass = "DIMENSION_SCALE"
 
   private def align8(n: Int): Int = (n + 7) & ~7
 
   /** One dataset to render: row-major f64 `values` of shape `dims`;
     * `chunkDims` switches to the chunked layout (with deflate when
     * `deflate` is set — the netCDF4 default shape).
+    *
+    * NetCDF-4 dimension metadata: `scaleName` marks the dataset a
+    * dimension scale (`CLASS=DIMENSION_SCALE` + `NAME` attributes, i.e. a
+    * coordinate variable) with `dimId` as its `_Netcdf4Dimid`; `dimNames`
+    * on a data variable emits a `DIMENSION_LIST` attribute referencing
+    * the same-file scale datasets with those names, one per dimension.
     */
   final case class H5Dataset(name: String, dims: Seq[Long], values: Array[Double],
                              chunkDims: Option[Seq[Long]] = None,
-                             deflate: Boolean = false)
+                             deflate: Boolean = false,
+                             scaleName: Option[String] = None,
+                             dimId: Int = -1,
+                             dimNames: Seq[String] = Nil)
+
+  /** A parsed dataset with its netCDF-4 dimension metadata resolved
+    * (`dimNames` maps DIMENSION_LIST references back to dataset names).
+    */
+  final case class H5Var(name: String, dims: Seq[Long], values: Array[Double],
+                         isScale: Boolean, scaleName: String, dimId: Int,
+                         dimNames: Seq[String])
 
   private def zlib(b: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
@@ -85,8 +111,9 @@ object Hdf5Store {
 
   def renderDatasets(datasets: Seq[H5Dataset]): Array[Byte] = {
     require(datasets.nonEmpty, "HDF5 file needs at least one dataset")
-    require(datasets.length <= 8,
-      s"${datasets.length} datasets exceed one symbol-table node (max 8)")
+    require(datasets.map(_.name).distinct.length == datasets.length,
+      "duplicate dataset names")
+    val scaleNames = datasets.filter(_.scaleName.isDefined).map(_.name).toSet
     datasets.foreach { d =>
       require(d.name.nonEmpty && !d.name.contains("/"), s"bad dataset name '${d.name}'")
       require(d.dims.product == d.values.length,
@@ -97,6 +124,14 @@ object Hdf5Store {
       }
       require(d.chunkDims.isDefined || !d.deflate,
         s"dataset '${d.name}': deflate requires the chunked layout")
+      if (d.dimNames.nonEmpty) {
+        require(d.scaleName.isEmpty,
+          s"dataset '${d.name}': a dimension scale cannot also carry DIMENSION_LIST")
+        require(d.dimNames.length == d.dims.length,
+          s"dataset '${d.name}': ${d.dimNames.length} dim names for rank ${d.dims.length}")
+        d.dimNames.foreach(n => require(scaleNames(n),
+          s"dataset '${d.name}': DIMENSION_LIST target '$n' is not a scale in this file"))
+      }
     }
     val ds = datasets.sortBy(_.name) // SNOD entries must be name-ordered
 

@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   * median, so one loaded run on a shared VM can't fail the 2× gate. A query
   * that throws is recorded as -1 with its name in "errors" (never its
   * time-to-failure as a wall time) and is not retried.
+  *
+  * SPARK_GRAFT_QUERIES (comma-separated names, optional) restricts the run
+  * to the named queries, so a single suspicious timing can be re-measured
+  * without paying for the whole suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,8 +27,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var ok = true
       var i = 0

@@ -218,9 +218,16 @@ object SparkEntry {
       .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
     val out = freshTmpDir("graft_nc4_rt", dir)
     graft.sinks.NetCdf4Sink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
-    val (_, data) = graft.sources.Hdf5Source.read(s, out)
-    data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
+    val (vars, data) = graft.sources.Hdf5Source.read(s, out)
+    // the inner join keeps data variables only (coordinate scales carry
+    // is_scale) and proves the DIMENSION_LIST names came back from the
+    // binary container
+    val dataVars = vars.filter(!col("is_scale"))
+      .select(col("variable"), array_join(col("dim_names"), ",").as("dims"))
+    data.join(broadcast(dataVars), "variable")
+      .groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"), col("dims"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .select("variable", "t", "n_cells", "sum_value", "dims")
       .orderBy("variable", "t")
   }
 
@@ -1950,7 +1957,8 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Same mirror as q_netcdf_roundtrip: the HDF5 container also
-    // round-trips <f8 cells bit-exactly.
+    // round-trips <f8 cells bit-exactly; `dims` pins the DIMENSION_LIST
+    // names recovered from the netCDF-4 attribute messages.
     "q_netcdf4_roundtrip" ->
       """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
         |    sum(value) AS v
@@ -1960,7 +1968,7 @@ object SparkEntry {
         |f AS (SELECT l.variable, l.t, coalesce(g.v, 0.0) AS v
         |  FROM l LEFT JOIN g ON l.variable = g.variable AND l.t = g.t)
         |SELECT variable, t, CAST(128 AS BIGINT) AS n_cells,
-        |  round(v + 1e-6, 2) AS sum_value
+        |  round(v + 1e-6, 2) AS sum_value, 'time,lat,lon' AS dims
         |FROM f ORDER BY 1, 2""".stripMargin,
 
     "q_netcdf_roundtrip" ->

@@ -80,6 +80,97 @@ object Hdf5Store {
                          isScale: Boolean, scaleName: String, dimId: Int,
                          dimNames: Seq[String])
 
+  private def bb(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** v1 Attribute message body: 8-byte header (version, name/datatype/
+    * dataspace sizes), then name, datatype and dataspace each padded to 8,
+    * then the attribute data (padded to 8 so the next header message stays
+    * aligned). Sizes in the header are the unpadded ones.
+    */
+  private def attrBody(name: String, dt: Array[Byte], ds: Array[Byte],
+                       data: Array[Byte]): Array[Byte] = {
+    val nb = name.getBytes("US-ASCII") :+ 0.toByte
+    val out = bb(8 + align8(nb.length) + align8(dt.length) + align8(ds.length) +
+      align8(data.length))
+    out.put(1.toByte).put(0.toByte)
+    out.putShort(nb.length.toShort).putShort(dt.length.toShort)
+      .putShort(ds.length.toShort)
+    out.put(nb)
+    out.position(8 + align8(nb.length)); out.put(dt)
+    out.position(8 + align8(nb.length) + align8(dt.length)); out.put(ds)
+    out.position(8 + align8(nb.length) + align8(dt.length) + align8(ds.length))
+    out.put(data)
+    out.array()
+  }
+
+  /** Datatype: class 3 fixed-length string, null-terminated, ASCII. */
+  private def dtString(len: Int): Array[Byte] = {
+    val b = bb(8)
+    b.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(len)
+    b.array()
+  }
+
+  /** Datatype: class 0 fixed-point, i32 LE signed. */
+  private val dtInt32: Array[Byte] = {
+    val b = bb(16)
+    b.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(4)
+    b.putShort(0.toShort).putShort(32.toShort)
+    b.array()
+  }
+
+  /** Datatype: class 9 vlen sequence of class 7 object references — the
+    * type netCDF4 gives DIMENSION_LIST. On-disk element is the 16-byte
+    * hvl_t: length(4) + global-heap collection address(8) + index(4).
+    */
+  private val dtVlenRef: Array[Byte] = {
+    val b = bb(16)
+    b.put(0x19.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(16)
+    b.put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(8)
+    b.array()
+  }
+
+  /** Dataspace v1, rank 0 (scalar). */
+  private val dsScalar: Array[Byte] = {
+    val b = bb(8); b.put(1.toByte); b.array()
+  }
+
+  /** Dataspace v1, rank 1 of extent `n`. */
+  private def dsVector(n: Long): Array[Byte] = {
+    val b = bb(16); b.put(1.toByte).put(1.toByte)
+    b.position(8); b.putLong(n); b.array()
+  }
+
+  /** The netCDF-4 attribute messages for one dataset. `gcolAddr`/`idx0`
+    * locate this dataset's DIMENSION_LIST references in the global heap
+    * (pass zeros when only sizing — the byte LENGTHS don't depend on them).
+    */
+  private def attrsFor(d: H5Dataset, gcolAddr: Long, idx0: Int): Seq[Array[Byte]] =
+    d.scaleName match {
+      case Some(sn) =>
+        val cls = ScaleClass.getBytes("US-ASCII") :+ 0.toByte
+        val nm = sn.getBytes("US-ASCII") :+ 0.toByte
+        val base = Seq(
+          attrBody("CLASS", dtString(cls.length), dsScalar, cls),
+          attrBody("NAME", dtString(nm.length), dsScalar, nm))
+        if (d.dimId >= 0) {
+          val v = bb(4); v.putInt(d.dimId)
+          base :+ attrBody("_Netcdf4Dimid", dtInt32, dsScalar, v.array())
+        } else base
+      case None if d.dimNames.nonEmpty =>
+        val data = bb(d.dimNames.length * 16)
+        d.dimNames.indices.foreach { i =>
+          data.putInt(1).putLong(gcolAddr).putInt(idx0 + i)
+        }
+        Seq(attrBody("DIMENSION_LIST", dtVlenRef,
+          dsVector(d.dimNames.length.toLong), data.array()))
+      case None => Nil
+    }
+
   private def zlib(b: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     try {
@@ -203,7 +294,8 @@ object Hdf5Store {
 
     def ohMessagesSize(d: H5Dataset): Int = {
       val rank = d.dims.length
-      val base = (8 + 8 + rank * 8) + (8 + 24) + (8 + 8)
+      val attrs = attrsFor(d, 0L, 0).map(8 + _.length).sum
+      val base = (8 + 8 + rank * 8) + (8 + 24) + (8 + 8) + attrs
       d.chunkDims match {
         case None => base + (8 + 24)
         case Some(_) =>
@@ -211,20 +303,33 @@ object Hdf5Store {
       }
     }
 
+    // DIMENSION_LIST object references live in one global heap collection;
+    // heap indices are assigned sequentially in dataset order (index 0 is
+    // reserved for the collection's free-space object)
+    val refIdx0 = ds.scanLeft(1)((acc, d) => acc + d.dimNames.length)
+    val totalRefs = ds.map(_.dimNames.length).sum
+
     // ---- address plan (sequential, 8-aligned)
     val rootOhAddr = 96
     val rootOhSize = 16 + 8 + 16
     val btreeAddr = rootOhAddr + rootOhSize
-    val btreeSize = align8(24 + 8 + 8 + 8)
+    // one SNOD per 8 datasets (2×leafK with leaf K=4 from the superblock)
+    val dsGroups = ds.grouped(8).toVector
+    val nSnods = dsGroups.length
+    require(nSnods <= 32,
+      s"${ds.length} datasets exceed one group B-tree leaf node (max 256)")
+    val btreeSize = align8(24 + (2 * nSnods + 1) * 8)
     val heapHdrAddr = btreeAddr + btreeSize
     val heapHdrSize = 32
     val heapDataAddr = heapHdrAddr + heapHdrSize
     var cursor = heapDataAddr + heapData.length
-    val snodAddr = cursor
-    cursor += align8(8 + 40 * ds.length)
+    val snodAddrs = dsGroups.map { g =>
+      val a = cursor; cursor += align8(8 + 40 * g.length); a
+    }
     val ohAddrs = ds.map { d =>
       val a = cursor; cursor += 16 + ohMessagesSize(d); a
     }
+    val ohAddrByName = ds.map(_.name).zip(ohAddrs).toMap
     // chunk B-tree nodes: leaf nodes first, then (if several) the internal
     // root over them; rootAddr is what the layout message points at
     val chunkKeySize = ds.map(d => 8 + (d.dims.length + 1) * 8)
@@ -256,6 +361,11 @@ object Hdf5Store {
           Right(cs.map { c => val a = cursor; cursor += align8(c.bytes.length); a })
       }
     }
+    // global heap collection: 16-byte header, one 24-byte object per
+    // reference (16 header + 8-byte object-header address), 16-byte
+    // free-space terminator
+    val gcolSize = 16 + totalRefs * 24 + 16
+    val gcolAddr = if (totalRefs == 0) 0L else { val a = cursor; cursor += gcolSize; a.toLong }
     val eof = cursor
 
     val img = ByteBuffer.allocate(eof).order(ByteOrder.LITTLE_ENDIAN)
@@ -284,13 +394,16 @@ object Hdf5Store {
     msgHeader(MsgSymbolTable, 16)
     img.putLong(btreeAddr.toLong).putLong(heapHdrAddr.toLong)
 
-    // ---- group B-tree v1: one leaf entry -> the SNOD
+    // ---- group B-tree v1: one leaf entry per SNOD; key i is the heap
+    // offset of child i's first (lowest) name, the final key its last
     img.position(btreeAddr)
     img.put("TREE".getBytes("US-ASCII"))
-    img.put(0.toByte).put(0.toByte).putShort(1.toShort)
+    img.put(0.toByte).put(0.toByte).putShort(nSnods.toShort)
     img.putLong(Undef).putLong(Undef)
-    img.putLong(nameOffsets.head)
-    img.putLong(snodAddr.toLong)
+    dsGroups.zipWithIndex.foreach { case (_, gi) =>
+      img.putLong(nameOffsets(gi * 8))
+      img.putLong(snodAddrs(gi).toLong)
+    }
     img.putLong(nameOffsets.last)
 
     // ---- local heap
@@ -300,19 +413,23 @@ object Hdf5Store {
     img.putLong(heapData.length.toLong).putLong(Undef).putLong(heapDataAddr.toLong)
     img.put(heapData)
 
-    // ---- SNOD
-    img.position(snodAddr)
-    img.put("SNOD".getBytes("US-ASCII"))
-    img.put(1.toByte).put(0.toByte).putShort(ds.length.toShort)
-    ds.zipWithIndex.foreach { case (_, i) =>
-      img.putLong(nameOffsets(i)).putLong(ohAddrs(i).toLong)
-      img.putInt(0).putInt(0).putLong(0L).putLong(0L)
+    // ---- SNODs (name order continues across nodes)
+    dsGroups.zipWithIndex.foreach { case (g, gi) =>
+      img.position(snodAddrs(gi))
+      img.put("SNOD".getBytes("US-ASCII"))
+      img.put(1.toByte).put(0.toByte).putShort(g.length.toShort)
+      g.indices.foreach { j =>
+        val i = gi * 8 + j
+        img.putLong(nameOffsets(i)).putLong(ohAddrs(i).toLong)
+        img.putInt(0).putInt(0).putLong(0L).putLong(0L)
+      }
     }
 
     // ---- dataset object headers
     ds.zipWithIndex.foreach { case (d, i) =>
       val rank = d.dims.length
-      val nMsgs = 3 + (if (d.chunkDims.isDefined && d.deflate) 2 else 1)
+      val attrs = attrsFor(d, gcolAddr, refIdx0(i))
+      val nMsgs = 3 + attrs.length + (if (d.chunkDims.isDefined && d.deflate) 2 else 1)
       img.position(ohAddrs(i))
       img.put(1.toByte).put(0.toByte).putShort(nMsgs.toShort)
       img.putInt(1).putInt(ohMessagesSize(d))
@@ -334,6 +451,11 @@ object Hdf5Store {
       msgHeader(MsgFillValue, 8)
       img.put(2.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
       img.putInt(0)
+      // netCDF-4 dimension-scale / dimension-list attributes
+      attrs.foreach { body =>
+        msgHeader(MsgAttribute, body.length)
+        img.put(body)
+      }
       d.chunkDims match {
         case None =>
           msgHeader(MsgLayout, 24)
@@ -410,6 +532,26 @@ object Hdf5Store {
         case _ => ()
       }
     }
+
+    // ---- global heap collection: DIMENSION_LIST object references
+    if (totalRefs > 0) {
+      img.position(gcolAddr.toInt)
+      img.put("GCOL".getBytes("US-ASCII"))
+      img.put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      img.putLong(gcolSize.toLong)
+      var idx = 1
+      ds.foreach { d =>
+        d.dimNames.foreach { dn =>
+          img.putShort(idx.toShort).putShort(1.toShort).putInt(0)
+          img.putLong(8L)
+          img.putLong(ohAddrByName(dn).toLong)
+          idx += 1
+        }
+      }
+      // free-space object: index 0, size = the remaining bytes (its header)
+      img.putShort(0.toShort).putShort(0.toShort).putInt(0)
+      img.putLong(16L)
+    }
     img.array()
   }
 
@@ -418,7 +560,14 @@ object Hdf5Store {
   /** Parse an HDF5 image written to the supported subset back into
     * (name, dims, values) datasets (name-ordered).
     */
-  def parse(bytes: Array[Byte]): Seq[(String, Seq[Long], Array[Double])] = {
+  def parse(bytes: Array[Byte]): Seq[(String, Seq[Long], Array[Double])] =
+    parseVars(bytes).map(v => (v.name, v.dims, v.values))
+
+  /** Full parse including the netCDF-4 dimension metadata: scale datasets
+    * come back with `isScale`/`scaleName`/`dimId`, data variables with
+    * `dimNames` (DIMENSION_LIST references resolved to dataset names).
+    */
+  def parseVars(bytes: Array[Byte]): Seq[H5Var] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bytes.length > 96 && Signature.indices.forall(i => bytes(i) == Signature(i)),
       "not an HDF5 file (signature mismatch)")
@@ -473,6 +622,35 @@ object Hdf5Store {
       }
     }
     walkGroupBtree(btreeAddr)
+    val nameByOh = entries.map { case (n, a) => (a, n) }.toMap
+
+    // one object from a global heap collection (GCOL): walk the objects
+    // until the index matches; index 0 is the free-space terminator
+    def gheapObject(addr: Long, idx: Int): Long = {
+      val a = toOffset(addr, "global heap collection")
+      require(new String(bytes, a, 4, "US-ASCII") == "GCOL", "bad GCOL signature")
+      val collSize = buf.getLong(a + 8)
+      var p = a + 16
+      val end = a + collSize
+      while (p < end) {
+        val hIdx = buf.getShort(p) & 0xffff
+        val size = buf.getLong(p + 8)
+        if (hIdx == idx) {
+          require(size == 8, s"global heap object $idx size $size, want 8 (object ref)")
+          return buf.getLong(p + 16)
+        }
+        if (hIdx == 0) p = end.toInt
+        else p += 16 + align8(size.toInt)
+      }
+      throw new IllegalArgumentException(s"global heap object $idx not found")
+    }
+
+    // fixed-length string attribute value: `len` bytes, NUL-trimmed
+    def attrString(p: Int, len: Int): String = {
+      var n = 0
+      while (n < len && bytes(p + n) != 0) n += 1
+      new String(bytes, p, n, "US-ASCII")
+    }
 
     entries.toSeq.map { case (name, ohAddr) =>
       val a = toOffset(ohAddr, s"dataset '$name' object header")
@@ -488,6 +666,10 @@ object Hdf5Store {
       var chunkDims = Seq.empty[Long]
       var deflated = false
       var sawF64 = false
+      var isScale = false
+      var scaleName = ""
+      var dimId = -1
+      var dimNames = Seq.empty[String]
       var seen = 0
       while (p < end && seen < nMsgs) {
         val tpe = buf.getShort(p) & 0xffff
@@ -524,6 +706,38 @@ object Hdf5Store {
               case other =>
                 throw new IllegalArgumentException(
                   s"dataset '$name': layout class $other unsupported")
+            }
+          case MsgAttribute =>
+            require(bytes(body) == 1,
+              s"dataset '$name': attribute message v${bytes(body)} unsupported")
+            val nameSize = buf.getShort(body + 2) & 0xffff
+            val dtSize = buf.getShort(body + 4) & 0xffff
+            val dsSize = buf.getShort(body + 6) & 0xffff
+            val aName = attrString(body + 8, nameSize)
+            val dtP = body + 8 + align8(nameSize)
+            val dsP = dtP + align8(dtSize)
+            val dataP = dsP + align8(dsSize)
+            val dtCls = bytes(dtP) & 0x0f
+            aName match {
+              case "CLASS" if dtCls == 3 =>
+                isScale = attrString(dataP, buf.getInt(dtP + 4)) == ScaleClass
+              case "NAME" if dtCls == 3 =>
+                scaleName = attrString(dataP, buf.getInt(dtP + 4))
+              case "_Netcdf4Dimid" if dtCls == 0 =>
+                dimId = buf.getInt(dataP)
+              case "DIMENSION_LIST" if dtCls == 9 =>
+                require(bytes(dsP + 1) == 1, s"dataset '$name': DIMENSION_LIST rank")
+                val n = buf.getLong(dsP + 8).toInt
+                dimNames = (0 until n).map { k =>
+                  val e = dataP + k * 16
+                  val len = buf.getInt(e)
+                  require(len == 1,
+                    s"dataset '$name': DIMENSION_LIST vlen length $len, want 1")
+                  val ref = gheapObject(buf.getLong(e + 4), buf.getInt(e + 12))
+                  nameByOh.getOrElse(ref, throw new IllegalArgumentException(
+                    s"dataset '$name': DIMENSION_LIST reference $ref is not a dataset"))
+                }
+              case _ => () // other attributes carry no dimension semantics
             }
           case _ => ()
         }
@@ -583,7 +797,7 @@ object Hdf5Store {
         }
         walkChunkBtree(dataAddr)
       }
-      (name, dims, vals)
-    }.sortBy(_._1)
+      H5Var(name, dims, vals, isScale, scaleName, dimId, dimNames)
+    }.sortBy(_.name)
   }
 }

@@ -26,6 +26,8 @@ object NetCdf4Sink {
       val variable = row.getString(0)
       require(!variable.contains("/"),
         s"variable name '$variable' contains '/' — would write outside the store")
+      require(!Set("time", "lat", "lon").contains(variable),
+        s"variable name '$variable' collides with a coordinate dimension")
       val perRec = nLat * nLon
       val data = Array.fill(nRecs * perRec)(0.0)
       row.getSeq[Row](1).foreach { c =>
@@ -35,10 +37,19 @@ object NetCdf4Sink {
         data(t * perRec + i * nLon + j) = c.getDouble(3)
       }
       // chunked (one record per chunk) + deflate — the layout the netCDF4
-      // lib emits by default for record variables
-      val bytes = Hdf5Store.renderDatasets(Seq(Hdf5Store.H5Dataset(
-        variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data,
-        chunkDims = Some(Seq(1L, nLat.toLong, nLon.toLong)), deflate = true)))
+      // lib emits by default for record variables — plus the three
+      // coordinate variables as netCDF-4 dimension scales (index-valued;
+      // this sink's record-grid contract has no physical coordinates) and
+      // a DIMENSION_LIST binding the record variable to them
+      def scale(name: String, n: Int, id: Int) = Hdf5Store.H5Dataset(
+        name, Seq(n.toLong), Array.tabulate(n)(_.toDouble),
+        scaleName = Some(name), dimId = id)
+      val bytes = Hdf5Store.renderDatasets(Seq(
+        Hdf5Store.H5Dataset(
+          variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data,
+          chunkDims = Some(Seq(1L, nLat.toLong, nLon.toLong)), deflate = true,
+          dimNames = Seq("time", "lat", "lon")),
+        scale("time", nRecs, 0), scale("lat", nLat, 1), scale("lon", nLon, 2)))
       val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc4")
       val fs = path.getFileSystem(hadoopConf.value)
       fs.setWriteChecksum(false)

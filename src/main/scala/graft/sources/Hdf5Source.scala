@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** HDF5 (NetCDF-4 container) ingestion — the read side of
   * `sinks/NetCdf4Sink`/`Hdf5Store`, emitting the same long grid model as
-  * `NetCdfSource`: a `vars` table (file, variable, dims) and a `data`
-  * table (file, variable, row-major pos, value). File distribution via
-  * `binaryFile`, per-file decode in `flatMap` on executors.
+  * `NetCdfSource`: a `vars` table (file, variable, dims, plus the
+  * netCDF-4 dimension metadata: is_scale / scale_name / dim_id /
+  * dim_names) and a `data` table (file, variable, row-major pos, value)
+  * covering every dataset, coordinate scales included. File distribution
+  * via `binaryFile`, per-file decode in `flatMap` on executors.
   */
 object Hdf5Source {
 
@@ -23,13 +25,16 @@ object Hdf5Source {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
-        graft.sinks.Hdf5Store.parse(bytes).map { case (name, dims, vals) =>
-          (path, name, dims, vals)
+        graft.sinks.Hdf5Store.parseVars(bytes).map { v =>
+          (path, v.name, v.dims, v.isScale, v.scaleName, v.dimId, v.dimNames, v.values)
         }
       }.persist()
-    val vars = parsed.map { case (path, name, dims, _) => (path, name, dims) }
-      .toDF("file", "variable", "dims")
-    val data = parsed.flatMap { case (path, name, _, vals) =>
+    val vars = parsed
+      .map { case (path, name, dims, isScale, scaleName, dimId, dimNames, _) =>
+        (path, name, dims, isScale, scaleName, dimId, dimNames)
+      }
+      .toDF("file", "variable", "dims", "is_scale", "scale_name", "dim_id", "dim_names")
+    val data = parsed.flatMap { case (path, name, _, _, _, _, _, vals) =>
       vals.iterator.zipWithIndex.map { case (v, i) => (path, name, i.toLong, v) }
     }.toDF("file", "variable", "pos", "value")
     (vars, data)

@@ -279,6 +279,51 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("HDF5: >8 datasets span multiple symbol-table nodes") {
+    import graft.sinks.Hdf5Store
+    val datasets = (0 until 21).map { i =>
+      Hdf5Store.H5Dataset(f"v$i%02d", Seq(3L), Array(i * 1.0, i * 2.0, i * 3.0))
+    }
+    val back = Hdf5Store.parse(Hdf5Store.renderDatasets(datasets))
+    assert(back.map(_._1) == datasets.map(_.name).sorted)
+    assert(back.forall { case (n, dims, vals) =>
+      val i = n.drop(1).toInt
+      dims == Seq(3L) && vals.toSeq == Seq(i * 1.0, i * 2.0, i * 3.0)
+    })
+  }
+
+  test("HDF5: netCDF-4 dimension scales and DIMENSION_LIST round trip") {
+    import graft.sinks.Hdf5Store
+    val img = Hdf5Store.renderDatasets(Seq(
+      Hdf5Store.H5Dataset("temp", Seq(2L, 3L), Array.tabulate(6)(_ * 0.5),
+        chunkDims = Some(Seq(1L, 3L)), deflate = true,
+        dimNames = Seq("time", "x")),
+      Hdf5Store.H5Dataset("time", Seq(2L), Array(0.0, 1.0),
+        scaleName = Some("time"), dimId = 0),
+      Hdf5Store.H5Dataset("x", Seq(3L), Array(0.0, 0.5, 1.0),
+        scaleName = Some("x"), dimId = 1)))
+    val back = Hdf5Store.parseVars(img)
+    assert(back.map(_.name) == Seq("temp", "time", "x"))
+    val temp = back.find(_.name == "temp").get
+    assert(!temp.isScale && temp.dimNames == Seq("time", "x"))
+    assert(temp.values.toSeq == Seq(0.0, 0.5, 1.0, 1.5, 2.0, 2.5))
+    val time = back.find(_.name == "time").get
+    assert(time.isScale && time.scaleName == "time" && time.dimId == 0)
+    assert(time.dimNames.isEmpty)
+    val x = back.find(_.name == "x").get
+    assert(x.isScale && x.scaleName == "x" && x.dimId == 1)
+    // a mix: scales referenced by a second variable in the same file
+    val img2 = Hdf5Store.renderDatasets(Seq(
+      Hdf5Store.H5Dataset("a", Seq(3L), Array(1.0, 2.0, 3.0), dimNames = Seq("x")),
+      Hdf5Store.H5Dataset("b", Seq(3L, 3L), Array.fill(9)(7.0),
+        dimNames = Seq("x", "x")),
+      Hdf5Store.H5Dataset("x", Seq(3L), Array(0.0, 0.5, 1.0),
+        scaleName = Some("x"), dimId = 0)))
+    val back2 = Hdf5Store.parseVars(img2)
+    assert(back2.find(_.name == "b").get.dimNames == Seq("x", "x"))
+    assert(back2.find(_.name == "a").get.dimNames == Seq("x"))
+  }
+
   test("HDF5 chunked: many chunks span a two-level B-tree") {
     import graft.sinks.Hdf5Store
     // 299 elements / chunk 2 → 150 chunks → 3 leaf nodes + internal root

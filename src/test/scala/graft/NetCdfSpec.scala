@@ -110,10 +110,23 @@ class NetCdfSpec extends SparkSpec {
     val bytes = Files.readAllBytes(Paths.get(new java.net.URI(paths.head).getPath))
     assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F')
     val (vars, data) = graft.sources.Hdf5Source.read(spark, dir)
-    assert(vars.count() == 2)
-    val dims = vars.filter(col("variable") === "t2m").collect()(0)
-      .getAs[scala.collection.Seq[Long]]("dims")
-    assert(dims == Seq(2L, 2L, 3L))
+    // 2 data variables + 3 coordinate scales per file
+    assert(vars.filter(!col("is_scale")).count() == 2)
+    assert(vars.filter(col("is_scale")).count() == 6)
+    val t2mVar = vars.filter(col("variable") === "t2m").collect()(0)
+    assert(t2mVar.getAs[scala.collection.Seq[Long]]("dims") == Seq(2L, 2L, 3L))
+    // DIMENSION_LIST names resolved back through the global heap
+    assert(t2mVar.getAs[scala.collection.Seq[String]]("dim_names") ==
+      Seq("time", "lat", "lon"))
+    val latVar = vars.filter(col("variable") === "lat" &&
+      col("file") === t2mVar.getString(0)).collect()(0)
+    assert(latVar.getBoolean(3) && latVar.getString(4) == "lat" &&
+      latVar.getInt(5) == 1)
+    // a scale's values are its indices
+    val lat = data.filter(col("variable") === "lat" &&
+      col("file") === t2mVar.getString(0)).orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(lat.toSeq == Seq(0.0, 1.0))
     val t2m = data.filter(col("variable") === "t2m").orderBy("pos")
       .collect().map(_.getDouble(3))
     assert(t2m.length == 12 && t2m(0) == 1.5 && t2m(5) == -2.25 && t2m(7) == 8.0)

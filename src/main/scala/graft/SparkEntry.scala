@@ -105,6 +105,7 @@ object SparkEntry {
     "q_wall_nodes" -> (qWallNodes _),
     "q_union_priority" -> (qUnionPriority _),
     "q_boundary_box" -> (qBoundaryBox _),
+    "q_boundary_hemisphere" -> (qBoundaryHemisphere _),
     "q_merge_points" -> (qMergePoints _),
     "q_vtu_roundtrip" -> (qVtuRoundtrip _),
     "q_tet_quality" -> (qTetQuality _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_atomic_stats" -> (qAtomicStats _),
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
     "q_ledger_summary" -> (qLedgerSummary _),
+    "q_ledger_detail" -> (qLedgerDetail _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
@@ -514,6 +516,53 @@ object SparkEntry {
       .withColumn("run2_skipped", lit(r2.nSkipped))
   }
 
+  /** §2.5 row-level detail (serialization `core/serialization.py:108-345`,
+    * registry `core/registry.py:26-257`, DB logging
+    * `core/pipeline_store.py:592-604`): run the ledger pipeline, write one
+    * structured log row per executed index with a message DERIVED FROM THE
+    * DATA (per-index row count), then emit one output row per index by
+    * joining index_results ⋈ logs over the ledger parquet — the stricter
+    * row-level variant of q_ledger_summary's aggregate gating. The
+    * serialization round trip (save → load through a registry of stage
+    * factories) is gated as configHash equality; the registry inventory
+    * rides along as name lists.
+    */
+  private def qLedgerDetail(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_ledger_dt", dir)
+    val pipe = ledgerPipelineFor(dir)
+
+    val reg = new graft.core.Registry
+    reg.registerSource("orders_by_mod8")(ps => graft.core.PSource(
+      "orders_by_mod8", ps,
+      sp => Tables.orders(sp, dir).withColumn("idx", col("o_orderkey") % ps("mod").toInt)))
+    reg.registerFilter("open_orders")(ps => graft.core.PFilter(
+      "open_orders", ps, df => df.filter(col("o_orderstatus") === ps("status"))))
+    val yml = s"$ledgerDir/pipeline.yaml"
+    graft.core.Serialization.save(pipe, yml)
+    val loaded = graft.core.Serialization.load(yml, reg)
+    val serdeOk = loaded.configHash == pipe.configHash
+
+    val res = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    // one log row per executed index — the collect is bounded by the
+    // 8-value index domain (idx = o_orderkey % 8)
+    val perIdx = pipe.dataFrame(s).groupBy(col("idx")).count()
+      .collect().map(r => ("INFO", "graft.runner",
+        s"completed idx ${r.getLong(0)} with ${r.getLong(1)} rows", r.getLong(0)))
+    ledger.recordLogs(s, res.runId, perIdx.toSeq)
+
+    val idxRes = s.read.parquet(s"$ledgerDir/index_results")
+      .filter(col("run_id") === res.runId && col("status") === "completed")
+      .select(col("idx"), col("status"))
+    val logs = ledger.logs(s, res.runId)
+      .select(col("idx"), col("level").as("log_level"), col("message").as("log_message"))
+    idxRes.join(logs, "idx")
+      .withColumn("serde_hash_equal", lit(if (serdeOk) 1 else 0))
+      .withColumn("registry_sources", lit(reg.sourceNames.mkString(",")))
+      .withColumn("registry_filters", lit(reg.filterNames.mkString(",")))
+      .orderBy("idx")
+  }
+
   /** Quality gate over `qualityFeatures`: thresholds compare exact rationals
     * (int/int divisions), so the kept set is engine-stable without rounding.
     */
@@ -864,6 +913,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_vertices"),
         rnd(sum(col("x") + col("y") + col("z")), 4).as("coord_sum"),
         rnd(min("x"), 4).as("min_x"), rnd(max("z"), 4).as("max_z"))
+      .orderBy("boundary")
+
+  /** HemisphereBoundaries (`generators.py:133`, `_geometry.py:217,308`):
+    * lattice + freestream inlet/outlet split + symmetry disk. Vertex-id
+    * sums pin the shared ids and the inward-winding enforcement; centroid
+    * sums pin the lattice coordinates.
+    */
+  private def qBoundaryHemisphere(s: SparkSession, dir: String): DataFrame =
+    graft.mesh.Boundaries.hemisphere(s, radius = 2.0, nTheta = 12, nPhi = 5,
+      ux = 1.0, uy = 0.25, uz = 0.5)
+      .groupBy(col("boundary"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("v0").as("sum_v0"), sum("v1").as("sum_v1"), sum("v2").as("sum_v2"),
+        rnd(sum("cx"), 4).as("sum_cx"), rnd(sum("cy"), 4).as("sum_cy"),
+        rnd(sum("cz"), 4).as("sum_cz"))
       .orderBy("boundary")
 
   /** CleanFilter point merge (`clean.py:39`): embedding components as coords,
@@ -1688,6 +1752,76 @@ object SparkEntry {
         |  round(min(x) + 1e-9, 4) AS min_x, round(max(z) + 1e-9, 4) AS max_z
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The full hemisphere construction mirrored in SQL: same lattice,
+    // same centroid/normal/winding expressions, same freestream split.
+    // Sub-expressions are parenthesized to match Spark's evaluation order
+    // so trig arguments are bit-identical on both sides.
+    "q_boundary_hemisphere" ->
+      """WITH strip AS (
+        |  SELECT 12 + k AS cell_id, k // 24 AS r, (k % 24) // 2 AS i, k % 2 = 1 AS b
+        |  FROM (SELECT unnest(generate_series(0, 71)) AS k)),
+        |cells AS (
+        |  SELECT k AS cell_id, FALSE AS sym, -1 AS r0, 0 AS i0, 0 AS r1,
+        |    k AS i1, 0 AS r2, k + 1 AS i2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS k)
+        |  UNION ALL
+        |  SELECT cell_id, FALSE, r, CASE WHEN b THEN i + 1 ELSE i END, r + 1, i,
+        |    CASE WHEN b THEN r + 1 ELSE r END, i + 1
+        |  FROM strip
+        |  UNION ALL
+        |  SELECT 84 + k, TRUE, -2, 0, 3, k, 3, k + 1
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS k)),
+        |corners AS (
+        |  SELECT cell_id, sym, 0 AS c, r0 AS r, i0 AS i FROM cells
+        |  UNION ALL SELECT cell_id, sym, 1, r1, i1 FROM cells
+        |  UNION ALL SELECT cell_id, sym, 2, r2, i2 FROM cells),
+        |pts AS (
+        |  SELECT cell_id, sym, c,
+        |    CASE WHEN r = -1 THEN 0 WHEN r = -2 THEN 49
+        |         ELSE 1 + r * 12 + (i % 12) END AS vid,
+        |    CASE WHEN r < 0 THEN 0.0
+        |         ELSE (2.0 * sin((r + 1) * (pi() / 8))) * cos((i % 12) * (2 * pi() / 12)) END AS x,
+        |    CASE WHEN r = -1 THEN 2.0 WHEN r = -2 OR r = 3 THEN 0.0
+        |         ELSE 2.0 * cos((r + 1) * (pi() / 8)) END AS y,
+        |    CASE WHEN r < 0 THEN 0.0
+        |         ELSE (2.0 * sin((r + 1) * (pi() / 8))) * sin((i % 12) * (2 * pi() / 12)) END AS z
+        |  FROM corners),
+        |tri AS (
+        |  SELECT cell_id, sym,
+        |    max(CASE WHEN c = 0 THEN vid END) AS v0,
+        |    max(CASE WHEN c = 1 THEN vid END) AS v1,
+        |    max(CASE WHEN c = 2 THEN vid END) AS v2,
+        |    max(CASE WHEN c = 0 THEN x END) AS x0, max(CASE WHEN c = 0 THEN y END) AS y0,
+        |    max(CASE WHEN c = 0 THEN z END) AS z0,
+        |    max(CASE WHEN c = 1 THEN x END) AS x1, max(CASE WHEN c = 1 THEN y END) AS y1,
+        |    max(CASE WHEN c = 1 THEN z END) AS z1,
+        |    max(CASE WHEN c = 2 THEN x END) AS x2, max(CASE WHEN c = 2 THEN y END) AS y2,
+        |    max(CASE WHEN c = 2 THEN z END) AS z2
+        |  FROM pts GROUP BY 1, 2),
+        |geo AS (
+        |  SELECT cell_id, sym, v0, v1, v2,
+        |    (x0 + x1 + x2) / 3 AS cx, (y0 + y1 + y2) / 3 AS cy, (z0 + z1 + z2) / 3 AS cz,
+        |    (y1 - y0) * (z2 - z0) - (z1 - z0) * (y2 - y0) AS nx,
+        |    (z1 - z0) * (x2 - x0) - (x1 - x0) * (z2 - z0) AS ny,
+        |    (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0) AS nz
+        |  FROM tri),
+        |lab AS (
+        |  SELECT CASE WHEN sym THEN 'symmetry'
+        |              WHEN cx * (1.0 / sqrt(1.3125)) + cy * (0.25 / sqrt(1.3125))
+        |                   + cz * (0.5 / sqrt(1.3125)) <= 0 THEN 'inlet'
+        |              ELSE 'outlet' END AS boundary,
+        |    v0, CASE WHEN flip THEN v2 ELSE v1 END AS w1,
+        |    CASE WHEN flip THEN v1 ELSE v2 END AS w2, cx, cy, cz
+        |  FROM (SELECT *, CASE WHEN sym THEN ny < 0
+        |                       ELSE cx * nx + cy * ny + cz * nz > 0 END AS flip
+        |        FROM geo))
+        |SELECT boundary, count(*) AS n_cells,
+        |  CAST(sum(v0) AS BIGINT) AS sum_v0, CAST(sum(w1) AS BIGINT) AS sum_v1,
+        |  CAST(sum(w2) AS BIGINT) AS sum_v2,
+        |  round(sum(cx) + 1e-9, 4) AS sum_cx, round(sum(cy) + 1e-9, 4) AS sum_cy,
+        |  round(sum(cz) + 1e-9, 4) AS sum_cz
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_merge_points" ->
       """WITH p AS (SELECT vec_id % 8 AS mesh_id, vec_id AS point_id,
         |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
@@ -1846,6 +1980,19 @@ object SparkEntry {
         |  true AS pbc,
         |  round(CAST(embedding[1] AS DOUBLE) + 1e-9, 4) AS energy
         |FROM embeddings ORDER BY sys_id""".stripMargin,
+
+    // Row-level ledger mirror: the executed index set and the per-index log
+    // messages are both reconstructible from orders; serde/registry gates
+    // are deterministic once correct.
+    "q_ledger_detail" ->
+      """WITH i AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT idx, 'completed' AS status, 'INFO' AS log_level,
+        |  'completed idx ' || idx || ' with ' || n || ' rows' AS log_message,
+        |  1 AS serde_hash_equal,
+        |  'orders_by_mod8' AS registry_sources,
+        |  'open_orders' AS registry_filters
+        |FROM i ORDER BY idx""".stripMargin,
 
     "q_ledger_summary" -> {
       // config identity is dir-independent by construction, so the expected

@@ -1,6 +1,6 @@
 package graft.mesh
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Boundary synthesis + injection (reference
@@ -39,6 +39,119 @@ object Boundaries {
       face("wall_zmin", 4, lx, lyv, lit(zmin)),
       face("wall_zmax", 5, lx, lyv, lit(zmax))
     ).reduce(_ unionByName _)
+  }
+
+  /** Hemisphere radius inferred from the interior point cloud — the max of
+    * |x|, y, |z| (reference `boundaries/_geometry.py:78`
+    * radius_from_interior). One aggregate, no collect beyond the scalar.
+    */
+  def radiusFromInterior(interior: DataFrame,
+                         x: String = "x", y: String = "y", z: String = "z"): Double =
+    interior.agg(greatest(max(abs(col(x))), max(col(y)), max(abs(col(z))))
+      .cast("double")).head().getDouble(0)
+
+  /** Hemispherical open-road boundaries (reference HemisphereBoundaries,
+    * `generators.py:133-188` + `_geometry.py:217-345`): a triangulated
+    * hemisphere y >= 0 (pole at (0, radius, 0), equator pinned to y = 0)
+    * split into `inlet` (centroid·U∞ <= 0) and `outlet` (> 0) by the
+    * freestream direction, plus a `symmetry` disk on y = 0 sharing the
+    * equator ring vertices (watertight seam). All cells are wound so
+    * normals point inward (toward the origin; +y for the disk), matching
+    * the reference's winding enforcement. The disk is a fan around the
+    * origin — the reference's constrained-Delaunay variant additionally
+    * carves vehicle-silhouette holes, which needs the vendor geometry and
+    * is out of scope here.
+    *
+    * Output: one row per triangle — (boundary, cell_id, v0, v1, v2,
+    * cx, cy, cz) with shared vertex ids (0 = pole, 1 + r·nTheta + i for
+    * ring r azimuth i, 1 + (nPhi-1)·nTheta = disk center). Everything is
+    * derived from `spark.range` by column math: no shuffle, no collect,
+    * codegen throughout — the lattice scales linearly with nTheta·nPhi.
+    */
+  def hemisphere(spark: SparkSession, radius: Double, nTheta: Int, nPhi: Int,
+                 ux: Double, uy: Double, uz: Double): DataFrame = {
+    require(nTheta >= 3, s"need nTheta >= 3, got $nTheta")
+    require(nPhi >= 2, s"need nPhi >= 2, got $nPhi")
+    val un = math.sqrt(ux * ux + uy * uy + uz * uz)
+    require(un > 0.0, "freestream vector must be non-zero")
+    val (dx, dy, dz) = (ux / un, uy / un, uz / un)
+    val dTheta = 2.0 * math.Pi / nTheta
+    val dPhi = (math.Pi / 2) / (nPhi - 1)
+    val centerId = 1L + (nPhi - 1).toLong * nTheta
+
+    // vertex lattice: r = -1 is the pole, r = -2 the disk center, ring
+    // nPhi-2 is the equator with y pinned to exactly 0 (as the reference
+    // pins it for the watertight seam)
+    def im(i: Column): Column = pmod(i, lit(nTheta))
+    def vy(r: Column): Column =
+      when(r === -1, radius).when(r === -2 || r === nPhi - 2, 0.0)
+        .otherwise(lit(radius) * cos((r.cast("double") + 1.0) * dPhi))
+    def vrad(r: Column): Column =
+      when(r < 0, 0.0).otherwise(lit(radius) * sin((r.cast("double") + 1.0) * dPhi))
+    def vx(r: Column, i: Column): Column = vrad(r) * cos(im(i).cast("double") * dTheta)
+    def vz(r: Column, i: Column): Column = vrad(r) * sin(im(i).cast("double") * dTheta)
+    def vid(r: Column, i: Column): Column =
+      when(r === -1, 0L).when(r === -2, centerId)
+        .otherwise(lit(1L) + r.cast("long") * nTheta + im(i).cast("long"))
+
+    // cell lattice as corner (ring, azimuth) indices
+    val pole = spark.range(nTheta.toLong).select(
+      col("id").as("cell_id"), lit(false).as("sym"),
+      lit(-1).as("r0"), lit(0).as("i0"),
+      lit(0).as("r1"), col("id").cast("int").as("i1"),
+      lit(0).as("r2"), (col("id") + 1).cast("int").as("i2"))
+    val nStrip = 2L * (nPhi - 2) * nTheta
+    val strips = spark.range(nStrip).select(
+      (col("id") + nTheta).as("cell_id"), lit(false).as("sym"),
+      (col("id") / (2 * nTheta)).cast("int").as("r"),
+      ((col("id") % (2 * nTheta)) / 2).cast("int").as("i"),
+      (col("id") % 2 === 1).as("b"))
+      .select(col("cell_id"), col("sym"),
+        when(col("b"), col("r")).otherwise(col("r")).as("r0"),
+        when(col("b"), col("i") + 1).otherwise(col("i")).as("i0"),
+        (col("r") + 1).as("r1"), col("i").as("i1"),
+        when(col("b"), col("r") + 1).otherwise(col("r")).as("r2"),
+        (col("i") + 1).as("i2"))
+    val disk = spark.range(nTheta.toLong).select(
+      (col("id") + nTheta + nStrip).as("cell_id"), lit(true).as("sym"),
+      lit(-2).as("r0"), lit(0).as("i0"),
+      lit(nPhi - 2).as("r1"), col("id").cast("int").as("i1"),
+      lit(nPhi - 2).as("r2"), (col("id") + 1).cast("int").as("i2"))
+
+    val corners = pole.unionByName(strips).unionByName(disk)
+      .select(col("cell_id"), col("sym"),
+        vid(col("r0"), col("i0")).as("v0"),
+        vid(col("r1"), col("i1")).as("v1"),
+        vid(col("r2"), col("i2")).as("v2"),
+        vx(col("r0"), col("i0")).as("x0"), vy(col("r0")).as("y0"), vz(col("r0"), col("i0")).as("z0"),
+        vx(col("r1"), col("i1")).as("x1"), vy(col("r1")).as("y1"), vz(col("r1"), col("i1")).as("z1"),
+        vx(col("r2"), col("i2")).as("x2"), vy(col("r2")).as("y2"), vz(col("r2"), col("i2")).as("z2"))
+
+    // centroid, natural normal, then the reference's winding enforcement:
+    // hemisphere normals must point toward the origin (centroid·n < 0),
+    // the symmetry disk's toward the domain (+y); swap v1/v2 otherwise
+    val withC = corners
+      .withColumn("cx", (col("x0") + col("x1") + col("x2")) / 3)
+      .withColumn("cy", (col("y0") + col("y1") + col("y2")) / 3)
+      .withColumn("cz", (col("z0") + col("z1") + col("z2")) / 3)
+      .withColumn("nx", (col("y1") - col("y0")) * (col("z2") - col("z0")) -
+        (col("z1") - col("z0")) * (col("y2") - col("y0")))
+      .withColumn("ny", (col("z1") - col("z0")) * (col("x2") - col("x0")) -
+        (col("x1") - col("x0")) * (col("z2") - col("z0")))
+      .withColumn("nz", (col("x1") - col("x0")) * (col("y2") - col("y0")) -
+        (col("y1") - col("y0")) * (col("x2") - col("x0")))
+      .withColumn("flip",
+        when(col("sym"), col("ny") < 0)
+          .otherwise(col("cx") * col("nx") + col("cy") * col("ny") + col("cz") * col("nz") > 0))
+    withC.select(
+      when(col("sym"), "symmetry")
+        .when(col("cx") * dx + col("cy") * dy + col("cz") * dz <= 0, "inlet")
+        .otherwise("outlet").as("boundary"),
+      col("cell_id"),
+      col("v0"),
+      when(col("flip"), col("v2")).otherwise(col("v1")).as("v1"),
+      when(col("flip"), col("v1")).otherwise(col("v2")).as("v2"),
+      col("cx"), col("cy"), col("cz"))
   }
 
   /** Inject generated boundaries into a domain's boundary table (union keyed

@@ -66,6 +66,51 @@ class FieldBoundarySpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 2.0)
   }
 
+  test("hemisphere: lattice counts, seam, inward winding, freestream split") {
+    val h = Boundaries.hemisphere(spark, radius = 2.0, nTheta = 12, nPhi = 5,
+      ux = 1.0, uy = 0.25, uz = 0.5)
+    val rows = h.collect()
+    // nTheta pole fan + 2·(nPhi-2)·nTheta strip + nTheta disk cells
+    assert(rows.length == 12 + 2 * 3 * 12 + 12)
+    assert(rows.map(_.getString(0)).toSet == Set("inlet", "outlet", "symmetry"))
+    assert(rows.count(_.getString(0) == "symmetry") == 12)
+    // reference split for these params (checked against the formula): 34 inlet
+    assert(rows.count(_.getString(0) == "inlet") == 34)
+    // disk cells reuse the equator ring ids (1 + 3·12 + i) and the center 49
+    val diskVs = rows.filter(_.getString(0) == "symmetry")
+      .flatMap(r => Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(diskVs.contains(49L) && diskVs.intersect((37L to 48L).toSet).size == 12)
+    // winding is inward: recompute the normal from the lattice for a pole
+    // cell and check centroid·normal < 0
+    val dTheta = 2 * math.Pi / 12
+    val dPhi = math.Pi / 8
+    def pt(r: Int, i: Int): (Double, Double, Double) =
+      if (r == -1) (0.0, 2.0, 0.0)
+      else {
+        val y = if (r == 3) 0.0 else 2.0 * math.cos((r + 1) * dPhi)
+        val rad = 2.0 * math.sin((r + 1) * dPhi)
+        (rad * math.cos((i % 12) * dTheta), y, rad * math.sin((i % 12) * dTheta))
+      }
+    val c0 = rows.find(_.getLong(1) == 0L).get
+    def coords(v: Long): (Double, Double, Double) =
+      if (v == 0L) pt(-1, 0) else pt(((v - 1) / 12).toInt, ((v - 1) % 12).toInt)
+    val (p0, p1, p2) = (coords(c0.getLong(2)), coords(c0.getLong(3)), coords(c0.getLong(4)))
+    val n = (
+      (p1._2 - p0._2) * (p2._3 - p0._3) - (p1._3 - p0._3) * (p2._2 - p0._2),
+      (p1._3 - p0._3) * (p2._1 - p0._1) - (p1._1 - p0._1) * (p2._3 - p0._3),
+      (p1._1 - p0._1) * (p2._2 - p0._2) - (p1._2 - p0._2) * (p2._1 - p0._1))
+    val cx = (p0._1 + p1._1 + p2._1) / 3
+    val cy = (p0._2 + p1._2 + p2._2) / 3
+    val cz = (p0._3 + p1._3 + p2._3) / 3
+    assert(cx * n._1 + cy * n._2 + cz * n._3 < 0)
+    // radius inference: max(|x|, y, |z|) over the interior
+    val s = spark
+    import s.implicits._
+    val interior = Seq((-1.5, 0.2, 0.1), (0.3, 0.9, -1.1), (0.0, 0.4, 0.2))
+      .toDF("x", "y", "z")
+    assert(Boundaries.radiusFromInterior(interior) == 1.5)
+  }
+
   test("inject: keep-existing by default, overwrite replaces") {
     val s = spark
     import s.implicits._

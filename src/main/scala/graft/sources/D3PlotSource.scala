@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   *    history vars / resultants / strain tails skipped by stride;
   *  - EOF marker −999999.0 where the next state's TIME would be.
   *
-  * Anything outside the subset (SPH particle blocks, IOSHL stress/epsp
+  * SPH particle blocks (NMSPH > 0) are skipped at their documented
+  * strides — element-data-flags block, node & material list, per-state
+  * particle data — so the non-SPH universe of such files still decodes.
+  * Anything outside the subset (SPH ghost particles, IOSHL stress/epsp
   * flags off with shells present, unrecognized NV2D residuals) throws with
   * a descriptive message rather than mis-decoding.
   */
@@ -95,12 +98,14 @@ object D3PlotSource {
   private final case class StateLayout(
       ws: Int, numnp: Int, nglbv: Int, iu: Int, iv: Int, ia: Int,
       nel8: Int, nv3d: Int, nelt: Int, nv3dt: Int, nel2: Int, nv1d: Int,
-      nel4: Int, nv2d: Int, maxint: Int, nvLayer: Int) {
+      nel4: Int, nv2d: Int, maxint: Int, nvLayer: Int, sphWords: Int = 0) {
+    // SPH particle states follow the element data in each state block
+    // (manual state-data order), so the skip is covered by the stride
     def stateWords: Int = 1 + nglbv +
       (if (iu == 1) numnp * 3 else 0) +
       (if (iv == 1) numnp * 3 else 0) +
       (if (ia == 1) numnp * 3 else 0) +
-      nel8 * nv3d + nelt * nv3dt + nel2 * nv1d + nel4 * nv2d
+      nel8 * nv3d + nelt * nv3dt + nel2 * nv1d + nel4 * nv2d + sphWords
   }
 
   /** States from `bytes` starting at word `from` (a root file's post-
@@ -182,13 +187,14 @@ object D3PlotSource {
     val neips = iw(35)
     val maxint = iw(36)
     // SPH particles are a separate element universe the reference's crash
-    // pipelines never consume (`d3plot.py` scope) — still rejected; NARBS
-    // and thick shells are now handled by skipping their blocks at the
-    // documented strides
+    // pipelines never consume (`d3plot.py` scope): their blocks are
+    // SKIPPED at the documented strides (element-data-flags block, node &
+    // material list, per-state particle data) so a file that carries them
+    // still parses the non-SPH universe. NGPSPH (ghost particles) has no
+    // documented stride in our subset and stays rejected.
     val nmsph = iw(37); val ngpsph = iw(38); val narbs = iw(39); val nelt = iw(40)
     val nv3dt = if (nelt > 0) iw(42) else 0
-    require(nmsph == 0 && ngpsph == 0,
-      s"SPH blocks (NMSPH=$nmsph, NGPSPH=$ngpsph) not supported")
+    require(ngpsph == 0, s"SPH ghost-particle blocks (NGPSPH=$ngpsph) not supported")
     // IOSHL flags encode on/off as 1000/999; legacy minimal writers leave
     // them 0 — default stress/epsp ON and resultants OFF then (the
     // NV2D consistency check below still rejects a wrong guess)
@@ -222,6 +228,18 @@ object D3PlotSource {
     }
 
     var w = 64
+    // SPH element data flags: first word is the block's own length (11 in
+    // the manual layout); the remaining entries are per-field word counts
+    // (stress 6, strain 6, scalars 1). Per-particle state size is their
+    // sum plus the always-written material word.
+    val numSphVars =
+      if (nmsph > 0) {
+        val L = iw(w)
+        require(L >= 1 && L <= 32, s"implausible SPH flag block length $L")
+        val n = 1 + (1 until L).map(k => iw(w + k)).sum
+        w += L
+        n
+      } else 0
     // geometry: nodes
     val coords = Array.tabulate(numnp)(n =>
       Array(fw(w + n * 3), fw(w + n * 3 + 1), fw(w + n * 3 + 2)))
@@ -242,10 +260,14 @@ object D3PlotSource {
     // arbitrary user numbering: NARBS words of external ids — connectivity
     // stays internally numbered, so the whole block is a stride skip
     w += narbs
+    // SPH node and material list (follows the user-id section): 2 words
+    // per particle, skipped
+    w += nmsph * 2
 
     // state data (shared with family continuation files)
     val lay = StateLayout(ws, numnp, nglbv, iu, iv, ia,
-      nel8, nv3d, nelt, nv3dt, nel2, nv1d, nel4, nv2d, maxint, nvLayer)
+      nel8, nv3d, nelt, nv3dt, nel2, nv1d, nel4, nv2d, maxint, nvLayer,
+      sphWords = nmsph * numSphVars)
     (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay)), lay)
   }
 

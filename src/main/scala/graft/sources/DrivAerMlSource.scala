@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first: the listing scan reads PATHS only (binaryFile with the
   * content column pruned away — file bytes never shuffle); paths group by
-  * run id, and each run's task streams its parts from storage in order,
-  * concatenates in memory (exactly the reference's in-memory concat unit),
-  * and parses via `VtkXmlSource.parseVtu`. One run = one task — the same
-  * parallel grain as the reference's per-index worker, but scheduled by
-  * Spark across executors.
+  * run id, and each run's task streams its parts from storage in order
+  * into an executor-local temp file (chunked copy, no whole-file buffer —
+  * unlike the reference's in-memory concat, which is exactly what makes
+  * its ~50 GB VTUs painful), then parses via the file-backed
+  * `VtkXmlSource.parseVtuFile`. One run = one task — the same parallel
+  * grain as the reference's per-index worker, but scheduled by Spark
+  * across executors.
   *
   * Completeness check: part indices must be contiguous from 00; a gap
   * (lost shard) fails the run's task loudly instead of assembling a
@@ -70,36 +72,43 @@ object DrivAerMlSource {
       spark.sparkContext.hadoopConfiguration)
     val (inc, exc) = (include, exclude)
 
-    def readBytes(path: String): Array[Byte] = {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      val fs = hp.getFileSystem(hadoopConf.value)
-      val len = fs.getFileStatus(hp).getLen
-      require(len <= Int.MaxValue, s"part too large for in-memory assembly: $path")
-      val out = new Array[Byte](len.toInt)
-      val in = fs.open(hp)
-      try in.readFully(0, out) finally in.close()
-      out
+    // Streamed assembly: parts are CONCATENATED to an executor-local temp
+    // file in 8 MiB chunks — nothing whole-file ever sits in memory, so the
+    // assembled size is unbounded (the reference's ~50 GB VTU pain point,
+    // `drivaerml.py:17-30`). The file-backed parser then reads each
+    // DataArray payload at its Long offset; only a single array must fit
+    // in memory.
+    def streamToTemp(paths: Seq[String]): java.io.File = {
+      val tmp = java.io.File.createTempFile("graft_vtu_asm", ".vtu")
+      val out = new java.io.FileOutputStream(tmp)
+      try paths.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(hadoopConf.value)
+        val in = fs.open(hp)
+        try {
+          val buf = new Array[Byte](8 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally out.close()
+      tmp
     }
 
     val pieces = classified.groupByKey(_._1).mapGroups { (runId, it) =>
       val items = it.toSeq
       val direct = items.find(_._2 == -1)
-      val bytes = direct match {
-        case Some((_, _, p)) => readBytes(p) // direct VTU wins (drivaerml.py:649)
+      val tmp = direct match {
+        case Some((_, _, p)) => streamToTemp(Seq(p)) // direct VTU wins (drivaerml.py:649)
         case None =>
           val parts = items.sortBy(_._2)
           val idxs = parts.map(_._2)
           require(idxs == (0 until parts.length),
             s"run_$runId volume parts not contiguous from 00: found ${idxs.mkString(",")}")
-          val bufs = parts.map(p => readBytes(p._3))
-          val total = bufs.map(_.length.toLong).sum
-          require(total <= Int.MaxValue, s"run_$runId assembled volume too large")
-          val all = new Array[Byte](total.toInt)
-          var off = 0
-          bufs.foreach { b => System.arraycopy(b, 0, all, off, b.length); off += b.length }
-          all
+          streamToTemp(parts.map(_._3))
       }
-      val piece = VtkXmlSource.parseVtu(bytes, inc, exc)
+      val piece =
+        try VtkXmlSource.parseVtuFile(tmp, inc, exc)
+        finally { tmp.delete(); () }
       (s"run_$runId", piece.points.map(a => (a(0), a(1), a(2))), piece.cells,
         piece.pointData.toSeq.map { case (k, v) => (k, v) })
     }.persist() // three tables project from one parse; the caller releases

@@ -97,19 +97,51 @@ object VtkXmlSource {
     out.toByteArray
   }
 
+  /** Random-access view of an AppendedData block: array-backed when the
+    * whole file is in memory, file-backed (RandomAccessFile) for spilled
+    * multi-gigabyte assemblies where file OFFSETS are unbounded and only
+    * each individual DataArray payload must fit in one array.
+    */
+  private[sources] trait RawData {
+    def size: Long
+    def slice(off: Long, len: Long): Array[Byte]
+  }
+
+  private[sources] final class ArrayRawData(a: Array[Byte]) extends RawData {
+    def size: Long = a.length.toLong
+    def slice(off: Long, len: Long): Array[Byte] = {
+      require(off >= 0 && len >= 0 && off + len <= a.length,
+        s"appended slice [$off,+$len) outside ${a.length} bytes")
+      java.util.Arrays.copyOfRange(a, off.toInt, (off + len).toInt)
+    }
+  }
+
+  private[sources] final class FileRawData(path: java.io.File, start: Long,
+                                           val size: Long) extends RawData {
+    def slice(off: Long, len: Long): Array[Byte] = {
+      require(off >= 0 && len >= 0 && off + len <= size,
+        s"appended slice [$off,+$len) outside $size bytes")
+      require(len <= Int.MaxValue - 8,
+        s"DataArray payload of $len bytes exceeds the 2 GiB per-array limit")
+      val out = new Array[Byte](len.toInt)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try { raf.seek(start + off); raf.readFully(out) } finally raf.close()
+      out
+    }
+  }
+
   /** Raw (appended `encoding="raw"`) payload at byte offset `off`. */
-  private def decodeRawPayload(app: Array[Byte], off: Int, ht: String,
+  private def decodeRawPayload(app: RawData, off: Long, ht: String,
                                compressed: Boolean): Array[Byte] = {
     val ws = wordSize(ht)
     if (!compressed) {
-      val n = readWord(app, off, ht).toInt
-      java.util.Arrays.copyOfRange(app, off + ws, off + ws + n)
+      val n = readWord(app.slice(off, ws.toLong), 0, ht)
+      app.slice(off + ws, n)
     } else {
-      val nb = readWord(app, off, ht).toInt
-      val header = java.util.Arrays.copyOfRange(app, off, off + (3 + nb) * ws)
-      val dataStart = off + (3 + nb) * ws
-      inflateBlocks(header, ht,
-        (o, len) => java.util.Arrays.copyOfRange(app, dataStart + o, dataStart + o + len))
+      val nb = readWord(app.slice(off, ws.toLong), 0, ht).toInt
+      val header = app.slice(off, (3 + nb).toLong * ws)
+      val dataStart = off + (3 + nb).toLong * ws
+      inflateBlocks(header, ht, (o, len) => app.slice(dataStart + o, len.toLong))
     }
   }
 
@@ -222,9 +254,74 @@ object VtkXmlSource {
   def parseVtu(bytes: Array[Byte], include: Set[String] = Set.empty,
                exclude: Set[String] = Set.empty): VtuPiece = {
     val (xmlBytes, appended) = splitAppended(bytes)
+    parseVtuCore(xmlBytes,
+      appended.map { case (enc, data) => (enc, new ArrayRawData(data): RawData) },
+      include, exclude)
+  }
+
+  /** File-backed variant for assemblies too large to hold in one array
+    * (the reference's ~50 GB DrivAerML volume VTUs, `drivaerml.py:17-30`):
+    * the XML head is read into memory (bounded window), the AppendedData
+    * block stays on disk behind `FileRawData`, and each DataArray payload
+    * is read at its (unbounded, Long) offset. Only `encoding="raw"` data
+    * can stay on disk — a base64 block beyond 2 GiB fails loudly.
+    */
+  def parseVtuFile(file: java.io.File, include: Set[String] = Set.empty,
+                   exclude: Set[String] = Set.empty): VtuPiece = {
+    val fileLen = file.length()
+    val headWindow = math.min(fileLen, 16L << 20).toInt
+    val head = new Array[Byte](headWindow)
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try raf.readFully(head) finally raf.close()
+    val openIdx = indexOfBytes(head, "<AppendedData".getBytes("US-ASCII"), 0)
+    if (openIdx < 0) {
+      // no appended section: the whole file is XML — parse in memory
+      require(fileLen <= Int.MaxValue - 8,
+        s"VTU XML of $fileLen bytes with no AppendedData exceeds 2 GiB")
+      if (fileLen <= headWindow) return parseVtu(head, include, exclude)
+      val all = new Array[Byte](fileLen.toInt)
+      val r2 = new java.io.RandomAccessFile(file, "r")
+      try r2.readFully(all) finally r2.close()
+      return parseVtu(all, include, exclude)
+    }
+    val tagHead = new String(head, openIdx,
+      math.min(512, headWindow - openIdx), "US-ASCII")
+    val enc = "encoding\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(tagHead)
+      .map(_.group(1)).getOrElse("base64")
+    val tagEnd = indexOfBytes(head, ">".getBytes("US-ASCII"), openIdx)
+    val underscore = indexOfBytes(head, "_".getBytes("US-ASCII"), tagEnd)
+    require(tagEnd >= 0 && underscore >= 0,
+      "AppendedData section has no '_' data marker in the head window")
+    // the closing tag sits at the end of the file; raw binary may contain
+    // the pattern by chance, so take the LAST match in the tail window
+    val tailWindow = math.min(fileLen - underscore - 1, 4096L).toInt
+    val tail = new Array[Byte](tailWindow)
+    val r3 = new java.io.RandomAccessFile(file, "r")
+    try { r3.seek(fileLen - tailWindow); r3.readFully(tail) } finally r3.close()
+    val closeAbs = {
+      val needle = "</AppendedData".getBytes("US-ASCII")
+      var last = -1
+      var at = indexOfBytes(tail, needle, 0)
+      while (at >= 0) { last = at; at = indexOfBytes(tail, needle, at + 1) }
+      if (last < 0) fileLen else fileLen - tailWindow + last
+    }
+    val xmlHead = (new String(head, 0, openIdx, "UTF-8") + "</VTKFile>")
+      .getBytes("UTF-8")
+    val data = new FileRawData(file, underscore + 1L, closeAbs - underscore - 1L)
+    parseVtuCore(xmlHead, Some((enc, data)), include, exclude)
+  }
+
+  private def parseVtuCore(xmlBytes: Array[Byte],
+                           appended: Option[(String, RawData)],
+                           include: Set[String],
+                           exclude: Set[String]): VtuPiece = {
     // base64-appended offsets address CHARS of the whitespace-stripped block
-    lazy val appendedB64: String =
-      new String(appended.get._2, "US-ASCII").replaceAll("\\s", "")
+    lazy val appendedB64: String = {
+      val rd = appended.get._2
+      require(rd.size <= Int.MaxValue - 8,
+        s"base64 AppendedData of ${rd.size} bytes exceeds 2 GiB (use raw encoding)")
+      new String(rd.slice(0L, rd.size), "US-ASCII").replaceAll("\\s", "")
+    }
 
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -260,8 +357,12 @@ object VtkXmlSource {
         val (enc, data) = appended.getOrElse(throw new IllegalArgumentException(
           s"DataArray '$arrayName' is format=appended but the file has no AppendedData"))
         val payload =
-          if (enc == "raw") decodeRawPayload(data, arrayOffset.toInt, headerType, compressed)
-          else decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+          if (enc == "raw") decodeRawPayload(data, arrayOffset, headerType, compressed)
+          else {
+            require(arrayOffset <= Int.MaxValue - 8,
+              s"base64 appended offset $arrayOffset beyond 2 GiB (use raw encoding)")
+            decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+          }
         typedDoubles(payload, arrayType)
       case other => throw new IllegalArgumentException(s"unsupported DataArray format $other")
     }
@@ -517,7 +618,8 @@ object VtkXmlSource {
         val (enc, data) = appended.getOrElse(throw new IllegalArgumentException(
           s"DataArray '$arrayName' is format=appended but the file has no AppendedData"))
         val payload =
-          if (enc == "raw") decodeRawPayload(data, arrayOffset.toInt, headerType, compressed)
+          if (enc == "raw")
+            decodeRawPayload(new ArrayRawData(data), arrayOffset, headerType, compressed)
           else decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
         typedDoubles(payload, arrayType)
       case other => throw new IllegalArgumentException(s"unsupported DataArray format $other")

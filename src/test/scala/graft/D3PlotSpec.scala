@@ -157,6 +157,52 @@ class D3PlotSpec extends SparkSpec {
       narbs = 9, "rich wide"), "rich wide")
   }
 
+  test("NMSPH > 0: SPH blocks skip at documented strides, non-SPH decodes") {
+    val numnp = 4; val nel4 = 1; val maxint = 2; val nglbv = 1
+    val nv2d = maxint * 7
+    val nmsph = 3
+    // flags block: length 11, then radius/pressure/stress6/epsp/density/
+    // energy/nneigh/strain6/mass word counts → 19 + material word = 20
+    val isphfg = Array(11, 1, 1, 6, 1, 1, 1, 1, 6, 1)
+    val numSphVars = 1 + isphfg.drop(1).sum + 1 // + mass entry below
+    val stateWords = 1 + nglbv + numnp * 3 + nel4 * nv2d + nmsph * numSphVars
+    val total = 64 + 11 + numnp * 3 + nel4 * 5 + nmsph * 2 + stateWords + 1
+    val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("sph run".padTo(40, ' ').getBytes("US-ASCII"))
+    (10 until 64).foreach {
+      case 15 => bb.putInt(4)
+      case 16 => bb.putInt(numnp)
+      case 18 => bb.putInt(nglbv)
+      case 20 => bb.putInt(1)        // IU
+      case 31 => bb.putInt(nel4)
+      case 32 => bb.putInt(1)
+      case 33 => bb.putInt(nv2d)
+      case 36 => bb.putInt(maxint)
+      case 37 => bb.putInt(nmsph)    // NMSPH
+      case _ => bb.putInt(0)
+    }
+    isphfg.foreach(bb.putInt); bb.putInt(1)            // flags block (11 words)
+    coords.foreach(_.foreach(bb.putFloat))
+    Seq(1, 2, 3, 4).foreach(bb.putInt); bb.putInt(7)
+    (0 until nmsph).foreach { i => bb.putInt(i + 1); bb.putInt(9) } // node+mat list
+    bb.putFloat(2.5f)                                  // state: time
+    bb.putFloat(99f)                                   // global (skipped)
+    state1Coords.foreach(_.foreach(bb.putFloat))
+    (0 until maxint).foreach { l =>
+      t1Stress(l).foreach(bb.putFloat); bb.putFloat(t1Epsp(l))
+    }
+    (0 until nmsph * numSphVars).foreach(_ => bb.putFloat(-5f)) // SPH state data
+    bb.putFloat(-999999.0f)
+    val f = D3PlotSource.parse(bb.array())
+    assert(f.title == "sph run")
+    assert(f.coords.map(_.toSeq).toSeq == coords.map(_.toSeq).toSeq)
+    assert(f.shells.length == 1 && f.shells(0)._2 == 7L)
+    assert(f.states.length == 1)
+    assert(f.states(0).time == 2.5f)
+    assert(f.states(0).nodeVec(2).toSeq == Seq(1.5f, 1.0f, -0.25f))
+    assert(f.states(0).shellStress(0).map(_.toSeq).toSeq == t1Stress.map(_.toSeq).toSeq)
+  }
+
   test("unsupported layouts fail loudly, not silently") {
     val good = fixtureBytes("x")
     // corrupt NV2D (word 33) to an unsupported layout

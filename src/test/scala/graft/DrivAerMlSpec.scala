@@ -93,6 +93,31 @@ class DrivAerMlSpec extends SparkSpec {
     assert(msgs.contains("not contiguous"))
   }
 
+  test("parseVtuFile: file-backed raw-appended parse equals in-memory parse") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 0L, 0.5, 0.0, 0.0), (0L, 1L, 1.0, 0.25, 0.0),
+      (0L, 2L, 0.0, 1.0, 0.75), (0L, 3L, 1.0, 1.0, 0.125))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((0L, 0L, Seq(0L, 1L, 2L)), (0L, 1L, Seq(1L, 3L, 2L)))
+      .toDF("mesh_id", "cell_id", "vertices")
+    val pd = pts.select(col("mesh_id"), col("point_id"),
+      lit("u").as("field"), (col("x") * 2 + col("z")).as("value"))
+    for (fmt <- Seq("appended", "appended-zlib", "ascii")) {
+      val dir = Files.createTempDirectory(s"pvf-$fmt").toString
+      graft.sinks.VtuSink.write(pts, cls, pd, dir, format = fmt)
+      val f = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".vtu")).head
+      val inMem = graft.sources.VtkXmlSource.parseVtu(
+        Files.readAllBytes(f.toPath))
+      val onDisk = graft.sources.VtkXmlSource.parseVtuFile(f)
+      assert(onDisk.points.map(_.toSeq).toSeq == inMem.points.map(_.toSeq).toSeq,
+        s"format $fmt points")
+      assert(onDisk.cells.map(_.toSeq).toSeq == inMem.cells.map(_.toSeq).toSeq)
+      assert(onDisk.pointData.view.mapValues(_.toSeq).toMap ==
+        inMem.pointData.view.mapValues(_.toSeq).toMap, s"format $fmt pointData")
+    }
+  }
+
   test("shardToRunLayout -> readVolume round trip via VtuSink files") {
     val s = spark
     import s.implicits._

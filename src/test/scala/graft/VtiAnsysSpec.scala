@@ -96,4 +96,51 @@ class VtiAnsysSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(g == Map("m1" -> (2L, 1L), "m2" -> (1L, 0L)))
   }
+
+  test("RST codec: thermal and structural fixtures render -> decode") {
+    import graft.sources.AnsysRst
+    // thermal: 3 nodes, 2 elements, two result sets
+    val th = AnsysRst.render(AnsysRst.AnalysisThermal, 3, 2, Seq(
+      AnsysRst.RstSet(1, 1, Array(Array(300.0), Array(310.0), Array(305.5)),
+        Array(Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))),
+      AnsysRst.RstSet(2, 1, Array(Array(320.0), Array(330.0), Array(315.0)),
+        Array.empty)))
+    val f = AnsysRst.decode(th)
+    assert(f.analysis == AnsysRst.AnalysisThermal && f.nnod == 3 && f.nelm == 2)
+    val t1 = f.rows.filter(r => r.ldstep == 1 && r.result == "temperature")
+    assert(t1.map(_.value) == Seq(300.0, 310.0, 305.5))
+    assert(t1.forall(_.component == null))
+    val hf = f.rows.filter(r => r.ldstep == 1 && r.result == "heat_flux")
+    assert(hf.length == 6 && hf.find(r => r.idx == 1 && r.component == "2").get.value == 6.0)
+    assert(f.rows.count(_.ldstep == 2) == 3) // second set: NSL only
+    // structural names + vector components
+    val st = AnsysRst.render(AnsysRst.AnalysisStructural, 2, 1, Seq(
+      AnsysRst.RstSet(1, 1, Array(Array(0.1, 0.2, 0.3), Array(0.4, 0.5, 0.6)),
+        Array(Array(9.0, 8.0, 7.0, 6.0, 5.0, 4.0)))))
+    val g2 = AnsysRst.decode(st)
+    assert(g2.rows.filter(_.result == "displacement").map(_.component).toSet ==
+      Set("0", "1", "2"))
+    assert(g2.rows.count(_.result == "stress") == 6)
+    // corrupted framing fails loudly, not with garbage rows
+    val bad = th.clone(); bad(4) = (bad(4) + 1).toByte
+    val e = intercept[IllegalArgumentException](AnsysRst.decode(bad))
+    assert(e.getMessage.contains("framing") || e.getMessage.contains("file id"))
+  }
+
+  test("RST source: distributed read over a fixture directory") {
+    import graft.sources.AnsysRst
+    val dir = java.nio.file.Files.createTempDirectory("rst").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.rst"),
+      AnsysRst.render(AnsysRst.AnalysisThermal, 2, 0, Seq(
+        AnsysRst.RstSet(1, 1, Array(Array(1.5), Array(2.5)), Array.empty))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.rst"),
+      AnsysRst.render(AnsysRst.AnalysisStructural, 1, 0, Seq(
+        AnsysRst.RstSet(1, 1, Array(Array(7.0, 8.0, 9.0)), Array.empty))))
+    val df = graft.sources.AnsysRstSource.read(spark, dir)
+    assert(df.count() == 5)
+    val a = df.filter(col("mesh_id") === "a" && col("result") === "temperature")
+    assert(a.orderBy("idx").collect().map(_.getDouble(6)).toSeq == Seq(1.5, 2.5))
+    val b = df.filter(col("mesh_id") === "b")
+    assert(b.collect().map(_.getString(5)).toSet == Set("0", "1", "2"))
+  }
 }

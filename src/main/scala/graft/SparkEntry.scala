@@ -114,6 +114,9 @@ object SparkEntry {
     "q_quality_gate" -> (qQualityGate _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_random_mesh" -> (qRandomMesh _),
+    "q_partition_indices" -> (qPartitionIndices _),
+    "q_random_dataarray" -> (qRandomDataarray _),
+    "q_random_atoms" -> (qRandomAtoms _),
     "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
@@ -130,6 +133,7 @@ object SparkEntry {
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
     "q_grid_sidecar" -> (qGridSidecar _),
     "q_ansys_routing" -> (qAnsysRouting _),
+    "q_ansys_decode" -> (qAnsysDecode _),
     "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
     "q_streaming_stats" -> (qStreamingStats _),
   )
@@ -587,6 +591,65 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** §2.5 partition_indices co-location contract (`run/base.py:316-423`):
+    * each curator index must land in EXACTLY ONE scan partition and each
+    * partition must host exactly one index — that per-index isolation is
+    * what makes skip/retry/intersect work. Surfaced as a query over the
+    * DSv2 source with `spark_partition_id()`: n_partitions per mesh and
+    * the worst-case meshes-per-partition, both pinned to 1.
+    */
+  private def qPartitionIndices(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.format("graft.sources.RandomMeshSource")
+      .option("n_meshes", 6).option("points_per_mesh", 400).option("seed", 11)
+      .load()
+      .select(col("mesh_id"), spark_partition_id().as("pid"))
+    val perMesh = base.groupBy("mesh_id")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("pid")).as("n_partitions"))
+    val worst = base.groupBy("pid")
+      .agg(countDistinct(col("mesh_id")).as("m"))
+      .agg(max(col("m")).as("max_meshes_per_partition"))
+    perMesh.crossJoin(worst).orderBy("mesh_id")
+  }
+
+  /** RandomDataArraySource (`da/sources/random.py:39`): the grid contract —
+    * per (sample, variable): cell count, the 1 h/index time coordinate, and
+    * the exact linspace lat/lon coordinate sums (lat 90 → -90 inclusive,
+    * lon [0, 360) half-open). The seeded value stream is pinned in
+    * RandomMeshSourceSpec.
+    */
+  private def qRandomDataarray(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RandomSynthetic.dataArrays(s, nSamples = 3, nLat = 19,
+      nLon = 36, variables = Seq("u10m", "v10m", "t2m"), seed = 5L)
+      .groupBy(col("sample_idx"), col("variable"))
+      .agg(count(lit(1)).as("n_cells"),
+        date_format(max(col("time")), "yyyy-MM-dd HH:mm:ss").as("time"),
+        rnd(sum("lat"), 4).as("sum_lat"), rnd(sum("lon"), 4).as("sum_lon"))
+      .orderBy("sample_idx", "variable")
+
+  /** RandomAtomicSource (`atm/sources/random.py:39`): the structural
+    * contract — atom counts, atomic numbers inside the common-element set,
+    * positions inside the 10 Å box, energies in the DFT range, the cubic
+    * cell — as per-sample gates. The seeded streams are pinned in
+    * RandomMeshSourceSpec.
+    */
+  private def qRandomAtoms(s: SparkSession, dir: String): DataFrame = {
+    val (atoms, systems) = graft.sources.RandomSynthetic.atoms(
+      s, nSamples = 4, nAtoms = 50, seed = 3L)
+    val zs = graft.sources.RandomSynthetic.Elements.map(lit(_))
+    atoms.groupBy(col("sample_idx"))
+      .agg(count(lit(1)).as("n_atoms"),
+        sum(col("atom_id")).as("sum_atom_id"),
+        min(col("atomic_number").isin(zs.toIndexedSeq: _*).cast("int")).as("z_in_set"),
+        (min(least(col("x"), col("y"), col("z"))) >= 0 &&
+          max(greatest(col("x"), col("y"), col("z"))) < 10.0).cast("int").as("pos_in_box"))
+      .join(systems.select(col("sample_idx"),
+        (col("energy") >= -500.0 && col("energy") < -100.0).cast("int").as("energy_in_range"),
+        (size(col("stresses")) === 6).cast("int").as("six_stresses"),
+        col("cell"), col("pbc").cast("int").as("pbc")), Seq("sample_idx"))
+      .orderBy("sample_idx")
+  }
+
   /** RandomMeshSource (custom DSv2, one partition per mesh index): the
     * structural contract — exactly `points_per_mesh` rows per mesh with
     * dense point ids — checked against a pure generator oracle; the
@@ -929,6 +992,42 @@ object SparkEntry {
         rnd(sum("cx"), 4).as("sum_cx"), rnd(sum("cy"), 4).as("sum_cy"),
         rnd(sum("cz"), 4).as("sum_cz"))
       .orderBy("boundary")
+
+  /** Ansys `.rst` decode end-to-end (`ansys_rst.py:187`, local subset of
+    * the DPF boundary): render a thermal and a structural results file with
+    * values derived from events, read them back through the distributed
+    * `AnsysRstSource`, route via the known-result registry, and aggregate
+    * per (file, location, field). The bounded collects (40/15/30/12 rows)
+    * only BUILD the binary fixtures; the decode+route path is distributed.
+    */
+  private def qAnsysDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.AnsysRst
+    def sums(mod: Int): Array[Double] = {
+      val m = Tables.events(s, dir)
+        .groupBy((col("event_id") % mod).as("k")).agg(sum("value").as("v"))
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
+      Array.tabulate(mod)(i => m.getOrElse(i, 0.0))
+    }
+    val out = freshTmpDir("graft_rst_fx", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "thermal.rst"),
+      AnsysRst.render(AnsysRst.AnalysisThermal, 40, 15, Seq(
+        AnsysRst.RstSet(1, 1, sums(40).map(v => Array(v)),
+          sums(15).map(v => Array(v, v * 2, v * 3))))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "structural.rst"),
+      AnsysRst.render(AnsysRst.AnalysisStructural, 30, 12, Seq(
+        AnsysRst.RstSet(1, 1, sums(30).map(v => Array(v, v * 2, v * 3)),
+          sums(12).map(v => Array(v, v * 2, v * 3, v * 4, v * 5, v * 6))))))
+    val raw = graft.sources.AnsysRstSource.read(s, out)
+    val (pd, cd) = graft.sources.AnsysResults.route(
+      raw.select("mesh_id", "result", "idx", "component", "value"))
+    pd.select(col("mesh_id"), lit("nodal").as("loc"), col("field"), col("value"))
+      .unionByName(cd.select(col("mesh_id"), lit("elemental").as("loc"),
+        col("field"), col("value")))
+      .groupBy("mesh_id", "loc", "field")
+      .agg(count(lit(1)).as("n_values"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("mesh_id", "loc", "field")
+  }
 
   /** CleanFilter point merge (`clean.py:39`): embedding components as coords,
     * tol-quantized duplicate collapse to the min id.
@@ -1846,6 +1945,34 @@ object SparkEntry {
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // f64 payloads round-trip the .rst records bit-exactly, so the oracle
+    // rebuilds the fixture sums straight from events; component values are
+    // the per-key sums scaled by (component + 1), mirrored per element.
+    "q_ansys_decode" ->
+      """WITH t AS (SELECT event_id % 40 AS k, sum(value) AS v FROM events GROUP BY 1),
+        |hf AS (SELECT event_id % 15 AS k, sum(value) AS v FROM events GROUP BY 1),
+        |d AS (SELECT event_id % 30 AS k, sum(value) AS v FROM events GROUP BY 1),
+        |st AS (SELECT event_id % 12 AS k, sum(value) AS v FROM events GROUP BY 1),
+        |c3 AS (SELECT unnest(generate_series(0, 2)) AS c),
+        |c6 AS (SELECT unnest(generate_series(0, 5)) AS c),
+        |r AS (
+        |  SELECT 'thermal' AS mesh_id, 'nodal' AS loc, 'temperature' AS field,
+        |    CAST(40 AS BIGINT) AS n_values, (SELECT sum(v) FROM t) AS sv
+        |  UNION ALL
+        |  SELECT 'thermal', 'elemental', 'heat_flux_' || c, CAST(15 AS BIGINT),
+        |    sum(v * (c + 1))
+        |  FROM hf, c3 GROUP BY c
+        |  UNION ALL
+        |  SELECT 'structural', 'nodal', 'displacement_' || c, CAST(30 AS BIGINT),
+        |    sum(v * (c + 1))
+        |  FROM d, c3 GROUP BY c
+        |  UNION ALL
+        |  SELECT 'structural', 'elemental', 'stress_' || c, CAST(12 AS BIGINT),
+        |    sum(v * (c + 1))
+        |  FROM st, c6 GROUP BY c)
+        |SELECT mesh_id, loc, field, n_values, round(sv + 1e-6, 2) AS sum_value
+        |FROM r ORDER BY 1, 2, 3""".stripMargin,
+
     "q_ansys_routing" ->
       """WITH raw AS (SELECT
         |    ['temperature','displacement','heat_flux','stress','custom_result']
@@ -2167,6 +2294,35 @@ object SparkEntry {
 
     // Pure generator oracle: the DSv2 source's structural contract
     // (dense per-mesh point ids); the value stream is spec-pinned.
+    // Co-location gates: one partition per index, one index per partition.
+    "q_partition_indices" ->
+      """SELECT CAST(m.range AS BIGINT) AS mesh_id, CAST(400 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_partitions,
+        |  CAST(1 AS BIGINT) AS max_meshes_per_partition
+        |FROM range(0, 6) m ORDER BY mesh_id""".stripMargin,
+
+    // Grid contract: 19×36 cells per (sample, variable); time = 2020-01-01
+    // + 1 h/index; lat linspace 90→-90 sums to exactly 0 across the grid
+    // (symmetric, integral values), lon = lo·10 sums to 19·6300.
+    "q_random_dataarray" ->
+      """WITH g AS (SELECT s.range AS si, v.v
+        |  FROM range(0, 3) s, (SELECT unnest(['u10m','v10m','t2m']) AS v) v)
+        |SELECT CAST(si AS BIGINT) AS sample_idx, v AS variable,
+        |  CAST(684 AS BIGINT) AS n_cells,
+        |  strftime(TIMESTAMP '2020-01-01 00:00:00' + INTERVAL (si) HOUR,
+        |           '%Y-%m-%d %H:%M:%S') AS time,
+        |  round(0.0 + 1e-9, 4) AS sum_lat,
+        |  round(119700.0 + 1e-9, 4) AS sum_lon
+        |FROM g ORDER BY 1, 2""".stripMargin,
+
+    // Structural gates over the seeded atomic generator.
+    "q_random_atoms" ->
+      """SELECT CAST(s.range AS BIGINT) AS sample_idx,
+        |  CAST(50 AS BIGINT) AS n_atoms, CAST(1225 AS BIGINT) AS sum_atom_id,
+        |  1 AS z_in_set, 1 AS pos_in_box, 1 AS energy_in_range,
+        |  1 AS six_stresses, CAST(10.0 AS DOUBLE) AS cell, 0 AS pbc
+        |FROM range(0, 4) s ORDER BY sample_idx""".stripMargin,
+
     "q_random_mesh" ->
       """SELECT CAST(m.range AS BIGINT) AS mesh_id, CAST(500 AS BIGINT) AS n_points,
         |  CAST(0 AS BIGINT) AS min_pid, CAST(499 AS BIGINT) AS max_pid,

@@ -6,8 +6,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   * NETCDF4 output (`domains/da/sinks/netcdf_writer.py:75` writes via the
   * netCDF4 lib, whose on-disk container is HDF5; this is an independent
   * implementation of the PUBLIC "HDF5 File Format Specification" v0
-  * layout). Scope: one root group of IEEE-f64 little-endian datasets,
-  * each either CONTIGUOUS or CHUNKED with the deflate filter —
+  * layout). Scope: one root group of little-endian f64 / f32 / i32 / i64
+  * datasets, each either CONTIGUOUS or CHUNKED with the deflate filter —
   * chunked+deflate being what the netCDF4 lib emits by default — plus
   * the netCDF-4 dimension-scale annotations: `CLASS=DIMENSION_SCALE` /
   * `NAME` / `_Netcdf4Dimid` attributes on coordinate datasets and a
@@ -22,7 +22,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    datasets (entries name-ordered across nodes) → per-dataset object
   *    headers;
   *  - each dataset object header v1: Dataspace (v1, simple), Datatype
-  *    (class 1 float, f64 LE), Fill Value (v2, undefined), the
+  *    (class 1 float or class 0 fixed-point, LE), Fill Value (v2,
+  *    undefined), the
   *    dimension-scale / dimension-list Attribute messages (v1), then
   *    either a v3 class-1 contiguous Data Layout (address + size), or a
   *    Filter Pipeline (deflate, id 1) + v3 class-2 chunked Data Layout
@@ -31,7 +32,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    fill-padded;
   *  - one GCOL global-heap collection holding the DIMENSION_LIST object
   *    references (one 8-byte object-header address per referenced scale);
-  *  - contiguous f64 blobs / per-chunk deflate streams.
+  *  - contiguous typed blobs / per-chunk deflate streams.
   *
   * The parser walks the same structures generically (any B-tree level,
   * multiple SNODs, unknown header messages skipped by size), so it reads
@@ -56,9 +57,12 @@ object Hdf5Store {
 
   private def align8(n: Int): Int = (n + 7) & ~7
 
-  /** One dataset to render: row-major f64 `values` of shape `dims`;
-    * `chunkDims` switches to the chunked layout (with deflate when
-    * `deflate` is set — the netCDF4 default shape).
+  /** One dataset to render: row-major `values` of shape `dims`, stored as
+    * `dtype` (f64 default; f32 / i32 / i64 cover what real netCDF-4 files
+    * commonly carry — values pass through Double, so i64 beyond 2^53
+    * cannot round-trip and is rejected); `chunkDims` switches to the
+    * chunked layout (with deflate when `deflate` is set — the netCDF4
+    * default shape).
     *
     * NetCDF-4 dimension metadata: `scaleName` marks the dataset a
     * dimension scale (`CLASS=DIMENSION_SCALE` + `NAME` attributes, i.e. a
@@ -71,14 +75,31 @@ object Hdf5Store {
                              deflate: Boolean = false,
                              scaleName: Option[String] = None,
                              dimId: Int = -1,
-                             dimNames: Seq[String] = Nil)
+                             dimNames: Seq[String] = Nil,
+                             dtype: String = "f64")
 
   /** A parsed dataset with its netCDF-4 dimension metadata resolved
     * (`dimNames` maps DIMENSION_LIST references back to dataset names).
     */
   final case class H5Var(name: String, dims: Seq[Long], values: Array[Double],
                          isScale: Boolean, scaleName: String, dimId: Int,
-                         dimNames: Seq[String])
+                         dimNames: Seq[String], dtype: String = "f64")
+
+  private val ElemSize = Map("f64" -> 8, "f32" -> 4, "i32" -> 4, "i64" -> 8)
+
+  private def putTyped(b: ByteBuffer, dtype: String, v: Double): Unit = dtype match {
+    case "f64" => b.putDouble(v); ()
+    case "f32" => b.putFloat(v.toFloat); ()
+    case "i32" => b.putInt(v.toInt); ()
+    case "i64" => b.putLong(v.toLong); ()
+  }
+
+  private def getTyped(b: ByteBuffer, off: Int, dtype: String): Double = dtype match {
+    case "f64" => b.getDouble(off)
+    case "f32" => b.getFloat(off).toDouble
+    case "i32" => b.getInt(off).toDouble
+    case "i64" => b.getLong(off).toDouble
+  }
 
   private def bb(n: Int): ByteBuffer =
     ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
@@ -207,6 +228,14 @@ object Hdf5Store {
     val scaleNames = datasets.filter(_.scaleName.isDefined).map(_.name).toSet
     datasets.foreach { d =>
       require(d.name.nonEmpty && !d.name.contains("/"), s"bad dataset name '${d.name}'")
+      require(ElemSize.contains(d.dtype),
+        s"dataset '${d.name}': dtype '${d.dtype}' not in ${ElemSize.keys.toSeq.sorted}")
+      if (d.dtype == "i32") d.values.foreach(v => require(
+        v.isWhole && v >= Int.MinValue && v <= Int.MaxValue,
+        s"dataset '${d.name}': $v not an i32"))
+      if (d.dtype == "i64") d.values.foreach(v => require(
+        v.isWhole && math.abs(v) <= (1L << 53).toDouble,
+        s"dataset '${d.name}': $v not an exactly-representable i64"))
       require(d.dims.product == d.values.length,
         s"dataset '${d.name}': dims ${d.dims.mkString("x")} != ${d.values.length} values")
       d.chunkDims.foreach { cd =>
@@ -246,9 +275,10 @@ object Hdf5Store {
       val rank = d.dims.length
       val grid = d.dims.zip(cd).map { case (n, c) => ((n + c - 1) / c).toInt }
       val chunkElems = cd.product.toInt
+      val esz = ElemSize(d.dtype)
       val strides = d.dims.scanRight(1L)(_ * _).tail // row-major element strides
       def cells(gridIdx: Seq[Int]): Array[Byte] = {
-        val buf = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
+        val buf = ByteBuffer.allocate(chunkElems * esz).order(ByteOrder.LITTLE_ENDIAN)
         val base = gridIdx.zip(cd).map { case (g, c) => g * c }
         // iterate the chunk's local lattice row-major
         val local = Array.fill(rank)(0L)
@@ -259,7 +289,7 @@ object Hdf5Store {
           val v =
             if (inside) d.values(coord.zip(strides).map { case (x, s) => x * s }.sum.toInt)
             else 0.0
-          buf.putDouble(v)
+          putTyped(buf, d.dtype, v)
           // increment local lattice counter (last dim fastest)
           var k = rank - 1
           var carry = true
@@ -356,7 +386,9 @@ object Hdf5Store {
     val dataAddrs = ds.indices.map { i =>
       chunkSets(i) match {
         case None =>
-          val a = cursor; cursor += align8(ds(i).values.length * 8); Left(a): Either[Int, Seq[Int]]
+          val a = cursor
+          cursor += align8(ds(i).values.length * ElemSize(ds(i).dtype))
+          Left(a): Either[Int, Seq[Int]]
         case Some(cs) =>
           Right(cs.map { c => val a = cursor; cursor += align8(c.bytes.length); a })
       }
@@ -439,14 +471,34 @@ object Hdf5Store {
       img.put(1.toByte).put(rank.toByte).put(0.toByte)
       img.put(new Array[Byte](5))
       d.dims.foreach(img.putLong)
-      // datatype: f64 LE
+      // datatype (LE; 24-byte body regardless of class, excess padded)
       msgHeader(MsgDatatype, 24)
-      img.put(0x11.toByte).put(0x20.toByte).put(63.toByte).put(0.toByte)
-      img.putInt(8)
-      img.putShort(0.toShort).putShort(64.toShort)
-      img.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
-      img.putInt(1023)
-      img.putInt(0)
+      d.dtype match {
+        case "f64" =>
+          img.put(0x11.toByte).put(0x20.toByte).put(63.toByte).put(0.toByte)
+          img.putInt(8)
+          img.putShort(0.toShort).putShort(64.toShort)
+          img.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte)
+          img.putInt(1023)
+          img.putInt(0)
+        case "f32" =>
+          img.put(0x11.toByte).put(0x20.toByte).put(31.toByte).put(0.toByte)
+          img.putInt(4)
+          img.putShort(0.toShort).putShort(32.toShort)
+          img.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte)
+          img.putInt(127)
+          img.putInt(0)
+        case "i32" =>
+          img.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+          img.putInt(4)
+          img.putShort(0.toShort).putShort(32.toShort)
+          img.put(new Array[Byte](12))
+        case "i64" =>
+          img.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
+          img.putInt(8)
+          img.putShort(0.toShort).putShort(64.toShort)
+          img.put(new Array[Byte](12))
+      }
       // fill value v2, undefined
       msgHeader(MsgFillValue, 8)
       img.put(2.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
@@ -462,7 +514,8 @@ object Hdf5Store {
           img.put(3.toByte).put(1.toByte)
           val addr = dataAddrs(i).left.getOrElse(
             throw new IllegalStateException("contiguous dataset without address"))
-          img.putLong(addr.toLong).putLong(d.values.length * 8L)
+          img.putLong(addr.toLong)
+            .putLong(d.values.length.toLong * ElemSize(d.dtype))
           img.put(new Array[Byte](6))
         case Some(cd) =>
           if (d.deflate) {
@@ -481,7 +534,7 @@ object Hdf5Store {
           img.put(3.toByte).put(2.toByte).put((rank + 1).toByte)
           img.putLong(chunkBtreePlans(i).get.rootAddr.toLong)
           cd.foreach(c => img.putInt(c.toInt))
-          img.putInt(8) // element size dim
+          img.putInt(ElemSize(d.dtype)) // element size dim
           img.put(new Array[Byte](lsize - (3 + 8 + (rank + 1) * 4)))
       }
     }
@@ -528,7 +581,7 @@ object Hdf5Store {
           }
         case (None, _, Left(addr)) =>
           img.position(addr)
-          ds(i).values.foreach(img.putDouble)
+          ds(i).values.foreach(putTyped(img, ds(i).dtype, _))
         case _ => ()
       }
     }
@@ -665,7 +718,7 @@ object Hdf5Store {
       var dataSize = 0L
       var chunkDims = Seq.empty[Long]
       var deflated = false
-      var sawF64 = false
+      var dtype = ""
       var isScale = false
       var scaleName = ""
       var dimId = -1
@@ -682,9 +735,14 @@ object Hdf5Store {
           case MsgDatatype =>
             val cls = bytes(body) & 0x0f
             val sz = buf.getInt(body + 4)
-            require(cls == 1 && sz == 8,
-              s"dataset '$name': only f64 supported (class $cls size $sz)")
-            sawF64 = true
+            dtype = (cls, sz) match {
+              case (1, 8) => "f64"
+              case (1, 4) => "f32"
+              case (0, 4) => "i32"
+              case (0, 8) => "i64"
+              case _ => throw new IllegalArgumentException(
+                s"dataset '$name': unsupported datatype class $cls size $sz")
+            }
           case MsgFilterPipeline =>
             val n = bytes(body + 1).toInt
             require(n == 1, s"dataset '$name': $n filters unsupported")
@@ -744,14 +802,17 @@ object Hdf5Store {
         p = body + size
         seen += 1
       }
-      require(sawF64 && dataAddr != Undef, s"dataset '$name': incomplete object header")
+      require(dtype.nonEmpty && dataAddr != Undef,
+        s"dataset '$name': incomplete object header")
+      val esz = ElemSize(dtype)
 
       val total = dims.product.toInt
       val vals = new Array[Double](total)
       if (layoutClass == 1) {
-        require(dataSize / 8 == total.toLong, s"dataset '$name': dims/data size mismatch")
+        require(dataSize / esz == total.toLong, s"dataset '$name': dims/data size mismatch")
         (0 until total).foreach(i =>
-          vals(i) = buf.getDouble(toOffset(dataAddr + i * 8L, s"dataset '$name' data")))
+          vals(i) = getTyped(buf,
+            toOffset(dataAddr + i.toLong * esz, s"dataset '$name' data"), dtype))
       } else {
         val rank = dims.length
         val chunkElems = chunkDims.product.toInt
@@ -772,8 +833,8 @@ object Hdf5Store {
             else {
               val c0 = toOffset(child, s"dataset '$name' chunk")
               val raw0 = java.util.Arrays.copyOfRange(bytes, c0, c0 + nbytes)
-              val raw = if (deflated) inflate(raw0, chunkElems * 8) else raw0
-              require(raw.length == chunkElems * 8, s"dataset '$name': bad chunk size")
+              val raw = if (deflated) inflate(raw0, chunkElems * esz) else raw0
+              require(raw.length == chunkElems * esz, s"dataset '$name': bad chunk size")
               val cb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
               // scatter the dense chunk, clipping fill-padded edge cells
               val local = Array.fill(rank)(0L)
@@ -782,7 +843,7 @@ object Hdf5Store {
                 val coord = offs.zip(local).map { case (b, l) => b + l }
                 if (coord.zip(dims).forall { case (x, n) => x < n })
                   vals(coord.zip(strides).map { case (x, s) => x * s }.sum.toInt) =
-                    cb.getDouble(i * 8)
+                    getTyped(cb, i * esz, dtype)
                 var k = rank - 1
                 var carry = true
                 while (k >= 0 && carry) {
@@ -797,7 +858,7 @@ object Hdf5Store {
         }
         walkChunkBtree(dataAddr)
       }
-      H5Var(name, dims, vals, isScale, scaleName, dimId, dimNames)
+      H5Var(name, dims, vals, isScale, scaleName, dimId, dimNames, dtype)
     }.sortBy(_.name)
   }
 }

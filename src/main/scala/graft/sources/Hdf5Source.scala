@@ -26,15 +26,17 @@ object Hdf5Source {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         graft.sinks.Hdf5Store.parseVars(bytes).map { v =>
-          (path, v.name, v.dims, v.isScale, v.scaleName, v.dimId, v.dimNames, v.values)
+          (path, v.name, v.dims, v.isScale, v.scaleName, v.dimId, v.dimNames,
+            v.dtype, v.values)
         }
       }.persist()
     val vars = parsed
-      .map { case (path, name, dims, isScale, scaleName, dimId, dimNames, _) =>
-        (path, name, dims, isScale, scaleName, dimId, dimNames)
+      .map { case (path, name, dims, isScale, scaleName, dimId, dimNames, dtype, _) =>
+        (path, name, dims, isScale, scaleName, dimId, dimNames, dtype)
       }
-      .toDF("file", "variable", "dims", "is_scale", "scale_name", "dim_id", "dim_names")
-    val data = parsed.flatMap { case (path, name, _, _, _, _, _, vals) =>
+      .toDF("file", "variable", "dims", "is_scale", "scale_name", "dim_id",
+        "dim_names", "dtype")
+    val data = parsed.flatMap { case (path, name, _, _, _, _, _, _, vals) =>
       vals.iterator.zipWithIndex.map { case (v, i) => (path, name, i.toLong, v) }
     }.toDF("file", "variable", "pos", "value")
     (vars, data)

@@ -324,6 +324,35 @@ class CodecPropertySpec extends AnyFunSuite {
     assert(back2.find(_.name == "a").get.dimNames == Seq("x"))
   }
 
+  test("HDF5 typed datasets: f32/i32/i64 round trip, contiguous and chunked") {
+    import graft.sinks.Hdf5Store
+    val f32Vals = Array(1.5, -2.25, 0.125, 100.0) // exactly representable in f32
+    val i32Vals = Array(0.0, -7.0, 2147483647.0, 42.0)
+    val i64Vals = Array(1.0, -9007199254740992.0, 9007199254740992.0, 0.0)
+    val img = Hdf5Store.renderDatasets(Seq(
+      Hdf5Store.H5Dataset("a_f32", Seq(4L), f32Vals, dtype = "f32"),
+      Hdf5Store.H5Dataset("b_i32", Seq(4L), i32Vals, dtype = "i32"),
+      Hdf5Store.H5Dataset("c_i64", Seq(2L, 2L), i64Vals, dtype = "i64",
+        chunkDims = Some(Seq(1L, 2L)), deflate = true),
+      Hdf5Store.H5Dataset("d_f32c", Seq(4L), f32Vals, dtype = "f32",
+        chunkDims = Some(Seq(3L)), deflate = true)))
+    val back = Hdf5Store.parseVars(img)
+    def by(n: String) = back.find(_.name == n).get
+    assert(by("a_f32").dtype == "f32" && by("a_f32").values.toSeq == f32Vals.toSeq)
+    assert(by("b_i32").dtype == "i32" && by("b_i32").values.toSeq == i32Vals.toSeq)
+    assert(by("c_i64").dtype == "i64" && by("c_i64").values.toSeq == i64Vals.toSeq)
+    assert(by("d_f32c").values.toSeq == f32Vals.toSeq)
+    // non-integral / out-of-range values are rejected, not truncated
+    intercept[IllegalArgumentException] {
+      Hdf5Store.renderDatasets(Seq(
+        Hdf5Store.H5Dataset("x", Seq(1L), Array(1.5), dtype = "i32")))
+    }
+    intercept[IllegalArgumentException] {
+      Hdf5Store.renderDatasets(Seq(
+        Hdf5Store.H5Dataset("x", Seq(1L), Array(3e16), dtype = "i64")))
+    }
+  }
+
   test("HDF5 chunked: many chunks span a two-level B-tree") {
     import graft.sinks.Hdf5Store
     // 299 elements / chunk 2 → 150 chunks → 3 leaf nodes + internal root

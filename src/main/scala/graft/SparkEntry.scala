@@ -122,6 +122,7 @@ object SparkEntry {
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
+    "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_atomic_stats" -> (qAtomicStats _),
@@ -992,6 +993,32 @@ object SparkEntry {
         rnd(sum("cx"), 4).as("sum_cx"), rnd(sum("cy"), 4).as("sum_cy"),
         rnd(sum("cz"), 4).as("sum_cz"))
       .orderBy("boundary")
+
+  /** Format-dispatching NetCDF ingestion (`era5.py` reads classic and
+    * netCDF-4 transparently through xarray): the same record grids written
+    * BOTH as classic CDF-1 and as netCDF-4/HDF5 containers into one store,
+    * read back through the magic-byte dispatcher, reduced per (format,
+    * variable). The netCDF-4 files additionally carry their time/lat/lon
+    * coordinate scales — one set per file — which the oracle reconstructs
+    * from the index sums.
+    */
+  private def qNetcdfAuto(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val out = freshTmpDir("graft_nc_auto", dir)
+    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
+    graft.sinks.NetCdf4Sink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
+    val (vars, data) = graft.sources.NetCdfAutoSource.read(s, out)
+    // the format label comes from the DISPATCHER's vars table, so the
+    // oracle gates the magic-byte routing itself, not a filename guess
+    data.join(broadcast(vars.select("file", "variable", "format")),
+      Seq("file", "variable"))
+      .groupBy("format", "variable")
+      .agg(count(lit(1)).as("n_values"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("format", "variable")
+  }
 
   /** Ansys `.rst` decode end-to-end (`ansys_rst.py:187`, local subset of
     * the DPF boundary): render a thermal and a structural results file with
@@ -2244,6 +2271,26 @@ object SparkEntry {
         |SELECT variable, t, CAST(128 AS BIGINT) AS n_cells,
         |  round(v + 1e-6, 2) AS sum_value, 'time,lat,lon' AS dims
         |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // Both containers hold the same grids (<f8 cells, bit-exact), so each
+    // variable's total is its events sum; the netCDF-4 files add index-
+    // valued time/lat/lon scales per file (n files = n distinct variables).
+    "q_netcdf_auto" ->
+      """WITH g AS (SELECT event_type AS variable, sum(value) AS v
+        |  FROM events GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+        |SELECT * FROM (
+        |  SELECT 'classic' AS format, variable, CAST(256 AS BIGINT) AS n_values,
+        |    round(v + 1e-6, 2) AS sum_value FROM g
+        |  UNION ALL
+        |  SELECT 'hdf5', variable, CAST(256 AS BIGINT), round(v + 1e-6, 2) FROM g
+        |  UNION ALL
+        |  SELECT 'hdf5', 'lat', CAST(8 * n AS BIGINT), round(28.0 * n + 1e-6, 2) FROM nv
+        |  UNION ALL
+        |  SELECT 'hdf5', 'lon', CAST(16 * n AS BIGINT), round(120.0 * n + 1e-6, 2) FROM nv
+        |  UNION ALL
+        |  SELECT 'hdf5', 'time', CAST(2 * n AS BIGINT), round(1.0 * n + 1e-6, 2) FROM nv)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_netcdf_roundtrip" ->
       """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,

@@ -135,10 +135,13 @@ object NetCdfSource {
     }
   }
 
-  /** Decode every variable of one file to (variable, pos, value) triples,
-    * `pos` the row-major linear index with the record dimension outermost.
+  /** Decode every wanted variable of one file to (variable, pos, value)
+    * triples, `pos` the row-major linear index with the record dimension
+    * outermost. `wanted` prunes variables BEFORE value expansion (the
+    * record stride still accounts for every record variable in the file).
     */
-  def values(bytes: Array[Byte]): Seq[(String, Long, Double)] = {
+  def values(bytes: Array[Byte],
+             wanted: String => Boolean = _ => true): Seq[(String, Long, Double)] = {
     val f = parseHeader(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val recVars = f.vars.filter(v => v.dimIds.headOption.exists(f.dims(_).length == 0L))
@@ -147,7 +150,7 @@ object NetCdfSource {
       if (recVars.length == 1) recVars.head.vsize
       else recVars.map(v => (v.vsize + 3) / 4 * 4).sum
     val out = Seq.newBuilder[(String, Long, Double)]
-    f.vars.foreach { v =>
+    f.vars.filter(v => wanted(v.name)).foreach { v =>
       val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
       val fixedShape = v.dimIds.drop(if (isRec) 1 else 0).map(f.dims(_).length)
       val perRec = fixedShape.product.max(1L)

@@ -135,6 +135,41 @@ class NetCdfSpec extends SparkSpec {
     assert(u10.sum == 4.0 && u10(4) == 4.0)
   }
 
+  test("auto source: classic and HDF5 files dispatch by magic into one model") {
+    import graft.sinks.Hdf5Store
+    val dir = Files.createTempDirectory("ncmix").toString
+    Files.write(Paths.get(dir, "classic.nc"), fixture)
+    Files.write(Paths.get(dir, "modern.nc4"), Hdf5Store.renderDatasets(Seq(
+      Hdf5Store.H5Dataset("u10", Seq(2L, 3L), Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0),
+        dimNames = Seq("yy", "xx")),
+      Hdf5Store.H5Dataset("yy", Seq(2L), Array(0.0, 1.0), scaleName = Some("yy"), dimId = 0),
+      Hdf5Store.H5Dataset("xx", Seq(3L), Array(0.0, 0.5, 1.0), scaleName = Some("xx"), dimId = 1))))
+    val (vars, data) = graft.sources.NetCdfAutoSource.read(spark, dir)
+    val byVar = vars.collect().map(r => r.getString(1) -> r).toMap
+    assert(byVar.keySet == Set("lat", "t2m", "u10", "yy", "xx"))
+    assert(byVar("t2m").getString(5) == "classic" && byVar("u10").getString(5) == "hdf5")
+    assert(byVar("t2m").getAs[scala.collection.Seq[String]]("dim_names") ==
+      Seq("time", "lat", "lon"))
+    assert(byVar("u10").getAs[scala.collection.Seq[String]]("dim_names") ==
+      Seq("yy", "xx"))
+    assert(byVar("u10").getAs[scala.collection.Seq[Long]]("shape") == Seq(2L, 3L))
+    // classic coordinate var and hdf5 scale both flagged is_coord
+    assert(byVar("lat").getBoolean(4) && byVar("yy").getBoolean(4))
+    assert(!byVar("t2m").getBoolean(4) && !byVar("u10").getBoolean(4))
+    // values from both formats in the same long table
+    val u10 = data.filter(col("variable") === "u10").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(u10.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    assert(data.filter(col("variable") === "t2m").count() == 12)
+    // include prunes at the decode on both paths
+    val (v2, d2) = graft.sources.NetCdfAutoSource.read(spark, dir,
+      include = Set("t2m", "u10"))
+    assert(v2.select("variable").distinct().collect().map(_.getString(0)).toSet ==
+      Set("t2m", "u10"))
+    assert(d2.filter(col("variable") === "lat").count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("read: long tables compose with grid stats") {
     val dir = Files.createTempDirectory("nc").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_point_to_cell_mean" -> (qPointToCellMean _),
     "q_json_extract" -> (qJsonExtract _),
     "q_exact_dedup" -> (qExactDedup _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_cosine_pairs" -> (qCosinePairs _),
     "q_topk_cosine" -> (qTopkCosine _),
     "q_text_quality" -> (qTextQuality _),
+    "q_repetition" -> (qRepetition _),
     "q_lang_id" -> (qLangId _),
     "q_doc_fingerprints" -> (qDocFingerprints _),
     "q_token_stats" -> (qTokenStats _),
@@ -1296,6 +1298,27 @@ object SparkEntry {
     SimilarityOps.topKCosine(Tables.embeddings(s, dir), "vec_id", "embedding", 5, 20L)
       .orderBy("ia", "rank")
 
+  /** Cross-source n-gram decontamination report: per source pair, the
+    * shared 5-gram shingle hashes and the contaminated document counts on
+    * each side (k = 5 because the synthetic corpus has a tiny vocabulary;
+    * published setups use 8–13 on natural text).
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    DedupOps.crossSourceOverlap(Tables.documents(s, dir), "doc_id", "text",
+      "source", k = 5)
+      .orderBy("src_a", "src_b")
+
+  /** Gopher-style repetition metrics over word bigrams: top-n-gram and
+    * duplicate-n-gram occupancy per document — the standard boilerplate /
+    * spam signal for quality gating.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text", n = 2)
+      .select(col("doc_id"), col("n_ngrams"),
+        rnd("top_fraction", 4).as("top_fraction"),
+        rnd("dup_fraction", 4).as("dup_fraction"))
+      .orderBy("doc_id")
+
   /** Text quality scoring: length/token/stopword/digit features + composite. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
@@ -1726,6 +1749,47 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS INTEGER) AS rank
          |  FROM sc)
          |SELECT ia, rank, ib, cos_r FROM r WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // 5-gram shingle hashes rebuilt with the shared md5 mirror; the join
+    // fan is bounded by the source count on both engines.
+    "q_decontaminate" ->
+      s"""WITH ws AS (SELECT doc_id, source, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |pos AS (SELECT doc_id, source, w,
+         |    unnest(generate_series(1, len(w) - 4)) AS i
+         |  FROM ws WHERE len(w) >= 5),
+         |sh AS (SELECT DISTINCT doc_id, source,
+         |    ${hash64Sql("array_to_string(w[i:i+4], ' ')")} AS h
+         |  FROM pos),
+         |ss AS (SELECT DISTINCT source, h FROM sh),
+         |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared_shingles
+         |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |cont AS (SELECT s.source AS src_a, t.source AS src_b, s.doc_id
+         |  FROM sh s JOIN ss t ON s.h = t.h AND s.source <> t.source),
+         |cd AS (SELECT src_a, src_b, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM cont GROUP BY 1, 2)
+         |SELECT sp.src_a, sp.src_b, sp.n_shared_shingles,
+         |  ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b
+         |FROM shared sp
+         |JOIN cd ca ON ca.src_a = sp.src_a AND ca.src_b = sp.src_b
+         |JOIN cd cb ON cb.src_a = sp.src_b AND cb.src_b = sp.src_a
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Same bigram stream rebuilt with a list comprehension; the fractions
+    // are exact small-integer ratios, eps-rounded on both sides.
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i + 1] for i in generate_series(1, len(ws) - 1)]) AS bg
+        |  FROM w),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams,
+        |  round(max(n) * 1.0 / sum(n) + 1e-9, 4) AS top_fraction,
+        |  round(1.0 - count(*) * 1.0 / sum(n) + 1e-9, 4) AS dup_fraction
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH f AS (SELECT doc_id, length(text) AS n_chars,

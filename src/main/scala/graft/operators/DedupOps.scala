@@ -47,6 +47,46 @@ object DedupOps {
     df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-source contamination report — the n-gram overlap
+    * decontamination check used to keep eval/benchmark text out of
+    * training corpora (the public GPT-3 appendix methodology: any shared
+    * rare k-gram marks a document pair as overlapping). Per unordered
+    * source pair: the shared distinct shingle-hash count and, on each
+    * side, how many documents carry at least one shared shingle.
+    *
+    * Scale shape: (id, src, shingle-hash) distinct collapses map-side;
+    * the source-level join keys on the hash against DISTINCT (src, hash)
+    * rows, so per-hash fan-out is bounded by the SOURCE count, never the
+    * corpus — no all-pairs anywhere. Choose k large enough that k-grams
+    * are rare (8–13 in the published setups); tiny-vocabulary corpora
+    * need smaller k to overlap at all.
+    */
+  def crossSourceOverlap(df: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, k: Int = 8): DataFrame = {
+    val sh = cached(df
+      .select(col(idCol).as("id"), col(srcCol).as("src"),
+        Text.tokens(col(textCol)).as("_ws"))
+      .select(col("id"), col("src"),
+        explode(Text.shinglesFromTokens(col("_ws"), k)).as("sh"))
+      .select(col("id"), col("src"), Text.hash64(col("sh")).as("h"))
+      .distinct())
+    val srcSh = sh.select("src", "h").distinct()
+    val a = srcSh.toDF("src_a", "h")
+    val b = srcSh.toDF("src_b", "h")
+    val shared = a.join(b, "h").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(countDistinct(col("h")).as("n_shared_shingles"))
+    // directed: documents of src_a carrying >= 1 shingle present in src_b
+    val docsDir = sh.toDF("id", "src_a", "h")
+      .join(b, "h").filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(countDistinct(col("id")).as("n_docs"))
+    shared
+      .join(docsDir.toDF("src_a", "src_b", "n_docs_a"), Seq("src_a", "src_b"))
+      .join(docsDir.select(col("src_b").as("src_a"), col("src_a").as("src_b"),
+        col("n_docs").as("n_docs_b")), Seq("src_a", "src_b"))
+  }
+
   /** Distinct (id, shingle) rows — the sparse set representation shared by
     * Jaccard and MinHash. Tokens are materialized in their own projection so
     * the shingle lambda slices a computed array instead of re-tokenizing per

@@ -58,4 +58,32 @@ object TextOps {
   /** Document fingerprint census: canonical-content md5 per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+
+  /** Gopher-style repetition metrics (Rae et al. 2021 §A1.1, public):
+    * per document over word n-grams — `top_fraction` is the share of all
+    * n-gram occurrences taken by the single most frequent one,
+    * `dup_fraction` the share that are repeats of an earlier occurrence
+    * (1 − distinct/total). High values mark boilerplate/spam for quality
+    * gating. Two grouped aggregations: (doc, ngram) counts, then per-doc
+    * reduction — both shuffle on bounded keys; no windows, no collect.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val base = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("ws"))
+    // sequence(1, size-n+1) would flip direction when the doc is shorter
+    // than n words — guard to an empty array (the doc has no n-grams and
+    // drops out of the output at the explode)
+    val grams = when(size(col("ws")) < n, typedLit(Seq.empty[String]))
+      .otherwise(expr(
+        s"""transform(sequence(1, size(ws) - ${n - 1}),
+           |  i -> array_join(slice(ws, i, $n), ' '))""".stripMargin))
+    val counts = base
+      .select(col(idCol), explode(grams).as("ngram"))
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum("c").as("n_ngrams"),
+        (max("c").cast("double") / sum("c")).as("top_fraction"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_fraction"))
+  }
 }

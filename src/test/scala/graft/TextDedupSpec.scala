@@ -205,6 +205,51 @@ class TextDedupSpec extends SparkSpec {
     assert((1L to n).forall(r(_) == 1L))
   }
 
+  test("crossSourceOverlap: shared shingles and contaminated docs per pair") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "train", "the quick brown fox jumps"),   // one 5-gram
+      (2L, "train", "pack my box with five dozen"), // two 5-grams
+      (3L, "eval", "the quick brown fox jumps over"), // shares doc 1's 5-gram
+      (4L, "eval", "completely different words here now"),
+      (5L, "bench", "pack my box with five dozen")  // = doc 2 exactly
+    ).toDF("doc_id", "source", "text")
+    val r = graft.operators.DedupOps.crossSourceOverlap(d, "doc_id", "text",
+      "source", k = 5).orderBy("src_a", "src_b").collect()
+    val m = r.map(x => (x.getString(0), x.getString(1)) ->
+      ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // bench ∩ train: doc 5 = doc 2 → both 5-grams shared, 1 doc each side
+    assert(m(("bench", "train")) == ((2L, 1L, 1L)))
+    // eval ∩ train: "the quick brown fox jumps" only, docs 3 and 1
+    assert(m(("eval", "train")) == ((1L, 1L, 1L)))
+    // bench ∩ eval: nothing shared
+    assert(!m.contains(("bench", "eval")))
+    assert(m.size == 2)
+  }
+
+  test("repetitionStats: analytic bigram fractions; short docs drop out") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),      // bigrams: ab ba ab ba ab → top ab 3/5, distinct 2
+      (2L, "x y z w"),          // 3 distinct bigrams, no repeats
+      (3L, "solo"),             // < 2 words → no bigrams
+      (4L, "  p  q  p q ")      // whitespace runs collapse: pq qp pq → top 2/3
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val m = r.map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(m(1L) == ((5L, 3.0 / 5, 1.0 - 2.0 / 5)))
+    assert(m(2L) == ((3L, 1.0 / 3, 0.0)))
+    assert(m(4L) == ((3L, 2.0 / 3, 1.0 - 2.0 / 3)))
+    // trigrams: "a b a b a b" → aba bab aba bab → top 2/4, distinct 2
+    val t = graft.operators.TextOps.repetitionStats(d, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1L).collect()(0)
+    assert(t.getLong(1) == 4L && t.getDouble(2) == 0.5 && t.getDouble(3) == 0.5)
+  }
+
   test("simhash: identical canonical docs get identical fingerprints") {
     val r = DedupOps.simhash(docs, "doc_id", "text").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

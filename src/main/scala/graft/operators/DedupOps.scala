@@ -70,7 +70,9 @@ object DedupOps {
         explode(Text.shinglesFromTokens(col("_ws"), k)).as("sh"))
       .select(col("id"), col("src"), Text.hash64(col("sh")).as("h"))
       .distinct())
-    val srcSh = sh.select("src", "h").distinct()
+    // (src, h) distinct feeds three join sides — cache it like the other
+    // shared shingle subtrees (jaccardPairs discipline)
+    val srcSh = cached(sh.select("src", "h").distinct())
     val a = srcSh.toDF("src_a", "h")
     val b = srcSh.toDF("src_b", "h")
     val shared = a.join(b, "h").filter(col("src_a") < col("src_b"))

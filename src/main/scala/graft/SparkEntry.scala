@@ -96,6 +96,7 @@ object SparkEntry {
     "q_doc_fingerprints" -> (qDocFingerprints _),
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_media_decode" -> (qMediaDecode _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
@@ -1356,6 +1357,41 @@ object SparkEntry {
       .orderBy("lang", "source")
   }
 
+  /** Real multimodal decode end-to-end: per user group, a 16-bit PCM WAV
+    * (all the group's quantized event values; RMS and peak are
+    * order-independent, and the squared sums are integer-valued doubles
+    * below 2^53, so they are EXACT on both engines) and a 16×25 BMP (the
+    * first 400 samples by event_id, value-derived channels) are
+    * synthesized on executors, decoded back by the pure-JVM codecs in
+    * `functions/Media`, and reduced. Quantization uses floor, which is
+    * bit-deterministic across engines (round's tie rule is not).
+    */
+  private def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the image
+        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
+        val wav = graft.functions.Media.renderWav(8000, 1, rows.map(_._3))
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val px = rows.take(400).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val bmp = graft.functions.Media.renderBmp(16, 25, px)
+        (g, wav, bmp)
+      }.toDF("g", "wav", "bmp")
+    val wavF = MultimodalOps.wavFeatures(payloads, "g", "wav")
+    val bmpF = MultimodalOps.bmpFeatures(payloads, "g", "bmp")
+    wavF.join(bmpF, "g")
+      .select(col("g"), col("sample_rate"), col("n_channels"), col("n_frames"),
+        rnd("rms", 4).as("rms"), col("peak"), col("width"), col("height"),
+        rnd("mean_r", 4).as("mean_r"), rnd("mean_g", 4).as("mean_g"),
+        rnd("mean_b", 4).as("mean_b"))
+      .orderBy("g")
+  }
+
   /** Multimodal binary plumbing: opaque payload + frame-sampled window
     * fingerprints (pure binary column arithmetic; ASCII text ⇒ the DuckDB
     * VARCHAR mirror hashes the same bytes).
@@ -1834,6 +1870,29 @@ object SparkEntry {
          |SELECT lang, source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
          |  round(avg(nt) + 1e-9, 4) AS avg_tokens
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The WAV/BMP payloads round-trip 16-bit samples and 8-bit channels
+    // exactly, so every feature recomputes straight from events.
+    "q_media_decode" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |wav AS (SELECT g, CAST(count(*) AS BIGINT) AS n_frames,
+        |    round(sqrt(sum(CAST(v * v AS DOUBLE)) / count(*)) + 1e-9, 4) AS rms,
+        |    CAST(max(abs(v)) AS INT) AS peak
+        |  FROM q GROUP BY 1),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |img AS (SELECT g,
+        |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_r,
+        |    round(avg(CAST((v * 3 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_g,
+        |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_b
+        |  FROM r WHERE rn <= 400 GROUP BY 1)
+        |SELECT wav.g, 8000 AS sample_rate, 1 AS n_channels, wav.n_frames,
+        |  wav.rms, wav.peak, 16 AS width, 25 AS height,
+        |  img.mean_r, img.mean_g, img.mean_b
+        |FROM wav JOIN img USING (g) ORDER BY g""".stripMargin,
 
     "q_multimodal_frames" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

@@ -10,10 +10,13 @@ import org.apache.spark.sql.types._
   * binary mesh/grid payloads the same way — `domains/mesh/sources/vti.py:145`
   * reads dense binary grids, `d3plot.py:334` binary timestep frames).
   *
-  * The actual image/audio codecs are NOT in this container, so `decodeStub`
-  * is a clearly-marked deterministic fake; the Spark-side plumbing — binary
-  * schema, metadata struct, frame slicing, partition-wise batch shape — is
-  * real and oracle-checkable (frame slicing + hashing is pure Catalyst binary
+  * Container-free formats decode for REAL: `wavFeatures` / `bmpFeatures`
+  * run the pure-JVM PCM-WAV and 24-bit-BMP codecs (`functions/Media`) per
+  * row on executors. Only compression-bound codecs (JPEG/PNG/MP4) are NOT
+  * in this container, so `decodeStub` remains a clearly-marked
+  * deterministic fake for those; the Spark-side plumbing — binary schema,
+  * metadata struct, frame slicing, partition-wise batch shape — is real
+  * and oracle-checkable (frame slicing + hashing is pure Catalyst binary
   * arithmetic, mirrored in DuckDB over BLOBs).
   */
 object MultimodalOps {
@@ -50,6 +53,48 @@ object MultimodalOps {
       explode(array(frames: _*)).as("f"))
       .select(col(idCol), col("n_bytes"), col("f.frame").as("frame"),
         col("f.off").as("off"), col("f.frame_md5").as("frame_md5"))
+  }
+
+  /** Real audio decode: PCM WAV payloads → per-row geometry and
+    * order-independent signal features (RMS over all samples, peak
+    * amplitude). One codec call per row, executor-side, no shuffle.
+    */
+  def wavFeatures(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        val n = w.samples.length
+        val rms =
+          if (n == 0) 0.0
+          else math.sqrt(w.samples.map(s => s.toDouble * s).sum / n)
+        val peak = if (n == 0) 0 else w.samples.map(math.abs).max
+        (id, w.sampleRate, w.channels, n.toLong / w.channels, rms, peak)
+      }
+      .toDF(idCol, "sample_rate", "n_channels", "n_frames", "rms", "peak")
+  }
+
+  /** Real image decode: 24-bit BMP payloads → geometry and per-channel
+    * means. One codec call per row, executor-side, no shuffle.
+    */
+  def bmpFeatures(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodeBmp(bytes)
+        val n = m.pixels.length.toDouble
+        (id, m.width, m.height,
+          m.pixels.map(_._1.toDouble).sum / n,
+          m.pixels.map(_._2.toDouble).sum / n,
+          m.pixels.map(_._3.toDouble).sum / n)
+      }
+      .toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
   /** Decoded-feature schema produced by the (stubbed) decoder. */

@@ -121,6 +121,7 @@ object SparkEntry {
     "q_random_dataarray" -> (qRandomDataarray _),
     "q_random_atoms" -> (qRandomAtoms _),
     "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
+    "q_kfile_thickness" -> (qKfileThickness _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
@@ -1357,6 +1358,44 @@ object SparkEntry {
       .orderBy("lang", "source")
   }
 
+  /** `.k` keyword parsing as an oracle row (parse_k_file, `d3plot.py:
+    * 158-227`): keyword decks synthesized from events sums — *PART cards
+    * mapping part → section, *SECTION_SHELL cards carrying t1..t4 =
+    * (v, 2v, 3v, 4v) so the parsed thickness is their mean — parsed
+    * DISTRIBUTED per file over binaryFile. The bounded collect (6 sums)
+    * only builds the deck text.
+    */
+  private def qKfileThickness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sums = Tables.events(s, dir)
+      .groupBy((col("event_id") % 6).as("p")).agg(sum("value").as("v"))
+      .collect().map(r => r.getLong(0) -> (math.abs(r.getDouble(1)) + 1)).toMap
+    val out = freshTmpDir("graft_kfile", dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    (0 until 3).foreach { f =>
+      val sb = new StringBuilder
+      sb.append("$ synthesized keyword deck\n")
+      (0 until 2).foreach { j =>
+        val p = f * 2 + j
+        val v = sums(p.toLong)
+        sb.append("*PART\n").append(s"part_$p\n").append(s"${p + 1} ${p + 101} 1\n")
+        sb.append("*SECTION_SHELL\n").append(s"${p + 101}\n")
+        sb.append(s"$v ${v * 2} ${v * 3} ${v * 4}\n")
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, s"k$f.k"),
+        sb.toString.getBytes("US-ASCII"))
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.k").load(out)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val stem = path.split("/").last.stripSuffix(".k")
+        graft.sources.D3PlotSource.parseKFile(new String(bytes, "US-ASCII"))
+          .toSeq.map { case (pid, t) => (stem, pid, t) }
+      }.toDF("mesh_id", "part_id", "thickness")
+      .select(col("mesh_id"), col("part_id"), rnd("thickness", 2).as("thickness"))
+      .orderBy("mesh_id", "part_id")
+  }
+
   /** Real multimodal decode end-to-end: per user group, a 16-bit PCM WAV
     * (all the group's quantized event values; RMS and peak are
     * order-independent, and the squared sums are integer-valued doubles
@@ -1870,6 +1909,16 @@ object SparkEntry {
          |SELECT lang, source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens,
          |  round(avg(nt) + 1e-9, 4) AS avg_tokens
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Deck numbers are Double.toString round-trips, so the parsed
+    // thickness is the exact mean (v + 2v + 3v + 4v)/4 of the Spark-side
+    // sums; the oracle rebuilds it from its own sums under the eps round.
+    "q_kfile_thickness" ->
+      """WITH v AS (SELECT event_id % 6 AS p, abs(sum(value)) + 1 AS v
+        |  FROM events GROUP BY 1)
+        |SELECT 'k' || CAST(p // 2 AS VARCHAR) AS mesh_id, p + 1 AS part_id,
+        |  round((v + v * 2 + v * 3 + v * 4) / 4 + 1e-6, 2) AS thickness
+        |FROM v ORDER BY 1, 2""".stripMargin,
 
     // The WAV/BMP payloads round-trip 16-bit samples and 8-bit channels
     // exactly, so every feature recomputes straight from events.

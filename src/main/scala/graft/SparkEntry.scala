@@ -126,6 +126,7 @@ object SparkEntry {
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
+    "q_netcdf_packed" -> (qNetcdfPacked _),
     "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -254,6 +255,33 @@ object SparkEntry {
       version = 5)
     val (_, data) = graft.sources.NetCdfSource.read(s, out)
     data.groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("variable", "t")
+  }
+
+  /** CF packed-data decode (xarray `decode_cf`, the reference's transparent
+    * ERA5/GFS read path): grids quantized to int16 IN SQL (clamped floor —
+    * floor is bit-deterministic across engines, round's tie rule is not),
+    * written short-packed with `scale_factor`/`add_offset`/`_FillValue`
+    * attributes, re-read with `decodeCf = true`. Holes at (i + j) % 5 == 0
+    * exercise fill → NaN; the unpack `stored * scale + offset` is exact
+    * double math both engines repeat.
+    */
+  private def qNetcdfPacked(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val packed = g.filter(((col("i") + col("j")) % 5) =!= 0)
+      .withColumn("stored",
+        least(greatest(floor((col("value") - lit(0.5)) / lit(0.01)), lit(-32767L)),
+          lit(32767L)).cast("int"))
+    val out = freshTmpDir("graft_nc_packed", dir)
+    graft.sinks.NetCdfSink.writePackedGrids(packed, out, shape = (8, 16),
+      nRecs = 2, scale = 0.01, offset = 0.5)
+    val (_, data) = graft.sources.NetCdfSource.read(s, out, decodeCf = true)
+    data.filter(!isnan(col("value")))
+      .groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("variable", "t")
   }
@@ -1167,18 +1195,35 @@ object SparkEntry {
     * occupancy (and therefore within-bucket join work) CONSTANT as n grows,
     * and L buys recall back geometrically; high-τ near-dup detection (the 100
     * TB dedup case, cf. qDedupClusters at τ=0.9, k=12) is where LSH prunes
-    * hard. Deliberately has NO oracleSql entry: the hyperplane constants are
-    * not practically mirrorable in SQL, so the driver records the weaker
-    * rows-only check; `SimilaritySpec` pins recall ≥ 0.9 vs brute force.
+    * hard. FULLY oracle-gated: the hyperplane constants are materialized to
+    * `AnnPlanesDir` as a parquet table (tbl, plane, w DOUBLE[]) the oracle
+    * SQL `list_dot_product`s against — signatures, buckets, candidates, and
+    * the verify cosine are all recomputed in DuckDB. Both engines widen the
+    * float components to double BEFORE multiplying and fold sequentially,
+    * so the sign tests and scores are bit-identical. `SimilaritySpec` still
+    * pins recall ≥ 0.9 vs brute force.
     */
   private def qAnnPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L)
+    // bounded driver-side dump: L·k plane rows, 64 doubles each
+    SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
+      .flatMap { case (t, pls) =>
+        pls.zipWithIndex.map { case (pl, p) => (t, p, pl.map(_.toDouble).toSeq) }
+      }.toDF("tbl", "plane", "w").coalesce(1)
+      .write.mode("overwrite").parquet(AnnPlanesDir)
     val emb = Tables.embeddings(s, dir)
     SimilarityOps.annCosinePairsMulti(emb, "vec_id", "embedding",
-      tau = 0.25, nTables = 12,
-      planesPerTable = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L),
-      dimHint = 64)
+      tau = 0.25, nTables = 12, planesPerTable = k, dimHint = 64)
       .orderBy("ia", "ib")
   }
+
+  /** Fixed materialization point for the q_ann_pairs hyperplane constants —
+    * the oracle SQL is a static string, so the path cannot vary with the sf
+    * dir; the content is a pure function of (seed, L, k, dim) and identical
+    * for every run, so a concurrent overwrite rewrites the same values.
+    */
+  private val AnnPlanesDir = "/root/repo/data/ann_planes"
 
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
     * distributed exclusive prefix sum — two-pass range-partitioned cumsum,
@@ -1370,6 +1415,7 @@ object SparkEntry {
     val sums = Tables.events(s, dir)
       .groupBy((col("event_id") % 6).as("p")).agg(sum("value").as("v"))
       .collect().map(r => r.getLong(0) -> (math.abs(r.getDouble(1)) + 1)).toMap
+      .withDefaultValue(1.0) // empty residue class → v = 1 (oracle spine mirrors)
     val out = freshTmpDir("graft_kfile", dir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     (0 until 3).foreach { f =>
@@ -1399,11 +1445,14 @@ object SparkEntry {
   /** Real multimodal decode end-to-end: per user group, a 16-bit PCM WAV
     * (all the group's quantized event values; RMS and peak are
     * order-independent, and the squared sums are integer-valued doubles
-    * below 2^53, so they are EXACT on both engines) and a 16×25 BMP (the
-    * first 400 samples by event_id, value-derived channels) are
-    * synthesized on executors, decoded back by the pure-JVM codecs in
-    * `functions/Media`, and reduced. Quantization uses floor, which is
-    * bit-deterministic across engines (round's tie rule is not).
+    * below 2^53, so they are EXACT on both engines), a 16×25 BMP (the
+    * first 400 samples by event_id, value-derived channels), and a 20×20
+    * RGBA PNG (same 400 samples, alpha from a fourth multiplier — the
+    * zlib inflate + unfilter path) are synthesized on executors, decoded
+    * back by the pure-JVM codecs in `functions/Media`, and reduced.
+    * Quantization uses floor, which is bit-deterministic across engines
+    * (round's tie rule is not); both image codecs are lossless, so the
+    * channel means recompute exactly from events.
     */
   private def qMediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1419,15 +1468,22 @@ object SparkEntry {
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
         val px = rows.take(400).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
         val bmp = graft.functions.Media.renderBmp(16, 25, px)
-        (g, wav, bmp)
-      }.toDF("g", "wav", "bmp")
+        val rgba = rows.take(400).flatMap(r =>
+          Seq(ch(r._3, 1), ch(r._3, 3), ch(r._3, 7), ch(r._3, 11)))
+        val png = graft.functions.Media.renderPng(20, 20, 4, rgba)
+        (g, wav, bmp, png)
+      }.toDF("g", "wav", "bmp", "png")
     val wavF = MultimodalOps.wavFeatures(payloads, "g", "wav")
     val bmpF = MultimodalOps.bmpFeatures(payloads, "g", "bmp")
-    wavF.join(bmpF, "g")
+    val pngF = MultimodalOps.pngFeatures(payloads, "g", "png")
+      .select(col("g"), col("width").as("png_w"), col("height").as("png_h"),
+        col("n_channels").as("png_ch"), rnd("mean_a", 4).as("mean_a"))
+    wavF.join(bmpF, "g").join(pngF, "g")
       .select(col("g"), col("sample_rate"), col("n_channels"), col("n_frames"),
         rnd("rms", 4).as("rms"), col("peak"), col("width"), col("height"),
         rnd("mean_r", 4).as("mean_r"), rnd("mean_g", 4).as("mean_g"),
-        rnd("mean_b", 4).as("mean_b"))
+        rnd("mean_b", 4).as("mean_b"),
+        col("png_w"), col("png_h"), col("png_ch"), col("mean_a"))
       .orderBy("g")
   }
 
@@ -1803,6 +1859,29 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT ia, ib, cos_r FROM p WHERE cos_r >= 0.3 ORDER BY ia, ib""".stripMargin,
 
+    // Full LSH mirror: the Spark side materializes its hyperplane constants
+    // to the fixed parquet below (content a pure function of the seed), so
+    // DuckDB recomputes signature bits (list_dot_product folds the same
+    // double-widened products in the same order → bit-identical signs),
+    // buckets, per-table candidate pairs, and the exact verify cosine.
+    "q_ann_pairs" ->
+      s"""WITH pl AS (SELECT tbl, plane, w
+         |    FROM '/root/repo/data/ann_planes/*.parquet'),
+         |dots AS (SELECT e.vec_id, p.tbl, p.plane,
+         |    list_dot_product(e.embedding::DOUBLE[], p.w) AS dp
+         |  FROM embeddings e CROSS JOIN pl p),
+         |sig AS (SELECT vec_id, tbl,
+         |    CAST(sum(CASE WHEN dp > 0 THEN 1 << plane ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT s1.vec_id AS ia, s2.vec_id AS ib
+         |  FROM sig s1 JOIN sig s2 ON s1.tbl = s2.tbl
+         |    AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id),
+         |sc AS (SELECT c.ia, c.ib, round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.ia
+         |    JOIN embeddings b ON b.vec_id = c.ib)
+         |SELECT ia, ib, cos_r FROM sc WHERE cos_r >= 0.25 ORDER BY ia, ib""".stripMargin,
+
     "q_topk_cosine" ->
       s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
@@ -1914,8 +1993,10 @@ object SparkEntry {
     // thickness is the exact mean (v + 2v + 3v + 4v)/4 of the Spark-side
     // sums; the oracle rebuilds it from its own sums under the eps round.
     "q_kfile_thickness" ->
-      """WITH v AS (SELECT event_id % 6 AS p, abs(sum(value)) + 1 AS v
-        |  FROM events GROUP BY 1)
+      """WITH s AS (SELECT event_id % 6 AS p, abs(sum(value)) + 1 AS v
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT spine.p, coalesce(s.v, CAST(1.0 AS DOUBLE)) AS v
+        |  FROM range(6) spine(p) LEFT JOIN s ON s.p = spine.p)
         |SELECT 'k' || CAST(p // 2 AS VARCHAR) AS mesh_id, p + 1 AS part_id,
         |  round((v + v * 2 + v * 3 + v * 4) / 4 + 1e-6, 2) AS thickness
         |FROM v ORDER BY 1, 2""".stripMargin,
@@ -1936,11 +2017,13 @@ object SparkEntry {
         |img AS (SELECT g,
         |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_r,
         |    round(avg(CAST((v * 3 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_g,
-        |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_b
+        |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_b,
+        |    round(avg(CAST((v * 11 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_a
         |  FROM r WHERE rn <= 400 GROUP BY 1)
         |SELECT wav.g, 8000 AS sample_rate, 1 AS n_channels, wav.n_frames,
         |  wav.rms, wav.peak, 16 AS width, 25 AS height,
-        |  img.mean_r, img.mean_g, img.mean_b
+        |  img.mean_r, img.mean_g, img.mean_b,
+        |  20 AS png_w, 20 AS png_h, 4 AS png_ch, img.mean_a
         |FROM wav JOIN img USING (g) ORDER BY g""".stripMargin,
 
     "q_multimodal_frames" ->
@@ -2475,6 +2558,23 @@ object SparkEntry {
         |SELECT variable, t, CAST(128 AS BIGINT) AS n_cells,
         |  round(v + 1e-6, 2) AS sum_value
         |FROM f ORDER BY 1, 2""".stripMargin,
+
+    // The packed cycle re-derives: same grouping, same clamped-floor
+    // quantization (both engines floor the same IEEE double), same exact
+    // stored*scale+offset unpack; holes are the same (i+j)%5 cut the
+    // writer turned into _FillValue cells (→ NaN → filtered on read).
+    "q_netcdf_packed" ->
+      """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    user_id % 8 AS i, user_id % 16 AS j, sum(value) AS value
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT variable, t,
+        |    least(greatest(floor((value - CAST(0.5 AS DOUBLE)) / CAST(0.01 AS DOUBLE)),
+        |      CAST(-32767 AS DOUBLE)), CAST(32767 AS DOUBLE)) AS stored
+        |  FROM g WHERE (i + j) % 5 <> 0)
+        |SELECT variable, t, CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(sum(stored * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + 1e-6, 2)
+        |    AS sum_value
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Salting only changes the shuffle layout — the result must equal a
     // plain join.

@@ -2,13 +2,13 @@ package graft.functions
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Container-free media codecs — PCM WAV (RIFF) and 24-bit uncompressed
-  * BMP, both PUBLIC byte layouts decodable without any codec library. They
-  * turn the multimodal decode boundary REAL for these formats: payloads
-  * travel as opaque binary columns and decode per-partition on executors
-  * (`operators/MultimodalOps`); only compression-bound formats (JPEG/MP4)
-  * remain behind the labeled stub, since their codecs aren't in this
-  * container.
+/** Container-free media codecs — PCM WAV (RIFF), 24-bit uncompressed BMP,
+  * and 8-bit RGB/RGBA PNG — all PUBLIC byte layouts decodable without any
+  * codec library (PNG is zlib, which the JVM ships, plus the five spec
+  * filters). They turn the multimodal decode boundary REAL for these
+  * formats: payloads travel as opaque binary columns and decode
+  * per-partition on executors (`operators/MultimodalOps`); only genuinely
+  * codec-bound formats (JPEG/MP4) remain behind the labeled stub.
   */
 object Media {
 
@@ -60,6 +60,8 @@ object Media {
           require(fmt == 1, s"audio format $fmt unsupported (PCM only)")
           channels = b.getShort(p + 10) & 0xffff
           rate = b.getInt(p + 12)
+          require(channels > 0 && rate > 0,
+            s"bad fmt geometry: channels=$channels rate=$rate")
           val bits = b.getShort(p + 22) & 0xffff
           require(bits == 16, s"$bits-bit PCM unsupported (16 only)")
         case "data" =>
@@ -109,6 +111,164 @@ object Media {
     b.array()
   }
 
+  // --------------------------------------------------------------- PNG
+
+  /** 8-bit image, row-major interleaved samples in 0..255; `channels` = 3
+    * (RGB, color type 2) or 4 (RGBA, color type 6).
+    */
+  final case class Png(width: Int, height: Int, channels: Int, samples: Array[Int]) {
+    def channelMean(c: Int): Double = {
+      require(c >= 0 && c < channels, s"channel $c of $channels")
+      var s = 0L; var i = c
+      while (i < samples.length) { s += samples(i); i += channels }
+      s.toDouble / (width.toLong * height)
+    }
+  }
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  /** a = left, b = above, c = upper-left (PNG spec §9.4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Render 8-bit RGB/RGBA PNG: IHDR → one IDAT (zlib) → IEND, CRC32 per
+    * chunk. Each scanline uses filter type `row % 5`, so a round trip
+    * exercises every unfilter path (any per-row filter choice is valid —
+    * decoders must handle all five).
+    */
+  def renderPng(width: Int, height: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && (channels == 3 || channels == 4),
+      s"bad PNG geometry ${width}x$height x$channels")
+    require(samples.length == width * height * channels,
+      s"${samples.length} samples for ${width}x${height}x$channels")
+    samples.foreach(v => require(v >= 0 && v <= 255, s"sample $v outside 8-bit"))
+    val bpp = channels
+    val stride = width * bpp
+    val rawRows = Array.tabulate(height, stride)((y, i) => samples(y * stride + i))
+    val filtered = new java.io.ByteArrayOutputStream()
+    (0 until height).foreach { y =>
+      val ft = y % 5
+      filtered.write(ft)
+      val row = rawRows(y)
+      val prior = if (y == 0) new Array[Int](stride) else rawRows(y - 1)
+      (0 until stride).foreach { i =>
+        val left = if (i >= bpp) row(i - bpp) else 0
+        val upLeft = if (i >= bpp) prior(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => prior(i)
+          case 3 => (left + prior(i)) / 2
+          case 4 => paeth(left, prior(i), upLeft)
+        }
+        filtered.write((row(i) - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered.toByteArray); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(12 + body.length) // PNG is big-endian
+      b.putInt(body.length).put(tag.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(body)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put((if (channels == 3) 2 else 6).toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode 8-bit RGB/RGBA PNG (color types 2 and 6, no interlace): chunk
+    * walk with CRC verification, IDAT concatenation, zlib inflate, and the
+    * five spec unfilters. Palette/16-bit/interlaced files fail loudly.
+    */
+  def decodePng(bytes: Array[Byte]): Png = {
+    require(bytes.length > 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG file (signature mismatch)")
+    val b = ByteBuffer.wrap(bytes) // big-endian by default
+    var p = 8
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var ended = false
+    while (!ended) {
+      require(p + 8 <= bytes.length, "PNG truncated mid-chunk-header")
+      val len = b.getInt(p)
+      require(len >= 0 && p + 12 + len <= bytes.length, s"PNG chunk at $p overruns")
+      val tag = new String(bytes, p + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, p + 4, 4 + len)
+      require(crc.getValue.toInt == b.getInt(p + 8 + len),
+        s"PNG chunk '$tag' CRC mismatch")
+      tag match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR of $len bytes")
+          width = b.getInt(p + 8); height = b.getInt(p + 12)
+          require(width > 0 && height > 0, s"bad PNG extent ${width}x$height")
+          val depth = bytes(p + 16) & 0xff
+          val colorType = bytes(p + 17) & 0xff
+          require(depth == 8, s"bit depth $depth unsupported (8 only)")
+          require(colorType == 2 || colorType == 6,
+            s"color type $colorType unsupported (truecolor 2/6 only)")
+          require(bytes(p + 18) == 0 && bytes(p + 19) == 0 && bytes(p + 20) == 0,
+            "nonzero compression/filter/interlace method")
+          channels = if (colorType == 2) 3 else 4
+        case "IDAT" =>
+          require(width > 0, "IDAT before IHDR")
+          idat.write(bytes, p + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      p += 12 + len
+    }
+    require(width > 0, "no IHDR chunk")
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    val bpp = channels
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var got = 0
+    while (got < raw.length && !infl.finished()) {
+      val n = infl.inflate(raw, got, raw.length - got)
+      require(n > 0 || infl.finished(), "PNG zlib stream stalled")
+      got += n
+    }
+    infl.end()
+    require(got == raw.length, s"PNG pixel data: inflated $got of ${raw.length} bytes")
+    val out = new Array[Int](height * stride)
+    (0 until height).foreach { y =>
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      (0 until stride).foreach { i =>
+        val x = raw(base + 1 + i) & 0xff
+        val left = if (i >= bpp) out(y * stride + i - bpp) else 0
+        val up = if (y > 0) out((y - 1) * stride + i) else 0
+        val upLeft = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, upLeft)
+        }
+        out(y * stride + i) = (x + pred) & 0xff
+      }
+    }
+    Png(width, height, channels, out)
+  }
+
   /** Decode 24-bit uncompressed BMP (positive height = bottom-up rows). */
   def decodeBmp(bytes: Array[Byte]): Bmp = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -122,7 +282,8 @@ object Media {
     val compression = b.getInt(30)
     require(bpp == 24 && compression == 0,
       s"only 24-bit uncompressed supported (bpp=$bpp, compression=$compression)")
-    require(width > 0 && height0 != 0, s"bad BMP extent ${width}x$height0")
+    require(width > 0 && height0 != 0 && height0 != Int.MinValue,
+      s"bad BMP extent ${width}x$height0")
     val bottomUp = height0 > 0
     val height = math.abs(height0)
     val rowBytes = (width * 3 + 3) & ~3

@@ -10,14 +10,14 @@ import org.apache.spark.sql.types._
   * binary mesh/grid payloads the same way — `domains/mesh/sources/vti.py:145`
   * reads dense binary grids, `d3plot.py:334` binary timestep frames).
   *
-  * Container-free formats decode for REAL: `wavFeatures` / `bmpFeatures`
-  * run the pure-JVM PCM-WAV and 24-bit-BMP codecs (`functions/Media`) per
-  * row on executors. Only compression-bound codecs (JPEG/PNG/MP4) are NOT
-  * in this container, so `decodeStub` remains a clearly-marked
-  * deterministic fake for those; the Spark-side plumbing — binary schema,
-  * metadata struct, frame slicing, partition-wise batch shape — is real
-  * and oracle-checkable (frame slicing + hashing is pure Catalyst binary
-  * arithmetic, mirrored in DuckDB over BLOBs).
+  * Container-free formats decode for REAL: `wavFeatures` / `bmpFeatures` /
+  * `pngFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP, and zlib-PNG codecs
+  * (`functions/Media`) per row on executors. Only genuinely codec-bound
+  * formats (JPEG/MP4) are NOT decodable in this container, so `decodeStub`
+  * remains a clearly-marked deterministic fake for those; the Spark-side
+  * plumbing — binary schema, metadata struct, frame slicing, partition-wise
+  * batch shape — is real and oracle-checkable (frame slicing + hashing is
+  * pure Catalyst binary arithmetic, mirrored in DuckDB over BLOBs).
   */
 object MultimodalOps {
 
@@ -97,6 +97,26 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Real compressed-image decode: 8-bit RGB/RGBA PNG payloads → geometry
+    * and per-channel means (alpha mean NaN for RGB). One codec call per
+    * row, executor-side, no shuffle.
+    */
+  def pngFeatures(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodePng(bytes)
+        (id, m.width, m.height, m.channels,
+          m.channelMean(0), m.channelMean(1), m.channelMean(2),
+          if (m.channels == 4) m.channelMean(3) else Double.NaN)
+      }
+      .toDF(idCol, "width", "height", "n_channels",
+        "mean_r", "mean_g", "mean_b", "mean_a")
+  }
+
   /** Decoded-feature schema produced by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -104,11 +124,13 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("mean_byte", DoubleType)))
 
-  /** STUB decoder — the real codec (JPEG/PNG/WAV) is not in this container.
-    * Deterministic fake: "dimensions" derive from the byte length, the
-    * "pixel mean" is the true byte mean, so tests pin exact values. Runs
-    * iterator-in/iterator-out per partition — the real decoder drops in with
-    * zero plumbing changes (same batch shape as `mapInPandas` in PySpark).
+  /** STUB decoder — covers ONLY the genuinely codec-bound formats
+    * (JPEG/MP4) whose codecs are not in this container; WAV/BMP/PNG decode
+    * for real above. Deterministic fake: "dimensions" derive from the byte
+    * length, the "pixel mean" is the true byte mean, so tests pin exact
+    * values. Runs iterator-in/iterator-out per partition — the real decoder
+    * drops in with zero plumbing changes (same batch shape as `mapInPandas`
+    * in PySpark).
     */
   def decodeStub(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession

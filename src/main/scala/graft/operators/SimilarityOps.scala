@@ -130,6 +130,17 @@ object SimilarityOps {
   def annPlanesFor(n: Long, targetBucket: Long): Int =
     math.max(1, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
 
+  /** The L independent plane tables behind [[annCosinePairsMulti]], exposed
+    * so callers can MATERIALIZE the constants (e.g. as a parquet table an
+    * external oracle reads to recompute signatures/buckets in SQL). Same
+    * derivation the internal path uses — one distinct seed per table.
+    */
+  def tablePlanes(dim: Int, nTables: Int, planesPerTable: Int,
+                  seed: Long = 42L): Seq[(Int, Seq[Array[Float]])] =
+    (0 until nTables).map { t =>
+      t -> hyperplanes(dim, planesPerTable, seed + 1299721L * (t + 1))
+    }
+
   def annCosinePairsMulti(df: DataFrame, idCol: String, vecCol: String,
                           tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
                           seed: Long = 42L, dimHint: Int = 0): DataFrame =
@@ -156,9 +167,7 @@ object SimilarityOps {
                                seed: Long, dimHint: Int): (DataFrame, Option[DataFrame]) = {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
-    val tablePlanes = (0 until nTables).map { t =>
-      hyperplanes(dim, planesPerTable, seed + 1299721L * (t + 1))
-    }
+    val planesByTable = tablePlanes(dim, nTables, planesPerTable, seed).map(_._2)
     // Persist lifecycle (same contract as DedupOps.cached): `base` is
     // referenced three times (bucket explode + both verify sides), so it is
     // persisted here unless the CALLER already persisted `df` — in which case
@@ -168,7 +177,7 @@ object SimilarityOps {
     // releases it before returning.
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
-      array(tablePlanes.zipWithIndex.map { case (pl, t) =>
+      array(planesByTable.zipWithIndex.map { case (pl, t) =>
         struct(lit(t).as("tbl"), bucketSignature(col(vecCol), pl).as("bucket"))
       }: _*).as("tb"))
     val persistedHere = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE

@@ -44,6 +44,90 @@ object NetCdfSink {
     }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
   }
 
+  /** CF short-packed variant — the container real ERA5/GFS downloads use:
+    * one int16 record variable per `<out>/<variable>.nc` carrying
+    * `scale_factor`/`add_offset` (f64) and `_FillValue` (int16)
+    * attributes. df: (variable, t, i, j, stored) with `stored` the ALREADY
+    * quantized int16 code (quantization is the caller's SQL so the oracle
+    * can mirror it); grid cells absent from the input are written as
+    * `fill`. The inverse of `NetCdfSource.read(decodeCf = true)`.
+    */
+  def writePackedGrids(df: DataFrame, out: String, shape: (Int, Int),
+                       nRecs: Int, scale: Double, offset: Double,
+                       fill: Short = Short.MinValue): Seq[String] = {
+    val spark = df.sparkSession
+    val grouped = df.groupBy(col("variable")).agg(
+      collect_list(struct(col("t").cast("int").as("t"),
+        col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        col("stored").cast("int").as("v"))).as("cells"))
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val (nLat, nLon) = shape
+    grouped.map { row =>
+      val variable = row.getString(0)
+      val bytes = renderPacked(variable, row.getSeq[Row](1), nLat, nLon, nRecs,
+        scale, offset, fill)
+      val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc")
+      val fs = path.getFileSystem(hadoopConf.value)
+      fs.setWriteChecksum(false)
+      val os = fs.create(path, true)
+      try os.write(bytes) finally os.close()
+      path.toString
+    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+  }
+
+  private def renderPacked(name: String, cells: Seq[Row], nLat: Int, nLon: Int,
+                           nRecs: Int, scale: Double, offset: Double,
+                           fill: Short): Array[Byte] = {
+    require(!name.contains("/"),
+      s"variable name '$name' contains '/' — would write outside the store")
+    val perRec = nLat * nLon
+    val data = Array.fill(nRecs * perRec)(fill)
+    cells.foreach { c =>
+      val (t, i, j, v) = (c.getInt(0), c.getInt(1), c.getInt(2), c.getInt(3))
+      require(t >= 0 && t < nRecs && i >= 0 && i < nLat && j >= 0 && j < nLon,
+        s"cell ($t,$i,$j) outside (${nRecs}×$nLat×$nLon)")
+      require(v >= Short.MinValue && v <= Short.MaxValue && v != fill,
+        s"stored code $v outside int16 or equal to the fill value $fill")
+      data(t * perRec + i * nLon + j) = v.toShort
+    }
+    val bos = new ByteArrayOutputStream()
+    val o = new DataOutputStream(bos)
+    def nm(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      o.writeInt(b.length); o.write(b)
+      val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+    }
+    def header(begin: Long): Unit = {
+      o.write("CDF".getBytes); o.write(1)           // CDF-1 is what packed
+      o.writeInt(nRecs)                             // subset downloads use
+      o.writeInt(0x0A); o.writeInt(3)               // dims
+      nm("time"); o.writeInt(0)
+      nm("lat"); o.writeInt(nLat)
+      nm("lon"); o.writeInt(nLon)
+      o.writeInt(0); o.writeInt(0)                  // no global attrs
+      o.writeInt(0x0B); o.writeInt(1)               // one record variable
+      nm(name); o.writeInt(3)
+      o.writeInt(0); o.writeInt(1); o.writeInt(2)   // (time, lat, lon)
+      o.writeInt(0x0C); o.writeInt(3)               // CF packing attrs
+      nm("scale_factor"); o.writeInt(6); o.writeInt(1); o.writeDouble(scale)
+      nm("add_offset"); o.writeInt(6); o.writeInt(1); o.writeDouble(offset)
+      nm("_FillValue"); o.writeInt(3); o.writeInt(1)
+      o.writeShort(fill.toInt); o.write(new Array[Byte](2)) // pad to 4
+      o.writeInt(3)                                 // nc_type short
+      o.writeInt(perRec * 2)                        // vsize per record
+      o.writeInt(begin.toInt)
+    }
+    header(0L)                                      // sizing pass
+    val headerLen = bos.size()
+    bos.reset()
+    header(headerLen.toLong)
+    // sole record variable → records are NOT 4-byte padded (spec special case)
+    data.foreach(v => o.writeShort(v.toInt))
+    o.flush()
+    bos.toByteArray
+  }
+
   private def render(name: String, cells: Seq[Row],
                      nLat: Int, nLon: Int, nRecs: Int, version: Int): Array[Byte] = {
     require(!name.contains("/"),

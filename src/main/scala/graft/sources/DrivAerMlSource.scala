@@ -78,37 +78,55 @@ object DrivAerMlSource {
     // `drivaerml.py:17-30`). The file-backed parser then reads each
     // DataArray payload at its Long offset; only a single array must fit
     // in memory.
-    def streamToTemp(paths: Seq[String]): java.io.File = {
+    // Assemble to an executor-local temp file and parse; the temp is
+    // deleted on ANY failure — copy or parse — not just after the parse.
+    def parseAssembled(paths: Seq[String]) = {
       val tmp = java.io.File.createTempFile("graft_vtu_asm", ".vtu")
-      val out = new java.io.FileOutputStream(tmp)
-      try paths.foreach { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val fs = hp.getFileSystem(hadoopConf.value)
-        val in = fs.open(hp)
-        try {
-          val buf = new Array[Byte](8 << 20)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      } finally out.close()
-      tmp
+      try {
+        val out = new java.io.FileOutputStream(tmp)
+        try paths.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(hadoopConf.value)
+          val in = fs.open(hp)
+          try {
+            val buf = new Array[Byte](8 << 20)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        } finally out.close()
+        VtkXmlSource.parseVtuFile(tmp, inc, exc)
+      } finally { tmp.delete(); () }
+    }
+
+    // A direct VTU already on a local filesystem needs no copy at all —
+    // the file-backed parser reads the original in place (a ~50 GB copy
+    // would double both I/O and local-disk footprint).
+    def localFileOf(p: String): Option[java.io.File] = {
+      val uri = new java.net.URI(p)
+      val f = Option(uri.getScheme) match {
+        case None => Some(new java.io.File(p))
+        case Some("file") => Some(new java.io.File(uri.getPath))
+        case Some(_) => None
+      }
+      f.filter(_.isFile)
     }
 
     val pieces = classified.groupByKey(_._1).mapGroups { (runId, it) =>
       val items = it.toSeq
       val direct = items.find(_._2 == -1)
-      val tmp = direct match {
-        case Some((_, _, p)) => streamToTemp(Seq(p)) // direct VTU wins (drivaerml.py:649)
+      val piece = direct match {
+        case Some((_, _, p)) => // direct VTU wins (drivaerml.py:649)
+          localFileOf(p) match {
+            case Some(f) => VtkXmlSource.parseVtuFile(f, inc, exc)
+            case None => parseAssembled(Seq(p))
+          }
         case None =>
           val parts = items.sortBy(_._2)
           val idxs = parts.map(_._2)
           require(idxs == (0 until parts.length),
             s"run_$runId volume parts not contiguous from 00: found ${idxs.mkString(",")}")
-          streamToTemp(parts.map(_._3))
+          parseAssembled(parts.map(_._3))
       }
-      val piece =
-        try VtkXmlSource.parseVtuFile(tmp, inc, exc)
-        finally { tmp.delete(); () }
       (s"run_$runId", piece.points.map(a => (a(0), a(1), a(2))), piece.cells,
         piece.pointData.toSeq.map { case (k, v) => (k, v) })
     }.persist() // three tables project from one parse; the caller releases

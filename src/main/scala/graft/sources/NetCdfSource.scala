@@ -135,13 +135,39 @@ object NetCdfSource {
     }
   }
 
+  /** CF packed-data codec for one variable (xarray `decode_cf` semantics,
+    * the reference's transparent read path — `domains/da/sources/era5.py`
+    * reads via xarray, which applies these attributes on open): stored
+    * values equal to `_FillValue` (or `missing_value`) become NaN, then
+    * `unpacked = stored * scale_factor + add_offset`. Real ERA5/GFS
+    * downloads are short-packed; without this they decode to raw int16s.
+    */
+  final case class CfCodec(scale: Double, offset: Double, fill: Option[Double]) {
+    def identity: Boolean = scale == 1.0 && offset == 0.0 && fill.isEmpty
+    def apply(raw: Double): Double =
+      if (fill.contains(raw)) Double.NaN else raw * scale + offset
+  }
+
+  def cfCodecOf(v: NcVar): CfCodec = {
+    // attrs decode to comma-joined strings; CF attributes are scalar, so
+    // the first element is the value (xarray uses item() the same way)
+    def num(n: String): Option[Double] = v.attrs.find(_.name == n)
+      .flatMap(_.value.split(",").headOption)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    CfCodec(num("scale_factor").getOrElse(1.0), num("add_offset").getOrElse(0.0),
+      num("_FillValue").orElse(num("missing_value")))
+  }
+
   /** Decode every wanted variable of one file to (variable, pos, value)
     * triples, `pos` the row-major linear index with the record dimension
     * outermost. `wanted` prunes variables BEFORE value expansion (the
     * record stride still accounts for every record variable in the file).
+    * `decodeCf = true` applies each variable's packed-data attributes
+    * (see [[CfCodec]]); off by default, like `xr.open_dataset(decode_cf=)`.
     */
   def values(bytes: Array[Byte],
-             wanted: String => Boolean = _ => true): Seq[(String, Long, Double)] = {
+             wanted: String => Boolean = _ => true,
+             decodeCf: Boolean = false): Seq[(String, Long, Double)] = {
     val f = parseHeader(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val recVars = f.vars.filter(v => v.dimIds.headOption.exists(f.dims(_).length == 0L))
@@ -151,18 +177,20 @@ object NetCdfSource {
       else recVars.map(v => (v.vsize + 3) / 4 * 4).sum
     val out = Seq.newBuilder[(String, Long, Double)]
     f.vars.filter(v => wanted(v.name)).foreach { v =>
+      val cf = if (decodeCf) cfCodecOf(v) else CfCodec(1.0, 0.0, None)
+      def unpack(raw: Double): Double = if (cf.identity) raw else cf(raw)
       val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
       val fixedShape = v.dimIds.drop(if (isRec) 1 else 0).map(f.dims(_).length)
       val perRec = fixedShape.product.max(1L)
       if (!isRec) {
         (0L until perRec).foreach { i =>
-          out += ((v.name, i, readValue(buf, v.begin, v.ncType, i)))
+          out += ((v.name, i, unpack(readValue(buf, v.begin, v.ncType, i))))
         }
       } else {
         (0L until f.numRecs).foreach { r =>
           val base = v.begin + r * recStride
           (0L until perRec).foreach { i =>
-            out += ((v.name, r * perRec + i, readValue(buf, base, v.ncType, i)))
+            out += ((v.name, r * perRec + i, unpack(readValue(buf, base, v.ncType, i))))
           }
         }
       }
@@ -172,9 +200,11 @@ object NetCdfSource {
 
   /** Long tables from a glob of `.nc` files: vars (file, variable, dims,
     * shape, is_record) and data (file, variable, pos, value).
+    * `decodeCf = true` unpacks CF packed variables at decode ([[CfCodec]]).
     */
   def read(spark: SparkSession, pathGlob: String,
-           globFilter: String = "*.nc"): (DataFrame, DataFrame) = {
+           globFilter: String = "*.nc",
+           decodeCf: Boolean = false): (DataFrame, DataFrame) = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(pathGlob)
@@ -190,7 +220,7 @@ object NetCdfSource {
       }
     }.toDF("file", "variable", "dims", "shape", "is_record")
     val data = raw.flatMap { case (path, bytes) =>
-      values(bytes).map { case (v, pos, x) => (path, v, pos, x) }
+      values(bytes, decodeCf = decodeCf).map { case (v, pos, x) => (path, v, pos, x) }
     }.toDF("file", "variable", "pos", "value")
     (vars, data)
   }

@@ -72,6 +72,43 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Media.renderBmp(2, 2, px) }
   }
 
+  test("Media: PNG render -> decode identity across all five filters; rejects") {
+    import graft.functions.Media
+    // 3 wide × 7 tall RGB: rows 0..6 use filter types 0,1,2,3,4,0,1 — every
+    // unfilter path runs; values chosen to wrap the byte arithmetic
+    val rgb = Array.tabulate(3 * 7 * 3)(i => (i * 37 + 11) % 256)
+    val png = Media.renderPng(3, 7, 3, rgb)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val d = Media.decodePng(png)
+    assert(d.width == 3 && d.height == 7 && d.channels == 3)
+    assert(d.samples.toSeq == rgb.toSeq)
+    // RGBA (color type 6) round trip + channel means
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (i * 29) % 256)
+    val d4 = Media.decodePng(Media.renderPng(2, 2, 4, rgba))
+    assert(d4.channels == 4 && d4.samples.toSeq == rgba.toSeq)
+    assert(d4.channelMean(0) == (rgba(0) + rgba(4) + rgba(8) + rgba(12)) / 4.0)
+    assert(d4.channelMean(3) == (rgba(3) + rgba(7) + rgba(11) + rgba(15)) / 4.0)
+    // loud rejects: bad signature, corrupted CRC
+    intercept[IllegalArgumentException] { Media.decodePng(Array[Byte](1, 2, 3)) }
+    val corrupt = png.clone(); corrupt(40) = (corrupt(40) ^ 0x7f).toByte
+    intercept[IllegalArgumentException] { Media.decodePng(corrupt) }
+  }
+
+  test("pngFeatures: per-row decode on executors") {
+    import graft.functions.Media
+    val s = spark
+    import s.implicits._
+    val rgba = Array(10, 20, 30, 40, 50, 60, 70, 80) // 2×1 RGBA
+    val rows = Seq(
+      (1L, Media.renderPng(2, 1, 4, rgba)),
+      (2L, Media.renderPng(1, 1, 3, Array(5, 7, 9)))).toDF("id", "png")
+    val f = MultimodalOps.pngFeatures(rows, "id", "png").orderBy("id").collect()
+    assert(f(0).getInt(1) == 2 && f(0).getInt(2) == 1 && f(0).getInt(3) == 4)
+    assert(f(0).getDouble(4) == 30.0 && f(0).getDouble(7) == 60.0)
+    assert(f(1).getInt(3) == 3 && f(1).getDouble(5) == 7.0)
+    assert(f(1).getDouble(7).isNaN) // RGB has no alpha
+  }
+
   test("wavFeatures/bmpFeatures: per-row decode on executors") {
     import graft.functions.Media
     val s = spark

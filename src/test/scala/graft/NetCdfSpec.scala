@@ -170,6 +170,38 @@ class NetCdfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CF packed write -> decodeCf read: scale/offset applied, fill -> NaN") {
+    val s = spark
+    import s.implicits._
+    // stored codes; the (1, 1, 2) cell is absent → written as _FillValue
+    val cells = Seq((0, 0, 0, 100), (0, 0, 1, -250), (0, 1, 2, 32767), (1, 0, 0, 7))
+      .toDF("t", "i", "j", "stored").withColumn("variable", lit("t2m"))
+    val dir = Files.createTempDirectory("ncpk").toString + "/store"
+    graft.sinks.NetCdfSink.writePackedGrids(cells, dir, shape = (2, 3),
+      nRecs = 2, scale = 0.01, offset = 0.5)
+    // raw read: int16 codes come back untouched (decodeCf is opt-in)
+    val (_, raw) = NetCdfSource.read(spark, dir)
+    val rawVals = raw.orderBy("pos").collect().map(_.getDouble(3))
+    assert(rawVals(0) == 100.0 && rawVals(1) == -250.0 && rawVals(5) == 32767.0)
+    assert(rawVals(6) == 7.0 && rawVals(8) == -32768.0) // fill untouched
+    // CF decode: unpacked doubles, fill → NaN
+    val (_, data) = NetCdfSource.read(spark, dir, decodeCf = true)
+    val vals = data.orderBy("pos").collect().map(_.getDouble(3))
+    assert(vals(0) == 100 * 0.01 + 0.5 && vals(1) == -250 * 0.01 + 0.5)
+    assert(vals(5) == 32767 * 0.01 + 0.5 && vals(6) == 7 * 0.01 + 0.5)
+    assert(vals(8).isNaN && vals.count(_.isNaN) == 8)
+    // the attributes themselves parse as written
+    val bytes = Files.readAllBytes(Paths.get(dir, "t2m.nc"))
+    val v = NetCdfSource.parseHeader(bytes).vars.head
+    val cf = NetCdfSource.cfCodecOf(v)
+    assert(cf.scale == 0.01 && cf.offset == 0.5 && cf.fill.contains(-32768.0))
+    // auto source honors the flag on the classic branch
+    val (_, autoData) = graft.sources.NetCdfAutoSource.read(spark, dir,
+      globFilter = "*.nc", decodeCf = true)
+    assert(autoData.filter(isnan(col("value"))).count() == 8)
+    spark.catalog.clearCache()
+  }
+
   test("read: long tables compose with grid stats") {
     val dir = Files.createTempDirectory("nc").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

@@ -107,8 +107,10 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_wall_nodes" -> (qWallNodes _),
     "q_union_priority" -> (qUnionPriority _),
+    "q_era5_routing" -> (qEra5Routing _),
     "q_boundary_box" -> (qBoundaryBox _),
     "q_boundary_hemisphere" -> (qBoundaryHemisphere _),
+    "q_boundary_hole" -> (qBoundaryHole _),
     "q_merge_points" -> (qMergePoints _),
     "q_vtu_roundtrip" -> (qVtuRoundtrip _),
     "q_tet_quality" -> (qTetQuality _),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_random_dataarray" -> (qRandomDataarray _),
     "q_random_atoms" -> (qRandomAtoms _),
     "q_d3plot_roundtrip" -> (qD3plotRoundtrip _),
+    "q_d3plot_sph" -> (qD3plotSph _),
     "q_kfile_thickness" -> (qKfileThickness _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
@@ -380,6 +383,50 @@ object SparkEntry {
         rnd(col("sdx"), 2).as("sum_dx"), rnd(col("ssx"), 2).as("sum_sx"),
         rnd(col("sepsp"), 2).as("sum_epsp"))
       .orderBy("mesh_id")
+  }
+
+  /** SPH particle universe cycle (reference Rust `src/rust/src/d3plot/`
+    * reads SPH state data; here the flag-driven decode is its own long
+    * universe): 100 embeddings-derived particles with 2 states of scalar
+    * fields — every value an exact binary fraction of (id, t), so the
+    * float32 words round-trip exactly — written as a real SPH d3plot
+    * (element-data-flags block, node & material list, per-state particle
+    * block) and re-read by `readSph`. Aggregates per decoded field name;
+    * the static particle list folds in as its own row.
+    */
+  private def qD3plotSph(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+    val pts = emb.select(lit(0L).as("mesh_id"),
+      col("vec_id").cast("long").as("point_id"),
+      col("embedding")(0).cast("double").as("x"),
+      col("embedding")(1).cast("double").as("y"),
+      col("embedding")(2).cast("double").as("z"))
+    val states = Seq(0, 1).map { t =>
+      emb.select(lit(0L).as("mesh_id"), lit(t).as("t"), lit(t * 0.5).as("time"),
+        col("vec_id").cast("long").as("point_id"),
+        col("embedding")(3).cast("double").as("dx"),
+        lit(0.0).as("dy"), lit(0.0).as("dz"))
+    }.reduce(_ unionByName _)
+    val sph = Seq(0, 1).map { t =>
+      emb.select(lit(0L).as("mesh_id"), lit(t).as("t"),
+        col("vec_id").cast("long").as("particle_id"),
+        (col("vec_id") % 3 + 1).cast("long").as("material"),
+        ((col("vec_id") + 1) * 0.25).as("radius"),
+        ((col("vec_id") + lit(t)) * 0.5).as("pressure"),
+        ((col("vec_id") % 13) * 0.75).as("density"),
+        (col("vec_id") % 7).cast("double").as("neighbors"),
+        ((col("vec_id") + 2) * 0.125).as("mass"))
+    }.reduce(_ unionByName _)
+    val out = freshTmpDir("graft_d3p_sph", dir)
+    graft.sinks.D3PlotSink.writeSph(pts, states, sph, out)
+    val (particles, sphStates) = graft.sources.D3PlotSource.readSph(s, s"$out/*")
+    val agg = sphStates.groupBy(col("field"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 2).as("sum_value"))
+    val plist = particles
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("material") + col("node_id")), 2).as("sum_value"))
+      .select(lit("particle_list").as("field"), col("n"), col("sum_value"))
+    agg.unionByName(plist).orderBy("field")
   }
 
   /** Binary STL sink→source cycle: consecutive point triples per mesh as
@@ -1000,6 +1047,31 @@ object SparkEntry {
       .orderBy("s_suppkey")
   }
 
+  /** ERA5 lexicon routing (`era5.py:47-51` registry + `377-382` merge):
+    * two derived "backends" speak different variable dialects — backend 0
+    * names 2-metre temperature `VAR_2T` (MARS style) and covers only part
+    * of the key space (plus a junk variable no lexicon maps); backend 1
+    * names it `2t` and adds `10u`. Routing translates to canonical names,
+    * drops the unmapped variable, and backend 0 wins where it has data.
+    */
+  private def qEra5Routing(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def grid(mult: Double) = ev.groupBy((col("user_id") % 50).as("k"))
+      .agg(rnd(sum("value") * mult, 2).as("value"))
+    val b0 = grid(1.0).filter(col("k") < 30)
+      .select(lit("VAR_2T").as("variable"), col("k"), col("value"))
+      .unionByName(grid(1.0)
+        .select(lit("junk").as("variable"), col("k"), col("value")))
+    val b1 = grid(2.0).select(lit("2t").as("variable"), col("k"), col("value"))
+      .unionByName(grid(3.0)
+        .select(lit("10u").as("variable"), col("k"), col("value")))
+    RelationalOps.lexiconRoute(Seq(
+      (b0, 0, Map("t2m" -> "VAR_2T")),
+      (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))
+      .select(col("variable"), col("k"), col("value"))
+      .orderBy("variable", "k")
+  }
+
   /** BoxTunnel boundary generator (`generators.py:70-120`): deterministic
     * six-face vertex grid, summarized per boundary.
     */
@@ -1025,6 +1097,29 @@ object SparkEntry {
         rnd(sum("cx"), 4).as("sum_cx"), rnd(sum("cy"), 4).as("sum_cy"),
         rnd(sum("cz"), 4).as("sum_cz"))
       .orderBy("boundary")
+
+  /** Hemisphere with a silhouette hole carved from the symmetry disk
+    * (`generators.py:183-186` silhouette_loops + constrained_delaunay_disk):
+    * a 4-vertex star-shaped loop at azimuths π/12 + j·π/2, radius 0.8,
+    * carved by the azimuth-merge annulus triangulation. The oracle rebuilds
+    * the whole lattice — dome AND annulus (merge pairings included) — and
+    * pins counts, vertex-id sums, centroid sums, and AREAS; the symmetry
+    * area sum equals rim polygon − hole polygon (exact carve).
+    */
+  private def qBoundaryHole(s: SparkSession, dir: String): DataFrame = {
+    val hole = Seq.tabulate(4) { j =>
+      val a = math.Pi / 12 + j * (math.Pi / 2)
+      (0.8 * math.cos(a), 0.8 * math.sin(a))
+    }
+    graft.mesh.Boundaries.hemisphereWithHole(s, radius = 2.0, nTheta = 12,
+      nPhi = 5, ux = 1.0, uy = 0.25, uz = 0.5, hole = hole)
+      .groupBy(col("boundary"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("v0").as("sum_v0"), sum("v1").as("sum_v1"), sum("v2").as("sum_v2"),
+        rnd(sum("cx"), 4).as("sum_cx"), rnd(sum("cy"), 4).as("sum_cy"),
+        rnd(sum("cz"), 4).as("sum_cz"), rnd(sum("area"), 4).as("sum_area"))
+      .orderBy("boundary")
+  }
 
   /** Format-dispatching NetCDF ingestion (`era5.py` reads classic and
     * netCDF-4 transparently through xarray): the same record grids written
@@ -1067,24 +1162,47 @@ object SparkEntry {
         .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).toMap
       Array.tabulate(mod)(i => m.getOrElse(i, 0.0))
     }
+    // geometry subset: node coords derived from the same sums (x, x/2, x/4
+    // — exact binary scalings), elements = consecutive index triangles
+    def geomNodes(n: Int): Array[Array[Double]] =
+      sums(n).map(v => Array(v, v * 0.5, v * 0.25))
+    def geomElems(nelm: Int): Array[Array[Int]] =
+      Array.tabulate(nelm)(j => Array(j, j + 1, j + 2))
     val out = freshTmpDir("graft_rst_fx", dir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     java.nio.file.Files.write(java.nio.file.Paths.get(out, "thermal.rst"),
       AnsysRst.render(AnsysRst.AnalysisThermal, 40, 15, Seq(
         AnsysRst.RstSet(1, 1, sums(40).map(v => Array(v)),
-          sums(15).map(v => Array(v, v * 2, v * 3))))))
+          sums(15).map(v => Array(v, v * 2, v * 3)))),
+        geomNodes(40), geomElems(15)))
     java.nio.file.Files.write(java.nio.file.Paths.get(out, "structural.rst"),
       AnsysRst.render(AnsysRst.AnalysisStructural, 30, 12, Seq(
         AnsysRst.RstSet(1, 1, sums(30).map(v => Array(v, v * 2, v * 3)),
-          sums(12).map(v => Array(v, v * 2, v * 3, v * 4, v * 5, v * 6))))))
+          sums(12).map(v => Array(v, v * 2, v * 3, v * 4, v * 5, v * 6)))),
+        geomNodes(30), geomElems(12)))
     val raw = graft.sources.AnsysRstSource.read(s, out)
     val (pd, cd) = graft.sources.AnsysResults.route(
       raw.select("mesh_id", "result", "idx", "component", "value"))
-    pd.select(col("mesh_id"), lit("nodal").as("loc"), col("field"), col("value"))
+    val results = pd
+      .select(col("mesh_id"), lit("nodal").as("loc"), col("field"), col("value"))
       .unionByName(cd.select(col("mesh_id"), lit("elemental").as("loc"),
         col("field"), col("value")))
       .groupBy("mesh_id", "loc", "field")
       .agg(count(lit(1)).as("n_values"), rnd(sum("value"), 2).as("sum_value"))
+    val (gp, gc) = graft.sources.AnsysRstSource.readGeometry(s, out)
+    val geomPts = gp.groupBy("mesh_id")
+      .agg(count(lit(1)).as("n_values"),
+        rnd(sum(col("x") + col("y") + col("z")), 2).as("sum_value"))
+      .select(col("mesh_id"), lit("geometry").as("loc"), lit("nodes").as("field"),
+        col("n_values"), col("sum_value"))
+    val geomCells = gc.select(col("mesh_id"),
+      (size(col("vertices")).cast("long") +
+        aggregate(col("vertices"), lit(0L), (a, v) => a + v)).cast("double").as("w"))
+      .groupBy("mesh_id")
+      .agg(count(lit(1)).as("n_values"), rnd(sum("w"), 2).as("sum_value"))
+      .select(col("mesh_id"), lit("geometry").as("loc"), lit("cells").as("field"),
+        col("n_values"), col("sum_value"))
+    results.unionByName(geomPts).unionByName(geomCells)
       .orderBy("mesh_id", "loc", "field")
   }
 
@@ -2117,6 +2235,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY s_suppkey ORDER BY p) AS rn FROM u)
         |SELECT s_suppkey, v FROM r WHERE rn = 1 ORDER BY s_suppkey""".stripMargin,
 
+    // Lexicon routing mirror: after canonical renaming, t2m keys < 30 come
+    // from backend 0 (priority), the rest from backend 1 (doubled sums);
+    // u10 only exists in backend 1 (tripled); junk has no lexicon entry.
+    "q_era5_routing" ->
+      """WITH g AS (SELECT user_id % 50 AS k, sum(value) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT 't2m' AS variable, k, round(sv + 1e-6, 2) AS value
+        |  FROM g WHERE k < 30
+        |UNION ALL
+        |SELECT 't2m', k, round(sv * 2 + 1e-6, 2) FROM g WHERE k >= 30
+        |UNION ALL
+        |SELECT 'u10', k, round(sv * 3 + 1e-6, 2) FROM g
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_boundary_box" ->
       """WITH g AS (SELECT CAST(a.i AS DOUBLE)/7 AS u, CAST(b.j AS DOUBLE)/7 AS v
         |  FROM (SELECT unnest(generate_series(0, 7)) AS i) a,
@@ -2203,6 +2335,108 @@ object SparkEntry {
         |  round(sum(cz) + 1e-9, 4) AS sum_cz
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Hole-carve mirror: dome CTEs as in q_boundary_hemisphere (minus the
+    // disk fan), plus the azimuth-merge annulus — rim-edge triangles pair
+    // with the last hole vertex at/before their start azimuth, hole-edge
+    // triangles with the first rim vertex at/after their end azimuth. All
+    // trig arguments parenthesized to Spark's trees; the symmetry area sum
+    // is the exact rim-polygon − hole-polygon carve.
+    "q_boundary_hole" ->
+      """WITH strip AS (
+        |  SELECT 12 + k AS cell_id, k // 24 AS r, (k % 24) // 2 AS i, k % 2 = 1 AS b
+        |  FROM (SELECT unnest(generate_series(0, 71)) AS k)),
+        |cells AS (
+        |  SELECT k AS cell_id, -1 AS r0, 0 AS i0, 0 AS r1, k AS i1, 0 AS r2, k + 1 AS i2
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS k)
+        |  UNION ALL
+        |  SELECT cell_id, r, CASE WHEN b THEN i + 1 ELSE i END, r + 1, i,
+        |    CASE WHEN b THEN r + 1 ELSE r END, i + 1
+        |  FROM strip),
+        |corners AS (
+        |  SELECT cell_id, 0 AS c, r0 AS r, i0 AS i FROM cells
+        |  UNION ALL SELECT cell_id, 1, r1, i1 FROM cells
+        |  UNION ALL SELECT cell_id, 2, r2, i2 FROM cells),
+        |pts AS (
+        |  SELECT cell_id, c,
+        |    CASE WHEN r = -1 THEN 0 ELSE 1 + r * 12 + (i % 12) END AS vid,
+        |    CASE WHEN r = -1 THEN 0.0
+        |         ELSE (2.0 * sin((r + 1) * (pi() / 8))) * cos((i % 12) * (2 * pi() / 12)) END AS x,
+        |    CASE WHEN r = -1 THEN 2.0 WHEN r = 3 THEN 0.0
+        |         ELSE 2.0 * cos((r + 1) * (pi() / 8)) END AS y,
+        |    CASE WHEN r = -1 THEN 0.0
+        |         ELSE (2.0 * sin((r + 1) * (pi() / 8))) * sin((i % 12) * (2 * pi() / 12)) END AS z
+        |  FROM corners),
+        |tri AS (
+        |  SELECT cell_id,
+        |    max(CASE WHEN c = 0 THEN vid END) AS v0,
+        |    max(CASE WHEN c = 1 THEN vid END) AS v1,
+        |    max(CASE WHEN c = 2 THEN vid END) AS v2,
+        |    max(CASE WHEN c = 0 THEN x END) AS x0, max(CASE WHEN c = 0 THEN y END) AS y0,
+        |    max(CASE WHEN c = 0 THEN z END) AS z0,
+        |    max(CASE WHEN c = 1 THEN x END) AS x1, max(CASE WHEN c = 1 THEN y END) AS y1,
+        |    max(CASE WHEN c = 1 THEN z END) AS z1,
+        |    max(CASE WHEN c = 2 THEN x END) AS x2, max(CASE WHEN c = 2 THEN y END) AS y2,
+        |    max(CASE WHEN c = 2 THEN z END) AS z2
+        |  FROM pts GROUP BY 1),
+        |geo AS (
+        |  SELECT cell_id, v0, v1, v2,
+        |    (x0 + x1 + x2) / 3 AS cx, (y0 + y1 + y2) / 3 AS cy, (z0 + z1 + z2) / 3 AS cz,
+        |    (y1 - y0) * (z2 - z0) - (z1 - z0) * (y2 - y0) AS nx,
+        |    (z1 - z0) * (x2 - x0) - (x1 - x0) * (z2 - z0) AS ny,
+        |    (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0) AS nz
+        |  FROM tri),
+        |dome AS (
+        |  SELECT CASE WHEN cx * (1.0 / sqrt(1.3125)) + cy * (0.25 / sqrt(1.3125))
+        |              + cz * (0.5 / sqrt(1.3125)) <= 0 THEN 'inlet'
+        |         ELSE 'outlet' END AS boundary,
+        |    v0, CASE WHEN flip THEN v2 ELSE v1 END AS w1,
+        |    CASE WHEN flip THEN v1 ELSE v2 END AS w2, cx, cy, cz,
+        |    0.5 * sqrt(nx * nx + ny * ny + nz * nz) AS area
+        |  FROM (SELECT *, cx * nx + cy * ny + cz * nz > 0 AS flip FROM geo)),
+        |hole AS (SELECT j, pi() / 12 + j * (pi() / 2) AS a,
+        |    0.8 * cos(pi() / 12 + j * (pi() / 2)) AS hx,
+        |    0.8 * sin(pi() / 12 + j * (pi() / 2)) AS hz
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS j)),
+        |rim AS (SELECT i, i * (2 * pi() / 12) AS th,
+        |    (2.0 * sin((3 + 1.0) * (pi() / 8))) * cos((i % 12) * (2 * pi() / 12)) AS rx,
+        |    (2.0 * sin((3 + 1.0) * (pi() / 8))) * sin((i % 12) * (2 * pi() / 12)) AS rz
+        |  FROM (SELECT unnest(generate_series(0, 11)) AS i)),
+        |ra AS (SELECT r.i, coalesce(max(h.j) FILTER (WHERE h.a <= r.th), 3) AS aj
+        |  FROM rim r CROSS JOIN hole h GROUP BY r.i, r.th),
+        |rtri AS (
+        |  SELECT 84 + r.i AS cell_id,
+        |    37 + (r.i % 12) AS v0, 37 + ((r.i + 1) % 12) AS v1, 49 + ra.aj AS v2,
+        |    r.rx AS x0, r.rz AS z0, r1.rx AS x1, r1.rz AS z1, h.hx AS x2, h.hz AS z2
+        |  FROM rim r
+        |  JOIN rim r1 ON r1.i = (r.i + 1) % 12
+        |  JOIN ra ON ra.i = r.i
+        |  JOIN hole h ON h.j = ra.aj),
+        |htri AS (
+        |  SELECT 96 + h.j AS cell_id, 49 + h.j AS v0, 49 + h1.j AS v1,
+        |    37 + (CAST(ceil(h1.a / (2 * pi() / 12)) AS INT) % 12) AS v2,
+        |    h.hx AS x0, h.hz AS z0, h1.hx AS x1, h1.hz AS z1,
+        |    (2.0 * sin((3 + 1.0) * (pi() / 8))) *
+        |      cos((CAST(ceil(h1.a / (2 * pi() / 12)) AS INT) % 12) * (2 * pi() / 12)) AS x2,
+        |    (2.0 * sin((3 + 1.0) * (pi() / 8))) *
+        |      sin((CAST(ceil(h1.a / (2 * pi() / 12)) AS INT) % 12) * (2 * pi() / 12)) AS z2
+        |  FROM hole h JOIN hole h1 ON h1.j = (h.j + 1) % 4),
+        |ann AS (
+        |  SELECT 'symmetry' AS boundary, v0,
+        |    CASE WHEN ny < 0 THEN v2 ELSE v1 END AS w1,
+        |    CASE WHEN ny < 0 THEN v1 ELSE v2 END AS w2,
+        |    (x0 + x1 + x2) / 3 AS cx, 0.0 AS cy, (z0 + z1 + z2) / 3 AS cz,
+        |    0.5 * abs(ny) AS area
+        |  FROM (SELECT *, (z1 - z0) * (x2 - x0) - (x1 - x0) * (z2 - z0) AS ny
+        |        FROM (SELECT * FROM rtri UNION ALL SELECT * FROM htri))),
+        |allb AS (SELECT boundary, v0, w1, w2, cx, cy, cz, area FROM dome
+        |  UNION ALL SELECT boundary, v0, w1, w2, cx, cy, cz, area FROM ann)
+        |SELECT boundary, count(*) AS n_cells,
+        |  CAST(sum(v0) AS BIGINT) AS sum_v0, CAST(sum(w1) AS BIGINT) AS sum_v1,
+        |  CAST(sum(w2) AS BIGINT) AS sum_v2,
+        |  round(sum(cx) + 1e-9, 4) AS sum_cx, round(sum(cy) + 1e-9, 4) AS sum_cy,
+        |  round(sum(cz) + 1e-9, 4) AS sum_cz, round(sum(area) + 1e-9, 4) AS sum_area
+        |FROM allb GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_merge_points" ->
       """WITH p AS (SELECT vec_id % 8 AS mesh_id, vec_id AS point_id,
         |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y,
@@ -2251,7 +2485,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'structural', 'elemental', 'stress_' || c, CAST(12 AS BIGINT),
         |    sum(v * (c + 1))
-        |  FROM st, c6 GROUP BY c)
+        |  FROM st, c6 GROUP BY c
+        |  UNION ALL
+        |  SELECT 'thermal', 'geometry', 'nodes', CAST(40 AS BIGINT),
+        |    (SELECT sum(v + v * CAST(0.5 AS DOUBLE) + v * CAST(0.25 AS DOUBLE)) FROM t)
+        |  UNION ALL
+        |  SELECT 'thermal', 'geometry', 'cells', CAST(15 AS BIGINT),
+        |    (SELECT CAST(sum(3 * j + 6) AS DOUBLE)
+        |     FROM (SELECT unnest(generate_series(0, 14)) AS j))
+        |  UNION ALL
+        |  SELECT 'structural', 'geometry', 'nodes', CAST(30 AS BIGINT),
+        |    (SELECT sum(v + v * CAST(0.5 AS DOUBLE) + v * CAST(0.25 AS DOUBLE)) FROM d)
+        |  UNION ALL
+        |  SELECT 'structural', 'geometry', 'cells', CAST(12 AS BIGINT),
+        |    (SELECT CAST(sum(3 * j + 6) AS DOUBLE)
+        |     FROM (SELECT unnest(generate_series(0, 11)) AS j)))
         |SELECT mesh_id, loc, field, n_values, round(sv + 1e-6, 2) AS sum_value
         |FROM r ORDER BY 1, 2, 3""".stripMargin,
 
@@ -2492,6 +2740,27 @@ object SparkEntry {
         |  round(1.5 * n_cells * (n_cells + 1) / 2 + 1e-6, 2) AS sum_sx,
         |  round(0.25 * n_cells * n_cells + 1e-6, 2) AS sum_epsp
         |FROM a ORDER BY mesh_id""".stripMargin,
+
+    // SPH cycle mirror: every field value is an exact binary fraction of
+    // (id, t), so each per-field sum recomputes in closed form; the static
+    // node & material list adds the particle_list row.
+    "q_d3plot_sph" ->
+      """WITH e AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 100),
+        |st AS (SELECT id, t FROM e CROSS JOIN (SELECT unnest([0, 1]) AS t)),
+        |f AS (
+        |  SELECT 'density' AS field, (id % 13) * CAST(0.75 AS DOUBLE) AS v FROM st
+        |  UNION ALL SELECT 'mass', (id + 2) * CAST(0.125 AS DOUBLE) FROM st
+        |  UNION ALL SELECT 'material', CAST(id % 3 + 1 AS DOUBLE) FROM st
+        |  UNION ALL SELECT 'neighbors', CAST(id % 7 AS DOUBLE) FROM st
+        |  UNION ALL SELECT 'pressure', (id + t) * CAST(0.5 AS DOUBLE) FROM st
+        |  UNION ALL SELECT 'radius', (id + 1) * CAST(0.25 AS DOUBLE) FROM st)
+        |SELECT field, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(v) + 1e-6, 2) AS sum_value
+        |FROM f GROUP BY 1
+        |UNION ALL
+        |SELECT 'particle_list', CAST(count(*) AS BIGINT),
+        |  round(sum(CAST(id % 3 + 1 + id AS DOUBLE)) + 1e-6, 2) FROM e
+        |ORDER BY 1""".stripMargin,
 
     // NetCDF cycle mirror: <f8 record grids round-trip bit-exactly; fills
     // are 0. The lattice is rebuilt COMPLETE (every variable × record),

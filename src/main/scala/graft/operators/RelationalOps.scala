@@ -110,4 +110,31 @@ object RelationalOps {
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn", "_priority")
   }
+
+  /** ERA5 per-backend lexicon routing — the other half of the multi-backend
+    * merge. Each backend names variables in its own dialect (the reference
+    * keeps a registry of per-backend lexicons, `era5.py:47-51`, consulted
+    * by the merge at `era5.py:377-382`); `lexicon` maps CANONICAL name →
+    * backend-local name per backend. Every backend frame is translated to
+    * canonical names through a broadcast dimension join (variables absent
+    * from a backend's lexicon are DROPPED — unmapped names never leak
+    * through), then the priority union picks the first backend carrying
+    * each (variable, keys…) cell. The lexicons are bounded registry
+    * metadata, so the broadcast never shuffles the data frames.
+    */
+  def lexiconRoute(frames: Seq[(DataFrame, Int, Map[String, String])],
+                   varCol: String, keys: Seq[String]): DataFrame = {
+    require(frames.nonEmpty, "lexiconRoute needs at least one backend frame")
+    val spark = frames.head._1.sparkSession
+    import spark.implicits._
+    val translated = frames.map { case (df, p, lex) =>
+      val lexDf = lex.toSeq.map { case (canon, local) => (local, canon) }
+        .toDF("_local", "_canonical")
+      val renamed = df.join(broadcast(lexDf), df(varCol) === col("_local"))
+        .drop(varCol).drop("_local")
+        .withColumnRenamed("_canonical", varCol)
+      (renamed, p)
+    }
+    unionHighestPriority(translated, varCol +: keys)
+  }
 }

@@ -56,6 +56,107 @@ object D3PlotSink {
     }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
   }
 
+  /** SPH-only d3plot writer — the byte-level inverse of
+    * `D3PlotSource.readSph` for the supported subset: NUMNP nodes with
+    * IU=1 per-state coordinates, NMSPH = NUMNP particles (particle i bound
+    * to node i+1), element-data-flags enabling scalar
+    * radius/pressure/density/neighbors/mass (stress/strain/energy off), no
+    * solid/shell universes.
+    *
+    * points: (mesh_id, point_id, x, y, z) — point_id dense from 0
+    * states: (mesh_id, t, time, point_id, dx, dy, dz)
+    * sph:    (mesh_id, t, particle_id, material, radius, pressure, density,
+    *          neighbors, mass) — particle_id ≡ node positional index;
+    *          material must not vary across states (it also feeds the
+    *          static node & material list)
+    */
+  def writeSph(points: DataFrame, states: DataFrame, sph: DataFrame,
+               out: String, title: String = "graft sph"): Seq[String] = {
+    val spark = points.sparkSession
+    val pts = points.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("point_id"), col("x"), col("y"), col("z"))))
+        .as("pts"))
+    val sts = states.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("t"), col("point_id"), col("time"),
+        col("dx"), col("dy"), col("dz")))).as("sts"))
+    val sp = sph.groupBy(col("mesh_id")).agg(
+      sort_array(collect_list(struct(col("t"), col("particle_id"),
+        col("material"), col("radius"), col("pressure"), col("density"),
+        col("neighbors"), col("mass")))).as("sph"))
+    val assembled = pts.join(sts, Seq("mesh_id")).join(sp, Seq("mesh_id"))
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    assembled.map { row =>
+      val meshId = row.get(row.fieldIndex("mesh_id"))
+      val bytes = renderSph(row, title)
+      val path = new org.apache.hadoop.fs.Path(s"$out/$meshId/d3plot")
+      val fs = path.getFileSystem(hadoopConf.value)
+      val os = fs.create(path, true)
+      try os.write(bytes) finally os.close()
+      path.toString
+    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+  }
+
+  private def renderSph(row: Row, title: String): Array[Byte] = {
+    val pts = row.getSeq[Row](row.fieldIndex("pts"))
+    val sts = row.getSeq[Row](row.fieldIndex("sts"))
+    val sph = row.getSeq[Row](row.fieldIndex("sph"))
+    val numnp = pts.length
+    val nStates = sts.iterator.map(_.getInt(0)).distinct.length
+    val numSphVars = 6 // material + radius + pressure + density + neighbors + mass
+    val stateWords = 1 + numnp * 3 + numnp * numSphVars
+    val total = 64 + 11 + numnp * 3 + numnp * 2 + nStates * stateWords + 1
+    val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(title.padTo(40, ' ').take(40).getBytes("US-ASCII"))
+    (10 until 64).foreach {
+      case 15 => bb.putInt(4)        // NDIM (3-D, mass-scaled form)
+      case 16 => bb.putInt(numnp)
+      case 20 => bb.putInt(1)        // IU
+      case 37 => bb.putInt(numnp)    // NMSPH
+      case _  => bb.putInt(0)
+    }
+    // element data flags: length 11, then radius/pressure/stress/epsp/
+    // density/energy/neighbors/strain/mass/hist per-particle word counts
+    Seq(11, 1, 1, 0, 0, 1, 0, 1, 0, 1, 0).foreach(bb.putInt)
+    pts.foreach { p =>
+      bb.putFloat(p.getDouble(1).toFloat)
+      bb.putFloat(p.getDouble(2).toFloat)
+      bb.putFloat(p.getDouble(3).toFloat)
+    }
+    val sphByT = sph.groupBy(_.getInt(0))
+    // static node & material list from the first state's materials
+    val matOf = sphByT(sphByT.keys.min).iterator
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (0 until numnp).foreach { i =>
+      bb.putInt(i + 1)
+      bb.putInt(matOf.getOrElse(i.toLong, throw new IllegalArgumentException(
+        s"no SPH row for particle $i (dense particle_id required)")).toInt)
+    }
+    val byT = sts.groupBy(_.getInt(0))
+    byT.keys.toSeq.sorted.foreach { t =>
+      val rows = byT(t)
+      require(rows.length == numnp,
+        s"state $t has ${rows.length} node rows, need $numnp (dense layout)")
+      val prt = sphByT.getOrElse(t, Seq.empty)
+      require(prt.length == numnp,
+        s"state $t has ${prt.length} SPH rows, need $numnp (dense layout)")
+      bb.putFloat(rows.head.getDouble(2).toFloat) // time
+      rows.foreach { r =>
+        bb.putFloat(r.getDouble(3).toFloat)
+        bb.putFloat(r.getDouble(4).toFloat)
+        bb.putFloat(r.getDouble(5).toFloat)
+      }
+      prt.foreach { r =>
+        require(r.getLong(2) == matOf(r.getLong(1)),
+          s"particle ${r.getLong(1)} material changes across states")
+        bb.putFloat(r.getLong(2).toFloat)          // material word
+        (3 to 7).foreach(i => bb.putFloat(r.getDouble(i).toFloat))
+      }
+    }
+    bb.putFloat(-999999.0f)
+    bb.array()
+  }
+
   private def render(row: Row, title: String): Array[Byte] = {
     val pts = row.getSeq[Row](row.fieldIndex("pts"))
     val cls = row.getSeq[Row](row.fieldIndex("cls"))

@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   *  - standard header: 100 × i32 — [0] file id (12 = results), [1]
   *    analysis type (0 structural / 1 thermal), [2] byte offset of the
   *    results header;
-  *  - results header: i32 [nnod, nelm, nsets, ptrDSI];
+  *  - results header: i32 [nnod, nelm, nsets, ptrDSI, ptrNOD, ptrELM]
+  *    (legacy 4-int headers decode with no geometry; 0 pointer = absent);
   *  - data-set index (DSI): nsets × i32 byte offsets of solution headers;
+  *  - NOD record: nnod × 3 f64 node coordinates, node-major — the
+  *    geometry-table subset (vendor files hold this in their geometry
+  *    section; pymapdl-reader's `ptrGEO`→`ptrLOC` chain);
+  *  - ELM record: nelm × 9 i32 — [nverts, v0..v7 zero-padded], 0-based
+  *    connectivity (the element-table subset);
   *  - solution header: i32 [ldstep, substep, ndof, nElemComp, ptrNSL,
   *    ptrESL] (0 pointer = record absent);
   *  - NSL record: nnod·ndof × f64, node-major;
@@ -55,7 +61,9 @@ object AnsysRst {
   final case class RstRow(ldstep: Int, substep: Int, result: String,
                           idx: Long, component: String, value: Double)
 
-  final case class RstFile(analysis: Int, nnod: Int, nelm: Int, rows: Seq[RstRow])
+  final case class RstFile(analysis: Int, nnod: Int, nelm: Int, rows: Seq[RstRow],
+                           nodes: Array[Array[Double]] = Array.empty, // nnod × 3
+                           elems: Array[Array[Int]] = Array.empty)    // 0-based conn
 
   private def recBytes(payload: Array[Byte]): Array[Byte] = {
     val b = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
@@ -69,10 +77,19 @@ object AnsysRst {
     b.array()
   }
 
-  def render(analysis: Int, nnod: Int, nelm: Int, sets: Seq[RstSet]): Array[Byte] = {
+  def render(analysis: Int, nnod: Int, nelm: Int, sets: Seq[RstSet],
+             nodes: Array[Array[Double]] = Array.empty,
+             elems: Array[Array[Int]] = Array.empty): Array[Byte] = {
     require(analysis == AnalysisStructural || analysis == AnalysisThermal,
       s"analysis type $analysis not in the supported subset")
     require(sets.nonEmpty, "a results file needs at least one result set")
+    require(nodes.isEmpty || (nodes.length == nnod && nodes.forall(_.length == 3)),
+      s"node table must be $nnod x 3 coordinates")
+    require(elems.isEmpty || elems.length == nelm,
+      s"element table has ${elems.length} rows, want nelm $nelm")
+    elems.foreach(e => require(e.nonEmpty && e.length <= 8 &&
+      e.forall(v => v >= 0 && v < nnod),
+      s"element connectivity ${e.mkString(",")} outside 1..8 verts in [0, $nnod)"))
     sets.foreach { st =>
       require(st.nodal.isEmpty || st.nodal.length == nnod,
         s"set ${st.ldstep}: ${st.nodal.length} nodal rows != nnod $nnod")
@@ -87,11 +104,13 @@ object AnsysRst {
     }
 
     val stdSize = 8 + 400
-    val rstSize = 8 + 16
+    val rstSize = 8 + 24
     val dsiSize = 8 + 4 * sets.length
     val ptrRst = stdSize
     val ptrDsi = stdSize + rstSize
     var cursor = ptrDsi + dsiSize
+    val ptrNod = if (nodes.nonEmpty) { val p = cursor; cursor += 8 + nnod * 24; p } else 0
+    val ptrElm = if (elems.nonEmpty) { val p = cursor; cursor += 8 + nelm * 36; p } else 0
     val setPtrs = sets.map { st =>
       val p = cursor
       cursor += 8 + 24 // solution header record
@@ -106,8 +125,22 @@ object AnsysRst {
     std(1) = analysis
     std(2) = ptrRst
     out.write(recBytes(ints(std.toIndexedSeq: _*)))
-    out.write(recBytes(ints(nnod, nelm, sets.length, ptrDsi)))
+    out.write(recBytes(ints(nnod, nelm, sets.length, ptrDsi, ptrNod, ptrElm)))
     out.write(recBytes(ints(setPtrs.map(_.toInt): _*)))
+    if (nodes.nonEmpty) {
+      val b = ByteBuffer.allocate(nnod * 24).order(ByteOrder.LITTLE_ENDIAN)
+      nodes.foreach(_.foreach(b.putDouble))
+      out.write(recBytes(b.array()))
+    }
+    if (elems.nonEmpty) {
+      val b = ByteBuffer.allocate(nelm * 36).order(ByteOrder.LITTLE_ENDIAN)
+      elems.foreach { e =>
+        b.putInt(e.length)
+        e.foreach(b.putInt)
+        (e.length until 8).foreach(_ => b.putInt(0))
+      }
+      out.write(recBytes(b.array()))
+    }
     sets.zipWithIndex.foreach { case (st, si) =>
       var p = setPtrs(si) + 8 + 24
       val ptrNsl = if (st.nodal.nonEmpty) p else 0
@@ -147,12 +180,38 @@ object AnsysRst {
     require(analysis == AnalysisStructural || analysis == AnalysisThermal,
       s"analysis type $analysis outside the supported subset (structural/thermal)")
     val (rstOff, rstLen) = recAt(buf.getInt(stdOff + 8), "results header")
-    require(rstLen == 16, s"results header has ${rstLen / 4} ints, want 4")
+    require(rstLen == 16 || rstLen == 24,
+      s"results header has ${rstLen / 4} ints, want 4 (legacy) or 6")
     val nnod = buf.getInt(rstOff)
     val nelm = buf.getInt(rstOff + 4)
     val nsets = buf.getInt(rstOff + 8)
     val (dsiOff, dsiLen) = recAt(buf.getInt(rstOff + 12), "data-set index")
     require(dsiLen == 4 * nsets, s"DSI has ${dsiLen / 4} pointers, want $nsets")
+    val (ptrNod, ptrElm) =
+      if (rstLen == 24) (buf.getInt(rstOff + 16), buf.getInt(rstOff + 20))
+      else (0, 0)
+    val nodes =
+      if (ptrNod == 0) Array.empty[Array[Double]]
+      else {
+        val (off, len) = recAt(ptrNod, "node table")
+        require(len == nnod * 24, s"node table: ${len / 8} doubles, want $nnod x 3")
+        Array.tabulate(nnod)(i => Array.tabulate(3)(c => buf.getDouble(off + (i * 3 + c) * 8)))
+      }
+    val elems =
+      if (ptrElm == 0) Array.empty[Array[Int]]
+      else {
+        val (off, len) = recAt(ptrElm, "element table")
+        require(len == nelm * 36, s"element table: ${len / 4} ints, want $nelm x 9")
+        Array.tabulate(nelm) { e =>
+          val n = buf.getInt(off + e * 36)
+          require(n >= 1 && n <= 8, s"element $e has $n verts (want 1..8)")
+          Array.tabulate(n) { k =>
+            val v = buf.getInt(off + e * 36 + 4 + k * 4)
+            require(v >= 0 && v < nnod, s"element $e vertex $v outside [0, $nnod)")
+            v
+          }
+        }
+      }
 
     val (nodalName, elementalName) =
       if (analysis == AnalysisThermal) ("temperature", "heat_flux")
@@ -185,7 +244,7 @@ object AnsysRst {
       payload(ptrNsl, nnod, ndof, nodalName, s"set $si NSL") ++
         payload(ptrEsl, nelm, nComp, elementalName, s"set $si ESL")
     }
-    RstFile(analysis, nnod, nelm, rows)
+    RstFile(analysis, nnod, nelm, rows, nodes, elems)
   }
 }
 
@@ -209,5 +268,33 @@ object AnsysRstSource {
           r.component, r.value))
       }
       .toDF("mesh_id", "ldstep", "substep", "result", "idx", "component", "value")
+  }
+
+  /** Geometry tables from the node/element records (files without them
+    * yield empty frames): points (mesh_id, node_id, x, y, z) and cells
+    * (mesh_id, elem_id, vertices) — joinable to `read`'s results on
+    * (mesh_id, idx), the mesh+results shape DPF discovery exposes.
+    */
+  def readGeometry(spark: SparkSession, dir: String,
+                   globFilter: String = "*.rst"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val stem = path.split("/").last.stripSuffix(".rst")
+        val f = AnsysRst.decode(bytes)
+        (stem, f.nodes.map(_.toSeq), f.elems.map(_.map(_.toLong).toSeq))
+      }.persist() // both frames project from one decode; caller releases
+    val points = parsed.flatMap { case (mesh, nodes, _) =>
+      nodes.iterator.zipWithIndex.map { case (c, i) =>
+        (mesh, i.toLong, c(0), c(1), c(2))
+      }
+    }.toDF("mesh_id", "node_id", "x", "y", "z")
+    val cells = parsed.flatMap { case (mesh, _, elems) =>
+      elems.iterator.zipWithIndex.map { case (vs, e) => (mesh, e.toLong, vs) }
+    }.toDF("mesh_id", "elem_id", "vertices")
+    (points, cells)
   }
 }

@@ -34,12 +34,14 @@ import org.apache.spark.sql.functions._
   *    history vars / resultants / strain tails skipped by stride;
   *  - EOF marker −999999.0 where the next state's TIME would be.
   *
-  * SPH particle blocks (NMSPH > 0) are skipped at their documented
-  * strides — element-data-flags block, node & material list, per-state
-  * particle data — so the non-SPH universe of such files still decodes.
-  * Anything outside the subset (SPH ghost particles, IOSHL stress/epsp
-  * flags off with shells present, unrecognized NV2D residuals) throws with
-  * a descriptive message rather than mis-decoding.
+  * SPH particle data (NMSPH > 0) DECODES as its own long universe (the
+  * reference's Rust kernel reads it, `src/rust/src/d3plot/`): the
+  * element-data-flags block drives per-particle field widths, the node &
+  * material list binds particles to nodes, and each state's particle block
+  * yields (particle, field, value) rows via `readSph`. Anything outside
+  * the subset (SPH ghost particles, IOSHL stress/epsp flags off with
+  * shells present, unrecognized NV2D residuals) throws with a descriptive
+  * message rather than mis-decoding.
   */
 object D3PlotSource {
 
@@ -47,14 +49,31 @@ object D3PlotSource {
       time: Float,
       nodeVec: Array[Array[Float]],            // (NUMNP, 3) current coords
       shellStress: Array[Array[Array[Float]]], // (NEL4, MAXINT, 6) Voigt
-      shellEpsp: Array[Array[Float]])          // (NEL4, MAXINT)
+      shellEpsp: Array[Array[Float]],          // (NEL4, MAXINT)
+      sph: Array[Array[Float]] = Array.empty)  // (NMSPH, numSphVars)
 
   final case class D3PlotFile(
       title: String,
       coords: Array[Array[Float]],             // (NUMNP, 3)
       solids: Array[(Array[Long], Long)],      // (8 nodes 0-based, part)
       shells: Array[(Array[Long], Long)],      // (4 nodes 0-based, part)
-      states: Array[ShellState])
+      states: Array[ShellState],
+      sphParticles: Array[(Long, Long)] = Array.empty, // (node 0-based, material)
+      sphLabels: Seq[String] = Nil)            // per-word names incl. "material"
+
+  /** Canonical field names for the SPH element-data-flags entries 2..11
+    * (manual order); each entry's VALUE is its per-particle word count.
+    * Multi-word fields get `_<component>` suffixes; the always-written
+    * leading material word is labeled separately.
+    */
+  private val SphFieldNames = Vector("radius", "pressure", "stress", "epsp",
+    "density", "energy", "neighbors", "strain", "mass", "hist")
+
+  private[sources] def sphLabelsOf(fieldCounts: Seq[Int]): Seq[String] =
+    "material" +: fieldCounts.zipWithIndex.flatMap { case (cnt, idx) =>
+      val base = if (idx < SphFieldNames.length) SphFieldNames(idx) else s"extra$idx"
+      if (cnt == 1) Seq(base) else (0 until cnt).map(c => s"${base}_$c")
+    }
 
   private val EofMarker = -999999.0f
 
@@ -98,9 +117,11 @@ object D3PlotSource {
   private final case class StateLayout(
       ws: Int, numnp: Int, nglbv: Int, iu: Int, iv: Int, ia: Int,
       nel8: Int, nv3d: Int, nelt: Int, nv3dt: Int, nel2: Int, nv1d: Int,
-      nel4: Int, nv2d: Int, maxint: Int, nvLayer: Int, sphWords: Int = 0) {
+      nel4: Int, nv2d: Int, maxint: Int, nvLayer: Int,
+      nmsph: Int = 0, numSphVars: Int = 0) {
+    def sphWords: Int = nmsph * numSphVars
     // SPH particle states follow the element data in each state block
-    // (manual state-data order), so the skip is covered by the stride
+    // (manual state-data order), so they sit at the block's tail
     def stateWords: Int = 1 + nglbv +
       (if (iu == 1) numnp * 3 else 0) +
       (if (iv == 1) numnp * 3 else 0) +
@@ -150,7 +171,11 @@ object D3PlotSource {
         stress(e) = sb; epsp(e) = eb
         e += 1
       }
-      states += ShellState(time, nodeVec, stress, epsp)
+      // SPH particle block at the state tail: material word + flagged fields
+      val sphBase = w + lay.stateWords - lay.sphWords
+      val sph = Array.tabulate(lay.nmsph)(i =>
+        Array.tabulate(lay.numSphVars)(k => fw(sphBase + i * lay.numSphVars + k)))
+      states += ShellState(time, nodeVec, stress, epsp, sph)
       w += lay.stateWords
     }
     states.result()
@@ -232,14 +257,19 @@ object D3PlotSource {
     // the manual layout); the remaining entries are per-field word counts
     // (stress 6, strain 6, scalars 1). Per-particle state size is their
     // sum plus the always-written material word.
-    val numSphVars =
+    val sphFieldCounts: Seq[Int] =
       if (nmsph > 0) {
         val L = iw(w)
         require(L >= 1 && L <= 32, s"implausible SPH flag block length $L")
-        val n = 1 + (1 until L).map(k => iw(w + k)).sum
+        val counts = (1 until L).map { k =>
+          val c = iw(w + k)
+          require(c >= 0 && c <= 64, s"implausible SPH field width $c at entry $k")
+          c
+        }
         w += L
-        n
-      } else 0
+        counts
+      } else Nil
+    val numSphVars = if (nmsph > 0) 1 + sphFieldCounts.sum else 0
     // geometry: nodes
     val coords = Array.tabulate(numnp)(n =>
       Array(fw(w + n * 3), fw(w + n * 3 + 1), fw(w + n * 3 + 2)))
@@ -261,14 +291,18 @@ object D3PlotSource {
     // stays internally numbered, so the whole block is a stride skip
     w += narbs
     // SPH node and material list (follows the user-id section): 2 words
-    // per particle, skipped
+    // per particle — (node number 1-based, material number)
+    val sphParticles = Array.tabulate(nmsph)(i =>
+      (iw(w + i * 2).toLong - 1, iw(w + i * 2 + 1).toLong))
     w += nmsph * 2
 
     // state data (shared with family continuation files)
     val lay = StateLayout(ws, numnp, nglbv, iu, iv, ia,
       nel8, nv3d, nelt, nv3dt, nel2, nv1d, nel4, nv2d, maxint, nvLayer,
-      sphWords = nmsph * numSphVars)
-    (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay)), lay)
+      nmsph = nmsph, numSphVars = numSphVars)
+    val labels = if (nmsph > 0) sphLabelsOf(sphFieldCounts) else Nil
+    (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay),
+      sphParticles, labels), lay)
   }
 
   /** LS-DYNA `.k` keyword file → part-id → shell thickness (reference
@@ -348,27 +382,7 @@ object D3PlotSource {
   def read(spark: SparkSession, pathGlob: String,
            globFilter: String = "*d3plot*"): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter).load(pathGlob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-    // Family continuation files (d3plot01, d3plot02, … — state data only)
-    // belong to the bare `d3plot` root in the same directory, ordered
-    // NUMERICALLY (d3plot2 before d3plot10). Any other matching file is an
-    // independent root; continuations without a root fail loudly.
-    val parsed = raw
-      .groupByKey { case (path, _) => path.replaceAll("/[^/]*$", "") }
-      .flatMapGroups { (dir, it) =>
-        val files = it.toSeq
-        def base(p: String) = p.split("/").last
-        val (conts, roots) = files.partition(f => base(f._1).matches("d3plot\\d+"))
-        val sortedConts = conts.sortBy(f => base(f._1).drop("d3plot".length).toInt)
-        val (familyRoot, soloRoots) = roots.partition(f => base(f._1) == "d3plot")
-        require(sortedConts.isEmpty || familyRoot.nonEmpty,
-          s"$dir has continuation files ${sortedConts.map(f => base(f._1))} but no d3plot root")
-        familyRoot.map { case (p, b) => (p, parseFamily(b, sortedConts.map(_._2))) } ++
-          soloRoots.sortBy(_._1).map { case (p, b) => (p, parse(b)) }
-      }.persist()
+    val parsed = parsedFamilies(spark, pathGlob, globFilter).persist()
 
     val points = parsed.flatMap { case (path, f) =>
       f.coords.iterator.zipWithIndex.map { case (c, i) =>
@@ -411,5 +425,64 @@ object D3PlotSource {
       "sx", "sy", "sz", "txy", "tyz", "tzx", "epsp")
 
     (points, cells, states, shellData)
+  }
+
+  /** Distributed parse shared by `read`/`readSph`. Family continuation
+    * files (d3plot01, d3plot02, … — state data only) belong to the bare
+    * `d3plot` root in the same directory, ordered NUMERICALLY (d3plot2
+    * before d3plot10). Any other matching file is an independent root;
+    * continuations without a root fail loudly.
+    */
+  private def parsedFamilies(spark: SparkSession, pathGlob: String,
+                             globFilter: String): org.apache.spark.sql.Dataset[(String, D3PlotFile)] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .groupByKey { case (path, _) => path.replaceAll("/[^/]*$", "") }
+      .flatMapGroups { (dir, it) =>
+        val files = it.toSeq
+        def base(p: String) = p.split("/").last
+        val (conts, roots) = files.partition(f => base(f._1).matches("d3plot\\d+"))
+        val sortedConts = conts.sortBy(f => base(f._1).drop("d3plot".length).toInt)
+        val (familyRoot, soloRoots) = roots.partition(f => base(f._1) == "d3plot")
+        require(sortedConts.isEmpty || familyRoot.nonEmpty,
+          s"$dir has continuation files ${sortedConts.map(f => base(f._1))} but no d3plot root")
+        familyRoot.map { case (p, b) => (p, parseFamily(b, sortedConts.map(_._2))) } ++
+          soloRoots.sortBy(_._1).map { case (p, b) => (p, parse(b)) }
+      }
+  }
+
+  /** SPH particle universe from a glob of d3plot files (the long tables
+    * behind the reference's Rust SPH decode):
+    *
+    *  - particles:  (mesh_id, particle_id, node_id, material) — the static
+    *                node & material list (node_id 0-based)
+    *  - sph_states: (mesh_id, t, time, particle_id, field, value) — one row
+    *                per per-particle state word; `field` is "material" plus
+    *                the flag-block fields (multi-word fields suffixed
+    *                `_<component>`, e.g. stress_0..stress_5)
+    */
+  def readSph(spark: SparkSession, pathGlob: String,
+              globFilter: String = "*d3plot*"): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = parsedFamilies(spark, pathGlob, globFilter).persist()
+    val particles = parsed.flatMap { case (path, f) =>
+      f.sphParticles.iterator.zipWithIndex.map { case ((node, mat), i) =>
+        (path, i.toLong, node, mat)
+      } // iterator: streams out of the task
+    }.toDF("mesh_id", "particle_id", "node_id", "material")
+    val sphStates = parsed.flatMap { case (path, f) =>
+      val labels = f.sphLabels.toArray
+      f.states.iterator.zipWithIndex.flatMap { case (st, t) =>
+        st.sph.iterator.zipWithIndex.flatMap { case (vals, i) =>
+          vals.iterator.zipWithIndex.map { case (v, k) =>
+            (path, t, st.time.toDouble, i.toLong, labels(k), v.toDouble)
+          }
+        }
+      }
+    }.toDF("mesh_id", "t", "time", "particle_id", "field", "value")
+    (particles, sphStates)
   }
 }

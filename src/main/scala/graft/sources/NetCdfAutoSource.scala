@@ -42,13 +42,29 @@ object NetCdfAutoSource {
            include: Set[String] = Set.empty,
            exclude: Set[String] = Set.empty,
            decodeCf: Boolean = false): (DataFrame, DataFrame) = {
+    val (vars, data, _) = readWithRelease(spark, pathGlob, globFilter,
+      include, exclude, decodeCf)
+    (vars, data)
+  }
+
+  /** Like `read`, but returns a RELEASE HANDLE for the internal decode
+    * cache: long-lived sessions iterating many archives call it after
+    * consuming both frames, so cached blocks never accumulate waiting for
+    * a global `clearCache()` (the `annCosinePairsMultiEager` discipline).
+    * After release, the frames recompute from the files if re-used.
+    */
+  def readWithRelease(spark: SparkSession, pathGlob: String,
+                      globFilter: String = "*.nc*",
+                      include: Set[String] = Set.empty,
+                      exclude: Set[String] = Set.empty,
+                      decodeCf: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
     import spark.implicits._
     def wanted(name: String): Boolean =
       (include.isEmpty || include.contains(name)) && !exclude.contains(name)
 
     // decode ONCE per file; both frames project from the persisted decode
-    // (released by the caller via unpersist/clearCache, like the other
-    // binary sources)
+    // (released via the returned handle, or — for `read` callers — by
+    // clearCache, like the other binary sources)
     val parsed = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(pathGlob)
       .select(col("path"), col("content"))
@@ -79,6 +95,6 @@ object NetCdfAutoSource {
     val data = parsed.flatMap { case (f, n, _, _, _, _, vals) =>
       vals.iterator.zipWithIndex.map { case (v, i) => (f, n, i.toLong, v) }
     }.toDF("file", "variable", "pos", "value")
-    (vars, data)
+    (vars, data, () => { parsed.unpersist(true); () })
   }
 }

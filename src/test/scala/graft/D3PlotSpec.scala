@@ -201,6 +201,50 @@ class D3PlotSpec extends SparkSpec {
     assert(f.states(0).time == 2.5f)
     assert(f.states(0).nodeVec(2).toSeq == Seq(1.5f, 1.0f, -0.25f))
     assert(f.states(0).shellStress(0).map(_.toSeq).toSeq == t1Stress.map(_.toSeq).toSeq)
+    // the SPH universe itself decodes: node & material list, flag-driven
+    // field labels, per-state particle words
+    assert(f.sphParticles.toSeq == (0 until nmsph).map(i => (i.toLong, 9L)))
+    assert(f.sphLabels == Seq("material", "radius", "pressure",
+      "stress_0", "stress_1", "stress_2", "stress_3", "stress_4", "stress_5",
+      "epsp", "density", "energy", "neighbors",
+      "strain_0", "strain_1", "strain_2", "strain_3", "strain_4", "strain_5",
+      "mass", "hist"))
+    assert(f.states(0).sph.length == nmsph)
+    assert(f.states(0).sph.forall(p =>
+      p.length == numSphVars && p.forall(_ == -5f)))
+  }
+
+  test("SPH write -> readSph round trip: long particle universe") {
+    import graft.sinks.D3PlotSink
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 0L, 0.0, 0.0, 0.0), (0L, 1L, 1.0, 0.0, 0.0),
+      (0L, 2L, 0.0, 1.0, 0.0)).toDF("mesh_id", "point_id", "x", "y", "z")
+    val states = Seq(0, 1).flatMap(t => (0 to 2).map(i =>
+      (0L, t, t * 0.5, i.toLong, i * 1.0, 0.0, 0.0)))
+      .toDF("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")
+    val sph = Seq(0, 1).flatMap(t => (0 to 2).map(i =>
+      (0L, t, i.toLong, (i % 2 + 1).toLong, (i + 1) * 0.25, (i + t) * 0.5,
+        i * 0.75, (i % 7).toDouble, (i + 2) * 0.125)))
+      .toDF("mesh_id", "t", "particle_id", "material", "radius", "pressure",
+        "density", "neighbors", "mass")
+    val dir = Files.createTempDirectory("d3psph").toString + "/store"
+    D3PlotSink.writeSph(pts, states, sph, dir)
+    val (particles, sphStates) = D3PlotSource.readSph(spark, s"$dir/*")
+    assert(particles.count() == 3)
+    assert(particles.orderBy("particle_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 0L, 1L), (1L, 1L, 2L), (2L, 2L, 1L)))
+    // 2 states × 3 particles × 6 words
+    assert(sphStates.count() == 36)
+    val pressures = sphStates
+      .filter(col("field") === "pressure" && col("t") === 1)
+      .orderBy("particle_id").collect().map(_.getDouble(5))
+    assert(pressures.toSeq == Seq(0.5, 1.0, 1.5))
+    val mats = sphStates.filter(col("field") === "material")
+      .select(sum("value")).first().getDouble(0)
+    assert(mats == 2 * (1 + 2 + 1))
+    spark.catalog.clearCache()
   }
 
   test("unsupported layouts fail loudly, not silently") {

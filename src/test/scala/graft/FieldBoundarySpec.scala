@@ -111,6 +111,44 @@ class FieldBoundarySpec extends SparkSpec {
     assert(Boundaries.radiusFromInterior(interior) == 1.5)
   }
 
+  test("hemisphereWithHole: exact carve, watertight seam, no degenerate cells") {
+    val hole = Seq.tabulate(4) { j =>
+      val a = math.Pi / 12 + j * (math.Pi / 2)
+      (0.8 * math.cos(a), 0.8 * math.sin(a))
+    }
+    val h = Boundaries.hemisphereWithHole(spark, radius = 2.0, nTheta = 12,
+      nPhi = 5, ux = 1.0, uy = 0.25, uz = 0.5, hole = hole)
+    val rows = h.collect()
+    // dome unchanged (12 pole + 72 strip, same freestream split), disk fan
+    // replaced by the nTheta + M annulus
+    assert(rows.length == 12 + 72 + 16)
+    assert(rows.count(_.getString(0) == "inlet") == 34)
+    val sym = rows.filter(_.getString(0) == "symmetry")
+    assert(sym.length == 16)
+    // exact carve: triangle areas sum to rim polygon minus hole shoelace
+    val rimArea = 0.5 * 12 * 2.0 * 2.0 * math.sin(2 * math.Pi / 12)
+    val holeArea = 0.5 * math.abs((0 until 4).map { j =>
+      val (x0, z0) = hole(j); val (x1, z1) = hole((j + 1) % 4)
+      x0 * z1 - x1 * z0
+    }.sum)
+    val symArea = sym.map(_.getDouble(8)).sum
+    assert(math.abs(symArea - (rimArea - holeArea)) < 1e-9)
+    assert(sym.forall(_.getDouble(8) > 1e-9)) // no degenerate triangles
+    // every hole vertex id and the FULL equator ring participate (seam)
+    val vids = sym.flatMap(r => Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(vids.intersect((49L to 52L).toSet).size == 4)
+    assert(vids.intersect((37L to 48L).toSet).size == 12)
+    // degenerate and non-star holes are rejected loudly
+    intercept[IllegalArgumentException] {
+      Boundaries.hemisphereWithHole(spark, 2.0, 12, 5, 1, 0, 0,
+        Seq((0.5, 0.1), (0.6, 0.1))) // 2 vertices
+    }
+    intercept[IllegalArgumentException] {
+      Boundaries.hemisphereWithHole(spark, 2.0, 12, 5, 1, 0, 0,
+        Seq((0.5, 0.1), (0.55, 0.11), (0.6, 0.1), (0.1, 3.0))) // outside disk
+    }
+  }
+
   test("inject: keep-existing by default, overwrite replaces") {
     val s = spark
     import s.implicits._

@@ -202,6 +202,19 @@ class NetCdfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("readWithRelease: consuming then releasing leaves no cached blocks") {
+    val dir = Files.createTempDirectory("ncrel").toString
+    Files.write(Paths.get(dir, "era.nc"), fixture)
+    spark.catalog.clearCache() // start from a clean slate
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (vars, data, release) = graft.sources.NetCdfAutoSource.readWithRelease(
+      spark, dir, globFilter = "*.nc")
+    assert(vars.count() == 2 && data.count() > 0) // consume both frames
+    assert(spark.sparkContext.getPersistentRDDs.size > before) // cache live
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before) // all released
+  }
+
   test("read: long tables compose with grid stats") {
     val dir = Files.createTempDirectory("nc").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

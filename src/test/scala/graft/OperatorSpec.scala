@@ -57,6 +57,25 @@ class OperatorSpec extends SparkSpec {
     assert(r == Map("t" -> 1.0, "u" -> 2.0, "w" -> 3.0))
   }
 
+  test("lexiconRoute: per-backend names translate, unmapped vars drop, priority wins") {
+    val s = spark
+    import s.implicits._
+    // backend 0 speaks MARS shorthand and carries junk; backend 1 speaks CDS
+    val b0 = Seq(("VAR_2T", 0L, 1.0), ("VAR_2T", 1L, 2.0), ("junk", 0L, 9.0))
+      .toDF("variable", "k", "v")
+    val b1 = Seq(("2t", 1L, 20.0), ("2t", 2L, 30.0), ("10u", 0L, 40.0))
+      .toDF("variable", "k", "v")
+    val r = RelationalOps.lexiconRoute(Seq(
+      (b0, 0, Map("t2m" -> "VAR_2T")),
+      (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))
+      .collect().map(x => (x.getAs[String]("variable"), x.getAs[Long]("k")) ->
+        x.getAs[Double]("v")).toMap
+    // t2m: k=0,1 from backend 0 (wins), k=2 only in backend 1; u10 from 1;
+    // junk never appears (no lexicon entry)
+    assert(r == Map(("t2m", 0L) -> 1.0, ("t2m", 1L) -> 2.0,
+      ("t2m", 2L) -> 30.0, ("u10", 0L) -> 40.0))
+  }
+
   test("saltedJoin equals the plain join result") {
     val s = spark
     import s.implicits._

@@ -127,6 +127,47 @@ class VtiAnsysSpec extends SparkSpec {
     assert(e.getMessage.contains("framing") || e.getMessage.contains("file id"))
   }
 
+  test("RST geometry records: node/element tables render -> decode -> join") {
+    import graft.sources.AnsysRst
+    val nodes = Array(Array(0.0, 0.0, 0.0), Array(1.0, 0.0, 0.5),
+      Array(0.0, 1.0, 0.25), Array(1.0, 1.0, 0.75))
+    val elems = Array(Array(0, 1, 2), Array(1, 3, 2, 0)) // tri + quad
+    val bytes = AnsysRst.render(AnsysRst.AnalysisThermal, 4, 2, Seq(
+      AnsysRst.RstSet(1, 1, Array.tabulate(4)(i => Array(i * 10.0)),
+        Array(Array(1.0), Array(2.0)))), nodes, elems)
+    val f = AnsysRst.decode(bytes)
+    assert(f.nodes.map(_.toSeq).toSeq == nodes.map(_.toSeq).toSeq)
+    assert(f.elems.map(_.toSeq).toSeq == Seq(Seq(0, 1, 2), Seq(1, 3, 2, 0)))
+    // results still decode alongside
+    assert(f.rows.count(_.result == "temperature") == 4)
+    // legacy geometry-free files keep decoding with empty tables
+    val legacy = AnsysRst.decode(AnsysRst.render(AnsysRst.AnalysisThermal, 2, 0,
+      Seq(AnsysRst.RstSet(1, 1, Array(Array(1.0), Array(2.0)), Array.empty))))
+    assert(legacy.nodes.isEmpty && legacy.elems.isEmpty)
+    // out-of-range connectivity rejected at render
+    intercept[IllegalArgumentException] {
+      AnsysRst.render(AnsysRst.AnalysisThermal, 4, 1, Seq(
+        AnsysRst.RstSet(1, 1, Array.tabulate(4)(i => Array(i * 10.0)),
+          Array(Array(1.0)))), nodes, Array(Array(0, 9)))
+    }
+    // distributed geometry read: mesh + results joinable on (mesh_id, idx)
+    val dir = java.nio.file.Files.createTempDirectory("rstgeo").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.rst"), bytes)
+    val (pts, cells) = graft.sources.AnsysRstSource.readGeometry(spark, dir)
+    assert(pts.count() == 4)
+    assert(pts.orderBy("node_id").collect().map(_.getDouble(4)).toSeq ==
+      Seq(0.0, 0.5, 0.25, 0.75))
+    assert(cells.orderBy("elem_id").collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("vertices")).toSeq ==
+      Seq(Seq(0L, 1L, 2L), Seq(1L, 3L, 2L, 0L)))
+    val results = graft.sources.AnsysRstSource.read(spark, dir)
+      .filter(col("result") === "temperature")
+      .select(col("mesh_id"), col("idx").as("node_id"), col("value"))
+    val joined = pts.join(results, Seq("mesh_id", "node_id"))
+    assert(joined.count() == 4)
+    spark.catalog.clearCache()
+  }
+
   test("RST source: distributed read over a fixture directory") {
     import graft.sources.AnsysRst
     val dir = java.nio.file.Files.createTempDirectory("rst").toString

@@ -83,6 +83,9 @@ object SparkEntry {
     "q_json_extract" -> (qJsonExtract _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_dup_spans" -> (qDupSpans _),
+    "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_unigram_lm" -> (qUnigramLm _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -1473,6 +1476,48 @@ object SparkEntry {
       "source", k = 5)
       .orderBy("src_a", "src_b")
 
+  /** Cross-document duplicated-span coverage (RefinedWeb/C4-style dup
+    * n-gram fraction): per doc, the share of its 5-gram positions whose
+    * shingle occurs in at least one OTHER document — corpus-internal
+    * boilerplate, distinct from within-doc repetition (q_repetition) and
+    * cross-source leakage (q_decontaminate).
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dupSpanCoverage(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        rnd("dup_frac", 4).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** SemDedup semantic deduplication over embeddings: k-means clusters
+    * (the IVF coarse quantizer), within-cluster exact cosine ≥ τ, CC group
+    * resolution, min-id survivors. The centroids are materialized to
+    * `SemCentroidsDir` so the oracle recomputes assignment (argmax with
+    * ties → lowest cid — bit-identical double dots), the within-cluster
+    * pair set, and the groups (recursive CTE) entirely in SQL.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 3, dimHint = 64)
+    // bounded quantizer dump (k rows × dim doubles); written per run so the
+    // oracle reads EXACTLY the centroids this run clustered with
+    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "w").coalesce(1)
+      .write.mode("overwrite").parquet(SemCentroidsDir)
+    SimilarityOps.semanticDedup(emb, "vec_id", "embedding", tau = 0.3, cents)
+      .select(col("id").as("vec_id"), col("cid"), col("component"),
+        col("is_survivor"))
+      .orderBy("vec_id")
+  }
+
+  /** Fixed materialization point for the q_semantic_dedup quantizer — the
+    * oracle SQL is static, so the path cannot vary with the sf dir; the
+    * driver's Verify→check flow is sequential, so the check always reads
+    * the centroids the immediately-preceding run wrote.
+    */
+  private val SemCentroidsDir = "/root/repo/data/sem_centroids"
+
   /** Gopher-style repetition metrics over word bigrams: top-n-gram and
     * duplicate-n-gram occupancy per document — the standard boilerplate /
     * spam signal for quality gating.
@@ -1482,6 +1527,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_ngrams"),
         rnd("top_fraction", 4).as("top_fraction"),
         rnd("dup_fraction", 4).as("dup_fraction"))
+      .orderBy("doc_id")
+
+  /** CCNet-style unigram LM gate: corpus-frequency token probabilities,
+    * per-doc mean log-prob (the in-domain perplexity heuristic — gate on
+    * both tails).
+    */
+  private def qUnigramLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
   /** Text quality scoring: length/token/stopword/digit features + composite. */
@@ -2048,6 +2102,67 @@ object SparkEntry {
          |JOIN cd ca ON ca.src_a = sp.src_a AND ca.src_b = sp.src_b
          |JOIN cd cb ON cb.src_a = sp.src_b AND cb.src_b = sp.src_a
          |ORDER BY 1, 2""".stripMargin,
+
+    // Per-POSITION 5-gram hashes (no distinct — coverage counts slots);
+    // the doc frequency joins back on the hash, dup means df > 1.
+    "q_dup_spans" ->
+      s"""WITH ws AS (SELECT doc_id, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |pos AS (SELECT doc_id,
+         |    ${hash64Sql("array_to_string(w[i:i+4], ' ')")} AS h
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+         |        FROM ws WHERE len(w) >= 5) t),
+         |dfq AS (SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+         |cov AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM pos p JOIN dfq d ON d.h = p.h GROUP BY 1)
+         |SELECT doc_id, n_spans, n_dup,
+         |  round(CAST(n_dup AS DOUBLE) / n_spans + 1e-9, 4) AS dup_frac
+         |FROM cov ORDER BY doc_id""".stripMargin,
+
+    // SemDedup mirror: assignment = argmax dot (ties -> lowest cid) against
+    // the materialized quantizer — double-widened dots are bit-identical —
+    // then within-cluster pairs at the rounded cosine and the same
+    // recursive-CTE component resolution as q_dedup_clusters.
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |cent AS (SELECT cid, w FROM '/root/repo/data/sem_centroids/*.parquet'),
+         |sc AS (SELECT e.vec_id AS id, c.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], c.w) AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+         |  FROM sc) z WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS da, b.vec_id AS db
+         |  FROM embeddings a
+         |  JOIN asg ia ON ia.id = a.vec_id
+         |  JOIN embeddings b ON b.vec_id > a.vec_id
+         |  JOIN asg ib ON ib.id = b.vec_id AND ib.cid = ia.cid
+         |  WHERE round(${cosSql("a", "b")} + 1e-9, 4) >= 0.3),
+         |sym(x, y) AS (SELECT da, db FROM p UNION SELECT db, da FROM p),
+         |walk(node, label) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT s.y, w.label FROM walk w JOIN sym s ON s.x = w.node)
+         |SELECT w.node AS vec_id, CAST(a2.cid AS INT) AS cid,
+         |  CAST(min(w.label) AS BIGINT) AS component,
+         |  w.node = min(w.label) AS is_survivor
+         |FROM walk w JOIN asg a2 ON a2.id = w.node
+         |GROUP BY w.node, a2.cid ORDER BY 1""".stripMargin,
+
+    // Unigram LM mirror: the same corpus vocabulary counts, the same
+    // exact c/N division, ln() differing only in the last ulp (absorbed
+    // by the eps round).
+    "q_unigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         |v AS (SELECT tok, count(*) AS c FROM tt GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
+         |FROM tt JOIN v USING (tok) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same bigram stream rebuilt with a list comprehension; the fractions
     // are exact small-integer ratios, eps-rounded on both sides.

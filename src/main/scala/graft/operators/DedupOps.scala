@@ -89,6 +89,35 @@ object DedupOps {
         col("n_docs").as("n_docs_b")), Seq("src_a", "src_b"))
   }
 
+  /** Cross-document duplicated-span coverage — the "duplicate n-gram
+    * fraction" quality signal web-corpus pipelines gate on (C4/RefinedWeb
+    * publish dup-{n}gram coverage thresholds): per document, how many of
+    * its k-gram POSITIONS carry a shingle that also appears in more than
+    * `minOtherDocs` other documents. Distinct from `crossSourceOverlap`
+    * (cross-source leakage) and from Gopher repetition (within-doc): this
+    * measures corpus-internal boilerplate.
+    *
+    * Scale shape: per-position shingles explode per doc (linear); the
+    * per-shingle document frequency is one hash-groupBy over DISTINCT
+    * (hash, doc); coverage is a join on the hash against that bounded
+    * frequency table — no document pairing anywhere.
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, minOtherDocs: Int = 1): DataFrame = {
+    // positions, NOT distinct — coverage counts every occurrence slot
+    val pos = cached(df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ws"))
+      .select(col("id"), explode(Text.shinglesFromTokens(col("_ws"), k)).as("sh"))
+      .select(col("id"), Text.hash64(col("sh")).as("h")))
+    val docFreq = pos.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    pos.join(docFreq, "h")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") > minOtherDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
+  }
+
   /** Distinct (id, shingle) rows — the sparse set representation shared by
     * Jaccard and MinHash. Tokens are materialized in their own projection so
     * the shingle lambda slices a computed array instead of re-tokenizing per

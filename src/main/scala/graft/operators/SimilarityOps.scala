@@ -283,6 +283,44 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("cos_r"))
   }
 
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDeDup" —
+    * the embedding-space dedup stage LLM curation pipelines run after exact
+    * and fuzzy dedup): cluster the corpus with the collected coarse
+    * quantizer (`ivfCentroids`), score the exact rounded cosine only WITHIN
+    * clusters, connect pairs ≥ τ, and keep the minimum id of each semantic
+    * duplicate group.
+    *
+    * Scale shape: assignment is an argmax over k codegen'd dots per row;
+    * the pair join buckets on cluster id, so the quadratic term is bounded
+    * by cluster occupancy (≈ n/k with balanced centroids — k grows with the
+    * corpus exactly like the IVF quantizer), never corpus-wide; group
+    * resolution is the checkpoint-truncated CC used by `resolveClusters`.
+    *
+    * Output: one row per input id — (id, cid, component, is_survivor).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                    centroids: Seq[Array[Float]]): DataFrame = {
+    val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2Norm(col(vecCol)).as("nrm"),
+      assignColumn(col(vecCol), centroids).as("cid"))
+    val base = // referenced by both pair sides and the id universe
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    val a = base.select(col("cid"), col("id").as("ia"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col("cid"), col("id").as("ib"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("ia") < col("ib"))
+      .withColumn("cos_r",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
+      .filter(col("cos_r") >= tau)
+      .select(col("ia").as("da"), col("ib").as("db"))
+    val comps = DedupOps.connectedComponents(base.select(col("id")), "id", pairs)
+    base.select("id", "cid").join(comps, Seq("id"))
+      .withColumn("is_survivor", col("id") === col("component"))
+  }
+
   /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
     * desc, id asc) so ties are deterministic across engines.
     */

@@ -86,4 +86,36 @@ object TextOps {
         (max("c").cast("double") / sum("c")).as("top_fraction"),
         (lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_fraction"))
   }
+
+  /** Self-trained unigram language-model score — the CCNet-style LM
+    * perplexity gate (CCNet filters on KenLM perplexity; with no external
+    * model shippable, the corpus ITSELF is the training set, which is the
+    * standard in-domain heuristic): token probabilities are corpus
+    * frequencies p(t) = C(t)/N, and each document scores its mean token
+    * log-probability (higher = more typical of the corpus; boilerplate
+    * scores high, noise scores low — gate on both tails).
+    *
+    * Scale shape: one token explode (linear), one hash-groupBy for the
+    * vocabulary counts, one broadcast-or-shuffle join back on the token,
+    * one per-doc reduction. The vocabulary is a grouped aggregate, never
+    * collected.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ws"))
+      .select(col("id"), explode(col("_ws")).as("tok"))
+      .filter(col("tok") =!= "")
+    val persisted = // vocabulary and per-doc stream read the same explode
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else toks
+    val vocab = persisted.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = vocab.agg(sum("c").as("n_total")) // 1-row broadcast
+
+    persisted.join(vocab, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("c").cast("double") / col("n_total"))).as("avg_logp"))
+  }
 }

@@ -59,6 +59,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(r((0L, 2L)) - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("semanticDedup: within-cluster groups, min-id survivors, cross-cluster isolation") {
+    val s = spark
+    import s.implicits._
+    // two tight direction groups + an isolated vector; k=2 centroids split
+    // the groups, so only same-direction pairs can connect
+    val df = Seq(
+      (10L, Array(1.0f, 0.01f, 0.0f)),
+      (11L, Array(1.0f, 0.02f, 0.0f)),
+      (12L, Array(0.99f, 0.0f, 0.01f)),
+      (20L, Array(0.0f, 1.0f, 0.01f)),
+      (21L, Array(0.01f, 1.0f, 0.0f)),
+      (30L, Array(0.0f, 0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f))
+    val r = SimilarityOps.semanticDedup(df, "vec_id", "embedding",
+      tau = 0.99, cents)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getBoolean(3)))).toMap
+    // the x-group collapses to min id 10, the y-group to 20; 30 survives
+    assert(r(10L) == ((10L, true)) && r(11L) == ((10L, false)) &&
+      r(12L) == ((10L, false)))
+    assert(r(20L) == ((20L, true)) && r(21L) == ((20L, false)))
+    assert(r(30L) == ((30L, true)))
+    spark.catalog.clearCache()
+  }
+
   test("topKCosine: deterministic ranking with id tie-break") {
     val r = SimilarityOps.topKCosine(vecs, "vec_id", "embedding", 2, 1L).collect()
       .map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))

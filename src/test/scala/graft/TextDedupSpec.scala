@@ -55,6 +55,39 @@ class TextDedupSpec extends SparkSpec {
     assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 2L) // docs 1+2 collapse
   }
 
+  test("unigramLogProb: analytic corpus-frequency log-probs") {
+    val s = spark
+    import s.implicits._
+    // corpus: 6 tokens total — a:3, b:2, c:1
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.unigramLogProb(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    def lp(c: Int) = math.log(c / 6.0)
+    assert(r(1L)._1 == 3 && math.abs(r(1L)._2 - (2 * lp(3) + lp(2)) / 3) < 1e-12)
+    assert(r(2L)._1 == 3 && math.abs(r(2L)._2 - (lp(3) + lp(2) + lp(1)) / 3) < 1e-12)
+    spark.catalog.clearCache()
+  }
+
+  test("dupSpanCoverage: per-position spans, cross-doc duplicates only") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c d e f"),      // spans: "a b c d e", "b c d e f"
+      (2L, "z a b c d e"),      // spans: "z a b c d", "a b c d e"
+      (3L, "q w e r t y"),      // spans: none shared
+      (4L, "x y")               // < 5 tokens → no spans, absent from output
+    ).toDF("doc_id", "text")
+    val r = DedupOps.dupSpanCoverage(d, "doc_id", "text", k = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // "a b c d e" appears in docs 1 and 2 → one dup slot each
+    assert(r(1L) == ((2L, 1L, 0.5)))
+    assert(r(2L) == ((2L, 1L, 0.5)))
+    assert(r(3L) == ((2L, 0L, 0.0)))
+    assert(!r.contains(4L))
+    spark.catalog.clearCache()
+  }
+
   test("jaccardPairs: analytic 3-gram Jaccard") {
     // doc1/doc2 identical canonical → J = 1.0
     // doc1/doc3: shingles {tqb,qbf,bfj} vs {tqb,qbc,bcs}: |∩|=1, |∪|=5 → 0.2

@@ -367,6 +367,72 @@ class CodecPropertySpec extends AnyFunSuite {
 
   // --------------------------------------------------------------- d3plot
 
+  test("PNG: random RGB/RGBA images render → decode identity (all filters)") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 12)
+      h <- Gen.chooseNum(1, 11) // ≥ 6 rows exercises every filter type
+      ch <- Gen.oneOf(3, 4)
+      samples <- Gen.listOfN(w * h * ch, Gen.chooseNum(0, 255))
+    } yield (w, h, ch, samples)
+    check(Prop.forAllNoShrink(gen) { case (w, h, ch, samples) =>
+      val png = graft.functions.Media.renderPng(w, h, ch, samples.toArray)
+      val d = graft.functions.Media.decodePng(png)
+      Prop(d.width == w && d.height == h && d.channels == ch &&
+        d.samples.toSeq == samples) :| s"${w}x$h x$ch"
+    })
+  }
+
+  test("NetCDF CF packing: scale/offset/fill attributes unpack at decode") {
+    val fill = -32768
+    val gen = for {
+      nLat <- Gen.chooseNum(1, 4)
+      nLon <- Gen.chooseNum(1, 4)
+      nRecs <- Gen.chooseNum(1, 3)
+      codes <- Gen.listOfN(nRecs * nLat * nLon,
+        Gen.frequency(4 -> Gen.chooseNum(-32767, 32767), 1 -> Gen.const(fill)))
+      scale <- Gen.oneOf(0.01, 0.5, 2.0)
+      offset <- Gen.oneOf(0.0, 0.5, -4.0)
+    } yield (nLat, nLon, nRecs, codes, scale, offset)
+    check(Prop.forAllNoShrink(gen) { case (nLat, nLon, nRecs, codes, scale, offset) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def nm(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+        val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+      }
+      def hdr(begin: Int): Unit = {
+        o.write("CDF".getBytes); o.write(1)
+        o.writeInt(nRecs)
+        o.writeInt(0x0A); o.writeInt(3)
+        nm("time"); o.writeInt(0)
+        nm("lat"); o.writeInt(nLat)
+        nm("lon"); o.writeInt(nLon)
+        o.writeInt(0); o.writeInt(0)
+        o.writeInt(0x0B); o.writeInt(1)
+        nm("v"); o.writeInt(3)
+        o.writeInt(0); o.writeInt(1); o.writeInt(2)
+        o.writeInt(0x0C); o.writeInt(3) // CF packing attrs
+        nm("scale_factor"); o.writeInt(6); o.writeInt(1); o.writeDouble(scale)
+        nm("add_offset"); o.writeInt(6); o.writeInt(1); o.writeDouble(offset)
+        nm("_FillValue"); o.writeInt(3); o.writeInt(1)
+        o.writeShort(fill); o.write(new Array[Byte](2))
+        o.writeInt(3) // nc_type short
+        o.writeInt(nLat * nLon * 2); o.writeInt(begin)
+      }
+      hdr(0); val len = bos.size(); bos.reset(); hdr(len)
+      codes.foreach(o.writeShort); o.flush()
+      val bytes = bos.toByteArray
+      val raw = NetCdfSource.values(bytes).sortBy(_._2).map(_._3)
+      val cf = NetCdfSource.values(bytes, decodeCf = true).sortBy(_._2).map(_._3)
+      val wantCf = codes.map(c =>
+        if (c == fill) Double.NaN else c * scale + offset)
+      Prop(raw == codes.map(_.toDouble) &&
+        cf.zip(wantCf).forall { case (g, w) =>
+          (g.isNaN && w.isNaN) || g == w
+        }) :| s"$nRecs×$nLat×$nLon scale=$scale offset=$offset"
+    })
+  }
+
   test("d3plot: random shell runs render → parse identity") {
     val gen = for {
       numnp <- Gen.chooseNum(4, 20)

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_streaming_dedup" -> (qStreamingDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -1529,6 +1530,38 @@ object SparkEntry {
         rnd("dup_fraction", 4).as("dup_fraction"))
       .orderBy("doc_id")
 
+  /** Streaming MinHash-LSH near-dup candidates run to completion over the
+    * documents table staged as a file-stream source: signatures are pure
+    * column math per row, and the ONLY stateful operator is the
+    * per-(band, bucket) `flatMapGroupsWithState` (watermark-bounded
+    * state). The oracle recomputes signatures and band collisions in SQL —
+    * the streaming and batch faces produce the same pair set by
+    * construction.
+    */
+  private def qStreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val streamDir = freshTmpDir("graft_stream_docs", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/documents.parquet")
+    val fs = srcP.getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcP, dstP.getFileSystem(hconf), dstP,
+      false, hconf)
+    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+    val cand = graft.streaming.StreamingDedup.nearDupCandidates(
+      stream, "doc_id", "text", "ts", k = ShingleK, watermarkDelayMs = 3600000L)
+    val qname = s"graft_sdedup_${math.abs(dir.hashCode)}"
+    val q = cand.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("ia", "ib")
+  }
+
   /** CCNet-style unigram LM gate: corpus-frequency token probabilities,
     * per-doc mean log-prob (the in-domain perplexity heuristic — gate on
     * both tails).
@@ -2005,6 +2038,17 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
          |FROM band a JOIN band b USING (band, bk)
          |WHERE a.doc_id < b.doc_id ORDER BY da, db""".stripMargin,
+
+    // The streaming candidate stream aggregates to the SAME band-collision
+    // set as the batch face: signatures are identical column math, so the
+    // per-pair colliding-band count recomputes exactly.
+    "q_streaming_dedup" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion)
+         |SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS n_bands
+         |FROM band a JOIN band b USING (band, bk)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok FROM documents),

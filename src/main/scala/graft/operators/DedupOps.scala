@@ -118,6 +118,30 @@ object DedupOps {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
   }
 
+  /** Per-position 31-bit shingle hashes as an array column. Callers MUST
+    * pass an already-materialized shingle array column (the
+    * `Text.shinglesFromTokens` discipline — a lambda-captured subtree
+    * re-evaluates per element).
+    */
+  def rowShingleH31(shingles: Column): Column =
+    transform(shingles, s => Text.hash64(s) % MinhashPrime)
+
+  /** ROW-WISE MinHash signature as a single array column — the same
+    * permutation family and 31-bit hash as `minhashSignatures`, but
+    * computed with `array_min` over a MATERIALIZED per-row h31 array
+    * (from `rowShingleH31`, in its own projection) instead of a grouped
+    * aggregate — min over positions ≡ min over the distinct set. This is
+    * the streaming-safe form: pure column math, no shuffle, no state —
+    * `streaming/StreamingDedup` bands it per micro-batch. Empty when the
+    * doc had fewer than k tokens.
+    */
+  def rowMinhashSignature(h31s: Column): Column =
+    when(size(h31s) === 0, typedLit(Seq.empty[Long]))
+      .otherwise(array((0 until NumPerms).map { i =>
+        array_min(transform(h31s, h =>
+          (lit(permA(i)) * h + lit(permB(i))) % MinhashPrime))
+      }: _*))
+
   /** Distinct (id, shingle) rows — the sparse set representation shared by
     * Jaccard and MinHash. Tokens are materialized in their own projection so
     * the shingle lambda slices a computed array instead of re-tokenizing per

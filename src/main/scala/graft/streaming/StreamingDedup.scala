@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Text
+import graft.operators.DedupOps
+
+/** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+  * continuous-ingestion face of the batch `minhashSignatures → bandPairs`
+  * path (SURVEY §2.7 composes the reference's batch-only dedup semantics
+  * with Structured Streaming the same way `StreamingStats` does for the
+  * stats filters).
+  *
+  * Shape: signatures are PURE COLUMN MATH per row (`rowMinhashSignature` —
+  * no shuffle, no aggregation), banded per row, and the only stateful
+  * operator is one `flatMapGroupsWithState` keyed by (band, bucket): state
+  * holds the ids seen in that bucket inside the watermark horizon, each
+  * arrival emits candidate pairs against them, and event-time timeouts
+  * evict buckets whose newest member has aged past the delay — state is
+  * O(rate × delay), never O(corpus). Emitted pairs are per colliding band;
+  * downstream verification (exact Jaccard / cosine on the candidate set)
+  * is the same batch discipline as `bandPairs → jaccardPairs`.
+  *
+  * On a BATCH frame the same banding runs through the `bandPairs`-style
+  * collision join instead of state (the Dataset contract: one semantics,
+  * two execution shapes).
+  */
+object StreamingDedup {
+
+  /** (ia, ib, band) candidate rows; `ia < ib`, one row per colliding band.
+    * `df` must carry `idCol` castable to long, `textCol`, and an event-time
+    * `tsCol` (timestamp) when streaming.
+    */
+  def nearDupCandidates(df: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, k: Int,
+                        watermarkDelayMs: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBands = DedupOps.NumPerms / DedupOps.BandRows
+    val buckets = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+          element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*).as("bucket"))
+    }: _*)
+    val base = if (df.isStreaming)
+      df.withWatermark(tsCol, s"$watermarkDelayMs milliseconds") else df
+    val banded = base
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        Text.tokens(col(textCol)).as("_ws"))
+      .select(col("id"), col("ts"), Text.shinglesFromTokens(col("_ws"), k).as("_sh"))
+      .select(col("id"), col("ts"), DedupOps.rowShingleH31(col("_sh")).as("_h31"))
+      .select(col("id"), col("ts"), DedupOps.rowMinhashSignature(col("_h31")).as("_sig"))
+      .filter(size(col("_sig")) > 0)
+      .select(col("id"), col("ts"), explode(buckets).as("bb"))
+      .select(col("id"), col("ts"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    if (!df.isStreaming) {
+      val l = banded.select(col("band"), col("bucket"), col("id").as("ia"))
+      val r = banded.select(col("band"), col("bucket"), col("id").as("ib"))
+      l.join(r, Seq("band", "bucket")).filter(col("ia") < col("ib"))
+        .select("ia", "ib", "band")
+    } else {
+      banded.as[(Long, java.sql.Timestamp, Int, String)]
+        .groupByKey(x => (x._3, x._4))
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(emitPairs(watermarkDelayMs) _)
+        .toDF("ia", "ib", "band")
+    }
+  }
+
+  /** Per-bucket state transition: pair each arrival against the bucket's
+    * watermark-live members, then extend the eviction deadline to the
+    * newest event time + delay.
+    */
+  private def emitPairs(delayMs: Long)(
+      key: (Int, String),
+      rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+      state: GroupState[List[Long]]): Iterator[(Long, Long, Int)] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var seen = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+      var maxTs = Long.MinValue
+      rows.foreach { case (id, ts, band, _) =>
+        maxTs = math.max(maxTs, ts.getTime)
+        seen.foreach { s =>
+          if (s != id) out += ((math.min(s, id), math.max(s, id), band))
+        }
+        if (!seen.contains(id)) seen = id :: seen
+      }
+      state.update(seen)
+      if (maxTs != Long.MinValue) state.setTimeoutTimestamp(maxTs + delayMs)
+      out.iterator
+    }
+  }
+}

@@ -65,6 +65,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates: cross-batch pairs, batch agreement") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val base = 1700000000L
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog", base + 1)
+    val d2 = (2L, "completely different words about spark shuffles here", base + 2)
+    val d3 = (3L, "the quick brown fox jumps over the lazy dog", base + 61) // dup of 1, later batch
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("doc_id", "text", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+
+    val input = MemoryStream[(Long, String, Long)]
+    val cand = StreamingDedup.nearDupCandidates(
+      shape(input.toDF()), "doc_id", "text", "ts", k = 3,
+      watermarkDelayMs = 600000L)
+    val q = cand.writeStream.format("memory").queryName("ndc")
+      .outputMode("append").start()
+    try {
+      input.addData(d1, d2)
+      q.processAllAvailable()
+      input.addData(d3)
+      q.processAllAvailable()
+      val got = s.table("ndc").select("ia", "ib")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the identical pair collides (state carried across micro-batches);
+      // the unrelated doc never pairs
+      assert(got == Set((1L, 3L)))
+      // all 4 bands of an identical pair collide
+      assert(s.table("ndc").filter(col("ia") === 1 && col("ib") === 3).count() == 4)
+      // batch face agrees on the pair set
+      val batch = StreamingDedup.nearDupCandidates(
+        shape(Seq(d1, d2, d3).toDF()), "doc_id", "text", "ts", k = 3,
+        watermarkDelayMs = 600000L)
+        .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming state equals the batch Welford aggregator") {
     val s = spark
     import s.implicits._

@@ -118,29 +118,57 @@ object DedupOps {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
   }
 
-  /** Per-position 31-bit shingle hashes as an array column. Callers MUST
-    * pass an already-materialized shingle array column (the
-    * `Text.shinglesFromTokens` discipline — a lambda-captured subtree
-    * re-evaluates per element).
+  /** ROW-WISE MinHash signature: the same normalization, 60-bit md5 hash,
+    * 31-bit reduction, and permutation family as the column pipeline
+    * (`Text.norm`/`Text.hash64` → `minhashSignatures`), computed in ONE
+    * pass of plain Scala per row (min over positions ≡ min over the
+    * distinct shingle set). This is the streaming-safe shape
+    * `streaming/StreamingDedup` maps per micro-batch.
+    *
+    * Deliberately NOT expressed as nested higher-order-function columns:
+    * CollapseProject merges chained projections, which inlines the
+    * token/shingle/hash subtrees into all NumPerms signature lambdas and
+    * re-evaluates them MULTIPLICATIVELY per element (measured 120 s for
+    * 5000 docs vs ~1 s for this function — the aggregation boundary is
+    * what protects the batch column pipeline from the same collapse).
+    * Returns an empty array when the doc has fewer than k tokens.
     */
-  def rowShingleH31(shingles: Column): Column =
-    transform(shingles, s => Text.hash64(s) % MinhashPrime)
-
-  /** ROW-WISE MinHash signature as a single array column — the same
-    * permutation family and 31-bit hash as `minhashSignatures`, but
-    * computed with `array_min` over a MATERIALIZED per-row h31 array
-    * (from `rowShingleH31`, in its own projection) instead of a grouped
-    * aggregate — min over positions ≡ min over the distinct set. This is
-    * the streaming-safe form: pure column math, no shuffle, no state —
-    * `streaming/StreamingDedup` bands it per micro-batch. Empty when the
-    * doc had fewer than k tokens.
-    */
-  def rowMinhashSignature(h31s: Column): Column =
-    when(size(h31s) === 0, typedLit(Seq.empty[Long]))
-      .otherwise(array((0 until NumPerms).map { i =>
-        array_min(transform(h31s, h =>
-          (lit(permA(i)) * h + lit(permB(i))) % MinhashPrime))
-      }: _*))
+  def minhashSigRow(text: String, k: Int): Array[Long] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val toks: Array[String] = if (norm.isEmpty) Array.empty else norm.split(" ")
+    if (toks.length < k) return Array.empty[Long]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = Array.fill(NumPerms)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      // Text.hash64 ≡ first 15 hex chars of the md5 (60 bits, positive)
+      var h = 0L
+      var b = 0
+      while (b < 8) { // 16 hex chars, drop the lowest nibble → 15
+        h = (h << 8) | (d(b) & 0xffL)
+        b += 1
+      }
+      val h31 = (h >>> 4) % MinhashPrime
+      var p = 0
+      while (p < NumPerms) {
+        val v = (permA(p) * h31 + permB(p)) % MinhashPrime
+        if (v < sigs(p)) sigs(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sigs
+  }
 
   /** Distinct (id, shingle) rows — the sparse set representation shared by
     * Jaccard and MinHash. Tokens are materialized in their own projection so

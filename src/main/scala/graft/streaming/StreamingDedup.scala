@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.Text
 import graft.operators.DedupOps
 
 /** Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
@@ -13,8 +12,10 @@ import graft.operators.DedupOps
   * with Structured Streaming the same way `StreamingStats` does for the
   * stats filters).
   *
-  * Shape: signatures are PURE COLUMN MATH per row (`rowMinhashSignature` —
-  * no shuffle, no aggregation), banded per row, and the only stateful
+  * Shape: signatures are a single-pass typed map per row
+  * (`DedupOps.minhashSigRow` — no shuffle, no aggregation; see its note on
+  * why nested HOF columns are the WRONG shape here), banded per row, and
+  * the only stateful
   * operator is one `flatMapGroupsWithState` keyed by (band, bucket): state
   * holds the ids seen in that bucket inside the watermark horizon, each
   * arrival emits candidate pairs against them, and event-time timeouts
@@ -44,14 +45,17 @@ object StreamingDedup {
         concat_ws("_", (0 until DedupOps.BandRows).map(r =>
           element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*).as("bucket"))
     }: _*)
-    val base = if (df.isStreaming)
-      df.withWatermark(tsCol, s"$watermarkDelayMs milliseconds") else df
-    val banded = base
+    val sigs = df
       .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
-        Text.tokens(col(textCol)).as("_ws"))
-      .select(col("id"), col("ts"), Text.shinglesFromTokens(col("_ws"), k).as("_sh"))
-      .select(col("id"), col("ts"), DedupOps.rowShingleH31(col("_sh")).as("_h31"))
-      .select(col("id"), col("ts"), DedupOps.rowMinhashSignature(col("_h31")).as("_sig"))
+        col(textCol).as("text"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .map { case (id, ts, text) => (id, ts, DedupOps.minhashSigRow(text, k)) }
+      .toDF("id", "ts", "_sig")
+    // the watermark goes AFTER the typed map: the event-time marker does
+    // not propagate through an object-serialization boundary
+    val base = if (df.isStreaming)
+      sigs.withWatermark("ts", s"$watermarkDelayMs milliseconds") else sigs
+    val banded = base
       .filter(size(col("_sig")) > 0)
       .select(col("id"), col("ts"), explode(buckets).as("bb"))
       .select(col("id"), col("ts"),

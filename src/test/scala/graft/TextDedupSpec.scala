@@ -55,6 +55,20 @@ class TextDedupSpec extends SparkSpec {
     assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 2L) // docs 1+2 collapse
   }
 
+  test("minhashSigRow: single-pass row signature equals the batch grouped one") {
+    val sh = DedupOps.shingleSet(docs, "doc_id", "text", 3)
+    val batch = DedupOps.minhashSignatures(sh, "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (1 to graft.operators.DedupOps.NumPerms).map(i => r.getLong(i)).toSeq).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val sig = DedupOps.minhashSigRow(r.getString(1), 3)
+      batch.get(r.getLong(0)) match {
+        case Some(b) => assert(sig.toSeq == b, s"doc ${r.getLong(0)}")
+        case None => assert(sig.isEmpty, s"doc ${r.getLong(0)} should have no shingles")
+      }
+    }
+  }
+
   test("unigramLogProb: analytic corpus-frequency log-probs") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_gopher_rules" -> (qGopherRules _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
@@ -1562,6 +1563,24 @@ object SparkEntry {
       .orderBy("ia", "ib")
   }
 
+  /** Gopher rule-set gate (minWords lowered to 20 for the short synthetic
+    * docs so the verdict varies): every metric and the combined `passes`
+    * recompute in SQL — exact integer-ratio fractions, unrounded
+    * threshold comparisons mirrored on both sides.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+      minWords = 20)
+      .select(col("doc_id"), col("n_words"),
+        rnd("mean_word_len", 4).as("mean_word_len"),
+        rnd("alpha_word_frac", 4).as("alpha_word_frac"),
+        col("n_stop_hits"),
+        rnd("bullet_line_frac", 4).as("bullet_line_frac"),
+        rnd("ellipsis_line_frac", 4).as("ellipsis_line_frac"),
+        col("n_symbols"), rnd("symbol_ratio", 4).as("symbol_ratio"),
+        col("passes"))
+      .orderBy("doc_id")
+
   /** CCNet-style unigram LM gate: corpus-frequency token probabilities,
     * per-doc mean log-prob (the in-domain perplexity heuristic — gate on
     * both tails).
@@ -2193,6 +2212,44 @@ object SparkEntry {
          |  w.node = min(w.label) AS is_survivor
          |FROM walk w JOIN asg a2 ON a2.id = w.node
          |GROUP BY w.node, a2.cid ORDER BY 1""".stripMargin,
+
+    // Gopher rules mirror: every fraction is an exact integer ratio
+    // (identical doubles both engines), so the unrounded threshold
+    // comparisons in `passes` agree bit-for-bit; display values are
+    // eps-rounded as usual.
+    "q_gopher_rules" ->
+      s"""WITH ww AS (SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS w
+         |        FROM documents) t WHERE w <> ''),
+         |wa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    avg(CAST(length(w) AS DOUBLE)) AS mwl,
+         |    avg(CASE WHEN regexp_matches(w, '[a-z]') THEN 1.0 ELSE 0.0 END) AS awf,
+         |    CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with')
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+         |  FROM ww GROUP BY 1),
+         |la AS (SELECT doc_id,
+         |    avg(CASE WHEN regexp_matches(trim(ln), '^[-*•]') THEN 1.0 ELSE 0.0 END) AS blf,
+         |    avg(CASE WHEN regexp_matches(trim(ln), '\\.\\.\\.$$') THEN 1.0 ELSE 0.0 END) AS elf
+         |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+         |        FROM documents) t GROUP BY 1),
+         |sy AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '#')) +
+         |         len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS nsym
+         |  FROM documents)
+         |SELECT wa.doc_id, n_words,
+         |  round(mwl + 1e-9, 4) AS mean_word_len,
+         |  round(awf + 1e-9, 4) AS alpha_word_frac,
+         |  nstop AS n_stop_hits,
+         |  round(blf + 1e-9, 4) AS bullet_line_frac,
+         |  round(elf + 1e-9, 4) AS ellipsis_line_frac,
+         |  nsym AS n_symbols,
+         |  round(CAST(nsym AS DOUBLE) / n_words + 1e-9, 4) AS symbol_ratio,
+         |  (n_words >= 20 AND n_words <= 100000 AND mwl >= 3 AND mwl <= 10
+         |   AND CAST(nsym AS DOUBLE) / n_words < 0.1 AND blf < 0.9
+         |   AND elf < 0.3 AND awf >= 0.8 AND nstop >= 2) AS passes
+         |FROM wa JOIN la ON la.doc_id = wa.doc_id
+         |JOIN sy ON sy.doc_id = wa.doc_id
+         |ORDER BY wa.doc_id""".stripMargin,
 
     // Unigram LM mirror: the same corpus vocabulary counts, the same
     // exact c/N division, ln() differing only in the last ulp (absorbed

@@ -87,6 +87,60 @@ object TextOps {
         (lit(1.0) - count(lit(1)).cast("double") / sum("c")).as("dup_fraction"))
   }
 
+  /** The Gopher rule-set stop words (Rae et al. 2021 Table A1 — public):
+    * a passing document must contain at least two of these.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality RULES (Rae et al. 2021 §A1.1 Table A1, the filter set
+    * web-curation pipelines apply before model-based gates): per document —
+    * word-count bounds, mean word length in [3, 10], symbol-to-word ratio
+    * (# or ellipsis) < 0.1, < 90% of lines bullet-started, < 30% of lines
+    * ellipsis-ended, ≥ 80% of words containing an alphabetic character,
+    * and ≥ 2 stop-word hits — plus the combined `passes` verdict.
+    *
+    * Scale shape: two linear explodes (words, lines) each collapsed by a
+    * per-doc hash aggregate, one regexp count projection, broadcast-sized
+    * joins on the doc id. No HOF lambdas over captured subtrees (the
+    * CollapseProject multiplicative-re-evaluation trap — see
+    * `DedupOps.minhashSigRow`).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val words = base
+      .select(col("id"), explode(graft.functions.Text.tokens(col("t"))).as("w"))
+      .filter(col("w") =!= "")
+    val wordAgg = words.groupBy("id").agg(
+      count(lit(1)).as("n_words"),
+      avg(length(col("w"))).as("mean_word_len"),
+      avg(when(col("w").rlike("[a-z]"), 1.0).otherwise(0.0)).as("alpha_word_frac"),
+      sum(when(col("w").isInCollection(GopherStops), 1L).otherwise(0L))
+        .as("n_stop_hits"))
+    val lineAgg = base
+      .select(col("id"), explode(split(col("t"), "\n")).as("ln"))
+      .groupBy("id").agg(
+        avg(when(trim(col("ln")).rlike("^[-*•]"), 1.0).otherwise(0.0))
+          .as("bullet_line_frac"),
+        avg(when(trim(col("ln")).rlike("\\.\\.\\.$"), 1.0).otherwise(0.0))
+          .as("ellipsis_line_frac"))
+    val sym = base.select(col("id"),
+      (regexp_count(col("t"), lit("#")) +
+        regexp_count(col("t"), lit("\\.\\.\\."))).cast("long").as("n_symbols"))
+    wordAgg.join(lineAgg, "id").join(sym, "id")
+      .withColumn("symbol_ratio", col("n_symbols").cast("double") / col("n_words"))
+      .withColumn("passes",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") < 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Self-trained unigram language-model score — the CCNet-style LM
     * perplexity gate (CCNet filters on KenLM perplexity; with no external
     * model shippable, the corpus ITSELF is the training set, which is the

@@ -214,6 +214,29 @@ class OperatorSpec extends SparkSpec {
     assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
   }
 
+  test("gopherRules: analytic rule metrics and combined verdict") {
+    val s = spark
+    import s.implicits._
+    val good = Seq.fill(3)(
+      "the quick brown fox and that hound have with jumped over lazy dogs")
+      .mkString(" ")
+    val bullets = "- one\n- two\n- three\n* four"
+    val symbols = "hash # tag # stuff # more # and # the..."
+    val d = Seq((1L, good), (2L, bullets), (3L, symbols))
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(d, "doc_id", "text", minWords = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("passes"))
+    assert(r(1L).getAs[Long]("n_words") == 39)
+    assert(r(1L).getAs[Long]("n_stop_hits") == 15) // 5 stops × 3 repeats
+    // every line bullet-started → rule 4 fails
+    assert(r(2L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!r(2L).getAs[Boolean]("passes"))
+    // 5 hashes + 1 ellipsis over 11 words → symbol rule fails
+    assert(r(3L).getAs[Long]("n_symbols") == 6)
+    assert(!r(3L).getAs[Boolean]("passes"))
+  }
+
   test("qualityFeatures: analytic features for a known doc") {
     val s = spark
     import s.implicits._

@@ -483,4 +483,59 @@ class CodecPropertySpec extends AnyFunSuite {
       Prop(coordsOk && statesOk) :| s"numnp=$numnp nel4=$nel4 maxint=$maxint states=$nStates"
     }, n = 60)
   }
+
+  test("d3plot SPH: random flag configurations decode at the right strides") {
+    val widthGen = Gen.oneOf(0, 1)
+    val gen = for {
+      nmsph <- Gen.chooseNum(1, 5)
+      numnp <- Gen.chooseNum(1, 4)
+      radius <- widthGen; pressure <- widthGen
+      stress <- Gen.oneOf(0, 6); epsp <- widthGen
+      density <- widthGen; energy <- widthGen
+      neigh <- widthGen; strain <- Gen.oneOf(0, 6)
+      mass <- widthGen; hist <- Gen.chooseNum(0, 3)
+      nStates <- Gen.chooseNum(1, 2)
+    } yield (nmsph, numnp,
+      Seq(radius, pressure, stress, epsp, density, energy, neigh, strain, mass, hist),
+      nStates)
+    check(Prop.forAllNoShrink(gen) { case (nmsph, numnp, counts, nStates) =>
+      val numSphVars = 1 + counts.sum
+      val stateWords = 1 + numnp * 3 + nmsph * numSphVars
+      val total = 64 + 11 + numnp * 3 + nmsph * 2 + nStates * stateWords + 1
+      val bb = ByteBuffer.allocate(total * 4).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("sph prop".padTo(40, ' ').getBytes("US-ASCII"))
+      (10 until 64).foreach {
+        case 15 => bb.putInt(4)
+        case 16 => bb.putInt(numnp)
+        case 20 => bb.putInt(1)          // IU
+        case 37 => bb.putInt(nmsph)      // NMSPH
+        case _  => bb.putInt(0)
+      }
+      bb.putInt(11); counts.foreach(bb.putInt)            // flags block
+      (0 until numnp * 3).foreach(i => bb.putFloat(i.toFloat))
+      (0 until nmsph).foreach { i =>                      // node & material list
+        bb.putInt(i % numnp + 1); bb.putInt(i + 1)
+      }
+      def sphVal(t: Int, i: Int, w: Int): Float = (t * 1000 + i * 100 + w).toFloat
+      (0 until nStates).foreach { t =>
+        bb.putFloat(t + 0.5f)
+        (0 until numnp * 3).foreach(i => bb.putFloat(i * 2.0f))
+        (0 until nmsph).foreach(i =>
+          (0 until numSphVars).foreach(w => bb.putFloat(sphVal(t, i, w))))
+      }
+      bb.putFloat(-999999.0f)
+      val f = graft.sources.D3PlotSource.parse(bb.array())
+      val listOk = f.sphParticles.toSeq ==
+        (0 until nmsph).map(i => ((i % numnp).toLong, (i + 1).toLong))
+      val labelsOk = f.sphLabels.length == numSphVars &&
+        f.sphLabels.head == "material"
+      val valsOk = f.states.length == nStates && f.states.zipWithIndex.forall {
+        case (st, t) => st.sph.length == nmsph && st.sph.zipWithIndex.forall {
+          case (p, i) => p.toSeq == (0 until numSphVars).map(sphVal(t, i, _))
+        }
+      }
+      Prop(listOk && labelsOk && valsOk) :|
+        s"nmsph=$nmsph counts=${counts.mkString(",")} states=$nStates"
+    }, n = 60)
+  }
 }

@@ -37,16 +37,32 @@ class PlanSpec extends SparkSpec {
 
   test("dedup/similarity candidate joins never degrade to cartesian products") {
     Seq("q_exact_dedup", "q_jaccard_pairs", "q_lsh_band_pairs", "q_simhash_pairs",
-      "q_salted_join", "q_sessionize", "q_token_budget", "q_topk_cosine")
+      "q_salted_join", "q_sessionize", "q_token_budget", "q_topk_cosine",
+      "q_dup_spans", "q_unigram_lm", "q_gopher_rules")
       .foreach { q =>
         val p = formatted(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
-        // two legitimate bounded nested-loops: brute top-k over its bounded
-        // query set, and the salt-range replication of the SMALL join side
-        // (that replication IS the salting technique)
-        if (q != "q_topk_cosine" && q != "q_salted_join")
+        // legitimate bounded nested-loops: brute top-k over its bounded
+        // query set, the salt-range replication of the SMALL join side
+        // (that replication IS the salting technique), and the unigram
+        // LM's 1-row corpus-total broadcast (the scalar-inject pattern)
+        if (q != "q_topk_cosine" && q != "q_salted_join" && q != "q_unigram_lm")
           assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       }
+  }
+
+  test("semanticDedup: pair join buckets on the cluster id, no cartesian") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 7 + d).toFloat / 10)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(Array.fill(8)(1.0f), Array.tabulate(8)(d => -1.0f + d * 0.1f))
+    val plan = graft.operators.SimilarityOps
+      .semanticDedup(df, "vec_id", "embedding", tau = 0.99, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "semanticDedup plans a CartesianProduct")
+    spark.catalog.clearCache()
   }
 
   test("q_atom_offsets: prefix sum is the two-pass form, not one global window task") {

@@ -208,7 +208,10 @@ object SparkEntry {
     val fs = srcP.getFileSystem(hconf)
     org.apache.hadoop.fs.FileUtil.copy(fs, srcP, dstP.getFileSystem(hconf), dstP,
       false, hconf)
-    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
+    // recursive lookup: see q_streaming_dedup — a directory-shaped table
+    // otherwise yields a silently-empty stream
+    val stream = s.readStream.schema(raw.schema)
+      .option("recursiveFileLookup", "true").parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = graft.streaming.StreamingStats.windowedGridStats(
       stream, "ts", Seq("event_type"), "value",
@@ -1548,7 +1551,11 @@ object SparkEntry {
     val fs = srcP.getFileSystem(hconf)
     org.apache.hadoop.fs.FileUtil.copy(fs, srcP, dstP.getFileSystem(hconf), dstP,
       false, hconf)
-    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
+    // recursive lookup: a Spark-WRITTEN table is a directory of part
+    // files; without it the file-stream source silently discovers ZERO
+    // files one level down and the query "succeeds" on an empty stream
+    val stream = s.readStream.schema(raw.schema)
+      .option("recursiveFileLookup", "true").parquet(streamDir)
       .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
     val cand = graft.streaming.StreamingDedup.nearDupCandidates(
       stream, "doc_id", "text", "ts", k = ShingleK, watermarkDelayMs = 3600000L)

@@ -3,12 +3,14 @@ package graft.functions
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Container-free media codecs — PCM WAV (RIFF), 24-bit uncompressed BMP,
-  * and 8-bit RGB/RGBA PNG — all PUBLIC byte layouts decodable without any
-  * codec library (PNG is zlib, which the JVM ships, plus the five spec
-  * filters). They turn the multimodal decode boundary REAL for these
-  * formats: payloads travel as opaque binary columns and decode
-  * per-partition on executors (`operators/MultimodalOps`); only genuinely
-  * codec-bound formats (JPEG/MP4) remain behind the labeled stub.
+  * 8-bit RGB/RGBA PNG, and baseline JPEG — all PUBLIC byte layouts
+  * decodable without any codec library (PNG is zlib, which the JVM ships,
+  * plus the five spec filters; JPEG is canonical Huffman + 8×8 DCT, both
+  * fully specified in ITU-T T.81). They turn the multimodal decode
+  * boundary REAL for these formats: payloads travel as opaque binary
+  * columns and decode per-partition on executors
+  * (`operators/MultimodalOps`); only video containers (MP4/H.264) remain
+  * behind the labeled stub.
   */
 object Media {
 
@@ -300,5 +302,395 @@ object Media {
       }
     }
     Bmp(width, height, px)
+  }
+
+  // --------------------------------------------------------------- JPEG
+
+  /** Baseline JFIF image in its native component space: `channels` = 1
+    * (grayscale, component Y) or 3 (YCbCr 4:4:4), row-major interleaved
+    * samples 0..255. Color-space conversion to RGB is a separate concern
+    * (the DCT/Huffman layer below is what "decoding a JPEG" means;
+    * conversion is three fixed linear maps).
+    */
+  final case class Jpeg(width: Int, height: Int, channels: Int, samples: Array[Int]) {
+    def channelMean(c: Int): Double = {
+      require(c >= 0 && c < channels, s"channel $c of $channels")
+      var s = 0L; var i = c
+      while (i < samples.length) { s += samples(i); i += channels }
+      s.toDouble / (width.toLong * height)
+    }
+  }
+
+  /** Zigzag scan order (T.81 Figure A.6): index-in-scan → raster index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Quant tables, raster order. DC step 8 divides the flat-block DC
+    * (= 8·(c−128)) exactly for every 8-bit c, so images built from
+    * constant 8×8 blocks round-trip bit-exactly — the property the oracle
+    * query leans on. AC steps are ordinary lossy values.
+    */
+  private val QLuma: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+  private val QChroma: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 24)
+
+  /** DC Huffman layouts from T.81 Annex K.3 (the de-facto standard set). */
+  private val DcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+
+  /** AC layout covering every baseline symbol — EOB at length 2,
+    * (0,1)/(0,2) at length 3, the remaining 159 run/size pairs + ZRL at
+    * length 9 (Kraft sum 0.81 < 1, a legal incomplete canonical code).
+    * Multi-length, so decoders must do real canonical-code walking.
+    */
+  private val AcLayout: (Array[Int], Array[Int]) = {
+    val head = Array(0x00, 0x01, 0x02) // EOB, (0,1), (0,2)
+    val rest = (for { run <- 0 to 15; size <- 1 to 10
+                      sym = (run << 4) | size if !head.contains(sym) } yield sym) :+ 0xF0
+    val bits = new Array[Int](16)
+    bits(1) = 1; bits(2) = 2; bits(8) = rest.length
+    (bits, head ++ rest)
+  }
+
+  /** Canonical codes for encoding: symbol → (code, length). T.81 C.2. */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) { m += (vals(k) -> ((code, l))); code += 1; k += 1 }
+      code <<= 1
+    }
+    m.result()
+  }
+
+  /** Canonical decode via mincode/maxcode/valptr (T.81 F.2.2.3). */
+  private final class HuffDecoder(bits: Array[Int], vals: Array[Int]) {
+    private val minC = new Array[Int](17)
+    private val maxC = Array.fill(17)(-1)
+    private val vptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        if (bits(l - 1) > 0) {
+          vptr(l) = k; minC(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxC(l) = code - 1
+        }
+        code <<= 1
+      }
+    }
+    def decode(nextBit: () => Int): Int = {
+      var l = 1; var code = nextBit()
+      while (maxC(l) < 0 || code > maxC(l)) {
+        l += 1
+        require(l <= 16, "corrupt JPEG entropy stream (no Huffman code matches)")
+        code = (code << 1) | nextBit()
+      }
+      vals(vptr(l) + code - minC(l))
+    }
+  }
+
+  private val CosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private def cC(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Bit category of a DC diff / AC value (T.81 Table F.1). */
+  private def cat(v: Int): Int = {
+    var a = math.abs(v); var n = 0
+    while (a > 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** Sign-extend `v` received in `t` bits (T.81 F.2.2.1 EXTEND). */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** MSB-first bit sink with 0xFF→0xFF00 stuffing; flush pads with 1s. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0L; private var nb = 0
+    def put(v: Int, n: Int): Unit = {
+      require(n >= 0 && n <= 24, s"bad bit count $n")
+      acc = (acc << n) | (v & ((1L << n) - 1)); nb += n
+      while (nb >= 8) {
+        val b = ((acc >>> (nb - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nb -= 8
+      }
+    }
+    def flush(): Unit = if (nb > 0) { put((1 << (8 - nb)) - 1, 8 - nb) }
+  }
+
+  /** MSB-first bit source over entropy-coded data; consumes stuffed
+    * 0xFF00 pairs, refuses to read through a real marker.
+    */
+  private final class BitReader(bytes: Array[Byte], var p: Int) {
+    private var cur = 0; private var nb = 0
+    def nextBit(): Int = {
+      if (nb == 0) {
+        require(p < bytes.length, "JPEG entropy stream truncated")
+        cur = bytes(p) & 0xff; p += 1
+        if (cur == 0xff) {
+          require(p < bytes.length && bytes(p) == 0,
+            "marker inside entropy-coded segment")
+          p += 1 // stuffed zero
+        }
+        nb = 8
+      }
+      nb -= 1
+      (cur >>> nb) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def align(): Unit = nb = 0
+  }
+
+  /** Forward DCT + quantize one level-shifted block → zigzag-ordered
+    * quantized coefficients (T.81 A.3.3).
+    */
+  private def fdctQuant(block: Array[Int], q: Array[Int]): Array[Int] = {
+    val coef = new Array[Double](64)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0
+      for (x <- 0 until 8; y <- 0 until 8)
+        s += (block(x * 8 + y) - 128) * CosT(x)(u) * CosT(y)(v)
+      coef(u * 8 + v) = 0.25 * cC(u) * cC(v) * s
+    }
+    Array.tabulate(64)(i => math.round(coef(Zigzag(i)) / q(Zigzag(i))).toInt)
+  }
+
+  /** Render baseline JFIF: SOI → APP0 → DQT → SOF0 → DHT → [DRI] → SOS →
+    * entropy-coded MCUs (4:4:4, one block per component) → EOI. With
+    * `restartInterval` > 0, RST0..7 markers cycle every that-many MCUs and
+    * DC predictors reset — the parallel-decode seam real encoders emit.
+    */
+  def renderJpeg(width: Int, height: Int, channels: Int, samples: Array[Int],
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && (channels == 1 || channels == 3),
+      s"bad JPEG geometry ${width}x$height x$channels")
+    require(samples.length == width * height * channels,
+      s"${samples.length} samples for ${width}x${height}x$channels")
+    samples.foreach(v => require(v >= 0 && v <= 255, s"sample $v outside 8-bit"))
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    def dqt(id: Int, q: Array[Int]): Array[Int] = id +: Array.tabulate(64)(i => q(Zigzag(i)))
+    seg(0xdb, if (channels == 1) dqt(0, QLuma) else dqt(0, QLuma) ++ dqt(1, QChroma))
+    seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff, channels) ++
+      (0 until channels).flatMap(c => Seq(c + 1, 0x11, if (c == 0) 0 else 1)))
+    val (acBits, acVals) = AcLayout
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Array[Int] =
+      tcTh +: (bits ++ vals)
+    val tables =
+      dht(0x00, DcLumaBits, DcVals) ++ dht(0x10, acBits, acVals) ++
+        (if (channels == 3) dht(0x01, DcChromaBits, DcVals) ++ dht(0x11, acBits, acVals)
+         else Array.empty[Int])
+    seg(0xc4, tables)
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff))
+    seg(0xda, channels +: ((0 until channels).toArray.flatMap(c =>
+      Array(c + 1, if (c == 0) 0x00 else 0x11)) ++ Array(0, 63, 0)))
+    val dcCodes = Array(huffCodes(DcLumaBits, DcVals), huffCodes(DcChromaBits, DcVals))
+    val acCodes = huffCodes(acBits, acVals) // same layout registered in both slots
+    val bw = new BitWriter(out)
+    val mbx = (width + 7) / 8
+    val mby = (height + 7) / 8
+    val pred = new Array[Int](channels)
+    var rst = 0
+    for (mi <- 0 until mbx * mby) {
+      if (restartInterval > 0 && mi > 0 && mi % restartInterval == 0) {
+        bw.flush(); out.write(0xff); out.write(0xd0 + rst % 8); rst += 1
+        java.util.Arrays.fill(pred, 0)
+      }
+      val by = mi / mbx; val bx = mi % mbx
+      for (c <- 0 until channels) {
+        val block = Array.tabulate(64) { i => // edge-replicate partial blocks
+          val x = math.min(height - 1, by * 8 + i / 8)
+          val y = math.min(width - 1, bx * 8 + i % 8)
+          samples((x * width + y) * channels + c)
+        }
+        val zz = fdctQuant(block, if (c == 0) QLuma else QChroma)
+        val diff = zz(0) - pred(c); pred(c) = zz(0)
+        val t = cat(diff)
+        val (dc, dl) = dcCodes(if (c == 0) 0 else 1)(t)
+        bw.put(dc, dl)
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        var k = 1; var run = 0
+        while (k < 64) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run >= 16) { val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 }
+            val s = cat(zz(k))
+            val (ac, al) = acCodes((run << 4) | s)
+            bw.put(ac, al)
+            bw.put(if (zz(k) >= 0) zz(k) else zz(k) + (1 << s) - 1, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) }
+      }
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode baseline JPEG (SOF0, 8-bit, 4:4:4 or grayscale): marker walk
+    * (APPn/COM skipped), DQT/DHT as declared in the file, interleaved
+    * single-scan entropy decode with DC prediction and restart intervals,
+    * dequant + zigzag + IDCT per block. Progressive (SOF2), subsampled,
+    * arithmetic-coded, and 12-bit files fail loudly.
+    */
+  def decodeJpeg(bytes: Array[Byte]): Jpeg = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG file (no SOI)")
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    val qts = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDecoder](4)
+    val acTabs = new Array[HuffDecoder](4)
+    var width = -1; var height = -1; var nc = -1
+    var compQ: Array[Int] = null
+    var dri = 0
+    var out: Array[Int] = null
+    var p = 2
+    var done = false
+    while (!done) {
+      require(p + 2 <= bytes.length, "JPEG truncated before marker")
+      require((bytes(p) & 0xff) == 0xff, f"expected marker at offset $p")
+      var marker = bytes(p + 1) & 0xff
+      while (marker == 0xff && p + 2 < bytes.length) { p += 1; marker = bytes(p + 1) & 0xff }
+      p += 2
+      if (marker != 0xd9) { // every other marker we accept carries a length
+        require(p + 2 <= bytes.length, "JPEG truncated before segment length")
+        require(p + u16(p) <= bytes.length, "JPEG segment overruns the file")
+      }
+      marker match {
+        case 0xd9 => done = true // EOI
+        case m if (m >= 0xe0 && m <= 0xef) || m == 0xfe => p += u16(p) // APPn / COM
+        case 0xdb =>
+          val end = p + u16(p); var q = p + 2
+          while (q < end) {
+            val pq = (bytes(q) & 0xff) >> 4; val tq = bytes(q) & 0x0f
+            require(pq == 0, "16-bit quantization tables unsupported (8-bit only)")
+            val t = new Array[Int](64)
+            for (i <- 0 until 64) t(Zigzag(i)) = bytes(q + 1 + i) & 0xff
+            qts(tq) = t; q += 65
+          }
+          p = end
+        case 0xc4 =>
+          val end = p + u16(p); var q = p + 2
+          while (q < end) {
+            val tc = (bytes(q) & 0xff) >> 4; val th = bytes(q) & 0x0f
+            require(tc <= 1 && th <= 3, s"bad DHT class/id $tc/$th")
+            val bits = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => bytes(q + 17 + i) & 0xff)
+            val d = new HuffDecoder(bits, vals)
+            if (tc == 0) dcTabs(th) = d else acTabs(th) = d
+            q += 17 + n
+          }
+          p = end
+        case 0xc0 =>
+          require(nc < 0, "multiple SOF0 frames")
+          require((bytes(p + 2) & 0xff) == 8, "12-bit precision unsupported")
+          height = u16(p + 3); width = u16(p + 5); nc = bytes(p + 7) & 0xff
+          require(width > 0 && height > 0, s"bad JPEG extent ${width}x$height")
+          require(nc == 1 || nc == 3, s"$nc components unsupported (1 or 3)")
+          compQ = new Array[Int](nc)
+          for (c <- 0 until nc) {
+            val o = p + 8 + c * 3
+            require((bytes(o + 1) & 0xff) == 0x11,
+              "subsampled JPEG unsupported (4:4:4 / grayscale only)")
+            compQ(c) = bytes(o + 2) & 0x0f
+          }
+          p += u16(p)
+        case m if m >= 0xc1 && m <= 0xcf && m != 0xc8 =>
+          throw new IllegalArgumentException(
+            f"SOF marker 0xff$m%02x unsupported (baseline sequential SOF0 only)")
+        case 0xdd => dri = u16(p + 2); p += u16(p)
+        case 0xda =>
+          require(nc > 0, "SOS before SOF0")
+          val ns = bytes(p + 2) & 0xff
+          require(ns == nc, "partial-scan JPEG unsupported (one interleaved scan)")
+          val compDc = new Array[Int](nc); val compAc = new Array[Int](nc)
+          for (c <- 0 until ns) {
+            val sel = bytes(p + 3 + c * 2 + 1) & 0xff
+            compDc(c) = sel >> 4; compAc(c) = sel & 0x0f
+          }
+          p += u16(p)
+          out = new Array[Int](width * height * nc)
+          val mbx = (width + 7) / 8
+          val mby = (height + 7) / 8
+          val br = new BitReader(bytes, p)
+          val pred = new Array[Int](nc)
+          var rst = 0
+          for (mi <- 0 until mbx * mby) {
+            if (dri > 0 && mi > 0 && mi % dri == 0) {
+              br.align()
+              require((bytes(br.p) & 0xff) == 0xff &&
+                (bytes(br.p + 1) & 0xff) == 0xd0 + rst % 8,
+                s"missing RST${rst % 8} marker at MCU $mi")
+              br.p += 2; rst += 1
+              java.util.Arrays.fill(pred, 0)
+            }
+            val by = mi / mbx; val bx = mi % mbx
+            for (c <- 0 until nc) {
+              val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
+              require(dcT != null && acT != null, s"scan uses undeclared DHT for comp $c")
+              val q = qts(compQ(c))
+              require(q != null, s"scan uses undeclared DQT ${compQ(c)}")
+              val zz = new Array[Int](64)
+              val t = dcT.decode(br.nextBit _)
+              require(t <= 11, s"DC category $t out of range")
+              pred(c) += extend(br.receive(t), t)
+              zz(0) = pred(c)
+              var k = 1; var eob = false
+              while (k < 64 && !eob) {
+                val rs = acT.decode(br.nextBit _)
+                val r = rs >> 4; val s = rs & 0x0f
+                if (s == 0) { if (r == 15) k += 16 else eob = true }
+                else {
+                  k += r
+                  require(k < 64, "AC coefficient index overruns the block")
+                  zz(k) = extend(br.receive(s), s); k += 1
+                }
+              }
+              val coef = new Array[Double](64)
+              for (i <- 0 until 64) coef(Zigzag(i)) = zz(i).toDouble * q(Zigzag(i))
+              for (x <- 0 until 8; y <- 0 until 8) {
+                val px = by * 8 + x; val py = bx * 8 + y
+                if (px < height && py < width) { // crop edge-padded blocks
+                  var s2 = 0.0
+                  for (u <- 0 until 8; v <- 0 until 8)
+                    s2 += cC(u) * cC(v) * coef(u * 8 + v) * CosT(x)(u) * CosT(y)(v)
+                  val v0 = math.round(0.25 * s2 + 128.0).toInt
+                  out((px * width + py) * nc + c) = math.max(0, math.min(255, v0))
+                }
+              }
+            }
+          }
+          br.align()
+          p = br.p
+        case m =>
+          throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$m%02x")
+      }
+    }
+    require(out != null, "no scan data (SOS) before EOI")
+    Jpeg(width, height, nc, out)
   }
 }

@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
   * reads dense binary grids, `d3plot.py:334` binary timestep frames).
   *
   * Container-free formats decode for REAL: `wavFeatures` / `bmpFeatures` /
-  * `pngFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP, and zlib-PNG codecs
-  * (`functions/Media`) per row on executors. Only genuinely codec-bound
-  * formats (JPEG/MP4) are NOT decodable in this container, so `decodeStub`
+  * `pngFeatures` / `jpegFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP,
+  * zlib-PNG, and baseline-JPEG codecs (`functions/Media`) per row on
+  * executors. Only video containers (MP4/H.264) are NOT decodable in this
+  * container, so `decodeStub`
   * remains a clearly-marked deterministic fake for those; the Spark-side
   * plumbing — binary schema, metadata struct, frame slicing, partition-wise
   * batch shape — is real and oracle-checkable (frame slicing + hashing is
@@ -117,6 +118,26 @@ object MultimodalOps {
         "mean_r", "mean_g", "mean_b", "mean_a")
   }
 
+  /** Real compressed-image decode: baseline JPEG payloads → geometry and
+    * per-component means in the file's native component space (Y or
+    * Y/Cb/Cr; chroma means NaN for grayscale). One codec call per row,
+    * executor-side, no shuffle.
+    */
+  def jpegFeatures(payloads: DataFrame, idCol: String,
+                   payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodeJpeg(bytes)
+        (id, m.width, m.height, m.channels, m.channelMean(0),
+          if (m.channels == 3) m.channelMean(1) else Double.NaN,
+          if (m.channels == 3) m.channelMean(2) else Double.NaN)
+      }
+      .toDF(idCol, "width", "height", "n_channels", "mean_y", "mean_cb", "mean_cr")
+  }
+
   /** Decoded-feature schema produced by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -124,9 +145,9 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("mean_byte", DoubleType)))
 
-  /** STUB decoder — covers ONLY the genuinely codec-bound formats
-    * (JPEG/MP4) whose codecs are not in this container; WAV/BMP/PNG decode
-    * for real above. Deterministic fake: "dimensions" derive from the byte
+  /** STUB decoder — covers ONLY the genuinely codec-bound video formats
+    * (MP4/H.264) whose codecs are not in this container; WAV/BMP/PNG/JPEG
+    * decode for real above. Deterministic fake: "dimensions" derive from the byte
     * length, the "pixel mean" is the true byte mean, so tests pin exact
     * values. Runs iterator-in/iterator-out per partition — the real decoder
     * drops in with zero plumbing changes (same batch shape as `mapInPandas`

@@ -382,6 +382,30 @@ class CodecPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("JPEG: random flat-block grids render → decode bit-exactly") {
+    // Any grid of constant 8×8 blocks is DC-only and the DC quant step
+    // divides the level-shifted DC exactly, so baseline encode → decode is
+    // lossless — across grayscale/color, grid shapes, and restart intervals
+    // (including intervals that do and don't divide the MCU count).
+    val gen = for {
+      bw <- Gen.chooseNum(1, 5)
+      bh <- Gen.chooseNum(1, 4)
+      ch <- Gen.oneOf(1, 3)
+      dri <- Gen.chooseNum(0, 7)
+      vals <- Gen.listOfN(bw * bh * ch, Gen.chooseNum(0, 255))
+    } yield (bw, bh, ch, dri, vals)
+    check(Prop.forAllNoShrink(gen) { case (bw, bh, ch, dri, vals) =>
+      val w = bw * 8; val h = bh * 8
+      val samples = new Array[Int](w * h * ch)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until ch)
+        samples((y * w + x) * ch + c) = vals(((y / 8) * bw + x / 8) * ch + c)
+      val d = graft.functions.Media.decodeJpeg(
+        graft.functions.Media.renderJpeg(w, h, ch, samples, restartInterval = dri))
+      Prop(d.width == w && d.height == h && d.channels == ch &&
+        d.samples.toSeq == samples.toSeq) :| s"${bw}x$bh blocks x$ch dri=$dri"
+    }, n = 60)
+  }
+
   test("NetCDF CF packing: scale/offset/fill attributes unpack at decode") {
     val fill = -32768
     val gen = for {

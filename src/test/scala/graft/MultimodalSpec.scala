@@ -94,6 +94,69 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Media.decodePng(corrupt) }
   }
 
+  test("Media: JPEG flat-block round trip is bit-exact; restarts; grayscale") {
+    import graft.functions.Media
+    // 16×16 YCbCr 4:4:4, 2×2 grid of flat 8×8 blocks, restart every row of
+    // MCUs. Flat blocks are DC-only and the DC quant step divides the block
+    // DC exactly, so the full Huffman/DCT path must reproduce every sample.
+    val blocks = Array(17, 200, 91, 255)
+    val img = new Array[Int](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = blocks((y / 8) * 2 + x / 8)
+      val o = (y * 16 + x) * 3
+      img(o) = v; img(o + 1) = (v * 3) % 256; img(o + 2) = (v * 7) % 256
+    }
+    val jpg = Media.renderJpeg(16, 16, 3, img, restartInterval = 2)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    assert(jpg.sliding(2).exists(p => // RST0 emitted between MCU rows
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd0))
+    val d = Media.decodeJpeg(jpg)
+    assert(d.width == 16 && d.height == 16 && d.channels == 3)
+    assert(d.samples.toSeq == img.toSeq)
+    // grayscale with a non-multiple-of-8 extent: partial blocks are
+    // edge-replicated by the encoder and cropped by the decoder
+    val g = Array.fill(9 * 10)(77)
+    val dg = Media.decodeJpeg(Media.renderJpeg(9, 10, 1, g))
+    assert(dg.width == 9 && dg.height == 10 && dg.channels == 1)
+    assert(dg.samples.toSeq == g.toSeq)
+  }
+
+  test("Media: JPEG lossy content bounded by quant error; loud rejects") {
+    import graft.functions.Media
+    // Horizontal ramp: few AC coefficients carry it, so per-pixel error is
+    // bounded by a handful of half-quant-step contributions
+    val img = Array.tabulate(24 * 16)(i => math.min(255, (i % 24) * 11))
+    val d = Media.decodeJpeg(Media.renderJpeg(24, 16, 1, img))
+    val maxErr = img.indices.map(i => math.abs(d.samples(i) - img(i))).max
+    assert(maxErr <= 12, s"ramp max quantization error $maxErr")
+    intercept[IllegalArgumentException] { Media.decodeJpeg(Array[Byte](1, 2, 3)) }
+    val jpg = Media.renderJpeg(8, 8, 1, Array.fill(64)(42))
+    intercept[IllegalArgumentException] { Media.decodeJpeg(jpg.dropRight(30)) }
+    // flip SOF0 to SOF2: progressive must be rejected loudly, not garbled
+    val sof = jpg.indices.dropRight(1).find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
+    val prog = jpg.clone(); prog(sof + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { Media.decodeJpeg(prog) }
+    assert(e.getMessage.contains("SOF"))
+  }
+
+  test("jpegFeatures: per-row decode on executors") {
+    import graft.functions.Media
+    val s = spark
+    import s.implicits._
+    val flat = Array.fill(8 * 8 * 3)(0)
+    for (i <- 0 until 64) { flat(i * 3) = 100; flat(i * 3 + 1) = 30; flat(i * 3 + 2) = 220 }
+    val rows = Seq(
+      (1L, Media.renderJpeg(8, 8, 3, flat)),
+      (2L, Media.renderJpeg(8, 8, 1, Array.fill(64)(9)))).toDF("id", "jpg")
+    val f = MultimodalOps.jpegFeatures(rows, "id", "jpg").orderBy("id").collect()
+    assert(f(0).getInt(1) == 8 && f(0).getInt(2) == 8 && f(0).getInt(3) == 3)
+    assert(f(0).getDouble(4) == 100.0 && f(0).getDouble(5) == 30.0 &&
+      f(0).getDouble(6) == 220.0)
+    assert(f(1).getInt(3) == 1 && f(1).getDouble(4) == 9.0)
+    assert(f(1).getDouble(5).isNaN && f(1).getDouble(6).isNaN)
+  }
+
   test("pngFeatures: per-row decode on executors") {
     import graft.functions.Media
     val s = spark

@@ -102,12 +102,15 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_media_decode" -> (qMediaDecode _),
+    "q_jpeg_decode" -> (qJpegDecode _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
     "q_wall_nodes" -> (qWallNodes _),
@@ -1261,6 +1264,56 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
 
+  /** As-of join gate: every click is enriched with the value of the same
+    * user's most recent at-or-before purchase (right side collapsed to one
+    * row per (user, ts) first), then aggregated per user. The oracle runs
+    * DuckDB's NATIVE `ASOF LEFT JOIN`, so the union+window plan is checked
+    * against an independent implementation of the same published
+    * semantics. Timestamps in the fixture are µs-aligned, so the µs
+    * (Spark) vs ns (DuckDB) representations order identically.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max("value").as("ref_value"))
+    val left = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    RelationalOps.asOfJoin(left, "user_id", "ts", right, "user_id", "ts", "ref_value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count("asof_ref_value").as("n_matched"),
+        rnd(sum("asof_ref_value"), 4).as("sum_ref"))
+      .orderBy("user_id")
+  }
+
+  /** Bucketized range join gate: sampled lineitems (points = ship day)
+    * against per-order service windows of bounded length (≤ 13 days, so
+    * bucket width 14 puts every interval on ≤ 2 buckets). The oracle is
+    * the plain inequality join DuckDB plans natively (IEJoin); the Spark
+    * side must produce the identical match set through the bucket
+    * equi-join + containment filter.
+    */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1992-01-01")
+    val pts = Tables.lineitem(s, dir)
+      .where(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("p_day"),
+        col("l_extendedprice"))
+    val iv = Tables.orders(s, dir)
+      .where(col("o_orderkey") % 89 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("iv_start"),
+        (datediff(col("o_orderdate"), epoch) + col("o_orderkey") % 14)
+          .cast("long").as("iv_end"))
+    RelationalOps.rangeJoin(pts, "p_day", iv, "iv_start", "iv_end", bucketWidth = 14L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_pts"),
+        countDistinct("l_orderkey").as("n_orders"),
+        rnd(sum("l_extendedprice"), 4).as("sum_price"))
+      .orderBy("o_orderkey")
+  }
+
   /** Near-dup triples planted deterministically over the embeddings table:
     * each vector gets two perturbed copies (±0.003/component, exact integer
     * arithmetic × 0.0005 mirrored bit-for-bit in DuckDB via an indexed
@@ -1715,6 +1768,51 @@ object SparkEntry {
         rnd("mean_r", 4).as("mean_r"), rnd("mean_g", 4).as("mean_g"),
         rnd("mean_b", 4).as("mean_b"),
         col("png_w"), col("png_h"), col("png_ch"), col("mean_a"))
+      .orderBy("g")
+  }
+
+  /** Baseline JPEG decode end-to-end: per group, a 48×48 YCbCr 4:4:4 image
+    * (6×6 grid of flat 8×8 blocks, restart markers every block row) and a
+    * 16×16 grayscale image are ENCODED from quantized event values, then
+    * decoded back through the full DCT/Huffman path (`Media.decodeJpeg`).
+    * Flat blocks are DC-only and the DC quant step (8) divides the
+    * level-shifted block DC exactly, so decode is bit-exact and the
+    * per-channel means are SQL-expressible from the event stream itself.
+    */
+  private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the images
+        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val bs = rows.take(36).map(_._3) // 6×6 flat blocks → 48×48 color
+        val color = new Array[Int](48 * 48 * 3)
+        for (y <- 0 until 48; x <- 0 until 48) {
+          val v = bs((y / 8) * 6 + x / 8)
+          val o = (y * 48 + x) * 3
+          color(o) = ch(v, 5); color(o + 1) = ch(v, 9); color(o + 2) = ch(v, 13)
+        }
+        val gs = rows.slice(36, 40).map(_._3) // 2×2 flat blocks → 16×16 gray
+        val gray = new Array[Int](16 * 16)
+        for (y <- 0 until 16; x <- 0 until 16)
+          gray(y * 16 + x) = ch(gs((y / 8) * 2 + x / 8), 1)
+        (g, graft.functions.Media.renderJpeg(48, 48, 3, color, restartInterval = 6),
+          graft.functions.Media.renderJpeg(16, 16, 1, gray))
+      }.toDF("g", "jpg", "gjpg")
+    val colorF = MultimodalOps.jpegFeatures(payloads, "g", "jpg")
+    val grayF = MultimodalOps.jpegFeatures(payloads, "g", "gjpg")
+      .select(col("g"), col("width").as("g_w"), col("height").as("g_h"),
+        col("n_channels").as("g_ch"), rnd("mean_y", 4).as("g_mean"))
+    colorF.join(grayF, "g")
+      .select(col("g"), col("width"), col("height"), col("n_channels"),
+        rnd("mean_y", 4).as("mean_y"), rnd("mean_cb", 4).as("mean_cb"),
+        rnd("mean_cr", 4).as("mean_cr"),
+        col("g_w"), col("g_h"), col("g_ch"), col("g_mean"))
       .orderBy("g")
   }
 
@@ -2366,6 +2464,53 @@ object SparkEntry {
         |  img.mean_r, img.mean_g, img.mean_b,
         |  20 AS png_w, 20 AS png_h, 4 AS png_ch, img.mean_a
         |FROM wav JOIN img USING (g) ORDER BY g""".stripMargin,
+
+    "q_jpeg_decode" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |c AS (SELECT g,
+        |    round(avg(CAST((v * 5 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_y,
+        |    round(avg(CAST((v * 9 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_cb,
+        |    round(avg(CAST((v * 13 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_cr
+        |  FROM r WHERE rn <= 36 GROUP BY 1),
+        |gr AS (SELECT g,
+        |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS g_mean
+        |  FROM r WHERE rn BETWEEN 37 AND 40 GROUP BY 1)
+        |SELECT c.g, 48 AS width, 48 AS height, 3 AS n_channels,
+        |  c.mean_y, c.mean_cb, c.mean_cr,
+        |  16 AS g_w, 16 AS g_h, 1 AS g_ch, gr.g_mean
+        |FROM c JOIN gr USING (g) ORDER BY g""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT user_id, event_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(count(r.ref_value) AS BIGINT) AS n_matched,
+        |  round(sum(r.ref_value) + 1e-9, 4) AS sum_ref
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', DATE '1992-01-01', l_shipdate) AS p_day,
+        |    l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 97 = 0),
+        |iv AS (SELECT o_orderkey,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS iv_start,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) + o_orderkey % 14 AS iv_end
+        |  FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT iv.o_orderkey, CAST(count(*) AS BIGINT) AS n_pts,
+        |  CAST(count(DISTINCT p.l_orderkey) AS BIGINT) AS n_orders,
+        |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
+        |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_frames" ->
       s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),

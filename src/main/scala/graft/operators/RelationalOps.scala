@@ -137,4 +137,61 @@ object RelationalOps {
     }
     unionHighestPriority(translated, varCol +: keys)
   }
+
+  /** As-of join (time-series enrichment): for every left row, attach the
+    * value of the single right row with the greatest `rightTs` ≤ `leftTs`
+    * on the same key — ASOF JOIN semantics (DuckDB/kdb; the oracle uses
+    * DuckDB's native ASOF LEFT JOIN).
+    *
+    * Implemented as tagged union + ONE shuffle on the key + a running
+    * `last(ignoreNulls)` ordered window, not as a theta join: a `l.ts >=
+    * r.ts` join explodes into all-pairs-per-key candidates (quadratic in
+    * hot keys) while this plan carries one value of window state per key
+    * and a per-partition sort — the shape that survives 100 TB. Ties sort
+    * right-before-left so an equal timestamp matches (>= semantics).
+    * Right rows should be unique per (key, ts); collapse duplicates first
+    * or the tie among them is resolved arbitrarily.
+    * Output: all left columns + `asof_<valueCol>` (null when no prior
+    * right row exists).
+    */
+  def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
+               right: DataFrame, rightKey: String, rightTs: String,
+               valueCol: String): DataFrame = {
+    val vType = right.schema(valueCol).dataType
+    val l = left.select(col(leftKey).as("_k"), col(leftTs).as("_t"),
+      lit(1).as("_side"), struct(left.columns.map(col): _*).as("_row"),
+      lit(null).cast(vType).as("_v"))
+    val rowType = l.schema("_row").dataType
+    val r = right.select(col(rightKey).as("_k"), col(rightTs).as("_t"),
+      lit(0).as("_side"), lit(null).cast(rowType).as("_row"),
+      col(valueCol).as("_v"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$valueCol")): _*)
+  }
+
+  /** Range (interval-containment) join via bucketing: explode each interval
+    * onto the fixed-width buckets it covers (⌈len/W⌉+1 rows — choose W ≥
+    * the max interval length so that is ≤ 2), equi-join points on bucket,
+    * then filter exact containment. Turns the all-pairs theta join Spark
+    * would otherwise plan (BroadcastNestedLoop / cartesian) into a
+    * shuffle-bounded equi-join whose fan-out is the interval-density per
+    * bucket — the standard interval-binning trick at cluster scale.
+    * `pointCol`/`startCol`/`endCol` must be numeric (convert dates to day
+    * numbers first); column names of the two inputs must not collide.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth $bucketWidth must be positive")
+    val p = points.withColumn("_b", floor(col(pointCol) / bucketWidth))
+    val iv = intervals.withColumn("_b", explode(sequence(
+      floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
+    p.join(iv, "_b")
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_b")
+  }
 }

@@ -19,6 +19,38 @@ class OperatorSpec extends SparkSpec {
     assert(left == Set(1, 3, 5, 7, 8, 9, 10))
   }
 
+  test("asOfJoin: greatest right ts <= left ts per key; equal ts matches") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 1.5), (1L, 15L, 2.5), (3L, 1L, 9.9))
+      .toDF("rk", "rt", "v")
+    val out = RelationalOps.asOfJoin(left, "k", "t", right, "rk", "rt", "v")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(out("a") == 1.5)           // equal ts matches (>= semantics)
+    assert(out("b") == 2.5)           // most recent of two priors
+    assert(out("c").isNaN)            // no prior right row
+    assert(out("d").isNaN)            // key absent on the right
+    assert(out.size == 4)             // left rows all survive exactly once
+  }
+
+  test("rangeJoin: bucket explode + containment filter, no duplicate pairs") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((1L, 0L), (2L, 9L), (3L, 10L), (4L, 25L), (5L, 39L))
+      .toDF("pid", "p")
+    // interval B straddles the bucket-10 boundary; C covers three buckets
+    val ivs = Seq(("A", 0L, 4L), ("B", 8L, 12L), ("C", 5L, 26L))
+      .toDF("iv", "s0", "e0")
+    val out = RelationalOps.rangeJoin(pts, "p", ivs, "s0", "e0", bucketWidth = 10L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.length == out.distinct.length) // multi-bucket intervals don't dup
+    assert(out.toSet == Set((1L, "A"), (2L, "B"), (3L, "B"), (2L, "C"),
+      (3L, "C"), (4L, "C")))
+  }
+
   test("canonicalEdges: undirected dedup, self-loops dropped") {
     val s = spark
     import s.implicits._

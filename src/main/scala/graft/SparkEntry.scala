@@ -111,6 +111,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
     "q_wall_nodes" -> (qWallNodes _),
@@ -1314,6 +1315,31 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Bucketed co-located join gate: both fact tables are written
+    * bucketed + sorted on the join key (`colocateBucketed` — the one-time
+    * shuffle), then joined bucket-aligned with a `merge` hint. At 100 TB
+    * this is the difference between shuffling the fact table on every
+    * query and never shuffling it again; PlanSpec pins the zero-Exchange
+    * join. Results must equal the plain join, which is what the oracle
+    * runs.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    RelationalOps.colocateBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "g_orders_bkt", "o_orderkey", buckets = 8)
+    RelationalOps.colocateBucketed(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "g_lineitem_bkt", "l_orderkey", buckets = 8)
+    val o = s.table("g_orders_bkt")
+    val l = s.table("g_lineitem_bkt")
+    o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy((col("o_orderkey") % 100).as("grp"))
+      .agg(count(lit(1)).as("n_items"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("grp")
+  }
+
   /** Near-dup triples planted deterministically over the embeddings table:
     * each vector gets two perturbed copies (±0.003/component, exact integer
     * arithmetic × 0.0005 mirrored bit-for-bit in DuckDB via an indexed
@@ -2510,6 +2536,12 @@ object SparkEntry {
         |  CAST(count(DISTINCT p.l_orderkey) AS BIGINT) AS n_orders,
         |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
         |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderkey % 100 AS grp, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -173,6 +173,29 @@ object RelationalOps {
       .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$valueCol")): _*)
   }
 
+  /** Write `df` as a bucketed + per-bucket-sorted table on the join key —
+    * the pay-once co-location strategy for 100 TB fact tables that are
+    * joined repeatedly: the ONE shuffle happens at write time, and every
+    * later bucket-aligned SortMergeJoin on `key` reads co-located buckets
+    * with ZERO Exchange (Spark's bucketing metadata proves the
+    * partitioning). Equivalent role to a Hive-bucketed warehouse layout;
+    * pair with `spark.table(table)` reads and a `merge` join hint.
+    */
+  def colocateBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets $buckets must be positive")
+    val spark = df.sparkSession
+    // the in-memory catalog is per-session but the warehouse dir persists:
+    // drop a same-session table AND clear a stale location from an earlier
+    // session, or CREATE refuses the managed path
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+
   /** Range (interval-containment) join via bucketing: explode each interval
     * onto the fixed-width buckets it covers (⌈len/W⌉+1 rows — choose W ≥
     * the max interval length so that is ≤ 2), equi-join points on bucket,

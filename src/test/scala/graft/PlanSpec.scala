@@ -76,6 +76,38 @@ class PlanSpec extends SparkSpec {
       "expected the range-partitioned first pass")
   }
 
+  test("q_asof_join: union+window form — one key shuffle, no theta join") {
+    val p = formatted("q_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of join degraded to an all-pairs theta join")
+    assert(p.contains("Window"), "expected the running-last window form")
+    // shuffles: the fixture's right-side (user, ts) dedup agg, the key
+    // exchange for the window, the per-user aggregation, and the
+    // oracle-determinism output sort — nothing else (the operator itself
+    // contributes exactly ONE: the window's key exchange)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 4,
+      "as-of join shuffles more than dedup + key + agg + sort")
+  }
+
+  test("q_range_join: bucket equi-join, never a nested-loop interval join") {
+    val p = formatted("q_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join planned as all-pairs; the bucket key must make it an equi-join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi-join on the bucket key")
+  }
+
+  test("q_bucketed_join: co-located buckets join with no join-side shuffle") {
+    val p = formatted("q_bucketed_join") // building the query writes the tables
+    assert(p.contains("SortMergeJoin"), "bucketed join must stay a merge join")
+    // the ONLY exchanges allowed are the post-join aggregation and the
+    // output sort: the join itself reads co-located buckets shuffle-free
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2,
+      "bucketed join plans a shuffle the bucketing should have paid already")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan does not report bucketed reading")
+  }
+
   test("q_exact_dedup: one reduction shuffle, map-side partial aggregation") {
     val p = formatted("q_exact_dedup")
     assert("HashAggregate".r.findAllIn(p).size >= 2)

@@ -87,6 +87,8 @@ object SparkEntry {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_gopher_rules" -> (qGopherRules _),
+    "q_passage_dedup" -> (qPassageDedup _),
+    "q_tfidf" -> (qTfidf _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
@@ -1315,6 +1317,22 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Passage-level exact dedup at 3-token granularity: per document, how
+    * many of its passages repeat anywhere in the corpus (the repeated-
+    * boilerplate signal paragraph dedup gates on). Hash-only shuffles.
+    */
+  private def qPassageDedup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.passageStats(Tables.documents(s, dir), "doc_id", "text", width = 3)
+      .orderBy("doc_id")
+
+  /** TF-IDF top-3 terms per document (smooth idf), rank ties broken on the
+    * term so both engines order identically.
+    */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("rank"), col("term"), rnd("score", 6).as("score"))
+      .orderBy("doc_id", "rank")
+
   /** Bucketed co-located join gate: both fact tables are written
     * bucketed + sorted on the join key (`colocateBucketed` — the one-time
     * shuffle), then joined bucket-aligned with a `merge` hint. At 100 TB
@@ -2537,6 +2555,35 @@ object SparkEntry {
         |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
         |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_passage_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |    md5(array_to_string(toks[(i.i*3+1):(i.i*3+3)], ' ')) AS h
+        |  FROM d, LATERAL (SELECT unnest(range(CAST(floor(len(toks)/3) AS BIGINT))) AS i) i
+        |  WHERE len(toks) >= 3),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_passages,
+        |  CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |FROM c JOIN g USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+        |  round(score + 1e-9, 6) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o_orderkey % 100 AS grp, CAST(count(*) AS BIGINT) AS n_items,

@@ -498,4 +498,34 @@ object DedupOps {
       .filter(col("hamming") <= maxHamming)
       .select("ia", "ib", "hamming")
   }
+
+  /** Passage-level exact dedup (paragraph dedup at fixed token
+    * granularity — the repeated-boilerplate detector): each document is
+    * cut into consecutive `width`-token passages (trailing remainder
+    * dropped), passages are hashed, and each document reports how many of
+    * its passages occur more than once ACROSS the whole corpus.
+    *
+    * Scale shape: passage fan-out is tokens/width per document (linear),
+    * the occurrence count is one hash-groupBy on the passage hash, and the
+    * count joins back on that same hash — nothing quadratic, no text
+    * re-materialization (only hashes shuffle).
+    */
+  def passageStats(df: DataFrame, idCol: String, textCol: String,
+                   width: Int): DataFrame = {
+    require(width > 0, s"passage width $width must be positive")
+    val passages = df
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= width) // sequence(0,-1) would DESCEND
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          floor(size(col("_toks")) / width).cast("int") - 1)).as("_i"))
+      .select(col(idCol),
+        md5(concat_ws(" ",
+          slice(col("_toks"), col("_i") * width + 1, lit(width)))).as("_h"))
+    val counts = passages.groupBy("_h").agg(count(lit(1)).as("_n"))
+    passages.join(counts, "_h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup"))
+  }
 }

@@ -172,4 +172,33 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"),
         avg(log(col("c").cast("double") / col("n_total"))).as("avg_logp"))
   }
+
+  /** TF-IDF top-k terms per document (smooth idf, sklearn convention:
+    * idf = ln((N+1)/(df+1)) + 1, score = tf·idf). The keyword-extraction
+    * primitive of corpus triage: surfacing what makes a document atypical.
+    *
+    * Scale shape: token explode → (doc, term) partial+final count →
+    * term-document-frequency agg joined back on the term (shuffle bounded
+    * by vocabulary) → a 1-row corpus-count broadcast → per-doc top-k
+    * window. Nothing is collected; ties break on the term so ranks are
+    * deterministic.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k $k must be positive")
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = df.agg(count(lit(1)).as("n_docs")) // 1-row broadcast
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df_t") + lit(1.0))) + lit(1.0)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
 }

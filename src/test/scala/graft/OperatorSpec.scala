@@ -51,6 +51,39 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("passageStats: corpus-wide passage counts, remainder dropped") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // passages "a b c", "d e f"
+      (2L, "a b c x y z w"), // passages "a b c", "x y z"; trailing "w" dropped
+      (3L, "tiny")           // < width → no passages, row absent
+    ).toDF("doc_id", "text")
+    val r = graft.operators.DedupOps.passageStats(docs, "doc_id", "text", width = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((2L, 1L))) // "a b c" repeats across docs
+    assert(r(2L) == ((2L, 1L)))
+    assert(!r.contains(3L))
+  }
+
+  test("tfidfTopTerms: smooth-idf scores, deterministic tie order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x x y common"),
+      (2L, "y z common"),
+      (3L, "common common z")).toDF("doc_id", "text")
+    val r = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getDouble(3)))
+    def idf(df: Int): Double = math.log(4.0 / (df + 1.0)) + 1.0
+    // doc 1: x has tf 2 df 1 → top; y tf 1 df 2 beats common tf 1 df 3
+    assert(r(0) == ((1L, 1, "x", 2 * idf(1))))
+    assert(r(1) == ((1L, 2, "y", idf(2))))
+    // doc 2: y and z tie exactly (tf 1, df 2) → term order breaks the tie
+    assert(r(2)._3 == "y" && r(3)._3 == "z" && r(2)._4 == r(3)._4)
+  }
+
   test("canonicalEdges: undirected dedup, self-loops dropped") {
     val s = spark
     import s.implicits._

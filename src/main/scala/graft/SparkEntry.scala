@@ -108,6 +108,7 @@ object SparkEntry {
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
+    "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
@@ -1448,6 +1449,29 @@ object SparkEntry {
     */
   private val AnnPlanesDir = "/root/repo/data/ann_planes"
 
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the JL
+    * projection matrix.
+    */
+  private val RpPlanesDir = "/root/repo/data/rp_planes"
+
+  /** Johnson–Lindenstrauss projection gate: every embedding reduced 64→8
+    * through the materialized matrix; DuckDB recomputes each component with
+    * `list_dot_product` (same double-widened sequential fold as the
+    * codegen'd dot → bit-identical values before the shared rounding).
+    */
+  private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outDim = 8
+    SimilarityOps.hyperplanes(64, outDim, seed = 20260813L).zipWithIndex
+      .map { case (w, j) => (j, w.map(_.toDouble).toSeq) }
+      .toDF("plane", "w").coalesce(1)
+      .write.mode("overwrite").parquet(RpPlanesDir)
+    SimilarityOps.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
+      outDim = outDim, dim = 64, seed = 20260813L)
+      .select(col("vec_id") +: (0 until outDim).map(j => rnd(s"r$j", 6).as(s"r$j")): _*)
+      .orderBy("vec_id")
+  }
+
   /** Offset-preallocated parallel-write plan (`atm/sinks/zarr_writer.py:467`):
     * distributed exclusive prefix sum — two-pass range-partitioned cumsum,
     * NOT a single-task global window.
@@ -2265,6 +2289,18 @@ object SparkEntry {
          |  FROM cand c JOIN embeddings a ON a.vec_id = c.ia
          |    JOIN embeddings b ON b.vec_id = c.ib)
          |SELECT ia, ib, cos_r FROM sc WHERE cos_r >= 0.25 ORDER BY ia, ib""".stripMargin,
+
+    "q_random_projection" ->
+      ("""WITH p AS (SELECT plane, w FROM '/root/repo/data/rp_planes/*.parquet'),
+        |d AS (SELECT e.vec_id, p.plane,
+        |    list_dot_product(e.embedding::DOUBLE[], p.w) * sqrt(3.0 / 8.0) AS comp
+        |  FROM embeddings e CROSS JOIN p)
+        |SELECT vec_id,
+        |""".stripMargin +
+        (0 until 8).map(j =>
+          s"  round(max(CASE WHEN plane = $j THEN comp END) + 1e-9, 6) AS r$j")
+          .mkString(",\n") +
+        "\nFROM d GROUP BY 1 ORDER BY 1"),
 
     "q_topk_cosine" ->
       s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,

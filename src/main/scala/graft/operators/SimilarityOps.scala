@@ -54,6 +54,27 @@ object SimilarityOps {
       }
     }
 
+  /** Johnson–Lindenstrauss random projection: reduce the float vector to
+    * `outDim` double components r_j = ⟨v, w_j⟩ · √(3/outDim), with the w_j
+    * drawn from the same deterministic hyperplane generator as the LSH
+    * path (so the matrix is materializable for external oracles). The
+    * components are uniform in [-1, 1] (variance 1/3), so the √3 factor
+    * makes E‖r‖² = ‖v‖² — an unbiased distance estimate. Pure
+    * per-row column math over the codegen'd dot — no shuffle, no UDF; JL:
+    * pairwise distances are preserved within (1±ε) for outDim ≳ log n/ε²,
+    * which is what makes a 64→8 reduction a legitimate pre-filter for the
+    * exact re-rank tier at 100 TB.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, dim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim > 0 && dim > 0, s"bad projection geometry $dim -> $outDim")
+    val scale = lit(math.sqrt(3.0 / outDim))
+    val comps = hyperplanes(dim, outDim, seed).zipWithIndex.map { case (w, j) =>
+      (dot(col(vecCol), typedLit(w)) * scale).as(s"r$j")
+    }
+    df.select(col(idCol) +: comps: _*)
+  }
+
   /** Hyperplane-LSH bucket id: bit p = sign(v · r_p), packed to a long. Same
     * bucket ⇒ likely-high cosine; the codegen'd dot keeps this a narrow
     * projection. This is the ANN scale path (SURVEY §7.1.9): bucket join

@@ -121,4 +121,38 @@ class SimilaritySpec extends SparkSpec {
       cents, nProbe = 16).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == brute)
   }
+
+  test("randomProject: deterministic, linear, distances roughly preserved") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 31 + d * 7) % 19 - 9).toFloat)))
+    val doubled = vecs.map { case (i, v) => (i + 100L, v.map(_ * 2)) }
+    val df = (vecs ++ doubled).toDF("vec_id", "embedding")
+    val r = SimilarityOps.randomProject(df, "vec_id", "embedding",
+      outDim = 8, dim = dim, seed = 7L)
+      .collect().map(x => x.getLong(0) ->
+        (1 until 9).map(x.getDouble).toArray).toMap
+    // determinism across invocations
+    val r2 = SimilarityOps.randomProject(df, "vec_id", "embedding",
+      outDim = 8, dim = dim, seed = 7L)
+      .collect().map(x => x.getLong(0) -> (1 until 9).map(x.getDouble).toArray).toMap
+    assert(r.forall { case (k, v) => v.sameElements(r2(k)) })
+    // linearity: r(2v) = 2 r(v) exactly (doubling floats is exact)
+    vecs.foreach { case (i, _) =>
+      assert(r(i + 100L).zip(r(i)).forall { case (a, b) => a == 2 * b })
+    }
+    // JL sanity: projected pairwise distances correlate with the originals
+    // (loose band — outDim 8 only bounds distortion probabilistically)
+    def d2(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    def p2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (i, vi) <- vecs.take(10); (j, vj) <- vecs.take(10) if i < j
+    } yield p2(r(i), r(j)) / d2(vi, vj)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.5, s"JL mean distortion $mean drifted")
+  }
 }

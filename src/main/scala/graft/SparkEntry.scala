@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Physics, Text}
-import graft.operators.{DedupOps, MultimodalOps, RelationalOps, SimilarityOps, StatsOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, MultimodalOps, RelationalOps, SimilarityOps, StatsOps, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -130,6 +130,8 @@ object SparkEntry {
     "q_atomic_info" -> (qAtomicInfo _),
     "q_quality_gate" -> (qQualityGate _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_quantiles" -> (qQuantiles _),
     "q_random_mesh" -> (qRandomMesh _),
     "q_partition_indices" -> (qPartitionIndices _),
     "q_random_dataarray" -> (qRandomDataarray _),
@@ -1317,6 +1319,29 @@ object SparkEntry {
         rnd(sum("l_extendedprice"), 4).as("sum_price"))
       .orderBy("o_orderkey")
   }
+
+  /** Weighted sample without replacement (A-ES keys from the 60-bit md5
+    * draw): top-50 documents by ln(u)/n_chars — reproducible
+    * quality-weighted selection, mirrored end-to-end in SQL.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    CurationOps.weightedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 50)
+      .select(col("doc_id"), col("n_chars"), col("rank"),
+        rnd("_score", 6).as("score"))
+      .orderBy("rank")
+
+  /** Exact per-group quantile vector (linear interpolation — the
+    * `quantile_cont` convention both engines share).
+    */
+  private def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    StatsOps.groupQuantiles(Tables.lineitem(s, dir), "l_returnflag",
+      "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.95))
+      .select(col("l_returnflag"), col("n"),
+        rnd("q25", 4).as("q25"), rnd("q50", 4).as("q50"),
+        rnd("q75", 4).as("q75"), rnd("q95", 4).as("q95"))
+      .orderBy("l_returnflag")
 
   /** Passage-level exact dedup at 3-token granularity: per document, how
     * many of its passages repeat anywhere in the corpus (the repeated-
@@ -2591,6 +2616,26 @@ object SparkEntry {
         |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
         |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |        + 0.5) / 1152921504606846976.0)
+        |      / CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, score,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT doc_id, n_chars, rank, round(score + 1e-9, 6) AS score
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 4) AS q25,
+        |  round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4) AS q50,
+        |  round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS q75,
+        |  round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS q95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_passage_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -59,6 +59,30 @@ object CurationOps {
     df.filter(bucket < fracCol * 10000.0)
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): each
+    * row draws a deterministic uniform u from its key's 60-bit md5 bucket
+    * and scores key = ln(u)/w — the top-k scores are exactly a w-weighted
+    * sample without replacement. Like `stratifiedSampleByHash`, the draw
+    * is a pure row function: identical output on any partitioning, rerun,
+    * or engine (the "sample docs ∝ quality" operator a training mix
+    * needs to be reproducible). Top-k is a TakeOrdered — no global sort.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"sample size $k must be positive")
+    val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / lit(1152921504606846976.0) // 2^60
+    // limit-after-sort plans TakeOrdered (per-partition heaps + driver
+    // merge of k) — never a global sort; the rank window then runs over
+    // only the k survivors
+    val winners = df
+      .withColumn("_score", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_score").desc, col(keyCol)).limit(k)
+    val w = Window.orderBy(col("_score").desc, col(keyCol))
+    winners.withColumn("rank", row_number().over(w))
+  }
+
   /** Token-budget selection: per group, keep documents in priority order
     * until the cumulative token count exceeds the budget (greedy prefix).
     * One partition-bounded window — the "fill the training mix" operator.

@@ -61,6 +61,24 @@ object StatsOps {
       kurtosis(v).as("kurt"))
   }
 
+  /** Per-group quantile vector (exact linear-interpolation percentile —
+    * the `quantile_cont` convention both engines share). Exact percentiles
+    * buffer per group like `fieldStats.median`; at 100 TB switch to
+    * `percentile_approx` per quantile (mergeable sketch) and accept the
+    * sketch error.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    val arr = qs.mkString("array(", ", ", ")")
+    val qcols = qs.indices.map(i => col("_qs").getItem(i)
+      .as("q" + (qs(i) * 100).round.toString))
+    df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"),
+        expr(s"percentile($valueCol, $arr)").as("_qs"))
+      .select(col(groupCol) +: col("n") +: qcols: _*)
+  }
+
   /** Emit the raw mergeable Welford state columns (n, mean, m2, m3, m4, min,
     * max, abs_sum) per group — artifact-schema parity with the reference
     * (`stats.py:77-104`), via the custom Aggregator (Chan merge).

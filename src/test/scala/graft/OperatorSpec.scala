@@ -51,6 +51,33 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("weightedSample: k rows, dense ranks, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "wt")
+    val a = graft.operators.CurationOps.weightedSample(df, "id", "wt", k = 20)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.length == 20 && a.map(_._2).sorted.toSeq == (1 to 20))
+    // pure row function: identical under a different partitioning
+    val b = graft.operators.CurationOps
+      .weightedSample(df.repartition(7), "id", "wt", k = 20)
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sortBy(_._2).toSeq == b.sortBy(_._2).toSeq)
+  }
+
+  test("groupQuantiles: exact linear-interpolation values") {
+    val s = spark
+    import s.implicits._
+    val df = Seq.tabulate(5)(i => ("a", (i + 1).toDouble)) :+ (("b", 10.0))
+    val r = StatsOps.groupQuantiles(df.toDF("g", "v"), "g", "v",
+      Seq(0.25, 0.5, 0.75, 0.95))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    assert(r("a") == ((5L, 2.0, 3.0, 4.0, 4.8))) // idx p*(n-1); 0.95*4 = 3.8
+    assert(r("b") == ((1L, 10.0, 10.0, 10.0, 10.0)))
+  }
+
   test("passageStats: corpus-wide passage counts, remainder dropped") {
     val s = spark
     import s.implicits._

@@ -132,6 +132,7 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_quantiles" -> (qQuantiles _),
+    "q_zscore_gate" -> (qZscoreGate _),
     "q_random_mesh" -> (qRandomMesh _),
     "q_partition_indices" -> (qPartitionIndices _),
     "q_random_dataarray" -> (qRandomDataarray _),
@@ -1331,6 +1332,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("rank"),
         rnd("_score", 6).as("score"))
       .orderBy("rank")
+
+  /** Group-wise z-score outlier gate over event values (|z| ≤ 2 on the
+    * rounded score), aggregated per type.
+    */
+  private def qZscoreGate(s: SparkSession, dir: String): DataFrame =
+    CurationOps.zScoreFilter(
+      Tables.events(s, dir).select(col("event_type"), col("value")),
+      "event_type", "value", maxZ = 2.0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), rnd(sum("value"), 4).as("sum_kept"))
+      .orderBy("event_type")
 
   /** Exact per-group quantile vector (linear interpolation — the
     * `quantile_cont` convention both engines share).
@@ -2628,6 +2640,16 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, n_chars, rank, round(score + 1e-9, 6) AS score
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_zscore_gate" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT e.event_type, e.value
+        |  FROM events e JOIN s USING (event_type)
+        |  WHERE s.sd = 0 OR round(abs((e.value - s.mu) / s.sd) + 1e-9, 6) <= 2.0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(sum(value) + 1e-9, 4) AS sum_kept
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quantiles" ->
       """SELECT l_returnflag, CAST(count(l_extendedprice) AS BIGINT) AS n,

@@ -83,6 +83,25 @@ object CurationOps {
     winners.withColumn("rank", row_number().over(w))
   }
 
+  /** Group-wise outlier gate: keep rows within `maxZ` population standard
+    * deviations of their group mean — the numeric-column cleaning
+    * primitive. Group stats are one partial+final aggregation joined back
+    * on the group key (broadcastable when groups are bounded), never a
+    * per-row window. The z test compares the ROUNDED score (the
+    * `cosinePairs` trick) so the kept set is engine-stable at the
+    * threshold boundary; degenerate zero-variance groups keep all rows.
+    */
+  def zScoreFilter(df: DataFrame, groupCol: String, valueCol: String,
+                   maxZ: Double): DataFrame = {
+    require(maxZ >= 0, s"maxZ $maxZ must be non-negative")
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
+    df.join(stats, groupCol)
+      .filter(col("_sd") === 0.0 ||
+        round(abs((col(valueCol) - col("_mu")) / col("_sd")) + lit(1e-9), 6) <= maxZ)
+      .drop("_mu", "_sd")
+  }
+
   /** Token-budget selection: per group, keep documents in priority order
     * until the cumulative token count exceeds the budget (greedy prefix).
     * One partition-bounded window — the "fill the training mix" operator.

@@ -51,6 +51,18 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("zScoreFilter: outliers drop, zero-variance groups keep all") {
+    val s = spark
+    import s.implicits._
+    // group a: mean 0, the 100.0 is far outside 2 sigma; group b constant
+    val df = (Seq.fill(20)(("a", 1.0)) ++ Seq.fill(20)(("a", -1.0)) ++
+      Seq(("a", 100.0)) ++ Seq.fill(3)(("b", 7.0))).toDF("g", "v")
+    val kept = graft.operators.CurationOps.zScoreFilter(df, "g", "v", maxZ = 2.0)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 40L) // the outlier dropped, all +-1 rows kept
+    assert(kept("b") == 3L)  // sd = 0 -> keep everything
+  }
+
   test("weightedSample: k rows, dense ranks, partitioning-independent") {
     val s = spark
     import s.implicits._

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_weighted_sample" -> (qWeightedSample _),
     "q_quantiles" -> (qQuantiles _),
     "q_zscore_gate" -> (qZscoreGate _),
+    "q_profile" -> (qProfile _),
     "q_random_mesh" -> (qRandomMesh _),
     "q_partition_indices" -> (qPartitionIndices _),
     "q_random_dataarray" -> (qRandomDataarray _),
@@ -1332,6 +1333,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("rank"),
         rnd("_score", 6).as("score"))
       .orderBy("rank")
+
+  /** Single-pass column profile of lineitem: numeric and string columns in
+    * one aggregation job, exploded to the long layout.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    StatsOps.profileColumns(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_partkey", "l_returnflag", "l_linestatus"))
+      .select(col("column"), col("n"), col("n_null"), col("n_distinct"),
+        rnd("min_num", 4).as("min_num"), rnd("max_num", 4).as("max_num"),
+        rnd("mean", 4).as("mean"), col("min_str"), col("max_str"))
+      .orderBy("column")
 
   /** Group-wise z-score outlier gate over event values (|z| ≤ 2 on the
     * rounded score), aggregated per type.
@@ -2640,6 +2652,29 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, n_chars, rank, round(score + 1e-9, 6) AS score
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE) + 1e-9, 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE) + 1e-9, 4) AS max_num,
+           |  round(avg($c) + 1e-9, 4) AS mean,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS DOUBLE) AS mean,
+           |  min($c) AS min_str, max($c) AS max_str
+           |FROM lineitem""".stripMargin
+      (Seq("l_quantity", "l_extendedprice", "l_partkey").map(num) ++
+        Seq("l_returnflag", "l_linestatus").map(str))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+    },
 
     "q_zscore_gate" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd

@@ -79,6 +79,44 @@ object StatsOps {
       .select(col(groupCol) +: col("n") +: qcols: _*)
   }
 
+  /** Single-pass column profiler: per column, row/null/distinct counts
+    * plus numeric min/max/mean (string columns report lexicographic
+    * min/max instead). ALL columns aggregate in ONE pass over the data —
+    * one job, not one per column — then the 1-row result explodes to the
+    * long (column, stats) layout. The exact distinct counts plan through
+    * Expand; swap for approx_count_distinct when profiling 100 TB and the
+    * exact figure isn't required.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    import org.apache.spark.sql.types.NumericType
+    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")) ++
+        (if (isNum(c)) Seq(
+          min(col(c)).cast("double").as(s"${c}__min_num"),
+          max(col(c)).cast("double").as(s"${c}__max_num"),
+          avg(col(c)).as(s"${c}__mean"))
+         else Seq(
+          min(col(c)).cast("string").as(s"${c}__min_str"),
+          max(col(c)).cast("string").as(s"${c}__max_str")))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"), col("__n").as("n"),
+        col(s"${c}__nulls").as("n_null"), col(s"${c}__distinct").as("n_distinct"),
+        (if (isNum(c)) col(s"${c}__min_num") else lit(null).cast("double")).as("min_num"),
+        (if (isNum(c)) col(s"${c}__max_num") else lit(null).cast("double")).as("max_num"),
+        (if (isNum(c)) col(s"${c}__mean") else lit(null).cast("double")).as("mean"),
+        (if (isNum(c)) lit(null).cast("string") else col(s"${c}__min_str")).as("min_str"),
+        (if (isNum(c)) lit(null).cast("string") else col(s"${c}__max_str")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Emit the raw mergeable Welford state columns (n, mean, m2, m3, m4, min,
     * max, abs_sum) per group — artifact-schema parity with the reference
     * (`stats.py:77-104`), via the custom Aggregator (Chan merge).

@@ -51,6 +51,22 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("profileColumns: one-pass numeric and string profiles with nulls") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Option(1.0), "a"), (Option.empty[Double], "b"), (Option(3.0), "b"))
+      .toDF("v", "s")
+    val p = StatsOps.profileColumns(df, Seq("v", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = p("v")
+    assert(v.getLong(1) == 3 && v.getLong(2) == 1 && v.getLong(3) == 2)
+    assert(v.getDouble(4) == 1.0 && v.getDouble(5) == 3.0 && v.getDouble(6) == 2.0)
+    assert(v.isNullAt(7) && v.isNullAt(8))
+    val st = p("s")
+    assert(st.getLong(2) == 0 && st.getLong(3) == 2)
+    assert(st.isNullAt(4) && st.getString(7) == "a" && st.getString(8) == "b")
+  }
+
   test("zScoreFilter: outliers drop, zero-variance groups keep all") {
     val s = spark
     import s.implicits._

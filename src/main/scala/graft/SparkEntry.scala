@@ -161,6 +161,7 @@ object SparkEntry {
     "q_ansys_decode" -> (qAnsysDecode _),
     "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
     "q_streaming_stats" -> (qStreamingStats _),
+    "q_streaming_sessions" -> (qStreamingSessions _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -238,6 +239,56 @@ object SparkEntry {
         rnd("mean", 4).as("mean"), rnd("var_pop", 4).as("var_pop"),
         rnd("min", 4).as("min"), rnd("max", 4).as("max"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** §2.7 streaming sessionization as a CORRECTNESS entry: the events
+    * table replayed as a file stream through `StreamingSessions.sessionAgg`
+    * (native `session_window` + watermark), driven with AvailableNow. All
+    * staged data files process in ONE batch (maxFilesPerTrigger = staged
+    * file count, so no event is late against a watermark raised by a
+    * sibling file), then a far-future sentinel file advances the watermark
+    * and the no-data flush batch emits every real session in APPEND mode;
+    * the sentinel's own session is filtered by its negative user id. The
+    * oracle replays the session_window gap rule (windows merge on touch,
+    * so `diff > gap` breaks — spec-pinned) over the batch table.
+    */
+  private def qStreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir) // sets the nanosAsLong reader conf for the session
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = freshTmpDir("graft_stream_sess", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/events.parquet")
+    val dfs = dstP.getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP, dfs, dstP,
+      false, hconf)
+    var nFiles = 0 // staged data files — ONE batch must hold all of them
+    val it = dfs.listFiles(dstP, true)
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1 }
+    val maxTsNs = raw.agg(max("ts")).head().getLong(0)
+    raw.limit(1).select( // sentinel ~5 years past the last real event
+      lit(-1L).as("event_id"), lit(maxTsNs + 157784630000000000L).as("ts"),
+      lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.parquet(s"$streamDir/sentinel")
+    val stream = s.readStream.schema(raw.schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", math.max(1, nFiles).toString)
+      .parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingSessions.sessionAgg(
+      stream, "user_id", "ts", "value", gap = "1 hour", watermarkDelay = "1 hour")
+    val qname = s"graft_sessions_${math.abs(dir.hashCode)}"
+    val q = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).where(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        col("n_events"), rnd("sum_value", 4).as("sum_value"))
+      .orderBy("user_id", "session_start_us")
   }
 
   /** NetCDF-4 sink→source cycle: the same record-grid contract as
@@ -3365,6 +3416,23 @@ object SparkEntry {
         |  round(min(value) + 1e-9, 4) AS min,
         |  round(max(value) + 1e-9, 4) AS max
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window windows merge when they TOUCH (spec-pinned): an event
+    // at exactly last+gap joins, so the break condition is strict >.
+    "q_streaming_sessions" ->
+      """WITH m AS (SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_ns(ts) // 1000 - epoch_ns(lag(ts) OVER w) // 1000
+        |            > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(epoch_ns(ts) // 1000) AS BIGINT) AS session_start_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value) + 1e-9, 4) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
 
     // Same mirror as q_netcdf_roundtrip: the HDF5 container also
     // round-trips <f8 cells bit-exactly; `dims` pins the DIMENSION_LIST

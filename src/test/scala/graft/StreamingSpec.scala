@@ -114,4 +114,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.n == direct.n && math.abs(batch.mean - direct.mean) < 1e-12 &&
       math.abs(batch.m2 - direct.m2) < 1e-9)
   }
+
+  test("sessionAgg batch face: windows merge on touch, split past the gap") {
+    val s = spark
+    import s.implicits._
+    val gapUs = 3600L * 1000000 // 1 hour
+    val rows = Seq(
+      (1L, 0L, 1.0),               // session A starts
+      (1L, gapUs, 2.0),            // exactly gap after previous -> MERGES (touch)
+      (1L, 2 * gapUs + 1, 4.0),    // gap+1us after previous -> new session
+      (2L, 0L, 8.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = graft.streaming.StreamingSessions
+      .sessionAgg(rows, "user_id", "ts", "value", "1 hour", "1 hour")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._3))
+    assert(out.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0))
+      .sortBy(x => (x._1, x._3)))
+  }
 }

@@ -134,6 +134,8 @@ object SparkEntry {
     "q_quantiles" -> (qQuantiles _),
     "q_zscore_gate" -> (qZscoreGate _),
     "q_profile" -> (qProfile _),
+    "q_histogram" -> (qHistogram _),
+    "q_corr_matrix" -> (qCorrMatrix _),
     "q_random_mesh" -> (qRandomMesh _),
     "q_partition_indices" -> (qPartitionIndices _),
     "q_random_dataarray" -> (qRandomDataarray _),
@@ -1384,6 +1386,19 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("rank"),
         rnd("_score", 6).as("score"))
       .orderBy("rank")
+
+  /** Fixed-width price histogram per return flag. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    StatsOps.histogram(Tables.lineitem(s, dir), "l_returnflag",
+      "l_extendedprice", binWidth = 5000.0)
+      .orderBy("l_returnflag", "bin")
+
+  /** One-pass Pearson correlation matrix over the lineitem numerics. */
+  private def qCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    StatsOps.correlationMatrix(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .select(col("col_a"), col("col_b"), rnd("corr", 6).as("corr"))
+      .orderBy("col_a", "col_b")
 
   /** Single-pass column profile of lineitem: numeric and string columns in
     * one aggregation job, exploded to the long layout.
@@ -2703,6 +2718,27 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, n_chars, rank, round(score + 1e-9, 6) AS score
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT l_returnflag, CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corr_matrix" ->
+      """SELECT col_a, col_b, round(c + 1e-9, 6) AS corr FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    corr(l_quantity, l_extendedprice) AS c FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    corr(l_quantity, l_discount) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    corr(l_quantity, l_tax) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    corr(l_extendedprice, l_discount) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    corr(l_extendedprice, l_tax) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    corr(l_discount, l_tax) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     "q_profile" -> {
       def num(c: String) =

@@ -117,6 +117,36 @@ object StatsOps {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Fixed-width histogram per group: bin = floor(value / width). One
+    * partial+final aggregation — the distribution-sketch primitive for
+    * profiling at any scale (bin cardinality is bounded by the value
+    * range, not the row count).
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    df.groupBy(col(groupCol),
+      floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Pairwise Pearson correlation matrix over `cols`, ALL pairs in ONE
+    * aggregation pass (k·(k−1)/2 `corr` aggregates in a single job),
+    * exploded to the long (col_a, col_b, corr) layout.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__$b").as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Emit the raw mergeable Welford state columns (n, mean, m2, m3, m4, min,
     * max, abs_sum) per group — artifact-schema parity with the reference
     * (`stats.py:77-104`), via the custom Aggregator (Chan merge).

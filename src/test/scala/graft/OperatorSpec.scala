@@ -51,6 +51,24 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("histogram: floor binning incl. negatives; correlationMatrix exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", -0.5), ("a", 0.0), ("a", 9.99), ("a", 10.0), ("b", 25.0))
+      .toDF("g", "v")
+    val h = StatsOps.histogram(df, "g", "v", binWidth = 10.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(h(("a", -1L)) == 1 && h(("a", 0L)) == 2 && h(("a", 1L)) == 1)
+    assert(h(("b", 2L)) == 1)
+    val lin = (1 to 10).map(i => (i.toDouble, 3.0 * i + 1, -2.0 * i))
+      .toDF("x", "y", "z")
+    val c = StatsOps.correlationMatrix(lin, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c(("x", "y")) - 1.0) < 1e-12)  // perfectly linear
+    assert(math.abs(c(("x", "z")) + 1.0) < 1e-12)  // perfectly anti-linear
+    assert(c.size == 3)
+  }
+
   test("profileColumns: one-pass numeric and string profiles with nulls") {
     val s = spark
     import s.implicits._

@@ -136,6 +136,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_random_mesh" -> (qRandomMesh _),
     "q_partition_indices" -> (qPartitionIndices _),
     "q_random_dataarray" -> (qRandomDataarray _),
@@ -1386,6 +1387,18 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"), col("rank"),
         rnd("_score", 6).as("score"))
       .orderBy("rank")
+
+  /** Concat-and-cut context-window packing of the document stream: every
+    * document's offset, first window, and windows spanned at L=512.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    CurationOps.packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+      "doc_id", "n_toks", contextLen = 512L)
+      .select(col("doc_id"), col("n_toks"), col("start_off"),
+        col("pack_id"), col("n_packs"))
+      .orderBy("doc_id")
 
   /** Fixed-width price histogram per return flag. */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
@@ -2718,6 +2731,21 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, n_chars, rank, round(score + 1e-9, 6) AS score
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_toks,
+        |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM d)
+        |SELECT doc_id, n_toks, start_off, start_off // 512 AS pack_id,
+        |  CASE WHEN n_toks > 0
+        |       THEN (start_off + n_toks - 1) // 512 - start_off // 512 + 1
+        |       ELSE 0 END AS n_packs
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     "q_histogram" ->
       """SELECT l_returnflag, CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,

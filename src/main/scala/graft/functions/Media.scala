@@ -474,10 +474,13 @@ object Media {
     */
   def renderJpeg(width: Int, height: Int, channels: Int, samples: Array[Int],
                  restartInterval: Int = 0): Array[Byte] = {
-    require(width > 0 && height > 0 && (channels == 1 || channels == 3),
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      (channels == 1 || channels == 3),
       s"bad JPEG geometry ${width}x$height x$channels")
     require(samples.length == width * height * channels,
       s"${samples.length} samples for ${width}x${height}x$channels")
+    require(restartInterval >= 0 && restartInterval <= 0xffff,
+      s"restart interval $restartInterval outside the 16-bit DRI field")
     samples.foreach(v => require(v >= 0 && v <= 255, s"sample $v outside 8-bit"))
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Int]): Unit = {
@@ -587,6 +590,7 @@ object Media {
           while (q < end) {
             val pq = (bytes(q) & 0xff) >> 4; val tq = bytes(q) & 0x0f
             require(pq == 0, "16-bit quantization tables unsupported (8-bit only)")
+            require(q + 65 <= end, "DQT table overruns its segment")
             val t = new Array[Int](64)
             for (i <- 0 until 64) t(Zigzag(i)) = bytes(q + 1 + i) & 0xff
             qts(tq) = t; q += 65
@@ -597,8 +601,10 @@ object Media {
           while (q < end) {
             val tc = (bytes(q) & 0xff) >> 4; val th = bytes(q) & 0x0f
             require(tc <= 1 && th <= 3, s"bad DHT class/id $tc/$th")
+            require(q + 17 <= end, "DHT header overruns its segment")
             val bits = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
             val n = bits.sum
+            require(q + 17 + n <= end, "DHT values overrun their segment")
             val vals = Array.tabulate(n)(i => bytes(q + 17 + i) & 0xff)
             val d = new HuffDecoder(bits, vals)
             if (tc == 0) dcTabs(th) = d else acTabs(th) = d
@@ -642,6 +648,7 @@ object Media {
           for (mi <- 0 until mbx * mby) {
             if (dri > 0 && mi > 0 && mi % dri == 0) {
               br.align()
+              require(br.p + 2 <= bytes.length, "JPEG truncated at restart boundary")
               require((bytes(br.p) & 0xff) == 0xff &&
                 (bytes(br.p + 1) & 0xff) == 0xd0 + rst % 8,
                 s"missing RST${rst % 8} marker at MCU $mi")

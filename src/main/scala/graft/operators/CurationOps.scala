@@ -102,6 +102,25 @@ object CurationOps {
       .drop("_mu", "_sd")
   }
 
+  /** GPT-style sequence packing (concatenate-and-cut): documents are laid
+    * end-to-end in `idCol` order and the token stream is cut every
+    * `contextLen` tokens. Emits each document's stream offset, its first
+    * context window (`pack_id`), and how many windows it spans — the
+    * layout a training loader needs to place every document. Offsets come
+    * from the two-pass range-partitioned prefix sum
+    * (`GraphOps.exclusivePrefixSum`), never a single-task global window.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"context length $contextLen must be positive")
+    graft.graph.GraphOps.exclusivePrefixSum(df, idCol, tokenCol, "start_off")
+      .withColumn("pack_id", expr(s"start_off div $contextLen"))
+      .withColumn("n_packs",
+        when(col(tokenCol) > 0,
+          expr(s"(start_off + $tokenCol - 1) div $contextLen") - col("pack_id") + 1L)
+          .otherwise(0L))
+  }
+
   /** Token-budget selection: per group, keep documents in priority order
     * until the cumulative token count exceeds the budget (greedy prefix).
     * One partition-bounded window — the "fill the training mix" operator.

@@ -51,6 +51,20 @@ class OperatorSpec extends SparkSpec {
       (3L, "C"), (4L, "C")))
   }
 
+  test("packSequences: concat-and-cut offsets, window spans, empty docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 300L), (2L, 300L), (3L, 0L), (4L, 1024L))
+      .toDF("doc_id", "n_toks")
+    val r = graft.operators.CurationOps.packSequences(df, "doc_id", "n_toks", 512L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) == ((0L, 0L, 1L)))      // fits window 0
+    assert(r(2L) == ((300L, 0L, 2L)))    // straddles windows 0-1
+    assert(r(3L) == ((600L, 1L, 0L)))    // empty doc spans nothing
+    assert(r(4L) == ((600L, 1L, 3L)))    // 600..1623 spans windows 1,2,3
+  }
+
   test("histogram: floor binning incl. negatives; correlationMatrix exact") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_bigram_lm" -> (qBigramLm _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
@@ -1846,6 +1847,12 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** Bigram LM score: mean log p(w|prev) over corpus bigram counts. */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), rnd("avg_logp", 4).as("avg_logp"))
+      .orderBy("doc_id")
+
   /** Text quality scoring: length/token/stopword/digit features + composite. */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
@@ -2577,6 +2584,22 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bigram LM mirror: parallel unnest zips token and subscript, lag
+    // builds the same bigram stream, counts divide exactly.
+    "q_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |t AS (SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS i FROM d),
+        |b AS (SELECT doc_id, lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev,
+        |    tok FROM t),
+        |bg AS (SELECT * FROM b WHERE prev IS NOT NULL),
+        |c2 AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT prev, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(CAST(c2 AS DOUBLE) / c1)) + 1e-9, 4) AS avg_logp
+        |FROM bg JOIN c2 USING (prev, tok) JOIN c1 USING (prev)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Same bigram stream rebuilt with a list comprehension; the fractions
     // are exact small-integer ratios, eps-rounded on both sides.

@@ -173,6 +173,37 @@ object TextOps {
         avg(log(col("c").cast("double") / col("n_total"))).as("avg_logp"))
   }
 
+  /** Bigram LM quality score — the conditional-probability extension of
+    * [[unigramLogProb]] (CCNet gates on LM perplexity; with no external
+    * model shippable the corpus itself is the training set): p(w|prev) =
+    * C(prev,w)/C(prev,·) over corpus bigram counts, each document scoring
+    * its mean bigram log-probability. Scoring the training corpus itself
+    * means every document bigram has count ≥ 1 — no smoothing term needed.
+    *
+    * Scale shape: one partition-bounded lag window builds the bigram
+    * stream, two hash-groupBys build the (prev, w) and (prev, ·) count
+    * tables, and both join back on their keys (vocabulary²-bounded, never
+    * collected). The bigram stream is persisted across its three uses.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("i", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("i"))
+    val bg0 = t.withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val bg = // count tables and the per-doc stream all read the same window
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        bg0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bg0
+    val cnt2 = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+    val cnt1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    bg.join(cnt2, Seq("prev", "tok")).join(cnt1, Seq("prev"))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"))
+  }
+
   /** TF-IDF top-k terms per document (smooth idf, sklearn convention:
     * idf = ln((N+1)/(df+1)) + 1, score = tf·idf). The keyword-extraction
     * primitive of corpus triage: surfacing what makes a document atypical.

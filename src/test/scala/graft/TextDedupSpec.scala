@@ -82,6 +82,22 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bigramLogProb: analytic conditional log-probs") {
+    val s = spark
+    import s.implicits._
+    // bigrams: doc1 = (a,a),(a,b); doc2 = (a,b),(b,a)
+    // C(prev=a,·) = 3 [(a,a),(a,b),(a,b)], C(prev=b,·) = 1
+    val d = Seq((1L, "a a b"), (2L, "a b a")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.bigramLogProb(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    val pAA = math.log(1 / 3.0) // C(a,a)=1 of C(a,·)=3
+    val pAB = math.log(2 / 3.0) // C(a,b)=2 of 3
+    val pBA = math.log(1 / 1.0) // C(b,a)=1 of C(b,·)=1
+    assert(r(1L)._1 == 2 && math.abs(r(1L)._2 - (pAA + pAB) / 2) < 1e-12)
+    assert(r(2L)._1 == 2 && math.abs(r(2L)._2 - (pAB + pBA) / 2) < 1e-12)
+    spark.catalog.clearCache()
+  }
+
   test("dupSpanCoverage: per-position spans, cross-doc duplicates only") {
     val s = spark
     import s.implicits._

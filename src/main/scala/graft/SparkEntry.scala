@@ -87,6 +87,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
+    "q_token_entropy" -> (qTokenEntropy _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
@@ -1847,6 +1848,13 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** Per-doc Shannon token entropy (diversity gate). */
+  private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        rnd("entropy", 4).as("entropy"))
+      .orderBy("doc_id")
+
   /** Bigram LM score: mean log p(w|prev) over corpus bigram counts. */
   private def qBigramLm(s: SparkSession, dir: String): DataFrame =
     TextOps.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
@@ -2584,6 +2592,22 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Entropy mirror: the same one-pass algebraic split
+    // H = ln(n) − Σ c·ln(c)/n over per-doc token counts.
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    -sum(c * ln(CAST(c AS DOUBLE))) AS sclogc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) + sclogc / n_tokens + 1e-9, 4)
+        |    AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // Bigram LM mirror: parallel unnest zips token and subscript, lag
     // builds the same bigram stream, counts divide exactly.

@@ -204,6 +204,25 @@ object TextOps {
         avg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"))
   }
 
+  /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over
+    * the document's own token frequencies — low entropy flags repetitive
+    * boilerplate, abnormally high entropy flags token soup; a standard
+    * diversity gate next to the Gopher rules. Two partial+final
+    * aggregations, nothing corpus-wide.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (-sum(col("c") * log(col("c").cast("double")))).as("_sclogc"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        // H = ln(n) + (−Σ c·ln c)/n  — algebraic split keeps one pass
+        (log(col("n_tokens").cast("double")) + col("_sclogc") / col("n_tokens"))
+          .as("entropy"))
+
   /** TF-IDF top-k terms per document (smooth idf, sklearn convention:
     * idf = ln((N+1)/(df+1)) + 1, score = tf·idf). The keyword-extraction
     * primitive of corpus triage: surfacing what makes a document atypical.

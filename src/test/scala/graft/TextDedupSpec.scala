@@ -98,6 +98,20 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tokenEntropy: analytic Shannon entropy, uniform and degenerate") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.tokenEntropy(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L)._1 == 4 && r(1L)._2 == 4 &&
+      math.abs(r(1L)._3 - math.log(4.0)) < 1e-12) // uniform → ln(k)
+    assert(r(2L)._2 == 1 && math.abs(r(2L)._3) < 1e-12) // constant → 0
+    assert(math.abs(r(3L)._3 - math.log(2.0)) < 1e-12)
+  }
+
   test("dupSpanCoverage: per-position spans, cross-doc duplicates only") {
     val s = spark
     import s.implicits._

@@ -38,15 +38,19 @@ class PlanSpec extends SparkSpec {
   test("dedup/similarity candidate joins never degrade to cartesian products") {
     Seq("q_exact_dedup", "q_jaccard_pairs", "q_lsh_band_pairs", "q_simhash_pairs",
       "q_salted_join", "q_sessionize", "q_token_budget", "q_topk_cosine",
-      "q_dup_spans", "q_unigram_lm", "q_gopher_rules")
+      "q_dup_spans", "q_unigram_lm", "q_gopher_rules", "q_passage_dedup",
+      "q_tfidf", "q_bigram_lm", "q_token_entropy", "q_weighted_sample")
       .foreach { q =>
         val p = formatted(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
         // legitimate bounded nested-loops: brute top-k over its bounded
         // query set, the salt-range replication of the SMALL join side
-        // (that replication IS the salting technique), and the unigram
-        // LM's 1-row corpus-total broadcast (the scalar-inject pattern)
-        if (q != "q_topk_cosine" && q != "q_salted_join" && q != "q_unigram_lm")
+        // (that replication IS the salting technique), and the 1-row
+        // corpus-total broadcasts of the unigram LM and TF-IDF
+        // (the scalar-inject pattern)
+        val scalarInject = Set("q_topk_cosine", "q_salted_join",
+          "q_unigram_lm", "q_tfidf")
+        if (!scalarInject(q))
           assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
       }
   }

@@ -36,6 +36,44 @@ class OperatorSpec extends SparkSpec {
     assert(out.size == 4)             // left rows all survive exactly once
   }
 
+  test("asOfJoin: randomized equivalence with the brute-force definition") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val left = (1 to 120).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 60).map(_ =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(500).toDouble))
+      .distinct.groupBy(r => (r._1, r._2)) // unique per (key, ts): max value
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val out = RelationalOps.asOfJoin(
+      left.toDF("lid", "k", "t"), "k", "t",
+      right.toDF("rk", "rt", "v"), "rk", "rt", "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    left.foreach { case (lid, k, t) =>
+      val expect = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(out(lid) == expect, s"row $lid key $k ts $t")
+    }
+  }
+
+  test("rangeJoin: randomized equivalence with the cross-filter definition") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val pts = (1 to 150).map(i => (i.toLong, rnd.nextInt(400).toLong))
+    val ivs = (1 to 40).map(i =>
+      { val st = rnd.nextInt(400).toLong; (i, st, st + rnd.nextInt(25)) })
+    val out = RelationalOps.rangeJoin(
+      pts.toDF("pid", "p"), "p",
+      ivs.toDF("iv", "s0", "e0"), "s0", "e0", bucketWidth = 25L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val brute = (for { (pid, p) <- pts; (iv, s0, e0) <- ivs
+                       if p >= s0 && p <= e0 } yield (pid, iv)).toSet
+    assert(out == brute)
+  }
+
   test("rangeJoin: bucket explode + containment filter, no duplicate pairs") {
     val s = spark
     import s.implicits._

@@ -198,10 +198,14 @@ object TextOps {
       else bg0
     val cnt2 = bg.groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
     val cnt1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
-    bg.join(cnt2, Seq("prev", "tok")).join(cnt1, Seq("prev"))
+    // fold the two count tables into ONE vocabulary²-bounded probability
+    // table first, so the full bigram stream is joined once, not twice
+    val probs = cnt2.join(cnt1, "prev")
+      .select(col("prev"), col("tok"),
+        (col("c2").cast("double") / col("c1")).as("_p"))
+    bg.join(probs, Seq("prev", "tok"))
       .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        avg(log(col("c2").cast("double") / col("c1"))).as("avg_logp"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(log(col("_p"))).as("avg_logp"))
   }
 
   /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over

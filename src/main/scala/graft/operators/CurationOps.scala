@@ -70,13 +70,18 @@ object CurationOps {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"sample size $k must be positive")
+    // A-ES is defined for positive weights only — a w <= 0 row would score
+    // ln(u)/w >= 0, above every valid row, and silently hijack the sample;
+    // zero-weight rows are legitimately unsampleable, so drop them loudly
+    // in the contract rather than corrupt the selection.
+    val positive = df.filter(col(weightCol) > 0)
     val h = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 15),
       16, 10).cast("long")
     val u = (h.cast("double") + 0.5) / lit(1152921504606846976.0) // 2^60
     // limit-after-sort plans TakeOrdered (per-partition heaps + driver
     // merge of k) — never a global sort; the rank window then runs over
     // only the k survivors
-    val winners = df
+    val winners = positive
       .withColumn("_score", log(u) / col(weightCol).cast("double"))
       .orderBy(col("_score").desc, col(keyCol)).limit(k)
     val w = Window.orderBy(col("_score").desc, col(keyCol))

@@ -150,7 +150,8 @@ object RelationalOps {
     * and a per-partition sort — the shape that survives 100 TB. Ties sort
     * right-before-left so an equal timestamp matches (>= semantics).
     * Right rows should be unique per (key, ts); collapse duplicates first
-    * or the tie among them is resolved arbitrarily.
+    * or the tie among them is resolved arbitrarily. A right row whose
+    * `valueCol` is null behaves as absent (the running `last` skips it).
     * Output: all left columns + `asof_<valueCol>` (null when no prior
     * right row exists).
     */
@@ -205,6 +206,9 @@ object RelationalOps {
     * bucket — the standard interval-binning trick at cluster scale.
     * `pointCol`/`startCol`/`endCol` must be numeric (convert dates to day
     * numbers first); column names of the two inputs must not collide.
+    * Inverted intervals (end < start) match nothing — the containment
+    * filter rejects them, though their (descending) bucket sequence still
+    * costs explode rows; drop them upstream if they are common.
     */
   def rangeJoin(points: DataFrame, pointCol: String,
                 intervals: DataFrame, startCol: String, endCol: String,

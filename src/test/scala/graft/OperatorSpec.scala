@@ -152,10 +152,13 @@ class OperatorSpec extends SparkSpec {
   test("weightedSample: k rows, dense ranks, partitioning-independent") {
     val s = spark
     import s.implicits._
-    val df = (1L to 200L).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "wt")
+    // the two zero/negative-weight rows must never hijack the sample
+    val df = ((1L to 200L).map(i => (i, (i % 7 + 1).toDouble)) ++
+      Seq((900L, 0.0), (901L, -3.0))).toDF("id", "wt")
     val a = graft.operators.CurationOps.weightedSample(df, "id", "wt", k = 20)
       .select("id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
     assert(a.length == 20 && a.map(_._2).sorted.toSeq == (1 to 20))
+    assert(!a.exists(x => x._1 >= 900L), "non-positive weights must drop")
     // pure row function: identical under a different partitioning
     val b = graft.operators.CurationOps
       .weightedSample(df.repartition(7), "id", "wt", k = 20)

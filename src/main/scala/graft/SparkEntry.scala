@@ -88,6 +88,7 @@ object SparkEntry {
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_token_entropy" -> (qTokenEntropy _),
+    "q_chunk_tokens" -> (qChunkTokens _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
@@ -1848,6 +1849,12 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** Overlapping 64/48 token chunking (embedding prep). */
+  private def qChunkTokens(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+      width = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
   /** Per-doc Shannon token entropy (diversity gate). */
   private def qTokenEntropy(s: SparkSession, dir: String): DataFrame =
     TextOps.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
@@ -2592,6 +2599,18 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |c AS (SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_idx, toks
+        |  FROM d, LATERAL (SELECT unnest(range((len(toks) - 1) // 48 + 1)) AS i) i)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(chunk_idx * 48 AS INTEGER) AS start_tok,
+        |  CAST(least(64, len(toks) - chunk_idx * 48) AS INTEGER) AS n_tok,
+        |  md5(array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Entropy mirror: the same one-pass algebraic split
     // H = ln(n) − Σ c·ln(c)/n over per-doc token counts.

@@ -208,6 +208,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), avg(log(col("_p"))).as("avg_logp"))
   }
 
+  /** Overlapping token-window chunking — the embedding/RAG prep primitive
+    * (each chunk gets embedded; overlap keeps context at the seams).
+    * Chunk starts step by `stride` (< `width` ⇒ overlap); the tail chunk
+    * is partial but never empty. Emits chunk geometry + an md5
+    * fingerprint instead of re-materializing text, so only bounded-width
+    * rows leave the projection. Fan-out is ⌈tokens/stride⌉ per doc —
+    * linear, no shuffle at all.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"bad chunk geometry width=$width stride=$stride")
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0),
+          floor((size(col("_toks")) - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(width), size(col("_toks")) - col("chunk_idx") * stride).as("n_tok"),
+        md5(concat_ws(" ", slice(col("_toks"),
+          col("chunk_idx") * stride + 1, lit(width)))).as("chunk_md5"))
+  }
+
   /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over
     * the document's own token frequencies — low entropy flags repetitive
     * boilerplate, abnormally high entropy flags token soup; a standard

@@ -98,6 +98,20 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("chunkTokens: overlapping windows, partial tail, empty docs drop") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "only"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.chunkTokens(d, "doc_id", "text",
+      width = 4, stride = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    // doc 1: starts 0,3,6,9 -> widths 4,4,4,1
+    assert(r.filter(_._1 == 1L).sortBy(_._2).toSeq ==
+      Seq((1L, 0, 0, 4), (1L, 1, 3, 4), (1L, 2, 6, 4), (1L, 3, 9, 1)))
+    assert(r.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 1)))
+  }
+
   test("tokenEntropy: analytic Shannon entropy, uniform and degenerate") {
     val s = spark
     import s.implicits._

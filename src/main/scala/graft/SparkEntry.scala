@@ -152,6 +152,7 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_netcdf_packed" -> (qNetcdfPacked _),
+    "q_netcdf_time" -> (qNetcdfTime _),
     "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -362,6 +363,40 @@ object SparkEntry {
     data.filter(!isnan(col("value")))
       .groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .orderBy("variable", "t")
+  }
+
+  /** CF time-coordinate decoding end-to-end (xarray `decode_times`): the
+    * packed fixture gains a real `time` record variable whose `units`
+    * attribute reads "hours since 1990-01-01 00:00:00" with 6-hourly
+    * steps; `decodeTimes = true` converts it to epoch seconds at decode,
+    * which join the per-record data aggregates. The oracle computes the
+    * same calendar arithmetic as literals (epoch(1990-01-01) = 631152000).
+    */
+  private def qNetcdfTime(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val packed = g.filter(((col("i") + col("j")) % 5) =!= 0)
+      .withColumn("stored",
+        least(greatest(floor((col("value") - lit(0.5)) / lit(0.01)), lit(-32767L)),
+          lit(32767L)).cast("int"))
+    val out = freshTmpDir("graft_nc_time", dir)
+    graft.sinks.NetCdfSink.writePackedGrids(packed, out, shape = (8, 16),
+      nRecs = 2, scale = 0.01, offset = 0.5,
+      timeUnits = Some("hours since 1990-01-01 00:00:00"), timeStep = 6)
+    val (_, data) = graft.sources.NetCdfSource.read(s, out,
+      decodeCf = true, decodeTimes = true)
+    val times = data.filter(col("variable") === "time")
+      .select(col("file"), col("pos").as("t"),
+        col("value").cast("long").as("time_s"))
+    data.filter(col("variable") =!= "time" && !isnan(col("value")))
+      .groupBy(col("file"), col("variable"), (col("pos") / 128).cast("long").as("t"))
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
+      .join(times, Seq("file", "t"))
+      .select(col("variable"), col("t"), col("time_s"), col("n_cells"),
+        col("sum_value"))
       .orderBy("variable", "t")
   }
 
@@ -3624,6 +3659,22 @@ object SparkEntry {
         |      CAST(-32767 AS DOUBLE)), CAST(32767 AS DOUBLE)) AS stored
         |  FROM g WHERE (i + j) % 5 <> 0)
         |SELECT variable, t, CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(sum(stored * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + 1e-6, 2)
+        |    AS sum_value
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CF time mirror: same packed lattice, plus the 6-hourly calendar
+    // arithmetic as plain literals.
+    "q_netcdf_time" ->
+      """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    user_id % 8 AS i, user_id % 16 AS j, sum(value) AS value
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT variable, t,
+        |    least(greatest(floor((value - CAST(0.5 AS DOUBLE)) / CAST(0.01 AS DOUBLE)),
+        |      CAST(-32767 AS DOUBLE)), CAST(32767 AS DOUBLE)) AS stored
+        |  FROM g WHERE (i + j) % 5 <> 0)
+        |SELECT variable, t, CAST(631152000 + t * 21600 AS BIGINT) AS time_s,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
         |  round(sum(stored * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + 1e-6, 2)
         |    AS sum_value
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -54,7 +54,9 @@ object NetCdfSink {
     */
   def writePackedGrids(df: DataFrame, out: String, shape: (Int, Int),
                        nRecs: Int, scale: Double, offset: Double,
-                       fill: Short = Short.MinValue): Seq[String] = {
+                       fill: Short = Short.MinValue,
+                       timeUnits: Option[String] = None,
+                       timeStep: Int = 1): Seq[String] = {
     val spark = df.sparkSession
     val grouped = df.groupBy(col("variable")).agg(
       collect_list(struct(col("t").cast("int").as("t"),
@@ -66,7 +68,7 @@ object NetCdfSink {
     grouped.map { row =>
       val variable = row.getString(0)
       val bytes = renderPacked(variable, row.getSeq[Row](1), nLat, nLon, nRecs,
-        scale, offset, fill)
+        scale, offset, fill, timeUnits, timeStep)
       val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc")
       val fs = path.getFileSystem(hadoopConf.value)
       fs.setWriteChecksum(false)
@@ -76,9 +78,18 @@ object NetCdfSink {
     }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
   }
 
+  /** `timeUnits` adds a CF time COORDINATE: a second record variable
+    * `time` (NC_INT, one value per record, `value = t · timeStep`) whose
+    * `units` attribute carries the "<unit> since <epoch>" string — the
+    * layout a real subset download has, and what
+    * `NetCdfSource.read(decodeTimes = true)` converts to epoch seconds.
+    * With two record variables the spec's sole-record-variable special
+    * case no longer applies, so per-record slots pad to 4 bytes.
+    */
   private def renderPacked(name: String, cells: Seq[Row], nLat: Int, nLon: Int,
                            nRecs: Int, scale: Double, offset: Double,
-                           fill: Short): Array[Byte] = {
+                           fill: Short, timeUnits: Option[String],
+                           timeStep: Int): Array[Byte] = {
     require(!name.contains("/"),
       s"variable name '$name' contains '/' — would write outside the store")
     val perRec = nLat * nLon
@@ -98,7 +109,8 @@ object NetCdfSink {
       o.writeInt(b.length); o.write(b)
       val r = b.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
-    def header(begin: Long): Unit = {
+    val dataVsize = if (timeUnits.isDefined) (perRec * 2 + 3) / 4 * 4 else perRec * 2
+    def header(beginTime: Long, beginData: Long): Unit = {
       o.write("CDF".getBytes); o.write(1)           // CDF-1 is what packed
       o.writeInt(nRecs)                             // subset downloads use
       o.writeInt(0x0A); o.writeInt(3)               // dims
@@ -106,7 +118,19 @@ object NetCdfSink {
       nm("lat"); o.writeInt(nLat)
       nm("lon"); o.writeInt(nLon)
       o.writeInt(0); o.writeInt(0)                  // no global attrs
-      o.writeInt(0x0B); o.writeInt(1)               // one record variable
+      o.writeInt(0x0B)
+      o.writeInt(if (timeUnits.isDefined) 2 else 1) // record variables
+      timeUnits.foreach { u =>                      // CF time coordinate
+        val ub = u.getBytes("UTF-8")
+        nm("time"); o.writeInt(1); o.writeInt(0)    // dims: (time)
+        o.writeInt(0x0C); o.writeInt(1)             // one attr: units
+        nm("units"); o.writeInt(2); o.writeInt(ub.length) // NC_CHAR
+        o.write(ub)
+        val r = ub.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+        o.writeInt(4)                               // nc_type int
+        o.writeInt(4)                               // vsize per record
+        o.writeInt(beginTime.toInt)
+      }
       nm(name); o.writeInt(3)
       o.writeInt(0); o.writeInt(1); o.writeInt(2)   // (time, lat, lon)
       o.writeInt(0x0C); o.writeInt(3)               // CF packing attrs
@@ -115,15 +139,27 @@ object NetCdfSink {
       nm("_FillValue"); o.writeInt(3); o.writeInt(1)
       o.writeShort(fill.toInt); o.write(new Array[Byte](2)) // pad to 4
       o.writeInt(3)                                 // nc_type short
-      o.writeInt(perRec * 2)                        // vsize per record
-      o.writeInt(begin.toInt)
+      o.writeInt(dataVsize)                         // vsize per record
+      o.writeInt(beginData.toInt)
     }
-    header(0L)                                      // sizing pass
+    header(0L, 0L)                                  // sizing pass
     val headerLen = bos.size()
     bos.reset()
-    header(headerLen.toLong)
-    // sole record variable → records are NOT 4-byte padded (spec special case)
-    data.foreach(v => o.writeShort(v.toInt))
+    if (timeUnits.isDefined) {
+      // two record variables → per-record slots pad to 4; slots interleave
+      // in definition order: [time int][data shorts (padded)] per record
+      header(headerLen.toLong, headerLen + 4L)
+      val dataPad = dataVsize - perRec * 2
+      (0 until nRecs).foreach { r =>
+        o.writeInt(r * timeStep)
+        (0 until perRec).foreach(i => o.writeShort(data(r * perRec + i).toInt))
+        if (dataPad > 0) o.write(new Array[Byte](dataPad))
+      }
+    } else {
+      header(0L, headerLen.toLong)
+      // sole record variable → records are NOT 4-byte padded (spec special case)
+      data.foreach(v => o.writeShort(v.toInt))
+    }
     o.flush()
     bos.toByteArray
   }

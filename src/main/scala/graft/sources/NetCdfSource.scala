@@ -158,6 +158,42 @@ object NetCdfSource {
       num("_FillValue").orElse(num("missing_value")))
   }
 
+  /** CF time-coordinate codec (xarray `decode_times` semantics — the
+    * other half of reading a real ERA5/GFS download, whose time axis is
+    * e.g. `hours since 1900-01-01 00:00:00.0`): a udunits-subset `units`
+    * attribute converts raw offsets to epoch SECONDS. Seconds (not µs)
+    * keep every integral calendar instant exact in a double (µs since
+    * 1900 ≈ 4e18 overflows the 2^53 integer range).
+    */
+  final case class CfTime(unitSeconds: Long, epochSeconds: Long) {
+    def toEpochSeconds(raw: Double): Double = epochSeconds + raw * unitSeconds
+  }
+
+  private val TimeUnitsRe =
+    ("""(?i)\s*(second|sec|s|minute|min|hour|hr|h|day|d)s?\s+since\s+""" +
+      """(\d{4})-(\d{1,2})-(\d{1,2})""" +
+      """(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.\d+)?)?)?\s*(?:UTC|Z)?\s*""").r
+
+  /** Parse a CF `units` attribute; None when the variable is not a
+    * parseable time coordinate (callers then treat it as plain data).
+    */
+  def cfTimeOf(v: NcVar): Option[CfTime] =
+    v.attrs.find(_.name == "units").map(_.value).flatMap {
+      case TimeUnitsRe(unit, y, mo, d, h, mi, s) =>
+        val unitSec = unit.toLowerCase match {
+          case "second" | "sec" | "s" => 1L
+          case "minute" | "min" => 60L
+          case "hour" | "hr" | "h" => 3600L
+          case "day" | "d" => 86400L
+        }
+        def i(x: String, dflt: Int = 0): Int = Option(x).map(_.toInt).getOrElse(dflt)
+        val epoch = java.time.LocalDateTime
+          .of(y.toInt, mo.toInt, d.toInt, i(h), i(mi), i(s))
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        Some(CfTime(unitSec, epoch))
+      case _ => None
+    }
+
   /** Decode every wanted variable of one file to (variable, pos, value)
     * triples, `pos` the row-major linear index with the record dimension
     * outermost. `wanted` prunes variables BEFORE value expansion (the
@@ -167,7 +203,8 @@ object NetCdfSource {
     */
   def values(bytes: Array[Byte],
              wanted: String => Boolean = _ => true,
-             decodeCf: Boolean = false): Seq[(String, Long, Double)] = {
+             decodeCf: Boolean = false,
+             decodeTimes: Boolean = false): Seq[(String, Long, Double)] = {
     val f = parseHeader(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val recVars = f.vars.filter(v => v.dimIds.headOption.exists(f.dims(_).length == 0L))
@@ -178,7 +215,11 @@ object NetCdfSource {
     val out = Seq.newBuilder[(String, Long, Double)]
     f.vars.filter(v => wanted(v.name)).foreach { v =>
       val cf = if (decodeCf) cfCodecOf(v) else CfCodec(1.0, 0.0, None)
-      def unpack(raw: Double): Double = if (cf.identity) raw else cf(raw)
+      val cfT = if (decodeTimes) cfTimeOf(v) else None
+      def unpack(raw: Double): Double = {
+        val x = if (cf.identity) raw else cf(raw) // unpack BEFORE calendar math
+        cfT.fold(x)(t => t.toEpochSeconds(x))
+      }
       val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
       val fixedShape = v.dimIds.drop(if (isRec) 1 else 0).map(f.dims(_).length)
       val perRec = fixedShape.product.max(1L)
@@ -200,11 +241,15 @@ object NetCdfSource {
 
   /** Long tables from a glob of `.nc` files: vars (file, variable, dims,
     * shape, is_record) and data (file, variable, pos, value).
-    * `decodeCf = true` unpacks CF packed variables at decode ([[CfCodec]]).
+    * `decodeCf = true` unpacks CF packed variables at decode ([[CfCodec]]);
+    * `decodeTimes = true` additionally converts variables carrying a
+    * parseable `units = "<unit> since <epoch>"` attribute to epoch
+    * seconds ([[CfTime]]).
     */
   def read(spark: SparkSession, pathGlob: String,
            globFilter: String = "*.nc",
-           decodeCf: Boolean = false): (DataFrame, DataFrame) = {
+           decodeCf: Boolean = false,
+           decodeTimes: Boolean = false): (DataFrame, DataFrame) = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", globFilter).load(pathGlob)
@@ -220,7 +265,8 @@ object NetCdfSource {
       }
     }.toDF("file", "variable", "dims", "shape", "is_record")
     val data = raw.flatMap { case (path, bytes) =>
-      values(bytes, decodeCf = decodeCf).map { case (v, pos, x) => (path, v, pos, x) }
+      values(bytes, decodeCf = decodeCf, decodeTimes = decodeTimes)
+        .map { case (v, pos, x) => (path, v, pos, x) }
     }.toDF("file", "variable", "pos", "value")
     (vars, data)
   }

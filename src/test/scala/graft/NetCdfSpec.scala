@@ -202,6 +202,45 @@ class NetCdfSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("CF time coordinate: units parse; decodeTimes converts to epoch s") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.NetCdfSource.{CfTime, cfTimeOf, NcAttr, NcVar}
+    def timeVar(units: String) =
+      NcVar("time", Seq(0), 4, 4L, 0L, Seq(NcAttr("units", units)))
+    // udunits-subset variants parse; epoch components default to midnight
+    assert(cfTimeOf(timeVar("hours since 1900-01-01 00:00:00.0"))
+      .contains(CfTime(3600L, -2208988800L)))
+    assert(cfTimeOf(timeVar("days since 2000-1-2")).contains(CfTime(86400L, 946771200L)))
+    assert(cfTimeOf(timeVar("SECONDS since 1970-01-01T00:00:00Z"))
+      .contains(CfTime(1L, 0L)))
+    assert(cfTimeOf(timeVar("minutes since 1990-01-01 06:30"))
+      .contains(CfTime(60L, 631152000L + 6 * 3600 + 30 * 60)))
+    assert(cfTimeOf(timeVar("kelvin")).isEmpty)       // not a time unit
+    assert(cfTimeOf(timeVar("since 1990-01-01")).isEmpty)
+    // end-to-end: the written time coordinate decodes to epoch seconds
+    val cells = Seq((0, 0, 0, 100), (1, 0, 1, -250))
+      .toDF("t", "i", "j", "stored").withColumn("variable", lit("t2m"))
+    val dir = Files.createTempDirectory("nctm").toString + "/store"
+    graft.sinks.NetCdfSink.writePackedGrids(cells, dir, shape = (2, 3),
+      nRecs = 2, scale = 0.01, offset = 0.5,
+      timeUnits = Some("hours since 1990-01-01 00:00:00"), timeStep = 6)
+    val (_, data) = NetCdfSource.read(spark, dir, decodeCf = true, decodeTimes = true)
+    val times = data.filter(col("variable") === "time").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(times.toSeq == Seq(631152000.0, 631152000.0 + 21600))
+    // the data variable still unpacks normally alongside the coordinate
+    val vals = data.filter(col("variable") === "t2m").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(vals(0) == 100 * 0.01 + 0.5 && vals(7) == -250 * 0.01 + 0.5)
+    // without the flag, raw offsets come back untouched
+    val (_, rawD) = NetCdfSource.read(spark, dir, decodeCf = true)
+    val rawT = rawD.filter(col("variable") === "time").orderBy("pos")
+      .collect().map(_.getDouble(3))
+    assert(rawT.toSeq == Seq(0.0, 6.0))
+    spark.catalog.clearCache()
+  }
+
   test("readWithRelease: consuming then releasing leaves no cached blocks") {
     val dir = Files.createTempDirectory("ncrel").toString
     Files.write(Paths.get(dir, "era.nc"), fixture)

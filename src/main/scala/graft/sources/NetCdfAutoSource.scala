@@ -32,18 +32,21 @@ object NetCdfAutoSource {
     b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F'
 
   /** `decodeCf = true` applies CF `scale_factor`/`add_offset`/`_FillValue`
-    * unpacking on the classic branch ([[NetCdfSource.CfCodec]]). The HDF5
-    * branch stays raw: packed netCDF-4 is out of the supported subset (our
-    * own NetCDF-4 sink writes unpacked f64 only, and `Hdf5Store.parseVars`
-    * surfaces dimension-scale attributes, not per-variable numeric attrs).
+    * unpacking and `decodeTimes = true` CF time-coordinate conversion on
+    * the classic branch ([[NetCdfSource.CfCodec]]/[[NetCdfSource.CfTime]]).
+    * The HDF5 branch stays raw: packed netCDF-4 is out of the supported
+    * subset (our own NetCDF-4 sink writes unpacked f64 only, and
+    * `Hdf5Store.parseVars` surfaces dimension-scale attributes, not
+    * per-variable numeric attrs).
     */
   def read(spark: SparkSession, pathGlob: String,
            globFilter: String = "*.nc*",
            include: Set[String] = Set.empty,
            exclude: Set[String] = Set.empty,
-           decodeCf: Boolean = false): (DataFrame, DataFrame) = {
+           decodeCf: Boolean = false,
+           decodeTimes: Boolean = false): (DataFrame, DataFrame) = {
     val (vars, data, _) = readWithRelease(spark, pathGlob, globFilter,
-      include, exclude, decodeCf)
+      include, exclude, decodeCf, decodeTimes)
     (vars, data)
   }
 
@@ -57,7 +60,8 @@ object NetCdfAutoSource {
                       globFilter: String = "*.nc*",
                       include: Set[String] = Set.empty,
                       exclude: Set[String] = Set.empty,
-                      decodeCf: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
+                      decodeCf: Boolean = false,
+                      decodeTimes: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
     import spark.implicits._
     def wanted(name: String): Boolean =
       (include.isEmpty || include.contains(name)) && !exclude.contains(name)
@@ -76,7 +80,7 @@ object NetCdfAutoSource {
           }
         } else if (isClassic(bytes)) {
           val f = NetCdfSource.parseHeader(bytes)
-          val byVar = NetCdfSource.values(bytes, wanted, decodeCf)
+          val byVar = NetCdfSource.values(bytes, wanted, decodeCf, decodeTimes)
             .groupBy(_._1).view.mapValues(_.map(_._3).toArray)
           f.vars.filter(v => wanted(v.name)).map { v =>
             val dimNames = v.dimIds.map(f.dims(_).name)

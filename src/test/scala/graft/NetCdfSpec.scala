@@ -238,6 +238,11 @@ class NetCdfSpec extends SparkSpec {
     val rawT = rawD.filter(col("variable") === "time").orderBy("pos")
       .collect().map(_.getDouble(3))
     assert(rawT.toSeq == Seq(0.0, 6.0))
+    // the magic-byte auto source threads the flag through its classic branch
+    val (_, autoD) = graft.sources.NetCdfAutoSource.read(spark, dir,
+      globFilter = "*.nc", decodeCf = true, decodeTimes = true)
+    assert(autoD.filter(col("variable") === "time").orderBy("pos")
+      .collect().map(_.getDouble(3)).toSeq == Seq(631152000.0, 631152000.0 + 21600))
     spark.catalog.clearCache()
   }
 

@@ -2054,18 +2054,36 @@ object SparkEntry {
         val gray = new Array[Int](16 * 16)
         for (y <- 0 until 16; x <- 0 until 16)
           gray(y * 16 + x) = ch(gs((y / 8) * 2 + x / 8), 1)
+        // 4:2:0: 32×32 = 2×2 MCUs; per-MCU constant chroma + per-8×8 luma
+        // keep the box filter and DCT exact through the subsampled path
+        val cs = rows.slice(40, 44).map(_._3)  // 4 MCU chroma seeds
+        val ls = rows.slice(44, 60).map(_._3)  // 16 luma blocks
+        val sub = new Array[Int](32 * 32 * 3)
+        for (y <- 0 until 32; x <- 0 until 32) {
+          val o = (y * 32 + x) * 3
+          sub(o) = ch(ls((y / 8) * 4 + x / 8), 3)
+          val m = (y / 16) * 2 + x / 16
+          sub(o + 1) = ch(cs(m), 7); sub(o + 2) = ch(cs(m), 11)
+        }
         (g, graft.functions.Media.renderJpeg(48, 48, 3, color, restartInterval = 6),
-          graft.functions.Media.renderJpeg(16, 16, 1, gray))
-      }.toDF("g", "jpg", "gjpg")
+          graft.functions.Media.renderJpeg(16, 16, 1, gray),
+          graft.functions.Media.renderJpeg(32, 32, 3, sub, subsample420 = true))
+      }.toDF("g", "jpg", "gjpg", "sjpg")
     val colorF = MultimodalOps.jpegFeatures(payloads, "g", "jpg")
     val grayF = MultimodalOps.jpegFeatures(payloads, "g", "gjpg")
       .select(col("g"), col("width").as("g_w"), col("height").as("g_h"),
         col("n_channels").as("g_ch"), rnd("mean_y", 4).as("g_mean"))
-    colorF.join(grayF, "g")
+    val subF = MultimodalOps.jpegFeatures(payloads, "g", "sjpg")
+      .select(col("g"), col("width").as("s_w"), col("height").as("s_h"),
+        rnd("mean_y", 4).as("s_mean_y"), rnd("mean_cb", 4).as("s_mean_cb"),
+        rnd("mean_cr", 4).as("s_mean_cr"))
+    colorF.join(grayF, "g").join(subF, "g")
       .select(col("g"), col("width"), col("height"), col("n_channels"),
         rnd("mean_y", 4).as("mean_y"), rnd("mean_cb", 4).as("mean_cb"),
         rnd("mean_cr", 4).as("mean_cr"),
-        col("g_w"), col("g_h"), col("g_ch"), col("g_mean"))
+        col("g_w"), col("g_h"), col("g_ch"), col("g_mean"),
+        col("s_w"), col("s_h"), col("s_mean_y"), col("s_mean_cb"),
+        col("s_mean_cr"))
       .orderBy("g")
   }
 
@@ -2788,11 +2806,20 @@ object SparkEntry {
         |  FROM r WHERE rn <= 36 GROUP BY 1),
         |gr AS (SELECT g,
         |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS g_mean
-        |  FROM r WHERE rn BETWEEN 37 AND 40 GROUP BY 1)
+        |  FROM r WHERE rn BETWEEN 37 AND 40 GROUP BY 1),
+        |sc AS (SELECT g,
+        |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_cb,
+        |    round(avg(CAST((v * 11 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_cr
+        |  FROM r WHERE rn BETWEEN 41 AND 44 GROUP BY 1),
+        |sl AS (SELECT g,
+        |    round(avg(CAST((v * 3 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_y
+        |  FROM r WHERE rn BETWEEN 45 AND 60 GROUP BY 1)
         |SELECT c.g, 48 AS width, 48 AS height, 3 AS n_channels,
         |  c.mean_y, c.mean_cb, c.mean_cr,
-        |  16 AS g_w, 16 AS g_h, 1 AS g_ch, gr.g_mean
-        |FROM c JOIN gr USING (g) ORDER BY g""".stripMargin,
+        |  16 AS g_w, 16 AS g_h, 1 AS g_ch, gr.g_mean,
+        |  32 AS s_w, 32 AS s_h, sl.s_mean_y, sc.s_mean_cb, sc.s_mean_cr
+        |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
+        |ORDER BY g""".stripMargin,
 
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS ref_value

@@ -468,12 +468,16 @@ object Media {
   }
 
   /** Render baseline JFIF: SOI → APP0 → DQT → SOF0 → DHT → [DRI] → SOS →
-    * entropy-coded MCUs (4:4:4, one block per component) → EOI. With
+    * entropy-coded interleaved MCUs → EOI. `subsample420 = true` encodes
+    * YCbCr 4:2:0 (the sampling most real-world JPEGs use: 2×2 luma blocks
+    * + one box-filtered block per chroma component per 16×16 MCU);
+    * otherwise one block per component (4:4:4 / grayscale). With
     * `restartInterval` > 0, RST0..7 markers cycle every that-many MCUs and
     * DC predictors reset — the parallel-decode seam real encoders emit.
     */
   def renderJpeg(width: Int, height: Int, channels: Int, samples: Array[Int],
-                 restartInterval: Int = 0): Array[Byte] = {
+                 restartInterval: Int = 0,
+                 subsample420: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       (channels == 1 || channels == 3),
       s"bad JPEG geometry ${width}x$height x$channels")
@@ -481,7 +485,31 @@ object Media {
       s"${samples.length} samples for ${width}x${height}x$channels")
     require(restartInterval >= 0 && restartInterval <= 0xffff,
       s"restart interval $restartInterval outside the 16-bit DRI field")
+    require(!subsample420 || channels == 3, "4:2:0 needs 3 components")
     samples.foreach(v => require(v >= 0 && v <= 255, s"sample $v outside 8-bit"))
+    val factors: Seq[(Int, Int)] = // (h, v) sampling per component
+      if (subsample420) Seq((2, 2), (1, 1), (1, 1))
+      else Seq.fill(channels)((1, 1))
+    val hmax = factors.map(_._1).max
+    val vmax = factors.map(_._2).max
+    // component planes at their own resolution; subsampled chroma is the
+    // rounded box filter of each hmax/hc × vmax/vc pixel group
+    val planes = (0 until channels).map { c =>
+      val (hc, vc) = factors(c)
+      val cw = (width * hc + hmax - 1) / hmax
+      val chh = (height * vc + vmax - 1) / vmax
+      val p = Array.tabulate(chh * cw) { i =>
+        val py = i / cw; val px = i % cw
+        val y0 = py * vmax / vc; val x0 = px * hmax / hc
+        var sum = 0; var n = 0
+        for (dy <- 0 until vmax / vc; dx <- 0 until hmax / hc) {
+          val y = math.min(height - 1, y0 + dy); val x = math.min(width - 1, x0 + dx)
+          sum += samples((y * width + x) * channels + c); n += 1
+        }
+        math.round(sum.toDouble / n).toInt
+      }
+      (p, cw, chh)
+    }
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Int]): Unit = {
       out.write(0xff); out.write(marker)
@@ -494,7 +522,10 @@ object Media {
     def dqt(id: Int, q: Array[Int]): Array[Int] = id +: Array.tabulate(64)(i => q(Zigzag(i)))
     seg(0xdb, if (channels == 1) dqt(0, QLuma) else dqt(0, QLuma) ++ dqt(1, QChroma))
     seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff, channels) ++
-      (0 until channels).flatMap(c => Seq(c + 1, 0x11, if (c == 0) 0 else 1)))
+      (0 until channels).flatMap { c =>
+        val (hc, vc) = factors(c)
+        Seq(c + 1, (hc << 4) | vc, if (c == 0) 0 else 1)
+      })
     val (acBits, acVals) = AcLayout
     def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Array[Int] =
       tcTh +: (bits ++ vals)
@@ -510,8 +541,8 @@ object Media {
     val dcCodes = Array(huffCodes(DcLumaBits, DcVals), huffCodes(DcChromaBits, DcVals))
     val acCodes = huffCodes(acBits, acVals) // same layout registered in both slots
     val bw = new BitWriter(out)
-    val mbx = (width + 7) / 8
-    val mby = (height + 7) / 8
+    val mbx = (width + 8 * hmax - 1) / (8 * hmax)
+    val mby = (height + 8 * vmax - 1) / (8 * vmax)
     val pred = new Array[Int](channels)
     var rst = 0
     for (mi <- 0 until mbx * mby) {
@@ -519,12 +550,16 @@ object Media {
         bw.flush(); out.write(0xff); out.write(0xd0 + rst % 8); rst += 1
         java.util.Arrays.fill(pred, 0)
       }
-      val by = mi / mbx; val bx = mi % mbx
-      for (c <- 0 until channels) {
+      val my = mi / mbx; val mx = mi % mbx
+      for (c <- 0 until channels; by2 <- 0 until factors(c)._2;
+           bx2 <- 0 until factors(c)._1) {
+        val (plane, cw, chh) = planes(c)
+        val y0 = (my * factors(c)._2 + by2) * 8
+        val x0 = (mx * factors(c)._1 + bx2) * 8
         val block = Array.tabulate(64) { i => // edge-replicate partial blocks
-          val x = math.min(height - 1, by * 8 + i / 8)
-          val y = math.min(width - 1, bx * 8 + i % 8)
-          samples((x * width + y) * channels + c)
+          val y = math.min(chh - 1, y0 + i / 8)
+          val x = math.min(cw - 1, x0 + i % 8)
+          plane(y * cw + x)
         }
         val zz = fdctQuant(block, if (c == 0) QLuma else QChroma)
         val diff = zz(0) - pred(c); pred(c) = zz(0)
@@ -553,11 +588,12 @@ object Media {
     out.toByteArray
   }
 
-  /** Decode baseline JPEG (SOF0, 8-bit, 4:4:4 or grayscale): marker walk
-    * (APPn/COM skipped), DQT/DHT as declared in the file, interleaved
-    * single-scan entropy decode with DC prediction and restart intervals,
-    * dequant + zigzag + IDCT per block. Progressive (SOF2), subsampled,
-    * arithmetic-coded, and 12-bit files fail loudly.
+  /** Decode baseline JPEG (SOF0, 8-bit; grayscale, 4:4:4, and subsampled
+    * 4:2:0/4:2:2 with sampling factors up to 2×2): marker walk (APPn/COM
+    * skipped), DQT/DHT as declared in the file, interleaved single-scan
+    * entropy decode with DC prediction and restart intervals, dequant +
+    * zigzag + IDCT per block, nearest-neighbor chroma upsampling.
+    * Progressive (SOF2), arithmetic-coded, and 12-bit files fail loudly.
     */
   def decodeJpeg(bytes: Array[Byte]): Jpeg = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
@@ -568,6 +604,7 @@ object Media {
     val acTabs = new Array[HuffDecoder](4)
     var width = -1; var height = -1; var nc = -1
     var compQ: Array[Int] = null
+    var compH: Array[Int] = null; var compV: Array[Int] = null
     var dri = 0
     var out: Array[Int] = null
     var p = 2
@@ -618,10 +655,13 @@ object Media {
           require(width > 0 && height > 0, s"bad JPEG extent ${width}x$height")
           require(nc == 1 || nc == 3, s"$nc components unsupported (1 or 3)")
           compQ = new Array[Int](nc)
+          compH = new Array[Int](nc); compV = new Array[Int](nc)
           for (c <- 0 until nc) {
             val o = p + 8 + c * 3
-            require((bytes(o + 1) & 0xff) == 0x11,
-              "subsampled JPEG unsupported (4:4:4 / grayscale only)")
+            compH(c) = (bytes(o + 1) & 0xff) >> 4
+            compV(c) = bytes(o + 1) & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+              s"sampling factors ${compH(c)}x${compV(c)} unsupported (1..2)")
             compQ(c) = bytes(o + 2) & 0x0f
           }
           p += u16(p)
@@ -640,8 +680,15 @@ object Media {
           }
           p += u16(p)
           out = new Array[Int](width * height * nc)
-          val mbx = (width + 7) / 8
-          val mby = (height + 7) / 8
+          val hmax = compH.max; val vmax = compV.max
+          val mbx = (width + 8 * hmax - 1) / (8 * hmax)
+          val mby = (height + 8 * vmax - 1) / (8 * vmax)
+          // per-component planes at native resolution (MCU-padded); the
+          // final mapping upsamples by index division (nearest), which is
+          // exact for the flat-block fixtures the oracle leans on
+          val planeW = (0 until nc).map(c => mbx * compH(c) * 8)
+          val planes = (0 until nc).map(c =>
+            new Array[Int](mby * compV(c) * 8 * planeW(c)))
           val br = new BitReader(bytes, p)
           val pred = new Array[Int](nc)
           var rst = 0
@@ -655,8 +702,8 @@ object Media {
               br.p += 2; rst += 1
               java.util.Arrays.fill(pred, 0)
             }
-            val by = mi / mbx; val bx = mi % mbx
-            for (c <- 0 until nc) {
+            val my = mi / mbx; val mx = mi % mbx
+            for (c <- 0 until nc; by2 <- 0 until compV(c); bx2 <- 0 until compH(c)) {
               val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
               require(dcT != null && acT != null, s"scan uses undeclared DHT for comp $c")
               val q = qts(compQ(c))
@@ -679,20 +726,23 @@ object Media {
               }
               val coef = new Array[Double](64)
               for (i <- 0 until 64) coef(Zigzag(i)) = zz(i).toDouble * q(Zigzag(i))
+              val y0 = (my * compV(c) + by2) * 8
+              val x0 = (mx * compH(c) + bx2) * 8
               for (x <- 0 until 8; y <- 0 until 8) {
-                val px = by * 8 + x; val py = bx * 8 + y
-                if (px < height && py < width) { // crop edge-padded blocks
-                  var s2 = 0.0
-                  for (u <- 0 until 8; v <- 0 until 8)
-                    s2 += cC(u) * cC(v) * coef(u * 8 + v) * CosT(x)(u) * CosT(y)(v)
-                  val v0 = math.round(0.25 * s2 + 128.0).toInt
-                  out((px * width + py) * nc + c) = math.max(0, math.min(255, v0))
-                }
+                var s2 = 0.0
+                for (u <- 0 until 8; v <- 0 until 8)
+                  s2 += cC(u) * cC(v) * coef(u * 8 + v) * CosT(x)(u) * CosT(y)(v)
+                val v0 = math.round(0.25 * s2 + 128.0).toInt
+                planes(c)((y0 + x) * planeW(c) + x0 + y) =
+                  math.max(0, math.min(255, v0))
               }
             }
           }
           br.align()
           p = br.p
+          for (y <- 0 until height; x <- 0 until width; c <- 0 until nc)
+            out((y * width + x) * nc + c) =
+              planes(c)((y * compV(c) / vmax) * planeW(c) + x * compH(c) / hmax)
         case m =>
           throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$m%02x")
       }

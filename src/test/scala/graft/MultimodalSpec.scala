@@ -121,6 +121,36 @@ class MultimodalSpec extends SparkSpec {
     assert(dg.samples.toSeq == g.toSeq)
   }
 
+  test("Media: JPEG 4:2:0 subsampled round trip; chroma box filter") {
+    import graft.functions.Media
+    // 32×16 = 2×1 MCUs of 16×16; per-MCU constant chroma and per-8×8-block
+    // constant luma make both the box filter and the DCT exact
+    val img = new Array[Int](32 * 16 * 3)
+    val lumaB = Array(10, 60, 110, 160, 210, 250, 30, 90) // 4×2 luma blocks
+    val chroma = Array((40, 200), (170, 80))              // per MCU (cb, cr)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val o = (y * 32 + x) * 3
+      img(o) = lumaB((y / 8) * 4 + x / 8)
+      val (cb, cr) = chroma(x / 16)
+      img(o + 1) = cb; img(o + 2) = cr
+    }
+    val jpg = Media.renderJpeg(32, 16, 3, img, subsample420 = true)
+    val d = Media.decodeJpeg(jpg)
+    assert(d.width == 32 && d.height == 16 && d.channels == 3)
+    assert(d.samples.toSeq == img.toSeq) // bit-exact through 4:2:0
+    // the file really is subsampled: smaller than its 4:4:4 encoding
+    assert(jpg.length < Media.renderJpeg(32, 16, 3, img).length)
+    // varying chroma within a MCU survives within box-filter error
+    val img2 = Array.tabulate(16 * 16 * 3) { i =>
+      val c = i % 3; val px = i / 3
+      if (c == 0) 128 else (px / 2 + c * 40) % 256
+    }
+    val d2 = Media.decodeJpeg(Media.renderJpeg(16, 16, 3, img2, subsample420 = true))
+    val maxErr = img2.indices.filter(_ % 3 == 0)
+      .map(i => math.abs(d2.samples(i) - img2(i))).max
+    assert(maxErr <= 2, s"luma must stay near-exact under 4:2:0, got $maxErr")
+  }
+
   test("Media: JPEG lossy content bounded by quant error; loud rejects") {
     import graft.functions.Media
     // Horizontal ramp: few AC coefficients carry it, so per-pixel error is

@@ -406,6 +406,28 @@ class CodecPropertySpec extends AnyFunSuite {
     }, n = 60)
   }
 
+  test("JPEG 4:2:0: random flat-MCU grids render → decode bit-exactly") {
+    // Under 4:2:0 the exactness unit is the 16×16 MCU (the chroma box
+    // filter spans 2×2 luma blocks): per-MCU constants survive the
+    // subsampled pipeline bit-exactly, across grid shapes and restarts.
+    val gen = for {
+      mw <- Gen.chooseNum(1, 3)
+      mh <- Gen.chooseNum(1, 2)
+      dri <- Gen.chooseNum(0, 4)
+      vals <- Gen.listOfN(mw * mh * 3, Gen.chooseNum(0, 255))
+    } yield (mw, mh, dri, vals)
+    check(Prop.forAllNoShrink(gen) { case (mw, mh, dri, vals) =>
+      val w = mw * 16; val h = mh * 16
+      val samples = new Array[Int](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        samples((y * w + x) * 3 + c) = vals(((y / 16) * mw + x / 16) * 3 + c)
+      val d = graft.functions.Media.decodeJpeg(graft.functions.Media.renderJpeg(
+        w, h, 3, samples, restartInterval = dri, subsample420 = true))
+      Prop(d.width == w && d.height == h && d.channels == 3 &&
+        d.samples.toSeq == samples.toSeq) :| s"${mw}x$mh MCUs dri=$dri"
+    }, n = 40)
+  }
+
   test("NetCDF CF packing: scale/offset/fill attributes unpack at decode") {
     val fill = -32768
     val gen = for {

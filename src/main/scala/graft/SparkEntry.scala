@@ -89,6 +89,7 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_chunk_tokens" -> (qChunkTokens _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
@@ -1340,14 +1341,58 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Token-budget greedy prefix per language: docs in doc_id order until the
-    * cumulative BPE token count passes 10k tokens.
+  /** Number of BPE merges the corpus-trained tokenizer learns — small
+    * enough that common words stay multi-token (the encode keeps real
+    * dynamic range for budget/packing), large enough to compress ~2.5×
+    * over characters on the synthetic vocabulary.
+    */
+  private val BpeNumMerges = 40
+
+  /** Materialization point for the corpus-trained BPE merges table (same
+    * oracle-constant contract as [[AnnPlanesDir]]; content is a pure
+    * function of the corpus at `dir`, so within one Verify/Bench run every
+    * BPE query rewrites identical values).
+    */
+  private val BpeMergesDir = s"$MatRoot/bpe_merges"
+
+  /** Shared BPE front-end for every token-accounting query: train the
+    * merges on the corpus (driver-side, vocabulary-bounded), materialize
+    * them for the oracle's recursive-CTE mirror, and return the
+    * distributed per-document encode (n_pretokens, n_bpe_tokens,
+    * bpe_tokens).
+    */
+  private def bpeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val merges = TextOps.trainBpe(docs, "text", BpeNumMerges)
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "lhs", "rhs").coalesce(1)
+      .write.mode("overwrite").parquet(BpeMergesDir)
+    TextOps.bpeEncode(docs, "doc_id", "text", merges)
+  }
+
+  /** Real-BPE encode gate: per document — pre-token count, merges-table
+    * BPE token count, and the md5 of the full token stream. The DuckDB
+    * oracle re-runs the ENCODE itself (recursive CTE over the materialized
+    * merges: leftmost lowest-rank pair per step), so the distributed typed
+    * map is checked against an independent implementation of the same
+    * published algorithm — not against a precomputed answer.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    bpeCounts(s, dir)
+      .select(col("doc_id"), col("n_pretokens"), col("n_bpe_tokens"),
+        md5(concat_ws(" ", col("bpe_tokens"))).as("tok_md5"))
+      .orderBy("doc_id")
+
+  /** Token-budget greedy prefix per language: docs in doc_id order until
+    * the cumulative REAL tokenizer token count (merges-table BPE — not the
+    * pre-tokenizer pattern count) passes 10k tokens.
     */
   private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CurationOps
-    val prepared = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        graft.functions.Text.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    val prepared = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(bpeCounts(s, dir).select(col("doc_id"),
+        col("n_bpe_tokens").as("n_tokens")), "doc_id")
     CurationOps.tokenBudgetSelect(prepared, "lang", "doc_id", "n_tokens", 10000L)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("cum_tokens").cast("long").as("cum_tokens"))
@@ -1427,12 +1472,13 @@ object SparkEntry {
       .orderBy("rank")
 
   /** Concat-and-cut context-window packing of the document stream: every
-    * document's offset, first window, and windows spanned at L=512.
+    * document's offset, first window, and windows spanned at L=512 —
+    * offsets in REAL tokenizer tokens (merges-table BPE), which is what a
+    * training loader actually packs.
     */
   private def qPackSequences(s: SparkSession, dir: String): DataFrame =
     CurationOps.packSequences(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks")),
+      bpeCounts(s, dir).select(col("doc_id"), col("n_bpe_tokens").as("n_toks")),
       "doc_id", "n_toks", contextLen = 512L)
       .select(col("doc_id"), col("n_toks"), col("start_off"),
         col("pack_id"), col("n_packs"))
@@ -1608,17 +1654,28 @@ object SparkEntry {
       .orderBy("ia", "ib")
   }
 
+  /** Root for oracle-constant materialization (hyperplanes, JL matrix,
+    * k-means centroids, BPE merges): overridable via GRAFT_DATA_DIR /
+    * -Dgraft.data.dir, defaulting to `data/` under the process working
+    * directory — the oracle SQL strings interpolate the SAME resolved
+    * absolute path, so Spark writer and DuckDB reader agree on any
+    * checkout location (not just /root/repo).
+    */
+  private[graft] val MatRoot: String =
+    sys.env.get("GRAFT_DATA_DIR").orElse(sys.props.get("graft.data.dir"))
+      .getOrElse(new java.io.File("data").getAbsolutePath)
+
   /** Fixed materialization point for the q_ann_pairs hyperplane constants —
     * the oracle SQL is a static string, so the path cannot vary with the sf
     * dir; the content is a pure function of (seed, L, k, dim) and identical
     * for every run, so a concurrent overwrite rewrites the same values.
     */
-  private val AnnPlanesDir = "/root/repo/data/ann_planes"
+  private val AnnPlanesDir = s"$MatRoot/ann_planes"
 
   /** Same materialized-constant contract as [[AnnPlanesDir]], for the JL
     * projection matrix.
     */
-  private val RpPlanesDir = "/root/repo/data/rp_planes"
+  private val RpPlanesDir = s"$MatRoot/rp_planes"
 
   /** Johnson–Lindenstrauss projection gate: every embedding reduced 64→8
     * through the materialized matrix; DuckDB recomputes each component with
@@ -1808,7 +1865,7 @@ object SparkEntry {
     * driver's Verify→check flow is sequential, so the check always reads
     * the centroids the immediately-preceding run wrote.
     */
-  private val SemCentroidsDir = "/root/repo/data/sem_centroids"
+  private val SemCentroidsDir = s"$MatRoot/sem_centroids"
 
   /** Gopher-style repetition metrics over word bigrams: top-n-gram and
     * duplicate-n-gram occupancy per document — the standard boilerplate /
@@ -1884,9 +1941,11 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
-  /** Overlapping 64/48 token chunking (embedding prep). */
+  /** Overlapping 64/48 chunking (embedding prep) over the REAL BPE token
+    * stream — chunk geometry and fingerprints in tokenizer tokens.
+    */
   private def qChunkTokens(s: SparkSession, dir: String): DataFrame =
-    TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+    TextOps.chunkTokenArray(bpeCounts(s, dir), "doc_id", "bpe_tokens",
       width = 64, stride = 48)
       .orderBy("doc_id", "chunk_idx")
 
@@ -2386,6 +2445,49 @@ object SparkEntry {
 
   private val StopPatterns: Map[String, String] = TextOps.stopwords.toMap
 
+  /** Shared CTE chain re-running the BPE ENCODE in DuckDB against the
+    * materialized merges table: per distinct pre-token, a recursive CTE
+    * merges the leftmost occurrence of the lowest-rank adjacent pair one
+    * step at a time (provably equivalent to the classic all-occurrences
+    * formulation — see [[graft.functions.Bpe]]); `doc_bpe` then rebuilds
+    * every document's ordered token stream from its word sequence. Callers
+    * must open with `WITH RECURSIVE`.
+    */
+  private def bpeCtes: String =
+    s"""words AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(text, '${Text.BpePattern}')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT w, regexp_extract_all(w, '.') AS syms, 0 AS step FROM words
+       |  UNION ALL
+       |  SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:], step + 1
+       |  FROM (
+       |    SELECT w, syms, step,
+       |      (SELECT i FROM (SELECT unnest(range(1, len(syms))) AS i) t
+       |       JOIN '$BpeMergesDir/*.parquet' m
+       |         ON m.lhs = syms[i] AND m.rhs = syms[i+1]
+       |       ORDER BY m.rank, i LIMIT 1) AS bi
+       |    FROM enc) WHERE bi IS NOT NULL),
+       |final AS (
+       |  SELECT w, syms FROM (
+       |    SELECT w, syms, row_number() OVER (PARTITION BY w ORDER BY step DESC) rn
+       |    FROM enc) WHERE rn = 1),
+       |dw AS (
+       |  SELECT doc_id, t.i AS i, ws[t.i] AS w
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '${Text.BpePattern}') AS ws
+       |        FROM documents) d,
+       |  LATERAL (SELECT unnest(range(1, len(ws)+1)) AS i) t),
+       |doc_enc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+       |         CAST(sum(len(syms)) AS BIGINT) AS n_bpe_tokens,
+       |         flatten(list(syms ORDER BY i)) AS toks
+       |  FROM dw JOIN final USING (w) GROUP BY doc_id),
+       |doc_bpe AS (
+       |  SELECT d.doc_id, d.lang, coalesce(n_pretokens, 0) AS n_pretokens,
+       |         coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+       |         coalesce(toks, CAST([] AS VARCHAR[])) AS toks
+       |  FROM documents d LEFT JOIN doc_enc USING (doc_id))""".stripMargin
+
   def oracleSql: Map[String, String] = coreOracleSql ++ llmOracleSql
 
   private def llmOracleSql: Map[String, String] = Map(
@@ -2477,7 +2579,7 @@ object SparkEntry {
     // buckets, per-table candidate pairs, and the exact verify cosine.
     "q_ann_pairs" ->
       s"""WITH pl AS (SELECT tbl, plane, w
-         |    FROM '/root/repo/data/ann_planes/*.parquet'),
+         |    FROM '$AnnPlanesDir/*.parquet'),
          |dots AS (SELECT e.vec_id, p.tbl, p.plane,
          |    list_dot_product(e.embedding::DOUBLE[], p.w) AS dp
          |  FROM embeddings e CROSS JOIN pl p),
@@ -2494,7 +2596,7 @@ object SparkEntry {
          |SELECT ia, ib, cos_r FROM sc WHERE cos_r >= 0.25 ORDER BY ia, ib""".stripMargin,
 
     "q_random_projection" ->
-      ("""WITH p AS (SELECT plane, w FROM '/root/repo/data/rp_planes/*.parquet'),
+      (s"""WITH p AS (SELECT plane, w FROM '$RpPlanesDir/*.parquet'),
         |d AS (SELECT e.vec_id, p.plane,
         |    list_dot_product(e.embedding::DOUBLE[], p.w) * sqrt(3.0 / 8.0) AS comp
         |  FROM embeddings e CROSS JOIN p)
@@ -2577,7 +2679,7 @@ object SparkEntry {
     // recursive-CTE component resolution as q_dedup_clusters.
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE
-         |cent AS (SELECT cid, w FROM '/root/repo/data/sem_centroids/*.parquet'),
+         |cent AS (SELECT cid, w FROM '$SemCentroidsDir/*.parquet'),
          |sc AS (SELECT e.vec_id AS id, c.cid,
          |    list_dot_product(e.embedding::DOUBLE[], c.w) AS s
          |  FROM embeddings e CROSS JOIN cent c),
@@ -2653,17 +2755,28 @@ object SparkEntry {
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Chunking mirror over the REAL BPE token stream: the shared encode
+    // CTE rebuilds each document's token list, then the same slice/md5
+    // geometry as before runs over tokenizer tokens.
     "q_chunk_tokens" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
-        |c AS (SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_idx, toks
-        |  FROM d, LATERAL (SELECT unnest(range((len(toks) - 1) // 48 + 1)) AS i) i)
-        |SELECT doc_id, chunk_idx,
-        |  CAST(chunk_idx * 48 AS INTEGER) AS start_tok,
-        |  CAST(least(64, len(toks) - chunk_idx * 48) AS INTEGER) AS n_tok,
-        |  md5(array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' '))
-        |    AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH RECURSIVE $bpeCtes,
+         |d AS (SELECT doc_id, toks FROM doc_bpe WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, CAST(i.i AS INTEGER) AS chunk_idx, toks
+         |  FROM d, LATERAL (SELECT unnest(range((len(toks) - 1) // 48 + 1)) AS i) i)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * 48 AS INTEGER) AS start_tok,
+         |  CAST(least(64, len(toks) - chunk_idx * 48) AS INTEGER) AS n_tok,
+         |  md5(array_to_string(toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)], ' '))
+         |    AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Full BPE-encode mirror: DuckDB re-runs the encode itself (recursive
+    // CTE over the materialized merges), then hashes the rebuilt stream.
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT doc_id, n_pretokens, n_bpe_tokens,
+         |  md5(array_to_string(toks, ' ')) AS tok_md5
+         |FROM doc_bpe ORDER BY doc_id""".stripMargin,
 
     // Entropy mirror: the same one-pass algebraic split
     // H = ln(n) − Σ c·ln(c)/n over per-doc token counts.
@@ -2861,10 +2974,9 @@ object SparkEntry {
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     "q_pack_sequences" ->
-      """WITH d AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-        |  FROM documents),
-        |o AS (SELECT doc_id, n_toks,
+      s"""WITH RECURSIVE $bpeCtes,
+         |d AS (SELECT doc_id, n_bpe_tokens AS n_toks FROM doc_bpe),
+         |o AS (SELECT doc_id, n_toks,
         |    CAST(coalesce(sum(n_toks) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS start_off
@@ -3034,10 +3146,11 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    // Budget selection over REAL tokenizer tokens: the shared encode CTE
+    // supplies per-doc BPE counts, then the same greedy-prefix window.
     "q_token_budget" ->
-      s"""WITH t AS (SELECT doc_id, lang,
-         |    CAST(len(regexp_extract_all(text, '${Text.BpePattern}')) AS BIGINT) AS n_tokens
-         |  FROM documents),
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (SELECT doc_id, lang, n_bpe_tokens AS n_tokens FROM doc_bpe),
          |c AS (SELECT doc_id, lang, n_tokens,
          |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t)

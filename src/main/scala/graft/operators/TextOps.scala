@@ -210,17 +210,25 @@ object TextOps {
 
   /** Overlapping token-window chunking — the embedding/RAG prep primitive
     * (each chunk gets embedded; overlap keeps context at the seams).
-    * Chunk starts step by `stride` (< `width` ⇒ overlap); the tail chunk
-    * is partial but never empty. Emits chunk geometry + an md5
-    * fingerprint instead of re-materializing text, so only bounded-width
-    * rows leave the projection. Fan-out is ⌈tokens/stride⌉ per doc —
-    * linear, no shuffle at all.
+    * Whitespace-token convenience form of [[chunkTokenArray]].
     */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
-                  width: Int, stride: Int): DataFrame = {
+                  width: Int, stride: Int): DataFrame =
+    chunkTokenArray(df.select(col(idCol), split(col(textCol), " ").as("_toks")),
+      idCol, "_toks", width, stride)
+
+  /** Overlapping chunking over an already-materialized token-array column
+    * (whitespace tokens, or real BPE tokens from [[bpeEncode]]). Chunk
+    * starts step by `stride` (< `width` ⇒ overlap); the tail chunk is
+    * partial but never empty. Emits chunk geometry + an md5 fingerprint
+    * instead of re-materializing text, so only bounded-width rows leave the
+    * projection. Fan-out is ⌈tokens/stride⌉ per doc — linear, no shuffle.
+    */
+  def chunkTokenArray(df: DataFrame, idCol: String, toksCol: String,
+                      width: Int, stride: Int): DataFrame = {
     require(width > 0 && stride > 0 && stride <= width,
       s"bad chunk geometry width=$width stride=$stride")
-    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+    df.select(col(idCol), col(toksCol).as("_toks"))
       .where(size(col("_toks")) > 0)
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0),
@@ -230,6 +238,49 @@ object TextOps {
         least(lit(width), size(col("_toks")) - col("chunk_idx") * stride).as("n_tok"),
         md5(concat_ws(" ", slice(col("_toks"),
           col("chunk_idx") * stride + 1, lit(width)))).as("chunk_md5"))
+  }
+
+  /** Collect the pre-token vocabulary with counts and train a BPE merges
+    * table on the driver (vocabulary-bounded collect — the same bound as
+    * the unigram-LM vocab aggregate; real tokenizers train offline on a
+    * sample for the same reason). See [[graft.functions.Bpe]] for the
+    * determinism contract.
+    */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    val vocab = df
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(Text.BpePattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.functions.Bpe.train(vocab, numMerges)
+  }
+
+  /** Distributed BPE encode: per document — pre-token count, real BPE token
+    * count, and the full token stream. The merge-rank table rides a
+    * broadcast; the encode is ONE typed mapPartitions (the single-pass
+    * typed-map shape — no HOF-lambda re-evaluation) with a per-partition
+    * word→tokens cache so repeated words cost a hash probe, not a re-merge
+    * (cache memory is vocabulary-bounded; cleared defensively if an open
+    * vocabulary ever overflows it).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        it.map { case (id, text) =>
+          if (cache.size > 1000000) cache.clear()
+          val pts = graft.functions.Bpe.pretokens(if (text == null) "" else text)
+          val toks = pts.flatMap(w =>
+            cache.getOrElseUpdate(w, graft.functions.Bpe.encode(w, ranks)))
+          (id, pts.length.toLong, toks.length.toLong, toks.toSeq)
+        }
+      }.toDF(idCol, "n_pretokens", "n_bpe_tokens", "bpe_tokens")
   }
 
   /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over

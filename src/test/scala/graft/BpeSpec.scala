@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.Bpe
+import graft.operators.TextOps
+
+/** Merges-table BPE: training determinism, the one-at-a-time-leftmost vs
+  * all-occurrences merge equivalence the oracle relies on, and the
+  * distributed encode.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Classic formulation: each step merges ALL non-overlapping occurrences
+    * (leftmost-first) of the single lowest-rank pair present. The recursive
+    * oracle and [[Bpe.encode]] merge one occurrence per step instead; this
+    * reference pins their equivalence.
+    */
+  private def encodeAllAtOnce(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val present = syms.zip(syms.drop(1)).flatMap(p => ranks.get(p).map(p -> _))
+      if (present.isEmpty) done = true
+      else {
+        val best = present.minBy(_._2)._1
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+    }
+    syms
+  }
+
+  test("train is deterministic and ranks compose: trained merges re-encode the corpus") {
+    val vocab = Seq("lower" -> 5L, "lowest" -> 2L, "newer" -> 6L, "wider" -> 3L)
+    val m1 = Bpe.train(vocab, 10)
+    val m2 = Bpe.train(vocab.reverse, 10)
+    assert(m1 == m2, "training must not depend on vocabulary order")
+    assert(m1.length == 10)
+    // the highest-count pair ('e','r': 5+6+3=14 occurrences) merges first
+    assert(m1.head == ("e", "r"))
+  }
+
+  test("train stops when the vocabulary saturates") {
+    val m = Bpe.train(Seq("ab" -> 3L), 10)
+    assert(m == Seq(("a", "b")))
+  }
+
+  test("encode: concatenating tokens always rebuilds the word; no-merge words stay chars") {
+    val ranks = Bpe.train(Seq("banana" -> 4L, "bandana" -> 2L), 6).zipWithIndex.toMap
+    for (w <- Seq("banana", "bandana", "ban", "xyzzy", "", "a")) {
+      val toks = Bpe.encode(w, ranks)
+      assert(toks.mkString == w, s"round-trip failed for '$w'")
+    }
+    assert(Bpe.encode("xyzzy", ranks).toSeq == Seq("x", "y", "z", "z", "y"))
+  }
+
+  test("property: one-at-a-time leftmost merging == classic all-occurrences merging") {
+    val letters = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val vocabGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString),
+        Gen.choose(1L, 9L)))
+    check(Prop.forAll(vocabGen, letters, Gen.choose(0, 12)) { (vocab, word, nm) =>
+      val ranks = Bpe.train(vocab, nm).zipWithIndex.toMap
+      Bpe.encode(word, ranks).toVector == encodeAllAtOnce(word, ranks)
+    })
+  }
+
+  test("pretokens matches the column-level pattern count") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq("hello world 42!", "a-b c,d", "", "  spaced   out  ", "§ mixed 7x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val colCounts = df.select(col("id"),
+      graft.functions.Text.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(Bpe.pretokens(t).length == colCounts(i.toLong), s"mismatch on '$t'")
+    }
+  }
+
+  test("bpeEncode: distributed counts and stream agree with a driver-side encode") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "low lower lowest"), (2L, "new newer news"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextOps.trainBpe(df, "text", 8)
+    val ranks = merges.zipWithIndex.toMap
+    val got = TextOps.bpeEncode(df, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getSeq[String](3))))
+      .toMap
+    for ((id, text) <- Seq(1L -> "low lower lowest", 2L -> "new newer news", 3L -> "")) {
+      val pts = Bpe.pretokens(text)
+      val toks = pts.flatMap(Bpe.encode(_, ranks)).toSeq
+      assert(got(id) == ((pts.length.toLong, toks.length.toLong, toks)), s"doc $id")
+    }
+  }
+}

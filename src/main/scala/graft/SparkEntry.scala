@@ -1661,7 +1661,9 @@ object SparkEntry {
     * absolute path, so Spark writer and DuckDB reader agree on any
     * checkout location (not just /root/repo).
     */
-  private[graft] val MatRoot: String =
+  // lazy: BpeMergesDir is declared earlier in the object and would otherwise
+  // read this val before its in-order initializer ran (→ "null/bpe_merges")
+  private[graft] lazy val MatRoot: String =
     sys.env.get("GRAFT_DATA_DIR").orElse(sys.props.get("graft.data.dir"))
       .getOrElse(new java.io.File("data").getAbsolutePath)
 

@@ -109,6 +109,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_media_decode" -> (qMediaDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_mp4_meta" -> (qMp4Meta _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
@@ -2148,6 +2149,46 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** MP4/ISO-BMFF container parse end-to-end: per group, a two-track MP4
+    * (avc1 video + mp4a audio) is synthesized box-by-box from quantized
+    * event values — odd groups use the 64-bit version-1 header variants
+    * and co64 offsets, the audio track the constant-size stsz form — then
+    * parsed back distributed (`Mp4.parse`). Every output field (geometry,
+    * durations, sample/keyframe/chunk census, byte totals) is recomputed
+    * by the oracle from the event stream itself, so the box walk is
+    * checked against the parameters, not against its own output.
+    */
+  private def qMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Mp4
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the params
+        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
+        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k // 1-indexed rn
+        val vw = 16 * (1 + m(1, 16)); val vh = 8 * (1 + m(2, 32))
+        val n = 24 + m(3, 40); val d = 100 + m(4, 50)
+        val ks = 1 + m(5, 7); val cs = 1 + m(6, 9)
+        val foff = 4096L + 16 * m(7, 64)
+        val sizes = Array.tabulate(n)(i => 200L + m(9 + i, 800)) // rn 9 .. 8+n
+        val ach = 1 + m(1, 2); val arate = 8000 * (1 + m(2, 5))
+        val asz = 128L + m(3, 128); val an = 40L + m(4, 60)
+        val aspc = 1 + m(5, 11); val afoff = 8192L + 16 * m(6, 64)
+        val v1 = g % 2 == 1
+        val video = Mp4.TrackSpec(1L, "vide", "avc1", vw, vh, 0, 0,
+          600L, d.toLong, Right(sizes), Some(ks), cs, foff, 512L, v1)
+        val audio = Mp4.TrackSpec(2L, "soun", "mp4a", 0, 0, ach, arate,
+          arate.toLong, 256L, Left((asz, an)), None, aspc, afoff, 512L, v1 = false)
+        (g, Mp4.render("isom", 1000L, 500L + m(7, 5000), Seq(video, audio), v1))
+      }.toDF("g", "mp4")
+    MultimodalOps.mp4Meta(payloads, "g", "mp4")
+      .orderBy("g", "track_id")
+  }
+
   /** Multimodal binary plumbing: opaque payload + frame-sampled window
     * fingerprints (pure binary column arithmetic; ASCII text ⇒ the DuckDB
     * VARCHAR mirror hashes the same bytes).
@@ -2935,6 +2976,69 @@ object SparkEntry {
         |  32 AS s_w, 32 AS s_h, sl.s_mean_y, sc.s_mean_cb, sc.s_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // MP4 mirror: every container field re-derived from the event stream
+    // with the same modular arithmetic the fixture builder uses, so the
+    // box walk is checked against the parameters.
+    "q_mp4_meta" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |p AS (SELECT g,
+        |    max(CASE WHEN rn = 1 THEN v END) AS v1,
+        |    max(CASE WHEN rn = 2 THEN v END) AS v2,
+        |    max(CASE WHEN rn = 3 THEN v END) AS v3,
+        |    max(CASE WHEN rn = 4 THEN v END) AS v4,
+        |    max(CASE WHEN rn = 5 THEN v END) AS v5,
+        |    max(CASE WHEN rn = 6 THEN v END) AS v6,
+        |    max(CASE WHEN rn = 7 THEN v END) AS v7
+        |  FROM r GROUP BY g),
+        |par AS (SELECT g,
+        |    16 * (1 + ((v1 % 16) + 16) % 16) AS vw,
+        |    8 * (1 + ((v2 % 32) + 32) % 32) AS vh,
+        |    24 + ((v3 % 40) + 40) % 40 AS n,
+        |    100 + ((v4 % 50) + 50) % 50 AS d,
+        |    1 + ((v5 % 7) + 7) % 7 AS ks,
+        |    1 + ((v6 % 9) + 9) % 9 AS cs,
+        |    4096 + 16 * (((v7 % 64) + 64) % 64) AS foff,
+        |    1 + ((v1 % 2) + 2) % 2 AS ach,
+        |    8000 * (1 + ((v2 % 5) + 5) % 5) AS arate,
+        |    128 + ((v3 % 128) + 128) % 128 AS asz,
+        |    40 + ((v4 % 60) + 60) % 60 AS an,
+        |    1 + ((v5 % 11) + 11) % 11 AS aspc,
+        |    8192 + 16 * (((v6 % 64) + 64) % 64) AS afoff,
+        |    500 + ((v7 % 5000) + 5000) % 5000 AS mvdur
+        |  FROM p),
+        |vb AS (SELECT r.g,
+        |    CAST(sum(200 + ((v % 800) + 800) % 800) AS BIGINT) AS vbytes
+        |  FROM r JOIN par USING (g) WHERE rn BETWEEN 9 AND 8 + n GROUP BY r.g),
+        |vid AS (SELECT par.g, 'isom' AS brand, CAST(1000 AS BIGINT) AS mv_timescale,
+        |    CAST(mvdur AS BIGINT) AS mv_duration, CAST(1 AS BIGINT) AS track_id,
+        |    'vide' AS handler, 'avc1' AS codec,
+        |    CAST(vw AS INTEGER) AS width, CAST(vh AS INTEGER) AS height,
+        |    CAST(0 AS INTEGER) AS channels, CAST(0 AS INTEGER) AS sample_rate,
+        |    CAST(600 AS BIGINT) AS timescale, CAST(n * d AS BIGINT) AS duration,
+        |    CAST(n AS BIGINT) AS n_samples, vbytes AS total_bytes,
+        |    CAST((n + ks - 1) // ks AS BIGINT) AS n_sync,
+        |    CAST((n + cs - 1) // cs AS BIGINT) AS n_chunks,
+        |    CAST(foff AS BIGINT) AS first_off
+        |  FROM par JOIN vb USING (g)),
+        |aud AS (SELECT g, 'isom' AS brand, CAST(1000 AS BIGINT) AS mv_timescale,
+        |    CAST(mvdur AS BIGINT) AS mv_duration, CAST(2 AS BIGINT) AS track_id,
+        |    'soun' AS handler, 'mp4a' AS codec,
+        |    CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+        |    CAST(ach AS INTEGER) AS channels, CAST(arate AS INTEGER) AS sample_rate,
+        |    CAST(arate AS BIGINT) AS timescale, CAST(an * 256 AS BIGINT) AS duration,
+        |    CAST(an AS BIGINT) AS n_samples, CAST(an * asz AS BIGINT) AS total_bytes,
+        |    CAST(an AS BIGINT) AS n_sync,
+        |    CAST((an + aspc - 1) // aspc AS BIGINT) AS n_chunks,
+        |    CAST(afoff AS BIGINT) AS first_off
+        |  FROM par)
+        |SELECT * FROM vid UNION ALL SELECT * FROM aud
+        |ORDER BY g, track_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS ref_value

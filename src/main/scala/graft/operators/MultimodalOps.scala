@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * binary mesh/grid payloads the same way — `domains/mesh/sources/vti.py:145`
   * reads dense binary grids, `d3plot.py:334` binary timestep frames).
   *
-  * Container-free formats decode for REAL: `wavFeatures` / `bmpFeatures` /
-  * `pngFeatures` / `jpegFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP,
-  * zlib-PNG, and baseline-JPEG codecs (`functions/Media`) per row on
-  * executors. Only video containers (MP4/H.264) are NOT decodable in this
-  * container, so `decodeStub`
-  * remains a clearly-marked deterministic fake for those; the Spark-side
+  * Formats decode for REAL: `wavFeatures` / `bmpFeatures` / `pngFeatures` /
+  * `jpegFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP, zlib-PNG, and
+  * baseline-JPEG codecs (`functions/Media`) per row on executors, and
+  * `mp4Meta` parses the MP4/ISO-BMFF container (`functions/Mp4`) down to
+  * per-track codec/geometry/sample tables. Only the video *codec payload*
+  * (H.264 frame decode) is not implementable here, so `decodeStub` remains
+  * a clearly-marked deterministic fake for exactly that; the Spark-side
   * plumbing — binary schema, metadata struct, frame slicing, partition-wise
   * batch shape — is real and oracle-checkable (frame slicing + hashing is
   * pure Catalyst binary arithmetic, mirrored in DuckDB over BLOBs).
@@ -138,20 +139,48 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "n_channels", "mean_y", "mean_cb", "mean_cr")
   }
 
-  /** Decoded-feature schema produced by the (stubbed) decoder. */
+  /** Real video-container parse: MP4/ISO-BMFF payloads → one row per track
+    * with the metadata a video curation pipeline gates on (codec,
+    * dimensions, duration, sample/keyframe/chunk census). The box walk is
+    * pure JVM (`functions/Mp4`), one parse per row on executors, no
+    * shuffle; only the codec payload inside the samples remains stubbed
+    * (`decodeStub`).
+    */
+  def mp4Meta(payloads: DataFrame, idCol: String,
+              payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val m = graft.functions.Mp4.parse(bytes)
+        m.tracks.map(t => (id, m.brand, m.timescale, m.duration,
+          t.trackId, t.handler, t.codec, t.width, t.height,
+          t.channels, t.sampleRate, t.timescale, t.duration,
+          t.nSamples, t.totalBytes, t.nSync, t.nChunks, t.firstChunkOffset))
+      }
+      .toDF(idCol, "brand", "mv_timescale", "mv_duration", "track_id",
+        "handler", "codec", "width", "height", "channels", "sample_rate",
+        "timescale", "duration", "n_samples", "total_bytes", "n_sync",
+        "n_chunks", "first_off")
+  }
+
+  /** Decoded-feature schema produced by [[decodeStub]]. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("mean_byte", DoubleType)))
 
-  /** STUB decoder — covers ONLY the genuinely codec-bound video formats
-    * (MP4/H.264) whose codecs are not in this container; WAV/BMP/PNG/JPEG
-    * decode for real above. Deterministic fake: "dimensions" derive from the byte
-    * length, the "pixel mean" is the true byte mean, so tests pin exact
-    * values. Runs iterator-in/iterator-out per partition — the real decoder
-    * drops in with zero plumbing changes (same batch shape as `mapInPandas`
-    * in PySpark).
+  /** STUB decoder — now covers ONLY the video *codec payload* (H.264
+    * frame decode), the one piece not implementable in pure JVM here:
+    * WAV/BMP/PNG/baseline+subsampled-JPEG decode for real above, and the
+    * MP4/ISO-BMFF *container* parses for real in [[mp4Meta]]. Deterministic
+    * fake: "dimensions" derive from the byte length, the "pixel mean" is
+    * the true byte mean, so tests pin exact values. Runs
+    * iterator-in/iterator-out per partition — the real decoder drops in
+    * with zero plumbing changes (same batch shape as `mapInPandas` in
+    * PySpark).
     */
   def decodeStub(payloads: DataFrame): DataFrame = {
     val spark = payloads.sparkSession

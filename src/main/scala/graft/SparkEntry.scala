@@ -2129,8 +2129,13 @@ object SparkEntry {
         }
         (g, graft.functions.Media.renderJpeg(48, 48, 3, color, restartInterval = 6),
           graft.functions.Media.renderJpeg(16, 16, 1, gray),
-          graft.functions.Media.renderJpeg(32, 32, 3, sub, subsample420 = true))
-      }.toDF("g", "jpg", "gjpg", "sjpg")
+          graft.functions.Media.renderJpeg(32, 32, 3, sub, subsample420 = true),
+          // SOF2 progressive render of the same flat-block color image:
+          // DC first+refine scans reconstruct the DC exactly, AC scans are
+          // pure EOB runs, so the decode is bit-exact like baseline and
+          // shares the same SQL means
+          graft.functions.Media.renderJpegProgressive(48, 48, 3, color))
+      }.toDF("g", "jpg", "gjpg", "sjpg", "pjpg")
     val colorF = MultimodalOps.jpegFeatures(payloads, "g", "jpg")
     val grayF = MultimodalOps.jpegFeatures(payloads, "g", "gjpg")
       .select(col("g"), col("width").as("g_w"), col("height").as("g_h"),
@@ -2139,13 +2144,19 @@ object SparkEntry {
       .select(col("g"), col("width").as("s_w"), col("height").as("s_h"),
         rnd("mean_y", 4).as("s_mean_y"), rnd("mean_cb", 4).as("s_mean_cb"),
         rnd("mean_cr", 4).as("s_mean_cr"))
-    colorF.join(grayF, "g").join(subF, "g")
+    val progF = MultimodalOps.jpegFeatures(payloads, "g", "pjpg")
+      .select(col("g"), col("width").as("p_w"), col("height").as("p_h"),
+        rnd("mean_y", 4).as("p_mean_y"), rnd("mean_cb", 4).as("p_mean_cb"),
+        rnd("mean_cr", 4).as("p_mean_cr"))
+    colorF.join(grayF, "g").join(subF, "g").join(progF, "g")
       .select(col("g"), col("width"), col("height"), col("n_channels"),
         rnd("mean_y", 4).as("mean_y"), rnd("mean_cb", 4).as("mean_cb"),
         rnd("mean_cr", 4).as("mean_cr"),
         col("g_w"), col("g_h"), col("g_ch"), col("g_mean"),
         col("s_w"), col("s_h"), col("s_mean_y"), col("s_mean_cb"),
-        col("s_mean_cr"))
+        col("s_mean_cr"),
+        col("p_w"), col("p_h"), col("p_mean_y"), col("p_mean_cb"),
+        col("p_mean_cr"))
       .orderBy("g")
   }
 
@@ -2973,7 +2984,9 @@ object SparkEntry {
         |SELECT c.g, 48 AS width, 48 AS height, 3 AS n_channels,
         |  c.mean_y, c.mean_cb, c.mean_cr,
         |  16 AS g_w, 16 AS g_h, 1 AS g_ch, gr.g_mean,
-        |  32 AS s_w, 32 AS s_h, sl.s_mean_y, sc.s_mean_cb, sc.s_mean_cr
+        |  32 AS s_w, 32 AS s_h, sl.s_mean_y, sc.s_mean_cb, sc.s_mean_cr,
+        |  48 AS p_w, 48 AS p_h,
+        |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
 

@@ -588,12 +588,197 @@ object Media {
     out.toByteArray
   }
 
-  /** Decode baseline JPEG (SOF0, 8-bit; grayscale, 4:4:4, and subsampled
-    * 4:2:0/4:2:2 with sampling factors up to 2×2): marker walk (APPn/COM
-    * skipped), DQT/DHT as declared in the file, interleaved single-scan
-    * entropy decode with DC prediction and restart intervals, dequant +
-    * zigzag + IDCT per block, nearest-neighbor chroma upsampling.
-    * Progressive (SOF2), arithmetic-coded, and 12-bit files fail loudly.
+  /** AC Huffman layout for the progressive scans: every (run, size) pair
+    * for sizes 0..10 — which includes the EOBn symbols (size 0, run = log2
+    * of the EOB run length) and ZRL (0xF0) — as a flat 8-bit canonical
+    * code (176 symbols ≤ 255, no all-ones codeword). The baseline table
+    * can't serve: it lacks EOBn for runs > 1.
+    */
+  private val AcProgLayout: (Array[Int], Array[Int]) = {
+    val vals = (for { r <- 0 to 15; s <- 0 to 10 } yield (r << 4) | s).toArray
+    val bits = new Array[Int](16)
+    bits(7) = vals.length
+    (bits, vals)
+  }
+
+  /** Render progressive JFIF (SOF2, grayscale or YCbCr 4:4:4) with the
+    * standard four-stage scan script exercising every progressive scan
+    * type of T.81 G.2: interleaved DC at Al=1 → DC refinement → per
+    * component AC 1..63 first pass at Al=1 (EOB-run coded) → per component
+    * AC refinement to Al=0 (correction bits). Quantized coefficients are
+    * identical to [[renderJpeg]]'s, so baseline and progressive renders of
+    * the same samples decode to identical pixels.
+    */
+  def renderJpegProgressive(width: Int, height: Int, channels: Int,
+                            samples: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      (channels == 1 || channels == 3),
+      s"bad JPEG geometry ${width}x$height x$channels")
+    require(samples.length == width * height * channels,
+      s"${samples.length} samples for ${width}x${height}x$channels")
+    samples.foreach(v => require(v >= 0 && v <= 255, s"sample $v outside 8-bit"))
+    val mbx = (width + 7) / 8; val mby = (height + 7) / 8
+    // quantized zigzag blocks per component (edge-replicated partials),
+    // same fdctQuant as the baseline encoder
+    val blocks: IndexedSeq[Array[Array[Int]]] = (0 until channels).map { c =>
+      val q = if (c == 0) QLuma else QChroma
+      Array.tabulate(mbx * mby) { mi =>
+        val my = mi / mbx; val mx = mi % mbx
+        val block = Array.tabulate(64) { i =>
+          val y = math.min(height - 1, my * 8 + i / 8)
+          val x = math.min(width - 1, mx * 8 + i % 8)
+          samples((y * width + x) * channels + c)
+        }
+        fdctQuant(block, q)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(id: Int, q: Array[Int]): Array[Int] = id +: Array.tabulate(64)(i => q(Zigzag(i)))
+    seg(0xdb, if (channels == 1) dqt(0, QLuma) else dqt(0, QLuma) ++ dqt(1, QChroma))
+    seg(0xc2, Array(8, height >> 8, height & 0xff, width >> 8, width & 0xff, channels) ++
+      (0 until channels).flatMap(c => Seq(c + 1, 0x11, if (c == 0) 0 else 1)))
+    val (apBits, apVals) = AcProgLayout
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Array[Int] =
+      tcTh +: (bits ++ vals)
+    seg(0xc4, dht(0x00, DcLumaBits, DcVals) ++ dht(0x10, apBits, apVals) ++
+      (if (channels == 3) dht(0x01, DcChromaBits, DcVals) else Array.empty[Int]))
+    val dcCodes = Array(huffCodes(DcLumaBits, DcVals), huffCodes(DcChromaBits, DcVals))
+    val acCodes = huffCodes(apBits, apVals)
+    def floorLog2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+    // ---- scan 1: DC first pass, interleaved, point transform Al = 1
+    seg(0xda, channels +: ((0 until channels).toArray.flatMap(c =>
+      Array(c + 1, (if (c == 0) 0 else 1) << 4)) ++ Array(0, 0, 0x01)))
+    locally {
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](channels)
+      for (mi <- 0 until mbx * mby; c <- 0 until channels) {
+        val dc = blocks(c)(mi)(0) >> 1 // DC point transform: arithmetic shift
+        val diff = dc - pred(c); pred(c) = dc
+        val t = cat(diff)
+        val (code, l) = dcCodes(if (c == 0) 0 else 1)(t)
+        bw.put(code, l)
+        if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      }
+      bw.flush()
+    }
+
+    // ---- scan 2: DC refinement, one raw bit per block
+    seg(0xda, channels +: ((0 until channels).toArray.flatMap(c =>
+      Array(c + 1, 0)) ++ Array(0, 0, 0x10)))
+    locally {
+      val bw = new BitWriter(out)
+      for (mi <- 0 until mbx * mby; c <- 0 until channels)
+        bw.put(blocks(c)(mi)(0) & 1, 1)
+      bw.flush()
+    }
+
+    // ---- scans 3..: per component, AC 1..63 first pass at Al = 1
+    for (c <- 0 until channels) {
+      seg(0xda, Array(1, c + 1, 0x00, 1, 63, 0x01))
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val nb = floorLog2(eobrun)
+        val (code, l) = acCodes(nb << 4); bw.put(code, l)
+        if (nb > 0) bw.put(eobrun & ((1 << nb) - 1), nb)
+        eobrun = 0
+      }
+      for (b <- blocks(c)) {
+        var r = 0
+        for (k <- 1 to 63) {
+          val t = math.abs(b(k)) >> 1 // AC point transform: magnitude shift
+          if (t == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { val (z, zl) = acCodes(0xf0); bw.put(z, zl); r -= 16 }
+            val s = cat(t)
+            val (code, l) = acCodes((r << 4) | s); bw.put(code, l)
+            val x = if (b(k) >= 0) t else -t
+            bw.put(if (x >= 0) x else x + (1 << s) - 1, s)
+            r = 0
+          }
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+      emitEobrun()
+      bw.flush()
+    }
+
+    // ---- scans: per component, AC refinement Ah=1 → Al=0 (T.81 G.1.2.3:
+    // newly-significant (r,1) symbols + buffered correction bits riding
+    // the EOB runs)
+    for (c <- 0 until channels) {
+      seg(0xda, Array(1, c + 1, 0x00, 1, 63, 0x10))
+      val bw = new BitWriter(out)
+      var eobrun = 0
+      val runBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val blockBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        val nb = floorLog2(eobrun)
+        val (code, l) = acCodes(nb << 4); bw.put(code, l)
+        if (nb > 0) bw.put(eobrun & ((1 << nb) - 1), nb)
+        eobrun = 0
+        runBits.foreach(bit => bw.put(bit, 1)); runBits.clear()
+      }
+      def flushBlockBits(): Unit = {
+        blockBits.foreach(bit => bw.put(bit, 1)); blockBits.clear()
+      }
+      for (b <- blocks(c)) {
+        var eobPos = 0 // last newly-significant position (|coef| == 1)
+        for (k <- 1 to 63) if (math.abs(b(k)) == 1) eobPos = k
+        var r = 0
+        blockBits.clear()
+        for (k <- 1 to 63) {
+          val t = math.abs(b(k))
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              emitEobrun()
+              val (z, zl) = acCodes(0xf0); bw.put(z, zl); r -= 16
+              flushBlockBits()
+            }
+            if (t > 1) blockBits += (t & 1) // already significant: LSB only
+            else {
+              emitEobrun()
+              val (code, l) = acCodes((r << 4) | 1); bw.put(code, l)
+              bw.put(if (b(k) < 0) 0 else 1, 1)
+              flushBlockBits()
+              r = 0
+            }
+          }
+        }
+        if (r > 0 || blockBits.nonEmpty) {
+          eobrun += 1; runBits ++= blockBits
+          if (eobrun == 0x7fff) emitEobrun()
+        }
+      }
+      emitEobrun()
+      bw.flush()
+    }
+
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode JPEG — baseline sequential (SOF0) AND progressive (SOF2),
+    * 8-bit; grayscale, 4:4:4, and subsampled 4:2:0/4:2:2 with sampling
+    * factors up to 2×2: marker walk (APPn/COM skipped), DQT/DHT as
+    * declared in the file, entropy decode into per-component coefficient
+    * stores (baseline: one interleaved scan with DC prediction and restart
+    * intervals; progressive: any number of spectral-selection /
+    * successive-approximation scans per T.81 G.2 — DC first+refine,
+    * AC first with EOB runs, AC refinement with correction bits), then one
+    * deferred dequant + zigzag + IDCT pass at EOI and nearest-neighbor
+    * chroma upsampling. Arithmetic-coded and 12-bit files fail loudly.
     */
   def decodeJpeg(bytes: Array[Byte]): Jpeg = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
@@ -603,10 +788,18 @@ object Media {
     val dcTabs = new Array[HuffDecoder](4)
     val acTabs = new Array[HuffDecoder](4)
     var width = -1; var height = -1; var nc = -1
+    var progressive = false
+    var compId: Array[Int] = null
     var compQ: Array[Int] = null
     var compH: Array[Int] = null; var compV: Array[Int] = null
+    var hmax = 1; var vmax = 1; var mbx = 0; var mby = 0
+    var bW: Array[Int] = null; var bH: Array[Int] = null
+    var nbW: Array[Int] = null; var nbH: Array[Int] = null
+    // per-component zigzag-order coefficient store, MCU-padded block grid;
+    // scans accumulate here and the IDCT runs once at EOI
+    var coefs: Array[Array[Int]] = null
+    var sawScan = false
     var dri = 0
-    var out: Array[Int] = null
     var p = 2
     var done = false
     while (!done) {
@@ -648,106 +841,249 @@ object Media {
             q += 17 + n
           }
           p = end
-        case 0xc0 =>
-          require(nc < 0, "multiple SOF0 frames")
+        case sof @ (0xc0 | 0xc2) =>
+          require(nc < 0, "multiple SOF frames")
+          progressive = sof == 0xc2
           require((bytes(p + 2) & 0xff) == 8, "12-bit precision unsupported")
           height = u16(p + 3); width = u16(p + 5); nc = bytes(p + 7) & 0xff
           require(width > 0 && height > 0, s"bad JPEG extent ${width}x$height")
           require(nc == 1 || nc == 3, s"$nc components unsupported (1 or 3)")
-          compQ = new Array[Int](nc)
+          compId = new Array[Int](nc); compQ = new Array[Int](nc)
           compH = new Array[Int](nc); compV = new Array[Int](nc)
           for (c <- 0 until nc) {
             val o = p + 8 + c * 3
+            compId(c) = bytes(o) & 0xff
             compH(c) = (bytes(o + 1) & 0xff) >> 4
             compV(c) = bytes(o + 1) & 0x0f
             require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
               s"sampling factors ${compH(c)}x${compV(c)} unsupported (1..2)")
             compQ(c) = bytes(o + 2) & 0x0f
           }
+          hmax = compH.max; vmax = compV.max
+          mbx = (width + 8 * hmax - 1) / (8 * hmax)
+          mby = (height + 8 * vmax - 1) / (8 * vmax)
+          bW = Array.tabulate(nc)(c => mbx * compH(c))
+          bH = Array.tabulate(nc)(c => mby * compV(c))
+          // non-interleaved scan grid: blocks covering the component's own
+          // sample extent, NOT the MCU-padded grid (T.81 A.2.2)
+          nbW = Array.tabulate(nc)(c => ((width * compH(c) + hmax - 1) / hmax + 7) / 8)
+          nbH = Array.tabulate(nc)(c => ((height * compV(c) + vmax - 1) / vmax + 7) / 8)
+          coefs = Array.tabulate(nc)(c => new Array[Int](bW(c) * bH(c) * 64))
           p += u16(p)
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc8 =>
           throw new IllegalArgumentException(
-            f"SOF marker 0xff$m%02x unsupported (baseline sequential SOF0 only)")
+            f"SOF marker 0xff$m%02x unsupported (SOF0 baseline / SOF2 progressive only)")
         case 0xdd => dri = u16(p + 2); p += u16(p)
         case 0xda =>
-          require(nc > 0, "SOS before SOF0")
+          require(nc > 0, "SOS before SOF")
           val ns = bytes(p + 2) & 0xff
-          require(ns == nc, "partial-scan JPEG unsupported (one interleaved scan)")
-          val compDc = new Array[Int](nc); val compAc = new Array[Int](nc)
-          for (c <- 0 until ns) {
-            val sel = bytes(p + 3 + c * 2 + 1) & 0xff
-            compDc(c) = sel >> 4; compAc(c) = sel & 0x0f
+          val scanComp = new Array[Int](ns)
+          val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+          for (i <- 0 until ns) {
+            val cid = bytes(p + 3 + i * 2) & 0xff
+            scanComp(i) = compId.indexOf(cid)
+            require(scanComp(i) >= 0, s"scan references unknown component id $cid")
+            val sel = bytes(p + 3 + i * 2 + 1) & 0xff
+            scanDc(i) = sel >> 4; scanAc(i) = sel & 0x0f
           }
+          val so = p + 3 + ns * 2
+          val ss = bytes(so) & 0xff; val se = bytes(so + 1) & 0xff
+          val ah = (bytes(so + 2) & 0xff) >> 4; val al = bytes(so + 2) & 0x0f
           p += u16(p)
-          out = new Array[Int](width * height * nc)
-          val hmax = compH.max; val vmax = compV.max
-          val mbx = (width + 8 * hmax - 1) / (8 * hmax)
-          val mby = (height + 8 * vmax - 1) / (8 * vmax)
-          // per-component planes at native resolution (MCU-padded); the
-          // final mapping upsamples by index division (nearest), which is
-          // exact for the flat-block fixtures the oracle leans on
-          val planeW = (0 until nc).map(c => mbx * compH(c) * 8)
-          val planes = (0 until nc).map(c =>
-            new Array[Int](mby * compV(c) * 8 * planeW(c)))
           val br = new BitReader(bytes, p)
-          val pred = new Array[Int](nc)
-          var rst = 0
-          for (mi <- 0 until mbx * mby) {
-            if (dri > 0 && mi > 0 && mi % dri == 0) {
-              br.align()
-              require(br.p + 2 <= bytes.length, "JPEG truncated at restart boundary")
-              require((bytes(br.p) & 0xff) == 0xff &&
-                (bytes(br.p + 1) & 0xff) == 0xd0 + rst % 8,
-                s"missing RST${rst % 8} marker at MCU $mi")
-              br.p += 2; rst += 1
-              java.util.Arrays.fill(pred, 0)
-            }
-            val my = mi / mbx; val mx = mi % mbx
-            for (c <- 0 until nc; by2 <- 0 until compV(c); bx2 <- 0 until compH(c)) {
-              val dcT = dcTabs(compDc(c)); val acT = acTabs(compAc(c))
-              require(dcT != null && acT != null, s"scan uses undeclared DHT for comp $c")
-              val q = qts(compQ(c))
-              require(q != null, s"scan uses undeclared DQT ${compQ(c)}")
-              val zz = new Array[Int](64)
-              val t = dcT.decode(br.nextBit _)
-              require(t <= 11, s"DC category $t out of range")
-              pred(c) += extend(br.receive(t), t)
-              zz(0) = pred(c)
-              var k = 1; var eob = false
-              while (k < 64 && !eob) {
-                val rs = acT.decode(br.nextBit _)
-                val r = rs >> 4; val s = rs & 0x0f
-                if (s == 0) { if (r == 15) k += 16 else eob = true }
-                else {
-                  k += r
-                  require(k < 64, "AC coefficient index overruns the block")
-                  zz(k) = extend(br.receive(s), s); k += 1
+          sawScan = true
+
+          def expectRst(rst: Int, what: String): Unit = {
+            br.align()
+            require(br.p + 2 <= bytes.length, "JPEG truncated at restart boundary")
+            require((bytes(br.p) & 0xff) == 0xff &&
+              (bytes(br.p + 1) & 0xff) == 0xd0 + rst % 8,
+              s"missing RST${rst % 8} marker at $what")
+            br.p += 2
+          }
+
+          if (!progressive) {
+            require(ns == nc, "partial-scan baseline JPEG unsupported")
+            val pred = new Array[Int](nc)
+            var rst = 0
+            for (mi <- 0 until mbx * mby) {
+              if (dri > 0 && mi > 0 && mi % dri == 0) {
+                expectRst(rst, s"MCU $mi"); rst += 1
+                java.util.Arrays.fill(pred, 0)
+              }
+              val my = mi / mbx; val mx = mi % mbx
+              for (c <- 0 until nc; by2 <- 0 until compV(c); bx2 <- 0 until compH(c)) {
+                val dcT = dcTabs(scanDc(c)); val acT = acTabs(scanAc(c))
+                require(dcT != null && acT != null, s"scan uses undeclared DHT for comp $c")
+                val base = ((my * compV(c) + by2) * bW(c) + mx * compH(c) + bx2) * 64
+                val zz = coefs(c)
+                val t = dcT.decode(br.nextBit _)
+                require(t <= 11, s"DC category $t out of range")
+                pred(c) += extend(br.receive(t), t)
+                zz(base) = pred(c)
+                var k = 1; var eob = false
+                while (k < 64 && !eob) {
+                  val rs = acT.decode(br.nextBit _)
+                  val r = rs >> 4; val s = rs & 0x0f
+                  if (s == 0) { if (r == 15) k += 16 else eob = true }
+                  else {
+                    k += r
+                    require(k < 64, "AC coefficient index overruns the block")
+                    zz(base + k) = extend(br.receive(s), s); k += 1
+                  }
                 }
               }
-              val coef = new Array[Double](64)
-              for (i <- 0 until 64) coef(Zigzag(i)) = zz(i).toDouble * q(Zigzag(i))
-              val y0 = (my * compV(c) + by2) * 8
-              val x0 = (mx * compH(c) + bx2) * 8
-              for (x <- 0 until 8; y <- 0 until 8) {
-                var s2 = 0.0
-                for (u <- 0 until 8; v <- 0 until 8)
-                  s2 += cC(u) * cC(v) * coef(u * 8 + v) * CosT(x)(u) * CosT(y)(v)
-                val v0 = math.round(0.25 * s2 + 128.0).toInt
-                planes(c)((y0 + x) * planeW(c) + x0 + y) =
-                  math.max(0, math.min(255, v0))
+            }
+          } else if (ss == 0) {
+            // ---- progressive DC scan (interleaved over the scan's comps)
+            require(se == 0, "DC scan must have Se = 0")
+            require(ns == nc, "subset DC scans unsupported (all components)")
+            val pred = new Array[Int](ns)
+            var rst = 0
+            for (mi <- 0 until mbx * mby) {
+              if (dri > 0 && mi > 0 && mi % dri == 0) {
+                expectRst(rst, s"MCU $mi"); rst += 1
+                java.util.Arrays.fill(pred, 0)
+              }
+              val my = mi / mbx; val mx = mi % mbx
+              for (i <- 0 until ns) {
+                val c = scanComp(i)
+                for (by2 <- 0 until compV(c); bx2 <- 0 until compH(c)) {
+                  val base = ((my * compV(c) + by2) * bW(c) + mx * compH(c) + bx2) * 64
+                  if (ah == 0) {
+                    val dcT = dcTabs(scanDc(i))
+                    require(dcT != null, s"DC scan uses undeclared DHT for comp $c")
+                    val t = dcT.decode(br.nextBit _)
+                    require(t <= 11, s"DC category $t out of range")
+                    pred(i) += extend(br.receive(t), t)
+                    coefs(c)(base) = pred(i) << al
+                  } else {
+                    // refinement: one raw bit per block (T.81 G.2: |=, which
+                    // is exact on the two's-complement accumulated value)
+                    if (br.nextBit() == 1) coefs(c)(base) |= (1 << al)
+                  }
+                }
+              }
+            }
+          } else {
+            // ---- progressive AC scan (single component, non-interleaved)
+            require(ns == 1, "progressive AC scans are single-component")
+            require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+            val c = scanComp(0)
+            val acT = acTabs(scanAc(0))
+            require(acT != null, s"AC scan uses undeclared DHT for comp $c")
+            val zz = coefs(c)
+            val p1 = 1 << al; val m1 = -(1 << al)
+            var eobrun = 0
+            var rst = 0
+            val nBlocks = nbW(c) * nbH(c)
+            for (bi <- 0 until nBlocks) {
+              if (dri > 0 && bi > 0 && bi % dri == 0) {
+                expectRst(rst, s"block $bi"); rst += 1
+                eobrun = 0
+              }
+              val base = ((bi / nbW(c)) * bW(c) + bi % nbW(c)) * 64
+              if (ah == 0) {
+                // first scan of the band: EOB-run coding (T.81 G.1.2.2)
+                if (eobrun > 0) eobrun -= 1
+                else {
+                  var k = ss; var stop = false
+                  while (k <= se && !stop) {
+                    val rs = acT.decode(br.nextBit _)
+                    val r = rs >> 4; val s = rs & 0x0f
+                    if (s == 0) {
+                      if (r != 15) {
+                        eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+                        stop = true
+                      } else k += 16
+                    } else {
+                      k += r
+                      require(k <= se, "AC coefficient overruns the band")
+                      zz(base + k) = extend(br.receive(s), s) << al
+                      k += 1
+                    }
+                  }
+                }
+              } else {
+                // refinement scan: correction bits while advancing over
+                // zero-history runs (T.81 G.1.2.3)
+                def correctRest(from: Int): Unit = {
+                  var k = from
+                  while (k <= se) {
+                    val cur = zz(base + k)
+                    if (cur != 0 && br.nextBit() == 1 && (cur & p1) == 0)
+                      zz(base + k) = cur + (if (cur >= 0) p1 else m1)
+                    k += 1
+                  }
+                }
+                if (eobrun > 0) { correctRest(ss); eobrun -= 1 }
+                else {
+                  var k = ss; var stop = false
+                  while (k <= se && !stop) {
+                    val rs = acT.decode(br.nextBit _)
+                    var r = rs >> 4; val s = rs & 0x0f
+                    var newVal = 0
+                    if (s == 0) {
+                      if (r != 15) {
+                        eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                        stop = true
+                      } // r == 15: ZRL — skip 16 zero-history coefficients
+                    } else {
+                      require(s == 1, "refinement magnitude must be 1")
+                      newVal = if (br.nextBit() == 1) p1 else m1
+                    }
+                    if (stop) { correctRest(k); eobrun -= 1 }
+                    else {
+                      var placed = false
+                      while (k <= se && !placed) {
+                        val cur = zz(base + k)
+                        if (cur != 0) {
+                          if (br.nextBit() == 1 && (cur & p1) == 0)
+                            zz(base + k) = cur + (if (cur >= 0) p1 else m1)
+                        } else if (r == 0) {
+                          if (newVal != 0) zz(base + k) = newVal
+                          placed = true
+                        } else r -= 1
+                        k += 1
+                      }
+                    }
+                  }
+                }
               }
             }
           }
           br.align()
           p = br.p
-          for (y <- 0 until height; x <- 0 until width; c <- 0 until nc)
-            out((y * width + x) * nc + c) =
-              planes(c)((y * compV(c) / vmax) * planeW(c) + x * compH(c) / hmax)
         case m =>
           throw new IllegalArgumentException(f"unsupported JPEG marker 0xff$m%02x")
       }
     }
-    require(out != null, "no scan data (SOS) before EOI")
+    require(sawScan, "no scan data (SOS) before EOI")
+    // ---- deferred dequant + IDCT + nearest-neighbor upsample (exact for
+    // the flat-block fixtures the oracle leans on)
+    val out = new Array[Int](width * height * nc)
+    val planes = (0 until nc).map(c => new Array[Int](bH(c) * 8 * bW(c) * 8))
+    for (c <- 0 until nc) {
+      val q = qts(compQ(c))
+      require(q != null, s"component $c references undeclared DQT ${compQ(c)}")
+      val planeW = bW(c) * 8
+      for (by <- 0 until bH(c); bx <- 0 until bW(c)) {
+        val base = (by * bW(c) + bx) * 64
+        val coef = new Array[Double](64)
+        for (i <- 0 until 64) coef(Zigzag(i)) = coefs(c)(base + i).toDouble * q(Zigzag(i))
+        val y0 = by * 8; val x0 = bx * 8
+        for (x <- 0 until 8; y <- 0 until 8) {
+          var s2 = 0.0
+          for (u <- 0 until 8; v <- 0 until 8)
+            s2 += cC(u) * cC(v) * coef(u * 8 + v) * CosT(x)(u) * CosT(y)(v)
+          val v0 = math.round(0.25 * s2 + 128.0).toInt
+          planes(c)((y0 + x) * planeW + x0 + y) = math.max(0, math.min(255, v0))
+        }
+      }
+    }
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until nc)
+      out((y * width + x) * nc + c) =
+        planes(c)((y * compV(c) / vmax) * bW(c) * 8 + x * compH(c) / hmax)
     Jpeg(width, height, nc, out)
   }
 }

@@ -162,12 +162,65 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Media.decodeJpeg(Array[Byte](1, 2, 3)) }
     val jpg = Media.renderJpeg(8, 8, 1, Array.fill(64)(42))
     intercept[IllegalArgumentException] { Media.decodeJpeg(jpg.dropRight(30)) }
-    // flip SOF0 to SOF2: progressive must be rejected loudly, not garbled
+    // flip SOF0 to SOF2: the baseline scan script is malformed AS
+    // progressive (a full-band interleaved scan is not a legal progressive
+    // scan), so it must still fail loudly, not garble
     val sof = jpg.indices.dropRight(1).find(i =>
       (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
     val prog = jpg.clone(); prog(sof + 1) = 0xc2.toByte
-    val e = intercept[IllegalArgumentException] { Media.decodeJpeg(prog) }
+    intercept[IllegalArgumentException] { Media.decodeJpeg(prog) }
+    // progressive arithmetic-coded SOF (0xc6 = SOF6) still rejects
+    val ar = jpg.clone(); ar(sof + 1) = 0xc6.toByte
+    val e = intercept[IllegalArgumentException] { Media.decodeJpeg(ar) }
     assert(e.getMessage.contains("SOF"))
+  }
+
+  test("Media: progressive JPEG — flat blocks bit-exact, DC+AC refinement") {
+    import graft.functions.Media
+    // flat 8×8 blocks: DC-only, so the DC-first + DC-refine scans carry
+    // everything and the decode must be bit-exact like baseline
+    val blocks = Array(17, 200, 91, 255)
+    val img = new Array[Int](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = blocks((y / 8) * 2 + x / 8)
+      val o = (y * 16 + x) * 3
+      img(o) = v; img(o + 1) = (v * 3) % 256; img(o + 2) = (v * 7) % 256
+    }
+    val prog = Media.renderJpegProgressive(16, 16, 3, img)
+    // really progressive: SOF2 marker present, multiple SOS scans
+    assert(prog.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+    val nScans = prog.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda)
+    assert(nScans == 8, s"expected 8 scans (DC, DCr, 3×AC, 3×ACr), got $nScans")
+    val d = Media.decodeJpeg(prog)
+    assert(d.width == 16 && d.height == 16 && d.channels == 3)
+    assert(d.samples.toSeq == img.toSeq)
+  }
+
+  test("Media: progressive decode == baseline decode on arbitrary content") {
+    import graft.functions.Media
+    // both encoders quantize identically, so after all progressive scans
+    // the accumulated coefficients must equal the baseline ones exactly —
+    // pixel-identical decodes on ANY image, including non-multiple-of-8
+    // extents and content dense enough to exercise runs, ZRL, EOB runs,
+    // and AC refinement correction bits
+    val rnd = new scala.util.Random(20260813)
+    val noisy = Array.fill(21 * 13 * 3)(rnd.nextInt(256))
+    val b1 = Media.decodeJpeg(Media.renderJpeg(21, 13, 3, noisy))
+    val p1 = Media.decodeJpeg(Media.renderJpegProgressive(21, 13, 3, noisy))
+    assert(p1.samples.toSeq == b1.samples.toSeq, "color noise diverged")
+    // mostly-flat image with one busy block → long EOB runs across blocks
+    val sparse = Array.tabulate(48 * 16)(i =>
+      if (i % 48 < 8 && i / 48 < 8) (i * 37) % 256 else 128)
+    val b2 = Media.decodeJpeg(Media.renderJpeg(48, 16, 1, sparse))
+    val p2 = Media.decodeJpeg(Media.renderJpegProgressive(48, 16, 1, sparse))
+    assert(p2.samples.toSeq == b2.samples.toSeq, "gray sparse diverged")
+    // smooth gradient: small ACs that first appear in the refinement scan
+    val grad = Array.tabulate(17 * 11)(i => (i % 17) * 3 + (i / 17) * 2 + 60)
+    val b3 = Media.decodeJpeg(Media.renderJpeg(17, 11, 1, grad))
+    val p3 = Media.decodeJpeg(Media.renderJpegProgressive(17, 11, 1, grad))
+    assert(p3.samples.toSeq == b3.samples.toSeq, "gradient diverged")
   }
 
   test("jpegFeatures: per-row decode on executors") {

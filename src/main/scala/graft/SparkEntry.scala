@@ -139,6 +139,8 @@ object SparkEntry {
     "q_quantiles" -> (qQuantiles _),
     "q_zscore_gate" -> (qZscoreGate _),
     "q_profile" -> (qProfile _),
+    "q_profile_approx" -> (qProfileApprox _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -1497,6 +1499,39 @@ object SparkEntry {
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .select(col("col_a"), col("col_b"), rnd("corr", 6).as("corr"))
       .orderBy("col_a", "col_b")
+
+  /** Sketch-quantile gate: `percentile_approx` (the mergeable GK summary —
+    * the documented 100 TB switch for the exact profilers) over
+    * l_extendedprice per return flag. Accuracy is set above the group row
+    * count, where the sketch degenerates to the exact lower order
+    * statistic at rank max(1, ⌈q·n⌉) — which the oracle recomputes with a
+    * plain rank window, so the production code path is gate-checked
+    * against independent SQL.
+    */
+  private def qProfileApprox(s: SparkSession, dir: String): DataFrame =
+    StatsOps.approxGroupQuantiles(Tables.lineitem(s, dir),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95), accuracy = 1000000)
+      .select(col("l_returnflag"), col("n"),
+        rnd("q25", 4).as("q25"), rnd("q50", 4).as("q50"),
+        rnd("q75", 4).as("q75"), rnd("q95", 4).as("q95"))
+      .orderBy("l_returnflag")
+
+  /** Engine-portable HLL distinct gate: register sketch from the shared
+    * 60-bit md5 hash, estimate + linear-counting correction recomputed
+    * bit-for-bit by the oracle; exact distinct alongside shows the sketch
+    * error the 1.04/√m bound promises.
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(StatsOps.hllDistinct(li, "l_returnflag", "l_partkey", p = 12),
+        "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        rnd("hll_estimate", 4).as("hll_est"))
+      .orderBy("l_returnflag")
+  }
 
   /** Single-pass column profile of lineitem: numeric and string columns in
     * one aggregation job, exploded to the long layout.
@@ -3167,6 +3202,59 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 4) AS q75,
         |  round(quantile_cont(l_extendedprice, 0.95) + 1e-9, 4) AS q95
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // GK-sketch mirror: at accuracy > n the sketch answer is the exact
+    // lower order statistic at rank max(1, floor(q*n)) — a rank window.
+    "q_profile_approx" -> {
+      def qc(q: Double, nm: String): String =
+        s"""round(max(CASE WHEN rn = greatest(1, CAST(ceil($q * n) AS BIGINT))
+           |  THEN v END) + 1e-9, 4) AS $nm""".stripMargin
+      s"""WITH r AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+         |  ${qc(0.25, "q25")}, ${qc(0.5, "q50")}, ${qc(0.75, "q75")},
+         |  ${qc(0.95, "q95")}
+         |FROM r GROUP BY g ORDER BY l_returnflag""".stripMargin
+    },
+
+    // Portable-HLL mirror: identical registers from the shared 60-bit md5
+    // hash, identical exact-integer inverse-power sum, identical estimate
+    // arithmetic (alpha interpolated from the same double).
+    "q_approx_distinct" -> {
+      val m = 4096L; val w = 48
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      val rankCase = (w - 1 to 0 by -1).reverse // ascending b → CASE order
+      val chain = (w - 1 to 0 by -1)
+        .map(b => s"WHEN rest >= ${1L << b} THEN ${w - b}")
+        .mkString(" ")
+      s"""WITH h AS (SELECT l_returnflag AS g,
+         |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM lineitem),
+         |s AS (SELECT g, hv % $m AS reg, hv // $m AS rest FROM h),
+         |r AS (SELECT g, reg, CASE $chain ELSE ${w + 1} END AS rk FROM s),
+         |regs AS (SELECT g, reg, max(rk) AS mj FROM r GROUP BY 1, 2),
+         |a AS (SELECT g, CAST(count(*) AS BIGINT) AS present,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(${w + 1} - mj AS INTEGER)) AS BIGINT)
+         |      AS sum_scaled
+         |  FROM regs GROUP BY 1),
+         |e AS (SELECT g,
+         |    CAST(sum_scaled + ($m - present) * (CAST(1 AS BIGINT) << ${w + 1})
+         |      AS DOUBLE) / ${math.pow(2.0, (w + 1).toDouble)} AS sum_inv,
+         |    CAST($m - present AS DOUBLE) AS zeros
+         |  FROM a),
+         |est AS (SELECT g,
+         |    CASE WHEN zeros > 0 AND CAST($alpha AS DOUBLE) * $m * $m / sum_inv <= ${2.5 * m}
+         |         THEN ${m.toDouble} * ln(${m.toDouble} / zeros)
+         |         ELSE CAST($alpha AS DOUBLE) * $m * $m / sum_inv END AS hll
+         |  FROM e),
+         |x AS (SELECT l_returnflag AS g,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT g AS l_returnflag, n_exact, round(hll + 1e-9, 4) AS hll_est
+         |FROM x JOIN est USING (g) ORDER BY l_returnflag""".stripMargin
+    },
 
     "q_passage_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

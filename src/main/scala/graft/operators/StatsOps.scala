@@ -79,6 +79,86 @@ object StatsOps {
       .select(col(groupCol) +: col("n") +: qcols: _*)
   }
 
+  /** Bounded-memory quantiles via Spark's mergeable GK sketch
+    * (`percentile_approx`) — the 100 TB switch `fieldStats` and
+    * `groupQuantiles` document: exact percentiles buffer every value per
+    * group, the sketch holds O(accuracy) samples and merges map-side.
+    * `accuracy` is the error dial (ε = 1/accuracy): at production scale a
+    * few thousand; for the oracle gate it is set above the group row count,
+    * where the GK summary retains every sample and the sketch answer
+    * degenerates to the exact lower order statistic at rank
+    * ⌈q·n⌉ (clamped to ≥ 1) — which a plain SQL window mirrors, so the
+    * same code path the 100 TB run takes is gate-checked here.
+    */
+  def approxGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                           qs: Seq[Double], accuracy: Int): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles $qs")
+    require(accuracy > 0, s"accuracy $accuracy must be positive")
+    val arr = array(qs.map(lit): _*)
+    val qcols = qs.indices.map(i => col("_qs").getItem(i)
+      .as("q" + (qs(i) * 100).round.toString))
+    df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("n"),
+        percentile_approx(col(valueCol), arr, lit(accuracy)).as("_qs"))
+      .select(col(groupCol) +: col("n") +: qcols: _*)
+  }
+
+  /** Engine-portable HyperLogLog (Flajolet et al. 2007, public): distinct
+    * estimation in bounded memory whose registers derive from the SAME
+    * deterministic 60-bit md5 hash the dedup family uses — so the sketch
+    * is bit-reproducible on ANY engine (the DuckDB oracle recomputes
+    * registers, estimate, and linear-counting correction exactly), unlike
+    * builtin `approx_count_distinct` whose HLL internals differ per
+    * engine. Two hash aggregations: (group, register) → max rank, then
+    * group → estimate; the inverse-power sum is computed in EXACT integer
+    * arithmetic (Σ 2^(49−rank) as BIGINT) because a double accumulation
+    * of 2^-rank terms would need 60 mantissa bits and become
+    * order-dependent. Register count m = 2^p bounds state (group × m),
+    * standard error ≈ 1.04/√m.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  p: Int = 12): DataFrame = {
+    require(p >= 4 && p <= 16, s"precision p=$p outside 4..16")
+    val m = 1L << p
+    // 60-bit md5-derived hash (the Text.hash64 construction, portable SQL)
+    val h = conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long")
+    val idx = (h % m).as("_reg")
+    val rest = (h / m).as("_rest") // 60-p bits
+    val w = 60 - p
+    // rank = leading zeros of the w-bit rest + 1 = w - floor(log2(rest));
+    // an explicit descending threshold chain keeps it exact (no float log).
+    // Fold ascending so the HIGHEST threshold lands outermost — the last
+    // fold step is the first condition evaluated (caught by the 50k-card
+    // spec: the inverted chain ranked every nonzero rest 48 and only the
+    // rank-blind linear-counting branch masked it at small cardinality)
+    val rank = (0 until w).foldLeft(lit(w + 1)) { (acc, b) =>
+      when(col("_rest") >= lit(1L << b), lit(w - b)).otherwise(acc)
+    }
+    val regs = df.select(col(groupCol), idx, rest)
+      .select(col(groupCol), col("_reg"), rank.as("_rank"))
+      .groupBy(col(groupCol), col("_reg"))
+      .agg(max(col("_rank")).as("_mj"))
+    // Σ 2^-mj over all m registers, scaled by 2^(w+1) into exact integers:
+    // present registers contribute 2^(w+1-mj), absent ones (mj=0) 2^(w+1)
+    val scale = math.pow(2.0, (w + 1).toDouble)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${w + 1} - _mj AS INT))"))
+          .as("_sumScaled"))
+      .select(col(groupCol),
+        ((col("_sumScaled") + (lit(m) - col("_present")) * lit(1L << (w + 1)))
+          .cast("double") / scale).as("_sumInv"),
+        (lit(m) - col("_present")).cast("double").as("_zeros"))
+      .select(col(groupCol),
+        when(col("_zeros") > 0 &&
+          lit(alpha) * m * m / col("_sumInv") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros")))
+          .otherwise(lit(alpha) * m * m / col("_sumInv"))
+          .as("hll_estimate"))
+  }
+
   /** Single-pass column profiler: per column, row/null/distinct counts
     * plus numeric min/max/mean (string columns report lexicographic
     * min/max instead). ALL columns aggregate in ONE pass over the data —

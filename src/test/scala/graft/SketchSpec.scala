@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.StatsOps
+
+/** Sketch operators: the portable HLL's error bound across cardinalities
+  * (incl. the linear-counting branch) and the GK-quantile degeneracy the
+  * oracle gate relies on.
+  */
+class SketchSpec extends SparkSpec {
+
+  test("hllDistinct: estimate within the 1.04/sqrt(m) band across cardinalities") {
+    val s = spark
+    import s.implicits._
+    // p=12 → m=4096, sigma ≈ 1.6%; assert 3.5 sigma with deterministic data
+    for (card <- Seq(500, 5000, 50000)) {
+      val df = (0 until card * 3).map(i => ("g", s"v${i % card}")).toDF("g", "v")
+      val est = StatsOps.hllDistinct(df, "g", "v", p = 12)
+        .collect()(0).getDouble(1)
+      val err = math.abs(est - card) / card
+      assert(err < 0.056, s"cardinality $card estimated $est (err $err)")
+    }
+  }
+
+  test("hllDistinct: tiny cardinality takes the linear-counting branch near-exactly") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 1000).map(i => ("g", s"k${i % 7}")).toDF("g", "v")
+    val est = StatsOps.hllDistinct(df, "g", "v", p = 12).collect()(0).getDouble(1)
+    // linear counting with 7 occupied of 4096 registers: error well under 1
+    assert(math.abs(est - 7.0) < 0.5, s"expected ~7, got $est")
+  }
+
+  test("hllDistinct: insensitive to duplication factor and partitioning") {
+    val s = spark
+    import s.implicits._
+    val once = (0 until 300).map(i => ("g", s"x$i")).toDF("g", "v")
+    val thrice = (0 until 900).map(i => ("g", s"x${i % 300}")).toDF("g", "v")
+      .repartition(13)
+    val e1 = StatsOps.hllDistinct(once, "g", "v").collect()(0).getDouble(1)
+    val e2 = StatsOps.hllDistinct(thrice, "g", "v").collect()(0).getDouble(1)
+    assert(e1 == e2, s"duplicates/partitioning changed the sketch: $e1 vs $e2")
+  }
+
+  test("approxGroupQuantiles: accuracy > n degenerates to the exact order statistic") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = StatsOps.approxGroupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.95), 100000)
+      .collect()(0)
+    // values 1..1000: rank ceil(q*1000) → exactly 250, 500, 950
+    assert(r.getDouble(2) == 250.0 && r.getDouble(3) == 500.0 &&
+      r.getDouble(4) == 950.0, r.toString)
+  }
+
+  test("approxGroupQuantiles: production accuracy stays within the rank bound") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 20000).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val r = StatsOps.approxGroupQuantiles(df, "g", "v", Seq(0.5), 100)
+      .collect()(0)
+    // epsilon = 1/accuracy → rank error ≤ n/100 = 200 positions
+    assert(math.abs(r.getDouble(2) - 10000.0) <= 200.0, r.toString)
+  }
+}

@@ -282,6 +282,15 @@ object SparkEntry {
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.parquet(s"$streamDir/sentinel")
+    // pin the sentinel's modification time explicitly LATER than every
+    // staged data file, so the file source can never order it into the
+    // first trigger (where the data files' events would be late-dropped)
+    val sentIt = dfs.listFiles(new org.apache.hadoop.fs.Path(s"$streamDir/sentinel"), true)
+    while (sentIt.hasNext) {
+      val f = sentIt.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        dfs.setTimes(f.getPath, System.currentTimeMillis() + 600000L, -1)
+    }
     val stream = s.readStream.schema(raw.schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", math.max(1, nFiles).toString)
@@ -295,7 +304,14 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qname).where(col("user_id") >= 0)
+    val emitted = s.table(qname).where(col("user_id") >= 0)
+    // loud guard against silent late-drops: every real event must be in
+    // exactly one emitted session
+    val nEmitted = emitted.agg(coalesce(sum("n_events"), lit(0L))).head().getLong(0)
+    val nRaw = raw.count()
+    require(nEmitted == nRaw,
+      s"streaming sessions dropped events: emitted $nEmitted of $nRaw")
+    emitted
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         col("n_events"), rnd("sum_value", 4).as("sum_value"))
@@ -752,7 +768,11 @@ object SparkEntry {
 
     val idxRes = s.read.parquet(s"$ledgerDir/index_results")
       .filter(col("run_id") === res.runId && col("status") === "completed")
-      .select(col("idx"), col("status"))
+      // peak_memory_bytes is runtime-dependent (executor task peaks), so
+      // the gate pins presence + sanity, not the value
+      .select(col("idx"), col("status"),
+        (col("peak_memory_bytes").isNotNull &&
+          col("peak_memory_bytes") >= 0).cast("int").as("peak_mem_nonneg"))
     val logs = ledger.logs(s, res.runId)
       .select(col("idx"), col("level").as("log_level"), col("message").as("log_message"))
     idxRes.join(logs, "idx")
@@ -3120,7 +3140,8 @@ object SparkEntry {
         |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |        + 0.5) / 1152921504606846976.0)
         |      / CAST(n_chars AS DOUBLE) AS score
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE n_chars > 0),  -- mirror the A-ES positive-weight guard
         |r AS (SELECT doc_id, n_chars, score,
         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |  FROM s)
@@ -3792,7 +3813,8 @@ object SparkEntry {
     "q_ledger_detail" ->
       """WITH i AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
         |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
-        |SELECT idx, 'completed' AS status, 'INFO' AS log_level,
+        |SELECT idx, 'completed' AS status, 1 AS peak_mem_nonneg,
+        |  'INFO' AS log_level,
         |  'completed idx ' || idx || ' with ' || n || ' rows' AS log_message,
         |  1 AS serde_hash_equal,
         |  'orders_by_mod8' AS registry_sources,

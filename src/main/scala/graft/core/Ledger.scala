@@ -26,7 +26,12 @@ final class Ledger(dir: String) {
   }
 
   def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
-                      wallNs: Long, nRows: Long): Unit = {
+                      wallNs: Long, nRows: Long): Unit =
+    recordCompleted(spark, runId, indices, wallNs, nRows, 0L)
+
+  def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
+                      wallNs: Long, nRows: Long,
+                      peakMemoryBytes: Long): Unit = {
     if (indices.isEmpty) return
     import spark.implicits._
     indices.toDF("idx")
@@ -34,6 +39,7 @@ final class Ledger(dir: String) {
       .withColumn("status", lit("completed"))
       .withColumn("wall_ns", lit(wallNs))
       .withColumn("n_rows", lit(nRows))
+      .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
   }
@@ -44,13 +50,15 @@ final class Ledger(dir: String) {
     * the recorded count, piggybacked on the write via `observe`.
     */
   def recordCompleted(spark: SparkSession, runId: String, indices: DataFrame,
-                      wallNs: Long, nRows: Long): Long = {
+                      wallNs: Long, nRows: Long,
+                      peakMemoryBytes: Long = 0L): Long = {
     val obs = org.apache.spark.sql.Observation()
     indices.select(col("idx").cast("long"))
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("completed"))
       .withColumn("wall_ns", lit(wallNs))
       .withColumn("n_rows", lit(nRows))
+      .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(idxPath)
@@ -67,10 +75,11 @@ final class Ledger(dir: String) {
     import spark.implicits._
     stages.sortBy(_.stageId).zipWithIndex
       .map { case (s, ord) =>
-        (runId, ord, s.stageId, s.name, s.wallNs, s.executorRunNs, s.nTasks)
+        (runId, ord, s.stageId, s.name, s.wallNs, s.executorRunNs, s.nTasks,
+          s.peakMemoryBytes)
       }
       .toDF("run_id", "stage_order", "stage_id", "stage_name",
-        "wall_ns", "executor_run_ns", "n_tasks")
+        "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stage_metrics")
   }
 
@@ -81,9 +90,9 @@ final class Ledger(dir: String) {
     val p = s"$dir/stage_metrics"
     if (!pathExists(spark, p)) {
       import spark.implicits._
-      Seq.empty[(String, Int, Int, String, Long, Long, Int)]
+      Seq.empty[(String, Int, Int, String, Long, Long, Int, Long)]
         .toDF("run_id", "stage_order", "stage_id", "stage_name",
-          "wall_ns", "executor_run_ns", "n_tasks")
+          "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
     } else spark.read.parquet(p).filter(col("run_id") === runId)
   }
 

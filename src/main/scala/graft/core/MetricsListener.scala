@@ -51,7 +51,8 @@ object MetricsListener {
   */
 final class StageListener(jobGroup: Option[String]) extends org.apache.spark.scheduler.SparkListener {
   final case class StageRec(stageId: Int, name: String, wallNs: Long,
-                            executorRunNs: Long, nTasks: Int)
+                            executorRunNs: Long, nTasks: Int,
+                            peakMemoryBytes: Long)
 
   private val buf = mutable.ArrayBuffer.empty[StageRec]
   // completion events carry no scheduler properties, so job-group membership
@@ -78,7 +79,10 @@ final class StageListener(jobGroup: Option[String]) extends org.apache.spark.sch
       yield (c - s) * 1000000L).getOrElse(0L)
     buf.synchronized {
       buf += StageRec(si.stageId, si.name, wallNs,
-        si.taskMetrics.executorRunTime * 1000000L, si.numTasks)
+        si.taskMetrics.executorRunTime * 1000000L, si.numTasks,
+        // summed-across-tasks peak execution memory — the reference's
+        // index_results.peak_memory_bytes (core/pipeline_store.py:550-563)
+        si.taskMetrics.peakExecutionMemory)
     }
   }
 

@@ -85,8 +85,12 @@ object Runner {
     // on the stale file-index snapshot staying stale (fragile under cache
     // invalidation or a concurrent writer).
     val nBefore = if (resume) completed.count() else 0L
+    // run-level peak executor memory = the hungriest stage's summed task
+    // peak (reference index_results.peak_memory_bytes parity,
+    // core/pipeline_store.py:550-563)
+    val peakMem = stages.records.map(_.peakMemoryBytes).maxOption.getOrElse(0L)
     val nExecuted = ledger.recordCompleted(spark, runId, executedIdx,
-      System.nanoTime() - t0, nRows)
+      System.nanoTime() - t0, nRows, peakMem)
     RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths)
   }
 }

@@ -134,7 +134,9 @@ object DedupOps {
     * Returns an empty array when the doc has fewer than k tokens.
     */
   def minhashSigRow(text: String, k: Int): Array[Long] = {
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    // Locale.ROOT: the batch path uses Spark's locale-insensitive lower();
+    // a default-locale toLowerCase would diverge on e.g. Turkish dotted-I
+    val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
     val toks: Array[String] = if (norm.isEmpty) Array.empty else norm.split(" ")
     if (toks.length < k) return Array.empty[Long]
     val md = java.security.MessageDigest.getInstance("MD5")

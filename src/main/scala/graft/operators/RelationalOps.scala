@@ -150,28 +150,34 @@ object RelationalOps {
     * and a per-partition sort — the shape that survives 100 TB. Ties sort
     * right-before-left so an equal timestamp matches (>= semantics).
     * Right rows should be unique per (key, ts); collapse duplicates first
-    * or the tie among them is resolved arbitrarily. A right row whose
-    * `valueCol` is null behaves as absent (the running `last` skips it).
+    * or the tie among them is resolved arbitrarily. The running `last`
+    * tracks row PRESENCE (the value rides in a never-null struct), so a
+    * matched right row whose `valueCol` is null yields null — exact DuckDB
+    * ASOF semantics, no fallback to an earlier non-null row.
     * Output: all left columns + `asof_<valueCol>` (null when no prior
     * right row exists).
     */
   def asOfJoin(left: DataFrame, leftKey: String, leftTs: String,
                right: DataFrame, rightKey: String, rightTs: String,
                valueCol: String): DataFrame = {
-    val vType = right.schema(valueCol).dataType
+    // the running last() tracks ROW PRESENCE, not the value: the value
+    // rides inside a never-null struct, so a matched right row whose value
+    // is null is returned as null (DuckDB ASOF JOIN semantics) instead of
+    // silently falling back to an earlier non-null row
+    val r0 = right.select(col(rightKey).as("_k"), col(rightTs).as("_t"),
+      lit(0).as("_side"), struct(col(valueCol).as("v")).as("_v"))
+    val vType = r0.schema("_v").dataType
     val l = left.select(col(leftKey).as("_k"), col(leftTs).as("_t"),
       lit(1).as("_side"), struct(left.columns.map(col): _*).as("_row"),
       lit(null).cast(vType).as("_v"))
     val rowType = l.schema("_row").dataType
-    val r = right.select(col(rightKey).as("_k"), col(rightTs).as("_t"),
-      lit(0).as("_side"), lit(null).cast(rowType).as("_row"),
-      col(valueCol).as("_v"))
+    val r = r0.withColumn("_row", lit(null).cast(rowType))
     val w = Window.partitionBy(col("_k")).orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(col("_row.*") +: Seq(col("_asof").as(s"asof_$valueCol")): _*)
+      .select(col("_row.*") +: Seq(col("_asof.v").as(s"asof_$valueCol")): _*)
   }
 
   /** Write `df` as a bucketed + per-bucket-sorted table on the join key —

@@ -36,6 +36,21 @@ class OperatorSpec extends SparkSpec {
     assert(out.size == 4)             // left rows all survive exactly once
   }
 
+  test("asOfJoin: a matched null-valued right row yields null (no fallback)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 20L, "x"), (1L, 30L, "y")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, Some(7.5)), (1L, 15L, None), (1L, 25L, Some(9.0)))
+      .toDF("rk", "rt", "v")
+    val out = RelationalOps.asOfJoin(left, "k", "t", right, "rk", "rt", "v")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // ts=20 matches the null-valued row at 15 — DuckDB ASOF returns ITS
+    // (null) value, not the older 7.5
+    assert(out("x").isEmpty)
+    assert(out("y").contains(9.0))
+  }
+
   test("asOfJoin: randomized equivalence with the brute-force definition") {
     val s = spark
     import s.implicits._

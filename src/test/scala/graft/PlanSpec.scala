@@ -40,7 +40,8 @@ class PlanSpec extends SparkSpec {
       "q_salted_join", "q_sessionize", "q_token_budget", "q_topk_cosine",
       "q_dup_spans", "q_unigram_lm", "q_gopher_rules", "q_passage_dedup",
       "q_tfidf", "q_bigram_lm", "q_token_entropy", "q_weighted_sample",
-      "q_chunk_tokens", "q_pack_sequences", "q_zscore_gate")
+      "q_chunk_tokens", "q_pack_sequences", "q_zscore_gate",
+      "q_bpe_encode", "q_mp4_meta", "q_profile_approx", "q_approx_distinct")
       .foreach { q =>
         val p = formatted(q)
         assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")

@@ -156,6 +156,7 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_netcdf_packed" -> (qNetcdfPacked _),
+    "q_grib2_decode" -> (qGrib2Decode _),
     "q_netcdf_time" -> (qNetcdfTime _),
     "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
@@ -384,6 +385,50 @@ object SparkEntry {
       .groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("variable", "t")
+  }
+
+  /** GRIB2 decode end-to-end — the actual wire format behind GFS/HRRR
+    * (the reference delegates this decode to earth2studio, `gfs.py:46-77`):
+    * per variable, a multi-message .grib2 file (one message per record,
+    * 12-bit simple packing, section-6 bitmap holes at (i+j)%5==0, 0.25°
+    * lat/lon grid) is rendered from event values and decoded back
+    * distributed (`GribSource.read`). The oracle recomputes the packed
+    * integers AND the unpack (−20.0 + X·0.01, the (R + X·2^E)/10^D
+    * evaluation both engines repeat exactly) plus every grid/identity
+    * field from the section walk.
+    */
+  private def qGrib2Decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.GribSource
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("event_id") % 2).as("t"),
+        (col("user_id") % 8).as("i"), (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "t", "i", "j").agg(sum("value").as("value"))
+    val packed = g.filter(((col("i") + col("j")) % 5) =!= 0)
+      .withColumn("stored",
+        least(greatest(floor((col("value") + lit(20.0)) / lit(0.01)), lit(0L)),
+          lit(4095L)).cast("long"))
+    // deterministic variable → parameter-number map (sorted order; the
+    // collect is bounded by event-type cardinality)
+    val varNumber = g.select("variable").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex.toMap
+    val out = freshTmpDir("graft_grib2", dir)
+    GribSource.writeGrids(packed, out, shape = (8, 16), nRecs = 2, varNumber)
+    val numVar = varNumber.toSeq.map { case (v, n) => (n, v) }
+      .toDF("number", "variable")
+    GribSource.read(s, out)
+      .filter(!isnan(col("value")))
+      .groupBy(col("number"), col("forecast_hours"))
+      .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"),
+        first(col("ni")).as("ni"), first(col("nj")).as("nj"),
+        first(col("lat1")).as("lat1"), first(col("lon1")).as("lon1"),
+        first(col("di")).as("di"), first(col("dj")).as("dj"),
+        first(col("ref_year")).as("ref_year"))
+      .join(broadcast(numVar), "number")
+      .select(col("variable"), col("forecast_hours"), col("n_cells"),
+        col("sum_value"), col("ni"), col("nj"), col("lat1"), col("lon1"),
+        col("di"), col("dj"), col("ref_year"))
+      .orderBy("variable", "forecast_hours")
   }
 
   /** CF time-coordinate decoding end-to-end (xarray `decode_times`): the
@@ -4031,6 +4076,28 @@ object SparkEntry {
         |  round(sum(stored * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + 1e-6, 2)
         |    AS sum_value
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // GRIB2 mirror: same packed-lattice recomputation as the NetCDF CF
+    // oracle, with the simple-packing unpack (−20.0 + X·0.01 — the
+    // (R + X·2^E)/10^D order both engines evaluate) and the section-walk
+    // identity/grid fields as literals.
+    "q_grib2_decode" ->
+      """WITH g AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    user_id % 8 AS i, user_id % 16 AS j, sum(value) AS value
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT variable, t,
+        |    least(greatest(CAST(floor((value + CAST(20.0 AS DOUBLE))
+        |        / CAST(0.01 AS DOUBLE)) AS BIGINT), 0), 4095) AS x
+        |  FROM g WHERE (i + j) % 5 <> 0)
+        |SELECT variable, CAST(t * 6 AS BIGINT) AS forecast_hours,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(sum(CAST(x AS DOUBLE) * CAST(0.01 AS DOUBLE)
+        |    + CAST(-20.0 AS DOUBLE)) + 1e-6, 2) AS sum_value,
+        |  CAST(16 AS BIGINT) AS ni, CAST(8 AS BIGINT) AS nj,
+        |  CAST(90.0 AS DOUBLE) AS lat1, CAST(0.0 AS DOUBLE) AS lon1,
+        |  CAST(0.25 AS DOUBLE) AS di, CAST(0.25 AS DOUBLE) AS dj,
+        |  CAST(2026 AS INTEGER) AS ref_year
+        |FROM p GROUP BY 1, 2 ORDER BY variable, forecast_hours""".stripMargin,
 
     // CF time mirror: same packed lattice, plus the 6-hourly calendar
     // arithmetic as plain literals.

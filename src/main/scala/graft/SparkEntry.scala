@@ -1317,11 +1317,24 @@ object SparkEntry {
     val out = freshTmpDir("graft_nc_auto", dir)
     graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
     graft.sinks.NetCdf4Sink.writeRecordGrids(g, out, shape = (8, 16), nRecs = 2)
-    val (vars, data) = graft.sources.NetCdfAutoSource.read(s, out)
+    // third format in the same dir: GRIB2 messages (12-bit simple packing
+    // with bitmap holes) — the dispatcher must route all three by magic
+    val packed = g.filter(((col("i") + col("j")) % 5) =!= 0)
+      .withColumn("stored",
+        least(greatest(floor((col("value") + lit(20.0)) / lit(0.01)), lit(0L)),
+          lit(4095L)).cast("long"))
+    val varNumber = g.select("variable").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex.toMap
+    graft.sources.GribSource.writeGrids(packed, out, shape = (8, 16),
+      nRecs = 2, varNumber)
+    val (vars, data) = graft.sources.NetCdfAutoSource.read(s, out,
+      globFilter = "*")
     // the format label comes from the DISPATCHER's vars table, so the
-    // oracle gates the magic-byte routing itself, not a filename guess
-    data.join(broadcast(vars.select("file", "variable", "format")),
-      Seq("file", "variable"))
+    // oracle gates the magic-byte routing itself, not a filename guess;
+    // NaN = GRIB bitmap holes (same contract as CF fill)
+    data.filter(!isnan(col("value")))
+      .join(broadcast(vars.select("file", "variable", "format")),
+        Seq("file", "variable"))
       .groupBy("format", "variable")
       .agg(count(lit(1)).as("n_values"), rnd(sum("value"), 2).as("sum_value"))
       .orderBy("format", "variable")
@@ -4034,7 +4047,17 @@ object SparkEntry {
     "q_netcdf_auto" ->
       """WITH g AS (SELECT event_type AS variable, sum(value) AS v
         |  FROM events GROUP BY 1),
-        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+        |gg AS (SELECT event_type AS variable, event_id % 2 AS t,
+        |    user_id % 8 AS i, user_id % 16 AS j, sum(value) AS value
+        |  FROM events GROUP BY 1, 2, 3, 4),
+        |p AS (SELECT variable, t,
+        |    least(greatest(CAST(floor((value + CAST(20.0 AS DOUBLE))
+        |        / CAST(0.01 AS DOUBLE)) AS BIGINT), 0), 4095) AS x
+        |  FROM gg WHERE (i + j) % 5 <> 0),
+        |vn AS (SELECT variable,
+        |    CAST(row_number() OVER (ORDER BY variable) - 1 AS BIGINT) AS num
+        |  FROM (SELECT DISTINCT variable FROM gg))
         |SELECT * FROM (
         |  SELECT 'classic' AS format, variable, CAST(256 AS BIGINT) AS n_values,
         |    round(v + 1e-6, 2) AS sum_value FROM g
@@ -4045,7 +4068,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'hdf5', 'lon', CAST(16 * n AS BIGINT), round(120.0 * n + 1e-6, 2) FROM nv
         |  UNION ALL
-        |  SELECT 'hdf5', 'time', CAST(2 * n AS BIGINT), round(1.0 * n + 1e-6, 2) FROM nv)
+        |  SELECT 'hdf5', 'time', CAST(2 * n AS BIGINT), round(1.0 * n + 1e-6, 2) FROM nv
+        |  UNION ALL
+        |  SELECT 'grib2',
+        |    'grib_d0_c0_n' || CAST(vn.num AS VARCHAR) || '_f'
+        |      || CAST(p.t * 6 AS VARCHAR),
+        |    CAST(count(*) AS BIGINT),
+        |    round(sum(CAST(p.x AS DOUBLE) * CAST(0.01 AS DOUBLE)
+        |      + CAST(-20.0 AS DOUBLE)) + 1e-6, 2)
+        |  FROM p JOIN vn USING (variable) GROUP BY 1, 2)
         |ORDER BY 1, 2""".stripMargin,
 
     "q_netcdf_roundtrip" ->

@@ -50,6 +50,10 @@ object Text {
     */
   val BpePattern = "\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"
 
-  /** Token count under the BPE-ish pre-tokenizer. */
+  /** PRE-TOKEN count under the pattern — the cheap column-level proxy for
+    * corpus triage (quality features, token_stats). Operators that budget
+    * REAL tokenizer tokens (token-budget selection, packing, chunking) use
+    * the merges-table encoder instead: [[Bpe]] / `TextOps.bpeEncode`.
+    */
   def bpeTokenCount(c: Column): Column = patternCount(c, BpePattern)
 }

@@ -31,6 +31,9 @@ object NetCdfAutoSource {
   private def isClassic(b: Array[Byte]): Boolean =
     b.length >= 4 && b(0) == 'C' && b(1) == 'D' && b(2) == 'F'
 
+  private def isGrib(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'G' && b(1) == 'R' && b(2) == 'I' && b(3) == 'B'
+
   /** `decodeCf = true` applies CF `scale_factor`/`add_offset`/`_FillValue`
     * unpacking and `decodeTimes = true` CF time-coordinate conversion on
     * the classic branch ([[NetCdfSource.CfCodec]]/[[NetCdfSource.CfTime]]).
@@ -90,8 +93,18 @@ object NetCdfAutoSource {
             (path, v.name, dimNames, shape, isCoord, "classic",
               byVar.getOrElse(v.name, Array.empty[Double]))
           }
+        } else if (isGrib(bytes)) {
+          // GRIB2 messages become synthetic variables keyed by parameter
+          // identity + forecast hour (the filename-free identity a real
+          // archive walk needs); bitmap holes stay NaN in the value run —
+          // callers filter like any CF fill
+          GribSource.parse(bytes).map { m =>
+            val name = s"grib_d${m.discipline}_c${m.category}_n${m.number}_f${m.forecastHours}"
+            (path, name, Seq("lat", "lon"), Seq(m.nj, m.ni), false, "grib2",
+              m.values)
+          }.filter(t => wanted(t._2))
         } else throw new IllegalArgumentException(
-          s"$path: neither classic NetCDF (CDF) nor HDF5 signature")
+          s"$path: no classic NetCDF (CDF), HDF5, or GRIB signature")
       }.persist()
 
     val vars = parsed.map { case (f, n, dn, sh, c, fmt, _) => (f, n, dn, sh, c, fmt) }

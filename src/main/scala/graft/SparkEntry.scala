@@ -113,6 +113,7 @@ object SparkEntry {
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
+    "q_pq_topk" -> (qPqTopk _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1768,6 +1769,31 @@ object SparkEntry {
       .orderBy("ia", "ib")
   }
 
+  /** Product-quantization ADC top-k: train per-subspace codebooks on the
+    * embeddings (one Lloyd job per round), materialize them to
+    * `PqCodebooksDir` as (sub, code, c DOUBLE[]), and rank every corpus
+    * vector for each query id < 20 by the summed per-subspace table
+    * distances. The oracle recomputes subvector slices, the argmin code
+    * per (vector, subspace) (ties → lowest code, the `pqAssign` struct
+    * order), the query distance tables, and the ADC sum — every dot the
+    * same double-widened sequential fold (`list_dot_product`), every
+    * squared distance the same `(v·v − 2·v·c) + c·c` association.
+    */
+  private def qPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    // bounded codebook dump: m·k rows × subDim doubles — the broadcast index
+    books.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
+    }.toDF("sub", "code", "c").coalesce(1)
+      .write.mode("overwrite").parquet(PqCodebooksDir)
+    SimilarityOps.pqTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
+      books, dimHint = 64)
+      .orderBy("ia", "rank")
+  }
+
   /** Root for oracle-constant materialization (hyperplanes, JL matrix,
     * k-means centroids, BPE merges): overridable via GRAFT_DATA_DIR /
     * -Dgraft.data.dir, defaulting to `data/` under the process working
@@ -1792,6 +1818,12 @@ object SparkEntry {
     * projection matrix.
     */
   private val RpPlanesDir = s"$MatRoot/rp_planes"
+
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the PQ
+    * codebooks (trained per run; the check flow is sequential, so the
+    * oracle reads exactly the codebooks this run quantized with).
+    */
+  private val PqCodebooksDir = s"$MatRoot/pq_codebooks"
 
   /** Johnson–Lindenstrauss projection gate: every embedding reduced 64→8
     * through the materialized matrix; DuckDB recomputes each component with
@@ -2761,6 +2793,35 @@ object SparkEntry {
          |  FROM cand c JOIN embeddings a ON a.vec_id = c.ia
          |    JOIN embeddings b ON b.vec_id = c.ib)
          |SELECT ia, ib, cos_r FROM sc WHERE cos_r >= 0.25 ORDER BY ia, ib""".stripMargin,
+
+    // Full PQ-ADC mirror against the materialized codebooks: subvector
+    // slices, per-(vector, subspace) argmin codes (ties -> lowest code),
+    // query distance tables, and the summed asymmetric distance are all
+    // recomputed in SQL with the same (v.v - 2*v.c) + c.c association and
+    // double-widened sequential dots as the Spark expressions.
+    "q_pq_topk" ->
+      s"""WITH cb AS (SELECT sub, code, c FROM '$PqCodebooksDir/*.parquet'),
+         |sv AS (SELECT e.vec_id, s.sub,
+         |    list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS v
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |d AS (SELECT sv.vec_id, sv.sub, cb.code,
+         |    (list_dot_product(sv.v, sv.v) - 2.0 * list_dot_product(sv.v, cb.c))
+         |      + list_dot_product(cb.c, cb.c) AS d
+         |  FROM sv JOIN cb ON cb.sub = sv.sub),
+         |asg AS (SELECT vec_id AS ib, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |    FROM d) z WHERE rn = 1),
+         |qd AS (SELECT vec_id AS ia, sub, code, d FROM d WHERE vec_id < 20),
+         |sc AS (SELECT q.ia, a.ib, round(sum(q.d) + 1e-9, 4) AS adist_r
+         |  FROM qd q JOIN asg a ON a.sub = q.sub AND a.code = q.code
+         |  WHERE q.ia <> a.ib GROUP BY 1, 2),
+         |rk AS (SELECT ia, ib, adist_r,
+         |    row_number() OVER (PARTITION BY ia ORDER BY adist_r, ib) AS rank
+         |  FROM sc)
+         |SELECT ia, CAST(rank AS INT) AS rank, ib, adist_r
+         |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
 
     "q_random_projection" ->
       (s"""WITH p AS (SELECT plane, w FROM '$RpPlanesDir/*.parquet'),

@@ -304,6 +304,135 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("cos_r"))
   }
 
+  // ------------------------------------------------- PQ (product quantization)
+
+  /** Squared-L2 distance in the cross-engine parity form: ‖v−c‖² =
+    * (v·v − 2·v·c) + c·c with every dot a sequential double-widened fold
+    * (FloatVecDot here, `list_dot_product` in the oracle) and this exact
+    * association — both engines produce bit-identical doubles.
+    */
+  private def sqDist(vv: Column, s: Column, c: Array[Float]): Column = {
+    val cl = typedLit(c)
+    (vv - lit(2.0) * dot(s, cl)) + dot(cl, cl)
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the IVF-PQ memory side of
+    * the canonical billion-scale ANN design): the vector splits into `m`
+    * subspaces and each gets an independent L2 k-means codebook of `k`
+    * entries. A vector then stores m log₂k-bit codes instead of dim
+    * floats — 64·4B → 8B per vector at (m=8, k=16), the compression that
+    * lets a 100 TB embedding corpus live in executor memory.
+    *
+    * Deterministic init (k rows with the smallest xxhash64 of the id) and
+    * fixed Lloyd rounds, same discipline as [[ivfCentroids]]; the
+    * codebooks are COLLECTED (m·k·(dim/m) floats — the broadcast index),
+    * assignments and mean-recomputes are distributed.
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int, k: Int, iters: Int = 3,
+                  dimHint: Int = 0): Seq[Seq[Array[Float]]] = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val init = df.orderBy(xxhash64(col(idCol))).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    var books: Array[Seq[Array[Float]]] = Array.tabulate(m) { sub =>
+      init.map(_.slice(sub * subDim, (sub + 1) * subDim)).toSeq
+    }
+    // All m subspaces train in ONE aggregation job per Lloyd round (a union
+    // of m narrow slice-projections, each assigning against its OWN literal
+    // codebook — no per-subspace driver loop over the corpus): at corpus
+    // scale an iteration costs one scan set + one k·m·subDim-row collect,
+    // not m of each. Empty clusters keep their previous centroid.
+    var it = 0
+    while (it < iters) {
+      val assigned = (0 until m).map { sub =>
+        val s = slice(col(vecCol), sub * subDim + 1, subDim)
+        df.select(s.as("sv"))
+          .withColumn("vv", dot(col("sv"), col("sv")))
+          .select(lit(sub).as("sub"), col("sv"),
+            pqAssign(col("vv"), col("sv"), books(sub)).as("code"))
+      }.reduce(_ unionByName _)
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("mu"))
+        .collect() // m·k·subDim rows — the codebooks, not the corpus
+      val next = books.map(_.toArray.clone())
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((sub, code), rows) =>
+        val c = new Array[Float](subDim)
+        rows.foreach(r => c(r.getInt(2)) = r.getDouble(3).toFloat)
+        next(sub)(code) = c
+      }
+      books = next.map(_.toSeq)
+      it += 1
+    }
+    books.toSeq
+  }
+
+  /** Code of the min-distance codebook entry (deterministic ties → lowest
+    * code: struct comparison orders by distance, then code).
+    */
+  private def pqAssign(vv: Column, s: Column, cents: Seq[Array[Float]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, code) =>
+      struct(sqDist(vv, s, c).as("d"), lit(code).as("code"))
+    }
+    array_min(array(scored: _*)).getField("code")
+  }
+
+  /** Per-(vector, subspace, code) squared distances — the shared building
+    * block: assignments are the per-(vector, subspace) argmin rows, ADC
+    * tables are the query rows. One union of m narrow projections, each a
+    * slice + k codegen'd dot expressions; no shuffle.
+    */
+  private def pqDistances(df: DataFrame, idCol: String, vecCol: String,
+                          codebooks: Seq[Seq[Array[Float]]], subDim: Int): DataFrame =
+    codebooks.zipWithIndex.map { case (cb, sub) =>
+      val s = slice(col(vecCol), sub * subDim + 1, subDim)
+      df.select(col(idCol).as("vid"), s.as("sv"))
+        .withColumn("vv", dot(col("sv"), col("sv")))
+        .select(col("vid"), lit(sub).as("sub"),
+          posexplode(array(cb.map(c =>
+            sqDist(col("vv"), col("sv"), c)): _*)).as(Seq("code", "d")))
+    }.reduce(_ unionByName _)
+
+  /** PQ asymmetric-distance top-k (ADC): the corpus is stored as m-code
+    * words (one argmin row per vector and subspace), each query computes
+    * its m×k distance table, and the approximate distance is the sum of
+    * the query's table entries at the stored codes. Expressed as ONE
+    * equi-join on (sub, code) + a per-(query, candidate) sum — per query
+    * the work is O(n·m) table lookups, never a dim-wide scan, and the
+    * codes table is 8 bytes/vector (the point of PQ at 100 TB). Ranking
+    * uses the ROUNDED distance (engine-stable ties, the cosinePairs
+    * trick) with id tie-break. Output: (ia, rank, ib, adist_r).
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             maxQueryId: Long, codebooks: Seq[Seq[Array[Float]]],
+             dimHint: Int = 0): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    val subDim = dim / codebooks.length
+    val dists0 = pqDistances(df, idCol, vecCol, codebooks, subDim)
+    val dists = // assignments and query tables read the same distances
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        dists0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dists0
+    val asg = dists
+      .groupBy(col("vid").as("ib"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+    val qd = dists.filter(col("vid") < maxQueryId)
+      .select(col("vid").as("ia"), col("sub"), col("code"), col("d"))
+    val scored = qd.join(asg, Seq("sub", "code"))
+      .filter(col("ia") =!= col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(round(sum(col("d")) + lit(1e-9), 4).as("adist_r"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("adist_r").asc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
+  }
+
   /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDeDup" —
     * the embedding-space dedup stage LLM curation pipelines run after exact
     * and fuzzy dedup): cluster the corpus with the collected coarse

@@ -122,6 +122,57 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("PQ: zero-quantization-error codebooks reproduce exact L2 ranking") {
+    val s = spark
+    import s.implicits._
+    // Every subvector of every fixture vector IS a codebook entry, so the
+    // ADC distance degenerates to the exact squared L2 distance and the
+    // ranking must match a driver-side brute-force recompute.
+    val sub = Seq(Array(0f, 0f), Array(3f, 0f), Array(0f, 4f), Array(1f, 2f))
+    val books = Seq(sub, sub)
+    val fix = (for { a <- sub.indices; b <- sub.indices } yield
+      ((a * sub.size + b).toLong, sub(a) ++ sub(b))).toSeq
+    val df = fix.toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqTopK(df, "vec_id", "embedding", k = 3,
+      maxQueryId = 4L, books, dimHint = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byVec = fix.toMap
+    def sq(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    val want = (0L until 4L).flatMap { ia =>
+      fix.map(_._1).filter(_ != ia)
+        .map(ib => (ib, math.rint((sq(byVec(ia), byVec(ib)) + 1e-9) * 1e4) / 1e4))
+        .sortBy { case (ib, d) => (d, ib) }.take(3).zipWithIndex
+        .map { case ((ib, d), i) => (ia, i + 1, ib, d) }
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("PQ: deterministic training, recall@10 floor vs brute L2") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val books2 = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    assert(books.map(_.map(_.toSeq)) == books2.map(_.map(_.toSeq)))
+
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sq(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+    val brute = rows.keys.filter(_ < 20L).flatMap { ia =>
+      rows.keys.filter(_ != ia).toSeq.map(ib => (ib, sq(rows(ia), rows(ib))))
+        .sortBy { case (ib, d) => (d, ib) }.take(10).map(p => (ia, p._1))
+    }.toSet
+    val pq = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 20L,
+      books, dimHint = 64).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // random embeddings are the WORST case for PQ (no subspace structure);
+    // 8×4-bit codes still have to beat chance (10/n) by a wide margin
+    val recall = (pq & brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"PQ recall@10 $recall < 0.25 (${(pq & brute).size}/${brute.size})")
+  }
+
   test("randomProject: deterministic, linear, distances roughly preserved") {
     val s = spark
     import s.implicits._

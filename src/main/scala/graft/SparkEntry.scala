@@ -235,9 +235,9 @@ object SparkEntry {
       false, hconf)
     // recursive lookup: see q_streaming_dedup — a directory-shaped table
     // otherwise yields a silently-empty stream
-    val stream = s.readStream.schema(raw.schema)
-      .option("recursiveFileLookup", "true").parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sources.Tables.normalizeTs(
+      s.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true").parquet(streamDir))
     val agg = graft.streaming.StreamingStats.windowedGridStats(
       stream, "ts", Seq("event_type"), "value",
       windowDur = "30 days", watermarkDelay = "1 hour")

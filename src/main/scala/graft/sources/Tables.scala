@@ -24,17 +24,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default.
-    * Read nanos as long and convert exactly (integer div) to a µs timestamp —
-    * the driver data carries µs precision, so this is lossless.
+  /** The driver has shipped `events.ts` under two parquet encodings across
+    * rounds: TIMESTAMP(NANOS) (which Spark only reads as a long, under
+    * `nanosAsLong`) and TIMESTAMP(MICROS) with isAdjustedToUTC=false (which
+    * Spark reads as TIMESTAMP_NTZ). Normalize either to a plain µs
+    * TimestampType column — both conversions are lossless (the data carries
+    * µs precision) and epoch-exact under the UTC session timezone every
+    * entry point pins.
     */
+  def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     // idempotent guard: set once per session, not a mutation per call
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

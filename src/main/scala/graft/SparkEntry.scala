@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Physics, Text}
 import graft.operators.{CurationOps, DedupOps, MultimodalOps, RelationalOps, SimilarityOps, StatsOps, TextOps}
-import graft.sources.Tables
+import graft.sinks.TarSink
+import graft.sources.{Tables, TarSource}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for the t2 hash check.
@@ -107,6 +108,7 @@ object SparkEntry {
     "q_doc_fingerprints" -> (qDocFingerprints _),
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_webdataset" -> (qWebdataset _),
     "q_media_decode" -> (qMediaDecode _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
@@ -278,9 +280,25 @@ object SparkEntry {
     var nFiles = 0 // staged data files — ONE batch must hold all of them
     val it = dfs.listFiles(dstP, true)
     while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1 }
-    val maxTsNs = raw.agg(max("ts")).head().getLong(0)
+    // the driver has shipped events.ts as TIMESTAMP(NANOS)→long (under
+    // nanosAsLong) AND as TIMESTAMP(MICROS)→NTZ across rounds; the
+    // sentinel must be written in the SAME physical encoding as the
+    // staged byte-copied data files (the stream reads both under one
+    // schema), so branch on what the raw read produced
+    val tsIsLong =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val sentinelTs: org.apache.spark.sql.Column =
+      if (tsIsLong) { // ns-encoded long: ~5 years past the last real event
+        val maxTsNs = raw.agg(max("ts")).head().getLong(0)
+        lit(maxTsNs + 157784630000000000L)
+      } else { // NTZ µs: same offset, same NTZ logical type (UTC session)
+        val maxTsUs = raw.agg(max(unix_micros(col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType)))).head().getLong(0)
+        timestamp_micros(lit(maxTsUs + 157784630000000L))
+          .cast(org.apache.spark.sql.types.TimestampNTZType)
+      }
     raw.limit(1).select( // sentinel ~5 years past the last real event
-      lit(-1L).as("event_id"), lit(maxTsNs + 157784630000000000L).as("ts"),
+      lit(-1L).as("event_id"), sentinelTs.as("ts"),
       lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
       lit(0.0).as("value"), lit("{}").as("props"))
       .coalesce(1).write.parquet(s"$streamDir/sentinel")
@@ -293,11 +311,10 @@ object SparkEntry {
       if (f.getPath.getName.endsWith(".parquet"))
         dfs.setTimes(f.getPath, System.currentTimeMillis() + 600000L, -1)
     }
-    val stream = s.readStream.schema(raw.schema)
+    val stream = Tables.normalizeTs(s.readStream.schema(raw.schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", math.max(1, nFiles).toString)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir))
     val agg = graft.streaming.StreamingSessions.sessionAgg(
       stream, "user_id", "ts", "value", gap = "1 hour", watermarkDelay = "1 hour")
     val qname = s"graft_sessions_${math.abs(dir.hashCode)}"
@@ -2357,6 +2374,63 @@ object SparkEntry {
         col("frame"), col("off"), col("frame_md5"))
       .orderBy("doc_id", "frame")
 
+  /** WebDataset tar-shard round trip: per group, the first 40 events become
+    * samples of two members each (`<key>.txt` decimal text, `<key>.bin` a
+    * repeated byte whose value/length derive from v), assembled into one
+    * `.tar` (even g) or `.tar.gz` (odd g) shard by [[graft.sinks.TarSink]]
+    * and read back by [[graft.sources.TarSource.readSamples]] — sample
+    * grouping happens inside the per-shard parse task, zero shuffles. The
+    * oracle recomputes every aggregate (member/byte censuses, the decimal
+    * values parsed back out of the txt payloads, the bin byte checksum)
+    * from the events table, so the cycle is checked against the
+    * parameters, not its own output. Member payloads are built with pure
+    * column expressions (encode / unhex∘repeat∘hex) — codegen end to end.
+    */
+  private def qWebdataset(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_wds", dir)
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("long").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("event_id")
+    val ranked = quant.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40)
+      .withColumn("key", format_string("%02d-%04d", col("g"), col("rn")))
+      .withColumn("shard", concat(lit("shard-"), col("g"),
+        when(col("g") % 2 === 0, lit(".tar")).otherwise(lit(".tar.gz"))))
+    val txt = ranked.select(col("shard"),
+      concat(col("key"), lit(".txt")).as("name"),
+      encode(col("v").cast("string"), "UTF-8").as("payload"),
+      (col("rn") * 2).as("seq"))
+    val bin = ranked.select(col("shard"),
+      concat(col("key"), lit(".bin")).as("name"),
+      unhex(repeat(lpad(hex(pmod(col("v"), lit(256))), 2, "0"),
+        (pmod(abs(col("v")), lit(13)) + 1).cast("int"))).as("payload"),
+      (col("rn") * 2 + 1).as("seq"))
+    TarSink.writeShards(txt.unionByName(bin), out, mtime = 1700000000L).count()
+    val samples = TarSource.readSamples(s, s"$out/*")
+    val m = samples.select(col("shard"), col("key"),
+        explode(arrays_zip(col("exts"), col("payloads"))).as("z"))
+      .select(col("shard"), col("key"),
+        col("z.exts").as("ext"), col("z.payloads").as("payload"))
+    m.groupBy(regexp_extract(col("shard"), "shard-(\\d+)", 1)
+        .cast("int").as("g"))
+      .agg(
+        countDistinct(col("key")).as("n_samples"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("ext") === "txt", length(col("payload")))
+          .otherwise(lit(0L))).as("txt_chars"),
+        sum(when(col("ext") === "txt",
+          decode(col("payload"), "UTF-8").cast("long"))).as("sum_v"),
+        sum(when(col("ext") === "bin", length(col("payload")))
+          .otherwise(lit(0L))).as("bin_bytes"),
+        sum(when(col("ext") === "bin",
+          conv(hex(substring(col("payload"), 1, 1)), 16, 10).cast("long")
+            * length(col("payload"))).otherwise(lit(0L))).as("bin_sum"))
+      .orderBy("g")
+  }
+
   /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group mean of every
     * field — one shuffle, partial+final hash agg.
     */
@@ -3439,6 +3513,27 @@ object SparkEntry {
          |SELECT doc_id, n AS n_bytes, CAST(frame AS INTEGER) AS frame, off,
          |  md5(substring(text, CAST(off AS INTEGER), 32)) AS frame_md5
          |FROM o ORDER BY doc_id, frame""".stripMargin,
+
+    // Tar/WebDataset cycle: every aggregate recomputed from the event
+    // stream the shards were synthesized from — txt payloads parse back to
+    // the exact decimal values, bin byte census from the (value, length)
+    // parameters.
+    "q_webdataset" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |t AS (SELECT g, v FROM r WHERE rn <= 40)
+        |SELECT CAST(g AS INT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(count(*) * 2 AS BIGINT) AS n_members,
+        |  CAST(sum(len(CAST(v AS VARCHAR))) AS BIGINT) AS txt_chars,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(abs(v) % 13 + 1) AS BIGINT) AS bin_bytes,
+        |  CAST(sum(((v % 256 + 256) % 256) * (abs(v) % 13 + 1)) AS BIGINT) AS bin_sum
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** q_mesh_quality mirror: identical edge/angle/Jacobian formulas inline

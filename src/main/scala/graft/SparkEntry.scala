@@ -91,6 +91,7 @@ object SparkEntry {
     "q_token_entropy" -> (qTokenEntropy _),
     "q_chunk_tokens" -> (qChunkTokens _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_roundtrip" -> (qBpeRoundtrip _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
@@ -1482,6 +1483,30 @@ object SparkEntry {
       .select(col("doc_id"), col("n_pretokens"), col("n_bpe_tokens"),
         md5(concat_ws(" ", col("bpe_tokens"))).as("tok_md5"))
       .orderBy("doc_id")
+
+  /** BPE id round trip — the lossless-inverse gate: tokens → deterministic
+    * id vocabulary (lexicographic rank) → id streams → DECODE back through
+    * the vocab → in-order concatenation. The md5 of the reconstruction is
+    * compared against the oracle's INDEPENDENT pre-token concatenation
+    * (plus an id-stream checksum over the oracle's own recomputed vocab),
+    * so encode, id assignment, and decode are all checked jointly.
+    */
+  private def qBpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val enc = bpeCounts(s, dir)
+    val vocab = TextOps.bpeVocab(enc)
+    val ids = TextOps.bpeToIds(enc, "doc_id", vocab)
+    val dec = TextOps.bpeDecode(ids, "doc_id", vocab)
+    val sums = ids.select(col("doc_id"),
+      size(col("ids")).cast("long").as("n_tokens"),
+      aggregate(col("ids"), lit(0L), (a, x) => a + x).as("sum_ids"))
+    enc.select(col("doc_id")).join(sums, Seq("doc_id"), "left")
+      .join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"),
+        md5(coalesce(col("decoded"), lit("")).cast("binary")).as("recon_md5"))
+      .orderBy("doc_id")
+  }
 
   /** Token-budget greedy prefix per language: docs in doc_id order until
     * the cumulative REAL tokenizer token count (merges-table BPE — not the
@@ -3079,6 +3104,27 @@ object SparkEntry {
          |SELECT doc_id, n_pretokens, n_bpe_tokens,
          |  md5(array_to_string(toks, ' ')) AS tok_md5
          |FROM doc_bpe ORDER BY doc_id""".stripMargin,
+
+    // Round-trip mirror: the oracle re-derives the id vocabulary
+    // (lexicographic rank over its own recomputed token set), the id-sum
+    // checksum, and the reconstruction md5 from an INDEPENDENT pre-token
+    // concatenation — decode must land byte-identical.
+    "q_bpe_roundtrip" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |vocab AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) - 1 AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM doc_bpe)),
+         |tp AS (SELECT doc_id, toks[t.i] AS tok, t.i AS i
+         |  FROM doc_bpe, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) t),
+         |j AS (SELECT doc_id, i, tok, id FROM tp JOIN vocab USING (tok)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(id) AS BIGINT) AS sum_ids,
+         |    md5(string_agg(tok, '' ORDER BY i)) AS recon_md5
+         |  FROM j GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(sum_ids, 0) AS sum_ids,
+         |  coalesce(recon_md5, md5('')) AS recon_md5
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Entropy mirror: the same one-pass algebraic split
     // H = ln(n) − Σ c·ln(c)/n over per-doc token counts.

@@ -283,6 +283,44 @@ object TextOps {
       }.toDF(idCol, "n_pretokens", "n_bpe_tokens", "bpe_tokens")
   }
 
+  /** Deterministic id vocabulary over an encode output: the distinct token
+    * strings in lexicographic order, id = rank − 1. The global window runs
+    * over the DISTINCT vocabulary only (bounded — the same bound as
+    * [[trainBpe]]'s collect), never the corpus.
+    */
+  def bpeVocab(encoded: DataFrame, tokensCol: String = "bpe_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    encoded.select(explode(col(tokensCol)).as("tok")).distinct()
+      .withColumn("id",
+        (row_number().over(Window.orderBy("tok")) - 1).cast("long"))
+  }
+
+  /** Token→id encode: position-explode, equi-join on the broadcast
+    * (vocabulary-bounded) vocab, order restored per document — the id
+    * stream real training pipelines feed the model.
+    */
+  def bpeToIds(encoded: DataFrame, idCol: String, vocab: DataFrame,
+               tokensCol: String = "bpe_tokens"): DataFrame =
+    encoded.select(col(idCol), posexplode(col(tokensCol)).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), "tok")
+      .groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("id")))),
+        p => p("id")).as("ids"))
+
+  /** Distributed BPE DECODE — the lossless inverse of encode∘toIds: ids
+    * joined back through the broadcast vocab and concatenated in order.
+    * By the BPE construction, decode(encode(x)) equals the concatenation
+    * of x's pre-tokens (each token partitions exactly one pre-token).
+    */
+  def bpeDecode(idsDf: DataFrame, idCol: String, vocab: DataFrame,
+                idsCol: String = "ids"): DataFrame =
+    idsDf.select(col(idCol), posexplode(col(idsCol)).as(Seq("pos", "id")))
+      .join(broadcast(vocab), "id")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          p => p("tok")), "").as("decoded"))
+
   /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over
     * the document's own token frequencies — low entropy flags repetitive
     * boilerplate, abnormally high entropy flags token soup; a standard

@@ -107,4 +107,25 @@ class BpeSpec extends SparkSpec {
       assert(got(id) == ((pts.length.toLong, toks.length.toLong, toks)), s"doc $id")
     }
   }
+
+  test("vocab ids round-trip: decode(toIds(encode)) reconstructs the pre-token concat") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(1L -> "low lower lowest", 2L -> "new newer news!", 3L -> "")
+    val df = texts.toDF("doc_id", "text")
+    val merges = TextOps.trainBpe(df, "text", 8)
+    val enc = TextOps.bpeEncode(df, "doc_id", "text", merges)
+    val vocab = TextOps.bpeVocab(enc)
+    // ids are the lexicographic rank of the distinct tokens
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.keys.toSeq.sorted.zipWithIndex.forall { case (t, i) => v(t) == i.toLong })
+    val ids = TextOps.bpeToIds(enc, "doc_id", vocab)
+    val dec = TextOps.bpeDecode(ids, "doc_id", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val want = Bpe.pretokens(t).mkString("")
+      if (want.isEmpty) assert(!dec.contains(id)) // no tokens -> no row
+      else assert(dec(id) == want, s"doc $id")
+    }
+  }
 }

@@ -145,6 +145,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -1652,6 +1653,21 @@ object SparkEntry {
       .select(col("l_returnflag"), col("n_exact"),
         rnd("hll_estimate", 4).as("hll_est"))
       .orderBy("l_returnflag")
+  }
+
+  /** Count-Min heavy hitters over the corpus token stream: the d×w
+    * bounded-state sketch estimates per-token frequencies, candidates keep
+    * `min ≥ threshold`. The oracle rebuilds the identical sketch (same
+    * row-salted md5 buckets), so estimates — collisions included — match
+    * exactly, and `n_exact` rides along to pin the overestimate invariant.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    StatsOps.cmsHeavyHitters(toks, "tok", d = 3, w = 1024L, threshold = 200L)
+      .select(col("key").as("token"), col("n_exact"), col("cms_estimate"))
+      .orderBy("token")
   }
 
   /** Single-pass column profile of lineitem: numeric and string columns in
@@ -3515,6 +3531,24 @@ object SparkEntry {
          |SELECT g AS l_returnflag, n_exact, round(hll + 1e-9, 4) AS hll_est
          |FROM x JOIN est USING (g) ORDER BY l_returnflag""".stripMargin
     },
+
+    // Count-Min mirror: identical row-salted md5 buckets, identical d×w
+    // sketch (bucket counts = Σ exact counts hashing there), identical
+    // min-over-rows estimates and threshold cut — collisions and all.
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |tt AS (SELECT tok FROM t WHERE tok <> ''),
+         |occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1),
+         |hb AS (SELECT tok, c, j,
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || tok), 1, 15)
+         |      AS BIGINT) % 1024 AS bucket
+         |  FROM occ, (SELECT unnest(generate_series(0, 2)) AS j) s),
+         |sk AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM hb GROUP BY 1, 2),
+         |est AS (SELECT hb.tok, hb.c AS n_exact, min(sk.cnt) AS cms_estimate
+         |  FROM hb JOIN sk USING (j, bucket) GROUP BY 1, 2)
+         |SELECT tok AS token, n_exact, cms_estimate
+         |FROM est WHERE cms_estimate >= 200 ORDER BY token""".stripMargin,
 
     "q_passage_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -159,6 +159,51 @@ object StatsOps {
           .as("hll_estimate"))
   }
 
+  /** Engine-portable Count-Min sketch (Cormode & Muthukrishnan 2005,
+    * public): d hash rows × w buckets of counts, point estimate = min over
+    * rows — the heavy-hitter primitive whose state is d·w REGARDLESS of
+    * key cardinality (the reason to sketch at 100 TB, where the exact
+    * per-key count is itself a vocabulary-scale shuffle). Buckets derive
+    * from the SAME deterministic 60-bit md5 hash as the dedup/HLL family
+    * (row-salted: `md5("<j>_<key>")`), so the DuckDB oracle rebuilds the
+    * identical sketch, estimates, and threshold cut. Guarantee: estimate ≥
+    * true count always; ≤ true + εN with prob 1−δ for w = ⌈e/ε⌉, d =
+    * ⌈ln 1/δ⌉. One d-way row explode → one (j, bucket) aggregation.
+    */
+  def cmsSketch(df: DataFrame, keyCol: String, d: Int = 3,
+                w: Long = 1024L): DataFrame = {
+    require(d >= 1 && d <= 16, s"depth d=$d outside 1..16")
+    require(w >= 2, s"width w=$w must be >= 2")
+    df.select(explode(sequence(lit(0), lit(d - 1))).as("j"),
+        col(keyCol).as("_k"))
+      .select(col("j"),
+        (graft.functions.Text.hash64(
+          concat(col("j").cast("string"), lit("_"), col("_k"))) % w)
+          .as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters via the sketch: candidate keys (here the distinct key
+    * set — in a 100 TB deployment the candidate generator is a sample or
+    * a prior round's survivors) probe the BROADCAST d×w sketch and keep
+    * `min ≥ threshold`. The exact per-key count rides along so the gate
+    * also checks the CMS overestimate invariant (estimate ≥ exact).
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, d: Int = 3,
+                      w: Long = 1024L, threshold: Long = 100L): DataFrame = {
+    val sk = cmsSketch(df, keyCol, d, w)
+    val exact = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.select(col("key"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("bucket",
+        graft.functions.Text.hash64(
+          concat(col("j").cast("string"), lit("_"), col("key"))) % w)
+      .join(broadcast(sk), Seq("j", "bucket"))
+      .groupBy("key", "n_exact").agg(min(col("cnt")).as("cms_estimate"))
+      .filter(col("cms_estimate") >= threshold)
+  }
+
   /** Single-pass column profiler: per column, row/null/distinct counts
     * plus numeric min/max/mean (string columns report lexicographic
     * min/max instead). ALL columns aggregate in ONE pass over the data —

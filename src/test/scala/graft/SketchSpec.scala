@@ -63,4 +63,28 @@ class SketchSpec extends SparkSpec {
     // epsilon = 1/accuracy → rank error ≤ n/100 = 200 positions
     assert(math.abs(r.getDouble(2) - 10000.0) <= 200.0, r.toString)
   }
+
+  test("cmsHeavyHitters: estimate >= exact always; exact when the width kills collisions") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: key k_i appears i times, i in 1..60
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(s"k$i")).map(Tuple1(_))
+    val df = rows.toDF("k")
+    val hh = StatsOps.cmsHeavyHitters(df, "k", d = 3, w = 8192L, threshold = 1L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hh.size == 60)
+    (1 to 60).foreach { i =>
+      val (n, e) = hh(s"k$i")
+      assert(n == i.toLong, s"exact count for k$i")
+      assert(e >= n, s"CMS must never underestimate k$i")
+    }
+    // 60 keys into 3×8192 buckets: collisions are overwhelmingly unlikely
+    // with this fixed hash — the estimates are exact here
+    assert((1 to 60).forall(i => hh(s"k$i")._2 == i.toLong))
+    // tight width forces collisions: estimates inflate but never drop
+    val tight = StatsOps.cmsHeavyHitters(df, "k", d = 2, w = 4L, threshold = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(tight.length == 60 && tight.forall { case (_, n, e) => e >= n })
+    assert(tight.exists { case (_, n, e) => e > n }, "w=4 must collide")
+  }
 }

@@ -139,6 +139,7 @@ object SparkEntry {
     "q_atomic_info" -> (qAtomicInfo _),
     "q_quality_gate" -> (qQualityGate _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_domain_mix" -> (qDomainMix _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_quantiles" -> (qQuantiles _),
     "q_zscore_gate" -> (qZscoreGate _),
@@ -870,6 +871,24 @@ object SparkEntry {
       Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 0.25))
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
+
+  /** Deterministic domain-mixing gate: weights derived from each source's
+    * numeric suffix ((i mod 4)·0.75 + 0.5 → 0.5 / 1.25 / 2.0 / 2.75 —
+    * exact binary fractions, so both engines' fractional-copy comparison
+    * is bit-identical), epochs fanned out shuffle-free. Output pins the
+    * full-epoch replication (equal per-epoch censuses) and the
+    * hash-selected fractional tail per source.
+    */
+  private def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val weights = (0 until 20)
+      .map(i => s"src$i" -> ((i % 4) * 0.75 + 0.5)).toMap
+    graft.operators.CurationOps.mixSources(
+      Tables.documents(s, dir), "source", "doc_id", weights)
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source", "epoch")
+  }
 
   /** §2.5 partition_indices co-location contract (`run/base.py:316-423`):
     * each curator index must land in EXACTLY ONE scan partition and each
@@ -4188,6 +4207,27 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
         |            WHEN 'fr' THEN 1000 WHEN 'es' THEN 2500 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Domain-mix mirror: weights recomputed from the source suffix (exact
+    // binary fractions), the same md5 bucket picks the fractional-epoch
+    // rows, epochs unnested identically.
+    "q_domain_mix" ->
+      """WITH d AS (SELECT source, n_chars,
+        |    (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4) * 0.75 + 0.5 AS wt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT source, n_chars,
+        |    CAST(floor(wt) AS INT) +
+        |      (CASE WHEN b < (wt - floor(wt)) * 10000.0 THEN 1 ELSE 0 END) AS nc
+        |  FROM d),
+        |e AS (SELECT source, n_chars,
+        |    unnest(generate_series(0, nc - 1)) AS epoch
+        |  FROM c WHERE nc > 0)
+        |SELECT source, CAST(epoch AS INT) AS epoch,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // d3plot cycle mirror: float32 words round-trip exactly; sx/epsp are
     // exact binary fractions (powers of two × small ints) so their sums

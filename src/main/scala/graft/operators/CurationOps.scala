@@ -59,6 +59,33 @@ object CurationOps {
     df.filter(bucket < fracCol * 10000.0)
   }
 
+  /** Deterministic domain-mixing oversampler: per-source target weight w
+    * (w MAY exceed 1 — data-mix recipes repeat high-quality domains for
+    * multiple epochs) → ⌊w⌋ full epoch copies of every row plus one
+    * hash-selected fractional-epoch copy (the row's 60-bit md5 bucket of
+    * 10 000 under the fractional part). Like the other hash samplers, a
+    * pure row function — identical output on any partitioning, rerun, or
+    * engine — and shuffle-free: the epoch fan-out is a projection explode,
+    * so it composes with a downstream writer without materializing the
+    * repeated corpus anywhere. Sources absent from `weights` are dropped
+    * (an explicit mix is a whitelist).
+    */
+  def mixSources(df: DataFrame, sourceCol: String, keyCol: String,
+                 weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
+      s"mix weights must be in [0, 1000]: $weights")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") % 10000L
+    val nCopies = (floor(wCol) +
+      when(bucket < (wCol - floor(wCol)) * 10000.0, 1).otherwise(0)).cast("int")
+    df.withColumn("epoch",
+      explode(when(nCopies > 0, sequence(lit(0), nCopies - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Weighted sample without replacement (Efraimidis–Spirakis A-ES): each
     * row draws a deterministic uniform u from its key's 60-bit md5 bucket
     * and scores key = ln(u)/w — the top-k scores are exactly a w-weighted

@@ -181,6 +181,32 @@ class OperatorSpec extends SparkSpec {
     assert(a.sortBy(_._2).toSeq == b.sortBy(_._2).toSeq)
   }
 
+  test("mixSources: full epochs replicate exactly, fractional epoch is a hash subset") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "hi" else "lo", i))
+      .toDF("doc_id", "src", "payload")
+    val mixed = graft.operators.CurationOps.mixSources(
+      df, "src", "doc_id", Map("hi" -> 2.5, "lo" -> 0.25))
+    val byEpoch = mixed.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // hi (w=2.5): epochs 0 and 1 carry all 200 rows; epoch 2 a strict subset
+    assert(byEpoch(("hi", 0)) == 200L && byEpoch(("hi", 1)) == 200L)
+    assert(byEpoch(("hi", 2)) > 0L && byEpoch(("hi", 2)) < 200L)
+    // lo (w=0.25): only the fractional epoch 0, a strict subset of 200
+    assert(byEpoch(("lo", 0)) > 0L && byEpoch(("lo", 0)) < 200L)
+    assert(byEpoch.keys.forall { case (src, e) =>
+      if (src == "hi") e <= 2 else e == 0 })
+    // unlisted sources drop; a different partitioning changes nothing
+    assert(graft.operators.CurationOps.mixSources(
+      df, "src", "doc_id", Map("hi" -> 1.0)).select("epoch").distinct().count() == 1L)
+    val again = graft.operators.CurationOps.mixSources(
+      df.repartition(7), "src", "doc_id", Map("hi" -> 2.5, "lo" -> 0.25))
+      .groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(again == byEpoch)
+  }
+
   test("groupQuantiles: exact linear-interpolation values") {
     val s = spark
     import s.implicits._

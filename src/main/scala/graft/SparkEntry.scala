@@ -117,6 +117,7 @@ object SparkEntry {
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
     "q_pq_topk" -> (qPqTopk _),
+    "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1871,6 +1872,38 @@ object SparkEntry {
       .orderBy("ia", "rank")
   }
 
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the
+    * IVF-PQ composed index (coarse centroids + its own codebooks).
+    */
+  private val IvfPqCentroidsDir = s"$MatRoot/ivfpq_centroids"
+  private val IvfPqCodebooksDir = s"$MatRoot/ivfpq_codebooks"
+
+  /** IVF-PQ composed gate: coarse routing restricts candidates to the
+    * probed lists, ADC ranks them. Both trained structures materialize so
+    * the oracle recomputes routing, probing, codes, distance tables, and
+    * ranks from the SAME constants — the candidate restriction makes this
+    * strictly stronger than the exhaustive-equivalence trick q_ivf_topk
+    * uses (a wrong probe set changes the result rows here).
+    */
+  private def qIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dimHint = 64)
+    cents.zipWithIndex.map { case (c, cid) => (cid, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "c").coalesce(1)
+      .write.mode("overwrite").parquet(IvfPqCentroidsDir)
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    books.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
+    }.toDF("sub", "code", "c").coalesce(1)
+      .write.mode("overwrite").parquet(IvfPqCodebooksDir)
+    SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
+      cents, books, nProbe = 3, dimHint = 64)
+      .orderBy("ia", "rank")
+  }
+
   /** Root for oracle-constant materialization (hyperplanes, JL matrix,
     * k-means centroids, BPE merges): overridable via GRAFT_DATA_DIR /
     * -Dgraft.data.dir, defaulting to `data/` under the process working
@@ -2951,6 +2984,50 @@ object SparkEntry {
          |sc AS (SELECT q.ia, a.ib, round(sum(q.d) + 1e-9, 4) AS adist_r
          |  FROM qd q JOIN asg a ON a.sub = q.sub AND a.code = q.code
          |  WHERE q.ia <> a.ib GROUP BY 1, 2),
+         |rk AS (SELECT ia, ib, adist_r,
+         |    row_number() OVER (PARTITION BY ia ORDER BY adist_r, ib) AS rank
+         |  FROM sc)
+         |SELECT ia, CAST(rank AS INT) AS rank, ib, adist_r
+         |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // IVF-PQ mirror: coarse routing (max-dot assignment, top-nProbe probe
+    // sets — ties to the lowest cid on both engines), candidate pairs from
+    // probed-list membership, then the q_pq_topk ADC recomputation
+    // restricted to those candidates. All constants read from the two
+    // materialized index structures.
+    "q_ivfpq_topk" ->
+      s"""WITH ct AS (SELECT cid, c FROM '$IvfPqCentroidsDir/*.parquet'),
+         |cb AS (SELECT sub, code, c FROM '$IvfPqCodebooksDir/*.parquet'),
+         |cd AS (SELECT e.vec_id, ct.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], ct.c) AS dp
+         |  FROM embeddings e CROSS JOIN ct),
+         |asgc AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+         |    FROM cd) z WHERE rn = 1),
+         |probe AS (SELECT vec_id AS ia, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+         |    FROM cd WHERE vec_id < 20) z WHERE rn <= 3),
+         |sv AS (SELECT e.vec_id, s.sub,
+         |    list_slice(e.embedding, s.sub * 8 + 1, s.sub * 8 + 8)::DOUBLE[] AS v
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |d AS (SELECT sv.vec_id, sv.sub, cb.code,
+         |    (list_dot_product(sv.v, sv.v) - 2.0 * list_dot_product(sv.v, cb.c))
+         |      + list_dot_product(cb.c, cb.c) AS d
+         |  FROM sv JOIN cb ON cb.sub = sv.sub),
+         |asg AS (SELECT vec_id AS ib, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |    FROM d) z WHERE rn = 1),
+         |cand AS (SELECT DISTINCT p.ia, mem.vec_id AS ib
+         |  FROM probe p JOIN asgc mem ON mem.cid = p.cid AND mem.vec_id <> p.ia),
+         |qd AS (SELECT vec_id AS ia, sub, code, d FROM d WHERE vec_id < 20),
+         |sc AS (SELECT c.ia, c.ib, round(sum(q.d) + 1e-9, 4) AS adist_r
+         |  FROM cand c JOIN asg a ON a.ib = c.ib
+         |  JOIN qd q ON q.ia = c.ia AND q.sub = a.sub AND q.code = a.code
+         |  GROUP BY 1, 2),
          |rk AS (SELECT ia, ib, adist_r,
          |    row_number() OVER (PARTITION BY ia ORDER BY adist_r, ib) AS rank
          |  FROM sc)

@@ -433,6 +433,55 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
   }
 
+  /** IVF-PQ top-k (Jégou et al. 2011 §V: inverted file + asymmetric
+    * distance, here the no-residual variant — codes quantize the vector
+    * itself, the simpler of the two published layouts): the coarse
+    * quantizer routes every vector into one of `nlist` lists, a query
+    * probes its `nProbe` best lists, and only the vectors IN those lists
+    * are ranked, by PQ ADC distance over the stored m-code words. The two
+    * index structures compose exactly as deployed at scale: candidate
+    * generation (probe lists) bounds the scan to ≈ nProbe/nlist of the
+    * corpus, PQ bounds the per-candidate cost to m table lookups on
+    * 8-byte codes. The join is candidate-DRIVEN (probe ⋈ list membership
+    * first, distances only for survivors) — the same discipline as the
+    * LSH verify tier, never an all-pairs ADC.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                maxQueryId: Long, centroids: Seq[Array[Float]],
+                codebooks: Seq[Seq[Array[Float]]], nProbe: Int = 3,
+                dimHint: Int = 0): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    val subDim = dim / codebooks.length
+    val dists0 = pqDistances(df, idCol, vecCol, codebooks, subDim)
+    val dists =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        dists0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dists0
+    val codes = dists // the stored index: one m-code word per vector
+      .groupBy(col("vid").as("ib"), col("sub"))
+      .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
+    val members = df.select(col(idCol).as("ib"),
+      assignColumn(col(vecCol), centroids).as("cid"))
+    val probes = df.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("ia"),
+        explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
+    val cand = probes.join(members, Seq("cid"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val qd = dists.filter(col("vid") < maxQueryId)
+      .select(col("vid").as("ia"), col("sub"), col("code"), col("d"))
+    val scored = cand
+      .join(codes, Seq("ib"))
+      .join(qd, Seq("ia", "sub", "code"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(round(sum(col("d")) + lit(1e-9), 4).as("adist_r"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("adist_r").asc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
+  }
+
   /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDeDup" —
     * the embedding-space dedup stage LLM curation pipelines run after exact
     * and fuzzy dedup): cluster the corpus with the collected coarse

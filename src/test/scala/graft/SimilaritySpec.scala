@@ -173,6 +173,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"PQ recall@10 $recall < 0.25 (${(pq & brute).size}/${brute.size})")
   }
 
+  test("IVF-PQ: probing all lists reproduces plain PQ; fewer lists stay candidate-bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dimHint = 64)
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    // nProbe = nlist: every vector is a candidate → exactly pqTopK
+    val full = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", 5, 20L,
+      cents, books, nProbe = 8, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val pq = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 5, 20L,
+      books, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == pq, "exhaustive probing must equal plain ADC")
+    // nProbe < nlist: ranks stay dense 1..k over the shrunken candidate set
+    val part = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", 5, 20L,
+      cents, books, nProbe = 2, dimHint = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = part.groupBy(_._1)
+    assert(byQ.forall { case (_, rs) => rs.map(_._2).sorted.toSeq == (1 to rs.size) })
+    assert(byQ.values.forall(_.size <= 5))
+  }
+
   test("randomProject: deterministic, linear, distances roughly preserved") {
     val s = spark
     import s.implicits._

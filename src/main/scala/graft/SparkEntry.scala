@@ -111,6 +111,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_webdataset" -> (qWebdataset _),
     "q_media_decode" -> (qMediaDecode _),
+    "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_mesh_quality" -> (qMeshQuality _),
@@ -2341,6 +2342,41 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the DFT
+    * twiddle vectors (a pure function of the frame length).
+    */
+  private val DftTwiddlesDir = s"$MatRoot/dft_twiddles"
+
+  /** Audio spectral analysis end-to-end: per group a mono PCM WAV is
+    * synthesized from the first 256 quantized events, decoded back, and
+    * put through the windowed DFT (4 frames × 64 samples). The twiddle
+    * vectors materialize so DuckDB re-runs the transform itself —
+    * `list_dot_product` reproduces the identical left-to-right double
+    * folds — and recomputes energy, spectral centroid, and the peak bin
+    * from the event stream, not from our output.
+    */
+  private def qAudioSpectral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MultimodalOps.dftTwiddles(64)
+      .toDF("k", "re_w", "im_w").coalesce(1)
+      .write.mode("overwrite").parquet(DftTwiddlesDir)
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the signal
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+      }.toDF("g", "wav")
+    MultimodalOps.audioSpectral(payloads, "g", "wav", frameLen = 64, nFrames = 4)
+      .select(col("g"), col("frame"),
+        rnd("energy", 4).as("energy_r"), rnd("centroid", 4).as("centroid_r"),
+        col("peak_bin"), rnd("peak_mag", 4).as("peak_mag_r"))
+      .orderBy("g", "frame")
+  }
+
   /** Baseline JPEG decode end-to-end: per group, a 48×48 YCbCr 4:4:4 image
     * (6×6 grid of flat 8×8 blocks, restart markers every block row) and a
     * 16×16 grayscale image are ENCODED from quantized event values, then
@@ -3364,6 +3400,39 @@ object SparkEntry {
         |  img.mean_r, img.mean_g, img.mean_b,
         |  20 AS png_w, 20 AS png_h, 4 AS png_ch, img.mean_a
         |FROM wav JOIN img USING (g) ORDER BY g""".stripMargin,
+
+    // DFT mirror: frames rebuilt from the event stream, the transform
+    // re-run against the materialized twiddle vectors (list_dot_product =
+    // the same left-to-right double fold), energy exact in integers.
+    "q_audio_spectral" ->
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
+         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+         |  FROM events),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+         |  FROM q),
+         |f AS (SELECT g, CAST((rn - 1) // 64 AS INT) AS frame, rn, v
+         |  FROM r WHERE rn <= 256),
+         |s AS (SELECT g, frame, list(CAST(v AS DOUBLE) ORDER BY rn) AS sv
+         |  FROM f GROUP BY 1, 2),
+         |tw AS (SELECT k, re_w, im_w FROM '$DftTwiddlesDir/*.parquet'),
+         |d AS (SELECT g, frame, k,
+         |    list_dot_product(sv, re_w) AS re, list_dot_product(sv, im_w) AS im,
+         |    list_dot_product(sv, sv) AS e2
+         |  FROM s CROSS JOIN tw),
+         |m AS (SELECT g, frame, k, sqrt(re * re + im * im) / 64 AS mag, e2 FROM d),
+         |agg AS (SELECT g, frame, max(e2) / 64 AS energy,
+         |    sum(k * mag) / sum(mag) AS centroid
+         |  FROM m GROUP BY 1, 2),
+         |pk AS (SELECT g, frame, k AS peak_bin, mag AS peak_mag FROM (
+         |    SELECT g, frame, k, mag,
+         |      row_number() OVER (PARTITION BY g, frame ORDER BY mag DESC, k) AS rn
+         |    FROM m) z WHERE rn = 1)
+         |SELECT agg.g, agg.frame, round(agg.energy + 1e-9, 4) AS energy_r,
+         |  round(agg.centroid + 1e-9, 4) AS centroid_r,
+         |  CAST(pk.peak_bin AS INT) AS peak_bin,
+         |  round(pk.peak_mag + 1e-9, 4) AS peak_mag_r
+         |FROM agg JOIN pk USING (g, frame) ORDER BY g, frame""".stripMargin,
 
     "q_jpeg_decode" ->
       """WITH q AS (SELECT user_id % 10 AS g, event_id,

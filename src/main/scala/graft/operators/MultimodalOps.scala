@@ -79,6 +79,69 @@ object MultimodalOps {
       .toDF(idCol, "sample_rate", "n_channels", "n_frames", "rms", "peak")
   }
 
+  /** DFT twiddle factors for [[audioSpectral]]: per bin k = 0..N/2, the
+    * length-N cosine and sine weight vectors. A pure function of the frame
+    * length — callers materialize exactly these rows so an external engine
+    * can rerun the transform with bit-identical constants.
+    */
+  def dftTwiddles(frameLen: Int): Seq[(Int, Seq[Double], Seq[Double])] =
+    (0 to frameLen / 2).map { k =>
+      (k,
+        Seq.tabulate(frameLen)(i => math.cos(2.0 * math.Pi * k * i / frameLen)),
+        Seq.tabulate(frameLen)(i => math.sin(2.0 * math.Pi * k * i / frameLen)))
+    }
+
+  /** Real audio ANALYSIS: per payload, non-overlapping frames of
+    * `frameLen` mono PCM samples put through a discrete Fourier transform
+    * — per frame the energy, the spectral centroid (Σ k·|X_k| / Σ |X_k|,
+    * the timbral brightness feature audio curation filters on), and the
+    * peak bin with its magnitude. The DFT is evaluated against the SAME
+    * broadcast twiddle vectors [[dftTwiddles]] exposes for
+    * materialization, with left-to-right accumulation — the
+    * `list_dot_product` fold order — so every re/im/magnitude double is
+    * reproducible on another engine. One codec call + O(nFrames·N²/2)
+    * multiplies per row, executor-side, no shuffle.
+    */
+  def audioSpectral(payloads: DataFrame, idCol: String,
+                    payloadCol: String = "payload", frameLen: Int = 64,
+                    nFrames: Int = 4): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    require(frameLen >= 2 && frameLen % 2 == 0, s"frameLen $frameLen")
+    val bc = spark.sparkContext.broadcast(
+      dftTwiddles(frameLen).map(t => (t._1, t._2.toArray, t._3.toArray)))
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        require(w.channels == 1, s"audioSpectral expects mono, got ${w.channels}")
+        val tws = bc.value
+        (0 until nFrames).iterator.flatMap { f =>
+          val off = f * frameLen
+          if (off + frameLen > w.samples.length) None
+          else {
+            val s = w.samples.slice(off, off + frameLen)
+            var e2 = 0.0
+            var i = 0
+            while (i < frameLen) { e2 += s(i).toDouble * s(i); i += 1 }
+            val mags = tws.map { case (_, re, im) =>
+              var a = 0.0; var b = 0.0; var j = 0
+              while (j < frameLen) { a += s(j) * re(j); b += s(j) * im(j); j += 1 }
+              math.sqrt(a * a + b * b) / frameLen
+            }
+            var num = 0.0; var den = 0.0; var k = 0
+            while (k < mags.length) { num += k * mags(k); den += mags(k); k += 1 }
+            var pk = 0
+            k = 1
+            while (k < mags.length) { if (mags(k) > mags(pk)) pk = k; k += 1 }
+            Some((id, f, e2 / frameLen,
+              if (den == 0.0) 0.0 else num / den, pk, mags(pk)))
+          }
+        }
+      }
+      .toDF(idCol, "frame", "energy", "centroid", "peak_bin", "peak_mag")
+  }
+
   /** Real image decode: 24-bit BMP payloads → geometry and per-channel
     * means. One codec call per row, executor-side, no shuffle.
     */

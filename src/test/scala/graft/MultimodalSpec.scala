@@ -283,4 +283,38 @@ class MultimodalSpec extends SparkSpec {
     val meanAbc = "abcdefgh".map(_.toDouble).sum / 8
     assert(math.abs(r(2L)._3 - meanAbc) < 1e-12)
   }
+
+  test("audioSpectral: analytic DFT pins — Nyquist tone, DC tone, impulse, energy") {
+    val s = spark
+    import s.implicits._
+    val n = 64
+    // id 1: Nyquist square tone (-1)^i·1000 → all energy in bin 32
+    // id 2: DC tone 700 → all energy in bin 0
+    // id 3: unit impulse ×640 → flat spectrum, peak ties to bin 0,
+    //        centroid = mean of 0..32 = 16
+    val fixtures = Seq(
+      1L -> Array.tabulate(n)(i => if (i % 2 == 0) 1000 else -1000),
+      2L -> Array.fill(n)(700),
+      3L -> (640 +: Array.fill(n - 1)(0)))
+    val rows = fixtures.map { case (id, sm) =>
+      (id, graft.functions.Media.renderWav(8000, 1, sm))
+    }.toDF("id", "wav")
+    val got = MultimodalOps.audioSpectral(rows, "id", "wav", frameLen = n,
+      nFrames = 2) // only one full frame staged → exactly one row per id
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getDouble(5))))
+      .toMap
+    assert(got.size == 3 && got.values.forall(_._1 == 0))
+    val (_, e1, c1, p1, m1) = got(1L)
+    assert(e1 == 1000.0 * 1000.0) // Σ s²/N exact in doubles
+    assert(p1 == 32 && math.abs(m1 - 1000.0) < 1e-9)
+    assert(math.abs(c1 - 32.0) < 1e-9)
+    val (_, e2, c2, p2, m2) = got(2L)
+    assert(e2 == 700.0 * 700.0 && p2 == 0 && math.abs(m2 - 700.0) < 1e-9)
+    assert(math.abs(c2 - 0.0) < 1e-9)
+    val (_, e3, c3, p3, m3) = got(3L)
+    assert(e3 == 640.0 * 640.0 / n && p3 == 0)
+    assert(math.abs(m3 - 10.0) < 1e-12) // 640/64 per bin
+    assert(math.abs(c3 - 16.0) < 1e-9)  // flat spectrum centroid
+  }
 }

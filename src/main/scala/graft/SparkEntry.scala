@@ -85,6 +85,7 @@ object SparkEntry {
     "q_exact_dedup" -> (qExactDedup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dup_spans" -> (qDupSpans _),
+    "q_dup_span_removal" -> (qDupSpanRemoval _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -2096,6 +2097,18 @@ object SparkEntry {
         rnd("dup_frac", 4).as("dup_frac"))
       .orderBy("doc_id")
 
+  /** Exact-substring span removal gate: the cleaned text's md5 is the
+    * strongest possible check — the oracle rebuilds every document's
+    * surviving token stream (window-max coverage over 1-based positions,
+    * in-order concat) and a single off-by-one in the coverage window or
+    * concat order changes the hash.
+    */
+  private def qDupSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    DedupOps.removeDupSpans(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
   /** SemDedup semantic deduplication over embeddings: k-means clusters
     * (the IVF coarse quantizer), within-cluster exact cosine ≥ τ, CC group
     * resolution, min-id survivors. The centroids are materialized to
@@ -3147,6 +3160,33 @@ object SparkEntry {
          |SELECT doc_id, n_spans, n_dup,
          |  round(CAST(n_dup AS DOUBLE) / n_spans + 1e-9, 4) AS dup_frac
          |FROM cov ORDER BY doc_id""".stripMargin,
+
+    // Span-removal mirror: same 5-gram df, dup start flags windowed over
+    // dense 1-based positions (ROWS 4 PRECEDING), surviving tokens
+    // re-concatenated in order — the md5 pins the full cleaned text.
+    "q_dup_span_removal" ->
+      s"""WITH ws AS (SELECT doc_id, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id, w[t.i] AS tok, t.i AS i
+         |  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+         |st AS (SELECT doc_id, i,
+         |    ${hash64Sql("array_to_string(w[i:i+4], ' ')")} AS h
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+         |        FROM ws WHERE len(w) >= 5) t),
+         |dfq AS (SELECT h, count(DISTINCT doc_id) AS df FROM st GROUP BY 1),
+         |ds AS (SELECT doc_id, i, CASE WHEN df > 1 THEN 1 ELSE 0 END AS dup
+         |  FROM st JOIN dfq USING (h)),
+         |m AS (SELECT t.doc_id, t.i, t.tok, coalesce(ds.dup, 0) AS dup
+         |  FROM tok t LEFT JOIN ds ON ds.doc_id = t.doc_id AND ds.i = t.i),
+         |cov AS (SELECT doc_id, i, tok,
+         |    max(dup) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS c
+         |  FROM m)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c) AS BIGINT) AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY i), ''))
+         |    AS clean_md5
+         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // SemDedup mirror: assignment = argmax dot (ties -> lowest cid) against
     // the materialized quantizer — double-widened dots are bit-identical —

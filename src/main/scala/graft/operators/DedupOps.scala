@@ -118,6 +118,43 @@ object DedupOps {
       .withColumn("dup_frac", col("n_dup").cast("double") / col("n_spans"))
   }
 
+  /** Exact-substring span REMOVAL (the acting half of [[dupSpanCoverage]],
+    * the token-level form of Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" §3: delete every span that also occurs
+    * in another document): a token position is removed when ANY k-gram
+    * covering it has document frequency > `minOtherDocs`. Coverage is a
+    * single rows-window max over each document's dense position stream
+    * (`[p−k+1, p]` start flags) — one window, no interval join — and the
+    * cleaned text is the in-order concat of the surviving tokens.
+    * Shuffles: the k-gram df aggregation (hash-bounded) + one position
+    * regroup; both key on content hashes/doc ids, never pairwise.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minOtherDocs: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = cached(df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ws")))
+    val starts = base
+      .select(col("id"), posexplode(Text.shinglesFromTokens(col("_ws"), k))
+        .as(Seq("p", "sh")))
+      .select(col("id"), col("p"), Text.hash64(col("sh")).as("h"))
+    val docFreq = starts.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val dupStarts = starts.join(docFreq, "h")
+      .select(col("id"), col("p"),
+        when(col("df") > minOtherDocs, 1).otherwise(0).as("dup"))
+    val toks = base.select(col("id"), posexplode(col("_ws")).as(Seq("p", "tok")))
+    val w = Window.partitionBy("id").orderBy("p").rowsBetween(-(k - 1), 0)
+    toks.join(dupStarts, Seq("id", "p"), "left")
+      .withColumn("c", max(coalesce(col("dup"), lit(0))).over(w))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c")).cast("long").as("n_removed"),
+        array_join(transform(sort_array(
+          collect_list(when(col("c") === 0, struct(col("p"), col("tok"))))),
+          s => s("tok")), " ").as("clean_text"))
+  }
+
   /** ROW-WISE MinHash signature: the same normalization, 60-bit md5 hash,
     * 31-bit reduction, and permutation family as the column pipeline
     * (`Text.norm`/`Text.hash64` → `minhashSignatures`), computed in ONE

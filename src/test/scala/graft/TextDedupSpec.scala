@@ -146,6 +146,28 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeDupSpans: shared passage excised, window coverage exact, text rebuilt") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "p q a b c d e f r s"), // shares "a b c d e f" with doc 2
+      (2L, "a b c d e f x y z w"),
+      (3L, "m n o k l"),           // exactly 5 unique tokens — kept whole
+      (4L, "u v")                  // < 5 tokens: no spans, nothing removed
+    ).toDF("doc_id", "text")
+    val r = DedupOps.removeDupSpans(d, "doc_id", "text", k = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1: dup starts at positions of "a b c d e" and "b c d e f" →
+    // coverage = tokens a..f (6 tokens); p q r s survive
+    assert(r(1L) == ((10L, 6L, "p q r s")))
+    // doc 2: same two dup 5-grams at the head → a..f removed
+    assert(r(2L) == ((10L, 6L, "x y z w")))
+    assert(r(3L) == ((5L, 0L, "m n o k l")))
+    assert(r(4L) == ((2L, 0L, "u v")))
+    spark.catalog.clearCache()
+  }
+
   test("jaccardPairs: analytic 3-gram Jaccard") {
     // doc1/doc2 identical canonical → J = 1.0
     // doc1/doc3: shingles {tqb,qbf,bfj} vs {tqb,qbc,bcs}: |∩|=1, |∪|=5 → 0.2

@@ -163,6 +163,7 @@ object SparkEntry {
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_netcdf_packed" -> (qNetcdfPacked _),
     "q_grib2_decode" -> (qGrib2Decode _),
@@ -2627,6 +2628,30 @@ object SparkEntry {
       .orderBy("field")
   }
 
+  /** Bloom-prune gate: lineitem pre-filtered by the Bloom of the urgent
+    * orders' keys before any join — the runtime-filter pattern. The oracle
+    * rebuilds the identical position set and membership test, so the
+    * bloom-pass census (false positives INCLUDED, a deterministic function
+    * of the hash family) and the exact-match census must both agree;
+    * `n_false_pos` additionally pins pass ⊇ match.
+    */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val pruned = RelationalOps.bloomPruneJoin(li, "l_orderkey",
+      urgent, "o_orderkey", m = 16384L, d = 3)
+    val bloomCnt = pruned.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_bloom_pass"))
+    val trueCnt = li.join(urgent.select("o_orderkey"),
+        li("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_true"))
+    bloomCnt.join(trueCnt, "l_returnflag")
+      .select(col("l_returnflag"), col("n_bloom_pass"), col("n_true"),
+        (col("n_bloom_pass") - col("n_true")).as("n_false_pos"))
+      .orderBy("l_returnflag")
+  }
+
   /** NS-cylinder join shape (`ns_cylinder.py:17-40`): fact ⋈ fact ⋈ dim with
     * broadcast small dims — lineitem ⋈ orders ⋈ customer ⋈ B(nation) ⋈ B(region).
     */
@@ -4615,6 +4640,32 @@ object SparkEntry {
         |  round(sum(l_quantity) + 1e-6, 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bloom-prune mirror: the position set and the three membership tests
+    // rebuilt with the same row-salted md5 family — the pruned census
+    // matches exactly, deterministic false positives included.
+    "q_bloom_prune" ->
+      """WITH dimk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT
+        |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+        |      CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % 16384 AS pos
+        |  FROM dimk, (SELECT unnest(generate_series(0, 2)) AS j) s),
+        |f AS (SELECT l_returnflag, l_orderkey FROM lineitem),
+        |p AS (SELECT l_returnflag FROM f WHERE
+        |  (CAST('0x' || substr(md5('0_' || CAST(l_orderkey AS VARCHAR)), 1, 15)
+        |     AS BIGINT) % 16384) IN (SELECT pos FROM b)
+        |  AND (CAST('0x' || substr(md5('1_' || CAST(l_orderkey AS VARCHAR)), 1, 15)
+        |     AS BIGINT) % 16384) IN (SELECT pos FROM b)
+        |  AND (CAST('0x' || substr(md5('2_' || CAST(l_orderkey AS VARCHAR)), 1, 15)
+        |     AS BIGINT) % 16384) IN (SELECT pos FROM b)),
+        |bp AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_bloom_pass
+        |  FROM p GROUP BY 1),
+        |t AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM f WHERE l_orderkey IN (SELECT k FROM dimk) GROUP BY 1)
+        |SELECT bp.l_returnflag, n_bloom_pass, n_true,
+        |  n_bloom_pass - n_true AS n_false_pos
+        |FROM bp JOIN t USING (l_returnflag) ORDER BY 1""".stripMargin,
 
     // Zarr cycle mirror: <f8 cells are bit-exact through the chunk files,
     // so the oracle rebuilds the full fill-padded lattice from events.

@@ -64,6 +64,40 @@ object RelationalOps {
     derived.fold(withConsts)(g => withConsts.crossJoin(broadcast(g)))
   }
 
+  /** Bloom-filter scan pruning — the runtime-filter pattern (Spark's own
+    * InjectRuntimeFilter does exactly this for eligible shuffle joins):
+    * before a big fact side shuffles into a join, drop the rows whose key
+    * CANNOT match, using a d-hash Bloom filter built from the (small) dim
+    * side's keys. The filter is represented as its set-bit positions
+    * (≤ min(m, |dim|·d) ints) and membership runs as d BROADCAST left-semi
+    * joins — codegen'd hash probes, no literal scans, no extra shuffle; at
+    * 100 TB this is the difference between shuffling the whole fact table
+    * and shuffling only plausible matches (plus the deterministic
+    * false-positive tail ≈ (1−e^(−|dim|·d/m))^d of it). Bucket positions
+    * use the row-salted md5 family, so an external engine reproduces the
+    * EXACT pruned set, false positives included.
+    */
+  def bloomPruneJoin(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     m: Long = 16384L, d: Int = 3): DataFrame = {
+    require(d >= 1 && d <= 8, s"depth d=$d outside 1..8")
+    require(m >= 64, s"width m=$m too small")
+    def pos(j: Column, c: Column): Column =
+      graft.functions.Text.hash64(
+        concat(j.cast("string"), lit("_"), c.cast("string"))) % m
+    val bits0 = dim
+      .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col(dimKey).as("_k"))
+      .select(pos(col("j"), col("_k")).as("pos")).distinct()
+    val bits = // referenced by all d probes — build the dim side once
+      if (dim.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        bits0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bits0
+    (0 until d).foldLeft(fact) { (acc, j) =>
+      acc.join(broadcast(bits),
+        pos(lit(j), acc(factKey)) === bits("pos"), "left_semi")
+    }
+  }
+
   /** Skew-safe equi-join: replicate the small side across `nSalts` salt
     * values and scatter the big side's hot keys deterministically (hash of a
     * unique column), so one hot key spreads over nSalts reducers instead of

@@ -182,4 +182,28 @@ class PlanSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
   }
+
+  test("bloomPruneJoin: d broadcast semi probes, no fact-side shuffle, pass superset of match") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val urgent = graft.sources.Tables.orders(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+    val pruned = graft.operators.RelationalOps.bloomPruneJoin(
+      li, "l_orderkey", urgent, "o_orderkey", m = 16384L, d = 3)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size == 3,
+      s"expected 3 broadcast semi probes:\n$p")
+    // the FACT lineage must stay shuffle-free: the lineitem scan feeds the
+    // innermost semi probe directly (the only hash Exchanges allowed are
+    // the dim-side position dedups, one per probe's broadcast subtree)
+    assert(p.contains(":- FileScan parquet [l_orderkey"),
+      s"fact scan must feed the probes directly:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"unexpected extra shuffles beyond the dim-side dedups:\n$p")
+    // semantics: every true match survives pruning
+    val trueMatch = li.join(urgent.select("o_orderkey"),
+      li("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"),
+      "left_semi").count()
+    val passed = pruned.count()
+    assert(passed >= trueMatch && passed <= li.count())
+  }
 }

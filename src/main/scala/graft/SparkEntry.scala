@@ -88,6 +88,7 @@ object SparkEntry {
     "q_dup_span_removal" -> (qDupSpanRemoval _),
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_perplexity_buckets" -> (qPerplexityBuckets _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_chunk_tokens" -> (qChunkTokens _),
@@ -2214,6 +2215,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail perplexity split under the corpus unigram LM:
+    * rounded perplexities against rounded interpolated tertiles, so the
+    * bucket assignment is engine-exact. 500 per-doc rows gate the whole
+    * score→threshold→bucket path.
+    */
+  private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Overlapping 64/48 chunking (embedding prep) over the REAL BPE token
     * stream — chunk geometry and fingerprints in tokenizer tokens.
     */
@@ -3294,6 +3304,26 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucket mirror: same rounded mean log-prob → rounded
+    // perplexity → rounded quantile_cont tertiles → CASE split.
+    "q_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |tt AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+         |v AS (SELECT tok, count(*) AS c FROM tt GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM v),
+         |lp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS lr
+         |  FROM tt JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id),
+         |pp AS (SELECT doc_id, n_tokens, round(exp(-lr) + 1e-9, 4) AS pp_r
+         |  FROM lp),
+         |th AS (SELECT round(quantile_cont(pp_r, 1.0/3) + 1e-9, 4) AS t1,
+         |    round(quantile_cont(pp_r, 2.0/3) + 1e-9, 4) AS t2 FROM pp)
+         |SELECT doc_id, n_tokens, pp_r,
+         |  CASE WHEN pp_r <= t1 THEN 'head'
+         |       WHEN pp_r <= t2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM pp CROSS JOIN th ORDER BY doc_id""".stripMargin,
 
     // Chunking mirror over the REAL BPE token stream: the shared encode
     // CTE rebuilds each document's token list, then the same slice/md5

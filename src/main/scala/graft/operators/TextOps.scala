@@ -173,6 +173,34 @@ object TextOps {
         avg(log(col("c").cast("double") / col("n_total"))).as("avg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score documents
+    * by LM perplexity, split the corpus at the 1/3 and 2/3 quantiles into
+    * head/middle/tail, train preferentially on the head): perplexity here
+    * is exp(−mean token log-prob) under the corpus unigram LM
+    * ([[unigramLogProb]] — CCNet's external KenLM is replaced by the
+    * corpus itself, the same substitution the LM-score operators already
+    * make). Engine parity: the mean log-prob and the perplexity are
+    * ROUNDED before every comparison (round-then-filter), and the two
+    * thresholds are rounded interpolated quantiles, so bucket boundaries
+    * cannot flip on summation-order ulps. The quantile is corpus-wide
+    * exact here; at 100 TB swap in `percentile_approx` exactly as
+    * documented for the profiler family.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pp = unigramLogProb(df, idCol, textCol)
+      .select(col(idCol), col("n_tokens"),
+        round(exp(-round(col("avg_logp") + lit(1e-9), 4)) + lit(1e-9), 4)
+          .as("pp_r"))
+    val th = pp.agg(
+      round(expr("percentile(pp_r, 1.0D/3)") + lit(1e-9), 4).as("t1"),
+      round(expr("percentile(pp_r, 2.0D/3)") + lit(1e-9), 4).as("t2"))
+    pp.crossJoin(broadcast(th))
+      .select(col(idCol), col("n_tokens"), col("pp_r"),
+        when(col("pp_r") <= col("t1"), lit("head"))
+          .when(col("pp_r") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Bigram LM quality score — the conditional-probability extension of
     * [[unigramLogProb]] (CCNet gates on LM perplexity; with no external
     * model shippable the corpus itself is the training set): p(w|prev) =

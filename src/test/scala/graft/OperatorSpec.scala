@@ -181,6 +181,24 @@ class OperatorSpec extends SparkSpec {
     assert(a.sortBy(_._2).toSeq == b.sortBy(_._2).toSeq)
   }
 
+  test("perplexityBuckets: analytic perplexities, tertile boundaries, head<middle<tail") {
+    val s = spark
+    import s.implicits._
+    // corpus counts: a=3, b=1, c=2, N=6 → token logp ln(1/2), ln(1/6), ln(1/3)
+    val docs = Seq((1L, "a a"), (2L, "a b"), (3L, "c c")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(2), x.getString(3)))).toMap
+    // the operator's exact arithmetic: round the mean log-prob, exp, round
+    def pp(logps: Double*): Double = {
+      val lr = math.rint((logps.sum / logps.size + 1e-9) * 1e4) / 1e4
+      math.rint((math.exp(-lr) + 1e-9) * 1e4) / 1e4
+    }
+    assert(r(1L)._1 == pp(math.log(0.5), math.log(0.5)))             // ≈ 2
+    assert(r(3L)._1 == pp(math.log(1.0 / 3), math.log(1.0 / 3)))    // ≈ 3
+    assert(r(2L)._1 == pp(math.log(0.5), math.log(1.0 / 6)))        // ≈ √12
+    assert(r(1L)._2 == "head" && r(3L)._2 == "middle" && r(2L)._2 == "tail")
+  }
+
   test("mixSources: full epochs replicate exactly, fractional epoch is a hash subset") {
     val s = spark
     import s.implicits._

@@ -92,6 +92,8 @@ object SparkEntry {
     "q_bigram_lm" -> (qBigramLm _),
     "q_token_entropy" -> (qTokenEntropy _),
     "q_chunk_tokens" -> (qChunkTokens _),
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q_cdc_chunks" -> (qCdcChunks _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_roundtrip" -> (qBpeRoundtrip _),
     "q_gopher_rules" -> (qGopherRules _),
@@ -2224,6 +2226,41 @@ object SparkEntry {
     TextOps.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Tokenizer fertility report (tokens per character by language — the
+    * standard tokenizer-evaluation metric; high fertility on a language
+    * means the vocabulary underserves it and its documents burn budget):
+    * REAL merges-table BPE counts over the corpus, reduced per language.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("nc"))
+      .join(bpeCounts(s, dir).select(col("doc_id"), col("n_bpe_tokens")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bpe_tokens").as("n_tokens"),
+        sum("nc").cast("long").as("n_chars"),
+        rnd(sum(col("n_bpe_tokens")).cast("double") / sum(col("nc")), 6)
+          .as("fertility_r"))
+      .orderBy("lang")
+
+  /** Content-defined chunking gate: boundary rule, chunk reassembly, and
+    * corpus-wide chunk dedup all recomputed by the oracle; the per-chunk
+    * md5 means a boundary off by one token changes the gated hashes.
+    */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+      w = 3, mod = 8)
+    val freq = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    chunks.join(freq, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        max("n_tokens").as("max_chunk"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping 64/48 chunking (embedding prep) over the REAL BPE token
     * stream — chunk geometry and fingerprints in tokenizer tokens.
     */
@@ -3304,6 +3341,47 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Fertility mirror over the shared BPE re-encode CTE.
+    "q_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT b.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(b.n_bpe_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+         |  round(sum(b.n_bpe_tokens) * 1.0 / sum(length(d.text)) + 1e-9, 6)
+         |    AS fertility_r
+         |FROM doc_bpe b JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CDC mirror: 1-based end positions carry the boundary flags, the
+    // cumulative window closes chunks, chunk md5s and the corpus dedup
+    // join are rebuilt from scratch.
+    "q_cdc_chunks" ->
+      s"""WITH ws AS (SELECT doc_id, string_split($NormSql, ' ') AS w
+         |  FROM documents),
+         |nz AS (SELECT * FROM ws WHERE len(w) > 0),
+         |ends AS (SELECT doc_id, i + 2 AS p,
+         |    CASE WHEN ${hash64Sql("array_to_string(w[i:i+2], ' ')")} % 8 = 0
+         |         THEN 1 ELSE 0 END AS flag
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+         |        FROM nz WHERE len(w) >= 3) t),
+         |tok AS (SELECT doc_id, w[t.i] AS tok, t.i AS p
+         |  FROM nz, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+         |m AS (SELECT t.doc_id, t.p, t.tok, coalesce(e.flag, 0) AS flag
+         |  FROM tok t LEFT JOIN ends e ON e.doc_id = t.doc_id AND e.p = t.p),
+         |c AS (SELECT doc_id, p, tok,
+         |    coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM m),
+         |ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS h
+         |  FROM c GROUP BY 1, 2),
+         |fr AS (SELECT h, count(DISTINCT doc_id) AS df FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_chunk,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |FROM ch JOIN fr USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // CCNet bucket mirror: same rounded mean log-prob → rounded
     // perplexity → rounded quantile_cont tertiles → CASE split.

@@ -191,14 +191,26 @@ object StatsOps {
     */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, d: Int = 3,
                       w: Long = 1024L, threshold: Long = 100L): DataFrame = {
-    val sk = cmsSketch(df, keyCol, d, w)
-    val exact = df.groupBy(col(keyCol).as("key"))
+    // The heavy-hitter gate needs per-key exact counts ANYWAY (candidates
+    // + the overestimate check), so the sketch is built from them — the
+    // per-key reduction happens once and the d·w bucket sums hash only the
+    // VOCABULARY (d·|keys| md5s), not every occurrence (d·N). Identical
+    // registers by construction: a bucket's count is Σ counts of the keys
+    // hashing into it. The occurrence-stream build ([[cmsSketch]]) remains
+    // the candidate-free/streaming shape.
+    val exact0 = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_exact"))
-    exact.select(col("key"), col("n_exact"),
+    val exact = // feeds both the sketch build and the candidate probe
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else exact0
+    val keyed = exact.select(col("key"), col("n_exact"),
         explode(sequence(lit(0), lit(d - 1))).as("j"))
       .withColumn("bucket",
         graft.functions.Text.hash64(
           concat(col("j").cast("string"), lit("_"), col("key"))) % w)
+    val sk = keyed.groupBy("j", "bucket").agg(sum(col("n_exact")).as("cnt"))
+    keyed
       .join(broadcast(sk), Seq("j", "bucket"))
       .groupBy("key", "n_exact").agg(min(col("cnt")).as("cms_estimate"))
       .filter(col("cms_estimate") >= threshold)

@@ -349,6 +349,49 @@ object TextOps {
         transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
           p => p("tok")), "").as("decoded"))
 
+  /** Content-defined chunking over the token stream (the Rabin/Gear CDC
+    * idea applied at token granularity, hash-portable): a chunk boundary
+    * falls AFTER token i whenever the w-gram ending at i hashes to
+    * 0 mod `mod` — boundaries depend only on local content, so an
+    * insertion early in a document shifts chunk CONTENTS only locally and
+    * chunk-level dedup keeps matching the unchanged tail (the property
+    * fixed-width passages lack). Emits one row per chunk with its md5;
+    * downstream chunk-frequency joins give storage-style dedup. All
+    * relational: flags from an array transform, chunk ids from one
+    * cumulative window, chunk text from one regroup.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 3, mod: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && mod >= 2, s"w=$w mod=$mod")
+    val base0 = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_ws"))
+      .filter(size(col("_ws")) > 0)
+    val base = // tokens array feeds both the shingle and token explodes
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    // a w-gram STARTS at 0-based p and ends at p+w-1; the boundary flag
+    // lands on its END position (the same explode+left-join shape as
+    // removeDupSpans -- no HOF lambda, so no CollapseProject re-evaluation)
+    val ends = base
+      .select(col("id"),
+        posexplode(Text.shinglesFromTokens(col("_ws"), w)).as(Seq("sp", "sh")))
+      .select(col("id"), (col("sp") + w - 1).as("p"),
+        when(Text.hash64(col("sh")) % mod === 0, 1).otherwise(0).as("flag"))
+    val toks = base.select(col("id"), posexplode(col("_ws")).as(Seq("p", "tok")))
+    val cum = Window.partitionBy("id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(ends, Seq("id", "p"), "left")
+      .withColumn("chunk",
+        coalesce(sum(coalesce(col("flag"), lit(0))).over(cum), lit(0L)))
+      .groupBy(col("id").as(idCol), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(sort_array(
+          collect_list(struct(col("p"), col("tok")))),
+          s => s("tok")), " ").cast("binary")).as("chunk_md5"))
+  }
+
   /** Per-document token (Shannon) entropy in nats: −Σ (c/n)·ln(c/n) over
     * the document's own token frequencies — low entropy flags repetitive
     * boilerplate, abnormally high entropy flags token soup; a standard

@@ -168,6 +168,31 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cdcChunks: chunks partition the stream; boundaries are content-defined") {
+    val s = spark
+    import s.implicits._
+    val toks = (1 to 60).map(i => s"t$i")
+    val shifted = Seq("xx", "yy", "zz") ++ toks // same content, shifted 3 right
+    val d = Seq((1L, toks.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.cdcChunks(d, "doc_id", "text", w = 3, mod = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val byDoc = r.groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // partition property: chunk token counts sum to the doc's token count
+    assert(byDoc(1L).map(_._3).sum == 60L)
+    assert(byDoc(2L).map(_._3).sum == 63L)
+    // content-defined property: boundaries depend only on local content, so
+    // the shifted doc reproduces doc 1's chunking from the first boundary
+    // inside the shared region on — the chunk-hash SEQUENCES share a tail
+    // (fixed-width passages would misalign everything after the insertion)
+    val h1 = byDoc(1L).map(_._4)
+    val h2 = byDoc(2L).map(_._4)
+    val common = h1.reverse.zip(h2.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.nonEmpty, s"no shared chunk tail: $h1 vs $h2")
+    assert(h1.size > 1, "fixture produced a single chunk — weaken mod or lengthen")
+    spark.catalog.clearCache()
+  }
+
   test("jaccardPairs: analytic 3-gram Jaccard") {
     // doc1/doc2 identical canonical → J = 1.0
     // doc1/doc3: shingles {tqb,qbf,bfj} vs {tqb,qbc,bcs}: |∩|=1, |∪|=5 → 0.2

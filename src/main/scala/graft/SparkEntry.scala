@@ -114,6 +114,7 @@ object SparkEntry {
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_webdataset" -> (qWebdataset _),
+    "q_shard_plan" -> (qShardPlan _),
     "q_media_decode" -> (qMediaDecode _),
     "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
@@ -2621,6 +2622,24 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Shard-plan gate: deterministic size-aware shard assignment over the
+    * document corpus (sample size = n_chars + a fixed per-member
+    * overhead), reduced to per-shard censuses. The oracle replays the
+    * exclusive running sum as one SQL window — the two-pass distributed
+    * form must agree with it exactly.
+    */
+  private def qShardPlan(s: SparkSession, dir: String): DataFrame =
+    TarSink.planShards(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("n_chars") + lit(1024L)).as("sz")),
+      "doc_id", "sz", targetBytes = 65536L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("sz")).as("n_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard_id")
+
   /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group mean of every
     * field — one shuffle, partial+final hash agg.
     */
@@ -3931,6 +3950,21 @@ object SparkEntry {
          |SELECT doc_id, n AS n_bytes, CAST(frame AS INTEGER) AS frame, off,
          |  md5(substring(text, CAST(off AS INTEGER), 32)) AS frame_md5
          |FROM o ORDER BY doc_id, frame""".stripMargin,
+
+    // Shard-plan mirror: one SQL window replays the exclusive running sum
+    // the Spark side computes with the two-pass distributed form.
+    "q_shard_plan" ->
+      """WITH d AS (SELECT doc_id, n_chars + 1024 AS sz FROM documents),
+        |c AS (SELECT doc_id, sz,
+        |    coalesce(sum(sz) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d),
+        |a AS (SELECT doc_id, sz, CAST(floor(off / 65536) AS BIGINT) AS shard_id
+        |  FROM c)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(sz) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Tar/WebDataset cycle: every aggregate recomputed from the event
     // stream the shards were synthesized from — txt payloads parse back to

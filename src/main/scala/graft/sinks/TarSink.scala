@@ -113,6 +113,24 @@ object TarSink {
 
   private def pad(n: Int): Int = (Block - n % Block) % Block
 
+  /** Size-aware shard PLANNING — the step before [[writeShards]] in a real
+    * WebDataset export: samples are assigned to shards so each shard holds
+    * ≈ `targetBytes` of payload, in stable `orderCol` order (training
+    * dataloaders rely on shard-level determinism). shard_id =
+    * ⌊exclusive-prefix-sum(size) / target⌋ via the two-pass distributed
+    * prefix sum (range partition → local cumsum → broadcast bases — never
+    * one global window task), so the plan itself scales to corpus-sized
+    * sample lists. An oversized sample still gets a shard of its own.
+    */
+  def planShards(df: DataFrame, orderCol: String, sizeCol: String,
+                 targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes $targetBytes must be positive")
+    graft.graph.GraphOps.exclusivePrefixSum(
+      df.select(col(orderCol), col(sizeCol).cast("long").as(sizeCol)),
+      orderCol, sizeCol)
+      .withColumn("shard_id", floor(col("offset") / targetBytes).cast("long"))
+  }
+
   /** df(shardCol, nameCol, payloadCol [, seqCol]) → one tar file per
     * shard under `dir`, members in ascending seq order. Shard names
     * ending `.gz` are gzipped. Returns (shard, n_members, n_bytes) —

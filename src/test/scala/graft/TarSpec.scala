@@ -82,6 +82,30 @@ class TarSpec extends SparkSpec {
     }
   }
 
+  test("planShards: ordered size-aware assignment, partitioning-independent") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 100L).map(i => (i, 10L + (i % 7) * 5)) // sizes 10..40
+    val df = rows.toDF("k", "sz")
+    val plan = graft.sinks.TarSink.planShards(df, "k", "sz", targetBytes = 100L)
+      .select("k", "shard_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // shard ids are non-decreasing in key order and start at 0
+    assert(plan.head._2 == 0L)
+    assert(plan.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // each shard's exclusive-start is under one target of its members' sum
+    val sizes = rows.toMap
+    val byShard = plan.groupBy(_._2).toSeq.sortBy(_._1)
+    val totals = byShard.map { case (sid, ks) => sid -> ks.map(k => sizes(k._1)).sum }
+    // every shard except possibly the last crosses the target boundary
+    assert(totals.dropRight(1).forall(_._2 >= 60L), totals.toString)
+    val repartitioned = graft.sinks.TarSink
+      .planShards(df.repartition(7), "k", "sz", targetBytes = 100L)
+      .select("k", "shard_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(repartitioned.toSeq == plan.toSeq)
+  }
+
   test("writeShards -> readSamples: grouped samples, exts sorted, no shuffle in read") {
     val s = spark
     import s.implicits._

@@ -124,6 +124,7 @@ object SparkEntry {
     "q_ann_pairs" -> (qAnnPairs _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
+    "q_scalar_quantize" -> (qScalarQuantize _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1879,6 +1880,18 @@ object SparkEntry {
       .orderBy("ia", "rank")
   }
 
+  /** int8 scalar-quantization gate: per-dimension ranges, exact code
+    * censuses (the round-half-up arithmetic is engine-identical on the
+    * non-negative scaled values), and the rounded dequantization error.
+    */
+  private def qScalarQuantize(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.scalarQuantize(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("pos"), col("n"),
+        rnd("mn", 5).as("mn_r"), rnd("mx", 5).as("mx_r"),
+        col("n_codes"), col("code_min"), col("code_max"),
+        rnd("mean_abs_err", 6).as("mean_abs_err_r"))
+      .orderBy("pos")
+
   /** Same materialized-constant contract as [[AnnPlanesDir]], for the
     * IVF-PQ composed index (coarse centroids + its own codebooks).
     */
@@ -3129,6 +3142,29 @@ object SparkEntry {
          |  FROM sc)
          |SELECT ia, CAST(rank AS INT) AS rank, ib, adist_r
          |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // int8 scalar-quantization mirror: ranges, codes, and dequant error
+    // recomputed per dimension; round-half-up agrees on the non-negative
+    // scaled values, so codes match exactly.
+    "q_scalar_quantize" ->
+      """WITH x AS (SELECT e.vec_id, CAST(t.i - 1 AS INT) AS pos,
+        |    CAST(e.embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings e,
+        |  LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) t),
+        |r AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        |c AS (SELECT x.pos, x.x, r.mn, r.mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(round((x - mn) / (mx - mn) * 255.0) - 128 AS INT)
+        |    END AS code
+        |  FROM x JOIN r USING (pos)),
+        |q AS (SELECT pos, x, mn, mx, code,
+        |    mn + (code + 128) * (mx - mn) / 255.0 AS xq FROM c)
+        |SELECT pos, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(mn) + 1e-9, 5) AS mn_r, round(max(mx) + 1e-9, 5) AS mx_r,
+        |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+        |  CAST(min(code) AS INT) AS code_min, CAST(max(code) AS INT) AS code_max,
+        |  round(avg(abs(x - xq)) + 1e-9, 6) AS mean_abs_err_r
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // IVF-PQ mirror: coarse routing (max-dot assignment, top-nProbe probe
     // sets — ties to the lowest cid on both engines), candidate pairs from

@@ -433,6 +433,39 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
   }
 
+  /** Per-dimension int8 scalar quantization — the OTHER standard embedding
+    * compression next to PQ (4× over fp32, one code per dimension):
+    * per-dim [min, max] ranges train on the corpus, codes are
+    * round((x−min)/(max−min)·255)−128, and dequantization error is the
+    * quality metric a pipeline monitors before switching storage to int8.
+    * Shapes: one posexplode (linear), one 〈dim〉-group aggregate for the
+    * ranges (state = dim rows), one broadcast join back. Rounding is
+    * half-up on non-negative arguments — identical in DuckDB — and the
+    * range arithmetic is double on both engines, so codes are exact.
+    * Output: one row per dimension — range, code census, mean |x − x̂|.
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xs = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
+    val ranges = xs.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    xs.join(broadcast(ranges), "pos")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          (round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
+            - 128).cast("int")))
+      .withColumn("xq",
+        col("mn") + (col("code") + 128).cast("double")
+          * (col("mx") - col("mn")) / 255.0)
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"),
+        countDistinct(col("code")).as("n_codes"),
+        min(col("code")).as("code_min"), max(col("code")).as("code_max"),
+        avg(abs(col("x") - col("xq"))).as("mean_abs_err"))
+  }
+
   /** IVF-PQ top-k (Jégou et al. 2011 §V: inverted file + asymmetric
     * distance, here the no-residual variant — codes quantize the vector
     * itself, the simpler of the two published layouts): the coarse

@@ -196,6 +196,26 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.values.forall(_.size <= 5))
   }
 
+  test("scalarQuantize: exact codes on an aligned grid, zero error, constant-dim guard") {
+    val s = spark
+    import s.implicits._
+    // dim 0: the exact representable grid 0..255 → codes −128..127, err 0
+    // dim 1: constant → single code 0, err 0
+    val df = (0 until 256).map(i => (i.toLong, Seq(i.toFloat, 7f)))
+      .toDF("vec_id", "embedding")
+    val r = SimilarityOps.scalarQuantize(df, "vec_id", "embedding")
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getLong(4),
+          x.getInt(5), x.getInt(6), x.getDouble(7)))).toMap
+    val (n0, mn0, mx0, k0, cmin0, cmax0, e0) = r(0)
+    assert(n0 == 256L && mn0 == 0.0 && mx0 == 255.0)
+    assert(k0 == 256L && cmin0 == -128 && cmax0 == 127)
+    assert(e0 == 0.0, s"grid quantization must be lossless, err $e0")
+    val (_, _, _, k1, cmin1, cmax1, e1) = r(1)
+    assert(k1 == 1L && cmin1 == 0 && cmax1 == 0 && e1 == 0.0,
+      "constant dim: single code 0; xq = mn + 128*(mx-mn)/255 = mn -> err 0")
+  }
+
   test("randomProject: deterministic, linear, distances roughly preserved") {
     val s = spark
     import s.implicits._

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_token_entropy" -> (qTokenEntropy _),
     "q_chunk_tokens" -> (qChunkTokens _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q_length_buckets" -> (qLengthBuckets _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_roundtrip" -> (qBpeRoundtrip _),
@@ -2257,6 +2258,18 @@ object SparkEntry {
           .as("fertility_r"))
       .orderBy("lang")
 
+  /** Length-bucket batching report over REAL BPE token counts: per
+    * 32-token bucket (context 256), the sequence census and the padding
+    * waste batches would pay — the width/maxLen selection report.
+    */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    CurationOps.lengthBuckets(
+      bpeCounts(s, dir).select(col("doc_id"), col("n_bpe_tokens")),
+      "doc_id", "n_bpe_tokens", width = 32, maxLen = 256)
+      .select(col("bucket_len"), col("n_seqs"), col("sum_tokens"),
+        col("n_padded"), rnd("waste_frac", 6).as("waste_frac_r"))
+      .orderBy("bucket_len")
+
   /** Content-defined chunking gate: boundary rule, chunk reassembly, and
     * corpus-wide chunk dedup all recomputed by the oracle; the per-chunk
     * md5 means a boundary off by one token changes the gated hashes.
@@ -3407,6 +3420,23 @@ object SparkEntry {
          |    AS fertility_r
          |FROM doc_bpe b JOIN documents d USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Length-bucket mirror over the shared BPE re-encode CTE: same capped
+    // counts, same floor-div bucket rule, same waste ratios.
+    "q_length_buckets" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |cap AS (SELECT doc_id, least(n_bpe_tokens, 256) AS c FROM doc_bpe),
+         |b AS (SELECT doc_id, c,
+         |    CAST(floor((c + 31) / 32) AS BIGINT) * 32 AS bucket_len FROM cap),
+         |g AS (SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_seqs,
+         |    CAST(sum(c) AS BIGINT) AS sum_tokens
+         |  FROM b GROUP BY 1)
+         |SELECT bucket_len, n_seqs, sum_tokens,
+         |  bucket_len * n_seqs AS n_padded,
+         |  round(CASE WHEN bucket_len * n_seqs > 0
+         |        THEN 1.0 - CAST(sum_tokens AS DOUBLE) / (bucket_len * n_seqs)
+         |        ELSE 0.0 END + 1e-9, 6) AS waste_frac_r
+         |FROM g ORDER BY 1""".stripMargin,
 
     // CDC mirror: 1-based end positions carry the boundary flags, the
     // cumulative window closes chunks, chunk md5s and the corpus dedup

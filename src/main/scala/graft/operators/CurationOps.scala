@@ -59,6 +59,31 @@ object CurationOps {
     df.filter(bucket < fracCol * 10000.0)
   }
 
+  /** Length-bucketed batching report: sequences grouped into
+    * `width`-token buckets (capped at `maxLen` — the training context),
+    * with the padding waste each bucket pays when batches pad to the
+    * bucket boundary. Bucketing by length is the standard alternative to
+    * packing when example boundaries must survive; this report is how a
+    * pipeline picks width/maxLen. One projection + one bucket-keyed
+    * aggregate (state = maxLen/width rows).
+    */
+  def lengthBuckets(df: DataFrame, idCol: String, nTokensCol: String,
+                    width: Int, maxLen: Int): DataFrame = {
+    require(width > 0 && maxLen > 0 && maxLen % width == 0,
+      s"width=$width must divide maxLen=$maxLen")
+    val cap = least(col(nTokensCol).cast("long"), lit(maxLen.toLong))
+    df.select(col(idCol), cap.as("_cap"))
+      .withColumn("bucket_len",
+        (floor((col("_cap") + (width - 1)) / width) * width).cast("long"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_seqs"), sum(col("_cap")).as("sum_tokens"))
+      .withColumn("n_padded", col("bucket_len") * col("n_seqs"))
+      .withColumn("waste_frac",
+        when(col("n_padded") > 0,
+          lit(1.0) - col("sum_tokens").cast("double") / col("n_padded"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Deterministic domain-mixing oversampler: per-source target weight w
     * (w MAY exceed 1 — data-mix recipes repeat high-quality domains for
     * multiple epochs) → ⌊w⌋ full epoch copies of every row plus one

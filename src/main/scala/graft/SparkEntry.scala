@@ -120,6 +120,7 @@ object SparkEntry {
     "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
+    "q_avc_sps" -> (qAvcSps _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
@@ -2579,6 +2580,39 @@ object SparkEntry {
       .orderBy("g", "track_id")
   }
 
+  /** AVC/H.264 SPS gate: per group a baseline-profile sequence parameter
+    * set is rendered from event-derived geometry (macroblock counts,
+    * frame-crop offsets, level), then parsed back DISTRIBUTED through the
+    * exp-Golomb reader — codec-level width/height must reproduce the
+    * §7.4.2.1.1 arithmetic the oracle recomputes from the raw parameters.
+    * This is the bitstream-truth layer under q_mp4_meta's container walk.
+    */
+  private def qAvcSps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Avc
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 8, s"group $g has ${rows.length} events (< 8)")
+        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k
+        val sps = Avc.Sps(profileIdc = 66, levelIdc = 10 + m(1, 41),
+          widthMbs = 2 + m(2, 39), heightMapUnits = 2 + m(3, 29),
+          frameMbsOnly = m(4, 2) == 0,
+          cropL = m(5, 4), cropR = m(6, 4), cropT = m(7, 2), cropB = m(8, 2))
+        (g, Avc.renderSps(sps))
+      }.toDF("g", "sps")
+    payloads.as[(Long, Array[Byte])].map { case (g, nal) =>
+      val p = graft.functions.Avc.parseSps(nal)
+      (g, p.profileIdc, p.levelIdc, p.width, p.height,
+        if (p.frameMbsOnly) 1 else 0)
+    }.toDF("g", "profile", "level", "width", "height", "frame_mbs_only")
+      .orderBy("g")
+  }
+
   /** Multimodal binary plumbing: opaque payload + frame-sampled window
     * fingerprints (pure binary column arithmetic; ASCII text ⇒ the DuckDB
     * VARCHAR mirror hashes the same bytes).
@@ -3726,6 +3760,41 @@ object SparkEntry {
     // MP4 mirror: every container field re-derived from the event stream
     // with the same modular arithmetic the fixture builder uses, so the
     // box walk is checked against the parameters.
+    // SPS mirror: §7.4.2.1.1 geometry recomputed from the event-derived
+    // parameters — crop units 2 (X) and 2·(2−frame_mbs_only) (Y), field
+    // doubling when frame_mbs_only = 0.
+    "q_avc_sps" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |p AS (SELECT g,
+        |    max(CASE WHEN rn = 1 THEN v END) AS v1,
+        |    max(CASE WHEN rn = 2 THEN v END) AS v2,
+        |    max(CASE WHEN rn = 3 THEN v END) AS v3,
+        |    max(CASE WHEN rn = 4 THEN v END) AS v4,
+        |    max(CASE WHEN rn = 5 THEN v END) AS v5,
+        |    max(CASE WHEN rn = 6 THEN v END) AS v6,
+        |    max(CASE WHEN rn = 7 THEN v END) AS v7,
+        |    max(CASE WHEN rn = 8 THEN v END) AS v8
+        |  FROM r GROUP BY g),
+        |par AS (SELECT g,
+        |    10 + ((v1 % 41) + 41) % 41 AS lvl,
+        |    2 + ((v2 % 39) + 39) % 39 AS wmbs,
+        |    2 + ((v3 % 29) + 29) % 29 AS hmu,
+        |    CASE WHEN ((v4 % 2) + 2) % 2 = 0 THEN 1 ELSE 0 END AS fmof,
+        |    ((v5 % 4) + 4) % 4 AS cl, ((v6 % 4) + 4) % 4 AS cr,
+        |    ((v7 % 2) + 2) % 2 AS ct, ((v8 % 2) + 2) % 2 AS cb
+        |  FROM p)
+        |SELECT g, 66 AS profile, CAST(lvl AS INT) AS level,
+        |  CAST(wmbs * 16 - 2 * (cl + cr) AS INT) AS width,
+        |  CAST(CASE WHEN fmof = 1 THEN hmu * 16 - 2 * (ct + cb)
+        |       ELSE 2 * hmu * 16 - 4 * (ct + cb) END AS INT) AS height,
+        |  CAST(fmof AS INT) AS frame_mbs_only
+        |FROM par ORDER BY g""".stripMargin,
+
     "q_mp4_meta" ->
       """WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * baseline-JPEG codecs (`functions/Media`) per row on executors, and
   * `mp4Meta` parses the MP4/ISO-BMFF container (`functions/Mp4`) down to
   * per-track codec/geometry/sample tables. Only the video *codec payload*
-  * (H.264 frame decode) is not implementable here, so `decodeStub` remains
+  * (H.264 frame PIXEL decode — motion compensation + CABAC; the SPS
+  * geometry layer IS parsed for real, `functions/Avc`) is not
+  * implementable here, so `decodeStub` remains
   * a clearly-marked deterministic fake for exactly that; the Spark-side
   * plumbing — binary schema, metadata struct, frame slicing, partition-wise
   * batch shape — is real and oracle-checkable (frame slicing + hashing is

@@ -83,4 +83,45 @@ class Mp4Spec extends SparkSpec {
     assert(rows(2).getAs[Long]("mv_timescale") == 90000L)
     assert(rows(2).getAs[Long]("total_bytes") == 6200L)
   }
+
+  test("AVC SPS: render -> parse identity over the geometry grid") {
+    import graft.functions.Avc
+    for {
+      wmbs <- Seq(1, 2, 45, 120)          // up to 1920-wide
+      hmu <- Seq(1, 34, 68)
+      fmof <- Seq(true, false)
+      (cl, cr, ct, cb) <- Seq((0, 0, 0, 0), (1, 3, 1, 1), (0, 4, 0, 2))
+    } {
+      val sps = Avc.Sps(66, 31, wmbs, hmu, fmof, cl, cr, ct, cb)
+      val back = Avc.parseSps(Avc.renderSps(sps))
+      assert(back == sps, s"$sps -> $back")
+      assert(back.width == wmbs * 16 - 2 * (cl + cr))
+      val expectH =
+        if (fmof) hmu * 16 - 2 * (ct + cb) else 2 * hmu * 16 - 4 * (ct + cb)
+      assert(back.height == expectH, s"height of $sps")
+    }
+    // 1080p as encoders actually signal it: 120×68 mbs, 8 bottom crop rows
+    val hd = Avc.parseSps(Avc.renderSps(Avc.Sps(66, 40, 120, 68, true, 0, 0, 0, 4)))
+    assert(hd.width == 1920 && hd.height == 1080)
+  }
+
+  test("AVC emulation prevention: escape/unescape identity on zero-run payloads") {
+    import graft.functions.Avc
+    val cases = Seq[Array[Byte]](
+      Array(0, 0, 0),                 // bare zero run -> needs an EPB
+      Array(0, 0, 1),                 // would fake a start code
+      Array(0, 0, 3, 0, 0, 2),        // data 03 after zeros must survive
+      Array(1, 0, 0, 0, 0, 0, 1),     // long run -> multiple EPBs
+      Array.fill(64)(0.toByte),
+      Array.tabulate(257)(i => (i % 5 - 2).toByte))
+    cases.foreach { c =>
+      val esc = Avc.escape(c)
+      // no escaped stream may contain 00 00 0x with x <= 2 (start-code ban)
+      esc.sliding(3).foreach { w =>
+        assert(!(w.length == 3 && w(0) == 0 && w(1) == 0 && (w(2) & 0xff) <= 2),
+          s"start-code emulation survived: ${esc.mkString(",")}")
+      }
+      assert(Avc.unescape(esc).toSeq == c.toSeq, s"case ${c.mkString(",")}")
+    }
+  }
 }

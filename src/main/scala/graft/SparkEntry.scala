@@ -190,6 +190,7 @@ object SparkEntry {
     "q_ansys_decode" -> (qAnsysDecode _),
     "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
     "q_streaming_stats" -> (qStreamingStats _),
+    "q_streaming_cms" -> (qStreamingCms _),
     "q_streaming_sessions" -> (qStreamingSessions _),
   )
 
@@ -233,6 +234,40 @@ object SparkEntry {
     * stream/batch agreement the reference can't express is what this row
     * gates.
     */
+  /** §2.7 streaming CMS as a CORRECTNESS entry: the documents table
+    * replayed as a file stream, tokens exploded, and the d×w register
+    * table maintained as ONE streaming aggregation (complete mode — the
+    * state IS the sketch, bounded by precision not key cardinality),
+    * drained with AvailableNow. The oracle rebuilds the registers from
+    * the batch table with the same row-salted md5 buckets, so stream and
+    * batch must agree register-for-register.
+    */
+  private def qStreamingCms(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val streamDir = freshTmpDir("graft_stream_cms", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/documents.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
+      dstP.getFileSystem(hconf), dstP, false, hconf)
+    val stream = s.readStream.schema(raw.schema)
+      .option("recursiveFileLookup", "true").parquet(streamDir)
+    val toks = stream.select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val regs = graft.streaming.StreamingSketch.cmsRegisters(toks, "tok",
+      d = 3, w = 1024L)
+    val qname = s"graft_cms_${math.abs(dir.hashCode)}"
+    val q = regs.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .filter(col("cnt") >= 100)
+      .select(col("j"), col("bucket"), col("cnt"))
+      .orderBy("j", "bucket")
+  }
+
   private def qStreamingStats(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir) // sets the nanosAsLong reader conf for the session
     val raw = s.read.parquet(s"$dir/events.parquet")
@@ -4023,6 +4058,21 @@ object SparkEntry {
          |SELECT g AS l_returnflag, n_exact, round(hll + 1e-9, 4) AS hll_est
          |FROM x JOIN est USING (g) ORDER BY l_returnflag""".stripMargin
     },
+
+    // Streaming-CMS mirror: batch-side register rebuild (the stream is a
+    // replay of the same table, and CMS registers are a monoid).
+    "q_streaming_cms" ->
+      s"""WITH t AS (SELECT unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+         |tt AS (SELECT tok FROM t WHERE tok <> ''),
+         |occ AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tt GROUP BY 1),
+         |hb AS (SELECT tok, c, j,
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '_' || tok), 1, 15)
+         |      AS BIGINT) % 1024 AS bucket
+         |  FROM occ, (SELECT unnest(generate_series(0, 2)) AS j) s),
+         |sk AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM hb GROUP BY 1, 2)
+         |SELECT CAST(j AS INT) AS j, bucket, cnt FROM sk
+         |WHERE cnt >= 100 ORDER BY j, bucket""".stripMargin,
 
     // Count-Min mirror: identical row-salted md5 buckets, identical d×w
     // sketch (bucket counts = Σ exact counts hashing there), identical

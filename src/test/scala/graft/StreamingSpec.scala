@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS registers equal the batch sketch across triggers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[String]
+    val batch1 = Seq.fill(5)("alpha") ++ Seq("beta", "gamma")
+    val batch2 = Seq.fill(3)("alpha") ++ Seq.fill(4)("delta")
+    val regs = graft.streaming.StreamingSketch.cmsRegisters(
+      input.toDF().toDF("tok"), "tok", d = 2, w = 64L)
+    val q = regs.writeStream.format("memory").queryName("cmsregs")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*) // registers must ACCUMULATE across triggers
+      q.processAllAvailable()
+      val got = s.table("cmsregs").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = graft.operators.StatsOps.cmsSketch(
+        (batch1 ++ batch2).toDF("tok"), "tok", d = 2, w = 64L)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.values.sum == (batch1.size + batch2.size) * 2L) // d copies
+    } finally q.stop()
+  }
+
   test("welfordPerKey accumulates state across triggers") {
     val s = spark
     import s.implicits._

@@ -127,6 +127,7 @@ object SparkEntry {
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
+    "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
     "q_dedup_clusters" -> (qDedupClusters _),
@@ -1929,6 +1930,40 @@ object SparkEntry {
         rnd("mean_abs_err", 6).as("mean_abs_err_r"))
       .orderBy("pos")
 
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the PCA
+    * basis (trained per run like the PQ codebooks).
+    */
+  private val PcaBasisDir = s"$MatRoot/pca_basis"
+
+  /** PCA projection gate: top-2 basis trained by the one-pass covariance +
+    * deterministic power iteration, materialized (components stored
+    * float-truncated so both engines fold identical widened doubles — the
+    * hyperplane precedent), every embedding projected onto it. The oracle
+    * re-applies the projection with `list_dot_product`, so the distributed
+    * application — not a copied answer — is what's checked; basis sanity
+    * (orthonormality, eigenvalue order) is spec-pinned.
+    */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (mean, comps) = SimilarityOps.pcaComponents(emb, "vec_id", "embedding",
+      k = 2, iters = 50, dimHint = 64)
+    val rows = comps.zipWithIndex.map { case ((v, lam), c) =>
+      val wf = v.map(_.toFloat)
+      var md = 0.0
+      var i = 0
+      while (i < 64) { md += mean(i) * wf(i).toDouble; i += 1 }
+      (c, wf.map(_.toDouble).toSeq, md, lam)
+    }
+    rows.toDF("comp", "w", "mu_dot", "eigenvalue").coalesce(1)
+      .write.mode("overwrite").parquet(PcaBasisDir)
+    val projs = rows.map { case (c, _, md, _) =>
+      (rnd(graft.operators.SimilarityOps.dot(col("embedding"),
+        typedLit(comps(c)._1.map(_.toFloat))) - lit(md), 5)).as(s"p${c}_r")
+    }
+    emb.select(col("vec_id") +: projs: _*).orderBy("vec_id")
+  }
+
   /** Same materialized-constant contract as [[AnnPlanesDir]], for the
     * IVF-PQ composed index (coarse centroids + its own codebooks).
     */
@@ -3224,6 +3259,18 @@ object SparkEntry {
          |  FROM sc)
          |SELECT ia, CAST(rank AS INT) AS rank, ib, adist_r
          |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // PCA mirror: the materialized basis re-applied with list_dot_product
+    // (same widened-float folds), centering via the stored mu_dot.
+    "q_pca_project" ->
+      s"""WITH b AS (SELECT comp, w, mu_dot FROM '$PcaBasisDir/*.parquet'),
+         |pr AS (SELECT e.vec_id, b.comp,
+         |    list_dot_product(e.embedding::DOUBLE[], b.w::DOUBLE[]) - b.mu_dot AS p
+         |  FROM embeddings e CROSS JOIN b)
+         |SELECT vec_id,
+         |  round(max(CASE WHEN comp = 0 THEN p END) + 1e-9, 5) AS p0_r,
+         |  round(max(CASE WHEN comp = 1 THEN p END) + 1e-9, 5) AS p1_r
+         |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // int8 scalar-quantization mirror: ranges, codes, and dequant error
     // recomputed per dimension; round-half-up agrees on the non-negative

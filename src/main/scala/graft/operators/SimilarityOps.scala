@@ -433,6 +433,87 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
   }
 
+  /** PCA top-k basis for embeddings (public linear algebra; Jégou &
+    * Chum 2012 use exactly this as the whitening step before indexing):
+    * mean vector and covariance accumulate in ONE distributed pass
+    * (per-row outer products → (i, j)-keyed partial+final aggregation —
+    * state dim², the Gram-accumulation shape), then the dim×dim driver
+    * matrix is solved by deterministic power iteration with deflation
+    * (fixed init, fixed rounds — same discipline as the k-means
+    * quantizers). Returns (mean, components with eigenvalues); callers
+    * materialize the basis so an external engine can re-apply the
+    * projection bit-identically.
+    */
+  def pcaComponents(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    iters: Int = 50, dimHint: Int = 0)
+      : (Array[Double], Seq[(Array[Double], Double)]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    require(k >= 1 && k <= dim, s"k=$k outside 1..$dim")
+    val moments = df.select(col(vecCol)).as[Seq[Float]]
+      .flatMap { v =>
+        val x = v.toArray
+        val out = new Array[(Int, Double)](dim * (dim + 1) / 2 + dim)
+        var n = 0
+        var i = 0
+        while (i < dim) {
+          out(n) = (-(i + 1), x(i).toDouble) // mean slot, key < 0
+          n += 1
+          var j = i
+          while (j < dim) { // upper triangle of the outer product
+            out(n) = (i * dim + j, x(i).toDouble * x(j).toDouble)
+            n += 1
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("key", "v")
+      .groupBy("key").agg(avg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap // dim² rows
+    val mean = Array.tabulate(dim)(i => moments(-(i + 1)))
+    val cov = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = moments(i * dim + j) - mean(i) * mean(j)
+      cov(i)(j) = c
+      cov(j)(i) = c
+    }
+    // deterministic power iteration with deflation
+    val comps = Seq.newBuilder[(Array[Double], Double)]
+    val work = cov.map(_.clone())
+    var c = 0
+    while (c < k) {
+      var v = Array.tabulate(dim)(i => 1.0 / math.sqrt(dim.toDouble) *
+        (if (i % 2 == 0) 1 else -1)) // fixed, non-degenerate init
+      var it = 0
+      var lambda = 0.0
+      while (it < iters) {
+        val nv = Array.tabulate(dim)(i => {
+          var s = 0.0
+          var j = 0
+          while (j < dim) { s += work(i)(j) * v(j); j += 1 }
+          s
+        })
+        val norm = math.sqrt(nv.map(x => x * x).sum)
+        lambda = norm
+        if (norm > 0) { var i = 0; while (i < dim) { nv(i) /= norm; i += 1 } }
+        v = nv
+        it += 1
+      }
+      // canonical sign: first nonzero coordinate positive
+      val fnz = v.indexWhere(math.abs(_) > 1e-12)
+      if (fnz >= 0 && v(fnz) < 0) v = v.map(-_)
+      comps += ((v, lambda))
+      for (i <- 0 until dim; j <- 0 until dim)
+        work(i)(j) -= lambda * v(i) * v(j) // deflate
+      c += 1
+    }
+    (mean, comps.result())
+  }
+
   /** Per-dimension int8 scalar quantization — the OTHER standard embedding
     * compression next to PQ (4× over fp32, one code per dimension):
     * per-dim [min, max] ranges train on the corpus, codes are

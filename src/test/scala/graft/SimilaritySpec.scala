@@ -196,6 +196,40 @@ class SimilaritySpec extends SparkSpec {
     assert(byQ.values.forall(_.size <= 5))
   }
 
+  test("pcaComponents: dominant axis recovered, orthonormal basis, eigenvalue order") {
+    val s = spark
+    import s.implicits._
+    // 2-D structure in a 4-D space: variance 100 along (1,1,0,0)/√2,
+    // variance ~1 along (0,0,1,-1)/√2, plus a constant offset
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val a = rnd.nextGaussian() * 10
+      val b = rnd.nextGaussian()
+      (i.toLong, Seq((a / math.sqrt(2) + 5).toFloat, (a / math.sqrt(2) + 5).toFloat,
+        (b / math.sqrt(2)).toFloat, (-b / math.sqrt(2)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (mean, comps) = SimilarityOps.pcaComponents(df, "vec_id", "embedding",
+      k = 2, iters = 80, dimHint = 4)
+    assert(math.abs(mean(0) - 5.0) < 1.5 && math.abs(mean(2)) < 0.2)
+    val (v1, l1) = comps(0)
+    val (v2, l2) = comps(1)
+    assert(l1 > l2 && l2 > 0, s"eigenvalues out of order: $l1, $l2")
+    // unit norms, orthogonality
+    def dotv(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dotv(v1, v1) - 1) < 1e-9 && math.abs(dotv(v2, v2) - 1) < 1e-9)
+    assert(math.abs(dotv(v1, v2)) < 1e-6, s"components not orthogonal")
+    // v1 ≈ (1,1,0,0)/√2 up to sign (canonical sign: first coord positive)
+    assert(math.abs(v1(0) - 1 / math.sqrt(2)) < 0.05 &&
+      math.abs(v1(1) - 1 / math.sqrt(2)) < 0.05 &&
+      math.abs(v1(2)) < 0.1 && math.abs(v1(3)) < 0.1, v1.mkString(","))
+    // determinism
+    val again = SimilarityOps.pcaComponents(df, "vec_id", "embedding",
+      k = 2, iters = 80, dimHint = 4)
+    assert(again._2.map(_._1.toSeq) == comps.map(_._1.toSeq))
+  }
+
   test("scalarQuantize: exact codes on an aligned grid, zero error, constant-dim guard") {
     val s = spark
     import s.implicits._

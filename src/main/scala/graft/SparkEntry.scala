@@ -121,6 +121,7 @@ object SparkEntry {
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
+    "q_audio_meta" -> (qAudioMeta _),
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
@@ -2683,6 +2684,51 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Compressed-audio metadata gate: per group a FLAC STREAMINFO stream
+    * and an MPEG-1 Layer III frame are synthesized from event-derived
+    * parameters and parsed back distributed — geometry, rates, duration,
+    * and the Layer III frame-length arithmetic all recomputed by the
+    * oracle from the raw parameters.
+    */
+  private def qAudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.AudioMeta
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val rates = Array(8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000)
+    val kbps = Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 8, s"group $g has ${rows.length} events (< 8)")
+        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k
+        val flac = AudioMeta.renderFlacStreamInfo(AudioMeta.FlacInfo(
+          minBlock = 4096, maxBlock = 4096, sampleRate = rates(m(1, 8)),
+          channels = 1 + m(2, 8), bitsPerSample = if (m(3, 2) == 0) 16 else 24,
+          totalSamples = 1000L + m(4, 100000)))
+        val mp3 = AudioMeta.renderMp3Frame(AudioMeta.Mp3Frame(
+          bitrateKbps = kbps(m(5, 14)), sampleRate = Array(44100, 48000, 32000)(m(6, 3)),
+          padding = m(7, 2) == 1, channels = 1 + m(8, 2)))
+        (g, flac, mp3)
+      }.toDF("g", "flac", "mp3")
+    payloads.as[(Long, Array[Byte], Array[Byte])].map { case (g, fb, mb) =>
+      val f = AudioMeta.parseFlacStreamInfo(fb)
+      val m3 = AudioMeta.parseMp3Frame(mb)
+      (g, f.sampleRate, f.channels, f.bitsPerSample, f.totalSamples,
+        f.durationSec,
+        m3.bitrateKbps, m3.sampleRate, m3.channels, m3.frameBytes.toLong)
+    }.toDF("g", "f_rate", "f_channels", "f_bits", "f_samples", "dur",
+      "m_bitrate", "m_rate", "m_channels", "m_frame_bytes")
+      // the shared eps-stabilized rounding (HALF_UP on both engines), not
+      // a typed-map rint (HALF_EVEN) — boundary halves must agree
+      .select(col("g"), col("f_rate"), col("f_channels"), col("f_bits"),
+        col("f_samples"), rnd("dur", 4).as("dur_r"), col("m_bitrate"),
+        col("m_rate"), col("m_channels"), col("m_frame_bytes"))
+      .orderBy("g")
+  }
+
   /** Multimodal binary plumbing: opaque payload + frame-sampled window
     * fingerprints (pure binary column arithmetic; ASCII text ⇒ the DuckDB
     * VARCHAR mirror hashes the same bytes).
@@ -3842,6 +3888,50 @@ object SparkEntry {
     // MP4 mirror: every container field re-derived from the event stream
     // with the same modular arithmetic the fixture builder uses, so the
     // box walk is checked against the parameters.
+    // Audio-metadata mirror: FLAC geometry/duration and the Layer III
+    // frame-length arithmetic recomputed from the raw parameters.
+    "q_audio_meta" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |p AS (SELECT g,
+        |    max(CASE WHEN rn = 1 THEN v END) AS v1,
+        |    max(CASE WHEN rn = 2 THEN v END) AS v2,
+        |    max(CASE WHEN rn = 3 THEN v END) AS v3,
+        |    max(CASE WHEN rn = 4 THEN v END) AS v4,
+        |    max(CASE WHEN rn = 5 THEN v END) AS v5,
+        |    max(CASE WHEN rn = 6 THEN v END) AS v6,
+        |    max(CASE WHEN rn = 7 THEN v END) AS v7,
+        |    max(CASE WHEN rn = 8 THEN v END) AS v8
+        |  FROM r GROUP BY g),
+        |par AS (SELECT g,
+        |    CASE ((v1 % 8) + 8) % 8 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
+        |      WHEN 5 THEN 44100 WHEN 6 THEN 48000 ELSE 96000 END AS fr,
+        |    1 + ((v2 % 8) + 8) % 8 AS fc,
+        |    CASE WHEN ((v3 % 2) + 2) % 2 = 0 THEN 16 ELSE 24 END AS fb,
+        |    1000 + ((v4 % 100000) + 100000) % 100000 AS fs,
+        |    CASE ((v5 % 14) + 14) % 14 WHEN 0 THEN 32 WHEN 1 THEN 40
+        |      WHEN 2 THEN 48 WHEN 3 THEN 56 WHEN 4 THEN 64 WHEN 5 THEN 80
+        |      WHEN 6 THEN 96 WHEN 7 THEN 112 WHEN 8 THEN 128 WHEN 9 THEN 160
+        |      WHEN 10 THEN 192 WHEN 11 THEN 224 WHEN 12 THEN 256
+        |      ELSE 320 END AS mk,
+        |    CASE ((v6 % 3) + 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS mr,
+        |    ((v7 % 2) + 2) % 2 AS pad,
+        |    1 + ((v8 % 2) + 2) % 2 AS mc
+        |  FROM p)
+        |SELECT g, CAST(fr AS INT) AS f_rate, CAST(fc AS INT) AS f_channels,
+        |  CAST(fb AS INT) AS f_bits, CAST(fs AS BIGINT) AS f_samples,
+        |  round(CAST(fs AS DOUBLE) / fr + 1e-9, 4) AS dur_r,
+        |  CAST(mk AS INT) AS m_bitrate, CAST(mr AS INT) AS m_rate,
+        |  CAST(mc AS INT) AS m_channels,
+        |  CAST(floor(144.0 * mk * 1000 / mr) + pad AS BIGINT) AS m_frame_bytes
+        |FROM par ORDER BY g""".stripMargin,
+
     // SPS mirror: §7.4.2.1.1 geometry recomputed from the event-derived
     // parameters — crop units 2 (X) and 2·(2−frame_mbs_only) (Y), field
     // doubling when frame_mbs_only = 0.

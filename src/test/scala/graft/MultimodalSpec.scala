@@ -284,6 +284,35 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r(2L)._3 - meanAbc) < 1e-12)
   }
 
+  test("AudioMeta: FLAC STREAMINFO and MP3 frame-header round trips; rejects") {
+    import graft.functions.AudioMeta
+    for {
+      rate <- Seq(8000, 44100, 96000)
+      ch <- Seq(1, 2, 8)
+      bits <- Seq(16, 24)
+      n <- Seq(0L, 44100L, (1L << 35))
+    } {
+      val info = AudioMeta.FlacInfo(4096, 4096, rate, ch, bits, n)
+      assert(AudioMeta.parseFlacStreamInfo(
+        AudioMeta.renderFlacStreamInfo(info)) == info, info.toString)
+    }
+    intercept[IllegalArgumentException](
+      AudioMeta.parseFlacStreamInfo("noope".getBytes))
+    for {
+      k <- Seq(32, 128, 320)
+      r <- Seq(44100, 48000, 32000)
+      pad <- Seq(false, true)
+      ch <- Seq(1, 2)
+    } {
+      val f = AudioMeta.Mp3Frame(k, r, pad, ch)
+      val bytes = AudioMeta.renderMp3Frame(f)
+      assert(bytes.length == 144 * k * 1000 / r + (if (pad) 1 else 0))
+      assert(AudioMeta.parseMp3Frame(bytes) == f, f.toString)
+    }
+    intercept[IllegalArgumentException](
+      AudioMeta.parseMp3Frame(Array[Byte](0x12, 0x34, 0x56, 0x78)))
+  }
+
   test("audioSpectral: analytic DFT pins — Nyquist tone, DC tone, impulse, energy") {
     val s = spark
     import s.implicits._

@@ -183,6 +183,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_heavy_hitters: vocab computed once (cached), sketch broadcast, bounded shuffles") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the per-key exact counts feed BOTH the sketch build and the probe —
+    // they must come from one cached subtree, not two corpus scans
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"vocab subtree must be cached and reused:\n$p")
+    // the d×w sketch rides a broadcast to the probe join
+    assert(p.contains("BroadcastHashJoin"), s"sketch probe must broadcast:\n$p")
+    // shuffles: vocab reduction + sketch build + final min-group (+ output
+    // sort) — all key-bounded; anything more means a corpus-sized replan
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size <= 4,
+      s"unexpected extra shuffles:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("bloomPruneJoin: d broadcast semi probes, no fact-side shuffle, pass superset of match") {
     val li = graft.sources.Tables.lineitem(spark, dir)
     val urgent = graft.sources.Tables.orders(spark, dir)

@@ -194,6 +194,10 @@ object SparkEntry {
     "q_streaming_stats" -> (qStreamingStats _),
     "q_streaming_cms" -> (qStreamingCms _),
     "q_streaming_sessions" -> (qStreamingSessions _),
+    "q_warc_roundtrip" -> (qWarcRoundtrip _),
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_url_normalize" -> (qUrlNormalize _),
+    "q_bm25_topk" -> (qBm25Topk _),
   )
 
   /** SimHash banded pair detection vs an all-pairs popcount oracle: the
@@ -2816,6 +2820,144 @@ object SparkEntry {
         max(col("doc_id")).as("last_doc"))
       .orderBy("shard_id")
 
+  /** Deterministic HTML page synthesized from a document row — the shared
+    * fixture for the WARC round trip and the HTML-extraction gate. Built
+    * with pure column concat so the oracle rebuilds the identical string;
+    * exercises comments, title with entities, style and script blocks
+    * (the script contains `<`/`>`/a fake `</div>` literal — the classic
+    * strip-tags traps), anchors with query-string hrefs around the corpus
+    * word `dup`, and the common entity set.
+    */
+  private def htmlFixture: org.apache.spark.sql.Column = concat(
+    lit("<html><!-- gen "), col("doc_id"), lit(" --><head><title> Doc "),
+    col("doc_id"), lit(" &amp; "), col("lang"),
+    lit(" </title><style>p { color: #333; }</style>" +
+      "<script type=\"text/javascript\">if (1 < 2) { var x = \"</div>\"; }" +
+      "</script></head><body><h1>Doc "),
+    col("doc_id"), lit("</h1><p>"),
+    replace(col("text"), lit("dup"),
+      concat(lit("<a href=\"/t?id="), col("doc_id"),
+        lit("&amp;utm_source=x\">dup</a>"))),
+    lit("</p><p>&quot;tail&quot; &#39;q&#39;&nbsp;end</p></body></html>"))
+
+  /** The same fixture as [[htmlFixture]], as a DuckDB SQL expression over a
+    * `documents` row (doc_id, lang, text).
+    */
+  private val htmlFixtureSql: String =
+    """'<html><!-- gen ' || CAST(doc_id AS VARCHAR) || ' --><head><title> Doc ' ||
+      |  CAST(doc_id AS VARCHAR) || ' &amp; ' || lang ||
+      |  ' </title><style>p { color: #333; }</style>' ||
+      |  '<script type="text/javascript">if (1 < 2) { var x = "</div>"; }' ||
+      |  '</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |  '</h1><p>' ||
+      |  replace(text, 'dup', '<a href="/t?id=' || CAST(doc_id AS VARCHAR) ||
+      |    '&amp;utm_source=x">dup</a>') ||
+      |  '</p><p>&quot;tail&quot; &#39;q&#39;&nbsp;end</p></body></html>'""".stripMargin
+
+  /** WARC (ISO 28500) round trip — the container a web-text curation
+    * pipeline STARTS from: each document becomes an HTTP `response`
+    * capture ([[htmlFixture]] as entity body, 404s for every 11th doc),
+    * four crawl files (alternating plain / per-record-gzip-member
+    * compression) written by [[graft.sinks.WarcSink]] and read back by
+    * [[graft.sources.WarcSource.readRecords]] — one task per crawl file
+    * both ways, bytes never shuffle. The oracle recomputes every aggregate
+    * (record/status censuses, HTTP-wrapped content lengths INCLUDING the
+    * status-line/digit arithmetic, body byte hashes, doc ids parsed back
+    * out of the target URIs) from the documents table, so the cycle is
+    * checked against the parameters, not its own output.
+    */
+  private def qWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_warc", dir)
+    val recs = Tables.documents(s, dir).select(
+      concat(lit("crawl-"), col("doc_id") % 4,
+        when(col("doc_id") % 2 === 0, lit(".warc")).otherwise(lit(".warc.gz")))
+        .as("file"),
+      col("doc_id").as("seq"), lit("response").as("warc_type"),
+      concat(lit("https://ex"), col("doc_id") % 7, lit(".com/doc/"),
+        col("doc_id")).as("uri"),
+      when(col("doc_id") % 11 === 0, lit(404)).otherwise(lit(200)).as("status"),
+      lit("text/html").as("mime"),
+      encode(htmlFixture, "UTF-8").as("payload"))
+    graft.sinks.WarcSink.writeFiles(recs, out,
+      date = "2026-01-01T00:00:00Z").count()
+    graft.sources.WarcSource.readRecords(s, s"$out/*")
+      .groupBy(regexp_extract(col("file"), "crawl-(\\d+)", 1).cast("int").as("g"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("warc_type") === "response", 1L).otherwise(0L)).as("n_resp"),
+        sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("http_status") === 404, 1L).otherwise(0L)).as("n_404"),
+        // the warcinfo record has no target URI — cast only response rows
+        // (Spark 4 ANSI mode rejects casting '' to a number)
+        sum(when(col("warc_type") === "response",
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long")))
+          .as("sum_doc"),
+        sum(when(col("warc_type") === "response", length(col("body")))
+          .otherwise(lit(0))).cast("long").as("body_bytes"),
+        sum(when(col("warc_type") === "response", col("content_length")))
+          .as("content_len"),
+        sum(when(col("warc_type") === "response",
+          conv(substring(md5(col("body")), 1, 8), 16, 10).cast("long"))
+          .otherwise(lit(0L))).as("body_hash"))
+      .orderBy("g")
+  }
+
+  /** HTML→text extraction gate over [[htmlFixture]] pages:
+    * [[graft.operators.TextOps.htmlExtract]]'s full regexp chain (comment/
+    * script/style drop, title and anchor-text capture, tag strip, entity
+    * decode, whitespace collapse, link density) replayed step-for-step by
+    * the oracle — both engines run the same RE2-safe patterns, so this
+    * pins the extraction ALGORITHM, not just row counts.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    TextOps.htmlExtract(
+      Tables.documents(s, dir).select(col("doc_id"), htmlFixture.as("html")),
+      "doc_id", "html")
+      .select(col("doc_id"), col("title"), col("n_links"),
+        col("n_text_chars"), col("link_density"), col("text_md5"))
+      .orderBy("doc_id")
+
+  /** URL canonicalization gate: three deterministic URL shapes per
+    * documents row (uppercase scheme/host + default port + tracking params
+    * + fragment; userinfo + non-default port + doubled path slashes +
+    * mixed params; bare host with no path/query), normalized by
+    * [[graft.operators.TextOps.urlNormalize]]; the oracle replays the
+    * same facet regexes and parameter filtering in SQL.
+    */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("HTTPS://WWW.Example"), col("doc_id") % 5,
+          lit(".COM:443/Path/"), col("lang"), lit("/"), col("doc_id"),
+          lit("?utm_source=feed&id="), col("doc_id"), lit("&ref_=rss#sec")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://user@Blog.Site"), col("doc_id") % 5,
+          lit(".org:8080/posts//"), col("doc_id"), lit("/?a=1&gclid=xyz&b=2")))
+      .otherwise(concat(lit("https://cdn"), col("doc_id") % 5, lit(".net")))
+    TextOps.urlNormalize(
+      Tables.documents(s, dir).select(col("doc_id"), url.as("u")),
+      "doc_id", "u")
+      .select(col("doc_id"), col("scheme"), col("host"), col("domain"),
+        col("path"), col("path_depth"), col("n_params"),
+        col("n_params_kept"), col("url_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 ranked retrieval gate: three fixed multi-term queries over the
+    * document corpus, scored by [[graft.operators.TextOps.bm25TopK]]
+    * (Lucene-form idf, k1=1.2 b=0.75) — the oracle recomputes tf/df/dl/
+    * avgdl and the full saturation formula in SQL, so scores AND ranks are
+    * pinned end to end.
+    */
+  private def qBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1, "hash"), (1, "join"), (2, "window"), (2, "scan"),
+      (3, "stream"), (3, "batch"), (3, "spark"))
+      .toDF("query_id", "term")
+    TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      queries, "query_id", "term", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group mean of every
     * field — one shuffle, partial+final hash agg.
     */
@@ -5413,5 +5555,141 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)) + 1e-9, 4) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The cycle is checked against the PARAMETERS (documents), not its own
+    // output: record/status censuses, doc ids parsed back from the URIs,
+    // body byte hashes, and the HTTP-wrapped content length re-derived
+    // arithmetically (status line 15+text, Content-Type 25, Content-Length
+    // 18+digits, blank line 2 ⇒ body + 60 + status-text + digit count).
+    "q_warc_roundtrip" ->
+      s"""WITH h AS (SELECT doc_id, doc_id % 4 AS g,
+         |    CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+         |    $htmlFixtureSql AS html
+         |  FROM documents)
+         |SELECT CAST(g AS INT) AS g,
+         |  CAST(count(*) + 1 AS BIGINT) AS n_records,
+         |  CAST(count(*) AS BIGINT) AS n_resp,
+         |  CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |  CAST(sum(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+         |  CAST(sum(length(html)) AS BIGINT) AS body_bytes,
+         |  CAST(sum(length(html) + 60
+         |    + CASE WHEN status = 200 THEN 2 ELSE 9 END
+         |    + length(CAST(length(html) AS VARCHAR))) AS BIGINT) AS content_len,
+         |  CAST(sum(CAST('0x' || substr(md5(html), 1, 8) AS BIGINT)) AS BIGINT)
+         |    AS body_hash
+         |FROM h GROUP BY g ORDER BY g""".stripMargin,
+
+    // Step-for-step replay of TextOps.htmlExtract's regexp chain — every
+    // pattern is RE2-safe by construction, so DuckDB runs the SAME
+    // extraction algorithm (DuckDB regexp_replace needs the explicit 'g'
+    // option; Spark's is global by default).
+    "q_html_extract" -> {
+      def clean(inner: String): String =
+        "trim(regexp_replace(" +
+          "replace(replace(replace(replace(replace(replace(" +
+          s"regexp_replace($inner, '(?s)<[^>]*>', ' ', 'g'), " +
+          "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+          """'&nbsp;', ' '), '&amp;', '&'), '\s+', ' ', 'g'))"""
+      s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+         |nb AS (SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?is)<head[^>]*>.*?</head>', ' ', 'g') AS nob
+         |  FROM h),
+         |c AS (SELECT doc_id,
+         |    ${clean("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")}
+         |      AS title,
+         |    CAST(len(regexp_extract_all(nob, '(?is)<a[\\s>]')) AS INT) AS n_links,
+         |    ${clean("nob")} AS text,
+         |    ${clean("coalesce(array_to_string(regexp_extract_all(nob, " +
+                       "'(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS anchor_text
+         |  FROM nb)
+         |SELECT doc_id, title, n_links,
+         |  CAST(length(text) AS INT) AS n_text_chars,
+         |  CASE WHEN length(text) > 0
+         |    THEN round(CAST(length(anchor_text) AS DOUBLE) / length(text) + 1e-9, 6)
+         |    ELSE 0.0 END AS link_density,
+         |  md5(text) AS text_md5
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // The same facet regexes and parameter filtering as
+    // TextOps.urlNormalize, replayed over the same three URL shapes.
+    "q_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.COM:443/Path/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+        |      '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&ref_=rss#sec'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      'http://user@Blog.Site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.org:8080/posts//' || CAST(doc_id AS VARCHAR) || '/?a=1&gclid=xyz&b=2'
+        |    ELSE 'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.net' END AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+        |    regexp_extract(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |      '^(?:[^@]*@)?(.*)$', 1) AS hostport
+        |  FROM u),
+        |p2 AS (SELECT *, lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM p1),
+        |p3 AS (SELECT *,
+        |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = '' THEN host
+        |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |      AS path0,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |    CASE WHEN (scheme = 'http' AND port = '80')
+        |           OR (scheme = 'https' AND port = '443') OR port = ''
+        |         THEN '' ELSE ':' || port END AS portpart
+        |  FROM p2),
+        |p4 AS (SELECT *, CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |    list_filter(string_split(query, '&'), x -> x <> '') AS params
+        |  FROM p3),
+        |p5 AS (SELECT *, list_filter(params, x -> NOT (starts_with(x, 'utm_')
+        |    OR starts_with(x, 'gclid') OR starts_with(x, 'fbclid')
+        |    OR starts_with(x, 'ref_'))) AS kept FROM p4)
+        |SELECT doc_id, scheme, host, domain, path,
+        |  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
+        |    AS path_depth,
+        |  CAST(len(params) AS INT) AS n_params,
+        |  CAST(len(kept) AS INT) AS n_params_kept,
+        |  scheme || '://' || host || portpart || path ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |         ELSE '' END AS url_norm
+        |FROM p5 ORDER BY doc_id""".stripMargin,
+
+    // Full recomputation of tf/df/dl/avgdl and the Okapi saturation
+    // formula (Lucene idf form), same operand nesting as the Spark side so
+    // only summation order differs (absorbed by the shared rounding).
+    "q_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+        |consts AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |    (SELECT avg(dl) FROM dl) AS avgdl),
+        |q AS (SELECT col0 AS query_id, col1 AS term FROM (VALUES
+        |    (1, 'hash'), (1, 'join'), (2, 'window'), (2, 'scan'),
+        |    (3, 'stream'), (3, 'batch'), (3, 'spark'))),
+        |s AS (SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        |      * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) + 1e-9, 6) AS score
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN consts
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, doc_id, score FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

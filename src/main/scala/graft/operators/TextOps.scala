@@ -421,6 +421,137 @@ object TextOps {
     * window. Nothing is collected; ties break on the term so ranks are
     * deterministic.
     */
+  /** HTML → text extraction — the step between a WARC crawl capture and
+    * every text operator in this file (the reference curates domain files
+    * already parsed; web corpora need the parse). Implemented as a chain
+    * of regexp transforms chosen to mean the SAME thing in Java regex and
+    * RE2 (no backreferences, no lookaround — only inline flags and lazy
+    * quantifiers, which both support), so the whole extraction is
+    * oracle-mirrorable AND stays in whole-stage codegen: per-row column
+    * expressions, no shuffle, no UDF.
+    *
+    * Steps: drop comments / script / style blocks, capture the title and
+    * anchor inner text, strip remaining tags, decode the common entities
+    * (`&amp;` LAST so `&amp;lt;` correctly yields the literal `&lt;`),
+    * collapse whitespace. `link_density` = anchor-text chars / text chars,
+    * the classic boilerplate signal (high ⇒ nav/footer soup).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    def decode(c: Column): Column = {
+      val steps: Seq[(String, String)] = Seq(
+        "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      steps.foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    }
+    def clean(c: Column): Column =
+      trim(regexp_replace(decode(regexp_replace(c, "(?s)<[^>]*>", " ")),
+        "\\s+", " "))
+    // script/style fall first (their content may contain fake closers like
+    // a quoted "</head>"), then the whole head — its title/meta text is
+    // chrome, not body text (the title is captured separately below)
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol),
+      "(?s)<!--.*?-->", " "),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?is)<head[^>]*>.*?</head>", " ")
+    val title = clean(regexp_extract(col(htmlCol), "(?is)<title[^>]*>(.*?)</title>", 1))
+    val anchorText = clean(array_join(
+      regexp_extract_all(noBlocks, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+    val text = clean(noBlocks)
+    df.select(col(idCol), title.as("title"),
+        size(regexp_extract_all(noBlocks, lit("(?is)<a[\\s>]"), lit(0))).as("n_links"),
+        text.as("text"), anchorText.as("anchor_text"))
+      .withColumn("n_text_chars", length(col("text")))
+      .withColumn("link_density",
+        when(col("n_text_chars") > 0,
+          round(length(col("anchor_text")).cast("double") / col("n_text_chars") + lit(1e-9), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("text_md5", md5(col("text")))
+  }
+
+  /** Default query-parameter kill list for [[urlNormalize]]: the tracking
+    * parameters every crawl-dedup pipeline strips (public convention —
+    * the same URL with and without `utm_*` is the same page).
+    */
+  val trackingParams: Seq[String] = Seq("utm_", "gclid", "fbclid", "ref_")
+
+  /** URL parse + canonicalization — crawl-side dedup keys: two casings /
+    * default ports / fragments / tracking params of one URL must collide.
+    * Pure RE2-safe regexp/array expressions (mirrorable, codegen'd):
+    * scheme and host lowercase, userinfo and default port (80/443)
+    * dropped, empty path → `/`, tracking params removed (order otherwise
+    * preserved — reordering would merge genuinely different query
+    * semantics), fragment dropped. Emits the parsed facets alongside the
+    * canonical form: host, registered domain (last two labels — a
+    * suffix-list-free approximation), path depth, parameter counts.
+    */
+  def urlNormalize(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val auth = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_extract(auth, "^(?:[^@]*@)?(.*)$", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443") || port === ""
+    val domain = when(regexp_extract(host, "([^.]+\\.[^.]+)$", 1) === "", host)
+      .otherwise(regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val normPath = when(path === "", lit("/")).otherwise(path)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p => p =!= "")
+    val kept = filter(params, p =>
+      trackingParams.map(t => p.startsWith(t)).reduce(_ || _) === false)
+    val portPart = when(defaultPort, lit("")).otherwise(concat(lit(":"), port))
+    val queryPart = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    df.select(col(idCol), u.as("url"), scheme.as("scheme"), host.as("host"),
+      domain.as("domain"), normPath.as("path"),
+      size(filter(split(normPath, "/"), s => s =!= "")).as("path_depth"),
+      size(params).as("n_params"), size(kept).as("n_params_kept"),
+      concat(scheme, lit("://"), host, portPart, normPath, queryPart)
+        .as("url_norm"))
+  }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, the public Okapi
+    * formula in its Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf form) — the
+    * search half of a curation stack (quality-slice mining, dedup
+    * spot-checks). Corpus side: one (doc, term) tf aggregation + one df
+    * aggregation — hash-bounded shuffles; the query table and the 1-row
+    * corpus constants ride broadcasts, and only matching terms join, so
+    * cost is candidate-driven like the LSH verify tier. Top-k per query by
+    * windowed rank with a doc-id tie-break.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, termCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k $k must be positive")
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val consts = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).as("avgdl"))) // 1×1 rows
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    tf.join(broadcast(queries.select(col(queryIdCol), col(termCol).as("term"))), "term")
+      .join(dfreq, "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(consts))
+      .withColumn("contrib", idf * col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("contrib")) + lit(1e-9), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"k $k must be positive")

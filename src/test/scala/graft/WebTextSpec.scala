@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** HTML extraction, URL canonicalization, and BM25 retrieval — the
+  * web-corpus front half of the curation stack, against golden values
+  * computed by hand.
+  */
+class WebTextSpec extends SparkSpec {
+
+  test("htmlExtract strips blocks/tags, decodes entities, measures links") {
+    val s = spark
+    import s.implicits._
+    val html =
+      "<html><!-- note --><head><title> T &amp; t </title>" +
+        "<style>p{x:1}</style><script>if (1 < 2) { var s = \"</div>\"; }</script>" +
+        "</head><body><p>alpha <a href=\"/l?a=1&amp;b=2\">beta</a> " +
+        "gamma&nbsp;&lt;tag&gt; &quot;q&#39;</p></body></html>"
+    val out = TextOps.htmlExtract(
+      Seq((1L, html)).toDF("id", "html"), "id", "html").collect().head
+    assert(out.getAs[String]("title") === "T & t")
+    assert(out.getAs[Int]("n_links") === 1)
+    val text = out.getAs[String]("text")
+    assert(text === "alpha beta gamma <tag> \"q'")
+    assert(out.getAs[String]("anchor_text") === "beta")
+    assert(out.getAs[Int]("n_text_chars") === text.length)
+    // 4 anchor chars over 26 text chars
+    assert(math.abs(out.getAs[Double]("link_density") - 4.0 / 26) < 1e-5)
+  }
+
+  test("htmlExtract: no links, empty text edge") {
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.htmlExtract(
+      Seq((1L, "<p>plain</p>"), (2L, "<div></div>")).toDF("id", "html"),
+      "id", "html").orderBy("id").collect()
+    assert(rows(0).getAs[String]("text") === "plain")
+    assert(rows(0).getAs[Int]("n_links") === 0)
+    assert(rows(0).getAs[Double]("link_density") === 0.0)
+    assert(rows(1).getAs[String]("text") === "")
+    assert(rows(1).getAs[Double]("link_density") === 0.0)
+  }
+
+  test("urlNormalize canonicalizes case/port/params/fragment") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/Path/x?utm_source=a&id=9&ref_=r#frag"),
+      (2L, "http://user@Host.Org:8080/a//b/?x=1&gclid=g&y=2"),
+      (3L, "https://cdn.net"),
+      (4L, "http://localhost:80/p"))
+      .toDF("id", "url")
+    val out = TextOps.urlNormalize(urls, "id", "url").orderBy("id").collect()
+    assert(out(0).getAs[String]("url_norm") === "https://www.example.com/Path/x?id=9")
+    assert(out(0).getAs[String]("domain") === "example.com")
+    assert(out(0).getAs[Int]("path_depth") === 2)
+    assert(out(0).getAs[Int]("n_params") === 3)
+    assert(out(0).getAs[Int]("n_params_kept") === 1)
+    assert(out(1).getAs[String]("url_norm") === "http://host.org:8080/a//b/?x=1&y=2")
+    assert(out(1).getAs[String]("host") === "host.org")
+    assert(out(1).getAs[Int]("path_depth") === 2)
+    assert(out(2).getAs[String]("url_norm") === "https://cdn.net/")
+    assert(out(2).getAs[String]("path") === "/")
+    assert(out(2).getAs[Int]("path_depth") === 0)
+    // single-label host: domain falls back to the host itself; default port
+    assert(out(3).getAs[String]("url_norm") === "http://localhost/p")
+    assert(out(3).getAs[String]("domain") === "localhost")
+  }
+
+  test("bm25TopK matches the hand-computed Okapi score") {
+    val s = spark
+    import s.implicits._
+    // 3 docs; query term "cat": df=2, N=3; dl = 4, 2, 3; avgdl = 3
+    val docs = Seq(
+      (1L, "cat cat dog fish"),
+      (2L, "dog fish"),
+      (3L, "cat bird bird")).toDF("doc_id", "text")
+    val queries = Seq((1, "cat")).toDF("query_id", "term")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "term", k = 5).orderBy("rank").collect()
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def score(tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+    // doc1: tf=2, dl=4 -> higher than doc3: tf=1, dl=3
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L))
+    assert(math.abs(out(0).getAs[Double]("score") - score(2, 4)) < 1e-5)
+    assert(math.abs(out(1).getAs[Double]("score") - score(1, 3)) < 1e-5)
+  }
+
+  test("bm25TopK rank ties break by doc id; k truncates") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((10L, "x y"), (11L, "x y"), (12L, "x y")).toDF("doc_id", "text")
+    val queries = Seq((1, "x")).toDF("query_id", "term")
+    val out = TextOps.bm25TopK(docs, "doc_id", "text", queries,
+      "query_id", "term", k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(10L, 11L))
+  }
+}

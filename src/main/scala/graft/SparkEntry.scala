@@ -195,6 +195,7 @@ object SparkEntry {
     "q_streaming_cms" -> (qStreamingCms _),
     "q_streaming_sessions" -> (qStreamingSessions _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
+    "q_pagerank" -> (qPageRank _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -2958,6 +2959,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** PageRank gate: a 45-node link graph derived from events (src =
+    * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
+    * out-edges, so the dangling-mass path is exercised), 5 power-iteration
+    * rounds at damping 0.85 via [[graft.graph.GraphOps.pageRank]]. The
+    * oracle replays all 5 rounds as chained CTEs — same formula, same
+    * operand nesting — so only summation order differs (absorbed by the
+    * shared rounding).
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.events(s, dir).select(
+      (col("user_id") % 40).as("src"), (col("event_id") % 45).as("dst"))
+    graft.graph.GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+      .select(col("node"), rnd(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
   /** MeanFilter (`domains/mesh/filters/mean.py:42`): per-group mean of every
     * field — one shuffle, partial+final hash agg.
     */
@@ -5614,6 +5631,34 @@ object SparkEntry {
          |    ELSE 0.0 END AS link_density,
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // All 5 power-iteration rounds replayed as chained CTEs: per round,
+    // contributions rank/outdeg summed per destination, dangling mass from
+    // out-degree-less nodes redistributed uniformly, damping applied with
+    // the same operand nesting as the Spark side.
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (SELECT nd.node AS node,
+           |    (1.0 - 0.85) / c.n + 0.85 * (coalesce(s.contrib, 0.0) + d.m / c.n)
+           |      AS rank
+           |  FROM nodes nd CROSS JOIN cnt c
+           |  LEFT JOIN (SELECT e.dst AS node, sum(r.rank / dg.outdeg) AS contrib
+           |      FROM e JOIN r${k - 1} r ON e.src = r.node
+           |      JOIN deg dg ON e.src = dg.src GROUP BY 1) s ON nd.node = s.node
+           |  CROSS JOIN (SELECT coalesce(sum(rank), 0.0) AS m FROM r${k - 1}
+           |      WHERE node NOT IN (SELECT src FROM deg)) d)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT user_id % 40 AS src, event_id % 45 AS dst
+         |    FROM events WHERE user_id % 40 <> event_id % 45),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |cnt AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes),
+         |$iters
+         |SELECT node, round(rank + 1e-9, 6) AS rank FROM r5
+         |ORDER BY node""".stripMargin
     },
 
     // The same facet regexes and parameter filtering as

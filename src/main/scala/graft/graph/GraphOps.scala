@@ -12,6 +12,60 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** PageRank over a directed edge list — the domain-authority quality
+    * signal of web-corpus curation (crawl pipelines weight documents by
+    * the link-graph standing of their host; same role the Gopher rules
+    * play on the text side). Standard power iteration with damping and
+    * dangling-mass redistribution, run a FIXED number of rounds so the
+    * result is a pure function of (edges, iterations, damping) that an
+    * oracle can replay.
+    *
+    * Scale design: edges are deduped, self-loop-filtered, repartitioned by
+    * `src` ONCE and persisted — each round's contribution join then only
+    * shuffles the (node, rank) table (two hash-bounded shuffles per round:
+    * join on src, aggregate on dst). The dangling mass rides a 1-row
+    * broadcast; each round's ranks are checkpointed to truncate lineage
+    * (the CkptCycle lesson from connectedComponents). Node count is the
+    * single driver-side scalar.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations $iterations out of [1, 100]")
+    require(damping > 0.0 && damping < 1.0, s"damping $damping out of (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    (1 to iterations).foreach { _ =>
+      val dangling = ranks
+        .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("m"))
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("m") / n)).as("rank"))
+        .localCheckpoint()
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
+    ranks
+  }
+
   /** Distributed EXCLUSIVE prefix sum over `valueCol` in `orderCol` order —
     * the global atom-offset table. A bare `Window.orderBy` would collapse
     * everything into ONE task; this is the scalable two-pass form:

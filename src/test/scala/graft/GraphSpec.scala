@@ -57,4 +57,51 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 5 && r.getAs[Double]("mean") == 3.0)
     assert(r.getAs[Double]("min") == 1.0 && r.getAs[Double]("max") == 5.0)
   }
+
+  /** Reference PageRank on driver-side maps, for golden comparison. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val out = e.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dang = nodes.filterNot(out.contains).map(r).sum
+      val contrib = e.groupBy(_._2).view.mapValues(
+        _.map(p => r(p._1) / out(p._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (contrib.getOrElse(v, 0.0) + dang / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the sequential reference and conserves mass") {
+    val s = spark
+    import s.implicits._
+    // 1→2, 1→3, 2→3, 3→1, plus dangling sink 4 (3→4, no out-edges),
+    // a self-loop and a duplicate edge that must be dropped
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 2L), (1L, 2L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst",
+      iterations = 8).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, 8)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (node, rank) =>
+      assert(math.abs(rank - want(node)) < 1e-12, s"node $node")
+    }
+    // dangling redistribution keeps total mass at 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the hub pointed at by everything outranks the pure sink
+    assert(got(3L) > got(4L))
+  }
+
+  test("pageRank on a cycle is uniform") {
+    val s = spark
+    import s.implicits._
+    val got = GraphOps.pageRank(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), "src", "dst",
+      iterations = 3).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12))
+  }
 }

@@ -223,4 +223,39 @@ class PlanSpec extends SparkSpec {
     val passed = pruned.count()
     assert(passed >= trueMatch && passed <= li.count())
   }
+
+  test("pageRank contribution join reuses the edges' one-time partitioning") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // the exact per-iteration join shape from GraphOps.pageRank: edges
+    // repartitioned by src ONCE and persisted; with broadcast off, only
+    // the (node, rank) side and the dst aggregation may shuffle per round
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = (1L to 200L).map(i => (i % 20, i % 31)).toDF("src", "dst")
+        .where(col("src") =!= col("dst")).distinct()
+        .repartition(col("src")).persist()
+      e.count() // materialize the cache so the reused partitioning is real
+      val ranks = (0L until 31L).map(i => (i, 1.0 / 31)).toDF("node", "rank")
+      val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      val p = contribs.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("InMemoryTableScan"), "edges must come from the cache")
+      // the e side must NOT re-shuffle: its merge-join Sort sits DIRECTLY
+      // on the cache scan (an Exchange between them = partitioning lost).
+      // (A plain Exchange count would miscount: the formatted output also
+      // prints the one-time cache-build Exchanges inside InMemoryRelation.)
+      assert("Sort \\(\\d+\\)\\s*\\n[\\s:]*\\+- InMemoryTableScan".r
+        .findFirstIn(p).isDefined,
+        s"edges side re-shuffles per iteration:\n$p")
+      assert(!p.contains("CartesianProduct"), "contribution join degraded")
+      e.unpersist()
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

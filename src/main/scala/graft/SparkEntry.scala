@@ -196,6 +196,9 @@ object SparkEntry {
     "q_streaming_sessions" -> (qStreamingSessions _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_pagerank" -> (qPageRank _),
+    "q_streaming_join" -> (qStreamingJoin _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_robots_filter" -> (qRobotsFilter _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -2959,6 +2962,101 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** §2.7 stream-stream interval join as a CORRECTNESS entry: the events
+    * table replayed as TWO file streams (impressions = even event ids,
+    * clicks = odd), joined by [[graft.streaming.StreamingJoin.intervalJoin]]
+    * on user within [impression.ts, impression.ts + 1 hour] — watermarks on
+    * both sides plus the event-time constraint in the join condition are
+    * what bound the join state. Matched pairs land in a memory sink
+    * (append; inner-join matches emit in the arrival batch) and reduce to
+    * per-user censuses. The oracle replays the join in MICROSECOND
+    * arithmetic — the stream side compares µs-normalized timestamps, so
+    * the mirror floor-divides epoch_ns the same way rather than comparing
+    * at ns precision.
+    */
+  private def qStreamingJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir) // sets the nanosAsLong reader conf for the session
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = freshTmpDir("graft_stream_join", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
+      dstP.getFileSystem(hconf), dstP, false, hconf)
+    def stream() = graft.sources.Tables.normalizeTs(
+      s.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true").parquet(streamDir))
+    val impressions = stream().filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts").as("i_ts"))
+    val clicks = stream().filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+    val pairs = graft.streaming.StreamingJoin.intervalJoin(
+      impressions, clicks, "user_id", "i_ts", "c_ts",
+      window = "1 HOUR", watermarkDelay = "1 hour")
+    val qname = s"graft_sj_${math.abs(dir.hashCode)}"
+    val q = pairs.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(unix_micros(col("c_ts")) - unix_micros(col("i_ts")))
+          .as("sum_delay_us"),
+        rnd(sum(col("value")), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** Unicode normalization gate: each document gets a deterministic messy
+    * tail (combining accent, curly quotes, en dash, a control byte, a
+    * zero-width space), normalized by
+    * [[graft.operators.TextOps.normalizeText]]. The oracle builds the
+    * IDENTICAL input with chr() concatenation and replays the fold chain
+    * over DuckDB's `nfc_normalize` — two independent NFC implementations
+    * (ICU-style JDK vs utf8proc) must land on the same bytes, md5-pinned.
+    */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(col("text"),
+      lit(" cafe\u0301 \u2019quote\u2019 a\u2013b \u0007 x\u200By"))
+    TextOps.normalizeText(
+      Tables.documents(s, dir).select(col("doc_id"), messy.as("t")),
+      "doc_id", "t")
+      .select(col("doc_id"), col("n_chars_before"), col("n_chars_after"),
+        col("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** robots.txt gate: seven synthetic domains each publish an 8-line
+    * robots.txt (comment, `*` group with nested Allow/Disallow prefixes, a
+    * trailing bot-specific group that must be IGNORED by the group
+    * tracking), applied to five URL shapes per document by
+    * [[graft.operators.TextOps.robotsFilter]] — longest-match, Allow wins
+    * ties, no-match allows. The oracle re-parses the same robots text in
+    * SQL (fixed 8-line explode, ignore-nulls group window) and replays the
+    * precedence arithmetic.
+    */
+  private def qRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val robots = docs.select((col("doc_id") % 7).as("g")).distinct()
+      .select(concat(lit("ex"), col("g"), lit(".com")).as("domain"),
+        concat(
+          lit("User-agent: *\n# crawl rules\nDisallow: /private\nAllow: /private/ok"),
+          col("g"),
+          lit("\nDisallow: /tmp\n\nUser-agent: bot\nDisallow: /")).as("robots"))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("ex"), col("doc_id") % 7, lit(".com")).as("domain"),
+      when(col("doc_id") % 5 === 0, concat(lit("/doc/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/x"), col("doc_id")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("/private/ok"), col("doc_id") % 7, lit("/page")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/"), col("doc_id")))
+        .otherwise(lit("/")).as("path"))
+    TextOps.robotsFilter(urls, "doc_id", "domain", "path",
+      robots, "domain", "robots")
+      .orderBy("doc_id")
+  }
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5632,6 +5730,97 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The robots parse replayed in SQL: same comment strip, same
+    // ignore-nulls running group window, same precedence arithmetic.
+    // range(1, 9) matches the fixture's fixed 8-line robots text (DuckDB's
+    // range cannot laterally reference len(ls)).
+    "q_robots_filter" ->
+      """WITH gs AS (SELECT DISTINCT doc_id % 7 AS g FROM documents),
+        |r AS (SELECT 'ex' || CAST(g AS VARCHAR) || '.com' AS domain,
+        |    'User-agent: *' || chr(10) || '# crawl rules' || chr(10) ||
+        |    'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/ok' || CAST(g AS VARCHAR) || chr(10) ||
+        |    'Disallow: /tmp' || chr(10) || chr(10) ||
+        |    'User-agent: bot' || chr(10) || 'Disallow: /' AS robots FROM gs),
+        |ln AS (SELECT domain, i AS pos,
+        |    trim(regexp_replace(list_extract(ls, CAST(i AS INT)), '#.*$', ''))
+        |      AS line
+        |  FROM (SELECT domain, string_split(robots, chr(10)) AS ls FROM r),
+        |    range(1, 9) t(i) WHERE i <= len(ls)),
+        |tagged AS (SELECT domain, pos, line,
+        |    last_value(CASE WHEN regexp_matches(line, '(?i)^user-agent:')
+        |        THEN trim(regexp_extract(line, '(?i)^user-agent:(.*)$', 1)) END
+        |      IGNORE NULLS) OVER (PARTITION BY domain ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS group_ua
+        |  FROM ln),
+        |rules AS (SELECT domain,
+        |    lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) AS rule,
+        |    trim(regexp_extract(line, '(?i)^(allow|disallow):\s*(\S*)', 2))
+        |      AS prefix
+        |  FROM tagged WHERE group_ua = '*'
+        |    AND lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) <> ''
+        |    AND trim(regexp_extract(line, '(?i)^(allow|disallow):\s*(\S*)', 2))
+        |      <> ''),
+        |u AS (SELECT doc_id, 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      AS domain,
+        |    CASE WHEN doc_id % 5 = 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 1 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 2 THEN '/private/ok' ||
+        |           CAST(doc_id % 7 AS VARCHAR) || '/page'
+        |         WHEN doc_id % 5 = 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+        |         ELSE '/' END AS path
+        |  FROM documents),
+        |m AS (SELECT u.doc_id, u.domain, u.path,
+        |    max(CASE WHEN rules.rule = 'allow'
+        |          AND starts_with(u.path, rules.prefix)
+        |        THEN length(rules.prefix) END) AS allow_len,
+        |    max(CASE WHEN rules.rule = 'disallow'
+        |          AND starts_with(u.path, rules.prefix)
+        |        THEN length(rules.prefix) END) AS disallow_len
+        |  FROM u LEFT JOIN rules ON u.domain = rules.domain
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, domain, path,
+        |  coalesce(allow_len, -1) >= coalesce(disallow_len, -1) AS allowed
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Identical messy input built with chr() concatenation; the fold chain
+    // replayed over utf8proc's nfc_normalize — two independent NFC
+    // implementations must land on the same bytes, md5-pinned.
+    "q_text_normalize" ->
+      """WITH m AS (SELECT doc_id, text || ' cafe' || chr(769) || ' ' ||
+        |    chr(8217) || 'quote' || chr(8217) || ' a' || chr(8211) || 'b ' ||
+        |    chr(7) || ' x' || chr(8203) || 'y' AS t FROM documents),
+        |n AS (SELECT doc_id, length(t) AS n_before,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        nfc_normalize(t),
+        |        chr(8217), ''''), chr(8216), ''''), chr(8220), '"'),
+        |        chr(8221), '"'), chr(8211), '-'), chr(8212), '-'),
+        |      '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[ \t]+', ' ', 'g')) AS text_norm
+        |  FROM m)
+        |SELECT doc_id, CAST(n_before AS INT) AS n_chars_before,
+        |  CAST(length(text_norm) AS INT) AS n_chars_after,
+        |  md5(text_norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // The join replayed in µs arithmetic (the stream compares µs-normalized
+    // timestamps; comparing at DuckDB's ns precision could flip boundary
+    // rows inside the same microsecond).
+    "q_streaming_join" ->
+      """WITH i AS (SELECT user_id, epoch_ns(ts) // 1000 AS i_us FROM events
+        |    WHERE event_id % 2 = 0),
+        |c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_us, value FROM events
+        |    WHERE event_id % 2 = 1),
+        |j AS (SELECT i.user_id, c.c_us - i.i_us AS d, c.value
+        |  FROM i JOIN c ON i.user_id = c.user_id
+        |    AND c.c_us >= i.i_us AND c.c_us <= i.i_us + 3600000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(d) AS BIGINT) AS sum_delay_us,
+        |  round(sum(value) + 1e-9, 4) AS sum_value
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // All 5 power-iteration rounds replayed as chained CTEs: per round,
     // contributions rank/outdeg summed per destination, dangling mass from

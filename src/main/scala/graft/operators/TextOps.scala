@@ -514,6 +514,96 @@ object TextOps {
         .as("url_norm"))
   }
 
+  /** Unicode text normalization — the cleanup pass every web-text corpus
+    * runs before dedup/tokenization (two byte-different spellings of the
+    * same text must collide downstream): NFC composition (combining
+    * sequences → precomposed forms), typographic quote/dash folding,
+    * zero-width and control character removal, horizontal-whitespace
+    * collapse. NFC runs in a typed map (`java.text.Normalizer`; Spark has
+    * no Catalyst normalizer — same single-pass-typed-map shape as the
+    * codecs); everything after is column expressions with patterns that
+    * mean the same thing in Java regex and RE2, so the oracle replays the
+    * chain over `nfc_normalize`.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nfc = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, t, java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      }
+      .toDF(idCol, "_raw", "_nfc")
+    val folded = Seq("’" -> "'", "‘" -> "'", "“" -> "\"",
+      "”" -> "\"", "–" -> "-", "—" -> "-")
+      .foldLeft(col("_nfc")) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(folded,
+      "[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]", ""),
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+      "[ \\t]+", " "))
+    nfc.select(col(idCol), length(col("_raw")).as("n_chars_before"),
+        cleaned.as("text_norm"))
+      .withColumn("n_chars_after", length(col("text_norm")))
+      .withColumn("norm_md5", md5(col("text_norm")))
+  }
+
+  /** robots.txt rule extraction (the public REP format, RFC 9309): per
+    * domain, the `Allow:`/`Disallow:` path prefixes that apply to
+    * `User-agent: *`. Group tracking — a rule belongs to the most recent
+    * `User-agent` line above it — is a running `last(ignoreNulls)` window
+    * over the exploded lines (the asOfJoin idiom applied to text), so the
+    * whole parse is column expressions an oracle can replay. Comments
+    * (`#…`) are stripped; empty prefixes (the spec's "allow everything"
+    * form) drop out.
+    */
+  def robotsRules(robots: DataFrame, domainCol: String,
+                  robotsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(domainCol).as("domain"),
+        posexplode(split(col(robotsCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+    val w = Window.partitionBy("domain").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("ua", when(col("line").rlike("(?i)^user-agent:"),
+        trim(regexp_extract(col("line"), "(?i)^user-agent:(.*)$", 1))))
+      .withColumn("group_ua", last(col("ua"), ignoreNulls = true).over(w))
+      .filter(col("group_ua") === "*")
+      .withColumn("rule",
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):", 1)))
+      .withColumn("prefix",
+        trim(regexp_extract(col("line"), "(?i)^(allow|disallow):\\s*(\\S*)", 2)))
+      .filter(col("rule") =!= "" && col("prefix") =!= "")
+      .select(col("domain"), col("rule"), col("prefix"))
+  }
+
+  /** Apply robots.txt rules to a URL table — the crawl-compliance gate a
+    * curation pipeline runs before fetching or keeping a capture.
+    * Longest-match wins, `Allow` beats `Disallow` at equal length (the
+    * public Google/RFC 9309 precedence), no matching rule ⇒ allowed.
+    * One domain-keyed equi join (rule tables are a few rows per domain —
+    * the join stays hash-bounded however many domains exist) + one
+    * per-URL reduction; no UDFs.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, domainCol: String,
+                   pathCol: String, robots: DataFrame,
+                   robotsDomainCol: String, robotsCol: String): DataFrame = {
+    val rules = robotsRules(robots, robotsDomainCol, robotsCol)
+      .withColumnRenamed("domain", "_rdomain")
+    urls.join(rules, urls(domainCol) === col("_rdomain"), "left")
+      .withColumn("mlen",
+        when(col(pathCol).startsWith(col("prefix")), length(col("prefix"))))
+      .groupBy(col(idCol), col(domainCol), col(pathCol))
+      .agg(
+        max(when(col("rule") === "allow", col("mlen"))).as("allow_len"),
+        max(when(col("rule") === "disallow", col("mlen"))).as("disallow_len"))
+      .withColumn("allowed",
+        coalesce(col("allow_len"), lit(-1)) >= coalesce(col("disallow_len"), lit(-1)))
+      .drop("allow_len", "disallow_len")
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones, the public Okapi
     * formula in its Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf form) — the
     * search half of a curation stack (quality-slice mining, dedup

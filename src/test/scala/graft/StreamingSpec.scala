@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.functions.WelfordState
-import graft.streaming.StreamingStats
+import graft.streaming.{StreamingJoin, StreamingStats}
 
 /** Streaming semantics: windowed stats with watermark over a MemoryStream,
   * stateful Welford accumulation across triggers, and batch/stream agreement.
@@ -159,5 +159,53 @@ class StreamingSpec extends SparkSpec {
       .sortBy(x => (x._1, x._3))
     assert(out.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0))
       .sortBy(x => (x._1, x._3)))
+  }
+
+  test("intervalJoin: stream-stream matches the batch face, across triggers") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val li = MemoryStream[(Long, Long)]   // (user, impression epoch sec)
+    val rc = MemoryStream[(Long, Long, Double)] // (user, click epoch sec, value)
+    val base = 1700000000L
+    val imps = Seq((1L, base), (1L, base + 5000), (2L, base))
+    val clks = Seq(
+      (1L, base + 100, 1.0),   // matches impression 1 only
+      (1L, base + 3599, 2.0),  // still inside the 1h window of impression 1
+      (1L, base + 3601, 3.0),  // outside impression 1, before impression 2
+      (1L, base + 5100, 4.0),  // matches impression 2
+      (2L, base - 10, 5.0),    // before the impression: no match
+      (3L, base + 10, 6.0))    // keyless
+    def shapeI(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "i_epoch")
+      .select(col("user_id"), timestamp_seconds(col("i_epoch")).as("i_ts"))
+    def shapeC(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("user_id", "c_epoch", "value")
+      .select(col("user_id"), timestamp_seconds(col("c_epoch")).as("c_ts"),
+        col("value"))
+    val joined = StreamingJoin.intervalJoin(
+      shapeI(li.toDF()), shapeC(rc.toDF()), "user_id", "i_ts", "c_ts",
+      window = "1 HOUR", watermarkDelay = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("sij")
+      .outputMode("append").start()
+    try {
+      // split across triggers: cross-batch matches must still pair up
+      li.addData(imps.take(2): _*); rc.addData(clks.take(2): _*)
+      q.processAllAvailable()
+      li.addData(imps.drop(2): _*); rc.addData(clks.drop(2): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("i_ts").getTime,
+          r.getAs[Double]("value"))
+      val got = s.table("sij").collect().map(key(_)).toSet
+      val want = StreamingJoin.intervalJoin(
+        shapeI(imps.toDF()), shapeC(clks.toDF()), "user_id", "i_ts", "c_ts",
+        window = "1 HOUR", watermarkDelay = "2 hours").collect().map(key).toSet
+      assert(got === want)
+      // golden: clicks 1, 2 pair with impression 1; click 4 with impression 2
+      assert(want === Set(
+        (1L, base * 1000, 1.0), (1L, base * 1000, 2.0),
+        (1L, (base + 5000) * 1000, 4.0)))
+    } finally q.stop()
   }
 }

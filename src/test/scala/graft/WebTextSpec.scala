@@ -89,6 +89,35 @@ class WebTextSpec extends SparkSpec {
     assert(math.abs(out(1).getAs[Double]("score") - score(1, 3)) < 1e-5)
   }
 
+  test("normalizeText: NFC composition, quote/dash folds, control strip") {
+    val s = spark
+    import s.implicits._
+    val messy = "cafe\u0301  \u201Cq\u201D \u2014 x\u200Byz"
+    val out = TextOps.normalizeText(
+      Seq((1L, messy)).toDF("id", "t"), "id", "t").collect().head
+    assert(out.getAs[String]("text_norm") === "caf\u00E9 \"q\" - xyz")
+    assert(out.getAs[Int]("n_chars_before") === messy.length)
+    assert(out.getAs[Int]("n_chars_after") === 14)
+  }
+
+  test("robotsFilter: group tracking, longest match, Allow beats ties") {
+    val s = spark
+    import s.implicits._
+    val robots = Seq(("d.com",
+      "User-agent: *\n# c\nDisallow: /a\nAllow: /a/ok\nDisallow: /a/ok\n" +
+        "User-agent: bot\nDisallow: /")).toDF("domain", "robots")
+    val urls = Seq(
+      (1L, "d.com", "/free"),     // no rule matches -> allowed
+      (2L, "d.com", "/a/x"),      // Disallow /a -> blocked
+      (3L, "d.com", "/a/ok/y"),   // Allow /a/ok ties Disallow /a/ok -> allowed
+      (4L, "e.com", "/a/x"))      // no robots for domain -> allowed
+      .toDF("id", "domain", "path")
+    val got = TextOps.robotsFilter(urls, "id", "domain", "path",
+      robots, "domain", "robots")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed")).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("bm25TopK rank ties break by doc id; k truncates") {
     val s = spark
     import s.implicits._

@@ -199,6 +199,9 @@ object SparkEntry {
     "q_streaming_join" -> (qStreamingJoin _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_robots_filter" -> (qRobotsFilter _),
+    "q_edit_verify" -> (qEditVerify _),
+    "q_corpus_diff" -> (qCorpusDiff _),
+    "q_image_phash" -> (qImagePhash _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3057,6 +3060,66 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance verification tier over the LSH band candidates: the
+    * strictest near-dup confirmation (character-level Levenshtein
+    * similarity), candidate-driven like the Jaccard tier. Both engines
+    * compute unit-cost Levenshtein natively, so the oracle checks the
+    * whole band→verify composition.
+    */
+  private def qEditVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = DedupOps.bandPairs(
+      DedupOps.minhashSignatures(
+        DedupOps.shingleSet(docs, "doc_id", "text", ShingleK), "doc_id"),
+      "doc_id")
+    DedupOps.editDistanceVerify(docs, "doc_id", "text", cands, minSim = 0.4)
+      .orderBy("da", "db")
+  }
+
+  /** Corpus snapshot diff gate: snapshot B is the documents table with
+    * every 17th doc dropped, every 13th rewritten, and a shifted-id copy
+    * of every 19th added; [[graft.operators.CurationOps.corpusDiff]]
+    * classifies ids into added/removed/changed/unchanged and the oracle
+    * rebuilds both snapshots and the classification in SQL.
+    */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val b = a.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(a.filter(col("doc_id") % 19 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    CurationOps.corpusDiff(a, b, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual image hash gate: per group a 16×16 BMP is rendered from
+    * the first 256 quantized events (the media-fixture construction),
+    * decoded back through the real codec, and hashed by
+    * [[graft.operators.MultimodalOps.imageHashes]] (aHash + dHash over
+    * exact integer luma cell sums). The oracle rebuilds the pixels, cell
+    * sums, thresholds, and BOTH 64/56-bit packings from the event stream
+    * (HUGEINT shifts wrapped to signed), so the hashes are pinned
+    * bit-for-bit.
+    */
+  private def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the image
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        (g, graft.functions.Media.renderBmp(16, 16, px))
+      }.toDF("g", "bmp")
+    MultimodalOps.imageHashes(payloads, "g", "bmp").orderBy("g")
+  }
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5730,6 +5793,84 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // Pixels, luma cell sums, thresholds, and both hash packings rebuilt
+    // from the event stream. DuckDB's BIGINT << errors at bit 63, so bits
+    // pack as HUGEINT shifts and the sum wraps to signed two's complement
+    // (subtract 2^64 when >= 2^63) to match the Spark long.
+    "q_image_phash" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT)
+        |      AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) - 1 AS idx
+        |  FROM q),
+        |p AS (SELECT g, idx,
+        |    ((v * 1) % 256 + 256) % 256 AS red,
+        |    ((v * 3) % 256 + 256) % 256 AS grn,
+        |    ((v * 7) % 256 + 256) % 256 AS blu
+        |  FROM r WHERE idx < 256),
+        |cells AS (SELECT g, (idx // 16) // 2 AS cy, (idx % 16) // 2 AS cx,
+        |    sum(299 * red + 587 * grn + 114 * blu) AS cs
+        |  FROM p GROUP BY 1, 2, 3),
+        |tot AS (SELECT g, sum(cs) AS ts FROM cells GROUP BY 1),
+        |ah AS (SELECT c.g, sum(CASE WHEN c.cs * 64 > t.ts
+        |      THEN CAST(1 AS HUGEINT) << CAST(c.cy * 8 + c.cx AS INT)
+        |      ELSE 0 END) AS s
+        |  FROM cells c JOIN tot t USING (g) GROUP BY 1),
+        |dh AS (SELECT l.g, sum(CASE WHEN l.cs < rr.cs
+        |      THEN CAST(1 AS HUGEINT) << CAST(l.cy * 7 + l.cx AS INT)
+        |      ELSE 0 END) AS s
+        |  FROM cells l JOIN cells rr
+        |    ON l.g = rr.g AND l.cy = rr.cy AND rr.cx = l.cx + 1
+        |  GROUP BY 1)
+        |SELECT ah.g, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(CASE WHEN ah.s >= 9223372036854775808
+        |       THEN ah.s - 18446744073709551616 ELSE ah.s END AS BIGINT)
+        |    AS ahash,
+        |  CAST(CASE WHEN dh.s >= 9223372036854775808
+        |       THEN dh.s - 18446744073709551616 ELSE dh.s END AS BIGINT)
+        |    AS dhash
+        |FROM ah JOIN dh USING (g) ORDER BY g""".stripMargin,
+
+    // Band candidates rebuilt from the shared signature CTEs, then DuckDB's
+    // native levenshtein confirms — both engines implement unit-cost edit
+    // distance, so distances (and the derived similarity) match exactly.
+    "q_edit_verify" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM band a JOIN band b USING (band, bk)
+         |  WHERE a.doc_id < b.doc_id),
+         |v AS (SELECT cand.da, cand.db,
+         |    levenshtein(x.text, y.text) AS lev,
+         |    1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+         |      / greatest(length(x.text), length(y.text)) AS es
+         |  FROM cand JOIN documents x ON cand.da = x.doc_id
+         |    JOIN documents y ON cand.db = y.doc_id)
+         |SELECT da, db, CAST(lev AS INT) AS lev,
+         |  round(es + 1e-9, 6) AS edit_sim
+         |FROM v WHERE es >= 0.4 ORDER BY da, db""".stripMargin,
+
+    // Both snapshots rebuilt from the documents table; the classification
+    // is one full-outer fingerprint compare.
+    "q_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 19 = 0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    md5(a.text) AS ha, md5(b.text) AS hb
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       WHEN ha <> hb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     // The robots parse replayed in SQL: same comment strip, same
     // ignore-nulls running group window, same precedence arithmetic.

@@ -12,6 +12,25 @@ import graft.functions.Text
   */
 object CurationOps {
 
+  /** Corpus snapshot diff — the bookkeeping step between two crawl/curation
+    * snapshots (what did release N+1 add, drop, or rewrite?): one full
+    * outer join on the document id comparing content fingerprints. One
+    * id-keyed shuffle regardless of corpus size; fingerprints are md5
+    * column expressions, so no text ever crosses the shuffle — only
+    * (id, 32-hex) rows.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("_id"), md5(col(textCol)).as("_ha"))
+    val fb = b.select(col(idCol).as("_id"), md5(col(textCol)).as("_hb"))
+    fa.join(fb, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_ha").isNull, "added")
+          .when(col("_hb").isNull, "removed")
+          .when(col("_ha") =!= col("_hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Redaction patterns (valid in Java regex AND RE2 so oracles mirror them
     * verbatim): emails, bare URLs, long digit runs (ids/phones).
     */

@@ -214,6 +214,30 @@ object DedupOps {
     * the shingle lambda slices a computed array instead of re-tokenizing per
     * position (see `Text.shinglesFromTokens`).
     */
+  /** Edit-distance VERIFICATION tier over banded candidates: Levenshtein
+    * similarity (1 − dist / max(len)) for exactly the pairs LSH banding
+    * surfaced — never all pairs. Levenshtein is O(len²) per pair (the
+    * native `levenshtein` expression, codegen'd), which is precisely why
+    * it only ever runs candidate-driven; the candidate set bounds total
+    * cost the same way the Jaccard verify tier's does. This is the
+    * strictest near-dup confirmation: character-level, order-sensitive,
+    * immune to the shingle-set blindspots (reordered paragraphs hash
+    * alike, but edit distance sees them).
+    */
+  def editDistanceVerify(df: DataFrame, idCol: String, textCol: String,
+                         candidates: DataFrame, minSim: Double): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim $minSim out of [0,1]")
+    val a = df.select(col(idCol).as("da"), col(textCol).as("_ta"))
+    val b = df.select(col(idCol).as("db"), col(textCol).as("_tb"))
+    candidates.join(a, "da").join(b, "db")
+      .withColumn("lev", levenshtein(col("_ta"), col("_tb")))
+      .withColumn("edit_sim", lit(1.0) - col("lev").cast("double") /
+        greatest(length(col("_ta")), length(col("_tb"))))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("da"), col("db"), col("lev"),
+        round(col("edit_sim") + lit(1e-9), 6).as("edit_sim"))
+  }
+
   def shingleSet(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), Text.tokens(col(textCol)).as("_ws"))
       .select(col(idCol), explode(Text.shinglesFromTokens(col("_ws"), k)).as("sh"))

@@ -164,6 +164,57 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  /** Perceptual image hashes over REAL decoded pixels — image near-dup
+    * detection for multimodal corpora (the visual analogue of SimHash;
+    * downstream pairing reuses the banded-Hamming machinery that serves
+    * `q_simhash_pairs`). Two public classics over an 8×8 grid of
+    * integer-summed luma cells (gray = 299R + 587G + 114B, unscaled so
+    * every comparison is EXACT integer arithmetic — no float rounding for
+    * an oracle to chase):
+    *
+    *  - aHash: bit j = cell j's sum × 64 > total sum (the mean threshold
+    *    cross-multiplied into integers), packed at bit position cy·8+cx;
+    *  - dHash: bit = cell < its right neighbor, 8 rows × 7 comparisons =
+    *    56 bits (the gradient form that survives brightness shifts).
+    *
+    * Width/height must be multiples of 8 (box resize = exact cell sums).
+    * One codec call + hash per row, executor-side, no shuffle.
+    */
+  def imageHashes(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodeBmp(bytes)
+        require(m.width % 8 == 0 && m.height % 8 == 0,
+          s"phash needs 8-divisible extents, got ${m.width}x${m.height}")
+        val (bw, bh) = (m.width / 8, m.height / 8)
+        val cells = new Array[Long](64)
+        var i = 0
+        while (i < m.pixels.length) {
+          val (r, g, b) = m.pixels(i)
+          val x = i % m.width
+          val y = i / m.width
+          cells((y / bh) * 8 + x / bw) += 299L * r + 587L * g + 114L * b
+          i += 1
+        }
+        val total = cells.sum
+        var ahash = 0L
+        (0 until 64).foreach { j =>
+          if (cells(j) * 64 > total) ahash |= (1L << j)
+        }
+        var dhash = 0L
+        for (cy <- 0 until 8; cx <- 0 until 7) {
+          if (cells(cy * 8 + cx) < cells(cy * 8 + cx + 1))
+            dhash |= (1L << (cy * 7 + cx))
+        }
+        (id, m.width, m.height, ahash, dhash)
+      }
+      .toDF(idCol, "width", "height", "ahash", "dhash")
+  }
+
   /** Real compressed-image decode: 8-bit RGB/RGBA PNG payloads → geometry
     * and per-channel means (alpha mean NaN for RGB). One codec call per
     * row, executor-side, no shuffle.

@@ -346,4 +346,36 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(m3 - 10.0) < 1e-12) // 640/64 per bin
     assert(math.abs(c3 - 16.0) < 1e-9)  // flat spectrum centroid
   }
+
+  test("imageHashes: analytic aHash/dHash on a half-dark 16x16 image") {
+    val s = spark
+    import s.implicits._
+    // left 8 columns black, right 8 columns white: aHash sets exactly the
+    // right 4 cell columns of every row; dHash sets only the cx=3 boundary
+    val px = Array.tabulate(256) { i =>
+      if (i % 16 < 8) (0, 0, 0) else (255, 255, 255)
+    }
+    val bmp = graft.functions.Media.renderBmp(16, 16, px)
+    // a noisy variant: one pixel flipped — hashes must be UNCHANGED (the
+    // point of perceptual hashing) because one pixel cannot move a cell
+    // sum across the mean or reorder two half-extreme neighbors
+    val px2 = px.clone(); px2(0) = (40, 40, 40)
+    val bmp2 = graft.functions.Media.renderBmp(16, 16, px2)
+    // an inverted image: aHash flips to the left columns
+    val px3 = px.map { case (r, g, b) => (255 - r, 255 - g, 255 - b) }
+    val bmp3 = graft.functions.Media.renderBmp(16, 16, px3)
+    val got = graft.operators.MultimodalOps.imageHashes(
+      Seq((1L, bmp), (2L, bmp2), (3L, bmp3)).toDF("id", "p"), "id", "p")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ahash"), r.getAs[Long]("dhash"))).toMap
+    val rightCols = (for (cy <- 0 until 8; cx <- 4 until 8)
+      yield 1L << (cy * 8 + cx)).sum
+    val leftCols = (for (cy <- 0 until 8; cx <- 0 until 4)
+      yield 1L << (cy * 8 + cx)).sum
+    val boundary = (0 until 8).map(cy => 1L << (cy * 7 + 3)).sum
+    assert(got(1L)._1 === rightCols)
+    assert(got(1L)._2 === boundary)
+    assert(got(2L) === got(1L)) // robust to a single-pixel change
+    assert(got(3L)._1 === leftCols) // inversion flips the bright side
+  }
 }

@@ -500,4 +500,16 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("digit_ratio") == 2.0 / 15)
     assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val b = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = graft.operators.CurationOps.corpusDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }

@@ -394,4 +394,22 @@ class TextDedupSpec extends SparkSpec {
     assert(r(1L) == r(2L))
     assert(r(1L) != r(4L))
   }
+
+  test("editDistanceVerify: candidate-driven Levenshtein confirmation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fx"),   // lev 1 of 19 -> sim ~0.947
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("da", "db")
+    val got = graft.operators.DedupOps.editDistanceVerify(
+      docs, "doc_id", "text", cands, minSim = 0.5).collect()
+    // only the (1,2) candidate survives; (2,3) was never a candidate so it
+    // is never even computed — the verify tier is strictly candidate-driven
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("da") === 1L && got.head.getAs[Long]("db") === 2L)
+    assert(got.head.getAs[Int]("lev") === 1)
+    assert(math.abs(got.head.getAs[Double]("edit_sim") - (1.0 - 1.0 / 19)) < 1e-5)
+  }
 }

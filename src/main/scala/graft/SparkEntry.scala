@@ -202,6 +202,8 @@ object SparkEntry {
     "q_edit_verify" -> (qEditVerify _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_image_phash" -> (qImagePhash _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_tfrecord" -> (qTfrecord _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3120,6 +3122,58 @@ object SparkEntry {
     MultimodalOps.imageHashes(payloads, "g", "bmp").orderBy("g")
   }
 
+  /** Incremental-dedup gate: odd doc ids arrive as the INCOMING batch,
+    * even ids are the standing index;
+    * [[graft.operators.DedupOps.incrementalDedup]] classifies each
+    * incoming doc exact/near/novel with its matching index id. The oracle
+    * recomputes fingerprints, the cross-side band probe, and the
+    * candidate-restricted shingle Jaccard from the shared signature CTEs
+    * (a doc's signature is side-independent, so the corpus-wide CTEs
+    * restrict by parity at the joins).
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // the incoming batch = odd docs + re-ingested copies of every 50th
+    // index doc under shifted ids, so the exact tier fires too
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    DedupOps.incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 0), incoming,
+      "doc_id", "text", ShingleK, tau = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** TFRecord round trip — the training-data EXPORT gate: each document
+    * becomes a `tf.train.Example` (text as BytesList, [doc_id, n_chars] as
+    * a packed Int64List) in one of four shard files written by
+    * [[graft.sinks.TfRecordSink]] (masked-CRC32C framing, hand-encoded
+    * protobuf) and read back by [[graft.sources.TfRecordSource]] with both
+    * checksums enforced. The oracle recomputes every aggregate from the
+    * documents table, so the cycle is checked against the parameters.
+    */
+  private def qTfrecord(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_tfrec", dir)
+    val rows = Tables.documents(s, dir).select(
+      concat(lit("part-"), col("doc_id") % 4, lit(".tfrecord")).as("shard"),
+      col("doc_id").as("seq"),
+      encode(col("text"), "UTF-8").as("text"),
+      array(col("doc_id"), col("n_chars")).as("ids"))
+    graft.sinks.TfRecordSink.writeExamples(rows, out,
+      bytesFeatures = Seq("text"), int64Features = Seq("ids")).count()
+    graft.sources.TfRecordSource.readExamples(s, s"$out/*",
+      bytesFeatures = Seq("text"), int64Features = Seq("ids"))
+      .groupBy(regexp_extract(col("shard"), "part-(\\d+)", 1).cast("int").as("g"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(element_at(col("ids"), 1)).as("sum_doc"),
+        sum(element_at(col("ids"), 2)).as("sum_chars"),
+        sum(length(col("text"))).cast("long").as("text_bytes"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_hash"))
+      .orderBy("g")
+  }
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5793,6 +5847,55 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // Export-cycle aggregates recomputed from the documents table (ASCII
+    // text ⇒ VARCHAR md5 == payload-bytes md5).
+    "q_tfrecord" ->
+      """SELECT CAST(doc_id % 4 AS INT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_bytes,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Fingerprints, cross-side band probe, and candidate-restricted
+    // Jaccard all recomputed; sides split by id parity at the joins.
+    "q_incremental_dedup" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |cp AS (SELECT doc_id + 500000 AS doc_id, doc_id AS src
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |nw AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id FROM cp),
+         |fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+         |ex AS (SELECT n.doc_id, min(o.doc_id) AS m
+         |  FROM fp n JOIN fp o ON n.f = o.f
+         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0 GROUP BY 1
+         |  UNION ALL
+         |  SELECT cp.doc_id, min(o.doc_id)
+         |  FROM cp JOIN fp s ON s.doc_id = cp.src
+         |    JOIN fp o ON o.f = s.f AND o.doc_id % 2 = 0 GROUP BY 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS dn, b.doc_id AS dod
+         |  FROM band a JOIN band b USING (band, bk)
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |cm AS (SELECT a.doc_id AS dn, b.doc_id AS dod, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.sh = b.sh
+         |  JOIN cand ON cand.dn = a.doc_id AND cand.dod = b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (SELECT dn AS doc_id, min(dod) AS m
+         |  FROM cm JOIN sz sa ON sa.doc_id = cm.dn
+         |    JOIN sz sb ON sb.doc_id = cm.dod
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5 GROUP BY 1)
+         |SELECT nw.doc_id,
+         |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+         |       WHEN near.m IS NOT NULL THEN 'near'
+         |       ELSE 'novel' END AS verdict,
+         |  coalesce(ex.m, near.m) AS match_id
+         |FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN near USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Pixels, luma cell sums, thresholds, and both hash packings rebuilt
     // from the event stream. DuckDB's BIGINT << errors at bit 63, so bits

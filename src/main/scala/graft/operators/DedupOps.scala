@@ -303,18 +303,82 @@ object DedupOps {
   /** LSH banding: docs sharing any (band, bandKey) bucket become candidate
     * pairs — the O(n²)-avoiding scale path for near-dup detection.
     */
-  def bandPairs(signatures0: DataFrame, idCol: String): DataFrame = {
+  /** Explode a signature table to its (id, band, band_key) rows — the
+    * shared banding step behind within-corpus pairing ([[bandPairs]]) and
+    * cross-corpus probing ([[incrementalDedup]]).
+    */
+  def bandKeys(signatures0: DataFrame, idCol: String): DataFrame = {
     val signatures = cached(signatures0) // referenced once per band
     val nBands = NumPerms / BandRows
-    val banded = cached((0 until nBands).map { b =>
+    (0 until nBands).map { b =>
       val key = concat_ws("_",
         (0 until BandRows).map(r => col(s"sig_${b * BandRows + r}")): _*)
       signatures.select(col(idCol), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ unionByName _)) // self-joined below
+    }.reduce(_ unionByName _)
+  }
+
+  def bandPairs(signatures0: DataFrame, idCol: String): DataFrame = {
+    val banded = cached(bandKeys(signatures0, idCol)) // self-joined below
     val l = banded.select(col(idCol).as("da"), col("band"), col("band_key"))
     val r = banded.select(col(idCol).as("db"), col("band"), col("band_key"))
     l.join(r, Seq("band", "band_key")).filter(col("da") < col("db"))
       .select("da", "db").distinct()
+  }
+
+  /** Incremental dedup — the production snapshot-ingest shape: classify an
+    * INCOMING batch against an EXISTING corpus index instead of re-pairing
+    * the whole corpus. Three tiers, cheapest first:
+    *
+    *  1. exact: fingerprint equi-join against the index (hash-only);
+    *  2. near candidates: the incoming batch's band keys PROBE the index's
+    *     band keys — a cross-side (band, key) equi-join, so cost follows
+    *     the batch, not the corpus;
+    *  3. verify: cross-side shingle Jaccard ≥ τ, computed ONLY for docs
+    *     that appear in some candidate pair (left-semi restricted before
+    *     the shingle join — the candidate set is what bounds the common-
+    *     shingle blowup).
+    *
+    * Verdict per incoming doc: `exact` > `near` > `novel`, with the
+    * minimum matching index id. At 100 TB the index side's signatures/
+    * fingerprints are computed once and persisted; each ingest batch pays
+    * only its own signature pass plus candidate-bounded joins.
+    */
+  def incrementalDedup(index: DataFrame, incoming: DataFrame, idCol: String,
+                       textCol: String, shingleK: Int,
+                       tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau $tau out of (0, 1]")
+    val newIds = incoming.select(col(idCol))
+    val exact = incoming
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("_fp"))
+      .join(index.select(Text.fingerprint(col(textCol)).as("_fp"),
+        col(idCol).as("_old")), "_fp")
+      .groupBy(idCol).agg(min(col("_old")).as("exact_match"))
+    val shNew = cached(shingleSet(incoming, idCol, textCol, shingleK))
+    val shIdx = cached(shingleSet(index, idCol, textCol, shingleK))
+    val cands = cached(
+      bandKeys(minhashSignatures(shNew, idCol), idCol)
+        .withColumnRenamed(idCol, "_new")
+        .join(bandKeys(minhashSignatures(shIdx, idCol), idCol)
+          .withColumnRenamed(idCol, "_old"), Seq("band", "band_key"))
+        .select(col("_new"), col("_old")).distinct())
+    val a = shNew.join(cands.select(col("_new").as(idCol)), Seq(idCol), "left_semi")
+    val b = shIdx.join(cands.select(col("_old").as(idCol)), Seq(idCol), "left_semi")
+    val sizeA = a.groupBy(col(idCol).as("_new")).agg(count(lit(1)).as("_na"))
+    val sizeB = b.groupBy(col(idCol).as("_old")).agg(count(lit(1)).as("_nb"))
+    val near = a.select(col(idCol).as("_new"), col("sh"))
+      .join(b.select(col(idCol).as("_old"), col("sh")), "sh")
+      .join(cands, Seq("_new", "_old"), "left_semi")
+      .groupBy("_new", "_old").agg(count(lit(1)).as("_common"))
+      .join(sizeA, "_new").join(sizeB, "_old")
+      .filter(col("_common").cast("double") /
+        (col("_na") + col("_nb") - col("_common")) >= tau)
+      .groupBy(col("_new").as(idCol)).agg(min(col("_old")).as("near_match"))
+    newIds.join(exact, Seq(idCol), "left").join(near, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_match").isNotNull, "exact")
+          .when(col("near_match").isNotNull, "near")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_id"))
   }
 
   /** Per-round checkpoint lifecycle shared by the iterative graph

@@ -395,6 +395,28 @@ class TextDedupSpec extends SparkSpec {
     assert(r(1L) != r(4L))
   }
 
+  test("incrementalDedup classifies exact/near/novel against an index") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val index = Seq(
+      (10L, base),
+      (20L, "completely different corpus material sits here quietly")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, base),                                  // exact copy of 10
+      (102L, base + "with a small tail change"),     // near-dup of 10
+      (103L, "utterly novel content nothing shared") // novel
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.incrementalDedup(
+      index, incoming, "doc_id", "text", shingleK = 3, tau = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.get(2)))).toMap
+    assert(got(101L) === ("exact", Some(10L)))
+    assert(got(102L) === ("near", Some(10L)))
+    assert(got(103L) === ("novel", None))
+  }
+
   test("editDistanceVerify: candidate-driven Levenshtein confirmation") {
     val s = spark
     import s.implicits._

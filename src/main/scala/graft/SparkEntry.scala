@@ -204,6 +204,10 @@ object SparkEntry {
     "q_image_phash" -> (qImagePhash _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_tfrecord" -> (qTfrecord _),
+    "q_ngram_lang_id" -> (qNgramLangId _),
+    "q_phrase_search" -> (qPhraseSearch _),
+    "q_assign_splits" -> (qAssignSplits _),
+    "q_containment" -> (qContainment _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3174,6 +3178,49 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Cavnar–Trenkle char-trigram language ID: profiles trained from the
+    * labeled corpus (top-50 trigrams per language), every document
+    * classified by out-of-place distance. The oracle re-trains the
+    * profiles AND re-classifies in SQL — identical rank windows,
+    * identical penalty arithmetic.
+    */
+  private def qNgramLangId(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val profiles = TextOps.charNgramProfiles(docs, "lang", "text", n = 3, k = 50)
+    TextOps.charNgramLangId(docs, "doc_id", "text", profiles, n = 3, k = 50)
+      .orderBy("doc_id")
+  }
+
+  /** Exact phrase search over positional postings ("batch stream" as
+    * adjacent tokens), per-doc occurrence counts + first position; the
+    * oracle rebuilds 1-based positions with generate_series and aligns
+    * consecutive terms the same way.
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    TextOps.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+      Seq("batch", "stream"))
+      .orderBy("doc_id")
+
+  /** Deterministic split assignment (train 90 / val 5 / test 5): a pure
+    * row function of the id's md5 bucket, so the oracle replays every
+    * assignment exactly — the stability property that prevents cross-
+    * release train/test leakage.
+    */
+  private def qAssignSplits(s: SparkSession, dir: String): DataFrame =
+    CurationOps.assignSplits(Tables.documents(s, dir), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** Asymmetric containment (|A∩B|/|A| ≥ 0.8, directed): the subsumption
+    * pairs Jaccard misses; same stop-shingle cut as the Jaccard gate.
+    */
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    DedupOps.containmentPairs(
+      DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK),
+      "doc_id", tau = 0.8, maxDocFreq = Some(MaxShingleDf))
+      .orderBy("da", "db")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5847,6 +5894,79 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // Same 60-bit md5 bucket as the samplers; cumulative boundaries
+    // 9000/9500/10000.
+    "q_assign_splits" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 9000 THEN 'train'
+        |       WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The jaccard mirror's inverted-index join with per-SIDE (|A|)
+    // normalization and directed pairs.
+    "q_containment" ->
+      s"""WITH $ShingleCte,
+         |sh2 AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf) f
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh2 a JOIN sh2 b USING (sh)
+         |      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT da, db, round(CAST(c AS DOUBLE) / x.sz + 1e-9, 4) AS containment
+         |FROM p JOIN sz x ON x.doc_id = p.da
+         |WHERE CAST(c AS DOUBLE) / x.sz >= 0.8
+         |ORDER BY da, db""".stripMargin,
+
+    // 1-based token positions rebuilt with generate_series; adjacency via
+    // the same (doc, start) alignment join.
+    "q_phrase_search" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws),
+        |t AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    list_extract(w, CAST(i AS INT)) AS term FROM p),
+        |m AS (SELECT a.doc_id, a.pos AS start
+        |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'batch' AND b.term = 'stream')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(start) AS INT) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // Profiles re-trained and documents re-classified in SQL: identical
+    // trigram explode, identical (count desc, trigram asc) rank windows,
+    // identical out-of-place penalty arithmetic.
+    "q_ngram_lang_id" ->
+      s"""WITH nt AS (SELECT doc_id, lang, $NormSql AS t FROM documents),
+         |tri AS (SELECT doc_id, lang, unnest(list_transform(
+         |    generate_series(1, length(t) - 2), i -> substr(t, CAST(i AS INT), 3)))
+         |    AS tri
+         |  FROM nt WHERE length(t) >= 3),
+         |pc AS (SELECT lang, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+         |prof AS (SELECT lang, tri, rank FROM (
+         |    SELECT lang, tri, cnt, CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, tri) AS INT) AS rank FROM pc)
+         |  WHERE rank <= 50),
+         |dc AS (SELECT doc_id, tri, count(*) AS cnt FROM tri GROUP BY 1, 2),
+         |dr AS (SELECT doc_id, tri, drank FROM (
+         |    SELECT doc_id, tri, cnt, CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, tri) AS INT) AS drank FROM dc)
+         |  WHERE drank <= 50),
+         |langs AS (SELECT DISTINCT lang FROM prof),
+         |d AS (SELECT dr.doc_id, langs.lang,
+         |    sum(CASE WHEN prof.rank IS NULL THEN CAST(50 AS BIGINT)
+         |        ELSE abs(dr.drank - prof.rank) END) AS dist
+         |  FROM dr CROSS JOIN langs
+         |  LEFT JOIN prof ON prof.lang = langs.lang AND prof.tri = dr.tri
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, lang AS lang_pred, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT doc_id, lang, dist, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY dist, lang) AS rn FROM d)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // Export-cycle aggregates recomputed from the documents table (ASCII
     // text ⇒ VARCHAR md5 == payload-bytes md5).

@@ -12,6 +12,30 @@ import graft.functions.Text
   */
 object CurationOps {
 
+  /** Deterministic train/val/test split assignment — every training-data
+    * release ends with one: each row lands in exactly one named split by
+    * its id's md5 bucket against cumulative weight boundaries, so the
+    * assignment is a pure row function (stable under any partitioning,
+    * reshuffling, or corpus growth — an id keeps its split forever, the
+    * property that prevents silent train/test leakage across releases).
+    * Same 60-bit md5 bucket draw as the samplers.
+    */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long") % 10000L
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(b => (b * 10000).round)
+    val expr = splits.map(_._1).zip(bounds).reverse
+      .foldLeft(lit(splits.last._1): Column) { case (els, (name, hi)) =>
+        when(bucket < hi, lit(name)).otherwise(els)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Corpus snapshot diff — the bookkeeping step between two crawl/curation
     * snapshots (what did release N+1 add, drop, or rewrite?): one full
     * outer join on the document id comparing content fingerprints. One

@@ -214,6 +214,34 @@ object DedupOps {
     * the shingle lambda slices a computed array instead of re-tokenizing per
     * position (see `Text.shinglesFromTokens`).
     */
+  /** Asymmetric containment pairs: |A∩B| / |A| ≥ τ — the subsumption
+    * detector Jaccard is blind to (a paragraph quoted inside a much longer
+    * page has tiny Jaccard but containment ≈ 1; near-dup pipelines drop
+    * the CONTAINED side). Directed output: (da contained-in db). Same
+    * sparse inverted-index join as [[jaccardPairs]] with per-SIDE
+    * normalization instead of union size; the same `maxDocFreq`
+    * stop-shingle cut bounds the pair blowup.
+    */
+  def containmentPairs(shingles0: DataFrame, idCol: String, tau: Double,
+                       maxDocFreq: Option[Int] = None): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau $tau out of (0, 1]")
+    val shingles = maxDocFreq.fold(shingles0) { df =>
+      val rare = shingles0.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= df).select("sh")
+      shingles0.join(rare, Seq("sh"), "left_semi")
+    }
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = shingles.select(col(idCol).as("da"), col("sh"))
+    val b = shingles.select(col(idCol).as("db"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+      .join(sizes.select(col(idCol).as("da"), col("sz").as("sza")), "da")
+      .withColumn("containment", col("common").cast("double") / col("sza"))
+      .filter(col("containment") >= tau)
+      .select(col("da"), col("db"),
+        round(col("containment") + lit(1e-9), 4).as("containment"))
+  }
+
   /** Edit-distance VERIFICATION tier over banded candidates: Levenshtein
     * similarity (1 − dist / max(len)) for exactly the pairs LSH banding
     * surfaced — never all pairs. Levenshtein is O(len²) per pair (the

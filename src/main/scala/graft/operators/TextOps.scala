@@ -55,6 +55,91 @@ object TextOps {
     scored.select(col(idCol) +: langs.map(l => col(s"s_$l")) :+ pred.as("lang_pred"): _*)
   }
 
+  /** Single-pass character n-gram counter over the NORMALIZED text (same
+    * normalization as `Text.norm` — Locale.ROOT lower, whitespace
+    * collapse, trim; ASCII-equivalent to Spark's locale-insensitive
+    * `lower`). A column-expression `transform(sequence…substr)` form is
+    * O(len²) — each substr walks from the string start — so the n-gram
+    * pass lives in a typed map like the MinHash row path.
+    */
+  private[operators] def ngramCounts(raw: String, n: Int): Seq[(String, Long)] = {
+    val t = raw.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+    if (t.length < n) Seq.empty
+    else {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + n <= t.length) {
+        val s = t.substring(i, i + n)
+        m.update(s, m.getOrElse(s, 0L) + 1L)
+        i += 1
+      }
+      m.toSeq
+    }
+  }
+
+  /** Cavnar–Trenkle (1994, public) language-profile training: per language
+    * label, the top-k character n-grams by frequency with their ranks —
+    * the classic profile-based language-ID model, trained from the labeled
+    * corpus itself. One typed flatMap (per-doc local counts) + one
+    * (lang, ngram) reduction + a per-language top-k window; the result is
+    * vocabulary-bounded (|langs| × k rows), i.e. a broadcastable model
+    * however big the corpus.
+    */
+  def charNgramProfiles(df: DataFrame, langCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && k >= 1, s"bad profile params n=$n k=$k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tri").asc)
+    df.select(col(langCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (lang, text) =>
+        ngramCounts(text, n).map { case (tri, c) => (lang, tri, c) }
+      }
+      .toDF("lang", "tri", "c")
+      .groupBy("lang", "tri").agg(sum(col("c")).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("lang", "tri", "rank")
+  }
+
+  /** Cavnar–Trenkle classification: each document's own top-k n-gram ranks
+    * against every language profile by OUT-OF-PLACE distance (|doc rank −
+    * profile rank|, k for n-grams absent from the profile); predict the
+    * argmin with a deterministic language tie-break. The doc side is ONE
+    * typed flatMap — counts, the (cnt desc, tri asc) sort, and the top-k
+    * rank all happen inside the row pass, so no per-doc shuffle or window
+    * exists at all; the model side rides broadcasts, making the distance
+    * join linear in doc n-grams × |langs|.
+    */
+  def charNgramLangId(df: DataFrame, idCol: String, textCol: String,
+                      profiles: DataFrame, n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docTri = df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // same order as SQL's row_number() OVER (ORDER BY cnt DESC, tri)
+        ngramCounts(text, n)
+          .sortBy { case (tri, c) => (-c, tri) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((tri, _), i) => (id, tri, i + 1) }
+      }
+      .toDF(idCol, "tri", "drank")
+    val langs = profiles.select("lang").distinct()
+    val dist = docTri.crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "tri"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(when(col("rank").isNull, lit(k.toLong))
+        .otherwise(abs(col("drank") - col("rank")))).as("dist"))
+    val wp = Window.partitionBy(idCol).orderBy(col("dist").asc, col("lang").asc)
+    dist.withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("dist"))
+  }
+
   /** Document fingerprint census: canonical-content md5 per document. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
@@ -602,6 +687,38 @@ object TextOps {
       .withColumn("allowed",
         coalesce(col("allow_len"), lit(-1)) >= coalesce(col("disallow_len"), lit(-1)))
       .drop("allow_len", "disallow_len")
+  }
+
+  /** Positional postings — the (term, doc, position) long layout of a
+    * positional inverted index, the structure phrase/proximity queries
+    * run on. One projection explode; positions are 1-based (matching the
+    * SQL `generate_series(1, len)` mirror).
+    */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .select(col(idCol), col("term"), (col("pos") + 1).as("pos"))
+
+  /** Exact phrase search over positional postings: occurrences of the
+    * word sequence `phrase` as ADJACENT tokens. Each phrase term filters
+    * the postings BEFORE any join (selectivity first), then consecutive
+    * terms align on (doc, start = pos − offset) — k−1 hash equi-joins on
+    * bounded keys, never a scan of non-matching docs. The per-doc result
+    * carries occurrence count and first position.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val post = positionalPostings(df, idCol, textCol)
+    val first = post.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos").as("start"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (w, i)) =>
+        acc.join(post.filter(col("term") === w)
+          .select(col(idCol), (col("pos") - i).as("start")), Seq(idCol, "start"))
+    }
+    matched.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
   }
 
   /** BM25 ranked retrieval (Robertson–Spärck Jones, the public Okapi

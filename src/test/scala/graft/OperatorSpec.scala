@@ -501,6 +501,28 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
   }
 
+  test("assignSplits: exhaustive, exclusive, stable under reshuffling") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = graft.operators.CurationOps.assignSplits(df, "id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every row in exactly one split; proportions near weights
+    assert(got.values.sum === 2000L)
+    assert(got("train") > 1700 && got("val") > 50 && got("test") > 50)
+    // stability: repartitioned input gives the identical assignment
+    val again = graft.operators.CurationOps
+      .assignSplits(df.repartition(7), "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = graft.operators.CurationOps.assignSplits(df, "id", splits)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === base)
+    intercept[IllegalArgumentException](
+      graft.operators.CurationOps.assignSplits(df, "id", Seq("a" -> 0.5)))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged") {
     val s = spark
     import s.implicits._

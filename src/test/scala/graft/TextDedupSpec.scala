@@ -395,6 +395,24 @@ class TextDedupSpec extends SparkSpec {
     assert(r(1L) != r(4L))
   }
 
+  test("containmentPairs finds subsumption Jaccard misses") {
+    val s = spark
+    import s.implicits._
+    val para = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = para + " " + "iota kappa lambda mu nu xi omicron pi rho " * 4
+    val docs = Seq((1L, para), (2L, page), (3L, "other words entirely here"))
+      .toDF("doc_id", "text")
+    val sh = graft.operators.DedupOps.shingleSet(docs, "doc_id", "text", 3)
+    val cont = graft.operators.DedupOps.containmentPairs(sh, "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the paragraph is contained in the page, not vice versa
+    assert(cont.contains((1L, 2L)))
+    assert(!cont.contains((2L, 1L)))
+    val jac = graft.operators.DedupOps.jaccardPairs(sh, "doc_id", 0.8)
+      .collect()
+    assert(jac.isEmpty) // Jaccard at the same threshold sees nothing
+  }
+
   test("incrementalDedup classifies exact/near/novel against an index") {
     val s = spark
     import s.implicits._

@@ -118,6 +118,50 @@ class WebTextSpec extends SparkSpec {
     assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
   }
 
+  test("charNgram profiles + out-of-place classification recover the label") {
+    val s = spark
+    import s.implicits._
+    // two synthetic "languages" with disjoint trigram inventories
+    val corpus = Seq(
+      (1L, "aaa aab aba aaa baa aab", "aa"),
+      (2L, "aab aaa aba aab aaa", "aa"),
+      (3L, "zzz zzy zyz zzz yzz", "zz"),
+      (4L, "zzy zzz zyz yzz zzy", "zz")).toDF("doc_id", "text", "lang")
+    val profiles = TextOps.charNgramProfiles(corpus, "lang", "text", n = 3, k = 20)
+    // profiles are vocabulary-bounded: at most |langs| * k rows
+    assert(profiles.count() <= 40)
+    val pred = TextOps.charNgramLangId(corpus, "doc_id", "text", profiles,
+      n = 3, k = 20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred"))
+      .toMap
+    assert(pred === Map(1L -> "aa", 2L -> "aa", 3L -> "zz", 4L -> "zz"))
+    // an unseen doc made of 'z' material classifies as the zz language
+    val novel = TextOps.charNgramLangId(
+      Seq((9L, "zzz yzz zzy")).toDF("doc_id", "text"), "doc_id", "text",
+      profiles, n = 3, k = 20).collect().head
+    assert(novel.getAs[String]("lang_pred") === "zz")
+  }
+
+  test("phraseSearch counts adjacent occurrences, including overlaps") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "x a b y a b"),   // two occurrences of "a b"
+      (2L, "a x b"),         // terms present but not adjacent
+      (3L, "a a a"),         // overlapping "a a": positions 1 and 2
+      (4L, "b a")).toDF("doc_id", "text")
+    val ab = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ab === Set((1L, 2L, 2)))
+    val aa = TextOps.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(aa === Set((3L, 2L, 1)))
+    // three-term phrase
+    val xab = TextOps.phraseSearch(docs, "doc_id", "text", Seq("x", "a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(xab === Set((1L, 1L, 1)))
+  }
+
   test("bm25TopK rank ties break by doc id; k truncates") {
     val s = spark
     import s.implicits._

@@ -208,6 +208,8 @@ object SparkEntry {
     "q_phrase_search" -> (qPhraseSearch _),
     "q_assign_splits" -> (qAssignSplits _),
     "q_containment" -> (qContainment _),
+    "q_keep_best" -> (qKeepBest _),
+    "q_readability" -> (qReadability _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3221,6 +3223,37 @@ object SparkEntry {
       "doc_id", tau = 0.8, maxDocFreq = Some(MaxShingleDf))
       .orderBy("da", "db")
 
+  /** Quality-based dedup survivor gate: LSH-banded Jaccard pairs (τ=0.5)
+    * resolved into components, survivor = LONGEST doc per component
+    * (min-id tie-break) via
+    * [[graft.operators.DedupOps.resolveClustersBest]]. The oracle walks
+    * the same pair graph with a recursive CTE and replays the argmax.
+    */
+  private def qKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shingles = DedupOps.shingleSet(docs, "doc_id", "text", ShingleK)
+    val pairs = DedupOps.jaccardPairs(shingles, "doc_id", tau = 0.5,
+      candidates = Some(DedupOps.bandPairs(
+        DedupOps.minhashSignatures(shingles, "doc_id"), "doc_id")),
+      maxDocFreq = Some(MaxShingleDf))
+      .select(col("da"), col("db"))
+    DedupOps.resolveClustersBest(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id", pairs, "n_chars")
+      .select(col("doc_id"), col("component"), col("n_chars"), col("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** Flesch readability over documents with deterministic sentence
+    * punctuation injected (the corpus text is unpunctuated); the oracle
+    * replays the same injection and regexp counts.
+    */
+  private def qReadability(s: SparkSession, dir: String): DataFrame =
+    TextOps.readability(
+      Tables.documents(s, dir).select(col("doc_id"),
+        replace(col("text"), lit(" scan"), lit(". scan")).as("t")),
+      "doc_id", "t")
+      .orderBy("doc_id")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5894,6 +5927,52 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The pair graph from the shared jaccard CTEs at tau 0.5, components
+    // via the recursive walk, survivor = argmax(n_chars, min id).
+    "q_keep_best" ->
+      s"""WITH RECURSIVE $SigCte,
+         |band AS ($BandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM band a JOIN band b USING (band, bk) WHERE a.doc_id < b.doc_id),
+         |sh2 AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf) f
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh2 a JOIN sh2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e AS (SELECT p.da, p.db FROM p JOIN cand USING (da, db)
+         |      JOIN sz x ON x.doc_id = p.da JOIN sz y ON y.doc_id = p.db
+         |      WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.5),
+         |sym(a, b) AS (SELECT da, db FROM e UNION SELECT db, da FROM e),
+         |walk(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+         |cc AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+         |  FROM walk GROUP BY 1)
+         |SELECT cc.doc_id, cc.component, d.n_chars,
+         |  row_number() OVER (PARTITION BY cc.component
+         |    ORDER BY d.n_chars DESC, cc.doc_id) = 1 AS is_survivor
+         |FROM cc JOIN documents d USING (doc_id) ORDER BY cc.doc_id""".stripMargin,
+
+    // Same punctuation injection, same RE2-safe regexp counts, same
+    // Flesch arithmetic nesting.
+    "q_readability" ->
+      """WITH t AS (SELECT doc_id, replace(text, ' scan', '. scan') AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(trim(regexp_replace(lower(t),
+        |      '\s+', ' ', 'g')), ' '), x -> x <> '')) AS INT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS INT)
+        |      AS n_sents,
+        |    CAST(greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))) AS INT)
+        |      AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sents, n_syllables,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) + 1e-9, 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // Same 60-bit md5 bucket as the samplers; cumulative boundaries
     // 9000/9500/10000.

@@ -580,6 +580,25 @@ object DedupOps {
     connectedComponents(ids, idCol, pairs)
       .withColumn("is_survivor", col(idCol) === col("component"))
 
+  /** Cluster resolution with a QUALITY-BASED survivor: within each
+    * connected component the row with the highest `scoreCol` survives
+    * (deterministic min-id tie-break) — the policy real dedup pipelines
+    * want (keep the longest / highest-quality copy), where [[resolveClusters]]'
+    * min-id pick is arbitrary. One extra per-component window over rows
+    * already clustered; component sizes bound the window state.
+    */
+  def resolveClustersBest(ids: DataFrame, idCol: String, pairs: DataFrame,
+                          scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(ids.select(col(idCol)), idCol, pairs)
+    val w = Window.partitionBy("component")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    cc.join(ids, idCol :: Nil)
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("is_survivor", col("_rk") === 1)
+      .drop("_rk")
+  }
+
   /** SimHash: per-token hash bits weighted ±1 and summed per bit position;
     * the fingerprint packs the positive-sum bits. One groupBy with `bits`
     * conditional sums — no explosion beyond the token rows.

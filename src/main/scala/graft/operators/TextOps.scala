@@ -689,6 +689,26 @@ object TextOps {
       .drop("allow_len", "disallow_len")
   }
 
+  /** Readability metrics (Flesch reading ease, public 1948 formula) from
+    * RE2-safe regexp counts: words = whitespace tokens, sentences =
+    * `[.!?]+` terminator groups (floored at 1), syllables ≈ `[aeiouy]+`
+    * vowel groups (the standard regex approximation). Pure column
+    * expressions, codegen'd, no shuffle — another axis for the quality
+    * gate family.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = size(Text.tokens(t))
+    val sents = greatest(lit(1), Text.patternCount(t, "[.!?]+"))
+    val syll = greatest(lit(1), Text.patternCount(lower(t), "[aeiouy]+"))
+    val flesch = lit(206.835) -
+      lit(1.015) * (words.cast("double") / sents) -
+      lit(84.6) * (syll.cast("double") / words)
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sents"),
+      syll.as("n_syllables"),
+      round(flesch + lit(1e-9), 4).as("flesch"))
+  }
+
   /** Positional postings — the (term, doc, position) long layout of a
     * positional inverted index, the structure phrase/proximity queries
     * run on. One projection explode; positions are 1-based (matching the

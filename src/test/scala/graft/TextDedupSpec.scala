@@ -395,6 +395,22 @@ class TextDedupSpec extends SparkSpec {
     assert(r(1L) != r(4L))
   }
 
+  test("resolveClustersBest keeps the highest-scoring copy per component") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq((1L, 10L), (2L, 99L), (3L, 50L), (7L, 5L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db") // {1,2,3} + {7}
+    val got = graft.operators.DedupOps.resolveClustersBest(
+      ids, "doc_id", pairs, "score")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Boolean]("is_survivor"))).toMap
+    assert(got(1L) === (1L, false))
+    assert(got(2L) === (1L, true))  // highest score in the component
+    assert(got(3L) === (1L, false))
+    assert(got(7L) === (7L, true))  // singleton survives
+  }
+
   test("containmentPairs finds subsumption Jaccard misses") {
     val s = spark
     import s.implicits._

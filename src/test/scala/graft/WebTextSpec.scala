@@ -162,6 +162,21 @@ class WebTextSpec extends SparkSpec {
     assert(xab === Set((1L, 1L, 1)))
   }
 
+  test("readability: Flesch from regexp counts, floors at one sentence") {
+    val s = spark
+    import s.implicits._
+    val rows = TextOps.readability(Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sents, 6 syllables
+      (2L, "no terminators here")).toDF("id", "t"), "id", "t")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Int]("n_words") === 6)
+    assert(rows(0).getAs[Int]("n_sents") === 2)
+    assert(rows(0).getAs[Int]("n_syllables") === 6)
+    val expected = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(math.abs(rows(0).getAs[Double]("flesch") - expected) < 1e-3)
+    assert(rows(1).getAs[Int]("n_sents") === 1) // floored
+  }
+
   test("bm25TopK rank ties break by doc id; k truncates") {
     val s = spark
     import s.implicits._

@@ -210,6 +210,7 @@ object SparkEntry {
     "q_containment" -> (qContainment _),
     "q_keep_best" -> (qKeepBest _),
     "q_readability" -> (qReadability _),
+    "q_parquet_meta" -> (qParquetMeta _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -2036,6 +2037,13 @@ object SparkEntry {
     */
   private val AnnPlanesDir = s"$MatRoot/ann_planes"
 
+  /** Staging point for the parquet-footer gate: the oracle's
+    * `parquet_metadata()` needs a literal path in static SQL, so the
+    * query copies the sf dir's file here first (same contract as the
+    * other materialized oracle constants).
+    */
+  private val PqMetaDir = s"$MatRoot/pq_meta"
+
   /** Same materialized-constant contract as [[AnnPlanesDir]], for the JL
     * projection matrix.
     */
@@ -3253,6 +3261,27 @@ object SparkEntry {
         replace(col("text"), lit(" scan"), lit(". scan")).as("t")),
       "doc_id", "t")
       .orderBy("doc_id")
+
+  /** Parquet footer audit gate: the documents table's own file is staged
+    * to the fixed materialization point and its footer parsed by
+    * [[graft.sources.ParquetFooter]] (pure-JVM Thrift compact protocol,
+    * footer-only positioned reads); DuckDB's native `parquet_metadata`
+    * reads THE SAME FILE as a fully independent implementation — two
+    * unrelated parsers must agree on every row group, column chunk,
+    * codec, size, and statistic.
+    */
+  private def qParquetMeta(s: SparkSession, dir: String): DataFrame = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$PqMetaDir/documents.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
+      dstP.getFileSystem(hconf), dstP, false, true, hconf)
+    graft.sources.ParquetFooter.readMetadata(s, s"$PqMetaDir/documents.parquet")
+      .select(col("rg"), col("col_name"), col("type"), col("num_values"),
+        col("codec"), col("n_compressed"), col("n_uncompressed"),
+        col("null_count"), col("min_v"), col("max_v"))
+      .orderBy("rg", "col_name")
+  }
 
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
@@ -5927,6 +5956,21 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // DuckDB's own parquet reader on the SAME staged file — a fully
+    // independent implementation of the Thrift-compact footer walk.
+    "q_parquet_meta" ->
+      s"""SELECT CAST(row_group_id AS INT) AS rg, path_in_schema AS col_name,
+         |  CAST(type AS VARCHAR) AS type,
+         |  CAST(num_values AS BIGINT) AS num_values,
+         |  CAST(compression AS VARCHAR) AS codec,
+         |  CAST(total_compressed_size AS BIGINT) AS n_compressed,
+         |  CAST(total_uncompressed_size AS BIGINT) AS n_uncompressed,
+         |  CAST(stats_null_count AS BIGINT) AS null_count,
+         |  CAST(stats_min_value AS VARCHAR) AS min_v,
+         |  CAST(stats_max_value AS VARCHAR) AS max_v
+         |FROM parquet_metadata('$PqMetaDir/documents.parquet')
+         |ORDER BY rg, col_name""".stripMargin,
 
     // The pair graph from the shared jaccard CTEs at tau 0.5, components
     // via the recursive walk, survivor = argmax(n_chars, min id).

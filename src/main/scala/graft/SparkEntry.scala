@@ -211,6 +211,7 @@ object SparkEntry {
     "q_keep_best" -> (qKeepBest _),
     "q_readability" -> (qReadability _),
     "q_parquet_meta" -> (qParquetMeta _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3283,6 +3284,23 @@ object SparkEntry {
       .orderBy("rg", "col_name")
   }
 
+  /** Bounded top-k-per-group gate: best 5 docs per (lang, source) group
+    * by (n_chars desc, id asc) via the custom [[graft.functions.TopKAgg]]
+    * Aggregator — state ≤ k, map-side partials, only k rows per group per
+    * partition shuffle. The oracle replays with the window form the
+    * aggregator replaces; semilattice determinism is what makes the two
+    * agree exactly.
+    */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TopK.topKPerGroup(
+      Tables.documents(s, dir)
+        .select(concat(col("lang"), lit("_"), col("source")).as("grp"),
+          col("doc_id"), col("n_chars")),
+      "grp", "doc_id", "n_chars", k = 5)
+      .select(col("grp"), col("rank"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("grp", "rank")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5956,6 +5974,17 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The window form the bounded aggregator replaces, replayed as the
+    // oracle: identical (score desc, id asc) total order.
+    "q_topk_per_group" ->
+      """SELECT grp, rank, doc_id, n_chars FROM (
+        |  SELECT lang || '_' || source AS grp, doc_id,
+        |    CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang || '_' || source
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 5 ORDER BY grp, rank""".stripMargin,
 
     // DuckDB's own parquet reader on the SAME staged file — a fully
     // independent implementation of the Thrift-compact footer walk.

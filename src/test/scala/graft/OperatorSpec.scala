@@ -501,6 +501,42 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
   }
 
+  test("TopKAgg equals the window form under any partitioning") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i =>
+      (s"g${i % 7}", i, rnd.nextInt(40).toDouble)) // many score ties
+    val df = rows.toDF("grp", "id", "score")
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("grp", "rank", "id", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    for (parts <- Seq(1, 3, 13)) {
+      val got = graft.functions.TopK.topKPerGroup(
+        df.repartition(parts), "grp", "id", "score", 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === want, s"at $parts partitions")
+    }
+  }
+
+  test("TopKAgg merge is order-insensitive at the k boundary") {
+    val agg = new graft.functions.TopKAgg(2)
+    val items = Seq((5.0, 1L), (5.0, 2L), (5.0, 3L), (7.0, 9L))
+    val perms = items.permutations.take(12).toSeq
+    val results = perms.map(p =>
+      p.foldLeft(agg.zero)(agg.reduce))
+    assert(results.distinct.size === 1)
+    assert(results.head === Seq((7.0, 9L), (5.0, 1L)))
+    // merging split halves gives the same answer
+    val (l, r) = items.splitAt(2)
+    assert(agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce)) === results.head)
+  }
+
   test("assignSplits: exhaustive, exclusive, stable under reshuffling") {
     val s = spark
     import s.implicits._

@@ -224,6 +224,15 @@ class PlanSpec extends SparkSpec {
     assert(passed >= trueMatch && passed <= li.count())
   }
 
+  test("q_topk_per_group: bounded aggregator, not a window over all rows") {
+    val p = formatted("q_topk_per_group")
+    // the point of TopKAgg: partial+final object aggregation with <= k
+    // state — never a per-group Window sorting every row
+    assert(!p.contains("Window"), "top-k degraded to the window form")
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "expected partial+final typed aggregation")
+  }
+
   test("pageRank contribution join reuses the edges' one-time partitioning") {
     import org.apache.spark.sql.functions._
     val s = spark

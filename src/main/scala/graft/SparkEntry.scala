@@ -212,6 +212,7 @@ object SparkEntry {
     "q_readability" -> (qReadability _),
     "q_parquet_meta" -> (qParquetMeta _),
     "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3301,6 +3302,40 @@ object SparkEntry {
         col("n_chars").cast("long").as("n_chars"))
       .orderBy("grp", "rank")
 
+  /** Avro object-container round trip: documents become records (nullable
+    * string union, long, double, boolean fields; schema derived from the
+    * frame) across four files alternating the null and deflate codecs,
+    * written by [[graft.sinks.AvroSink]] and read back by
+    * [[graft.sources.AvroSource]] with sync markers verified. The oracle
+    * recomputes every aggregate (null-branch counts included) from the
+    * documents table.
+    */
+  private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_avro", dir)
+    val rows = Tables.documents(s, dir).select(
+      concat(lit("part-"), col("doc_id") % 4,
+        when(col("doc_id") % 2 === 0, lit(".avro"))
+          .otherwise(lit(".deflate.avro"))).as("file"),
+      col("doc_id").as("seq"),
+      col("doc_id"),
+      when(col("doc_id") % 23 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"),
+      col("n_chars"),
+      (col("n_chars") * 0.5).as("score"),
+      (col("doc_id") % 2 === 0).as("flag"))
+    graft.sinks.AvroSink.writeFiles(rows, out).count()
+    graft.sources.AvroSource.readFiles(s, s"$out/*.avro")
+      .groupBy(regexp_extract(col("file"), "part-(\\d+)", 1).cast("int").as("g"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("doc_id")).as("sum_doc"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        rnd(sum(col("score")), 4).as("sum_score"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"))
+      .orderBy("g")
+  }
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -5974,6 +6009,23 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The export cycle checked against the parameters; null-union
+    // branches and both codecs covered by the fixture split.
+    "q_avro_roundtrip" ->
+      """WITH h AS (SELECT doc_id % 4 AS g, doc_id,
+        |    CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang,
+        |    n_chars, n_chars * 0.5 AS score, doc_id % 2 = 0 AS flag
+        |  FROM documents)
+        |SELECT CAST(g AS INT) AS g, CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_lang,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(sum(score) + 1e-9, 4) AS sum_score,
+        |  CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+        |FROM h GROUP BY g ORDER BY g""".stripMargin,
 
     // The window form the bounded aggregator replaces, replayed as the
     // oracle: identical (score desc, id asc) total order.

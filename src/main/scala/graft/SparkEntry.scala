@@ -213,6 +213,7 @@ object SparkEntry {
     "q_parquet_meta" -> (qParquetMeta _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_column_lineage" -> (qColumnLineage _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3336,6 +3337,17 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Column-lineage gate: [[graft.plans.Lineage.columnLineage]] analyzes
+    * the flagship five-table join's Catalyst plan (never executing it)
+    * and must recover exactly which source columns feed each output —
+    * r_name/n_name pass through their dimensions, revenue derives from
+    * lineitem's price and discount, the count literal from nothing. The
+    * oracle is the hand-derived edge list.
+    */
+  private def qColumnLineage(s: SparkSession, dir: String): DataFrame =
+    graft.plans.Lineage.columnLineage(qJoinRegionalRevenue(s, dir))
+      .orderBy("out_col", "src_table", "src_col")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -6009,6 +6021,18 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The hand-derived lineage edge list for the flagship join — a
+    // structural gate on the plan-analysis result.
+    "q_column_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('n_items', 'literal', ''),
+        |  ('n_name', 'nation', 'n_name'),
+        |  ('r_name', 'region', 'r_name'),
+        |  ('revenue', 'lineitem', 'l_discount'),
+        |  ('revenue', 'lineitem', 'l_extendedprice'))
+        |  v(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""".stripMargin,
 
     // The export cycle checked against the parameters; null-union
     // branches and both codecs covered by the fixture split.

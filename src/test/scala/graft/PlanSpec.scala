@@ -224,6 +224,29 @@ class PlanSpec extends SparkSpec {
     assert(passed >= trueMatch && passed <= li.count())
   }
 
+  test("columnLineage traces through multi-hop aliases and aggregates") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    // two alias hops + a filter + an aggregate mixing two source columns
+    val frame = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        (length(org.apache.spark.sql.functions.col("text")) +
+          org.apache.spark.sql.functions.col("n_chars")).as("mix"),
+        org.apache.spark.sql.functions.col("lang").as("l1"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") > 0)
+      .select(org.apache.spark.sql.functions.col("l1").as("l2"),
+        org.apache.spark.sql.functions.col("mix"))
+      .groupBy("l2")
+      .agg(sum(org.apache.spark.sql.functions.col("mix")).as("total"))
+    val got = graft.plans.Lineage.columnLineage(frame)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set(
+      ("l2", "documents", "lang"),
+      ("total", "documents", "text"),
+      ("total", "documents", "n_chars")))
+  }
+
   test("q_topk_per_group: bounded aggregator, not a window over all rows") {
     val p = formatted("q_topk_per_group")
     // the point of TopKAgg: partial+final object aggregation with <= k

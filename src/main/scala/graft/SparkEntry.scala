@@ -214,6 +214,10 @@ object SparkEntry {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_column_lineage" -> (qColumnLineage _),
+    "q_scd2" -> (qScd2 _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_triangles" -> (qTriangles _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3348,6 +3352,53 @@ object SparkEntry {
     graft.plans.Lineage.columnLineage(qJoinRegionalRevenue(s, dir))
       .orderBy("out_col", "src_table", "src_col")
 
+  /** SCD-2 gate: per-user event-type history collapsed into validity
+    * intervals by [[graft.operators.RelationalOps.scd2]]; the oracle
+    * replays the lag/lead windows in µs arithmetic with the same
+    * (ts, event id) ordering.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.scd2(Tables.events(s, dir), "user_id", "ts", "event_id",
+      "event_type")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"))
+      .orderBy("user_id", "valid_from", "event_type")
+
+  /** Funnel gate (signup → click → purchase, strictly ordered firsts):
+    * per-depth user censuses + total signup→purchase delay, via
+    * [[graft.operators.RelationalOps.funnel]].
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    // every 19th event only — at full density every user completes the
+    // funnel and the gate would not discriminate depths
+    RelationalOps.funnel(Tables.events(s, dir).filter(col("event_id") % 19 === 0),
+      "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .groupBy(col("reached"))
+      .agg(count(lit(1)).as("n_users"),
+        coalesce(sum(when(col("reached") === 3,
+          unix_micros(col("t_2")) - unix_micros(col("t_0")))), lit(0L))
+          .as("sum_delay_us"))
+      .orderBy("reached")
+
+  /** Daily cohort retention matrix over the events month. */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_day", "offset_days")
+
+  /** Degree-ordered triangle counting on the 30-node event graph; the
+    * oracle counts the same triangles with the INDEPENDENT id-ordered
+    * brute construction, so the orientation trick is checked against a
+    * different algorithm.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.triangleCounts(
+      Tables.events(s, dir).select((col("user_id") % 30).as("src"),
+        (col("event_id") % 30).as("dst")),
+      "src", "dst")
+      .orderBy("node")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -6021,6 +6072,67 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // lag/lead windows replayed in µs with the same (ts, event id) order.
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |runs AS (SELECT user_id, event_type, us, event_id FROM c
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type, us AS valid_from,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS valid_to FROM runs)
+        |SELECT user_id, event_type, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to
+        |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // Sequential firsts replayed as chained min-aggregations.
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events WHERE event_id % 19 = 0),
+        |t0 AS (SELECT user_id, min(us) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t1 AS (SELECT e.user_id, min(us) AS t1 FROM e JOIN t0 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t0 GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN t1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t1 GROUP BY 1),
+        |u AS (SELECT k.user_id, t0.t0, t1.t1, t2.t2
+        |  FROM (SELECT DISTINCT user_id FROM e) k
+        |  LEFT JOIN t0 USING (user_id) LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id)),
+        |r AS (SELECT user_id,
+        |    CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |         WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS reached,
+        |    t2 - t0 AS delay FROM u)
+        |SELECT CAST(reached AS INT) AS reached,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(coalesce(sum(CASE WHEN reached = 3 THEN delay END), 0) AS BIGINT)
+        |    AS sum_delay_us
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day, f.cohort_day
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_day, CAST(day - cohort_day AS INT) AS offset_days,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The INDEPENDENT id-ordered brute triangle enumeration — a different
+    // algorithm from the degree-ordered orientation under test.
+    "q_triangles" ->
+      """WITH e AS (SELECT DISTINCT least(user_id % 30, event_id % 30) AS a,
+        |    greatest(user_id % 30, event_id % 30) AS b
+        |  FROM events WHERE user_id % 30 <> event_id % 30),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS node FROM t)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The hand-derived lineage edge list for the flagship join — a
     // structural gate on the plan-analysis result.

@@ -66,6 +66,49 @@ object GraphOps {
     ranks
   }
 
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal of link-graph analysis (spam farms are
+    * triangle-dense; organic link neighborhoods are sparse). Uses the
+    * classic DEGREE-ORDERED orientation (Schank–Wagner, public): every
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher, so each wedge is generated exactly once at its
+    * lowest-ordered vertex and the wedge join's fan-out per vertex is
+    * O(√m) instead of O(max degree) — the difference between a
+    * celebrity node exploding the join and a bounded one. Triangles are
+    * found as oriented wedges (a→b, a→c) closed by the oriented edge
+    * b→c; each closure credits all three corners.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    // orient toward the higher (degree, id)
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("lo"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("hi"))
+    val w1 = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    val w2 = oriented.select(col("lo").as("x"), col("hi").as("z"))
+    val wedges = w1.join(w2, "x").where(col("y") < col("z"))
+    // close the wedge with the oriented edge between y and z (direction
+    // depends on their (degree, id) order, so probe both)
+    val closer = oriented.select(col("lo").as("y"), col("hi").as("z"))
+      .union(oriented.select(col("hi").as("y"), col("lo").as("z")))
+      .where(col("y") < col("z"))
+    val tris = wedges.join(closer, Seq("y", "z"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Distributed EXCLUSIVE prefix sum over `valueCol` in `orderCol` order —
     * the global atom-offset table. A bare `Window.orderBy` would collapse
     * everything into ONE task; this is the scalable two-pass form:

@@ -261,4 +261,73 @@ object RelationalOps {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_b")
   }
+
+  /** SCD-2 interval construction (slowly-changing-dimension type 2, the
+    * classic warehouse shape): collapse a per-key attribute history into
+    * validity intervals — one row per (key, attribute run) with
+    * `valid_from` = the run's first event time and `valid_to` = the next
+    * run's start (null while current). Two partition-bounded windows
+    * (change detection via lag, then lead over the collapsed run starts);
+    * no global ordering, state bounded by per-key history.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+           attrCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    val changes = df
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+    val w2 = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col("valid_to"))
+  }
+
+  /** Ordered funnel analysis: how far each entity progressed through the
+    * step sequence, each step's time being the FIRST occurrence strictly
+    * after the previous step's time. One filtered min-aggregation + one
+    * broadcastable join-back per step — k passes over selective slices,
+    * never a per-entity sort of all events.
+    */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "empty funnel")
+    val keys = df.select(col(keyCol)).distinct()
+    val stepTimes = steps.zipWithIndex.foldLeft(keys) {
+      case (acc, (step, i)) =>
+        val prevCol = if (i == 0) null else s"t_${i - 1}"
+        val base = df.filter(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("_ts"))
+        val scoped =
+          if (i == 0) base
+          else base.join(acc.select(col(keyCol), col(prevCol)), keyCol :: Nil)
+            .filter(col("_ts") > col(prevCol))
+            .select(col(keyCol), col("_ts"))
+        val mins = scoped.groupBy(col(keyCol)).agg(min(col("_ts")).as(s"t_$i"))
+        acc.join(mins, keyCol :: Nil, "left")
+    }
+    // fold ascending so the DEEPEST step's check ends outermost
+    // (when(t_k)…otherwise(when(t_{k-1})…)): reached = max satisfied step
+    val reached = steps.indices.foldLeft(lit(0)) { (els, i) =>
+      when(col(s"t_$i").isNotNull, lit(i + 1)).otherwise(els)
+    }
+    stepTimes.withColumn("reached", reached)
+  }
+
+  /** Daily cohort retention: entities grouped by their FIRST-seen day,
+    * distinct-active counts per (cohort day, day offset) — the standard
+    * engagement matrix. Two hash aggregations (first-seen, then the
+    * cohort×offset census); offsets are integer day arithmetic so any
+    * engine reproduces them exactly.
+    */
+  def cohortRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    df.select(col(keyCol), to_date(col(tsCol)).as("_day"))
+      .join(firstSeen, keyCol :: Nil)
+      .groupBy(col("cohort_day"),
+        datediff(col("_day"), col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
 }

@@ -501,6 +501,74 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
   }
 
+  test("scd2 collapses runs into validity intervals") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "a"), (2L, 15L, 5L, "x"))
+      .toDF("k", "sec", "seq", "attr")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = graft.operators.RelationalOps.scd2(df, "k", "ts", "seq", "attr")
+      .select(col("k"), col("attr"),
+        unix_seconds(col("valid_from")).as("f"),
+        unix_seconds(col("valid_to")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)))).toSet
+    assert(got === Set(
+      (1L, "a", 10L, Some(30L)), (1L, "b", 30L, Some(40L)),
+      (1L, "a", 40L, None), (2L, "x", 15L, None)))
+  }
+
+  test("funnel: strictly ordered firsts, depth census") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, 10L, "s"), (1L, 20L, "c"), (1L, 30L, "p"), // full funnel
+      (2L, 10L, "c"), (2L, 20L, "s"), (2L, 30L, "c"), // s then later c: depth 2
+      (3L, 10L, "p"), (3L, 20L, "s"),                 // p BEFORE s: depth 1
+      (4L, 10L, "c"))                                  // never signed up: 0
+      .toDF("k", "sec", "t")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = graft.operators.RelationalOps.funnel(df, "k", "ts", "t",
+      Seq("s", "c", "p"))
+      .select("k", "reached")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0))
+  }
+
+  test("cohortRetention counts distinct actives per day offset") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400L
+    val df = Seq(
+      (1L, 0L), (1L, day), (1L, 2 * day),
+      (2L, 0L), (2L, 2 * day),
+      (3L, day), (3L, 2 * day))
+      .toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = graft.operators.RelationalOps.cohortRetention(df, "k", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      ("1970-01-01", 0, 2L), ("1970-01-01", 1, 1L), ("1970-01-01", 2, 2L),
+      ("1970-01-02", 0, 1L), ("1970-01-02", 1, 1L)))
+  }
+
+  test("triangleCounts: degree-ordered orientation finds each triangle once") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (every node in 3 triangles) plus a pendant 5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L) /* dup reversed */).toDF("src", "dst")
+    val got = graft.graph.GraphOps.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("TopKAgg equals the window form under any partitioning") {
     val s = spark
     import s.implicits._

@@ -218,6 +218,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_triangles" -> (qTriangles _),
+    "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_sample_n_per_group" -> (qSampleNPerGroup _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3279,10 +3281,22 @@ object SparkEntry {
     */
   private def qParquetMeta(s: SparkSession, dir: String): DataFrame = {
     val hconf = s.sparkContext.hadoopConfiguration
-    val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val src0 = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val sfs = src0.getFileSystem(hconf)
+    // normalize both table layouts to ONE bare file: the table may be a
+    // bare parquet file (the driver's testdata) or a Spark-written
+    // directory of part files (the ScaleUp output) — stage the
+    // lexicographically-first part so both sides read the same footer
+    val srcP =
+      if (sfs.getFileStatus(src0).isDirectory)
+        sfs.listStatus(src0)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).minBy(_.getName.toString)
+      else src0
     val dstP = new org.apache.hadoop.fs.Path(s"$PqMetaDir/documents.parquet")
-    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
-      dstP.getFileSystem(hconf), dstP, false, true, hconf)
+    val dfs = dstP.getFileSystem(hconf)
+    dfs.delete(dstP, true) // a stale dir/file from another layout blocks copy
+    org.apache.hadoop.fs.FileUtil.copy(sfs, srcP, dfs, dstP, false, true, hconf)
     graft.sources.ParquetFooter.readMetadata(s, s"$PqMetaDir/documents.parquet")
       .select(col("rg"), col("col_name"), col("type"), col("num_values"),
         col("codec"), col("n_compressed"), col("n_uncompressed"),
@@ -3398,6 +3412,42 @@ object SparkEntry {
         (col("event_id") % 30).as("dst")),
       "src", "dst")
       .orderBy("node")
+
+  /** Jaro–Winkler gate over all corpus-vocabulary word pairs (a bounded
+    * brute tier — vocabulary², like the cosine baselines): our
+    * [[graft.functions.StringSim]] implementation against DuckDB's NATIVE
+    * `jaro_winkler_similarity` — two independent implementations of the
+    * match-window/transposition/prefix-boost algorithm must agree digit
+    * for digit on every pair above the threshold.
+    */
+  private def qJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    vocab.select(col("w").as("wa"))
+      .crossJoin(vocab.select(col("w").as("wb")))
+      .filter(col("wa") < col("wb"))
+      .as[(String, String)]
+      .map { case (a, b) =>
+        (a, b, graft.functions.StringSim.jaroWinkler(a, b))
+      }
+      .toDF("wa", "wb", "jw")
+      // filter on the ROUNDED value: a raw-double cut could flip an
+      // exact-boundary pair on a 1-ulp cross-engine difference
+      .select(col("wa"), col("wb"), round(col("jw") + lit(1e-9), 6).as("jw"))
+      .filter(col("jw") >= 0.7)
+      .orderBy("wa", "wb")
+  }
+
+  /** Exact-N-per-group sample gate: 10 docs per language by the md5
+    * priority draw through the bounded aggregator; the oracle replays
+    * with the window form over the same 60-bit-bucket-as-double priority.
+    */
+  private def qSampleNPerGroup(s: SparkSession, dir: String): DataFrame =
+    CurationOps.sampleNPerGroup(Tables.documents(s, dir), "lang", "doc_id", 10)
+      .select(col("lang"), col("rank"), col("doc_id"))
+      .orderBy("lang", "rank")
 
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
@@ -6072,6 +6122,29 @@ object SparkEntry {
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // The window replay of the bounded-aggregator sample: identical
+    // 60-bit md5 bucket cast to DOUBLE (the shared precision), identical
+    // (prio desc, id asc) order.
+    "q_sample_n_per_group" ->
+      """SELECT lang, rank, doc_id FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 15) AS BIGINT) AS DOUBLE) DESC, doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    // DuckDB's native jaro_winkler_similarity — an independent
+    // implementation — over the identical vocabulary pair set.
+    "q_jaro_winkler" ->
+      """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |vv AS (SELECT w FROM v WHERE w <> ''),
+        |p AS (SELECT a.w AS wa, b.w AS wb,
+        |    jaro_winkler_similarity(a.w, b.w) AS jw
+        |  FROM vv a JOIN vv b ON a.w < b.w)
+        |SELECT wa, wb, round(jw + 1e-9, 6) AS jw FROM p
+        |WHERE round(jw + 1e-9, 6) >= 0.7 ORDER BY wa, wb""".stripMargin,
 
     // lag/lead windows replayed in µs with the same (ts, event id) order.
     "q_scd2" ->

@@ -36,6 +36,22 @@ object CurationOps {
     df.withColumn("split", expr)
   }
 
+  /** Exact-N-per-group deterministic sample: the md5-bucket priority draw
+    * (reshuffle-stable, corpus-growth-stable per key) reduced with the
+    * bounded [[graft.functions.TopKAgg]] — so "exactly N docs per
+    * language" costs N rows per group per partition across the shuffle,
+    * never a per-group sort. The fixed-N complement of the
+    * fraction-based `stratifiedSampleByHash`.
+    */
+  def sampleNPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                      n: Int): DataFrame = {
+    val prio = conv(substring(md5(col(keyCol).cast("string").cast("binary")),
+      1, 15), 16, 10).cast("long").cast("double")
+    graft.functions.TopK.topKPerGroup(
+      df.withColumn("_prio", prio), groupCol, keyCol, "_prio", n)
+      .withColumnRenamed("_prio", "prio")
+  }
+
   /** Corpus snapshot diff — the bookkeeping step between two crawl/curation
     * snapshots (what did release N+1 add, drop, or rewrite?): one full
     * outer join on the document id comparing content fingerprints. One

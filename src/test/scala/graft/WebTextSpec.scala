@@ -177,6 +177,18 @@ class WebTextSpec extends SparkSpec {
     assert(rows(1).getAs[Int]("n_sents") === 1) // floored
   }
 
+  test("jaroWinkler matches the textbook values") {
+    import graft.functions.StringSim._
+    assert(math.abs(jaroWinkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jaroWinkler("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jaroWinkler("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jaroWinkler("abc", "abc") === 1.0)
+    assert(jaroWinkler("abc", "xyz") === 0.0)
+    assert(jaroWinkler("", "abc") === 0.0)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(jaroWinkler("aaxxxxxx", "aayyyyyy") === jaro("aaxxxxxx", "aayyyyyy"))
+  }
+
   test("bm25TopK rank ties break by doc id; k truncates") {
     val s = spark
     import s.implicits._

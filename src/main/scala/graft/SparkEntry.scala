@@ -220,6 +220,8 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "q_jaro_winkler" -> (qJaroWinkler _),
     "q_sample_n_per_group" -> (qSampleNPerGroup _),
+    "q_quality_report" -> (qQualityReport _),
+    "q_zorder" -> (qZorder _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_bm25_topk" -> (qBm25Topk _),
@@ -3449,6 +3451,33 @@ object SparkEntry {
       .select(col("lang"), col("rank"), col("doc_id"))
       .orderBy("lang", "rank")
 
+  /** Data-quality contract gate: five declarative expectations over the
+    * documents table — evaluated in ONE aggregation job by
+    * [[graft.operators.StatsOps.qualityReport]] — with mixed passes and
+    * deliberate failures; the oracle recomputes every satisfaction
+    * fraction.
+    */
+  private def qQualityReport(s: SparkSession, dir: String): DataFrame =
+    StatsOps.qualityReport(Tables.documents(s, dir), Seq(
+      StatsOps.NotNull("text"),
+      StatsOps.Unique("doc_id"),
+      StatsOps.Unique("text", threshold = 0.99), // clone families fail this
+      StatsOps.InRange("n_chars", 1, 400, threshold = 0.9),
+      StatsOps.MatchesRegex("lang", "^[a-z]{2}$")))
+      .orderBy("rule", "column", "threshold")
+
+  /** Z-order locality gate: user/event coordinates interleaved to a
+    * Morton key, rows bucketed by its top bits, per-bucket bounding
+    * boxes — confined boxes are the pruning evidence. Pure bit
+    * arithmetic, replayed exactly by the oracle.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    CurationOps.zOrderStats(
+      Tables.events(s, dir).select((col("user_id") % 256).as("x"),
+        (col("event_id") % 256).as("y")),
+      "x", "y", bits = 8, bucketShift = 8)
+      .orderBy("bucket")
+
   /** PageRank gate: a 45-node link graph derived from events (src =
     * user_id mod 40, dst = event_id mod 45 — nodes 40–44 have no
     * out-edges, so the dangling-mass path is exercised), 5 power-iteration
@@ -6121,6 +6150,49 @@ object SparkEntry {
          |    ELSE 0.0 END AS link_density,
          |  md5(text) AS text_md5
          |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // Every satisfaction fraction recomputed; thresholds and verdicts
+    // replayed.
+    "q_quality_report" ->
+      """WITH m AS (SELECT
+        |    round(sum(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |      / count(*) + 1e-9, 6) AS not_null_text,
+        |    round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*) + 1e-9, 6)
+        |      AS uniq_id,
+        |    round(CAST(count(DISTINCT text) AS DOUBLE) / count(*) + 1e-9, 6)
+        |      AS uniq_text,
+        |    round(sum(CASE WHEN n_chars >= 1 AND n_chars <= 400
+        |      THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 6) AS in_range,
+        |    round(sum(CASE WHEN regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1.0 ELSE 0.0 END) / count(*) + 1e-9, 6) AS re_lang
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'not_null' AS rule, 'text' AS "column",
+        |    CAST(1.0 AS DOUBLE) AS threshold, not_null_text AS metric,
+        |    not_null_text >= 1.0 AS passed FROM m
+        |  UNION ALL SELECT 'unique', 'doc_id', 1.0, uniq_id,
+        |    uniq_id >= 1.0 FROM m
+        |  UNION ALL SELECT 'unique', 'text', 0.99, uniq_text,
+        |    uniq_text >= 0.99 FROM m
+        |  UNION ALL SELECT 'in_range', 'n_chars', 0.9, in_range,
+        |    in_range >= 0.9 FROM m
+        |  UNION ALL SELECT 'matches_regex', 'lang', 1.0, re_lang,
+        |    re_lang >= 1.0 FROM m)
+        |ORDER BY rule, "column", threshold""".stripMargin,
+
+    // Identical Morton interleave arithmetic (sum of disjoint shifted
+    // bit-tests) and bucket split.
+    "q_zorder" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT user_id % 256 AS x, event_id % 256 AS y FROM events),
+         |z AS (SELECT x, y, $interleave AS zv FROM c)
+         |SELECT zv >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
     },
 
     // The window replay of the bounded-aggregator sample: identical

@@ -36,6 +36,37 @@ object CurationOps {
     df.withColumn("split", expr)
   }
 
+  /** Morton/Z-order interleave of two bounded-int columns — the
+    * multi-column data-clustering key lakehouse layouts sort by (Delta's
+    * OPTIMIZE ZORDER, Hudi clustering — public techniques): sorting by
+    * the interleaved value keeps rows close in BOTH dimensions close in
+    * the file order, so min/max pruning works for either predicate. Bit
+    * positions are disjoint, so the interleave is a SUM of shifted
+    * bit-tests — pure integer column arithmetic, codegen'd, identical in
+    * any engine.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits $bits out of [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Z-order locality report: rows bucketed by the TOP bits of their
+    * interleaved key, per-bucket bounding boxes in both source
+    * dimensions — the evidence that a z-sorted layout confines each
+    * bucket (≈ file) to a small rectangle, which is exactly what makes
+    * min/max pruning effective on either column.
+    */
+  def zOrderStats(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  bucketShift: Int): DataFrame =
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .groupBy(shiftrightunsigned(col("_z"), bucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+
   /** Exact-N-per-group deterministic sample: the md5-bucket priority draw
     * (reshuffle-stable, corpus-growth-stable per key) reduced with the
     * bounded [[graft.functions.TopKAgg]] — so "exactly N docs per

@@ -224,6 +224,57 @@ object StatsOps {
     * Expand; swap for approx_count_distinct when profiling 100 TB and the
     * exact figure isn't required.
     */
+  /** Declarative data-quality expectations (the Deequ-style contract a
+    * curated release ships with): each rule reduces to a satisfaction
+    * fraction and passes against its threshold. ALL rules evaluate in ONE
+    * aggregation job (conditional sums + count-distincts side by side) —
+    * a 100-rule contract costs one pass, not 100.
+    */
+  sealed trait QualityRule {
+    def name: String; def column: String; def threshold: Double
+  }
+  final case class NotNull(column: String, threshold: Double = 1.0)
+    extends QualityRule { val name = "not_null" }
+  final case class Unique(column: String, threshold: Double = 1.0)
+    extends QualityRule { val name = "unique" }
+  final case class InRange(column: String, lo: Double, hi: Double,
+                           threshold: Double = 1.0)
+    extends QualityRule { val name = "in_range" }
+  final case class MatchesRegex(column: String, pattern: String,
+                                threshold: Double = 1.0)
+    extends QualityRule { val name = "matches_regex" }
+
+  def qualityReport(df: DataFrame, rules: Seq[QualityRule]): DataFrame = {
+    require(rules.nonEmpty, "no rules")
+    val n = count(lit(1)).cast("double")
+    val metrics = rules.zipWithIndex.map { case (r, i) =>
+      val c = col(r.column)
+      val m = r match {
+        case _: NotNull => sum(when(c.isNotNull, 1.0).otherwise(0.0)) / n
+        case _: Unique => countDistinct(c).cast("double") / n
+        case InRange(_, lo, hi, _) =>
+          sum(when(c >= lo && c <= hi, 1.0).otherwise(0.0)) / n
+        case MatchesRegex(_, p, _) =>
+          sum(when(c.rlike(p), 1.0).otherwise(0.0)) / n
+      }
+      round(m + lit(1e-9), 6).as(s"_m$i")
+    }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleTable = rules.zipWithIndex
+      .map { case (r, i) => (i, r.name, r.column, r.threshold) }
+      .toDF("_i", "rule", "column", "threshold")
+    val long = one.select(rules.indices.map(i =>
+      struct(lit(i).as("_i"), col(s"_m$i").as("metric")).as(s"_s$i")): _*)
+      .select(explode(array(rules.indices.map(i => col(s"_s$i")): _*)).as("e"))
+      .select(col("e._i").as("_i"), col("e.metric"))
+    long.join(broadcast(ruleTable), "_i")
+      .select(col("rule"), col("column"),
+        round(col("threshold"), 6).as("threshold"), col("metric"),
+        (col("metric") >= col("threshold")).as("passed"))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
     import org.apache.spark.sql.types.NumericType

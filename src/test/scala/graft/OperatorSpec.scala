@@ -501,6 +501,48 @@ class OperatorSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_token_len") == 3.0)  // (15-4+1)/4
   }
 
+  test("qualityReport: one pass, mixed verdicts, golden fractions") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.StatsOps
+    val df = Seq(
+      (1L, Some("a"), 5.0), (2L, Some("b"), 50.0),
+      (3L, None, 500.0), (4L, Some("b"), 5.0)).toDF("id", "t", "x")
+    val got = StatsOps.qualityReport(df, Seq(
+      StatsOps.NotNull("t", threshold = 0.8),
+      StatsOps.Unique("t", threshold = 0.9),
+      StatsOps.InRange("x", 0, 100, threshold = 0.7),
+      StatsOps.MatchesRegex("t", "^[ab]$")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("metric"), r.getAs[Boolean]("passed"))).toMap
+    assert(got(("not_null", "t")) === (0.75, false))
+    assert(got(("unique", "t")) === (0.5, false)) // 2 distinct non-null of 4
+    assert(got(("in_range", "x")) === (0.75, true))
+    assert(got(("matches_regex", "t")) === (0.75, false)) // null fails the regex
+  }
+
+  test("zValue interleaves bits; sorting by it confines 2-D boxes") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // golden: x=3 (11), y=5 (101) at 3 bits -> z = 1·1 + 1·4 + 1·2 + 1·32 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.operators.CurationOps.zValue(col("x"), col("y"), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(z === 39L)
+    // every bucket of the stats report is a bounded rectangle
+    val grid = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
+      .toDF("x", "y")
+    val stats = graft.operators.CurationOps
+      .zOrderStats(grid, "x", "y", bits = 6, bucketShift = 6)
+      .collect()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 7)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 7)
+    }
+    assert(stats.map(_.getAs[Long]("n")).sum === 4096L)
+  }
+
   test("scd2 collapses runs into validity intervals") {
     val s = spark
     import s.implicits._

@@ -158,6 +158,7 @@ object SparkEntry {
     "q_profile" -> (qProfile _),
     "q_profile_approx" -> (qProfileApprox _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_theta_sketch" -> (qThetaSketch _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_histogram" -> (qHistogram _),
     "q_corr_matrix" -> (qCorrMatrix _),
@@ -1751,6 +1752,39 @@ object SparkEntry {
       .select(col("l_returnflag"), col("n_exact"),
         rnd("hll_estimate", 4).as("hll_est"))
       .orderBy("l_returnflag")
+  }
+
+  /** KMV/theta-sketch corpus-overlap estimates between the three
+    * l_returnflag partitions of lineitem's partkey universe: per-set
+    * bounded sketches (k smallest distinct 60-bit md5 hashes, map-side
+    * partial aggregation), then pairwise union / intersection /
+    * difference estimates computed from the two k-long ARRAYS alone —
+    * the 100 TB corpus-overlap answer without a corpus × corpus join.
+    * The exact tier (distinct sizes + pairwise intersections) rides
+    * along as the verification baseline, and the oracle rebuilds the
+    * identical sketches from the same md5 hashes.
+    */
+  private def qThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("set"), col("l_partkey").as("v"))
+    val est = StatsOps.thetaSetOps(StatsOps.kmvSketch(li, "set", "v", k), k)
+    val dv = li.distinct
+    val exact = dv.as("a").join(dv.as("b"),
+        col("a.v") === col("b.v") && col("a.set") < col("b.set"))
+      .groupBy(col("a.set").as("set_a"), col("b.set").as("set_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    val sizes = dv.groupBy(col("set")).agg(count(lit(1)).as("n"))
+    est.join(exact, Seq("set_a", "set_b"))
+      .join(sizes.select(col("set").as("set_a"), col("n").as("n_a")), "set_a")
+      .join(sizes.select(col("set").as("set_b"), col("n").as("n_b")), "set_b")
+      .select(col("set_a"), col("set_b"), col("n_a"), col("n_b"),
+        col("n_intersect"),
+        rnd("est_a", 4).as("est_a"), rnd("est_b", 4).as("est_b"),
+        rnd("est_union", 4).as("est_union"),
+        rnd("est_intersect", 4).as("est_intersect"),
+        rnd("est_a_not_b", 4).as("est_a_not_b"))
+      .orderBy("set_a", "set_b")
   }
 
   /** Count-Min heavy hitters over the corpus token stream: the d×w
@@ -4872,6 +4906,55 @@ object SparkEntry {
          |  FROM lineitem GROUP BY 1)
          |SELECT g AS l_returnflag, n_exact, round(hll + 1e-9, 4) AS hll_est
          |FROM x JOIN est USING (g) ORDER BY l_returnflag""".stripMargin
+    },
+
+    // KMV/theta mirror: identical k-smallest-distinct-md5 sketches per
+    // set (window rank over distinct hashes), identical θ = min(θ_A, θ_B)
+    // in exact BIGINT domain, identical n·M/θ double arithmetic.
+    "q_theta_sketch" -> {
+      val k = 256
+      val M = "1152921504606846976" // 2^60, the 60-bit md5 hash space
+      s"""WITH dv AS (SELECT DISTINCT l_returnflag AS s, l_partkey AS v FROM lineitem),
+         |h AS (SELECT DISTINCT s,
+         |    CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM dv),
+         |rk AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn FROM h),
+         |sk AS (SELECT s, hv FROM rk WHERE rn <= $k),
+         |st AS (SELECT s, count(*) AS n, max(hv) AS kth FROM sk GROUP BY 1),
+         |th AS (SELECT s, n, kth,
+         |    CASE WHEN n >= $k THEN kth ELSE CAST($M AS BIGINT) END AS theta,
+         |    CASE WHEN n >= $k THEN ${(k - 1).toDouble} * ${M}e0 / CAST(kth AS DOUBLE)
+         |         ELSE CAST(n AS DOUBLE) END AS est
+         |  FROM st),
+         |pairs AS (SELECT a.s AS sa, b.s AS sb, least(a.theta, b.theta) AS theta,
+         |    a.est AS est_a, b.est AS est_b
+         |  FROM th a, th b WHERE a.s < b.s),
+         |ap AS (SELECT p.sa, p.sb, count(*) AS na FROM pairs p
+         |  JOIN sk ka ON ka.s = p.sa AND ka.hv < p.theta GROUP BY 1, 2),
+         |bp AS (SELECT p.sa, p.sb, count(*) AS nb FROM pairs p
+         |  JOIN sk kb ON kb.s = p.sb AND kb.hv < p.theta GROUP BY 1, 2),
+         |ip AS (SELECT p.sa, p.sb, count(*) AS ni FROM pairs p
+         |  JOIN sk ka ON ka.s = p.sa AND ka.hv < p.theta
+         |  JOIN sk kb ON kb.s = p.sb AND kb.hv = ka.hv GROUP BY 1, 2),
+         |ex AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS n_intersect
+         |  FROM dv a JOIN dv b ON a.v = b.v AND a.s < b.s GROUP BY 1, 2),
+         |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM dv GROUP BY 1)
+         |SELECT p.sa AS set_a, p.sb AS set_b, sza.n AS n_a, szb.n AS n_b,
+         |  ex.n_intersect,
+         |  round(p.est_a + 1e-9, 4) AS est_a, round(p.est_b + 1e-9, 4) AS est_b,
+         |  round((ap.na + bp.nb - ip.ni) * ${M}e0 / CAST(p.theta AS DOUBLE) + 1e-9, 4)
+         |    AS est_union,
+         |  round(ip.ni * ${M}e0 / CAST(p.theta AS DOUBLE) + 1e-9, 4) AS est_intersect,
+         |  round((ap.na - ip.ni) * ${M}e0 / CAST(p.theta AS DOUBLE) + 1e-9, 4)
+         |    AS est_a_not_b
+         |FROM pairs p
+         |JOIN ap ON ap.sa = p.sa AND ap.sb = p.sb
+         |JOIN bp ON bp.sa = p.sa AND bp.sb = p.sb
+         |JOIN ip ON ip.sa = p.sa AND ip.sb = p.sb
+         |JOIN ex ON ex.sa = p.sa AND ex.sb = p.sb
+         |JOIN sz sza ON sza.s = p.sa
+         |JOIN sz szb ON szb.s = p.sb
+         |ORDER BY set_a, set_b""".stripMargin
     },
 
     // Streaming-CMS mirror: batch-side register rebuild (the stream is a

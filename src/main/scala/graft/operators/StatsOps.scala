@@ -216,6 +216,71 @@ object StatsOps {
       .filter(col("cms_estimate") >= threshold)
   }
 
+  /** KMV hash-space size: [[graft.functions.Text.hash64]] yields 15 hex
+    * chars = 60 uniform bits, so hashes live in [0, 2^60).
+    */
+  val KmvM: Double = math.pow(2.0, 60)
+
+  /** Per-set KMV sketch ([[graft.functions.KmvAgg]]): the k smallest
+    * distinct 60-bit md5 hashes of `valueCol`, sorted ascending. One hash
+    * aggregation whose state is bounded by k longs per set — map-side
+    * partials do the reduction, the shuffle moves ≤ k values per set per
+    * partition. Output: (setCol, sketch array).
+    */
+  def kmvSketch(df: DataFrame, setCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.KmvAgg(k)
+    df.select(col(setCol).cast("string"),
+        graft.functions.Text.hash64(col(valueCol).cast("string")).as("_h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .toDF(setCol, "sketch")
+  }
+
+  /** Theta-sketch set operations between every pair of sets (set_a <
+    * set_b): distinct, union, intersection, and difference estimates
+    * computed ENTIRELY from the two k-long sketch arrays — pure array
+    * column functions over a pair table whose size is (#sets choose 2),
+    * never a row-level join. θ = min(θ_A, θ_B); entries below θ are a
+    * uniform θ/M-rate sample, so each set-op estimate is
+    * (sample size)·M/θ. A sketch with fewer than k entries is EXACT
+    * (θ = M) — the estimator degrades gracefully to true counts.
+    */
+  def thetaSetOps(sketches: DataFrame, k: Int): DataFrame = {
+    // θ stays a LONG (exact comparisons against the 60-bit hashes);
+    // doubles appear only in the final n·M/θ division, which both the
+    // Spark side and any SQL oracle compute as the same two IEEE casts
+    // + one division — bit-identical.
+    val m = lit(KmvM)
+    val mLong = 1L << 60
+    def theta(s: Column): Column =
+      when(size(s) >= k, element_at(s, k)).otherwise(lit(mLong))
+    def estSingle(s: Column): Column =
+      when(size(s) >= k,
+        lit((k - 1).toDouble) * m / element_at(s, k).cast("double"))
+        .otherwise(size(s).cast("double"))
+    def est(n: Column): Column = n.cast("double") * m / col("_theta").cast("double")
+    val a = sketches.select(col(sketches.columns.head).as("set_a"),
+      col("sketch").as("_sa"))
+    val b = sketches.select(col(sketches.columns.head).as("set_b"),
+      col("sketch").as("_sb"))
+    a.join(b, col("set_a") < col("set_b"))
+      .withColumn("_theta", least(theta(col("_sa")), theta(col("_sb"))))
+      .withColumn("_ap", filter(col("_sa"), h => h < col("_theta")))
+      .withColumn("_bp", filter(col("_sb"), h => h < col("_theta")))
+      .withColumn("_ni", size(array_intersect(col("_ap"), col("_bp"))))
+      .select(col("set_a"), col("set_b"),
+        estSingle(col("_sa")).as("est_a"),
+        estSingle(col("_sb")).as("est_b"),
+        est(size(col("_ap")) + size(col("_bp")) - col("_ni")).as("est_union"),
+        est(col("_ni")).as("est_intersect"),
+        est(size(col("_ap")) - col("_ni")).as("est_a_not_b"))
+  }
+
   /** Single-pass column profiler: per column, row/null/distinct counts
     * plus numeric min/max/mean (string columns report lexicographic
     * min/max instead). ALL columns aggregate in ONE pass over the data —

@@ -64,6 +64,49 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 10000.0) <= 200.0, r.toString)
   }
 
+  test("kmvSketch: bounded to k, sorted ascending, duplication/partition invariant") {
+    val s = spark
+    import s.implicits._
+    val once = (0 until 500).map(i => ("g", s"x$i")).toDF("g", "v")
+    val thrice = (0 until 1500).map(i => ("g", s"x${i % 500}")).toDF("g", "v")
+      .repartition(13)
+    val s1 = StatsOps.kmvSketch(once, "g", "v", 64).collect()(0).getSeq[Long](1)
+    val s2 = StatsOps.kmvSketch(thrice, "g", "v", 64).collect()(0).getSeq[Long](1)
+    assert(s1 == s2, "duplicates/partitioning changed the sketch")
+    assert(s1.length == 64 && s1 == s1.sorted && s1.distinct == s1)
+  }
+
+  test("kmvSketch + thetaSetOps: exact when sketches are not full") {
+    val s = spark
+    import s.implicits._
+    // A = {0..59}, B = {40..99}: |A|=60, |B|=60, ∩=20, ∪=100, A∖B=40
+    val rows = (0 until 60).map(i => ("a", s"v$i")) ++
+      (40 until 100).map(i => ("b", s"v$i"))
+    val df = rows.toDF("set", "v")
+    val r = StatsOps.thetaSetOps(StatsOps.kmvSketch(df, "set", "v", 256), 256)
+      .collect()(0)
+    assert(r.getDouble(2) == 60.0 && r.getDouble(3) == 60.0)
+    assert(r.getDouble(4) == 100.0 && r.getDouble(5) == 20.0 &&
+      r.getDouble(6) == 40.0, r.toString)
+  }
+
+  test("thetaSetOps: full sketches estimate within the KMV error band") {
+    val s = spark
+    import s.implicits._
+    // A = {0..4999}, B = {2500..7499}: truth n=5000 each, ∩=2500, ∪=7500
+    val rows = (0 until 5000).map(i => ("a", s"k$i")) ++
+      (2500 until 7500).map(i => ("b", s"k$i"))
+    val k = 256
+    val r = StatsOps.thetaSetOps(
+      StatsOps.kmvSketch(rows.toDF("set", "v"), "set", "v", k), k).collect()(0)
+    // sigma ≈ 1/sqrt(k-2) ≈ 6.3%; assert 4 sigma on each estimate
+    def ok(est: Double, truth: Double) =
+      math.abs(est - truth) / truth < 0.25
+    assert(ok(r.getDouble(2), 5000) && ok(r.getDouble(3), 5000), r.toString)
+    assert(ok(r.getDouble(4), 7500) && ok(r.getDouble(5), 2500) &&
+      ok(r.getDouble(6), 2500), r.toString)
+  }
+
   test("cmsHeavyHitters: estimate >= exact always; exact when the width kills collisions") {
     val s = spark
     import s.implicits._

@@ -119,6 +119,7 @@ object SparkEntry {
     "q_media_decode" -> (qMediaDecode _),
     "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_gif_decode" -> (qGifDecode _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
     "q_audio_meta" -> (qAudioMeta _),
@@ -2683,6 +2684,41 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** GIF decode end-to-end: per group, a two-frame animated GIF (frame 0
+    * plain, frame 1 INTERLACED, distinct GCE delays) is encoded from
+    * quantized event values over a 64-color palette, then decoded back
+    * through the full LZW + deinterlace path (`Gif.decode`). Palette
+    * entries are modular ramps of the index, so per-channel means AND the
+    * position-weighted red checksum (the deinterlace gate — means are
+    * row-permutation invariant, Σ pos·r is not) are SQL-expressible from
+    * the event stream itself.
+    */
+  private def qGifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val palette = Array.tabulate(64)(i => ((i * 5) % 256, (i * 9) % 256,
+      (i * 13) % 256))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the frames
+        require(rows.length >= 512, s"group $g has ${rows.length} events (< 512)")
+        def idx(v: Int): Int = ((v % 64) + 64) % 64
+        val f0 = rows.take(256).map(r => idx(r._3))
+        val f1 = rows.slice(256, 512).map(r => idx(r._3))
+        (g, graft.functions.Gif.render(16, 16, palette, Seq(f0, f1),
+          interlaced = Seq(false, true), delaysCs = Seq(4, 7)))
+      }.toDF("g", "gif")
+    MultimodalOps.gifFeatures(payloads, "g", "gif")
+      .select(col("g"), col("frame"), col("width"), col("height"),
+        col("n_colors"), col("interlaced"), col("delay_cs"),
+        rnd("mean_r", 4).as("mean_r"), rnd("mean_g", 4).as("mean_g"),
+        rnd("mean_b", 4).as("mean_b"), col("wsum_r"))
+      .orderBy("g", "frame")
+  }
+
   /** MP4/ISO-BMFF container parse end-to-end: per group, a two-track MP4
     * (avc1 video + mp4a audio) is synthesized box-by-box from quantized
     * event values — odd groups use the 64-bit version-1 header variants
@@ -4596,6 +4632,29 @@ object SparkEntry {
         |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // GIF mirror: palette ramps + frame geometry + the deinterlace gate
+    // (Σ pos·r over NATURAL row order) re-derived from the event stream.
+    "q_gif_decode" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |px AS (SELECT g,
+        |    CASE WHEN rn <= 256 THEN 0 ELSE 1 END AS frame,
+        |    CASE WHEN rn <= 256 THEN rn - 1 ELSE rn - 257 END AS p,
+        |    ((v % 64) + 64) % 64 AS idx
+        |  FROM r WHERE rn <= 512)
+        |SELECT g, CAST(frame AS INT) AS frame, 16 AS width, 16 AS height,
+        |  64 AS n_colors, frame = 1 AS interlaced,
+        |  CAST(CASE WHEN frame = 0 THEN 4 ELSE 7 END AS INT) AS delay_cs,
+        |  round(avg(CAST(idx * 5 % 256 AS DOUBLE)) + 1e-9, 4) AS mean_r,
+        |  round(avg(CAST(idx * 9 % 256 AS DOUBLE)) + 1e-9, 4) AS mean_g,
+        |  round(avg(CAST(idx * 13 % 256 AS DOUBLE)) + 1e-9, 4) AS mean_b,
+        |  CAST(sum(p * (idx * 5 % 256)) AS BIGINT) AS wsum_r
+        |FROM px GROUP BY g, frame ORDER BY g, frame""".stripMargin,
 
     // MP4 mirror: every container field re-derived from the event stream
     // with the same modular arithmetic the fixture builder uses, so the

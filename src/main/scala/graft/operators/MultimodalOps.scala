@@ -255,6 +255,42 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "n_channels", "mean_y", "mean_cb", "mean_cr")
   }
 
+  /** Real animated-image decode: GIF payloads → one row per FRAME with
+    * geometry, interlace flag, GCE delay, per-channel means over the
+    * palette-resolved RGB pixels, and a position-weighted red checksum
+    * (Σ pos·r, exact integer). The weighted sum is the deinterlace gate:
+    * a mean is row-permutation invariant, the weighted sum is not, so a
+    * wrong four-pass reassembly cannot hash-match. One codec call per
+    * row, executor-side, no shuffle.
+    */
+  def gifFeatures(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val m = graft.functions.Gif.decode(bytes)
+        m.frames.zipWithIndex.map { case (f, fi) =>
+          val n = (f.width * f.height).toDouble
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var wr = 0L
+          var i = 0
+          while (i < f.width * f.height) {
+            val r = f.rgb(i * 3)
+            sr += r; sg += f.rgb(i * 3 + 1); sb += f.rgb(i * 3 + 2)
+            wr += i.toLong * r
+            i += 1
+          }
+          (id, fi, m.width, m.height, m.globalColors, f.width, f.height,
+            f.interlaced, f.delayCs, sr / n, sg / n, sb / n, wr)
+        }
+      }
+      .toDF(idCol, "frame", "width", "height", "n_colors", "f_width",
+        "f_height", "interlaced", "delay_cs", "mean_r", "mean_g", "mean_b",
+        "wsum_r")
+  }
+
   /** Real video-container parse: MP4/ISO-BMFF payloads → one row per track
     * with the metadata a video curation pipeline gates on (codec,
     * dimensions, duration, sample/keyframe/chunk census). The box walk is

@@ -378,4 +378,80 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) === got(1L)) // robust to a single-pixel change
     assert(got(3L)._1 === leftCols) // inversion flips the bright side
   }
+
+  test("Lzw: GIF dialect round trip across widths, dict growth, table-full clear") {
+    import graft.functions.Lzw
+    def rt(sym: Array[Int], min: Int): Unit = {
+      val enc = Lzw.encode(sym, min, msbFirst = false, earlyChange = false)
+      val dec = Lzw.decode(enc, min, msbFirst = false, earlyChange = false)
+      assert(dec.toSeq == sym.toSeq, s"round trip failed (min=$min, n=${sym.length})")
+    }
+    rt(Array(0, 1, 0, 1, 0, 1, 0), 2) // tiny, KwKwK-prone
+    rt(Array.fill(5000)(3), 2) // max run-length growth through widths
+    // deterministic pseudo-random: forces growth past 9..12-bit codes
+    var x = 12345
+    def nxt(m: Int): Int = { x = x * 1103515245 + 12345; math.abs(x / 65536) % m }
+    rt(Array.fill(8000)(nxt(16)), 4)
+    // 256-symbol alphabet, 40k symbols: fills the 4096 table, forces clears
+    rt(Array.fill(40000)(nxt(256)), 8)
+  }
+
+  test("Lzw: TIFF dialect (MSB-first, early change) round trip") {
+    import graft.functions.Lzw
+    var x = 777
+    def nxt(m: Int): Int = { x = x * 1103515245 + 12345; math.abs(x / 65536) % m }
+    for (n <- Seq(7, 300, 5000, 20000)) {
+      val sym = Array.fill(n)(nxt(256))
+      val enc = Lzw.encode(sym, 8, msbFirst = true, earlyChange = true)
+      val dec = Lzw.decode(enc, 8, msbFirst = true, earlyChange = true)
+      assert(dec.toSeq == sym.toSeq, s"TIFF dialect round trip failed at n=$n")
+    }
+  }
+
+  test("Gif: render -> decode identity incl. interlace, LCT, delays") {
+    import graft.functions.Gif
+    val pal = Array.tabulate(16)(i => (i * 16, 255 - i * 16, i * 7))
+    var x = 9
+    def nxt(m: Int): Int = { x = x * 1103515245 + 12345; math.abs(x / 65536) % m }
+    val f0 = Array.fill(20 * 13)(nxt(16))
+    val f1 = Array.fill(20 * 13)(nxt(16))
+    val lct = Array.tabulate(8)(i => (i * 31, i * 3, 200 - i * 20))
+    val f2 = Array.fill(20 * 13)(nxt(8))
+    val bytes = Gif.render(20, 13, pal, Seq(f0, f1, f2),
+      interlaced = Seq(false, true, false), delaysCs = Seq(10, 0, 3),
+      localPalettes = Map(2 -> lct))
+    val img = Gif.decode(bytes)
+    assert(img.width == 20 && img.height == 13 && img.globalColors == 16)
+    assert(img.frames.length == 3)
+    def rgbOf(idx: Array[Int], p: Array[(Int, Int, Int)]): Seq[Int] =
+      idx.flatMap(i => Seq(p(i)._1, p(i)._2, p(i)._3)).toSeq
+    assert(img.frames(0).rgb.toSeq == rgbOf(f0, pal))
+    assert(img.frames(1).rgb.toSeq == rgbOf(f1, pal), "interlaced frame")
+    assert(img.frames(1).interlaced && !img.frames(0).interlaced)
+    assert(img.frames(2).rgb.toSeq == rgbOf(f2, lct), "local color table frame")
+    assert(img.frames.map(_.delayCs) == Seq(10, 0, 3))
+    // reject garbage
+    intercept[IllegalArgumentException](Gif.decode("NOTAGIF".getBytes))
+  }
+
+  test("gifFeatures: per-frame rows, deinterlace-sensitive weighted checksum") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.Gif
+    val pal = Array.tabulate(4)(i => (i * 60, i * 2, i * 3))
+    // 8x8: row y filled with index y%4 — interlace permutes rows, so a
+    // naive non-deinterlaced read would get a different Σ pos·r
+    val px = Array.tabulate(64)(i => (i / 8) % 4)
+    val plain = Gif.render(8, 8, pal, Seq(px))
+    val inter = Gif.render(8, 8, pal, Seq(px), interlaced = Seq(true))
+    val rows = graft.operators.MultimodalOps.gifFeatures(
+      Seq((1L, plain), (2L, inter)).toDF("id", "p"), "id", "p")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("mean_r"), r.getAs[Long]("wsum_r"),
+          r.getAs[Boolean]("interlaced")))).toMap
+    val expMean = px.map(i => i * 60).sum / 64.0
+    val expW = px.zipWithIndex.map { case (i, p) => p.toLong * (i * 60) }.sum
+    assert(rows(1L) == ((expMean, expW, false)))
+    assert(rows(2L) == ((expMean, expW, true)), "deinterlace must restore row order")
+  }
 }

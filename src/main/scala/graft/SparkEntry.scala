@@ -178,6 +178,7 @@ object SparkEntry {
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
     "q_netcdf_packed" -> (qNetcdfPacked _),
     "q_grib2_decode" -> (qGrib2Decode _),
+    "q_geotiff_grid" -> (qGeotiffGrid _),
     "q_netcdf_time" -> (qNetcdfTime _),
     "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
@@ -531,6 +532,40 @@ object SparkEntry {
         col("sum_value"), col("ni"), col("nj"), col("lat1"), col("lon1"),
         col("di"), col("dj"), col("ref_year"))
       .orderBy("variable", "forecast_hours")
+  }
+
+  /** GeoTIFF raster round trip end-to-end: the event grid becomes one
+    * two-page GeoTIFF per variable (page 0 uint16 with predictor-2
+    * LZW / PackBits / uncompressed cycling by variable, page 1 float32
+    * LZW; absent cells = GDAL-nodata holes), read back distributed with
+    * PixelIsArea cell centers off ModelPixelScale/Tiepoint. The oracle
+    * recomputes the quantization, the float32 decode cast, the nodata
+    * census, and the lat/lon envelope from the event stream.
+    */
+  private def qGeotiffGrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.GeoTiffSource
+    val g = Tables.events(s, dir)
+      .select(col("event_type").as("variable"), (col("user_id") % 8).as("i"),
+        (col("user_id") % 16).as("j"), col("value"))
+      .groupBy("variable", "i", "j").agg(sum("value").as("value"))
+    val cells = g.filter(((col("i") + col("j")) % 5) =!= 0)
+      .withColumn("stored",
+        least(greatest(floor((col("value") + lit(20.0)) / lit(0.01)), lit(0L)),
+          lit(65534L)).cast("long"))
+    val out = freshTmpDir("graft_geotiff", dir)
+    GeoTiffSource.writeRasters(cells, out, shape = (8, 16),
+      grid = (50.0, 10.0, 0.25, 0.25))
+    GeoTiffSource.read(s, out)
+      .filter(!isnan(col("value")))
+      .groupBy(col("variable"), col("page"))
+      .agg(count(lit(1)).as("n_cells"),
+        rnd(sum("value"), 2).as("sum_value"),
+        first("width").as("width"), first("height").as("height"),
+        first("compression").as("compression"), first("bits").as("bits"),
+        first("sample_format").as("sample_format"),
+        min("lat").as("min_lat"), max("lat").as("max_lat"),
+        min("lon").as("min_lon"), max("lon").as("max_lon"))
+      .orderBy("variable", "page")
   }
 
   /** CF time-coordinate decoding end-to-end (xarray `decode_times`): the
@@ -5878,6 +5913,53 @@ object SparkEntry {
         |  round(sum(stored * CAST(0.01 AS DOUBLE) + CAST(0.5 AS DOUBLE)) + 1e-6, 2)
         |    AS sum_value
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // GeoTIFF mirror: quantization, the float32 decode cast, nodata
+    // census, compression assignment (sorted variable index % 3), and
+    // the PixelIsArea lat/lon envelope — all from the event stream.
+    "q_geotiff_grid" ->
+      """WITH g AS (SELECT event_type AS variable,
+        |    user_id % 8 AS i, user_id % 16 AS j, sum(value) AS value
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (SELECT variable, i, j,
+        |    least(greatest(CAST(floor((value + CAST(20.0 AS DOUBLE))
+        |        / CAST(0.01 AS DOUBLE)) AS BIGINT), 0), 65534) AS stored
+        |  FROM g WHERE (i + j) % 5 <> 0),
+        |vi AS (SELECT variable, row_number() OVER (ORDER BY variable) - 1 AS ix
+        |  FROM (SELECT DISTINCT variable FROM c)),
+        |comp AS (SELECT variable,
+        |    CAST(CASE ix % 3 WHEN 0 THEN 5 WHEN 1 THEN 32773 ELSE 1 END
+        |      AS INT) AS compression
+        |  FROM vi),
+        |agg AS (SELECT variable, CAST(count(*) AS BIGINT) AS n_cells,
+        |    sum(CAST(stored AS DOUBLE)) AS sum_u16,
+        |    sum(CAST(CAST(CAST(stored AS DOUBLE) * CAST(0.01 AS DOUBLE)
+        |        - CAST(20.0 AS DOUBLE) AS FLOAT) AS DOUBLE)) AS sum_f32,
+        |    min(CAST(50.0 AS DOUBLE) - (i + CAST(0.5 AS DOUBLE))
+        |      * CAST(0.25 AS DOUBLE)) AS min_lat,
+        |    max(CAST(50.0 AS DOUBLE) - (i + CAST(0.5 AS DOUBLE))
+        |      * CAST(0.25 AS DOUBLE)) AS max_lat,
+        |    min(CAST(10.0 AS DOUBLE) + (j + CAST(0.5 AS DOUBLE))
+        |      * CAST(0.25 AS DOUBLE)) AS min_lon,
+        |    max(CAST(10.0 AS DOUBLE) + (j + CAST(0.5 AS DOUBLE))
+        |      * CAST(0.25 AS DOUBLE)) AS max_lon
+        |  FROM c GROUP BY 1),
+        |pages AS (
+        |  SELECT a.variable, 0 AS page, a.n_cells,
+        |    round(a.sum_u16 + 1e-6, 2) AS sum_value, cm.compression,
+        |    16 AS bits, 1 AS sample_format,
+        |    a.min_lat, a.max_lat, a.min_lon, a.max_lon
+        |  FROM agg a JOIN comp cm USING (variable)
+        |  UNION ALL
+        |  SELECT a.variable, 1 AS page, a.n_cells,
+        |    round(a.sum_f32 + 1e-6, 2) AS sum_value, 5 AS compression,
+        |    32 AS bits, 3 AS sample_format,
+        |    a.min_lat, a.max_lat, a.min_lon, a.max_lon
+        |  FROM agg a)
+        |SELECT variable, CAST(page AS INT) AS page, n_cells, sum_value,
+        |  16 AS width, 8 AS height, compression, bits, sample_format,
+        |  min_lat, max_lat, min_lon, max_lon
+        |FROM pages ORDER BY variable, page""".stripMargin,
 
     // GRIB2 mirror: same packed-lattice recomputation as the NetCDF CF
     // oracle, with the simple-packing unpack (−20.0 + X·0.01 — the

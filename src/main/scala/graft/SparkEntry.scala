@@ -136,6 +136,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_spatial_join" -> (qSpatialJoin _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1717,6 +1718,19 @@ object SparkEntry {
         countDistinct("l_orderkey").as("n_orders"),
         rnd(sum("l_extendedprice"), 4).as("sum_price"))
       .orderBy("o_orderkey")
+  }
+
+  /** Spatial radius self-join: all event-point pairs within distance 5
+    * on an integer grid, via 3×3 cell-neighborhood candidates + exact
+    * integer distance filter. The oracle is the brute-force O(n²)
+    * distance join — a genuinely different algorithm producing the
+    * identical pair set.
+    */
+  private def qSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).select(col("event_id").as("id"),
+      (col("user_id") % 500).as("x"), (col("event_id") % 500).as("y"))
+    RelationalOps.radiusJoin(pts, "id", "x", "y", radius = 5L)
+      .orderBy("id_a", "id_b")
   }
 
   /** Weighted sample without replacement (A-ES keys from the 60-bit md5
@@ -4859,6 +4873,17 @@ object SparkEntry {
         |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
         |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Spatial mirror: brute-force distance join (no cells) — same pairs.
+    "q_spatial_join" ->
+      """WITH p AS (SELECT event_id AS id, user_id % 500 AS x,
+        |    event_id % 500 AS y FROM events)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |    AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH s AS (SELECT doc_id, n_chars,

@@ -680,4 +680,22 @@ class OperatorSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("radiusJoin: exact pair set incl. negative coords, boundary, cross-cell") {
+    val s = spark
+    import s.implicits._
+    // pairs at exactly r, just under, just over, crossing cell borders,
+    // and in the negative quadrant (floor-division cells, not truncation)
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 5L, 0L),    // dist2 = 25 = r² → in
+      (3L, 9L, 0L),                   // to 2: 16 → in; to 1: 81 → out
+      (4L, 0L, 6L),                   // to 1: 36 → out
+      (5L, -1L, -1L), (6L, -4L, -4L), // negative quadrant: dist2 = 18 → in
+      (7L, 100L, 100L)                // isolated
+    ).toDF("id", "x", "y")
+    val got = graft.operators.RelationalOps.radiusJoin(pts, "id", "x", "y", 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 25L), (2L, 3L, 16L), (5L, 6L, 18L),
+      (1L, 5L, 2L)))
+  }
 }

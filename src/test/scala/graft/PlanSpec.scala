@@ -103,6 +103,14 @@ class PlanSpec extends SparkSpec {
       "expected a hash/sort-merge equi-join on the bucket key")
   }
 
+  test("q_spatial_join: cell equi-join, never an all-pairs distance join") {
+    val p = formatted("q_spatial_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "radius join planned as all-pairs; the cell key must make it an equi-join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/sort-merge equi-join on the (cx, cy) cell key")
+  }
+
   test("q_bucketed_join: co-located buckets join with no join-side shuffle") {
     val p = formatted("q_bucketed_join") // building the query writes the tables
     assert(p.contains("SortMergeJoin"), "bucketed join must stay a merge join")

@@ -137,6 +137,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_resample" -> (qResample _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1732,6 +1733,19 @@ object SparkEntry {
     RelationalOps.radiusJoin(pts, "id", "x", "y", radius = 5L)
       .orderBy("id_a", "id_b")
   }
+
+  /** Regular-grid resampling of the per-user event series at step 50:
+    * forward fill + linear interpolation at each tick, replayed
+    * tick-for-tick by the oracle's window mirror.
+    */
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.resample(
+      Tables.events(s, dir).select((col("user_id") % 20).as("k"),
+        col("event_id"), col("value")),
+      "k", "event_id", "value", step = 50L)
+      .select(col("k"), col("tick"), rnd("ffill", 4).as("ffill"),
+        rnd("interp", 4).as("interp"))
+      .orderBy("k", "tick")
 
   /** Weighted sample without replacement (A-ES keys from the 60-bit md5
     * draw): top-50 documents by ln(u)/n_chars — reproducible
@@ -4873,6 +4887,36 @@ object SparkEntry {
         |  round(sum(p.l_extendedprice) + 1e-9, 4) AS sum_price
         |FROM p JOIN iv ON p.p_day BETWEEN iv.iv_start AND iv.iv_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Resample mirror: identical union + two-frame window over (ts, kind)
+    // with obs-before-tick tie order; identical interpolation arithmetic.
+    "q_resample" ->
+      """WITH o AS (SELECT user_id % 20 AS k, event_id AS ts, value AS v
+        |  FROM events),
+        |b AS (SELECT k, (min(ts) // 50) * 50 AS t0, (max(ts) // 50) * 50 AS t1
+        |  FROM o GROUP BY 1),
+        |ticks AS (SELECT k, unnest(generate_series(t0, t1, 50)) AS ts FROM b),
+        |u AS (SELECT k, ts, v, 0 AS kind FROM o
+        |  UNION ALL SELECT k, ts, NULL AS v, 1 AS kind FROM ticks),
+        |w AS (SELECT k, ts, kind,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY ts, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY ts, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY ts, kind
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER
+        |      (PARTITION BY k ORDER BY ts, kind
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM u)
+        |SELECT k, ts AS tick, round(pv + 1e-9, 4) AS ffill,
+        |  round(CASE WHEN nt IS NULL OR nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END + 1e-9, 4) AS interp
+        |FROM w WHERE kind = 1 AND pv IS NOT NULL
+        |ORDER BY k, tick""".stripMargin,
 
     // Spatial mirror: brute-force distance join (no cells) — same pairs.
     "q_spatial_join" ->

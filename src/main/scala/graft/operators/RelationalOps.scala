@@ -262,6 +262,49 @@ object RelationalOps {
       .drop("_b")
   }
 
+  /** Regular-grid time-series resampling with forward fill AND linear
+    * interpolation — the gap-filling step every sensor/telemetry
+    * pipeline runs before modeling. Per key, ticks span
+    * [⌊min/step⌋·step, ⌊max/step⌋·step]; tick rows union with the
+    * observations and ONE partition-bounded window sort (obs sort before
+    * a tick at the same instant) provides both the running last
+    * observation (ffill) and, with the mirrored forward frame, the next
+    * observation for the interpolation — two frames over one sort, one
+    * shuffle, state bounded by the per-key series. Ticks before the
+    * first observation drop (no fill basis); past the last observation
+    * the interpolation degrades to the forward fill.
+    */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, step: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(step > 0, s"step $step must be positive")
+    val obs = df.select(col(keyCol).as("_k"), col(tsCol).cast("long").as("_ts"),
+      col(valueCol).cast("double").as("_v"), lit(0).as("_kind"))
+    val ticks = df.groupBy(col(keyCol).as("_k"))
+      .agg((floor(min(col(tsCol)) / step) * step).cast("long").as("_t0"),
+        (floor(max(col(tsCol)) / step) * step).cast("long").as("_t1"))
+      .select(col("_k"),
+        explode(sequence(col("_t0"), col("_t1"), lit(step))).as("_ts"),
+        lit(null).cast("double").as("_v"), lit(1).as("_kind"))
+    val back = Window.partitionBy("_k").orderBy(col("_ts"), col("_kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("_k").orderBy(col("_ts"), col("_kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("_kind") === 0, col("_ts"))
+    obs.unionByName(ticks)
+      .withColumn("_pv", last(col("_v"), ignoreNulls = true).over(back))
+      .withColumn("_pt", last(obsTs, ignoreNulls = true).over(back))
+      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(fwd))
+      .withColumn("_nt", first(obsTs, ignoreNulls = true).over(fwd))
+      .where(col("_kind") === 1 && col("_pv").isNotNull)
+      .select(col("_k").as(keyCol), col("_ts").as("tick"),
+        col("_pv").as("ffill"),
+        when(col("_nt").isNull || col("_nt") === col("_pt"), col("_pv"))
+          .otherwise(col("_pv") + (col("_nv") - col("_pv"))
+            * (col("_ts") - col("_pt")) / (col("_nt") - col("_pt")))
+          .as("interp"))
+  }
+
   /** Spatial radius self-join via grid-cell bucketing — "all pairs of
     * points within distance r" WITHOUT the O(n²) theta join. Cell width =
     * r, so any qualifying pair lies in the same or an adjacent cell: the

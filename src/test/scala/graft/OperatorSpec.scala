@@ -681,6 +681,23 @@ class OperatorSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("resample: ffill + linear interp on an analytic series") {
+    val s = spark
+    import s.implicits._
+    // key a: obs at 10→1.0, 30→5.0, 45→2.0; ticks (step 10): 10..40
+    val df = Seq(("a", 10L, 1.0), ("a", 30L, 5.0), ("a", 45L, 2.0),
+      ("b", 7L, 9.0)).toDF("k", "ts", "v")
+    val got = graft.operators.RelationalOps.resample(df, "k", "ts", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // b's only tick (0) precedes its first obs (7) → no b rows at all
+    assert(got == Set(
+      ("a", 10L, 1.0, 1.0),            // exact obs hit
+      ("a", 20L, 1.0, 3.0),            // halfway 1→5
+      ("a", 30L, 5.0, 5.0),            // exact obs hit
+      ("a", 40L, 5.0, 5.0 + (2.0 - 5.0) * 10 / 15))) // between 30 and 45
+  }
+
   test("radiusJoin: exact pair set incl. negative coords, boundary, cross-cell") {
     val s = spark
     import s.implicits._

@@ -224,6 +224,7 @@ object SparkEntry {
     "q_cohort_retention" -> (qCohortRetention _),
     "q_triangles" -> (qTriangles _),
     "q_jaro_winkler" -> (qJaroWinkler _),
+    "q_entity_resolution" -> (qEntityResolution _),
     "q_sample_n_per_group" -> (qSampleNPerGroup _),
     "q_quality_report" -> (qQualityReport _),
     "q_zorder" -> (qZorder _),
@@ -3555,6 +3556,26 @@ object SparkEntry {
     * match-window/transposition/prefix-boost algorithm must agree digit
     * for digit on every pair above the threshold.
     */
+  /** Entity resolution over the 2000 part names: first-char blocking →
+    * Jaro-Winkler ≥ 0.95 verify → connected components; per-entity
+    * member census with the lexicographic representative. The oracle
+    * replays blocking + DuckDB's own jaro_winkler_similarity + the
+    * recursive-CTE min-label walk.
+    */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // fixture id assignment: dense ids in name order (single-partition
+    // window over the 2 k-row dim table — id ASSIGNMENT only, the
+    // resolution itself never globally sorts)
+    val recs = Tables.part(s, dir).select(col("p_name").as("name")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("name")).cast("long"))
+    val resolved = DedupOps.resolveEntities(recs, "id", "name", 0.95)
+    resolved.join(recs, "id")
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_members"), min(col("name")).as("rep_name"))
+      .orderBy("entity")
+  }
+
   private def qJaroWinkler(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val vocab = Tables.documents(s, dir)
@@ -6501,6 +6522,30 @@ object SparkEntry {
 
     // DuckDB's native jaro_winkler_similarity — an independent
     // implementation — over the identical vocabulary pair set.
+    // Entity-resolution mirror: identical blocking, DuckDB's own
+    // jaro_winkler_similarity at the same rounded threshold, and the
+    // recursive-CTE min-label walk over the verified edges.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |vv AS (SELECT name, CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id
+        |  FROM (SELECT DISTINCT p_name AS name FROM part)),
+        |cand AS (SELECT a.id AS da, b.id AS db,
+        |    round(jaro_winkler_similarity(a.name, b.name) + 1e-9, 6) AS jw
+        |  FROM vv a JOIN vv b
+        |    ON substr(lower(a.name), 1, 1) = substr(lower(b.name), 1, 1)
+        |    AND a.id < b.id),
+        |e AS (SELECT da, db FROM cand WHERE jw >= 0.95),
+        |sym(a, b) AS (SELECT da, db FROM e UNION SELECT db, da FROM e),
+        |walk(node, label) AS (
+        |  SELECT id, id FROM vv
+        |  UNION
+        |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+        |lab AS (SELECT node, min(label) AS entity FROM walk GROUP BY node)
+        |SELECT l.entity, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(vv.name) AS rep_name
+        |FROM lab l JOIN vv ON vv.id = l.node
+        |GROUP BY 1 ORDER BY entity""".stripMargin,
+
     "q_jaro_winkler" ->
       """WITH v AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
         |  FROM documents),

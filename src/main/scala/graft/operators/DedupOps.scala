@@ -580,6 +580,39 @@ object DedupOps {
     connectedComponents(ids, idCol, pairs)
       .withColumn("is_survivor", col(idCol) === col("component"))
 
+  /** Entity resolution (record linkage): blocking → pairwise verify →
+    * cluster. Candidate pairs form ONLY within a blocking key (the first
+    * character of the lowercased name here; production composites add
+    * phonetic/prefix keys the same way), so the pair join is an
+    * equi-join on the block — never all-pairs. Jaro-Winkler verifies
+    * each candidate once in a typed map, thresholded on the ROUNDED
+    * score (the cross-engine boundary discipline every similarity gate
+    * in this repo follows), and connected components assign each record
+    * its entity = min reachable id. At 100 TB the block key bounds the
+    * quadratic term to block occupancy — the skewed-block case is the
+    * standard AQE/salting story.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+                      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("name"),
+      substring(lower(col(nameCol)), 1, 1).as("_blk"))
+    val edges = e.as("a").join(e.as("b"),
+        col("a._blk") === col("b._blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("a.name").as("na"),
+        col("b.id").as("db"), col("b.name").as("nb"))
+      .as[(Long, String, Long, String)]
+      .map { case (da, na, db, nb) =>
+        (da, db, graft.functions.StringSim.jaroWinkler(na, nb)) }
+      .toDF("da", "db", "_jw")
+      .filter(round(col("_jw") + lit(1e-9), 6) >= threshold)
+      .select("da", "db")
+    connectedComponents(e.select(col("id")), "id", edges)
+      .withColumnRenamed("component", "entity")
+  }
+
   /** Cluster resolution with a QUALITY-BASED survivor: within each
     * connected component the row with the highest `scoreCol` survives
     * (deterministic min-id tie-break) — the policy real dedup pipelines

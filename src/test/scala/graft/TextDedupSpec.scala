@@ -468,4 +468,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got.head.getAs[Int]("lev") === 1)
     assert(math.abs(got.head.getAs[Double]("edit_sim") - (1.0 - 1.0 / 19)) < 1e-5)
   }
+
+  test("resolveEntities: blocking bounds candidates, JW verifies, CC chains") {
+    val s = spark
+    import s.implicits._
+    // at τ = 0.97: 1–2 (0.98) and 2–3 (0.9818) pass, the direct 1–3 edge
+    // (0.9636) does NOT — 3 reaches entity 1 only through TRANSITIVITY;
+    // "acme corporation" (0.8925/0.9125 to the variants) stays apart
+    val recs = Seq((1L, "acme corp"), (2L, "acme corp."),
+      (3L, "acme corp.."), (4L, "acme corporation"), (5L, "zeta systems"),
+      (6L, "unrelated name")).toDF("id", "name")
+    val got = graft.operators.DedupOps.resolveEntities(recs, "id", "name", 0.97)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      s"variant chain must resolve transitively: $got")
+    assert(got(4L) == 4L && got(5L) == 5L && got(6L) == 6L)
+  }
 }

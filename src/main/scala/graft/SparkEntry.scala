@@ -218,6 +218,7 @@ object SparkEntry {
     "q_parquet_meta" -> (qParquetMeta _),
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_column_lineage" -> (qColumnLineage _),
     "q_scd2" -> (qScd2 _),
     "q_funnel" -> (qFunnel _),
@@ -3465,6 +3466,31 @@ object SparkEntry {
     * recomputes every aggregate (null-branch counts included) from the
     * documents table.
     */
+  /** Columnar-format interchange through Spark's native ORC source: a
+    * pruned lineitem projection lands partitioned-by-returnflag in ORC,
+    * reads back with a pushed row-group predicate, and aggregates with
+    * order-independent reductions (counts, integer-valued quantity sums,
+    * min/max). The oracle aggregates the original parquet — any loss in
+    * the ORC cycle (types, partition-column recovery, predicate
+    * semantics) breaks the match. PlanSpec pins that the predicate
+    * actually reaches the ORC scan.
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshTmpDir("graft_orc", dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+    s.read.orc(out)
+      .filter(col("l_quantity") > 25)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+        countDistinct("l_partkey").as("n_parts"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
   private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = freshTmpDir("graft_avro", dir)
     val rows = Tables.documents(s, dir).select(
@@ -6631,6 +6657,16 @@ object SparkEntry {
 
     // The export cycle checked against the parameters; null-union
     // branches and both codecs covered by the fixture split.
+    // ORC mirror: the same aggregation over the ORIGINAL parquet — the
+    // ORC write/read cycle must be lossless for the match to hold.
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_quantity > 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_avro_roundtrip" ->
       """WITH h AS (SELECT doc_id % 4 AS g, doc_id,
         |    CASE WHEN doc_id % 23 = 0 THEN NULL ELSE lang END AS lang,

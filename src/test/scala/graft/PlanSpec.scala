@@ -103,6 +103,14 @@ class PlanSpec extends SparkSpec {
       "expected a hash/sort-merge equi-join on the bucket key")
   }
 
+  test("q_orc_roundtrip: the quantity predicate reaches the ORC scan") {
+    val p = formatted("q_orc_roundtrip")
+    assert(p.contains("ORC") || p.toLowerCase.contains("orc"),
+      "expected an ORC relation in the plan")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan"),
+      "quantity predicate must push into the ORC scan")
+  }
+
   test("q_spatial_join: cell equi-join, never an all-pairs distance join") {
     val p = formatted("q_spatial_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

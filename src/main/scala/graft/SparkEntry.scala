@@ -96,6 +96,7 @@ object SparkEntry {
     "q_length_buckets" -> (qLengthBuckets _),
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_unigram_tokenize" -> (qUnigramTokenize _),
     "q_bpe_roundtrip" -> (qBpeRoundtrip _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
@@ -1623,6 +1624,21 @@ object SparkEntry {
       .select(col("doc_id"), col("n_pretokens"), col("n_bpe_tokens"),
         md5(concat_ws(" ", col("bpe_tokens"))).as("tok_md5"))
       .orderBy("doc_id")
+
+  /** Unigram-LM (SentencePiece-family) Viterbi tokenization gate: per
+    * document — pre-token count, the optimal segmentation's total score,
+    * and its piece count under the corpus n-gram vocabulary with exact
+    * integer scores s(p) = |p|² + ⌊log₂ count(p)⌋. The oracle recomputes
+    * the VOCAB from scratch and replays the DP by exhaustive path
+    * enumeration (max score, then min pieces) — an independent algorithm
+    * against the distributed Viterbi.
+    */
+  private def qUnigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = TextOps.unigramVocab(docs, "text", maxN = 4)
+    TextOps.unigramEncode(docs, "doc_id", "text", vocab, maxN = 4)
+      .orderBy("doc_id")
+  }
 
   /** BPE id round trip — the lossless-inverse gate: tokens → deterministic
     * id vocabulary (lexicographic rank) → id streams → DECODE back through
@@ -4530,6 +4546,50 @@ object SparkEntry {
          |SELECT doc_id, n_pretokens, n_bpe_tokens,
          |  md5(array_to_string(toks, ' ')) AS tok_md5
          |FROM doc_bpe ORDER BY doc_id""".stripMargin,
+
+    // Unigram mirror: vocabulary recomputed from scratch (n-gram census
+    // over distinct pre-token words, integer |p|² + ⌊log₂ c⌋ scores) and
+    // the Viterbi replayed by exhaustive path enumeration with the same
+    // (max score, min pieces) total order.
+    "q_unigram_tokenize" -> {
+      val ilog2 = (40 to 1 by -1)
+        .map(b => s"WHEN count(*) >= ${1L << b} THEN $b").mkString(" ")
+      s"""WITH RECURSIVE
+         |words AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+         |    '${Text.BpePattern}')) AS w FROM documents),
+         |occ AS (SELECT substr(w, CAST(t.i AS INT), n) AS piece
+         |  FROM words,
+         |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t,
+         |    (SELECT unnest([1, 2, 3, 4]) AS n) nn
+         |  WHERE t.i + n - 1 <= len(w)),
+         |vocab AS (SELECT piece,
+         |    CAST(len(piece) * len(piece) + CASE $ilog2 ELSE 0 END AS BIGINT) AS s
+         |  FROM occ GROUP BY piece),
+         |paths(w, j, score, np) AS (
+         |  SELECT w, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM words
+         |  UNION
+         |  SELECT p.w, p.j + len(v.piece), p.score + v.s, p.np + 1
+         |  FROM paths p JOIN vocab v
+         |    ON substr(p.w, CAST(p.j + 1 AS INT), CAST(len(v.piece) AS INT)) = v.piece
+         |  WHERE p.j < len(p.w)),
+         |best AS (SELECT w, score, np FROM (
+         |  SELECT w, score, np,
+         |    row_number() OVER (PARTITION BY w ORDER BY score DESC, np ASC) AS rn
+         |  FROM paths WHERE j = len(w)) WHERE rn = 1),
+         |dw AS (SELECT doc_id, ws[CAST(t.i AS INT)] AS w
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '${Text.BpePattern}') AS ws
+         |        FROM documents) d,
+         |  LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |    CAST(sum(b.score) AS BIGINT) AS total_score,
+         |    CAST(sum(b.np) AS BIGINT) AS n_pieces
+         |  FROM dw JOIN best b USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_pretokens, 0) AS n_pretokens,
+         |  coalesce(a.total_score, 0) AS total_score,
+         |  coalesce(a.n_pieces, 0) AS n_pieces
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Round-trip mirror: the oracle re-derives the id vocabulary
     // (lexicographic rank over its own recomputed token set), the id-sum

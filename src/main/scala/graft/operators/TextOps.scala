@@ -396,6 +396,91 @@ object TextOps {
       }.toDF(idCol, "n_pretokens", "n_bpe_tokens", "bpe_tokens")
   }
 
+  /** Unigram-LM piece vocabulary (the SentencePiece tokenizer family,
+    * Kudo 2018 — the OTHER real tokenizer besides BPE): every character
+    * n-gram (n ≤ maxN) occurring in the corpus's distinct pre-token
+    * words, scored s(p) = |p|² + ⌊log₂ count(p)⌋ in EXACT integers. The
+    * segmentation machinery below is the real Viterbi; the score table
+    * is the pluggable part (production scores come from the SentencePiece
+    * EM loop — any integer-scaled log-prob table drops in). Single-char
+    * pieces are n-grams too, so coverage is total by construction.
+    * Driver-side collect is vocabulary-bounded (the trainBpe contract);
+    * at open-vocabulary scale, cap to the top-K pieces by score the same
+    * way production vocabs do.
+    */
+  def unigramVocab(df: DataFrame, textCol: String, maxN: Int = 4)
+  : Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def ilog2(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
+    df.select(col(textCol)).as[String]
+      .flatMap(t => graft.functions.Bpe.pretokens(if (t == null) "" else t))
+      .distinct()
+      .flatMap { w =>
+        for (i <- 0 until w.length; n <- 1 to maxN if i + n <= w.length)
+          yield w.substring(i, i + n)
+      }
+      .groupByKey(identity).count()
+      .collect()
+      .map { case (p, c) => (p, p.length.toLong * p.length + ilog2(c)) }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Distributed unigram-LM Viterbi encode: per document — pre-token
+    * count, the optimal segmentation's total score, and its piece count.
+    * The DP maximizes Σ score with MIN piece count as the deterministic
+    * tie-break, so (score, pieces) is unique even when several
+    * segmentations tie — which is what lets an oracle replay the DP by
+    * path enumeration. Same cost shape as [[bpeEncode]]: broadcast
+    * vocab, ONE typed mapPartitions, per-partition word cache.
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[(String, Long)], maxN: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab.toMap)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        def viterbi(w: String): (Long, Long) = {
+          val L = w.length
+          val neg = Long.MinValue / 4
+          val dp = Array.fill(L + 1)(neg)
+          val np = Array.fill(L + 1)(Long.MaxValue)
+          dp(0) = 0L; np(0) = 0L
+          var j = 1
+          while (j <= L) {
+            var n = 1
+            while (n <= maxN && n <= j) {
+              if (dp(j - n) > neg) v.get(w.substring(j - n, j)).foreach { sc =>
+                val cand = dp(j - n) + sc
+                val cnp = np(j - n) + 1
+                if (cand > dp(j) || (cand == dp(j) && cnp < np(j))) {
+                  dp(j) = cand; np(j) = cnp
+                }
+              }
+              n += 1
+            }
+            j += 1
+          }
+          require(dp(L) > neg, s"word '$w' not coverable by the vocab")
+          (dp(L), np(L))
+        }
+        it.map { case (id, text) =>
+          if (cache.size > 1000000) cache.clear()
+          val pts = graft.functions.Bpe.pretokens(if (text == null) "" else text)
+          var score = 0L; var pieces = 0L
+          pts.foreach { w =>
+            val (s, p) = cache.getOrElseUpdate(w, viterbi(w))
+            score += s; pieces += p
+          }
+          (id, pts.length.toLong, score, pieces)
+        }
+      }.toDF(idCol, "n_pretokens", "total_score", "n_pieces")
+  }
+
   /** Deterministic id vocabulary over an encode output: the distinct token
     * strings in lexicographic order, id = rank − 1. The global window runs
     * over the DISTINCT vocabulary only (bounded — the same bound as

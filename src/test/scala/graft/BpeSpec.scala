@@ -128,4 +128,41 @@ class BpeSpec extends SparkSpec {
       else assert(dec(id) == want, s"doc $id")
     }
   }
+
+  test("unigramEncode: Viterbi picks the max-score segmentation, min-pieces tie-break") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    // hand vocab: "abc" dominates; "xy"+"z" and "x"+"yz" tie on score
+    // (7+3 = 3+7) and on pieces — but "xyz" itself scores 9 with ONE piece
+    // only if present; drop it so the tie resolves by equal (score, np)
+    val vocab = Seq(("a", 10L), ("b", 1L), ("c", 1L), ("ab", 20L),
+      ("bc", 5L), ("abc", 50L), ("x", 3L), ("y", 1L), ("z", 3L),
+      ("xy", 7L), ("yz", 7L))
+    val docs = Seq((1L, "abc abab"), (2L, "xyz"), (3L, "")).toDF("id", "text")
+    val got = TextOps.unigramEncode(docs, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "abc" → 50/1; "abab" → ab|ab = 40/2 (beats a|b|ab = 31/3)
+    assert(got(1L) == ((2L, 90L, 3L)), got.toString)
+    // "xyz": xy|z = 10/2 == x|yz = 10/2 — unique (score, np) despite two
+    // optimal paths
+    assert(got(2L) == ((1L, 10L, 2L)), got.toString)
+    assert(got(3L) == ((0L, 0L, 0L)))
+    // uncoverable word fails loudly rather than silently skipping
+    intercept[org.apache.spark.SparkException] {
+      TextOps.unigramEncode(Seq((9L, "aq")).toDF("id", "text"),
+        "id", "text", vocab).collect()
+    }
+  }
+
+  test("unigramVocab: n-gram census over DISTINCT words with integer scores") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    // "aa aa ab": distinct words {aa, ab}; 1-grams: a×3, b×1; 2-grams:
+    // aa×1, ab×1 → scores: a: 1+ilog2(3)=2, b: 1+0=1, aa: 4+0=4, ab: 4
+    val v = TextOps.unigramVocab(Seq("aa aa ab").toDF("text"), "text").toMap
+    assert(v == Map("a" -> 2L, "b" -> 1L, "aa" -> 4L, "ab" -> 4L), v.toString)
+  }
 }

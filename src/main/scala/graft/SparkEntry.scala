@@ -121,6 +121,7 @@ object SparkEntry {
     "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_gif_decode" -> (qGifDecode _),
+    "q_image_resize" -> (qImageResize _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
     "q_audio_meta" -> (qAudioMeta _),
@@ -199,6 +200,7 @@ object SparkEntry {
     "q_netcdf4_roundtrip" -> (qNetcdf4Roundtrip _),
     "q_streaming_stats" -> (qStreamingStats _),
     "q_streaming_cms" -> (qStreamingCms _),
+    "q_streaming_kmv" -> (qStreamingKmv _),
     "q_streaming_sessions" -> (qStreamingSessions _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_pagerank" -> (qPageRank _),
@@ -220,6 +222,7 @@ object SparkEntry {
     "q_topk_per_group" -> (qTopkPerGroup _),
     "q_avro_roundtrip" -> (qAvroRoundtrip _),
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_zip_roundtrip" -> (qZipRoundtrip _),
     "q_column_lineage" -> (qColumnLineage _),
     "q_scd2" -> (qScd2 _),
     "q_funnel" -> (qFunnel _),
@@ -283,6 +286,47 @@ object SparkEntry {
     * the batch table with the same row-salted md5 buckets, so stream and
     * batch must agree register-for-register.
     */
+  /** Streaming KMV distinct estimation: lineitem replayed as a file
+    * stream, the per-returnflag k-smallest-hash sketch maintained as ONE
+    * streaming aggregation (semilattice state — k longs per set), drained
+    * with AvailableNow, and the final estimates compared against the
+    * oracle's batch rebuild of the identical sketch plus the exact
+    * distinct counts.
+    */
+  private def qStreamingKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val raw = s.read.parquet(s"$dir/lineitem.parquet")
+    val streamDir = freshTmpDir("graft_stream_kmv", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/lineitem.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
+      dstP.getFileSystem(hconf), dstP, false, hconf)
+    val stream = s.readStream.schema(raw.schema)
+      .option("recursiveFileLookup", "true").parquet(streamDir)
+    val sk = graft.streaming.StreamingSketch.kmvSketch(
+      stream.select(col("l_returnflag"), col("l_partkey")),
+      "l_returnflag", "l_partkey", k)
+    val qname = s"graft_kmv_${math.abs(dir.hashCode)}"
+    val q = sk.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val exact = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    s.table(qname)
+      .select(col("l_returnflag"),
+        when(size(col("sketch")) >= k,
+          lit((k - 1).toDouble) * lit(StatsOps.KmvM)
+            / element_at(col("sketch"), k).cast("double"))
+          .otherwise(size(col("sketch")).cast("double")).as("_est"))
+      .join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        rnd("_est", 4).as("kmv_est"))
+      .orderBy("l_returnflag")
+  }
+
   private def qStreamingCms(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/documents.parquet")
     val streamDir = freshTmpDir("graft_stream_cms", dir)
@@ -2765,6 +2809,42 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Image resize end-to-end: 16×16 BMPs from quantized event values,
+    * box-average downscale ×4 (exact integer block means), RE-ENCODE,
+    * decode again — and gate on position-weighted per-channel checksums
+    * of the resized pixels, which the oracle recomputes pixel-for-pixel
+    * from the event stream (Σ block // 16 per 4×4 block, then Σ pos·c).
+    */
+  private def qImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        (g, graft.functions.Media.renderBmp(16, 16, px))
+      }.toDF("g", "bmp")
+    MultimodalOps.resizeBox(payloads, "g", factor = 4, "bmp")
+      .select(col("g"), col("in_w"), col("in_h"), col("out_w"), col("out_h"),
+        col("resized"))
+      .as[(Long, Int, Int, Int, Int, Array[Byte])]
+      .map { case (g, iw, ih, ow, oh, bytes) =>
+        val m = graft.functions.Media.decodeBmp(bytes)
+        var (wr, wg, wb) = (0L, 0L, 0L)
+        m.pixels.zipWithIndex.foreach { case ((r, gg, b), p) =>
+          wr += p.toLong * r; wg += p.toLong * gg; wb += p.toLong * b
+        }
+        (g, iw, ih, ow, oh, wr, wg, wb)
+      }
+      .toDF("g", "in_w", "in_h", "out_w", "out_h", "wsum_r", "wsum_g", "wsum_b")
+      .orderBy("g")
+  }
+
   /** GIF decode end-to-end: per group, a two-frame animated GIF (frame 0
     * plain, frame 1 INTERLACED, distinct GCE delays) is encoded from
     * quantized event values over a 64-color palette, then decoded back
@@ -3505,6 +3585,35 @@ object SparkEntry {
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"))
       .orderBy("l_returnflag")
+  }
+
+  /** ZIP container round trip: documents shard into archives (one per
+    * doc_id%4, zero-padded entry names so lexicographic = numeric
+    * order), written executor-side, read back through the central
+    * directory with per-entry CRC verification. Gated on per-shard
+    * entry census, byte totals, and the md5 of the name-ordered text
+    * concatenation — the oracle recomputes all three from the documents
+    * table, so truncation, mis-decode, or entry loss anywhere in the
+    * cycle breaks the match.
+    */
+  private def qZipRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZipSource
+    val docs = Tables.documents(s, dir).select(
+      (col("doc_id") % 4).cast("string").as("shard"),
+      format_string("doc_%06d.txt", col("doc_id")).as("name"),
+      col("text").cast("binary").as("data"))
+    val out = freshTmpDir("graft_zip", dir)
+    ZipSource.writeArchives(docs, "shard", "name", "data", out)
+    ZipSource.read(s, out)
+      .select(regexp_extract(col("file"), "([0-9]+)\\.zip$", 1)
+        .cast("long").as("shard"),
+        col("name"), col("size"), col("data").cast("string").as("txt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_entries"), sum("size").as("total_bytes"),
+        md5(concat_ws("",
+          transform(array_sort(collect_list(struct(col("name"), col("txt")))),
+            x => x.getField("txt"))).cast("binary")).as("text_md5"))
+      .orderBy("shard")
   }
 
   private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -4803,6 +4912,30 @@ object SparkEntry {
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
 
+    // Resize mirror: every output pixel recomputed from the event stream
+    // (4×4 block sums // 16), then the position-weighted checksums.
+    "q_image_resize" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |px AS (SELECT g, rn - 1 AS p,
+        |    (v % 256 + 256) % 256 AS cr,
+        |    (v * 3 % 256 + 256) % 256 AS cg,
+        |    (v * 7 % 256 + 256) % 256 AS cb
+        |  FROM r WHERE rn <= 256),
+        |blk AS (SELECT g,
+        |    ((p // 16) // 4) * 4 + (p % 16) // 4 AS o,
+        |    sum(cr) // 16 AS vr, sum(cg) // 16 AS vg, sum(cb) // 16 AS vb
+        |  FROM px GROUP BY 1, 2)
+        |SELECT g, 16 AS in_w, 16 AS in_h, 4 AS out_w, 4 AS out_h,
+        |  CAST(sum(o * vr) AS BIGINT) AS wsum_r,
+        |  CAST(sum(o * vg) AS BIGINT) AS wsum_g,
+        |  CAST(sum(o * vb) AS BIGINT) AS wsum_b
+        |FROM blk GROUP BY g ORDER BY g""".stripMargin,
+
     // GIF mirror: palette ramps + frame geometry + the deinterlace gate
     // (Σ pos·r over NATURAL row order) re-derived from the event stream.
     "q_gif_decode" ->
@@ -5225,6 +5358,31 @@ object SparkEntry {
          |JOIN sz sza ON sza.s = p.sa
          |JOIN sz szb ON szb.s = p.sb
          |ORDER BY set_a, set_b""".stripMargin
+    },
+
+    // Streaming-KMV mirror: batch-side sketch rebuild (the stream is a
+    // replay of the same table, and the k-min state is a semilattice).
+    "q_streaming_kmv" -> {
+      val k = 256
+      val M = "1152921504606846976"
+      s"""WITH dv AS (SELECT DISTINCT l_returnflag AS s, l_partkey AS v
+         |  FROM lineitem),
+         |h AS (SELECT DISTINCT s,
+         |    CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM dv),
+         |rk AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS rn
+         |  FROM h),
+         |st AS (SELECT s, count(*) AS n, max(hv) AS kth
+         |  FROM rk WHERE rn <= $k GROUP BY 1),
+         |est AS (SELECT s,
+         |    CASE WHEN n >= $k THEN ${(k - 1).toDouble} * ${M}e0 / CAST(kth AS DOUBLE)
+         |         ELSE CAST(n AS DOUBLE) END AS e
+         |  FROM st),
+         |x AS (SELECT l_returnflag AS s,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s AS l_returnflag, n_exact, round(e + 1e-9, 4) AS kmv_est
+         |FROM x JOIN est USING (s) ORDER BY l_returnflag""".stripMargin
     },
 
     // Streaming-CMS mirror: batch-side register rebuild (the stream is a
@@ -6717,6 +6875,15 @@ object SparkEntry {
 
     // The export cycle checked against the parameters; null-union
     // branches and both codecs covered by the fixture split.
+    // ZIP mirror: census, byte totals, and the name-ordered text md5
+    // recomputed straight from the documents table.
+    "q_zip_roundtrip" ->
+      """SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  md5(string_agg(text, '' ORDER BY printf('doc_%06d.txt', doc_id)))
+        |    AS text_md5
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
     // ORC mirror: the same aggregation over the ORIGINAL parquet — the
     // ORC write/read cycle must be lossless for the match to hold.
     "q_orc_roundtrip" ->

@@ -255,6 +255,45 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "n_channels", "mean_y", "mean_cb", "mean_cr")
   }
 
+  /** Real image RESIZE — the preprocessing step between decode and
+    * feature/embedding extraction: box-average downscale by an integer
+    * factor in EXACT integer arithmetic (each output pixel =
+    * ⌊Σ block / factor²⌋ per channel — no float filter kernel, so an
+    * oracle can replay every output pixel), then re-encode, so the
+    * output is a real image payload the next pipeline stage decodes.
+    * One decode + resize + encode per row on executors, no shuffle; at
+    * 100 TB this is the embarrassingly-parallel thumbnailing pass that
+    * feeds image dedup (`imageHashes`) and embedding models.
+    */
+  def resizeBox(payloads: DataFrame, idCol: String, factor: Int,
+                payloadCol: String = "payload"): DataFrame = {
+    require(factor >= 1, s"factor $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodeBmp(bytes)
+        require(m.width % factor == 0 && m.height % factor == 0,
+          s"extent ${m.width}x${m.height} not divisible by $factor")
+        val (ow, oh) = (m.width / factor, m.height / factor)
+        val n = factor * factor
+        val sums = Array.ofDim[Long](ow * oh, 3)
+        var i = 0
+        while (i < m.pixels.length) {
+          val (r, g, b) = m.pixels(i)
+          val o = ((i / m.width) / factor) * ow + (i % m.width) / factor
+          sums(o)(0) += r; sums(o)(1) += g; sums(o)(2) += b
+          i += 1
+        }
+        val px = sums.map(s => ((s(0) / n).toInt, (s(1) / n).toInt,
+          (s(2) / n).toInt))
+        (id, m.width, m.height, ow, oh,
+          graft.functions.Media.renderBmp(ow, oh, px))
+      }
+      .toDF(idCol, "in_w", "in_h", "out_w", "out_h", "resized")
+  }
+
   /** Real animated-image decode: GIF payloads → one row per FRAME with
     * geometry, interlace flag, GCE delay, per-channel means over the
     * palette-resolved RGB pixels, and a position-weighted red checksum

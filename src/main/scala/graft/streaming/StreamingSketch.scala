@@ -32,4 +32,28 @@ object StreamingSketch {
       .groupBy("j", "bucket")
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Streaming KMV distinct sketch: the k-smallest-distinct-hash state is
+    * a SEMILATTICE (merge is associative, commutative, idempotent), so a
+    * continuous ingest maintains it as one streaming aggregation whose
+    * state is k longs per set — bounded by sketch precision, never by
+    * stream cardinality, and trigger boundaries cannot change the result
+    * (idempotence absorbs replays). Same bounded Aggregator and 60-bit
+    * md5 hash as the batch [[graft.operators.StatsOps.kmvSketch]], so a
+    * drained stream's sketch is bit-identical to the batch build — the
+    * stream/batch agreement q_streaming_kmv gates.
+    */
+  def kmvSketch(stream: DataFrame, setCol: String, valueCol: String,
+                k: Int): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val agg = new graft.functions.KmvAgg(k)
+    stream.select(col(setCol).cast("string"),
+        graft.functions.Text.hash64(col(valueCol).cast("string")).as("_h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn)
+      .toDF(setCol, "sketch")
+  }
 }

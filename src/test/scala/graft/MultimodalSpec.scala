@@ -379,6 +379,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1 === leftCols) // inversion flips the bright side
   }
 
+  test("resizeBox: exact integer block means, re-encoded payload decodes") {
+    val s = spark
+    import s.implicits._
+    // 4x4 → factor 2 → 2x2; block means are exact integer floors
+    val px = Array(
+      (10, 0, 0), (20, 0, 0), (7, 255, 1), (9, 255, 1),
+      (30, 0, 0), (41, 0, 0), (9, 255, 1), (9, 255, 1),
+      (0, 8, 100), (0, 8, 100), (200, 0, 0), (0, 0, 0),
+      (0, 9, 100), (0, 9, 100), (0, 0, 0), (0, 0, 0))
+    val bmp = graft.functions.Media.renderBmp(4, 4, px)
+    val r = graft.operators.MultimodalOps.resizeBox(
+      Seq((1L, bmp)).toDF("id", "p"), "id", 2, "p").collect()(0)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)) == ((4, 4, 2, 2)))
+    val out = graft.functions.Media.decodeBmp(r.getAs[Array[Byte]]("resized"))
+    // blocks: (10+20+30+41)/4=25 | (7+9+9+9)/4=8,255,1 | (8+8+9+9)/4=8 | 200/4=50
+    assert(out.pixels.toSeq == Seq((25, 0, 0), (8, 255, 1),
+      (0, 8, 100), (50, 0, 0)))
+    // non-divisible extents refuse loudly
+    intercept[org.apache.spark.SparkException] {
+      graft.operators.MultimodalOps.resizeBox(
+        Seq((1L, bmp)).toDF("id", "p"), "id", 3, "p").collect()
+    }
+  }
+
   test("Lzw: GIF dialect round trip across widths, dict growth, table-full clear") {
     import graft.functions.Lzw
     def rt(sym: Array[Int], min: Int): Unit = {

@@ -140,6 +140,9 @@ object SparkEntry {
     "q_range_join" -> (qRangeJoin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_resample" -> (qResample _),
+    "q_skyline" -> (qSkyline _),
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_privacy_report" -> (qPrivacyReport _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_token_budget" -> (qTokenBudget _),
@@ -1808,6 +1811,38 @@ object SparkEntry {
       .select(col("k"), col("tick"), rnd("ffill", 4).as("ffill"),
         rnd("interp", 4).as("interp"))
       .orderBy("k", "tick")
+
+  /** Pareto frontier of lineitem on (max l_quantity, min
+    * l_extendedprice): per-partition local frontiers, then the bounded
+    * dominance anti-join. The oracle is the NOT EXISTS dominance query —
+    * a different algorithm over the same strict-dominance order.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.skyline(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice")),
+      Seq(("l_quantity", true), ("l_extendedprice", false)))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Robust MAD outlier census per returnflag over extended prices —
+    * exact medians, rounded-deviation comparison at k = 3.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    StatsOps.madOutliers(Tables.lineitem(s, dir), "l_returnflag",
+      "l_extendedprice", k = 3.0)
+      .select(col("l_returnflag"), col("n"), rnd("med", 4).as("med"),
+        rnd("mad", 4).as("mad"), col("n_outliers"))
+      .orderBy("l_returnflag")
+
+  /** k-anonymity / l-diversity release report over customer quasi-
+    * identifiers (nation × market segment) with the account-balance
+    * thousand-bucket as the sensitive attribute; k = 5, l = 3.
+    */
+  private def qPrivacyReport(s: SparkSession, dir: String): DataFrame =
+    CurationOps.privacyReport(
+      Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_bucket")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 5L, l = 3L)
 
   /** Weighted sample without replacement (A-ES keys from the 60-bit md5
     * draw): top-50 documents by ln(u)/n_chars — reproducible
@@ -5157,6 +5192,52 @@ object SparkEntry {
         |    ELSE pv + (nv - pv) * (ts - pt) / (nt - pt) END + 1e-9, 4) AS interp
         |FROM w WHERE kind = 1 AND pv IS NOT NULL
         |ORDER BY k, tick""".stripMargin,
+
+    // Skyline mirror: the NOT EXISTS dominance formulation.
+    "q_skyline" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM t s WHERE NOT EXISTS (
+        |  SELECT 1 FROM t o
+        |  WHERE o.l_quantity >= s.l_quantity
+        |    AND o.l_extendedprice <= s.l_extendedprice
+        |    AND (o.l_quantity > s.l_quantity
+        |      OR o.l_extendedprice < s.l_extendedprice))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // MAD mirror: quantile_cont medians, identical rounded-deviation gate.
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT l_returnflag AS g,
+        |    quantile_cont(l_extendedprice, 0.5) AS m
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (SELECT l.l_returnflag AS g,
+        |    abs(l.l_extendedprice - med.m) AS ad, med.m
+        |  FROM lineitem l JOIN med ON l.l_returnflag = med.g),
+        |mad AS (SELECT g, quantile_cont(ad, 0.5) AS md FROM dev GROUP BY 1)
+        |SELECT d.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(d.m) + 1e-9, 4) AS med, round(max(mad.md) + 1e-9, 4) AS mad,
+        |  CAST(sum(CASE WHEN round(d.ad + 1e-9, 6) >
+        |    3.0 * round(mad.md + 1e-9, 6) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad ON d.g = mad.g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Privacy mirror: the same two-level aggregation.
+    "q_privacy_report" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT) AS n_sens
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_k,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  min(n) AS min_group_size,
+        |  CAST(sum(CASE WHEN n_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_l,
+        |  min(n_sens) AS min_diversity
+        |FROM g""".stripMargin,
 
     // Spatial mirror: brute-force distance join (no cells) — same pairs.
     "q_spatial_join" ->

@@ -249,6 +249,30 @@ object CurationOps {
       .drop("_mu", "_sd")
   }
 
+  /** k-anonymity / l-diversity privacy report (Sweeney 2002; Machanavajjhala
+    * et al. 2007 — the standard release-gate metrics for datasets carrying
+    * quasi-identifiers): group by the quasi-identifier tuple, then one
+    * summary row — group census, how many groups (and rows) fall below
+    * the k-anonymity floor, the minimum group size, and the l-diversity
+    * counterparts over the sensitive attribute. Two hash aggregations
+    * (quasi-group reduce, then a 1-row fold); the quasi-group reduce is
+    * the only data-sized shuffle and combines map-side. A release gate
+    * checks `n_groups_below_k == 0 && n_groups_below_l == 0`.
+    */
+  def privacyReport(df: DataFrame, quasiCols: Seq[String],
+                    sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sens"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_groups_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("min_group_size"),
+        sum(when(col("n_sens") < l, 1L).otherwise(0L)).as("n_groups_below_l"),
+        min(col("n_sens")).as("min_diversity"))
+  }
+
   /** GPT-style sequence packing (concatenate-and-cut): documents are laid
     * end-to-end in `idCol` order and the token stream is cut every
     * `contextLen` tokens. Emits each document's stream offset, its first

@@ -262,6 +262,68 @@ object RelationalOps {
       .drop("_b")
   }
 
+  /** Pareto frontier (skyline): rows not STRICTLY dominated by any other
+    * row — dominated means ≥ on every maximized dimension (≤ on
+    * minimized ones) with at least one strict inequality. The scale
+    * algorithm exploits that the global frontier is a subset of the
+    * union of per-partition frontiers (dominance is transitive): each
+    * partition reduces to its local frontier in one scan, the surviving
+    * candidates (frontier-sized, not corpus-sized) cross-check in a
+    * final dominance anti-join bounded by |frontier|². No arithmetic —
+    * only comparisons — so any engine replays it exactly. `maximize`
+    * maps each dimension column to true (maximize) or false (minimize).
+    * Duplicate points survive together (neither strictly dominates).
+    */
+  def skyline(df: DataFrame, dims: Seq[(String, Boolean)]): DataFrame = {
+    require(dims.nonEmpty, "no skyline dimensions")
+    val spark = df.sparkSession
+    // a dominates b: better-or-equal everywhere, strictly better somewhere
+    def dominates(a: String, b: String): Column = {
+      val geq = dims.map { case (c, mx) =>
+        if (mx) col(s"$a.$c") >= col(s"$b.$c") else col(s"$a.$c") <= col(s"$b.$c")
+      }.reduce(_ && _)
+      val strict = dims.map { case (c, mx) =>
+        if (mx) col(s"$a.$c") > col(s"$b.$c") else col(s"$a.$c") < col(s"$b.$c")
+      }.reduce(_ || _)
+      geq && strict
+    }
+    // dimension columns normalized to double so the partition-local scan
+    // compares one primitive type
+    val dfd = dims.foldLeft(df) { case (d, (c, _)) =>
+      d.withColumn(c, col(c).cast("double"))
+    }
+    val schema = dfd.schema
+    val dimIdx = dims.map { case (c, mx) => (schema.fieldIndex(c), mx) }
+    val candidates = dfd.mapPartitions { it =>
+      // local frontier: O(rows × frontier) scan, frontier stays small
+      val frontier = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.Row]
+      def dom(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row)
+      : Boolean = {
+        var geq = true; var strict = false
+        dimIdx.foreach { case (i, mx) =>
+          val (x, y) = (a.getDouble(i), b.getDouble(i))
+          val (hi, lo) = if (mx) (x, y) else (y, x)
+          if (hi < lo) geq = false
+          if (hi > lo) strict = true
+        }
+        geq && strict
+      }
+      it.foreach { r =>
+        if (!frontier.exists(f => dom(f, r))) {
+          val keep = frontier.filterNot(f => dom(r, f))
+          keep += r
+          frontier.clear()
+          frontier ++= keep
+        }
+      }
+      frontier.iterator
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val cached = candidates.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.as("s").join(cached.as("o"), dominates("o", "s"), "left_anti")
+  }
+
   /** Regular-grid time-series resampling with forward fill AND linear
     * interpolation — the gap-filling step every sensor/telemetry
     * pipeline runs before modeling. Per key, ticks span

@@ -216,6 +216,34 @@ object StatsOps {
       .filter(col("cms_estimate") >= threshold)
   }
 
+  /** Robust outlier report via MAD (median absolute deviation) — the
+    * outlier family's robust member beside the z-score gate: per group,
+    * the exact median, the median of |x − med|, and the census of rows
+    * with |x − med| > k·MAD. Three hash aggregations (median, MAD,
+    * census) with the group key as the only shuffle key; medians are
+    * exact per-group order statistics (the `quantile_cont` convention
+    * both engines share) — swap `percentile_approx` in at open-group
+    * scale, as `groupQuantiles` documents. The outlier comparison runs
+    * on ROUNDED deviations (the cross-engine boundary discipline), so a
+    * 1-ulp interpolation difference cannot flip a boundary row.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("_ad", abs(col(valueCol) - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(_ad, 0.5)").as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("_med")).as("med"), first(col("_mad")).as("mad"),
+        sum(when(round(col("_ad") + lit(1e-9), 6) >
+          lit(k) * round(col("_mad") + lit(1e-9), 6), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** KMV hash-space size: [[graft.functions.Text.hash64]] yields 15 hex
     * chars = 60 uniform bits, so hashes live in [0, 2^60).
     */

@@ -681,6 +681,42 @@ class OperatorSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("skyline: strict dominance, duplicates survive, partition invariant") {
+    val s = spark
+    import s.implicits._
+    // maximize x, minimize y
+    val pts = Seq((1L, 5.0, 10.0), (2L, 5.0, 10.0), // duplicates both live
+      (3L, 6.0, 10.0),  // dominates 1,2 (x strictly better, y equal)
+      (4L, 4.0, 3.0),   // frontier (best y)
+      (5L, 6.0, 12.0),  // dominated by 3
+      (6L, 9.0, 20.0))  // frontier (best x)
+      .toDF("id", "x", "y").repartition(7)
+    val got = graft.operators.RelationalOps.skyline(pts,
+      Seq(("x", true), ("y", false)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L, 6L), got.toString)
+    val dup = Seq((1L, 5.0, 10.0), (2L, 5.0, 10.0)).toDF("id", "x", "y")
+      .repartition(3)
+    val got2 = graft.operators.RelationalOps.skyline(dup,
+      Seq(("x", true), ("y", false)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L), "equal points never dominate each other")
+  }
+
+  test("madOutliers: analytic medians and outlier census") {
+    val s = spark
+    import s.implicits._
+    // group g: values 1..9 plus 100 → med = 5.5, |x-med| = 4.5,3.5,...,94.5
+    // sorted ads: .5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5 → mad = 2.5
+    // outliers: ad > 7.5 → only 100 (ad 94.5) and 1 (4.5? no) → 1 outlier
+    val df = ((1 to 9).map(v => ("g", v.toDouble)) :+ (("g", 100.0)))
+      .toDF("g", "v")
+    val r = graft.operators.StatsOps.madOutliers(df, "g", "v", 3.0).collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 2.5, r.toString)
+    assert(r.getLong(4) == 1L, r.toString)
+  }
+
   test("resample: ffill + linear interp on an analytic series") {
     val s = spark
     import s.implicits._

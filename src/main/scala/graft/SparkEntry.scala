@@ -139,6 +139,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_spatial_join" -> (qSpatialJoin _),
+    "q_point_in_polygon" -> (qPointInPolygon _),
     "q_resample" -> (qResample _),
     "q_skyline" -> (qSkyline _),
     "q_mad_outliers" -> (qMadOutliers _),
@@ -1784,6 +1785,39 @@ object SparkEntry {
         countDistinct("l_orderkey").as("n_orders"),
         rnd(sum("l_extendedprice"), 4).as("sum_price"))
       .orderBy("o_orderkey")
+  }
+
+  /** Fixture polygons for q_point_in_polygon: CLOSED integer rings — an
+    * axis-aligned square, a CONCAVE L (parity > 1 crossing on some
+    * rays), and a triangle (non-axis-aligned edges exercise the
+    * cross-multiplied intersection test).
+    */
+  private val PipPolys: Seq[(Long, Seq[(Long, Long)])] = Seq(
+    1L -> Seq((100L, 100L), (300L, 100L), (300L, 300L), (100L, 300L),
+      (100L, 100L)),
+    2L -> Seq((0L, 0L), (200L, 0L), (200L, 100L), (100L, 100L),
+      (100L, 200L), (0L, 200L), (0L, 0L)),
+    3L -> Seq((250L, 250L), (450L, 250L), (350L, 420L), (250L, 250L)))
+
+  /** Point-in-polygon containment census: event points against the three
+    * fixture rings through bbox-cell candidates + integer ray-cast
+    * parity; the oracle is the brute-force all-pairs edge test over the
+    * same rings.
+    */
+  private def qPointInPolygon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val polys = PipPolys.map { case (id, vs) =>
+      (id, vs.map(_._1), vs.map(_._2))
+    }.toDF("poly_id", "xs", "ys")
+    // px spreads via event_id·7 (user_id tops out near 150 at small sf,
+    // which would leave the x>250 polygons pointless)
+    val pts = Tables.events(s, dir).select(col("event_id").as("id"),
+      ((col("event_id") * 7) % 500).as("x"), (col("event_id") % 500).as("y"))
+    RelationalOps.pointInPolygonJoin(pts, "id", "x", "y",
+        polys, "poly_id", "xs", "ys", cellSize = 128L)
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_inside"), sum("pid").as("sum_pid"))
+      .orderBy("poly_id")
   }
 
   /** Spatial radius self-join: all event-point pairs within distance 5
@@ -5238,6 +5272,31 @@ object SparkEntry {
         |    AS n_groups_below_l,
         |  min(n_sens) AS min_diversity
         |FROM g""".stripMargin,
+
+    // Point-in-polygon mirror: brute-force all-pairs edge test (no
+    // cells) with the IDENTICAL integer crossing condition.
+    "q_point_in_polygon" -> {
+      val edges = PipPolys.flatMap { case (id, vs) =>
+        vs.sliding(2).map { w =>
+          s"($id, ${w(0)._1}, ${w(0)._2}, ${w(1)._1}, ${w(1)._2})"
+        }
+      }.mkString(", ")
+      s"""WITH p AS (SELECT event_id AS pid, (event_id * 7) % 500 AS px,
+         |    event_id % 500 AS py FROM events),
+         |e(poly_id, x1, y1, x2, y2) AS (VALUES $edges),
+         |cr AS (SELECT p.pid, p.px, p.py, e.poly_id FROM p JOIN e ON
+         |  ((e.y1 > p.py) != (e.y2 > p.py)) AND
+         |  ((e.y2 > e.y1 AND (e.x1 - p.px) * (e.y2 - e.y1)
+         |      + (e.x2 - e.x1) * (p.py - e.y1) > 0)
+         |   OR (e.y2 < e.y1 AND (e.x1 - p.px) * (e.y2 - e.y1)
+         |      + (e.x2 - e.x1) * (p.py - e.y1) < 0))),
+         |ins AS (SELECT pid, poly_id FROM cr
+         |  GROUP BY 1, 2 HAVING count(*) % 2 = 1)
+         |SELECT CAST(poly_id AS BIGINT) AS poly_id,
+         |  CAST(count(*) AS BIGINT) AS n_inside,
+         |  CAST(sum(pid) AS BIGINT) AS sum_pid
+         |FROM ins GROUP BY 1 ORDER BY poly_id""".stripMargin
+    },
 
     // Spatial mirror: brute-force distance join (no cells) — same pairs.
     "q_spatial_join" ->

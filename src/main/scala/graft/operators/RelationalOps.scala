@@ -262,6 +262,57 @@ object RelationalOps {
       .drop("_b")
   }
 
+  /** Point-in-polygon join — the second member of the spatial family
+    * beside [[radiusJoin]]: which points fall inside which polygons, via
+    * bbox-cell candidates and an EXACT integer ray-cast parity test.
+    * Polygons (closed integer vertex rings) fan out to the grid cells
+    * covering their bounding box; points key by their one cell; the only
+    * shuffle is the cell equi-join. The crossing test is the classic
+    * upward-ray rule with the division cross-multiplied away —
+    * ((y1>py) ≠ (y2>py)) ∧ sign-adjusted (x1−px)(y2−y1)+(x2−x1)(py−y1) —
+    * so both engines evaluate identical integer comparisons, and the
+    * crossing COUNT parity per (point, polygon) decides containment as a
+    * grouped aggregation (no per-row loop, no UDF). Candidate volume =
+    * points × overlapping-polygon density per cell; a polygon's edge
+    * fan-out is its vertex count. Broadcast the polygon side when the
+    * polygon set is bounded.
+    */
+  def pointInPolygonJoin(points: DataFrame, idCol: String, xCol: String,
+                         yCol: String, polys: DataFrame, polyIdCol: String,
+                         xsCol: String, ysCol: String,
+                         cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize $cellSize must be positive")
+    def cell(c: Column): Column = floor(c.cast("double") / cellSize).cast("long")
+    val p = points.select(col(idCol).as("pid"),
+      col(xCol).cast("long").as("px"), col(yCol).cast("long").as("py"))
+      .withColumn("_cx", cell(col("px"))).withColumn("_cy", cell(col("py")))
+    val cells = polys.select(col(polyIdCol).as("poly_id"),
+        col(xsCol).as("_xs"), col(ysCol).as("_ys"))
+      .withColumn("_cx", explode(sequence(cell(array_min(col("_xs"))),
+        cell(array_max(col("_xs"))))))
+      .withColumn("_cy", explode(sequence(cell(array_min(col("_ys"))),
+        cell(array_max(col("_ys"))))))
+    val cand = p.join(cells, Seq("_cx", "_cy"))
+      .select(col("pid"), col("px"), col("py"), col("poly_id"),
+        col("_xs"), col("_ys"))
+    val edges = cand
+      .withColumn("_i", explode(sequence(lit(0), size(col("_xs")) - 2)))
+      .select(col("pid"), col("px"), col("py"), col("poly_id"),
+        element_at(col("_xs"), col("_i") + 1).as("x1"),
+        element_at(col("_ys"), col("_i") + 1).as("y1"),
+        element_at(col("_xs"), col("_i") + 2).as("x2"),
+        element_at(col("_ys"), col("_i") + 2).as("y2"))
+    val t = (col("x1") - col("px")) * (col("y2") - col("y1")) +
+      (col("x2") - col("x1")) * (col("py") - col("y1"))
+    val crossing = ((col("y1") > col("py")) =!= (col("y2") > col("py"))) &&
+      (((col("y2") > col("y1")) && t > 0) || ((col("y2") < col("y1")) && t < 0))
+    edges.filter(crossing)
+      .groupBy(col("pid"), col("px"), col("py"), col("poly_id"))
+      .agg(count(lit(1)).as("_crossings"))
+      .filter(col("_crossings") % 2 === 1)
+      .select(col("pid"), col("px"), col("py"), col("poly_id"))
+  }
+
   /** Pareto frontier (skyline): rows not STRICTLY dominated by any other
     * row — dominated means ≥ on every maximized dimension (≤ on
     * minimized ones) with at least one strict inequality. The scale

@@ -681,6 +681,33 @@ class OperatorSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("pointInPolygonJoin: concave notch, triangle slopes, outside census") {
+    val s = spark
+    import s.implicits._
+    // L-shape: unit square minus the top-right quadrant (scaled by 100)
+    val polys = Seq(
+      (1L, Seq(0L, 200L, 200L, 100L, 100L, 0L, 0L),
+        Seq(0L, 0L, 100L, 100L, 200L, 200L, 0L)),
+      (2L, Seq(300L, 500L, 400L, 300L), Seq(0L, 0L, 170L, 0L)))
+      .toDF("poly_id", "xs", "ys")
+    val pts = Seq(
+      (10L, 50L, 50L),    // deep inside the L
+      (11L, 150L, 50L),   // inside the L's lower arm
+      (12L, 150L, 150L),  // in the NOTCH → outside
+      (13L, 50L, 150L),   // inside the L's upper arm
+      (14L, 250L, 50L),   // outside both
+      (15L, 400L, 50L),   // inside the triangle
+      (16L, 490L, 160L),  // within the triangle's bbox but outside its slope
+      (17L, 400L, 100L))  // inside the triangle
+      .toDF("id", "x", "y")
+    val got = graft.operators.RelationalOps.pointInPolygonJoin(
+      pts, "id", "x", "y", polys, "poly_id", "xs", "ys", cellSize = 64L)
+      .select("pid", "poly_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (11L, 1L), (13L, 1L), (15L, 2L), (17L, 2L)),
+      got.toString)
+  }
+
   test("skyline: strict dominance, duplicates survive, partition invariant") {
     val s = spark
     import s.implicits._

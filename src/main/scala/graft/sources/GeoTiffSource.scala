@@ -478,39 +478,45 @@ object GeoTiffSource {
     val spark = df.sparkSession
     val (nLat, nLon) = shape
     val (lat0, lon0, sy, sx) = grid
-    val compOf = df.select("variable").distinct().collect()
-      .map(_.getString(0)).sorted.zipWithIndex
-      .map { case (v, i) => v -> Seq(5, 32773, 1)(i % 3) }.toMap
+    // ONE aggregation feeds both the variable census (compression
+    // assignment) and the per-variable render — the upstream lattice is
+    // not recomputed per driver action
     val grouped = df.groupBy(col("variable")).agg(
       collect_list(struct(col("i").cast("int").as("i"),
         col("j").cast("int").as("j"),
         col("stored").cast("long").as("v"))).as("cells"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val compOf = grouped.select("variable").collect()
+      .map(_.getString(0)).sorted.zipWithIndex
+      .map { case (v, i) => v -> Seq(5, 32773, 1)(i % 3) }.toMap
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    grouped.map { row =>
-      val variable = row.getString(0)
-      val cells = row.getSeq[Row](1)
-      val u16 = Array.fill(nLat * nLon)(65535.0)
-      val f32 = Array.fill(nLat * nLon)(-9999.0)
-      cells.foreach { c =>
-        val p = c.getInt(0) * nLon + c.getInt(1)
-        val stored = c.getLong(2)
-        u16(p) = stored.toDouble
-        f32(p) = (stored * 0.01 - 20.0).toFloat.toDouble
-      }
-      val comp = compOf(variable)
-      val pages = Seq(
-        Page(variable, nLon, nLat, 16, 1, comp, rowsPerStrip = 3,
-          predictor = if (comp == 5) 2 else 1, sx, sy, lon0, lat0,
-          Some(65535.0), u16),
-        Page(variable, nLon, nLat, 32, 3, 5, rowsPerStrip = 3,
-          predictor = 1, sx, sy, lon0, lat0, Some(-9999.0), f32))
-      val path = new org.apache.hadoop.fs.Path(s"$out/$variable.tif")
-      val fs = path.getFileSystem(hadoopConf.value)
-      fs.setWriteChecksum(false)
-      val os = fs.create(path, true)
-      try os.write(render(pages)) finally os.close()
-      path.toString
-    }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    try {
+      grouped.map { row =>
+        val variable = row.getString(0)
+        val cells = row.getSeq[Row](1)
+        val u16 = Array.fill(nLat * nLon)(65535.0)
+        val f32 = Array.fill(nLat * nLon)(-9999.0)
+        cells.foreach { c =>
+          val p = c.getInt(0) * nLon + c.getInt(1)
+          val stored = c.getLong(2)
+          u16(p) = stored.toDouble
+          f32(p) = (stored * 0.01 - 20.0).toFloat.toDouble
+        }
+        val comp = compOf(variable)
+        val pages = Seq(
+          Page(variable, nLon, nLat, 16, 1, comp, rowsPerStrip = 3,
+            predictor = if (comp == 5) 2 else 1, sx, sy, lon0, lat0,
+            Some(65535.0), u16),
+          Page(variable, nLon, nLat, 32, 3, 5, rowsPerStrip = 3,
+            predictor = 1, sx, sy, lon0, lat0, Some(-9999.0), f32))
+        val path = new org.apache.hadoop.fs.Path(s"$out/$variable.tif")
+        val fs = path.getFileSystem(hadoopConf.value)
+        fs.setWriteChecksum(false)
+        val os = fs.create(path, true)
+        try os.write(render(pages)) finally os.close()
+        path.toString
+      }(org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    } finally grouped.unpersist()
   }
 }

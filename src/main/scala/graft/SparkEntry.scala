@@ -97,6 +97,7 @@ object SparkEntry {
     "q_cdc_chunks" -> (qCdcChunks _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_unigram_tokenize" -> (qUnigramTokenize _),
+    "q_wordpiece_tokenize" -> (qWordpieceTokenize _),
     "q_bpe_roundtrip" -> (qBpeRoundtrip _),
     "q_gopher_rules" -> (qGopherRules _),
     "q_passage_dedup" -> (qPassageDedup _),
@@ -1685,6 +1686,19 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val vocab = TextOps.unigramVocab(docs, "text", maxN = 4)
     TextOps.unigramEncode(docs, "doc_id", "text", vocab, maxN = 4)
+      .orderBy("doc_id")
+  }
+
+  /** WordPiece greedy longest-match gate: per document — pre-token,
+    * piece, and UNK counts under the corpus position-classed n-gram
+    * vocabulary. The oracle replays the greedy walk in a recursive CTE
+    * (longest matching piece per step via a correlated max — the BPE
+    * oracle's scalar-subquery device).
+    */
+  private def qWordpieceTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = TextOps.wordpieceVocab(docs, "text", maxN = 4)
+    TextOps.wordpieceEncode(docs, "doc_id", "text", vocab, maxN = 4)
       .orderBy("doc_id")
   }
 
@@ -4724,6 +4738,50 @@ object SparkEntry {
          |SELECT doc_id, n_pretokens, n_bpe_tokens,
          |  md5(array_to_string(toks, ' ')) AS tok_md5
          |FROM doc_bpe ORDER BY doc_id""".stripMargin,
+
+    // WordPiece mirror: vocabulary recomputed from scratch (position-
+    // classed n-grams) and the greedy walk replayed in a recursive CTE,
+    // longest match per step via a correlated max.
+    "q_wordpiece_tokenize" ->
+      s"""WITH RECURSIVE
+         |words AS (SELECT DISTINCT unnest(regexp_extract_all(text,
+         |    '${Text.BpePattern}')) AS w FROM documents),
+         |vocab AS (SELECT DISTINCT
+         |    CASE WHEN CAST(t.i AS INT) > 1 THEN '##' ELSE '' END
+         |      || substr(w, CAST(t.i AS INT), n) AS piece
+         |  FROM words,
+         |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t,
+         |    (SELECT unnest([1, 2, 3, 4]) AS n) nn
+         |  WHERE t.i + n - 1 <= len(w)),
+         |walk(w, pos, ntok, unk) AS (
+         |  SELECT w, 0, CAST(0 AS BIGINT), FALSE FROM words
+         |  UNION ALL
+         |  SELECT w, CASE WHEN ml IS NULL THEN len(w) ELSE pos + ml END,
+         |    CASE WHEN ml IS NULL THEN CAST(1 AS BIGINT) ELSE ntok + 1 END,
+         |    ml IS NULL
+         |  FROM (
+         |    SELECT w, pos, ntok,
+         |      (SELECT max(n) FROM (SELECT unnest([1, 2, 3, 4]) AS n) t
+         |       JOIN vocab v ON v.piece =
+         |         (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+         |           || substr(w, CAST(pos + 1 AS INT), CAST(n AS INT))
+         |       WHERE pos + n <= len(w)) AS ml
+         |    FROM walk WHERE pos < len(w) AND NOT unk)),
+         |fin AS (SELECT w, ntok, CASE WHEN unk THEN 1 ELSE 0 END AS u
+         |  FROM walk WHERE pos = len(w)),
+         |dw AS (SELECT doc_id, ws[CAST(t.i AS INT)] AS w
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '${Text.BpePattern}') AS ws
+         |        FROM documents) d,
+         |  LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) t),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pretokens,
+         |    CAST(sum(f.ntok) AS BIGINT) AS n_wp_tokens,
+         |    CAST(sum(f.u) AS BIGINT) AS n_unk
+         |  FROM dw JOIN fin f USING (w) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_pretokens, 0) AS n_pretokens,
+         |  coalesce(a.n_wp_tokens, 0) AS n_wp_tokens,
+         |  coalesce(a.n_unk, 0) AS n_unk
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Unigram mirror: vocabulary recomputed from scratch (n-gram census
     // over distinct pre-token words, integer |p|² + ⌊log₂ c⌋ scores) and

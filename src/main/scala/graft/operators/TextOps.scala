@@ -426,6 +426,74 @@ object TextOps {
       .sortBy(_._1).toSeq
   }
 
+  /** WordPiece vocabulary (the third real tokenizer family beside BPE
+    * and unigram-LM — BERT's greedy longest-match-first, Wu et al.
+    * 2016): corpus character n-grams (n ≤ maxN) over distinct pre-token
+    * words, word-INITIAL grams stored plain and word-internal grams with
+    * the `##` continuation prefix. Coverage on the training corpus is
+    * total by construction (every char occurs as a 1-gram in its own
+    * position class). Driver-side and vocabulary-bounded; production
+    * vocabs cap to top-K by frequency the same way.
+    */
+  def wordpieceVocab(df: DataFrame, textCol: String, maxN: Int = 4)
+  : Set[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol)).as[String]
+      .flatMap(t => graft.functions.Bpe.pretokens(if (t == null) "" else t))
+      .distinct()
+      .flatMap { w =>
+        for (i <- 0 until w.length; n <- 1 to maxN if i + n <= w.length)
+          yield (if (i > 0) "##" else "") + w.substring(i, i + n)
+      }
+      .distinct().collect().toSet
+  }
+
+  /** Distributed WordPiece encode: greedy longest-match-first per word —
+    * at each position take the LONGEST vocab piece (`##`-prefixed when
+    * word-internal); if no piece matches, the ENTIRE word becomes one
+    * [UNK] (the BERT rule — partial pieces are discarded). Per document:
+    * pre-token count, piece count, and the UNK census. Broadcast vocab,
+    * one typed mapPartitions, per-partition word cache — the
+    * bpeEncode/unigramEncode cost shape.
+    */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Set[String], maxN: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val v = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        def enc(w: String): (Long, Long) = { // (pieces, isUnk)
+          var pos = 0; var n = 0L
+          while (pos < w.length) {
+            var len = math.min(maxN, w.length - pos)
+            var hit = -1
+            while (hit < 0 && len >= 1) {
+              val p = (if (pos > 0) "##" else "") + w.substring(pos, pos + len)
+              if (v.contains(p)) hit = len else len -= 1
+            }
+            if (hit < 0) return (1L, 1L) // whole word → [UNK]
+            pos += hit; n += 1
+          }
+          (n, 0L)
+        }
+        it.map { case (id, text) =>
+          if (cache.size > 1000000) cache.clear()
+          val pts = graft.functions.Bpe.pretokens(if (text == null) "" else text)
+          var pieces = 0L; var unks = 0L
+          pts.foreach { w =>
+            val (p, u) = cache.getOrElseUpdate(w, enc(w))
+            pieces += p; unks += u
+          }
+          (id, pts.length.toLong, pieces, unks)
+        }
+      }.toDF(idCol, "n_pretokens", "n_wp_tokens", "n_unk")
+  }
+
   /** Distributed unigram-LM Viterbi encode: per document — pre-token
     * count, the optimal segmentation's total score, and its piece count.
     * The DP maximizes Σ score with MIN piece count as the deterministic

@@ -156,6 +156,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("wordpieceEncode: greedy longest match, ## continuation, whole-word UNK") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val vocab = Set("un", "##aff", "##able", "##a", "##f", "##l", "##e",
+      "##b", "u", "##n", "x", "##y")
+    // "unaffable" → un ##aff ##able = 3 pieces (longest-first at each step)
+    // "xy" → x ##y = 2; "unz" → no ##z anywhere → whole word UNK (1 piece)
+    val docs = Seq((1L, "unaffable xy"), (2L, "unz unaffable")).toDF("id", "text")
+    val got = TextOps.wordpieceEncode(docs, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 5L, 0L)), got.toString)
+    assert(got(2L) == ((2L, 4L, 1L)), got.toString)
+  }
+
+  test("wordpieceVocab: position-classed n-grams") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val v = TextOps.wordpieceVocab(Seq("ab ab ba").toDF("text"), "text")
+    assert(v == Set("a", "b", "ab", "ba", "##a", "##b"), v.toString)
+  }
+
   test("unigramVocab: n-gram census over DISTINCT words with integer scores") {
     val s = spark
     import s.implicits._

@@ -230,6 +230,9 @@ object SparkEntry {
     "q_zip_roundtrip" -> (qZipRoundtrip _),
     "q_column_lineage" -> (qColumnLineage _),
     "q_scd2" -> (qScd2 _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_transitions" -> (qTransitions _),
+    "q_chi_square" -> (qChiSquare _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_triangles" -> (qTriangles _),
@@ -3741,6 +3744,57 @@ object SparkEntry {
     * replays the lag/lead windows in µs arithmetic with the same
     * (ts, event id) ordering.
     */
+  /** CDC change-set apply (warehouse MERGE): each customer's latest
+    * order refreshes the account balance ('U'), every 97th ordered
+    * customer is a tombstone ('D'), latest-wins per key — then a
+    * per-segment census of the merged table. The oracle folds the same
+    * change set with a window + left join.
+    */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+    val latest = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))).as("_m"))
+      .select(col("o_custkey").as("c_custkey"),
+        col("_m.o_orderkey").as("_seq"), col("_m.o_totalprice").as("_price"))
+    val changes = base.join(latest, "c_custkey")
+      .withColumn("c_acctbal", col("_price"))
+      .withColumn("_op", when(col("c_custkey") % 97 === 0, lit("D"))
+        .otherwise(lit("U")))
+      .drop("_price")
+    RelationalOps.applyChangeSet(base, changes, Seq("c_custkey"), "_seq", "_op")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), rnd(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: lag window + |states|²-bounded pair reduce, row-
+    * normalized probabilities.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    RelationalOps.transitionMatrix(Tables.events(s, dir), "user_id",
+      "event_id", "event_id", "event_type")
+      .select(col("prev_state"), col("next_state"), col("n"),
+        rnd("p", 6).as("p"))
+      .orderBy("prev_state", "next_state")
+
+  /** Pearson chi-square contingency of event_type × user-id bucket:
+    * the full grid (zero cells included), expected counts from exact
+    * integer marginals, per-cell contributions, and the statistic + dof
+    * on every row.
+    */
+  private def qChiSquare(s: SparkSession, dir: String): DataFrame =
+    StatsOps.chiSquare(
+      Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 4).as("bucket")),
+      "event_type", "bucket")
+      .select(col("event_type"), col("bucket"), col("n_obs"),
+        rnd("expected", 4).as("expected"), rnd("contrib", 4).as("contrib"),
+        rnd("chi2", 4).as("chi2"), col("dof"))
+      .orderBy("event_type", "bucket")
+
   private def qScd2(s: SparkSession, dir: String): DataFrame =
     RelationalOps.scd2(Tables.events(s, dir), "user_id", "ts", "event_id",
       "event_type")
@@ -6999,6 +7053,66 @@ object SparkEntry {
         |WHERE round(jw + 1e-9, 6) >= 0.7 ORDER BY wa, wb""".stripMargin,
 
     // lag/lead windows replayed in µs with the same (ts, event id) order.
+    // CDC mirror: the same latest-order change set folded with a window
+    // + left join; tombstones drop, latest change wins.
+    "q_cdc_apply" ->
+      """WITH l AS (SELECT o_custkey AS c_custkey, o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |ch AS (SELECT c_custkey, price FROM l WHERE rn = 1),
+        |m AS (SELECT c.c_mktsegment,
+        |    CASE WHEN ch.c_custkey IS NOT NULL THEN ch.price
+        |         ELSE c.c_acctbal END AS bal,
+        |    ch.c_custkey IS NOT NULL AND c.c_custkey % 97 = 0 AS del
+        |  FROM customer c LEFT JOIN ch USING (c_custkey))
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(bal) + 1e-6, 2) AS sum_bal
+        |FROM m WHERE NOT del GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Transition mirror: identical lag pairing and row normalization.
+    "q_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS prev_state, event_type AS next_state,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_state, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_state, c.next_state, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) + 1e-9, 6) AS p
+        |FROM c JOIN t USING (prev_state)
+        |ORDER BY prev_state, next_state""".stripMargin,
+
+    // Chi-square mirror: full grid from the exact integer marginals.
+    "q_chi_square" ->
+      """WITH d AS (SELECT event_type, user_id % 4 AS bucket FROM events),
+        |obs AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM d GROUP BY 1, 2),
+        |ra AS (SELECT event_type, sum(n_obs) AS ra FROM obs GROUP BY 1),
+        |rb AS (SELECT bucket, sum(n_obs) AS rb FROM obs GROUP BY 1),
+        |g AS (SELECT sum(n_obs) AS n,
+        |    count(DISTINCT event_type) AS da, count(DISTINCT bucket) AS db
+        |  FROM obs),
+        |cells AS (SELECT ra.event_type, rb.bucket,
+        |    coalesce(obs.n_obs, 0) AS n_obs,
+        |    CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |      AS expected
+        |  FROM ra CROSS JOIN rb CROSS JOIN g
+        |  LEFT JOIN obs USING (event_type, bucket)),
+        |wc AS (SELECT *, (CAST(n_obs AS DOUBLE) - expected)
+        |    * (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
+        |  FROM cells),
+        |st AS (SELECT sum(contrib) AS chi2 FROM wc)
+        |SELECT wc.event_type, wc.bucket, wc.n_obs,
+        |  round(wc.expected + 1e-9, 4) AS expected,
+        |  round(wc.contrib + 1e-9, 4) AS contrib,
+        |  round(st.chi2 + 1e-9, 4) AS chi2,
+        |  CAST((g.da - 1) * (g.db - 1) AS BIGINT) AS dof
+        |FROM wc CROSS JOIN st CROSS JOIN g
+        |ORDER BY event_type, bucket""".stripMargin,
+
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    epoch_ns(ts) // 1000 AS us FROM events),

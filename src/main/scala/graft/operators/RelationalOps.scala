@@ -262,6 +262,55 @@ object RelationalOps {
       .drop("_b")
   }
 
+  /** CDC change-set apply — the warehouse MERGE/upsert semantic: a
+    * change stream of keyed upserts ('U') and tombstones ('D') folds
+    * into a base table, latest sequence number winning per key and a
+    * winning tombstone dropping the key. One union + one per-key window
+    * (base rows sort below every change via sequence −∞) — a single key
+    * shuffle, state bounded by the per-key change history, no MERGE
+    * statement machinery needed. The classic SCD-1 refresh at any scale.
+    */
+  def applyChangeSet(base: DataFrame, changes: DataFrame,
+                     keyCols: Seq[String], seqCol: String,
+                     opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "no key columns")
+    val dataCols = base.columns.toSeq
+    val b = base
+      .withColumn(seqCol, lit(Long.MinValue))
+      .withColumn(opCol, lit("U"))
+    val c = changes.select((dataCols ++ Seq(seqCol, opCol)).map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    b.unionByName(c)
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1 && col(opCol) === "U")
+      .select(dataCols.map(col): _*)
+  }
+
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: one partition-bounded lag window pairs each event with
+    * its predecessor, one aggregation counts (prev, next), and the
+    * row-normalized probability joins the per-prev totals back. Two
+    * shuffles (entity key, then the state-pair reduce whose cardinality
+    * is |states|²-bounded). The product-analytics "what happens next"
+    * primitive.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       seqCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(seqCol))
+    val pairs = df
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_state"), col(stateCol).as("next_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("prev_state").agg(sum("n").as("_tot"))
+    pairs.join(totals, "prev_state")
+      .select(col("prev_state"), col("next_state"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
+
   /** Point-in-polygon join — the second member of the spatial family
     * beside [[radiusJoin]]: which points fall inside which polygons, via
     * bbox-cell candidates and an EXACT integer ray-cast parity test.

@@ -216,6 +216,43 @@ object StatsOps {
       .filter(col("cms_estimate") >= threshold)
   }
 
+  /** Chi-square contingency analysis (Pearson independence test): the
+    * observed cross-tab of two categorical columns, the expected counts
+    * under independence (row·col/N from EXACT integer marginals, so both
+    * engines derive identical doubles), per-cell contributions
+    * (o−e)²/e, and the statistic with its degrees of freedom riding on
+    * every row. Three bounded aggregations — the cross-tab reduce is the
+    * only data-sized shuffle, its cardinality |A|·|B|.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = obs.groupBy(col(aCol)).agg(sum("n_obs").as("_ra"))
+    val colTot = obs.groupBy(col(bCol)).agg(sum("n_obs").as("_rb"))
+    val grand = obs.agg(sum("n_obs").as("_N"),
+      countDistinct(col(aCol)).as("_da"), countDistinct(col(bCol)).as("_db"))
+    // the FULL |A|×|B| grid: zero-observed cells still contribute e —
+    // omitting them would understate the statistic
+    val cells = rowTot.crossJoin(colTot)
+      .join(obs, Seq(aCol, bCol), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(grand))
+      .withColumn("expected",
+        col("_ra").cast("double") * col("_rb").cast("double")
+          / col("_N").cast("double"))
+      .withColumn("contrib",
+        (col("n_obs").cast("double") - col("expected"))
+          * (col("n_obs").cast("double") - col("expected")) / col("expected"))
+    val stat = cells.agg(sum("contrib").as("_chi2"),
+      first(col("_da")).as("_fa"), first(col("_db")).as("_fb"))
+    cells.select(col(aCol), col(bCol), col("n_obs"), col("expected"),
+        col("contrib"))
+      .crossJoin(broadcast(stat))
+      .withColumn("chi2", col("_chi2"))
+      .withColumn("dof", (col("_fa") - 1) * (col("_fb") - 1))
+      .drop("_chi2", "_fa", "_fb")
+  }
+
   /** Robust outlier report via MAD (median absolute deviation) — the
     * outlier family's robust member beside the z-score gate: per group,
     * the exact median, the median of |x − med|, and the census of rows

@@ -681,6 +681,41 @@ class OperatorSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("applyChangeSet: latest-wins, tombstones drop, untouched keys survive") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "a", 11.0, 5L, "U"), (1L, "a", 12.0, 9L, "U"), // seq 9 wins
+      (2L, "b", 0.0, 1L, "D"),                             // tombstone
+      (4L, "d", 40.0, 2L, "U"))                            // insert
+      .toDF("k", "name", "v", "_seq", "_op")
+    val got = graft.operators.RelationalOps.applyChangeSet(
+      base, changes, Seq("k"), "_seq", "_op")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == Map(1L -> 12.0, 3L -> 30.0, 4L -> 40.0), got.toString)
+  }
+
+  test("chiSquare: analytic 2x2 incl. a zero-observed cell") {
+    val s = spark
+    import s.implicits._
+    // counts: (a,0)=30, (a,1)=10, (b,0)=10, (b,1)=0; N=50
+    val df = (Seq.fill(30)(("a", 0L)) ++ Seq.fill(10)(("a", 1L)) ++
+      Seq.fill(10)(("b", 0L))).toDF("t", "b")
+    val rows = graft.operators.StatsOps.chiSquare(df, "t", "b")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // marginals: ra=40,10; rb=40,10 → e(a,0)=32, e(a,1)=8, e(b,0)=8, e(b,1)=2
+    assert(rows(("b", 1L))._1 == 0L && rows(("b", 1L))._2 == 2.0)
+    assert(rows(("a", 0L))._2 == 32.0 && rows(("a", 1L))._2 == 8.0)
+    // chi2 = 4/32 + 4/8 + 4/8 + 4/2 = 3.125 on every row
+    val chi2 = graft.operators.StatsOps.chiSquare(df, "t", "b")
+      .select("chi2", "dof").distinct().collect()
+    assert(chi2.length == 1 && chi2(0).getDouble(0) == 3.125 &&
+      chi2(0).getLong(1) == 1L, chi2.mkString)
+  }
+
   test("pointInPolygonJoin: concave notch, triangle slopes, outside census") {
     val s = spark
     import s.implicits._

@@ -103,6 +103,41 @@ class PlanSpec extends SparkSpec {
       "expected a hash/sort-merge equi-join on the bucket key")
   }
 
+  test("SpatialJoinRewrite: naive distance theta join becomes a cell equi-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite
+    try {
+      val a = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L), (4L, -2L, -2L))
+        .toDF("ida", "xa", "ya")
+      val b = Seq((10L, 0L, 5L), (11L, 4L, 4L), (12L, 103L, 104L),
+        (13L, -6L, -5L)).toDF("idb", "xb", "yb")
+      val cond = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(25L)
+      val j = a.join(b, cond)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"theta join not rewritten to the cell equi-join:\n$p")
+      assert(p.contains("Generate"), "expected the 3x3 neighborhood fan-out")
+      val got = j.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force truth
+      val pa = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L), (4L, -2L, -2L))
+      val pb = Seq((10L, 0L, 5L), (11L, 4L, 4L), (12L, 103L, 104L),
+        (13L, -6L, -5L))
+      val want = (for ((ia, xa, ya) <- pa; (ib, xb, yb) <- pb
+        if (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) <= 25L)
+        yield (ia, ib)).toSet
+      assert(got == want, s"got $got want $want")
+    } finally {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.SpatialJoinRewrite)
+    }
+  }
+
   test("q_orc_roundtrip: the quantity predicate reaches the ORC scan") {
     val p = formatted("q_orc_roundtrip")
     assert(p.contains("ORC") || p.toLowerCase.contains("orc"),

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dup_spans" -> (qDupSpans _),
     "q_dup_span_removal" -> (qDupSpanRemoval _),
     "q_semantic_dedup" -> (qSemanticDedup _),
+    "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_unigram_lm" -> (qUnigramLm _),
     "q_perplexity_buckets" -> (qPerplexityBuckets _),
     "q_bigram_lm" -> (qBigramLm _),
@@ -123,6 +124,7 @@ object SparkEntry {
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_gif_decode" -> (qGifDecode _),
     "q_image_resize" -> (qImageResize _),
+    "q_audio_resample" -> (qAudioResample _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
     "q_audio_meta" -> (qAudioMeta _),
@@ -2514,6 +2516,39 @@ object SparkEntry {
     */
   private val SemCentroidsDir = s"$MatRoot/sem_centroids"
 
+  /** Materialization point for the q_embedding_outliers quantizer (same
+    * contract as [[SemCentroidsDir]]).
+    */
+  private val EmbOutCentroidsDir = s"$MatRoot/embout_centroids"
+
+  /** Embedding-based quality gate (the curation filter beside SemDedup):
+    * every vector's cosine to its OWN k-means centroid is the quality
+    * signal, and a per-cluster z-score gate (|z| ≤ 2 on the rounded
+    * score — the zScoreFilter discipline) drops the embedding outliers a
+    * contaminated or mis-encoded document produces. The oracle replays
+    * assignment against the materialized quantizer and the identical
+    * z gate.
+    */
+  private def qEmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 64)
+    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "w").coalesce(1)
+      .write.mode("overwrite").parquet(EmbOutCentroidsDir)
+    val assigned = SimilarityOps.centroidAssignment(emb, "vec_id",
+      "embedding", cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = assigned.groupBy("cid").agg(count(lit(1)).as("n_total"))
+    CurationOps.zScoreFilter(assigned, "cid", "cos_c", maxZ = 2.0)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_kept"), rnd(sum("cos_c"), 4).as("sum_cos"))
+      .join(totals, "cid")
+      .select(col("cid"), col("n_total"), col("n_kept"), col("sum_cos"))
+      .orderBy("cid")
+  }
+
   /** Gopher-style repetition metrics over word bigrams: top-n-gram and
     * duplicate-n-gram occupancy per document — the standard boilerplate /
     * spam signal for quality gating.
@@ -2928,6 +2963,38 @@ object SparkEntry {
         (g, iw, ih, ow, oh, wr, wg, wb)
       }
       .toDF("g", "in_w", "in_h", "out_w", "out_h", "wsum_r", "wsum_g", "wsum_b")
+      .orderBy("g")
+  }
+
+  /** Audio resample end-to-end: 256-sample mono WAVs from quantized
+    * event values, box decimation ×4 (floor-division block means — the
+    * SQL `//` convention, exact on negative PCM too), RE-ENCODE at
+    * 2 kHz, decode again — gated on the position-weighted checksum of
+    * the resampled stream, recomputed sample-for-sample by the oracle.
+    */
+  private def qAudioResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+      }.toDF("g", "wav")
+    MultimodalOps.resampleAudioBox(payloads, "g", factor = 4, "wav")
+      .select(col("g"), col("in_rate"), col("out_rate"), col("n_in"),
+        col("n_out"), col("resampled"))
+      .as[(Long, Int, Int, Int, Int, Array[Byte])]
+      .map { case (g, ir, or, ni, no, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        var ws = 0L
+        w.samples.zipWithIndex.foreach { case (sm, p) => ws += p.toLong * sm }
+        (g, ir, or, ni, no, ws)
+      }
+      .toDF("g", "in_rate", "out_rate", "n_in", "n_out", "wsum")
       .orderBy("g")
   }
 
@@ -4610,6 +4677,31 @@ object SparkEntry {
          |    AS clean_md5
          |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // Embedding-outlier mirror: assignment against the materialized
+    // quantizer (argmax dot, ties -> lowest cid), cosine to the OWN
+    // centroid with its list_dot_product norm, identical rounded z gate.
+    "q_embedding_outliers" ->
+      s"""WITH cent AS (SELECT cid, w FROM '$EmbOutCentroidsDir/*.parquet'),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], c.w) AS s,
+         |    sqrt(list_dot_product(e.embedding::DOUBLE[],
+         |      e.embedding::DOUBLE[])) AS vn,
+         |    sqrt(list_dot_product(c.w, c.w)) AS cn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid, s / (vn * cn) AS cos_c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY s DESC, cid) AS rn FROM sc) z WHERE rn = 1),
+         |st AS (SELECT cid, avg(cos_c) AS mu, stddev_pop(cos_c) AS sd,
+         |    CAST(count(*) AS BIGINT) AS n_total
+         |  FROM asg GROUP BY 1),
+         |kept AS (SELECT a.cid, a.cos_c FROM asg a JOIN st USING (cid)
+         |  WHERE sd = 0 OR round(abs((cos_c - mu) / sd) + 1e-9, 6) <= 2.0)
+         |SELECT CAST(k.cid AS INT) AS cid, st.n_total,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  round(sum(k.cos_c) + 1e-9, 4) AS sum_cos
+         |FROM kept k JOIN st USING (cid)
+         |GROUP BY 1, 2 ORDER BY cid""".stripMargin,
+
     // SemDedup mirror: assignment = argmax dot (ties -> lowest cid) against
     // the materialized quantizer — double-widened dots are bit-identical —
     // then within-cluster pairs at the rounded cosine and the same
@@ -5092,6 +5184,22 @@ object SparkEntry {
         |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // Audio-resample mirror: every output sample recomputed from the
+    // event stream (4-sample block sums // 4, floor division), then the
+    // position-weighted checksum.
+    "q_audio_resample" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |blk AS (SELECT g, (rn - 1) // 4 AS p, sum(v) // 4 AS sm
+        |  FROM r WHERE rn <= 256 GROUP BY 1, 2)
+        |SELECT g, 8000 AS in_rate, 2000 AS out_rate, 256 AS n_in,
+        |  64 AS n_out, CAST(sum(p * sm) AS BIGINT) AS wsum
+        |FROM blk GROUP BY g ORDER BY g""".stripMargin,
 
     // Resize mirror: every output pixel recomputed from the event stream
     // (4×4 block sums // 16), then the position-weighted checksums.

@@ -294,6 +294,52 @@ object MultimodalOps {
       .toDF(idCol, "in_w", "in_h", "out_w", "out_h", "resized")
   }
 
+  /** Real audio RESAMPLE (decimation) — the audio counterpart of
+    * [[resizeBox]]: box-average downsample by an integer factor in EXACT
+    * integer arithmetic (each output sample = ⌊Σ block / factor⌋ per
+    * channel, floor division so negative PCM mirrors SQL's `//`), then a
+    * real re-encode at rate/factor. Per-row executor decode + encode, no
+    * shuffle — the 16 kHz→8 kHz-style normalization pass before feature
+    * extraction or ASR.
+    */
+  def resampleAudioBox(payloads: DataFrame, idCol: String, factor: Int,
+                       payloadCol: String = "payload"): DataFrame = {
+    require(factor >= 1, s"factor $factor")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        val frames = w.samples.length / w.channels
+        require(frames % factor == 0,
+          s"$frames frames not divisible by $factor")
+        require(w.sampleRate % factor == 0,
+          s"rate ${w.sampleRate} not divisible by $factor")
+        val outFrames = frames / factor
+        val out = new Array[Int](outFrames * w.channels)
+        var f = 0
+        while (f < outFrames) {
+          var c = 0
+          while (c < w.channels) {
+            var sum = 0L
+            var k = 0
+            while (k < factor) {
+              sum += w.samples((f * factor + k) * w.channels + c)
+              k += 1
+            }
+            out(f * w.channels + c) = Math.floorDiv(sum, factor.toLong).toInt
+            c += 1
+          }
+          f += 1
+        }
+        (id, w.sampleRate, w.sampleRate / factor, frames, outFrames,
+          graft.functions.Media.renderWav(w.sampleRate / factor,
+            w.channels, out))
+      }
+      .toDF(idCol, "in_rate", "out_rate", "n_in", "n_out", "resampled")
+  }
+
   /** Real animated-image decode: GIF payloads → one row per FRAME with
     * geometry, interlace flag, GCE delay, per-channel means over the
     * palette-resolved RGB pixels, and a position-weighted red checksum

@@ -261,6 +261,27 @@ object SimilarityOps {
     centroids
   }
 
+  /** Per-vector coarse assignment WITH the quality signal an embedding
+    * filter gates on: the max-dot centroid id (ties → lowest cid, the
+    * [[semanticDedup]] convention) and the cosine of the vector to its
+    * OWN centroid. Centroid norms are baked in driver-side as literals
+    * (k constants — sequential Σw² like the codegen dot, so an oracle's
+    * `sqrt(list_dot_product(w, w))` reproduces them bit-for-bit); the
+    * per-row cost is k codegen dots, no shuffle.
+    */
+  def centroidAssignment(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Array[Float]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      struct(dot(col(vecCol), typedLit(c)).as("s"), lit(-i).as("nid"),
+        lit(n).as("cn"))
+    }
+    val best = array_max(array(scored: _*))
+    df.select(col(idCol), (-best.getField("nid")).cast("int").as("cid"),
+      (best.getField("s") / (l2Norm(col(vecCol)) * best.getField("cn")))
+        .as("cos_c"))
+  }
+
   /** cid of the max-dot centroid (deterministic ties → lowest cid). */
   private def assignColumn(v: Column, centroids: Seq[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>

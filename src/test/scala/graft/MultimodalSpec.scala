@@ -403,6 +403,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resampleAudioBox: floor-division block means incl. negative PCM; stereo") {
+    val s = spark
+    import s.implicits._
+    // mono: blocks (10,20) → 15; (-3,-4) → floor(-7/2) = -4 (NOT -3)
+    val mono = graft.functions.Media.renderWav(8000, 1, Array(10, 20, -3, -4))
+    // stereo interleaved L/R: L blocks (1,3)→2, R blocks (-1,-2)→-2
+    val st = graft.functions.Media.renderWav(4000, 2, Array(1, -1, 3, -2))
+    val rows = graft.operators.MultimodalOps.resampleAudioBox(
+      Seq((1L, mono), (2L, st)).toDF("id", "p"), "id", 2, "p")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          graft.functions.Media.decodeWav(
+            r.getAs[Array[Byte]]("resampled")).samples.toSeq))
+      }.toMap
+    assert(rows(1L) == ((8000, 4000, 4, 2, Seq(15, -4))), rows.toString)
+    assert(rows(2L) == ((4000, 2000, 2, 1, Seq(2, -2))), rows.toString)
+  }
+
   test("Lzw: GIF dialect round trip across widths, dict growth, table-full clear") {
     import graft.functions.Lzw
     def rt(sym: Array[Int], min: Int): Unit = {

@@ -134,6 +134,7 @@ object SparkEntry {
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
+    "q_int8_topk" -> (qInt8Topk _),
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
@@ -2202,6 +2203,16 @@ object SparkEntry {
     * censuses (the round-half-up arithmetic is engine-identical on the
     * non-negative scaled values), and the rounded dequantization error.
     */
+  /** SQ8 quantized search: top-10 neighbors for three query vectors by
+    * EXACT integer int8 dot (the codegen ByteVecDot kernel over binary
+    * code columns) — a ranking with no float arithmetic anywhere, which
+    * the oracle replays from its own recomputed code table.
+    */
+  private def qInt8Topk(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.int8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 10)
+      .orderBy("qid", "rank")
+
   private def qScalarQuantize(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.scalarQuantize(Tables.embeddings(s, dir), "vec_id", "embedding")
       .select(col("pos"), col("n"),
@@ -4508,6 +4519,27 @@ object SparkEntry {
     // int8 scalar-quantization mirror: ranges, codes, and dequant error
     // recomputed per dimension; round-half-up agrees on the non-negative
     // scaled values, so codes match exactly.
+    // SQ8 mirror: the identical per-dim quantization, integer dots via
+    // a (pos-keyed) sum, and the same (dot DESC, id) ranking.
+    "q_int8_topk" ->
+      """WITH xs AS (SELECT vec_id AS id, CAST(t.i - 1 AS INT) AS pos,
+        |    CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+        |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM xs GROUP BY 1),
+        |cd AS (SELECT id, pos, CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(round((x - mn) / (mx - mn) * 255.0) AS INT) - 128
+        |    END AS code
+        |  FROM xs JOIN rg USING (pos)),
+        |q AS (SELECT id AS qid, pos, code AS qc FROM cd WHERE id IN (0, 1, 2)),
+        |d AS (SELECT q.qid, c.id, CAST(sum(q.qc * c.code) AS BIGINT) AS qdot
+        |  FROM q JOIN cd c USING (pos) GROUP BY 1, 2),
+        |r AS (SELECT qid, id, qdot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rn
+        |  FROM d)
+        |SELECT qid, CAST(rn AS INT) AS rank, id AS vec_id, qdot
+        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+
     "q_scalar_quantize" ->
       """WITH x AS (SELECT e.vec_id, CAST(t.i - 1 AS INT) AS pos,
         |    CAST(e.embedding[t.i] AS DOUBLE) AS x

@@ -60,8 +60,54 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd int8 dot product over two BINARY columns of signed-byte
+  * codes — the scalar-quantized (SQ8) search kernel: ranking is EXACT
+  * integer arithmetic (Σ a[i]·b[i] as long, |dot| ≤ dim·2¹⁴ ≪ 2⁶³), so
+  * a top-k over quantized embeddings has no float rounding for an
+  * oracle to chase, and the hot loop is a primitive byte loop inside
+  * whole-stage codegen. Length mismatch folds over the common prefix
+  * (dense equal-length code columns by construction).
+  */
+case class ByteVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "byte_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (long) ($a[$i] * $b[$i]);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd signed-int8 dot over two BINARY code columns. */
+  def dotB(a: Column, b: Column): Column =
+    Bridge.column(ByteVecDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -546,6 +546,58 @@ object SimilarityOps {
     * range arithmetic is double on both engines, so codes are exact.
     * Output: one row per dimension — range, code census, mean |x − x̂|.
     */
+  /** SQ8 code table: per-dimension min/max ranges (broadcast) quantize
+    * every vector to signed-int8 codes packed into ONE BINARY column —
+    * the FAISS SQ8 layout, 4× smaller than float32 and the input to the
+    * exact-integer [[int8TopK]] kernel.
+    */
+  def int8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = df.select(col(idCol).cast("long").as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
+    val ranges = xs.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    xs.join(broadcast(ranges), "pos")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          (round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
+            - 128).cast("int")))
+      .select(col("id"), col("pos"), col("code"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        (id, rows.map(_._3.toByte))
+      }
+      .toDF(idCol, "codes")
+  }
+
+  /** Quantized brute-force top-k (SQ8 search): each query's codes ride a
+    * bounded broadcast against the corpus code table, scores are EXACT
+    * integer dots through the codegen [[graft.functions.ByteVecDot]]
+    * kernel (no float rounding anywhere in the ranking), and the bounded
+    * [[graft.functions.TopKAgg]] reduces ≤ k rows per query per
+    * partition. This is the flat-scan tier of quantized search — compose
+    * with the IVF coarse quantizer (ivfTopK's list pruning) for the
+    * probe-bounded scale path, exactly as FAISS pairs IVF with SQ8.
+    */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int): DataFrame = {
+    val codes = int8Codes(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = codes.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("qid"), col("codes").as("_qc"))
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        graft.functions.VectorExpressions.dotB(col("_qc"), col("codes"))
+          .as("_dot"))
+    graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_dot", k)
+      .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
+        col("_dot").cast("long").as("qdot"))
+  }
+
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xs = df.select(col(idCol).as("id"),
       posexplode(col(vecCol)).as(Seq("pos", "xf")))

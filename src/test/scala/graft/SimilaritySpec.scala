@@ -283,4 +283,50 @@ class SimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.5 && mean < 1.5, s"JL mean distortion $mean drifted")
   }
+
+  test("ByteVecDot: exact signed-int8 dots, codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array[Byte](127, -128, 3, 0)
+    val b = Array[Byte](-128, -128, 2, 99)
+    val want = 127L * -128 + (-128L * -128) + 6L
+    val df = Seq((a, b)).toDF("a", "b")
+    val dot = graft.functions.VectorExpressions.dotB(col("a"), col("b"))
+    assert(df.select(dot).collect()(0).getLong(0) == want)
+    // interpreted path (filter in a nested-loop-style condition)
+    assert(df.filter(dot === lit(want)).count() == 1)
+  }
+
+  test("int8TopK: rank 1 is the query itself; ranking matches exact recompute") {
+    val s = spark
+    import s.implicits._
+    var x = 5
+    def nxt(): Float = { x = x * 1103515245 + 12345; (x % 1000) / 250.0f }
+    val vecs = (0L until 40L).map(i => (i, Array.fill(16)(nxt())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.SimilarityOps
+      .int8TopK(df, "vec_id", "embedding", Seq(0L, 7L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // brute-force expectation with the SAME quantization (HALF_UP round,
+    // Spark's convention) computed entirely in Scala
+    val dim = 16
+    val mins = (0 until dim).map(p => vecs.map(_._2(p).toDouble).min)
+    val maxs = (0 until dim).map(p => vecs.map(_._2(p).toDouble).max)
+    def codeOf(v: Double, p: Int): Long =
+      if (maxs(p) == mins(p)) 0L
+      else BigDecimal((v - mins(p)) / (maxs(p) - mins(p)) * 255.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong - 128L
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until dim).map(p => codeOf(v(p).toDouble, p))
+    }.toMap
+    val want = (for (qid <- Seq(0L, 7L)) yield {
+      val scored = vecs.map { case (id, _) =>
+        (id, (0 until dim).map(p => codes(qid)(p) * codes(id)(p)).sum)
+      }.sortBy { case (id, d) => (-d, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }).flatten.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
 }

@@ -83,7 +83,7 @@ object TarSink {
     * no OS/mtime variance → deterministic bytes).
     */
   def render(members: Seq[(String, Array[Byte])], mtime: Long = 0L,
-             gzip: Boolean = false): Array[Byte] = {
+             gzip: Boolean = false, zstd: Boolean = false): Array[Byte] = {
     val raw = new ByteArrayOutputStream(members.map(_._2.length + 2 * Block).sum + 2 * Block)
     members.foreach { case (name, bytes) =>
       val needsLongLink =
@@ -101,14 +101,16 @@ object TarSink {
     }
     raw.write(new Array[Byte](2 * Block))
     val plain = raw.toByteArray
-    if (!gzip) plain
-    else {
+    if (gzip) {
       val out = new ByteArrayOutputStream(plain.length / 2 + 64)
       val gz = new GZIPOutputStream(out)
       gz.write(plain)
       gz.close()
       out.toByteArray
-    }
+    } else if (zstd) {
+      // RFC 8878 frame via Spark's own zstd-jni (no new dependency)
+      com.github.luben.zstd.Zstd.compress(plain, 3)
+    } else plain
   }
 
   private def pad(n: Int): Int = (Block - n % Block) % Block
@@ -149,7 +151,8 @@ object TarSink {
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
         val members = it.toArray.sortBy(_._4).map(r => (r._2, r._3))
-        val bytes = render(members.toSeq, mtime, gzip = shard.endsWith(".gz"))
+        val bytes = render(members.toSeq, mtime,
+          gzip = shard.endsWith(".gz"), zstd = shard.endsWith(".zst"))
         val p = new Path(dir, shard)
         val fs = p.getFileSystem(conf.value)
         val out = fs.create(p, true)

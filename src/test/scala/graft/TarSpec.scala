@@ -38,6 +38,15 @@ class TarSpec extends SparkSpec {
     assert(back.map(_.name) === members.map(_._1))
   }
 
+  test("zstd round trip is transparent (RFC 8878 magic, .tar.zst shards)") {
+    val z1 = TarSink.render(members, zstd = true)
+    assert((z1(0) & 0xff) === 0x28 && (z1(1) & 0xff) === 0xb5 &&
+      (z1(2) & 0xff) === 0x2f && (z1(3) & 0xff) === 0xfd)
+    val back = TarSource.parse(z1)
+    assert(back.map(_.name) === members.map(_._1))
+    assert(back.map(_.bytes.toSeq) === members.map(_._2.toSeq))
+  }
+
   test("long names: prefix split when a slash allows it, GNU L record otherwise") {
     val dir = "d" * 90
     val splittable = s"$dir/${"n" * 60}.txt" // >100, splits at the slash

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_resample" -> (qResample _),
     "q_skyline" -> (qSkyline _),
     "q_mad_outliers" -> (qMadOutliers _),
+    "q_mad_approx" -> (qMadApprox _),
     "q_privacy_report" -> (qPrivacyReport _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
@@ -1883,6 +1884,19 @@ object SparkEntry {
     */
   private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
     StatsOps.madOutliers(Tables.lineitem(s, dir), "l_returnflag",
+      "l_extendedprice", k = 3.0)
+      .select(col("l_returnflag"), col("n"), rnd("med", 4).as("med"),
+        rnd("mad", 4).as("mad"), col("n_outliers"))
+      .orderBy("l_returnflag")
+
+  /** The bounded-memory MAD census (GK-sketch medians) on the SAME
+    * fixture as q_mad_outliers — at sf0.01 the sketch degenerates to the
+    * exact rank-⌈n/2⌉ order statistic (the approxGroupQuantiles gate
+    * contract), which the oracle replays with a rank window, while the
+    * identical code path runs bounded-memory at production accuracy.
+    */
+  private def qMadApprox(s: SparkSession, dir: String): DataFrame =
+    StatsOps.madOutliersApprox(Tables.lineitem(s, dir), "l_returnflag",
       "l_extendedprice", k = 3.0)
       .select(col("l_returnflag"), col("n"), rnd("med", 4).as("med"),
         rnd("mad", 4).as("mad"), col("n_outliers"))
@@ -5507,6 +5521,34 @@ object SparkEntry {
         |    3.0 * round(mad.md + 1e-9, 6) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad ON d.g = mad.g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Approx-MAD mirror: the GK degeneracy contract — medians are the
+    // exact rank-⌈n/2⌉ order statistics, replayed with rank windows.
+    "q_mad_approx" ->
+      """WITH r AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |med AS (SELECT g, max(CASE WHEN rn = greatest(1,
+        |      CAST(ceil(0.5 * n) AS BIGINT)) THEN v END) AS m
+        |  FROM r GROUP BY g),
+        |dev AS (SELECT r.g, abs(r.v - med.m) AS ad, med.m
+        |  FROM r JOIN med USING (g)),
+        |r2 AS (SELECT g, ad, m,
+        |    row_number() OVER (PARTITION BY g ORDER BY ad) AS rn2,
+        |    count(*) OVER (PARTITION BY g) AS n2
+        |  FROM dev),
+        |mad AS (SELECT g, max(CASE WHEN rn2 = greatest(1,
+        |      CAST(ceil(0.5 * n2) AS BIGINT)) THEN ad END) AS md
+        |  FROM r2 GROUP BY g)
+        |SELECT d.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(d.m) + 1e-9, 4) AS med,
+        |  round(max(mad.md) + 1e-9, 4) AS mad,
+        |  CAST(sum(CASE WHEN round(d.ad + 1e-9, 6) >
+        |    3.0 * round(mad.md + 1e-9, 6) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Privacy mirror: the same two-level aggregation.
     "q_privacy_report" ->

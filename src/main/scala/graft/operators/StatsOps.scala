@@ -281,6 +281,33 @@ object StatsOps {
           .as("n_outliers"))
   }
 
+  /** The bounded-memory face of [[madOutliers]] — the 100 TB switch it
+    * documents, as a first-class operator: medians come from the
+    * mergeable GK sketch (`percentile_approx`), so per-group state is
+    * O(accuracy) samples instead of the full group buffer (the 57×
+    * sf10 wall the exact form measures). With accuracy above the group
+    * row count the sketch degenerates to the exact lower order
+    * statistic at rank ⌈q·n⌉ — the [[approxGroupQuantiles]] gate
+    * contract, which is what lets an oracle replay THIS code path with
+    * a rank window while production runs it at a few-thousand accuracy.
+    */
+  def madOutliersApprox(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Double, accuracy: Int = 100000): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx($valueCol, 0.5, $accuracy)").as("_med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("_ad", abs(col(valueCol) - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx(_ad, 0.5, $accuracy)").as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("_med")).as("med"), first(col("_mad")).as("mad"),
+        sum(when(round(col("_ad") + lit(1e-9), 6) >
+          lit(k) * round(col("_mad") + lit(1e-9), 6), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** KMV hash-space size: [[graft.functions.Text.hash64]] yields 15 hex
     * chars = 60 uniform bits, so hashes live in [0, 2^60).
     */

@@ -213,6 +213,9 @@ object SparkEntry {
     "q_streaming_sessions" -> (qStreamingSessions _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_pagerank" -> (qPageRank _),
+    "q_shortest_paths" -> (qShortestPaths _),
+    "q_rollup" -> (qRollup _),
+    "q_range_window" -> (qRangeWindow _),
     "q_streaming_join" -> (qStreamingJoin _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_robots_filter" -> (qRobotsFilter _),
@@ -4020,6 +4023,46 @@ object SparkEntry {
     * operand nesting — so only summation order differs (absorbed by the
     * shared rounding).
     */
+  /** BFS hop distances from node 0 over the link-graph fixture — min-
+    * distance relaxation with observe-driven convergence; the oracle is
+    * the recursive-CTE walk bounded by the graph's node count.
+    */
+  private def qShortestPaths(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.shortestPaths(
+      Tables.events(s, dir).select((col("user_id") % 40).as("src"),
+        (col("event_id") % 45).as("dst")),
+      "src", "dst", sources = Seq(0L))
+      .orderBy("node")
+
+  /** Rollup (grouping-sets) aggregation over returnflag × linestatus —
+    * the OLAP subtotal lattice, with rollup NULLs folded to a marker so
+    * both engines emit identical keys.
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Range-frame moving aggregate: per user, the sum/count of event
+    * values within the last 100 event-ids (RANGE frame — value-based,
+    * not row-based; the frame contracts on gaps, which is the semantic
+    * difference this query pins).
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rangeBetween(-100, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_frame"),
+        rnd(sum("value").over(w), 4).as("sum_frame"))
+      .orderBy("user_id", "event_id")
+  }
+
   private def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables.events(s, dir).select(
       (col("user_id") % 40).as("src"), (col("event_id") % 45).as("dst"))
@@ -7235,6 +7278,37 @@ object SparkEntry {
         |WHERE round(jw + 1e-9, 6) >= 0.7 ORDER BY wa, wb""".stripMargin,
 
     // lag/lead windows replayed in µs with the same (ts, event id) order.
+    // BFS mirror: recursive-CTE walk, min hop per node, bounded by the
+    // 45-node universe.
+    "q_shortest_paths" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT user_id % 40 AS src,
+        |    event_id % 45 AS dst FROM events WHERE user_id % 40 <> event_id % 45),
+        |walk(node, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.d < 50)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // Rollup mirror: GROUP BY ROLLUP with the same NULL-marker fold.
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    // Range-frame mirror: identical value-based frame bounds.
+    "q_range_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_frame,
+        |  round(sum(value) OVER w + 1e-9, 4) AS sum_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
     // CDC mirror: the same latest-order change set folded with a window
     // + left join; tombstones drop, latest change wins.
     "q_cdc_apply" ->

@@ -66,6 +66,55 @@ object GraphOps {
     ranks
   }
 
+  /** Unweighted single-source (or multi-source) shortest paths — BFS by
+    * iterative min-distance relaxation, the remaining member of the
+    * link-graph family beside PageRank / triangles / connected
+    * components. Each round moves only the (node, dist) frontier table
+    * (one join on src against the ONE-TIME-partitioned edges + a dst
+    * min-aggregation); convergence detection rides the propagation job
+    * itself via `observe` (the connectedComponents pattern), and
+    * `localCheckpoint` keeps the plan depth constant. Rounds are
+    * O(diameter). Returns every REACHABLE node with its hop distance.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    sources: Seq[Long], maxIter: Int = 64): DataFrame = {
+    require(sources.nonEmpty, "no source nodes")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    e.count() // materialize once
+    var dist = sources.distinct.map(s => (s, 0L)).toDF("node", "dist")
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val obs = org.apache.spark.sql.Observation()
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .join(dist.withColumnRenamed("dist", "_old"), Seq("node"), "left")
+        .observe(obs, sum(when(col("_old").isNull ||
+          col("dist") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
+        .select("node", "dist")
+      val next = relaxed.localCheckpoint()
+      val changed = obs.get("changed").asInstanceOf[Long]
+      dist = next
+      converged = changed == 0
+      it += 1
+    }
+    e.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"shortestPaths did not converge after $maxIter rounds")
+    dist
+  }
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal of link-graph analysis (spam farms are
     * triangle-dense; organic link neighborhoods are sparse). Uses the

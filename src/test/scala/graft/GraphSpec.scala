@@ -104,4 +104,21 @@ class GraphSpec extends SparkSpec {
       iterations = 3).collect()
     got.foreach(r => assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12))
   }
+
+  test("shortestPaths: BFS hops, cycle convergence, unreachable excluded") {
+    val s = spark
+    import s.implicits._
+    // 0→1→2→0 cycle, 2→3, 3→4; 9→0 points INTO the source (9 unreachable);
+    // 7→8 disconnected
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L),
+      (9L, 0L), (7L, 8L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.shortestPaths(edges, "src", "dst", Seq(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      got.toString)
+    // multi-source: min over sources wins
+    val multi = graft.graph.GraphOps.shortestPaths(edges, "src", "dst",
+      Seq(0L, 3L)).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi(4L) == 1L && multi(3L) == 0L && multi(1L) == 1L, multi.toString)
+  }
 }

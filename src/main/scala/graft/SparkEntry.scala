@@ -237,6 +237,8 @@ object SparkEntry {
     "q_zip_roundtrip" -> (qZipRoundtrip _),
     "q_column_lineage" -> (qColumnLineage _),
     "q_scd2" -> (qScd2 _),
+    "q_interval_merge" -> (qIntervalMerge _),
+    "q_skew_report" -> (qSkewReport _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_transitions" -> (qTransitions _),
     "q_chi_square" -> (qChiSquare _),
@@ -3839,6 +3841,34 @@ object SparkEntry {
     * replays the lag/lead windows in µs arithmetic with the same
     * (ts, event id) ordering.
     */
+  /** Gaps-and-islands merge of per-customer-bucket service windows:
+    * overlapping intervals coalesce via the two-window break/island
+    * formulation, replayed window-for-window by the oracle.
+    */
+  private def qIntervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1992-01-01")
+    val iv = Tables.orders(s, dir).select(
+      (col("o_custkey") % 50).as("k"),
+      datediff(col("o_orderdate"), epoch).cast("long").as("s0"),
+      (datediff(col("o_orderdate"), epoch) + col("o_orderkey") % 14)
+        .cast("long").as("s1"))
+    RelationalOps.mergeIntervals(iv, "k", "s0", "s1")
+      .select(col("k"), col("island"), col("start").as("start_day"),
+        col("end").as("end_day"), col("n_intervals"))
+      .orderBy("k", "island")
+  }
+
+  /** Join-key skew diagnosis over lineitem's partkey: per-key census
+    * fold + bounded top-k heaviest keys — the report that picks between
+    * plain, broadcast, salted, and AQE-skew joins.
+    */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    StatsOps.skewReport(Tables.lineitem(s, dir), "l_partkey", topK = 5)
+      .select(col("rank"), col("key"), col("n"), col("n_keys"),
+        col("n_rows"), col("max_count"),
+        rnd("avg_count", 4).as("avg_count"), rnd("skew", 4).as("skew"))
+      .orderBy("rank")
+
   /** CDC change-set apply (warehouse MERGE): each customer's latest
     * order refreshes the account balance ('U'), every 97th ordered
     * customer is a tombstone ('D'), latest-wins per key — then a
@@ -7278,6 +7308,47 @@ object SparkEntry {
         |WHERE round(jw + 1e-9, 6) >= 0.7 ORDER BY wa, wb""".stripMargin,
 
     // lag/lead windows replayed in µs with the same (ts, event id) order.
+    // Islands mirror: the same two windows (prev-max-end break, running
+    // break sum) over the identical (s, e) sort.
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT o_custkey % 50 AS k,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate) AS s,
+        |    date_diff('day', DATE '1992-01-01', o_orderdate)
+        |      + o_orderkey % 14 AS e
+        |  FROM orders),
+        |w AS (SELECT k, s, e,
+        |    max(e) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |b AS (SELECT k, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM w),
+        |i AS (SELECT k, s, e,
+        |    sum(brk) OVER (PARTITION BY k ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM b)
+        |SELECT k, CAST(island AS BIGINT) AS island,
+        |  CAST(min(s) AS BIGINT) AS start_day,
+        |  CAST(max(e) AS BIGINT) AS end_day,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM i GROUP BY 1, 2 ORDER BY k, island""".stripMargin,
+
+    // Skew mirror: per-key census + the same (n DESC, key) top-5.
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(max(n) AS BIGINT) AS max_count,
+        |    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_count
+        |  FROM c),
+        |t AS (SELECT key, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, key) AS INT) AS rank
+        |  FROM c)
+        |SELECT t.rank, t.key, t.n, s.n_keys, s.n_rows, s.max_count,
+        |  round(s.avg_count + 1e-9, 4) AS avg_count,
+        |  round(CAST(s.max_count AS DOUBLE) / s.avg_count + 1e-9, 4) AS skew
+        |FROM t CROSS JOIN s WHERE t.rank <= 5 ORDER BY t.rank""".stripMargin,
+
     // BFS mirror: recursive-CTE walk, min hop per node, bounded by the
     // 45-node universe.
     "q_shortest_paths" ->

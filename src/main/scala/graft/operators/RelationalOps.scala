@@ -262,6 +262,30 @@ object RelationalOps {
       .drop("_b")
   }
 
+  /** Gaps-and-islands interval merge: per key, overlapping (or touching)
+    * [start, end] intervals coalesce into islands — the classic
+    * SQL-window formulation (an island begins where start exceeds the
+    * running max end of everything before it; the island id is the
+    * running count of such breaks), so the whole merge is TWO
+    * partition-bounded windows over one sort + one aggregation, state
+    * bounded by the per-key interval census. Pure integer comparisons.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sortW = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      sortW.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("_break",
+        when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_break")).over(
+        sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island").as("island"))
+      .agg(min(col(startCol)).as("start"), max(col(endCol)).as("end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** CDC change-set apply — the warehouse MERGE/upsert semantic: a
     * change stream of keyed upserts ('U') and tombstones ('D') folds
     * into a base table, latest sequence number winning per key and a

@@ -281,6 +281,30 @@ object StatsOps {
           .as("n_outliers"))
   }
 
+  /** Join-key skew report — the diagnosis that decides between plain,
+    * broadcast, salted, and AQE-skew joins at 100 TB: per-key counts
+    * reduce once (map-side combine), then a 1-row fold yields the skew
+    * factor (max/avg) and key census, and the bounded TopKAgg surfaces
+    * the heaviest keys without a global sort. Long-typed keys (hash
+    * non-long keys first).
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_count"),
+      (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_count"))
+      .withColumn("skew", col("max_count").cast("double") / col("avg_count"))
+    val top = graft.functions.TopK.topKPerGroup(
+      counts.withColumn("_g", lit("all")), "_g", "key", "n", topK)
+    top.crossJoin(broadcast(summary))
+      .select(col("rank"), col("key"), col("n").cast("long").as("n"),
+        col("n_keys"), col("n_rows"), col("max_count"),
+        col("avg_count"), col("skew"))
+  }
+
   /** The bounded-memory face of [[madOutliers]] — the 100 TB switch it
     * documents, as a first-class operator: medians come from the
     * mergeable GK sketch (`percentile_approx`), so per-group state is

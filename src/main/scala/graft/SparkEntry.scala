@@ -82,6 +82,7 @@ object SparkEntry {
     "q_array_explode" -> (qArrayExplode _),
     "q_point_to_cell_mean" -> (qPointToCellMean _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_json_flatten" -> (qJsonFlatten _),
     "q_exact_dedup" -> (qExactDedup _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dup_spans" -> (qDupSpans _),
@@ -4356,6 +4357,34 @@ object SparkEntry {
   /** JSON detail-column extraction (`quality.py:72` uses JSON payloads):
     * get_json_object + aggregation.
     */
+  /** Nested-JSON flattening cycle: per user group, a document with a
+    * nested item ARRAY is serialized with `to_json` and parsed back with
+    * a typed `from_json` schema, the array explodes to relational rows,
+    * and a post-flatten predicate aggregates — the serialize → parse →
+    * explode → filter chain every JSON ingest runs. The oracle computes
+    * the same census straight from the events, so any loss in the JSON
+    * cycle (ordering, typing, null handling) breaks the match.
+    */
+  private def qJsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("long").as("v"))
+    val docs = quant.groupBy("g").agg(
+      to_json(struct(col("g"),
+        sort_array(collect_list(struct(col("event_id").as("id"), col("v"))))
+          .as("items"))).as("doc"))
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "struct<g: bigint, items: array<struct<id: bigint, v: bigint>>>")
+    docs.select(from_json(col("doc"), schema).as("j"))
+      .select(col("j.g").as("g"), explode(col("j.items")).as("item"))
+      .filter(col("item.v") > 0)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_pos"), sum("item.v").as("sum_pos"),
+        min("item.id").as("min_id"), max("item.id").as("max_id"))
+      .orderBy("g")
+  }
+
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
@@ -7150,6 +7179,17 @@ object SparkEntry {
         |  round(avg(CAST(v AS DOUBLE)) + 1e-9, 6) AS cell_mean
         |FROM (SELECT vec_id, label, unnest(embedding) AS v FROM embeddings)
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    // JSON-flatten mirror: the same census straight from the events —
+    // any loss in the serialize→parse→explode cycle breaks the match.
+    "q_json_flatten" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT g, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(v) AS BIGINT) AS sum_pos,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM q WHERE v > 0 GROUP BY 1 ORDER BY g""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

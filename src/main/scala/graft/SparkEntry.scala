@@ -4366,10 +4366,16 @@ object SparkEntry {
     * cycle (ordering, typing, null handling) breaks the match.
     */
   private def qJsonFlatten(s: SparkSession, dir: String): DataFrame = {
-    val quant = Tables.events(s, dir).select(
+    val quant0 = Tables.events(s, dir).select(
       (col("user_id") % 10).as("g"), col("event_id"),
       least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
         .cast("long").as("v"))
+    // real JSON documents are bounded-size: cap each group's item array
+    // at 1000 (unbounded docs would grow with the corpus — a fixture
+    // artifact, not a JSON-cycle property)
+    val w = Window.partitionBy("g").orderBy("event_id")
+    val quant = quant0.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= 1000).drop("_rn")
     val docs = quant.groupBy("g").agg(
       to_json(struct(col("g"),
         sort_array(collect_list(struct(col("event_id").as("id"), col("v"))))
@@ -7184,12 +7190,13 @@ object SparkEntry {
     // any loss in the serialize→parse→explode cycle breaks the match.
     "q_json_flatten" ->
       """WITH q AS (SELECT user_id % 10 AS g, event_id,
-        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v,
+        |    row_number() OVER (PARTITION BY user_id % 10 ORDER BY event_id) AS rn
         |  FROM events)
         |SELECT g, CAST(count(*) AS BIGINT) AS n_pos,
         |  CAST(sum(v) AS BIGINT) AS sum_pos,
         |  min(event_id) AS min_id, max(event_id) AS max_id
-        |FROM q WHERE v > 0 GROUP BY 1 ORDER BY g""".stripMargin,
+        |FROM q WHERE v > 0 AND rn <= 1000 GROUP BY 1 ORDER BY g""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -65,6 +65,8 @@ object SparkEntry {
     "q_field_stats" -> (qFieldStats _),
     "q_welford_state" -> (qWelfordState _),
     "q_join_regional_revenue" -> (qJoinRegionalRevenue _),
+    "q_tpch_q1" -> (qTpchQ1 _),
+    "q_tpch_q3" -> (qTpchQ3 _),
     "q_semi_customers_with_orders" -> (qSemiCustomersWithOrders _),
     "q_anti_customers_without_orders" -> (qAntiCustomersWithoutOrders _),
     "q_distinct_edges" -> (qDistinctEdges _),
@@ -152,6 +154,7 @@ object SparkEntry {
     "q_privacy_report" -> (qPrivacyReport _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
+    "q_secret_scan" -> (qSecretScan _),
     "q_token_budget" -> (qTokenBudget _),
     "q_wall_nodes" -> (qWallNodes _),
     "q_union_priority" -> (qUnionPriority _),
@@ -1635,6 +1638,26 @@ object SparkEntry {
   }
 
   /** PII-style redaction census: md5 of scrubbed text + replacement counts. */
+  /** Secret scanning over documents salted with synthetic credentials
+    * (a high-entropy 68-char mixed-case key for every 7th doc, a
+    * zero-entropy 30-char filler for every 11th): candidate census,
+    * entropy-gated secret count, and the max rounded entropy — the
+    * oracle rebuilds the same salted text and replays candidates,
+    * per-occurrence character entropy, and the gate.
+    */
+  private def qSecretScan(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" key_"), md5(col("doc_id").cast("string")),
+            upper(md5((col("doc_id") + 1).cast("string")))))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" "), lit("a" * 30)))
+          .otherwise(lit(""))).as("text"))
+    TextOps.secretScan(salted, "doc_id", "text", minEntropy = 2.8)
+      .orderBy("doc_id")
+  }
+
   private def qRedact(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CurationOps
     Tables.documents(s, dir)
@@ -4183,6 +4206,61 @@ object SparkEntry {
   /** NS-cylinder join shape (`ns_cylinder.py:17-40`): fact ⋈ fact ⋈ dim with
     * broadcast small dims — lineitem ⋈ orders ⋈ customer ⋈ B(nation) ⋈ B(region).
     */
+  /** TPC-H Q1 (pricing summary): the canonical scan-heavy OLAP
+    * aggregation. Money sums run in EXACT decimal arithmetic and cast to
+    * double only once at the end (a 60 k-term double sum would be
+    * re-association-sensitive across engines), so every figure —
+    * including the averages — is bit-deterministic.
+    */
+  private def qTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    // tight scales keep the triple product inside exact decimal range
+    // (12,2)×(4,2)×(4,2) → scale-6 precision ~22, well under 38 in BOTH
+    // engines (wider scales would overflow DuckDB's 38 cap on the
+    // charge product and silently promote to double)
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val tax = col("l_tax").cast("decimal(4,2)")
+    val one = lit(1).cast("decimal(4,2)")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1999-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (one - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        rnd("sum_base_price", 2).as("sum_base_price"),
+        rnd("sum_disc_price", 2).as("sum_disc_price"),
+        rnd("sum_charge", 2).as("sum_charge"),
+        rnd(col("sum_qty") / col("count_order"), 4).as("avg_qty"),
+        rnd(col("sum_base_price") / col("count_order"), 4).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 (shipping priority): the canonical selective three-way
+    * join + top-k, with revenue in exact decimal and the broadcast-dim
+    * plan Catalyst picks for the bounded customer filter.
+    */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    val one = lit(1).cast("decimal(4,2)")
+    val cut = lit("1996-03-15")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(price * (one - disc)).cast("double").as("revenue"))
+      .select(col("l_orderkey"), rnd("revenue", 2).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   private def qJoinRegionalRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
@@ -6082,6 +6160,78 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     MeshQualityOracle,
+
+    // TPC-H Q1 mirror: exact decimal money sums, one cast to double.
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    + 1e-6, 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) + 1e-6, 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+        |    AS DOUBLE) + 1e-6, 2) AS sum_charge,
+        |  round(sum(l_quantity) / count(*) + 1e-9, 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*) + 1e-9, 4) AS avg_price,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // TPC-H Q3 mirror: same decimal revenue, same deterministic top-10.
+    "q_tpch_q3" ->
+      """WITH j AS (SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+        |      AS DOUBLE) AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1996-03-15'
+        |    AND l.l_shipdate > TIMESTAMP '1996-03-15'
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_orderkey, round(revenue + 1e-6, 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM j ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // Secret-scan mirror: the same salted text, candidates, per-
+    // occurrence character entropy (nats), and the rounded gate.
+    "q_secret_scan" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' key_' ||
+        |      md5(CAST(doc_id AS VARCHAR)) ||
+        |      upper(md5(CAST(doc_id + 1 AS VARCHAR))) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ' || repeat('a', 30)
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |cand AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(text, '[A-Za-z0-9+/=_-]{20,}')) AS c
+        |  FROM d),
+        |cr AS (SELECT doc_id, c, row_number() OVER () AS cid FROM cand),
+        |ch AS (SELECT doc_id, cid,
+        |    unnest(regexp_extract_all(c, '.')) AS chr FROM cr),
+        |cc AS (SELECT doc_id, cid, chr, CAST(count(*) AS BIGINT) AS n
+        |  FROM ch GROUP BY 1, 2, 3),
+        |he AS (SELECT doc_id, cid, CAST(sum(n) AS BIGINT) AS L,
+        |    -sum(n * ln(CAST(n AS DOUBLE))) AS sclogc
+        |  FROM cc GROUP BY 1, 2),
+        |hr AS (SELECT doc_id,
+        |    round(ln(CAST(L AS DOUBLE)) + sclogc / L + 1e-9, 4) AS h
+        |  FROM he),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN h >= 2.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_secrets,
+        |    max(h) AS max_entropy
+        |  FROM hr GROUP BY 1)
+        |SELECT d2.doc_id, coalesce(a.n_candidates, 0) AS n_candidates,
+        |  coalesce(a.n_secrets, 0) AS n_secrets,
+        |  coalesce(a.max_entropy, 0.0) AS max_entropy
+        |FROM documents d2 LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_redact" -> {
       val r = graft.operators.CurationOps.redactions

@@ -426,6 +426,46 @@ object TextOps {
       .sortBy(_._1).toSeq
   }
 
+  /** Secret/credential scanning — the code-corpus release gate beside
+    * PII redaction: long base64/hex-ish token candidates
+    * (`[A-Za-z0-9+/=_-]{20,}`) are flagged as secrets when their
+    * character-distribution Shannon entropy (nats, H = ln L − Σc·ln c/L)
+    * clears the threshold — a random API key scores near ln(alphabet),
+    * while a repeated filler or a long English identifier scores far
+    * lower. One typed mapPartitions (the single-pass shape — a column
+    * `substr` chain would be O(len²)); the threshold compares the
+    * ROUNDED entropy, the cross-engine boundary discipline.
+    */
+  def secretScan(df: DataFrame, idCol: String, textCol: String,
+                 minEntropy: Double = 2.8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val re = java.util.regex.Pattern.compile("[A-Za-z0-9+/=_-]{20,}")
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val m = re.matcher(if (text == null) "" else text)
+          var nCand = 0L; var nSecret = 0L; var maxH = 0.0
+          while (m.find()) {
+            val cand = m.group()
+            nCand += 1
+            val counts = new java.util.HashMap[Char, Long]()
+            cand.foreach(c => counts.merge(c, 1L, _ + _))
+            var sclogc = 0.0
+            counts.values.forEach(c => sclogc += c * math.log(c.toDouble))
+            val h = math.log(cand.length.toDouble) - sclogc / cand.length
+            // HALF_UP to match SQL round() (rint would be half-even)
+            val hr = BigDecimal(h + 1e-9)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (hr > maxH) maxH = hr
+            if (hr >= minEntropy) nSecret += 1
+          }
+          (id, nCand, nSecret, maxH)
+        }
+      }.toDF(idCol, "n_candidates", "n_secrets", "max_entropy")
+  }
+
   /** WordPiece vocabulary (the third real tokenizer family beside BPE
     * and unigram-LM — BERT's greedy longest-match-first, Wu et al.
     * 2016): corpus character n-grams (n ≤ maxN) over distinct pre-token

@@ -138,6 +138,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_tpch_q3: the filtered customer dim broadcasts; no cartesian") {
+    val p = formatted("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      "the BUILDING-filtered customer side should broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_orc_roundtrip: the quantity predicate reaches the ORC scan") {
     val p = formatted("q_orc_roundtrip")
     assert(p.contains("ORC") || p.toLowerCase.contains("orc"),

@@ -246,6 +246,7 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_transitions" -> (qTransitions _),
     "q_chi_square" -> (qChiSquare _),
+    "q_ks_test" -> (qKsTest _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_triangles" -> (qTriangles _),
@@ -3929,6 +3930,16 @@ object SparkEntry {
         rnd("p", 6).as("p"))
       .orderBy("prev_state", "next_state")
 
+  /** Two-sample KS drift test between the click and view value
+    * distributions — exact integer-rational D with the argmax value,
+    * replayed integer-for-integer by the oracle.
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame =
+    StatsOps.ksTest(Tables.events(s, dir), "event_type", "value",
+      a = "click", b = "view")
+      .select(col("n_a"), col("n_b"), col("d_num"), rnd("d", 6).as("d"),
+        col("at_v"))
+
   /** Pearson chi-square contingency of event_type × user-id bucket:
     * the full grid (zero cells included), expected counts from exact
     * integer marginals, per-cell contributions, and the statistic + dof
@@ -7608,6 +7619,32 @@ object SparkEntry {
         |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) + 1e-9, 6) AS p
         |FROM c JOIN t USING (prev_state)
         |ORDER BY prev_state, next_state""".stripMargin,
+
+    // KS mirror: identical distinct-value cumulative counts, identical
+    // integer numerator, one double division — plus the min-v argmax.
+    "q_ks_test" ->
+      """WITH t AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(sum(ib) AS BIGINT) AS cb FROM t GROUP BY 1),
+        |w AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM c),
+        |g AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |s AS (SELECT w.v, abs(w.cuma * g.nb - w.cumb * g.na) AS num
+        |  FROM w CROSS JOIN g),
+        |m AS (SELECT max(num) AS mx FROM s)
+        |SELECT g.na AS n_a, g.nb AS n_b, CAST(m.mx AS BIGINT) AS d_num,
+        |  round(CAST(m.mx AS DOUBLE)
+        |    / (CAST(g.na AS DOUBLE) * CAST(g.nb AS DOUBLE)) + 1e-9, 6) AS d,
+        |  (SELECT min(s2.v) FROM s s2, m m2 WHERE s2.num = m2.mx) AS at_v
+        |FROM g CROSS JOIN m""".stripMargin,
 
     // Chi-square mirror: full grid from the exact integer marginals.
     "q_chi_square" ->

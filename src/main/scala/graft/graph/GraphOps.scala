@@ -190,6 +190,54 @@ object GraphOps {
       .drop("_pid", "_cum", "_base")
   }
 
+  /** Multi-column variant of [[exclusivePrefixSum]]: ALL the cumulative
+    * sums ride ONE range partitioning and one partition-local window.
+    * This is not just cheaper — chaining two single-column calls is
+    * UNSAFE: the second call re-executes the first's lineage, and
+    * `repartitionByRange`'s sampled boundaries need not replay
+    * identically, so the first call's collected partition bases can
+    * disagree with the re-executed partitioning (caught by the KS-test
+    * cumulative counts drifting mid-stream).
+    */
+  def exclusivePrefixSums(df: DataFrame, orderCol: String,
+                          valueCols: Seq[String], outSuffix: String = "_off",
+                          numPartitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty, "no value columns")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .withColumn("_pid", spark_partition_id())
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = valueCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"_cum_$c", sum(col(c)).over(w))
+    }
+    // ONE materialization: bases and rows come from the same execution
+    val local = local0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    local.count()
+    val totals = local.groupBy(col("_pid"))
+      .agg(valueCols.map(c => sum(col(c)).as(s"_tot_$c")).head,
+        valueCols.map(c => sum(col(c)).as(s"_tot_$c")).tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> valueCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val bases = totals.scanLeft(valueCols.map(_ => 0L).toIndexedSeq) {
+      (acc, t) => acc.zip(t._2).map { case (a, b) => a + b }
+    }.zip(totals.map(_._1)).map { case (base, pid) => (pid, base) }
+    import spark.implicits._
+    val baseDf = bases.toSeq.map { case (pid, bs) => (pid, bs.toArray) }
+      .toDF("_pid", "_bases")
+    val joined = local.join(broadcast(baseDf), "_pid")
+    val out = valueCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
+      d.withColumn(s"$c$outSuffix",
+        element_at(col("_bases"), i + 1) + col(s"_cum_$c") - col(c))
+    }
+    out.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*)
+  }
+
   /** AtomicInfoFilter (`domains/atm/filters/atomic_info.py:44-76`): per-system
     * structural metadata — atom/edge counts, composition, PBC — as one narrow
     * projection (the reference logs it per item; here it IS a table).

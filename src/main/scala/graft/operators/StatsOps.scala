@@ -281,6 +281,45 @@ object StatsOps {
           .as("n_outliers"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the distribution-drift
+    * test a corpus release gate runs between two cohorts (old vs new
+    * snapshot, two sources, two labels): D = max |F_a(v) − F_b(v)|,
+    * computed ENTIRELY in integer rational arithmetic (the numerator
+    * |cum_a·n_b − cum_b·n_a| is exact; one double division at the end),
+    * so both engines agree bit-for-bit — no float CDFs to chase. The
+    * distinct-value reduce is map-side combined; the cumulative counts
+    * use the two-pass distributed prefix sum (never a single global
+    * window task); the argmax rides one struct-max aggregation. At
+    * continuous-value 100 TB scale, bin values first (the PSI practice)
+    * — the machinery is identical.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    val tagged = df.filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).cast("double").as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+    val counts = tagged.groupBy("v")
+      .agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    // ONE ranged pass for both cumulative counts (chained single-column
+    // prefix sums would re-execute lineage under resampled range
+    // boundaries — see exclusivePrefixSums)
+    val cum = graft.graph.GraphOps.exclusivePrefixSums(counts, "v",
+        Seq("ca", "cb"))
+      .withColumn("cuma", col("ca_off") + col("ca"))
+      .withColumn("cumb", col("cb_off") + col("cb"))
+    val totals = counts.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("_num", abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(col("_num")).as("d_num"),
+        max(struct(col("_num").as("n"), (-col("v")).as("nv"))).as("_best"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("d"),
+        (-col("_best.nv")).as("at_v"))
+  }
+
   /** Join-key skew report — the diagnosis that decides between plain,
     * broadcast, salted, and AQE-skew joins at 100 TB: per-key counts
     * reduce once (map-side combine), then a 1-row fold yields the skew

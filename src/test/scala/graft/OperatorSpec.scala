@@ -681,6 +681,17 @@ class OperatorSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("ksTest: analytic D on a tiny two-sample fixture") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = graft.operators.StatsOps.ksTest(df, "g", "v", "a", "b").collect()(0)
+    // cums: v1 (1,0) num 3; v2 (1,1) num 1; v3 (2,2) num 2; v4 (2,3) num 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 3L)), r.toString)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 1.0, r.toString)
+  }
+
   test("applyChangeSet: latest-wins, tombstones drop, untouched keys survive") {
     val s = spark
     import s.implicits._

@@ -214,6 +214,7 @@ object SparkEntry {
     "q_streaming_stats" -> (qStreamingStats _),
     "q_streaming_cms" -> (qStreamingCms _),
     "q_streaming_kmv" -> (qStreamingKmv _),
+    "q_streaming_trending" -> (qStreamingTrending _),
     "q_streaming_sessions" -> (qStreamingSessions _),
     "q_warc_roundtrip" -> (qWarcRoundtrip _),
     "q_pagerank" -> (qPageRank _),
@@ -247,6 +248,7 @@ object SparkEntry {
     "q_transitions" -> (qTransitions _),
     "q_chi_square" -> (qChiSquare _),
     "q_ks_test" -> (qKsTest _),
+    "q_psi" -> (qPsi _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_triangles" -> (qTriangles _),
@@ -347,6 +349,45 @@ object SparkEntry {
       .select(col("l_returnflag"), col("n_exact"),
         rnd("_est", 4).as("kmv_est"))
       .orderBy("l_returnflag")
+  }
+
+  /** Streaming trending report: event-time windowed type counts
+    * maintained as ONE watermarked streaming aggregation (complete
+    * mode), drained with AvailableNow, then the per-window top-2 types
+    * ranked post-drain — the "what's trending per hour" dashboard
+    * query. The oracle rebuilds windows and ranks from the batch table
+    * with the same window arithmetic.
+    */
+  private def qStreamingTrending(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir) // set nanosAsLong reader conf
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val streamDir = freshTmpDir("graft_stream_trend", dir)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val srcP = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val dstP = new org.apache.hadoop.fs.Path(s"$streamDir/events.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(srcP.getFileSystem(hconf), srcP,
+      dstP.getFileSystem(hconf), dstP, false, hconf)
+    val stream = graft.sources.Tables.normalizeTs(
+      s.readStream.schema(raw.schema)
+        .option("recursiveFileLookup", "true").parquet(streamDir))
+    val counts = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "60 days"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val qname = s"graft_trend_${math.abs(dir.hashCode)}"
+    val q = counts.writeStream.format("memory").queryName(qname)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("n").desc, col("event_type"))
+    s.table(qname)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("window_start"), col("rank"), col("event_type"), col("n"))
+      .orderBy("window_start", "rank")
   }
 
   private def qStreamingCms(s: SparkSession, dir: String): DataFrame = {
@@ -3940,6 +3981,15 @@ object SparkEntry {
       .select(col("n_a"), col("n_b"), col("d_num"), rnd("d", 6).as("d"),
         col("at_v"))
 
+  /** PSI drift score between the click and view value distributions at
+    * bin width 0.5 — deterministic skip-census for one-sided bins.
+    */
+  private def qPsi(s: SparkSession, dir: String): DataFrame =
+    StatsOps.psi(Tables.events(s, dir), "event_type", "value",
+      a = "click", b = "view", binWidth = 0.5)
+      .select(col("n_bins"), col("n_skipped"), col("n_a"), col("n_b"),
+        rnd("psi", 4).as("psi"))
+
   /** Pearson chi-square contingency of event_type × user-id bucket:
     * the full grid (zero cells included), expected counts from exact
     * integer marginals, per-cell contributions, and the statistic + dof
@@ -5991,6 +6041,21 @@ object SparkEntry {
          |ORDER BY set_a, set_b""".stripMargin
     },
 
+    // Trending mirror: the same 60-day epoch-aligned windows and the
+    // same (n DESC, type) rank from the batch table.
+    "q_streaming_trending" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT make_timestamp(us - us % 5184000000000) AS window_start,
+        |    event_type FROM e),
+        |c AS (SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM w GROUP BY 1, 2),
+        |r AS (SELECT window_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n DESC, event_type) AS INT) AS rank
+        |  FROM c)
+        |SELECT window_start, rank, event_type, n FROM r
+        |WHERE rank <= 2 ORDER BY window_start, rank""".stripMargin,
+
     // Streaming-KMV mirror: batch-side sketch rebuild (the stream is a
     // replay of the same table, and the k-min state is a semilattice).
     "q_streaming_kmv" -> {
@@ -7645,6 +7710,31 @@ object SparkEntry {
         |    / (CAST(g.na AS DOUBLE) * CAST(g.nb AS DOUBLE)) + 1e-9, 6) AS d,
         |  (SELECT min(s2.v) FROM s s2, m m2 WHERE s2.num = m2.mx) AS at_v
         |FROM g CROSS JOIN m""".stripMargin,
+
+    // PSI mirror: identical floor bins, skip census, ln terms.
+    "q_psi" ->
+      """WITH t AS (SELECT CAST(floor(value / 0.5) AS BIGINT) AS bin,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT bin, CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(sum(ib) AS BIGINT) AS cb FROM t GROUP BY 1),
+        |g AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c),
+        |terms AS (SELECT c.ca, c.cb,
+        |    CASE WHEN c.ca > 0 AND c.cb > 0 THEN
+        |      (CAST(c.ca AS DOUBLE) / g.na - CAST(c.cb AS DOUBLE) / g.nb)
+        |      * ln((CAST(c.ca AS DOUBLE) / g.na)
+        |          / (CAST(c.cb AS DOUBLE) / g.nb))
+        |    ELSE 0.0 END AS term,
+        |    g.na, g.nb
+        |  FROM c CROSS JOIN g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN ca = 0 OR cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skipped,
+        |  max(na) AS n_a, max(nb) AS n_b,
+        |  round(sum(term) + 1e-9, 4) AS psi
+        |FROM terms""".stripMargin,
 
     // Chi-square mirror: full grid from the exact integer marginals.
     "q_chi_square" ->

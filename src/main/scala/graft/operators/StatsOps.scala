@@ -320,6 +320,38 @@ object StatsOps {
         (-col("_best.nv")).as("at_v"))
   }
 
+  /** Population stability index — KS's binned sibling, the drift score
+    * model-monitoring pipelines threshold (< 0.1 stable / > 0.25
+    * shifted): PSI = Σ (p_a − p_b)·ln(p_a/p_b) over value bins. Bins
+    * where either side is empty are SKIPPED and censused (the
+    * deterministic alternative to epsilon-clamping); the bin reduce is
+    * the only data-sized shuffle, everything after is bin-cardinality
+    * work. ln over exact-integer ratios follows the repo's entropy/LM
+    * precedent (rounded display, both engines' libm agree at 4 dp).
+    */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          a: String, b: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth")
+    val bins = df.filter(col(groupCol).isin(a, b))
+      .select(floor(col(valueCol).cast("double") / binWidth).cast("long")
+        .as("bin"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("ib"))
+      .groupBy("bin").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val totals = bins.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    bins.crossJoin(broadcast(totals))
+      .withColumn("_ok", col("ca") > 0 && col("cb") > 0)
+      .withColumn("_pa", col("ca").cast("double") / col("na").cast("double"))
+      .withColumn("_pb", col("cb").cast("double") / col("nb").cast("double"))
+      .withColumn("_term",
+        when(col("_ok"), (col("_pa") - col("_pb")) * log(col("_pa") / col("_pb")))
+          .otherwise(lit(0.0)))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(when(!col("_ok"), 1L).otherwise(0L)).as("n_skipped"),
+        first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+        sum(col("_term")).as("psi"))
+  }
+
   /** Join-key skew report — the diagnosis that decides between plain,
     * broadcast, salted, and AQE-skew joins at 100 TB: per-key counts
     * reduce once (map-side combine), then a 1-row fold yields the skew

@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
     "q_int8_topk" -> (qInt8Topk _),
+    "q_ivfsq_topk" -> (qIvfSqTopk _),
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
@@ -2288,6 +2289,29 @@ object SparkEntry {
     * censuses (the round-half-up arithmetic is engine-identical on the
     * non-negative scaled values), and the rounded dequantization error.
     */
+  /** Materialization point for the q_ivfsq_topk coarse quantizer (the
+    * [[SemCentroidsDir]] contract).
+    */
+  private val IvfSqCentroidsDir = s"$MatRoot/ivfsq_centroids"
+
+  /** IVF + SQ8 composed search: nProbe = 2 of 8 coarse lists pruned per
+    * query, exact-integer int8 ranking within the probed lists. The
+    * oracle replays the probe selection against the materialized
+    * quantizer, the code table, and the ranking — pruning included.
+    */
+  private def qIvfSqTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 64)
+    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "w").coalesce(1)
+      .write.mode("overwrite").parquet(IvfSqCentroidsDir)
+    SimilarityOps.ivfSq8TopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 5, cents, nProbe = 2)
+      .orderBy("qid", "rank")
+  }
+
   /** SQ8 quantized search: top-10 neighbors for three query vectors by
     * EXACT integer int8 dot (the codegen ByteVecDot kernel over binary
     * code columns) — a ranking with no float arithmetic anywhere, which
@@ -4780,6 +4804,42 @@ object SparkEntry {
     // int8 scalar-quantization mirror: ranges, codes, and dequant error
     // recomputed per dimension; round-half-up agrees on the non-negative
     // scaled values, so codes match exactly.
+    // IVF+SQ8 mirror: probe selection vs the materialized quantizer,
+    // the recomputed code table, and the same pruned integer ranking.
+    "q_ivfsq_topk" ->
+      s"""WITH cent AS (SELECT cid, w FROM '$IvfSqCentroidsDir/*.parquet'),
+         |xs AS (SELECT vec_id AS id, CAST(t.i - 1 AS INT) AS pos,
+         |    CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+         |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM xs GROUP BY 1),
+         |cd AS (SELECT id, pos, CASE WHEN mx = mn THEN 0
+         |    ELSE CAST(round((x - mn) / (mx - mn) * 255.0) AS INT) - 128
+         |    END AS code
+         |  FROM xs JOIN rg USING (pos)),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], c.w) AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc) z WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc WHERE vec_id IN (0, 1, 2)) z WHERE rn <= 2),
+         |cand AS (SELECT p.qid, a.vec_id AS id
+         |  FROM probes p JOIN asg a ON a.cid = p.cid),
+         |d AS (SELECT cand.qid, cand.id,
+         |    CAST(sum(qc.code * cc.code) AS BIGINT) AS qdot
+         |  FROM cand
+         |  JOIN cd qc ON qc.id = cand.qid
+         |  JOIN cd cc ON cc.id = cand.id AND cc.pos = qc.pos
+         |  GROUP BY 1, 2),
+         |r AS (SELECT qid, id, qdot,
+         |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rn
+         |  FROM d)
+         |SELECT qid, CAST(rn AS INT) AS rank, id AS vec_id, qdot
+         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
     // SQ8 mirror: the identical per-dim quantization, integer dots via
     // a (pos-keyed) sum, and the same (dot DESC, id) ranking.
     "q_int8_topk" ->

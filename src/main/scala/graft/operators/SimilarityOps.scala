@@ -574,6 +574,40 @@ object SimilarityOps {
       .toDF(idCol, "codes")
   }
 
+  /** IVF + SQ8 composed index — the FAISS pairing: the coarse quantizer
+    * prunes to `nProbe` inverted lists (fraction probed ≈ nProbe/k of
+    * the corpus), and the in-list scan ranks by the EXACT integer int8
+    * dot through the codegen [[graft.functions.ByteVecDot]] kernel over
+    * 4×-compressed codes. Probes explode to an equi-join on the list id
+    * — candidate volume is the probed lists' occupancy, never the
+    * corpus. Assignment and probing are deterministic (max dot, ties →
+    * lowest cid), so an oracle replays pruning, quantization, and
+    * ranking exactly.
+    */
+  def ivfSq8TopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], k: Int,
+                 centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    val codes = int8Codes(df, idCol, vecCol)
+    val asg = centroidAssignment(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cid"))
+    val lists = codes.join(asg, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = df.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("qid"),
+        probeColumn(col(vecCol), centroids, nProbe).as("_probes"))
+      .select(col("qid"), explode(col("_probes")).as("cid"))
+    val q = lists.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("qid"), col("codes").as("_qc"))
+    val scored = probes.join(broadcast(q), "qid")
+      .join(lists, "cid")
+      .select(col("qid"), col(idCol),
+        graft.functions.VectorExpressions.dotB(col("_qc"), col("codes"))
+          .as("_dot"))
+    graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_dot", k)
+      .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
+        col("_dot").cast("long").as("qdot"))
+  }
+
   /** Quantized brute-force top-k (SQ8 search): each query's codes ride a
     * bounded broadcast against the corpus code table, scores are EXACT
     * integer dots through the codegen [[graft.functions.ByteVecDot]]

@@ -128,6 +128,7 @@ object SparkEntry {
     "q_gif_decode" -> (qGifDecode _),
     "q_image_resize" -> (qImageResize _),
     "q_audio_resample" -> (qAudioResample _),
+    "q_image_orient" -> (qImageOrient _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
     "q_audio_meta" -> (qAudioMeta _),
@@ -3086,6 +3087,45 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Image orientation end-to-end: 16×16 BMPs run through flip_h /
+    * flip_v / rot90, each re-encoded and decoded again; the position-
+    * weighted red checksums gate the PERMUTATIONS exactly (a mean would
+    * be orientation-blind), with the oracle recomputing each mapped
+    * position from the event stream.
+    */
+  private def qImageOrient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        (g, graft.functions.Media.renderBmp(16, 16, px))
+      }.toDF("g", "bmp")
+    def wsum(op: String, name: String) = {
+      MultimodalOps.orientImage(payloads, "g", op, "bmp")
+        .select(col("g"), col("oriented"))
+        .as[(Long, Array[Byte])]
+        .map { case (g, bytes) =>
+          val m = graft.functions.Media.decodeBmp(bytes)
+          var ws = 0L
+          m.pixels.zipWithIndex.foreach { case ((r, _, _), p) =>
+            ws += p.toLong * r
+          }
+          (g, ws)
+        }.toDF("g", name)
+    }
+    wsum("flip_h", "ws_flip_h")
+      .join(wsum("flip_v", "ws_flip_v"), "g")
+      .join(wsum("rot90", "ws_rot90"), "g")
+      .orderBy("g")
+  }
+
   /** Audio resample end-to-end: 256-sample mono WAVs from quantized
     * event values, box decimation ×4 (floor-division block means — the
     * SQL `//` convention, exact on negative PCM too), RE-ENCODE at
@@ -5537,6 +5577,24 @@ object SparkEntry {
         |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // Orientation mirror: each op's mapped position recomputed from the
+    // event stream (y = p//16, x = p%16; flip_h → y·16+15−x,
+    // flip_v → (15−y)·16+x, rot90 cw → x·16+15−y).
+    "q_image_orient" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |px AS (SELECT g, rn - 1 AS p, (v % 256 + 256) % 256 AS cr
+        |  FROM r WHERE rn <= 256)
+        |SELECT g,
+        |  CAST(sum(((p // 16) * 16 + (15 - p % 16)) * cr) AS BIGINT) AS ws_flip_h,
+        |  CAST(sum(((15 - p // 16) * 16 + p % 16) * cr) AS BIGINT) AS ws_flip_v,
+        |  CAST(sum(((p % 16) * 16 + (15 - p // 16)) * cr) AS BIGINT) AS ws_rot90
+        |FROM px GROUP BY g ORDER BY g""".stripMargin,
 
     // Audio-resample mirror: every output sample recomputed from the
     // event stream (4-sample block sums // 4, floor division), then the

@@ -340,6 +340,40 @@ object MultimodalOps {
       .toDF(idCol, "in_rate", "out_rate", "n_in", "n_out", "resampled")
   }
 
+  /** Image orientation transforms — flips and quarter rotation, the
+    * augmentation/EXIF-normalization siblings of [[resizeBox]]: pure
+    * pixel PERMUTATIONS (no resampling, bit-exact), re-encoded so the
+    * output is a real payload. `op` ∈ flip_h | flip_v | rot90 (90°
+    * clockwise; width/height swap). Per-row executor work, no shuffle.
+    */
+  def orientImage(payloads: DataFrame, idCol: String, op: String,
+                  payloadCol: String = "payload"): DataFrame = {
+    require(Set("flip_h", "flip_v", "rot90")(op), s"unknown op '$op'")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val m = graft.functions.Media.decodeBmp(bytes)
+        val (w, h) = (m.width, m.height)
+        val (ow, oh) = if (op == "rot90") (h, w) else (w, h)
+        val out = new Array[(Int, Int, Int)](w * h)
+        var i = 0
+        while (i < w * h) {
+          val (y, x) = (i / w, i % w)
+          val o = op match {
+            case "flip_h" => y * w + (w - 1 - x)
+            case "flip_v" => (h - 1 - y) * w + x
+            case "rot90" => x * ow + (ow - 1 - y) // out(x, h-1-y); out width = h
+          }
+          out(o) = m.pixels(i)
+          i += 1
+        }
+        (id, ow, oh, graft.functions.Media.renderBmp(ow, oh, out))
+      }
+      .toDF(idCol, "out_w", "out_h", "oriented")
+  }
+
   /** Real animated-image decode: GIF payloads → one row per FRAME with
     * geometry, interlace flag, GCE delay, per-channel means over the
     * palette-resolved RGB pixels, and a position-weighted red checksum

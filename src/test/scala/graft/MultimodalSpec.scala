@@ -403,6 +403,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("orientImage: exact permutations incl. non-square rot90") {
+    val s = spark
+    import s.implicits._
+    // 4×2: values 0..7 as red channel
+    val px = Array.tabulate(8)(i => (i * 10, 0, 0))
+    val bmp = graft.functions.Media.renderBmp(4, 2, px)
+    def run(op: String): (Int, Int, Seq[Int]) = {
+      val r = graft.operators.MultimodalOps.orientImage(
+        Seq((1L, bmp)).toDF("id", "p"), "id", op, "p").collect()(0)
+      val m = graft.functions.Media.decodeBmp(r.getAs[Array[Byte]]("oriented"))
+      (r.getInt(1), r.getInt(2), m.pixels.map(_._1).toSeq)
+    }
+    assert(run("flip_h") == ((4, 2, Seq(30, 20, 10, 0, 70, 60, 50, 40))))
+    assert(run("flip_v") == ((4, 2, Seq(40, 50, 60, 70, 0, 10, 20, 30))))
+    // cw: first input row becomes the RIGHT column of the 2×4 output
+    assert(run("rot90") == ((2, 4, Seq(40, 0, 50, 10, 60, 20, 70, 30))))
+  }
+
   test("resampleAudioBox: floor-division block means incl. negative PCM; stereo") {
     val s = spark
     import s.implicits._

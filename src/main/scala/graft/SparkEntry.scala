@@ -129,6 +129,7 @@ object SparkEntry {
     "q_image_resize" -> (qImageResize _),
     "q_audio_resample" -> (qAudioResample _),
     "q_image_orient" -> (qImageOrient _),
+    "q_audio_normalize" -> (qAudioNormalize _),
     "q_mp4_meta" -> (qMp4Meta _),
     "q_avc_sps" -> (qAvcSps _),
     "q_audio_meta" -> (qAudioMeta _),
@@ -3087,6 +3088,36 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Audio peak normalization end-to-end: the 256-sample WAVs scale to
+    * a 30000 target peak in exact integer rational arithmetic, re-encode,
+    * decode — gated on the input peak and the position-weighted checksum
+    * of the normalized stream, both recomputed from the event stream.
+    */
+  private def qAudioNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
+        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+      }.toDF("g", "wav")
+    MultimodalOps.normalizeAudioPeak(payloads, "g", targetPeak = 30000, "wav")
+      .select(col("g"), col("peak_in"), col("normalized"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (g, peak, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        var ws = 0L
+        w.samples.zipWithIndex.foreach { case (sm, p) => ws += p.toLong * sm }
+        (g, peak, ws)
+      }
+      .toDF("g", "peak_in", "wsum")
+      .orderBy("g")
+  }
+
   /** Image orientation end-to-end: 16×16 BMPs run through flip_h /
     * flip_v / rot90, each re-encoded and decoded again; the position-
     * weighted red checksums gate the PERMUTATIONS exactly (a mean would
@@ -5577,6 +5608,26 @@ object SparkEntry {
         |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // Peak-normalize mirror: the same integer rational gain (floor
+    // division — negative PCM included) from the event stream.
+    "q_audio_normalize" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |t AS (SELECT g, v, rn - 1 AS p FROM r WHERE rn <= 256),
+        |pk AS (SELECT g, CAST(max(abs(v)) AS BIGINT) AS peak FROM t GROUP BY 1),
+        |n AS (SELECT t.g, t.p,
+        |    CASE WHEN pk.peak = 0 THEN t.v
+        |         ELSE (t.v * 30000) // pk.peak END AS s,
+        |    pk.peak
+        |  FROM t JOIN pk ON t.g = pk.g)
+        |SELECT g, CAST(max(peak) AS INT) AS peak_in,
+        |  CAST(sum(p * s) AS BIGINT) AS wsum
+        |FROM n GROUP BY g ORDER BY g""".stripMargin,
 
     // Orientation mirror: each op's mapped position recomputed from the
     // event stream (y = p//16, x = p%16; flip_h → y·16+15−x,

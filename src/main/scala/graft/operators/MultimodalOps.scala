@@ -340,6 +340,33 @@ object MultimodalOps {
       .toDF(idCol, "in_rate", "out_rate", "n_in", "n_out", "resampled")
   }
 
+  /** Audio peak normalization — the gain-staging pass before feature
+    * extraction/ASR: every sample scales by targetPeak/peak in EXACT
+    * integer rational arithmetic (⌊s·target / peak⌋, floor division so
+    * negative PCM mirrors SQL's `//`; silent clips pass through), then a
+    * real re-encode. Per-row executor work, no shuffle.
+    */
+  def normalizeAudioPeak(payloads: DataFrame, idCol: String,
+                         targetPeak: Int = 32767,
+                         payloadCol: String = "payload"): DataFrame = {
+    require(targetPeak > 0 && targetPeak <= 32767, s"targetPeak $targetPeak")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        val peak = w.samples.foldLeft(0)((m, s) => math.max(m, math.abs(s)))
+        val out =
+          if (peak == 0) w.samples
+          else w.samples.map(s =>
+            Math.floorDiv(s.toLong * targetPeak, peak.toLong).toInt)
+        (id, peak, targetPeak,
+          graft.functions.Media.renderWav(w.sampleRate, w.channels, out))
+      }
+      .toDF(idCol, "peak_in", "peak_target", "normalized")
+  }
+
   /** Image orientation transforms — flips and quarter rotation, the
     * augmentation/EXIF-normalization siblings of [[resizeBox]]: pure
     * pixel PERMUTATIONS (no resampling, bit-exact), re-encoded so the

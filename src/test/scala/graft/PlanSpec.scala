@@ -138,6 +138,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_resample: all window frames share ONE sort (no per-frame re-sort)") {
+    val p = formatted("q_resample")
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size
+    // one sort feeds the whole backward+forward window stack; the only
+    // other sort is the output orderBy
+    assert(sorts <= 2, s"expected <= 2 Sort nodes, found $sorts:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
+      "expected the two-frame window stack")
+  }
+
   test("q_tpch_q3: the filtered customer dim broadcasts; no cartesian") {
     val p = formatted("q_tpch_q3")
     assert(p.contains("BroadcastHashJoin"),

@@ -4378,7 +4378,7 @@ object SparkEntry {
     val tax = col("l_tax").cast("decimal(4,2)")
     val one = lit(1).cast("decimal(4,2)")
     Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1999-09-02"))
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum("l_quantity").as("sum_qty"),
         sum(price).cast("double").as("sum_base_price"),
@@ -6422,7 +6422,7 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    / count(*) + 1e-9, 4) AS avg_price,
         |  CAST(count(*) AS BIGINT) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // TPC-H Q3 mirror: same decimal revenue, same deterministic top-10.

@@ -108,8 +108,14 @@ object Gif {
     val sig = new String(bytes, 0, 6, "US-ASCII")
     require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: '$sig'")
     var p = 6
-    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
-    def u16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
+    def u8(): Int = {
+      require(p + 1 <= bytes.length, s"GIF truncated at $p")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    def u16(): Int = {
+      require(p + 2 <= bytes.length, s"GIF truncated at $p")
+      val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v
+    }
     val width = u16(); val height = u16()
     val flags = u8()
     u8(); u8() // background index, aspect ratio
@@ -130,7 +136,10 @@ object Gif {
             require(u8() == 0, "GCE missing terminator")
           } else { // comment / application / plain-text: skip sub-blocks
             var n = u8()
-            while (n != 0) { p += n; n = u8() }
+            while (n != 0) {
+              require(p + n <= bytes.length, "GIF sub-block overruns")
+              p += n; n = u8()
+            }
           }
         case 0x2c => // image descriptor
           val left = u16(); val top = u16()

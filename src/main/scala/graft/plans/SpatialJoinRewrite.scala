@@ -5,33 +5,58 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-/** Catalyst optimizer rule: rewrite the naive squared-distance theta
-  * join — `a JOIN b ON (ax−bx)·(ax−bx) + (ay−by)·(ay−by) <= r²`, which
-  * Spark can only plan as a BroadcastNestedLoop/Cartesian product — into
-  * the grid-cell equi-join (`RelationalOps.radiusJoin`'s shape): the
-  * left side fans out to its 3×3 cell neighborhood with a `Generate`,
-  * both sides gain `floor(coord / r)` cell keys, the join becomes a
-  * hash/sort-merge EQUI-join on the cells, and the original distance
-  * predicate survives as a post-join filter (so the rewrite is
+/** Catalyst optimizer rule: rewrite naive spatial theta joins — which
+  * Spark can only plan as BroadcastNestedLoop/Cartesian products — into
+  * grid-cell equi-joins (`RelationalOps.radiusJoin`'s shape). Four
+  * predicate families are recognized, all over LONG coordinate
+  * attributes with one side's coordinates on each join input:
+  *
+  *  1. squared L2:  `(ax−bx)² + (ay−by)² <= r²`       → cells of ⌈√r²⌉
+  *  2. Manhattan:   `|ax−bx| + |ay−by| <= r`          → cells of r
+  *  3. Chebyshev:   `greatest(|ax−bx|, |ay−by|) <= r` → cells of r
+  *  4. bbox:        `xmin <= px AND px <= xmax AND
+  *                   ymin <= py AND py <= ymax`       → box fan-out
+  *
+  * For 1–3 the left side fans out to its 3×3 cell neighborhood with a
+  * `Generate` (an Lp ball of radius r is inside the L∞ ball of radius
+  * r, so every qualifying pair shares a 3×3 neighborhood of width-r
+  * cells); for 4 the box side explodes to every cell its bbox overlaps
+  * (`sequence(floor(min/cs), floor(max/cs))` per axis — the same
+  * candidate shape as `RelationalOps.pointInPolygonJoin`) while the
+  * point keys to its single cell. In every case the join becomes a
+  * hash/sort-merge EQUI-join on the cells and the original predicate
+  * survives as a post-join filter, so the rewrite is
   * correctness-preserving by construction: cells only restrict
-  * candidates, and every pair within r shares a 3×3 neighborhood).
+  * candidates, never admit extra pairs.
+  *
+  * The match is restricted to LongType coordinates: with IntegerType
+  * attributes the naive predicate's int arithmetic wraps at
+  * |Δ| ≥ 46341 under non-ANSI evaluation, so a far pair can evaluate
+  * TRUE in the un-rewritten plan while the cell join (correctly)
+  * excludes it — the rule must not change which rows a query returns
+  * depending on whether it fired. LongType arithmetic assumes
+  * non-overflowing deltas (|Δ| < 3.03e9 for the squared form — any
+  * realistic integer lattice), which we document rather than guard:
+  * the same assumption the naive predicate itself needs to be
+  * meaningful.
   *
   * This is the whole-operator Catalyst integration tier (logical
   * `Rule` injected via [[SparkSessionExtensions]]): a user writes the
   * declarative O(n²) condition and the optimizer plans the scale
   * algorithm — the same contract Spark itself applies when it turns
-  * `ORDER BY ... LIMIT k` into TakeOrdered. Conditions on the match:
-  * integer-typed coordinate attributes, one side each, and a
-  * non-negative integral r² literal (cell width = ⌈√r²⌉).
+  * `ORDER BY ... LIMIT k` into TakeOrdered. The bbox cell width comes
+  * from `spark.graft.spatial.bboxCellSize` (default 4096) because no
+  * width is derivable from the predicate alone.
   */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   /** (ax − bx) * (ax − bx) with both factors the SAME subtraction. */
   private object Sq {
     def unapply(e: Expression): Option[(Attribute, Attribute)] = e match {
-      case Multiply(s1 @ Subtract(a1: Attribute, b1: Attribute, _),
+      case Multiply(Subtract(a1: Attribute, b1: Attribute, _),
           Subtract(a2: Attribute, b2: Attribute, _), _)
         if a1.semanticEquals(a2) && b1.semanticEquals(b2) =>
         Some((a1, b1))
@@ -39,8 +64,15 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def isIntegral(a: Attribute): Boolean =
-    a.dataType == LongType || a.dataType == IntegerType
+  /** abs(ax − bx) over attributes. */
+  private object AbsDiff {
+    def unapply(e: Expression): Option[(Attribute, Attribute)] = e match {
+      case Abs(Subtract(a: Attribute, b: Attribute, _), _) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private def isLong(a: Attribute): Boolean = a.dataType == LongType
 
   private object IntegralLit {
     def unapply(e: Expression): Option[Long] = e match {
@@ -50,55 +82,188 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** Coordinates pair off with one side each (either orientation). */
+  private def oriented(left: LogicalPlan, right: LogicalPlan,
+                       ax: Attribute, bx: Attribute,
+                       ay: Attribute, by: Attribute)
+  : Option[(Attribute, Attribute, Attribute, Attribute)] = {
+    val lo = left.outputSet
+    val ro = right.outputSet
+    if (lo.contains(ax) && ro.contains(bx) &&
+      lo.contains(ay) && ro.contains(by)) Some((ax, ay, bx, by))
+    else if (ro.contains(ax) && lo.contains(bx) &&
+      ro.contains(ay) && lo.contains(by)) Some((bx, by, ax, ay))
+    else None
+  }
+
+  private def cellOf(c: Expression, width: Long): Expression =
+    Cast(Floor(Divide(Cast(c, DoubleType), Literal(width.toDouble))),
+      LongType)
+
+  /** Shared tail for the three distance forms: 3×3 fan-out on the left,
+    * single cell on the right, equi-join, original predicate as filter.
+    */
+  private def cellJoin(j: Join, lx: Attribute, ly: Attribute,
+                       rx: Attribute, ry: Attribute, width: Long)
+  : LogicalPlan = {
+    val dxAttr = AttributeReference("_g_dx", IntegerType, nullable = false)()
+    val dyAttr = AttributeReference("_g_dy", IntegerType, nullable = false)()
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
+      yield CreateStruct(Seq(Literal(dx), Literal(dy)))
+    // Inline (not Explode): array<struct<dx,dy>> flattens to the two
+    // generator columns directly
+    val gen = Generate(Inline(CreateArray(offsets)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(dxAttr, dyAttr), child = j.left)
+    val lcx = Alias(Add(cellOf(lx, width), Cast(dxAttr, LongType)), "_g_cx")()
+    val lcy = Alias(Add(cellOf(ly, width), Cast(dyAttr, LongType)), "_g_cy")()
+    val leftProj = Project(j.left.output ++ Seq(lcx, lcy), gen)
+
+    val rcx = Alias(cellOf(rx, width), "_g_rcx")()
+    val rcy = Alias(cellOf(ry, width), "_g_rcy")()
+    val rightProj = Project(j.right.output ++ Seq(rcx, rcy), j.right)
+
+    val cellCond = And(
+      EqualTo(lcx.toAttribute, rcx.toAttribute),
+      EqualTo(lcy.toAttribute, rcy.toAttribute))
+    val joined = Join(leftProj, rightProj, Inner, Some(cellCond), j.hint)
+    val filtered = Filter(j.condition.get, joined)
+    Project(j.output, filtered)
+  }
+
+  /** One conjunct of a bbox predicate, normalized to lo <= hi. */
+  private object LeqAttrs {
+    def unapply(e: Expression): Option[(Attribute, Attribute)] = e match {
+      case LessThanOrEqual(a: Attribute, b: Attribute) => Some((a, b))
+      case GreaterThanOrEqual(a: Attribute, b: Attribute) => Some((b, a))
+      case _ => None
+    }
+  }
+
+  /** Match the 4-conjunct bbox containment: point attrs (px, py) from
+    * one side, bound attrs (xmin, xmax, ymin, ymax) from the other,
+    * each point attr bounded below and above. Returns
+    * (pointSideIsLeft, px, py, xmin, xmax, ymin, ymax).
+    */
+  private def matchBbox(left: LogicalPlan, right: LogicalPlan,
+                        cond: Expression)
+  : Option[(Boolean, Attribute, Attribute, Attribute, Attribute,
+      Attribute, Attribute)] = {
+    val conjuncts = {
+      def split(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => split(a) ++ split(b)
+        case other => Seq(other)
+      }
+      split(cond)
+    }
+    if (conjuncts.length != 4) return None
+    val leqs = conjuncts.flatMap(LeqAttrs.unapply)
+    if (leqs.length != 4 || !leqs.forall { case (a, b) =>
+      isLong(a) && isLong(b) }) return None
+    for (pointIsLeft <- Seq(true, false)) {
+      val pSide = if (pointIsLeft) left.outputSet else right.outputSet
+      val bSide = if (pointIsLeft) right.outputSet else left.outputSet
+      // lower bounds: bound <= point; upper bounds: point <= bound
+      val lowers = leqs.collect {
+        case (b, p) if bSide.contains(b) && pSide.contains(p) => (p, b)
+      }
+      val uppers = leqs.collect {
+        case (p, b) if pSide.contains(p) && bSide.contains(b) => (p, b)
+      }
+      if (lowers.length == 2 && uppers.length == 2) {
+        val pts = lowers.map(_._1)
+        if (pts.distinct.length == 2 &&
+          uppers.map(_._1).toSet == pts.toSet) {
+          val px = pts.head
+          val py = pts(1)
+          val xmin = lowers.find(_._1.semanticEquals(px)).get._2
+          val ymin = lowers.find(_._1.semanticEquals(py)).get._2
+          val xmax = uppers.find(_._1.semanticEquals(px)).get._2
+          val ymax = uppers.find(_._1.semanticEquals(py)).get._2
+          return Some((pointIsLeft, px, py, xmin, xmax, ymin, ymax))
+        }
+      }
+    }
+    None
+  }
+
+  private def bboxCellSize: Long =
+    SQLConf.get.getConfString("spark.graft.spatial.bboxCellSize", "4096")
+      .toLong.max(1L)
+
+  /** Bbox rewrite: box side explodes its cell cover per axis, point
+    * side keys by its one cell, equi-join on (cx, cy), original
+    * containment predicate refilters.
+    */
+  private def bboxJoin(j: Join, pointIsLeft: Boolean,
+                       px: Attribute, py: Attribute,
+                       xmin: Attribute, xmax: Attribute,
+                       ymin: Attribute, ymax: Attribute): LogicalPlan = {
+    val cs = bboxCellSize
+    val (pPlan, bPlan) = if (pointIsLeft) (j.left, j.right)
+      else (j.right, j.left)
+
+    val pcx = Alias(cellOf(px, cs), "_g_pcx")()
+    val pcy = Alias(cellOf(py, cs), "_g_pcy")()
+    val pProj = Project(pPlan.output ++ Seq(pcx, pcy), pPlan)
+
+    val bcx = AttributeReference("_g_bcx", LongType, nullable = true)()
+    val bcy = AttributeReference("_g_bcy", LongType, nullable = true)()
+    // Sequence is TimeZoneAwareExpression: without an explicit zone it
+    // stays unresolved, and a post-analysis rule must emit resolved plans
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val genX = Generate(
+      Explode(Sequence(cellOf(xmin, cs), cellOf(xmax, cs), None, tz)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bcx), child = bPlan)
+    val genY = Generate(
+      Explode(Sequence(cellOf(ymin, cs), cellOf(ymax, cs), None, tz)),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(bcy), child = genX)
+
+    val cellCond = And(EqualTo(pcx.toAttribute, bcx),
+      EqualTo(pcy.toAttribute, bcy))
+    val joined =
+      if (pointIsLeft) Join(pProj, genY, Inner, Some(cellCond), j.hint)
+      else Join(genY, pProj, Inner, Some(cellCond), j.hint)
+    Project(j.output, Filter(j.condition.get, joined))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right,
-        Inner,
+    // squared L2
+    case j @ Join(left, right, Inner,
         Some(LessThanOrEqual(Add(Sq(ax1, bx1), Sq(ay1, by1), _),
-          IntegralLit(r2v))),
-        hint)
-      if r2v >= 0 &&
-        Seq(ax1, ay1, bx1, by1).forall(isIntegral) && {
-          // orient: the x/y attributes of each squared term must come
-          // from opposite sides (either order)
-          val lo = left.outputSet
-          val ro = right.outputSet
-          (lo.contains(ax1) && ro.contains(bx1) &&
-            lo.contains(ay1) && ro.contains(by1)) ||
-          (ro.contains(ax1) && lo.contains(bx1) &&
-            ro.contains(ay1) && lo.contains(by1))
-        } =>
-      val (lx, ly, rx, ry) =
-        if (left.outputSet.contains(ax1)) (ax1, ay1, bx1, by1)
-        else (bx1, by1, ax1, ay1)
+          IntegralLit(r2v))), _)
+      if r2v >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
+        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
+      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
       val r = math.ceil(math.sqrt(r2v.toDouble)).toLong.max(1L)
+      cellJoin(j, lx, ly, rx, ry, r)
 
-      def cellOf(c: Attribute): Expression =
-        Cast(Floor(Divide(Cast(c, DoubleType), Literal(r.toDouble))), LongType)
+    // Manhattan
+    case j @ Join(left, right, Inner,
+        Some(LessThanOrEqual(Add(AbsDiff(ax1, bx1), AbsDiff(ay1, by1), _),
+          IntegralLit(rv))), _)
+      if rv >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
+        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
+      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
+      cellJoin(j, lx, ly, rx, ry, rv.max(1L))
 
-      // left: cell base + 3×3 neighborhood fan-out via Generate(Explode)
-      val dxAttr = AttributeReference("_g_dx", IntegerType, nullable = false)()
-      val dyAttr = AttributeReference("_g_dy", IntegerType, nullable = false)()
-      val offsets = for (dx <- -1 to 1; dy <- -1 to 1)
-        yield CreateStruct(Seq(Literal(dx), Literal(dy)))
-      // Inline (not Explode): array<struct<dx,dy>> flattens to the two
-      // generator columns directly
-      val gen = Generate(Inline(CreateArray(offsets)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(dxAttr, dyAttr), child = left)
-      val lcx = Alias(Add(cellOf(lx), Cast(dxAttr, LongType)), "_g_cx")()
-      val lcy = Alias(Add(cellOf(ly), Cast(dyAttr, LongType)), "_g_cy")()
-      val leftProj = Project(left.output ++ Seq(lcx, lcy), gen)
+    // Chebyshev
+    case j @ Join(left, right, Inner,
+        Some(LessThanOrEqual(Greatest(Seq(AbsDiff(ax1, bx1),
+          AbsDiff(ay1, by1))), IntegralLit(rv))), _)
+      if rv >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
+        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
+      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
+      cellJoin(j, lx, ly, rx, ry, rv.max(1L))
 
-      val rcx = Alias(cellOf(rx), "_g_rcx")()
-      val rcy = Alias(cellOf(ry), "_g_rcy")()
-      val rightProj = Project(right.output ++ Seq(rcx, rcy), right)
-
-      val cellCond = And(
-        EqualTo(lcx.toAttribute, rcx.toAttribute),
-        EqualTo(lcy.toAttribute, rcy.toAttribute))
-      val joined = Join(leftProj, rightProj, Inner, Some(cellCond), hint)
-      val filtered = Filter(j.condition.get, joined)
-      Project(j.output, filtered)
+    // bbox containment
+    case j @ Join(left, right, Inner, Some(cond), _)
+      if matchBbox(left, right, cond).isDefined =>
+      val (pIsL, px, py, xmin, xmax, ymin, ymax) =
+        matchBbox(left, right, cond).get
+      bboxJoin(j, pIsL, px, py, xmin, xmax, ymin, ymax)
   }
 
   /** Extension entry point: `.withExtensions(SpatialJoinRewrite.install)`

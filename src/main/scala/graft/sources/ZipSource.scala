@@ -49,6 +49,11 @@ object ZipSource {
     require(eocd >= 0, "ZIP: no end-of-central-directory signature")
     val nEntries = u16(bytes, eocd + 10)
     val cdOff = u32(bytes, eocd + 16)
+    // ZIP64 sentinel values mean the real numbers live in a ZIP64 EOCD
+    // record this codec does not implement — fail loudly rather than
+    // read a truncated entry count or a wrapped offset.
+    require(nEntries != 0xffff && cdOff != 0xffffffffL,
+      "ZIP64 archives unsupported (EOCD fields saturated)")
     val out = new ArrayBuffer[ZipEntry](nEntries)
     var cd = cdOff.toInt
     (0 until nEntries).foreach { _ =>
@@ -58,6 +63,8 @@ object ZipSource {
       val crc = u32(bytes, cd + 16)
       val csize = u32(bytes, cd + 20)
       val usize = u32(bytes, cd + 24)
+      require(csize != 0xffffffffL && usize != 0xffffffffL,
+        "ZIP64 entry sizes unsupported")
       val nameLen = u16(bytes, cd + 28)
       val extraLen = u16(bytes, cd + 30)
       val commentLen = u16(bytes, cd + 32)
@@ -103,6 +110,11 @@ object ZipSource {
     */
   def render(entries: Seq[(String, Array[Byte])],
              deflate: Boolean = true): Array[Byte] = {
+    // Classic (non-ZIP64) limits: u16 entry count, u32 sizes/offsets.
+    // Beyond them the fields would silently truncate/wrap into an
+    // archive parse() reads back with missing entries — refuse instead.
+    require(entries.length <= 0xffff,
+      s"ZIP: ${entries.length} entries exceeds the non-ZIP64 limit of 65535")
     val out = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = { w16(v.toInt); w16((v >> 16).toInt) }
@@ -122,7 +134,11 @@ object ZipSource {
           val c = buf.toByteArray
           if (c.length < data.length) (8, c) else (0, data)
         }
+      require(comp.length < 0xffffffffL && data.length < 0xffffffffL,
+        s"ZIP: entry '$name' exceeds the non-ZIP64 4 GiB size limit")
       val lho = out.size()
+      require(lho < 0xffffffffL,
+        s"ZIP: offset of '$name' exceeds the non-ZIP64 4 GiB limit")
       w32(0x04034b50L); w16(20); w16(0); w16(method); w16(0); w16(0)
       w32(crc); w32(comp.length.toLong); w32(data.length.toLong)
       w16(nameB.length); w16(0)

@@ -492,6 +492,16 @@ class MultimodalSpec extends SparkSpec {
     assert(img.frames.map(_.delayCs) == Seq(10, 0, 3))
     // reject garbage
     intercept[IllegalArgumentException](Gif.decode("NOTAGIF".getBytes))
+    // every truncation point fails with the codec's descriptive error,
+    // never a raw ArrayIndexOutOfBoundsException from an unchecked read
+    (14 until bytes.length by 7).foreach { n =>
+      try { Gif.decode(bytes.take(n)); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: ArrayIndexOutOfBoundsException =>
+          fail(s"truncation at $n escaped as AIOOBE", e)
+      }
+    }
   }
 
   test("gifFeatures: per-frame rows, deinterlace-sensitive weighted checksum") {

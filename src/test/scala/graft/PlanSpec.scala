@@ -138,6 +138,115 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  private def withSpatialRule[T](body: => T): T = {
+    val s = spark
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite
+    try body finally {
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations
+        .filterNot(_ eq graft.plans.SpatialJoinRewrite)
+    }
+  }
+
+  private val spatialA =
+    Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L), (4L, -2L, -2L))
+  private val spatialB =
+    Seq((10L, 0L, 5L), (11L, 4L, 4L), (12L, 103L, 104L), (13L, -6L, -5L))
+
+  test("SpatialJoinRewrite: Manhattan theta join becomes a cell equi-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      val a = spatialA.toDF("ida", "xa", "ya")
+      val b = spatialB.toDF("idb", "xb", "yb")
+      val cond = abs(col("xa") - col("xb")) + abs(col("ya") - col("yb")) <=
+        lit(7L)
+      val j = a.join(b, cond)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"Manhattan theta join not rewritten:\n$p")
+      assert(p.contains("Generate"), "expected the 3x3 neighborhood fan-out")
+      val got = j.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for ((ia, xa, ya) <- spatialA; (ib, xb, yb) <- spatialB
+        if math.abs(xa - xb) + math.abs(ya - yb) <= 7L)
+        yield (ia, ib)).toSet
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("SpatialJoinRewrite: Chebyshev theta join becomes a cell equi-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      val a = spatialA.toDF("ida", "xa", "ya")
+      val b = spatialB.toDF("idb", "xb", "yb")
+      val cond = greatest(abs(col("xa") - col("xb")),
+        abs(col("ya") - col("yb"))) <= lit(5L)
+      val j = a.join(b, cond)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"Chebyshev theta join not rewritten:\n$p")
+      val got = j.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for ((ia, xa, ya) <- spatialA; (ib, xb, yb) <- spatialB
+        if math.max(math.abs(xa - xb), math.abs(ya - yb)) <= 5L)
+        yield (ia, ib)).toSet
+      assert(got == want, s"got $got want $want")
+    }
+  }
+
+  test("SpatialJoinRewrite: bbox containment join becomes a cell equi-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      // small cell size so the box fan-out actually exercises sequence()
+      s.conf.set("spark.graft.spatial.bboxCellSize", "8")
+      try {
+        val pts = Seq((1L, 3L, 4L), (2L, 50L, 50L), (3L, -10L, 2L),
+          (4L, 17L, 90L)).toDF("pid", "px", "py")
+        val boxes = Seq((100L, 0L, 10L, 0L, 10L), (101L, 40L, 60L, 45L, 55L),
+          (102L, -20L, -1L, -5L, 5L), (103L, 15L, 20L, 80L, 95L))
+          .toDF("bid", "xmin", "xmax", "ymin", "ymax")
+        val cond = col("px") >= col("xmin") && col("px") <= col("xmax") &&
+          col("py") >= col("ymin") && col("py") <= col("ymax")
+        val j = pts.join(boxes, cond)
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"bbox containment join not rewritten:\n$p")
+        assert(p.contains("Generate"), "expected the bbox cell fan-out")
+        val got = j.select("pid", "bid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((1L, 100L), (2L, 101L), (3L, 102L), (4L, 103L)),
+          s"got $got")
+      } finally s.conf.unset("spark.graft.spatial.bboxCellSize")
+    }
+  }
+
+  test("SpatialJoinRewrite: does NOT fire on IntegerType coordinates " +
+    "(int distance arithmetic can wrap, changing naive-plan semantics)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      val a = Seq((1, 0, 0), (2, 100000, 0)).toDF("ida", "xa", "ya")
+      val b = Seq((10, 0, 1), (11, 2147400000, 0)).toDF("idb", "xb", "yb")
+      val cond = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(25)
+      val j = a.join(b, cond)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("CartesianProduct"),
+        s"rule fired on int coords where products can wrap:\n$p")
+    }
+  }
+
   test("q_resample: all window frames share ONE sort (no per-frame re-sort)") {
     val p = formatted("q_resample")
     val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size

@@ -43,6 +43,23 @@ class ZipSpec extends SparkSpec {
     intercept[IllegalArgumentException](ZipSource.parse("nope".getBytes))
   }
 
+  test("non-ZIP64 limits are enforced, not silently wrapped") {
+    // render refuses > 65535 entries (u16 EOCD count would truncate)
+    intercept[IllegalArgumentException] {
+      ZipSource.render((0 to 0xffff).map(i => (s"e$i", Array.empty[Byte])),
+        deflate = false)
+    }
+    // parse refuses ZIP64 sentinel values in the EOCD
+    val z = ZipSource.render(Seq(("a.txt", "x".getBytes)), deflate = false)
+    val eocd = z.length - 22
+    val z64count = z.clone()
+    z64count(eocd + 10) = 0xff.toByte; z64count(eocd + 11) = 0xff.toByte
+    intercept[IllegalArgumentException](ZipSource.parse(z64count))
+    val z64off = z.clone()
+    (16 until 20).foreach(i => z64off(eocd + i) = 0xff.toByte)
+    intercept[IllegalArgumentException](ZipSource.parse(z64off))
+  }
+
   test("distributed write -> read round trip with per-shard archives") {
     val s = spark
     import s.implicits._

@@ -468,25 +468,42 @@ object TextOps {
 
   /** WordPiece vocabulary (the third real tokenizer family beside BPE
     * and unigram-LM — BERT's greedy longest-match-first, Wu et al.
-    * 2016): corpus character n-grams (n ≤ maxN) over distinct pre-token
-    * words, word-INITIAL grams stored plain and word-internal grams with
-    * the `##` continuation prefix. Coverage on the training corpus is
-    * total by construction (every char occurs as a 1-gram in its own
-    * position class). Driver-side and vocabulary-bounded; production
-    * vocabs cap to top-K by frequency the same way.
+    * 2016): corpus character n-grams (n ≤ maxN) over pre-token words,
+    * word-INITIAL grams stored plain and word-internal grams with the
+    * `##` continuation prefix. With `minFreq = 1` coverage on the
+    * training corpus is total by construction (every char occurs as a
+    * 1-gram in its own position class) and the result equals the plain
+    * distinct-candidate census.
+    *
+    * `minFreq` is the scale valve: piece frequencies (each word
+    * occurrence contributes to every candidate it contains) aggregate
+    * DISTRIBUTED — two partial+final groupBys, word counts then piece
+    * counts — and only pieces with corpus frequency ≥ minFreq reach the
+    * driver, so the collect is bounded by corpusTokens·maxN / minFreq
+    * (the retained vocabulary), not by the unbounded distinct-word count
+    * of a web corpus. This is exactly how production WordPiece trainers
+    * bound their candidate tables (Wu et al. 2016 cap to top-K by
+    * frequency; a frequency floor is the same cut expressed as a
+    * threshold).
     */
-  def wordpieceVocab(df: DataFrame, textCol: String, maxN: Int = 4)
-  : Set[String] = {
+  def wordpieceVocab(df: DataFrame, textCol: String, maxN: Int = 4,
+                     minFreq: Long = 1L): Set[String] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(textCol)).as[String]
       .flatMap(t => graft.functions.Bpe.pretokens(if (t == null) "" else t))
-      .distinct()
-      .flatMap { w =>
+      .toDF("w")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .as[(String, Long)]
+      .flatMap { case (w, wf) =>
         for (i <- 0 until w.length; n <- 1 to maxN if i + n <= w.length)
-          yield (if (i > 0) "##" else "") + w.substring(i, i + n)
+          yield ((if (i > 0) "##" else "") + w.substring(i, i + n), wf)
       }
-      .distinct().collect().toSet
+      .toDF("piece", "wf")
+      .groupBy("piece").agg(sum("wf").as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select("piece").as[String]
+      .collect().toSet
   }
 
   /** Distributed WordPiece encode: greedy longest-match-first per word —

@@ -28,13 +28,16 @@ import org.apache.spark.sql.functions._
   * as the reference's worker, scheduled across executors); centroids are a
   * distributed explode→join→agg co-partitioned by mesh, never a driver
   * loop; the CSV scan is one bounded `binaryFile` listing of tiny files.
-  * The remote HuggingFace fetch layer (`ahmedml.py:284-312`) is
-  * sandbox-unreachable; local layout semantics are complete.
+  * The remote HuggingFace fetch layer (`ahmedml.py:284-312`) plugs in
+  * through the [[Fetchers]] seam: every entry point resolves its root
+  * URI first, so a local path passes through untouched while `hf://` /
+  * `https://` roots stage through the registered backend.
   */
 object AhmedMlSource {
 
   /** Sorted run ids of `run_<i>/` directories (`ahmedml.py:255-282`). */
-  def discoverRuns(spark: SparkSession, root: String): Seq[Int] = {
+  def discoverRuns(spark: SparkSession, rootUri: String): Seq[Int] = {
+    val root = Fetchers.resolve(spark, rootUri)
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no such dataset root: $root")
@@ -58,7 +61,8 @@ object AhmedMlSource {
     * values float32 (torch.float32 in the reference); a missing file
     * simply contributes no rows.
     */
-  def readGlobalData(spark: SparkSession, root: String): DataFrame = {
+  def readGlobalData(spark: SparkSession, rootUri: String): DataFrame = {
+    val root = Fetchers.resolve(spark, rootUri)
     import spark.implicits._
     val csvRe = "(force_mom_varref|force_mom|geo_parameters)_(\\d+)\\.csv$".r
     spark.read.format("binaryFile")
@@ -88,9 +92,10 @@ object AhmedMlSource {
     df.select(runIdOf +: idCols.map(col): _*)
 
   /** `boundary` mode: surface meshes with flow fields, keyed by run. */
-  def readBoundary(spark: SparkSession, root: String,
+  def readBoundary(spark: SparkSession, rootUri: String,
                    include: Set[String] = Set.empty,
                    exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame) = {
+    val root = Fetchers.resolve(spark, rootUri)
     val (p, c, pd) = VtkXmlSource.read(spark, s"$root/run_*", include, exclude,
       globFilter = "boundary_*.vtp")
     (withRun(p, Seq("point_id", "x", "y", "z")),
@@ -99,9 +104,10 @@ object AhmedMlSource {
   }
 
   /** `volume` mode: volumetric meshes; flow fields live in CellData. */
-  def readVolume(spark: SparkSession, root: String,
+  def readVolume(spark: SparkSession, rootUri: String,
                  include: Set[String] = Set.empty,
                  exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = Fetchers.resolve(spark, rootUri)
     val (p, c, pd, cd) = VtkXmlSource.readAll(spark, s"$root/run_*", include,
       exclude, globFilter = "volume_*.vtu")
     (withRun(p, Seq("point_id", "x", "y", "z")),
@@ -114,9 +120,10 @@ object AhmedMlSource {
     * (`ahmedml.py:479-523`); `slice_name` is the file stem (the
     * reference's `mesh_name`).
     */
-  def readSlices(spark: SparkSession, root: String,
+  def readSlices(spark: SparkSession, rootUri: String,
                  include: Set[String] = Set.empty,
                  exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame) = {
+    val root = Fetchers.resolve(spark, rootUri)
     val (p, c, pd) = VtkXmlSource.read(spark, s"$root/run_*/slices", include,
       exclude, globFilter = "*.vtp")
     def named(df: DataFrame, idCols: Seq[String]): DataFrame =
@@ -183,7 +190,8 @@ object AhmedMlSource {
   /** `multi`/`stl` part (`ahmedml.py:709-728`): the run's Ahmed-body STL
     * geometry as (points, cells, cell_data-with-normals), keyed by run.
     */
-  def readStl(spark: SparkSession, root: String): (DataFrame, DataFrame, DataFrame) = {
+  def readStl(spark: SparkSession, rootUri: String): (DataFrame, DataFrame, DataFrame) = {
+    val root = Fetchers.resolve(spark, rootUri)
     val (p, c, cd) = StlSource.read(spark, s"$root/run_*",
       globFilter = "ahmed_*.stl")
     (withRun(p, Seq("point_id", "x", "y", "z")),

@@ -32,7 +32,8 @@ object DrivAerMlSource {
     * `drivaerml.py:275-301`): sorted ids of `run_<i>/` directories. One FS
     * listing, one entry per run — bounded by the run count.
     */
-  def discoverRuns(spark: SparkSession, root: String): Seq[Int] = {
+  def discoverRuns(spark: SparkSession, rootUri: String): Seq[Int] = {
+    val root = Fetchers.resolve(spark, rootUri)
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no such dataset root: $root")
@@ -51,9 +52,10 @@ object DrivAerMlSource {
     * `(points, cells, pointData)` in the standard long mesh model with
     * `mesh_id = "run_<i>"`.
     */
-  def readVolume(spark: SparkSession, root: String,
+  def readVolume(spark: SparkSession, rootUri: String,
                  include: Set[String] = Set.empty,
                  exclude: Set[String] = Set.empty): (DataFrame, DataFrame, DataFrame) = {
+    val root = Fetchers.resolve(spark, rootUri)
     import spark.implicits._
     // paths only: content is pruned from the scan, so nothing heavier than
     // strings reaches the run-grouping shuffle

@@ -301,7 +301,8 @@ object GribSource {
            globFilter: String = "*.grib2"): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .option("pathGlobFilter", globFilter)
+      .load(Fetchers.resolve(spark, pathGlob))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

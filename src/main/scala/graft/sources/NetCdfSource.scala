@@ -252,7 +252,8 @@ object NetCdfSource {
            decodeTimes: Boolean = false): (DataFrame, DataFrame) = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter).load(pathGlob)
+      .option("pathGlobFilter", globFilter)
+      .load(Fetchers.resolve(spark, pathGlob))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])].persist()
     val vars = raw.flatMap { case (path, bytes) =>

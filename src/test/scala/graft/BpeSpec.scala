@@ -180,6 +180,25 @@ class BpeSpec extends SparkSpec {
     assert(v == Set("a", "b", "ab", "ba", "##a", "##b"), v.toString)
   }
 
+  test("wordpieceVocab: minFreq cutoff bounds the candidate set; " +
+    "minFreq=1 is identical to the uncut census") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val docs = Seq("ab ab ba").toDF("text")
+    // explicit minFreq=1 ≡ default ≡ the uncut candidate census
+    assert(TextOps.wordpieceVocab(docs, "text", maxN = 4, minFreq = 1L) ==
+      TextOps.wordpieceVocab(docs, "text"))
+    // piece frequencies (word "ab"×2, "ba"×1): a:2, ab:2, ##b:2 from
+    // "ab"; b:1, ba:1, ##a:1 from "ba" — the floor keeps only the ≥2s
+    val cut = TextOps.wordpieceVocab(docs, "text", maxN = 4, minFreq = 2L)
+    assert(cut == Set("a", "ab", "##b"), cut.toString)
+    // on a fixture where every candidate clears the floor, cut ≡ uncut
+    val dense = Seq("xy xy", "xy yx yx").toDF("text")
+    assert(TextOps.wordpieceVocab(dense, "text", maxN = 2, minFreq = 2L) ==
+      TextOps.wordpieceVocab(dense, "text", maxN = 2), "cutoff != uncut")
+  }
+
   test("unigramVocab: n-gram census over DISTINCT words with integer scores") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,101 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+
+import graft.sources.{AhmedMlSource, Fetchers, HfFetcher, HttpFetcher, LocalFetcher}
+
+/** The dataset-fetch seam: local pass-through (what every oracle query
+  * uses), the HTTP staging backend against a loopback server (real
+  * network code, no egress), the hf:// URI rewrite, and registry
+  * swap-in — the reference's remote layer (`era5.py:103`,
+  * `ahmedml.py:284-312`) as a one-class plug.
+  */
+class FetcherSpec extends SparkSpec {
+
+  test("local roots pass through unchanged; missing roots fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("fetch_local").toString
+    assert(Fetchers.resolve(spark, dir) == dir)
+    // globbed roots pass through for scan-time expansion
+    assert(Fetchers.resolve(spark, s"$dir/run_*") == s"$dir/run_*")
+    intercept[IllegalArgumentException](
+      Fetchers.resolve(spark, "/no/such/dataset/root"))
+  }
+
+  test("unknown schemes name the registered backends in the error") {
+    val e = intercept[IllegalArgumentException](
+      Fetchers.resolve(spark, "cds://era5/whatever"))
+    assert(e.getMessage.contains("cds") && e.getMessage.contains("https"),
+      e.getMessage)
+  }
+
+  test("hf:// dataset URIs rewrite to the public resolve/main HTTPS form") {
+    val hf = new HfFetcher(new HttpFetcher)
+    assert(hf.toHttps("hf://datasets/org/repo/run_1/volume_1.vtu") ==
+      "https://huggingface.co/datasets/org/repo/resolve/main/run_1/volume_1.vtu")
+    intercept[IllegalArgumentException](hf.toHttps("hf://models/x/y"))
+  }
+
+  test("HTTP backend stages a manifest once (cached), and a staged " +
+    "AhmedML run layout reads through the ordinary source path") {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val files = Map(
+      "/data/run_0/force_mom_0.csv" -> "cd,lift-z\n0.25,1.5\n",
+      "/data/run_1/force_mom_1.csv" -> "cd,lift-z\n0.5,2.5\n")
+    server.createContext("/", { ex =>
+      hits.incrementAndGet()
+      files.get(ex.getRequestURI.getPath) match {
+        case Some(body) =>
+          val b = body.getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/data"
+      val http = new HttpFetcher
+      val manifest = Seq(
+        (s"$base/run_0/force_mom_0.csv", "run_0/force_mom_0.csv"),
+        (s"$base/run_1/force_mom_1.csv", "run_1/force_mom_1.csv"))
+      val root = http.stage(manifest)
+      val got = AhmedMlSource.readGlobalData(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getFloat(2)))
+        .toSet
+      assert(got == Set((0L, "cd", 0.25f), (0L, "lift_z", 1.5f),
+        (1L, "cd", 0.5f), (1L, "lift_z", 2.5f)), got.toString)
+      val firstHits = hits.get()
+      assert(firstHits == 2, s"expected 2 downloads, saw $firstHits")
+      // identical manifest re-stages from cache: zero new requests
+      assert(http.stage(manifest) == root)
+      assert(hits.get() == firstHits, "cache miss on identical manifest")
+      // path traversal in a manifest is rejected
+      intercept[IllegalArgumentException](
+        http.stage(Seq((s"$base/x", "../escape"))))
+      // single-object resolve stages and returns the staged file
+      val one = http.resolve(spark, s"$base/run_0/force_mom_0.csv")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(one)), "UTF-8") == files("/data/run_0/force_mom_0.csv"))
+      // a 404 fails loudly
+      intercept[IllegalArgumentException](
+        http.fetch(spark, s"$base/missing"))
+    } finally server.stop(0)
+  }
+
+  test("registry swap-in: a custom backend serves its scheme") {
+    val dir = java.nio.file.Files.createTempDirectory("fetch_mock").toString
+    Fetchers.register(new graft.sources.Fetcher {
+      override val schemes = Seq("mock")
+      override def resolve(s: org.apache.spark.sql.SparkSession, uri: String) =
+        dir + "/" + uri.stripPrefix("mock://")
+      override def fetch(s: org.apache.spark.sql.SparkSession, uri: String) =
+        LocalFetcher.fetch(s, resolve(s, uri))
+    })
+    assert(Fetchers.resolve(spark, "mock://sub/path") == s"$dir/sub/path")
+  }
+}

@@ -147,6 +147,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_null" -> (qAsofNull _),
     "q_range_join" -> (qRangeJoin _),
     "q_spatial_join" -> (qSpatialJoin _),
     "q_point_in_polygon" -> (qPointInPolygon _),
@@ -1854,6 +1855,30 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Adversarial as-of fixture: every purchase row of a `user_id % 5 = 0`
+    * user carries a NULL ref_value, so matched-but-null rows flow through
+    * the join at scale. The presence semantics (ADVICE r6: a matched
+    * null-valued right row yields null, never a fallback to an earlier
+    * non-null row) is what DuckDB's native ASOF LEFT JOIN pins here: a
+    * fallback implementation would inflate n_matched/sum_ref for exactly
+    * those users.
+    */
+  private def qAsofNull(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val right = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(when(col("user_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(max("value")).as("ref_value"))
+    val left = ev.where(col("event_type") === "click")
+      .select("user_id", "event_id", "ts")
+    RelationalOps.asOfJoin(left, "user_id", "ts", right, "user_id", "ts", "ref_value")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count("asof_ref_value").as("n_matched"),
+        rnd(sum("asof_ref_value"), 4).as("sum_ref"))
+      .orderBy("user_id")
+  }
+
   /** Bucketized range join gate: sampled lineitems (points = ship day)
     * against per-order service windows of bounded length (≤ 13 days, so
     * bucket width 14 puts every interval on ≤ 2 buckets). The oracle is
@@ -2868,7 +2893,11 @@ object SparkEntry {
     */
   private def qKfileThickness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // residue class 4 is EXCLUDED on both sides, so the deck for part 4
+    // genuinely exercises the empty-class default (v = 1) instead of the
+    // default being dead code at every populated scale
     val sums = Tables.events(s, dir)
+      .where(col("event_id") % 6 =!= 4)
       .groupBy((col("event_id") % 6).as("p")).agg(sum("value").as("v"))
       .collect().map(r => r.getLong(0) -> (math.abs(r.getDouble(1)) + 1)).toMap
       .withDefaultValue(1.0) // empty residue class → v = 1 (oracle spine mirrors)
@@ -5513,7 +5542,7 @@ object SparkEntry {
     // sums; the oracle rebuilds it from its own sums under the eps round.
     "q_kfile_thickness" ->
       """WITH s AS (SELECT event_id % 6 AS p, abs(sum(value)) + 1 AS v
-        |  FROM events GROUP BY 1),
+        |  FROM events WHERE event_id % 6 <> 4 GROUP BY 1),
         |v AS (SELECT spine.p, coalesce(s.v, CAST(1.0 AS DOUBLE)) AS v
         |  FROM range(6) spine(p) LEFT JOIN s ON s.p = spine.p)
         |SELECT 'k' || CAST(p // 2 AS VARCHAR) AS mesh_id, p + 1 AS part_id,
@@ -5854,6 +5883,19 @@ object SparkEntry {
 
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |l AS (SELECT user_id, event_id, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+        |  CAST(count(r.ref_value) AS BIGINT) AS n_matched,
+        |  round(sum(r.ref_value) + 1e-9, 4) AS sum_ref
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_null" ->
+      """WITH r AS (SELECT user_id, ts,
+        |    CASE WHEN user_id % 5 = 0 THEN NULL ELSE max(value) END AS ref_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |l AS (SELECT user_id, event_id, ts
         |  FROM events WHERE event_type = 'click')

@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace-collapsed, lower-cased canonical form. */
-  def norm(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  /** Whitespace-collapsed, lower-cased canonical form. Lowering is the
+    * locale-pinned [[RootLower]], NOT `lower()`: Spark's non-ASCII path
+    * lowers through the JVM default locale, which would give a
+    * Turkish-locale executor different signatures than the rest of the
+    * cluster (and than the Scala-side kernels, which pin Locale.ROOT).
+    */
+  def norm(c: Column): Column = trim(regexp_replace(RootLower(c), "\\s+", " "))
 
   /** Whitespace tokens of the canonical form. */
   def tokens(c: Column): Column = split(norm(c), " ")

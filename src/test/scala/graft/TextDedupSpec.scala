@@ -484,4 +484,42 @@ class TextDedupSpec extends SparkSpec {
       s"variant chain must resolve transitively: $got")
     assert(got(4L) == 4L && got(5L) == 5L && got(6L) == 6L)
   }
+
+  test("Turkish-locale JVM: the MinHash/SimHash faces are locale-invariant " +
+    "(dotted/dotless I must not change signatures)") {
+    val s = spark
+    import s.implicits._
+    // dotted-İ / dotless-ı landmines: under tr locale a default-locale
+    // toLowerCase maps I→ı and İ→i, changing every downstream hash
+    val text = "III İstanbul MIX fIx SIX quick Internal API Inputs"
+    val frame = Seq((1L, text), (2L, "Internal API II quick fIx MIX"))
+      .toDF("doc_id", "text")
+    val sigBefore = DedupOps.minhashSigRow(text, 2).toSeq
+    val simBefore = DedupOps.simhash(frame, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val normBefore = frame.select(Text.norm(col("text")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val dflt = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // the canary: the hazard is real under this locale
+      assert("TITLE".toLowerCase != "title",
+        "tr locale not in effect; the fixture would prove nothing")
+      assert(DedupOps.minhashSigRow(text, 2).toSeq == sigBefore,
+        "minhashSigRow drifted under the Turkish default locale")
+      val simAfter = DedupOps.simhash(frame, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(simAfter == simBefore,
+        "simhash drifted under the Turkish default locale")
+      val normAfter = frame.select(Text.norm(col("text")).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      assert(normAfter == normBefore,
+        "Text.norm drifted under the Turkish default locale")
+      // streaming face reuses minhashSigRow; pin its exact canonical form:
+      // ROOT lowering maps İ (U+0130) to i + combining dot (U+0307)
+      assert(DedupOps.minhashSigRow("MIX fIx III İstanbul", 2).toSeq ==
+        DedupOps.minhashSigRow("mix fix iii i̇stanbul", 2).toSeq,
+        "ROOT-locale lowering must be the canonical form on both paths")
+    } finally java.util.Locale.setDefault(dflt)
+  }
 }

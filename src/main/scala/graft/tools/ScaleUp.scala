@@ -39,11 +39,13 @@ object ScaleUp {
       c -> (spark.read.parquet(s"$src/${spaceTable(space)}.parquet")
         .agg(max(col(space)).cast("long")).head().getLong(0) + 1L)
     }.toMap
-    (0 until k).map { copy =>
-      keys.foldLeft(df) { (d, c) =>
-        d.withColumn(c, col(c) + lit(copy.toLong * strides(c)))
-      }
-    }.reduce(_ unionByName _)
+    // Fan out with a generator rather than a K-way union: one scan, one
+    // plan node, so K=1000 stays analyzable and fully distributed.
+    val fanned = df.withColumn("__copy",
+      explode(sequence(lit(0L), lit((k - 1).toLong))))
+    keys.foldLeft(fanned) { (d, c) =>
+      d.withColumn(c, col(c) + col("__copy") * lit(strides(c)))
+    }.drop("__copy")
   }
 
   /** The key space a column references (owner's primary key column). */
@@ -67,10 +69,15 @@ object ScaleUp {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcSfDir> <destDir> <K>")
-    val Array(src, dest, kStr) = args
-    val k = kStr.toInt
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleUp <srcSfDir> <destDir> <K> [table,table,...]")
+    val src = args(0); val dest = args(1)
+    val k = args(2).toInt
     require(k >= 1, s"K must be >= 1, got $k")
+    // Optional table subset: scale only what the target bench reads
+    // (dimension tables in SingleCopy are always copied).
+    val wanted: String => Boolean =
+      if (args.length == 4) args(3).split(",").map(_.trim).toSet else _ => true
     val spark = SparkSession.builder()
       .appName("graft-scaleup").master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -81,7 +88,7 @@ object ScaleUp {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dest/$t.parquet")
       }
-      KeyCols.keys.toSeq.sorted.foreach { t =>
+      KeyCols.keys.toSeq.sorted.filter(wanted).foreach { t =>
         scaleTable(spark, src, t, k)
           .write.mode("overwrite").parquet(s"$dest/$t.parquet")
         println(s"scaled $t x$k")

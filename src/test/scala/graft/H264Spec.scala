@@ -1,0 +1,252 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Avc, H264}
+import graft.functions.H264.{BitReader, BitWriter, MbI16, MbI4, MbMode, MbPcm, Yuv}
+
+/** The H.264 intra codec: VLC table integrity (prefix-freeness asserts run
+  * at object init), exhaustive CAVLC round-trips, transform identities
+  * against hand-computed vectors, closed-loop encode/decode equality on
+  * mixed-mode frames, PCM exactness, and the unsupported-feature guards.
+  */
+class H264Spec extends AnyFunSuite {
+
+  private def rng(seed: Long): () => Int = {
+    var s = seed
+    () => { s = s * 6364136223846793005L + 1442695040888963407L; ((s >>> 33) & 0x7fffffff).toInt }
+  }
+
+  // ---------------------------------------------------------- CAVLC
+
+  test("residual round-trip: exhaustive sparse patterns across contexts") {
+    val r = rng(7)
+    for {
+      maxCoeffs <- Seq(16, 15, 4)
+      nC <- Seq(-1, 0, 1, 2, 3, 4, 7, 8, 12)
+      if !(nC == -1 && maxCoeffs != 4) && !(nC != -1 && maxCoeffs == 4)
+      trial <- 0 until 60
+    } {
+      val coeffs = new Array[Int](maxCoeffs)
+      val n = r() % (maxCoeffs + 1)
+      for (_ <- 0 until n) {
+        val pos = r() % maxCoeffs
+        val mag = 1 + r() % (if (trial % 7 == 0) 2000 else 8)
+        coeffs(pos) = if (r() % 2 == 0) mag else -mag
+      }
+      val w = new BitWriter
+      val tcW = H264.writeResidual(w, coeffs, nC)
+      w.bit(1) // stop marker so the reader has trailing slack
+      val bytes = w.close()
+      val (back, tcR) = H264.readResidual(new BitReader(bytes), maxCoeffs, nC)
+      assert(back.toSeq == coeffs.toSeq, s"maxCoeffs=$maxCoeffs nC=$nC trial=$trial")
+      assert(tcW == tcR && tcW == coeffs.count(_ != 0))
+    }
+  }
+
+  test("coeff_token round-trip: every (nC class, totalCoeff, trailingOnes)") {
+    for {
+      nC <- Seq(-1, 0, 2, 4, 8)
+      tc <- 0 to (if (nC == -1) 4 else 16)
+      t1 <- 0 to math.min(3, tc)
+    } {
+      // exercised through whole blocks: build a block with exactly tc
+      // nonzeros of which the trailing t1 are +-1 and the one before (if
+      // any) is not
+      val maxCoeffs = if (nC == -1) 4 else 16
+      if (tc <= maxCoeffs) {
+        val coeffs = new Array[Int](maxCoeffs)
+        for (i <- 0 until tc) {
+          val fromEnd = tc - 1 - i // 0 = last nonzero in scan order
+          coeffs(i) = if (fromEnd < t1) 1 else 7
+        }
+        // ensure the coefficient right before the trailing ones is not +-1
+        val w = new BitWriter
+        H264.writeResidual(w, coeffs, nC)
+        w.bit(1)
+        val (back, tcR) = H264.readResidual(new BitReader(w.close()), maxCoeffs, nC)
+        assert(back.toSeq == coeffs.toSeq && tcR == tc, s"nC=$nC tc=$tc t1=$t1")
+      }
+    }
+  }
+
+  // ------------------------------------------------------ transforms
+
+  test("forward/inverse transform: flat block is DC-only and returns exactly") {
+    val flat = Array.fill(16)(37)
+    val w = H264.forward4x4(flat)
+    assert(w(0) == 16 * 37)
+    assert(w.drop(1).forall(_ == 0))
+    val back = H264.inverse4x4(Array(64 * 5) ++ Array.fill(15)(0))
+    assert(back.forall(v => ((v + 32) >> 6) == 5))
+  }
+
+  test("transform closed loop at qp 0 is near-lossless on random residuals") {
+    val r = rng(11)
+    for (_ <- 0 until 50) {
+      val resid = Array.fill(16)(r() % 64 - 32)
+      val w = H264.forward4x4(resid)
+      // emulate the non-DC-plane path: quant + dequant + inverse
+      val qp = 0
+      val scan = Array.tabulate(16) { s =>
+        val idx = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)(s)
+        val cls = if (idx / 4 % 2 == 0 && idx % 4 % 2 == 0) 0
+                  else if (idx / 4 % 2 == 1 && idx % 4 % 2 == 1) 1 else 2
+        val mf = Array(13107, 5243, 8066)(cls)
+        val v = w(idx)
+        val z = (math.abs(v) * mf + (1 << 15) / 3) >> 15
+        if (v < 0) -z else z
+      }
+      val d = new Array[Int](16)
+      for (s <- 0 until 16) {
+        val idx = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)(s)
+        val cls = if (idx / 4 % 2 == 0 && idx % 4 % 2 == 0) 0
+                  else if (idx / 4 % 2 == 1 && idx % 4 % 2 == 1) 1 else 2
+        d(idx) = scan(s) * Array(10, 16, 13)(cls)
+      }
+      val back = H264.inverse4x4(d).map(v => (v + 32) >> 6)
+      for (i <- 0 until 16)
+        assert(math.abs(back(i) - resid(i)) <= 1, s"qp0 drift at $i: ${back(i)} vs ${resid(i)}")
+    }
+  }
+
+  // ----------------------------------------------------- frame codec
+
+  private def gradientFrame(w: Int, h: Int, seed: Int): Yuv = {
+    val r = rng(seed)
+    val base = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 3 + y * 2 + seed * 17) % 200) + 20 + (r() % 9 - 4)
+    }.map(v => math.max(0, math.min(255, v)))
+    val cb = Array.tabulate(w * h / 4) { i => ((i % (w / 2)) * 2 + seed * 5) % 240 + 8 }
+    val cr = Array.tabulate(w * h / 4) { i => ((i / (w / 2)) * 3 + seed * 7) % 240 + 8 }
+    Yuv(w, h, base, cb, cr)
+  }
+
+  /** Valid I4 modes given block-edge availability. */
+  private def validI4Modes(x0: Int, y0: Int): Seq[Int] = {
+    val left = x0 > 0; val top = y0 > 0
+    Seq(2) ++ (if (top) Seq(0, 3, 7) else Nil) ++ (if (left) Seq(1, 8) else Nil) ++
+      (if (left && top) Seq(4, 5, 6) else Nil)
+  }
+
+  private def mixedModes(w: Int, h: Int): (Int, Int) => MbMode = (mbX, mbY) => {
+    val idx = mbY * (w / 16) + mbX
+    if (idx % 5 == 4) MbPcm
+    else if (idx % 2 == 0) {
+      val valid = Seq(2) ++ (if (mbY > 0) Seq(0) else Nil) ++ (if (mbX > 0) Seq(1) else Nil) ++
+        (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+      MbI16(valid(idx % valid.size), chromaMode = {
+        val cv = Seq(0) ++ (if (mbX > 0) Seq(1) else Nil) ++ (if (mbY > 0) Seq(2) else Nil) ++
+          (if (mbX > 0 && mbY > 0) Seq(3) else Nil)
+        cv(idx % cv.size)
+      })
+    } else {
+      val modes = (0 until 16).map { z =>
+        val bx = ((z >> 2) & 1) * 2 + (z & 1)
+        val by = ((z >> 3) & 1) * 2 + ((z >> 1) & 1)
+        val x0 = mbX * 16 + bx * 4; val y0 = mbY * 16 + by * 4
+        val valid = validI4Modes(x0, y0)
+        valid((z * 31 + idx * 7) % valid.size)
+      }
+      MbI4(modes, chromaMode = 0)
+    }
+  }
+
+  private def psnr(a: Array[Int], b: Array[Int]): Double = {
+    val mse = a.zip(b).map { case (x, y) => val d = x - y; d.toDouble * d }.sum / a.length
+    if (mse == 0) 99.0 else 10 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  test("mixed-mode frame: decode equals closed-loop reconstruction exactly") {
+    val src = gradientFrame(64, 48, 3)
+    for (qp <- Seq(8, 20, 28, 36)) {
+      val (bytes, recons) = H264.encodeStream(Seq(src), qp, (_, x, y) => mixedModes(64, 48)(x, y))
+      val decoded = H264.decode(bytes)
+      assert(decoded.size == 1)
+      assert(decoded.head.y.toSeq == recons.head.y.toSeq, s"luma mismatch qp=$qp")
+      assert(decoded.head.cb.toSeq == recons.head.cb.toSeq, s"cb mismatch qp=$qp")
+      assert(decoded.head.cr.toSeq == recons.head.cr.toSeq, s"cr mismatch qp=$qp")
+    }
+  }
+
+  test("fidelity: PSNR tracks qp on all-I16 and all-I4 frames") {
+    val src = gradientFrame(64, 64, 5)
+    val (b8, _) = H264.encodeStream(Seq(src), 8, (_, _, _) => MbI16(2))
+    val d8 = H264.decode(b8).head
+    assert(psnr(src.y, d8.y) > 40, s"qp8 I16 PSNR ${psnr(src.y, d8.y)}")
+    val (b28, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))
+    val d28 = H264.decode(b28).head
+    assert(psnr(src.y, d28.y) > 24, s"qp28 PSNR ${psnr(src.y, d28.y)}")
+    assert(psnr(src.y, d8.y) > psnr(src.y, d28.y), "lower qp must not reduce fidelity")
+    val i4modes = (0 until 16).map { z => -1 } // predicted mode everywhere (DC fallback chain)
+    val (b4, r4) = H264.encodeStream(Seq(src), 8, (_, _, _) => MbI4(i4modes))
+    val d4 = H264.decode(b4).head
+    assert(d4.y.toSeq == r4.head.y.toSeq)
+    assert(psnr(src.y, d4.y) > 40, s"qp8 I4 PSNR ${psnr(src.y, d4.y)}")
+  }
+
+  test("all-PCM stream is lossless and multi-frame decode keeps order") {
+    val frames = (0 until 3).map(i => gradientFrame(32, 32, i + 40))
+    val (bytes, recons) = H264.encodeStream(frames, 30, (_, _, _) => MbPcm)
+    val decoded = H264.decode(bytes)
+    assert(decoded.size == 3)
+    for (i <- 0 until 3) {
+      assert(decoded(i).y.toSeq == frames(i).y.toSeq, s"PCM frame $i luma")
+      assert(decoded(i).cb.toSeq == frames(i).cb.toSeq)
+      assert(decoded(i).cr.toSeq == frames(i).cr.toSeq)
+      assert(recons(i).y.toSeq == frames(i).y.toSeq)
+    }
+  }
+
+  test("flat single-MB I16 frame at qp 30: the oracle arithmetic") {
+    // the q_video_frames fixture shape: one 16x16 MB, flat planes, DC pred
+    // 128, DC-only residual -> the reconstruction must equal the pure
+    // integer formula the DuckDB oracle mirrors
+    def oracleY(yv: Int): Int = {
+      val cdc = yv - 128
+      val z = {
+        val zz = (math.abs(128 * cdc) * 13107L + 699050L) >> 21
+        if (cdc < 0) -zz.toInt else zz.toInt
+      }
+      val dcY = (160 * z + 1) >> 1
+      math.max(0, math.min(255, 128 + ((dcY + 32) >> 6)))
+    }
+    def oracleC(cv: Int): Int = {
+      val cdc = cv - 128
+      val z = {
+        val zz = (math.abs(64 * cdc) * 7282L + 349524L) >> 20
+        if (cdc < 0) -zz.toInt else zz.toInt
+      }
+      val dcC = (144 * z + 32) >> 6
+      math.max(0, math.min(255, 128 + dcC))
+    }
+    for (v <- Seq(0, 1, 37, 100, 128, 165, 200, 254, 255)) {
+      val f = Yuv(16, 16, Array.fill(256)(v), Array.fill(64)((v * 3) % 256), Array.fill(64)((v * 7) % 256))
+      val (bytes, _) = H264.encodeStream(Seq(f), 30, (_, _, _) => MbI16(2, 0))
+      val d = H264.decode(bytes).head
+      assert(d.y.forall(_ == oracleY(v)), s"yv=$v got ${d.y(0)} want ${oracleY(v)}")
+      assert(d.cb.forall(_ == oracleC((v * 3) % 256)), s"cb v=$v")
+      assert(d.cr.forall(_ == oracleC((v * 7) % 256)), s"cr v=$v")
+    }
+  }
+
+  test("unsupported features fail loudly") {
+    val src = gradientFrame(32, 32, 9)
+    val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))
+    // truncation mid-slice
+    intercept[Exception](H264.decode(bytes.dropRight(bytes.length / 3)))
+    // a CABAC PPS is rejected
+    val w = new BitWriter
+    w.ue(0); w.ue(0); w.bit(1)
+    val cabacPps = (0x68.toByte +: Avc.escape(w.close())).toArray
+    intercept[IllegalArgumentException](H264.parsePps(cabacPps))
+  }
+
+  test("SPS geometry from our own stream parses through the Avc layer") {
+    val src = gradientFrame(48, 32, 13)
+    val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))
+    val nals = H264.splitNals(bytes)
+    val sps = Avc.parseSps(nals.head)
+    assert(sps.width == 48 && sps.height == 32 && sps.profileIdc == 66)
+  }
+}

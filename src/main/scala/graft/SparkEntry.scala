@@ -125,6 +125,7 @@ object SparkEntry {
     "q_media_decode" -> (qMediaDecode _),
     "q_audio_spectral" -> (qAudioSpectral _),
     "q_jpeg_decode" -> (qJpegDecode _),
+    "q_video_frames" -> (qVideoFrames _),
     "q_gif_decode" -> (qGifDecode _),
     "q_image_resize" -> (qImageResize _),
     "q_audio_resample" -> (qAudioResample _),
@@ -3081,6 +3082,39 @@ object SparkEntry {
       .orderBy("g")
   }
 
+  /** Video pixel decode end-to-end: per group, 24 single-MB 16×16 H.264
+    * IDR frames from quantized event values — every 4th frame I_PCM
+    * (lossless), the rest flat Intra16x16-DC at qp 30 so the full CAVLC +
+    * Hadamard-DC + quant/dequant + inverse-transform chain reduces to a
+    * closed-form integer recurrence the DuckDB oracle mirrors literally.
+    * The decode (`MultimodalOps.videoFrames` → `functions/H264`) is the
+    * real bitstream path: Annex-B split, SPS/PPS parse, slice decode,
+    * entropy decode, prediction, reconstruction.
+    */
+  private def qVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.H264
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("long").as("v"))
+    val payloads = quant.as[(Long, Long, Long)].groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        require(rows.length >= 24, s"group $g has ${rows.length} events (< 24)")
+        def ch(v: Long, m: Long): Int = (((v * m) % 256 + 256) % 256).toInt
+        val frames = rows.take(24).map { case (_, _, v) =>
+          H264.Yuv(16, 16, Array.fill(256)(ch(v, 1)),
+            Array.fill(64)(ch(v, 3)), Array.fill(64)(ch(v, 7)))
+        }
+        val (bytes, _) = H264.encodeStream(frames.toIndexedSeq, 30,
+          (i, _, _) => if (i % 4 == 0) H264.MbPcm else H264.MbI16(2, 0))
+        (g, bytes)
+      }.toDF("g", "payload")
+    MultimodalOps.videoFrames(payloads, "g")
+      .orderBy("g", "frame_idx")
+  }
+
   /** Image resize end-to-end: 16×16 BMPs from quantized event values,
     * box-average downscale ×4 (exact integer block means), RE-ENCODE,
     * decode again — and gate on position-weighted per-channel checksums
@@ -5637,6 +5671,58 @@ object SparkEntry {
         |  c.mean_y AS p_mean_y, c.mean_cb AS p_mean_cb, c.mean_cr AS p_mean_cr
         |FROM c JOIN gr USING (g) JOIN sc USING (g) JOIN sl USING (g)
         |ORDER BY g""".stripMargin,
+
+    // Video-decode mirror: the H.264 Intra16x16-DC closed loop at qp 30
+    // (luma MF0=13107 qbits=20, chroma qPc=29 MF0=7282 qbits=19) reduced
+    // to its exact integer recurrence for flat single-MB frames —
+    // quantize (sign-magnitude, intra rounding 2f), DC dequant, inverse
+    // transform rounding, clip — plus the lossless I_PCM frames.
+    "q_video_frames" ->
+      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+        |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+        |  FROM q),
+        |f AS (SELECT g, rn - 1 AS frame_idx, (rn % 4 = 1) AS pcm,
+        |    (v % 256 + 256) % 256 AS yv,
+        |    (v * 3 % 256 + 256) % 256 AS cbv,
+        |    (v * 7 % 256 + 256) % 256 AS crv
+        |  FROM r WHERE rn <= 24),
+        |z AS (SELECT g, frame_idx, pcm, yv, cbv, crv,
+        |    CASE WHEN yv < 128
+        |      THEN -((abs(128 * (yv - 128)) * 13107 + 699050) // 2097152)
+        |      ELSE (128 * (yv - 128) * 13107 + 699050) // 2097152 END AS zy,
+        |    CASE WHEN cbv < 128
+        |      THEN -((abs(64 * (cbv - 128)) * 7282 + 349524) // 1048576)
+        |      ELSE (64 * (cbv - 128) * 7282 + 349524) // 1048576 END AS zcb,
+        |    CASE WHEN crv < 128
+        |      THEN -((abs(64 * (crv - 128)) * 7282 + 349524) // 1048576)
+        |      ELSE (64 * (crv - 128) * 7282 + 349524) // 1048576 END AS zcr
+        |  FROM f),
+        |-- (160z+1)>>1 == 80z exactly for either sign; the final >>6 is a
+        |-- FLOOR division, while DuckDB // truncates toward zero, so the
+        |-- negative branch shifts by 63 first (trunc((x-63)/64) == floor(x/64))
+        |rec AS (SELECT g, frame_idx,
+        |    CASE WHEN pcm THEN yv
+        |      ELSE least(greatest(128 + CASE WHEN 80 * zy + 32 >= 0
+        |        THEN (80 * zy + 32) // 64
+        |        ELSE (80 * zy + 32 - 63) // 64 END, 0), 255) END AS ry,
+        |    CASE WHEN pcm THEN cbv
+        |      ELSE least(greatest(128 + CASE WHEN 144 * zcb + 32 >= 0
+        |        THEN (144 * zcb + 32) // 64
+        |        ELSE (144 * zcb + 32 - 63) // 64 END, 0), 255) END AS rcb,
+        |    CASE WHEN pcm THEN crv
+        |      ELSE least(greatest(128 + CASE WHEN 144 * zcr + 32 >= 0
+        |        THEN (144 * zcr + 32) // 64
+        |        ELSE (144 * zcr + 32 - 63) // 64 END, 0), 255) END AS rcr
+        |  FROM z)
+        |SELECT g, CAST(frame_idx AS INT) AS frame_idx,
+        |  16 AS width, 16 AS height,
+        |  CAST(256 * ry AS BIGINT) AS sum_y,
+        |  CAST(64 * rcb AS BIGINT) AS sum_cb,
+        |  CAST(64 * rcr AS BIGINT) AS sum_cr
+        |FROM rec ORDER BY g, frame_idx""".stripMargin,
 
     // Peak-normalize mirror: the same integer rational gain (floor
     // division — negative PCM included) from the event stream.

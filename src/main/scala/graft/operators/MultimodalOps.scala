@@ -12,16 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Formats decode for REAL: `wavFeatures` / `bmpFeatures` / `pngFeatures` /
   * `jpegFeatures` run the pure-JVM PCM-WAV, 24-bit-BMP, zlib-PNG, and
-  * baseline-JPEG codecs (`functions/Media`) per row on executors, and
+  * baseline-JPEG codecs (`functions/Media`) per row on executors,
   * `mp4Meta` parses the MP4/ISO-BMFF container (`functions/Mp4`) down to
-  * per-track codec/geometry/sample tables. Only the video *codec payload*
-  * (H.264 frame PIXEL decode — motion compensation + CABAC; the SPS
-  * geometry layer IS parsed for real, `functions/Avc`) is not
-  * implementable here, so `decodeStub` remains
-  * a clearly-marked deterministic fake for exactly that; the Spark-side
-  * plumbing — binary schema, metadata struct, frame slicing, partition-wise
-  * batch shape — is real and oracle-checkable (frame slicing + hashing is
-  * pure Catalyst binary arithmetic, mirrored in DuckDB over BLOBs).
+  * per-track codec/geometry/sample tables, and `videoFrames` pixel-decodes
+  * CAVLC baseline H.264 intra streams (`functions/H264` — the former
+  * `decodeStub`, now closed; inter prediction and CABAC stay out of
+  * scope by design, matching the reference's metadata-first treatment of
+  * video payloads).
   */
 object MultimodalOps {
 
@@ -463,37 +460,27 @@ object MultimodalOps {
         "n_chunks", "first_off")
   }
 
-  /** Decoded-feature schema produced by [[decodeStub]]. */
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("mean_byte", DoubleType)))
-
-  /** STUB decoder — now covers ONLY the video *codec payload* (H.264
-    * frame decode), the one piece not implementable in pure JVM here:
-    * WAV/BMP/PNG/baseline+subsampled-JPEG decode for real above, and the
-    * MP4/ISO-BMFF *container* parses for real in [[mp4Meta]]. Deterministic
-    * fake: "dimensions" derive from the byte length, the "pixel mean" is
-    * the true byte mean, so tests pin exact values. Runs
-    * iterator-in/iterator-out per partition — the real decoder drops in
-    * with zero plumbing changes (same batch shape as `mapInPandas` in
-    * PySpark).
+  /** REAL video pixel decode — the last piece of the multimodal layer
+    * that was stubbed. Each payload is a CAVLC baseline-profile H.264
+    * Annex-B stream (`functions/H264`: SPS/PPS/IDR parse, CAVLC entropy
+    * decode, intra prediction, inverse transform); the operator emits one
+    * row per decoded frame with exact integer plane sums, so the DuckDB
+    * oracle can pin the whole decode arithmetic (q_video_frames). Pure
+    * JVM per-row decode on executors, no shuffle — at 100 TB this is a
+    * scan-tier map over binary columns, exactly like the image codecs.
     */
-  def decodeStub(payloads: DataFrame): DataFrame = {
+  def videoFrames(payloads: DataFrame, idCol: String,
+                  payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
-    val rows = payloads.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        // --- stub: replace with the real image decode ---
-        val w = math.max(1, bytes.length / 16)
-        val h = if (bytes.isEmpty) 0 else 16
-        val mean = if (bytes.isEmpty) 0.0
-                   else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        Row(id, w, h, mean)
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.functions.H264.decode(bytes).zipWithIndex.map { case (f, i) =>
+          (id, i, f.w, f.h,
+            f.y.foldLeft(0L)(_ + _), f.cb.foldLeft(0L)(_ + _), f.cr.foldLeft(0L)(_ + _))
+        }
       }
-    }
-    spark.createDataFrame(rows, decodedSchema)
+      .toDF(idCol, "frame_idx", "width", "height", "sum_y", "sum_cb", "sum_cr")
   }
 }

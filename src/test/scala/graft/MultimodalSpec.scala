@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.MultimodalOps
 
-/** Binary payload plumbing: schema, metadata, frame slicing, stub decode. */
+/** Binary payload plumbing: schema, metadata, frame slicing, real codec
+  * decodes (incl. the H.264 intra pixel path via `videoFrames`).
+  */
 class MultimodalSpec extends SparkSpec {
 
   private def docs = {
@@ -275,13 +277,30 @@ class MultimodalSpec extends SparkSpec {
     assert(b(1).getDouble(3) == 127.5)
   }
 
-  test("decodeStub: deterministic fake features with real partition plumbing") {
-    val d = MultimodalOps.decodeStub(MultimodalOps.withPayload(docs, "doc_id", "text"))
-    val r = d.collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getDouble(3)))).toMap
-    assert(r(1L) == ((4, 16, 'a'.toDouble)))     // 64 bytes of 'a' → mean 97
-    assert(r(2L)._1 == 8 && r(2L)._2 == 16)
-    val meanAbc = "abcdefgh".map(_.toDouble).sum / 8
-    assert(math.abs(r(2L)._3 - meanAbc) < 1e-12)
+  test("videoFrames: real H.264 intra decode over binary payload columns") {
+    import graft.functions.H264
+    val s = spark
+    import s.implicits._
+    // two docs, each a 2-frame 16x16 stream: one PCM frame (lossless) and
+    // one flat I16 DC frame whose reconstruction the codec spec pins
+    val payloads = Seq(101L -> 37, 102L -> 200).map { case (id, v) =>
+      val f = H264.Yuv(16, 16, Array.fill(256)(v), Array.fill(64)(255 - v), Array.fill(64)(v / 2))
+      val (bytes, recons) = H264.encodeStream(Seq(f, f), 30,
+        (i, _, _) => if (i == 0) H264.MbPcm else H264.MbI16(2, 0))
+      (id, bytes, recons(1).y(0).toLong, recons(1).cb(0).toLong, recons(1).cr(0).toLong)
+    }
+    val df = payloads.map(p => (p._1, p._2)).toDF("doc_id", "payload")
+    val out = MultimodalOps.videoFrames(df, "doc_id").orderBy("doc_id", "frame_idx").collect()
+    assert(out.length == 4)
+    for ((row, i) <- out.zipWithIndex) {
+      assert(row.getInt(2) == 16 && row.getInt(3) == 16, s"row $i geometry")
+    }
+    // PCM frames: exact plane sums of the source
+    assert(out(0).getLong(4) == 256L * 37 && out(0).getLong(5) == 64L * (255 - 37))
+    assert(out(2).getLong(4) == 256L * 200 && out(2).getLong(6) == 64L * 100)
+    // I16 frames: exact plane sums of the closed-loop reconstruction
+    assert(out(1).getLong(4) == 256L * payloads(0)._3 && out(1).getLong(5) == 64L * payloads(0)._4)
+    assert(out(3).getLong(4) == 256L * payloads(1)._3 && out(3).getLong(6) == 64L * payloads(1)._5)
   }
 
   test("AudioMeta: FLAC STREAMINFO and MP3 frame-header round trips; rejects") {

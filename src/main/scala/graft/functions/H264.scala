@@ -442,6 +442,18 @@ object H264 {
     else if (nC < 4) CoeffTok1
     else CoeffTok2
 
+  // decoder-side inverses, materialized once (the hot path decodes one
+  // coeff_token per residual block)
+  private val CoeffTokInv: Map[Int, Seq[(Code, (Int, Int))]] =
+    Map(-1 -> CoeffTokC, 0 -> CoeffTok0, 2 -> CoeffTok1, 4 -> CoeffTok2)
+      .map { case (k, t) => k -> t.toSeq.map { case (sym, cd) => (cd, sym) } }
+  private val TotalZeros4x4Inv: Array[Seq[(Code, Int)]] =
+    TotalZeros4x4.map(_.toSeq.zipWithIndex.map { case (cd, i) => (cd, i) })
+  private val TotalZerosChromaDcInv: Array[Seq[(Code, Int)]] =
+    TotalZerosChromaDc.map(_.toSeq.zipWithIndex.map { case (cd, i) => (cd, i) })
+  private val RunBeforeInv: Array[Seq[(Code, Int)]] =
+    RunBefore.map(_.toSeq.zipWithIndex.map { case (cd, i) => (cd, i) })
+
   private def writeCoeffToken(w: BitWriter, nC: Int, t1: Int, tc: Int): Unit =
     if (nC >= 8) w.bits(if (tc == 0) 3 else ((tc - 1) << 2) | t1, 6)
     else writeCode(w, coeffTokenTable(nC)((t1, tc)))
@@ -450,7 +462,7 @@ object H264 {
     if (nC >= 8) {
       val v = r.bits(6)
       if (v == 3) (0, 0) else (v & 3, (v >> 2) + 1)
-    } else readCode(r, coeffTokenTable(nC).toSeq.map { case (k, v) => (v, k) })
+    } else readCode(r, CoeffTokInv(if (nC == -1) -1 else if (nC < 2) 0 else if (nC < 4) 2 else 4))
 
   /** Encode one level's levelCode with the running suffixLength (§9.2.2.1
     * inverted, JM writeSyntaxElement_Level form). Levels needing the
@@ -555,8 +567,8 @@ object H264 {
     }
     var totalZeros = 0
     if (tc < maxCoeffs) {
-      val tzTable = if (nC == -1) TotalZerosChromaDc else TotalZeros4x4
-      totalZeros = readCode(r, tzTable(tc - 1).toSeq.zipWithIndex.map { case (cd, i) => (cd, i) })
+      val tz = if (nC == -1) TotalZerosChromaDcInv else TotalZeros4x4Inv
+      totalZeros = readCode(r, tz(tc - 1))
     }
     var zerosLeft = totalZeros
     var idx = totalZeros + tc - 1
@@ -565,10 +577,9 @@ object H264 {
       out(idx) = levels(k)
       if (k < tc - 1) {
         val run =
-          if (zerosLeft > 0) {
-            val col = if (zerosLeft > 6) RunBefore(6) else RunBefore(zerosLeft - 1)
-            readCode(r, col.toSeq.zipWithIndex.map { case (cd, i) => (cd, i) })
-          } else 0
+          if (zerosLeft > 0)
+            readCode(r, RunBeforeInv(math.min(zerosLeft, 7) - 1))
+          else 0
         idx -= 1 + run
         zerosLeft -= run
       }
@@ -1482,6 +1493,9 @@ object H264 {
           val p = pps.getOrElse(throw new IllegalArgumentException("IDR before PPS"))
           require(s.frameMbsOnly, "interlace unsupported")
           val w = s.widthMbs * 16; val h = s.heightMapUnits * 16
+          // corrupted-SPS guard: don't let a fuzzed geometry field drive
+          // plane allocation (16k x 16k is far beyond any level we write)
+          require(w <= 16384 && h <= 16384, s"implausible geometry ${w}x$h")
           val r = new BitReader(Avc.unescape(nal.drop(1)))
           require(r.ue() == 0, "multi-slice pictures unsupported")
           val sliceType = r.ue()

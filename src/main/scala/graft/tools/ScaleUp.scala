@@ -43,9 +43,15 @@ object ScaleUp {
     // plan node, so K=1000 stays analyzable and fully distributed.
     val fanned = df.withColumn("__copy",
       explode(sequence(lit(0L), lit((k - 1).toLong))))
-    keys.foldLeft(fanned) { (d, c) =>
+    val shifted = keys.foldLeft(fanned) { (d, c) =>
       d.withColumn(c, col(c) + col("__copy") * lit(strides(c)))
-    }.drop("__copy")
+    }
+    // The source sf tables are single small files, so without an explicit
+    // repartition the K-fold output lands in ONE part file with one giant
+    // row group — unreadable in parallel no matter the split size
+    // (replicated text dictionary-compresses to a few MB). Spread copies
+    // round-robin so the written files give the scan its parallelism.
+    shifted.repartition(math.max(32, k / 16), col("__copy")).drop("__copy")
   }
 
   /** The key space a column references (owner's primary key column). */

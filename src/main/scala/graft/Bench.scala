@@ -20,6 +20,14 @@ import org.apache.spark.sql.SparkSession
   * spark.sql.files.maxPartitionBytes when a scale-up table compresses so
   * well (1000x replicated text dictionary-encodes into a few MB) that the
   * default 128 MB split puts the whole table in one input partition.
+  *
+  * SPARK_GRAFT_ACTION=rdd (optional) drives each query through
+  * `queryExecution.toRdd.count()` instead of `count()`: the plan then
+  * materializes EVERY output column (and keeps the result orderBy), where
+  * the default count() lets Catalyst prune unused projections — a
+  * pure-expression query (regex extraction, stress kernels) otherwise
+  * measures only its scan. The default stays count() for cross-round
+  * comparability; BASELINE.md records a both-modes comparison.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,7 +60,10 @@ object Bench {
       while (ok && i < reps) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          if (sys.env.get("SPARK_GRAFT_ACTION").contains("rdd"))
+            df.queryExecution.toRdd.count()
+          else df.count()
           times += (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>

@@ -136,6 +136,60 @@ class CodecFuzzSpec extends AnyFunSuite {
     harden("grib", GribSource.render(Seq(spec)))(GribSource.parse)
   }
 
+  test("D3Plot survives corruption") {
+    // minimal 3-D shell model: 64-word control block, 4 nodes, 1 shell,
+    // 1 state, EOF marker (the D3PlotSpec fixture, reduced)
+    val numnp = 4; val nel4 = 1; val maxint = 2; val nglbv = 2
+    val nv2d = maxint * 7
+    val stateWords = 1 + nglbv + numnp * 3 + nel4 * nv2d
+    val total = 64 + numnp * 3 + nel4 * 5 + stateWords + 1
+    val bb = java.nio.ByteBuffer.allocate(total * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("fuzz fixture".padTo(40, ' ').getBytes("US-ASCII"))
+    (10 until 64).foreach {
+      case 15 => bb.putInt(4)
+      case 16 => bb.putInt(numnp)
+      case 18 => bb.putInt(nglbv)
+      case 20 => bb.putInt(1)
+      case 31 => bb.putInt(nel4)
+      case 32 => bb.putInt(1)
+      case 33 => bb.putInt(nv2d)
+      case 36 => bb.putInt(maxint)
+      case _ => bb.putInt(0)
+    }
+    (0 until numnp * 3).foreach(i => bb.putFloat(i * 0.5f))
+    Seq(1, 2, 3, 4).foreach(bb.putInt); bb.putInt(7)
+    bb.putFloat(0f)
+    (0 until nglbv).foreach(_ => bb.putFloat(99f))
+    (0 until numnp * 3).foreach(i => bb.putFloat(i * 0.25f))
+    (0 until nel4 * nv2d).foreach(i => bb.putFloat(i * 1.5f))
+    bb.putFloat(-999999.0f)
+    harden("d3plot", bb.array())(graft.sources.D3PlotSource.parse)
+  }
+
+  test("NetCDF classic header survives corruption") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def name(s: String): Unit = {
+      o.writeInt(s.length); o.write(s.getBytes("UTF-8"))
+      val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+    }
+    o.write("CDF".getBytes); o.write(1)
+    o.writeInt(1) // numrecs
+    o.writeInt(0x0A); o.writeInt(2) // dims
+    name("time"); o.writeInt(0)
+    name("lat"); o.writeInt(3)
+    o.writeInt(0x0C); o.writeInt(1) // gatts
+    name("title"); o.writeInt(2); o.writeInt(4); o.write("fuzz".getBytes)
+    o.writeInt(0x0B); o.writeInt(1) // vars
+    name("lat"); o.writeInt(1); o.writeInt(1)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(6); o.writeInt(24); o.writeInt(0)
+    (0 until 3).foreach(i => o.writeDouble(i * 30.0))
+    o.flush()
+    harden("netcdf", bos.toByteArray)(graft.sources.NetCdfSource.parseHeader)
+  }
+
   test("parquet footer survives corruption") {
     val path = java.nio.file.Paths.get("/root/testdata/sf0.001/region.parquet")
     val all = java.nio.file.Files.readAllBytes(path)

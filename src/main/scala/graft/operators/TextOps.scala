@@ -140,7 +140,9 @@ object TextOps {
         val top = ngramCounts(text, n)
           .sortBy { case (tri, c) => (-c, tri) }
           .take(k)
-        if (top.isEmpty) None // a doc with no n-grams has no distance rows
+        // a doc with no n-grams has no distance rows; an empty model has
+        // no predictions at all (the former join formulation's behavior)
+        if (top.isEmpty || langs.isEmpty) None
         else {
           var bestLang = ""
           var bestDist = Long.MaxValue

@@ -96,9 +96,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     else None
   }
 
-  private def cellOf(c: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(c, DoubleType), Literal(width.toDouble))),
-      LongType)
+  /** Exact Long floor division c / width (width > 0): (c − pmod(c, w)) is
+    * divisible, so truncating div IS floor div. A Double-cast formulation
+    * would misassign cells for |c| > 2^53 and silently drop qualifying
+    * pairs; exact integer arithmetic keeps the rewrite lossless over the
+    * whole Long range (minus the ±2^63-edge where the naive predicate's
+    * own arithmetic is already meaningless).
+    */
+  private def cellOf(c: Expression, width: Long): Expression = {
+    val w = Literal(width)
+    new IntegralDivide(Subtract(c, Pmod(c, w)), w)
+  }
 
   /** Shared tail for the three distance forms: 3×3 fan-out on the left,
     * single cell on the right, equi-join, original predicate as filter.
@@ -191,6 +199,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     SQLConf.get.getConfString("spark.graft.spatial.bboxCellSize", "4096")
       .toLong.max(1L)
 
+  private def maxBoxCells: Long =
+    SQLConf.get.getConfString("spark.graft.spatial.maxBoxCells",
+      (1L << 22).toString).toLong.max(1L)
+
   /** Bbox rewrite: box side explodes its cell cover per axis, point
     * side keys by its one cell, equi-join on (cx, cy), original
     * containment predicate refilters.
@@ -209,11 +221,30 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
     val bcx = AttributeReference("_g_bcx", LongType, nullable = true)()
     val bcy = AttributeReference("_g_bcy", LongType, nullable = true)()
+    // A box's cell cover is data-dependent and the fan-out is its
+    // PRODUCT: one degenerate row spanning the coordinate range would
+    // turn a (slow but finite) nested-loop plan into a billions-of-rows
+    // generate. Guard the cover at runtime — a box beyond the cap fails
+    // LOUDLY with the conf knobs in the message instead of silently
+    // exploding the job. (RaiseError types as NullType; the Cast to Long
+    // never materializes because evaluation throws first.)
+    val cap = maxBoxCells
+    val cells = Multiply(
+      Add(Subtract(cellOf(xmax, cs), cellOf(xmin, cs)), Literal(1L)),
+      Add(Subtract(cellOf(ymax, cs), cellOf(ymin, cs)), Literal(1L)))
+    def guarded(hi: Expression): Expression =
+      If(GreaterThan(cells, Literal(cap)),
+        Cast(new RaiseError(Literal(
+          s"SpatialJoinRewrite: a bbox covers more than $cap grid cells; " +
+            "raise spark.graft.spatial.bboxCellSize (cell width) or " +
+            "spark.graft.spatial.maxBoxCells, or disable the rule")),
+          LongType),
+        hi)
     // Sequence is TimeZoneAwareExpression: without an explicit zone it
     // stays unresolved, and a post-analysis rule must emit resolved plans
     val tz = Some(SQLConf.get.sessionLocalTimeZone)
     val genX = Generate(
-      Explode(Sequence(cellOf(xmin, cs), cellOf(xmax, cs), None, tz)),
+      Explode(Sequence(cellOf(xmin, cs), guarded(cellOf(xmax, cs)), None, tz)),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(bcx), child = bPlan)
     val genY = Generate(
@@ -229,41 +260,41 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     Project(j.output, Filter(j.condition.get, joined))
   }
 
+  /** The three distance families, matched ONCE (no guard + body
+    * re-evaluation): returns the rewritten plan or None.
+    */
+  private def rewriteDistance(j: Join, left: LogicalPlan, right: LogicalPlan,
+                              cond: Expression): Option[LogicalPlan] = {
+    def tryCells(ax: Attribute, bx: Attribute, ay: Attribute, by: Attribute,
+                 width: Long): Option[LogicalPlan] =
+      if (Seq(ax, ay, bx, by).forall(isLong))
+        oriented(left, right, ax, bx, ay, by).map { case (lx, ly, rx, ry) =>
+          cellJoin(j, lx, ly, rx, ry, width)
+        }
+      else None
+    cond match {
+      case LessThanOrEqual(Add(Sq(ax, bx), Sq(ay, by), _), IntegralLit(r2v))
+        if r2v >= 0 =>
+        tryCells(ax, bx, ay, by,
+          math.ceil(math.sqrt(r2v.toDouble)).toLong.max(1L))
+      case LessThanOrEqual(Add(AbsDiff(ax, bx), AbsDiff(ay, by), _),
+          IntegralLit(rv)) if rv >= 0 =>
+        tryCells(ax, bx, ay, by, rv.max(1L))
+      case LessThanOrEqual(Greatest(Seq(AbsDiff(ax, bx), AbsDiff(ay, by))),
+          IntegralLit(rv)) if rv >= 0 =>
+        tryCells(ax, bx, ay, by, rv.max(1L))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // squared L2
-    case j @ Join(left, right, Inner,
-        Some(LessThanOrEqual(Add(Sq(ax1, bx1), Sq(ay1, by1), _),
-          IntegralLit(r2v))), _)
-      if r2v >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
-        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
-      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
-      val r = math.ceil(math.sqrt(r2v.toDouble)).toLong.max(1L)
-      cellJoin(j, lx, ly, rx, ry, r)
-
-    // Manhattan
-    case j @ Join(left, right, Inner,
-        Some(LessThanOrEqual(Add(AbsDiff(ax1, bx1), AbsDiff(ay1, by1), _),
-          IntegralLit(rv))), _)
-      if rv >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
-        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
-      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
-      cellJoin(j, lx, ly, rx, ry, rv.max(1L))
-
-    // Chebyshev
-    case j @ Join(left, right, Inner,
-        Some(LessThanOrEqual(Greatest(Seq(AbsDiff(ax1, bx1),
-          AbsDiff(ay1, by1))), IntegralLit(rv))), _)
-      if rv >= 0 && Seq(ax1, ay1, bx1, by1).forall(isLong) &&
-        oriented(left, right, ax1, bx1, ay1, by1).isDefined =>
-      val (lx, ly, rx, ry) = oriented(left, right, ax1, bx1, ay1, by1).get
-      cellJoin(j, lx, ly, rx, ry, rv.max(1L))
-
-    // bbox containment
-    case j @ Join(left, right, Inner, Some(cond), _)
-      if matchBbox(left, right, cond).isDefined =>
-      val (pIsL, px, py, xmin, xmax, ymin, ymax) =
-        matchBbox(left, right, cond).get
-      bboxJoin(j, pIsL, px, py, xmin, xmax, ymin, ymax)
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      rewriteDistance(j, left, right, cond)
+        .orElse(matchBbox(left, right, cond).map {
+          case (pIsL, px, py, xmin, xmax, ymin, ymax) =>
+            bboxJoin(j, pIsL, px, py, xmin, xmax, ymin, ymax)
+        })
+        .getOrElse(j)
   }
 
   /** Extension entry point: `.withExtensions(SpatialJoinRewrite.install)`

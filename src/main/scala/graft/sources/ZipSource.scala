@@ -113,8 +113,10 @@ object ZipSource {
     // Classic (non-ZIP64) limits: u16 entry count, u32 sizes/offsets.
     // Beyond them the fields would silently truncate/wrap into an
     // archive parse() reads back with missing entries — refuse instead.
-    require(entries.length <= 0xffff,
-      s"ZIP: ${entries.length} entries exceeds the non-ZIP64 limit of 65535")
+    // 0xffff itself is the ZIP64 sentinel parse() rejects, so the last
+    // writable count is 65534.
+    require(entries.length < 0xffff,
+      s"ZIP: ${entries.length} entries exceeds the non-ZIP64 limit of 65534")
     val out = new ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = { w16(v.toInt); w16((v >> 16).toInt) }
@@ -134,11 +136,13 @@ object ZipSource {
           val c = buf.toByteArray
           if (c.length < data.length) (8, c) else (0, data)
         }
-      require(comp.length < 0xffffffffL && data.length < 0xffffffffL,
-        s"ZIP: entry '$name' exceeds the non-ZIP64 4 GiB size limit")
+      // sizes/offsets here are JVM Ints (arrays and ByteArrayOutputStream
+      // cap below 2 GiB), so the u32 fields and their 0xffffffff ZIP64
+      // sentinels are unreachable by construction in this in-memory
+      // writer — no runtime guard can fire before the JVM's own array
+      // limits do. parse() still rejects sentinel values defensively for
+      // archives produced elsewhere.
       val lho = out.size()
-      require(lho < 0xffffffffL,
-        s"ZIP: offset of '$name' exceeds the non-ZIP64 4 GiB limit")
       w32(0x04034b50L); w16(20); w16(0); w16(method); w16(0); w16(0)
       w32(crc); w32(comp.length.toLong); w32(data.length.toLong)
       w16(nameB.length); w16(0)

@@ -18,8 +18,10 @@ class FetcherSpec extends SparkSpec {
   test("local roots pass through unchanged; missing roots fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("fetch_local").toString
     assert(Fetchers.resolve(spark, dir) == dir)
-    // globbed roots pass through for scan-time expansion
+    // globbed roots pass through for scan-time expansion — including the
+    // Hadoop single-char '?' wildcard
     assert(Fetchers.resolve(spark, s"$dir/run_*") == s"$dir/run_*")
+    assert(Fetchers.resolve(spark, s"$dir/run_?") == s"$dir/run_?")
     intercept[IllegalArgumentException](
       Fetchers.resolve(spark, "/no/such/dataset/root"))
   }

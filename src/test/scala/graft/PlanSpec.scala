@@ -229,6 +229,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SpatialJoinRewrite: exact cells above 2^53 (no Double rounding loss)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      // Double-cast cell math rounds these to different multiples of 256
+      // and would silently drop the qualifying pair
+      val base = 1L << 60
+      val a = Seq((1L, base + 129L, 0L), (2L, base - 500L, 7L))
+        .toDF("ida", "xa", "ya")
+      val b = Seq((10L, base + 127L, 1L), (11L, base + 1000L, 2L))
+        .toDF("idb", "xb", "yb")
+      val cond = abs(col("xa") - col("xb")) + abs(col("ya") - col("yb")) <=
+        lit(3L)
+      val got = a.join(b, cond).select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L)), s"high-magnitude pair lost: $got")
+    }
+  }
+
+  test("SpatialJoinRewrite: a degenerate box fails loudly at the cell cap") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      s.conf.set("spark.graft.spatial.bboxCellSize", "1")
+      s.conf.set("spark.graft.spatial.maxBoxCells", "1000")
+      try {
+        val pts = Seq((1L, 3L, 4L)).toDF("pid", "px", "py")
+        val wide = Seq((100L, -100000L, 100000L, -100000L, 100000L))
+          .toDF("bid", "xmin", "xmax", "ymin", "ymax")
+        val cond = col("px") >= col("xmin") && col("px") <= col("xmax") &&
+          col("py") >= col("ymin") && col("py") <= col("ymax")
+        val e = intercept[Exception] {
+          pts.join(wide, cond).count()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(_.contains("maxBoxCells")),
+          s"expected the cell-cap error, got: $e")
+        // same data under a cell size that keeps the cover small: works
+        s.conf.set("spark.graft.spatial.bboxCellSize", "100000")
+        val ok = pts.join(wide, cond).select("pid", "bid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(ok == Set((1L, 100L)))
+      } finally {
+        s.conf.unset("spark.graft.spatial.bboxCellSize")
+        s.conf.unset("spark.graft.spatial.maxBoxCells")
+      }
+    }
+  }
+
   test("SpatialJoinRewrite: does NOT fire on IntegerType coordinates " +
     "(int distance arithmetic can wrap, changing naive-plan semantics)") {
     val s = spark

@@ -140,6 +140,11 @@ class WebTextSpec extends SparkSpec {
       Seq((9L, "zzz yzz zzy")).toDF("doc_id", "text"), "doc_id", "text",
       profiles, n = 3, k = 20).collect().head
     assert(novel.getAs[String]("lang_pred") === "zz")
+    // an EMPTY model predicts nothing (the join formulation's behavior:
+    // no languages, no distance rows — not a sentinel prediction)
+    val noModel = TextOps.charNgramLangId(corpus, "doc_id", "text",
+      profiles.filter("1 = 0"), n = 3, k = 20)
+    assert(noModel.count() === 0)
   }
 
   test("phraseSearch counts adjacent occurrences, including overlaps") {

@@ -44,9 +44,11 @@ class ZipSpec extends SparkSpec {
   }
 
   test("non-ZIP64 limits are enforced, not silently wrapped") {
-    // render refuses > 65535 entries (u16 EOCD count would truncate)
+    // render refuses >= 65535 entries (0xffff is the ZIP64 sentinel the
+    // parser rejects, so the u16 EOCD count must stay below it — a
+    // 65535-entry archive would round-trip into a parse failure)
     intercept[IllegalArgumentException] {
-      ZipSource.render((0 to 0xffff).map(i => (s"e$i", Array.empty[Byte])),
+      ZipSource.render((0 until 0xffff).map(i => (s"e$i", Array.empty[Byte])),
         deflate = false)
     }
     // parse refuses ZIP64 sentinel values in the EOCD

@@ -81,7 +81,9 @@ object Avc {
       var zeros = 0
       while (bit() == 0) {
         zeros += 1
-        require(zeros < 32, "exp-Golomb run too long")
+        // zeros == 31 would overflow (1 << 31) to a NEGATIVE value and
+        // feed garbage geometry downstream; cap below it
+        require(zeros <= 30, "exp-Golomb run too long")
       }
       if (zeros == 0) 0 else ((1 << zeros) | bits(zeros)) - 1
     }
@@ -120,7 +122,7 @@ object Avc {
     out.toArray
   }
 
-  private val HighProfiles =
+  private[graft] val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
 
   /** Render a complete SPS NAL (forbidden_zero=0, nal_ref_idc=3, type=7).

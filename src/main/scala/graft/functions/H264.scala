@@ -92,7 +92,9 @@ object H264 {
     }
     def ue(): Int = {
       var zeros = 0
-      while (bit() == 0) { zeros += 1; require(zeros < 32, "exp-Golomb run too long") }
+      // zeros == 31 would overflow (1 << 31) negative; cap below it so a
+      // corrupted field fails loudly instead of yielding a negative value
+      while (bit() == 0) { zeros += 1; require(zeros <= 30, "exp-Golomb run too long") }
       if (zeros == 0) 0 else ((1 << zeros) | bits(zeros)) - 1
     }
     def se(): Int = { val k = ue(); if (k % 2 == 0) -(k / 2) else (k + 1) / 2 }
@@ -550,6 +552,8 @@ object H264 {
     */
   private[graft] def readResidual(r: BitReader, maxCoeffs: Int, nC: Int): (Array[Int], Int) = {
     val (t1, tc) = readCoeffToken(r, nC)
+    require(tc <= maxCoeffs,
+      s"coeff_token TotalCoeff $tc exceeds the block's $maxCoeffs coefficients")
     val out = new Array[Int](maxCoeffs)
     if (tc == 0) return (out, 0)
     val levels = new Array[Int](tc)
@@ -580,6 +584,8 @@ object H264 {
           if (zerosLeft > 0)
             readCode(r, RunBeforeInv(math.min(zerosLeft, 7) - 1))
           else 0
+        require(run <= zerosLeft,
+          s"run_before $run exceeds the $zerosLeft zeros left in the block")
         idx -= 1 + run
         zerosLeft -= run
       }
@@ -1184,13 +1190,14 @@ object H264 {
     * mb_qp_delta-updated) slice QP.
     */
   private def decodeMb(ctx: FrameCtx, r: BitReader, qpIn: Int,
-                       mbX: Int, mbY: Int): Int = {
+                       chromaOff: Int, mbX: Int, mbY: Int): Int = {
     val mbIdx = mbY * ctx.mbW + mbX
     val gw = ctx.mbW * 4
     val cgw = ctx.mbW * 2
     var qp = qpIn
     val mbType = r.ue()
-    require(mbType <= 25, s"mb_type $mbType is not an I-slice intra type")
+    require(mbType >= 0 && mbType <= 25,
+      s"mb_type $mbType is not an I-slice intra type")
 
     def readChroma(cbpChroma: Int, chromaMode: Int, qpc: Int): Unit = {
       val dcs = Array.ofDim[Int](2, 4)
@@ -1257,7 +1264,8 @@ object H264 {
       val cbpLuma = if (enc >= 12) 15 else 0
       val cm = r.ue()
       qp += r.se()
-      val qpc = chromaQp(qp)
+      require(qp >= 0 && qp <= 51, s"mb_qp_delta drove QP to $qp (spec range 0..51)")
+      val qpc = chromaQp(qp + chromaOff)
       val dcScan = readResidual(r, 16, ctx.nCtx(ctx.lumaNz, gw, mbX * 4, mbY * 4))._1
       val ac = Array.fill(16)(new Array[Int](15))
       var z = 0
@@ -1305,7 +1313,8 @@ object H264 {
       val cbpLuma = cbp & 15
       val cbpChroma = cbp >> 4
       if (cbp != 0) qp += r.se()
-      val qpc = chromaQp(qp)
+      require(qp >= 0 && qp <= 51, s"mb_qp_delta drove QP to $qp (spec range 0..51)")
+      val qpc = chromaQp(qp + chromaOff)
       val coeffs = Array.fill(16)(new Array[Int](16))
       var q = 0
       while (q < 4) {
@@ -1374,7 +1383,8 @@ object H264 {
     val r = new BitReader(Avc.unescape(nal.drop(1)))
     r.ue(); r.ue()
     require(r.bit() == 0, "CABAC streams unsupported (CAVLC only)")
-    r.bit()
+    require(r.bit() == 0,
+      "bottom_field_pic_order_in_frame_present unsupported (slice header would carry delta_pic_order_cnt_bottom)")
     require(r.ue() == 0, "slice groups (FMO) unsupported")
     r.ue(); r.ue(); r.bit(); r.bits(2)
     val picInitQp = 26 + r.se()
@@ -1390,8 +1400,8 @@ object H264 {
   private def spsEntropyFields(nal: Array[Byte]): (Int, Int, Int) = {
     val r = new BitReader(Avc.unescape(nal.drop(1)))
     val profile = r.bits(8)
-    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128).contains(profile),
-      s"high-profile SPS (profile $profile) unsupported")
+    require(!Avc.HighProfiles.contains(profile),
+      s"high-profile SPS (profile $profile) unsupported for entropy-field re-read")
     r.bits(16) // constraint flags + level
     r.ue()
     val log2FrameNum = r.ue() + 4
@@ -1492,10 +1502,13 @@ object H264 {
           val s = sps.getOrElse(throw new IllegalArgumentException("IDR before SPS"))
           val p = pps.getOrElse(throw new IllegalArgumentException("IDR before PPS"))
           require(s.frameMbsOnly, "interlace unsupported")
+          // corrupted-SPS guard on the MB counts BEFORE any multiply so
+          // int wrap cannot smuggle a giant allocation past it (1024 MBs
+          // = 16384 px is far beyond any level we write)
+          require(s.widthMbs >= 1 && s.widthMbs <= 1024 &&
+            s.heightMapUnits >= 1 && s.heightMapUnits <= 1024,
+            s"implausible geometry ${s.widthMbs}x${s.heightMapUnits} MBs")
           val w = s.widthMbs * 16; val h = s.heightMapUnits * 16
-          // corrupted-SPS guard: don't let a fuzzed geometry field drive
-          // plane allocation (16k x 16k is far beyond any level we write)
-          require(w <= 16384 && h <= 16384, s"implausible geometry ${w}x$h")
           val r = new BitReader(Avc.unescape(nal.drop(1)))
           require(r.ue() == 0, "multi-slice pictures unsupported")
           val sliceType = r.ue()
@@ -1506,6 +1519,7 @@ object H264 {
           if (entropy._2 == 0) r.bits(entropy._3) // pic_order_cnt_lsb
           r.bit(); r.bit() // dec_ref_pic_marking
           var qp = p.picInitQp + r.se()
+          require(qp >= 0 && qp <= 51, s"slice_qp_delta drove QP to $qp (spec range 0..51)")
           if (p.deblockPresent)
             require(r.ue() == 1, "deblocking filter unsupported (streams here disable it)")
           val ctx = new FrameCtx(w, h)
@@ -1513,7 +1527,7 @@ object H264 {
           while (mbY < ctx.mbH) {
             var mbX = 0
             while (mbX < ctx.mbW) {
-              qp = decodeMb(ctx, r, qp, mbX, mbY)
+              qp = decodeMb(ctx, r, qp, p.chromaQpOff, mbX, mbY)
               mbX += 1
             }
             mbY += 1

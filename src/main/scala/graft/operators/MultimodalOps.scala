@@ -22,6 +22,19 @@ import org.apache.spark.sql.types._
   */
 object MultimodalOps {
 
+  /** The shared ingestion shape every decode operator uses: (id, bytes)
+    * rows typed for a per-row executor-side codec call. One definition so
+    * the payload typing convention lives in one place.
+    */
+  private def typedPayloads(payloads: DataFrame, idCol: String,
+                            payloadCol: String)
+  : Dataset[(Long, Array[Byte])] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+  }
+
   /** Ingest: attach an opaque binary payload column + typed metadata. Stands
     * in for `spark.read.format("binaryFile")` which at 100 TB maps each
     * object-store blob to one row without driver-side listing bottlenecks
@@ -64,8 +77,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val w = graft.functions.Media.decodeWav(bytes)
         val n = w.samples.length
@@ -90,6 +102,19 @@ object MultimodalOps {
         Seq.tabulate(frameLen)(i => math.sin(2.0 * math.Pi * k * i / frameLen)))
     }
 
+  // One twiddle broadcast per (context, frameLen) instead of one per
+  // audioSpectral CALL: repeated invocations on a long-running driver no
+  // longer accumulate BlockManager entries until ContextCleaner GC.
+  private val twiddleBc = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Int),
+    org.apache.spark.broadcast.Broadcast[Seq[(Int, Array[Double], Array[Double])]]]()
+
+  private def twiddleBroadcast(spark: SparkSession, frameLen: Int)
+  : org.apache.spark.broadcast.Broadcast[Seq[(Int, Array[Double], Array[Double])]] =
+    twiddleBc.computeIfAbsent((spark.sparkContext, frameLen), { key =>
+      key._1.broadcast(dftTwiddles(frameLen).map(t => (t._1, t._2.toArray, t._3.toArray)))
+    })
+
   /** Real audio ANALYSIS: per payload, non-overlapping frames of
     * `frameLen` mono PCM samples put through a discrete Fourier transform
     * — per frame the energy, the spectral centroid (Σ k·|X_k| / Σ |X_k|,
@@ -107,10 +132,8 @@ object MultimodalOps {
     val spark = payloads.sparkSession
     import spark.implicits._
     require(frameLen >= 2 && frameLen % 2 == 0, s"frameLen $frameLen")
-    val bc = spark.sparkContext.broadcast(
-      dftTwiddles(frameLen).map(t => (t._1, t._2.toArray, t._3.toArray)))
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    val bc = twiddleBroadcast(spark, frameLen)
+    typedPayloads(payloads, idCol, payloadCol)
       .flatMap { case (id, bytes) =>
         val w = graft.functions.Media.decodeWav(bytes)
         require(w.channels == 1, s"audioSpectral expects mono, got ${w.channels}")
@@ -148,8 +171,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodeBmp(bytes)
         val n = m.pixels.length.toDouble
@@ -181,8 +203,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodeBmp(bytes)
         require(m.width % 8 == 0 && m.height % 8 == 0,
@@ -220,8 +241,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodePng(bytes)
         (id, m.width, m.height, m.channels,
@@ -241,8 +261,7 @@ object MultimodalOps {
                    payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodeJpeg(bytes)
         (id, m.width, m.height, m.channels, m.channelMean(0),
@@ -267,8 +286,7 @@ object MultimodalOps {
     require(factor >= 1, s"factor $factor")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodeBmp(bytes)
         require(m.width % factor == 0 && m.height % factor == 0,
@@ -304,8 +322,7 @@ object MultimodalOps {
     require(factor >= 1, s"factor $factor")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val w = graft.functions.Media.decodeWav(bytes)
         val frames = w.samples.length / w.channels
@@ -349,8 +366,7 @@ object MultimodalOps {
     require(targetPeak > 0 && targetPeak <= 32767, s"targetPeak $targetPeak")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val w = graft.functions.Media.decodeWav(bytes)
         val peak = w.samples.foldLeft(0)((m, s) => math.max(m, math.abs(s)))
@@ -375,8 +391,7 @@ object MultimodalOps {
     require(Set("flip_h", "flip_v", "rot90")(op), s"unknown op '$op'")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .map { case (id, bytes) =>
         val m = graft.functions.Media.decodeBmp(bytes)
         val (w, h) = (m.width, m.height)
@@ -410,8 +425,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .flatMap { case (id, bytes) =>
         val m = graft.functions.Gif.decode(bytes)
         m.frames.zipWithIndex.map { case (f, fi) =>
@@ -438,15 +452,14 @@ object MultimodalOps {
     * with the metadata a video curation pipeline gates on (codec,
     * dimensions, duration, sample/keyframe/chunk census). The box walk is
     * pure JVM (`functions/Mp4`), one parse per row on executors, no
-    * shuffle; only the codec payload inside the samples remains stubbed
-    * (`decodeStub`).
+    * shuffle; the codec payload inside the samples pixel-decodes through
+    * [[videoFrames]] when it is a CAVLC baseline H.264 stream.
     */
   def mp4Meta(payloads: DataFrame, idCol: String,
               payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .flatMap { case (id, bytes) =>
         val m = graft.functions.Mp4.parse(bytes)
         m.tracks.map(t => (id, m.brand, m.timescale, m.duration,
@@ -473,8 +486,7 @@ object MultimodalOps {
                   payloadCol: String = "payload"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    typedPayloads(payloads, idCol, payloadCol)
       .flatMap { case (id, bytes) =>
         graft.functions.H264.decode(bytes).zipWithIndex.map { case (f, i) =>
           (id, i, f.w, f.h,

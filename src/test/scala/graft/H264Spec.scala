@@ -230,6 +230,32 @@ class H264Spec extends AnyFunSuite {
     }
   }
 
+  test("targeted adversarial vectors hit the decode guards, not allocations") {
+    // giant-geometry SPS: MB counts validated BEFORE any multiply, so an
+    // int-wrapping width cannot smuggle a huge plane allocation through
+    val bigSps = Avc.renderSps(Avc.Sps(66, 20, 1 << 20, 2, frameMbsOnly = true, 0, 0, 0, 0))
+    val pps = H264.renderPps()
+    val sc = Array[Byte](0, 0, 0, 1)
+    val idrStub = Array[Byte](0x65.toByte, 0x88.toByte, 0x80.toByte)
+    val e1 = intercept[IllegalArgumentException](
+      H264.decode(sc ++ bigSps ++ sc ++ pps ++ sc ++ idrStub))
+    assert(e1.getMessage.contains("implausible geometry"), e1.getMessage)
+    // out-of-range slice QP fails with the spec-range message rather than
+    // a negative array index in the dequant tables
+    val src = gradientFrame(16, 16, 33)
+    val (good, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => H264.MbI16(2))
+    val nals = H264.splitNals(good)
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0); w.bits(0, 4); w.ue(0); w.bits(0, 4)
+    w.bit(0); w.bit(0)
+    w.se(-40) // qp = 26 - 40 < 0
+    w.ue(1)
+    val badSlice = (0x65.toByte +: Avc.escape(w.close())).toArray
+    val stream = sc ++ nals(0) ++ sc ++ nals(1) ++ sc ++ badSlice
+    val e2 = intercept[IllegalArgumentException](H264.decode(stream))
+    assert(e2.getMessage.contains("spec range 0..51"), e2.getMessage)
+  }
+
   test("unsupported features fail loudly") {
     val src = gradientFrame(32, 32, 9)
     val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))

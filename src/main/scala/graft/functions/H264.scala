@@ -171,8 +171,10 @@ object H264 {
   // offline. The code stays a valid prefix code (asserted below), encode
   // and decode share the table, and the spec tests pin round-trips over
   // every symbol — so streams produced and consumed by this codec are
-  // fully self-consistent; only cross-decoder interop of >=7-coefficient
-  // blocks in the nC∈[2,4) context would notice.
+  // fully self-consistent. Because a FOREIGN stream reaching these
+  // contexts would decode silently wrong, the decoder only accepts the
+  // stand-in codes when the stream carries this codec's provenance SEI
+  // (SelfMarkerUuid) and raises a descriptive error otherwise.
   private val CoeffTok1: Map[(Int, Int), Code] = {
     val head = Map(
       (0, 0) -> c("11"),
@@ -192,6 +194,29 @@ object H264 {
     } yield (t1, tc)
     head ++ rest.zipWithIndex.map { case (sym, i) => sym -> ((13, 63 - i)) }
   }
+
+  /** The nC∈[2,4) coeff_token symbols whose codewords are the canonical
+    * stand-in block above rather than Table 9-5's real bit patterns. A
+    * spec-conformant FOREIGN stream reaching one of these contexts would
+    * decode to wrong symbols silently, so [[decode]] only accepts them on
+    * streams carrying this codec's SEI provenance marker (see
+    * [[SelfMarkerUuid]]) and raises a descriptive error otherwise.
+    */
+  private val CoeffTok1TailSyms: Set[(Int, Int)] = {
+    val syms = for {
+      tc <- 7 to 16
+      t1 <- 0 to math.min(3, tc)
+    } yield (t1, tc)
+    syms.toSet -- Set((1, 7), (2, 7), (3, 7), (3, 8), (3, 9))
+  }
+
+  /** user_data_unregistered UUID stamped into an SEI NAL by
+    * [[encodeStream]] so [[decode]] can tell its own streams (where the
+    * canonical CoeffTok1 tail block is the agreed code) from foreign
+    * spec-conformant streams (where it is not).
+    */
+  private[graft] val SelfMarkerUuid: Array[Byte] =
+    "graft-h264-intra".getBytes("US-ASCII") // exactly 16 bytes
 
   private val CoeffTok2: Map[(Int, Int), Code] = Map( // 4 <= nC < 8
     (0, 0) -> c("1111"),
@@ -460,11 +485,25 @@ object H264 {
     if (nC >= 8) w.bits(if (tc == 0) 3 else ((tc - 1) << 2) | t1, 6)
     else writeCode(w, coeffTokenTable(nC)((t1, tc)))
 
-  private def readCoeffToken(r: BitReader, nC: Int): (Int, Int) =
+  private def readCoeffToken(r: BitReader, nC: Int,
+                             allowTok1Tail: Boolean = true): (Int, Int) =
     if (nC >= 8) {
       val v = r.bits(6)
-      if (v == 3) (0, 0) else (v & 3, (v >> 2) + 1)
-    } else readCode(r, CoeffTokInv(if (nC == -1) -1 else if (nC < 2) 0 else if (nC < 4) 2 else 4))
+      val sym = if (v == 3) (0, 0) else (v & 3, (v >> 2) + 1)
+      require(sym._1 <= sym._2,
+        s"corrupt coeff_token FLC: TrailingOnes ${sym._1} > TotalCoeff ${sym._2}")
+      sym
+    } else {
+      val tableKey = if (nC == -1) -1 else if (nC < 2) 0 else if (nC < 4) 2 else 4
+      val sym = readCode(r, CoeffTokInv(tableKey))
+      if (tableKey == 2 && !allowTok1Tail && CoeffTok1TailSyms(sym))
+        throw new IllegalArgumentException(
+          s"coeff_token (TrailingOnes ${sym._1}, TotalCoeff ${sym._2}) in the " +
+            "2<=nC<4 context uses this codec's stand-in tail codes, but the " +
+            "stream carries no graft provenance SEI: a foreign Table 9-5 " +
+            "stream would decode these contexts incorrectly, so they are rejected")
+      sym
+    }
 
   /** Encode one level's levelCode with the running suffixLength (§9.2.2.1
     * inverted, JM writeSyntaxElement_Level form). Levels needing the
@@ -550,8 +589,9 @@ object H264 {
   /** Decode a residual block into scan-order coefficients of length
     * `maxCoeffs`; returns (coeffs, totalCoeff).
     */
-  private[graft] def readResidual(r: BitReader, maxCoeffs: Int, nC: Int): (Array[Int], Int) = {
-    val (t1, tc) = readCoeffToken(r, nC)
+  private[graft] def readResidual(r: BitReader, maxCoeffs: Int, nC: Int,
+                                  allowTok1Tail: Boolean = true): (Array[Int], Int) = {
+    val (t1, tc) = readCoeffToken(r, nC, allowTok1Tail)
     require(tc <= maxCoeffs,
       s"coeff_token TotalCoeff $tc exceeds the block's $maxCoeffs coefficients")
     val out = new Array[Int](maxCoeffs)
@@ -1190,7 +1230,8 @@ object H264 {
     * mb_qp_delta-updated) slice QP.
     */
   private def decodeMb(ctx: FrameCtx, r: BitReader, qpIn: Int,
-                       chromaOff: Int, mbX: Int, mbY: Int): Int = {
+                       chromaOff: Int, mbX: Int, mbY: Int,
+                       allowTok1Tail: Boolean = true): Int = {
     val mbIdx = mbY * ctx.mbW + mbX
     val gw = ctx.mbW * 4
     val cgw = ctx.mbW * 2
@@ -1203,7 +1244,7 @@ object H264 {
       val dcs = Array.ofDim[Int](2, 4)
       if (cbpChroma > 0) {
         var ci = 0
-        while (ci < 2) { dcs(ci) = readResidual(r, 4, -1)._1; ci += 1 }
+        while (ci < 2) { dcs(ci) = readResidual(r, 4, -1, allowTok1Tail)._1; ci += 1 }
       }
       val grids = Seq(ctx.cbNz, ctx.crNz)
       val planes = Seq(ctx.cb, ctx.cr)
@@ -1216,7 +1257,7 @@ object H264 {
           var tc = 0
           if (cbpChroma == 2) {
             val nC = ctx.nCtx(grids(ci), cgw, bx, by)
-            val (cf, t) = readResidual(r, 15, nC)
+            val (cf, t) = readResidual(r, 15, nC, allowTok1Tail)
             ac(b) = cf; tc = t
           }
           grids(ci)(by * cgw + bx) = tc
@@ -1266,7 +1307,8 @@ object H264 {
       qp += r.se()
       require(qp >= 0 && qp <= 51, s"mb_qp_delta drove QP to $qp (spec range 0..51)")
       val qpc = chromaQp(qp + chromaOff)
-      val dcScan = readResidual(r, 16, ctx.nCtx(ctx.lumaNz, gw, mbX * 4, mbY * 4))._1
+      val dcScan = readResidual(r, 16,
+        ctx.nCtx(ctx.lumaNz, gw, mbX * 4, mbY * 4), allowTok1Tail)._1
       val ac = Array.fill(16)(new Array[Int](15))
       var z = 0
       while (z < 16) {
@@ -1274,7 +1316,7 @@ object H264 {
         var tc = 0
         if (cbpLuma == 15) {
           val (cf, t) = readResidual(r, 15,
-            ctx.nCtx(ctx.lumaNz, gw, mbX * 4 + bx, mbY * 4 + by))
+            ctx.nCtx(ctx.lumaNz, gw, mbX * 4 + bx, mbY * 4 + by), allowTok1Tail)
           ac(z) = cf; tc = t
         }
         ctx.lumaNz((mbY * 4 + by) * gw + mbX * 4 + bx) = tc
@@ -1325,7 +1367,7 @@ object H264 {
           var tc = 0
           if ((cbpLuma & (1 << q)) != 0) {
             val (cf, t) = readResidual(r, 16,
-              ctx.nCtx(ctx.lumaNz, gw, mbX * 4 + bx, mbY * 4 + by))
+              ctx.nCtx(ctx.lumaNz, gw, mbX * 4 + bx, mbY * 4 + by), allowTok1Tail)
             coeffs(z2) = cf; tc = t
           }
           ctx.lumaNz((mbY * 4 + by) * gw + mbX * 4 + bx) = tc
@@ -1456,12 +1498,47 @@ object H264 {
     val out = ArrayBuffer.empty[Byte]
     out ++= StartCode; out ++= sps
     out ++= StartCode; out ++= pps
+    out ++= StartCode; out ++= renderSelfMarkerSei()
     val recons = frames.zipWithIndex.map { case (f, i) =>
       val (nal, recon) = encodeFrame(f, qp, i % 16, modeFor(i, _, _))
       out ++= StartCode; out ++= nal
       recon
     }
     (out.toArray, recons)
+  }
+
+  /** SEI NAL (type 6) carrying one user_data_unregistered payload
+    * (payloadType 5) whose UUID is [[SelfMarkerUuid]] — the provenance
+    * marker that tells [[decode]] the canonical CoeffTok1 tail codes are
+    * in effect. Foreign decoders skip it as ordinary opaque user data.
+    */
+  private[graft] def renderSelfMarkerSei(): Array[Byte] = {
+    val payload = Array[Byte](5, 16) ++ SelfMarkerUuid // type, size, uuid
+    (0x06.toByte +: Avc.escape(payload :+ 0x80.toByte)).toArray
+  }
+
+  /** True iff an SEI NAL carries a user_data_unregistered payload with
+    * [[SelfMarkerUuid]]. Tolerant: any malformed SEI is simply not ours.
+    */
+  private def isSelfMarkerSei(nal: Array[Byte]): Boolean = {
+    val rbsp = Avc.unescape(nal.drop(1))
+    var i = 0
+    // walk the SEI message list (ff-extension for type/size per §7.3.2.3.1)
+    while (i + 1 < rbsp.length && (rbsp(i) & 0xff) != 0x80) {
+      var t = 0
+      while (i < rbsp.length && (rbsp(i) & 0xff) == 255) { t += 255; i += 1 }
+      if (i >= rbsp.length) return false
+      t += rbsp(i) & 0xff; i += 1
+      var sz = 0
+      while (i < rbsp.length && (rbsp(i) & 0xff) == 255) { sz += 255; i += 1 }
+      if (i >= rbsp.length) return false
+      sz += rbsp(i) & 0xff; i += 1
+      if (i + sz > rbsp.length) return false
+      if (t == 5 && sz == 16 &&
+        rbsp.slice(i, i + 16).sameElements(SelfMarkerUuid)) return true
+      i += sz
+    }
+    false
   }
 
   /** Split an Annex-B byte stream into NAL units (3- or 4-byte start
@@ -1491,6 +1568,7 @@ object H264 {
     var sps: Option[Avc.Sps] = None
     var entropy: (Int, Int, Int) = (4, 0, 4)
     var pps: Option[PpsInfo] = None
+    var selfProduced = false
     val frames = ArrayBuffer.empty[Yuv]
     splitNals(annexB).foreach { nal =>
       (nal(0) & 0x1f) match {
@@ -1498,6 +1576,7 @@ object H264 {
           sps = Some(Avc.parseSps(nal))
           entropy = spsEntropyFields(nal)
         case 8 => pps = Some(parsePpsInfo(nal))
+        case 6 => if (isSelfMarkerSei(nal)) selfProduced = true
         case 5 =>
           val s = sps.getOrElse(throw new IllegalArgumentException("IDR before SPS"))
           val p = pps.getOrElse(throw new IllegalArgumentException("IDR before PPS"))
@@ -1527,7 +1606,8 @@ object H264 {
           while (mbY < ctx.mbH) {
             var mbX = 0
             while (mbX < ctx.mbW) {
-              qp = decodeMb(ctx, r, qp, p.chromaQpOff, mbX, mbY)
+              qp = decodeMb(ctx, r, qp, p.chromaQpOff, mbX, mbY,
+                allowTok1Tail = selfProduced)
               mbX += 1
             }
             mbY += 1

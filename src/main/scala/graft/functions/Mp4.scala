@@ -6,9 +6,9 @@ import java.io.ByteArrayOutputStream
   * writer for synthesizing fixtures and a parser extracting the real
   * track-level metadata a video curation pipeline filters on — codec
   * fourcc, dimensions, duration, sample geometry, keyframe census, chunk
-  * layout. The *codec payloads* (H.264 etc.) stay out of scope — that is
-  * the one remaining stub in `MultimodalOps.decodeStub` — but everything
-  * container-level (`ftyp`/`moov`/`mvhd`/`trak`/`tkhd`/`mdia`/`mdhd`/
+  * layout. The *codec payloads* are decoded separately — CAVLC baseline
+  * intra H.264 by [[graft.functions.H264]], surfaced through
+  * `MultimodalOps.videoFrames` — while everything container-level (`ftyp`/`moov`/`mvhd`/`trak`/`tkhd`/`mdia`/`mdhd`/
   * `hdlr`/`stbl`/`stsd`/`stts`/`stsc`/`stsz`/`stco`+`co64`/`stss`) parses
   * for real, both 32-bit (version 0) and 64-bit (version 1) header
   * variants. Reference behavior: the curator treats video as opaque

@@ -110,10 +110,14 @@ object MultimodalOps {
     org.apache.spark.broadcast.Broadcast[Seq[(Int, Array[Double], Array[Double])]]]()
 
   private def twiddleBroadcast(spark: SparkSession, frameLen: Int)
-  : org.apache.spark.broadcast.Broadcast[Seq[(Int, Array[Double], Array[Double])]] =
+  : org.apache.spark.broadcast.Broadcast[Seq[(Int, Array[Double], Array[Double])]] = {
+    // JVMs that cycle sessions (test suites, notebooks) would otherwise
+    // accumulate dead Broadcast handles keyed by stopped contexts forever
+    twiddleBc.keySet.removeIf(_._1.isStopped)
     twiddleBc.computeIfAbsent((spark.sparkContext, frameLen), { key =>
       key._1.broadcast(dftTwiddles(frameLen).map(t => (t._1, t._2.toArray, t._3.toArray)))
     })
+  }
 
   /** Real audio ANALYSIS: per payload, non-overlapping frames of
     * `frameLen` mono PCM samples put through a discrete Fourier transform
@@ -481,6 +485,12 @@ object MultimodalOps {
     * oracle can pin the whole decode arithmetic (q_video_frames). Pure
     * JVM per-row decode on executors, no shuffle — at 100 TB this is a
     * scan-tier map over binary columns, exactly like the image codecs.
+    *
+    * Known limitation: the Table 9-5 coeff_token tail (TotalCoeff ≥ 7 in
+    * the 2 ≤ nC < 4 context) uses stand-in codewords. Streams produced by
+    * [[graft.functions.H264.encodeStream]] carry a provenance SEI and
+    * decode exactly; a FOREIGN baseline stream reaching those contexts is
+    * rejected with a descriptive error instead of decoding wrong.
     */
   def videoFrames(payloads: DataFrame, idCol: String,
                   payloadCol: String = "payload"): DataFrame = {

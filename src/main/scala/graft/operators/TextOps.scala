@@ -432,12 +432,18 @@ object TextOps {
     * is the pluggable part (production scores come from the SentencePiece
     * EM loop — any integer-scaled log-prob table drops in). Single-char
     * pieces are n-grams too, so coverage is total by construction.
-    * Driver-side collect is vocabulary-bounded (the trainBpe contract);
-    * at open-vocabulary scale, cap to the top-K pieces by score the same
-    * way production vocabs do.
+    *
+    * `minFreq` is the scale valve (the same cut [[wordpieceVocab]] has):
+    * piece counts aggregate DISTRIBUTED (partial+final groupBy) and only
+    * multi-char pieces occurring in ≥ minFreq distinct words reach the
+    * driver, so the collect is bounded by the retained vocabulary, not
+    * the unbounded distinct-word count of a web corpus. Single-char
+    * pieces are ALWAYS kept regardless of frequency — SentencePiece's
+    * own character-coverage rule — so Viterbi coverage stays total under
+    * any cutoff. `minFreq = 1` is exactly the uncut census.
     */
-  def unigramVocab(df: DataFrame, textCol: String, maxN: Int = 4)
-  : Seq[(String, Long)] = {
+  def unigramVocab(df: DataFrame, textCol: String, maxN: Int = 4,
+                   minFreq: Long = 1L): Seq[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     def ilog2(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
@@ -448,7 +454,10 @@ object TextOps {
         for (i <- 0 until w.length; n <- 1 to maxN if i + n <= w.length)
           yield w.substring(i, i + n)
       }
-      .groupByKey(identity).count()
+      .toDF("piece")
+      .groupBy("piece").agg(count(lit(1)).as("freq"))
+      .filter(length(col("piece")) === 1 || col("freq") >= minFreq)
+      .as[(String, Long)]
       .collect()
       .map { case (p, c) => (p, p.length.toLong * p.length + ilog2(c)) }
       .sortBy(_._1).toSeq

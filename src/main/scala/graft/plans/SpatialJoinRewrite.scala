@@ -229,11 +229,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     // exploding the job. (RaiseError types as NullType; the Cast to Long
     // never materializes because evaluation throws first.)
     val cap = maxBoxCells
-    val cells = Multiply(
-      Add(Subtract(cellOf(xmax, cs), cellOf(xmin, cs)), Literal(1L)),
-      Add(Subtract(cellOf(ymax, cs), cellOf(ymin, cs)), Literal(1L)))
+    // guard each axis extent against the cap BEFORE multiplying: a
+    // degenerate box spanning ~2^32+ cells per axis would wrap the Long
+    // product and sneak past a product-only check, surfacing as
+    // Sequence's opaque huge-array error instead of this message
+    val dxCells = Add(Subtract(cellOf(xmax, cs), cellOf(xmin, cs)), Literal(1L))
+    val dyCells = Add(Subtract(cellOf(ymax, cs), cellOf(ymin, cs)), Literal(1L))
+    val overCap = Or(
+      Or(GreaterThan(dxCells, Literal(cap)), GreaterThan(dyCells, Literal(cap))),
+      GreaterThan(Multiply(dxCells, dyCells), Literal(cap)))
     def guarded(hi: Expression): Expression =
-      If(GreaterThan(cells, Literal(cap)),
+      If(overCap,
         Cast(new RaiseError(Literal(
           s"SpatialJoinRewrite: a bbox covers more than $cap grid cells; " +
             "raise spark.graft.spatial.bboxCellSize (cell width) or " +

@@ -208,4 +208,24 @@ class BpeSpec extends SparkSpec {
     val v = TextOps.unigramVocab(Seq("aa aa ab").toDF("text"), "text").toMap
     assert(v == Map("a" -> 2L, "b" -> 1L, "aa" -> 4L, "ab" -> 4L), v.toString)
   }
+
+  test("unigramVocab minFreq: distributed cutoff, single-char pieces immune") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.TextOps
+    val docs = Seq("aa aa ab").toDF("text")
+    // minFreq = 1 IS the uncut census
+    assert(TextOps.unigramVocab(docs, "text", maxN = 4, minFreq = 1L) ==
+      TextOps.unigramVocab(docs, "text"))
+    // distinct words {aa, ab} → piece counts a:3, b:1, aa:1, ab:1; the
+    // ≥2 floor drops both rare 2-grams but 1-grams stay (SentencePiece's
+    // character-coverage rule keeps Viterbi total under any cutoff)
+    val cut = TextOps.unigramVocab(docs, "text", maxN = 4, minFreq = 2L).toMap
+    assert(cut == Map("a" -> 2L, "b" -> 1L), cut.toString)
+    // a fixture where every piece clears the floor (2-grams ab, bc each
+    // appear in two distinct words): cut ≡ uncut
+    val dense = Seq("ab abc bc").toDF("text")
+    assert(TextOps.unigramVocab(dense, "text", maxN = 2, minFreq = 2L) ==
+      TextOps.unigramVocab(dense, "text", maxN = 2), "cutoff != uncut")
+  }
 }

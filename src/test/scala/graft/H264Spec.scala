@@ -256,6 +256,83 @@ class H264Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("spec range 0..51"), e2.getMessage)
   }
 
+  // ------------------------------------- provenance / corrupt-token guards
+
+  test("FLC coeff_token with TrailingOnes > TotalCoeff fails descriptively") {
+    // 6-bit FLC v=7 decodes to (t1=3, tc=2) — only a corrupt stream can
+    // carry it; the guard must name the corruption, not index out of bounds
+    val w = new BitWriter
+    w.bits(7, 6); w.bit(1)
+    val e = intercept[IllegalArgumentException](
+      H264.readResidual(new BitReader(w.close()), 15, 8))
+    assert(e.getMessage.contains("corrupt coeff_token FLC"), e.getMessage)
+  }
+
+  test("CoeffTok1 stand-in tail codes are rejected without provenance") {
+    // tc=8, t1=0 in the 2<=nC<4 context sits in the stand-in tail block:
+    // self-consistent round-trip with the default flag, descriptive
+    // rejection with allowTok1Tail=false (the foreign-stream stance)
+    val coeffs = new Array[Int](16)
+    for (i <- 0 until 8) coeffs(i) = 7 // non-±1 so t1=0
+    val w = new BitWriter
+    H264.writeResidual(w, coeffs, 2)
+    w.bit(1)
+    val bytes = w.close()
+    val (back, _) = H264.readResidual(new BitReader(bytes), 16, 2)
+    assert(back.toSeq == coeffs.toSeq)
+    val e = intercept[IllegalArgumentException](
+      H264.readResidual(new BitReader(bytes), 16, 2, allowTok1Tail = false))
+    assert(e.getMessage.contains("provenance"), e.getMessage)
+    // head symbols stay accepted on foreign streams: tc=3 is real Table 9-5
+    val head = new Array[Int](16); head(0) = 5; head(1) = 4; head(2) = 3
+    val w2 = new BitWriter
+    H264.writeResidual(w2, head, 2)
+    w2.bit(1)
+    val (h2, _) = H264.readResidual(new BitReader(w2.close()), 16, 2,
+      allowTok1Tail = false)
+    assert(h2.toSeq == head.toSeq)
+  }
+
+  test("encodeStream stamps the provenance SEI; streams decode through it") {
+    val src = gradientFrame(32, 32, 4)
+    val (bytes, recons) = H264.encodeStream(Seq(src), 20, (_, _, _) => MbI16(2))
+    val nals = H264.splitNals(bytes)
+    val seis = nals.filter(n => (n(0) & 0x1f) == 6)
+    assert(seis.nonEmpty, "no SEI NAL in encoded stream")
+    assert(seis.exists(_.sameElements(H264.renderSelfMarkerSei())))
+    assert(H264.decode(bytes).head.y.toSeq == recons.head.y.toSeq)
+    // a flat frame has no residual blocks in the tail contexts, so the
+    // SEI-stripped (foreign-looking) stream still decodes identically
+    val flat = Yuv(16, 16, Array.fill(256)(128), Array.fill(64)(128), Array.fill(64)(128))
+    val (fb, frec) = H264.encodeStream(Seq(flat), 28, (_, _, _) => MbI16(2))
+    val sc = Array[Byte](0, 0, 0, 1)
+    val stripped = H264.splitNals(fb).filter(n => (n(0) & 0x1f) != 6)
+      .flatMap(n => sc ++ n).toArray
+    assert(H264.decode(stripped).head.y.toSeq == frec.head.y.toSeq)
+  }
+
+  test("a tail-coded stream with the SEI stripped fails loudly, not wrongly") {
+    // a flat/mild/wild 4x4-block amplitude checkerboard gives dense
+    // blocks sparse neighbors — TotalCoeff >= 7 inside the nC∈[2,4)
+    // context (verified: this seed/qp hits the stand-in tail); without
+    // the provenance marker those codes must raise rather than silently
+    // mis-decode a would-be foreign stream
+    val r = rng(6)
+    val y = Array.tabulate(32 * 32) { i =>
+      val bx = (i % 32) / 4; val by = (i / 32) / 4
+      val a = (bx + by) % 3 match { case 0 => 0; case 1 => 4; case _ => 120 }
+      math.max(0, math.min(255, 128 + (if (a == 0) 0 else r() % (2 * a + 1) - a)))
+    }
+    val noise = Yuv(32, 32, y, Array.fill(16 * 16)(128), Array.fill(16 * 16)(128))
+    val (nb, nrec) = H264.encodeStream(Seq(noise), 16, (_, _, _) => MbI16(2))
+    assert(H264.decode(nb).head.y.toSeq == nrec.head.y.toSeq) // marked: fine
+    val sc = Array[Byte](0, 0, 0, 1)
+    val stripped = H264.splitNals(nb).filter(n => (n(0) & 0x1f) != 6)
+      .flatMap(n => sc ++ n).toArray
+    val e = intercept[IllegalArgumentException](H264.decode(stripped))
+    assert(e.getMessage.contains("provenance"), e.getMessage)
+  }
+
   test("unsupported features fail loudly") {
     val src = gradientFrame(32, 32, 9)
     val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))

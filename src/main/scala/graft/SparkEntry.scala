@@ -209,6 +209,7 @@ object SparkEntry {
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
     "q_ledger_summary" -> (qLedgerSummary _),
     "q_ledger_detail" -> (qLedgerDetail _),
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
@@ -1079,6 +1080,52 @@ object SparkEntry {
       .withColumn("registry_sources", lit(reg.sourceNames.mkString(",")))
       .withColumn("registry_filters", lit(reg.filterNames.mkString(",")))
       .orderBy("idx")
+  }
+
+  /** §2.5 end-to-end composition gate: the ACTUAL Pipeline builder drives
+    * source → FieldSelectFilter → PrecisionFilter → per-index stats into a
+    * parquet artifact through Runner's ledger (run 1 executes and writes;
+    * run 2 resumes to a full skip, leaving the artifact untouched). The
+    * emitted rows are read back from the SINK ARTIFACT, not the in-session
+    * DataFrame — proving the §2.2/2.3 operators compose through the public
+    * API and the resume contract holds around a real sink (reference
+    * `run/__init__.py:169-315` driving the `core/base.py:448-502` chain).
+    */
+  private def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_pipe_e2e", dir)
+    val artDir = s"$ledgerDir/artifact"
+    val pipe = graft.core.Pipeline(
+      graft.core.PSource("lineitem_by_mod8", Map("table" -> "lineitem", "mod" -> "8"),
+        sp => Tables.lineitem(sp, dir).withColumn("idx", col("l_orderkey") % 8)),
+      Vector(
+        graft.core.PFilter("field_select",
+          Map("include" -> "l_returnflag,l_quantity,l_extendedprice"),
+          df => graft.operators.FieldOps.fieldSelect(df, keep = Seq("idx"),
+            include = Seq("l_returnflag", "l_quantity", "l_extendedprice"))),
+        graft.core.PFilter("precision_f32", Map("target" -> "float"),
+          df => graft.operators.FieldOps.precisionCast(df)),
+        graft.core.PFilter("stats_by_idx_flag", Map("groups" -> "idx,l_returnflag"),
+          df => df.groupBy(col("idx"), col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("l_quantity").cast("double")).as("sum_qty"),
+              min(col("l_extendedprice")).as("min_price"),
+              max(col("l_extendedprice")).as("max_price"),
+              avg(col("l_extendedprice").cast("double")).as("avg_price")))),
+      Some(graft.core.PSink("parquet_artifact", Map("path" -> "artifact"),
+        df => { df.write.mode("overwrite").parquet(artDir); Seq(artDir) })))
+    val r1 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val r2 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    s.read.parquet(artDir)
+      .select(col("idx"), col("l_returnflag").as("return_flag"),
+        col("n_rows"),
+        rnd("sum_qty", 4).as("sum_qty"),
+        col("min_price"), col("max_price"),
+        rnd("avg_price", 4).as("avg_price"))
+      .withColumn("run1_executed", lit(r1.nExecuted))
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .withColumn("run2_skipped", lit(r2.nSkipped))
+      .withColumn("artifact_written", lit(if (r1.writtenPaths.nonEmpty) 1 else 0))
+      .orderBy("idx", "return_flag")
   }
 
   /** Quality gate over `qualityFeatures`: thresholds compare exact rationals
@@ -7085,6 +7132,20 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS run2_skipped
          |FROM i""".stripMargin
     },
+
+    "q_pipeline_e2e" ->
+      """SELECT CAST(l_orderkey % 8 AS BIGINT) AS idx,
+        |  l_returnflag AS return_flag,
+        |  count(*) AS n_rows,
+        |  round(sum(CAST(CAST(l_quantity AS REAL) AS DOUBLE)) + 1e-9, 4) AS sum_qty,
+        |  min(CAST(l_extendedprice AS REAL)) AS min_price,
+        |  max(CAST(l_extendedprice AS REAL)) AS max_price,
+        |  round(avg(CAST(CAST(l_extendedprice AS REAL) AS DOUBLE)) + 1e-9, 4) AS avg_price,
+        |  CAST(8 AS BIGINT) AS run1_executed,
+        |  CAST(0 AS BIGINT) AS run2_executed,
+        |  CAST(8 AS BIGINT) AS run2_skipped,
+        |  1 AS artifact_written
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_aselmdb_roundtrip" ->
       """SELECT vec_id AS sys_id,

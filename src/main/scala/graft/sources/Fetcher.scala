@@ -127,8 +127,23 @@ class HttpFetcher extends Fetcher {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .take(12).map(b => f"$b%02x").mkString
 
-  /** Stage `(uri, relativePath)` entries under one cached root. */
-  def stage(manifest: Seq[(String, String)]): String = {
+  private def sha256Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Stage `(uri, relativePath)` entries under one cached root.
+    *
+    * `checksums` maps relative paths to expected SHA-256 hex digests
+    * (the reference validates its downloads the same way —
+    * `ahmedml.py:296-303` skips only verified-complete files). For
+    * checksummed entries a cache hit re-verifies the staged bytes and a
+    * corrupted file is re-fetched; a download whose bytes do not match
+    * the declared digest fails loudly (server-side corruption must not
+    * be cached as truth). Entries without a checksum keep the cheap
+    * skip-if-staged behavior.
+    */
+  def stage(manifest: Seq[(String, String)],
+            checksums: Map[String, String] = Map.empty): String = {
     require(manifest.nonEmpty, "empty fetch manifest")
     manifest.foreach { case (_, rel) =>
       require(!rel.startsWith("/") && !rel.split('/').contains(".."),
@@ -138,14 +153,29 @@ class HttpFetcher extends Fetcher {
       .mkString("\n"))
     val root = cacheRoot(key)
     val done = root.resolve("_STAGED")
-    if (!Files.exists(done)) {
-      manifest.foreach { case (uri, rel) =>
-        val target = root.resolve(rel)
+    val allStaged = Files.exists(done)
+    manifest.foreach { case (uri, rel) =>
+      val target = root.resolve(rel)
+      val expect = checksums.get(rel).map(_.toLowerCase(java.util.Locale.ROOT))
+      val cachedOk =
+        if (!Files.exists(target)) false
+        else expect match {
+          case Some(h) => sha256Hex(Files.readAllBytes(target)) == h
+          case None    => allStaged
+        }
+      if (!cachedOk) {
+        val bytes = get(uri)
+        expect.foreach { h =>
+          val got = sha256Hex(bytes)
+          require(got == h,
+            s"checksum mismatch for $uri: expected sha256 $h, got $got — " +
+              "refusing to cache corrupt bytes")
+        }
         Files.createDirectories(target.getParent)
-        Files.write(target, get(uri))
+        Files.write(target, bytes)
       }
-      Files.write(done, Array.emptyByteArray)
     }
+    if (!allStaged) Files.write(done, Array.emptyByteArray)
     root.toString
   }
 

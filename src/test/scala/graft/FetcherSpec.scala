@@ -89,6 +89,50 @@ class FetcherSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("checksummed staging: verify on download, re-verify cache hits, " +
+    "re-fetch corrupted files, refuse corrupt servers") {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val body = "cd,lift-z\n0.75,3.5\n"
+    server.createContext("/", { ex =>
+      hits.incrementAndGet()
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val http = new HttpFetcher
+      val goodSum = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val manifest = Seq((s"$base/csum/a.csv", "csum/a.csv"))
+      val sums = Map("csum/a.csv" -> goodSum)
+      val root = http.stage(manifest, sums)
+      val target = java.nio.file.Paths.get(root, "csum", "a.csv")
+      assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == body)
+      assert(hits.get() == 1)
+      // verified cache hit: re-staging re-checks bytes, no new request
+      assert(http.stage(manifest, sums) == root)
+      assert(hits.get() == 1, "verified cache hit must not re-download")
+      // corrupt the staged file: the checksum catches it and re-fetches
+      java.nio.file.Files.write(target, "tampered".getBytes("UTF-8"))
+      assert(http.stage(manifest, sums) == root)
+      assert(hits.get() == 2, "corrupted staged file must re-fetch")
+      assert(new String(java.nio.file.Files.readAllBytes(target), "UTF-8") == body,
+        "re-fetch must repair the staged bytes")
+      // a server returning bytes that don't match the declared digest
+      // fails loudly and does not poison the cache
+      val badManifest = Seq((s"$base/csum/b.csv", "csum/b.csv"))
+      val e = intercept[IllegalArgumentException](
+        http.stage(badManifest, Map("csum/b.csv" -> ("0" * 64))))
+      assert(e.getMessage.contains("checksum mismatch"), e.getMessage)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(http.stage(badManifest), "nonexistent")))
+    } finally server.stop(0)
+  }
+
   test("registry swap-in: a custom backend serves its scheme") {
     val dir = java.nio.file.Files.createTempDirectory("fetch_mock").toString
     Fetchers.register(new graft.sources.Fetcher {

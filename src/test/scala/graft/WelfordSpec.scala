@@ -99,6 +99,53 @@ class WelfordSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("deterministic mode is BIT-STABLE across shuffle-partition counts; default mode tracks within tolerance") {
+    val s = spark
+    import s.implicits._
+    // same logical data laid out three different ways: the deterministic
+    // mode must emit the SAME raw bits regardless (its repartition-by-shard
+    // + in-shard sort erases the incoming layout), while the default
+    // Aggregator's merge TREE may differ — exact fields stay exact, the
+    // float moments agree to documented relative tolerance
+    val rows = (1 to 2000).map { i =>
+      (i % 5, i, math.sin(i * 0.7) * 1e3 + math.cos(i * 1.3)) // uneven magnitudes
+    }
+    def bits(st: WelfordState): Seq[Long] = Seq(
+      st.n, java.lang.Double.doubleToRawLongBits(st.mean),
+      java.lang.Double.doubleToRawLongBits(st.m2),
+      java.lang.Double.doubleToRawLongBits(st.m3),
+      java.lang.Double.doubleToRawLongBits(st.m4),
+      java.lang.Double.doubleToRawLongBits(st.min),
+      java.lang.Double.doubleToRawLongBits(st.max),
+      java.lang.Double.doubleToRawLongBits(st.absSum))
+    val sweep = Seq(1, 7, 32).map { np =>
+      val df = rows.toDF("shard", "ord", "v").repartition(np)
+      bits(Welford.deterministicState(df, "shard", "ord", "v"))
+    }
+    assert(sweep.distinct.size == 1,
+      s"deterministic mode drifted across partition counts: $sweep")
+
+    val defaults = Seq(1, 7, 32).map { np =>
+      val df = rows.toDF("shard", "ord", "v").repartition(np)
+      df.agg(Welford(org.apache.spark.sql.functions.col("v")).as("w"))
+        .selectExpr("w.n", "w.mean", "w.m2", "w.m3", "w.m4", "w.min", "w.max", "w.absSum")
+        .head()
+    }
+    val ref = defaults.head
+    defaults.tail.foreach { r =>
+      assert(r.getLong(0) == ref.getLong(0))          // n exact
+      assert(r.getDouble(5) == ref.getDouble(5))      // min exact
+      assert(r.getDouble(6) == ref.getDouble(6))      // max exact
+      // float moments: relative 1e-9 across merge trees (documented
+      // tolerance of the default mode; use deterministicState for bits)
+      for (i <- Seq(1, 2, 3, 4, 7)) {
+        val (a, b) = (r.getDouble(i), ref.getDouble(i))
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b))),
+          s"field $i: $a vs $b")
+      }
+    }
+  }
+
   test("Spark UDAF partial+final agg equals driver-side fold") {
     val s = spark
     import s.implicits._

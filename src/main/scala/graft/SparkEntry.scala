@@ -601,7 +601,10 @@ object SparkEntry {
     val out = freshTmpDir("graft_nc_packed", dir)
     graft.sinks.NetCdfSink.writePackedGrids(packed, out, shape = (8, 16),
       nRecs = 2, scale = 0.01, offset = 0.5)
-    val (_, data) = graft.sources.NetCdfSource.read(s, out, decodeCf = true)
+    // DSv2 relation: a `variable` predicate would push into the decoder's
+    // wanted set (Dsv2SourcesSpec); this query keeps every variable
+    val data = s.read.format("graft.sources.NetCdfDataSource")
+      .option("path", out).option("decodeCf", "true").load()
     data.filter(!isnan(col("value")))
       .groupBy(col("variable"), (col("pos") / 128).cast("long").as("t"))
       .agg(count(lit(1)).as("n_cells"), rnd(sum("value"), 2).as("sum_value"))
@@ -975,8 +978,10 @@ object SparkEntry {
       .repartition(4) // several LMDB shards, several branch/overflow layouts
     val out = freshTmpDir("graft_ase_rt", dir)
     graft.sinks.AseLmdbSink.write(json, out)
+    // DSv2 relation: pruning `json` away skips the zlib inflate entirely
+    // (Dsv2SourcesSpec); this query decodes it for the systems table
     val sys = graft.sources.AseLmdbSource.systems(
-      graft.sources.AseLmdbSource.read(s, out))
+      s.read.format("graft.sources.AseLmdbDataSource").option("path", out).load())
     sys.select(col("sys_id"),
       size(col("atomic_numbers")).cast("long").as("n_atoms"),
       size(array_distinct(col("atomic_numbers"))).cast("long").as("n_species"),
@@ -1312,13 +1317,19 @@ object SparkEntry {
     val out = freshTmpDir("graft_vtu_rt", dir)
     graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended-zlib")
 
-    val (rp, rc, rpd) = graft.sources.VtkXmlSource.read(s, out)
+    // read back through the DSv2 relation: Catalyst derives the array
+    // pruning per branch (the n_points/sum_x branch decodes Points only,
+    // the sum_v branch decodes only the "v" array) — Dsv2SourcesSpec pins
+    // that the pruning truly reaches the parser
+    val wide = s.read.format("graft.sources.VtuDataSource")
+      .option("path", out).load()
+    val rc = s.read.format("graft.sources.VtuDataSource")
+      .option("path", out).option("table", "cells").load()
     def meshOf = regexp_extract(col("mesh_id"), "mesh_(\\d+)\\.vtu", 1).cast("long")
-    val np = rp.groupBy(meshOf.as("mesh_id"))
+    val np = wide.groupBy(meshOf.as("mesh_id"))
       .agg(count(lit(1)).as("n_points"), sum("x").as("sx"))
     val nc = rc.groupBy(meshOf.as("mesh_id")).agg(count(lit(1)).as("n_cells"))
-    val sv = rpd.filter(col("field") === "v")
-      .groupBy(meshOf.as("mesh_id")).agg(sum("value").as("sv"))
+    val sv = wide.groupBy(meshOf.as("mesh_id")).agg(sum(col("v")).as("sv"))
     np.join(nc, Seq("mesh_id")).join(sv, Seq("mesh_id"))
       .select(col("mesh_id"), col("n_points"), col("n_cells"),
         rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))

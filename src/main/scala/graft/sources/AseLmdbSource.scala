@@ -196,7 +196,7 @@ object AseLmdbSource {
     out.result()
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[sources] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)

@@ -252,11 +252,55 @@ object VtkXmlSource {
     * empty include = all).
     */
   def parseVtu(bytes: Array[Byte], include: Set[String] = Set.empty,
-               exclude: Set[String] = Set.empty): VtuPiece = {
+               exclude: Set[String] = Set.empty,
+               decodePoints: Boolean = true,
+               decodeCells: Boolean = true): VtuPiece = {
     val (xmlBytes, appended) = splitAppended(bytes)
     parseVtuCore(xmlBytes,
       appended.map { case (enc, data) => (enc, new ArrayRawData(data): RawData) },
-      include, exclude)
+      include, exclude, decodePoints, decodeCells)
+  }
+
+  /** Cheap header introspection — array NAMES and piece counts without any
+    * payload decode (the planning-time face of the DSv2 relations:
+    * Catalyst asks for the schema before it knows which columns survive
+    * pruning). Returns (nPoints, nCells, pointData names, cellData names);
+    * counts are -1 when the Piece element carries no NumberOf* attribute.
+    */
+  def listVtuArrays(bytes: Array[Byte]): (Long, Long, Seq[String], Seq[String]) = {
+    val (xmlBytes, _) = splitAppended(bytes)
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xmlBytes))
+    var nPoints = -1L; var nCells = -1L; var section = ""
+    val pd = Seq.newBuilder[String]; val cd = Seq.newBuilder[String]
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "Piece" =>
+                def attr(n: String): Option[Long] =
+                  Option(r.getAttributeValue(null, n)).map(_.trim.toLong)
+                attr("NumberOfPoints").foreach(nPoints = _)
+                attr("NumberOfCells").orElse(attr("NumberOfPolys"))
+                  .foreach(nCells = _)
+              case "PointData" | "CellData" => section = r.getLocalName
+              case "DataArray" if section.nonEmpty =>
+                Option(r.getAttributeValue(null, "Name")).foreach { n =>
+                  if (section == "PointData") pd += n else cd += n
+                }
+              case _ =>
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "PointData" || r.getLocalName == "CellData")
+              section = ""
+          case _ =>
+        }
+      }
+    } finally r.close()
+    (nPoints, nCells, pd.result().distinct, cd.result().distinct)
   }
 
   /** File-backed variant for assemblies too large to hold in one array
@@ -314,7 +358,9 @@ object VtkXmlSource {
   private def parseVtuCore(xmlBytes: Array[Byte],
                            appended: Option[(String, RawData)],
                            include: Set[String],
-                           exclude: Set[String]): VtuPiece = {
+                           exclude: Set[String],
+                           decodePoints: Boolean = true,
+                           decodeCells: Boolean = true): VtuPiece = {
     // base64-appended offsets address CHARS of the whitespace-stripped block
     lazy val appendedB64: String = {
       val rd = appended.get._2
@@ -391,9 +437,10 @@ object VtkXmlSource {
                 arrayOffset = Option(r.getAttributeValue(null, "offset"))
                   .map(_.trim.toLong).getOrElse(0L)
                 keepArray = section match {
-                  case "Points" => true
+                  case "Points" => decodePoints
                   case "Cells" | "Polys" =>
-                    arrayName == "connectivity" || arrayName == "offsets"
+                    decodeCells &&
+                      (arrayName == "connectivity" || arrayName == "offsets")
                   case "PointData" | "CellData" => wanted(arrayName)
                   case _ => false
                 }

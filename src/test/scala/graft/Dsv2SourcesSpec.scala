@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 relations over the exotic readers: Catalyst-derived pruning
+  * must reach the PARSER (arrays never decoded, variables never read,
+  * values never inflated), not just the projection. The poison-array
+  * fixtures prove the decode is actually skipped: a file whose pruned
+  * array is undecodable reads fine until the query asks for that column.
+  */
+class Dsv2SourcesSpec extends SparkSpec {
+
+  private def vtuXml(nPoints: Int, pointsAscii: Option[String],
+                     arrays: Seq[(String, Option[String])]): String = {
+    // None payload = poison: format="appended" with no AppendedData section
+    val pts = pointsAscii match {
+      case Some(a) =>
+        s"""<DataArray type="Float64" NumberOfComponents="3" format="ascii">$a</DataArray>"""
+      case None =>
+        """<DataArray type="Float64" NumberOfComponents="3" format="appended" offset="0"/>"""
+    }
+    val pd = arrays.map {
+      case (n, Some(a)) => s"""<DataArray type="Float64" Name="$n" format="ascii">$a</DataArray>"""
+      case (n, None) => s"""<DataArray type="Float64" Name="$n" format="appended" offset="0"/>"""
+    }.mkString("\n        ")
+    s"""<?xml version="1.0"?>
+       |<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+       |  <UnstructuredGrid>
+       |    <Piece NumberOfPoints="$nPoints" NumberOfCells="1">
+       |      <Points>
+       |        $pts
+       |      </Points>
+       |      <Cells>
+       |        <DataArray type="Int64" Name="connectivity" format="ascii">0 1 2</DataArray>
+       |        <DataArray type="Int64" Name="offsets" format="ascii">3</DataArray>
+       |        <DataArray type="UInt8" Name="types" format="ascii">5</DataArray>
+       |      </Cells>
+       |      <PointData>
+       |        $pd
+       |      </PointData>
+       |    </Piece>
+       |  </UnstructuredGrid>
+       |</VTKFile>""".stripMargin
+  }
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toString
+  }
+
+  private def leafCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collectLeaves().head.output.map(_.name)
+
+  test("VTU DSv2: wide schema, pruned arrays are NEVER decoded (poison proof)") {
+    val dir = tmpDir("dsv2_vtu")
+    Files.write(Paths.get(dir, "mesh_0.vtu"),
+      vtuXml(3, Some("0 0 0 1 0 0 0 1 0"),
+        Seq("good" -> Some("1.5 2.5 3.5"), "poison" -> None)).getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "mesh_1.vtu"),
+      vtuXml(3, Some("2 0 0 3 0 0 0 3 0"),
+        Seq("good" -> Some("4.5 5.5 6.5"), "poison" -> None)).getBytes("UTF-8"))
+
+    val wide = spark.read.format("graft.sources.VtuDataSource")
+      .option("path", dir).load()
+    assert(wide.columns.toSeq ==
+      Seq("mesh_id", "point_id", "x", "y", "z", "good", "poison"))
+
+    // selecting only safe columns: the poison array must never decode
+    val safe = wide.select("mesh_id", "point_id", "good", "x")
+    assert(leafCols(safe).toSet == Set("mesh_id", "point_id", "good", "x"),
+      s"scan not pruned: ${leafCols(safe)}")
+    val got = safe.collect().map(r =>
+      (r.getString(0).split('/').last, r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("mesh_0.vtu", 0L, 1.5, 0.0), ("mesh_0.vtu", 1L, 2.5, 1.0), ("mesh_0.vtu", 2L, 3.5, 0.0),
+      ("mesh_1.vtu", 0L, 4.5, 2.0), ("mesh_1.vtu", 1L, 5.5, 3.0), ("mesh_1.vtu", 2L, 6.5, 0.0)),
+      got.toString)
+
+    // asking for the poison column is the only way to hit its decode
+    val e = intercept[Exception] {
+      wide.select("poison").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("AppendedData"),
+      s"unexpected error: ${e.getMessage}")
+
+    // cells table decodes connectivity
+    val cells = spark.read.format("graft.sources.VtuDataSource")
+      .option("path", dir).option("table", "cells").load()
+    val cg = cells.collect().map(r =>
+      (r.getString(0).split('/').last, r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(cg == Set(("mesh_0.vtu", 0L, Seq(0L, 1L, 2L)),
+      ("mesh_1.vtu", 0L, Seq(0L, 1L, 2L))), cg.toString)
+  }
+
+  test("VTU DSv2: Points decode only when x/y/z referenced; counts need no payload") {
+    val dir = tmpDir("dsv2_vtu_pts")
+    // Points itself is poison — only array/metadata access can work
+    Files.write(Paths.get(dir, "mesh_0.vtu"),
+      vtuXml(3, None, Seq("good" -> Some("1.0 2.0 3.0"))).getBytes("UTF-8"))
+    val wide = spark.read.format("graft.sources.VtuDataSource")
+      .option("path", dir).load()
+    val got = wide.select("point_id", "good").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((0L, 1.0), (1L, 2.0), (2L, 3.0)), got.toString)
+    // count over mesh_id alone: row count from NumberOfPoints, zero decode
+    assert(wide.groupBy("mesh_id").count().collect().head.getLong(1) == 3L)
+    // x forces the Points decode, which must then fail loudly
+    val e = intercept[Exception](wide.select("x").collect())
+    assert(e.getMessage != null && e.getMessage.contains("AppendedData"), e.getMessage)
+  }
+
+  test("VTU DSv2 matches the function-API reader on real sink output") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq(
+      (0L, 0L, 0.0, 0.0, 0.0), (0L, 1L, 1.0, 0.0, 0.0), (0L, 2L, 0.0, 1.0, 0.0),
+      (1L, 0L, 2.0, 0.0, 0.0), (1L, 1L, 3.0, 0.0, 0.0), (1L, 2L, 2.0, 1.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((0L, 0L, Seq(0L, 1L, 2L)), (1L, 0L, Seq(0L, 1L, 2L)))
+      .toDF("mesh_id", "cell_id", "vertices")
+    val pd = pts.select(col("mesh_id"), col("point_id"), lit("v").as("field"),
+      (col("x") + col("y")).as("value"))
+    val out = tmpDir("dsv2_vtu_sink")
+    graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended-zlib")
+
+    val (rp, _, rpd) = graft.sources.VtkXmlSource.read(spark, out)
+    val wide = spark.read.format("graft.sources.VtuDataSource")
+      .option("path", out).load()
+    val fromWide = wide.select(col("mesh_id"), col("point_id"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromLong = rpd.filter(col("field") === "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(fromWide == fromLong)
+    val wxyz = wide.select("mesh_id", "point_id", "x", "y", "z").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    val lxyz = rp.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(wxyz == lxyz)
+  }
+
+  test("NetCDF DSv2: variable predicate pushes into the decoder's wanted set") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      ("temp", 0L, 0L, 0L, 1.0), ("temp", 0L, 0L, 1L, 2.0),
+      ("wind", 0L, 0L, 0L, 5.0), ("wind", 0L, 0L, 1L, 6.0))
+      .toDF("variable", "t", "i", "j", "value")
+    val out = tmpDir("dsv2_nc")
+    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (1, 2), nRecs = 1)
+
+    val ds = spark.read.format("graft.sources.NetCdfDataSource")
+      .option("path", out).load()
+    // full read equals the function-API reader
+    val (_, data) = graft.sources.NetCdfSource.read(spark, out)
+    val a = ds.select("variable", "pos", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = data.select("variable", "pos", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty)
+
+    // the filter lands in the scan (vars=[temp] in the DSv2 description)
+    val f = ds.filter(col("variable") === "temp")
+    val plan = f.queryExecution.executedPlan.toString
+    assert(plan.contains("vars=[temp]"), s"filter not pushed:\n$plan")
+    val fv = f.select("value").collect().map(_.getDouble(0)).toSet
+    assert(fv == Set(1.0, 2.0), fv.toString)
+    // IN-list form
+    val f2 = ds.filter(col("variable").isin("wind"))
+    assert(f2.queryExecution.executedPlan.toString.contains("vars=[wind]"))
+    assert(f2.count() == 2)
+  }
+
+  test("ASE LMDB DSv2: json pruned away skips the value decode entirely") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 6L).map(i => (i, s"""{"energy":${i * 1.5}}"""))
+      .toDF("row_id", "json").repartition(2)
+    val out = tmpDir("dsv2_lmdb")
+    graft.sinks.AseLmdbSink.write(rows, out)
+
+    val ds = spark.read.format("graft.sources.AseLmdbDataSource")
+      .option("path", out).load()
+    val viaFn = graft.sources.AseLmdbSource.read(spark, out)
+    val a = ds.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    val b = viaFn.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(a == b && a.size == 6)
+
+    val ids = ds.select("row_id")
+    assert(leafCols(ids) == Seq("row_id"), s"scan not pruned: ${leafCols(ids)}")
+    assert(ids.collect().map(_.getLong(0)).sorted.toSeq == (0L until 6L).toSeq)
+  }
+}

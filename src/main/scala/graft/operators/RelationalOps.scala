@@ -101,9 +101,14 @@ object RelationalOps {
   /** Skew-safe equi-join: replicate the small side across `nSalts` salt
     * values and scatter the big side's hot keys deterministically (hash of a
     * unique column), so one hot key spreads over nSalts reducers instead of
-    * one straggler task. AQE's skew-join handles sort-merge cases at
-    * runtime; explicit salting is for the planned-broadcast-miss / extreme
-    * single-key cases (SURVEY §4 "Skewed keys → salting or AQE").
+    * one straggler task. PREFER AQE's runtime skew-join where it applies:
+    * measured head-to-head on a 60 M-row join with 25% of rows on one key
+    * (tools/SkewProbe, BASELINE.md round-9), AQE's split ran 2.6× faster
+    * than the unsplit join while salting ran SLOWER than no mitigation at
+    * all — its cost is nSalts × |small|, which dominates unless the small
+    * side is a genuinely bounded dimension table. Use this only when the
+    * replicated side is tiny or AQE can't re-plan the join (streaming
+    * joins, non-shuffle stages) — SURVEY §4 "Skewed keys → salting or AQE".
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  bigUniqueCol: String, nSalts: Int): DataFrame = {

@@ -78,8 +78,10 @@ object SkewProbe {
 
     def run(tag: String)(body: => DataFrame): (Set[String], Double, String) = {
       val t0 = System.nanoTime()
-      val df = body
-      val rows = agg(df).collect().map(_.mkString("|")).toSet
+      val df = agg(body)
+      // collect() executes THIS queryExecution, so the executedPlan below
+      // is the AQE FINAL plan (isFinalPlan=true), not the initial one
+      val rows = df.collect().map(_.mkString("|")).toSet
       val sec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
       (rows, sec, plan)
@@ -96,7 +98,7 @@ object SkewProbe {
     }
 
     var reference: Set[String] = null
-    Seq("noaqe", "aqe", "salted").foreach { variant =>
+    Seq("noaqe", "aqe", "salted8", "salted32").foreach { variant =>
       val (rows, sec, plan) = variant match {
         case "noaqe" =>
           withConf("spark.sql.adaptive.enabled" -> "false") {
@@ -113,7 +115,12 @@ object SkewProbe {
             "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m") {
             run(variant)(li.join(ord, "k"))
           }
-        case "salted" =>
+        case "salted8" =>
+          withConf("spark.sql.adaptive.enabled" -> "false") {
+            run(variant)(
+              graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = 8))
+          }
+        case "salted32" =>
           withConf("spark.sql.adaptive.enabled" -> "false") {
             run(variant)(
               graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = cpus.toInt))

@@ -98,6 +98,32 @@ object Dsv2 {
 
   private[sources] def opt(o: CaseInsensitiveStringMap, k: String, dflt: String): String =
     Option(o.get(k)).getOrElse(dflt)
+
+  /** Ranged random-access over a Hadoop path: each `slice` is one
+    * positioned `readFully` (pread), so a reader that keeps k of n arrays
+    * reads k payloads' bytes, not the file — and per-file size is
+    * unbounded (only each individual slice must fit in one array). One
+    * open stream per handle; callers close after parsing.
+    */
+  private[sources] final class HadoopRawData(path: String, conf: Map[String, String])
+      extends VtkXmlSource.RawData with AutoCloseable {
+    private val c = new Configuration(false)
+    conf.foreach { case (k, v) => c.set(k, v) }
+    private val p = new Path(path)
+    private val fs = p.getFileSystem(c)
+    val size: Long = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    def slice(off: Long, len: Long): Array[Byte] = {
+      require(off >= 0 && len >= 0 && off + len <= size,
+        s"$path: slice [$off,+$len) outside $size bytes")
+      require(len <= Int.MaxValue - 8,
+        s"$path: payload of $len bytes exceeds the 2 GiB per-array limit")
+      val out = new Array[Byte](len.toInt)
+      in.readFully(off, out)
+      out
+    }
+    def close(): Unit = in.close()
+  }
 }
 
 // ------------------------------------------------------------------ VTU
@@ -128,10 +154,19 @@ class VtuDataSource extends TableProvider {
         StructField("vertices", ArrayType(LongType), nullable = false)))
     else {
       val conf = Dsv2.confMap(spark)
-      // union of array names across files: heterogeneous runs still get
-      // one schema; files lacking an array emit null for it
-      val arrays = files.flatMap(f =>
-        VtkXmlSource.listVtuArrays(Dsv2.readBytes(f, conf))._3).distinct.sorted
+      // Union of array names across files (heterogeneous runs still get one
+      // schema; files lacking an array emit null for it). Each file costs
+      // only its XML HEADER bytes — listVtuArraysRaw never touches the
+      // appended payload, so planning stays O(header) per file even against
+      // multi-GB meshes. `inferLimit` (default 0 = all) samples the first N
+      // files when the corpus is homogeneous; `.schema(...)` skips
+      // inference entirely (supportsExternalMetadata).
+      val limit = Dsv2.opt(options, "inferLimit", "0").toInt
+      val sample = if (limit > 0) files.take(limit) else files
+      val arrays = sample.flatMap { f =>
+        val raw = new Dsv2.HadoopRawData(f, conf)
+        try VtkXmlSource.listVtuArraysRaw(raw)._3 finally raw.close()
+      }.distinct.sorted
       StructType(
         Seq(StructField("mesh_id", StringType, nullable = false),
           StructField("point_id", LongType, nullable = false),
@@ -141,6 +176,8 @@ class VtuDataSource extends TableProvider {
           arrays.map(a => StructField(a, DoubleType, nullable = true)))
     }
   }
+
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -190,11 +227,16 @@ private class VtuReaderFactory(conf: Map[String, String], cols: Array[String],
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[FilePartition].path
-    val bytes = Dsv2.readBytes(path, conf)
+    // ranged handle: the XML header reads in a bounded window and each kept
+    // DataArray's appended payload is one pread at its offset -- pruning
+    // saves I/O BYTES, not just decode CPU, and files past 2 GiB scan fine
+    val raw = new Dsv2.HadoopRawData(path, conf)
     val meshId = UTF8String.fromString(path)
     if (cellsTable) {
-      val piece = VtkXmlSource.parseVtu(bytes,
-        include = Set(" none"), decodePoints = false, decodeCells = true)
+      val piece =
+        try VtkXmlSource.parseVtuRaw(raw, decodePoints = false,
+          decodeCells = true, decodePointData = false)
+        finally raw.close()
       val cells = piece.cells
       new PartitionReader[InternalRow] {
         private var i = -1
@@ -213,20 +255,22 @@ private class VtuReaderFactory(conf: Map[String, String], cols: Array[String],
       val meta = Seq("mesh_id", "point_id", "x", "y", "z")
       val arrays = cols.filterNot(meta.contains)
       val needPoints = cols.exists(c => c == "x" || c == "y" || c == "z")
-      // empty include means ALL to parseVtu — a name no array can carry
-      // expresses "none" when the query prunes every array away
-      val include = if (arrays.nonEmpty) arrays.toSet else Set(" none")
-      val piece = VtkXmlSource.parseVtu(bytes, include = include,
-        decodePoints = needPoints, decodeCells = false)
+      val (piece, n) =
+        try {
+          val pc = VtkXmlSource.parseVtuRaw(raw, include = arrays.toSet,
+            decodePoints = needPoints, decodeCells = false,
+            decodePointData = arrays.nonEmpty)
+          val rows: Long =
+            if (needPoints) pc.points.length.toLong
+            else pc.pointData.values.headOption.map(_.length.toLong).getOrElse {
+              val listed = VtkXmlSource.listVtuArraysRaw(raw)._1
+              require(listed >= 0,
+                s"$path: no decoded array and no NumberOfPoints attribute to count rows")
+              listed
+            }
+          (pc, rows)
+        } finally raw.close()
       val decoded: Map[String, Array[Double]] = piece.pointData
-      val n: Long =
-        if (needPoints) piece.points.length.toLong
-        else decoded.values.headOption.map(_.length.toLong).getOrElse {
-          val listed = VtkXmlSource.listVtuArrays(bytes)._1
-          require(listed >= 0,
-            s"$path: no decoded array and no NumberOfPoints attribute to count rows")
-          listed
-        }
       new PartitionReader[InternalRow] {
         private var i = -1L
         override def next(): Boolean = { i += 1; i < n }

@@ -130,6 +130,19 @@ object VtkXmlSource {
     }
   }
 
+  /** Window onto a sub-range of another RawData (the AppendedData block of
+    * a file-backed handle) — offsets stay Long end-to-end, only individual
+    * slices must fit in one array.
+    */
+  private[sources] final class SubRawData(under: RawData, start: Long,
+                                          val size: Long) extends RawData {
+    def slice(off: Long, len: Long): Array[Byte] = {
+      require(off >= 0 && len >= 0 && off + len <= size,
+        s"appended slice [$off,+$len) outside $size bytes")
+      under.slice(start + off, len)
+    }
+  }
+
   /** Raw (appended `encoding="raw"`) payload at byte offset `off`. */
   private def decodeRawPayload(app: RawData, off: Long, ht: String,
                                compressed: Boolean): Array[Byte] = {
@@ -245,6 +258,66 @@ object VtkXmlSource {
     (xmlHead, Some((enc, data)))
   }
 
+  /** [[splitAppended]] over a random-access handle, reading only a BOUNDED
+    * head window (grown geometrically until the `<AppendedData` marker or
+    * EOF is inside it) plus a 4 KiB tail window for the closing tag — never
+    * the appended payload. This is both the planning-time schema read of
+    * the DSv2 relation (driver cost per file = XML header bytes, not file
+    * bytes) and the scan-time entry for ranged per-array reads. Only a file
+    * with NO appended section is materialized whole (it is pure XML and
+    * must fit in one array).
+    */
+  private[sources] def splitAppendedRaw(raw: RawData): (Array[Byte], Option[(String, RawData)]) = {
+    val marker = "<AppendedData".getBytes("US-ASCII")
+    var window = math.min(raw.size, 16L << 10)
+    var head = raw.slice(0L, window)
+    var openIdx = indexOfBytes(head, marker, 0)
+    // keep a marker-length overlap margin: grow while the marker could
+    // still straddle the window edge
+    while (openIdx < 0 && window < raw.size) {
+      window = math.min(raw.size, window * 4)
+      require(window <= Int.MaxValue - 8,
+        s"no <AppendedData marker within 2 GiB of XML head (${raw.size} bytes)")
+      head = raw.slice(0L, window)
+      openIdx = indexOfBytes(head, marker, 0)
+    }
+    if (openIdx < 0) {
+      // whole file is XML (ascii / inline-base64 layouts)
+      require(raw.size <= Int.MaxValue - 8,
+        s"VTU XML of ${raw.size} bytes with no AppendedData exceeds 2 GiB")
+      return (if (window == raw.size) head else raw.slice(0L, raw.size), None)
+    }
+    // the tag itself plus the '_' marker sit directly after `<AppendedData`;
+    // make sure both are inside the window
+    var tagEnd = indexOfBytes(head, ">".getBytes("US-ASCII"), openIdx)
+    var underscore = if (tagEnd < 0) -1 else indexOfBytes(head, "_".getBytes("US-ASCII"), tagEnd)
+    while (underscore < 0 && window < raw.size) {
+      window = math.min(raw.size, window * 4)
+      head = raw.slice(0L, window)
+      tagEnd = indexOfBytes(head, ">".getBytes("US-ASCII"), openIdx)
+      underscore = if (tagEnd < 0) -1 else indexOfBytes(head, "_".getBytes("US-ASCII"), tagEnd)
+    }
+    require(underscore >= 0, "AppendedData section has no '_' data marker")
+    val tagHead = new String(head, openIdx,
+      math.min(512, head.length - openIdx), "US-ASCII")
+    val enc = "encoding\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(tagHead)
+      .map(_.group(1)).getOrElse("base64")
+    // closing tag at the end of the file; raw binary may contain the byte
+    // pattern by chance, so take the LAST match in the tail window
+    val tailWindow = math.min(raw.size - underscore - 1, 4096L)
+    val tail = raw.slice(raw.size - tailWindow, tailWindow)
+    val closeAbs = {
+      val needle = "</AppendedData".getBytes("US-ASCII")
+      var last = -1
+      var at = indexOfBytes(tail, needle, 0)
+      while (at >= 0) { last = at; at = indexOfBytes(tail, needle, at + 1) }
+      if (last < 0) raw.size else raw.size - tailWindow + last
+    }
+    val xmlHead = (new String(head, 0, openIdx, "UTF-8") + "</VTKFile>")
+      .getBytes("UTF-8")
+    (xmlHead, Some((enc, new SubRawData(raw, underscore + 1L, closeAbs - underscore - 1L))))
+  }
+
   // ---------------------------------------------------------------- parsing
 
   /** Parse one .vtu/.vtp/.vts byte payload in any of the supported layouts.
@@ -254,11 +327,31 @@ object VtkXmlSource {
   def parseVtu(bytes: Array[Byte], include: Set[String] = Set.empty,
                exclude: Set[String] = Set.empty,
                decodePoints: Boolean = true,
-               decodeCells: Boolean = true): VtuPiece = {
+               decodeCells: Boolean = true,
+               decodePointData: Boolean = true): VtuPiece = {
     val (xmlBytes, appended) = splitAppended(bytes)
     parseVtuCore(xmlBytes,
       appended.map { case (enc, data) => (enc, new ArrayRawData(data): RawData) },
-      include, exclude, decodePoints, decodeCells)
+      include, exclude, decodePoints, decodeCells, decodePointData)
+  }
+
+  /** [[parseVtu]] over a random-access handle: the XML header is read in a
+    * bounded window and each kept DataArray's appended-raw payload is a
+    * RANGED read at its offset — unselected arrays cost zero bytes of I/O,
+    * and per-file size is unbounded (only each individual payload must fit
+    * in one array). `decodePointData = false` skips every PointData /
+    * CellData array regardless of `include` (the DSv2 all-columns-pruned
+    * path). A base64 appended block still materializes whole (its offsets
+    * address chars of the whitespace-stripped text, ≤ 2 GiB).
+    */
+  private[sources] def parseVtuRaw(raw: RawData, include: Set[String] = Set.empty,
+                  exclude: Set[String] = Set.empty,
+                  decodePoints: Boolean = true,
+                  decodeCells: Boolean = true,
+                  decodePointData: Boolean = true): VtuPiece = {
+    val (xmlBytes, appended) = splitAppendedRaw(raw)
+    parseVtuCore(xmlBytes, appended, include, exclude,
+      decodePoints, decodeCells, decodePointData)
   }
 
   /** Cheap header introspection — array NAMES and piece counts without any
@@ -267,8 +360,18 @@ object VtkXmlSource {
     * pruning). Returns (nPoints, nCells, pointData names, cellData names);
     * counts are -1 when the Piece element carries no NumberOf* attribute.
     */
-  def listVtuArrays(bytes: Array[Byte]): (Long, Long, Seq[String], Seq[String]) = {
-    val (xmlBytes, _) = splitAppended(bytes)
+  def listVtuArrays(bytes: Array[Byte]): (Long, Long, Seq[String], Seq[String]) =
+    listVtuArraysXml(splitAppended(bytes)._1)
+
+  /** [[listVtuArrays]] over a random-access handle — reads ONLY the bounded
+    * XML head window, never the appended payload: the schema-inference read
+    * of the DSv2 relation stays O(header bytes) per file even for the
+    * reference's ~50 GB DrivAerML volume VTUs (`drivaerml.py:17-30`).
+    */
+  private[sources] def listVtuArraysRaw(raw: RawData): (Long, Long, Seq[String], Seq[String]) =
+    listVtuArraysXml(splitAppendedRaw(raw)._1)
+
+  private def listVtuArraysXml(xmlBytes: Array[Byte]): (Long, Long, Seq[String], Seq[String]) = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -311,56 +414,16 @@ object VtkXmlSource {
     * can stay on disk — a base64 block beyond 2 GiB fails loudly.
     */
   def parseVtuFile(file: java.io.File, include: Set[String] = Set.empty,
-                   exclude: Set[String] = Set.empty): VtuPiece = {
-    val fileLen = file.length()
-    val headWindow = math.min(fileLen, 16L << 20).toInt
-    val head = new Array[Byte](headWindow)
-    val raf = new java.io.RandomAccessFile(file, "r")
-    try raf.readFully(head) finally raf.close()
-    val openIdx = indexOfBytes(head, "<AppendedData".getBytes("US-ASCII"), 0)
-    if (openIdx < 0) {
-      // no appended section: the whole file is XML — parse in memory
-      require(fileLen <= Int.MaxValue - 8,
-        s"VTU XML of $fileLen bytes with no AppendedData exceeds 2 GiB")
-      if (fileLen <= headWindow) return parseVtu(head, include, exclude)
-      val all = new Array[Byte](fileLen.toInt)
-      val r2 = new java.io.RandomAccessFile(file, "r")
-      try r2.readFully(all) finally r2.close()
-      return parseVtu(all, include, exclude)
-    }
-    val tagHead = new String(head, openIdx,
-      math.min(512, headWindow - openIdx), "US-ASCII")
-    val enc = "encoding\\s*=\\s*\"([^\"]+)\"".r.findFirstMatchIn(tagHead)
-      .map(_.group(1)).getOrElse("base64")
-    val tagEnd = indexOfBytes(head, ">".getBytes("US-ASCII"), openIdx)
-    val underscore = indexOfBytes(head, "_".getBytes("US-ASCII"), tagEnd)
-    require(tagEnd >= 0 && underscore >= 0,
-      "AppendedData section has no '_' data marker in the head window")
-    // the closing tag sits at the end of the file; raw binary may contain
-    // the pattern by chance, so take the LAST match in the tail window
-    val tailWindow = math.min(fileLen - underscore - 1, 4096L).toInt
-    val tail = new Array[Byte](tailWindow)
-    val r3 = new java.io.RandomAccessFile(file, "r")
-    try { r3.seek(fileLen - tailWindow); r3.readFully(tail) } finally r3.close()
-    val closeAbs = {
-      val needle = "</AppendedData".getBytes("US-ASCII")
-      var last = -1
-      var at = indexOfBytes(tail, needle, 0)
-      while (at >= 0) { last = at; at = indexOfBytes(tail, needle, at + 1) }
-      if (last < 0) fileLen else fileLen - tailWindow + last
-    }
-    val xmlHead = (new String(head, 0, openIdx, "UTF-8") + "</VTKFile>")
-      .getBytes("UTF-8")
-    val data = new FileRawData(file, underscore + 1L, closeAbs - underscore - 1L)
-    parseVtuCore(xmlHead, Some((enc, data)), include, exclude)
-  }
+                   exclude: Set[String] = Set.empty): VtuPiece =
+    parseVtuRaw(new FileRawData(file, 0L, file.length()), include, exclude)
 
   private def parseVtuCore(xmlBytes: Array[Byte],
                            appended: Option[(String, RawData)],
                            include: Set[String],
                            exclude: Set[String],
                            decodePoints: Boolean = true,
-                           decodeCells: Boolean = true): VtuPiece = {
+                           decodeCells: Boolean = true,
+                           decodePointData: Boolean = true): VtuPiece = {
     // base64-appended offsets address CHARS of the whitespace-stripped block
     lazy val appendedB64: String = {
       val rd = appended.get._2
@@ -441,7 +504,8 @@ object VtkXmlSource {
                   case "Cells" | "Polys" =>
                     decodeCells &&
                       (arrayName == "connectivity" || arrayName == "offsets")
-                  case "PointData" | "CellData" => wanted(arrayName)
+                  case "PointData" | "CellData" =>
+                    decodePointData && wanted(arrayName)
                   case _ => false
                 }
                 text.clear()

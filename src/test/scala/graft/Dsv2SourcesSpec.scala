@@ -172,6 +172,77 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(f2.count() == 2)
   }
 
+  /** Byte-level I/O contract of the VTU relation, observed through a
+    * counting FileSystem: planning reads headers (never the appended
+    * payload) and a pruned scan reads ONLY the selected arrays' payload
+    * ranges — the columnar promise of SupportsPushDownRequiredColumns, at
+    * the I/O layer, not just the decode layer.
+    */
+  test("VTU DSv2 via cntfs: inference reads headers only; scan bytes track selected arrays") {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingFileSystem].getName)
+    val n = 100000
+    val pts = s.range(2).select(col("id").as("m")).crossJoin(
+      s.range(n).select(col("id").as("point_id")))
+      .select(col("m").as("mesh_id"), col("point_id"),
+        (col("point_id") * 0.5).as("x"), lit(0.0).as("y"), lit(0.0).as("z"))
+    val cls = Seq((0L, 0L, Seq(0L, 1L, 2L)), (1L, 0L, Seq(0L, 1L, 2L)))
+      .toDF("mesh_id", "cell_id", "vertices")
+    val pd = pts.select(col("mesh_id"), col("point_id"))
+      .crossJoin(Seq("a0", "a1", "a2").toDF("field"))
+      .select(col("mesh_id"), col("point_id"), col("field"),
+        (col("point_id") + lit(1.0)).as("value"))
+    val out = tmpDir("dsv2_vtu_cnt")
+    graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended")
+    val local = new java.io.File(out).listFiles().filter(_.getName.endsWith(".vtu"))
+    val totalBytes = local.map(_.length).sum
+    assert(totalBytes > 4L * n * 8, s"fixture unexpectedly small: $totalBytes")
+    val headerBound = 128L * 1024 // 16K head + 4K tail per file, with slack
+
+    // planning: load() infers the schema across both files
+    CountingFileSystem.reset()
+    val wide = s.read.format("graft.sources.VtuDataSource")
+      .option("path", s"cntfs:$out").load()
+    val inferBytes = CountingFileSystem.bytesRead.get()
+    assert(wide.columns.contains("a1"))
+    assert(inferBytes > 0 && inferBytes < headerBound,
+      s"inference read $inferBytes of $totalBytes bytes — payload touched")
+
+    // scan with ONE of three arrays, no points
+    CountingFileSystem.reset()
+    val sum1 = wide.select("a0").agg(sum("a0")).collect().head.getDouble(0)
+    val bytes1 = CountingFileSystem.bytesRead.get()
+    assert(sum1 == 2.0 * n.toLong * (n + 1) / 2, sum1.toString)
+    // one array = n*8 bytes + header words per file; well under half the file
+    assert(bytes1 < 2L * (n * 8L + 64L * 1024),
+      s"single-array scan read $bytes1 bytes (files total $totalBytes)")
+
+    // scan with all three arrays reads ~3x the single-array payload
+    // (summing all three keeps Catalyst from pruning the other two away)
+    CountingFileSystem.reset()
+    wide.agg(sum(col("a0") + col("a1") + col("a2"))).collect()
+    val bytes3 = CountingFileSystem.bytesRead.get()
+    assert(bytes1 < bytes3 / 2,
+      s"pruning saved no I/O: 1 array = $bytes1, 3 arrays = $bytes3")
+
+    // count-only touches headers, zero payload
+    CountingFileSystem.reset()
+    assert(wide.groupBy("mesh_id").count().collect().map(_.getLong(1)).toSet == Set(n.toLong))
+    val bytesCount = CountingFileSystem.bytesRead.get()
+    assert(bytesCount < headerBound,
+      s"count-only scan read $bytesCount bytes of payload")
+
+    // user-supplied schema: zero read at planning time
+    CountingFileSystem.reset()
+    val typed = s.read.format("graft.sources.VtuDataSource")
+      .schema(wide.schema).option("path", s"cntfs:$out").load()
+    assert(CountingFileSystem.bytesRead.get() == 0L,
+      "user-supplied schema still triggered an inference read")
+    assert(typed.select("a2").agg(sum("a2")).collect().head.getDouble(0) == sum1)
+  }
+
   test("ASE LMDB DSv2: json pruned away skips the value decode entirely") {
     val s = spark
     import s.implicits._

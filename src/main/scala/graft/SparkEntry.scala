@@ -145,6 +145,7 @@ object SparkEntry {
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
+    "q_vti_roundtrip" -> (qVtiRoundtrip _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
@@ -802,7 +803,11 @@ object SparkEntry {
     val out = freshTmpDir("graft_d3p_rt", dir)
     graft.sinks.D3PlotSink.write(pts, quads, states, shellData, out)
 
-    val (rp, _, rs, rsh) = graft.sources.D3PlotSource.read(s, s"$out/*")
+    // through the DSv2 relation: family grouping + D3Select block pruning
+    // happen in the scan, so each table decodes only its own blocks
+    def rel(table: String) = s.read.format("graft.sources.D3PlotDataSource")
+      .option("path", s"$out/*").option("table", table).load()
+    val (rp, rs, rsh) = (rel("points"), rel("states"), rel("shell"))
     def meshOf(c: org.apache.spark.sql.Column) =
       regexp_extract(c, "/(\\d+)/d3plot$", 1).cast("long")
     val np = rp.groupBy(meshOf(col("mesh_id")).as("mesh_id"))
@@ -2313,6 +2318,39 @@ object SparkEntry {
       .select(col("field"), col("i"), col("j"), col("n_cells"),
         rnd("value", 4).as("value"))
       .orderBy("field", "i", "j")
+
+  /** VTI ImageData sink→source cycle THROUGH THE DSv2 RELATION: events
+    * aggregated onto a dense 32×64 point lattice (one Float64 PointData
+    * array per event_type, fill 0), written as a real `.vti` (appended raw,
+    * UInt64 headers) and re-read via `VtiDataSource` — schema inference
+    * from the XML header only, per-array ranged payload reads, lattice
+    * indices/coordinates computed from WholeExtent. `<f8` cells round-trip
+    * bit-exactly, so the oracle rebuilds the lattice straight from events;
+    * the position-weighted checksum pins the x-fastest array order.
+    */
+  private def qVtiRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(s, dir)
+      .groupBy(col("event_type").as("field"),
+        (col("user_id") % 32).cast("int").as("i"),
+        (col("event_id") % 64).cast("int").as("j"))
+      .agg(sum("value").as("value"))
+      .withColumn("grid_id", lit("g")).withColumn("k", lit(0))
+    val out = freshTmpDir("graft_vti_rt", dir)
+    graft.sinks.VtiSink.write(grid, out, extent = (0, 31, 0, 63, 0, 0))
+    val wide = s.read.format("graft.sources.VtiDataSource")
+      .option("path", out).load()
+    // bounded collect: the event-type domain (a handful of values)
+    val fields = grid.select("field").distinct()
+      .collect().map(_.getString(0)).sorted
+    val per = fields.map { f =>
+      wide.select(lit(f).as("field"), col("i"), col("j"), col(f).as("v"))
+    }.reduce(_ unionByName _)
+    per.groupBy("field").agg(
+      count(lit(1)).as("n_points"),
+      rnd(sum("v"), 2).as("sum_value"),
+      rnd(sum((col("i") + col("j") * 100).cast("double") * col("v")), 2).as("wsum"))
+      .orderBy("field")
+  }
 
   /** ANN scale path: MULTI-TABLE hyperplane LSH → bucket join → exact cosine
     * verify. The (L, k) here are RECALL-driven for the low τ=0.25 target: at
@@ -7611,6 +7649,19 @@ object SparkEntry {
         |  CAST((event_id % 64) // 4 AS BIGINT) AS j,
         |  count(*) AS n_cells, round(avg(value) + 1e-9, 4) AS value
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // The `.vti` cycle is bit-exact for the Float64 lattice cells, so the
+    // oracle rebuilds the dense grid's aggregates straight from events;
+    // fill cells contribute 0 to both sums and n_points is the full lattice.
+    "q_vti_roundtrip" ->
+      """WITH cells AS (
+        |  SELECT event_type AS field, CAST(user_id % 32 AS INT) AS i,
+        |    CAST(event_id % 64 AS INT) AS j, sum(value) AS v
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT field, CAST(2048 AS BIGINT) AS n_points,
+        |  round(sum(v) + 1e-9, 2) AS sum_value,
+        |  round(sum((i + j * 100) * v) + 1e-9, 2) AS wsum
+        |FROM cells GROUP BY field ORDER BY field""".stripMargin,
 
     "q_atom_offsets" ->
       """SELECT doc_id, n_chars,

@@ -200,7 +200,7 @@ object VtuSink {
   private def le(n: Int): ByteBuffer =
     ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
-  private def doubleBytes(a: Array[Double]): Array[Byte] = {
+  private[sinks] def doubleBytes(a: Array[Double]): Array[Byte] = {
     val b = le(a.length * 8); a.foreach(b.putDouble); b.array()
   }
   private def longBytes(a: Array[Long]): Array[Byte] = {
@@ -222,7 +222,7 @@ object VtuSink {
   /** One array's appended payload: `[UInt64 len][data]` raw, or the VTK
     * zlib block layout `[nb][blockSize][lastSize][c_i...][blocks]`.
     */
-  private def payload(data: Array[Byte], zlib: Boolean): Array[Byte] =
+  private[sinks] def payload(data: Array[Byte], zlib: Boolean): Array[Byte] =
     if (!zlib) {
       val b = le(8 + data.length)
       b.putLong(data.length.toLong).put(data).array()

@@ -59,7 +59,19 @@ object D3PlotSource {
       shells: Array[(Array[Long], Long)],      // (4 nodes 0-based, part)
       states: Array[ShellState],
       sphParticles: Array[(Long, Long)] = Array.empty, // (node 0-based, material)
-      sphLabels: Seq[String] = Nil)            // per-word names incl. "material"
+      sphLabels: Seq[String] = Nil,            // per-word names incl. "material"
+      numNodes: Int = -1,                      // NUMNP even when geometry pruned
+      numSolids: Int = -1)                     // NEL8 even when geometry pruned
+
+  /** Block-level decode selection (the DSv2 column-pruning hook): the walk
+    * always advances at the documented strides, but blocks deselected here
+    * are never MATERIALIZED — a states-only scan skips geometry and shell
+    * stress, a shell-only scan skips the node vectors, matching how the
+    * reference's Rust reader touches only requested sections
+    * (`d3plot.py:334`, state-data strides).
+    */
+  final case class D3Select(geometry: Boolean = true, nodeVec: Boolean = true,
+                            shell: Boolean = true, sph: Boolean = true)
 
   /** Canonical field names for the SPH element-data-flags entries 2..11
     * (manual order); each entry's VALUE is its per-particle word count.
@@ -134,7 +146,8 @@ object D3PlotSource {
     * is state data only).
     */
   private def parseStates(bytes: Array[Byte], from: Int,
-                          lay: StateLayout): Array[ShellState] = {
+                          lay: StateLayout,
+                          sel: D3Select = D3Select()): Array[ShellState] = {
     val wd = new Words(bytes, lay.ws)
     val nWords = wd.nWords
     def fw(i: Int): Float = wd.f(i)
@@ -147,18 +160,22 @@ object D3PlotSource {
       var p = w + 1 + lay.nglbv
       val nodeVec =
         if (lay.iu == 1) {
-          val a = Array.tabulate(lay.numnp)(n =>
-            Array(fw(p + n * 3), fw(p + n * 3 + 1), fw(p + n * 3 + 2)))
+          val a =
+            if (sel.nodeVec)
+              Array.tabulate(lay.numnp)(n =>
+                Array(fw(p + n * 3), fw(p + n * 3 + 1), fw(p + n * 3 + 2)))
+            else Array.empty[Array[Float]]
           p += lay.numnp * 3
           a
         } else Array.empty[Array[Float]]
       if (lay.iv == 1) p += lay.numnp * 3
       if (lay.ia == 1) p += lay.numnp * 3
       p += lay.nel8 * lay.nv3d + lay.nelt * lay.nv3dt + lay.nel2 * lay.nv1d
-      val stress = Array.ofDim[Array[Array[Float]]](lay.nel4)
-      val epsp = Array.ofDim[Array[Float]](lay.nel4)
+      val nShellOut = if (sel.shell) lay.nel4 else 0
+      val stress = Array.ofDim[Array[Array[Float]]](nShellOut)
+      val epsp = Array.ofDim[Array[Float]](nShellOut)
       var e = 0
-      while (e < lay.nel4) {
+      while (e < nShellOut) {
         val sb = Array.ofDim[Array[Float]](lay.maxint)
         val eb = new Array[Float](lay.maxint)
         var l = 0
@@ -173,8 +190,11 @@ object D3PlotSource {
       }
       // SPH particle block at the state tail: material word + flagged fields
       val sphBase = w + lay.stateWords - lay.sphWords
-      val sph = Array.tabulate(lay.nmsph)(i =>
-        Array.tabulate(lay.numSphVars)(k => fw(sphBase + i * lay.numSphVars + k)))
+      val sph =
+        if (sel.sph)
+          Array.tabulate(lay.nmsph)(i =>
+            Array.tabulate(lay.numSphVars)(k => fw(sphBase + i * lay.numSphVars + k)))
+        else Array.empty[Array[Float]]
       states += ShellState(time, nodeVec, stress, epsp, sph)
       w += lay.stateWords
     }
@@ -184,15 +204,18 @@ object D3PlotSource {
   /** Parse a root d3plot plus its family continuation files (`d3plot01`,
     * `d3plot02`, … — state data only, no control block), in order.
     */
-  def parseFamily(root: Array[Byte], continuations: Seq[Array[Byte]]): D3PlotFile = {
-    val (file, lay) = parseRoot(root)
-    val extra = continuations.flatMap(parseStates(_, 0, lay))
+  def parseFamily(root: Array[Byte], continuations: Seq[Array[Byte]],
+                  sel: D3Select = D3Select()): D3PlotFile = {
+    val (file, lay) = parseRoot(root, sel)
+    val extra = continuations.flatMap(parseStates(_, 0, lay, sel))
     file.copy(states = file.states ++ extra)
   }
 
-  def parse(bytes: Array[Byte]): D3PlotFile = parseRoot(bytes)._1
+  def parse(bytes: Array[Byte], sel: D3Select = D3Select()): D3PlotFile =
+    parseRoot(bytes, sel)._1
 
-  private def parseRoot(bytes: Array[Byte]): (D3PlotFile, StateLayout) = {
+  private def parseRoot(bytes: Array[Byte],
+                        sel: D3Select = D3Select()): (D3PlotFile, StateLayout) = {
     val ws = detectWordSize(bytes)
     val wd = new Words(bytes, ws)
     val nWords = wd.nWords
@@ -270,30 +293,43 @@ object D3PlotSource {
         counts
       } else Nil
     val numSphVars = if (nmsph > 0) 1 + sphFieldCounts.sum else 0
-    // geometry: nodes
-    val coords = Array.tabulate(numnp)(n =>
-      Array(fw(w + n * 3), fw(w + n * 3 + 1), fw(w + n * 3 + 2)))
+    // geometry: nodes (stride always advances; arrays materialize only
+    // when the geometry block is selected)
+    val coords =
+      if (sel.geometry)
+        Array.tabulate(numnp)(n =>
+          Array(fw(w + n * 3), fw(w + n * 3 + 1), fw(w + n * 3 + 2)))
+      else Array.empty[Array[Float]]
     w += numnp * 3
     // solids: 8 node ids + part id, all 1-based
-    val solids = Array.tabulate(nel8) { e =>
-      val base = w + e * 9
-      (Array.tabulate(8)(k => iw(base + k).toLong - 1), iw(base + 8).toLong)
-    }
+    val solids =
+      if (sel.geometry)
+        Array.tabulate(nel8) { e =>
+          val base = w + e * 9
+          (Array.tabulate(8)(k => iw(base + k).toLong - 1), iw(base + 8).toLong)
+        }
+      else Array.empty[(Array[Long], Long)]
     w += nel8 * 9
     w += nelt * 9 // thick shells: 8 nodes + part, skipped
     w += nel2 * 6 // beams: 6 words each, skipped
-    val shells = Array.tabulate(nel4) { e =>
-      val base = w + e * 5
-      (Array.tabulate(4)(k => iw(base + k).toLong - 1), iw(base + 4).toLong)
-    }
+    val shells =
+      if (sel.geometry)
+        Array.tabulate(nel4) { e =>
+          val base = w + e * 5
+          (Array.tabulate(4)(k => iw(base + k).toLong - 1), iw(base + 4).toLong)
+        }
+      else Array.empty[(Array[Long], Long)]
     w += nel4 * 5
     // arbitrary user numbering: NARBS words of external ids — connectivity
     // stays internally numbered, so the whole block is a stride skip
     w += narbs
     // SPH node and material list (follows the user-id section): 2 words
     // per particle — (node number 1-based, material number)
-    val sphParticles = Array.tabulate(nmsph)(i =>
-      (iw(w + i * 2).toLong - 1, iw(w + i * 2 + 1).toLong))
+    val sphParticles =
+      if (sel.geometry || sel.sph)
+        Array.tabulate(nmsph)(i =>
+          (iw(w + i * 2).toLong - 1, iw(w + i * 2 + 1).toLong))
+      else Array.empty[(Long, Long)]
     w += nmsph * 2
 
     // state data (shared with family continuation files)
@@ -301,8 +337,8 @@ object D3PlotSource {
       nel8, nv3d, nelt, nv3dt, nel2, nv1d, nel4, nv2d, maxint, nvLayer,
       nmsph = nmsph, numSphVars = numSphVars)
     val labels = if (nmsph > 0) sphLabelsOf(sphFieldCounts) else Nil
-    (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay),
-      sphParticles, labels), lay)
+    (D3PlotFile(title, coords, solids, shells, parseStates(bytes, w, lay, sel),
+      sphParticles, labels, numNodes = numnp, numSolids = nel8), lay)
   }
 
   /** LS-DYNA `.k` keyword file → part-id → shell thickness (reference

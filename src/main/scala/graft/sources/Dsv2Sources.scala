@@ -498,3 +498,342 @@ private class AseLmdbReaderFactory(conf: Map[String, String], cols: Array[String
     }
   }
 }
+
+// ------------------------------------------------------------------ VTI
+
+/** `spark.read.format("graft.sources.VtiDataSource").option("path", dir)`.
+  *
+  * Default table (`table=points`): `grid_id STRING, i/j/k INT,
+  * x/y/z DOUBLE` + one nullable DOUBLE column per PointData array found
+  * across the globbed `.vti` files — the dense x-fastest point lattice
+  * (reference `sources/vti.py:100-143`). `option("table", "cells")` is the
+  * cell lattice (`(nx-1)(ny-1)(nz-1)` cells, coordinates at cell centers)
+  * carrying the CellData arrays.
+  *
+  * Pruning semantics mirror [[VtuDataSource]]: unselected arrays are never
+  * payload-read (ranged reads into the appended block), lattice indices and
+  * coordinates are COMPUTED from the header's extent/origin/spacing (zero
+  * payload), and schema inference reads only XML headers.
+  */
+class VtiDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val files = Dsv2.listFiles(spark, Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("VtiDataSource requires option 'path'")),
+      Dsv2.opt(options, "globFilter", "*.vti"))
+    require(files.nonEmpty, s"VtiDataSource: no files under ${options.get("path")}")
+    val conf = Dsv2.confMap(spark)
+    val cellsTable = Dsv2.opt(options, "table", "points") == "cells"
+    val limit = Dsv2.opt(options, "inferLimit", "0").toInt
+    val sample = if (limit > 0) files.take(limit) else files
+    val arrays = sample.flatMap { f =>
+      val raw = new Dsv2.HadoopRawData(f, conf)
+      try {
+        val (_, _, _, pd, cd) = VtkXmlSource.listVtiMeta(raw)
+        if (cellsTable) cd else pd
+      } finally raw.close()
+    }.distinct.sorted
+    StructType(
+      Seq(StructField("grid_id", StringType, nullable = false),
+        StructField("i", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("k", IntegerType, nullable = false),
+        StructField("x", DoubleType, nullable = false),
+        StructField("y", DoubleType, nullable = false),
+        StructField("z", DoubleType, nullable = false)) ++
+        arrays.map(a => StructField(a, DoubleType, nullable = true)))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new VtiTable(schema, properties.asScala.toMap)
+}
+
+private class VtiTable(schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_vti(${props.getOrElse("path", "")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VtiScanBuilder(schema0, options)
+}
+
+private class VtiScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val files = Dsv2.listFiles(spark, options.get("path"),
+      Dsv2.opt(options, "globFilter", "*.vti"))
+    new VtiScan(files, Dsv2.confMap(spark), required,
+      Dsv2.opt(options, "table", "points") == "cells")
+  }
+}
+
+private class VtiScan(files: Seq[String], conf: Map[String, String],
+                      required: StructType, cellsTable: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map(f => FilePartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VtiReaderFactory(conf, required.fieldNames, cellsTable)
+  override def description(): String =
+    s"graft_vti ReadSchema: ${required.map(_.name).mkString(",")}"
+}
+
+private class VtiReaderFactory(conf: Map[String, String], cols: Array[String],
+                               cellsTable: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[FilePartition].path
+    val raw = new Dsv2.HadoopRawData(path, conf)
+    val meta = Seq("grid_id", "i", "j", "k", "x", "y", "z")
+    val arrays = cols.filterNot(meta.contains)
+    val (extent, origin, spacing, decoded) =
+      try {
+        val (ext, org0, spc, _, _) = VtkXmlSource.listVtiMeta(raw)
+        val d: Map[String, Array[Double]] =
+          if (arrays.isEmpty) Map.empty
+          else {
+            val g = VtkXmlSource.parseVtiRaw(raw, include = arrays.toSet)
+            if (cellsTable) g.cellData else g.pointData
+          }
+        (ext, org0, spc, d)
+      } finally raw.close()
+    val nx = extent(1) - extent(0) + 1
+    val ny = extent(3) - extent(2) + 1
+    val nz = extent(5) - extent(4) + 1
+    // cell lattice dims (a flat axis keeps one layer, as in readVti)
+    val off = if (cellsTable) 1 else 0
+    val dx = math.max(nx - off, 1); val dy = math.max(ny - off, 1)
+    val dz = math.max(nz - off, 1)
+    val shift = if (cellsTable) 0.5 else 0.0
+    val n = dx.toLong * dy * dz
+    val gridId = UTF8String.fromString(path)
+    new PartitionReader[InternalRow] {
+      private var idx = -1L
+      override def next(): Boolean = { idx += 1; idx < n }
+      override def get(): InternalRow = {
+        val i = (idx % dx).toInt
+        val j = ((idx / dx) % dy).toInt
+        val k = (idx / (dx.toLong * dy)).toInt
+        val values: Array[Any] = cols.map {
+          case "grid_id" => gridId
+          case "i" => extent(0) + i
+          case "j" => extent(2) + j
+          case "k" => extent(4) + k
+          case "x" => origin(0) + (extent(0) + i + shift) * spacing(0)
+          case "y" => origin(1) + (extent(2) + j + shift) * spacing(1)
+          case "z" => origin(2) + (extent(4) + k + shift) * spacing(2)
+          case a =>
+            decoded.get(a) match {
+              case Some(vs) if idx < vs.length => vs(idx.toInt)
+              case _ => null
+            }
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// --------------------------------------------------------------- d3plot
+
+/** `spark.read.format("graft.sources.D3PlotDataSource").option("path", g)`
+  * over LS-DYNA d3plot families (root + `d3plot01…` continuations grouped
+  * per directory, numerically ordered — the same family rule as
+  * `D3PlotSource.read`). `option("table", ...)` picks the long model:
+  *
+  *  - `points` (default): `mesh_id, point_id, x, y, z`
+  *  - `cells`:  `mesh_id, cell_id, vertices, part_id, cell_type`
+  *  - `states`: `mesh_id, t, time, point_id, dx, dy, dz`
+  *  - `shell`:  `mesh_id, t, cell_id, layer, sx..tzx, epsp`
+  *
+  * The table choice maps onto [[D3PlotSource.D3Select]] block pruning: a
+  * `states` scan never materializes geometry or shell stress, a `shell`
+  * scan never materializes node vectors — the state walker advances at the
+  * documented per-block strides (`d3plot.py:334` analogue). Schemas are
+  * static, so planning reads zero file bytes.
+  */
+class D3PlotDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    D3PlotDataSource.schemaOf(Dsv2.opt(options, "table", "points"))
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new D3PlotTable(schema, properties.asScala.toMap)
+}
+
+object D3PlotDataSource {
+  private def s(n: String) = StructField(n, StringType, nullable = false)
+  private def l(n: String) = StructField(n, LongType, nullable = false)
+  private def i(n: String) = StructField(n, IntegerType, nullable = false)
+  private def d(n: String) = StructField(n, DoubleType, nullable = false)
+  def schemaOf(table: String): StructType = table match {
+    case "points" => StructType(Seq(s("mesh_id"), l("point_id"), d("x"), d("y"), d("z")))
+    case "cells" => StructType(Seq(s("mesh_id"), l("cell_id"),
+      StructField("vertices", ArrayType(LongType), nullable = false),
+      l("part_id"), i("cell_type")))
+    case "states" => StructType(Seq(s("mesh_id"), i("t"), d("time"),
+      l("point_id"), d("dx"), d("dy"), d("dz")))
+    case "shell" => StructType(Seq(s("mesh_id"), i("t"), l("cell_id"), i("layer"),
+      d("sx"), d("sy"), d("sz"), d("txy"), d("tyz"), d("tzx"), d("epsp")))
+    case other => throw new IllegalArgumentException(
+      s"unknown d3plot table '$other' (points|cells|states|shell)")
+  }
+
+  /** Driver-side family grouping: per directory, `d3plotNN` continuations
+    * (numeric order) belong to the bare `d3plot` root; any other matching
+    * file is an independent root. Mirrors `D3PlotSource.parsedFamilies`.
+    */
+  private[sources] def families(files: Seq[String]): Seq[(String, Seq[String])] = {
+    def base(p: String) = p.split("/").last
+    files.groupBy(_.replaceAll("/[^/]*$", "")).toSeq.sortBy(_._1).flatMap {
+      case (dir, fs) =>
+        val (conts, roots) = fs.partition(f => base(f).matches("d3plot\\d+"))
+        val sortedConts = conts.sortBy(f => base(f).drop("d3plot".length).toInt)
+        val (familyRoot, soloRoots) = roots.partition(f => base(f) == "d3plot")
+        require(sortedConts.isEmpty || familyRoot.nonEmpty,
+          s"$dir has continuation files ${sortedConts.map(base)} but no d3plot root")
+        familyRoot.map(r => (r, sortedConts)) ++ soloRoots.sorted.map(r => (r, Nil))
+    }
+  }
+}
+
+private class D3PlotTable(schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_d3plot(${props.getOrElse("path", "")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new D3PlotScanBuilder(schema0, options)
+}
+
+private class D3PlotScanBuilder(full: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val files = Dsv2.listFiles(spark, options.get("path"),
+      Dsv2.opt(options, "globFilter", "*d3plot*"))
+    new D3PlotScan(D3PlotDataSource.families(files), Dsv2.confMap(spark),
+      required, Dsv2.opt(options, "table", "points"))
+  }
+}
+
+private case class D3FamilyPartition(root: String, conts: Seq[String])
+    extends InputPartition
+
+private class D3PlotScan(fams: Seq[(String, Seq[String])],
+                         conf: Map[String, String],
+                         required: StructType, table: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    fams.map { case (r, c) => D3FamilyPartition(r, c): InputPartition }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new D3PlotReaderFactory(conf, required.fieldNames, table)
+  override def description(): String =
+    s"graft_d3plot table=$table ReadSchema: ${required.map(_.name).mkString(",")}"
+}
+
+private class D3PlotReaderFactory(conf: Map[String, String], cols: Array[String],
+                                  table: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fam = p.asInstanceOf[D3FamilyPartition]
+    val sel = table match {
+      case "points" | "cells" =>
+        D3PlotSource.D3Select(geometry = true, nodeVec = false, shell = false, sph = false)
+      case "states" =>
+        D3PlotSource.D3Select(geometry = false, nodeVec = true, shell = false, sph = false)
+      case "shell" =>
+        D3PlotSource.D3Select(geometry = false, nodeVec = false, shell = true, sph = false)
+    }
+    val f = D3PlotSource.parseFamily(Dsv2.readBytes(fam.root, conf),
+      fam.conts.map(Dsv2.readBytes(_, conf)), sel)
+    val meshId = UTF8String.fromString(fam.root)
+    val rows: Iterator[Array[Any]] = table match {
+      case "points" =>
+        f.coords.iterator.zipWithIndex.map { case (c, n) =>
+          cols.map[Any] {
+            case "mesh_id" => meshId
+            case "point_id" => n.toLong
+            case "x" => c(0).toDouble
+            case "y" => c(1).toDouble
+            case "z" => c(2).toDouble
+          }
+        }
+      case "cells" =>
+        val solids = f.solids.iterator.zipWithIndex.map { case ((vs, part), e) =>
+          (e.toLong, vs, part, 12)
+        }
+        val shells = f.shells.iterator.zipWithIndex.map { case ((vs, part), e) =>
+          ((f.solids.length + e).toLong, vs, part, 9)
+        }
+        (solids ++ shells).map { case (cellId, vs, part, tpe) =>
+          cols.map[Any] {
+            case "mesh_id" => meshId
+            case "cell_id" => cellId
+            case "vertices" => new GenericArrayData(vs)
+            case "part_id" => part
+            case "cell_type" => tpe
+          }
+        }
+      case "states" =>
+        f.states.iterator.zipWithIndex.flatMap { case (st, t) =>
+          st.nodeVec.iterator.zipWithIndex.map { case (v, n) =>
+            cols.map[Any] {
+              case "mesh_id" => meshId
+              case "t" => t
+              case "time" => st.time.toDouble
+              case "point_id" => n.toLong
+              case "dx" => v(0).toDouble
+              case "dy" => v(1).toDouble
+              case "dz" => v(2).toDouble
+            }
+          }
+        }
+      case "shell" =>
+        val nSolids = f.numSolids
+        f.states.iterator.zipWithIndex.flatMap { case (st, t) =>
+          st.shellStress.iterator.zipWithIndex.flatMap { case (layers, e) =>
+            layers.iterator.zipWithIndex.map { case (sv, l) =>
+              cols.map[Any] {
+                case "mesh_id" => meshId
+                case "t" => t
+                case "cell_id" => (nSolids + e).toLong
+                case "layer" => l
+                case "sx" => sv(0).toDouble
+                case "sy" => sv(1).toDouble
+                case "sz" => sv(2).toDouble
+                case "txy" => sv(3).toDouble
+                case "tyz" => sv(4).toDouble
+                case "tzx" => sv(5).toDouble
+                case "epsp" => st.shellEpsp(e)(l).toDouble
+              }
+            }
+          }
+        }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (rows.hasNext) { cur = InternalRow.fromSeq(rows.next().toIndexedSeq); true }
+        else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -691,9 +691,46 @@ object VtkXmlSource {
     */
   def parseVti(bytes: Array[Byte], include: Set[String] = Set.empty,
                exclude: Set[String] = Set.empty): VtiGrid = {
-    val (xmlBytes, appended) = splitAppended(bytes)
-    lazy val appendedB64: String =
-      new String(appended.get._2, "US-ASCII").replaceAll("\\s", "")
+    val (xmlBytes, app) = splitAppended(bytes)
+    parseVtiCore(xmlBytes,
+      app.map { case (enc, data) => (enc, new ArrayRawData(data): RawData) },
+      include, exclude)
+  }
+
+  /** [[parseVti]] over a random-access handle — bounded header read plus
+    * ranged per-array payload reads, like [[parseVtuRaw]]. */
+  private[sources] def parseVtiRaw(raw: RawData, include: Set[String] = Set.empty,
+                                   exclude: Set[String] = Set.empty): VtiGrid = {
+    val (xmlBytes, app) = splitAppendedRaw(raw)
+    parseVtiCore(xmlBytes, app, include, exclude)
+  }
+
+  /** Header-only VTI introspection for DSv2 planning: (extent, origin,
+    * spacing, PointData names, CellData names) without any payload read.
+    */
+  private[sources] def listVtiMeta(raw: RawData): (Array[Int], Array[Double], Array[Double], Seq[String], Seq[String]) = {
+    val (xmlBytes, _) = splitAppendedRaw(raw)
+    val (_, _, pd, cd) = listVtuArraysXml(xmlBytes)
+    val head = new String(xmlBytes, "UTF-8")
+    def nums(attr: String, dflt: Array[Double]): Array[Double] =
+      (attr + "=\"([^\"]+)\"").r.findFirstMatchIn(head)
+        .map(_.group(1).trim.split("\\s+").map(_.toDouble)).getOrElse(dflt)
+    val extent = nums("WholeExtent", Array(0, 0, 0, 0, 0, 0)).map(_.toInt)
+    val origin = nums("Origin", Array(0.0, 0.0, 0.0))
+    val spacing = nums("Spacing", Array(1.0, 1.0, 1.0))
+    (extent, origin, spacing, pd, cd)
+  }
+
+  private def parseVtiCore(xmlBytes: Array[Byte],
+                           appended: Option[(String, RawData)],
+                           include: Set[String],
+                           exclude: Set[String]): VtiGrid = {
+    lazy val appendedB64: String = {
+      val rd = appended.get._2
+      require(rd.size <= Int.MaxValue - 8,
+        s"base64 AppendedData of ${rd.size} bytes exceeds 2 GiB (use raw encoding)")
+      new String(rd.slice(0L, rd.size), "US-ASCII").replaceAll("\\s", "")
+    }
 
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -729,9 +766,12 @@ object VtkXmlSource {
         val (enc, data) = appended.getOrElse(throw new IllegalArgumentException(
           s"DataArray '$arrayName' is format=appended but the file has no AppendedData"))
         val payload =
-          if (enc == "raw")
-            decodeRawPayload(new ArrayRawData(data), arrayOffset, headerType, compressed)
-          else decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+          if (enc == "raw") decodeRawPayload(data, arrayOffset, headerType, compressed)
+          else {
+            require(arrayOffset <= Int.MaxValue - 8,
+              s"base64 appended offset $arrayOffset beyond 2 GiB (use raw encoding)")
+            decodeB64Payload(appendedB64, arrayOffset.toInt, headerType, compressed)
+          }
         typedDoubles(payload, arrayType)
       case other => throw new IllegalArgumentException(s"unsupported DataArray format $other")
     }

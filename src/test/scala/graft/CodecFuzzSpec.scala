@@ -164,7 +164,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     (0 until numnp * 3).foreach(i => bb.putFloat(i * 0.25f))
     (0 until nel4 * nv2d).foreach(i => bb.putFloat(i * 1.5f))
     bb.putFloat(-999999.0f)
-    harden("d3plot", bb.array())(graft.sources.D3PlotSource.parse)
+    harden("d3plot", bb.array())(graft.sources.D3PlotSource.parse(_))
   }
 
   test("NetCDF classic header survives corruption") {

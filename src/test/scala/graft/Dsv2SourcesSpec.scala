@@ -243,6 +243,130 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(typed.select("a2").agg(sum("a2")).collect().head.getDouble(0) == sum1)
   }
 
+  test("VTI DSv2: lattice from header, pruned arrays never decoded, parity with readVti") {
+    val s = spark
+    import s.implicits._
+    // grid 0: 3x2 lattice, two fields; sparse input — fill 0.0 densifies
+    val g = Seq(
+      ("g0", "temp", 0, 0, 0, 1.5), ("g0", "temp", 2, 1, 0, 2.5),
+      ("g0", "mass", 1, 0, 0, 4.0),
+      ("g1", "temp", 0, 0, 0, 7.0))
+      .toDF("grid_id", "field", "i", "j", "k", "value")
+    val out = tmpDir("dsv2_vti")
+    graft.sinks.VtiSink.write(g, out, extent = (0, 2, 0, 1, 0, 0),
+      origin = (10.0, 20.0, 0.0), spacing = (0.5, 2.0, 1.0))
+
+    val wide = s.read.format("graft.sources.VtiDataSource")
+      .option("path", out).load()
+    assert(wide.columns.toSeq ==
+      Seq("grid_id", "i", "j", "k", "x", "y", "z", "mass", "temp"))
+
+    // pruned scan reaches the relation (leaf output = selected columns)
+    val sel = wide.select("grid_id", "i", "j", "temp")
+    assert(leafCols(sel).toSet == Set("grid_id", "i", "j", "temp"),
+      s"scan not pruned: ${leafCols(sel)}")
+    val got = sel.collect().map(r =>
+      (r.getString(0).split('/').last, r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("grid_g0.vti", 0, 0, 1.5), ("grid_g0.vti", 1, 0, 0.0), ("grid_g0.vti", 2, 0, 0.0),
+      ("grid_g0.vti", 0, 1, 0.0), ("grid_g0.vti", 1, 1, 0.0), ("grid_g0.vti", 2, 1, 2.5),
+      ("grid_g1.vti", 0, 0, 7.0), ("grid_g1.vti", 1, 0, 0.0), ("grid_g1.vti", 2, 0, 0.0),
+      ("grid_g1.vti", 0, 1, 0.0), ("grid_g1.vti", 1, 1, 0.0), ("grid_g1.vti", 2, 1, 0.0)),
+      got.toString)
+
+    // coordinates computed from origin/spacing in the header — zero decode
+    val xy = wide.filter(col("i") === 2 && col("j") === 1)
+      .select("x", "y").distinct().collect().head
+    assert(xy.getDouble(0) == 11.0 && xy.getDouble(1) == 22.0, xy.toString)
+
+    // parity with the function-API reader (long model)
+    val (pd, _) = graft.sources.VtkXmlSource.readVti(s, out)
+    val fromLong = pd.filter(col("field") === "temp")
+      .select("grid_id", "i", "j", "value").collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(fromLong == got, s"long=$fromLong wide=$got")
+
+    // poison file: the pruned array must never decode
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "grid_poison.vti"),
+      """<?xml version="1.0"?>
+        |<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian">
+        | <ImageData WholeExtent="0 1 0 0 0 0" Origin="0 0 0" Spacing="1 1 1">
+        |  <Piece Extent="0 1 0 0 0 0">
+        |   <PointData>
+        |    <DataArray type="Float64" Name="temp" format="ascii">8.0 9.0</DataArray>
+        |    <DataArray type="Float64" Name="poison" format="appended" offset="0"/>
+        |   </PointData>
+        |  </Piece>
+        | </ImageData>
+        |</VTKFile>""".stripMargin)
+    val wide2 = s.read.format("graft.sources.VtiDataSource")
+      .option("path", out).load()
+    assert(wide2.columns.contains("poison"))
+    // selecting temp works although the poison array is undecodable...
+    assert(wide2.select("temp").collect().map(_.getDouble(0)).sum == 1.5 + 2.5 + 7.0 + 8.0 + 9.0)
+    // ...and only asking for poison hits its decode
+    val e = intercept[Exception](wide2.select("poison").collect())
+    assert(e.getMessage != null && e.getMessage.contains("AppendedData"), e.getMessage)
+  }
+
+  test("d3plot DSv2: family tables match the function API; block pruning via D3Select") {
+    val s = spark
+    import s.implicits._
+    val pts = (0L until 8L).map(i =>
+      (i % 2, i, i * 1.0 + 0.5, 0.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val quads = Seq((0L, 0L, Seq(0L, 2L, 4L, 6L), 1L), (1L, 0L, Seq(1L, 3L, 5L, 7L), 1L))
+      .toDF("mesh_id", "cell_id", "vertices", "part_id")
+    val states = Seq(0, 1).flatMap { t =>
+      (0L until 8L).map(i => (i % 2, t, t * 0.5, i, i * 0.25 + t, 0.0, 0.0))
+    }.toDF("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")
+    val shellData = Seq(0, 1).flatMap { t =>
+      Seq(0, 1).flatMap { l =>
+        Seq(0L, 1L).map(m => (m, t, 0L, l, (l + 1) * 0.25, 0.0, 0.0, 0.0, 0.0, 0.0, t * 0.125))
+      }
+    }.toDF("mesh_id", "t", "cell_id", "layer", "sx", "sy", "sz", "txy", "tyz", "tzx", "epsp")
+    val out = tmpDir("dsv2_d3p")
+    graft.sinks.D3PlotSink.write(pts, quads, states, shellData, out)
+
+    val (rp, rc, rs, rsh) = graft.sources.D3PlotSource.read(s, s"$out/*")
+    def load(table: String) = s.read.format("graft.sources.D3PlotDataSource")
+      .option("path", s"$out/*").option("table", table).load()
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(key(load("points")) == key(rp.select("mesh_id", "point_id", "x", "y", "z")))
+    assert(key(load("states")) == key(rs.select("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")))
+    assert(key(load("shell")) == key(rsh))
+    assert(key(load("cells").select("mesh_id", "cell_id", "part_id", "cell_type")) ==
+      key(rc.select("mesh_id", "cell_id", "part_id", "cell_type")))
+
+    // column pruning reaches the scan
+    val prun = load("states").select("mesh_id", "dx")
+    assert(leafCols(prun).toSet == Set("mesh_id", "dx"), leafCols(prun).toString)
+
+    // D3Select block pruning: deselected blocks are never materialized,
+    // selected ones still decode correctly across the skipped strides
+    val rootBytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(out).listFiles().filter(_.isDirectory).head.listFiles()
+        .filter(_.getName == "d3plot").head.toPath)
+    val full = graft.sources.D3PlotSource.parse(rootBytes)
+    val statesOnly = graft.sources.D3PlotSource.parse(rootBytes,
+      graft.sources.D3PlotSource.D3Select(geometry = false, shell = false, sph = false))
+    assert(statesOnly.coords.isEmpty && statesOnly.solids.isEmpty && statesOnly.shells.isEmpty)
+    assert(statesOnly.states.forall(st => st.shellStress.isEmpty && st.shellEpsp.isEmpty))
+    assert(statesOnly.numNodes == full.coords.length && statesOnly.numNodes > 0)
+    assert(statesOnly.states.map(_.time).toSeq == full.states.map(_.time).toSeq)
+    assert(statesOnly.states.zip(full.states).forall { case (a, b) =>
+      a.nodeVec.map(_.toSeq).toSeq == b.nodeVec.map(_.toSeq).toSeq })
+    val shellOnly = graft.sources.D3PlotSource.parse(rootBytes,
+      graft.sources.D3PlotSource.D3Select(geometry = false, nodeVec = false, sph = false))
+    assert(shellOnly.states.forall(_.nodeVec.isEmpty))
+    assert(shellOnly.states.zip(full.states).forall { case (a, b) =>
+      a.shellStress.map(_.map(_.toSeq).toSeq).toSeq == b.shellStress.map(_.map(_.toSeq).toSeq).toSeq &&
+        a.shellEpsp.map(_.toSeq).toSeq == b.shellEpsp.map(_.toSeq).toSeq })
+    assert(shellOnly.numSolids == full.solids.length)
+  }
+
   test("ASE LMDB DSv2: json pruned away skips the value decode entirely") {
     val s = spark
     import s.implicits._

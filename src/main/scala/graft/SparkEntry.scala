@@ -211,6 +211,7 @@ object SparkEntry {
     "q_ledger_summary" -> (qLedgerSummary _),
     "q_ledger_detail" -> (qLedgerDetail _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
+    "q_pipeline_partial" -> (qPipelinePartial _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
@@ -1135,6 +1136,51 @@ object SparkEntry {
       .withColumn("run2_executed", lit(r2.nExecuted))
       .withColumn("run2_skipped", lit(r2.nSkipped))
       .withColumn("artifact_written", lit(if (r1.writtenPaths.nonEmpty) 1 else 0))
+      .orderBy("idx", "return_flag")
+  }
+
+  /** §2.5 PARTIAL-failure resume — the case the ledger exists for
+    * (reference `core/base.py:595-602`, `test_checkpoint.py`): run 1
+    * executes per-index (one committed artifact partition + one ledger row
+    * per index) and CRASHES at index 5 via an injected driver-side fault,
+    * leaving indices 0-4 durable and an errors row for 5; run 2 resumes and
+    * executes exactly the remaining 3 (the errored index retries). The
+    * output reads the SINK ARTIFACT (all 8 partitions, identical to a
+    * clean run) and pins run1_completed=5 / run1_failed=1 /
+    * run2_executed=3 / run2_skipped=5 as literals the oracle re-asserts.
+    */
+  private def qPipelinePartial(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_pipe_part", dir)
+    val artDir = s"$ledgerDir/artifact"
+    val pipe = graft.core.Pipeline(
+      graft.core.PSource("lineitem_by_mod8", Map("table" -> "lineitem", "mod" -> "8"),
+        sp => Tables.lineitem(sp, dir).withColumn("idx", col("l_orderkey") % 8)),
+      Vector(
+        graft.core.PFilter("stats_by_idx_flag", Map("groups" -> "idx,l_returnflag"),
+          df => df.groupBy(col("idx"), col("l_returnflag"))
+            .agg(count(lit(1)).as("n_rows"),
+              rnd(sum(col("l_quantity")), 4).as("sum_qty")))),
+      Some(graft.core.PSink("parquet_partitioned", Map("path" -> "artifact"),
+        df => graft.sinks.Sinks.partitionedParquet(df, artDir, Seq("idx")))))
+    val crashed =
+      try {
+        graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir,
+          beforeIndex = i => if (i == 5L) throw new RuntimeException("injected fault"))
+        false
+      } catch { case e: RuntimeException if e.getMessage == "injected fault" => true }
+    val runId = pipe.configHash.take(16)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    val run1Completed = ledger.completedIndices(s, runId).count()
+    val run1Failed = ledger.failedIndices(s, runId).count()
+    val r2 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir)
+    s.read.parquet(artDir)
+      .select(col("idx").cast("long").as("idx"),
+        col("l_returnflag").as("return_flag"), col("n_rows"), col("sum_qty"))
+      .withColumn("run1_crashed", lit(if (crashed) 1 else 0))
+      .withColumn("run1_completed", lit(run1Completed))
+      .withColumn("run1_failed", lit(run1Failed))
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .withColumn("run2_skipped", lit(r2.nSkipped))
       .orderBy("idx", "return_flag")
   }
 
@@ -7194,6 +7240,18 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS run2_executed,
         |  CAST(8 AS BIGINT) AS run2_skipped,
         |  1 AS artifact_written
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pipeline_partial" ->
+      """SELECT CAST(l_orderkey % 8 AS BIGINT) AS idx,
+        |  l_returnflag AS return_flag,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity) + 1e-9, 4) AS sum_qty,
+        |  1 AS run1_crashed,
+        |  CAST(5 AS BIGINT) AS run1_completed,
+        |  CAST(1 AS BIGINT) AS run1_failed,
+        |  CAST(3 AS BIGINT) AS run2_executed,
+        |  CAST(5 AS BIGINT) AS run2_skipped
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_aselmdb_roundtrip" ->

@@ -93,4 +93,67 @@ object Runner {
       System.nanoTime() - t0, nRows, peakMem)
     RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths)
   }
+
+  /** Per-index execution: one Spark job per curator index, each COMMITTED
+    * TO THE LEDGER AS IT COMPLETES — the reference's actual work-unit model
+    * (`core/base.py:595-602`, one artifact + one checkpoint row per index),
+    * where a crash mid-run leaves the completed prefix durable and a resume
+    * executes exactly the remainder. `runPipeline` (one batch action,
+    * all-or-nothing commit) is the scale path when the sink is a single
+    * artifact; this mode is for per-index sinks and for the
+    * partial-failure resume contract (`test_checkpoint.py`).
+    *
+    * The index list is collected to the driver — bounded by the curator
+    * index domain (work units, not rows; the reference enumerates the same
+    * list). Indices run in sorted order for deterministic failure
+    * prefixes. `beforeIndex` is a driver-side hook (fault injection in
+    * tests, progress callbacks); an exception from the hook or the index's
+    * own job records an `errors` ledger row for that index and RETHROWS —
+    * the completed prefix stays recorded, the failed index is retried on
+    * the next run (error status does not mark completion).
+    */
+  def runPerIndex(spark: SparkSession, pipeline: Pipeline, idxCol: String,
+                  ledgerDir: String, resume: Boolean = true,
+                  beforeIndex: Long => Unit = _ => ()): RunResult = {
+    val ledger = new Ledger(ledgerDir)
+    val runId = pipeline.configHash.take(16)
+
+    val full = pipeline.dataFrame(spark)
+    val allIdx = full.select(col(idxCol).cast("long").as("idx")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val done: Set[Long] =
+      if (resume) ledger.completedIndices(spark, runId)
+        .collect().map(_.getLong(0)).toSet
+      else Set.empty
+    val todo = allIdx.filterNot(done)
+    if (todo.isEmpty)
+      return RunResult(runId, allIdx.length, allIdx.length, 0, Nil)
+
+    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
+    val paths = Seq.newBuilder[String]
+    var executed = 0
+    todo.foreach { idx =>
+      val t0 = System.nanoTime()
+      try {
+        beforeIndex(idx)
+        val slice = full.filter(col(idxCol).cast("long") === idx)
+        val obs = org.apache.spark.sql.Observation()
+        val observed = slice.observe(obs, count(lit(1)).as("n_rows"))
+        val p = pipeline.sink match {
+          case Some(s) => s.write(observed)
+          case None => observed.count(); Nil
+        }
+        val nRows = obs.get("n_rows").asInstanceOf[Long]
+        ledger.recordCompleted(spark, runId, Seq(idx),
+          System.nanoTime() - t0, nRows)
+        paths ++= p
+        executed += 1
+      } catch {
+        case e: Throwable =>
+          ledger.recordError(spark, runId, idx, String.valueOf(e.getMessage))
+          throw e
+      }
+    }
+    RunResult(runId, done.size + executed, done.size, executed, paths.result())
+  }
 }

@@ -86,6 +86,36 @@ class CoreSpec extends SparkSpec {
     assert(summary.nonEmpty)
   }
 
+  test("runPerIndex: injected failure leaves completed prefix durable; resume runs exactly the rest") {
+    val dir = Files.createTempDirectory("graft-ledger-pi").toString
+    val out = Files.createTempDirectory("graft-out-pi").toString
+    val p = Pipeline(mkSource(8)).filter(doubleFilter)
+      .write(Sinks.parquetSink(s"$out/data", Seq("idx")))
+    // run 1 crashes at index 5 (driver-side fault injection): indices 0-4
+    // are already committed per-index, 5 gets an errors row, 6-7 never ran
+    val boom = intercept[RuntimeException] {
+      Runner.runPerIndex(spark, p, "idx", dir,
+        beforeIndex = i => if (i == 5L) throw new RuntimeException("injected"))
+    }
+    assert(boom.getMessage == "injected")
+    val runId = p.configHash.take(16)
+    val led = new Ledger(dir)
+    assert(led.completedIndices(spark, runId).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L, 4L))
+    assert(led.failedIndices(spark, runId).collect().map(_.getLong(0)).toSet == Set(5L))
+    // run 2 executes exactly the remaining 3 (the errored index is retried)
+    val r2 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r2.nExecuted == 3 && r2.nSkipped == 5 && r2.nTotal == 8)
+    // artifact now identical to a clean run: every partition present, rows complete
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.select(col("idx").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == (0L until 8L).toSet)
+    assert(written.count() == 8)
+    // run 3 is a full skip
+    val r3 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r3.nExecuted == 0 && r3.nSkipped == 8 && r3.writtenPaths.isEmpty)
+  }
+
   test("runner without resume executes everything") {
     val dir = Files.createTempDirectory("graft-ledger2").toString
     val p = Pipeline(mkSource(6)).filter(doubleFilter)

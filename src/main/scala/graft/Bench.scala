@@ -84,7 +84,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Full per-query artifact on disk: the driver's BENCH_r{N}.json keeps
+    // only a truncated tail of stdout, which hides most of the suite from
+    // round-over-round comparison — this file carries every median.
+    // Skipped for partial runs (SPARK_GRAFT_QUERIES) so a one-query
+    // re-measure never masquerades as a full suite.
+    if (only.isEmpty) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -1619,13 +1619,35 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     def grid(mult: Double) = ev.groupBy((col("user_id") % 50).as("k"))
       .agg(rnd(sum("value") * mult, 2).as("value"))
-    val b0 = grid(1.0).filter(col("k") < 30)
-      .select(lit("VAR_2T").as("variable"), col("k"), col("value"))
-      .unionByName(grid(1.0)
-        .select(lit("junk").as("variable"), col("k"), col("value")))
-    val b1 = grid(2.0).select(lit("2t").as("variable"), col("k"), col("value"))
-      .unionByName(grid(3.0)
-        .select(lit("10u").as("variable"), col("k"), col("value")))
+    // stage REAL per-variable .nc files (one dir per backend) and read them
+    // back through the DSv2 relation — the variable `isin` prefilter pushes
+    // into the scan (vars=[...] in the plan), so each backend reads only
+    // its lexicon's variables at the decoder, the Catalyst-native form of
+    // the reference's `variables` selection (`era5.py:103-382`)
+    val out = freshTmpDir("graft_era5_rt", dir)
+    def rows(g: DataFrame, v: String) =
+      g.select(lit(v).as("variable"), lit(0).as("t"), lit(0).as("i"),
+        col("k").cast("int").as("j"), col("value"))
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(1.0), "VAR_2T").unionByName(rows(grid(1.0), "junk")),
+      s"$out/b0", shape = (1, 50), nRecs = 1)
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(2.0), "2t").unionByName(rows(grid(3.0), "10u")),
+      s"$out/b1", shape = (1, 50), nRecs = 1)
+    // the lattice is dense (fill 0.0 at absent k), so keep only ks the
+    // events actually cover — the oracle recomputes from events alone
+    val present = grid(1.0).select(col("k"))
+    def rel(sub: String, vars: Seq[String]) =
+      s.read.format("graft.sources.NetCdfDataSource")
+        .option("path", s"$out/$sub").load()
+        .filter(col("variable").isin(vars: _*))
+        .select(col("variable"), col("pos").as("k"), col("value"))
+        .join(present, Seq("k"), "left_semi")
+    // junk stays in b0's frame on purpose: the scan proves multi-variable
+    // pushdown and the LEXICON proves the unmapped-variable drop
+    val b0 = rel("b0", Seq("VAR_2T", "junk"))
+      .filter(col("variable") =!= "VAR_2T" || col("k") < 30)
+    val b1 = rel("b1", Seq("2t", "10u"))
     RelationalOps.lexiconRoute(Seq(
       (b0, 0, Map("t2m" -> "VAR_2T")),
       (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))

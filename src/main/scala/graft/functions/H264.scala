@@ -1575,6 +1575,13 @@ object H264 {
         case 7 =>
           sps = Some(Avc.parseSps(nal))
           entropy = spsEntropyFields(nal)
+          // the provenance marker covers only the access units that FOLLOW
+          // it within the current sequence: a new SPS starts a new
+          // sequence, so a foreign stream concatenated after a graft-marked
+          // one does not inherit the CoeffTok1-tail permission. The marker
+          // is provenance, not integrity — a stream could spoof the SEI;
+          // it guards against accidental misdecode, not adversaries.
+          selfProduced = false
         case 8 => pps = Some(parsePpsInfo(nal))
         case 6 => if (isSelfMarkerSei(nal)) selfProduced = true
         case 5 =>

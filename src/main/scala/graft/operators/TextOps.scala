@@ -435,8 +435,10 @@ object TextOps {
     *
     * `minFreq` is the scale valve (the same cut [[wordpieceVocab]] has):
     * piece counts aggregate DISTRIBUTED (partial+final groupBy) and only
-    * multi-char pieces occurring in ≥ minFreq distinct words reach the
-    * driver, so the collect is bounded by the retained vocabulary, not
+    * multi-char pieces with ≥ minFreq total positional occurrences across
+    * the distinct-word set reach the driver (a piece repeated within one
+    * word counts each occurrence — "aa" in "aaaa" counts 3), so the
+    * collect is bounded by the retained vocabulary, not
     * the unbounded distinct-word count of a web corpus. Single-char
     * pieces are ALWAYS kept regardless of frequency — SentencePiece's
     * own character-coverage rule — so Viterbi coverage stays total under

@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import java.io.InputStream
 import java.net.URI

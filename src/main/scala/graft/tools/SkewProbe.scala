@@ -121,9 +121,11 @@ object SkewProbe {
               graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = 8))
           }
         case "salted32" =>
+          // literal 32, NOT the SPARK_GRAFT_CPUS count — the variant label
+          // names the salt count, so the measurement must match it
           withConf("spark.sql.adaptive.enabled" -> "false") {
             run(variant)(
-              graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = cpus.toInt))
+              graft.operators.RelationalOps.saltedJoin(li, ord, "k", "l_partkey", nSalts = 32))
           }
       }
       if (reference == null) reference = rows

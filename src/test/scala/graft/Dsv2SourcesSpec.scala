@@ -182,7 +182,7 @@ class Dsv2SourcesSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     s.sparkContext.hadoopConfiguration
-      .set("fs.cntfs.impl", classOf[CountingFileSystem].getName)
+      .set("fs.cntfs.impl", classOf[graft.tools.CountingFileSystem].getName)
     val n = 100000
     val pts = s.range(2).select(col("id").as("m")).crossJoin(
       s.range(n).select(col("id").as("point_id")))
@@ -202,18 +202,18 @@ class Dsv2SourcesSpec extends SparkSpec {
     val headerBound = 128L * 1024 // 16K head + 4K tail per file, with slack
 
     // planning: load() infers the schema across both files
-    CountingFileSystem.reset()
+    graft.tools.CountingFileSystem.reset()
     val wide = s.read.format("graft.sources.VtuDataSource")
       .option("path", s"cntfs:$out").load()
-    val inferBytes = CountingFileSystem.bytesRead.get()
+    val inferBytes = graft.tools.CountingFileSystem.bytesRead.get()
     assert(wide.columns.contains("a1"))
     assert(inferBytes > 0 && inferBytes < headerBound,
       s"inference read $inferBytes of $totalBytes bytes — payload touched")
 
     // scan with ONE of three arrays, no points
-    CountingFileSystem.reset()
+    graft.tools.CountingFileSystem.reset()
     val sum1 = wide.select("a0").agg(sum("a0")).collect().head.getDouble(0)
-    val bytes1 = CountingFileSystem.bytesRead.get()
+    val bytes1 = graft.tools.CountingFileSystem.bytesRead.get()
     assert(sum1 == 2.0 * n.toLong * (n + 1) / 2, sum1.toString)
     // one array = n*8 bytes + header words per file; well under half the file
     assert(bytes1 < 2L * (n * 8L + 64L * 1024),
@@ -221,24 +221,24 @@ class Dsv2SourcesSpec extends SparkSpec {
 
     // scan with all three arrays reads ~3x the single-array payload
     // (summing all three keeps Catalyst from pruning the other two away)
-    CountingFileSystem.reset()
+    graft.tools.CountingFileSystem.reset()
     wide.agg(sum(col("a0") + col("a1") + col("a2"))).collect()
-    val bytes3 = CountingFileSystem.bytesRead.get()
+    val bytes3 = graft.tools.CountingFileSystem.bytesRead.get()
     assert(bytes1 < bytes3 / 2,
       s"pruning saved no I/O: 1 array = $bytes1, 3 arrays = $bytes3")
 
     // count-only touches headers, zero payload
-    CountingFileSystem.reset()
+    graft.tools.CountingFileSystem.reset()
     assert(wide.groupBy("mesh_id").count().collect().map(_.getLong(1)).toSet == Set(n.toLong))
-    val bytesCount = CountingFileSystem.bytesRead.get()
+    val bytesCount = graft.tools.CountingFileSystem.bytesRead.get()
     assert(bytesCount < headerBound,
       s"count-only scan read $bytesCount bytes of payload")
 
     // user-supplied schema: zero read at planning time
-    CountingFileSystem.reset()
+    graft.tools.CountingFileSystem.reset()
     val typed = s.read.format("graft.sources.VtuDataSource")
       .schema(wide.schema).option("path", s"cntfs:$out").load()
-    assert(CountingFileSystem.bytesRead.get() == 0L,
+    assert(graft.tools.CountingFileSystem.bytesRead.get() == 0L,
       "user-supplied schema still triggered an inference read")
     assert(typed.select("a2").agg(sum("a2")).collect().head.getDouble(0) == sum1)
   }

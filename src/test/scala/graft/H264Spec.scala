@@ -333,6 +333,28 @@ class H264Spec extends AnyFunSuite {
     assert(e.getMessage.contains("provenance"), e.getMessage)
   }
 
+  test("SPS boundary resets provenance: a foreign tail after a marked stream still raises") {
+    // marked head + SEI-stripped repeat concatenated: the repeat's SPS
+    // starts a new sequence WITHOUT the marker, so its stand-in tail codes
+    // must raise — the marker covers only the access units that follow it
+    // within its own sequence (no cross-stream latch)
+    val r = rng(6)
+    val y = Array.tabulate(32 * 32) { i =>
+      val bx = (i % 32) / 4; val by = (i / 32) / 4
+      val a = (bx + by) % 3 match { case 0 => 0; case 1 => 4; case _ => 120 }
+      math.max(0, math.min(255, 128 + (if (a == 0) 0 else r() % (2 * a + 1) - a)))
+    }
+    val noise = Yuv(32, 32, y, Array.fill(16 * 16)(128), Array.fill(16 * 16)(128))
+    val (nb, nrec) = H264.encodeStream(Seq(noise), 16, (_, _, _) => MbI16(2))
+    val sc = Array[Byte](0, 0, 0, 1)
+    val stripped = H264.splitNals(nb).filter(n => (n(0) & 0x1f) != 6)
+      .flatMap(n => sc ++ n).toArray
+    val e = intercept[IllegalArgumentException](H264.decode(nb ++ stripped))
+    assert(e.getMessage.contains("provenance"), e.getMessage)
+    // the marked head alone still decodes
+    assert(H264.decode(nb).head.y.toSeq == nrec.head.y.toSeq)
+  }
+
   test("unsupported features fail loudly") {
     val src = gradientFrame(32, 32, 9)
     val (bytes, _) = H264.encodeStream(Seq(src), 28, (_, _, _) => MbI16(2))

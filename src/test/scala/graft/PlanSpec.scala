@@ -27,6 +27,30 @@ class PlanSpec extends SparkSpec {
       "scan reads columns the query never uses")
   }
 
+  test("q_era5_routing: variable selection pushes into both NetCDF relation scans") {
+    val p = formatted("q_era5_routing")
+    // each backend's scan advertises exactly its lexicon's variables —
+    // the junk variable is decoded only because backend 0's frame keeps it
+    // to prove the lexicon-level drop; backend 1 reads only 2t/10u
+    assert(p.contains("vars=[VAR_2T,junk]"),
+      s"backend-0 variable pushdown missing:\n$p")
+    assert(p.contains("vars=[10u,2t]"),
+      s"backend-1 variable pushdown missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_vti_roundtrip: each unioned field branch prunes the VTI scan to its column") {
+    val p = formatted("q_vti_roundtrip")
+    // every branch's DSv2 scan reads (i, j, <field>) only — grid_id, k and
+    // the xyz coordinate columns never reach the reader
+    val scans = "graft_vti ReadSchema: ([^\\n]*)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(scans.nonEmpty, s"no VTI DSv2 scan in plan:\n$p")
+    scans.foreach { s =>
+      assert(!s.contains("x") && !s.contains("grid_id"),
+        s"VTI scan not pruned: $s")
+    }
+  }
+
   test("q_join_regional_revenue: bounded dims broadcast, agg is partial+final") {
     val p = formatted("q_join_regional_revenue")
     assert(p.contains("BroadcastHashJoin"), "bounded dims must broadcast")

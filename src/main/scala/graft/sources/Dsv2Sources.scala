@@ -48,7 +48,15 @@ object Dsv2 {
   /** Driver-side listing: directory → recursive files matching
     * `globFilter`; globbed path → expansion (filtered by `globFilter`).
     */
-  def listFiles(spark: SparkSession, path: String, globFilter: String): Seq[String] = {
+  def listFiles(spark: SparkSession, path: String, globFilter: String): Seq[String] =
+    listFilesWithSize(spark, path, globFilter).map(_._1)
+
+  /** Listing with file sizes — one pass; the sizes feed each Scan's
+    * `SupportsReportStatistics` so Catalyst can size broadcast decisions
+    * over the custom relations the same way it does over parquet.
+    */
+  def listFilesWithSize(spark: SparkSession, path: String,
+                        globFilter: String): Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val nameFilter = new GlobFilter(globFilter)
     path.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { one =>
@@ -61,16 +69,16 @@ object Dsv2 {
       roots.flatMap { st =>
         if (st.isDirectory) {
           val it = fs.listFiles(st.getPath, true)
-          val out = ArrayBuffer.empty[String]
+          val out = ArrayBuffer.empty[(String, Long)]
           while (it.hasNext) {
             val f = it.next()
-            if (nameFilter.accept(f.getPath)) out += f.getPath.toString
+            if (nameFilter.accept(f.getPath)) out += (f.getPath.toString -> f.getLen)
           }
           out.toSeq
-        } else if (nameFilter.accept(st.getPath)) Seq(st.getPath.toString)
+        } else if (nameFilter.accept(st.getPath)) Seq(st.getPath.toString -> st.getLen)
         else Nil
       }
-    }.sorted
+    }.sortBy(_._1)
   }
 
   /** Hadoop conf as a plain serializable map (Configuration itself is not
@@ -98,6 +106,50 @@ object Dsv2 {
 
   private[sources] def opt(o: CaseInsensitiveStringMap, k: String, dflt: String): String =
     Option(o.get(k)).getOrElse(dflt)
+
+  /** Size-only Statistics for `SupportsReportStatistics`: without it a
+    * DSv2 relation defaults to `spark.sql.defaultSizeInBytes` (maxed), so
+    * a small pruned mesh side could NEVER broadcast — reporting bytes
+    * scaled by the selected-column fraction lets Catalyst make the same
+    * join-strategy calls it makes over parquet.
+    */
+  private[sources] def statsOf(bytes: Long): Statistics = new Statistics {
+    override def sizeInBytes: java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  /** Fraction of a file's payload a pruned schema still reads: selected
+    * non-metadata columns over all non-metadata columns (metadata columns
+    * are computed, zero payload). Zero data columns → headers only (2%).
+    */
+  private[sources] def payloadFraction(full: StructType, required: StructType,
+                                       meta: Set[String]): Double = {
+    val totalData = math.max(full.fieldNames.count(c => !meta.contains(c)), 1)
+    val selData = required.fieldNames.count(c => !meta.contains(c))
+    if (selData == 0) 0.02 else selData.toDouble / totalData
+  }
+
+  /** Bounded-parallel driver-side map for planning-time header reads:
+    * schema inference touches only O(header) bytes per file, but at 10⁵
+    * files the serial open/read/close latency dominates planning — a
+    * fixed pool keeps inference latency ∝ files/16 without unbounded
+    * thread growth. Fails fast on the first error (propagated unwrapped).
+    */
+  private[sources] def parMap[A, B](items: Seq[A], parallelism: Int = 16)(f: A => B): Seq[B] = {
+    if (items.length <= 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, items.length))
+    try {
+      val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      }))
+      futures.map { fut =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdown()
+  }
 
   /** Ranged random-access over a Hadoop path: each `slice` is one
     * positioned `readFully` (pread), so a reader that keeps k of n arrays
@@ -163,10 +215,10 @@ class VtuDataSource extends TableProvider {
       // inference entirely (supportsExternalMetadata).
       val limit = Dsv2.opt(options, "inferLimit", "0").toInt
       val sample = if (limit > 0) files.take(limit) else files
-      val arrays = sample.flatMap { f =>
+      val arrays = Dsv2.parMap(sample) { f =>
         val raw = new Dsv2.HadoopRawData(f, conf)
         try VtkXmlSource.listVtuArraysRaw(raw)._3 finally raw.close()
-      }.distinct.sorted
+      }.flatten.distinct.sorted
       StructType(
         Seq(StructField("mesh_id", StringType, nullable = false),
           StructField("point_id", LongType, nullable = false),
@@ -200,20 +252,26 @@ private class VtuScanBuilder(full: StructType, options: CaseInsensitiveStringMap
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = Dsv2.listFiles(spark, options.get("path"),
+    val files = Dsv2.listFilesWithSize(spark, options.get("path"),
       Dsv2.opt(options, "globFilter", "*.vt[up]"))
-    new VtuScan(files, Dsv2.confMap(spark), required,
-      Dsv2.opt(options, "table", "points") == "cells")
+    val cells = Dsv2.opt(options, "table", "points") == "cells"
+    val frac =
+      if (cells) 0.2 // connectivity is a small slice of a typical mesh file
+      else Dsv2.payloadFraction(full, required, Set("mesh_id", "point_id"))
+    new VtuScan(files.map(_._1), (files.map(_._2).sum * frac).toLong,
+      Dsv2.confMap(spark), required, cells)
   }
 }
 
 private case class FilePartition(path: String) extends InputPartition
 
-private class VtuScan(files: Seq[String], conf: Map[String, String],
+private class VtuScan(files: Seq[String], estBytes: Long,
+                      conf: Map[String, String],
                       required: StructType, cellsTable: Boolean)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = Dsv2.statsOf(estBytes)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => FilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -352,7 +410,7 @@ private class NetCdfScanBuilder(options: CaseInsensitiveStringMap)
 
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = Dsv2.listFiles(spark, options.get("path"),
+    val files = Dsv2.listFilesWithSize(spark, options.get("path"),
       Dsv2.opt(options, "globFilter", "*.nc"))
     // the EXACT variable-name sets the pushed predicates allow; None = all
     val allowed: Option[Set[String]] = {
@@ -362,18 +420,24 @@ private class NetCdfScanBuilder(options: CaseInsensitiveStringMap)
       }
       if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
     }
-    new NetCdfScan(files, Dsv2.confMap(spark), required, allowed,
+    // one .nc per variable is the sink layout; a variable filter therefore
+    // bounds bytes by the matching files (here: coarse whole-listing sum —
+    // the planner only needs the broadcastability order of magnitude)
+    new NetCdfScan(files.map(_._1), files.map(_._2).sum,
+      Dsv2.confMap(spark), required, allowed,
       Dsv2.opt(options, "decodeCf", "false").toBoolean,
       Dsv2.opt(options, "decodeTimes", "false").toBoolean)
   }
 }
 
-private class NetCdfScan(files: Seq[String], conf: Map[String, String],
+private class NetCdfScan(files: Seq[String], estBytes: Long,
+                         conf: Map[String, String],
                          required: StructType, allowed: Option[Set[String]],
                          decodeCf: Boolean, decodeTimes: Boolean)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = Dsv2.statsOf(estBytes)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => FilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -448,16 +512,22 @@ private class AseLmdbScanBuilder(options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = Dsv2.listFiles(spark, options.get("path"),
+    val files = Dsv2.listFilesWithSize(spark, options.get("path"),
       Dsv2.opt(options, "globFilter", "*.aselmdb"))
-    new AseLmdbScan(files, Dsv2.confMap(spark), required)
+    // json pruned away → only the key B-tree is walked (a small slice)
+    val frac = if (required.fieldNames.contains("json")) 1.0 else 0.1
+    new AseLmdbScan(files.map(_._1), (files.map(_._2).sum * frac).toLong,
+      Dsv2.confMap(spark), required)
   }
 }
 
-private class AseLmdbScan(files: Seq[String], conf: Map[String, String],
-                          required: StructType) extends Scan with Batch {
+private class AseLmdbScan(files: Seq[String], estBytes: Long,
+                          conf: Map[String, String],
+                          required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = Dsv2.statsOf(estBytes)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => FilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -526,13 +596,13 @@ class VtiDataSource extends TableProvider {
     val cellsTable = Dsv2.opt(options, "table", "points") == "cells"
     val limit = Dsv2.opt(options, "inferLimit", "0").toInt
     val sample = if (limit > 0) files.take(limit) else files
-    val arrays = sample.flatMap { f =>
+    val arrays = Dsv2.parMap(sample) { f =>
       val raw = new Dsv2.HadoopRawData(f, conf)
       try {
         val (_, _, _, pd, cd) = VtkXmlSource.listVtiMeta(raw)
         if (cellsTable) cd else pd
       } finally raw.close()
-    }.distinct.sorted
+    }.flatten.distinct.sorted
     StructType(
       Seq(StructField("grid_id", StringType, nullable = false),
         StructField("i", IntegerType, nullable = false),
@@ -567,18 +637,24 @@ private class VtiScanBuilder(full: StructType, options: CaseInsensitiveStringMap
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = Dsv2.listFiles(spark, options.get("path"),
+    val files = Dsv2.listFilesWithSize(spark, options.get("path"),
       Dsv2.opt(options, "globFilter", "*.vti"))
-    new VtiScan(files, Dsv2.confMap(spark), required,
+    // i/j/k/x/y/z are COMPUTED from the header (zero payload)
+    val frac = Dsv2.payloadFraction(full, required,
+      Set("grid_id", "i", "j", "k", "x", "y", "z"))
+    new VtiScan(files.map(_._1), (files.map(_._2).sum * frac).toLong,
+      Dsv2.confMap(spark), required,
       Dsv2.opt(options, "table", "points") == "cells")
   }
 }
 
-private class VtiScan(files: Seq[String], conf: Map[String, String],
+private class VtiScan(files: Seq[String], estBytes: Long,
+                      conf: Map[String, String],
                       required: StructType, cellsTable: Boolean)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = Dsv2.statsOf(estBytes)
   override def planInputPartitions(): Array[InputPartition] =
     files.map(f => FilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -723,9 +799,10 @@ private class D3PlotScanBuilder(full: StructType, options: CaseInsensitiveString
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = {
     val spark = SparkSession.active
-    val files = Dsv2.listFiles(spark, options.get("path"),
+    val files = Dsv2.listFilesWithSize(spark, options.get("path"),
       Dsv2.opt(options, "globFilter", "*d3plot*"))
-    new D3PlotScan(D3PlotDataSource.families(files), Dsv2.confMap(spark),
+    new D3PlotScan(D3PlotDataSource.families(files.map(_._1)),
+      files.map(_._2).sum, Dsv2.confMap(spark),
       required, Dsv2.opt(options, "table", "points"))
   }
 }
@@ -733,12 +810,13 @@ private class D3PlotScanBuilder(full: StructType, options: CaseInsensitiveString
 private case class D3FamilyPartition(root: String, conts: Seq[String])
     extends InputPartition
 
-private class D3PlotScan(fams: Seq[(String, Seq[String])],
+private class D3PlotScan(fams: Seq[(String, Seq[String])], estBytes: Long,
                          conf: Map[String, String],
                          required: StructType, table: String)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def estimateStatistics(): Statistics = Dsv2.statsOf(estBytes)
   override def planInputPartitions(): Array[InputPartition] =
     fams.map { case (r, c) => D3FamilyPartition(r, c): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =

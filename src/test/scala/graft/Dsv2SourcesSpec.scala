@@ -243,6 +243,29 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(typed.select("a2").agg(sum("a2")).collect().head.getDouble(0) == sum1)
   }
 
+  test("DSv2 statistics: a small VTU relation broadcasts against a big probe side") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((0L, 0L, 0.0, 0.0, 0.0), (0L, 1L, 1.0, 0.0, 0.0), (0L, 2L, 0.0, 1.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val cls = Seq((0L, 0L, Seq(0L, 1L, 2L))).toDF("mesh_id", "cell_id", "vertices")
+    val pd = pts.select(col("mesh_id"), col("point_id"), lit("v").as("field"),
+      col("x").as("value"))
+    val out = tmpDir("dsv2_vtu_stats")
+    graft.sinks.VtuSink.write(pts, cls, pd, out, format = "appended")
+    val wide = s.read.format("graft.sources.VtuDataSource")
+      .option("path", out).load()
+    // without SupportsReportStatistics the relation sizes at
+    // spark.sql.defaultSizeInBytes (maxed) and could never broadcast; with
+    // file-size stats this KB-scale mesh side must hash-broadcast against
+    // a probe side that is itself above the broadcast threshold
+    val big = s.range(10000000).select(col("id").as("point_id"),
+      concat(lit("p"), col("id")).as("pad"))
+    val j = big.join(wide.select("point_id", "v"), Seq("point_id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"mesh side did not broadcast:\n$plan")
+  }
+
   test("VTI DSv2: lattice from header, pruned arrays never decoded, parity with readVti") {
     val s = spark
     import s.implicits._

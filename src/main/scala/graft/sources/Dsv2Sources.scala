@@ -190,7 +190,10 @@ object Dsv2 {
   * payload at all (row count from the Piece's NumberOfPoints attribute).
   *
   * `option("table", "cells")`: `mesh_id STRING, cell_id LONG,
-  * vertices ARRAY<LONG>` — connectivity decodes only here.
+  * vertices ARRAY<LONG>` + one nullable DOUBLE column per CellData array
+  * (the AhmedML/DrivAerML volume flow fields, `ahmedml.py:774-883`) —
+  * connectivity decodes only when `vertices` is selected, cell arrays
+  * only when their columns are.
   */
 class VtuDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -199,12 +202,23 @@ class VtuDataSource extends TableProvider {
       throw new IllegalArgumentException("VtuDataSource requires option 'path'")),
       Dsv2.opt(options, "globFilter", "*.vt[up]"))
     require(files.nonEmpty, s"VtuDataSource: no files under ${options.get("path")}")
-    if (Dsv2.opt(options, "table", "points") == "cells")
+    if (Dsv2.opt(options, "table", "points") == "cells") {
+      // cells table carries the CellData arrays (AhmedML/DrivAerML volume
+      // flow fields live here, `ahmedml.py:774-883`) — header-only reads,
+      // same as the points table
+      val conf = Dsv2.confMap(spark)
+      val limit = Dsv2.opt(options, "inferLimit", "0").toInt
+      val sample = if (limit > 0) files.take(limit) else files
+      val arrays = Dsv2.parMap(sample) { f =>
+        val raw = new Dsv2.HadoopRawData(f, conf)
+        try VtkXmlSource.listVtuArraysRaw(raw)._4 finally raw.close()
+      }.flatten.distinct.sorted
       StructType(Seq(
         StructField("mesh_id", StringType, nullable = false),
         StructField("cell_id", LongType, nullable = false),
-        StructField("vertices", ArrayType(LongType), nullable = false)))
-    else {
+        StructField("vertices", ArrayType(LongType), nullable = false)) ++
+        arrays.map(a => StructField(a, DoubleType, nullable = true)))
+    } else {
       val conf = Dsv2.confMap(spark)
       // Union of array names across files (heterogeneous runs still get one
       // schema; files lacking an array emit null for it). Each file costs
@@ -291,19 +305,37 @@ private class VtuReaderFactory(conf: Map[String, String], cols: Array[String],
     val raw = new Dsv2.HadoopRawData(path, conf)
     val meshId = UTF8String.fromString(path)
     if (cellsTable) {
-      val piece =
-        try VtkXmlSource.parseVtuRaw(raw, decodePoints = false,
-          decodeCells = true, decodePointData = false)
-        finally raw.close()
-      val cells = piece.cells
+      val meta = Seq("mesh_id", "cell_id", "vertices")
+      val arrays = cols.filterNot(meta.contains)
+      val needCells = cols.contains("vertices")
+      val (cells, decoded, n) =
+        try {
+          val piece = VtkXmlSource.parseVtuRaw(raw, include = arrays.toSet,
+            decodePoints = false, decodeCells = needCells,
+            decodePointData = arrays.nonEmpty)
+          val rows: Long =
+            if (needCells) piece.cells.length.toLong
+            else piece.cellData.values.headOption.map(_.length.toLong).getOrElse {
+              val listed = VtkXmlSource.listVtuArraysRaw(raw)._2
+              require(listed >= 0,
+                s"$path: no decoded array and no NumberOfCells attribute to count rows")
+              listed
+            }
+          (piece.cells, piece.cellData, rows)
+        } finally raw.close()
       new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < cells.length }
+        private var i = -1L
+        override def next(): Boolean = { i += 1; i < n }
         override def get(): InternalRow = {
           val values: Array[Any] = cols.map {
             case "mesh_id" => meshId
-            case "cell_id" => i.toLong
-            case "vertices" => new GenericArrayData(cells(i))
+            case "cell_id" => i
+            case "vertices" => new GenericArrayData(cells(i.toInt))
+            case a =>
+              decoded.get(a) match {
+                case Some(vs) if i < vs.length => vs(i.toInt)
+                case _ => null
+              }
           }
           InternalRow.fromSeq(values.toIndexedSeq)
         }

@@ -79,9 +79,19 @@ private class RandomMeshScanBuilder(nMeshes: Long, pointsPerMesh: Long, seed: Lo
 }
 
 private class RandomMeshScan(nMeshes: Long, pointsPerMesh: Long, seed: Long,
-                             required: StructType) extends Scan with Batch {
+                             required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // synthetic: rows and width are exactly known, so report both — a small
+  // generated mesh side can then broadcast like any sized relation
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def numRows: java.util.OptionalLong =
+      java.util.OptionalLong.of(nMeshes * pointsPerMesh)
+    override def sizeInBytes: java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L,
+        nMeshes * pointsPerMesh * 8L * math.max(required.size, 1)))
+  }
   // one partition per mesh index — the per-index isolation contract
   override def planInputPartitions(): Array[InputPartition] =
     (0L until nMeshes).map(i => MeshPartition(i): InputPartition).toArray

@@ -893,6 +893,15 @@ object VtkXmlSource {
     * `(mesh_id, cell_id, field, value)` — the AhmedML/DrivAerML volume
     * files carry their flow fields as cell data (`ahmedml.py:774-883`,
     * interior point-cloud uses cell_data at the centroids).
+    *
+    * Scan shape: a PATHS-ONLY listing distributes file names (not bytes) to
+    * tasks; each task opens its file through a ranged Hadoop handle and
+    * parses via [[parseVtuRaw]] — the XML header reads in a bounded window
+    * and each KEPT array's appended payload is one positioned pread. So
+    * include/exclude pruning saves I/O bytes (excluded arrays are never
+    * read, not just never decoded), and per-file size is unbounded — the
+    * old `binaryFile` path materialized every file whole (2 GiB hard cap,
+    * the reference's ~50 GB DrivAerML pain point, `drivaerml.py:17-30`).
     */
   def readAll(spark: SparkSession, pathGlob: String,
               include: Set[String] = Set.empty,
@@ -901,18 +910,18 @@ object VtkXmlSource {
               keyFilterRules: Seq[KeyFilters.KeyFilterRule] = Nil): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     // comma-separated multi-path form (used by readVtm's resolved refs)
-    val raw = spark.read.format("binaryFile")
-      .option("pathGlobFilter", globFilter)
-      .load(pathGlob.split(",").map(_.trim).filter(_.nonEmpty): _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-
+    val files = Dsv2.listFiles(spark, pathGlob, globFilter)
+    val conf = Dsv2.confMap(spark)
     val rules = keyFilterRules // serialized into the task closure
-    val pieces = raw.map { case (path, bytes) =>
+    val paths = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism * 2)))
+    val pieces = paths.map { path =>
       val (inc, exc) =
         if (rules.nonEmpty) KeyFilters.resolveArrays(path, rules)
         else (include, exclude)
-      val p = parseVtu(bytes, inc, exc)
+      val raw = new Dsv2.HadoopRawData(path, conf)
+      val p = try parseVtuRaw(raw, inc, exc) finally raw.close()
       (path, p.points.map(a => (a(0), a(1), a(2))), p.cells,
         p.pointData.toSeq.map { case (k, v) => (k, v) },
         p.cellData.toSeq.map { case (k, v) => (k, v) })

@@ -243,6 +243,43 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(typed.select("a2").agg(sum("a2")).collect().head.getDouble(0) == sum1)
   }
 
+  test("VTU DSv2 cells table: CellData columns prune; connectivity decodes only for vertices") {
+    val dir = tmpDir("dsv2_vtu_cd")
+    // connectivity is POISON (appended, no AppendedData): only a scan that
+    // skips the Cells section can read this file
+    Files.writeString(Paths.get(dir, "mesh_0.vtu"),
+      """<?xml version="1.0"?>
+        |<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">
+        |  <UnstructuredGrid>
+        |    <Piece NumberOfPoints="3" NumberOfCells="2">
+        |      <Points>
+        |        <DataArray type="Float64" NumberOfComponents="3" format="ascii">0 0 0 1 0 0 0 1 0</DataArray>
+        |      </Points>
+        |      <Cells>
+        |        <DataArray type="Int64" Name="connectivity" format="appended" offset="0"/>
+        |        <DataArray type="Int64" Name="offsets" format="appended" offset="0"/>
+        |      </Cells>
+        |      <CellData>
+        |        <DataArray type="Float64" Name="pressure" format="ascii">2.5 3.5</DataArray>
+        |        <DataArray type="Float64" Name="vel" format="ascii">7.0 8.0</DataArray>
+        |      </CellData>
+        |    </Piece>
+        |  </UnstructuredGrid>
+        |</VTKFile>""".stripMargin)
+    val cells = spark.read.format("graft.sources.VtuDataSource")
+      .option("path", dir).option("table", "cells").load()
+    assert(cells.columns.toSeq == Seq("mesh_id", "cell_id", "vertices", "pressure", "vel"))
+    // cell-data-only scan never touches the poisoned connectivity
+    val got = cells.select("cell_id", "pressure").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((0L, 2.5), (1L, 3.5)), got.toString)
+    // count-only: row count from NumberOfCells, zero decode
+    assert(cells.groupBy("mesh_id").count().collect().head.getLong(1) == 2L)
+    // vertices forces the connectivity decode, which must fail loudly here
+    val e = intercept[Exception](cells.select("vertices").collect())
+    assert(e.getMessage != null && e.getMessage.contains("AppendedData"), e.getMessage)
+  }
+
   test("DSv2 statistics: a small VTU relation broadcasts against a big probe side") {
     val s = spark
     import s.implicits._

@@ -484,9 +484,16 @@ private class NetCdfReaderFactory(conf: Map[String, String], cols: Array[String]
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[FilePartition].path
-    val bytes = Dsv2.readBytes(path, conf)
+    // ranged handle: a pushed variable predicate prunes I/O — a file with
+    // no wanted variable costs only its header bytes, and wanted variables
+    // read as slices at their CDF begin offsets
+    val raw = new Dsv2.HadoopRawData(path, conf)
     val wanted: String => Boolean = name => allowed.forall(_.contains(name))
-    val rows = NetCdfSource.values(bytes, wanted, decodeCf, decodeTimes)
+    // toArray: the decoder returns a List, and positional List access in
+    // the row loop is O(n²) — quadratic at real grid sizes
+    val rows =
+      try NetCdfSource.valuesRanged(raw, wanted, decodeCf, decodeTimes).toArray
+      finally raw.close()
     val file = UTF8String.fromString(path)
     new PartitionReader[InternalRow] {
       private var i = -1

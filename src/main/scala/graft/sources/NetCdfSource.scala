@@ -204,9 +204,38 @@ object NetCdfSource {
   def values(bytes: Array[Byte],
              wanted: String => Boolean = _ => true,
              decodeCf: Boolean = false,
-             decodeTimes: Boolean = false): Seq[(String, Long, Double)] = {
-    val f = parseHeader(bytes)
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+             decodeTimes: Boolean = false): Seq[(String, Long, Double)] =
+    valuesRanged(new VtkXmlSource.ArrayRawData(bytes), wanted, decodeCf, decodeTimes)
+
+  /** Grow-window header parse over a random-access handle: CDF headers sit
+    * at the file start but have no length field, so parse attempts grow
+    * ×4 from 64 KiB until the header fits the window.
+    */
+  private[sources] def parseHeaderRaw(raw: VtkXmlSource.RawData): NcFile = {
+    var window = math.min(raw.size, 64L << 10)
+    while (true) {
+      try return parseHeader(raw.slice(0L, window))
+      catch {
+        case e: Exception if window < raw.size =>
+          val _ = e // underflow/short-name: header larger than the window
+          window = math.min(raw.size, window * 4)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[values]] over a random-access handle — the `wanted` set prunes I/O,
+    * not just decode: the header reads in a bounded window, a file with no
+    * wanted variable costs ONLY its header bytes, and each wanted
+    * variable's data reads as ranged slices at its `begin` offset (whole
+    * contiguous span when the variable owns ≥ 1/4 of the record stride,
+    * per-record preads when it is a sliver of a wide interleave).
+    */
+  private[sources] def valuesRanged(raw: VtkXmlSource.RawData,
+                                    wanted: String => Boolean = _ => true,
+                                    decodeCf: Boolean = false,
+                                    decodeTimes: Boolean = false): Seq[(String, Long, Double)] = {
+    val f = parseHeaderRaw(raw)
     val recVars = f.vars.filter(v => v.dimIds.headOption.exists(f.dims(_).length == 0L))
     // spec: if exactly one record variable, it is NOT padded to 4 bytes
     val recStride =
@@ -216,22 +245,39 @@ object NetCdfSource {
     f.vars.filter(v => wanted(v.name)).foreach { v =>
       val cf = if (decodeCf) cfCodecOf(v) else CfCodec(1.0, 0.0, None)
       val cfT = if (decodeTimes) cfTimeOf(v) else None
-      def unpack(raw: Double): Double = {
-        val x = if (cf.identity) raw else cf(raw) // unpack BEFORE calendar math
+      def unpack(raw0: Double): Double = {
+        val x = if (cf.identity) raw0 else cf(raw0) // unpack BEFORE calendar math
         cfT.fold(x)(t => t.toEpochSeconds(x))
       }
       val isRec = v.dimIds.headOption.exists(f.dims(_).length == 0L)
       val fixedShape = v.dimIds.drop(if (isRec) 1 else 0).map(f.dims(_).length)
       val perRec = fixedShape.product.max(1L)
-      if (!isRec) {
+      val ts = typeSize(v.ncType)
+      def decodeSlab(slab: Array[Byte], posBase: Long): Unit = {
+        val buf = ByteBuffer.wrap(slab).order(ByteOrder.BIG_ENDIAN)
         (0L until perRec).foreach { i =>
-          out += ((v.name, i, unpack(readValue(buf, v.begin, v.ncType, i))))
+          out += ((v.name, posBase + i, unpack(readValue(buf, 0L, v.ncType, i))))
         }
-      } else {
-        (0L until f.numRecs).foreach { r =>
-          val base = v.begin + r * recStride
-          (0L until perRec).foreach { i =>
-            out += ((v.name, r * perRec + i, unpack(readValue(buf, base, v.ncType, i))))
+      }
+      if (!isRec) {
+        decodeSlab(raw.slice(v.begin, perRec * ts), 0L)
+      } else if (f.numRecs > 0) {
+        val varBytes = perRec * ts
+        if (recStride <= varBytes * 4) {
+          // the variable owns a fat share of the stride: one contiguous
+          // read of the whole record span beats numRecs small preads
+          val span = raw.slice(v.begin,
+            math.min(raw.size - v.begin, (f.numRecs - 1) * recStride + varBytes))
+          val buf = ByteBuffer.wrap(span).order(ByteOrder.BIG_ENDIAN)
+          (0L until f.numRecs).foreach { r =>
+            (0L until perRec).foreach { i =>
+              out += ((v.name, r * perRec + i,
+                unpack(readValue(buf, r * recStride, v.ncType, i))))
+            }
+          }
+        } else {
+          (0L until f.numRecs).foreach { r =>
+            decodeSlab(raw.slice(v.begin + r * recStride, varBytes), r * perRec)
           }
         }
       }

@@ -427,6 +427,41 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(shellOnly.numSolids == full.solids.length)
   }
 
+  test("NetCDF DSv2 via cntfs: a pushed variable predicate prunes file BYTES") {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[graft.tools.CountingFileSystem].getName)
+    val n = 200000
+    // two one-variable files (the sink layout): selecting one variable
+    // must cost the other file only its header bytes
+    val g = s.range(n).select(lit("temp").as("variable"), lit(0L).as("t"),
+      lit(0L).as("i"), col("id").as("j"), (col("id") * 0.5).as("value"))
+      .unionByName(s.range(n).select(lit("junk").as("variable"), lit(0L).as("t"),
+        lit(0L).as("i"), col("id").as("j"), (col("id") * 2.0).as("value")))
+    val out = tmpDir("dsv2_nc_cnt")
+    graft.sinks.NetCdfSink.writeRecordGrids(g, out, shape = (1, n), nRecs = 1)
+    val totalBytes = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.length).sum
+    assert(totalBytes > 2L * n * 8, totalBytes.toString)
+
+    val ds = s.read.format("graft.sources.NetCdfDataSource")
+      .option("path", s"cntfs:$out").load()
+    graft.tools.CountingFileSystem.reset()
+    val sum1 = ds.filter(col("variable") === "temp")
+      .agg(sum("value")).collect().head.getDouble(0)
+    val bytes1 = graft.tools.CountingFileSystem.bytesRead.get()
+    assert(sum1 == 0.5 * (n.toLong * (n - 1) / 2), sum1.toString)
+    // one variable's payload + two headers — well under 3/4 of the corpus
+    assert(bytes1 < totalBytes * 3 / 4,
+      s"variable-pushed scan read $bytes1 of $totalBytes bytes")
+    graft.tools.CountingFileSystem.reset()
+    ds.agg(sum("value")).collect()
+    val bytesAll = graft.tools.CountingFileSystem.bytesRead.get()
+    assert(bytes1 < bytesAll * 3 / 4,
+      s"pushdown saved no I/O: pushed=$bytes1 full=$bytesAll")
+  }
+
   test("ASE LMDB DSv2: json pruned away skips the value decode entirely") {
     val s = spark
     import s.implicits._

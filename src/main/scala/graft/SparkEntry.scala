@@ -3092,6 +3092,20 @@ object SparkEntry {
       .orderBy("mesh_id", "part_id")
   }
 
+  /** Cycle-pad a group's event samples to exactly `n`: the multimodal
+    * fixtures have fixed payload geometry (image dims, DFT length, box
+    * parameters), so a group smaller than `n` — which only happens at
+    * tiny scale factors — wraps around deterministically instead of
+    * failing the whole query; a group with >= n samples is take(n),
+    * unchanged. The oracle mirrors this with a `p % count` position
+    * join (see [[cycCte]]), so both engines see identical samples at
+    * every scale factor.
+    */
+  private def cyclePad[T: scala.reflect.ClassTag](rows: Array[T],
+                                                  n: Int): Array[T] =
+    if (rows.length >= n) rows.take(n)
+    else Array.tabulate(n)(i => rows(i % rows.length))
+
   /** Real multimodal decode end-to-end: per user group, a 16-bit PCM WAV
     * (all the group's quantized event values; RMS and peak are
     * order-independent, and the squared sums are integer-valued doubles
@@ -3113,12 +3127,12 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the image
-        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
+        val smp = cyclePad(rows, 400)
         val wav = graft.functions.Media.renderWav(8000, 1, rows.map(_._3))
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
-        val px = rows.take(400).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val px = smp.map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
         val bmp = graft.functions.Media.renderBmp(16, 25, px)
-        val rgba = rows.take(400).flatMap(r =>
+        val rgba = smp.flatMap(r =>
           Seq(ch(r._3, 1), ch(r._3, 3), ch(r._3, 7), ch(r._3, 11)))
         val png = graft.functions.Media.renderPng(20, 20, 4, rgba)
         (g, wav, bmp, png)
@@ -3162,8 +3176,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the signal
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
-        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+        (g, graft.functions.Media.renderWav(8000, 1,
+          cyclePad(rows, 256).map(_._3)))
       }.toDF("g", "wav")
     MultimodalOps.audioSpectral(payloads, "g", "wav", frameLen = 64, nFrames = 4)
       .select(col("g"), col("frame"),
@@ -3189,23 +3203,23 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the images
-        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
+        val smp = cyclePad(rows, 60) // positions 1..60 drive all four images
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
-        val bs = rows.take(36).map(_._3) // 6×6 flat blocks → 48×48 color
+        val bs = smp.take(36).map(_._3) // 6×6 flat blocks → 48×48 color
         val color = new Array[Int](48 * 48 * 3)
         for (y <- 0 until 48; x <- 0 until 48) {
           val v = bs((y / 8) * 6 + x / 8)
           val o = (y * 48 + x) * 3
           color(o) = ch(v, 5); color(o + 1) = ch(v, 9); color(o + 2) = ch(v, 13)
         }
-        val gs = rows.slice(36, 40).map(_._3) // 2×2 flat blocks → 16×16 gray
+        val gs = smp.slice(36, 40).map(_._3) // 2×2 flat blocks → 16×16 gray
         val gray = new Array[Int](16 * 16)
         for (y <- 0 until 16; x <- 0 until 16)
           gray(y * 16 + x) = ch(gs((y / 8) * 2 + x / 8), 1)
         // 4:2:0: 32×32 = 2×2 MCUs; per-MCU constant chroma + per-8×8 luma
         // keep the box filter and DCT exact through the subsampled path
-        val cs = rows.slice(40, 44).map(_._3)  // 4 MCU chroma seeds
-        val ls = rows.slice(44, 60).map(_._3)  // 16 luma blocks
+        val cs = smp.slice(40, 44).map(_._3)  // 4 MCU chroma seeds
+        val ls = smp.slice(44, 60).map(_._3)  // 16 luma blocks
         val sub = new Array[Int](32 * 32 * 3)
         for (y <- 0 until 32; x <- 0 until 32) {
           val o = (y * 32 + x) * 3
@@ -3265,9 +3279,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Long)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 24, s"group $g has ${rows.length} events (< 24)")
         def ch(v: Long, m: Long): Int = (((v * m) % 256 + 256) % 256).toInt
-        val frames = rows.take(24).map { case (_, _, v) =>
+        val frames = cyclePad(rows, 24).map { case (_, _, v) =>
           H264.Yuv(16, 16, Array.fill(256)(ch(v, 1)),
             Array.fill(64)(ch(v, 3)), Array.fill(64)(ch(v, 7)))
         }
@@ -3294,9 +3307,9 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
-        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val px = cyclePad(rows, 256)
+          .map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
         (g, graft.functions.Media.renderBmp(16, 16, px))
       }.toDF("g", "bmp")
     MultimodalOps.resizeBox(payloads, "g", factor = 4, "bmp")
@@ -3329,8 +3342,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
-        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+        (g, graft.functions.Media.renderWav(8000, 1,
+          cyclePad(rows, 256).map(_._3)))
       }.toDF("g", "wav")
     MultimodalOps.normalizeAudioPeak(payloads, "g", targetPeak = 30000, "wav")
       .select(col("g"), col("peak_in"), col("normalized"))
@@ -3360,9 +3373,9 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
-        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val px = cyclePad(rows, 256)
+          .map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
         (g, graft.functions.Media.renderBmp(16, 16, px))
       }.toDF("g", "bmp")
     def wsum(op: String, name: String) = {
@@ -3399,8 +3412,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
-        (g, graft.functions.Media.renderWav(8000, 1, rows.take(256).map(_._3)))
+        (g, graft.functions.Media.renderWav(8000, 1,
+          cyclePad(rows, 256).map(_._3)))
       }.toDF("g", "wav")
     MultimodalOps.resampleAudioBox(payloads, "g", factor = 4, "wav")
       .select(col("g"), col("in_rate"), col("out_rate"), col("n_in"),
@@ -3436,10 +3449,10 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the frames
-        require(rows.length >= 512, s"group $g has ${rows.length} events (< 512)")
+        val smp = cyclePad(rows, 512)
         def idx(v: Int): Int = ((v % 64) + 64) % 64
-        val f0 = rows.take(256).map(r => idx(r._3))
-        val f1 = rows.slice(256, 512).map(r => idx(r._3))
+        val f0 = smp.take(256).map(r => idx(r._3))
+        val f1 = smp.slice(256, 512).map(r => idx(r._3))
         (g, graft.functions.Gif.render(16, 16, palette, Seq(f0, f1),
           interlaced = Seq(false, true), delaysCs = Seq(4, 7)))
       }.toDF("g", "gif")
@@ -3470,8 +3483,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the params
-        require(rows.length >= 400, s"group $g has ${rows.length} events (< 400)")
-        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k // 1-indexed rn
+        val smp = cyclePad(rows, 71) // max position: sizes rn 9 .. 8+63
+        def m(i: Int, k: Int): Int = ((smp(i - 1)._3 % k) + k) % k // 1-indexed rn
         val vw = 16 * (1 + m(1, 16)); val vh = 8 * (1 + m(2, 32))
         val n = 24 + m(3, 40); val d = 100 + m(4, 50)
         val ks = 1 + m(5, 7); val cs = 1 + m(6, 9)
@@ -3508,8 +3521,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 8, s"group $g has ${rows.length} events (< 8)")
-        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k
+        val smp = cyclePad(rows, 8)
+        def m(i: Int, k: Int): Int = ((smp(i - 1)._3 % k) + k) % k
         val sps = Avc.Sps(profileIdc = 66, levelIdc = 10 + m(1, 41),
           widthMbs = 2 + m(2, 39), heightMapUnits = 2 + m(3, 29),
           frameMbsOnly = m(4, 2) == 0,
@@ -3542,8 +3555,8 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2)
-        require(rows.length >= 8, s"group $g has ${rows.length} events (< 8)")
-        def m(i: Int, k: Int): Int = ((rows(i - 1)._3 % k) + k) % k
+        val smp = cyclePad(rows, 8)
+        def m(i: Int, k: Int): Int = ((smp(i - 1)._3 % k) + k) % k
         val flac = AudioMeta.renderFlacStreamInfo(AudioMeta.FlacInfo(
           minBlock = 4096, maxBlock = 4096, sampleRate = rates(m(1, 8)),
           channels = 1 + m(2, 8), bitsPerSample = if (m(3, 2) == 0) 16 else 24,
@@ -3941,9 +3954,9 @@ object SparkEntry {
     val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
       .mapGroups { (g, it) =>
         val rows = it.toArray.sortBy(_._2) // event_id order fixes the image
-        require(rows.length >= 256, s"group $g has ${rows.length} events (< 256)")
         def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
-        val px = rows.take(256).map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val px = cyclePad(rows, 256)
+          .map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
         (g, graft.functions.Media.renderBmp(16, 16, px))
       }.toDF("g", "bmp")
     MultimodalOps.imageHashes(payloads, "g", "bmp").orderBy("g")
@@ -4886,6 +4899,17 @@ object SparkEntry {
        |h AS (SELECT doc_id, ${hash64Sql("sh")} % ${DedupOps.MinhashPrime} AS h FROM sh),
        |sig AS (SELECT doc_id, $SigCols FROM h GROUP BY 1)""".stripMargin
 
+  /** Cycle CTE over the quantized-event `r` CTE (columns g, v, rn): `e`
+    * holds exactly `n` positions per group, wrapping `rn` modulo the
+    * group's row count — the SQL mirror of [[cyclePad]], an identity
+    * whenever every group has >= n rows (gs.p % c == gs.p).
+    */
+  private def cycCte(n: Int): String =
+    s"""cnt AS (SELECT g, count(*) AS c FROM r GROUP BY 1),
+       |e AS (SELECT cnt.g, gs.p + 1 AS rn, r.v
+       |  FROM cnt CROSS JOIN generate_series(0, ${n - 1}) gs(p)
+       |  JOIN r ON r.g = cnt.g AND r.rn = (gs.p % cnt.c) + 1)""".stripMargin
+
   private val BandUnion = (0 until DedupOps.NumPerms / DedupOps.BandRows).map { b =>
     val ks = (0 until DedupOps.BandRows).map(r => s"sig_${b * DedupOps.BandRows + r}").mkString(", ")
     s"SELECT doc_id, $b AS band, concat_ws('_', $ks) AS bk FROM sig"
@@ -5750,7 +5774,7 @@ object SparkEntry {
     // The WAV/BMP payloads round-trip 16-bit samples and 8-bit channels
     // exactly, so every feature recomputes straight from events.
     "q_media_decode" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |wav AS (SELECT g, CAST(count(*) AS BIGINT) AS n_frames,
@@ -5760,12 +5784,13 @@ object SparkEntry {
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(400)},
         |img AS (SELECT g,
         |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_r,
         |    round(avg(CAST((v * 3 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_g,
         |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_b,
         |    round(avg(CAST((v * 11 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_a
-        |  FROM r WHERE rn <= 400 GROUP BY 1)
+        |  FROM e GROUP BY 1)
         |SELECT wav.g, 8000 AS sample_rate, 1 AS n_channels, wav.n_frames,
         |  wav.rms, wav.peak, 16 AS width, 25 AS height,
         |  img.mean_r, img.mean_g, img.mean_b,
@@ -5782,8 +5807,9 @@ object SparkEntry {
          |r AS (SELECT g, v,
          |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
          |  FROM q),
+        |${cycCte(256)},
          |f AS (SELECT g, CAST((rn - 1) // 64 AS INT) AS frame, rn, v
-         |  FROM r WHERE rn <= 256),
+         |  FROM e),
          |s AS (SELECT g, frame, list(CAST(v AS DOUBLE) ORDER BY rn) AS sv
          |  FROM f GROUP BY 1, 2),
          |tw AS (SELECT k, re_w, im_w FROM '$DftTwiddlesDir/*.parquet'),
@@ -5806,27 +5832,28 @@ object SparkEntry {
          |FROM agg JOIN pk USING (g, frame) ORDER BY g, frame""".stripMargin,
 
     "q_jpeg_decode" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(60)},
         |c AS (SELECT g,
         |    round(avg(CAST((v * 5 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_y,
         |    round(avg(CAST((v * 9 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_cb,
         |    round(avg(CAST((v * 13 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS mean_cr
-        |  FROM r WHERE rn <= 36 GROUP BY 1),
+        |  FROM e WHERE rn <= 36 GROUP BY 1),
         |gr AS (SELECT g,
         |    round(avg(CAST((v % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS g_mean
-        |  FROM r WHERE rn BETWEEN 37 AND 40 GROUP BY 1),
+        |  FROM e WHERE rn BETWEEN 37 AND 40 GROUP BY 1),
         |sc AS (SELECT g,
         |    round(avg(CAST((v * 7 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_cb,
         |    round(avg(CAST((v * 11 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_cr
-        |  FROM r WHERE rn BETWEEN 41 AND 44 GROUP BY 1),
+        |  FROM e WHERE rn BETWEEN 41 AND 44 GROUP BY 1),
         |sl AS (SELECT g,
         |    round(avg(CAST((v * 3 % 256 + 256) % 256 AS DOUBLE)) + 1e-9, 4) AS s_mean_y
-        |  FROM r WHERE rn BETWEEN 45 AND 60 GROUP BY 1)
+        |  FROM e WHERE rn BETWEEN 45 AND 60 GROUP BY 1)
         |SELECT c.g, 48 AS width, 48 AS height, 3 AS n_channels,
         |  c.mean_y, c.mean_cb, c.mean_cr,
         |  16 AS g_w, 16 AS g_h, 1 AS g_ch, gr.g_mean,
@@ -5842,17 +5869,18 @@ object SparkEntry {
     // quantize (sign-magnitude, intra rounding 2f), DC dequant, inverse
     // transform rounding, clip — plus the lossless I_PCM frames.
     "q_video_frames" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(24)},
         |f AS (SELECT g, rn - 1 AS frame_idx, (rn % 4 = 1) AS pcm,
         |    (v % 256 + 256) % 256 AS yv,
         |    (v * 3 % 256 + 256) % 256 AS cbv,
         |    (v * 7 % 256 + 256) % 256 AS crv
-        |  FROM r WHERE rn <= 24),
+        |  FROM e),
         |z AS (SELECT g, frame_idx, pcm, yv, cbv, crv,
         |    CASE WHEN yv < 128
         |      THEN -((abs(128 * (yv - 128)) * 13107 + 699050) // 2097152)
@@ -5891,13 +5919,14 @@ object SparkEntry {
     // Peak-normalize mirror: the same integer rational gain (floor
     // division — negative PCM included) from the event stream.
     "q_audio_normalize" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
-        |t AS (SELECT g, v, rn - 1 AS p FROM r WHERE rn <= 256),
+        |${cycCte(256)},
+        |t AS (SELECT g, v, rn - 1 AS p FROM e),
         |pk AS (SELECT g, CAST(max(abs(v)) AS BIGINT) AS peak FROM t GROUP BY 1),
         |n AS (SELECT t.g, t.p,
         |    CASE WHEN pk.peak = 0 THEN t.v
@@ -5912,14 +5941,15 @@ object SparkEntry {
     // event stream (y = p//16, x = p%16; flip_h → y·16+15−x,
     // flip_v → (15−y)·16+x, rot90 cw → x·16+15−y).
     "q_image_orient" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(256)},
         |px AS (SELECT g, rn - 1 AS p, (v % 256 + 256) % 256 AS cr
-        |  FROM r WHERE rn <= 256)
+        |  FROM e)
         |SELECT g,
         |  CAST(sum(((p // 16) * 16 + (15 - p % 16)) * cr) AS BIGINT) AS ws_flip_h,
         |  CAST(sum(((15 - p // 16) * 16 + p % 16) * cr) AS BIGINT) AS ws_flip_v,
@@ -5930,14 +5960,15 @@ object SparkEntry {
     // event stream (4-sample block sums // 4, floor division), then the
     // position-weighted checksum.
     "q_audio_resample" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(256)},
         |blk AS (SELECT g, (rn - 1) // 4 AS p, sum(v) // 4 AS sm
-        |  FROM r WHERE rn <= 256 GROUP BY 1, 2)
+        |  FROM e GROUP BY 1, 2)
         |SELECT g, 8000 AS in_rate, 2000 AS out_rate, 256 AS n_in,
         |  64 AS n_out, CAST(sum(p * sm) AS BIGINT) AS wsum
         |FROM blk GROUP BY g ORDER BY g""".stripMargin,
@@ -5945,17 +5976,18 @@ object SparkEntry {
     // Resize mirror: every output pixel recomputed from the event stream
     // (4×4 block sums // 16), then the position-weighted checksums.
     "q_image_resize" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(256)},
         |px AS (SELECT g, rn - 1 AS p,
         |    (v % 256 + 256) % 256 AS cr,
         |    (v * 3 % 256 + 256) % 256 AS cg,
         |    (v * 7 % 256 + 256) % 256 AS cb
-        |  FROM r WHERE rn <= 256),
+        |  FROM e),
         |blk AS (SELECT g,
         |    ((p // 16) // 4) * 4 + (p % 16) // 4 AS o,
         |    sum(cr) // 16 AS vr, sum(cg) // 16 AS vg, sum(cb) // 16 AS vb
@@ -5969,17 +6001,18 @@ object SparkEntry {
     // GIF mirror: palette ramps + frame geometry + the deinterlace gate
     // (Σ pos·r over NATURAL row order) re-derived from the event stream.
     "q_gif_decode" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(512)},
         |px AS (SELECT g,
         |    CASE WHEN rn <= 256 THEN 0 ELSE 1 END AS frame,
         |    CASE WHEN rn <= 256 THEN rn - 1 ELSE rn - 257 END AS p,
         |    ((v % 64) + 64) % 64 AS idx
-        |  FROM r WHERE rn <= 512)
+        |  FROM e)
         |SELECT g, CAST(frame AS INT) AS frame, 16 AS width, 16 AS height,
         |  64 AS n_colors, frame = 1 AS interlaced,
         |  CAST(CASE WHEN frame = 0 THEN 4 ELSE 7 END AS INT) AS delay_cs,
@@ -5995,12 +6028,13 @@ object SparkEntry {
     // Audio-metadata mirror: FLAC geometry/duration and the Layer III
     // frame-length arithmetic recomputed from the raw parameters.
     "q_audio_meta" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(8)},
         |p AS (SELECT g,
         |    max(CASE WHEN rn = 1 THEN v END) AS v1,
         |    max(CASE WHEN rn = 2 THEN v END) AS v2,
@@ -6010,7 +6044,7 @@ object SparkEntry {
         |    max(CASE WHEN rn = 6 THEN v END) AS v6,
         |    max(CASE WHEN rn = 7 THEN v END) AS v7,
         |    max(CASE WHEN rn = 8 THEN v END) AS v8
-        |  FROM r GROUP BY g),
+        |  FROM e GROUP BY g),
         |par AS (SELECT g,
         |    CASE ((v1 % 8) + 8) % 8 WHEN 0 THEN 8000 WHEN 1 THEN 16000
         |      WHEN 2 THEN 22050 WHEN 3 THEN 24000 WHEN 4 THEN 32000
@@ -6040,12 +6074,13 @@ object SparkEntry {
     // parameters — crop units 2 (X) and 2·(2−frame_mbs_only) (Y), field
     // doubling when frame_mbs_only = 0.
     "q_avc_sps" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(8)},
         |p AS (SELECT g,
         |    max(CASE WHEN rn = 1 THEN v END) AS v1,
         |    max(CASE WHEN rn = 2 THEN v END) AS v2,
@@ -6055,7 +6090,7 @@ object SparkEntry {
         |    max(CASE WHEN rn = 6 THEN v END) AS v6,
         |    max(CASE WHEN rn = 7 THEN v END) AS v7,
         |    max(CASE WHEN rn = 8 THEN v END) AS v8
-        |  FROM r GROUP BY g),
+        |  FROM e GROUP BY g),
         |par AS (SELECT g,
         |    10 + ((v1 % 41) + 41) % 41 AS lvl,
         |    2 + ((v2 % 39) + 39) % 39 AS wmbs,
@@ -6072,12 +6107,13 @@ object SparkEntry {
         |FROM par ORDER BY g""".stripMargin,
 
     "q_mp4_meta" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
         |  FROM q),
+        |${cycCte(71)},
         |p AS (SELECT g,
         |    max(CASE WHEN rn = 1 THEN v END) AS v1,
         |    max(CASE WHEN rn = 2 THEN v END) AS v2,
@@ -6086,7 +6122,7 @@ object SparkEntry {
         |    max(CASE WHEN rn = 5 THEN v END) AS v5,
         |    max(CASE WHEN rn = 6 THEN v END) AS v6,
         |    max(CASE WHEN rn = 7 THEN v END) AS v7
-        |  FROM r GROUP BY g),
+        |  FROM e GROUP BY g),
         |par AS (SELECT g,
         |    16 * (1 + ((v1 % 16) + 16) % 16) AS vw,
         |    8 * (1 + ((v2 % 32) + 32) % 32) AS vh,
@@ -6103,9 +6139,9 @@ object SparkEntry {
         |    8192 + 16 * (((v6 % 64) + 64) % 64) AS afoff,
         |    500 + ((v7 % 5000) + 5000) % 5000 AS mvdur
         |  FROM p),
-        |vb AS (SELECT r.g,
+        |vb AS (SELECT e.g,
         |    CAST(sum(200 + ((v % 800) + 800) % 800) AS BIGINT) AS vbytes
-        |  FROM r JOIN par USING (g) WHERE rn BETWEEN 9 AND 8 + n GROUP BY r.g),
+        |  FROM e JOIN par USING (g) WHERE rn BETWEEN 9 AND 8 + n GROUP BY e.g),
         |vid AS (SELECT par.g, 'isom' AS brand, CAST(1000 AS BIGINT) AS mv_timescale,
         |    CAST(mvdur AS BIGINT) AS mv_duration, CAST(1 AS BIGINT) AS track_id,
         |    'vide' AS handler, 'avc1' AS codec,
@@ -8571,18 +8607,22 @@ object SparkEntry {
     // pack as HUGEINT shifts and the sum wraps to signed two's complement
     // (subtract 2^64 when >= 2^63) to match the Spark long.
     "q_image_phash" ->
-      """WITH q AS (SELECT user_id % 10 AS g, event_id,
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT)
         |      AS v
         |  FROM events),
         |r AS (SELECT g, v,
         |    row_number() OVER (PARTITION BY g ORDER BY event_id) - 1 AS idx
         |  FROM q),
+        |cnt AS (SELECT g, count(*) AS c FROM r GROUP BY 1),
+        |e AS (SELECT cnt.g, gs.p AS idx, r.v
+        |  FROM cnt CROSS JOIN generate_series(0, 255) gs(p)
+        |  JOIN r ON r.g = cnt.g AND r.idx = gs.p % cnt.c),
         |p AS (SELECT g, idx,
         |    ((v * 1) % 256 + 256) % 256 AS red,
         |    ((v * 3) % 256 + 256) % 256 AS grn,
         |    ((v * 7) % 256 + 256) % 256 AS blu
-        |  FROM r WHERE idx < 256),
+        |  FROM e),
         |cells AS (SELECT g, (idx // 16) // 2 AS cy, (idx % 16) // 2 AS cx,
         |    sum(299 * red + 587 * grn + 114 * blu) AS cs
         |  FROM p GROUP BY 1, 2, 3),

@@ -61,26 +61,39 @@ object AseLmdbSource {
     * keys are the data items) — reference `aselmdb.py:647` reads the main
     * DB; this closes the rest of the public LMDB surface.
     */
-  def parseAll(bytes: Array[Byte]): Seq[LmdbEntry] = {
-    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def u16(off: Int): Int = buf.getShort(off) & 0xffff
-    def u32(off: Int): Long = buf.getInt(off).toLong & 0xffffffffL
-    def u64(off: Int): Long = buf.getLong(off)
+  def parseAll(bytes: Array[Byte]): Seq[LmdbEntry] =
+    parseAllRanged(new VtkXmlSource.ArrayRawData(bytes), needValues = true)
 
+  /** [[parseAll]] over a random-access handle, page-granular: the walk
+    * preads the meta, branch, and leaf pages only (one slice per page);
+    * an F_BIGDATA overflow value is a ranged read of exactly its bytes —
+    * and is skipped ENTIRELY when `needValues` is false (empty value
+    * emitted), so a key-only scan costs just the B-tree skeleton. Page
+    * offsets are Long, lifting the whole-array walker's 2 GiB file cap —
+    * only an individual value must fit in one array.
+    */
+  private[sources] def parseAllRanged(raw: VtkXmlSource.RawData,
+                                      needValues: Boolean): Seq[LmdbEntry] = {
+    val fileSize = raw.size
     // meta pages at file offsets 0 and psize; meta struct starts after the
     // 16-byte page header: magic@0, version@4, dbs[0].md_pad(=psize)@24,
     // dbs[1].md_root@112, txnid@128
-    require(bytes.length >= 16 + 136, "file too short for an LMDB meta page")
-    require(u32(16) == (MetaMagic.toLong & 0xffffffffL),
-      f"bad LMDB magic 0x${u32(16)}%x (not an LMDB file)")
-    val psize = u32(16 + 24).toInt
+    require(fileSize >= 16 + 136, "file too short for an LMDB meta page")
+    val head = raw.slice(0L, math.min(fileSize, 16L + 136L))
+    val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+    require((hb.getInt(16).toLong & 0xffffffffL) == (MetaMagic.toLong & 0xffffffffL),
+      f"bad LMDB magic 0x${hb.getInt(16).toLong & 0xffffffffL}%x (not an LMDB file)")
+    val psize = (hb.getInt(16 + 24).toLong & 0xffffffffL).toInt
     require(psize >= 512 && psize <= (1 << 16), s"implausible LMDB page size $psize")
+    val metas = raw.slice(0L, math.min(fileSize, 2L * psize))
+    val mb = ByteBuffer.wrap(metas).order(ByteOrder.LITTLE_ENDIAN)
     val meta0 = 16
     val meta1 = psize + 16
     val chosen =
-      if (bytes.length >= meta1 + 136 && u64(meta1 + 128) > u64(meta0 + 128)) meta1
+      if (metas.length >= meta1 + 136 && mb.getLong(meta1 + 128) > mb.getLong(meta0 + 128))
+        meta1
       else meta0
-    val root = u64(chosen + 112)
+    val root = mb.getLong(chosen + 112)
     if (root == PInvalid) return Nil
 
     val out = Seq.newBuilder[LmdbEntry]
@@ -88,6 +101,12 @@ object AseLmdbSource {
     // parser's descriptive IllegalArgumentException contract, not recurse to
     // StackOverflowError
     val visited = scala.collection.mutable.Set.empty[Long]
+
+    def page(pgno: Long): Array[Byte] = {
+      val off = pgno * psize
+      require(pgno >= 0 && off + 16 <= fileSize, s"page $pgno out of range")
+      raw.slice(off, math.min(psize.toLong, fileSize - off))
+    }
 
     /** Root pgno out of a 48-byte MDB_db descriptor (md_root at +40). */
     def dbRoot(value: Array[Byte]): Long = {
@@ -125,22 +144,29 @@ object AseLmdbSource {
       }
     }
 
-    /** Generic B-tree walk from `pgno`, yielding (key, nodeFlags, value). */
+    /** Generic B-tree walk from `pgno`, yielding (key, nodeFlags, value).
+      * All offsets are page-relative over one pread page slice; only
+      * F_BIGDATA values reach outside the page (their own ranged read,
+      * skipped when the caller doesn't need plain values — structural
+      * values, sub-database descriptors and DUPSORT sub-pages, are
+      * always inline so pruning never loses them).
+      */
     def walkTree(pgno: Long)(emit: (String, Int, Array[Byte]) => Unit): Unit = {
       require(visited.add(pgno), s"B-tree cycle: page $pgno visited twice")
-      val base = (pgno * psize).toInt
-      require(base >= 0 && base + 16 <= bytes.length, s"page $pgno out of range")
-      val flags = u16(base + 10)
-      val nKeys = (u16(base + 12) - 16) / 2
+      val pg = page(pgno)
+      val pb = ByteBuffer.wrap(pg).order(ByteOrder.LITTLE_ENDIAN)
+      def u16p(off: Int): Int = pb.getShort(off) & 0xffff
+      val flags = u16p(10)
+      val nKeys = (u16p(12) - 16) / 2
       if ((flags & PLeaf2) != 0) {
         // full LEAF2 page (DUPFIXED dup sub-tree that outgrew its embedded
         // sub-page): raw fixed-size keys back to back from offset 16, item
         // size in the header's pad field — no node headers, no offset array
-        val ksize = u16(base + 8)
+        val ksize = u16p(8)
         require(ksize > 0, s"LEAF2 page $pgno with zero item size")
         var j = 0
         while (j < nKeys) {
-          emit(new String(bytes, base + 16 + j * ksize, ksize, "US-ASCII"),
+          emit(new String(pg, 16 + j * ksize, ksize, "US-ASCII"),
             0, Array.emptyByteArray)
           j += 1
         }
@@ -148,21 +174,24 @@ object AseLmdbSource {
       }
       var i = 0
       while (i < nKeys) {
-        val nodeOff = base + u16(base + 16 + 2 * i)
-        val lo = u16(nodeOff); val hi = u16(nodeOff + 2)
-        val nflags = u16(nodeOff + 4); val ksize = u16(nodeOff + 6)
+        val nodeOff = u16p(16 + 2 * i)
+        val lo = u16p(nodeOff); val hi = u16p(nodeOff + 2)
+        val nflags = u16p(nodeOff + 4); val ksize = u16p(nodeOff + 6)
         if ((flags & PBranch) != 0) {
           walkTree(lo.toLong | (hi.toLong << 16) | (nflags.toLong << 32))(emit)
         } else if ((flags & PLeaf) != 0) {
-          val key = new String(bytes, nodeOff + 8, ksize, "US-ASCII")
+          val key = new String(pg, nodeOff + 8, ksize, "US-ASCII")
           val dataSize = (lo.toLong | (hi.toLong << 16)).toInt
           val value =
             if ((nflags & FBigData) != 0) {
-              val ovf = u64(nodeOff + 8 + ksize)
-              val doff = (ovf * psize).toInt + 16
-              java.util.Arrays.copyOfRange(bytes, doff, doff + dataSize)
+              if (!needValues && (nflags & (FSubData | FDupData)) == 0)
+                Array.emptyByteArray // pruned: the overflow pages stay unread
+              else {
+                val ovf = pb.getLong(nodeOff + 8 + ksize)
+                raw.slice(ovf * psize + 16, dataSize.toLong)
+              }
             } else
-              java.util.Arrays.copyOfRange(bytes, nodeOff + 8 + ksize,
+              java.util.Arrays.copyOfRange(pg, nodeOff + 8 + ksize,
                 nodeOff + 8 + ksize + dataSize)
           emit(key, nflags, value)
         } else throw new IllegalArgumentException(

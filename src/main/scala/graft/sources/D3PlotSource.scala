@@ -201,6 +201,32 @@ object D3PlotSource {
     states.result()
   }
 
+  /** Byte length of a root file's control-block + geometry prefix
+    * (everything before the first state), computed from the control
+    * block alone — a geometry-only reader preads just this prefix and
+    * skips the state payload and every continuation file. `header` must
+    * cover the control block plus the SPH flag block when present (a
+    * 64 KiB head is ample; the blocks together are < 100 words).
+    */
+  def geometryByteLength(header: Array[Byte]): Long = {
+    val ws = detectWordSize(header)
+    val wd = new Words(header, ws)
+    def iw(i: Int): Int = wd.int(i)
+    val numnp = iw(16); val nel8 = iw(23); val nel2 = iw(28); val nel4 = iw(31)
+    val nmsph = iw(37); val narbs = iw(39); val nelt = iw(40)
+    // mirrors parseRoot's stride walk: control block, SPH flag block
+    // (self-lengthed), coords, solids, thick shells, beams, shells,
+    // user numbering, SPH node & material list
+    var w = 64L
+    if (nmsph > 0) {
+      val L = iw(64)
+      require(L >= 1 && L <= 32, s"implausible SPH flag block length $L")
+      w += L
+    }
+    (w + numnp * 3L + nel8 * 9L + nelt * 9L + nel2 * 6L + nel4 * 5L +
+      narbs.toLong + nmsph * 2L) * ws
+  }
+
   /** Parse a root d3plot plus its family continuation files (`d3plot01`,
     * `d3plot02`, … — state data only, no control block), in order.
     */

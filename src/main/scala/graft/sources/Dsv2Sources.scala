@@ -579,12 +579,18 @@ private class AseLmdbReaderFactory(conf: Map[String, String], cols: Array[String
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[FilePartition].path
-    val bytes = Dsv2.readBytes(path, conf)
     val needJson = cols.contains("json")
-    val entries = AseLmdbSource.parse(bytes).iterator
-      .filter { case (k, _) => !AseLmdbSource.ReservedKeys.contains(k) }
-      .flatMap { case (k, v) => k.toLongOption.map(id => (id, v)) }
-      .toArray
+    // ranged page walk: with `json` pruned away the B-tree skeleton is
+    // all that's read — F_BIGDATA overflow pages (where ASE's large
+    // compressed rows live) never move off disk
+    val raw = new Dsv2.HadoopRawData(path, conf)
+    val entries =
+      try AseLmdbSource.parseAllRanged(raw, needValues = needJson).iterator
+        .collect { case AseLmdbSource.LmdbEntry("", k, v) => (k, v) }
+        .filter { case (k, _) => !AseLmdbSource.ReservedKeys.contains(k) }
+        .flatMap { case (k, v) => k.toLongOption.map(id => (id, v)) }
+        .toArray
+      finally raw.close()
     val dbId = UTF8String.fromString(path)
     new PartitionReader[InternalRow] {
       private var i = -1
@@ -877,8 +883,23 @@ private class D3PlotReaderFactory(conf: Map[String, String], cols: Array[String]
       case "shell" =>
         D3PlotSource.D3Select(geometry = false, nodeVec = false, shell = true, sph = false)
     }
-    val f = D3PlotSource.parseFamily(Dsv2.readBytes(fam.root, conf),
-      fam.conts.map(Dsv2.readBytes(_, conf)), sel)
+    val geometryOnly = table == "points" || table == "cells"
+    val f =
+      if (geometryOnly) {
+        // the geometry sits entirely before the first state: pread just
+        // that prefix of the root and skip every continuation file
+        // (continuations are state payload only)
+        val raw = new Dsv2.HadoopRawData(fam.root, conf)
+        val rootBytes =
+          try {
+            val head = raw.slice(0L, math.min(raw.size, 64L << 10))
+            raw.slice(0L, math.min(raw.size,
+              D3PlotSource.geometryByteLength(head)))
+          } finally raw.close()
+        D3PlotSource.parseFamily(rootBytes, Nil, sel)
+      } else
+        D3PlotSource.parseFamily(Dsv2.readBytes(fam.root, conf),
+          fam.conts.map(Dsv2.readBytes(_, conf)), sel)
     val meshId = UTF8String.fromString(fam.root)
     val rows: Iterator[Array[Any]] = table match {
       case "points" =>

@@ -481,4 +481,109 @@ class Dsv2SourcesSpec extends SparkSpec {
     assert(leafCols(ids) == Seq("row_id"), s"scan not pruned: ${leafCols(ids)}")
     assert(ids.collect().map(_.getLong(0)).sorted.toSeq == (0L until 6L).toSeq)
   }
+
+  test("ASE LMDB DSv2 via cntfs: pruning json skips overflow-page BYTES") {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[graft.tools.CountingFileSystem].getName)
+    // incompressible hex payloads >> MaxInline: every value lands in
+    // F_BIGDATA overflow pages, so the id-only scan walks just the
+    // B-tree skeleton
+    def hex(seed: Long, n: Int): String = {
+      val sb = new StringBuilder(n)
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      while (sb.length < n) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb.append(f"${x & 0xffffffffL}%08x")
+      }
+      sb.toString.take(n)
+    }
+    val rows = (0L until 12L)
+      .map(i => (i, s"""{"energy":${i * 1.5},"blob":"${hex(i, 8192)}"}"""))
+      .toDF("row_id", "json").repartition(2)
+    val out = tmpDir("dsv2_lmdb_cnt")
+    graft.sinks.AseLmdbSink.write(rows, out)
+    val totalBytes = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".aselmdb")).map(_.length).sum
+    assert(totalBytes > 12L * 4096, totalBytes.toString)
+
+    val ds = s.read.format("graft.sources.AseLmdbDataSource")
+      .option("path", s"cntfs:$out").load()
+    graft.tools.CountingFileSystem.reset()
+    assert(ds.select("row_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 12L).toSeq)
+    val idBytes = graft.tools.CountingFileSystem.bytesRead.get()
+    graft.tools.CountingFileSystem.reset()
+    val js = ds.select("row_id", "json").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val jsonBytes = graft.tools.CountingFileSystem.bytesRead.get()
+    assert(js(3L).contains(hex(3L, 8192)), "overflow value decode broken")
+    assert(idBytes < totalBytes / 4,
+      s"id-only scan read $idBytes of $totalBytes bytes")
+    assert(idBytes * 2 < jsonBytes,
+      s"pruning saved no I/O: id=$idBytes json=$jsonBytes")
+  }
+
+  test("d3plot DSv2 via cntfs: geometry tables read the root prefix only") {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[graft.tools.CountingFileSystem].getName)
+    val nP = 4000
+    val pts = (0L until nP.toLong).map(i => (0L, i, i * 1.0, 0.0, 0.0))
+      .toDF("mesh_id", "point_id", "x", "y", "z")
+    val quads = (0L until 500L)
+      .map(c => (0L, c, Seq(c * 4, c * 4 + 1, c * 4 + 2, c * 4 + 3), 1L))
+      .toDF("mesh_id", "cell_id", "vertices", "part_id")
+    val states = (0 until 6).flatMap { t =>
+      (0L until nP.toLong).map(i => (0L, t, t * 0.5, i, i * 0.25 + t, 0.0, 0.0))
+    }.toDF("mesh_id", "t", "time", "point_id", "dx", "dy", "dz")
+    val shellData = (0 until 6).flatMap { t =>
+      (0L until 500L).map(c => (0L, t, c, 0, 0.25, 0.0, 0.0, 0.0, 0.0, 0.0, t * 0.125))
+    }.toDF("mesh_id", "t", "cell_id", "layer", "sx", "sy", "sz", "txy", "tyz", "tzx", "epsp")
+    val solid = tmpDir("dsv2_d3p_solid")
+    graft.sinks.D3PlotSink.write(pts, quads, states, shellData, solid)
+    val rootFile = new java.io.File(s"$solid/0/d3plot")
+    val rootBytes = java.nio.file.Files.readAllBytes(rootFile.toPath)
+
+    // split the family at the geometry boundary: root keeps ONLY the
+    // control block + geometry, every state goes to the continuation
+    val geomLen = graft.sources.D3PlotSource.geometryByteLength(rootBytes).toInt
+    assert(geomLen > 64 * 4 && geomLen < rootBytes.length / 3, geomLen.toString)
+    val split = tmpDir("dsv2_d3p_split")
+    val dir = new java.io.File(s"$split/0"); dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "d3plot").toPath,
+      java.util.Arrays.copyOfRange(rootBytes, 0, geomLen))
+    java.nio.file.Files.write(new java.io.File(dir, "d3plot01").toPath,
+      java.util.Arrays.copyOfRange(rootBytes, geomLen, rootBytes.length))
+
+    def load(base: String, table: String) = s.read
+      .format("graft.sources.D3PlotDataSource")
+      .option("path", s"$base/*").option("table", table).load()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+    // the split family is semantically identical to the solid root
+    // (mesh_id is the root path, so it necessarily differs — drop it)
+    assert(key(load(s"cntfs:$split", "points").drop("mesh_id")) ==
+      key(load(solid, "points").drop("mesh_id")))
+    assert(key(load(s"cntfs:$split", "states").drop("mesh_id")) ==
+      key(load(solid, "states").drop("mesh_id")))
+
+    val splitRootLen = geomLen.toLong
+    val contLen = rootBytes.length.toLong - geomLen
+    graft.tools.CountingFileSystem.reset()
+    load(s"cntfs:$split", "points").agg(count(lit(1))).collect()
+    val ptBytes = graft.tools.CountingFileSystem.bytesRead.get()
+    // header probe (<= 64 KiB) + geometry prefix — never the continuation
+    assert(ptBytes <= splitRootLen + (64L << 10),
+      s"points scan read $ptBytes; root prefix is $splitRootLen")
+    assert(ptBytes < contLen,
+      s"points scan ($ptBytes) should undercut the state payload ($contLen)")
+    graft.tools.CountingFileSystem.reset()
+    load(s"cntfs:$split", "states").agg(count(lit(1))).collect()
+    val stBytes = graft.tools.CountingFileSystem.bytesRead.get()
+    assert(stBytes > contLen, s"states scan must read the continuation: $stBytes")
+  }
 }

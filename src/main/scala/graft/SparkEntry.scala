@@ -92,6 +92,7 @@ object SparkEntry {
     "q_semantic_dedup" -> (qSemanticDedup _),
     "q_embedding_outliers" -> (qEmbeddingOutliers _),
     "q_unigram_lm" -> (qUnigramLm _),
+    "q_nb_classify" -> (qNbClassify _),
     "q_perplexity_buckets" -> (qPerplexityBuckets _),
     "q_bigram_lm" -> (qBigramLm _),
     "q_token_entropy" -> (qTokenEntropy _),
@@ -2935,6 +2936,29 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), rnd("avg_logp", 4).as("avg_logp"))
       .orderBy("doc_id")
 
+  /** Supervised Naive Bayes language classifier over a real train/test
+    * split (doc_id % 5 picks the held-out fifth): trained distributed on
+    * the training docs' (text, lang), every held-out doc scored against
+    * every label. The oracle recomputes the Laplace-smoothed likelihoods,
+    * priors, and open-vocabulary floor from the same split, and the
+    * predicted flag ranks on ROUNDED scores (ties broken by label) so
+    * the argmax is engine-exact.
+    */
+  private def qNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.naiveBayesClassify(
+      docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", "lang")
+      .withColumn("score_r", rnd("score", 4))
+      .withColumn("predicted", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_r").desc, col("lang"))) === 1)
+      .select(col("doc_id"), col("lang").as("label"), col("score_r"),
+        col("predicted"), col("n_tokens"))
+      .orderBy("doc_id", "label")
+  }
+
   /** CCNet head/middle/tail perplexity split under the corpus unigram LM:
     * rounded perplexities against rounded interpolated tertiles, so the
     * bucket assignment is engine-exact. 500 per-doc rows gate the whole
@@ -5458,6 +5482,48 @@ object SparkEntry {
          |  round(avg(ln(CAST(c AS DOUBLE) / nt)) + 1e-9, 4) AS avg_logp
          |FROM tt JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // NB mirror: Laplace likelihoods, priors, and the open-vocabulary
+    // floor recomputed from the same doc_id % 5 split; the predicted
+    // flag ranks ROUNDED scores (ties by label), engine-exact.
+    "q_nb_classify" ->
+      s"""WITH tr AS (SELECT doc_id, lang, $NormSql AS nt
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |te AS (SELECT doc_id, $NormSql AS nt
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |trk AS (SELECT lang, tok FROM (
+         |    SELECT lang, unnest(string_split(nt, ' ')) AS tok FROM tr) z
+         |  WHERE tok <> ''),
+         |ltc AS (SELECT lang, tok, count(*) AS c FROM trk GROUP BY 1, 2),
+         |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM ltc GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM trk),
+         |pri AS (SELECT lang, count(*) AS d FROM tr GROUP BY 1),
+         |nd AS (SELECT count(*) AS nd FROM tr),
+         |tet AS (SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM te) z
+         |  WHERE tok <> ''),
+         |ten AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM tet GROUP BY 1),
+         |iv AS (SELECT tet.doc_id, ltc.lang,
+         |    sum(ln((ltc.c + 1.0) / (lt.t + v.v))) AS s, count(*) AS k
+         |  FROM tet JOIN ltc USING (tok) JOIN lt USING (lang) CROSS JOIN v
+         |  GROUP BY 1, 2),
+         |base AS (SELECT te.doc_id, pri.lang,
+         |    ln(CAST(pri.d AS DOUBLE) / nd.nd) AS lp, lt.t
+         |  FROM te CROSS JOIN pri JOIN lt USING (lang) CROSS JOIN nd),
+         |sc AS (SELECT base.doc_id, base.lang,
+         |    base.lp + coalesce(iv.s, 0) +
+         |      (coalesce(ten.n, 0) - coalesce(iv.k, 0))
+         |        * ln(1.0 / (base.t + v.v)) AS score,
+         |    coalesce(ten.n, 0) AS n_tokens
+         |  FROM base CROSS JOIN v
+         |  LEFT JOIN iv ON base.doc_id = iv.doc_id AND base.lang = iv.lang
+         |  LEFT JOIN ten ON ten.doc_id = base.doc_id)
+         |SELECT doc_id, lang AS label, round(score + 1e-9, 4) AS score_r,
+         |  (row_number() OVER (PARTITION BY doc_id
+         |     ORDER BY round(score + 1e-9, 4) DESC, lang) = 1) AS predicted,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM sc ORDER BY doc_id, label""".stripMargin,
 
     // Fertility mirror over the shared BPE re-encode CTE.
     "q_tokenizer_fertility" ->

@@ -286,6 +286,68 @@ object TextOps {
         avg(log(col("c").cast("double") / col("n_total"))).as("avg_logp"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the count-based member of
+    * the curation ecosystems' supervised quality/domain classifier family
+    * (fastText-style filters in spirit; NB because its training IS a
+    * groupBy, so it distributes exactly). Trained on `train`'s
+    * (`textCol`, `labelCol`), scored over `test`: one row per
+    * (test doc × label) with
+    * `score = ln P(label) + Σ_tok ln P(tok|label)`, Laplace-smoothed
+    * likelihoods `(c + 1) / (T_label + V)` over the TRAINING vocabulary
+    * and the standard open-vocabulary floor `1 / (T_label + V)` for
+    * unseen tokens.
+    *
+    * Scale shape: training is one token explode + two hash-groupBys
+    * (label×token counts, label totals); the model is a (V × L)-row
+    * table BROADCAST to the scorers, so classification is a map-side
+    * join plus one shuffle on the doc id — no iteration, no driver
+    * collect. `minCount` floors the vocabulary (tokens below it drop to
+    * the unseen path), the knob that bounds the broadcast at corpus
+    * scale the same way [[unigramVocab]]'s floor bounds its census.
+    */
+  def naiveBayesClassify(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, labelCol: String,
+                         minCount: Int = 1): DataFrame = {
+    val trTok = train
+      .select(col(labelCol).as("_lbl"), Text.tokens(col(textCol)).as("_ws"))
+      .select(col("_lbl"), explode(col("_ws")).as("tok"))
+      .filter(col("tok") =!= "")
+    val persisted = // label counts, totals, and vocab read the same explode
+      trTok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = persisted.groupBy("tok").agg(count(lit(1)).as("_g"))
+      .filter(col("_g") >= minCount).select("tok")
+    val ltc = persisted.join(kept, "tok")
+      .groupBy("_lbl", "tok").agg(count(lit(1)).as("c"))
+    val lt = ltc.groupBy("_lbl").agg(sum("c").as("t"))
+    val vocabN = ltc.select("tok").distinct()
+      .agg(count(lit(1)).as("v")) // 1-row broadcast
+    val pri = train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("d"))
+    val nd = train.agg(count(lit(1)).as("nd")) // 1-row broadcast
+
+    val teTok = test
+      .select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_ws"))
+      .select(col("_id"), explode(col("_ws")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ten = teTok.groupBy("_id").agg(count(lit(1)).as("n"))
+    val model = broadcast(ltc.join(lt, "_lbl").crossJoin(vocabN))
+    val iv = teTok.join(model, "tok")
+      .groupBy("_id", "_lbl")
+      .agg(sum(log((col("c") + 1).cast("double") / (col("t") + col("v"))))
+        .as("s"), count(lit(1)).as("k"))
+    val labels = broadcast(pri.crossJoin(nd).join(lt, "_lbl").crossJoin(vocabN)
+      .select(col("_lbl"),
+        log(col("d").cast("double") / col("nd")).as("lp"),
+        log(lit(1.0) / (col("t") + col("v")).cast("double")).as("ln_unseen")))
+    test.select(col(idCol).as("_id")).crossJoin(labels)
+      .join(ten, Seq("_id"), "left")
+      .join(iv, Seq("_id", "_lbl"), "left")
+      .select(col("_id").as(idCol), col("_lbl").as(labelCol),
+        (col("lp") + coalesce(col("s"), lit(0.0)) +
+          (coalesce(col("n"), lit(0L)) - coalesce(col("k"), lit(0L))) *
+            col("ln_unseen")).as("score"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020: score documents
     * by LM perplexity, split the corpus at the 1/3 and 2/3 quantiles into
     * head/middle/tail, train preferentially on the head): perplexity here

@@ -82,6 +82,36 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("naiveBayesClassify: analytic scores, learns disjoint vocabularies") {
+    val s = spark
+    import s.implicits._
+    // two labels with marker tokens; shared filler "x" in both
+    val train = Seq(
+      (1L, "cat cat x", "pet"), (2L, "cat x x", "pet"),
+      (3L, "bolt bolt x", "tool")).toDF("doc_id", "text", "lang")
+    val test = Seq((10L, "cat x"), (11L, "bolt"), (12L, "zzz")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps
+      .naiveBayesClassify(train, test, "doc_id", "text", "lang")
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getDouble(2), x.getLong(3)))).toMap
+    // vocab V=3 (cat, bolt, x); pet: T=6, c(cat)=3, c(x)=3; tool: T=3,
+    // c(bolt)=2, c(x)=1; priors 2/3 and 1/3
+    val V = 3
+    def pet(cs: Double*) = math.log(2 / 3.0) + cs.map(c => math.log((c + 1) / (6.0 + V))).sum
+    def tool(cs: Double*) = math.log(1 / 3.0) + cs.map(c => math.log((c + 1) / (3.0 + V))).sum
+    assert(math.abs(r((10L, "pet"))._1 - pet(3, 3)) < 1e-12)
+    assert(math.abs(r((10L, "tool"))._1 - tool(0, 1)) < 1e-12)
+    assert(math.abs(r((11L, "pet"))._1 - pet(0)) < 1e-12)
+    assert(math.abs(r((11L, "tool"))._1 - tool(2)) < 1e-12)
+    // OOV-only doc: prior + 1·ln(1/(T+V)) per side, n_tokens still 1
+    assert(math.abs(r((12L, "pet"))._1 - (math.log(2 / 3.0) + math.log(1 / 9.0))) < 1e-12)
+    assert(r((12L, "pet"))._2 == 1L)
+    // the classifier actually separates: markers beat priors
+    assert(r((10L, "pet"))._1 > r((10L, "tool"))._1)
+    assert(r((11L, "tool"))._1 > r((11L, "pet"))._1)
+    spark.catalog.clearCache()
+  }
+
   test("bigramLogProb: analytic conditional log-probs") {
     val s = spark
     import s.implicits._

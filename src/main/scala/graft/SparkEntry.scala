@@ -142,6 +142,7 @@ object SparkEntry {
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
     "q_int8_topk" -> (qInt8Topk _),
+    "q_hamming_topk" -> (qHammingTopk _),
     "q_ivfsq_topk" -> (qIvfSqTopk _),
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
@@ -2512,6 +2513,17 @@ object SparkEntry {
     */
   private def qInt8Topk(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.int8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 10)
+      .orderBy("qid", "rank")
+
+  /** Binary-quantized search: top-10 neighbors for three query vectors
+    * by EXACT integer Hamming distance (the codegen ByteVecHamming
+    * kernel over midrange-thresholded packed sign bits) — like the SQ8
+    * gate, a ranking with no float arithmetic, replayed by the oracle
+    * from its own recomputed bit table.
+    */
+  private def qHammingTopk(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.hammingTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L), k = 10)
       .orderBy("qid", "rank")
 
@@ -5205,6 +5217,30 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, id) AS rn
         |  FROM d)
         |SELECT qid, CAST(rn AS INT) AS rank, id AS vec_id, qdot
+        |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Binary-quantization mirror: midrange-thresholded bits per dim
+    // (min/max are exact under any aggregation order, unlike a mean),
+    // Hamming = per-pos mismatch count (bit packing is lossless and pad
+    // bits cancel), ranking (distance ASC, id) as the engine's negated
+    // total order.
+    "q_hamming_topk" ->
+      """WITH xs AS (SELECT vec_id AS id, CAST(t.i - 1 AS INT) AS pos,
+        |    CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t),
+        |rg AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM xs GROUP BY 1),
+        |b AS (SELECT id, pos, CASE WHEN mx = mn THEN 0
+        |    WHEN x > (mn + mx) / 2.0 THEN 1 ELSE 0 END AS bit
+        |  FROM xs JOIN rg USING (pos)),
+        |q AS (SELECT id AS qid, pos, bit AS qb FROM b WHERE id IN (0, 1, 2)),
+        |d AS (SELECT q.qid, b.id,
+        |    CAST(sum(CASE WHEN q.qb <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hd
+        |  FROM q JOIN b USING (pos) GROUP BY 1, 2),
+        |r AS (SELECT qid, id, hd,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hd, id) AS rn
+        |  FROM d)
+        |SELECT qid, CAST(rn AS INT) AS rank, id AS vec_id, hd
         |FROM r WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q_scalar_quantize" ->

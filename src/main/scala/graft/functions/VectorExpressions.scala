@@ -102,6 +102,51 @@ case class ByteVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd Hamming distance over two BINARY columns of packed sign
+  * bits — the 1-bit-quantized search kernel (32× smaller than float32):
+  * Σ popcount(a[i] XOR b[i]) as an exact small integer, so the ranking
+  * has no float arithmetic for an oracle to chase, and the hot loop is
+  * a primitive XOR/popcount loop inside whole-stage codegen. Length
+  * mismatch folds over the common prefix (dense equal-length code
+  * columns by construction); equal trailing pad bits contribute zero.
+  */
+case class ByteVecHamming(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "byte_vec_hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xFF)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xFF);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
@@ -110,4 +155,8 @@ object VectorExpressions {
   /** Codegen'd signed-int8 dot over two BINARY code columns. */
   def dotB(a: Column, b: Column): Column =
     Bridge.column(ByteVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd Hamming distance over two BINARY packed-bit columns. */
+  def hammingB(a: Column, b: Column): Column =
+    Bridge.column(ByteVecHamming(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -632,6 +632,70 @@ object SimilarityOps {
         col("_dot").cast("long").as("qdot"))
   }
 
+  /** Binary (1-bit) quantization: per-dimension threshold at the
+    * MIDRANGE (mn+mx)/2 — chosen over the mean because min/max are
+    * exact under any aggregation order while a float mean is not, so
+    * the bit table is deterministic and an oracle replays it bit for
+    * bit. Bits pack 8 dims/byte MSB-first into ONE BINARY column (32×
+    * smaller than float32, the binary-quantization storage tier below
+    * SQ8); trailing pad bits are zero on every row, so they cancel in
+    * Hamming distances. Shapes match [[int8Codes]]: one posexplode, a
+    * 〈dim〉-row range aggregate broadcast back, one pack per id.
+    */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = df.select(col(idCol).cast("long").as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
+    val ranges = xs.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    xs.join(broadcast(ranges), "pos")
+      .withColumn("bit",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          when(col("x") > (col("mn") + col("mx")) / 2.0, lit(1))
+            .otherwise(lit(0))))
+      .select(col("id"), col("pos"), col("bit"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val rows = it.toArray
+        val nBytes = (rows.map(_._2).max >> 3) + 1
+        val bytes = new Array[Byte](nBytes)
+        rows.foreach { case (_, p, b) =>
+          if (b != 0) bytes(p >> 3) = (bytes(p >> 3) | (1 << (7 - (p & 7)))).toByte
+        }
+        (id, bytes)
+      }
+      .toDF(idCol, "bits")
+  }
+
+  /** Binary-quantized brute-force top-k (Hamming search): each query's
+    * packed bits ride a bounded broadcast against the corpus bit table,
+    * distances are EXACT integer XOR/popcounts through the codegen
+    * [[graft.functions.ByteVecHamming]] kernel, and the bounded
+    * [[graft.functions.TopKAgg]] reduces ≤ k rows per query per
+    * partition (distance negated into the max-oriented total order, so
+    * ties resolve (distance asc, id asc) on both engines). The cheapest
+    * rerank-pipeline first stage: 32× less I/O than float32 scan,
+    * compose with exact cosine on the surviving k, or with the IVF
+    * coarse quantizer for the probe-bounded scale path.
+    */
+  def hammingTopK(df: DataFrame, idCol: String, vecCol: String,
+                  queryIds: Seq[Long], k: Int): DataFrame = {
+    val codes = binaryCodes(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = codes.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("qid"), col("bits").as("_qb"))
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        (-graft.functions.VectorExpressions.hammingB(col("_qb"), col("bits")))
+          .as("_neg"))
+    graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_neg", k)
+      .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
+        (-col("_neg")).cast("long").as("hd"))
+  }
+
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xs = df.select(col(idCol).as("id"),
       posexplode(col(vecCol)).as(Seq("pos", "xf")))

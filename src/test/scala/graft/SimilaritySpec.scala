@@ -329,4 +329,64 @@ class SimilaritySpec extends SparkSpec {
     }).flatten.toSet
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("ByteVecHamming: exact popcounts, codegen == interpreted, prefix fold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val a = Array[Byte](0x0F, -1, 0x00)          // 00001111 11111111 00000000
+    val b = Array[Byte](0x00, 0x55, 0x00, 0x7F)  // extra byte: prefix fold
+    val want = 4L + 4L + 0L
+    val df = Seq((a, b)).toDF("a", "b")
+    val hd = graft.functions.VectorExpressions.hammingB(col("a"), col("b"))
+    assert(df.select(hd).collect()(0).getLong(0) == want)
+    // interpreted path (filter in a nested-loop-style condition)
+    assert(df.filter(hd === lit(want)).count() == 1)
+  }
+
+  test("binaryCodes: MSB-first packing, midrange threshold, pad bits zero") {
+    val s = spark
+    import s.implicits._
+    // dim 10 → 2 bytes, 6 pad bits; per-dim ranges from two rows.
+    // pos p: row0 = p, row1 = 2p  → midrange 1.5p; row1 above for p>0,
+    // row0 below; p=0 has mx==mn → bit 0 on both.
+    val df = (0L to 1L).map(i =>
+      (i, Array.tabulate(10)(p => (p * (i + 1)).toFloat))).toDF("vec_id", "embedding")
+    val got = graft.operators.SimilarityOps
+      .binaryCodes(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got(0L).toSeq == Seq(0x00.toByte, 0x00.toByte))
+    // row1: bits at pos 1..9 → 01111111 11000000
+    assert(got(1L).toSeq == Seq(0x7F.toByte, 0xC0.toByte))
+  }
+
+  test("hammingTopK: rank 1 is the query itself; ranking matches exact recompute") {
+    val s = spark
+    import s.implicits._
+    var x = 9
+    def nxt(): Float = { x = x * 1103515245 + 12345; (x % 1000) / 250.0f }
+    val dim = 12 // non-multiple of 8: exercises the pad path end to end
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(nxt())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = graft.operators.SimilarityOps
+      .hammingTopK(df, "vec_id", "embedding", Seq(0L, 7L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val mins = (0 until dim).map(p => vecs.map(_._2(p).toDouble).min)
+    val maxs = (0 until dim).map(p => vecs.map(_._2(p).toDouble).max)
+    def bitOf(v: Double, p: Int): Int =
+      if (maxs(p) == mins(p)) 0
+      else if (v > (mins(p) + maxs(p)) / 2.0) 1 else 0
+    val bits = vecs.map { case (id, v) =>
+      id -> (0 until dim).map(p => bitOf(v(p).toDouble, p))
+    }.toMap
+    val want = (for (qid <- Seq(0L, 7L)) yield {
+      val scored = vecs.map { case (id, _) =>
+        (id, (0 until dim).count(p => bits(qid)(p) != bits(id)(p)).toLong)
+      }.sortBy { case (id, d) => (d, id) }.take(5)
+      scored.zipWithIndex.map { case ((id, d), i) => (qid, i + 1, id, d) }
+    }).flatten.toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.count { case (q, r, id, d) => r == 1 && id == q && d == 0L } == 2)
+  }
 }

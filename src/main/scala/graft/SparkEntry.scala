@@ -163,6 +163,9 @@ object SparkEntry {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_secret_scan" -> (qSecretScan _),
+    "q_luhn_cards" -> (qLuhnCards _),
+    "q_zipf_slope" -> (qZipfSlope _),
+    "q_blocklist" -> (qBlocklist _),
     "q_token_budget" -> (qTokenBudget _),
     "q_wall_nodes" -> (qWallNodes _),
     "q_union_priority" -> (qUnionPriority _),
@@ -1837,6 +1840,45 @@ object SparkEntry {
     TextOps.secretScan(salted, "doc_id", "text", minEntropy = 2.8)
       .orderBy("doc_id")
   }
+
+  /** Luhn-gated card scan over documents salted with known fixtures:
+    * every 7th doc a valid spaced Visa-format number, every 11th an
+    * off-by-one INVALID dashed variant, every 13th a valid 15-digit
+    * (odd-length — the parity branch). Letter-wrapped salts keep the
+    * fixtures out of accidental digit runs in the surrounding text;
+    * both engines run the identical regex + checksum over the same
+    * salted text, so natural candidates in the corpus census match too.
+    */
+  private def qLuhnCards(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" card 4539 5787 6362 1486 ok"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" ref 4539-5787-6362-1487."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" pay 378282246310005 now"))
+          .otherwise(lit(""))).as("text"))
+    TextOps.luhnScan(salted, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Zipf rank-frequency slope over the corpus's top-100 tokens: the
+    * oracle replays the census, the (freq desc, token) rank order, and
+    * the identical closed-form OLS algebra, so the fit matches at the
+    * rounded boundary.
+    */
+  private def qZipfSlope(s: SparkSession, dir: String): DataFrame =
+    TextOps.zipfSlope(Tables.documents(s, dir), "text", topN = 100)
+      .select(col("n"), rnd("slope", 4).as("slope_r"),
+        rnd("intercept", 4).as("intercept_r"), rnd("r2", 4).as("r2_r"))
+
+  /** Blocklist gate over three terms that occur naturally in the corpus
+    * (no salting needed — the filter is exercised by real text); docs
+    * with more than two total hits fail.
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    TextOps.blocklistScan(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("slow", "dup", "stream"), maxHits = 2)
+      .orderBy("doc_id")
 
   private def qRedact(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CurationOps
@@ -6907,6 +6949,78 @@ object SparkEntry {
         |  coalesce(a.max_entropy, 0.0) AS max_entropy
         |FROM documents d2 LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Luhn mirror: identical salts, identical candidate regex, and the
+    // checksum replayed as a list comprehension — double every second
+    // digit from the right ((len-i)%2=1 in 1-based left order), fold >9
+    // by subtracting 9, valid iff the sum ≡ 0 mod 10.
+    "q_luhn_cards" ->
+      """WITH sal AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' card 4539 5787 6362 1486 ok'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' ref 4539-5787-6362-1487.'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' pay 378282246310005 now'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){12,18}')) AS m
+        |  FROM sal),
+        |g AS (SELECT doc_id, regexp_replace(m, '[^0-9]', '', 'g') AS dg FROM c),
+        |v AS (SELECT doc_id, dg,
+        |    (list_sum([CASE WHEN (len(dg) - i) % 2 = 1 THEN
+        |         CASE WHEN 2 * CAST(dg[i] AS INT) > 9
+        |              THEN 2 * CAST(dg[i] AS INT) - 9
+        |              ELSE 2 * CAST(dg[i] AS INT) END
+        |       ELSE CAST(dg[i] AS INT) END
+        |       FOR i IN range(1, len(dg) + 1)]) % 10 = 0) AS ok
+        |  FROM g),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |    max(CASE WHEN ok THEN substr(dg, len(dg) - 3, 4) END) AS valid_last4
+        |  FROM v GROUP BY 1)
+        |SELECT s.doc_id, coalesce(a.n_candidates, 0) AS n_candidates,
+        |  coalesce(a.n_valid, 0) AS n_valid, a.valid_last4
+        |FROM sal s LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Zipf mirror: identical census, (freq DESC, token) ranks, and the
+    // same closed-form OLS sums — slope/intercept/R² of ln(freq) on
+    // ln(rank) over the top-100 tokens.
+    "q_zipf_slope" ->
+      s"""WITH tk AS (SELECT unnest(string_split($NormSql, ' ')) AS tok
+         |  FROM documents),
+         |t2 AS (SELECT tok FROM tk WHERE tok <> ''),
+         |cen AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM t2 GROUP BY 1),
+         |top AS (SELECT tok, c FROM cen ORDER BY c DESC, tok LIMIT 100),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+         |  FROM top),
+         |p AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+         |    ln(CAST(c AS DOUBLE)) AS y FROM rk),
+         |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+         |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,
+         |    sum(y * y) AS syy FROM p)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx) + 1e-9, 4)
+         |    AS slope_r,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+         |    + 1e-9, 4) AS intercept_r,
+         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) + 1e-9, 4)
+         |    AS r2_r
+         |FROM m""".stripMargin,
+
+    // Blocklist mirror: the identical word-boundary alternation under
+    // RE2 over the same canonical form; pass = at most two total hits.
+    "q_blocklist" ->
+      s"""SELECT doc_id, CAST(len(h) AS BIGINT) AS n_hits,
+         |  CAST(len(list_distinct(h)) AS BIGINT) AS n_terms,
+         |  len(h) <= 2 AS pass
+         |FROM (SELECT doc_id,
+         |    regexp_extract_all($NormSql, '\\b(slow|dup|stream)\\b', 1) AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_redact" -> {
       val r = graft.operators.CurationOps.redactions

@@ -567,6 +567,102 @@ object TextOps {
       }.toDF(idCol, "n_candidates", "n_secrets", "max_entropy")
   }
 
+  /** Payment-card PII scan with REAL validation — the checksum-gated tier
+    * above pattern redaction: a digit run that merely looks card-shaped
+    * is noise, one that passes the Luhn check (ISO/IEC 7812; double every
+    * second digit from the right, fold >9 to digit sum, total ≡ 0 mod 10)
+    * is a reportable finding. Candidates are 13–19 digit runs with
+    * optional single space/dash separators (`[0-9](?:[ -]?[0-9]){12,18}`
+    * — valid in Java regex AND RE2, the [[graft.operators.CurationOps.redactions]]
+    * discipline); the checksum folds as an `aggregate` higher-order
+    * function over `sequence(1, len)` — pure column expressions, no UDF,
+    * per-row work O(len). One explode + one groupBy on the doc id; docs
+    * without candidates survive via explode_outer. Output per doc:
+    * candidate count, Luhn-valid count, and the max last-4 of a valid
+    * card (the PAN-masked evidence a privacy report is allowed to carry).
+    */
+  def luhnScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = df.select(col(idCol),
+      explode_outer(regexp_extract_all(col(textCol),
+        lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0))).as("m"))
+    val dg = regexp_replace(col("m"), "[^0-9]", "")
+    val luhnSum = aggregate(
+      sequence(lit(1), length(dg)), lit(0),
+      (acc, i) => {
+        val d = dg.substr(i, lit(1)).cast("int")
+        acc + when(((length(dg) - i) % 2) === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    cands
+      .withColumn("dg", dg)
+      .withColumn("ok", luhnSum % 10 === 0)
+      .groupBy(col(idCol))
+      .agg(count(col("m")).as("n_candidates"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+        max(when(col("ok"), substring(col("dg"), -4, 4))).as("valid_last4"))
+  }
+
+  /** Blocklist term scan — the word-level content filter of the curation
+    * family (bad-word / banned-topic gates): all terms compile into ONE
+    * word-boundary alternation `\b(t1|t2|…)\b` over the canonical
+    * [[graft.functions.Text.norm]] form, so the whole list costs a
+    * single codegen'd regex pass per document regardless of list size,
+    * and the identical pattern runs under RE2 in the oracle. Terms are
+    * restricted to `[a-z0-9]+` — normalization already lower-cases, and
+    * the charset keeps the alternation valid (and identical) in both
+    * regex engines. Output per doc: total hits, distinct terms hit, and
+    * the pass verdict (`n_hits <= maxHits`).
+    */
+  def blocklistScan(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], maxHits: Long = 0): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      s"blocklist terms must be non-empty [a-z0-9]+ words: $terms")
+    val pat = "\\b(" + terms.mkString("|") + ")\\b"
+    val hits = regexp_extract_all(Text.norm(col(textCol)), lit(pat), lit(1))
+    df.select(col(idCol),
+      size(hits).cast("long").as("n_hits"),
+      size(array_distinct(hits)).cast("long").as("n_terms"),
+      (size(hits) <= maxHits).as("pass"))
+  }
+
+  /** Zipf rank-frequency diagnostic — the corpus-health check beside the
+    * drift tests: natural language follows freq ∝ rank^s with s ≈ −1
+    * (Zipf 1949), so the OLS slope of ln(freq) on ln(rank) over the
+    * top-`topN` tokens flags synthetic, templated, or boilerplate-heavy
+    * corpora (flat slope) and degenerate spam (steep slope) before
+    * training sees them. One distributed token census, a bounded
+    * `TakeOrdered` top-N (partial top-k per partition — never a full
+    * vocabulary sort), and a single-pass moment fold. Ranks order
+    * (freq desc, token asc) — a total order both engines replay; tied
+    * frequencies make the regression points rank-assignment-invariant.
+    * Output: one row — n ranked, slope, intercept, R².
+    */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    val census = df.select(explode(Text.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val top = census.orderBy(col("c").desc, col("tok").asc).limit(topN)
+    val ranked = top.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok").asc)))
+    val pts = ranked.select(log(col("r").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n")).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** WordPiece vocabulary (the third real tokenizer family beside BPE
     * and unigram-LM — BERT's greedy longest-match-first, Wu et al.
     * 2016): corpus character n-grams (n ≤ maxN) over pre-token words,

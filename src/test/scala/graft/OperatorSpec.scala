@@ -824,4 +824,70 @@ class OperatorSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 25L), (2L, 3L, 16L), (5L, 6L, 18L),
       (1L, 5L, 2L)))
   }
+
+  test("luhnScan: checksum gates candidates, separators, odd length, no-hit docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "pay with 4539 5787 6362 1486 today"),   // valid, spaced
+      (2L, "ref 4539-5787-6362-1487 thanks"),       // off-by-one: invalid
+      (3L, "amex 378282246310005 works"),           // valid, 15 digits (odd parity)
+      (4L, "only words, and 12345 is short"),       // no candidate at all
+      (5L, "two: 6011111111111117 and 1234567890123456") // one valid, one not
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.luhnScan(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((1L, 1L, Some("1486"))))
+    assert(got(2L) == ((1L, 0L, None)))
+    assert(got(3L) == ((1L, 1L, Some("0005"))))
+    assert(got(4L) == ((0L, 0L, None)))
+    assert(got(5L) == ((2L, 1L, Some("1117"))))
+  }
+
+  test("zipfSlope: exact power law fits slope -1 with R²=1; topN truncates") {
+    val s = spark
+    import s.implicits._
+    // counts 12/6/4/3 = 12·rank⁻¹ exactly for ranks 1..4 — a perfect
+    // Zipf line, so the closed-form OLS must recover s=-1, c=ln 12, R²=1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.zipfSlope(df, "text", topN = 100)
+      .collect()(0)
+    assert(r.getLong(0) == 4L)
+    assert(math.abs(r.getDouble(1) - (-1.0)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    // topN keeps only the heaviest ranks (here the first two points)
+    val t = graft.operators.TextOps.zipfSlope(df, "text", topN = 2)
+      .collect()(0)
+    assert(t.getLong(0) == 2L)
+    assert(math.abs(t.getDouble(1) - (-1.0)) < 1e-9)
+  }
+
+  test("blocklistScan: boundaries, repeats, case fold, clean docs, term guard") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam and SPAM again"),      // case-folded repeat: 2 hits, 1 term
+      (2L, "spammer antispam spams"),   // substrings only: word boundary holds
+      (3L, "ham with spam and junk"),   // two distinct terms
+      (4L, "perfectly clean prose"),
+      (5L, "junk junk junk")            // over the maxHits=2 gate
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .blocklistScan(docs, "doc_id", "text", Seq("spam", "junk"), maxHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2L, 1L, true)))
+    assert(got(2L) == ((0L, 0L, true)))
+    assert(got(3L) == ((2L, 2L, true)))
+    assert(got(4L) == ((0L, 0L, true)))
+    assert(got(5L) == ((3L, 1L, false)))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.blocklistScan(docs, "doc_id", "text",
+        Seq("bad|term"), maxHits = 0)
+    }
+  }
 }

@@ -81,6 +81,26 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("round-10 operators: no cartesian; bounded broadcasts only where intended") {
+    // q_nb_classify: the (V×L) model and the L-row label table ride
+    // broadcasts; the only nested loop is the bounded label-set inject.
+    // q_hamming_topk: the bounded query-bit set broadcasts (the
+    // q_topk_cosine pattern). Scans stay cartesian-free everywhere.
+    Seq("q_nb_classify", "q_hamming_topk", "q_luhn_cards", "q_blocklist",
+      "q_zipf_slope").foreach { q =>
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
+    }
+    val nb = formatted("q_nb_classify")
+    assert(nb.contains("BroadcastHashJoin"),
+      "NB model join must broadcast the code table")
+    // zipf: the top-N census cut is the bounded TakeOrdered form, never
+    // a full vocabulary sort
+    val zipf = formatted("q_zipf_slope")
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"zipf top-N must plan TakeOrderedAndProject:\n$zipf")
+  }
+
   test("semanticDedup: pair join buckets on the cluster id, no cartesian") {
     val s = spark
     import s.implicits._

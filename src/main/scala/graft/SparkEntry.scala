@@ -217,6 +217,7 @@ object SparkEntry {
     "q_ledger_detail" -> (qLedgerDetail _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_pipeline_partial" -> (qPipelinePartial _),
+    "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
@@ -1187,6 +1188,53 @@ object SparkEntry {
       .withColumn("run2_executed", lit(r2.nExecuted))
       .withColumn("run2_skipped", lit(r2.nSkipped))
       .orderBy("idx", "return_flag")
+  }
+
+  /** The text-curation flagship composition through the SAME public
+    * Pipeline/Runner machinery as the mesh e2e: documents → token-count
+    * gate → exact dedup keep-first → blocklist gate → per-(idx, lang)
+    * token accounting → parquet artifact, with run 2 resuming to a full
+    * ledger skip. Every stage is a public operator (`Text.tokens`,
+    * `DedupOps.dedupKeepFirst`, `TextOps.blocklistScan`) and every
+    * number in the artifact is integer-exact, so the oracle replays the
+    * whole chain — gates, survivor set, and accounting — with zero
+    * rounding anywhere.
+    */
+  private def qTextPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_pipe_text", dir)
+    val artDir = s"$ledgerDir/artifact"
+    val pipe = graft.core.Pipeline(
+      graft.core.PSource("documents_by_mod4",
+        Map("table" -> "documents", "mod" -> "4"),
+        sp => Tables.documents(sp, dir).withColumn("idx", col("doc_id") % 4)),
+      Vector(
+        graft.core.PFilter("token_gate", Map("minTokens" -> "20"),
+          df => df.filter(
+            size(graft.functions.Text.tokens(col("text"))) >= 20)),
+        graft.core.PFilter("exact_dedup_keep_first", Map("key" -> "norm_md5"),
+          df => graft.operators.DedupOps.dedupKeepFirst(df, "doc_id", "text")),
+        graft.core.PFilter("blocklist_gate",
+          Map("terms" -> "slow,dup,stream", "maxHits" -> "2"),
+          df => df.join(
+            TextOps.blocklistScan(df, "doc_id", "text",
+              Seq("slow", "dup", "stream"), maxHits = 2)
+              .filter(col("pass")).select("doc_id"),
+            Seq("doc_id"), "left_semi")),
+        graft.core.PFilter("stats_by_idx_lang", Map("groups" -> "idx,lang"),
+          df => df.groupBy(col("idx"), col("lang"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(graft.functions.Text.tokens(col("text"))).cast("long"))
+                .as("sum_tokens")))),
+      Some(graft.core.PSink("parquet_artifact", Map("path" -> "artifact"),
+        df => { df.write.mode("overwrite").parquet(artDir); Seq(artDir) })))
+    val r1 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val r2 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    s.read.parquet(artDir)
+      .select(col("idx"), col("lang"), col("n_docs"), col("sum_tokens"))
+      .withColumn("run1_executed", lit(r1.nExecuted))
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .withColumn("run2_skipped", lit(r2.nSkipped))
+      .orderBy("idx", "lang")
   }
 
   /** Quality gate over `qualityFeatures`: thresholds compare exact rationals
@@ -7515,6 +7563,30 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS run2_skipped,
         |  1 AS artifact_written
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Text-pipeline mirror: the full gate chain replayed — token count
+    // on the canonical form, keep-first dedup via (md5 fp, min doc_id),
+    // blocklist hits under RE2 — then the identical integer accounting;
+    // run literals pin the 4-index execute/skip contract.
+    "q_text_pipeline_e2e" ->
+      s"""WITH base AS (SELECT doc_id, doc_id % 4 AS idx, lang,
+         |    $NormSql AS nt FROM documents),
+         |tok AS (SELECT doc_id, idx, lang, nt,
+         |    CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tokens
+         |  FROM base),
+         |g1 AS (SELECT * FROM tok WHERE n_tokens >= 20),
+         |kp AS (SELECT md5(nt) AS fp, min(doc_id) AS keep_id
+         |  FROM g1 GROUP BY 1),
+         |g2 AS (SELECT g1.* FROM g1
+         |  JOIN kp ON md5(g1.nt) = kp.fp AND g1.doc_id = kp.keep_id),
+         |g3 AS (SELECT * FROM g2 WHERE
+         |  len(regexp_extract_all(nt, '\\b(slow|dup|stream)\\b', 1)) <= 2)
+         |SELECT CAST(idx AS BIGINT) AS idx, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(4 AS BIGINT) AS run1_executed,
+         |  CAST(0 AS BIGINT) AS run2_executed,
+         |  CAST(4 AS BIGINT) AS run2_skipped
+         |FROM g3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pipeline_partial" ->
       """SELECT CAST(l_orderkey % 8 AS BIGINT) AS idx,

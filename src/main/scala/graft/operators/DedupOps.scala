@@ -47,6 +47,19 @@ object DedupOps {
     df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup that KEEPS the surviving rows (min id per canonical
+    * fingerprint) — the in-pipeline form of [[exactDupGroups]]. Shape: a
+    * map-side-combinable min reduction (state = one id per distinct
+    * fingerprint) plus an equi-join back on (fp, id) — never a window
+    * sort over the full corpus, which is what a row_number formulation
+    * would shuffle at 100 TB.
+    */
+  def dedupKeepFirst(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.withColumn("_fp", Text.fingerprint(col(textCol)))
+    val keep = withFp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(keep, Seq("_fp", idCol)).drop("_fp")
+  }
+
   /** Cross-source contamination report — the n-gram overlap
     * decontamination check used to keep eval/benchmark text out of
     * training corpora (the public GPT-3 appendix methodology: any shared

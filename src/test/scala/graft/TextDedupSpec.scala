@@ -112,6 +112,18 @@ class TextDedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedupKeepFirst: min-id survivors keep full rows; whitespace-normalized match") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (3L, "Hello  World", "a"), (1L, "hello world", "b"), // dups after norm
+      (2L, "unique text", "c")).toDF("doc_id", "text", "tag")
+    val got = graft.operators.DedupOps.dedupKeepFirst(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // survivor is the MIN id (1), its original (un-normalized) row intact
+    assert(got == Set((1L, "hello world", "b"), (2L, "unique text", "c")))
+  }
+
   test("bigramLogProb: analytic conditional log-probs") {
     val s = spark
     import s.implicits._

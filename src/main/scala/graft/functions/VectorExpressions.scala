@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -147,6 +147,59 @@ case class ByteVecHamming(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd sign-bit packing for binary quantization: one pass over an
+  * `Array[Float]` embedding compares each dimension against its literal
+  * threshold (`(mn+mx)/2`, precomputed from a dim-row range aggregate)
+  * and packs 8 dims/byte MSB-first into a BINARY value. Constant
+  * dimensions (`constDims`) emit 0, mirroring the mx==mn convention.
+  * The thresholds ride the plan as reference objects, so quantizing a
+  * corpus is a single shuffle-free projection — the posexplode/groupBy
+  * formulation this replaces shuffled dim× the corpus row count just to
+  * regroup what was already row-local.
+  */
+case class PackSignBits(child: Expression, thresholds: Array[Double],
+                        constDims: Array[Boolean]) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_sign_bits"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), thresholds.length)
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (!constDims(i) && a.getFloat(i).toDouble > thresholds(i))
+        out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val thr = ctx.addReferenceObj("thr", thresholds, "double[]")
+    val cst = ctx.addReferenceObj("cst", constDims, "boolean[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $thr.length);
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$cst[$i] && (double) $a.getFloat($i) > $thr[$i]) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (1 << (7 - ($i & 7))));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
@@ -159,4 +212,9 @@ object VectorExpressions {
   /** Codegen'd Hamming distance over two BINARY packed-bit columns. */
   def hammingB(a: Column, b: Column): Column =
     Bridge.column(ByteVecHamming(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd one-pass sign-bit packing against literal thresholds. */
+  def packBits(v: Column, thresholds: Array[Double],
+               constDims: Array[Boolean]): Column =
+    Bridge.column(PackSignBits(Bridge.expression(v), thresholds, constDims))
 }

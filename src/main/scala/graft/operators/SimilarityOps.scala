@@ -643,31 +643,29 @@ object SimilarityOps {
     * 〈dim〉-row range aggregate broadcast back, one pack per id.
     */
   def binaryCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val xs = df.select(col(idCol).cast("long").as("id"),
-      posexplode(col(vecCol)).as(Seq("pos", "xf")))
-      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
-    val ranges = xs.groupBy("pos")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    xs.join(broadcast(ranges), "pos")
-      .withColumn("bit",
-        when(col("mx") === col("mn"), lit(0)).otherwise(
-          when(col("x") > (col("mn") + col("mx")) / 2.0, lit(1))
-            .otherwise(lit(0))))
-      .select(col("id"), col("pos"), col("bit"))
-      .as[(Long, Int, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val rows = it.toArray
-        val nBytes = (rows.map(_._2).max >> 3) + 1
-        val bytes = new Array[Byte](nBytes)
-        rows.foreach { case (_, p, b) =>
-          if (b != 0) bytes(p >> 3) = (bytes(p >> 3) | (1 << (7 - (p & 7)))).toByte
-        }
-        (id, bytes)
-      }
-      .toDF(idCol, "bits")
+    // The range aggregate reduces to DIM rows — bounded by embedding
+    // dimensionality, not corpus size — so collecting it is the same
+    // bounded-constant move as the IVF centroid tables, and the packing
+    // itself becomes a single shuffle-free codegen projection (the
+    // posexplode/regroup formulation shuffled dim× the corpus row count
+    // just to reassemble what was already row-local).
+    val ranges = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast("double").as("x"))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val dim = if (ranges.isEmpty) 0 else ranges.map(_.getInt(0)).max + 1
+    val thr = new Array[Double](dim)
+    val const = new Array[Boolean](dim)
+    ranges.foreach { r =>
+      val p = r.getInt(0)
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      thr(p) = (mn + mx) / 2.0
+      const(p) = mn == mx
+    }
+    df.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorExpressions.packBits(col(vecCol), thr, const)
+        .as("bits"))
   }
 
   /** Binary-quantized brute-force top-k (Hamming search): each query's

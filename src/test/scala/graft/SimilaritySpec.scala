@@ -344,6 +344,20 @@ class SimilaritySpec extends SparkSpec {
     assert(df.filter(hd === lit(want)).count() == 1)
   }
 
+  test("PackSignBits: literal thresholds, const dims, codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Array(0.9f, 0.1f, 0.5f, 2.0f))).toDF("id", "v")
+    val packed = graft.functions.VectorExpressions
+      .packBits(col("v"), Array(0.5, 0.5, 0.5, 0.0), Array(false, false, true, false))
+    // dims: 0.9>0.5 → 1; 0.1 → 0; const dim → 0 despite 0.5>... ; 2.0>0 → 1
+    val want = Array(0x90.toByte) // 1001 0000 with 4 pad bits
+    assert(df.select(packed).collect()(0).getAs[Array[Byte]](0).toSeq == want.toSeq)
+    // interpreted path via a filter condition
+    assert(df.filter(length(packed) === 1).count() == 1)
+  }
+
   test("binaryCodes: MSB-first packing, midrange threshold, pad bits zero") {
     val s = spark
     import s.implicits._

@@ -241,6 +241,7 @@ object SparkEntry {
     "q_edit_verify" -> (qEditVerify _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_image_phash" -> (qImagePhash _),
+    "q_phash_pairs" -> (qPhashPairs _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_tfrecord" -> (qTfrecord _),
     "q_ngram_lang_id" -> (qNgramLangId _),
@@ -2711,6 +2712,13 @@ object SparkEntry {
     */
   private val AnnPlanesDir = s"$MatRoot/ann_planes"
 
+  /** Same materialized-constant contract as [[AnnPlanesDir]], for the
+    * perceptual-hash table q_phash_pairs' oracle brute-forces over
+    * (banding is recall-exact at ≤ maxHamming, so banded output ≡ the
+    * brute pair scan).
+    */
+  private val PhashTableDir = s"$MatRoot/phash_table"
+
   /** Staging point for the parquet-footer gate: the oracle's
     * `parquet_metadata()` needs a literal path in static SQL, so the
     * query copies the sf dir's file here first (same contract as the
@@ -4088,6 +4096,50 @@ object SparkEntry {
     MultimodalOps.imageHashes(payloads, "g", "bmp").orderBy("g")
   }
 
+  /** Image corpus for the near-dup gate: the q_image_phash base images
+    * (g 0–9) plus, per base, a NEAR-DUP copy under g+100 (one pixel's
+    * red channel shifted — a few aHash bits at most) and an EXACT copy
+    * under g+200 (Hamming 0). Deterministic event-stream pixels, so the
+    * corpus is identical across runs.
+    */
+  private def phashCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the image
+        def ch(v: Int, m: Int): Int = (((v.toLong * m) % 256 + 256) % 256).toInt
+        val px = cyclePad(rows, 256)
+          .map(r => (ch(r._3, 1), ch(r._3, 3), ch(r._3, 7)))
+        val base = graft.functions.Media.renderBmp(16, 16, px)
+        val perturbed = px.clone()
+        perturbed(0) = ((perturbed(0)._1 + 8) % 256, perturbed(0)._2,
+          perturbed(0)._3)
+        Seq((g, base),
+          (g + 100L, graft.functions.Media.renderBmp(16, 16, perturbed)),
+          (g + 200L, base))
+      }.toDF("g", "bmp")
+  }
+
+  /** Banded perceptual-hash near-dup pairs over the 30-image corpus: the
+    * engine runs the band-bucketed join (never all-pairs), the oracle
+    * brute-forces Hamming over the materialized hash table — equal
+    * output IS the pigeonhole recall proof at ≤ maxHamming. Exact copies
+    * pin Hamming 0; perturbed copies land within a few bits.
+    */
+  private def qPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val payloads = phashCorpus(s, dir)
+    MultimodalOps.imageHashes(payloads, "g", "bmp")
+      .select(col("g"), col("ahash"))
+      .coalesce(1).write.mode("overwrite").parquet(PhashTableDir)
+    MultimodalOps.imageNearDupPairs(payloads, "g", maxHamming = 8,
+      payloadCol = "bmp")
+      .orderBy("ia", "ib")
+  }
+
   /** Incremental-dedup gate: odd doc ids arrive as the INCOMING batch,
     * even ids are the standing index;
     * [[graft.operators.DedupOps.incrementalDedup]] classifies each
@@ -5177,6 +5229,17 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sh, c.sh)) AS INTEGER) AS hamming
          |FROM s a JOIN s c ON a.doc_id < c.doc_id
          |WHERE bit_count(xor(a.sh, c.sh)) <= 3
+         |ORDER BY ia, ib""".stripMargin,
+
+    // Image near-dup mirror: brute-force Hamming over the materialized
+    // perceptual-hash table — banding is recall-exact at ≤ maxHamming by
+    // pigeonhole, so the engine's bucketed join must equal this scan.
+    "q_phash_pairs" ->
+      s"""WITH h AS (SELECT g, ahash FROM '$PhashTableDir/*.parquet')
+         |SELECT a.g AS ia, b.g AS ib,
+         |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.g < b.g
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 8
          |ORDER BY ia, ib""".stripMargin,
 
     "q_cosine_pairs" ->

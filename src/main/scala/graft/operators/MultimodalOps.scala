@@ -237,6 +237,24 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "ahash", "dhash")
   }
 
+  /** Image near-duplicate pairs — the multimodal member of the dedup
+    * family: perceptual aHashes from [[imageHashes]] feed the SAME banded
+    * Hamming machinery as text simhash
+    * ([[graft.operators.DedupOps.simhashPairs]]), so candidate volume is
+    * band-bucket-bounded (never all-pairs) and recall at ≤ maxHamming is
+    * exact by pigeonhole — identical output to a brute-force scan, which
+    * is precisely what an oracle replays. Re-encodes, resizes, and
+    * brightness-preserving edits land within a few bits of the original;
+    * distinct photos sit ~32 bits apart.
+    */
+  def imageNearDupPairs(payloads: DataFrame, idCol: String,
+                        maxHamming: Int = 8,
+                        payloadCol: String = "payload"): DataFrame =
+    graft.operators.DedupOps.simhashPairs(
+      imageHashes(payloads, idCol, payloadCol)
+        .select(col(idCol), col("ahash").as("simhash")),
+      idCol, maxHamming)
+
   /** Real compressed-image decode: 8-bit RGB/RGBA PNG payloads → geometry
     * and per-channel means (alpha mean NaN for RGB). One codec call per
     * row, executor-side, no shuffle.

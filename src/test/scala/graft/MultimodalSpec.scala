@@ -543,4 +543,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1L) == ((expMean, expW, false)))
     assert(rows(2L) == ((expMean, expW, true)), "deinterlace must restore row order")
   }
+
+  test("imageNearDupPairs: exact + perceptual dups pair up, distinct images don't") {
+    val s = spark
+    import s.implicits._
+    // half-dark base (same construction as the imageHashes spec), a
+    // one-pixel noisy copy (hashes identical → Hamming 0), an exact
+    // copy, and the inverted image (aHash complement → Hamming 64)
+    val px = Array.tabulate(256) { i =>
+      if (i % 16 < 8) (0, 0, 0) else (255, 255, 255)
+    }
+    val bmp = graft.functions.Media.renderBmp(16, 16, px)
+    val px2 = px.clone(); px2(0) = (40, 40, 40)
+    val bmp2 = graft.functions.Media.renderBmp(16, 16, px2)
+    val px3 = px.map { case (r, g, b) => (255 - r, 255 - g, 255 - b) }
+    val bmp3 = graft.functions.Media.renderBmp(16, 16, px3)
+    val got = graft.operators.MultimodalOps.imageNearDupPairs(
+      Seq((1L, bmp), (2L, bmp2), (3L, bmp3), (4L, bmp)).toDF("id", "p"),
+      "id", maxHamming = 8, payloadCol = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)),
+      s"got $got")
+  }
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_repetition" -> (qRepetition _),
     "q_lang_id" -> (qLangId _),
+    "q_classifier_eval" -> (qClassifierEval _),
     "q_doc_fingerprints" -> (qDocFingerprints _),
     "q_token_stats" -> (qTokenStats _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
@@ -125,6 +126,8 @@ object SparkEntry {
     "q_shard_plan" -> (qShardPlan _),
     "q_media_decode" -> (qMediaDecode _),
     "q_audio_spectral" -> (qAudioSpectral _),
+    "q_audio_fingerprint" -> (qAudioFingerprint _),
+    "q_audio_fp_pairs" -> (qAudioFpPairs _),
     "q_jpeg_decode" -> (qJpegDecode _),
     "q_video_frames" -> (qVideoFrames _),
     "q_gif_decode" -> (qGifDecode _),
@@ -2719,6 +2722,11 @@ object SparkEntry {
     */
   private val PhashTableDir = s"$MatRoot/phash_table"
 
+  /** Same contract as [[PhashTableDir]], for the audio fingerprints
+    * q_audio_fp_pairs' oracle brute-forces over.
+    */
+  private val AudioFpDir = s"$MatRoot/audio_fp"
+
   /** Staging point for the parquet-footer gate: the oracle's
     * `parquet_metadata()` needs a literal path in static SQL, so the
     * query copies the sf dir's file here first (same contract as the
@@ -3167,6 +3175,26 @@ object SparkEntry {
         col("lang_pred"): _*)
       .orderBy("doc_id")
 
+  /** Classifier evaluation of the lang-ID predictions against the true
+    * `lang` column: per-class confusion counts and precision/recall/F1
+    * through `StatsOps.classifierReport` — the metric gate a supervised
+    * curation filter reports before it prunes a corpus. All counts are
+    * exact; the rational metrics round at the standard boundary.
+    */
+  private def qClassifierEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = TextOps.languageId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred"))
+    StatsOps.classifierReport(
+      docs.select(col("doc_id"), col("lang")).join(pred, "doc_id"),
+      "lang", "lang_pred")
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        rnd("precision", 4).as("precision_r"),
+        rnd("recall", 4).as("recall_r"),
+        rnd("f1", 4).as("f1_r"))
+      .orderBy("label")
+  }
+
   /** Document fingerprints: canonical-content md5 per doc. */
   private def qDocFingerprints(s: SparkSession, dir: String): DataFrame =
     TextOps.fingerprints(Tables.documents(s, dir), "doc_id", "text")
@@ -3303,21 +3331,68 @@ object SparkEntry {
     MultimodalOps.dftTwiddles(64)
       .toDF("k", "re_w", "im_w").coalesce(1)
       .write.mode("overwrite").parquet(DftTwiddlesDir)
-    val quant = Tables.events(s, dir).select(
-      (col("user_id") % 10).as("g"), col("event_id"),
-      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
-        .cast("int").as("v"))
-    val payloads = quant.as[(Long, Long, Int)].groupByKey(_._1)
-      .mapGroups { (g, it) =>
-        val rows = it.toArray.sortBy(_._2) // event_id order fixes the signal
-        (g, graft.functions.Media.renderWav(8000, 1,
-          cyclePad(rows, 256).map(_._3)))
-      }.toDF("g", "wav")
-    MultimodalOps.audioSpectral(payloads, "g", "wav", frameLen = 64, nFrames = 4)
+    MultimodalOps.audioSpectral(audioCorpus(s, dir, withCopies = false),
+      "g", "wav", frameLen = 64, nFrames = 4)
       .select(col("g"), col("frame"),
         rnd("energy", 4).as("energy_r"), rnd("centroid", 4).as("centroid_r"),
         col("peak_bin"), rnd("peak_mag", 4).as("peak_mag_r"))
       .orderBy("g", "frame")
+  }
+
+  /** The 10 base WAV clips shared by the spectral queries, optionally
+    * extended per base with an EXACT copy (g+100) and a one-sample
+    * perturbed copy (g+200, sample 0 shifted +50 — a few fingerprint
+    * bits at most) for the near-dup gate.
+    */
+  private def audioCorpus(s: SparkSession, dir: String,
+                          withCopies: Boolean): DataFrame = {
+    import s.implicits._
+    val quant = Tables.events(s, dir).select(
+      (col("user_id") % 10).as("g"), col("event_id"),
+      least(greatest(floor(col("value") * 100), lit(-32768L)), lit(32767L))
+        .cast("int").as("v"))
+    quant.as[(Long, Long, Int)].groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val rows = it.toArray.sortBy(_._2) // event_id order fixes the signal
+        val sm = cyclePad(rows, 256).map(_._3)
+        val base = graft.functions.Media.renderWav(8000, 1, sm)
+        if (!withCopies) Seq((g, base))
+        else {
+          val pert = sm.clone()
+          pert(0) = math.min(pert(0) + 50, 32767)
+          Seq((g, base), (g + 100L, base),
+            (g + 200L, graft.functions.Media.renderWav(8000, 1, pert)))
+        }
+      }.toDF("g", "wav")
+  }
+
+  /** Chromaprint-style fingerprints over the 10 base clips: the oracle
+    * replays the DFT (materialized twiddles), the rounded band energies,
+    * and the frame-gradient bit packing.
+    */
+  private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MultimodalOps.dftTwiddles(64)
+      .toDF("k", "re_w", "im_w").coalesce(1)
+      .write.mode("overwrite").parquet(DftTwiddlesDir)
+    MultimodalOps.audioFingerprint(
+      audioCorpus(s, dir, withCopies = false), "g", "wav")
+      .orderBy("g")
+  }
+
+  /** Banded-Hamming audio near-dup pairs over the 30-clip corpus
+    * (bases + exact copies + one-sample perturbations): engine runs the
+    * band-bucketed join, oracle brute-forces Hamming over the
+    * materialized fingerprint table — equality is the pigeonhole recall
+    * proof, as in q_phash_pairs.
+    */
+  private def qAudioFpPairs(s: SparkSession, dir: String): DataFrame = {
+    val payloads = audioCorpus(s, dir, withCopies = true)
+    MultimodalOps.audioFingerprint(payloads, "g", "wav")
+      .coalesce(1).write.mode("overwrite").parquet(AudioFpDir)
+    MultimodalOps.audioNearDupPairs(payloads, "g", maxHamming = 6,
+      payloadCol = "wav")
+      .orderBy("ia", "ib")
   }
 
   /** Baseline JPEG decode end-to-end: per group, a 48×48 YCbCr 4:4:4 image
@@ -6007,6 +6082,50 @@ object SparkEntry {
     "q_doc_fingerprints" ->
       s"""SELECT doc_id, md5($NormSql) AS fp FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Eval-metrics mirror: the q_lang_id prediction CTE joined to the
+    // true labels, then per-class counts and the identical rational
+    // metric algebra (0.0 on zero denominators, F1 from the UNROUNDED
+    // precision/recall).
+    "q_classifier_eval" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("en")}')) AS s_en,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("de")}')) AS s_de,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("fr")}')) AS s_fr,
+         |    len(regexp_extract_all(lower(text), '${StopPatterns("es")}')) AS s_es
+         |  FROM documents),
+         |b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM sc),
+         |pr AS (SELECT doc_id,
+         |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+         |       WHEN s_de = best AND best > 0 THEN 'de'
+         |       WHEN s_fr = best AND best > 0 THEN 'fr'
+         |       WHEN s_es = best AND best > 0 THEN 'es'
+         |       ELSE 'und' END AS pred
+         |  FROM b),
+         |j AS (SELECT d.lang AS truth, pr.pred
+         |  FROM documents d JOIN pr USING (doc_id)),
+         |t AS (SELECT truth AS label, count(*) AS n_true FROM j GROUP BY 1),
+         |p AS (SELECT pred AS label, count(*) AS n_pred FROM j GROUP BY 1),
+         |c AS (SELECT truth AS label, count(*) AS tp FROM j
+         |  WHERE truth = pred GROUP BY 1),
+         |lbl AS (SELECT label FROM t UNION SELECT label FROM p),
+         |m AS (SELECT lbl.label, coalesce(t.n_true, 0) AS n_true,
+         |    coalesce(p.n_pred, 0) AS n_pred, coalesce(c.tp, 0) AS tp
+         |  FROM lbl LEFT JOIN t USING (label) LEFT JOIN p USING (label)
+         |  LEFT JOIN c USING (label)),
+         |x AS (SELECT label, n_true, n_pred, tp,
+         |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+         |         ELSE 0.0 END AS prec,
+         |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+         |         ELSE 0.0 END AS rec
+         |  FROM m)
+         |SELECT label, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  round(prec + 1e-9, 4) AS precision_r,
+         |  round(rec + 1e-9, 4) AS recall_r,
+         |  round(CASE WHEN prec + rec > 0 THEN 2.0 * prec * rec / (prec + rec)
+         |        ELSE 0.0 END + 1e-9, 4) AS f1_r
+         |FROM x ORDER BY label""".stripMargin,
+
     "q_token_stats" ->
       s"""WITH t AS (SELECT lang, source,
          |    len(regexp_extract_all(text, '${Text.BpePattern}')) AS nt FROM documents)
@@ -6085,6 +6204,47 @@ object SparkEntry {
          |  CAST(pk.peak_bin AS INT) AS peak_bin,
          |  round(pk.peak_mag + 1e-9, 4) AS peak_mag_r
          |FROM agg JOIN pk USING (g, frame) ORDER BY g, frame""".stripMargin,
+
+    // Fingerprint mirror: the spectral DFT CTEs, band energies over bins
+    // 1..32 (4 bins/band, 8 bands) ROUNDED at 6 dp, gradient bit set
+    // when band energy falls frame-to-frame, packed LSB-at-(frame·8+band).
+    "q_audio_fingerprint" ->
+      s"""WITH q AS (SELECT user_id % 10 AS g, event_id,
+         |    CAST(least(greatest(floor(value * 100), -32768), 32767) AS BIGINT) AS v
+         |  FROM events),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+         |  FROM q),
+         |${cycCte(256)},
+         |f AS (SELECT g, CAST((rn - 1) // 64 AS INT) AS frame, rn, v
+         |  FROM e),
+         |s AS (SELECT g, frame, list(CAST(v AS DOUBLE) ORDER BY rn) AS sv
+         |  FROM f GROUP BY 1, 2),
+         |tw AS (SELECT k, re_w, im_w FROM '$DftTwiddlesDir/*.parquet'),
+         |d AS (SELECT g, frame, k,
+         |    list_dot_product(sv, re_w) AS re, list_dot_product(sv, im_w) AS im
+         |  FROM s CROSS JOIN tw),
+         |m AS (SELECT g, frame, k, sqrt(re * re + im * im) / 64 AS mag FROM d),
+         |bd AS (SELECT g, frame, CAST((k - 1) // 4 AS INT) AS band,
+         |    round(sum(mag) + 1e-9, 6) AS en
+         |  FROM m WHERE k >= 1 GROUP BY 1, 2, 3),
+         |bits AS (SELECT a.g, a.frame * 8 + a.band AS idx,
+         |    CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+         |  FROM bd a JOIN bd b
+         |    ON a.g = b.g AND a.band = b.band AND b.frame = a.frame + 1)
+         |SELECT g, CAST(sum(CASE WHEN bit = 1
+         |    THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT) AS fp
+         |FROM bits GROUP BY 1 ORDER BY g""".stripMargin,
+
+    // Audio near-dup mirror: brute-force Hamming over the materialized
+    // fingerprint table (same recall-exactness argument as q_phash_pairs).
+    "q_audio_fp_pairs" ->
+      s"""WITH h AS (SELECT g, fp FROM '$AudioFpDir/*.parquet')
+         |SELECT a.g AS ia, b.g AS ib,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM h a JOIN h b ON a.g < b.g
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 6
+         |ORDER BY ia, ib""".stripMargin,
 
     "q_jpeg_decode" ->
       s"""WITH q AS (SELECT user_id % 10 AS g, event_id,

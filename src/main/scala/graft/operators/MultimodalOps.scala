@@ -168,6 +168,79 @@ object MultimodalOps {
       .toDF(idCol, "frame", "energy", "centroid", "peak_bin", "peak_mag")
   }
 
+  /** Chromaprint-style audio fingerprint — the acoustic member of the
+    * near-dup family (text simhash, image aHash, and this): per frame,
+    * DFT bin magnitudes (the SAME twiddle fold as [[audioSpectral]])
+    * collapse into `nBands` band energies over bins 1..frameLen/2 (DC
+    * skipped), and bit f·nBands+b is set when band b's energy FALLS from
+    * frame f to f+1 — gradient coding, like dHash, so re-encodes and
+    * small edits flip few bits and Hamming distance is the match metric.
+    * Band energies compare ROUNDED (6 dp, the cross-engine boundary
+    * discipline), making the bit pattern oracle-replayable. One codec
+    * call + O(nFrames·N²/2) multiplies per row, executor-side, no
+    * shuffle. Downstream pairing reuses the banded-Hamming machinery
+    * via [[audioNearDupPairs]].
+    */
+  def audioFingerprint(payloads: DataFrame, idCol: String,
+                       payloadCol: String = "payload", frameLen: Int = 64,
+                       nFrames: Int = 4, nBands: Int = 8): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    require(frameLen >= 2 && frameLen % 2 == 0, s"frameLen $frameLen")
+    val binsPerBand = (frameLen / 2) / nBands
+    require(binsPerBand >= 1 && (nFrames - 1) * nBands <= 64,
+      s"fingerprint needs >=1 bin/band and <=64 bits: " +
+        s"frameLen=$frameLen nFrames=$nFrames nBands=$nBands")
+    val bc = twiddleBroadcast(spark, frameLen)
+    def round6(x: Double): Double = // HALF_UP + stabilizer: matches round(x+1e-9, 6)
+      BigDecimal(x + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    typedPayloads(payloads, idCol, payloadCol)
+      .map { case (id, bytes) =>
+        val w = graft.functions.Media.decodeWav(bytes)
+        require(w.channels == 1, s"audioFingerprint expects mono, got ${w.channels}")
+        require(w.samples.length >= nFrames * frameLen,
+          s"need ${nFrames * frameLen} samples, got ${w.samples.length}")
+        val tws = bc.value
+        val e = Array.ofDim[Double](nFrames, nBands)
+        var f = 0
+        while (f < nFrames) {
+          val off = f * frameLen
+          val s = w.samples.slice(off, off + frameLen)
+          val mags = tws.map { case (_, re, im) =>
+            var a = 0.0; var b = 0.0; var j = 0
+            while (j < frameLen) { a += s(j) * re(j); b += s(j) * im(j); j += 1 }
+            math.sqrt(a * a + b * b) / frameLen
+          }
+          var b = 0
+          while (b < nBands) {
+            var sum = 0.0
+            var k = 1 + b * binsPerBand
+            val end = 1 + (b + 1) * binsPerBand
+            while (k < end) { sum += mags(k); k += 1 }
+            e(f)(b) = round6(sum)
+            b += 1
+          }
+          f += 1
+        }
+        var fp = 0L
+        for (ff <- 0 until nFrames - 1; b <- 0 until nBands)
+          if (e(ff)(b) > e(ff + 1)(b)) fp |= 1L << (ff * nBands + b)
+        (id, fp)
+      }.toDF(idCol, "fp")
+  }
+
+  /** Audio near-duplicate pairs: [[audioFingerprint]]s through the same
+    * banded Hamming machinery as text simhash and image aHash — recall
+    * exact at ≤ maxHamming by pigeonhole, candidates band-bounded.
+    */
+  def audioNearDupPairs(payloads: DataFrame, idCol: String,
+                        maxHamming: Int = 6,
+                        payloadCol: String = "payload"): DataFrame =
+    graft.operators.DedupOps.simhashPairs(
+      audioFingerprint(payloads, idCol, payloadCol)
+        .select(col(idCol), col("fp").as("simhash")),
+      idCol, maxHamming)
+
   /** Real image decode: 24-bit BMP payloads → geometry and per-channel
     * means. One codec call per row, executor-side, no shuffle.
     */

@@ -359,6 +359,35 @@ object StatsOps {
     * the heaviest keys without a global sort. Long-typed keys (hash
     * non-long keys first).
     */
+  /** Per-class classifier evaluation — the metric gate any supervised
+    * curation filter (lang-ID, NB quality/domain classifiers) reports
+    * before its predictions gate a corpus: confusion counts and
+    * precision/recall/F1 per label. Three bounded groupBys (state = one
+    * row per class) and a class-level join — never a shuffle wider than
+    * the label set. Metrics are exact small-integer rationals; zero
+    * denominators score 0.0 by convention, so every value is
+    * deterministic for an oracle.
+    */
+  def classifierReport(df: DataFrame, truthCol: String,
+                       predCol: String): DataFrame = {
+    val t = df.groupBy(col(truthCol).as("label")).agg(count(lit(1)).as("n_true"))
+    val p = df.groupBy(col(predCol).as("label")).agg(count(lit(1)).as("n_pred"))
+    val tp = df.filter(col(truthCol) === col(predCol))
+      .groupBy(col(truthCol).as("label")).agg(count(lit(1)).as("tp"))
+    val prec = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred")).otherwise(0.0)
+    val rec = when(col("n_true") > 0,
+      col("tp").cast("double") / col("n_true")).otherwise(0.0)
+    t.join(p, Seq("label"), "full").join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "tp"))
+      .withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))).otherwise(0.0))
+  }
+
   def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))
       .agg(count(lit(1)).as("n"))

@@ -544,6 +544,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) == ((expMean, expW, true)), "deinterlace must restore row order")
   }
 
+  test("audioFingerprint: analytic gradient bits on exact-integer tones; pairs") {
+    val s = spark
+    import s.implicits._
+    // bin-16 tone (cos(πj/2) ∈ {1,0,-1} — exact integer samples) lands in
+    // band (16-1)/4 = 3; 6-dp rounding kills float leakage in other bands
+    def tone(frames: Set[Int]): Array[Int] = Array.tabulate(256) { i =>
+      val f = i / 64
+      if (!frames(f)) 0
+      else ((i % 4) match { case 0 => 1000; case 2 => -1000; case _ => 0 })
+    }
+    val w1 = graft.functions.Media.renderWav(8000, 1, tone(Set(0)))
+    val w3 = graft.functions.Media.renderWav(8000, 1, tone(Set(0, 1)))
+    val fp = graft.operators.MultimodalOps.audioFingerprint(
+      Seq((1L, w1), (2L, w1), (3L, w3)).toDF("id", "p"), "id", "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // w1: band 3 falls across f0→f1 only → bit 0·8+3; w3: across f1→f2
+    assert(fp(1L) == (1L << 3), s"fp1=${fp(1L)}")
+    assert(fp(2L) == (1L << 3))
+    assert(fp(3L) == (1L << 11), s"fp3=${fp(3L)}")
+    val pairs = graft.operators.MultimodalOps.audioNearDupPairs(
+      Seq((1L, w1), (2L, w1), (3L, w3)).toDF("id", "p"), "id",
+      maxHamming = 6, payloadCol = "p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)))
+  }
+
   test("imageNearDupPairs: exact + perceptual dups pair up, distinct images don't") {
     val s = spark
     import s.implicits._

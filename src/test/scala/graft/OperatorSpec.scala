@@ -866,6 +866,27 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(t.getDouble(1) - (-1.0)) < 1e-9)
   }
 
+  test("classifierReport: analytic confusion metrics, absent-class conventions") {
+    val s = spark
+    import s.implicits._
+    // truth: 3×a, 2×b, 1×c; pred: a→a,a,b; b→a,b; c→d (c never predicted,
+    // d never true)
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"),
+      ("c", "d")).toDF("truth", "pred")
+    val got = graft.operators.StatsOps.classifierReport(df, "truth", "pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // a: tp=2, n_true=3, n_pred=3 → P=2/3, R=2/3, F1=2/3
+    assert(got("a") == ((3L, 3L, 2L, 2.0 / 3, 2.0 / 3, 2.0 / 3)))
+    // b: tp=1, n_true=2, n_pred=2 → 1/2 everywhere
+    assert(got("b") == ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // c: true but never predicted → P=0 (zero denom convention), R=0, F1=0
+    assert(got("c") == ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+    // d: predicted but never true → all zero by the same conventions
+    assert(got("d") == ((0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("blocklistScan: boundaries, repeats, case fold, clean docs, term guard") {
     val s = spark
     import s.implicits._

@@ -150,6 +150,7 @@ object SparkEntry {
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
     "q_grid_coarsen" -> (qGridCoarsen _),
+    "q_regrid" -> (qRegrid _),
     "q_vti_roundtrip" -> (qVtiRoundtrip _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_sessionize" -> (qSessionize _),
@@ -2482,6 +2483,24 @@ object SparkEntry {
       .select(col("field"), col("i"), col("j"), col("n_cells"),
         rnd("value", 4).as("value"))
       .orderBy("field", "i", "j")
+
+  /** Bilinear regrid of the 32×64 event lattice to 9×12 — the ERA5-style
+    * resolution change: the oracle replays the endpoint-aligned mapping,
+    * the four corner weights, and the inner-join sparse-cell semantics;
+    * every ratio is the same IEEE double on both engines and outputs
+    * round at the standard boundary.
+    */
+  private def qRegrid(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.events(s, dir)
+      .groupBy(col("event_type").as("field"),
+        (col("user_id") % 32).as("i"), (col("event_id") % 64).as("j"))
+      .agg(sum("value").as("value"))
+    graft.grid.GridOps.regridBilinear(src, "i", "j",
+      srcNi = 32, srcNj = 64, dstNi = 9, dstNj = 12)
+      .select(col("field"), col("i"), col("j"),
+        rnd("value", 4).as("value_r"), rnd("w_cover", 4).as("w_cover_r"))
+      .orderBy("field", "i", "j")
+  }
 
   /** VTI ImageData sink→source cycle THROUGH THE DSv2 RELATION: events
     * aggregated onto a dense 32×64 point lattice (one Float64 PointData
@@ -8276,6 +8295,39 @@ object SparkEntry {
         |  CAST((event_id % 64) // 4 AS BIGINT) AS j,
         |  count(*) AS n_cells, round(avg(value) + 1e-9, 4) AS value
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Bilinear regrid mirror: the same endpoint-aligned mapping
+    // (31/8 and 63/11 as identical IEEE doubles), four corner weights,
+    // and inner-join sparse semantics; out-of-lattice corners only occur
+    // with weight 0 and vanish at the join on both engines.
+    "q_regrid" ->
+      """WITH src AS (SELECT event_type AS field, user_id % 32 AS i,
+        |    event_id % 64 AS j, sum(value) AS v
+        |  FROM events GROUP BY 1, 2, 3),
+        |tgt AS (SELECT f.field, gi.ti, gj.tj,
+        |    gi.ti * (CAST(31 AS DOUBLE) / 8) AS x,
+        |    gj.tj * (CAST(63 AS DOUBLE) / 11) AS y
+        |  FROM (SELECT DISTINCT field FROM src) f
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS ti) gi
+        |  CROSS JOIN (SELECT unnest(range(0, 12)) AS tj) gj),
+        |c AS (SELECT field, ti, tj, x, y,
+        |    CAST(floor(x) AS BIGINT) AS i0, CAST(floor(y) AS BIGINT) AS j0
+        |  FROM tgt),
+        |k AS (
+        |  SELECT field, ti, tj, i0 AS i, j0 AS j,
+        |    (1 - (x - i0)) * (1 - (y - j0)) AS w FROM c
+        |  UNION ALL SELECT field, ti, tj, i0 + 1, j0,
+        |    (x - i0) * (1 - (y - j0)) FROM c
+        |  UNION ALL SELECT field, ti, tj, i0, j0 + 1,
+        |    (1 - (x - i0)) * (y - j0) FROM c
+        |  UNION ALL SELECT field, ti, tj, i0 + 1, j0 + 1,
+        |    (x - i0) * (y - j0) FROM c),
+        |jv AS (SELECT k.field, k.ti, k.tj, k.w * s.v AS wv, k.w AS w
+        |  FROM k JOIN src s ON k.field = s.field AND k.i = s.i AND k.j = s.j)
+        |SELECT field, CAST(ti AS BIGINT) AS i, CAST(tj AS BIGINT) AS j,
+        |  round(sum(wv) + 1e-9, 4) AS value_r,
+        |  round(sum(w) + 1e-9, 4) AS w_cover_r
+        |FROM jv GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // The `.vti` cycle is bit-exact for the Float64 lattice cells, so the
     // oracle rebuilds the dense grid's aggregates straight from events;

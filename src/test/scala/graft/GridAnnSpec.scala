@@ -178,4 +178,29 @@ class GridAnnSpec extends SparkSpec {
       assert(recs.exists(r => r.observed.contains("m")))
     } finally s.listenerManager.unregister(l)
   }
+
+  test("regridBilinear: analytic 2x2 -> 3x3, sparse coverage, group isolation") {
+    val s = spark
+    import s.implicits._
+    // v(i,j) = 10i + 20j: bilinear in (i,j), so every interpolant is exact
+    val src = Seq(("a", 0L, 0L, 0.0), ("a", 1L, 0L, 10.0),
+      ("a", 0L, 1L, 20.0), ("a", 1L, 1L, 30.0),
+      // group b: only one corner present → sparse coverage at the center
+      ("b", 0L, 0L, 100.0)).toDF("field", "i", "j", "value")
+    val got = graft.grid.GridOps
+      .regridBilinear(src, "i", "j", srcNi = 2, srcNj = 2, dstNi = 3, dstNj = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // centers: x=y=0.5 → mean of the four corners
+    assert(got(("a", 1L, 1L)) == ((15.0, 1.0)))
+    assert(got(("a", 0L, 0L)) == ((0.0, 1.0)))
+    assert(got(("a", 2L, 2L)) == ((30.0, 1.0)))
+    assert(got(("a", 1L, 0L)) == ((5.0, 1.0)))   // edge midpoint
+    assert(got(("a", 0L, 1L)) == ((10.0, 1.0)))
+    // group b: center sees only corner (0,0) with weight 1/4
+    assert(got(("b", 1L, 1L)) == ((25.0, 0.25)))
+    assert(got(("b", 0L, 0L)) == ((100.0, 1.0)))
+    // fully uncovered target cells (e.g. b's far corner) emit NO row
+    assert(!got.contains(("b", 2L, 2L)))
+  }
 }

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_mesh_quality" -> (qMeshQuality _),
     "q_atom_offsets" -> (qAtomOffsets _),
     "q_ann_pairs" -> (qAnnPairs _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
@@ -2565,6 +2566,26 @@ object SparkEntry {
     SimilarityOps.annCosinePairsMulti(emb, "vec_id", "embedding",
       tau = 0.25, nTables = 12, planesPerTable = k, dimHint = 64)
       .orderBy("ia", "ib")
+  }
+
+  /** Contrastive hard-negative mining over the SAME LSH tables as
+    * q_ann_pairs (identical planes, materialized for the oracle): bucket
+    * collisions that score BELOW 0.1 cosine, reduced to the 3 hardest
+    * per min-id anchor. The oracle replays buckets, the inverted cosine
+    * gate, and the (cos desc, ib) ranking.
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L)
+    SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
+      .flatMap { case (t, pls) =>
+        pls.zipWithIndex.map { case (pl, p) => (t, p, pl.map(_.toDouble).toSeq) }
+      }.toDF("tbl", "plane", "w").coalesce(1)
+      .write.mode("overwrite").parquet(AnnPlanesDir)
+    SimilarityOps.hardNegativePairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", tauMax = 0.1, perAnchorK = 3,
+      nTables = 12, planesPerTable = k, dimHint = 64)
+      .orderBy("ia", "rank")
   }
 
   /** Product-quantization ADC top-k: train per-subspace codebooks on the
@@ -5364,6 +5385,30 @@ object SparkEntry {
          |  FROM cand c JOIN embeddings a ON a.vec_id = c.ia
          |    JOIN embeddings b ON b.vec_id = c.ib)
          |SELECT ia, ib, cos_r FROM sc WHERE cos_r >= 0.25 ORDER BY ia, ib""".stripMargin,
+
+    // Hard-negative mirror: identical LSH buckets, the INVERTED cosine
+    // gate (< 0.1), and the (cos DESC, ib) per-anchor top-3 ranking.
+    "q_hard_negatives" ->
+      s"""WITH pl AS (SELECT tbl, plane, w
+         |    FROM '$AnnPlanesDir/*.parquet'),
+         |dots AS (SELECT e.vec_id, p.tbl, p.plane,
+         |    list_dot_product(e.embedding::DOUBLE[], p.w) AS dp
+         |  FROM embeddings e CROSS JOIN pl p),
+         |sig AS (SELECT vec_id, tbl,
+         |    CAST(sum(CASE WHEN dp > 0 THEN 1 << plane ELSE 0 END) AS BIGINT)
+         |      AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT s1.vec_id AS ia, s2.vec_id AS ib
+         |  FROM sig s1 JOIN sig s2 ON s1.tbl = s2.tbl
+         |    AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id),
+         |sc AS (SELECT c.ia, c.ib, round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.ia
+         |    JOIN embeddings b ON b.vec_id = c.ib),
+         |neg AS (SELECT ia, ib, cos_r,
+         |    row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS rn
+         |  FROM sc WHERE cos_r < 0.1)
+         |SELECT ia, CAST(rn AS INT) AS rank, ib, cos_r
+         |FROM neg WHERE rn <= 3 ORDER BY ia, rank""".stripMargin,
 
     // Full PQ-ADC mirror against the materialized codebooks: subvector
     // slices, per-(vector, subspace) argmin codes (ties -> lowest code),

@@ -183,9 +183,33 @@ object SimilarityOps {
     out
   }
 
+  /** Hard-negative mining for contrastive training: pairs that COLLIDE in
+    * at least one LSH table (so they look alike to the index — the hard
+    * part) yet score BELOW `tauMax` cosine (so they are true negatives),
+    * optionally reduced to the `perAnchorK` hardest (highest-cosine)
+    * negatives per anchor with the bounded
+    * [[graft.functions.TopKAgg]]. Same bucket-bounded candidate shape as
+    * [[annCosinePairsMulti]] — the easy negatives random sampling would
+    * produce never enter the candidate set at all. Each unordered pair
+    * surfaces once under its min-id anchor.
+    */
+  def hardNegativePairs(df: DataFrame, idCol: String, vecCol: String,
+                        tauMax: Double, perAnchorK: Int = 0,
+                        nTables: Int = 6, planesPerTable: Int = 12,
+                        seed: Long = 42L, dimHint: Int = 0): DataFrame = {
+    val pairs = annMultiInternal(df, idCol, vecCol, tauMax, nTables,
+      planesPerTable, seed, dimHint, below = true)._1
+    if (perAnchorK <= 0) pairs
+    else graft.functions.TopK
+      .topKPerGroup(pairs, "ia", "ib", "cos_r", perAnchorK)
+      .select(col("ia").cast("long").as("ia"), col("rank"), col("ib"),
+        col("cos_r"))
+  }
+
   private def annMultiInternal(df: DataFrame, idCol: String, vecCol: String,
                                tau: Double, nTables: Int, planesPerTable: Int,
-                               seed: Long, dimHint: Int): (DataFrame, Option[DataFrame]) = {
+                               seed: Long, dimHint: Int,
+                               below: Boolean = false): (DataFrame, Option[DataFrame]) = {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     val planesByTable = tablePlanes(dim, nTables, planesPerTable, seed).map(_._2)
@@ -218,7 +242,7 @@ object SimilarityOps {
       .join(base.select(col("id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
       .withColumn("cos_r",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")) + lit(1e-9), 4))
-      .filter(col("cos_r") >= tau)
+      .filter(if (below) col("cos_r") < tau else col("cos_r") >= tau)
       .select("ia", "ib", "cos_r")
     (res, if (persistedHere) Some(base) else None)
   }

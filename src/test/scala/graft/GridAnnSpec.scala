@@ -179,6 +179,38 @@ class GridAnnSpec extends SparkSpec {
     } finally s.listenerManager.unregister(l)
   }
 
+  test("hardNegativePairs: colliding ∩ below-ceiling pairs; per-anchor top-k") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 2.7 + d * 1.3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val tauMax = 0.3
+    // candidate set = every colliding pair (tau = -1 keeps all cosines)
+    val cands = graft.operators.SimilarityOps.annCosinePairsMulti(
+      df, "vec_id", "embedding", tau = -1.0, nTables = 4, planesPerTable = 4,
+      dimHint = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = cands.filter(_._3 < tauMax).toSet
+    val got = graft.operators.SimilarityOps.hardNegativePairs(
+      df, "vec_id", "embedding", tauMax, perAnchorK = 0,
+      nTables = 4, planesPerTable = 4, dimHint = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    assert(got.nonEmpty && got.forall(_._3 < tauMax))
+    // per-anchor cap: top-3 hardest (highest cosine) per ia, ties by ib
+    val capped = graft.operators.SimilarityOps.hardNegativePairs(
+      df, "vec_id", "embedding", tauMax, perAnchorK = 3,
+      nTables = 4, planesPerTable = 4, dimHint = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val wantTop = expected.groupBy(_._1).flatMap { case (ia, ps) =>
+      ps.toSeq.sortBy(p => (-p._3, p._2)).take(3).zipWithIndex
+        .map { case ((_, ib, c), i) => (ia, i + 1, ib, c) }
+    }.toSet
+    assert(capped.toSet == wantTop)
+    spark.catalog.clearCache()
+  }
+
   test("regridBilinear: analytic 2x2 -> 3x3, sparse coverage, group isolation") {
     val s = spark
     import s.implicits._

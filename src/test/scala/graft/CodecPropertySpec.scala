@@ -584,4 +584,59 @@ class CodecPropertySpec extends AnyFunSuite {
         s"nmsph=$nmsph counts=${counts.mkString(",")} states=$nStates"
     }, n = 60)
   }
+
+  // ------------------------------------------- binary-quantization kernels
+
+  private def hamming(a: Array[Byte], b: Array[Byte]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    graft.functions.ByteVecHamming(Literal.create(a, BinaryType),
+      Literal.create(b, BinaryType)).eval(null).asInstanceOf[Long]
+  }
+
+  private def pack(v: Array[Float], thr: Array[Double],
+                   const: Array[Boolean]): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    graft.functions.PackSignBits(Literal.create(v, ArrayType(FloatType)),
+      thr, const).eval(null).asInstanceOf[Array[Byte]]
+  }
+
+  /** ByteVecHamming is a metric on equal-length codes: identity, symmetry,
+    * triangle inequality, and agreement with the per-byte popcount census.
+    */
+  test("ByteVecHamming: metric axioms and popcount identity") {
+    val bytesGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+    check(Prop.forAll(bytesGen, bytesGen, bytesGen) { (a0, b0, c0) =>
+      val n = math.min(a0.length, math.min(b0.length, c0.length))
+      val (a, b, c) = (a0.take(n), b0.take(n), c0.take(n))
+      val census = (0 until n).map(i =>
+        java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xFF)).sum.toLong
+      Prop(hamming(a, a) == 0L) :| "identity" &&
+        Prop(hamming(a, b) == hamming(b, a)) :| "symmetry" &&
+        Prop(hamming(a, c) <= hamming(a, b) + hamming(b, c)) :| "triangle" &&
+        Prop(hamming(a, b) == census) :| "popcount census"
+    })
+  }
+
+  /** PackSignBits ∘ ByteVecHamming equals the per-dimension threshold
+    * mismatch count — the end-to-end contract (pad bits cancel, const
+    * dims contribute nothing) that makes packed Hamming search exact.
+    */
+  test("PackSignBits: packed Hamming == per-dim threshold mismatch count") {
+    val dimGen = Gen.choose(1, 40)
+    check(Prop.forAll(dimGen, Gen.long) { (dim, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val u = Array.fill(dim)(rnd.nextInt(2000) / 1000.0f - 1.0f)
+      val v = Array.fill(dim)(rnd.nextInt(2000) / 1000.0f - 1.0f)
+      val thr = Array.fill(dim)(rnd.nextInt(2000) / 1000.0 - 1.0)
+      val const = Array.fill(dim)(rnd.nextInt(4) == 0)
+      def bit(x: Array[Float], d: Int): Int =
+        if (const(d)) 0 else if (x(d).toDouble > thr(d)) 1 else 0
+      val want = (0 until dim).count(d => bit(u, d) != bit(v, d)).toLong
+      val got = hamming(pack(u, thr, const), pack(v, thr, const))
+      Prop(got == want) :| s"dim=$dim want=$want got=$got"
+    })
+  }
 }

@@ -87,10 +87,16 @@ class PlanSpec extends SparkSpec {
     // q_hamming_topk: the bounded query-bit set broadcasts (the
     // q_topk_cosine pattern). Scans stay cartesian-free everywhere.
     Seq("q_nb_classify", "q_hamming_topk", "q_luhn_cards", "q_blocklist",
-      "q_zipf_slope").foreach { q =>
+      "q_zipf_slope", "q_hard_negatives", "q_classifier_eval",
+      "q_phash_pairs", "q_audio_fp_pairs").foreach { q =>
       val p = formatted(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct")
     }
+    // q_regrid's ONLY non-equi join must be the bounded target-lattice
+    // generator (fields × dst cells) — the corner join itself is equi
+    val rg = formatted("q_regrid")
+    assert(rg.contains("BroadcastHashJoin") || rg.contains("SortMergeJoin"),
+      "regrid corner join must be an equi-join")
     val nb = formatted("q_nb_classify")
     assert(nb.contains("BroadcastHashJoin"),
       "NB model join must broadcast the code table")

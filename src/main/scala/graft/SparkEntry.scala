@@ -252,6 +252,7 @@ object SparkEntry {
     "q_ngram_lang_id" -> (qNgramLangId _),
     "q_phrase_search" -> (qPhraseSearch _),
     "q_assign_splits" -> (qAssignSplits _),
+    "q_leakage_safe_splits" -> (qLeakageSafeSplits _),
     "q_containment" -> (qContainment _),
     "q_keep_best" -> (qKeepBest _),
     "q_readability" -> (qReadability _),
@@ -4340,6 +4341,26 @@ object SparkEntry {
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
+
+  /** Leakage-safe splits over the REAL near-dup structure: LSH→Jaccard
+    * pairs (the q_lsh_jaccard gate at τ=0.5) resolve to components, and
+    * the split hashes the component — cluster members land in one split
+    * by construction. The oracle replays pairs, the recursive-CTE
+    * component walk, and the md5 component split.
+    */
+  private def qLeakageSafeSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shingles = DedupOps.shingleSet(docs, "doc_id", "text", ShingleK)
+    val pairs = DedupOps.jaccardPairs(shingles, "doc_id", tau = 0.5,
+      candidates = Some(DedupOps.bandPairs(
+        DedupOps.minhashSignatures(shingles, "doc_id"), "doc_id")),
+      maxDocFreq = Some(MaxShingleDf))
+      .select(col("da"), col("db"))
+    CurationOps.leakageSafeSplits(docs, "doc_id", pairs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+  }
 
   /** Asymmetric containment (|A∩B|/|A| ≥ 0.8, directed): the subsumption
     * pairs Jaccard misses; same stop-shingle cut as the Jaccard gate.
@@ -9090,6 +9111,40 @@ object SparkEntry {
 
     // Same 60-bit md5 bucket as the samplers; cumulative boundaries
     // 9000/9500/10000.
+    // Leakage-guard mirror: the q_lsh_jaccard candidate+verify chain at
+    // τ=0.5, min-label components via the recursive walk, then the
+    // q_assign_splits md5 bucket convention applied to the COMPONENT.
+    "q_leakage_safe_splits" ->
+      s"""WITH RECURSIVE $SigCte,
+         |band AS ($BandUnion),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |         FROM band a JOIN band b USING (band, bk) WHERE a.doc_id < b.doc_id),
+         |sh2 AS (SELECT s.doc_id, s.sh FROM sh s
+         |        JOIN (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= $MaxShingleDf) f
+         |        USING (sh)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+         |      FROM sh2 a JOIN sh2 b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pc AS (SELECT p.* FROM p JOIN cand USING (da, db)),
+         |ed AS (SELECT da, db FROM pc
+         |  JOIN sz x ON x.doc_id = pc.da JOIN sz y ON y.doc_id = pc.db
+         |  WHERE CAST(c AS DOUBLE) / (x.sz + y.sz - c) >= 0.5),
+         |sym(a, b) AS (SELECT da, db FROM ed UNION SELECT db, da FROM ed),
+         |walk(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, w.label FROM walk w JOIN sym s ON s.a = w.node),
+         |comp AS (SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component
+         |  FROM walk GROUP BY 1)
+         |SELECT doc_id, component,
+         |  CASE WHEN b < 9000 THEN 'train'
+         |       WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, component,
+         |    CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 15) AS BIGINT)
+         |      % 10000 AS b
+         |  FROM comp)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_assign_splits" ->
       """SELECT doc_id,
         |  CASE WHEN b < 9000 THEN 'train'

@@ -36,6 +36,23 @@ object CurationOps {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split assignment — the guard published dedup work
+    * exists for (near-duplicates of training text leaking into the test
+    * split inflate eval): near-dup PAIRS resolve to connected components
+    * first, and the split hashes the COMPONENT id, so every member of a
+    * duplicate cluster lands in the same split BY CONSTRUCTION — no
+    * post-hoc violation scan needed. Composes the public pieces: any
+    * pair source (LSH→Jaccard, simhash, embedding ANN) →
+    * [[graft.operators.DedupOps.connectedComponents]] → [[assignSplits]]
+    * on the component key.
+    */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+                        splits: Seq[(String, Double)]): DataFrame =
+    assignSplits(
+      graft.operators.DedupOps.connectedComponents(
+        df.select(col(idCol)), idCol, pairs),
+      "component", splits)
+
   /** Morton/Z-order interleave of two bounded-int columns — the
     * multi-column data-clustering key lakehouse layouts sort by (Delta's
     * OPTIMIZE ZORDER, Hudi clustering — public techniques): sorting by

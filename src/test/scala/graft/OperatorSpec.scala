@@ -866,6 +866,23 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(t.getDouble(1) - (-1.0)) < 1e-9)
   }
 
+  test("leakageSafeSplits: cluster members share a split by construction") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3 is one cluster; 4 and 5 pair; 6 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("da", "db")
+    val got = graft.operators.CurationOps.leakageSafeSplits(docs, "doc_id",
+      pairs, Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(Set(1L, 2L, 3L).map(got(_)._1) == Set(1L), "min-label component")
+    assert(Set(1L, 2L, 3L).map(got(_)._2).size == 1, "cluster shares one split")
+    assert(got(4L) == got(5L))
+    assert(got(6L)._1 == 6L)
+    // split depends only on the component: docs 2,3 inherit doc 1's hash
+    assert(got(2L)._2 == got(1L)._2 && got(3L)._2 == got(1L)._2)
+  }
+
   test("classifierReport: analytic confusion metrics, absent-class conventions") {
     val s = spark
     import s.implicits._

@@ -2554,15 +2554,26 @@ object SparkEntry {
     * so the sign tests and scores are bit-identical. `SimilaritySpec` still
     * pins recall ≥ 0.9 vs brute force.
     */
-  private def qAnnPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Materialize the hyperplanes shared by q_ann_pairs and
+    * q_hard_negatives (one definition — the "identical planes" invariant
+    * their oracles rely on; content is a pure function of
+    * (dim, nTables, k, seed), so a concurrent overwrite rewrites the
+    * same values) and return the planes-per-table k. Bounded
+    * driver-side dump: L·k plane rows, 64 doubles each.
+    */
+  private def writeAnnPlanes(s: SparkSession): Int = {
     import s.implicits._
     val k = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L)
-    // bounded driver-side dump: L·k plane rows, 64 doubles each
     SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
       .flatMap { case (t, pls) =>
         pls.zipWithIndex.map { case (pl, p) => (t, p, pl.map(_.toDouble).toSeq) }
       }.toDF("tbl", "plane", "w").coalesce(1)
       .write.mode("overwrite").parquet(AnnPlanesDir)
+    k
+  }
+
+  private def qAnnPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = writeAnnPlanes(s)
     val emb = Tables.embeddings(s, dir)
     SimilarityOps.annCosinePairsMulti(emb, "vec_id", "embedding",
       tau = 0.25, nTables = 12, planesPerTable = k, dimHint = 64)
@@ -2576,13 +2587,7 @@ object SparkEntry {
     * gate, and the (cos desc, ib) ranking.
     */
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val k = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L)
-    SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
-      .flatMap { case (t, pls) =>
-        pls.zipWithIndex.map { case (pl, p) => (t, p, pl.map(_.toDouble).toSeq) }
-      }.toDF("tbl", "plane", "w").coalesce(1)
-      .write.mode("overwrite").parquet(AnnPlanesDir)
+    val k = writeAnnPlanes(s)
     SimilarityOps.hardNegativePairs(Tables.embeddings(s, dir),
       "vec_id", "embedding", tauMax = 0.1, perAnchorK = 3,
       nTables = 12, planesPerTable = k, dimHint = 64)
@@ -4350,7 +4355,9 @@ object SparkEntry {
     */
   private def qLeakageSafeSplits(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // one shared, persisted shingle set feeds both the LSH and verify tiers
     val shingles = DedupOps.shingleSet(docs, "doc_id", "text", ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupOps.jaccardPairs(shingles, "doc_id", tau = 0.5,
       candidates = Some(DedupOps.bandPairs(
         DedupOps.minhashSignatures(shingles, "doc_id"), "doc_id")),
@@ -4379,7 +4386,9 @@ object SparkEntry {
     */
   private def qKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // one shared, persisted shingle set feeds both the LSH and verify tiers
     val shingles = DedupOps.shingleSet(docs, "doc_id", "text", ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = DedupOps.jaccardPairs(shingles, "doc_id", tau = 0.5,
       candidates = Some(DedupOps.bandPairs(
         DedupOps.minhashSignatures(shingles, "doc_id"), "doc_id")),
@@ -9109,8 +9118,6 @@ object SparkEntry {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) + 1e-9, 4) AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // Same 60-bit md5 bucket as the samplers; cumulative boundaries
-    // 9000/9500/10000.
     // Leakage-guard mirror: the q_lsh_jaccard candidate+verify chain at
     // τ=0.5, min-label components via the recursive walk, then the
     // q_assign_splits md5 bucket convention applied to the COMPONENT.
@@ -9145,6 +9152,8 @@ object SparkEntry {
          |  FROM comp)
          |ORDER BY doc_id""".stripMargin,
 
+    // Same 60-bit md5 bucket as the samplers; cumulative boundaries
+    // 9000/9500/10000.
     "q_assign_splits" ->
       """SELECT doc_id,
         |  CASE WHEN b < 9000 THEN 'train'

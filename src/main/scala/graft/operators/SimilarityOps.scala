@@ -687,8 +687,16 @@ object SimilarityOps {
       thr(p) = (mn + mx) / 2.0
       const(p) = mn == mx
     }
+    // Uniform-dimension guard: a ragged corpus would pack rows to
+    // different byte counts, and the prefix-folding Hamming kernel would
+    // then count structural pad bits as real mismatches — fail fast
+    // per row instead of ranking silently wrong.
     df.select(col(idCol).cast("long").as(idCol),
-      graft.functions.VectorExpressions.packBits(col(vecCol), thr, const)
+      when(size(col(vecCol)) === dim,
+        graft.functions.VectorExpressions.packBits(col(vecCol), thr, const))
+        .otherwise(raise_error(concat(
+          lit(s"binaryCodes: expected uniform dim $dim, got "),
+          size(col(vecCol)).cast("string"))))
         .as("bits"))
   }
 

@@ -359,6 +359,23 @@ object StatsOps {
     * the heaviest keys without a global sort. Long-typed keys (hash
     * non-long keys first).
     */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"), max(col("n")).as("max_count"),
+      (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("avg_count"))
+      .withColumn("skew", col("max_count").cast("double") / col("avg_count"))
+    val top = graft.functions.TopK.topKPerGroup(
+      counts.withColumn("_g", lit("all")), "_g", "key", "n", topK)
+    top.crossJoin(broadcast(summary))
+      .select(col("rank"), col("key"), col("n").cast("long").as("n"),
+        col("n_keys"), col("n_rows"), col("max_count"),
+        col("avg_count"), col("skew"))
+  }
+
   /** Per-class classifier evaluation — the metric gate any supervised
     * curation filter (lang-ID, NB quality/domain classifiers) reports
     * before its predictions gate a corpus: confusion counts and
@@ -386,23 +403,6 @@ object StatsOps {
         when(col("precision") + col("recall") > 0,
           lit(2.0) * col("precision") * col("recall")
             / (col("precision") + col("recall"))).otherwise(0.0))
-  }
-
-  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
-    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
-      .agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val summary = counts.agg(count(lit(1)).as("n_keys"),
-      sum(col("n")).as("n_rows"), max(col("n")).as("max_count"),
-      (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
-        .as("avg_count"))
-      .withColumn("skew", col("max_count").cast("double") / col("avg_count"))
-    val top = graft.functions.TopK.topKPerGroup(
-      counts.withColumn("_g", lit("all")), "_g", "key", "n", topK)
-    top.crossJoin(broadcast(summary))
-      .select(col("rank"), col("key"), col("n").cast("long").as("n"),
-        col("n_keys"), col("n_rows"), col("max_count"),
-        col("avg_count"), col("skew"))
   }
 
   /** The bounded-memory face of [[madOutliers]] — the 100 TB switch it

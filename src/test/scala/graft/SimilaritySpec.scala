@@ -372,6 +372,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L).toSeq == Seq(0x00.toByte, 0x00.toByte))
     // row1: bits at pos 1..9 → 01111111 11000000
     assert(got(1L).toSeq == Seq(0x7F.toByte, 0xC0.toByte))
+    // ragged corpus fails fast instead of mispacking against pad bits
+    val ragged = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.SimilarityOps
+        .binaryCodes(ragged, "vec_id", "embedding").collect()
+    }
+    assert(e.getMessage.contains("uniform dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("uniform dim")), e.getMessage)
   }
 
   test("hammingTopK: rank 1 is the query itself; ranking matches exact recompute") {

@@ -165,6 +165,7 @@ object SparkEntry {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_mad_approx" -> (qMadApprox _),
     "q_privacy_report" -> (qPrivacyReport _),
+    "q_dp_counts" -> (qDpCounts _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_redact" -> (qRedact _),
     "q_secret_scan" -> (qSecretScan _),
@@ -2241,6 +2242,15 @@ object SparkEntry {
       Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).as("bal_bucket")),
       Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 5L, l = 3L)
+
+  /** ε-DP Laplace-noised per-language counts (ε=0.5, seed 42): the
+    * oracle replays the seeded hash→uniform→inverse-CDF noise exactly.
+    */
+  private def qDpCounts(s: SparkSession, dir: String): DataFrame =
+    CurationOps.dpNoisyCounts(Tables.documents(s, dir), "lang",
+      epsilon = 0.5, seed = 42L)
+      .select(col("lang"), col("n"), rnd("noisy", 4).as("noisy_r"))
+      .orderBy("lang")
 
   /** Weighted sample without replacement (A-ES keys from the 60-bit md5
     * draw): top-50 documents by ln(u)/n_chars — reproducible
@@ -6802,6 +6812,21 @@ object SparkEntry {
         |    3.0 * round(mad.md + 1e-9, 6) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DP mirror: the seeded md5→uniform→inverse-CDF Laplace draw
+    // replayed term for term (b = 1/ε = 2, u = hash60/2^60, the same
+    // 1e-12 log floor).
+    "q_dp_counts" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |h AS (SELECT lang, n,
+        |    CAST(CAST('0x' || substr(md5(lang || '#' || '42'), 1, 15)
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 - 0.5 AS c
+        |  FROM g)
+        |SELECT lang, n,
+        |  round(n + -2.0 * sign(c) * ln(greatest(1e-12, 1.0 - 2.0 * abs(c)))
+        |    + 1e-9, 4) AS noisy_r
+        |FROM h ORDER BY lang""".stripMargin,
 
     // Privacy mirror: the same two-level aggregation.
     "q_privacy_report" ->

@@ -36,6 +36,35 @@ object CurationOps {
     df.withColumn("split", expr)
   }
 
+  /** Differentially-private noisy counts (the Laplace mechanism for
+    * count queries, sensitivity 1, ε-DP: Dwork et al. 2006) — the
+    * publishable tier above [[privacyReport]]'s k-anonymity censuses.
+    * The Laplace draw inverts a uniform derived from a seeded md5 hash
+    * of the GROUP KEY (u = hash60/2⁶⁰, noise = −(1/ε)·sign(u−½)·
+    * ln(1−2|u−½|)), so the mechanism is deterministic per (key, seed) —
+    * reproducible releases, engine-replayable tests — while behaving
+    * distributionally like Laplace across keys. NOTE: determinism per
+    * key is a release-reproducibility choice; rotating `seed` per
+    * release restores the fresh-draw privacy accounting. One grouped
+    * count, noise as pure column arithmetic — no second pass. The true
+    * `n` stays in the output for the oracle gate; a real release drops
+    * it.
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+                    seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive: $epsilon")
+    val b = 1.0 / epsilon
+    val u = graft.functions.Text.hash64(
+      concat(col(groupCol).cast("string"), lit("#"), lit(seed.toString)))
+      .cast("double") / lit(1152921504606846976.0) // 2^60: u ∈ [0, 1)
+    val c = u - 0.5
+    val noise = -lit(b) * signum(c) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(c)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy", col("n") + noise)
+  }
+
   /** Leakage-safe split assignment — the guard published dedup work
     * exists for (near-duplicates of training text leaking into the test
     * split inflate eval): near-dup PAIRS resolve to connected components

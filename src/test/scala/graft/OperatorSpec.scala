@@ -866,6 +866,31 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(t.getDouble(1) - (-1.0)) < 1e-9)
   }
 
+  test("dpNoisyCounts: seeded Laplace noise replayed analytically; ε guard") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b")).toDF("g")
+    val got = graft.operators.CurationOps.dpNoisyCounts(df, "g",
+      epsilon = 0.5, seed = 42L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def noise(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key#42".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 60)
+      val c = u - 0.5
+      -2.0 * math.signum(c) * math.log(math.max(1e-12, 1.0 - 2.0 * math.abs(c)))
+    }
+    assert(got("a")._1 == 7L && got("b")._1 == 3L)
+    assert(math.abs(got("a")._2 - (7.0 + noise("a"))) < 1e-9)
+    assert(math.abs(got("b")._2 - (3.0 + noise("b"))) < 1e-9)
+    // noise is key-deterministic but differs across keys (w.h.p. fixture)
+    assert(got("a")._2 - 7.0 != got("b")._2 - 3.0)
+    intercept[IllegalArgumentException] {
+      graft.operators.CurationOps.dpNoisyCounts(df, "g", epsilon = 0.0, seed = 1L)
+    }
+  }
+
   test("leakageSafeSplits: cluster members share a split by construction") {
     val s = spark
     import s.implicits._

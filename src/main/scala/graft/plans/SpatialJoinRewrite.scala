@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *  3. Chebyshev:   `greatest(|ax−bx|, |ay−by|) <= r` → cells of r
   *  4. bbox:        `xmin <= px AND px <= xmax AND
   *                   ymin <= py AND py <= ymax`       → box fan-out
+  *  5. 1-D band:    `|a−b| <= r` (the whole condition) → width-r cells,
+  *                   3-offset fan-out (the value-tolerance join)
   *
   * For 1–3 the left side fans out to its 3×3 cell neighborhood with a
   * `Generate` (an Lp ball of radius r is inside the L∞ ball of radius
@@ -137,6 +139,27 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val joined = Join(leftProj, rightProj, Inner, Some(cellCond), j.hint)
     val filtered = Filter(j.condition.get, joined)
     Project(j.output, filtered)
+  }
+
+  /** 1-D band join — `abs(a − b) <= r` alone (the tolerance/band theta
+    * join behind value-proximity matching): the 1-D specialization of
+    * [[cellJoin]] with a 3-offset fan-out on width-r cells. Any
+    * qualifying pair's cells differ by at most 1, so −1/0/+1 covers.
+    */
+  private def bandJoin(j: Join, lx: Attribute, rx: Attribute,
+                       width: Long): LogicalPlan = {
+    val dxAttr = AttributeReference("_g_dx", IntegerType, nullable = false)()
+    val gen = Generate(
+      Explode(CreateArray(Seq(Literal(-1), Literal(0), Literal(1)))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(dxAttr), child = j.left)
+    val lcx = Alias(Add(cellOf(lx, width), Cast(dxAttr, LongType)), "_g_cx")()
+    val leftProj = Project(j.left.output :+ lcx, gen)
+    val rcx = Alias(cellOf(rx, width), "_g_rcx")()
+    val rightProj = Project(j.right.output :+ rcx, j.right)
+    val joined = Join(leftProj, rightProj, Inner,
+      Some(EqualTo(lcx.toAttribute, rcx.toAttribute)), j.hint)
+    Project(j.output, Filter(j.condition.get, joined))
   }
 
   /** One conjunct of a bbox predicate, normalized to lo <= hi. */
@@ -289,6 +312,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       case LessThanOrEqual(Greatest(Seq(AbsDiff(ax, bx), AbsDiff(ay, by))),
           IntegralLit(rv)) if rv >= 0 =>
         tryCells(ax, bx, ay, by, rv.max(1L))
+      // 1-D band: abs(a − b) <= r as the WHOLE condition (the value-
+      // tolerance join); Long attributes only, same reasoning as 2-D
+      case LessThanOrEqual(AbsDiff(ax, bx), IntegralLit(rv))
+        if rv >= 0 && isLong(ax) && isLong(bx) =>
+        val lo = left.outputSet
+        val ro = right.outputSet
+        val or2 =
+          if (lo.contains(ax) && ro.contains(bx)) Some((ax, bx))
+          else if (ro.contains(ax) && lo.contains(bx)) Some((bx, ax))
+          else None
+        or2.map { case (lx, rx) => bandJoin(j, lx, rx, rv.max(1L)) }
       case _ => None
     }
   }

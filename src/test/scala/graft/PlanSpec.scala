@@ -188,6 +188,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("SpatialJoinRewrite: 1-D band theta join becomes a cell equi-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    withSpatialRule {
+      val a = Seq((1L, 0L), (2L, 7L), (3L, 100L), (4L, -9L)).toDF("ida", "va")
+      val b = Seq((10L, 5L), (11L, 8L), (12L, 104L), (13L, -14L)).toDF("idb", "vb")
+      val j = a.join(b, abs(col("va") - col("vb")) <= lit(5L))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"band join not rewritten to the cell equi-join:\n$p")
+      assert(p.contains("Generate"), "expected the 3-offset fan-out")
+      val got = j.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for ((ia, va) <- Seq((1L, 0L), (2L, 7L), (3L, 100L), (4L, -9L));
+                       (ib, vb) <- Seq((10L, 5L), (11L, 8L), (12L, 104L), (13L, -14L))
+                       if math.abs(va - vb) <= 5L) yield (ia, ib)).toSet
+      assert(got == want, s"got $got want $want")
+      // r = 0 degenerates to equality and must stay correct
+      val j0 = a.join(b, abs(col("va") - col("vb")) <= lit(0L))
+      assert(j0.count() == 0)
+      // IntegerType attributes must NOT fire (the int-wrap guard)
+      val ai = Seq((1L, 0)).toDF("ida", "va")
+      val bi = Seq((10L, 5)).toDF("idb", "vb")
+      val pi = ai.join(bi, abs(col("va") - col("vb")) <= lit(5))
+        .queryExecution.executedPlan.toString
+      assert(pi.contains("BroadcastNestedLoopJoin") ||
+        pi.contains("CartesianProduct"),
+        s"int-typed band join should stay a theta join:\n$pi")
+    }
+  }
+
   private def withSpatialRule[T](body: => T): T = {
     val s = spark
     s.experimental.extraOptimizations =

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   *  3. Chebyshev:   `greatest(|ax−bx|, |ay−by|) <= r` → cells of r
   *  4. bbox:        `xmin <= px AND px <= xmax AND
   *                   ymin <= py AND py <= ymax`       → box fan-out
-  *  5. 1-D band:    `|a−b| <= r` (the whole condition) → width-r cells,
-  *                   3-offset fan-out (the value-tolerance join)
+  *  5. 1-D band:    `|a−b| <= r` or `a >= b−r AND a <= b+r` (the whole
+  *                   condition) → width-r cells, 3-offset fan-out (the
+  *                   value-tolerance join, in both spellings)
   *
   * For 1–3 the left side fans out to its 3×3 cell neighborhood with a
   * `Generate` (an Lp ball of radius r is inside the L∞ ball of radius
@@ -160,6 +161,48 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val joined = Join(leftProj, rightProj, Inner,
       Some(EqualTo(lcx.toAttribute, rcx.toAttribute)), j.hint)
     Project(j.output, Filter(j.condition.get, joined))
+  }
+
+  /** Any `e1 <= e2`, normalized from either comparison direction. */
+  private object BoundLeq {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThanOrEqual(a, b) => Some((a, b))
+      case GreaterThanOrEqual(a, b) => Some((b, a))
+      case _ => None
+    }
+  }
+
+  /** The BETWEEN formulation of the 1-D band — `a >= b − r AND
+    * a <= b + r` with the SAME attributes and the SAME literal r on
+    * both bounds (what tolerance joins are actually written as). Long
+    * attributes only, one per join side; equivalent to `|a−b| <= r`.
+    */
+  private def matchBetweenBand(left: LogicalPlan, right: LogicalPlan,
+                               cond: Expression)
+  : Option[(Attribute, Attribute, Long)] = cond match {
+    case And(BoundLeq(l1, h1), BoundLeq(l2, h2)) =>
+      def lowerB(lo: Expression, hi: Expression) = (lo, hi) match {
+        case (Subtract(b: Attribute, IntegralLit(r), _), a: Attribute) =>
+          Some((a, b, r))
+        case _ => None
+      }
+      def upperB(lo: Expression, hi: Expression) = (lo, hi) match {
+        case (a: Attribute, Add(b: Attribute, IntegralLit(r), _)) =>
+          Some((a, b, r))
+        case _ => None
+      }
+      Seq((l1, h1, l2, h2), (l2, h2, l1, h1)).flatMap {
+        case (la, ha, lb, hb) =>
+          for {
+            (a1, b1, r1) <- lowerB(la, ha)
+            (a2, b2, r2) <- upperB(lb, hb)
+            if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
+              r1 == r2 && r1 >= 0 && isLong(a1) && isLong(b1) &&
+              ((left.outputSet.contains(a1) && right.outputSet.contains(b1)) ||
+                (right.outputSet.contains(a1) && left.outputSet.contains(b1)))
+          } yield (a1, b1, r1)
+      }.headOption
+    case _ => None
   }
 
   /** One conjunct of a bbox predicate, normalized to lo <= hi. */
@@ -330,6 +373,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _) =>
       rewriteDistance(j, left, right, cond)
+        .orElse(matchBetweenBand(left, right, cond).map { case (a, b, r) =>
+          val (lx, rx) = if (left.outputSet.contains(a)) (a, b) else (b, a)
+          bandJoin(j, lx, rx, r.max(1L))
+        })
         .orElse(matchBbox(left, right, cond).map {
           case (pIsL, px, py, xmin, xmax, ymin, ymax) =>
             bboxJoin(j, pIsL, px, py, xmin, xmax, ymin, ymax)

@@ -218,6 +218,23 @@ class PlanSpec extends SparkSpec {
       assert(pi.contains("BroadcastNestedLoopJoin") ||
         pi.contains("CartesianProduct"),
         s"int-typed band join should stay a theta join:\n$pi")
+      // the BETWEEN spelling fires too and returns the same pairs
+      val jb = a.join(b,
+        col("va") >= col("vb") - lit(5L) && col("va") <= col("vb") + lit(5L))
+      val pb = jb.queryExecution.executedPlan.toString
+      assert(!pb.contains("BroadcastNestedLoopJoin") &&
+        !pb.contains("CartesianProduct"),
+        s"BETWEEN band join not rewritten:\n$pb")
+      val gotB = jb.select("ida", "idb").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotB == got, s"BETWEEN pairs $gotB != abs pairs $got")
+      // mismatched radii must NOT fire (strict same-r match)
+      val pm = a.join(b,
+        col("va") >= col("vb") - lit(5L) && col("va") <= col("vb") + lit(6L))
+        .queryExecution.executedPlan.toString
+      assert(pm.contains("BroadcastNestedLoopJoin") ||
+        pm.contains("CartesianProduct"),
+        s"asymmetric bounds should stay a theta join:\n$pm")
     }
   }
 

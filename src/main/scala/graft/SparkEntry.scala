@@ -8423,7 +8423,8 @@ object SparkEntry {
         |  UNION ALL SELECT field, ti, tj, i0 + 1, j0 + 1,
         |    (x - i0) * (y - j0) FROM c),
         |jv AS (SELECT k.field, k.ti, k.tj, k.w * s.v AS wv, k.w AS w
-        |  FROM k JOIN src s ON k.field = s.field AND k.i = s.i AND k.j = s.j)
+        |  FROM k JOIN src s ON k.field = s.field AND k.i = s.i AND k.j = s.j
+        |  WHERE s.v IS NOT NULL)
         |SELECT field, CAST(ti AS BIGINT) AS i, CAST(tj AS BIGINT) AS j,
         |  round(sum(wv) + 1e-9, 4) AS value_r,
         |  round(sum(w) + 1e-9, 4) AS w_cover_r

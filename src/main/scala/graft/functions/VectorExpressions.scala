@@ -157,19 +157,27 @@ case class ByteVecHamming(left: Expression, right: Expression)
   * formulation this replaces shuffled dim× the corpus row count just to
   * regroup what was already row-local.
   */
-case class PackSignBits(child: Expression, thresholds: Array[Double],
-                        constDims: Array[Boolean]) extends UnaryExpression {
+case class PackSignBits(child: Expression, thresholds: IndexedSeq[Double],
+                        constDims: IndexedSeq[Boolean]) extends UnaryExpression {
+
+  // Params are IndexedSeq (element-wise case-class equality), not Array
+  // (reference equality), so semanticEquals/canonicalization recognizes two
+  // identical quantization expressions — subexpression and exchange reuse
+  // would silently never fire otherwise. Codegen still wants primitive
+  // arrays; these are derived once per (de)serialized instance.
+  @transient private lazy val thrArr: Array[Double] = thresholds.toArray
+  @transient private lazy val cstArr: Array[Boolean] = constDims.toArray
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "pack_sign_bits"
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), thresholds.length)
+    val n = math.min(a.numElements(), thrArr.length)
     val out = new Array[Byte]((n + 7) / 8)
     var i = 0
     while (i < n) {
-      if (!constDims(i) && a.getFloat(i).toDouble > thresholds(i))
+      if (!cstArr(i) && a.getFloat(i).toDouble > thrArr(i))
         out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
       i += 1
     }
@@ -177,8 +185,8 @@ case class PackSignBits(child: Expression, thresholds: Array[Double],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val thr = ctx.addReferenceObj("thr", thresholds, "double[]")
-    val cst = ctx.addReferenceObj("cst", constDims, "boolean[]")
+    val thr = ctx.addReferenceObj("thr", thrArr, "double[]")
+    val cst = ctx.addReferenceObj("cst", cstArr, "boolean[]")
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -216,5 +224,6 @@ object VectorExpressions {
   /** Codegen'd one-pass sign-bit packing against literal thresholds. */
   def packBits(v: Column, thresholds: Array[Double],
                constDims: Array[Boolean]): Column =
-    Bridge.column(PackSignBits(Bridge.expression(v), thresholds, constDims))
+    Bridge.column(PackSignBits(Bridge.expression(v),
+      thresholds.toIndexedSeq, constDims.toIndexedSeq))
 }

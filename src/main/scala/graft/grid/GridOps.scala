@@ -71,7 +71,13 @@ object GridOps {
       .select(others.map(col) ++ Seq(col("_ti"), col("_tj"),
         col("_c._ci").as(iCol), col("_c._cj").as(jCol), col("_c._w")): _*)
     corners
+      // A NULL-valued source cell is an ABSENT cell for coverage purposes:
+      // without this filter `sum(_w * _v)` would skip the null but
+      // `sum(_w)` would still count its weight, so a null lattice cell
+      // silently read as covered. Filtering before the join keeps the two
+      // sums over the same row set (and prunes the join input).
       .join(df.withColumnRenamed(valueCol, "_v")
+        .filter(col("_v").isNotNull)
         .withColumn(iCol, col(iCol).cast("long"))
         .withColumn(jCol, col(jCol).cast("long")),
         others :+ iCol :+ jCol)

@@ -721,9 +721,15 @@ object SimilarityOps {
       .select(col("qid"), col(idCol),
         (-graft.functions.VectorExpressions.hammingB(col("_qb"), col("bits")))
           .as("_neg"))
-    graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_neg", k)
+    val top = graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_neg", k)
       .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
         (-col("_neg")).cast("long").as("hd"))
+      // Eagerly materialize the bounded result (≤ |queryIds|·k rows) so the
+      // codes cache — unreachable to callers — can be released here instead
+      // of leaking one MEMORY_AND_DISK entry per call in a long session.
+      .localCheckpoint(true)
+    codes.unpersist(false)
+    top
   }
 
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

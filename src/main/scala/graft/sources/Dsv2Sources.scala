@@ -140,15 +140,25 @@ object Dsv2 {
     if (items.length <= 1) return items.map(f)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, items.length))
+    var failed = false
     try {
       val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
         override def call(): B = f(a)
       }))
       futures.map { fut =>
         try fut.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failed = true; throw e.getCause
+          case e: Throwable => failed = true; throw e
+        }
       }
-    } finally pool.shutdown()
+    } finally {
+      // On failure, cancel the queued header reads instead of letting them
+      // run to completion behind the already-propagated error — at 10⁵-file
+      // scale that is real wasted I/O plus lingering non-daemon threads.
+      if (failed) pool.shutdownNow() else pool.shutdown()
+    }
   }
 
   /** Ranged random-access over a Hadoop path: each `slice` is one

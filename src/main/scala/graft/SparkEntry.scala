@@ -207,6 +207,7 @@ object SparkEntry {
     "q_kfile_thickness" -> (qKfileThickness _),
     "q_stl_roundtrip" -> (qStlRoundtrip _),
     "q_zarr_roundtrip" -> (qZarrRoundtrip _),
+    "q_zarr_f16_roundtrip" -> (qZarrF16Roundtrip _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_netcdf_roundtrip" -> (qNetcdfRoundtrip _),
@@ -773,6 +774,34 @@ object SparkEntry {
         rnd(sum("value"), 2).as("sum_value"),
         rnd(min("value"), 2).as("min_value"),
         rnd(max("value"), 2).as("max_value"))
+  }
+
+  /** float16-tagged Zarr cycle (reference `precision.py:40-45` requests a
+    * half-width artifact; Spark has no half type, so the request rides
+    * column METADATA): integer cell counts (mod 1024 — exactly
+    * representable in binary16) are tagged `float16` by
+    * [[graft.operators.FieldOps.precisionCast]], the writer narrows the
+    * on-disk dtype to `<f2` via [[graft.sinks.ZarrStore.dtypeFor]], and
+    * the read-back decodes real half bytes. The emitted `dtype` column
+    * asserts the artifact width inside the oracle gate itself.
+    */
+  private def qZarrF16Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select((col("user_id") % 16).as("i"), (col("event_id") % 32).as("j"))
+      .groupBy("i", "j")
+      .agg((count(lit(1)) % 1024).cast("double").as("value"))
+    val tagged = graft.operators.FieldOps.precisionCast(g, "float16")
+    val out = freshTmpDir("graft_zarr_f16", dir)
+    graft.sinks.ZarrStore.writeArray2D(tagged, out, shape = (16L, 32L),
+      chunks = (8, 8), dtype = graft.sinks.ZarrStore.dtypeFor(tagged))
+    val dtype = graft.sinks.ZarrStore.arrayDtype(s, out)
+    graft.sinks.ZarrStore.readArray2D(s, out)
+      .agg(count(lit(1)).as("n_cells"),
+        sum("value").cast("long").as("sum_value"),
+        min("value").cast("long").as("min_value"),
+        max("value").cast("long").as("max_value"))
+      .select(lit(dtype).as("dtype"), col("n_cells"), col("sum_value"),
+        col("min_value"), col("max_value"))
   }
 
   /** Full d3plot sink→source cycle: embeddings-derived shell meshes (quads
@@ -8300,6 +8329,23 @@ object SparkEntry {
         |  round(sum(v) + 1e-6, 2) AS sum_value,
         |  round(min(v) + 1e-6, 2) AS min_value,
         |  round(max(v) + 1e-6, 2) AS max_value
+        |FROM f""".stripMargin,
+
+    // float16 Zarr cycle mirror: cell values are integers mod 1024 —
+    // exactly representable in binary16 — so the half round-trip is
+    // lossless and the oracle rebuilds the fill-padded lattice from
+    // events; the dtype literal pins the on-disk artifact width.
+    "q_zarr_f16_roundtrip" ->
+      """WITH g AS (SELECT user_id % 16 AS i, event_id % 32 AS j,
+        |    CAST(count(*) % 1024 AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT a.range AS i, b.range AS j FROM range(16) a, range(32) b),
+        |f AS (SELECT l.i, l.j, coalesce(g.v, 0.0) AS v
+        |  FROM l LEFT JOIN g ON l.i = g.i AND l.j = g.j)
+        |SELECT '<f2' AS dtype, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(v) AS BIGINT) AS sum_value,
+        |  CAST(min(v) AS BIGINT) AS min_value,
+        |  CAST(max(v) AS BIGINT) AS max_value
         |FROM f""".stripMargin,
 
     // STL cycle mirror: each kept point (first 3·⌊n/3⌋ per mesh in id

@@ -31,7 +31,17 @@ final class Ledger(dir: String) {
 
   def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
                       wallNs: Long, nRows: Long,
-                      peakMemoryBytes: Long): Unit = {
+                      peakMemoryBytes: Long): Unit =
+    recordCompleted(spark, runId, indices, wallNs, nRows, peakMemoryBytes, None)
+
+  /** `gpuMemoryBytes` mirrors the reference's nullable `gpu_memory_bytes`
+    * (`core/pipeline_store.py:550-563`): always None on CPU runs — Spark
+    * here schedules no GPUs — but the column exists so schema-compatible
+    * artifact readers see the reference's full index_results shape.
+    */
+  def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
+                      wallNs: Long, nRows: Long, peakMemoryBytes: Long,
+                      gpuMemoryBytes: Option[Long]): Unit = {
     if (indices.isEmpty) return
     import spark.implicits._
     indices.toDF("idx")
@@ -40,6 +50,8 @@ final class Ledger(dir: String) {
       .withColumn("wall_ns", lit(wallNs))
       .withColumn("n_rows", lit(nRows))
       .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
+      .withColumn("gpu_memory_bytes",
+        gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
   }
@@ -51,7 +63,8 @@ final class Ledger(dir: String) {
     */
   def recordCompleted(spark: SparkSession, runId: String, indices: DataFrame,
                       wallNs: Long, nRows: Long,
-                      peakMemoryBytes: Long = 0L): Long = {
+                      peakMemoryBytes: Long = 0L,
+                      gpuMemoryBytes: Option[Long] = None): Long = {
     val obs = org.apache.spark.sql.Observation()
     indices.select(col("idx").cast("long"))
       .withColumn("run_id", lit(runId))
@@ -59,6 +72,8 @@ final class Ledger(dir: String) {
       .withColumn("wall_ns", lit(wallNs))
       .withColumn("n_rows", lit(nRows))
       .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
+      .withColumn("gpu_memory_bytes",
+        gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(idxPath)

@@ -47,6 +47,59 @@ object FieldOps {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Column-metadata key carrying a REQUESTED storage precision that Spark
+    * itself cannot represent (it has no half types). Format-owning writers
+    * (Zarr, NetCDF, HDF5) read the tag and narrow the on-disk dtype.
+    */
+  val PrecisionKey = "graft.precision"
+
+  /** PrecisionFilter with the reference's full target vocabulary
+    * (`precision.py:40-45`: float64/float32/float16/bfloat16). Spark has no
+    * half-float type, so `"float16"`/`"bfloat16"` cast to FloatType — the
+    * declared in-memory mapping — and stamp the REQUESTED precision into
+    * column metadata under [[PrecisionKey]], so a downstream writer can
+    * still reproduce the reference's narrow artifact width (ZarrStore
+    * honors `float16` as dtype `<f2`). The tag lands on every top-level
+    * column whose tree contained a float (nested fields can't carry
+    * per-field metadata through a projection).
+    */
+  def precisionCast(df: DataFrame, targetName: String): DataFrame = {
+    val (target, tag) = targetName match {
+      case "float64" => (DoubleType, None)
+      case "float32" => (FloatType, None)
+      case "float16" | "bfloat16" => (FloatType, Some(targetName))
+      case other => throw new IllegalArgumentException(
+        s"precisionCast: unknown target '$other' " +
+          "(float64|float32|float16|bfloat16)")
+    }
+    def convert(dt: DataType): DataType = dt match {
+      case DoubleType | FloatType => target
+      case StructType(fields) =>
+        StructType(fields.map(f => f.copy(dataType = convert(f.dataType))))
+      case ArrayType(et, n) => ArrayType(convert(et), n)
+      case MapType(kt, vt, n) => MapType(kt, convert(vt), n)
+      case other => other
+    }
+    val cols = df.schema.fields.map { f =>
+      val converted = convert(f.dataType)
+      if (converted == f.dataType) col(f.name)
+      else tag match {
+        case Some(p) =>
+          val md = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(PrecisionKey, p).build()
+          col(f.name).cast(converted).as(f.name, md)
+        case None => col(f.name).cast(converted).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The precision a column was tagged with by [[precisionCast]], if any. */
+  def requestedPrecision(df: DataFrame, colName: String): Option[String] = {
+    val md = df.schema(colName).metadata
+    if (md.contains(PrecisionKey)) Some(md.getString(PrecisionKey)) else None
+  }
+
   /** MeshInfoFilter: per-group field inventory (name, type, non-null count,
     * byte estimate) as a JSON-lines-able record — the reference logs this per
     * mesh and appends JSON records (`mesh_info.py:94`).

@@ -58,13 +58,62 @@ object ZarrStore {
     try os.write(bytes) finally os.close()
   }
 
-  /** Write a 2-D `<f8` array from long rows (i, j, value). Cells absent
+  private def elemSize(dtype: String): Int = dtype match {
+    case "<f8" => 8
+    case "<f4" => 4
+    case "<f2" => 2
+    case other => throw new IllegalArgumentException(
+      s"zarr dtype '$other' unsupported (<f8|<f4|<f2)")
+  }
+
+  private def putCell(bb: ByteBuffer, dtype: String, v: Double): Unit =
+    dtype match {
+      case "<f8" => bb.putDouble(v)
+      case "<f4" => bb.putFloat(v.toFloat)
+      case "<f2" => bb.putShort(graft.functions.Half.toHalf(v.toFloat))
+    }
+
+  private def getCell(bb: ByteBuffer, dtype: String, idx: Int): Double =
+    dtype match {
+      case "<f8" => bb.getDouble(idx * 8)
+      case "<f4" => bb.getFloat(idx * 4).toDouble
+      case "<f2" => graft.functions.Half.fromHalf(bb.getShort(idx * 2)).toDouble
+    }
+
+  /** The on-disk dtype a tagged DataFrame asks for: a `float16` precision
+    * tag ([[graft.operators.FieldOps.PrecisionKey]]) narrows to `<f2`;
+    * an untagged FloatType column (or a `bfloat16` tag — zarr v2's numpy
+    * dtype codes have no bf16, so it falls back to the narrowest lossless
+    * container) maps to `<f4`; everything else stays `<f8`.
+    */
+  def dtypeFor(df: DataFrame, valueCol: String = "value"): String = {
+    val field = df.schema(valueCol)
+    val tag =
+      if (field.metadata.contains(graft.operators.FieldOps.PrecisionKey))
+        Some(field.metadata.getString(graft.operators.FieldOps.PrecisionKey))
+      else None
+    tag match {
+      case Some("float16") => "<f2"
+      case Some("bfloat16") => "<f4"
+      case _ => field.dataType match {
+        case org.apache.spark.sql.types.FloatType => "<f4"
+        case _ => "<f8"
+      }
+    }
+  }
+
+  /** Write a 2-D float array from long rows (i, j, value). Cells absent
     * from `df` hold `fillValue`; duplicate cells are rejected upstream by
-    * construction (one row per (i, j): aggregate first). Returns the array
-    * path.
+    * construction (one row per (i, j): aggregate first). `dtype` selects
+    * the on-disk width (`<f8`/`<f4`/`<f2` — half values round to nearest
+    * even via [[graft.functions.Half]]); pass [[dtypeFor]]'s answer to
+    * honor a [[graft.operators.FieldOps.precisionCast]] tag. Returns the
+    * array path.
     */
   def writeArray2D(df: DataFrame, out: String, shape: (Long, Long),
-                   chunks: (Int, Int), fillValue: Double = 0.0): String = {
+                   chunks: (Int, Int), fillValue: Double = 0.0,
+                   dtype: String = "<f8"): String = {
+    val esz = elemSize(dtype)
     val spark = df.sparkSession
     val (n, m) = shape
     val (ci, cj) = chunks
@@ -100,8 +149,8 @@ object ZarrStore {
             val lj = (gj - ccj.toLong * cj).toInt
             buf(li * cj + lj) = r.getDouble(2)
           }
-          val bb = ByteBuffer.allocate(ci * cj * 8).order(ByteOrder.LITTLE_ENDIAN)
-          buf.foreach(bb.putDouble)
+          val bb = ByteBuffer.allocate(ci * cj * esz).order(ByteOrder.LITTLE_ENDIAN)
+          buf.foreach(putCell(bb, dtype, _))
           writeFile(s"$out/$cci.$ccj", zlib(bb.array()), hadoopConf.value)
         }
       }
@@ -113,8 +162,8 @@ object ZarrStore {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val emptyChunk = {
-      val bb = ByteBuffer.allocate(ci * cj * 8).order(ByteOrder.LITTLE_ENDIAN)
-      (0 until ci * cj).foreach(_ => bb.putDouble(fillValue))
+      val bb = ByteBuffer.allocate(ci * cj * esz).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until ci * cj).foreach(_ => putCell(bb, dtype, fillValue))
       zlib(bb.array())
     }
     for (a <- 0 until nci; b <- 0 until ncj) {
@@ -124,7 +173,7 @@ object ZarrStore {
     }
 
     val zarray =
-      s"""{"zarr_format":2,"shape":[$n,$m],"chunks":[$ci,$cj],"dtype":"<f8",
+      s"""{"zarr_format":2,"shape":[$n,$m],"chunks":[$ci,$cj],"dtype":"$dtype",
          |"compressor":{"id":"zlib","level":-1},"fill_value":$fillValue,
          |"order":"C","filters":null}""".stripMargin.replaceAll("\n", "")
     writeFile(s"$out/.zarray", zarray.getBytes("UTF-8"),
@@ -132,29 +181,44 @@ object ZarrStore {
     out
   }
 
-  /** Read a 2-D `<f8` zlib zarr array back to long rows (i, j, value):
-    * chunk files distributed via `binaryFile`, inflated per task; edge
-    * chunks clip to the array shape.
+  /** Read a 2-D zlib zarr array (`<f8`/`<f4`/`<f2`) back to long rows
+    * (i, j, value): chunk files distributed via `binaryFile`, inflated per
+    * task; edge chunks clip to the array shape. Values widen to double
+    * (exact for every narrower float).
     */
+  private def readMeta(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/.zarray")
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** The stored dtype code of an array (round-trip gates assert `<f2` for
+    * float16-tagged writes without re-reading every chunk).
+    */
+  def arrayDtype(spark: SparkSession, path: String): String =
+    """"dtype":"([^"]+)"""".r.findFirstMatchIn(readMeta(spark, path))
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(s"no dtype in $path/.zarray"))
+
   def readArray2D(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val metaBytes = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/.zarray")
-      val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        out.toString("UTF-8")
-      } finally in.close()
-    }
+    val metaBytes = readMeta(spark, path)
     def longs(key: String): Seq[Long] =
       s""""$key":\\[(\\d+),(\\d+)\\]""".r.findFirstMatchIn(metaBytes)
         .map(m => Seq(m.group(1).toLong, m.group(2).toLong))
         .getOrElse(throw new IllegalArgumentException(s"no $key in .zarray"))
-    require(metaBytes.contains("\"<f8\""), "only <f8 zarr arrays supported")
+    val dtype = """"dtype":"(<f[842])"""".r.findFirstMatchIn(metaBytes)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        "only <f8/<f4/<f2 zarr arrays supported"))
     require(metaBytes.contains("\"zlib\""), "only zlib-compressed zarr supported")
+    val esz = elemSize(dtype)
     val Seq(n, m) = longs("shape")
     val Seq(ci, cj) = longs("chunks").map(_.toInt)
 
@@ -165,7 +229,7 @@ object ZarrStore {
       .flatMap { case (p, bytes) =>
         val name = p.split("/").last
         val Array(cci, ccj) = name.split("\\.").map(_.toInt)
-        val raw = inflate(bytes, ci * cj * 8)
+        val raw = inflate(bytes, ci * cj * esz)
         val bb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
         for {
           li <- 0 until ci
@@ -173,7 +237,7 @@ object ZarrStore {
           i = cci.toLong * ci + li
           j = ccj.toLong * cj + lj
           if i < n && j < m
-        } yield (i, j, bb.getDouble((li * cj + lj) * 8))
+        } yield (i, j, getCell(bb, dtype, li * cj + lj))
       }.toDF("i", "j", "value")
   }
 }

@@ -84,6 +84,18 @@ class CoreSpec extends SparkSpec {
     val summary = new Ledger(dir).runSummary(spark)
       .filter(col("run_id") === runId && col("status") === "completed").collect()
     assert(summary.nonEmpty)
+
+    // index_results schema parity with the reference's SQLite table
+    // (pipeline_store.py:550-563): the nullable gpu_memory_bytes column
+    // exists (always NULL on CPU runs) alongside the metric columns.
+    val idxRows = spark.read.parquet(s"$dir/index_results")
+    val names = idxRows.schema.fieldNames.toSet
+    assert(Set("idx", "run_id", "status", "wall_ns", "n_rows",
+      "peak_memory_bytes", "gpu_memory_bytes", "finished_at").subsetOf(names),
+      s"index_results schema missing columns: $names")
+    assert(idxRows.schema("gpu_memory_bytes").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(idxRows.filter(col("gpu_memory_bytes").isNotNull).count() == 0)
   }
 
   test("runPerIndex: injected failure leaves completed prefix durable; resume runs exactly the rest") {

@@ -54,6 +54,72 @@ class ZarrSpec extends SparkSpec {
     assert(t2m == Map((0L, 0L) -> 1.0, (0L, 1L) -> 0.0, (1L, 0L) -> 0.0, (1L, 1L) -> 2.0))
   }
 
+  test("Half codec: RNE quantization, subnormals, specials, bf16") {
+    import graft.functions.Half
+    // exact values round-trip unchanged
+    for (v <- Seq(0.0f, -0.0f, 1.0f, -2.5f, 2048.0f, 0.5f, 65504.0f))
+      assert(Half.fromHalf(Half.toHalf(v)) == v, s"exact $v")
+    assert(java.lang.Float.floatToIntBits(Half.fromHalf(Half.toHalf(-0.0f)))
+      == java.lang.Float.floatToIntBits(-0.0f))
+    // genuine quantization: 0.1f → 0.0999755859375 (the nearest half)
+    assert(Half.fromHalf(Half.toHalf(0.1f)) == 0.0999755859375f)
+    assert(Half.fromHalf(Half.toHalf(0.3f)) == 0.300048828125f)
+    // round-to-nearest-EVEN on an exact tie: 2049 is midway between
+    // 2048 (even mantissa) and 2050 → 2048; 2051 midway 2050/2052 → 2052
+    assert(Half.fromHalf(Half.toHalf(2049.0f)) == 2048.0f)
+    assert(Half.fromHalf(Half.toHalf(2051.0f)) == 2052.0f)
+    // overflow → Inf; max finite half survives
+    assert(Half.fromHalf(Half.toHalf(65520.0f)).isPosInfinity)
+    assert(Half.fromHalf(Half.toHalf(1e9f)).isPosInfinity)
+    assert(Half.fromHalf(Half.toHalf(-1e9f)).isNegInfinity)
+    // subnormal half: min positive subnormal is 2^-24
+    val minSub = math.pow(2, -24).toFloat
+    assert(Half.fromHalf(Half.toHalf(minSub)) == minSub)
+    assert(Half.fromHalf(Half.toHalf(minSub * 0.49f)) == 0.0f) // underflow
+    assert(Half.fromHalf(Half.toHalf(3 * minSub / 2)) == 2 * minSub) // tie→even
+    // NaN stays NaN
+    assert(Half.fromHalf(Half.toHalf(Float.NaN)).isNaN)
+    // bf16: top-16-bit RNE; 1.0 exact, pi quantizes
+    assert(Half.fromBf16(Half.toBf16(1.0f)) == 1.0f)
+    val piB = Half.fromBf16(Half.toBf16(3.14159265f))
+    assert(math.abs(piB - 3.14159265f) < 0.02f && piB != 3.14159265f)
+  }
+
+  test("float16 precision tag → <f2 artifact → lossy-but-RNE round trip") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("zarr-f16").toString + "/arr"
+    // 0.1 and 0.3 are NOT half-representable; 1.5 and 2048 are
+    val df = Seq((0L, 0L, 0.1), (0L, 1L, 0.3), (1L, 0L, 1.5), (1L, 1L, 2048.0))
+      .toDF("i", "j", "value")
+    val tagged = graft.operators.FieldOps.precisionCast(df, "float16")
+    assert(graft.operators.FieldOps.requestedPrecision(tagged, "value")
+      .contains("float16"))
+    val dtype = ZarrStore.dtypeFor(tagged)
+    assert(dtype == "<f2")
+    ZarrStore.writeArray2D(tagged, dir, (2L, 2L), (2, 2), dtype = dtype)
+    assert(ZarrStore.arrayDtype(spark, dir) == "<f2")
+    // 2-byte cells on disk: 2×2 chunk = 8 raw bytes before zlib
+    val meta = Files.readString(Paths.get(dir, ".zarray"))
+    assert(meta.contains("\"<f2\""))
+    val m = ZarrStore.readArray2D(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 0L)) == 0.0999755859375) // nearest half to 0.1
+    assert(m((0L, 1L)) == 0.300048828125)
+    assert(m((1L, 0L)) == 1.5) // exact in half
+    assert(m((1L, 1L)) == 2048.0)
+  }
+
+  test("bfloat16 tag falls back to <f4 (zarr v2 has no bf16 dtype code)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 0L, 1.0)).toDF("i", "j", "value")
+    val tagged = graft.operators.FieldOps.precisionCast(df, "bfloat16")
+    assert(graft.operators.FieldOps.requestedPrecision(tagged, "value")
+      .contains("bfloat16"))
+    assert(ZarrStore.dtypeFor(tagged) == "<f4")
+  }
+
   test("write → read round trip with fills and edge chunks") {
     val s = spark
     import s.implicits._

@@ -224,6 +224,10 @@ object SparkEntry {
     "q_ledger_detail" -> (qLedgerDetail _),
     "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_pipeline_partial" -> (qPipelinePartial _),
+    "q_dashboard_index" -> (qDashboardIndex _),
+    "q_dashboard_summary" -> (qDashboardSummary _),
+    "q_dashboard_workers" -> (qDashboardWorkers _),
+    "q_dashboard_stages" -> (qDashboardStages _),
     "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
@@ -1225,6 +1229,104 @@ object SparkEntry {
       .withColumn("run2_executed", lit(r2.nExecuted))
       .withColumn("run2_skipped", lit(r2.nSkipped))
       .orderBy("idx", "return_flag")
+  }
+
+  /** Shared fixture for the DashboardStore parity gates: the static orders
+    * pipeline run PER-INDEX with an injected fault at idx 5 — leaving the
+    * ledger in the dashboard's most interesting state: 5 completed indices
+    * (0-4, each with its real row count), 1 failed (5, with its message),
+    * 2 untouched (6-7). Returns (ledger, runId).
+    */
+  private def dashboardLedgerFor(s: SparkSession, dir: String,
+                                 tag: String): (graft.core.Ledger, String) = {
+    val ledgerDir = freshTmpDir(tag, dir)
+    val pipe = ledgerPipelineFor(dir)
+    try graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir,
+      beforeIndex = i => if (i == 5L) throw new RuntimeException("injected fault"))
+    catch { case e: RuntimeException if e.getMessage == "injected fault" => () }
+    (new graft.core.Ledger(ledgerDir), pipe.configHash.take(16))
+  }
+
+  /** DashboardStore `index_df` (`dashboard/data.py:86-135`): the per-index
+    * drill-down view — status resolves retry-wins, failed-only indices
+    * merge in, the error message rides along. Row counts come from the
+    * real orders data (per-residue 'O' counts), so the oracle replays
+    * them; wall/peak/gpu are runtime-dependent and gate as booleans (gpu
+    * must be EXACTLY zero on a CPU run — `gpu_memory_bytes` is null).
+    */
+  private def qDashboardIndex(s: SparkSession, dir: String): DataFrame = {
+    val (ledger, runId) = dashboardLedgerFor(s, dir, "graft_dash_idx")
+    val nRows = s.read.parquet(s"${ledger.path}/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(max("n_rows").as("n_rows"))
+    ledger.indexDf(s, runId)
+      .join(nRows, Seq("idx"), "left")
+      .select(col("idx"), col("status"), col("error"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        (col("gpu_memory_mb") === 0.0).cast("int").as("gpu_mb_zero"),
+        (col("wall_time_s") >= 0.0).cast("int").as("wall_nonneg"))
+      .orderBy("idx")
+  }
+
+  /** DashboardStore `summary` (`pipeline_store.py:1248-1295` via
+    * `dashboard/data.py:169-190`): total/completed/failed/remaining
+    * counters with retry-wins failed accounting, plus the completed row
+    * total tied back to the orders data.
+    */
+  private def qDashboardSummary(s: SparkSession, dir: String): DataFrame = {
+    val (ledger, runId) = dashboardLedgerFor(s, dir, "graft_dash_sum")
+    val completedRows = s.read.parquet(s"${ledger.path}/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("idx")).agg(max("n_rows").as("n"))
+      .agg(sum("n").as("completed_rows"))
+    ledger.summaryDf(s, runId, total = 8L)
+      .crossJoin(completedRows)
+      .select(col("total"), col("completed"), col("failed"), col("remaining"),
+        (col("total_elapsed_s") >= 0.0).cast("int").as("elapsed_nonneg"),
+        col("completed_rows"))
+  }
+
+  /** DashboardStore `workers_df` (`dashboard/data.py:192-231` +
+    * `indices_by_worker`): per-worker completed/failed counts. Spark's
+    * claiming worker is the driver session (executors are task slots, not
+    * index claimants), so this single-session run pins exactly one worker
+    * row — with its row throughput tied to the orders data.
+    */
+  private def qDashboardWorkers(s: SparkSession, dir: String): DataFrame = {
+    val (ledger, runId) = dashboardLedgerFor(s, dir, "graft_dash_wrk")
+    val workerRows = s.read.parquet(s"${ledger.path}/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("worker_id"), col("idx")).agg(max("n_rows").as("n"))
+      .groupBy("worker_id").agg(sum("n").as("worker_rows"))
+    ledger.workersDf(s, runId)
+      .join(workerRows, Seq("worker_id"), "left")
+      .select(col("worker_id"), col("completed"), col("failed"),
+        coalesce(col("worker_rows"), lit(0L)).as("worker_rows"))
+      .orderBy("worker_id")
+  }
+
+  /** DashboardStore `stage_df` (`dashboard/data.py:137-167`): the per-stage
+    * time-breakdown view over a batch `runPipeline` (which records scheduler
+    * stage metrics; stage timings are runtime values, so the gate pins the
+    * view's STRUCTURE — rows exist, stage_order is contiguous from 0, walls
+    * and task counts are sane — plus the deterministic run accounting).
+    */
+  private def qDashboardStages(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_dash_stg", dir)
+    val pipe = ledgerPipelineFor(dir)
+    val r1 = graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val runId = pipe.configHash.take(16)
+    new graft.core.Ledger(ledgerDir).stageDf(s, runId)
+      .agg(
+        (count(lit(1)) > 0).cast("int").as("has_stages"),
+        (min(col("stage_order")) === 0).cast("int").as("order_from_zero"),
+        (countDistinct(col("stage_order")) === count(lit(1)))
+          .cast("int").as("order_distinct"),
+        (min(col("wall_time_s")) >= 0.0).cast("int").as("wall_nonneg"),
+        (min(col("executor_run_s")) >= 0.0).cast("int").as("exec_nonneg"),
+        (min(col("n_tasks")) > 0).cast("int").as("tasks_pos"))
+      .withColumn("run_executed", lit(r1.nExecuted))
   }
 
   /** The text-curation flagship composition through the SAME public
@@ -7970,6 +8072,53 @@ object SparkEntry {
         |  CAST(3 AS BIGINT) AS run2_executed,
         |  CAST(5 AS BIGINT) AS run2_skipped
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Dashboard index_df mirror: completed residues 0-4 carry their real
+    // per-index 'O'-order counts; the faulted idx 5 shows as error with
+    // its message and zero rows; 6-7 were never touched. gpu memory is
+    // pinned EXACTLY zero (CPU run, null gpu_memory_bytes column).
+    "q_dashboard_index" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT CAST(idx AS BIGINT) AS idx, 'completed' AS status,
+        |  '' AS error, CAST(n AS BIGINT) AS n_rows,
+        |  1 AS gpu_mb_zero, 1 AS wall_nonneg
+        |FROM c WHERE idx <= 4
+        |UNION ALL
+        |SELECT 5, 'error', 'injected fault', 0, 1, 1
+        |ORDER BY idx""".stripMargin,
+
+    // Dashboard summary mirror (retry-wins accounting): 8 total indices,
+    // 5 completed / 1 failed / 2 remaining, with the completed row total
+    // tied to the orders data.
+    "q_dashboard_summary" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT CAST(8 AS BIGINT) AS total, CAST(5 AS BIGINT) AS completed,
+        |  CAST(1 AS BIGINT) AS failed, CAST(2 AS BIGINT) AS remaining,
+        |  1 AS elapsed_nonneg,
+        |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS completed_rows
+        |""".stripMargin,
+
+    // Dashboard workers_df mirror: one claiming worker (the driver
+    // session), 5 completed / 1 failed indices, its throughput tied to
+    // the orders data.
+    "q_dashboard_workers" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT 'driver' AS worker_id, CAST(5 AS BIGINT) AS completed,
+        |  CAST(1 AS BIGINT) AS failed,
+        |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS worker_rows
+        |""".stripMargin,
+
+    // Dashboard stage_df mirror: stage timings are runtime values, so the
+    // gate pins the view's structure (rows exist, contiguous distinct
+    // stage_order from 0, sane walls/tasks) plus the deterministic run
+    // accounting (all 8 indices executed in run 1).
+    "q_dashboard_stages" ->
+      """SELECT 1 AS has_stages, 1 AS order_from_zero, 1 AS order_distinct,
+        |  1 AS wall_nonneg, 1 AS exec_nonneg, 1 AS tasks_pos,
+        |  CAST(8 AS BIGINT) AS run_executed""".stripMargin,
 
     "q_aselmdb_roundtrip" ->
       """SELECT vec_id AS sys_id,

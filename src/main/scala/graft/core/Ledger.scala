@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * anti-join at 100 TB, both picked by Catalyst.
   */
 final class Ledger(dir: String) {
+  /** The ledger root, for callers reading a table directly. */
+  def path: String = dir
   private def idxPath = s"$dir/index_results"
   private def runsPath = s"$dir/runs"
 
@@ -38,10 +40,21 @@ final class Ledger(dir: String) {
     * (`core/pipeline_store.py:550-563`): always None on CPU runs — Spark
     * here schedules no GPUs — but the column exists so schema-compatible
     * artifact readers see the reference's full index_results shape.
+    * `workerId` is the reference's `worker_id` claim column: here the
+    * claiming process is always the Spark DRIVER (executors are fungible
+    * task slots under one claim, not per-index workers), so the default
+    * identifies the submitting session.
     */
   def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
                       wallNs: Long, nRows: Long, peakMemoryBytes: Long,
-                      gpuMemoryBytes: Option[Long]): Unit = {
+                      gpuMemoryBytes: Option[Long]): Unit =
+    recordCompleted(spark, runId, indices, wallNs, nRows, peakMemoryBytes,
+      gpuMemoryBytes, "driver")
+
+  def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
+                      wallNs: Long, nRows: Long, peakMemoryBytes: Long,
+                      gpuMemoryBytes: Option[Long],
+                      workerId: String): Unit = {
     if (indices.isEmpty) return
     import spark.implicits._
     indices.toDF("idx")
@@ -52,6 +65,7 @@ final class Ledger(dir: String) {
       .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
       .withColumn("gpu_memory_bytes",
         gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .withColumn("worker_id", lit(workerId))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
   }
@@ -64,7 +78,8 @@ final class Ledger(dir: String) {
   def recordCompleted(spark: SparkSession, runId: String, indices: DataFrame,
                       wallNs: Long, nRows: Long,
                       peakMemoryBytes: Long = 0L,
-                      gpuMemoryBytes: Option[Long] = None): Long = {
+                      gpuMemoryBytes: Option[Long] = None,
+                      workerId: String = "driver"): Long = {
     val obs = org.apache.spark.sql.Observation()
     indices.select(col("idx").cast("long"))
       .withColumn("run_id", lit(runId))
@@ -74,6 +89,7 @@ final class Ledger(dir: String) {
       .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
       .withColumn("gpu_memory_bytes",
         gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
+      .withColumn("worker_id", lit(workerId))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .observe(obs, count(lit(1)).as("n"))
       .write.mode(SaveMode.Append).parquet(idxPath)
@@ -111,10 +127,16 @@ final class Ledger(dir: String) {
     } else spark.read.parquet(p).filter(col("run_id") === runId)
   }
 
-  def recordError(spark: SparkSession, runId: String, idx: Long, error: String): Unit = {
+  def recordError(spark: SparkSession, runId: String, idx: Long,
+                  error: String): Unit =
+    recordError(spark, runId, idx, error, "driver")
+
+  def recordError(spark: SparkSession, runId: String, idx: Long, error: String,
+                  workerId: String): Unit = {
     import spark.implicits._
-    Seq((idx, runId, "error", 0L, 0L, System.currentTimeMillis(), error))
-      .toDF("idx", "run_id", "status", "wall_ns", "n_rows", "finished_at", "error")
+    Seq((idx, runId, "error", 0L, 0L, workerId, System.currentTimeMillis(), error))
+      .toDF("idx", "run_id", "status", "wall_ns", "n_rows", "worker_id",
+        "finished_at", "error")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/errors")
   }
 
@@ -184,4 +206,111 @@ final class Ledger(dir: String) {
         sum("n_rows").as("total_rows"),
         avg("wall_ns").as("mean_wall_ns"),
         max("finished_at").as("last_finished_at"))
+
+  // ------------------------------------------------- DashboardStore views
+  // The reference's dashboard read layer (`dashboard/data.py:86-321`)
+  // re-expressed as DataFrames over the ledger parquet. One divergence,
+  // by design: the reference REPLACES an index's error row when a retry
+  // completes (PRIMARY KEY (idx, run_id)); this ledger is append-only, so
+  // the views resolve retry-wins at read time (a completed row beats any
+  // earlier error for `status`, but the error message still rides along —
+  // exactly what `index_df` shows after a retry).
+
+  /** `index_df` parity (`dashboard/data.py:86-135`): one row per index the
+    * run has touched — completed indices carry their metrics (latest
+    * completion wins), failed-only indices merge in with zero metrics;
+    * `error` is the (latest) recorded message, empty for never-failed.
+    */
+  def indexDf(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    val comp =
+      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+         .filter(col("run_id") === runId && col("status") === "completed")
+       else Seq.empty[(Long, Long, Long, Long)]
+         .toDF("idx", "wall_ns", "peak_memory_bytes", "finished_at")
+         .withColumn("gpu_memory_bytes", lit(null).cast("long")))
+        .groupBy(col("idx").cast("long").as("idx"))
+        .agg(max(struct(col("finished_at"), col("wall_ns"),
+          col("peak_memory_bytes"), col("gpu_memory_bytes"))).as("m"))
+        .select(col("idx"), col("m.wall_ns").as("_wall"),
+          col("m.peak_memory_bytes").as("_peak"),
+          col("m.gpu_memory_bytes").as("_gpu"), lit(1).as("_done"))
+    val errPath = s"$dir/errors"
+    val errs =
+      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+         .filter(col("run_id") === runId)
+       else Seq.empty[(Long, Long, String)].toDF("idx", "finished_at", "error"))
+        .groupBy(col("idx").cast("long").as("idx"))
+        .agg(max(struct(col("finished_at"), col("error"))).as("e"))
+        .select(col("idx"), col("e.error").as("_err"))
+    comp.join(errs, Seq("idx"), "full_outer")
+      .select(col("idx"),
+        when(col("_done").isNotNull, "completed").otherwise("error").as("status"),
+        (coalesce(col("_wall"), lit(0L)) / 1e9).as("wall_time_s"),
+        (coalesce(col("_peak"), lit(0L)) / lit(1048576.0)).as("peak_memory_mb"),
+        (coalesce(col("_gpu"), lit(0L)) / lit(1048576.0)).as("gpu_memory_mb"),
+        coalesce(col("_err"), lit("")).as("error"))
+  }
+
+  /** `stage_df` parity (`dashboard/data.py:137-167`): per-stage timing for
+    * the run. The reference breaks stages down per INDEX (its work unit);
+    * Spark's scheduler stages span the whole run, so the breakdown is
+    * per-run — same columns, coarser grain, documented in SURVEY §3.2.
+    */
+  def stageDf(spark: SparkSession, runId: String): DataFrame =
+    stageMetrics(spark, runId)
+      .select(col("stage_order"), col("stage_name"),
+        (col("wall_ns") / 1e9).as("wall_time_s"),
+        (col("executor_run_ns") / 1e9).as("executor_run_s"),
+        col("n_tasks"))
+
+  /** `summary` parity (`pipeline_store.py:1248-1295` via
+    * `dashboard/data.py:169-190`): one row of run-state counters. `failed`
+    * counts CURRENTLY-failed indices (errored, never completed) so
+    * `remaining = total - completed - failed` matches the reference's
+    * retry-replaces-error accounting.
+    */
+  def summaryDf(spark: SparkSession, runId: String, total: Long): DataFrame = {
+    val idxView = indexDf(spark, runId)
+    idxView.agg(
+      lit(total).as("total"),
+      sum(when(col("status") === "completed", 1).otherwise(0)).as("completed"),
+      sum(when(col("status") === "error", 1).otherwise(0)).as("failed"),
+      (lit(total) - count(lit(1))).as("remaining"),
+      sum(when(col("status") === "completed", col("wall_time_s"))
+        .otherwise(0.0)).as("total_elapsed_s"))
+  }
+
+  /** `workers_df` parity (`dashboard/data.py:192-231` +
+    * `indices_by_worker`, `pipeline_store.py:1200-1246`): per-worker
+    * completed/failed index counts. Under Spark the claiming worker is the
+    * driver session (executors are task slots, not index claimants), so a
+    * single-session run shows one row — honest, not degenerate: multiple
+    * concurrent sessions sharing a ledger each appear as their own worker.
+    */
+  def workersDf(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    val compRows =
+      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+         .filter(col("run_id") === runId && col("status") === "completed")
+       else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
+        .select(col("worker_id"), col("idx").cast("long").as("idx"))
+    val errPath = s"$dir/errors"
+    val errRows =
+      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+         .filter(col("run_id") === runId)
+       else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
+        .select(col("worker_id"), col("idx").cast("long").as("idx"))
+        // retry-wins, matching the reference's REPLACE-on-retry rows: an
+        // index that later completed no longer counts as failed
+        .join(compRows.select("idx").distinct(), Seq("idx"), "left_anti")
+    val comp = compRows.groupBy("worker_id")
+      .agg(countDistinct("idx").as("completed"))
+    val errs = errRows.groupBy("worker_id")
+      .agg(countDistinct("idx").as("failed"))
+    comp.join(errs, Seq("worker_id"), "full_outer")
+      .select(col("worker_id"),
+        coalesce(col("completed"), lit(0L)).as("completed"),
+        coalesce(col("failed"), lit(0L)).as("failed"))
+  }
 }

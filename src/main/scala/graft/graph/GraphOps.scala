@@ -164,6 +164,15 @@ object GraphOps {
     * range-partition by the order key, partition-local cumulative sums, then
     * add broadcast per-partition base offsets. O(rows/partitions) per task,
     * one tiny driver collect of partition totals.
+    *
+    * The locally-cumsummed frame is PERSISTED and materialized before the
+    * totals collect — `repartitionByRange` SAMPLES its boundaries, so
+    * letting the base-offset join re-execute the lineage can re-draw
+    * different partition boundaries than the ones the collected bases were
+    * computed from (rows then carry a base that belongs to another
+    * partition). One-split inputs replay stably, which is why sf0.01 never
+    * tripped this; the sf0.1 oracle gate did (q_shard_plan, 99 vs 101
+    * shards). Same discipline as [[exclusivePrefixSums]].
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          outCol: String = "offset",
@@ -177,7 +186,10 @@ object GraphOps {
     // partition-local INCLUSIVE cumsum (cheap: partition-bounded window)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ONE materialization: bases and rows must come from the same execution
     val local = ranged.withColumn("_cum", sum(col(valueCol)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    local.count()
     // tiny driver-side pass: one row per partition
     val totals = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -185,9 +197,14 @@ object GraphOps {
       .map { case (base, pid) => (pid, base) }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("_pid", "_base")
-    local.join(broadcast(baseDf), "_pid")
+    val out = local.join(broadcast(baseDf), "_pid")
       .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
       .drop("_pid", "_cum", "_base")
+      // release the lineage pin once the joined result is materialized —
+      // callers keep a bounded result, not a standing cache entry
+      .localCheckpoint(true)
+    local.unpersist(false)
+    out
   }
 
   /** Multi-column variant of [[exclusivePrefixSum]]: ALL the cumulative
@@ -231,11 +248,16 @@ object GraphOps {
     val baseDf = bases.toSeq.map { case (pid, bs) => (pid, bs.toArray) }
       .toDF("_pid", "_bases")
     val joined = local.join(broadcast(baseDf), "_pid")
-    val out = valueCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
+    val out0 = valueCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
       d.withColumn(s"$c$outSuffix",
         element_at(col("_bases"), i + 1) + col(s"_cum_$c") - col(c))
     }
-    out.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*)
+    // materialize, then release the lineage pin (same cache-lifecycle
+    // discipline as the single-column form: no standing entry per call)
+    val out = out0.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*)
+      .localCheckpoint(true)
+    local.unpersist(false)
+    out
   }
 
   /** AtomicInfoFilter (`domains/atm/filters/atomic_info.py:44-76`): per-system

@@ -68,6 +68,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // SPARK_GRAFT_SPILL=1 adds per-query shuffle-spill accounting (memory +
+    // disk bytes spilled, from task metrics) to the JSON — the evidence
+    // channel for the spill-not-OOM runs (BASELINE.md): a heap-constrained
+    // run must show WHERE the pressure went.
+    val trackSpill = sys.env.get("SPARK_GRAFT_SPILL").contains("1")
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    if (trackSpill) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach { m =>
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+      })
+    var spills = List.empty[(String, Long, Long)]
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -96,6 +112,12 @@ object Bench {
       val med =
         if (!ok) { failed ::= name; -1.0 }
         else times.sorted.apply(times.size / 2)
+      if (trackSpill) {
+        // listener bus is async; drain so spill bytes attribute to the
+        // query that caused them
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+        spills ::= ((name, spillMem.getAndSet(0L), spillDisk.getAndSet(0L)))
+      }
       name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -107,7 +129,12 @@ object Bench {
     // 1-minute average reflects this benchmark's own 32 busy cores, which is
     // expected, not contention.
     val loaded = loadStart > LoadedThreshold
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded}"""
+    val spillJson =
+      if (!trackSpill) ""
+      else spills.reverse.map { case (n, m, d) =>
+        s""""$n":{"mem":$m,"disk":$d}"""
+      }.mkString(""","spills":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson}"""
     println(line)
     // Full per-query artifact on disk: the driver's BENCH_r{N}.json keeps
     // only a truncated tail of stdout, which hides most of the suite from

@@ -176,6 +176,7 @@ object SparkEntry {
     "q_wall_nodes" -> (qWallNodes _),
     "q_union_priority" -> (qUnionPriority _),
     "q_era5_routing" -> (qEra5Routing _),
+    "q_era5_fetch" -> (qEra5Fetch _),
     "q_boundary_box" -> (qBoundaryBox _),
     "q_boundary_hemisphere" -> (qBoundaryHemisphere _),
     "q_boundary_hole" -> (qBoundaryHole _),
@@ -1844,6 +1845,88 @@ object SparkEntry {
       (b0, 0, Map("t2m" -> "VAR_2T")),
       (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))
       .select(col("variable"), col("k"), col("value"))
+      .orderBy("variable", "k")
+  }
+
+  /** ERA5 fetch→route→decode END TO END over a real transport
+    * (`era5.py:377-382` backend routing atop the actual download layer):
+    * the per-variable `.nc` files are PUBLISHED through a loopback HTTP
+    * server, fetched by [[graft.sources.HttpFetcher.stage]] with SHA-256
+    * verification into the content-addressed cache, and only then decoded
+    * through the ranged `NetCdfDataSource` relation with variable pushdown
+    * — the same chain a production ERA5 pull takes (download → verify →
+    * cache → route → decode), minus nothing but the remote hostname.
+    * Routing, lexicons, and the oracle are q_era5_routing's exactly;
+    * n_staged pins the manifest (one object per variable per backend).
+    */
+  private def qEra5Fetch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def grid(mult: Double) = ev.groupBy((col("user_id") % 50).as("k"))
+      .agg(rnd(sum("value") * mult, 2).as("value"))
+    val srv = freshTmpDir("graft_era5_srv", dir)
+    def rows(g: DataFrame, v: String) =
+      g.select(lit(v).as("variable"), lit(0).as("t"), lit(0).as("i"),
+        col("k").cast("int").as("j"), col("value"))
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(1.0), "VAR_2T").unionByName(rows(grid(1.0), "junk")),
+      s"$srv/b0", shape = (1, 50), nRecs = 1)
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(2.0), "2t").unionByName(rows(grid(3.0), "10u")),
+      s"$srv/b1", shape = (1, 50), nRecs = 1)
+
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(srv)
+    val files = java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p)).toSeq
+      .sortBy(_.toString)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val rel = ex.getRequestURI.getPath.stripPrefix("/")
+        val f = base.resolve(rel).normalize()
+        if (f.startsWith(base) && java.nio.file.Files.isRegularFile(f)) {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        } else ex.sendResponseHeaders(404, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    val root =
+      try {
+        val port = server.getAddress.getPort
+        val manifest = files.map { f =>
+          val rel = base.relativize(f).toString
+          (s"http://127.0.0.1:$port/$rel", rel)
+        }
+        val digests = files.map { f =>
+          base.relativize(f).toString ->
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest(java.nio.file.Files.readAllBytes(f))
+              .map(b => f"$b%02x").mkString
+        }.toMap
+        // stage() is EAGER: every object is on local disk (and verified)
+        // before the server goes away — decode below never touches HTTP
+        new graft.sources.HttpFetcher().stage(manifest, digests)
+      } finally server.stop(0)
+
+    val present = grid(1.0).select(col("k"))
+    def rel(sub: String, vars: Seq[String]) =
+      s.read.format("graft.sources.NetCdfDataSource")
+        .option("path", s"$root/$sub").load()
+        .filter(col("variable").isin(vars: _*))
+        .select(col("variable"), col("pos").as("k"), col("value"))
+        .join(present, Seq("k"), "left_semi")
+    val b0 = rel("b0", Seq("VAR_2T", "junk"))
+      .filter(col("variable") =!= "VAR_2T" || col("k") < 30)
+    val b1 = rel("b1", Seq("2t", "10u"))
+    RelationalOps.lexiconRoute(Seq(
+      (b0, 0, Map("t2m" -> "VAR_2T")),
+      (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))
+      .select(col("variable"), col("k"), col("value"))
+      .withColumn("n_staged", lit(files.size))
       .orderBy("variable", "k")
   }
 
@@ -6888,16 +6971,26 @@ object SparkEntry {
         |ORDER BY k, tick""".stripMargin,
 
     // Skyline mirror: the NOT EXISTS dominance formulation.
+    // Skyline mirror in O(n log n): the NOT EXISTS dominance formulation is
+    // O(n²) in DuckDB (inequality + OR defeats IEJoin — at sf0.1's 600k
+    // rows the blockwise NL join ran for half an hour; found by the sf0.1
+    // oracle gate). Equivalent window form: s is dominated iff
+    // min(price | q > s.q) <= s.p  OR  min(price | q >= s.q) < s.p.
     "q_skyline" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
-        |    l_extendedprice FROM lineitem)
-        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM t s WHERE NOT EXISTS (
-        |  SELECT 1 FROM t o
-        |  WHERE o.l_quantity >= s.l_quantity
-        |    AND o.l_extendedprice <= s.l_extendedprice
-        |    AND (o.l_quantity > s.l_quantity
-        |      OR o.l_extendedprice < s.l_extendedprice))
+        |    l_extendedprice FROM lineitem),
+        |g AS (SELECT l_quantity AS q, min(l_extendedprice) AS mp
+        |  FROM t GROUP BY 1),
+        |r AS (SELECT q, mp,
+        |    min(mp) OVER (ORDER BY q DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_gt,
+        |    min(mp) OVER (ORDER BY q DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_ge
+        |  FROM g)
+        |SELECT t.l_orderkey, t.l_linenumber, t.l_quantity, t.l_extendedprice
+        |FROM t JOIN r ON t.l_quantity = r.q
+        |WHERE (r.min_gt IS NULL OR r.min_gt > t.l_extendedprice)
+        |  AND r.min_ge >= t.l_extendedprice
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // MAD mirror: quantile_cont medians, identical rounded-deviation gate.
@@ -7595,6 +7688,20 @@ object SparkEntry {
         |SELECT 't2m', k, round(sv * 2 + 1e-6, 2) FROM g WHERE k >= 30
         |UNION ALL
         |SELECT 'u10', k, round(sv * 3 + 1e-6, 2) FROM g
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Fetch e2e mirror: the values are q_era5_routing's exactly (transport
+    // must not change data); n_staged pins the 4-object manifest that
+    // actually traveled over HTTP (one .nc per variable per backend).
+    "q_era5_fetch" ->
+      """WITH g AS (SELECT user_id % 50 AS k, sum(value) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT 't2m' AS variable, k, round(sv + 1e-6, 2) AS value, 4 AS n_staged
+        |  FROM g WHERE k < 30
+        |UNION ALL
+        |SELECT 't2m', k, round(sv * 2 + 1e-6, 2), 4 FROM g WHERE k >= 30
+        |UNION ALL
+        |SELECT 'u10', k, round(sv * 3 + 1e-6, 2), 4 FROM g
         |ORDER BY 1, 2""".stripMargin,
 
     "q_boundary_box" ->

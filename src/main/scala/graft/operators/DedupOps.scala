@@ -469,7 +469,17 @@ object DedupOps {
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsRounds(ids, idCol, pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to converge — the scale-measurement surface (rounds ≈ component
+    * diameter + 1 is the algorithm's cost model; `tools.CcScale` records
+    * it against depth decades).
+    */
+  def connectedComponentsRounds(ids: DataFrame, idCol: String, pairs: DataFrame,
+                                maxIter: Int = 20,
+                                checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sym = cached(
       pairs.select(col("da").as("a"), col("db").as("b"))
         .union(pairs.select(col("db").as("a"), col("da").as("b"))))
@@ -508,7 +518,8 @@ object DedupOps {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge after $maxIter rounds; " +
         "raise maxIter or use large-star/small-star for deep components")
-    labels.withColumnRenamed("node", idCol).withColumnRenamed("label", "component")
+    (labels.withColumnRenamed("node", idCol)
+      .withColumnRenamed("label", "component"), it)
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -531,7 +542,15 @@ object DedupOps {
     */
   def connectedComponentsStars(ids: DataFrame, idCol: String, pairs: DataFrame,
                                maxIter: Int = 25,
-                               checkpointDir: Option[String] = None): DataFrame = {
+                               checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsStarsRounds(ids, idCol, pairs, maxIter, checkpointDir)._1
+
+  /** [[connectedComponentsStars]] plus its converged round count (the
+    * O(log²) bound under measurement in `tools.CcScale`).
+    */
+  def connectedComponentsStarsRounds(ids: DataFrame, idCol: String,
+                                     pairs: DataFrame, maxIter: Int = 25,
+                                     checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = ids.sparkSession
     val ckpt = new CkptCycle(spark, checkpointDir)
 
@@ -580,10 +599,10 @@ object DedupOps {
     // converged edges form stars u -> root; nodes absent from any pair are
     // their own singleton components
     val labels = edges.select(col("u").as("node"), col("v").as("component"))
-    ids.select(col(idCol).cast("long").as("node"))
+    (ids.select(col(idCol).cast("long").as("node"))
       .join(labels, Seq("node"), "left")
       .select(col("node").as(idCol),
-        coalesce(col("component"), col("node")).as("component"))
+        coalesce(col("component"), col("node")).as("component")), it)
   }
 
   /** Dedup resolution: (id, component, is_survivor) — survivor = min id per

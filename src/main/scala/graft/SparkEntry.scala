@@ -2435,14 +2435,17 @@ object SparkEntry {
       .orderBy("l_returnflag")
 
   /** The bounded-memory MAD census (GK-sketch medians) on the SAME
-    * fixture as q_mad_outliers — at sf0.01 the sketch degenerates to the
-    * exact rank-⌈n/2⌉ order statistic (the approxGroupQuantiles gate
-    * contract), which the oracle replays with a rank window, while the
-    * identical code path runs bounded-memory at production accuracy.
+    * fixture as q_mad_outliers — at gate scales the sketch degenerates to
+    * the exact rank-⌈n/2⌉ order statistic (the approxGroupQuantiles gate
+    * contract: allowed rank error 2·n/accuracy < 1 needs accuracy > 2n;
+    * 10⁶ covers sf0.1's ~300k-row flag groups, where the default 10⁵ only
+    * covered sf0.01 — found by the sf0.1 oracle gate), which the oracle
+    * replays with a rank window, while the identical code path runs
+    * bounded-memory at production accuracy.
     */
   private def qMadApprox(s: SparkSession, dir: String): DataFrame =
     StatsOps.madOutliersApprox(Tables.lineitem(s, dir), "l_returnflag",
-      "l_extendedprice", k = 3.0)
+      "l_extendedprice", k = 3.0, accuracy = 1000000)
       .select(col("l_returnflag"), col("n"), rnd("med", 4).as("med"),
         rnd("mad", 4).as("mad"), col("n_outliers"))
       .orderBy("l_returnflag")
@@ -2651,10 +2654,18 @@ object SparkEntry {
       "g_lineitem_bkt", "l_orderkey", buckets = 8)
     val o = s.table("g_orders_bkt")
     val l = s.table("g_lineitem_bkt")
+    // revenue in EXACT integer cents·basis-points: a float Σ ext·(1−disc)
+    // is summation-order-dependent, and at sf0.1's ~6k rows/group the
+    // cross-engine drift (~1e-4 on a 3e8 sum) can flip a 2-decimal
+    // boundary that the 1e-9 epsilon cannot absorb (found by the sf0.1
+    // oracle gate). Prices/discounts are 2-decimal by construction, so
+    // the scaled products are exact longs and the sum is order-free.
     o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy((col("o_orderkey") % 100).as("grp"))
       .agg(count(lit(1)).as("n_items"),
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        rnd(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .cast("double") / lit(1000000.0), 2)
           .as("revenue"))
       .orderBy("grp")
   }
@@ -7398,9 +7409,14 @@ object SparkEntry {
         |  round(score + 1e-9, 6) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // revenue mirrored in exact integer cents·basis-points (order-free
+    // sum; a float Σ drifts past the 2-decimal boundary at sf0.1 group
+    // sizes — see qBucketedJoin).
     "q_bucketed_join" ->
       """SELECT o_orderkey % 100 AS grp, CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000 + 1e-9, 2) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

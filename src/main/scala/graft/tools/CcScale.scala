@@ -34,8 +34,11 @@ object CcScale {
     * partition run — the adversarial layout for label propagation.
     */
   private def chainEdges(spark: SparkSession, n: Long, depth: Int): DataFrame =
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which would
+    // mint fractional node ids and silently hand each algorithm a
+    // different graph (stars casts to long, min-label doesn't)
     spark.range(n * (depth - 1)).select(
-      (col("id") % n).as("comp"), (col("id") / n).as("pos"))
+      (col("id") % n).as("comp"), expr(s"id div $n").as("pos"))
       .select((col("pos") * n + col("comp")).as("da"),
         ((col("pos") + 1) * n + col("comp")).as("db"))
 

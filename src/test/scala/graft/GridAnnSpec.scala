@@ -235,4 +235,26 @@ class GridAnnSpec extends SparkSpec {
     // fully uncovered target cells (e.g. b's far corner) emit NO row
     assert(!got.contains(("b", 2L, 2L)))
   }
+
+  test("regridBilinear: NULL-valued source cell is ABSENT for coverage") {
+    val s = spark
+    import s.implicits._
+    // same 2x2 lattice but corner (1,1) carries a NULL value: w_cover must
+    // not count its weight (a null cell silently reading as covered was
+    // the ADVICE r10 defect), so the center behaves exactly like the
+    // missing-corner case above
+    val src = Seq(("c", 0L, 0L, Some(0.0)), ("c", 1L, 0L, Some(10.0)),
+      ("c", 0L, 1L, Some(20.0)), ("c", 1L, 1L, None))
+      .toDF("field", "i", "j", "value")
+    val got = graft.grid.GridOps
+      .regridBilinear(src, "i", "j", srcNi = 2, srcNj = 2, dstNi = 3, dstNj = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    // center: three live corners at weight 1/4 each → coverage 0.75
+    assert(got(("c", 1L, 1L)) == (((0.0 + 10.0 + 20.0) / 4.0, 0.75)))
+    // the null corner's own lattice point is fully uncovered → NO row
+    assert(!got.contains(("c", 2L, 2L)))
+    // a live corner's point is untouched
+    assert(got(("c", 0L, 0L)) == ((0.0, 1.0)))
+  }
 }

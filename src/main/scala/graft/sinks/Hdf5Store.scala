@@ -59,7 +59,9 @@ object Hdf5Store {
 
   /** One dataset to render: row-major `values` of shape `dims`, stored as
     * `dtype` (f64 default; f32 / i32 / i64 cover what real netCDF-4 files
-    * commonly carry — values pass through Double, so i64 beyond 2^53
+    * commonly carry, f16 honors the [[graft.operators.FieldOps]] float16
+    * precision tag with a genuine IEEE binary16 dataset — values pass
+    * through Double, so i64 beyond 2^53
     * cannot round-trip and is rejected); `chunkDims` switches to the
     * chunked layout (with deflate when `deflate` is set — the netCDF4
     * default shape).
@@ -85,11 +87,13 @@ object Hdf5Store {
                          isScale: Boolean, scaleName: String, dimId: Int,
                          dimNames: Seq[String], dtype: String = "f64")
 
-  private val ElemSize = Map("f64" -> 8, "f32" -> 4, "i32" -> 4, "i64" -> 8)
+  private val ElemSize =
+    Map("f64" -> 8, "f32" -> 4, "f16" -> 2, "i32" -> 4, "i64" -> 8)
 
   private def putTyped(b: ByteBuffer, dtype: String, v: Double): Unit = dtype match {
     case "f64" => b.putDouble(v); ()
     case "f32" => b.putFloat(v.toFloat); ()
+    case "f16" => b.putShort(graft.functions.Half.toHalf(v.toFloat)); ()
     case "i32" => b.putInt(v.toInt); ()
     case "i64" => b.putLong(v.toLong); ()
   }
@@ -97,6 +101,7 @@ object Hdf5Store {
   private def getTyped(b: ByteBuffer, off: Int, dtype: String): Double = dtype match {
     case "f64" => b.getDouble(off)
     case "f32" => b.getFloat(off).toDouble
+    case "f16" => graft.functions.Half.fromHalf(b.getShort(off)).toDouble
     case "i32" => b.getInt(off).toDouble
     case "i64" => b.getLong(off).toDouble
   }
@@ -488,6 +493,13 @@ object Hdf5Store {
           img.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte)
           img.putInt(127)
           img.putInt(0)
+        case "f16" => // IEEE binary16: sign 15, exp 10..14 (bias 15), man 0..9
+          img.put(0x11.toByte).put(0x20.toByte).put(15.toByte).put(0.toByte)
+          img.putInt(2)
+          img.putShort(0.toShort).putShort(16.toShort)
+          img.put(10.toByte).put(5.toByte).put(0.toByte).put(10.toByte)
+          img.putInt(15)
+          img.putInt(0)
         case "i32" =>
           img.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte)
           img.putInt(4)
@@ -738,6 +750,7 @@ object Hdf5Store {
             dtype = (cls, sz) match {
               case (1, 8) => "f64"
               case (1, 4) => "f32"
+              case (1, 2) => "f16"
               case (0, 4) => "i32"
               case (0, 8) => "i64"
               case _ => throw new IllegalArgumentException(

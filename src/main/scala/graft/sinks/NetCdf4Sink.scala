@@ -15,6 +15,25 @@ object NetCdf4Sink {
   def writeRecordGrids(df: DataFrame, out: String, shape: (Int, Int),
                        nRecs: Int): Seq[String] = {
     val spark = df.sparkSession
+    // honor a float16/float32 precision request on the value column
+    // (FieldOps.precisionCast tag / FloatType) with the genuinely narrower
+    // HDF5 dataset dtype — the reference's f16 artifact width
+    // (precision.py:40-45); bfloat16 has no HDF5 standard type → f32
+    val dtype = {
+      val f = df.schema("value")
+      val tag =
+        if (f.metadata.contains(graft.operators.FieldOps.PrecisionKey))
+          Some(f.metadata.getString(graft.operators.FieldOps.PrecisionKey))
+        else None
+      tag match {
+        case Some("float16") => "f16"
+        case Some("bfloat16") => "f32"
+        case _ => f.dataType match {
+          case org.apache.spark.sql.types.FloatType => "f32"
+          case _ => "f64"
+        }
+      }
+    }
     val grouped = df.groupBy(col("variable")).agg(
       collect_list(struct(col("t").cast("int").as("t"),
         col("i").cast("int").as("i"), col("j").cast("int").as("j"),
@@ -48,7 +67,7 @@ object NetCdf4Sink {
         Hdf5Store.H5Dataset(
           variable, Seq(nRecs.toLong, nLat.toLong, nLon.toLong), data,
           chunkDims = Some(Seq(1L, nLat.toLong, nLon.toLong)), deflate = true,
-          dimNames = Seq("time", "lat", "lon")),
+          dimNames = Seq("time", "lat", "lon"), dtype = dtype),
         scale("time", nRecs, 0), scale("lat", nLat, 1), scale("lon", nLon, 2)))
       val path = new org.apache.hadoop.fs.Path(s"$out/$variable.nc4")
       val fs = path.getFileSystem(hadoopConf.value)

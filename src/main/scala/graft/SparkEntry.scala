@@ -177,6 +177,7 @@ object SparkEntry {
     "q_union_priority" -> (qUnionPriority _),
     "q_era5_routing" -> (qEra5Routing _),
     "q_era5_fetch" -> (qEra5Fetch _),
+    "q_ahmedml_fetch" -> (qAhmedmlFetch _),
     "q_boundary_box" -> (qBoundaryBox _),
     "q_boundary_hemisphere" -> (qBoundaryHemisphere _),
     "q_boundary_hole" -> (qBoundaryHole _),
@@ -229,8 +230,10 @@ object SparkEntry {
     "q_dashboard_summary" -> (qDashboardSummary _),
     "q_dashboard_workers" -> (qDashboardWorkers _),
     "q_dashboard_stages" -> (qDashboardStages _),
+    "q_dashboard_logs" -> (qDashboardLogs _),
     "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
+    "q_drivaerml_fetch" -> (qDrivaermlFetch _),
     "q_ahmedml_multi" -> (qAhmedmlMulti _),
     "q_mesh_sink_layout" -> (qMeshSinkLayout _),
     "q_grid_sidecar" -> (qGridSidecar _),
@@ -1307,6 +1310,33 @@ object SparkEntry {
       .orderBy("worker_id")
   }
 
+  /** DashboardStore `logs_df` (`dashboard/data.py:283-321`): the leveled,
+    * bounded log tail. One log row per index is written with a
+    * data-derived message (per-index 'O'-order row counts) at
+    * idx-dependent levels (even → INFO, odd → WARNING), then the view is
+    * read back at minLevel=WARNING — pinning the numeric level mapping,
+    * the level gate, and the message content against the orders data.
+    */
+  private def qDashboardLogs(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_dash_log", dir)
+    val pipe = ledgerPipelineFor(dir)
+    graft.core.Runner.runPipeline(s, pipe, "idx", ledgerDir)
+    val runId = pipe.configHash.take(16)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    // bounded collect: the 8-value index domain (idx = o_orderkey % 8)
+    val perIdx = pipe.dataFrame(s).groupBy(col("idx")).count()
+      .collect().map { r =>
+        val idx = r.getLong(0)
+        (if (idx % 2 == 0) "INFO" else "WARNING", "graft.runner",
+          s"idx $idx completed ${r.getLong(1)} rows", idx)
+      }
+    ledger.recordLogs(s, runId, perIdx.toSeq)
+    ledger.logsDf(s, runId, limit = 500, minLevel = 30)
+      .select(col("idx"), col("level"), col("level_num"), col("logger_name"),
+        col("message"))
+      .orderBy("idx")
+  }
+
   /** DashboardStore `stage_df` (`dashboard/data.py:137-167`): the per-stage
     * time-breakdown view over a batch `runPipeline` (which records scheduler
     * stage metrics; stage timings are runtime values, so the gate pins the
@@ -1588,6 +1618,17 @@ object SparkEntry {
     * the same parquet-side mirror as q_vtu_roundtrip.
     */
   private def qVolumeAssembly(s: SparkSession, dir: String): DataFrame = {
+    val root = freshTmpDir("graft_dml_runs", dir)
+    drivaerFixture(s, dir, root)
+    drivaerSummary(s, root)
+  }
+
+  /** The DrivAerML sharded run layout shared by q_volume_assembly (local)
+    * and q_drivaerml_fetch (over loopback HTTP): 4 meshes written as VTU
+    * and byte-sharded into `run_<i>/volume_<i>.vtu.NN.part` files small
+    * enough (1500 B) that every run has several parts.
+    */
+  private def drivaerFixture(s: SparkSession, dir: String, root: String): Unit = {
     val emb = Tables.embeddings(s, dir)
     val pts = emb.select((col("vec_id") % 4).cast("long").as("mesh_id"),
       col("vec_id").cast("long").as("point_id"),
@@ -1606,10 +1647,11 @@ object SparkEntry {
       col("embedding")(3).cast("double").as("value"))
     val flat = freshTmpDir("graft_dml_flat", dir)
     graft.sinks.VtuSink.write(pts, cls, pd, flat, format = "appended-zlib")
-    val root = freshTmpDir("graft_dml_runs", dir)
     // small shards force several .NN.part files per run
     graft.sources.DrivAerMlSource.shardToRunLayout(s, flat, root, partBytes = 1500)
+  }
 
+  private def drivaerSummary(s: SparkSession, root: String): DataFrame = {
     val (rp, rc, rpd) = graft.sources.DrivAerMlSource.readVolume(s, root)
     def runOf = regexp_extract(col("mesh_id"), "run_(\\d+)", 1).cast("long")
     val np = rp.groupBy(runOf.as("mesh_id"))
@@ -1621,6 +1663,23 @@ object SparkEntry {
       .select(col("mesh_id"), col("n_points"), col("n_cells"),
         rnd(col("sx"), 2).as("sum_x"), rnd(col("sv"), 2).as("sum_v"))
       .orderBy("mesh_id")
+  }
+
+  /** DrivAerML fetch→assemble END TO END over a real transport
+    * (`drivaerml.py:79`'s HF download of multi-part ~50 GB volumes, minus
+    * only the remote hostname): the sharded `.NN.part` run layout is
+    * published through a loopback HTTP server, staged via the checksummed
+    * [[graft.sources.HttpFetcher]], and assembled from the cache by the
+    * same contiguity-checked reader as q_volume_assembly. `staged_multi`
+    * pins that MORE objects than runs traveled — i.e. the multi-part
+    * layout itself crossed the transport, not a pre-joined file.
+    */
+  private def qDrivaermlFetch(s: SparkSession, dir: String): DataFrame = {
+    val srv = freshTmpDir("graft_dml_srv", dir)
+    drivaerFixture(s, dir, srv)
+    val (root, nStaged) = stageOverLoopback(srv)
+    drivaerSummary(s, root)
+      .withColumn("staged_multi", lit(if (nStaged > 4) 1 else 0))
   }
 
   /** AhmedML multi-mode DomainMesh assembly (`ahmedml.py:379-394,600-728`):
@@ -1636,6 +1695,19 @@ object SparkEntry {
     * carry rounding, absorbed by the epsilon round guard.
     */
   private def qAhmedmlMulti(s: SparkSession, dir: String): DataFrame = {
+    val root = freshTmpDir("graft_ahmedml", dir)
+    ahmedFixture(s, dir, root)
+    ahmedSummary(s, root)
+  }
+
+  /** The AhmedML run-directory fixture shared by q_ahmedml_multi (local
+    * filesystem) and q_ahmedml_fetch (published over loopback HTTP and
+    * staged through the checksummed Fetcher): 3 runs × (volume VTU +
+    * boundary VTP + STL + 2 slice VTPs + force/moment CSVs, with run 0
+    * alone carrying geo_parameters — runs 1-2 exercise the missing-file
+    * skip).
+    */
+  private def ahmedFixture(s: SparkSession, dir: String, root: String): Unit = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val base = emb.select((col("vec_id") % 3).cast("long").as("mesh_id"),
@@ -1660,7 +1732,6 @@ object SparkEntry {
     val noPd = Seq.empty[(Long, Long, String, Double)]
       .toDF("mesh_id", "point_id", "field", "value")
 
-    val root = freshTmpDir("graft_ahmedml", dir)
     graft.sinks.VtuSink.write(pts, cells, noPd, root, format = "appended-zlib",
       cellData = Some(cellData), nameTemplate = "run_{id}/volume_{id}.vtu")
     graft.sinks.VtuSink.write(pts, cells, pd, root, format = "appended-zlib",
@@ -1680,7 +1751,12 @@ object SparkEntry {
         graft.sources.AhmedMlSource.writeCsv(s,
           s"$root/run_$r/geo_parameters_$r.csv", Seq("slant-angle" -> 25.0))
     }
+  }
 
+  /** The 4-mode AhmedML domain summary over a run-directory root — the
+    * read side of both ahmedml gates.
+    */
+  private def ahmedSummary(s: SparkSession, root: String): DataFrame = {
     val d = graft.sources.AhmedMlSource.readDomain(s, root)
     val interior = d.interiorPoints.groupBy("run_id")
       .agg(count(lit(1)).as("n_interior"),
@@ -1707,6 +1783,23 @@ object SparkEntry {
         rnd("sum_cp", 2).as("sum_cp"), col("n_stl_facets"), col("n_slices"),
         col("cd"), col("varref_cd"), col("slant_angle"))
       .orderBy("run_id")
+  }
+
+  /** AhmedML fetch→assemble END TO END over a real transport
+    * (`ahmedml.py:284-312`'s HF download path, minus only the remote
+    * hostname): the full 3-run dataset layout — nested slice dirs, CSVs
+    * and all — is PUBLISHED through a loopback HTTP server, staged by
+    * [[graft.sources.HttpFetcher.stage]] with per-object SHA-256
+    * verification into the content-addressed cache (the reference's
+    * skip-if-verified behavior), and only then assembled through the
+    * same 4-mode domain reader as q_ahmedml_multi. n_staged pins the
+    * 22-object manifest that actually traveled over HTTP.
+    */
+  private def qAhmedmlFetch(s: SparkSession, dir: String): DataFrame = {
+    val srv = freshTmpDir("graft_ahmed_srv", dir)
+    ahmedFixture(s, dir, srv)
+    val (root, nStaged) = stageOverLoopback(srv)
+    ahmedSummary(s, root).withColumn("n_staged", lit(nStaged))
   }
 
   /** MeshSink naming-template layout (`mesh_writer.py:71,113-146`): write
@@ -1859,21 +1952,14 @@ object SparkEntry {
     * Routing, lexicons, and the oracle are q_era5_routing's exactly;
     * n_staged pins the manifest (one object per variable per backend).
     */
-  private def qEra5Fetch(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def grid(mult: Double) = ev.groupBy((col("user_id") % 50).as("k"))
-      .agg(rnd(sum("value") * mult, 2).as("value"))
-    val srv = freshTmpDir("graft_era5_srv", dir)
-    def rows(g: DataFrame, v: String) =
-      g.select(lit(v).as("variable"), lit(0).as("t"), lit(0).as("i"),
-        col("k").cast("int").as("j"), col("value"))
-    graft.sinks.NetCdfSink.writeRecordGrids(
-      rows(grid(1.0), "VAR_2T").unionByName(rows(grid(1.0), "junk")),
-      s"$srv/b0", shape = (1, 50), nRecs = 1)
-    graft.sinks.NetCdfSink.writeRecordGrids(
-      rows(grid(2.0), "2t").unionByName(rows(grid(3.0), "10u")),
-      s"$srv/b1", shape = (1, 50), nRecs = 1)
-
+  /** Publish every regular file under `srv` through a loopback HTTP server
+    * and stage the manifest back through [[graft.sources.HttpFetcher]]
+    * with SHA-256 verification into the content-addressed cache — the
+    * real download→verify→cache transport under the fetch-e2e gates.
+    * Returns (staged root, object count). stage() is EAGER, so every
+    * object is on local disk (and verified) before the server stops.
+    */
+  private def stageOverLoopback(srv: String): (String, Int) = {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Paths.get(srv)
     val files = java.nio.file.Files.walk(base).iterator().asScala
@@ -1907,10 +1993,26 @@ object SparkEntry {
               .digest(java.nio.file.Files.readAllBytes(f))
               .map(b => f"$b%02x").mkString
         }.toMap
-        // stage() is EAGER: every object is on local disk (and verified)
-        // before the server goes away — decode below never touches HTTP
         new graft.sources.HttpFetcher().stage(manifest, digests)
       } finally server.stop(0)
+    (root, files.size)
+  }
+
+  private def qEra5Fetch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def grid(mult: Double) = ev.groupBy((col("user_id") % 50).as("k"))
+      .agg(rnd(sum("value") * mult, 2).as("value"))
+    val srv = freshTmpDir("graft_era5_srv", dir)
+    def rows(g: DataFrame, v: String) =
+      g.select(lit(v).as("variable"), lit(0).as("t"), lit(0).as("i"),
+        col("k").cast("int").as("j"), col("value"))
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(1.0), "VAR_2T").unionByName(rows(grid(1.0), "junk")),
+      s"$srv/b0", shape = (1, 50), nRecs = 1)
+    graft.sinks.NetCdfSink.writeRecordGrids(
+      rows(grid(2.0), "2t").unionByName(rows(grid(3.0), "10u")),
+      s"$srv/b1", shape = (1, 50), nRecs = 1)
+    val (root, nStaged) = stageOverLoopback(srv)
 
     val present = grid(1.0).select(col("k"))
     def rel(sub: String, vars: Seq[String]) =
@@ -1926,7 +2028,7 @@ object SparkEntry {
       (b0, 0, Map("t2m" -> "VAR_2T")),
       (b1, 1, Map("t2m" -> "2t", "u10" -> "10u"))), "variable", Seq("k"))
       .select(col("variable"), col("k"), col("value"))
-      .withColumn("n_staged", lit(files.size))
+      .withColumn("n_staged", lit(nStaged))
       .orderBy("variable", "k")
   }
 
@@ -8015,6 +8117,18 @@ object SparkEntry {
         |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Fetch e2e mirror: values identical to q_volume_assembly (transport
+    // must not change the assembled bytes); staged_multi pins that more
+    // objects than runs crossed the wire (the multi-part layout itself).
+    "q_drivaerml_fetch" ->
+      """WITH p AS (SELECT vec_id % 4 AS mesh_id,
+        |  CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[4] AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT mesh_id, count(*) AS n_points, count(*) // 3 AS n_cells,
+        |  round(sum(x) + 1e-6, 2) AS sum_x, round(sum(v) + 1e-6, 2) AS sum_v,
+        |  1 AS staged_multi
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Interior = volume cell centroids (fp32) with the cell's data as point
     // data; surface = boundary VTP; globals = exact-fraction CSV constants.
     // Embedding elements are parquet float32, so only the centroid avg and
@@ -8041,6 +8155,34 @@ object SparkEntry {
         |  n_stl_facets, CAST(2 AS BIGINT) AS n_slices,
         |  0.25 + run_id / 8.0 AS cd, run_id / 4.0 AS varref_cd,
         |  CASE WHEN run_id = 0 THEN 25.0 END AS slant_angle
+        |FROM i JOIN s USING (run_id) ORDER BY run_id""".stripMargin,
+
+    // Fetch e2e mirror: values identical to q_ahmedml_multi (transport
+    // must not change data); n_staged pins the 22-object manifest (3 runs
+    // × 7 files + run 0's geo_parameters) that traveled over HTTP.
+    "q_ahmedml_fetch" ->
+      """WITH b AS (SELECT vec_id % 3 AS run_id,
+        |    CAST(embedding[1] AS DOUBLE) AS x,
+        |    CAST(embedding[4] AS DOUBLE) AS v,
+        |    (row_number() OVER (PARTITION BY vec_id % 3 ORDER BY vec_id) - 1) // 3 AS cell_id
+        |  FROM embeddings),
+        |c AS (SELECT run_id, cell_id,
+        |    CAST(CAST(avg(x) AS REAL) AS DOUBLE) AS cx,
+        |    CAST(CAST(sum(v) AS REAL) AS DOUBLE) AS p
+        |  FROM b GROUP BY 1, 2 HAVING count(*) = 3),
+        |i AS (SELECT run_id, count(*) AS n_interior,
+        |    round(sum(cx) + 1e-6, 2) AS sum_cx,
+        |    round(sum(p) + 1e-6, 2) AS sum_p,
+        |    count(*) AS n_stl_facets
+        |  FROM c GROUP BY 1),
+        |s AS (SELECT run_id, count(*) AS n_surface_points,
+        |    round(sum(v) + 1e-6, 2) AS sum_cp
+        |  FROM b GROUP BY 1)
+        |SELECT run_id, n_interior, sum_cx, sum_p, n_surface_points, sum_cp,
+        |  n_stl_facets, CAST(2 AS BIGINT) AS n_slices,
+        |  0.25 + run_id / 8.0 AS cd, run_id / 4.0 AS varref_cd,
+        |  CASE WHEN run_id = 0 THEN 25.0 END AS slant_angle,
+        |  22 AS n_staged
         |FROM i JOIN s USING (run_id) ORDER BY run_id""".stripMargin,
 
     // Mirrors the Geometry tet kernels with IDENTICAL IEEE operation order
@@ -8233,6 +8375,17 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS failed,
         |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS worker_rows
         |""".stripMargin,
+
+    // Dashboard logs_df mirror: WARNING-gated tail over per-index log rows
+    // whose messages carry the real per-residue 'O'-order counts (odd
+    // indices log at WARNING; the minLevel=30 gate drops the INFO evens).
+    "q_dashboard_logs" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT CAST(idx AS BIGINT) AS idx, 'WARNING' AS level,
+        |  30 AS level_num, 'graft.runner' AS logger_name,
+        |  'idx ' || idx || ' completed ' || n || ' rows' AS message
+        |FROM c WHERE idx % 2 = 1 ORDER BY idx""".stripMargin,
 
     // Dashboard stage_df mirror: stage timings are runtime values, so the
     // gate pins the view's structure (rows exist, contiguous distinct

@@ -281,6 +281,29 @@ final class Ledger(dir: String) {
         .otherwise(0.0)).as("total_elapsed_s"))
   }
 
+  /** `logs_df` parity (`dashboard/data.py:283-321` over
+    * `pipeline_store.get_logs`): the leveled, bounded log tail. Level
+    * names map onto Python logging's numeric scale (DEBUG 10 / INFO 20 /
+    * WARNING 30 / ERROR 40 — unknown names read as INFO), rows below
+    * `minLevel` drop, and the newest `limit` rows survive (the
+    * dashboard's tail view; at 100 TB the ledger's logs table is
+    * partition-pruned by run_id before any of this runs).
+    */
+  def logsDf(spark: SparkSession, runId: String, limit: Int = 500,
+             minLevel: Int = 0): DataFrame =
+    logs(spark, runId)
+      .withColumn("level_num",
+        when(col("level") === "DEBUG", 10)
+          .when(col("level") === "INFO", 20)
+          .when(col("level") === "WARNING", 30)
+          .when(col("level") === "ERROR", 40)
+          .otherwise(20))
+      .filter(col("level_num") >= minLevel)
+      .orderBy(col("ts").desc, col("idx").desc)
+      .limit(limit)
+      .select(col("ts"), col("level"), col("level_num"), col("idx"),
+        col("logger_name"), col("message"))
+
   /** `workers_df` parity (`dashboard/data.py:192-231` +
     * `indices_by_worker`, `pipeline_store.py:1200-1246`): per-worker
     * completed/failed index counts. Under Spark the claiming worker is the

@@ -5326,7 +5326,12 @@ object SparkEntry {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_items"),
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        // exact integer cents·basis-points (order-free sum): a float
+        // Σ ext·(1−disc) drifts ~4e-4 against the oracle at sf0.1's
+        // ~24k-row nation groups — the round-11 standing float-sum rule
+        rnd(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+          .cast("double") / lit(1000000.0), 2).as("revenue"))
       .orderBy("r_name", "n_name")
 
   /** CleanFilter referenced-only semantics (`clean.py:39`) / checkpoint-skip
@@ -8963,9 +8968,13 @@ object SparkEntry {
         |  round(vmin + 1e-9, 4) AS min, round(vmax + 1e-9, 4) AS max, round(amean + 1e-9, 6) AS abs_mean
         |FROM m ORDER BY field""".stripMargin,
 
+    // revenue in exact integer cents·basis-points (order-free; the
+    // round-11 standing float-sum rule — see q_bucketed_join)
     "q_join_regional_revenue" ->
       """SELECT r_name, n_name, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS DOUBLE)
+        |    / 1000000 + 1e-9, 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

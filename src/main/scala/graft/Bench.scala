@@ -89,6 +89,14 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      if (trackSpill) {
+        // zero the counters at the start of THIS query's timed window (after
+        // a drain), so session-warmup and the previous query's straggler
+        // tasks never attribute here; reps rides in the JSON so readers can
+        // normalize the per-window total to per-execution
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+        spillMem.set(0L); spillDisk.set(0L)
+      }
       var ok = true
       var i = 0
       while (ok && i < reps) {
@@ -132,7 +140,7 @@ object Bench {
     val spillJson =
       if (!trackSpill) ""
       else spills.reverse.map { case (n, m, d) =>
-        s""""$n":{"mem":$m,"disk":$d}"""
+        s""""$n":{"mem":$m,"disk":$d,"reps":$reps}"""
       }.mkString(""","spills":{""", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson}"""
     println(line)

@@ -165,14 +165,18 @@ object GraphOps {
     * add broadcast per-partition base offsets. O(rows/partitions) per task,
     * one tiny driver collect of partition totals.
     *
-    * The locally-cumsummed frame is PERSISTED and materialized before the
-    * totals collect — `repartitionByRange` SAMPLES its boundaries, so
-    * letting the base-offset join re-execute the lineage can re-draw
-    * different partition boundaries than the ones the collected bases were
-    * computed from (rows then carry a base that belongs to another
-    * partition). One-split inputs replay stably, which is why sf0.01 never
-    * tripped this; the sf0.1 oracle gate did (q_shard_plan, 99 vs 101
-    * shards). Same discipline as [[exclusivePrefixSums]].
+    * The locally-cumsummed frame is materialized with LINEAGE TRUNCATION
+    * ([[graft.core.Materialize.pin]]) before the totals collect —
+    * `repartitionByRange` SAMPLES its boundaries, so any re-execution of
+    * the lineage (a recomputed cache block after executor loss, a second
+    * action) can re-draw different partition boundaries than the ones the
+    * collected bases were computed from (rows then carry a base that
+    * belongs to another partition). A plain persist only holds while the
+    * cached blocks survive; truncating the lineage makes a lost block fail
+    * loudly instead of silently re-sampling. One-split inputs replay
+    * stably, which is why sf0.01 never tripped this; the sf0.1 oracle gate
+    * did (q_shard_plan, 99 vs 101 shards). Same discipline as
+    * [[exclusivePrefixSums]].
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          outCol: String = "offset",
@@ -186,10 +190,10 @@ object GraphOps {
     // partition-local INCLUSIVE cumsum (cheap: partition-bounded window)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ONE materialization: bases and rows must come from the same execution
-    val local = ranged.withColumn("_cum", sum(col(valueCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    local.count()
+    // ONE materialization, lineage-truncated: bases and rows must come from
+    // the same execution, and no recompute path may re-sample boundaries
+    val local = graft.core.Materialize.pin(
+      ranged.withColumn("_cum", sum(col(valueCol)).over(w)))
     // tiny driver-side pass: one row per partition
     val totals = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
@@ -197,14 +201,13 @@ object GraphOps {
       .map { case (base, pid) => (pid, base) }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("_pid", "_base")
-    val out = local.join(broadcast(baseDf), "_pid")
-      .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
-      .drop("_pid", "_cum", "_base")
-      // release the lineage pin once the joined result is materialized —
-      // callers keep a bounded result, not a standing cache entry
-      .localCheckpoint(true)
-    local.unpersist(false)
-    out
+    // the returned frame is pinned too (reliable checkpoint when a dir is
+    // configured — Materialize.pin's documented tradeoff); `local`'s blocks
+    // are released by the ContextCleaner once unreachable
+    graft.core.Materialize.pin(
+      local.join(broadcast(baseDf), "_pid")
+        .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
+        .drop("_pid", "_cum", "_base"))
   }
 
   /** Multi-column variant of [[exclusivePrefixSum]]: ALL the cumulative
@@ -231,10 +234,9 @@ object GraphOps {
     val local0 = valueCols.foldLeft(ranged) { (d, c) =>
       d.withColumn(s"_cum_$c", sum(col(c)).over(w))
     }
-    // ONE materialization: bases and rows come from the same execution
-    val local = local0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    local.count()
+    // ONE materialization, lineage-truncated: bases and rows come from the
+    // same execution and no recompute may re-sample the range boundaries
+    val local = graft.core.Materialize.pin(local0)
     val totals = local.groupBy(col("_pid"))
       .agg(valueCols.map(c => sum(col(c)).as(s"_tot_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"_tot_$c")).tail: _*)
@@ -252,12 +254,10 @@ object GraphOps {
       d.withColumn(s"$c$outSuffix",
         element_at(col("_bases"), i + 1) + col(s"_cum_$c") - col(c))
     }
-    // materialize, then release the lineage pin (same cache-lifecycle
-    // discipline as the single-column form: no standing entry per call)
-    val out = out0.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*)
-      .localCheckpoint(true)
-    local.unpersist(false)
-    out
+    // pin the result (same lifecycle discipline as the single-column form:
+    // `local`'s blocks release via the ContextCleaner once unreachable)
+    graft.core.Materialize.pin(
+      out0.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*))
   }
 
   /** AtomicInfoFilter (`domains/atm/filters/atomic_info.py:44-76`): per-system

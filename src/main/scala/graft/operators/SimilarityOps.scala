@@ -168,17 +168,19 @@ object SimilarityOps {
     annMultiInternal(df, idCol, vecCol, tau, nTables, planesPerTable, seed, dimHint)._1
 
   /** Eager variant for library callers looping over corpora: materializes
-    * the pair set (localCheckpoint — the result is bounded by the candidate
-    * pairs that survive τ), then RELEASES the internal signature-base cache
-    * before returning, so repeated invocations never accumulate
-    * MEMORY_AND_DISK blocks waiting for a global `clearCache()`.
+    * the pair set ([[graft.core.Materialize.pin]] — bounded by the
+    * candidate pairs that survive τ; a reliable checkpoint when the session
+    * has a checkpoint dir, so the result survives executor loss), then
+    * RELEASES the internal signature-base cache before returning, so
+    * repeated invocations never accumulate MEMORY_AND_DISK blocks waiting
+    * for a global `clearCache()`.
     */
   def annCosinePairsMultiEager(df: DataFrame, idCol: String, vecCol: String,
                                tau: Double, nTables: Int = 6, planesPerTable: Int = 12,
                                seed: Long = 42L, dimHint: Int = 0): DataFrame = {
     val (res, owned) =
       annMultiInternal(df, idCol, vecCol, tau, nTables, planesPerTable, seed, dimHint)
-    val out = res.localCheckpoint(true) // materialize while base is cached
+    val out = graft.core.Materialize.pin(res) // materialize while base is cached
     owned.foreach(_.unpersist(true))
     out
   }
@@ -724,12 +726,14 @@ object SimilarityOps {
     val top = graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_neg", k)
       .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
         (-col("_neg")).cast("long").as("hd"))
-      // Eagerly materialize the bounded result (≤ |queryIds|·k rows) so the
-      // codes cache — unreachable to callers — can be released here instead
-      // of leaking one MEMORY_AND_DISK entry per call in a long session.
-      .localCheckpoint(true)
+    // Eagerly pin the bounded result (≤ |queryIds|·k rows) so the codes
+    // cache — unreachable to callers — can be released here instead of
+    // leaking one MEMORY_AND_DISK entry per call in a long session.
+    // Materialize.pin upgrades to a reliable checkpoint when the session
+    // has a checkpoint dir, so the returned frame survives executor loss.
+    val pinned = graft.core.Materialize.pin(top)
     codes.unpersist(false)
-    top
+    pinned
   }
 
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -318,11 +318,12 @@ object TextOps {
       .filter(col("_g") >= minCount).select("tok")
     val ltc = persisted.join(kept, "tok")
       .groupBy("_lbl", "tok").agg(count(lit(1)).as("c"))
-      // Eagerly materialize the bounded (V × L)-row model table so the token
+      // Eagerly pin the bounded (V × L)-row model table so the token
       // explode — shared by the vocab floor and the count groupBy, but
       // unreachable to callers — is released here rather than leaking one
-      // MEMORY_AND_DISK entry per call. lt/vocabN re-read the checkpoint.
-      .localCheckpoint(true)
+      // MEMORY_AND_DISK entry per call. lt/vocabN re-read the pinned table
+      // (reliable checkpoint when the session has a checkpoint dir).
+      .transform(graft.core.Materialize.pin)
     persisted.unpersist(false)
     val lt = ltc.groupBy("_lbl").agg(sum("c").as("t"))
     val vocabN = ltc.select("tok").distinct()

@@ -149,8 +149,21 @@ class HttpFetcher extends Fetcher {
       require(!rel.startsWith("/") && !rel.split('/').contains(".."),
         s"manifest path escapes the staging root: $rel")
     }
-    val key = digest(manifest.sorted.map(e => e._1 + "\u0000" + e._2)
-      .mkString("\n"))
+    // Content-keyed when every entry is checksummed: the key digests the
+    // sorted (relative path, sha256) pairs -- CONTENT identity, not URI
+    // identity -- so mirrors, re-minted ephemeral ports (loopback test
+    // servers), and renamed hosts hit the same staged root instead of
+    // accreting one never-evicted copy per URI spelling. Unchecksummed
+    // manifests fall back to the URI-keyed digest (the URI is all that
+    // identifies them).
+    val key =
+      if (manifest.forall { case (_, rel) => checksums.contains(rel) })
+        digest(manifest.map(_._2).sorted
+          .map(rel => rel + "\u0000" +
+            checksums(rel).toLowerCase(java.util.Locale.ROOT))
+          .mkString("\n"))
+      else digest(manifest.sorted.map(e => e._1 + "\u0000" + e._2)
+        .mkString("\n"))
     val root = cacheRoot(key)
     val done = root.resolve("_STAGED")
     val allStaged = Files.exists(done)

@@ -457,20 +457,39 @@ object DedupOps {
     }
   }
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every node ends labeled with the minimum id reachable in
-    * its component — the dedup *cluster resolution* step (pairs → clusters →
-    * one survivor each). Converges in O(diameter) rounds with the
-    * convergence check riding the propagation job; near-dup clusters are
-    * shallow (dup groups, not web graphs), so rounds stay small. For deep
-    * or extremely skewed components use `connectedComponentsStars`
-    * (large-star/small-star, O(log²) rounds) — identical output, pinned by
-    * spec.
+  /** Min-label rounds this many deep before the DEFAULT entry point
+    * escalates to large-star/small-star: `tools.CcScale` measured min-label
+    * fastest in the shallow regime (dup clusters, rounds ≈ diameter + 1 ≤
+    * a handful) and stars 31× faster by depth 512 — eight shallow rounds
+    * cost little when wasted and cover every measured shallow win.
+    */
+  val AdaptiveProbeRounds = 8
+
+  /** Connected components over near-dup pairs — the dedup *cluster
+    * resolution* step (pairs → clusters → one survivor each): every node
+    * ends labeled with the minimum id reachable in its component.
+    *
+    * ADAPTIVE default (the caller no longer needs to know the graph
+    * shape): min-label propagation — O(diameter) rounds, the fastest path
+    * for the shallow clusters dedup actually produces — runs with a
+    * bounded probe budget (`min(maxIter, AdaptiveProbeRounds)`); if the
+    * component structure is deeper than that, the probe is abandoned and
+    * the large-star/small-star algorithm (O(log²) rounds regardless of
+    * diameter, `connectedComponentsStars`) finishes the job. Identical
+    * output on both paths (spec-pinned), so the escalation is invisible
+    * except in wall time. Callers that need the round count (or
+    * strict min-label semantics) use [[connectedComponentsRounds]] /
+    * [[connectedComponentsStarsRounds]] directly.
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame =
-    connectedComponentsRounds(ids, idCol, pairs, maxIter, checkpointDir)._1
+    minLabelRoundsOpt(ids, idCol, pairs,
+      math.min(maxIter, AdaptiveProbeRounds), checkpointDir) match {
+      case Some((labels, _)) => labels
+      case None => connectedComponentsStars(ids, idCol, pairs,
+        checkpointDir = checkpointDir)
+    }
 
   /** [[connectedComponents]] plus the number of propagation rounds it took
     * to converge — the scale-measurement surface (rounds ≈ component
@@ -479,7 +498,24 @@ object DedupOps {
     */
   def connectedComponentsRounds(ids: DataFrame, idCol: String, pairs: DataFrame,
                                 maxIter: Int = 20,
-                                checkpointDir: Option[String] = None): (DataFrame, Int) = {
+                                checkpointDir: Option[String] = None): (DataFrame, Int) =
+    // Never return silently-wrong labels: a component with diameter > maxIter
+    // would diverge from the recursive-CTE oracle. Callers with deep chains
+    // raise maxIter, switch to stars, or use the adaptive default.
+    minLabelRoundsOpt(ids, idCol, pairs, maxIter, checkpointDir).getOrElse(
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds; " +
+          "raise maxIter or use large-star/small-star for deep components"))
+
+  /** Min-label propagation core: `Some(labels, rounds)` on convergence
+    * within `maxIter`, `None` when the budget runs out (the adaptive entry
+    * point's escalation signal). The symmetrized-edge cache is released on
+    * BOTH exits — labels are checkpointed each round, so nothing returned
+    * references it.
+    */
+  private def minLabelRoundsOpt(ids: DataFrame, idCol: String, pairs: DataFrame,
+                                maxIter: Int,
+                                checkpointDir: Option[String]): Option[(DataFrame, Int)] = {
     val sym = cached(
       pairs.select(col("da").as("a"), col("db").as("b"))
         .union(pairs.select(col("db").as("a"), col("da").as("b"))))
@@ -512,14 +548,10 @@ object DedupOps {
       converged = changed == 0
       it += 1
     }
-    // Never return silently-wrong labels: a component with diameter > maxIter
-    // would diverge from the recursive-CTE oracle. Callers with deep chains
-    // raise maxIter or switch to large-star/small-star.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge after $maxIter rounds; " +
-        "raise maxIter or use large-star/small-star for deep components")
-    (labels.withColumnRenamed("node", idCol)
-      .withColumnRenamed("label", "component"), it)
+    sym.unpersist(false)
+    if (!converged) None
+    else Some((labels.withColumnRenamed("node", idCol)
+      .withColumnRenamed("label", "component"), it))
   }
 
   /** Connected components by alternating large-star / small-star rounds

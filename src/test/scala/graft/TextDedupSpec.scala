@@ -313,15 +313,30 @@ class TextDedupSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
-  test("connectedComponents throws (not silently wrong) past maxIter") {
+  test("connectedComponentsRounds throws (not silently wrong) past maxIter") {
     val s = spark
     import s.implicits._
     val ids = (1L to 6L).toDF("doc_id")
     val chain = (1L until 6L).map(i => (i, i + 1)).toDF("da", "db")
     intercept[IllegalStateException] {
-      graft.operators.DedupOps.connectedComponents(ids, "doc_id", chain, maxIter = 2)
-        .count()
+      graft.operators.DedupOps.connectedComponentsRounds(ids, "doc_id", chain,
+        maxIter = 2)._1.count()
     }
+  }
+
+  test("connectedComponents DEFAULT entry escalates to stars on deep chains") {
+    val s = spark
+    import s.implicits._
+    // a 200-deep chain: min-label needs ~200 rounds, far past the adaptive
+    // probe budget AND past maxIter=20 (the strict form throws on this
+    // graph) — the default entry point must converge via the stars
+    // escalation and label every node with the chain minimum
+    val n = 200L
+    val ids = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
+    val r = graft.operators.DedupOps.connectedComponents(ids, "doc_id", chain)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == n && (1L to n).forall(r(_) == 1L))
   }
 
   test("simhashPairs 64-bit default: lossless vs brute popcount on full-width sigs") {
@@ -371,13 +386,16 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stars == expected)
 
-    // a 200-deep chain: min-label would need ~200 rounds (its default
-    // maxIter=20 throws); the star algorithm collapses it well inside 15
+    // a 200-deep chain: min-label would need ~200 rounds (the strict
+    // instrumented form throws at its 20-round budget; the adaptive default
+    // escalates — covered by its own test); the star algorithm collapses it
+    // well inside 15
     val n = 200L
     val chainIds = (1L to n).toDF("doc_id")
     val chain = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
     intercept[IllegalStateException] {
-      graft.operators.DedupOps.connectedComponents(chainIds, "doc_id", chain).count()
+      graft.operators.DedupOps.connectedComponentsRounds(
+        chainIds, "doc_id", chain)._1.count()
     }
     val r = graft.operators.DedupOps.connectedComponentsStars(
       chainIds, "doc_id", chain, maxIter = 15)

@@ -110,6 +110,94 @@ class ZarrSpec extends SparkSpec {
     assert(m((1L, 1L)) == 2048.0)
   }
 
+  test("Half codec is TOTAL: all 65,536 binary16 patterns round-trip") {
+    import graft.functions.Half
+    // Every non-NaN pattern (zeros, subnormals, normals, ±Inf) must come
+    // back bit-identical through f16→f32→f16. NaN payloads, documented: the
+    // decoder returns the JVM's canonical float NaN (payload and sign are
+    // not preserved — floatToIntBits canonicalizes), so every NaN pattern
+    // re-encodes to the quiet NaN 0x7e00.
+    var bits = 0
+    var nonNan = 0
+    while (bits <= 0xffff) {
+      val h = bits.toShort
+      val isNan = ((bits >>> 10) & 0x1f) == 0x1f && (bits & 0x3ff) != 0
+      val rt = Half.toHalf(Half.fromHalf(h)) & 0xffff
+      if (isNan) assert(rt == 0x7e00, f"NaN pattern $bits%04x -> $rt%04x")
+      else { assert(rt == bits, f"pattern $bits%04x -> $rt%04x"); nonNan += 1 }
+      bits += 1
+    }
+    assert(nonNan == 65536 - 2046) // 2·(2^10−1) NaN payload patterns
+  }
+
+  /** Independent float→binary16 reference: nearest finite half by binary
+    * search over the full sorted table of finite half values, ties to the
+    * EVEN bit pattern, overflow to ±Inf past the 65520 rounding boundary —
+    * numpy `astype(float16)` semantics derived from first principles, no
+    * shared code with [[graft.functions.Half.toHalf]]'s bit manipulation.
+    */
+  private def referenceToHalf(f: Float): Int = {
+    if (f.isNaN) return 0x7e00
+    val sign = if (java.lang.Float.floatToRawIntBits(f) < 0) 0x8000 else 0
+    val a = math.abs(f.toDouble)
+    if (a >= 65520.0) return sign | 0x7c00 // RNE overflow boundary
+    if (a >= 65504.0) return sign | 0x7bff // between max half and boundary
+    // finite positive halves 0x0000..0x7bff are monotonically increasing
+    val vals = halfTable
+    var lo = 0
+    var hi = 0x7bff
+    while (lo < hi) { // smallest index with value >= a
+      val mid = (lo + hi) >>> 1
+      if (vals(mid) < a) lo = mid + 1 else hi = mid
+    }
+    val pick =
+      if (vals(lo) == a || lo == 0) lo
+      else {
+        val below = lo - 1
+        val midpoint = (vals(below) + vals(lo)) / 2.0 // exact in double
+        if (a > midpoint) lo
+        else if (a < midpoint) below
+        else if ((lo & 1) == 0) lo else below // tie → even pattern
+      }
+    sign | pick
+  }
+
+  private lazy val halfTable: Array[Double] = {
+    import graft.functions.Half
+    Array.tabulate(0x7c00)(b => Half.fromHalf(b.toShort).toDouble)
+  }
+
+  test("toHalf == independent nearest-even reference (ScalaCheck + sweeps)") {
+    import graft.functions.Half
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def agree(f: Float): Boolean =
+      (Half.toHalf(f) & 0xffff) == referenceToHalf(f)
+    // regimes: uniform bit patterns (any float), the half-normal range,
+    // the half-subnormal range, and near the overflow boundary
+    val anyBits = Gen.choose(Int.MinValue, Int.MaxValue)
+      .map(java.lang.Float.intBitsToFloat).suchThat(!_.isNaN)
+    val normalish = Gen.chooseNum(-70000.0, 70000.0).map(_.toFloat)
+    val tiny = Gen.chooseNum(-1e-4, 1e-4).map(_.toFloat)
+    val boundary = Gen.chooseNum(65490.0, 65550.0).map(_.toFloat)
+    for (g <- Seq(anyBits, normalish, tiny, boundary)) {
+      val res = SCTest.check(
+        SCTest.Parameters.default.withMinSuccessfulTests(500),
+        Prop.forAll(g)(agree))
+      assert(res.passed, res.status.toString)
+    }
+    // deterministic sweeps across every rounding case class: exact halves,
+    // their neighbors one float-ulp either side, and exact midpoints
+    (0 until 0x7c00).foreach { b =>
+      val v = Half.fromHalf(b.toShort)
+      assert(agree(v) && agree(-v))
+      assert(agree(Math.nextUp(v)) && agree(Math.nextDown(v)))
+      if (b > 0) { // midpoint with the previous half value: the RNE tie
+        val mid = ((halfTable(b - 1) + halfTable(b)) / 2.0).toFloat
+        assert(agree(mid) && agree(-mid))
+      }
+    }
+  }
+
   test("bfloat16 tag falls back to <f4 (zarr v2 has no bf16 dtype code)") {
     val s = spark
     import s.implicits._

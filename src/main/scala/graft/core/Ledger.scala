@@ -20,11 +20,41 @@ final class Ledger(dir: String) {
   private def idxPath = s"$dir/index_results"
   private def runsPath = s"$dir/runs"
 
+  /** MULTI-WRITER-safe append: stage the rows under a UUID dir, then move
+    * each part file into the table under a unique name. A plain
+    * `write.mode(Append)` is NOT safe under concurrent writers — every
+    * Spark job committing into the same directory shares the
+    * `_temporary/0` staging tree, so the first committer's cleanup deletes
+    * the second's in-flight task files (the reference leans on SQLite's
+    * WAL + busy_timeout for exactly this, `pipeline_store.py:758-777`).
+    * Staging + rename gives each commit its own tree and an atomic (per
+    * file) install — also the object-store-friendly pattern at 100 TB
+    * (unique keys, no directory-level commit protocol).
+    */
+  private def appendRows(df: DataFrame, table: String,
+                         singleFile: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir/_staging/${java.util.UUID.randomUUID()}")
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    fs.mkdirs(dest)
+    fs.listStatus(staging).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest,
+          s"${java.util.UUID.randomUUID()}.parquet")),
+          s"ledger append: rename into $dest failed")
+      }
+    fs.delete(staging, true)
+  }
+
   def recordRunStart(spark: SparkSession, runId: String, configJson: String): Unit = {
     import spark.implicits._
-    Seq((runId, configJson, System.currentTimeMillis()))
-      .toDF("run_id", "config_json", "started_at")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(runsPath)
+    appendRows(Seq((runId, configJson, System.currentTimeMillis()))
+      .toDF("run_id", "config_json", "started_at"), "runs")
   }
 
   def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
@@ -57,7 +87,7 @@ final class Ledger(dir: String) {
                       workerId: String): Unit = {
     if (indices.isEmpty) return
     import spark.implicits._
-    indices.toDF("idx")
+    appendRows(indices.toDF("idx")
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("completed"))
       .withColumn("wall_ns", lit(wallNs))
@@ -66,8 +96,8 @@ final class Ledger(dir: String) {
       .withColumn("gpu_memory_bytes",
         gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .withColumn("worker_id", lit(workerId))
-      .withColumn("finished_at", lit(System.currentTimeMillis()))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(idxPath)
+      .withColumn("finished_at", lit(System.currentTimeMillis())),
+      "index_results")
   }
 
   /** Distributed variant: `indices` is a single-column (`idx`, long)
@@ -81,7 +111,7 @@ final class Ledger(dir: String) {
                       gpuMemoryBytes: Option[Long] = None,
                       workerId: String = "driver"): Long = {
     val obs = org.apache.spark.sql.Observation()
-    indices.select(col("idx").cast("long"))
+    appendRows(indices.select(col("idx").cast("long"))
       .withColumn("run_id", lit(runId))
       .withColumn("status", lit("completed"))
       .withColumn("wall_ns", lit(wallNs))
@@ -91,27 +121,43 @@ final class Ledger(dir: String) {
         gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
       .withColumn("worker_id", lit(workerId))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
-      .observe(obs, count(lit(1)).as("n"))
-      .write.mode(SaveMode.Append).parquet(idxPath)
+      .observe(obs, count(lit(1)).as("n")),
+      "index_results", singleFile = false)
     obs.get("n").asInstanceOf[Long]
   }
 
   /** Per-scheduler-stage wall-time rows for a run — the reference's
-    * `stage_metrics` table (`pipeline_store.py:565-572`, stage_order ↔
-    * stageId order, stage_name ↔ Spark's stage callsite name).
+    * `stage_metrics` table (`pipeline_store.py:565-572`, keyed (idx,
+    * run_id, stage_order); stage_name ↔ Spark's stage callsite name).
+    * Batch `runPipeline` records run-scoped rows under idx = −1 (one
+    * action spans every index — the documented grain divergence);
+    * `runPerIndex` records the reference's exact per-index grain (each
+    * index runs in its own job group, so attribution is free).
     */
   def recordStageMetrics(spark: SparkSession, runId: String,
-                         stages: Seq[StageListener#StageRec]): Unit = {
+                         stages: Seq[StageListener#StageRec]): Unit =
+    recordStageMetricsIdx(spark, runId,
+      stages.map(s => (-1L, s)))
+
+  /** (idx, stage) rows batched into ONE append — `runPerIndex` collects the
+    * whole run's per-index stage rows and flushes once (plus once on a
+    * crash), so stage accounting never multiplies the per-index commit
+    * count. stage_order restarts from 0 within each index, matching the
+    * reference's per-index enumeration.
+    */
+  def recordStageMetricsIdx(spark: SparkSession, runId: String,
+                            stages: Seq[(Long, StageListener#StageRec)]): Unit = {
     if (stages.isEmpty) return
     import spark.implicits._
-    stages.sortBy(_.stageId).zipWithIndex
-      .map { case (s, ord) =>
-        (runId, ord, s.stageId, s.name, s.wallNs, s.executorRunNs, s.nTasks,
-          s.peakMemoryBytes)
+    appendRows(stages.groupBy(_._1).toSeq.flatMap { case (idx, recs) =>
+      recs.map(_._2).sortBy(_.stageId).zipWithIndex.map { case (s, ord) =>
+        (runId, idx, ord, s.stageId, s.name, s.wallNs, s.executorRunNs,
+          s.nTasks, s.peakMemoryBytes)
       }
-      .toDF("run_id", "stage_order", "stage_id", "stage_name",
-        "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stage_metrics")
+    }
+      .toDF("run_id", "idx", "stage_order", "stage_id", "stage_name",
+        "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes"),
+      "stage_metrics")
   }
 
   /** Stage rows for a run — an empty frame WITH the table schema when none
@@ -121,9 +167,122 @@ final class Ledger(dir: String) {
     val p = s"$dir/stage_metrics"
     if (!pathExists(spark, p)) {
       import spark.implicits._
-      Seq.empty[(String, Int, Int, String, Long, Long, Int, Long)]
-        .toDF("run_id", "stage_order", "stage_id", "stage_name",
+      Seq.empty[(String, Long, Int, Int, String, Long, Long, Int, Long)]
+        .toDF("run_id", "idx", "stage_order", "stage_id", "stage_name",
           "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
+    } else spark.read.parquet(p).filter(col("run_id") === runId)
+  }
+
+  // ------------------------------------------------ provenance tables
+  // The reference's `output_files(path, idx, run_id, seq)` and
+  // `filter_artifacts(path, idx, run_id, filter_name, filter_order)`
+  // (`core/pipeline_store.py:540-620`): which files did index i produce,
+  // and which side artifacts did each filter write. Append-only parquet
+  // mirrors; the (path, run_id) primary key of output_files holds because
+  // the Runner records only paths not yet recorded for the run.
+
+  /** One row per (path, seq) an index produced. Batch runs record their
+    * run-scoped artifact set under idx = −1 (the sink commits once for
+    * every index — documented divergence from the per-index reference).
+    */
+  def recordOutputFiles(spark: SparkSession, runId: String, idx: Long,
+                        paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    import spark.implicits._
+    appendRows(paths.zipWithIndex.map { case (p, seq) => (p, idx, runId, seq) }
+      .toDF("path", "idx", "run_id", "seq"), "output_files")
+  }
+
+  /** Side files a filter reported for an index (reference
+    * `record_filter_artifacts`, `pipeline_store.py:1558-1590`).
+    */
+  def recordFilterArtifacts(spark: SparkSession, runId: String, idx: Long,
+                            filterName: String, filterOrder: Int,
+                            paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    import spark.implicits._
+    appendRows(paths.map(p => (p, idx, runId, filterName, filterOrder))
+      .toDF("path", "idx", "run_id", "filter_name", "filter_order"),
+      "filter_artifacts")
+  }
+
+  /** Raw output_files rows for a run (schema-typed empty frame if none). */
+  def outputFiles(spark: SparkSession, runId: String): DataFrame = {
+    val p = s"$dir/output_files"
+    if (!pathExists(spark, p)) {
+      import spark.implicits._
+      Seq.empty[(String, Long, String, Int)].toDF("path", "idx", "run_id", "seq")
+    } else spark.read.parquet(p).filter(col("run_id") === runId)
+  }
+
+  /** Raw filter_artifacts rows for a run (schema-typed empty if none). */
+  def filterArtifacts(spark: SparkSession, runId: String): DataFrame = {
+    val p = s"$dir/filter_artifacts"
+    if (!pathExists(spark, p)) {
+      import spark.implicits._
+      Seq.empty[(String, Long, String, String, Int)]
+        .toDF("path", "idx", "run_id", "filter_name", "filter_order")
+    } else spark.read.parquet(p).filter(col("run_id") === runId)
+  }
+
+  /** `output_paths` view (`dashboard/data.py:247-262` over
+    * `output_paths_for_index`): the files one index produced, seq-ordered.
+    */
+  def outputPathsDf(spark: SparkSession, runId: String, idx: Long): DataFrame =
+    outputFiles(spark, runId).filter(col("idx") === idx)
+      .select(col("seq"), col("path")).orderBy("seq")
+
+  /** `artifacts` view (`dashboard/data.py:264-274`): one index's filter
+    * artifacts, (filter_order, path)-ordered within each filter.
+    */
+  def artifactsDf(spark: SparkSession, runId: String, idx: Long): DataFrame =
+    filterArtifacts(spark, runId).filter(col("idx") === idx)
+      .select(col("filter_name"), col("filter_order"), col("path"))
+      .orderBy("filter_order", "path")
+
+  /** `all_artifacts` view (`dashboard/data.py:276-288`): every filter
+    * artifact of the run, (filter_order, idx, path)-ordered.
+    */
+  def allArtifactsDf(spark: SparkSession, runId: String): DataFrame =
+    filterArtifacts(spark, runId)
+      .select(col("filter_name"), col("filter_order"), col("idx"), col("path"))
+      .orderBy("filter_order", "idx", "path")
+
+  // --------------------------------------------------- worker registry
+  // The reference's `workers` table (`pipeline_store.py:540-620`,
+  // register_worker/worker_start_index/worker_finish_index) as append-only
+  // heartbeat rows: registration writes the first row, every commit
+  // appends a refreshed one (heartbeat-on-commit — no daemon), and the
+  // view resolves latest-row-wins per worker.
+
+  /** Append one worker heartbeat row. `currentIndex` is the index whose
+    * commit carries this heartbeat (None at registration / run end —
+    * matching the reference's NULL between indices); `completedCount` is
+    * this worker's own running commit counter (the VIEW recomputes
+    * authoritative counts from index_results, like the reference's
+    * `workers_df` does, so this column is informational).
+    */
+  def recordWorkerHeartbeat(spark: SparkSession, runId: String,
+                            workerId: String, pid: Long, hostname: String,
+                            invocationId: String,
+                            currentIndex: Option[Long],
+                            completedCount: Long): Unit = {
+    import spark.implicits._
+    appendRows(Seq((workerId, runId, pid, hostname, invocationId,
+      currentIndex, completedCount))
+      .toDF("worker_id", "run_id", "pid", "hostname", "invocation_id",
+        "current_index", "completed_count")
+      .withColumn("ts", lit(System.currentTimeMillis())), "workers")
+  }
+
+  /** Raw workers rows for a run (schema-typed empty frame if none). */
+  def workers(spark: SparkSession, runId: String): DataFrame = {
+    val p = s"$dir/workers"
+    if (!pathExists(spark, p)) {
+      import spark.implicits._
+      Seq.empty[(String, String, Long, String, String, Option[Long], Long, Long)]
+        .toDF("worker_id", "run_id", "pid", "hostname", "invocation_id",
+          "current_index", "completed_count", "ts")
     } else spark.read.parquet(p).filter(col("run_id") === runId)
   }
 
@@ -134,10 +293,9 @@ final class Ledger(dir: String) {
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String,
                   workerId: String): Unit = {
     import spark.implicits._
-    Seq((idx, runId, "error", 0L, 0L, workerId, System.currentTimeMillis(), error))
+    appendRows(Seq((idx, runId, "error", 0L, 0L, workerId, System.currentTimeMillis(), error))
       .toDF("idx", "run_id", "status", "wall_ns", "n_rows", "worker_id",
-        "finished_at", "error")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/errors")
+        "finished_at", "error"), "errors")
   }
 
   /** Structured run logs — the reference's `logs` table
@@ -149,10 +307,9 @@ final class Ledger(dir: String) {
                  entries: Seq[(String, String, String, Long)]): Unit = {
     if (entries.isEmpty) return
     import spark.implicits._
-    entries.toDF("level", "logger_name", "message", "idx")
+    appendRows(entries.toDF("level", "logger_name", "message", "idx")
       .withColumn("run_id", lit(runId))
-      .withColumn("ts", lit(System.currentTimeMillis()))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/logs")
+      .withColumn("ts", lit(System.currentTimeMillis())), "logs")
   }
 
   /** Log rows for a run — schema-typed empty frame when none were written. */
@@ -281,6 +438,67 @@ final class Ledger(dir: String) {
         .otherwise(0.0)).as("total_elapsed_s"))
   }
 
+  /** Ledger small-files compaction — the scale discipline the ledger's OWN
+    * metadata needs: per-index commits append one tiny parquet file each,
+    * so a 10⁴–10⁵-index `runPerIndex` run turns every resume probe into a
+    * 10⁴–10⁵-footer listing (the reference's SQLite WAL has no analogue of
+    * this cost). `compact` rewrites any table whose file count exceeds
+    * `maxFilesPerTable` into size-targeted files (64 MB apiece, minimum
+    * one) and swaps it in via rename. Contents are unchanged — the tables
+    * are append-only row logs, so a rewrite is a pure physical re-bin.
+    *
+    * SINGLE-WRITER maintenance op, like the reference's SQLite VACUUM: run
+    * it between runs (the Runner never invokes it implicitly). A writer
+    * appending concurrently with the swap could land rows in the old
+    * directory after the read — quiesce first.
+    *
+    * Returns table → (files before, files after) for every table present.
+    */
+  def compact(spark: SparkSession, maxFilesPerTable: Int = 64): Map[String, (Int, Int)] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val tables = Seq("index_results", "runs", "errors", "logs",
+      "stage_metrics", "output_files", "filter_artifacts", "workers")
+    tables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(fsConf)
+      if (!fs.exists(p)) None
+      else {
+        val parts = {
+          val it = fs.listFiles(p, true)
+          var n = 0; var bytes = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+          }
+          (n, bytes)
+        }
+        val (nFiles, nBytes) = parts
+        if (nFiles <= maxFilesPerTable) Some(t -> (nFiles, nFiles))
+        else {
+          val target = math.max(1L, nBytes / (64L << 20)).toInt
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/$t._compact_tmp")
+          fs.delete(tmp, true)
+          spark.read.parquet(p.toString).coalesce(target)
+            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          val old = new org.apache.hadoop.fs.Path(
+            s"$dir/$t._pre_compact_${System.currentTimeMillis()}")
+          require(fs.rename(p, old), s"compact: could not retire $p")
+          require(fs.rename(tmp, p), s"compact: could not install $tmp")
+          fs.delete(old, true)
+          val after = {
+            val it = fs.listFiles(p, true)
+            var n = 0
+            while (it.hasNext) {
+              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+            }
+            n
+          }
+          Some(t -> (nFiles, after))
+        }
+      }
+    }.toMap
+  }
+
   /** `logs_df` parity (`dashboard/data.py:283-321` over
     * `pipeline_store.get_logs`): the leveled, bounded log tail. Level
     * names map onto Python logging's numeric scale (DEBUG 10 / INFO 20 /
@@ -304,12 +522,18 @@ final class Ledger(dir: String) {
       .select(col("ts"), col("level"), col("level_num"), col("idx"),
         col("logger_name"), col("message"))
 
-  /** `workers_df` parity (`dashboard/data.py:192-231` +
-    * `indices_by_worker`, `pipeline_store.py:1200-1246`): per-worker
-    * completed/failed index counts. Under Spark the claiming worker is the
-    * driver session (executors are task slots, not index claimants), so a
-    * single-session run shows one row — honest, not degenerate: multiple
-    * concurrent sessions sharing a ledger each appear as their own worker.
+  /** `workers_df` parity (`dashboard/data.py:192-246` +
+    * `indices_by_worker`/`active_workers`, `pipeline_store.py:1200-1246,
+    * 1760-1810`): one row per claiming worker with the reference's full
+    * column set — identity (`pid`, `hostname`, `invocation_id`), liveness
+    * (`started_at` = first heartbeat, `last_heartbeat` = latest,
+    * `current_index` from the latest row), and completed/failed counts
+    * recomputed from index_results exactly as the reference's view does
+    * (it drops the workers table's stale `completed_count` in favor of the
+    * authoritative per-index rows). Workers that committed index rows
+    * before the heartbeat registry existed (or the batch driver claim)
+    * still surface, with null identity fields. Concurrent sessions sharing
+    * a ledger each appear as their own worker row.
     */
   def workersDf(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
@@ -331,8 +555,22 @@ final class Ledger(dir: String) {
       .agg(countDistinct("idx").as("completed"))
     val errs = errRows.groupBy("worker_id")
       .agg(countDistinct("idx").as("failed"))
+    // latest-row-wins identity/liveness from the heartbeat registry
+    val reg = workers(spark, runId)
+      .groupBy("worker_id")
+      .agg(min(col("ts")).as("started_at"),
+        max(col("ts")).as("last_heartbeat"),
+        max(struct(col("ts"), col("pid"), col("hostname"),
+          col("current_index"), col("invocation_id"))).as("w"))
+      .select(col("worker_id"), col("w.pid").as("pid"),
+        col("w.hostname").as("hostname"), col("started_at"),
+        col("last_heartbeat"), col("w.current_index").as("current_index"),
+        col("w.invocation_id").as("invocation_id"))
     comp.join(errs, Seq("worker_id"), "full_outer")
-      .select(col("worker_id"),
+      .join(reg, Seq("worker_id"), "full_outer")
+      .select(col("worker_id"), col("pid"), col("hostname"),
+        col("started_at"), col("last_heartbeat"), col("current_index"),
+        col("invocation_id"),
         coalesce(col("completed"), lit(0L)).as("completed"),
         coalesce(col("failed"), lit(0L)).as("failed"))
   }

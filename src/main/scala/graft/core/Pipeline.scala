@@ -23,8 +23,17 @@ final case class Param(
   */
 final case class PSource(name: String, params: Map[String, String],
                          load: SparkSession => DataFrame)
+
+/** `artifacts` mirrors the reference Filter's artifact report
+  * (`core/base.py:244-262`): paths of side-effect files written since the
+  * last call — the Runner polls it after each work unit and records the
+  * rows into the ledger's `filter_artifacts` table. Stateless filters keep
+  * the default empty report. NOT part of the config identity (a report
+  * callback, not a parameter).
+  */
 final case class PFilter(name: String, params: Map[String, String],
-                         transform: DataFrame => DataFrame)
+                         transform: DataFrame => DataFrame,
+                         artifacts: () => Seq[String] = () => Nil)
 final case class PSink(name: String, params: Map[String, String],
                        write: DataFrame => Seq[String])
 

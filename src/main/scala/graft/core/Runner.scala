@@ -3,13 +3,22 @@ package graft.core
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Result of one `runPipeline` invocation. */
+/** Result of one `runPipeline`/`runPerIndex` invocation.
+  *
+  * `writtenPaths` is what the sink reported DURING THIS INVOCATION (empty
+  * on a full skip); `outputPaths` is the run's full recorded artifact set —
+  * the ledger's `output_files` rows after this invocation, (idx, seq)-
+  * ordered — so a resumed run returns the crashed run's recorded paths the
+  * way the reference's `is_completed` cache does (`pipeline_store.py:
+  * 1035-1058`).
+  */
 final case class RunResult(
     runId: String,
     nTotal: Long,
     nSkipped: Long,
     nExecuted: Long,
-    writtenPaths: Seq[String])
+    writtenPaths: Seq[String],
+    outputPaths: Seq[String] = Nil)
 
 /** Distributed pipeline execution with resume (reference
   * `run/__init__.py:169-315` + `core/base.py:508-689`, re-expressed on
@@ -27,6 +36,25 @@ final case class RunResult(
   */
 object Runner {
 
+  private def hostname: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+
+  private def pid: Long = ProcessHandle.current().pid()
+
+  /** Record each filter's artifact report for one work unit
+    * (reference: "the framework calls this after each index",
+    * `core/base.py:244-262` → `record_filter_artifacts`).
+    */
+  private def recordArtifacts(spark: SparkSession, ledger: Ledger,
+                              runId: String, idx: Long,
+                              pipeline: Pipeline): Unit =
+    pipeline.filters.zipWithIndex.foreach { case (f, order) =>
+      val a = f.artifacts()
+      if (a.nonEmpty)
+        ledger.recordFilterArtifacts(spark, runId, idx, f.name, order, a)
+    }
+
   def runPipeline(spark: SparkSession, pipeline: Pipeline, idxCol: String,
                   ledgerDir: String, resume: Boolean = true): RunResult = {
     val ledger = new Ledger(ledgerDir)
@@ -37,12 +65,16 @@ object Runner {
     val completed = ledger.completedIndices(spark, runId)
     val work = if (resume) ledger.remaining(spark, runId, full, idxCol) else full
 
+    def recordedPaths(): Seq[String] =
+      ledger.outputFiles(spark, runId).orderBy("idx", "seq")
+        .select("path").collect().map(_.getString(0)).toSeq
+
     // Skip probe on the INDEX COLUMN only (column-pruned anti-join scan):
     // stops at the first un-completed row in the normal case; in the
     // everything-done case it reads just the index column, never full rows.
     if (resume && work.select(idxCol).isEmpty) {
       val done = completed.count()
-      return RunResult(runId, done, done, 0, Nil)
+      return RunResult(runId, done, done, 0, Nil, recordedPaths())
     }
 
     ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
@@ -91,7 +123,17 @@ object Runner {
     val peakMem = stages.records.map(_.peakMemoryBytes).maxOption.getOrElse(0L)
     val nExecuted = ledger.recordCompleted(spark, runId, executedIdx,
       System.nanoTime() - t0, nRows, peakMem)
-    RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths)
+    // Provenance: the batch sink commits ONCE for every index, so its paths
+    // are run-scoped — recorded under idx = −1 (documented divergence from
+    // the reference's per-index grain; the per-index mode matches exactly).
+    // Only paths not yet recorded for this run are appended, preserving the
+    // reference's (path, run_id) primary key on output_files.
+    val already = recordedPaths().toSet
+    ledger.recordOutputFiles(spark, runId, -1L,
+      paths.distinct.filterNot(already))
+    recordArtifacts(spark, ledger, runId, -1L, pipeline)
+    RunResult(runId, nBefore + nExecuted, nBefore, nExecuted, paths,
+      recordedPaths())
   }
 
   /** Per-index execution: one Spark job per curator index, each COMMITTED
@@ -111,49 +153,128 @@ object Runner {
     * own job records an `errors` ledger row for that index and RETHROWS —
     * the completed prefix stays recorded, the failed index is retried on
     * the next run (error status does not mark completion).
+    *
+    * MULTI-WORKER operation (`workerId`/`invocationId`): concurrent
+    * sessions (or threads) sharing one ledger cooperate by passing the
+    * SAME `invocationId` — each index is then claimed exactly once via an
+    * atomic create of `<ledger>/claims/<runId>/<invocationId>/<idx>`
+    * (Hadoop `createNewFile`: atomic on local FS and HDFS), so no index
+    * runs twice within the invocation and no index is lost (completion is
+    * still what the resume contract reads — a crashed claimant's index is
+    * simply re-run by the NEXT invocation, whose fresh claim namespace
+    * ignores stale claims). Every commit appends a worker heartbeat row
+    * (identity + liveness for the `workers` table — heartbeat-on-commit,
+    * no daemon). Per-index scheduler-stage rows are batched and flushed
+    * once per invocation (and on crash), keyed (idx, run_id, stage_order)
+    * exactly like the reference's stage_metrics.
     */
   def runPerIndex(spark: SparkSession, pipeline: Pipeline, idxCol: String,
                   ledgerDir: String, resume: Boolean = true,
-                  beforeIndex: Long => Unit = _ => ()): RunResult = {
+                  beforeIndex: Long => Unit = _ => (),
+                  workerId: String = "driver",
+                  invocationId: Option[String] = None): RunResult = {
     val ledger = new Ledger(ledgerDir)
     val runId = pipeline.configHash.take(16)
 
-    val full = pipeline.dataFrame(spark)
-    val allIdx = full.select(col(idxCol).cast("long").as("idx")).distinct()
+    // Index enumeration reads the SOURCE (the reference enumerates
+    // len(source) work units, `core/base.py:595-602`); the filter chain is
+    // applied PER SLICE below — each index passes through the filters as
+    // its own unit, exactly the reference's execution model, which is also
+    // what lets a filter's per-call artifact report attribute per index.
+    val src = pipeline.source.load(spark)
+    val allIdx = src.select(col(idxCol).cast("long").as("idx")).distinct()
       .collect().map(_.getLong(0)).sorted
     val done: Set[Long] =
       if (resume) ledger.completedIndices(spark, runId)
         .collect().map(_.getLong(0)).toSet
       else Set.empty
     val todo = allIdx.filterNot(done)
+
+    def recordedPaths(): Seq[String] =
+      ledger.outputFiles(spark, runId).orderBy("idx", "seq")
+        .select("path").collect().map(_.getString(0)).toSeq
+
     if (todo.isEmpty)
-      return RunResult(runId, allIdx.length, allIdx.length, 0, Nil)
+      return RunResult(runId, allIdx.length, allIdx.length, 0, Nil,
+        recordedPaths())
+
+    // claim namespace for cooperating concurrent workers (same invocation)
+    val claimDir = invocationId.map { inv =>
+      val p = new org.apache.hadoop.fs.Path(s"$ledgerDir/claims/$runId/$inv")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p)
+      (fs, p)
+    }
+    def claim(idx: Long): Boolean = claimDir.forall { case (fs, p) =>
+      try fs.createNewFile(new org.apache.hadoop.fs.Path(p, s"idx_$idx"))
+      catch { case _: java.io.IOException => false }
+    }
 
     ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
+    ledger.recordWorkerHeartbeat(spark, runId, workerId, pid, hostname,
+      invocationId.getOrElse(runId), None, 0L)
     val paths = Seq.newBuilder[String]
+    // (path, run_id) primary-key discipline for output_files: record only
+    // paths not yet recorded for the run (sinks that report cumulative
+    // listings — e.g. partition-dir sinks — then attribute each path to the
+    // first index that produced it)
+    var recorded = ledger.outputFiles(spark, runId)
+      .select("path").collect().map(_.getString(0)).toSet
+    val stageRecs = Seq.newBuilder[(Long, StageListener#StageRec)]
     var executed = 0
-    todo.foreach { idx =>
-      val t0 = System.nanoTime()
-      try {
-        beforeIndex(idx)
-        val slice = full.filter(col(idxCol).cast("long") === idx)
-        val obs = org.apache.spark.sql.Observation()
-        val observed = slice.observe(obs, count(lit(1)).as("n_rows"))
-        val p = pipeline.sink match {
-          case Some(s) => s.write(observed)
-          case None => observed.count(); Nil
+    try {
+      todo.foreach { idx =>
+        if (claim(idx)) {
+          val t0 = System.nanoTime()
+          val group = s"graft_run_${runId}_idx_$idx"
+          val stages = StageListener.attach(spark, Some(group))
+          try {
+            beforeIndex(idx)
+            spark.sparkContext.setJobGroup(group, s"graft pipeline $runId idx $idx")
+            val slice = pipeline.filters.foldLeft(
+              src.filter(col(idxCol).cast("long") === idx))((d, f) => f.transform(d))
+            val obs = org.apache.spark.sql.Observation()
+            val observed = slice.observe(obs, count(lit(1)).as("n_rows"))
+            val p = pipeline.sink match {
+              case Some(s) => s.write(observed)
+              case None => observed.count(); Nil
+            }
+            stages.awaitQuiesce()
+            val nRows = obs.get("n_rows").asInstanceOf[Long]
+            val peakMem = stages.records.map(_.peakMemoryBytes)
+              .maxOption.getOrElse(0L)
+            ledger.recordCompleted(spark, runId, Seq(idx),
+              System.nanoTime() - t0, nRows, peakMem, None, workerId)
+            val fresh = p.distinct.filterNot(recorded)
+            ledger.recordOutputFiles(spark, runId, idx, fresh)
+            recorded ++= fresh
+            recordArtifacts(spark, ledger, runId, idx, pipeline)
+            stageRecs ++= stages.records.map(idx -> _)
+            paths ++= p
+            executed += 1
+            ledger.recordWorkerHeartbeat(spark, runId, workerId, pid,
+              hostname, invocationId.getOrElse(runId), Some(idx),
+              executed.toLong)
+          } catch {
+            case e: Throwable =>
+              ledger.recordError(spark, runId, idx,
+                String.valueOf(e.getMessage), workerId)
+              throw e
+          } finally {
+            spark.sparkContext.clearJobGroup()
+            StageListener.detach(spark, stages)
+          }
         }
-        val nRows = obs.get("n_rows").asInstanceOf[Long]
-        ledger.recordCompleted(spark, runId, Seq(idx),
-          System.nanoTime() - t0, nRows)
-        paths ++= p
-        executed += 1
-      } catch {
-        case e: Throwable =>
-          ledger.recordError(spark, runId, idx, String.valueOf(e.getMessage))
-          throw e
       }
+    } finally {
+      // one batched flush per invocation — also on the crash path, so the
+      // completed prefix keeps its stage rows (reference grain:
+      // (idx, run_id, stage_order), pipeline_store.py:565-572)
+      ledger.recordStageMetricsIdx(spark, runId, stageRecs.result())
     }
-    RunResult(runId, done.size + executed, done.size, executed, paths.result())
+    ledger.recordWorkerHeartbeat(spark, runId, workerId, pid, hostname,
+      invocationId.getOrElse(runId), None, executed.toLong)
+    RunResult(runId, done.size + executed, done.size, executed,
+      paths.result(), recordedPaths())
   }
 }

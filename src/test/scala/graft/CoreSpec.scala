@@ -224,6 +224,200 @@ class CoreSpec extends SparkSpec {
     assert(computes == 2)
   }
 
+  /** A per-index sink + an artifact-reporting filter: the provenance
+    * fixture (reference `record_success` output_paths + filter
+    * `artifacts()`, `pipeline_store.py:1060-1130,1558-1590`).
+    */
+  private def provenancePipeline(out: String, artRoot: String): Pipeline = {
+    val counter = new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    val statsFilter = PFilter("stats_writer", Map("suffix" -> "txt"),
+      df => {
+        // a side-effect file per transform call, reported via artifacts()
+        val p = s"$artRoot/stats_${counter.get().size}.txt"
+        Files.createDirectories(Paths.get(artRoot))
+        Files.write(Paths.get(p), "ok".getBytes)
+        counter.set(counter.get() :+ p)
+        df
+      },
+      artifacts = () => { val a = counter.get(); counter.set(Nil); a })
+    Pipeline(mkSource(4)).filter(doubleFilter).filter(statsFilter)
+      .write(PSink("per_idx_parquet", Map("path" -> "out"), df => {
+        // one artifact dir per work unit — the slice's single idx names it
+        val idx = df.select(min(col("idx"))).first().getLong(0)
+        val p = s"$out/part_$idx"
+        df.write.mode("overwrite").parquet(p)
+        Seq(p)
+      }))
+  }
+
+  test("output_files + filter_artifacts: per-index provenance and views") {
+    val dir = Files.createTempDirectory("graft-prov").toString
+    val out = Files.createTempDirectory("graft-prov-out").toString
+    val art = Files.createTempDirectory("graft-prov-art").toString
+    val p = provenancePipeline(out, s"$art/a")
+    val r1 = Runner.runPerIndex(spark, p, "idx", dir)
+    val led = new Ledger(dir)
+
+    // output_files: one row per (path, idx), seq-ordered, (path, run_id) PK
+    val of = led.outputFiles(spark, r1.runId)
+      .orderBy("idx").collect()
+    assert(of.length == 4)
+    assert(of.map(_.getAs[Long]("idx")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(of.forall(_.getAs[Int]("seq") == 0))
+    assert(of.map(_.getAs[String]("path")).distinct.length == 4)
+    assert(r1.outputPaths.toSet == of.map(_.getAs[String]("path")).toSet)
+
+    // per-index output_paths view
+    val op = led.outputPathsDf(spark, r1.runId, 2L).collect()
+    assert(op.length == 1 && op.head.getAs[String]("path").endsWith("part_2"))
+
+    // filter_artifacts: the stats filter reported one file per index at
+    // its pipeline position (order 1, after the stateless double filter)
+    val fa = led.allArtifactsDf(spark, r1.runId).collect()
+    assert(fa.length == 4)
+    assert(fa.forall(_.getAs[String]("filter_name") == "stats_writer"))
+    assert(fa.forall(_.getAs[Int]("filter_order") == 1))
+    val one = led.artifactsDf(spark, r1.runId, 1L).collect()
+    assert(one.length == 1 && one.head.getAs[String]("path").contains("stats_"))
+
+    // a resumed (fully-skipped) run still returns the recorded paths —
+    // the reference's is_completed cache contract
+    val r2 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r2.nExecuted == 0 && r2.writtenPaths.isEmpty)
+    assert(r2.outputPaths.toSet == r1.outputPaths.toSet && r2.outputPaths.size == 4)
+  }
+
+  test("workers table: identity/liveness parity + per-index stage grain") {
+    val dir = Files.createTempDirectory("graft-wrk").toString
+    val p = Pipeline(mkSource(4)).filter(doubleFilter)
+    val r = Runner.runPerIndex(spark, p, "idx", dir, workerId = "w_test")
+    val led = new Ledger(dir)
+    val w = led.workersDf(spark, r.runId).collect()
+    assert(w.length == 1)
+    val row = w.head
+    // reference workers_df column set (dashboard/data.py:193-246)
+    for (c <- Seq("worker_id", "pid", "hostname", "started_at",
+      "last_heartbeat", "current_index", "completed", "failed"))
+      assert(row.schema.fieldNames.contains(c), s"missing column $c")
+    assert(row.getAs[String]("worker_id") == "w_test")
+    assert(row.getAs[Long]("pid") == ProcessHandle.current().pid())
+    assert(row.getAs[String]("hostname").nonEmpty)
+    assert(row.getAs[Long]("completed") == 4 && row.getAs[Long]("failed") == 0)
+    // heartbeat-on-commit: last_heartbeat advanced past registration
+    assert(row.getAs[Long]("last_heartbeat") >= row.getAs[Long]("started_at"))
+
+    // per-index stage metrics: rows keyed (idx, stage_order), order
+    // restarting from 0 within each index (pipeline_store.py:565-572)
+    val sm = led.stageMetrics(spark, r.runId)
+    val perIdx = sm.groupBy("idx")
+      .agg(min("stage_order").as("mn"), countDistinct("stage_order").as("d"),
+        count(lit(1)).as("n")).collect()
+    assert(perIdx.map(_.getAs[Long]("idx")).toSet == Set(0L, 1L, 2L, 3L))
+    assert(perIdx.forall(r => r.getAs[Int]("mn") == 0 &&
+      r.getAs[Long]("d") == r.getAs[Long]("n")))
+  }
+
+  test("concurrent workers share one ledger: claims partition, no lost updates") {
+    val dir = Files.createTempDirectory("graft-mw").toString
+    val out = Files.createTempDirectory("graft-mw-out").toString
+    // one artifact dir PER SINK CALL: concurrent workers must not append
+    // into a single parquet directory (Spark's commit protocol shares the
+    // _temporary tree across jobs on one path — same reason the ledger
+    // itself appends via stage-then-rename)
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = Pipeline(mkSource(8)).filter(doubleFilter)
+      .write(PSink("per_call_parquet", Map("path" -> "out"), df => {
+        val d = s"$out/p_${sinkCalls.getAndIncrement()}"
+        df.write.mode("overwrite").parquet(d)
+        Seq(d)
+      }))
+    val inv = Some("inv_1")
+    // two claimants racing through the SAME invocation's claim namespace;
+    // results land via exceptions-or-RunResult per thread
+    val results = new java.util.concurrent.ConcurrentHashMap[String, RunResult]()
+    val threads = Seq("w_a", "w_b").map { wid =>
+      new Thread(() => {
+        val r = Runner.runPerIndex(spark, p, "idx", dir,
+          workerId = wid, invocationId = inv)
+        results.put(wid, r); ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    val ra = results.get("w_a"); val rb = results.get("w_b")
+    assert(ra != null && rb != null, "a worker thread died")
+    // no lost updates: every index completed exactly once across workers
+    assert(ra.nExecuted + rb.nExecuted == 8)
+    val led = new Ledger(dir)
+    assert(led.completedIndices(spark, ra.runId).count() == 8)
+    // per-worker attribution sums correctly in the dashboard view, and any
+    // worker that claimed indices appears as its own row
+    val w = led.workersDf(spark, ra.runId).collect()
+    assert(w.map(_.getAs[String]("worker_id")).toSet == Set("w_a", "w_b"))
+    assert(w.map(_.getAs[Long]("completed")).sum == 8)
+    // artifact complete and exactly-once: 8 rows, one per index, across
+    // the per-call artifact dirs
+    val written = spark.read.parquet(s"$out/p_*")
+    assert(written.count() == 8)
+    assert(written.select(col("idx").cast("long")).distinct().count() == 8)
+    // a fresh invocation resumes to a full skip (stale claims ignored)
+    val r3 = Runner.runPerIndex(spark, p, "idx", dir,
+      workerId = "w_c", invocationId = Some("inv_2"))
+    assert(r3.nExecuted == 0 && r3.nSkipped == 8)
+  }
+
+  test("crashed claimant's indices are re-run by the next invocation") {
+    val dir = Files.createTempDirectory("graft-mw2").toString
+    val p = Pipeline(mkSource(8)).filter(doubleFilter)
+    val boom = intercept[RuntimeException] {
+      Runner.runPerIndex(spark, p, "idx", dir, workerId = "w_a",
+        invocationId = Some("inv_1"),
+        beforeIndex = i => if (i == 5L) throw new RuntimeException("injected"))
+    }
+    assert(boom.getMessage == "injected")
+    // idx 5 holds a stale claim under inv_1 and an errors row — a NEW
+    // invocation must re-run exactly 5, 6, 7
+    val r2 = Runner.runPerIndex(spark, p, "idx", dir, workerId = "w_b",
+      invocationId = Some("inv_2"))
+    assert(r2.nExecuted == 3 && r2.nSkipped == 5 && r2.nTotal == 8)
+    val led = new Ledger(dir)
+    val w = led.workersDf(spark, r2.runId)
+      .orderBy("worker_id").collect()
+    assert(w.map(r => (r.getAs[String]("worker_id"),
+      r.getAs[Long]("completed"), r.getAs[Long]("failed"))).toSeq ==
+      Seq(("w_a", 5L, 0L), ("w_b", 3L, 0L)))
+  }
+
+  test("ledger compaction: many per-index commits re-bin; contents unchanged") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val led = new Ledger(dir)
+    // simulate a long per-index run: one tiny commit file per index
+    (0L until 120L).foreach { i =>
+      led.recordCompleted(spark, "run_c", Seq(i), 1000L, 10L)
+    }
+    def files(t: String): Int = {
+      val d = new java.io.File(s"$dir/$t")
+      if (!d.exists()) 0
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(d)
+      }
+    }
+    val before = files("index_results")
+    assert(before >= 120)
+    val idxBefore = led.completedIndices(spark, "run_c")
+      .collect().map(_.getLong(0)).toSet
+    val report = led.compact(spark, maxFilesPerTable = 16)
+    assert(report("index_results")._1 == before)
+    assert(report("index_results")._2 < 16)
+    assert(files("index_results") == report("index_results")._2)
+    // contents identical: same completed set, resume probe still correct
+    val idxAfter = led.completedIndices(spark, "run_c")
+      .collect().map(_.getLong(0)).toSet
+    assert(idxAfter == idxBefore && idxAfter.size == 120)
+  }
+
   test("year-split sink writes (variable, year) partition layout") {
     val s = spark
     import s.implicits._

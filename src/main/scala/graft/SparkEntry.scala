@@ -231,6 +231,10 @@ object SparkEntry {
     "q_dashboard_workers" -> (qDashboardWorkers _),
     "q_dashboard_stages" -> (qDashboardStages _),
     "q_dashboard_logs" -> (qDashboardLogs _),
+    "q_dashboard_artifacts" -> (qDashboardArtifacts _),
+    "q_dashboard_workers_multi" -> (qDashboardWorkersMulti _),
+    "q_dashboard_stages_idx" -> (qDashboardStagesIdx _),
+    "q_pipeline_from_config" -> (qPipelineFromConfig _),
     "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
     "q_drivaerml_fetch" -> (qDrivaermlFetch _),
@@ -1223,15 +1227,25 @@ object SparkEntry {
     val ledger = new graft.core.Ledger(ledgerDir)
     val run1Completed = ledger.completedIndices(s, runId).count()
     val run1Failed = ledger.failedIndices(s, runId).count()
+    // output_files provenance recorded by the crashed run: one partition
+    // dir per completed index (0-4)
+    val crashedPaths = ledger.outputFiles(s, runId)
+      .select("path").collect().map(_.getString(0)).toSet
     val r2 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir)
+    // the resumed run returns the crashed run's recorded paths (reference
+    // is_completed cache contract) plus its own three
+    val resumedPaths = crashedPaths.subsetOf(r2.outputPaths.toSet)
     s.read.parquet(artDir)
       .select(col("idx").cast("long").as("idx"),
         col("l_returnflag").as("return_flag"), col("n_rows"), col("sum_qty"))
       .withColumn("run1_crashed", lit(if (crashed) 1 else 0))
       .withColumn("run1_completed", lit(run1Completed))
       .withColumn("run1_failed", lit(run1Failed))
+      .withColumn("run1_recorded_paths", lit(crashedPaths.size.toLong))
       .withColumn("run2_executed", lit(r2.nExecuted))
       .withColumn("run2_skipped", lit(r2.nSkipped))
+      .withColumn("run2_returns_crashed_paths", lit(if (resumedPaths) 1 else 0))
+      .withColumn("run2_total_paths", lit(r2.outputPaths.size.toLong))
       .orderBy("idx", "return_flag")
   }
 
@@ -1370,6 +1384,183 @@ object SparkEntry {
     * whole chain — gates, survivor set, and accounting — with zero
     * rounding anywhere.
     */
+  /** Provenance tables + artifact views (`pipeline_store.py:540-620`
+    * output_files/filter_artifacts; `dashboard/data.py:247-288`
+    * output_paths/artifacts/all_artifacts): a per-index run whose sink
+    * writes one artifact per index and whose second filter reports one
+    * side file per index through the `PFilter.artifacts()` contract. The
+    * emitted row set ties every count back to the orders data (per-residue
+    * 'O'-order row counts ride along from index_results) and pins the view
+    * shapes: one seq-0 output path per index named by its index, one
+    * artifact per index at filter_order 1, eight artifacts total, and the
+    * resumed run returning all eight recorded paths with zero executions.
+    */
+  private def qDashboardArtifacts(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_dash_art", dir)
+    val artRoot = s"$ledgerDir/filter_art"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(artRoot))
+    val pendingArts =
+      new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipe = graft.core.Pipeline(
+      graft.core.PSource("orders_by_mod8", Map("table" -> "orders", "mod" -> "8"),
+        sp => Tables.orders(sp, dir).withColumn("idx", col("o_orderkey") % 8)),
+      Vector(
+        graft.core.PFilter("open_orders", Map("status" -> "O"),
+          df => df.filter(col("o_orderstatus") === "O")),
+        graft.core.PFilter("stats_probe", Map("kind" -> "marker"),
+          df => {
+            // one side file per transform call — runPerIndex applies the
+            // chain per slice, so each index gets exactly one
+            val p = s"$artRoot/probe_${pendingArts.get().size}_${sinkCalls.get()}.txt"
+            java.nio.file.Files.write(java.nio.file.Paths.get(p), "ok".getBytes)
+            pendingArts.set(pendingArts.get() :+ p)
+            df
+          },
+          artifacts = () => { val a = pendingArts.get(); pendingArts.set(Nil); a }),
+      ),
+      Some(graft.core.PSink("per_idx_parquet", Map("path" -> "artifact"),
+        df => {
+          val p = s"$ledgerDir/artifact/part_${sinkCalls.getAndIncrement()}"
+          df.write.mode("overwrite").parquet(p)
+          Seq(p)
+        })))
+    val r1 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir)
+    val r2 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    val runId = r1.runId
+    val nRows = s.read.parquet(s"$ledgerDir/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(max("n_rows").as("n_rows"))
+    // indices run in sorted order, so sink call k serves index k — the
+    // output path suffix pins that attribution
+    val outs = ledger.outputFiles(s, runId)
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(count(lit(1)).as("n_output_files"),
+        sum(when(col("path") === concat(lit(s"$ledgerDir/artifact/part_"),
+          col("idx")), 1).otherwise(0)).as("path_named_by_idx"),
+        max("seq").as("max_seq"))
+    val arts = ledger.filterArtifacts(s, runId)
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(count(lit(1)).as("n_artifacts"),
+        max("filter_name").as("filter_name"),
+        max("filter_order").as("filter_order"))
+    val allArts = ledger.allArtifactsDf(s, runId)
+      .agg(count(lit(1)).as("total_artifacts"))
+    outs.join(arts, Seq("idx")).join(nRows, Seq("idx"))
+      .crossJoin(allArts)
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .withColumn("run2_recorded_paths", lit(r2.outputPaths.size.toLong))
+      .orderBy("idx")
+  }
+
+  /** Two claiming workers through one ledger (reference workers table +
+    * `indices_by_worker`, `pipeline_store.py:1200-1246,1687-1810`): w_1
+    * runs per-index and crashes at index 5 (completing 0–4), w_2 resumes
+    * under a fresh invocation and completes the rest (the errored index
+    * retried by the OTHER worker). `workersDf` must show both claimants
+    * with their own completed counts, retry-wins failed accounting (w_1's
+    * error row is superseded by w_2's completion), identity columns
+    * populated, and per-worker row throughput tied to the orders data.
+    */
+  private def qDashboardWorkersMulti(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_dash_mw", dir)
+    val pipe = ledgerPipelineFor(dir)
+    try graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir,
+      beforeIndex = i => if (i == 5L) throw new RuntimeException("injected fault"),
+      workerId = "w_1", invocationId = Some("inv_1"))
+    catch { case e: RuntimeException if e.getMessage == "injected fault" => () }
+    val r2 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir,
+      workerId = "w_2", invocationId = Some("inv_2"))
+    val runId = pipe.configHash.take(16)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    val workerRows = s.read.parquet(s"$ledgerDir/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("worker_id"), col("idx")).agg(max("n_rows").as("n"))
+      .groupBy("worker_id").agg(sum("n").as("worker_rows"))
+    ledger.workersDf(s, runId)
+      .join(workerRows, Seq("worker_id"), "left")
+      .select(col("worker_id"), col("completed"), col("failed"),
+        coalesce(col("worker_rows"), lit(0L)).as("worker_rows"),
+        (col("pid") > 0).cast("int").as("pid_positive"),
+        (length(col("hostname")) > 0).cast("int").as("hostname_nonempty"),
+        (col("last_heartbeat") >= col("started_at")).cast("int")
+          .as("heartbeat_ordered"),
+        col("invocation_id"))
+      .withColumn("run2_executed", lit(r2.nExecuted))
+      .orderBy("worker_id")
+  }
+
+  /** Per-index stage-metrics grain (`pipeline_store.py:565-572` keys stage
+    * rows (idx, run_id, stage_order)): a clean per-index run must leave,
+    * for EVERY index, at least one stage row whose stage_order numbering
+    * restarts from zero and stays distinct within the index — the exact
+    * reference grain, available in this mode because each index runs in
+    * its own job group.
+    */
+  private def qDashboardStagesIdx(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_dash_sgi", dir)
+    val pipe = ledgerPipelineFor(dir)
+    val r1 = graft.core.Runner.runPerIndex(s, pipe, "idx", ledgerDir)
+    val runId = pipe.configHash.take(16)
+    new graft.core.Ledger(ledgerDir).stageMetrics(s, runId)
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg((count(lit(1)) > 0).cast("int").as("has_stages"),
+        (min(col("stage_order")) === 0).cast("int").as("order_from_zero"),
+        (countDistinct(col("stage_order")) === count(lit(1)))
+          .cast("int").as("order_distinct"),
+        (min(col("wall_ns")) >= 0).cast("int").as("wall_nonneg"))
+      .withColumn("run_executed", lit(r1.nExecuted))
+      .orderBy("idx")
+  }
+
+  /** Config-file-driven execution END TO END (`core/serialization.py:
+    * 301-345` → `run_pipeline`, SURVEY §3.3's third entry point): the
+    * pipeline spec is SAVED to YAML, loaded back through a registry of
+    * stage factories in a separate code path, and the LOADED pipeline runs
+    * through the public Runner into a parquet artifact. The oracle replays
+    * the artifact values from orders; hash_equal pins `load(save(p))`
+    * reproducing the exact config identity that names the checkpoint
+    * store, and the run accounting pins that the loaded pipeline actually
+    * executed (not the directly-built twin).
+    */
+  private def qPipelineFromConfig(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_pipe_cfg", dir)
+    val artDir = s"$ledgerDir/artifact"
+    val reg = new graft.core.Registry
+    reg.registerSource("orders_by_mod8")(ps => graft.core.PSource(
+      "orders_by_mod8", ps,
+      sp => Tables.orders(sp, dir)
+        .withColumn("idx", col("o_orderkey") % ps("mod").toInt)))
+    reg.registerFilter("open_orders")(ps => graft.core.PFilter(
+      "open_orders", ps, df => df.filter(col("o_orderstatus") === ps("status"))))
+    reg.registerFilter("count_by_idx")(ps => graft.core.PFilter(
+      "count_by_idx", ps,
+      df => df.groupBy(col("idx"))
+        .agg(count(lit(1)).as("n_open"), sum(col("o_custkey")).as("sum_cust"))))
+    reg.registerSink("parquet_artifact")(ps => graft.core.PSink(
+      "parquet_artifact", ps,
+      df => { df.write.mode("overwrite").parquet(artDir); Seq(artDir) }))
+
+    val direct = graft.core.Pipeline(
+      reg.source("orders_by_mod8", Map("table" -> "orders", "mod" -> "8")),
+      Vector(reg.filter("open_orders", Map("status" -> "O")),
+        reg.filter("count_by_idx", Map("groups" -> "idx"))),
+      Some(reg.sink("parquet_artifact", Map("path" -> "artifact"))))
+    val yml = s"$ledgerDir/pipeline.yaml"
+    graft.core.Serialization.save(direct, yml)
+    val loaded = graft.core.Serialization.load(yml, reg)
+    val hashEqual = loaded.configHash == direct.configHash
+    val r1 = graft.core.Runner.runPipeline(s, loaded, "idx", ledgerDir)
+    s.read.parquet(artDir)
+      .select(col("idx"), col("n_open"), col("sum_cust"))
+      .withColumn("hash_equal", lit(if (hashEqual) 1 else 0))
+      .withColumn("run_executed", lit(r1.nExecuted))
+      .withColumn("artifact_recorded", lit(r1.outputPaths.size.toLong))
+      .orderBy("idx")
+  }
+
   private def qTextPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     val ledgerDir = freshTmpDir("graft_pipe_text", dir)
     val artDir = s"$ledgerDir/artifact"
@@ -8339,8 +8530,11 @@ object SparkEntry {
         |  1 AS run1_crashed,
         |  CAST(5 AS BIGINT) AS run1_completed,
         |  CAST(1 AS BIGINT) AS run1_failed,
+        |  CAST(5 AS BIGINT) AS run1_recorded_paths,
         |  CAST(3 AS BIGINT) AS run2_executed,
-        |  CAST(5 AS BIGINT) AS run2_skipped
+        |  CAST(5 AS BIGINT) AS run2_skipped,
+        |  1 AS run2_returns_crashed_paths,
+        |  CAST(8 AS BIGINT) AS run2_total_paths
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Dashboard index_df mirror: completed residues 0-4 carry their real
@@ -8400,6 +8594,64 @@ object SparkEntry {
       """SELECT 1 AS has_stages, 1 AS order_from_zero, 1 AS order_distinct,
         |  1 AS wall_nonneg, 1 AS exec_nonneg, 1 AS tasks_pos,
         |  CAST(8 AS BIGINT) AS run_executed""".stripMargin,
+
+    // Provenance mirror: every index records exactly one seq-0 output path
+    // named by its index, one stats_probe artifact at filter_order 1,
+    // eight artifacts total; per-index row counts replay from orders; the
+    // resumed run executes nothing yet returns all eight recorded paths.
+    "q_dashboard_artifacts" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT CAST(idx AS BIGINT) AS idx,
+        |  CAST(1 AS BIGINT) AS n_output_files,
+        |  CAST(1 AS BIGINT) AS path_named_by_idx,
+        |  0 AS max_seq,
+        |  CAST(1 AS BIGINT) AS n_artifacts,
+        |  'stats_probe' AS filter_name,
+        |  1 AS filter_order,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  CAST(8 AS BIGINT) AS total_artifacts,
+        |  CAST(0 AS BIGINT) AS run2_executed,
+        |  CAST(8 AS BIGINT) AS run2_recorded_paths
+        |FROM c ORDER BY idx""".stripMargin,
+
+    // Two-worker ledger mirror: w_1 completed residues 0-4 then crashed at
+    // 5 (its error row superseded by w_2's completion — retry-wins, so
+    // failed=0), w_2 completed 5-7 under a fresh invocation; per-worker
+    // row throughput replays from orders.
+    "q_dashboard_workers_multi" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT 'w_1' AS worker_id, CAST(5 AS BIGINT) AS completed,
+        |  CAST(0 AS BIGINT) AS failed,
+        |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS worker_rows,
+        |  1 AS pid_positive, 1 AS hostname_nonempty, 1 AS heartbeat_ordered,
+        |  'inv_1' AS invocation_id, CAST(3 AS BIGINT) AS run2_executed
+        |UNION ALL
+        |SELECT 'w_2', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST((SELECT sum(n) FROM c WHERE idx >= 5) AS BIGINT),
+        |  1, 1, 1, 'inv_2', CAST(3 AS BIGINT)
+        |ORDER BY worker_id""".stripMargin,
+
+    // Per-index stage grain mirror: every executed index owns stage rows
+    // whose ordering restarts at zero (reference (idx, run_id,
+    // stage_order) key); timings are runtime values, gated as booleans.
+    "q_dashboard_stages_idx" ->
+      """WITH i AS (SELECT DISTINCT o_orderkey % 8 AS idx FROM orders)
+        |SELECT CAST(idx AS BIGINT) AS idx, 1 AS has_stages,
+        |  1 AS order_from_zero, 1 AS order_distinct, 1 AS wall_nonneg,
+        |  CAST(8 AS BIGINT) AS run_executed
+        |FROM i ORDER BY idx""".stripMargin,
+
+    // Config-file-driven run mirror: the loaded pipeline's artifact values
+    // replay from orders; hash_equal pins load(save(p)) == p's identity.
+    "q_pipeline_from_config" ->
+      """SELECT CAST(o_orderkey % 8 AS BIGINT) AS idx, count(*) AS n_open,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  1 AS hash_equal, CAST(8 AS BIGINT) AS run_executed,
+        |  CAST(1 AS BIGINT) AS artifact_recorded
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_aselmdb_roundtrip" ->
       """SELECT vec_id AS sys_id,

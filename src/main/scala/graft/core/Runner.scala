@@ -239,7 +239,10 @@ object Runner {
               case Some(s) => s.write(observed)
               case None => observed.count(); Nil
             }
-            stages.awaitQuiesce()
+            // per-index jobs are tiny (1-2 stages): a 50 ms stability window
+            // keeps the per-index overhead bounded while still requiring at
+            // least one delivered stage event before returning early
+            stages.awaitQuiesce(stableMs = 50L)
             val nRows = obs.get("n_rows").asInstanceOf[Long]
             val peakMem = stages.records.map(_.peakMemoryBytes)
               .maxOption.getOrElse(0L)

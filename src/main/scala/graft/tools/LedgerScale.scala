@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.Ledger
+
+/** Ledger small-files decade measurement (VERDICT r11 item 2): `runPerIndex`
+  * commits one tiny parquet file per index, so a 10⁴–10⁵-index run turns
+  * the ledger itself into a listing bottleneck — every resume probe
+  * (`completedIndices` → anti-join) pays a footer read per commit file.
+  * The reference's SQLite WAL never pays this (one B-tree); our answer is
+  * `Ledger.compact`. This tool measures the claim:
+  *
+  *   1. drive N real per-index commits through the REAL commit path
+  *      (`recordCompleted` — stage-then-rename, one file per commit);
+  *   2. time the resume probe (completedIndices().count()) against the
+  *      fragmented ledger, repeated `reps` times (median);
+  *   3. `compact()`, verify the completed set is bit-identical;
+  *   4. time the same probe against the compacted ledger.
+  *
+  * Usage: `runMain graft.tools.LedgerScale [nCommits] [reps] [ledgerDir]`
+  * Prints one JSON line: commit wall, file counts, probe medians, speedup.
+  */
+object LedgerScale {
+
+  /** (first-probe sec, median sec, row count): the first probe pays the
+    * cold listing + footer reads — the resume-latency a fresh session
+    * actually experiences; later reps ride the shared file-status cache
+    * and isolate the per-plan footer cost.
+    */
+  private def probeSec(spark: SparkSession, led: Ledger, runId: String,
+                       reps: Int): (Double, Double, Long) = {
+    var n = 0L
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      n = led.completedIndices(spark, runId).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (times.head, times.sorted.apply(times.size / 2), n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCommits = args.headOption.map(_.toInt).getOrElse(10000)
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val dir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_ledger_scale").toString)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val led = new Ledger(dir)
+    val runId = "scale_run"
+    val tCommit0 = System.nanoTime()
+    (0L until nCommits.toLong).foreach { i =>
+      led.recordCompleted(spark, runId, Seq(i), 1000L, 10L)
+      if ((i + 1) % 1000 == 0)
+        System.err.println(s"[ledger-scale] ${i + 1}/$nCommits commits")
+    }
+    val commitSec = (System.nanoTime() - tCommit0) / 1e9
+
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$dir/index_results"))
+    }
+    val filesBefore = parquetFiles()
+    val (coldBefore, medBefore, nBefore) = probeSec(spark, led, runId, reps)
+
+    val tCompact0 = System.nanoTime()
+    val report = led.compact(spark)
+    val compactSec = (System.nanoTime() - tCompact0) / 1e9
+    val filesAfter = parquetFiles()
+    val (coldAfter, medAfter, nAfter) = probeSec(spark, led, runId, reps)
+    require(nBefore == nCommits && nAfter == nCommits,
+      s"completed-set drift: $nBefore before vs $nAfter after vs $nCommits committed")
+
+    println(s"""{"tool":"ledger_scale","n_commits":$nCommits,""" +
+      s""""commit_sec":$commitSec,"files_before":$filesBefore,""" +
+      s""""files_after":$filesAfter,"compact_sec":$compactSec,""" +
+      s""""probe_cold_before_sec":$coldBefore,"probe_med_before_sec":$medBefore,""" +
+      s""""probe_cold_after_sec":$coldAfter,"probe_med_after_sec":$medAfter,""" +
+      s""""probe_speedup_cold":${coldBefore / math.max(coldAfter, 1e-9)},""" +
+      s""""report":"${report.map { case (k, v) => s"$k:${v._1}->${v._2}" }
+        .toSeq.sorted.mkString(",")}"}""")
+    spark.stop()
+  }
+}

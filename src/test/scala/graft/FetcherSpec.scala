@@ -93,7 +93,11 @@ class FetcherSpec extends SparkSpec {
     "re-fetch corrupted files, refuse corrupt servers") {
     val hits = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val body = "cd,lift-z\n0.75,3.5\n"
+    // unique content per test run: the cache key is the CONTENT digest for
+    // fully-checksummed manifests, so a fixed body would hit the staged
+    // root left by a previous suite run and the download-count assertions
+    // would start warm
+    val body = s"cd,lift-z,run\n0.75,3.5,${java.util.UUID.randomUUID()}\n"
     server.createContext("/", { ex =>
       hits.incrementAndGet()
       val b = body.getBytes("UTF-8")

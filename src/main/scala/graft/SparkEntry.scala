@@ -1298,7 +1298,9 @@ object SparkEntry {
       .filter(col("run_id") === runId && col("status") === "completed")
       .groupBy(col("idx")).agg(max("n_rows").as("n"))
       .agg(sum("n").as("completed_rows"))
-    ledger.summaryDf(s, runId, total = 8L)
+    // no caller-supplied total: the per-index run recorded total_indices=8
+    // at start (pipeline_runs parity), and the view reads it back
+    ledger.summaryDf(s, runId)
       .crossJoin(completedRows)
       .select(col("total"), col("completed"), col("failed"), col("remaining"),
         (col("total_elapsed_s") >= 0.0).cast("int").as("elapsed_nonneg"),

@@ -51,11 +51,65 @@ final class Ledger(dir: String) {
     fs.delete(staging, true)
   }
 
-  def recordRunStart(spark: SparkSession, runId: String, configJson: String): Unit = {
+  def recordRunStart(spark: SparkSession, runId: String, configJson: String): Unit =
+    recordRunStart(spark, runId, configJson, None, None)
+
+  /** `run_dir` and `total_indices` mirror the reference's pipeline_runs
+    * columns (`pipeline_store.py:540-548`): the artifact root relative
+    * artifact paths resolve against, and the run's work-unit count (known
+    * upfront in per-index mode; None in batch mode, where the dashboard
+    * falls back to touched-index accounting exactly like
+    * `dashboard/data.py:178-189`).
+    */
+  def recordRunStart(spark: SparkSession, runId: String, configJson: String,
+                     runDir: Option[String],
+                     totalIndices: Option[Long]): Unit = {
     import spark.implicits._
-    appendRows(Seq((runId, configJson, System.currentTimeMillis()))
-      .toDF("run_id", "config_json", "started_at"), "runs")
+    appendRows(Seq((runId, configJson, System.currentTimeMillis(),
+      runDir, totalIndices))
+      .toDF("run_id", "config_json", "started_at", "run_dir", "total_indices"),
+      "runs")
   }
+
+  /** The run's recorded metadata row, latest-start wins (reruns of the
+    * same config append a fresh row; the newest carries current values).
+    * Returns (run_dir, total_indices) — either may be absent.
+    */
+  def runMeta(spark: SparkSession, runId: String): (Option[String], Option[Long]) = {
+    if (!pathExists(spark, runsPath)) return (None, None)
+    val df = spark.read.parquet(runsPath).filter(col("run_id") === runId)
+    val withCols = Seq("run_dir", "total_indices").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }
+    val rows = withCols
+      .agg(max(struct(col("started_at"),
+        col("run_dir").cast("string").as("run_dir"),
+        col("total_indices").cast("long").as("total_indices"))).as("m"))
+      .select(col("m.run_dir"), col("m.total_indices")).collect()
+    rows.headOption.map { r =>
+      (Option(r.getString(0)), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }.getOrElse((None, None))
+  }
+
+  /** `is_completed` parity (`pipeline_store.py:1035-1058`): the cached
+    * output paths of a completed index, None when the index has not
+    * completed — the reference's skip-with-cached-outputs probe.
+    */
+  def isCompleted(spark: SparkSession, runId: String, idx: Long): Option[Seq[String]] = {
+    val done = completedIndices(spark, runId).filter(col("idx") === idx)
+      .limit(1).count() > 0
+    if (!done) None
+    else Some(outputPathsDf(spark, runId, idx)
+      .select("path").collect().map(_.getString(0)).toSeq)
+  }
+
+  /** `resolve_artifact` parity (`pipeline_store.py:1011-1033`): absolute
+    * paths pass through; relative ones resolve against the recorded
+    * run_dir (falling back to the path itself when no run_dir exists).
+    */
+  def resolveArtifact(spark: SparkSession, runId: String, p: String): String =
+    if (p.startsWith("/") || p.contains("://")) p
+    else runMeta(spark, runId)._1.map(d => s"$d/$p").getOrElse(p)
 
   def recordCompleted(spark: SparkSession, runId: String, indices: Seq[Long],
                       wallNs: Long, nRows: Long): Unit =
@@ -427,6 +481,17 @@ final class Ledger(dir: String) {
     * `remaining = total - completed - failed` matches the reference's
     * retry-replaces-error accounting.
     */
+  /** `summary` without a caller-supplied total: reads the run's recorded
+    * `total_indices` (per-index runs store it at start), falling back to
+    * touched-index accounting exactly like `dashboard/data.py:178-189`
+    * when a batch run recorded none.
+    */
+  def summaryDf(spark: SparkSession, runId: String): DataFrame = {
+    val total = runMeta(spark, runId)._2
+      .getOrElse(indexDf(spark, runId).count())
+    summaryDf(spark, runId, total)
+  }
+
   def summaryDf(spark: SparkSession, runId: String, total: Long): DataFrame = {
     val idxView = indexDf(spark, runId)
     idxView.agg(

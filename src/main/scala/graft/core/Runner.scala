@@ -77,7 +77,12 @@ object Runner {
       return RunResult(runId, done, done, 0, Nil, recordedPaths())
     }
 
-    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
+    // run_dir = the sink's declared artifact root (relative filter
+    // artifacts resolve against it); batch mode records no total_indices —
+    // the work-unit count is derivable from the ledger, and the dashboard's
+    // summary falls back to touched-index accounting (reference parity)
+    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig,
+      pipeline.sink.flatMap(_.params.get("path")), None)
     // `observe` piggybacks the row count on the sink's single action —
     // the source is scanned exactly ONCE at full width.
     val obs = org.apache.spark.sql.Observation(s"graft_$runId")
@@ -210,7 +215,8 @@ object Runner {
       catch { case _: java.io.IOException => false }
     }
 
-    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig)
+    ledger.recordRunStart(spark, runId, pipeline.canonicalConfig,
+      pipeline.sink.flatMap(_.params.get("path")), Some(allIdx.length.toLong))
     ledger.recordWorkerHeartbeat(spark, runId, workerId, pid, hostname,
       invocationId.getOrElse(runId), None, 0L)
     val paths = Seq.newBuilder[String]

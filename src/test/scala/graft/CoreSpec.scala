@@ -387,6 +387,34 @@ class CoreSpec extends SparkSpec {
       Seq(("w_a", 5L, 0L), ("w_b", 3L, 0L)))
   }
 
+  test("pipeline_runs parity: run_dir + total_indices; is_completed cache; resolve_artifact") {
+    val dir = Files.createTempDirectory("graft-runmeta").toString
+    val out = Files.createTempDirectory("graft-runmeta-out").toString
+    val sinkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val p = Pipeline(mkSource(4)).filter(doubleFilter)
+      .write(PSink("per_call_parquet", Map("path" -> s"$out/art"), df => {
+        val d = s"$out/art/p_${sinkCalls.getAndIncrement()}"
+        df.write.mode("overwrite").parquet(d)
+        Seq(d)
+      }))
+    val r = Runner.runPerIndex(spark, p, "idx", dir)
+    val led = new Ledger(dir)
+    // pipeline_runs columns (pipeline_store.py:540-548)
+    val (runDir, total) = led.runMeta(spark, r.runId)
+    assert(runDir.contains(s"$out/art") && total.contains(4L))
+    // summary reads the STORED total — no caller-supplied count
+    val sm = led.summaryDf(spark, r.runId).collect().head
+    assert(sm.getAs[Long]("total") == 4 && sm.getAs[Long]("completed") == 4 &&
+      sm.getAs[Long]("remaining") == 0)
+    // is_completed returns the cached output paths; un-run index → None
+    val cached = led.isCompleted(spark, r.runId, 2L)
+    assert(cached.exists(ps => ps.length == 1 && ps.head.startsWith(s"$out/art/p_")))
+    assert(led.isCompleted(spark, r.runId, 99L).isEmpty)
+    // resolve_artifact: absolute passes through, relative joins run_dir
+    assert(led.resolveArtifact(spark, r.runId, "/abs/x.txt") == "/abs/x.txt")
+    assert(led.resolveArtifact(spark, r.runId, "rel/y.txt") == s"$out/art/rel/y.txt")
+  }
+
   test("ledger compaction: many per-index commits re-bin; contents unchanged") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val led = new Ledger(dir)

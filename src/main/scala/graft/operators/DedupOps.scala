@@ -457,35 +457,31 @@ object DedupOps {
     }
   }
 
-  /** Min-label rounds this many deep before the DEFAULT entry point
-    * escalates to large-star/small-star: `tools.CcScale` measured min-label
-    * fastest in the shallow regime (dup clusters, rounds ≈ diameter + 1 ≤
-    * a handful) and stars 31× faster by depth 512 — eight shallow rounds
-    * cost little when wasted and cover every measured shallow win.
-    */
-  val AdaptiveProbeRounds = 8
-
   /** Connected components over near-dup pairs — the dedup *cluster
     * resolution* step (pairs → clusters → one survivor each): every node
     * ends labeled with the minimum id reachable in its component.
     *
     * ADAPTIVE default (the caller no longer needs to know the graph
     * shape): min-label propagation — O(diameter) rounds, the fastest path
-    * for the shallow clusters dedup actually produces — runs with a
-    * bounded probe budget (`min(maxIter, AdaptiveProbeRounds)`); if the
-    * component structure is deeper than that, the probe is abandoned and
-    * the large-star/small-star algorithm (O(log²) rounds regardless of
-    * diameter, `connectedComponentsStars`) finishes the job. Identical
-    * output on both paths (spec-pinned), so the escalation is invisible
-    * except in wall time. Callers that need the round count (or
-    * strict min-label semantics) use [[connectedComponentsRounds]] /
-    * [[connectedComponentsStarsRounds]] directly.
+    * for the shallow clusters dedup actually produces — runs up to
+    * `maxIter` rounds; if the component structure is deeper than that, the
+    * probe is abandoned and the large-star/small-star algorithm (O(log²)
+    * rounds regardless of diameter, `connectedComponentsStars`) finishes
+    * the job instead of throwing. Identical output on both paths
+    * (spec-pinned), so the escalation is invisible except in wall time.
+    * The probe budget deliberately equals the old fail-loud budget: every
+    * graph that converged before runs the identical rounds (a shorter
+    * probe was measured costing the mid-depth tier — q_semantic_dedup's
+    * 9-20-round graphs — 1.7× by escalating early, while the wasted-probe
+    * cost on genuinely deep graphs is bounded by maxIter cheap rounds
+    * before the O(log²) path takes over). Callers that need the round
+    * count (or strict fail-loud min-label semantics) use
+    * [[connectedComponentsRounds]] / [[connectedComponentsStarsRounds]].
     */
   def connectedComponents(ids: DataFrame, idCol: String, pairs: DataFrame,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame =
-    minLabelRoundsOpt(ids, idCol, pairs,
-      math.min(maxIter, AdaptiveProbeRounds), checkpointDir) match {
+    minLabelRoundsOpt(ids, idCol, pairs, maxIter, checkpointDir) match {
       case Some((labels, _)) => labels
       case None => connectedComponentsStars(ids, idCol, pairs,
         checkpointDir = checkpointDir)

@@ -51,6 +51,81 @@ final class Ledger(dir: String) {
     fs.delete(staging, true)
   }
 
+  // Column types the driver-side fast path writes (all ledger tables are
+  // flat rows of these three shapes; Option/null → optional field absent).
+  private sealed trait ColT
+  private case object LongT extends ColT
+  private case object IntT extends ColT
+  private case object StringT extends ColT
+
+  private def msgType(cols: Seq[(String, ColT)]): org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    cols.foreach { case (n, t) =>
+      t match {
+        case LongT => b.addField(Types.optional(INT64).named(n))
+        case IntT => b.addField(Types.optional(INT32).named(n))
+        case StringT => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(n))
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  /** DRIVER-SIDE commit fast path: ledger rows the driver already holds
+    * (one index's metrics, a heartbeat, a handful of artifact paths) are
+    * written straight through parquet-mr — no Spark job — then installed
+    * by the same stage-then-rename protocol as [[appendRows]]. This is
+    * what keeps per-index commit latency in the reference's SQLite class
+    * (~ms) instead of paying a full job-scheduling round-trip (~80 ms)
+    * per table per index; at 10⁴ indices × 3 tables that difference is
+    * the run. Goes through the Hadoop FileSystem API, so it works against
+    * HDFS/S3 exactly like the Spark path. The distributed variant of
+    * recordCompleted keeps the Spark path — its index set never lands on
+    * the driver.
+    */
+  private def appendLocal(spark: SparkSession, table: String,
+                          cols: Seq[(String, ColT)],
+                          rows: Seq[Seq[Any]]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = msgType(cols)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$dir/_staging/${java.util.UUID.randomUUID()}.parquet")
+    val fs = staging.getFileSystem(conf)
+    fs.mkdirs(staging.getParent)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(staging, conf))
+      .withConf(conf).withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { r =>
+      val g = new SimpleGroup(schema)
+      cols.zip(r).foreach { case ((n, t), v0) =>
+        val v = v0 match {
+          case Some(x) => x
+          case None | null => null
+          case x => x
+        }
+        if (v != null) t match {
+          case LongT => g.add(n, v.asInstanceOf[Long])
+          case IntT => g.add(n, v.asInstanceOf[Int])
+          case StringT => g.add(n, v.asInstanceOf[String])
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    fs.mkdirs(dest)
+    require(fs.rename(staging, new org.apache.hadoop.fs.Path(dest,
+      s"${java.util.UUID.randomUUID()}.parquet")),
+      s"ledger append: rename into $dest failed")
+  }
+
   def recordRunStart(spark: SparkSession, runId: String, configJson: String): Unit =
     recordRunStart(spark, runId, configJson, None, None)
 
@@ -64,11 +139,12 @@ final class Ledger(dir: String) {
   def recordRunStart(spark: SparkSession, runId: String, configJson: String,
                      runDir: Option[String],
                      totalIndices: Option[Long]): Unit = {
-    import spark.implicits._
-    appendRows(Seq((runId, configJson, System.currentTimeMillis(),
-      runDir, totalIndices))
-      .toDF("run_id", "config_json", "started_at", "run_dir", "total_indices"),
-      "runs")
+    appendLocal(spark, "runs",
+      Seq("run_id" -> StringT, "config_json" -> StringT,
+        "started_at" -> LongT, "run_dir" -> StringT,
+        "total_indices" -> LongT),
+      Seq(Seq(runId, configJson, System.currentTimeMillis(),
+        runDir, totalIndices)))
   }
 
   /** The run's recorded metadata row, latest-start wins (reruns of the
@@ -140,18 +216,14 @@ final class Ledger(dir: String) {
                       gpuMemoryBytes: Option[Long],
                       workerId: String): Unit = {
     if (indices.isEmpty) return
-    import spark.implicits._
-    appendRows(indices.toDF("idx")
-      .withColumn("run_id", lit(runId))
-      .withColumn("status", lit("completed"))
-      .withColumn("wall_ns", lit(wallNs))
-      .withColumn("n_rows", lit(nRows))
-      .withColumn("peak_memory_bytes", lit(peakMemoryBytes))
-      .withColumn("gpu_memory_bytes",
-        gpuMemoryBytes.map(lit(_)).getOrElse(lit(null)).cast("long"))
-      .withColumn("worker_id", lit(workerId))
-      .withColumn("finished_at", lit(System.currentTimeMillis())),
-      "index_results")
+    val now = System.currentTimeMillis()
+    appendLocal(spark, "index_results",
+      Seq("idx" -> LongT, "run_id" -> StringT, "status" -> StringT,
+        "wall_ns" -> LongT, "n_rows" -> LongT,
+        "peak_memory_bytes" -> LongT, "gpu_memory_bytes" -> LongT,
+        "worker_id" -> StringT, "finished_at" -> LongT),
+      indices.map(i => Seq(i, runId, "completed", wallNs, nRows,
+        peakMemoryBytes, gpuMemoryBytes, workerId, now)))
   }
 
   /** Distributed variant: `indices` is a single-column (`idx`, long)
@@ -202,16 +274,17 @@ final class Ledger(dir: String) {
   def recordStageMetricsIdx(spark: SparkSession, runId: String,
                             stages: Seq[(Long, StageListener#StageRec)]): Unit = {
     if (stages.isEmpty) return
-    import spark.implicits._
-    appendRows(stages.groupBy(_._1).toSeq.flatMap { case (idx, recs) =>
-      recs.map(_._2).sortBy(_.stageId).zipWithIndex.map { case (s, ord) =>
-        (runId, idx, ord, s.stageId, s.name, s.wallNs, s.executorRunNs,
-          s.nTasks, s.peakMemoryBytes)
-      }
-    }
-      .toDF("run_id", "idx", "stage_order", "stage_id", "stage_name",
-        "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes"),
-      "stage_metrics")
+    appendLocal(spark, "stage_metrics",
+      Seq("run_id" -> StringT, "idx" -> LongT, "stage_order" -> IntT,
+        "stage_id" -> IntT, "stage_name" -> StringT, "wall_ns" -> LongT,
+        "executor_run_ns" -> LongT, "n_tasks" -> IntT,
+        "peak_memory_bytes" -> LongT),
+      stages.groupBy(_._1).toSeq.flatMap { case (idx, recs) =>
+        recs.map(_._2).sortBy(_.stageId).zipWithIndex.map { case (s, ord) =>
+          Seq[Any](runId, idx, ord, s.stageId, s.name, s.wallNs,
+            s.executorRunNs, s.nTasks, s.peakMemoryBytes)
+        }
+      })
   }
 
   /** Stage rows for a run — an empty frame WITH the table schema when none
@@ -242,9 +315,10 @@ final class Ledger(dir: String) {
   def recordOutputFiles(spark: SparkSession, runId: String, idx: Long,
                         paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
-    import spark.implicits._
-    appendRows(paths.zipWithIndex.map { case (p, seq) => (p, idx, runId, seq) }
-      .toDF("path", "idx", "run_id", "seq"), "output_files")
+    appendLocal(spark, "output_files",
+      Seq("path" -> StringT, "idx" -> LongT, "run_id" -> StringT,
+        "seq" -> IntT),
+      paths.zipWithIndex.map { case (p, seq) => Seq[Any](p, idx, runId, seq) })
   }
 
   /** Side files a filter reported for an index (reference
@@ -254,10 +328,10 @@ final class Ledger(dir: String) {
                             filterName: String, filterOrder: Int,
                             paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
-    import spark.implicits._
-    appendRows(paths.map(p => (p, idx, runId, filterName, filterOrder))
-      .toDF("path", "idx", "run_id", "filter_name", "filter_order"),
-      "filter_artifacts")
+    appendLocal(spark, "filter_artifacts",
+      Seq("path" -> StringT, "idx" -> LongT, "run_id" -> StringT,
+        "filter_name" -> StringT, "filter_order" -> IntT),
+      paths.map(p => Seq[Any](p, idx, runId, filterName, filterOrder)))
   }
 
   /** Raw output_files rows for a run (schema-typed empty frame if none). */
@@ -321,12 +395,13 @@ final class Ledger(dir: String) {
                             invocationId: String,
                             currentIndex: Option[Long],
                             completedCount: Long): Unit = {
-    import spark.implicits._
-    appendRows(Seq((workerId, runId, pid, hostname, invocationId,
-      currentIndex, completedCount))
-      .toDF("worker_id", "run_id", "pid", "hostname", "invocation_id",
-        "current_index", "completed_count")
-      .withColumn("ts", lit(System.currentTimeMillis())), "workers")
+    appendLocal(spark, "workers",
+      Seq("worker_id" -> StringT, "run_id" -> StringT, "pid" -> LongT,
+        "hostname" -> StringT, "invocation_id" -> StringT,
+        "current_index" -> LongT, "completed_count" -> LongT,
+        "ts" -> LongT),
+      Seq(Seq(workerId, runId, pid, hostname, invocationId,
+        currentIndex, completedCount, System.currentTimeMillis())))
   }
 
   /** Raw workers rows for a run (schema-typed empty frame if none). */
@@ -346,10 +421,12 @@ final class Ledger(dir: String) {
 
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String,
                   workerId: String): Unit = {
-    import spark.implicits._
-    appendRows(Seq((idx, runId, "error", 0L, 0L, workerId, System.currentTimeMillis(), error))
-      .toDF("idx", "run_id", "status", "wall_ns", "n_rows", "worker_id",
-        "finished_at", "error"), "errors")
+    appendLocal(spark, "errors",
+      Seq("idx" -> LongT, "run_id" -> StringT, "status" -> StringT,
+        "wall_ns" -> LongT, "n_rows" -> LongT, "worker_id" -> StringT,
+        "finished_at" -> LongT, "error" -> StringT),
+      Seq(Seq(idx, runId, "error", 0L, 0L, workerId,
+        System.currentTimeMillis(), error)))
   }
 
   /** Structured run logs — the reference's `logs` table
@@ -360,10 +437,13 @@ final class Ledger(dir: String) {
   def recordLogs(spark: SparkSession, runId: String,
                  entries: Seq[(String, String, String, Long)]): Unit = {
     if (entries.isEmpty) return
-    import spark.implicits._
-    appendRows(entries.toDF("level", "logger_name", "message", "idx")
-      .withColumn("run_id", lit(runId))
-      .withColumn("ts", lit(System.currentTimeMillis())), "logs")
+    val now = System.currentTimeMillis()
+    appendLocal(spark, "logs",
+      Seq("level" -> StringT, "logger_name" -> StringT,
+        "message" -> StringT, "idx" -> LongT, "run_id" -> StringT,
+        "ts" -> LongT),
+      entries.map { case (lv, lg, msg, idx) =>
+        Seq[Any](lv, lg, msg, idx, runId, now) })
   }
 
   /** Log rows for a run — schema-typed empty frame when none were written. */

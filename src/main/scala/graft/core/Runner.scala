@@ -210,9 +210,26 @@ object Runner {
       fs.mkdirs(p)
       (fs, p)
     }
+    // Atomic create-exclusive, per scheme. Hadoop's FileSystem.createNewFile
+    // is CHECK-THEN-CREATE on the local filesystem (a TOCTOU hole the
+    // WorkerRace soak hit at 80 indices: racing claimants both passed the
+    // exists() check and both "won"); java.nio's createFile is O_EXCL —
+    // genuinely atomic — so local claims go through NIO, while remote
+    // schemes use create(overwrite = false), which HDFS enforces atomically
+    // server-side (object stores without atomic create-exclusive should
+    // coordinate claims on a consistent store instead).
     def claim(idx: Long): Boolean = claimDir.forall { case (fs, p) =>
-      try fs.createNewFile(new org.apache.hadoop.fs.Path(p, s"idx_$idx"))
-      catch { case _: java.io.IOException => false }
+      val target = new org.apache.hadoop.fs.Path(p, s"idx_$idx")
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(target.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { fs.create(target, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
     }
 
     ledger.recordRunStart(spark, runId, pipeline.canonicalConfig,

@@ -158,85 +158,129 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Deterministic range-bucket id for the two-pass prefix sums: bucket =
+    * a pure FUNCTION OF THE ROW (uniform split of the numeric key range,
+    * min/max from one column-pruned pass) instead of
+    * `repartitionByRange`'s SAMPLED boundaries. This is the structural fix
+    * for the r11 lineage-replay bug (q_shard_plan, 99 vs 101 shards at
+    * sf0.1): with sampled boundaries, any re-execution — a recomputed
+    * cache block after executor loss, a second action — could re-draw
+    * different partitions than the ones the collected per-partition bases
+    * were computed from, silently mis-assigning offsets; pinning the
+    * intermediate closed the hole but paid a full extra materialization
+    * (measured +40% at the ×1000 tier). With a deterministic bucket, every
+    * replay assigns every row the same bucket, so caching becomes a pure
+    * OPTIMIZATION and lost blocks recompute safely. Skewed key
+    * distributions degrade bucket balance, never correctness; the order
+    * key must be numeric (every call site orders by a numeric id or
+    * value) and unique per row (ties would make the within-bucket cumsum
+    * order-dependent — same contract the sampled form had).
+    */
+  private def bucketId(df: DataFrame, orderCol: String, n: Int)
+      : (DataFrame => DataFrame) = {
+    val r = df.agg(min(col(orderCol).cast("double")).as("lo"),
+      max(col(orderCol).cast("double")).as("hi")).collect()(0)
+    if (r.isNullAt(0)) { d => d.withColumn("_pid", lit(0)) } // empty input
+    else {
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val width = math.max((hi - lo) / n, java.lang.Double.MIN_NORMAL)
+      d => d.withColumn("_pid",
+        least(greatest(floor((col(orderCol).cast("double") - lit(lo)) /
+          lit(width)), lit(0L)), lit((n - 1).toLong)).cast("int"))
+    }
+  }
+
   /** Distributed EXCLUSIVE prefix sum over `valueCol` in `orderCol` order —
     * the global atom-offset table. A bare `Window.orderBy` would collapse
     * everything into ONE task; this is the scalable two-pass form:
-    * range-partition by the order key, partition-local cumulative sums, then
-    * add broadcast per-partition base offsets. O(rows/partitions) per task,
-    * one tiny driver collect of partition totals.
+    * deterministic range buckets over the order key ([[bucketId]] — replay-
+    * safe by construction), bucket-local cumulative sums (the window's own
+    * hash shuffle on `_pid` co-locates each bucket), then broadcast
+    * per-bucket base offsets. O(rows/buckets) per task, one tiny
+    * driver collect of bucket totals.
     *
-    * The locally-cumsummed frame is materialized with LINEAGE TRUNCATION
-    * ([[graft.core.Materialize.pin]]) before the totals collect —
-    * `repartitionByRange` SAMPLES its boundaries, so any re-execution of
-    * the lineage (a recomputed cache block after executor loss, a second
-    * action) can re-draw different partition boundaries than the ones the
-    * collected bases were computed from (rows then carry a base that
-    * belongs to another partition). A plain persist only holds while the
-    * cached blocks survive; truncating the lineage makes a lost block fail
-    * loudly instead of silently re-sampling. One-split inputs replay
-    * stably, which is why sf0.01 never tripped this; the sf0.1 oracle gate
-    * did (q_shard_plan, 99 vs 101 shards). Same discipline as
-    * [[exclusivePrefixSums]].
+    * The locally-cumsummed frame is cached before the totals collect so
+    * the final join reuses it instead of recomputing the window — an
+    * optimization only: with deterministic buckets a recomputed block
+    * lands every row in the same bucket with the same cumsum, so the
+    * collected bases stay valid under any replay (the property the
+    * sampled `repartitionByRange` form lacked — see [[bucketId]]).
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          outCol: String = "offset",
                          numPartitions: Int = 0): DataFrame = {
+    val extras = df.columns.filterNot(c => c == orderCol || c == valueCol)
+    // Offsets are computed on the NARROW (orderCol, valueCol) projection —
+    // the window shuffle and the totals cache never carry payload columns
+    // (a wide corpus frame would otherwise pay a full-row materialization
+    // just to number itself: measured 1.4× on ×1000 packSequences). Wide
+    // inputs get the offsets joined back on the order key, which must be
+    // UNIQUE per row — the same contract the cumsum itself already has
+    // (duplicate keys would make the within-bucket order, and therefore
+    // every prefix, nondeterministic).
+    val offsets = prefixCore(df.select(col(orderCol), col(valueCol)),
+      orderCol, valueCol, outCol, numPartitions)
+    if (extras.isEmpty) offsets
+    else df.join(offsets.select(col(orderCol), col(outCol)), Seq(orderCol))
+  }
+
+  private def prefixCore(df: DataFrame, orderCol: String, valueCol: String,
+                         outCol: String, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn("_pid", spark_partition_id())
-    // partition-local INCLUSIVE cumsum (cheap: partition-bounded window)
+    val bucketed = bucketId(df, orderCol, n)(df)
+    // bucket-local INCLUSIVE cumsum (bucket-bounded window)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ONE materialization, lineage-truncated: bases and rows must come from
-    // the same execution, and no recompute path may re-sample boundaries
-    val local = graft.core.Materialize.pin(
-      ranged.withColumn("_cum", sum(col(valueCol)).over(w)))
-    // tiny driver-side pass: one row per partition
+    val local = bucketed.withColumn("_cum", sum(col(valueCol)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    local.count() // cache the window pass; replay-safe either way
+    // tiny driver-side pass: one row per bucket
     val totals = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = totals.scanLeft(0L)(_ + _._2).zip(totals.map(_._1))
       .map { case (base, pid) => (pid, base) }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("_pid", "_base")
-    // the returned frame is pinned too (reliable checkpoint when a dir is
-    // configured — Materialize.pin's documented tradeoff); `local`'s blocks
-    // are released by the ContextCleaner once unreachable
-    graft.core.Materialize.pin(
-      local.join(broadcast(baseDf), "_pid")
-        .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
-        .drop("_pid", "_cum", "_base"))
+    local.join(broadcast(baseDf), "_pid")
+      .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
+      .drop("_pid", "_cum", "_base")
   }
 
   /** Multi-column variant of [[exclusivePrefixSum]]: ALL the cumulative
-    * sums ride ONE range partitioning and one partition-local window.
-    * This is not just cheaper — chaining two single-column calls is
-    * UNSAFE: the second call re-executes the first's lineage, and
-    * `repartitionByRange`'s sampled boundaries need not replay
-    * identically, so the first call's collected partition bases can
-    * disagree with the re-executed partitioning (caught by the KS-test
-    * cumulative counts drifting mid-stream).
+    * sums ride ONE bucketing and one bucket-local window — cheaper than
+    * chaining single-column calls, and the deterministic [[bucketId]]
+    * makes chaining SAFE too (under the old sampled form, a second call
+    * re-executing the first's lineage could re-draw boundaries — caught
+    * by the KS-test cumulative counts drifting mid-stream in r11).
     */
   def exclusivePrefixSums(df: DataFrame, orderCol: String,
                           valueCols: Seq[String], outSuffix: String = "_off",
                           numPartitions: Int = 0): DataFrame = {
     require(valueCols.nonEmpty, "no value columns")
+    val extras = df.columns
+      .filterNot(c => c == orderCol || valueCols.contains(c))
+    if (extras.nonEmpty) {
+      // narrow-core + join-back, same reasoning as the single-column form
+      val narrow = exclusivePrefixSums(
+        df.select((orderCol +: valueCols).map(col): _*),
+        orderCol, valueCols, outSuffix, numPartitions)
+      return df.join(narrow.select(col(orderCol) +:
+        valueCols.map(c => col(s"$c$outSuffix")): _*), Seq(orderCol))
+    }
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .withColumn("_pid", spark_partition_id())
+    val bucketed = bucketId(df, orderCol, n)(df)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local0 = valueCols.foldLeft(ranged) { (d, c) =>
+    val local0 = valueCols.foldLeft(bucketed) { (d, c) =>
       d.withColumn(s"_cum_$c", sum(col(c)).over(w))
     }
-    // ONE materialization, lineage-truncated: bases and rows come from the
-    // same execution and no recompute may re-sample the range boundaries
-    val local = graft.core.Materialize.pin(local0)
+    val local = local0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    local.count() // cache the window pass; replay-safe either way
     val totals = local.groupBy(col("_pid"))
       .agg(valueCols.map(c => sum(col(c)).as(s"_tot_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"_tot_$c")).tail: _*)
@@ -254,10 +298,7 @@ object GraphOps {
       d.withColumn(s"$c$outSuffix",
         element_at(col("_bases"), i + 1) + col(s"_cum_$c") - col(c))
     }
-    // pin the result (same lifecycle discipline as the single-column form:
-    // `local`'s blocks release via the ContextCleaner once unreachable)
-    graft.core.Materialize.pin(
-      out0.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*))
+    out0.drop("_pid" +: "_bases" +: valueCols.map(c => s"_cum_$c"): _*)
   }
 
   /** AtomicInfoFilter (`domains/atm/filters/atomic_info.py:44-76`): per-system

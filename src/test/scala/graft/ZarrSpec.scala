@@ -167,6 +167,24 @@ class ZarrSpec extends SparkSpec {
     Array.tabulate(0x7c00)(b => Half.fromHalf(b.toShort).toDouble)
   }
 
+  test("bf16 codec is TOTAL: all 65,536 bfloat16 patterns round-trip") {
+    import graft.functions.Half
+    // fromBf16 is exact by construction (top 16 float bits); toBf16 of an
+    // exactly-representable value must return it unchanged — including
+    // ±Inf, ±0, and subnormals. NaN payloads, documented (same as the f16
+    // codec): the JVM's floatToIntBits canonicalizes every NaN, so all
+    // NaN patterns round-trip to the canonical quiet NaN 0x7fc0.
+    var bits = 0
+    while (bits <= 0xffff) {
+      val b = bits.toShort
+      val isNan = ((bits >>> 7) & 0xff) == 0xff && (bits & 0x7f) != 0
+      val rt = Half.toBf16(Half.fromBf16(b)) & 0xffff
+      if (isNan) assert(rt == 0x7fc0, f"NaN $bits%04x -> $rt%04x")
+      else assert(rt == bits, f"pattern $bits%04x -> $rt%04x")
+      bits += 1
+    }
+  }
+
   test("toHalf == independent nearest-even reference (ScalaCheck + sweeps)") {
     import graft.functions.Half
     import org.scalacheck.{Gen, Prop, Test => SCTest}

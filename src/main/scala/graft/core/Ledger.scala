@@ -435,15 +435,25 @@ final class Ledger(dir: String) {
     * logging never becomes one-file-per-message at scale.
     */
   def recordLogs(spark: SparkSession, runId: String,
-                 entries: Seq[(String, String, String, Long)]): Unit = {
+                 entries: Seq[(String, String, String, Long)]): Unit =
+    recordLogs(spark, runId, entries, "driver")
+
+  /** `workerId` tags each log row with its emitting worker (the
+    * reference's `logs.worker_id`, `pipeline_store.py:592-604` — its
+    * dashboard renders NULL as "Main"; here the driver session claims by
+    * name, so the default is explicit).
+    */
+  def recordLogs(spark: SparkSession, runId: String,
+                 entries: Seq[(String, String, String, Long)],
+                 workerId: String): Unit = {
     if (entries.isEmpty) return
     val now = System.currentTimeMillis()
     appendLocal(spark, "logs",
       Seq("level" -> StringT, "logger_name" -> StringT,
         "message" -> StringT, "idx" -> LongT, "run_id" -> StringT,
-        "ts" -> LongT),
+        "ts" -> LongT, "worker_id" -> StringT),
       entries.map { case (lv, lg, msg, idx) =>
-        Seq[Any](lv, lg, msg, idx, runId, now) })
+        Seq[Any](lv, lg, msg, idx, runId, now, workerId) })
   }
 
   /** Log rows for a run — schema-typed empty frame when none were written. */
@@ -451,9 +461,15 @@ final class Ledger(dir: String) {
     val p = s"$dir/logs"
     if (!pathExists(spark, p)) {
       import spark.implicits._
-      Seq.empty[(String, String, String, Long, String, Long)]
-        .toDF("level", "logger_name", "message", "idx", "run_id", "ts")
-    } else spark.read.parquet(p).filter(col("run_id") === runId)
+      Seq.empty[(String, String, String, Long, String, Long, String)]
+        .toDF("level", "logger_name", "message", "idx", "run_id", "ts",
+          "worker_id")
+    } else {
+      val df = spark.read.parquet(p).filter(col("run_id") === runId)
+      // ledgers written before the worker_id column read as "driver"
+      if (df.columns.contains("worker_id")) df
+      else df.withColumn("worker_id", lit("driver"))
+    }
   }
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {
@@ -583,6 +599,33 @@ final class Ledger(dir: String) {
         .otherwise(0.0)).as("total_elapsed_s"))
   }
 
+  /** `indices_by_worker` parity (`pipeline_store.py:1200-1246`): the
+    * sorted completed and failed index lists one worker owns, with the
+    * same retry-wins rule as [[workersDf]] (an index another worker later
+    * completed no longer counts as this worker's failure).
+    */
+  def indicesByWorker(spark: SparkSession, runId: String,
+                      workerId: String): DataFrame = {
+    import spark.implicits._
+    val comp =
+      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+         .filter(col("run_id") === runId && col("status") === "completed")
+       else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
+        .select(col("worker_id"), col("idx").cast("long").as("idx"))
+    val errPath = s"$dir/errors"
+    val errs =
+      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+         .filter(col("run_id") === runId)
+       else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
+        .select(col("worker_id"), col("idx").cast("long").as("idx"))
+        .join(comp.select("idx").distinct(), Seq("idx"), "left_anti")
+    comp.filter(col("worker_id") === workerId)
+      .select(col("idx"), lit("completed").as("status"))
+      .unionByName(errs.filter(col("worker_id") === workerId)
+        .select(col("idx"), lit("failed").as("status")))
+      .distinct().orderBy("status", "idx")
+  }
+
   /** Ledger small-files compaction — the scale discipline the ledger's OWN
     * metadata needs: per-index commits append one tiny parquet file each,
     * so a 10⁴–10⁵-index `runPerIndex` run turns every resume probe into a
@@ -664,8 +707,8 @@ final class Ledger(dir: String) {
       .filter(col("level_num") >= minLevel)
       .orderBy(col("ts").desc, col("idx").desc)
       .limit(limit)
-      .select(col("ts"), col("level"), col("level_num"), col("idx"),
-        col("logger_name"), col("message"))
+      .select(col("ts"), col("level"), col("level_num"), col("worker_id"),
+        col("idx"), col("logger_name"), col("message"))
 
   /** `workers_df` parity (`dashboard/data.py:192-246` +
     * `indices_by_worker`/`active_workers`, `pipeline_store.py:1200-1246,

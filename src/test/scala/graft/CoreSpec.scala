@@ -415,6 +415,28 @@ class CoreSpec extends SparkSpec {
     assert(led.resolveArtifact(spark, r.runId, "rel/y.txt") == s"$out/art/rel/y.txt")
   }
 
+  test("indices_by_worker + logs worker_id parity") {
+    val dir = Files.createTempDirectory("graft-ibw").toString
+    val led = new Ledger(dir)
+    led.recordCompleted(spark, "r", Seq(0L, 1L), 1L, 1L, 0L, None, "w_a")
+    led.recordCompleted(spark, "r", Seq(2L), 1L, 1L, 0L, None, "w_b")
+    led.recordError(spark, "r", 3L, "boom", "w_a")
+    led.recordError(spark, "r", 2L, "later completed elsewhere", "w_a")
+    val a = led.indicesByWorker(spark, "r", "w_a").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // idx 2's error does NOT count against w_a — w_b completed it
+    // (retry-wins, pipeline_store.py:1200-1246)
+    assert(a == Seq((0L, "completed"), (1L, "completed"), (3L, "failed")))
+    val b = led.indicesByWorker(spark, "r", "w_b").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(b == Seq((2L, "completed")))
+    // logs rows carry worker_id; logsDf surfaces it (reference logs_df
+    // columns, dashboard/data.py:283-321)
+    led.recordLogs(spark, "r", Seq(("INFO", "t", "m", 0L)), "w_a")
+    val lg = led.logsDf(spark, "r").collect()
+    assert(lg.length == 1 && lg.head.getAs[String]("worker_id") == "w_a")
+  }
+
   test("ledger compaction: many per-index commits re-bin; contents unchanged") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val led = new Ledger(dir)

@@ -178,10 +178,36 @@ object GraphOps {
     */
   private def bucketId(df: DataFrame, orderCol: String, n: Int)
       : (DataFrame => DataFrame) = {
-    val r = df.agg(min(col(orderCol).cast("double")).as("lo"),
-      max(col(orderCol).cast("double")).as("hi")).collect()(0)
-    if (r.isNullAt(0)) { d => d.withColumn("_pid", lit(0)) } // empty input
+    val spark = df.sparkSession
+    // Contract enforcement, piggybacked on the min/max pass (free):
+    //  - NULL order keys always fail loudly — a null key has no bucket, and
+    //    the join-back in the wide-input path would silently DROP its row
+    //    (the sampled repartitionByRange form used to park nulls in a valid
+    //    partition, hiding the ambiguity instead of surfacing it);
+    //  - DUPLICATE order keys make every within-bucket cumsum (and the
+    //    join-back cardinality) order-dependent. Detecting them costs one
+    //    extra shuffle of the narrow key column, so the check is gated by
+    //    `spark.graft.prefixsum.keyguard` — on in the test session, off in
+    //    production plans whose keys are unique by construction.
+    val guard = spark.conf
+      .get("spark.graft.prefixsum.keyguard", "false").toBoolean
+    val base = Seq(min(col(orderCol).cast("double")).as("lo"),
+      max(col(orderCol).cast("double")).as("hi"),
+      count(lit(1)).as("n"), count(col(orderCol)).as("nk"))
+    val aggs = if (guard) base :+ countDistinct(col(orderCol)).as("nd")
+               else base
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = r.getLong(2)
+    if (total == 0L) { d => d.withColumn("_pid", lit(0)) } // empty input
     else {
+      require(r.getLong(3) == total,
+        s"exclusivePrefixSum: order key '$orderCol' has " +
+          s"${total - r.getLong(3)} null value(s) — every row needs a " +
+          "non-null numeric key to receive a deterministic bucket/offset")
+      if (guard) require(r.getLong(4) == total,
+        s"exclusivePrefixSum: order key '$orderCol' has duplicates " +
+          s"(${total} rows, ${r.getLong(4)} distinct) — prefixes would be " +
+          "order-dependent and the wide-input join-back would multiply rows")
       val (lo, hi) = (r.getDouble(0), r.getDouble(1))
       val width = math.max((hi - lo) / n, java.lang.Double.MIN_NORMAL)
       d => d.withColumn("_pid",
@@ -199,19 +225,22 @@ object GraphOps {
     * per-bucket base offsets. O(rows/buckets) per task, one tiny
     * driver collect of bucket totals.
     *
-    * The locally-cumsummed frame is cached before the totals collect so
-    * the final join reuses it instead of recomputing the window — an
-    * optimization only: with deterministic buckets a recomputed block
-    * lands every row in the same bucket with the same cumsum, so the
-    * collected bases stay valid under any replay (the property the
-    * sampled `repartitionByRange` form lacked — see [[bucketId]]).
+    * CACHE-FREE by design (r13): the per-bucket totals are aggregated from
+    * the PRE-window bucketed frame — a map-side-combined groupBy that never
+    * needs the cumsum column — so nothing is persisted and the window runs
+    * exactly once, inside the caller's own action. The r12 form persisted
+    * the windowed frame to share it between the totals collect and the
+    * final join, which leaked one MEMORY_AND_DISK entry per call (TarSink,
+    * packSequences, writePlan all call this); with deterministic buckets
+    * every replay re-derives identical buckets and totals, so the narrow
+    * re-scan is both cheaper than the cache materialization and safe.
     */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, valueCol: String,
                          outCol: String = "offset",
                          numPartitions: Int = 0): DataFrame = {
     val extras = df.columns.filterNot(c => c == orderCol || c == valueCol)
     // Offsets are computed on the NARROW (orderCol, valueCol) projection —
-    // the window shuffle and the totals cache never carry payload columns
+    // the window shuffle and the totals pass never carry payload columns
     // (a wide corpus frame would otherwise pay a full-row materialization
     // just to number itself: measured 1.4× on ×1000 packSequences). Wide
     // inputs get the offsets joined back on the order key, which must be
@@ -230,20 +259,22 @@ object GraphOps {
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val bucketed = bucketId(df, orderCol, n)(df)
-    // bucket-local INCLUSIVE cumsum (bucket-bounded window)
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed.withColumn("_cum", sum(col(valueCol)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    local.count() // cache the window pass; replay-safe either way
-    // tiny driver-side pass: one row per bucket
-    val totals = local.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_tot"))
+    // tiny driver-side pass over the PRE-window frame: one row per bucket,
+    // partial-aggregated map-side (never needs the cumsum column)
+    val totals = bucketed.groupBy(col("_pid"))
+      .agg(sum(col(valueCol)).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val bases = totals.scanLeft(0L)(_ + _._2).zip(totals.map(_._1))
       .map { case (base, pid) => (pid, base) }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("_pid", "_base")
-    local.join(broadcast(baseDf), "_pid")
+    // bucket-local INCLUSIVE cumsum (bucket-bounded window) — evaluated
+    // once, in the caller's action; deterministic buckets keep the
+    // collected bases valid under any recompute
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.withColumn("_cum", sum(col(valueCol)).over(w))
+      .join(broadcast(baseDf), "_pid")
       .withColumn(outCol, col("_base") + col("_cum") - col(valueCol))
       .drop("_pid", "_cum", "_base")
   }
@@ -273,15 +304,9 @@ object GraphOps {
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
     val bucketed = bucketId(df, orderCol, n)(df)
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local0 = valueCols.foldLeft(bucketed) { (d, c) =>
-      d.withColumn(s"_cum_$c", sum(col(c)).over(w))
-    }
-    val local = local0.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    local.count() // cache the window pass; replay-safe either way
-    val totals = local.groupBy(col("_pid"))
+    // per-bucket totals from the PRE-window frame (cache-free, same
+    // reasoning as [[prefixCore]]): one map-side-combined groupBy
+    val totals = bucketed.groupBy(col("_pid"))
       .agg(valueCols.map(c => sum(col(c)).as(s"_tot_$c")).head,
         valueCols.map(c => sum(col(c)).as(s"_tot_$c")).tail: _*)
       .collect()
@@ -293,6 +318,11 @@ object GraphOps {
     import spark.implicits._
     val baseDf = bases.toSeq.map { case (pid, bs) => (pid, bs.toArray) }
       .toDF("_pid", "_bases")
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = valueCols.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(s"_cum_$c", sum(col(c)).over(w))
+    }
     val joined = local.join(broadcast(baseDf), "_pid")
     val out0 = valueCols.zipWithIndex.foldLeft(joined) { case (d, (c, i)) =>
       d.withColumn(s"$c$outSuffix",

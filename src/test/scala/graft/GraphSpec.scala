@@ -23,6 +23,43 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("exclusivePrefixSum(s) leave no cache entries behind (r12 leak)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 50).map(i => (i.toLong, i.toLong, s"payload_$i"))
+      .toDF("sys_id", "natoms", "payload")
+    val before = s.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      GraphOps.exclusivePrefixSum(df, "sys_id", "natoms").count()
+      GraphOps.exclusivePrefixSums(df, "sys_id", Seq("natoms")).count()
+    }
+    val after = s.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"prefix sums leaked ${after - before} persisted RDD(s)")
+  }
+
+  test("prefix-sum key guard: null and duplicate order keys fail loudly") {
+    val s = spark
+    import s.implicits._
+    // nulls always fail (the join-back would silently drop their rows)
+    val withNull = Seq((Some(1L), 2L), (None, 3L), (Some(4L), 5L))
+      .toDF("sys_id", "natoms")
+    val eNull = intercept[IllegalArgumentException] {
+      GraphOps.exclusivePrefixSum(withNull, "sys_id", "natoms").count()
+    }
+    assert(eNull.getMessage.contains("null"))
+    // duplicates fail when the guard conf is on (it is, in the test session)
+    val withDup = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("sys_id", "natoms")
+    val eDup = intercept[IllegalArgumentException] {
+      GraphOps.exclusivePrefixSums(withDup, "sys_id", Seq("natoms")).count()
+    }
+    assert(eDup.getMessage.contains("duplicates"))
+    // guard off: duplicate keys are the caller's responsibility again
+    s.conf.set("spark.graft.prefixsum.keyguard", "false")
+    try GraphOps.exclusivePrefixSum(withDup, "sys_id", "natoms").count()
+    finally s.conf.set("spark.graft.prefixsum.keyguard", "true")
+  }
+
   test("writePlan regions are disjoint and contiguous") {
     val s = spark
     import s.implicits._

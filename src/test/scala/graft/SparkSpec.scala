@@ -14,6 +14,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 2)
       .config("spark.sql.session.timeZone", "UTC")
+      // prefix-sum order-key contract guard ON in tests (off in prod plans)
+      .config("spark.graft.prefixsum.keyguard", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -20,6 +20,20 @@ final class Ledger(dir: String) {
   private def idxPath = s"$dir/index_results"
   private def runsPath = s"$dir/runs"
 
+  /** EVERY ledger-table read goes through here with `mergeSchema` on: the
+    * tables gained columns across rounds (runs: run_dir/total_indices,
+    * logs: worker_id, stage_metrics: idx) and mixed old+new ledgers are an
+    * explicitly supported back-compat case — without schema merge,
+    * parquet's schema comes from one arbitrary footer, silently blanking
+    * new-file values (runMeta → (None, None), logs misattributed) and,
+    * worse, letting `compact()` rewrite the table with the partial schema
+    * and permanently drop the new columns. Ledger tables are tiny and
+    * compaction keeps file counts bounded, so the extra footer reads are
+    * noise.
+    */
+  private def readTable(spark: SparkSession, p: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(p)
+
   /** MULTI-WRITER-safe append: stage the rows under a UUID dir, then move
     * each part file into the table under a unique name. A plain
     * `write.mode(Append)` is NOT safe under concurrent writers — every
@@ -153,7 +167,7 @@ final class Ledger(dir: String) {
     */
   def runMeta(spark: SparkSession, runId: String): (Option[String], Option[Long]) = {
     if (!pathExists(spark, runsPath)) return (None, None)
-    val df = spark.read.parquet(runsPath).filter(col("run_id") === runId)
+    val df = readTable(spark, runsPath).filter(col("run_id") === runId)
     val withCols = Seq("run_dir", "total_indices").foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }
@@ -169,14 +183,22 @@ final class Ledger(dir: String) {
 
   /** `is_completed` parity (`pipeline_store.py:1035-1058`): the cached
     * output paths of a completed index, None when the index has not
-    * completed — the reference's skip-with-cached-outputs probe.
+    * completed — the reference's skip-with-cached-outputs probe. An index
+    * completed by a BATCH `runPipeline` run has its paths recorded
+    * run-scoped under idx = −1 (the sink commits once for all indices), so
+    * an empty per-index lookup falls back to the run-scoped set — the
+    * reference contract of returning the cached outputs, not an empty list.
     */
   def isCompleted(spark: SparkSession, runId: String, idx: Long): Option[Seq[String]] = {
     val done = completedIndices(spark, runId).filter(col("idx") === idx)
       .limit(1).count() > 0
     if (!done) None
-    else Some(outputPathsDf(spark, runId, idx)
-      .select("path").collect().map(_.getString(0)).toSeq)
+    else {
+      def pathsAt(i: Long): Seq[String] = outputPathsDf(spark, runId, i)
+        .select("path").collect().map(_.getString(0)).toSeq
+      val perIdx = pathsAt(idx)
+      Some(if (perIdx.nonEmpty) perIdx else pathsAt(-1L))
+    }
   }
 
   /** `resolve_artifact` parity (`pipeline_store.py:1011-1033`): absolute
@@ -297,7 +319,7 @@ final class Ledger(dir: String) {
       Seq.empty[(String, Long, Int, Int, String, Long, Long, Int, Long)]
         .toDF("run_id", "idx", "stage_order", "stage_id", "stage_name",
           "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
-    } else spark.read.parquet(p).filter(col("run_id") === runId)
+    } else readTable(spark, p).filter(col("run_id") === runId)
   }
 
   // ------------------------------------------------ provenance tables
@@ -334,13 +356,27 @@ final class Ledger(dir: String) {
       paths.map(p => Seq[Any](p, idx, runId, filterName, filterOrder)))
   }
 
-  /** Raw output_files rows for a run (schema-typed empty frame if none). */
+  /** Raw output_files rows for a run (schema-typed empty frame if none).
+    *
+    * The (path, run_id) PRIMARY KEY resolves at read, first-writer-wins:
+    * the Runner appends only paths absent from its recorded-set snapshot,
+    * but two CONCURRENT workers whose sink reports cumulative listings can
+    * both pass that stale-snapshot check and append the same path — so the
+    * view keeps the earliest (idx, seq) attribution per path (the "first
+    * index that produced it" rule the Runner documents) instead of
+    * surfacing duplicates. Single-worker ledgers are unaffected (the
+    * groupBy is a no-op on already-unique paths).
+    */
   def outputFiles(spark: SparkSession, runId: String): DataFrame = {
     val p = s"$dir/output_files"
     if (!pathExists(spark, p)) {
       import spark.implicits._
       Seq.empty[(String, Long, String, Int)].toDF("path", "idx", "run_id", "seq")
-    } else spark.read.parquet(p).filter(col("run_id") === runId)
+    } else readTable(spark, p).filter(col("run_id") === runId)
+      .groupBy(col("path"))
+      .agg(min(struct(col("idx"), col("seq"))).as("_m"))
+      .select(col("path"), col("_m.idx").as("idx"),
+        lit(runId).as("run_id"), col("_m.seq").as("seq"))
   }
 
   /** Raw filter_artifacts rows for a run (schema-typed empty if none). */
@@ -350,7 +386,7 @@ final class Ledger(dir: String) {
       import spark.implicits._
       Seq.empty[(String, Long, String, String, Int)]
         .toDF("path", "idx", "run_id", "filter_name", "filter_order")
-    } else spark.read.parquet(p).filter(col("run_id") === runId)
+    } else readTable(spark, p).filter(col("run_id") === runId)
   }
 
   /** `output_paths` view (`dashboard/data.py:247-262` over
@@ -412,7 +448,7 @@ final class Ledger(dir: String) {
       Seq.empty[(String, String, Long, String, String, Option[Long], Long, Long)]
         .toDF("worker_id", "run_id", "pid", "hostname", "invocation_id",
           "current_index", "completed_count", "ts")
-    } else spark.read.parquet(p).filter(col("run_id") === runId)
+    } else readTable(spark, p).filter(col("run_id") === runId)
   }
 
   def recordError(spark: SparkSession, runId: String, idx: Long,
@@ -465,7 +501,7 @@ final class Ledger(dir: String) {
         .toDF("level", "logger_name", "message", "idx", "run_id", "ts",
           "worker_id")
     } else {
-      val df = spark.read.parquet(p).filter(col("run_id") === runId)
+      val df = readTable(spark, p).filter(col("run_id") === runId)
       // ledgers written before the worker_id column read as "driver"
       if (df.columns.contains("worker_id")) df
       else df.withColumn("worker_id", lit("driver"))
@@ -482,7 +518,7 @@ final class Ledger(dir: String) {
   def completedIndices(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     if (!pathExists(spark, idxPath)) Seq.empty[Long].toDF("idx")
-    else spark.read.parquet(idxPath)
+    else readTable(spark, idxPath)
       .filter(col("run_id") === runId && col("status") === "completed")
       .select("idx").distinct()
   }
@@ -492,7 +528,7 @@ final class Ledger(dir: String) {
     import spark.implicits._
     val errPath = s"$dir/errors"
     if (!pathExists(spark, errPath)) Seq.empty[Long].toDF("idx")
-    else spark.read.parquet(errPath)
+    else readTable(spark, errPath)
       .filter(col("run_id") === runId)
       .select("idx").distinct()
   }
@@ -507,7 +543,7 @@ final class Ledger(dir: String) {
     * `dashboard/data.py:49-321`, as one grouped aggregation).
     */
   def runSummary(spark: SparkSession): DataFrame =
-    spark.read.parquet(idxPath)
+    readTable(spark, idxPath)
       .groupBy("run_id", "status")
       .agg(count(lit(1)).as("n_indices"),
         sum("n_rows").as("total_rows"),
@@ -531,7 +567,7 @@ final class Ledger(dir: String) {
   def indexDf(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     val comp =
-      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, Long, Long, Long)]
          .toDF("idx", "wall_ns", "peak_memory_bytes", "finished_at")
@@ -544,7 +580,7 @@ final class Ledger(dir: String) {
           col("m.gpu_memory_bytes").as("_gpu"), lit(1).as("_done"))
     val errPath = s"$dir/errors"
     val errs =
-      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath)
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, Long, String)].toDF("idx", "finished_at", "error"))
         .groupBy(col("idx").cast("long").as("idx"))
@@ -608,13 +644,13 @@ final class Ledger(dir: String) {
                       workerId: String): DataFrame = {
     import spark.implicits._
     val comp =
-      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
     val errPath = s"$dir/errors"
     val errs =
-      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath)
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
@@ -666,7 +702,7 @@ final class Ledger(dir: String) {
           val target = math.max(1L, nBytes / (64L << 20)).toInt
           val tmp = new org.apache.hadoop.fs.Path(s"$dir/$t._compact_tmp")
           fs.delete(tmp, true)
-          spark.read.parquet(p.toString).coalesce(target)
+          readTable(spark, p.toString).coalesce(target)
             .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
           val old = new org.apache.hadoop.fs.Path(
             s"$dir/$t._pre_compact_${System.currentTimeMillis()}")
@@ -726,13 +762,13 @@ final class Ledger(dir: String) {
   def workersDf(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     val compRows =
-      (if (pathExists(spark, idxPath)) spark.read.parquet(idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
     val errPath = s"$dir/errors"
     val errRows =
-      (if (pathExists(spark, errPath)) spark.read.parquet(errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath)
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))

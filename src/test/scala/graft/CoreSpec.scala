@@ -437,6 +437,57 @@ class CoreSpec extends SparkSpec {
     assert(lg.length == 1 && lg.head.getAs[String]("worker_id") == "w_a")
   }
 
+  test("output_files (path, run_id) PK resolves first-writer-wins at read") {
+    val dir = Files.createTempDirectory("graft-ofpk").toString
+    val led = new Ledger(dir)
+    led.recordOutputFiles(spark, "r", 1L, Seq("/out/a", "/out/b"))
+    // a racing worker whose recorded-set snapshot was stale re-records
+    // /out/b under a later index (cumulative-listing sink)
+    led.recordOutputFiles(spark, "r", 4L, Seq("/out/b", "/out/c"))
+    val rows = led.outputFiles(spark, "r").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    // /out/b surfaces ONCE, attributed to the first index that produced it
+    assert(rows == Set(("/out/a", 1L, 0), ("/out/b", 1L, 1), ("/out/c", 4L, 1)))
+    val p4 = led.outputPathsDf(spark, "r", 4L)
+      .select("path").collect().map(_.getString(0)).toSeq
+    assert(p4 == Seq("/out/c"))
+  }
+
+  test("is_completed falls back to run-scoped paths for batch-completed indices") {
+    val dir = Files.createTempDirectory("graft-iscb").toString
+    val out = Files.createTempDirectory("graft-iscb-out").toString
+    val art = s"$out/artifact"
+    val p = Pipeline(mkSource(3)).filter(doubleFilter)
+      .write(PSink("parquet", Map("path" -> art), df => {
+        df.write.mode("overwrite").parquet(art); Seq(art)
+      }))
+    val r = Runner.runPipeline(spark, p, "idx", dir)
+    val led = new Ledger(dir)
+    // batch run records paths under idx = -1; per-idx probe must return
+    // the run-scoped cached outputs, not Some(empty)
+    assert(led.isCompleted(spark, r.runId, 1L).contains(Seq(art)))
+    assert(led.isCompleted(spark, r.runId, 99L).isEmpty)
+  }
+
+  test("mixed old+new ledger schemas: mergeSchema reads + compact keeps new columns") {
+    val dir = Files.createTempDirectory("graft-mrgsch").toString
+    val led = new Ledger(dir)
+    // an OLD-era runs file without run_dir/total_indices (pre-r12 ledger)
+    val s = spark
+    import s.implicits._
+    Seq(("old_run", "{}", 1L)).toDF("run_id", "config_json", "started_at")
+      .coalesce(1).write.mode("append").parquet(s"$dir/runs")
+    led.recordRunStart(spark, "new_run", "{}", Some("/art/root"), Some(7L))
+    // without mergeSchema the inferred schema can come from the OLD footer,
+    // silently blanking the new columns
+    assert(led.runMeta(spark, "new_run") == (Some("/art/root"), Some(7L)))
+    assert(led.runMeta(spark, "old_run") == (None, None))
+    // compact's rewrite must carry the merged schema, not a partial one
+    led.compact(spark, maxFilesPerTable = 1)
+    assert(led.runMeta(spark, "new_run") == (Some("/art/root"), Some(7L)))
+    assert(led.runMeta(spark, "old_run") == (None, None))
+  }
+
   test("ledger compaction: many per-index commits re-bin; contents unchanged") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val led = new Ledger(dir)

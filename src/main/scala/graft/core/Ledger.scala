@@ -44,6 +44,14 @@ final class Ledger(dir: String) {
     * Staging + rename gives each commit its own tree and an atomic (per
     * file) install — also the object-store-friendly pattern at 100 TB
     * (unique keys, no directory-level commit protocol).
+    *
+    * STAGE-FILE NAMING CONTRACT (shared with [[appendLocal]] and
+    * [[compact]]): staged bytes live ONLY under `<dir>/_staging/<uuid>`,
+    * never inside a table directory, and installs are single renames of
+    * COMPLETE files to `<dir>/<table>/<uuid>.parquet`. A writer killed
+    * between stage and rename therefore leaves nothing a reader or
+    * `compact()` can see or trip over — only an orphan under `_staging/`,
+    * which [[clean]] janitors by age.
     */
   private def appendRows(df: DataFrame, table: String,
                          singleFile: Boolean = true): Unit = {
@@ -662,65 +670,159 @@ final class Ledger(dir: String) {
       .distinct().orderBy("status", "idx")
   }
 
+  /** Janitor for orphaned staging artifacts: a writer killed between stage
+    * and rename leaves its file (or a Spark job's staged dir, possibly with
+    * a `_temporary` tree inside) under `_staging/` — invisible to every
+    * reader (tables read `<dir>/<table>` only, see the naming contract at
+    * [[appendRows]]) but accreting forever. Removes `_staging` entries
+    * older than `olderThanMs` (default 1 h — anything still mid-commit is
+    * milliseconds old, so age separates orphans from in-flight commits).
+    * Returns the number of entries removed. [[compact]] runs this
+    * implicitly under its maintenance lock.
+    */
+  def clean(spark: SparkSession, olderThanMs: Long = 60L * 60 * 1000): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_staging")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      fs.listStatus(p).iterator
+        .filter(_.getModificationTime < cutoff)
+        .count(f => fs.delete(f.getPath, true))
+    }
+  }
+
+  /** Atomic create-exclusive of the maintenance lock (same per-scheme split
+    * as the Runner's index claims: Hadoop `createNewFile` is
+    * check-then-create on the local FS, NIO `Files.createFile` is O_EXCL).
+    */
+  private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
+                      lock: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
+
   /** Ledger small-files compaction — the scale discipline the ledger's OWN
     * metadata needs: per-index commits append one tiny parquet file each,
     * so a 10⁴–10⁵-index `runPerIndex` run turns every resume probe into a
     * 10⁴–10⁵-footer listing (the reference's SQLite WAL has no analogue of
     * this cost). `compact` rewrites any table whose file count exceeds
     * `maxFilesPerTable` into size-targeted files (64 MB apiece, minimum
-    * one) and swaps it in via rename. Contents are unchanged — the tables
-    * are append-only row logs, so a rewrite is a pure physical re-bin.
+    * one). Contents are unchanged — the tables are append-only row logs,
+    * so a rewrite is a pure physical re-bin.
     *
-    * SINGLE-WRITER maintenance op, like the reference's SQLite VACUUM: run
-    * it between runs (the Runner never invokes it implicitly). A writer
-    * appending concurrently with the swap could land rows in the old
-    * directory after the read — quiesce first.
+    * CONCURRENCY CONTRACT (r13 — the r12 form documented "quiesce first"
+    * without enforcing it; the reference dedicates WAL + busy_timeout to
+    * exactly this class, `pipeline_store.py:758-777`):
+    *
+    *  - ONE COMPACTOR AT A TIME, enforced: an atomic create-exclusive
+    *    maintenance lock at `<dir>/_maintenance/compact.lock` (the same
+    *    NIO-for-`file://` / `create(overwrite=false)`-for-HDFS split as
+    *    the Runner's index claims). A second concurrent `compact` throws
+    *    `IllegalStateException`. A lock older than `lockTtlMs` is treated
+    *    as a crashed compactor's and broken.
+    *  - RACING COMMITTERS LOSE NOTHING, structurally: each table's rewrite
+    *    SNAPSHOTS the exact parquet file set, reads only those files,
+    *    installs the compacted files INTO the live table dir under fresh
+    *    UUID names, then deletes exactly the snapshot. Commits are pure
+    *    file ADDS (see [[appendRows]]), so there is no retired directory a
+    *    racing stage-then-rename commit could land in — a concurrent
+    *    commit's file is neither read nor deleted and simply survives.
+    *  - Readers overlapping the install→delete window may transiently see
+    *    a row both in its original file and in the compacted one. Every
+    *    resolve-at-read view tolerates duplicates by construction
+    *    (`completedIndices` is distinct, `indexDf`/`workersDf`/`runMeta`
+    *    resolve latest-wins via max-struct, `outputFiles` first-wins);
+    *    only raw-count dashboards can transiently over-count during an
+    *    overlapping maintenance window.
     *
     * Returns table → (files before, files after) for every table present.
     */
-  def compact(spark: SparkSession, maxFilesPerTable: Int = 64): Map[String, (Int, Int)] = {
+  def compact(spark: SparkSession, maxFilesPerTable: Int = 64,
+              lockTtlMs: Long = 60L * 60 * 1000): Map[String, (Int, Int)] = {
     val fsConf = spark.sparkContext.hadoopConfiguration
-    val tables = Seq("index_results", "runs", "errors", "logs",
-      "stage_metrics", "output_files", "filter_artifacts", "workers")
-    tables.flatMap { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val fs = p.getFileSystem(fsConf)
-      if (!fs.exists(p)) None
-      else {
-        val parts = {
-          val it = fs.listFiles(p, true)
-          var n = 0; var bytes = 0L
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
-          }
-          (n, bytes)
-        }
-        val (nFiles, nBytes) = parts
-        if (nFiles <= maxFilesPerTable) Some(t -> (nFiles, nFiles))
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
+    val lfs = lock.getFileSystem(fsConf)
+    lfs.mkdirs(lock.getParent)
+    // Stale-lock break — CRASH-RECOVERY path, not normal mutual exclusion:
+    // a live compactor releases in `finally`, so a lock older than the TTL
+    // means a killed process. The status read tolerates the lock vanishing
+    // underneath it (a racing compactor's release), and the break itself is
+    // best-effort: two compactors both breaking a stale lock in the same
+    // instant can at worst DUPLICATE rows (both install their compacted
+    // copy), never lose them — and every resolve-at-read view tolerates
+    // duplicates.
+    val lockAge = try Some(System.currentTimeMillis() -
+      lfs.getFileStatus(lock).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+    if (lockAge.exists(_ > lockTtlMs))
+      lfs.delete(lock, false) // crashed compactor's stale lock
+    if (!tryLock(lfs, lock))
+      throw new IllegalStateException(
+        s"ledger compaction already in progress (maintenance lock $lock; " +
+          s"locks older than $lockTtlMs ms are broken as stale)")
+    try {
+      clean(spark) // janitor staging orphans while we hold the lock
+      val tables = Seq("index_results", "runs", "errors", "logs",
+        "stage_metrics", "output_files", "filter_artifacts", "workers")
+      tables.flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val fs = p.getFileSystem(fsConf)
+        if (!fs.exists(p)) None
         else {
-          val target = math.max(1L, nBytes / (64L << 20)).toInt
-          val tmp = new org.apache.hadoop.fs.Path(s"$dir/$t._compact_tmp")
-          fs.delete(tmp, true)
-          readTable(spark, p.toString).coalesce(target)
-            .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          val old = new org.apache.hadoop.fs.Path(
-            s"$dir/$t._pre_compact_${System.currentTimeMillis()}")
-          require(fs.rename(p, old), s"compact: could not retire $p")
-          require(fs.rename(tmp, p), s"compact: could not install $tmp")
-          fs.delete(old, true)
-          val after = {
+          // SNAPSHOT: the rewrite reads exactly these files and later
+          // deletes exactly these files — nothing else
+          val snap = {
             val it = fs.listFiles(p, true)
-            var n = 0
+            val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
             while (it.hasNext) {
-              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) b += f
             }
-            n
+            b.result()
           }
-          Some(t -> (nFiles, after))
+          val nFiles = snap.size
+          if (nFiles <= maxFilesPerTable) Some(t -> (nFiles, nFiles))
+          else {
+            val nBytes = snap.map(_.getLen).sum
+            val target = math.max(1L, nBytes / (64L << 20)).toInt
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$dir/_staging/compact_${java.util.UUID.randomUUID()}")
+            spark.read.option("mergeSchema", "true")
+              .parquet(snap.map(_.getPath.toString): _*)
+              .coalesce(target)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            // install compacted files into the LIVE dir, then drop the
+            // snapshot; concurrent commits are adds and survive both steps
+            fs.listStatus(tmp).iterator
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(p,
+                  s"${java.util.UUID.randomUUID()}.parquet")),
+                  s"compact: install into $p failed")
+              }
+            fs.delete(tmp, true)
+            snap.foreach(f => fs.delete(f.getPath, false))
+            val after = {
+              val it = fs.listFiles(p, true)
+              var m = 0
+              while (it.hasNext) {
+                if (it.next().getPath.getName.endsWith(".parquet")) m += 1
+              }
+              m
+            }
+            Some(t -> (nFiles, after))
+          }
         }
-      }
-    }.toMap
+      }.toMap
+    } finally lfs.delete(lock, false)
   }
 
   /** `logs_df` parity (`dashboard/data.py:283-321` over

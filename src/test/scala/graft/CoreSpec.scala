@@ -519,6 +519,97 @@ class CoreSpec extends SparkSpec {
     assert(idxAfter == idxBefore && idxAfter.size == 120)
   }
 
+  test("compact refuses under a held maintenance lock; breaks a stale one") {
+    val dir = Files.createTempDirectory("graft-cmplock").toString
+    val led = new Ledger(dir)
+    (0L until 20L).foreach(i => led.recordCompleted(spark, "r", Seq(i), 1L, 1L))
+    val lock = Paths.get(s"$dir/_maintenance/compact.lock")
+    Files.createDirectories(lock.getParent)
+    Files.createFile(lock)
+    // fresh lock → another compactor is live → refuse
+    val e = intercept[IllegalStateException] {
+      led.compact(spark, maxFilesPerTable = 4)
+    }
+    assert(e.getMessage.contains("already in progress"))
+    // stale lock (older than the TTL) → crashed compactor → break and run
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000))
+    val rep = led.compact(spark, maxFilesPerTable = 4, lockTtlMs = 5000)
+    assert(rep("index_results")._2 < rep("index_results")._1)
+    // lock released on exit
+    assert(!Files.exists(lock))
+    assert(led.completedIndices(spark, "r").count() == 20)
+  }
+
+  test("compact racing live committers loses zero rows") {
+    val dir = Files.createTempDirectory("graft-cmprace").toString
+    val led = new Ledger(dir)
+    val nThreads = 4
+    val per = 50
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactor = new Thread(() => {
+      while (!stop.get()) {
+        try led.compact(spark, maxFilesPerTable = 8)
+        catch { case e: Throwable => errs.add(e) }
+        Thread.sleep(10)
+      }
+    })
+    val committers = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try (0 until per).foreach { i =>
+          led.recordCompleted(spark, "soak", Seq((t * per + i).toLong), 1L, 1L)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    compactor.start(); committers.foreach(_.start())
+    committers.foreach(_.join()); stop.set(true); compactor.join()
+    assert(errs.isEmpty, s"racing threads failed: ${errs.toArray.toSeq}")
+    // zero lost updates AND zero duplicated rows, by exact count + content
+    val rows = spark.read.parquet(s"$dir/index_results")
+      .filter(col("run_id") === "soak")
+    assert(rows.count() == nThreads * per)
+    val hashBefore = rows.orderBy("idx").collect()
+      .map(_.mkString("|")).mkString("\n").hashCode
+    led.compact(spark, maxFilesPerTable = 1)
+    val after = spark.read.parquet(s"$dir/index_results")
+      .filter(col("run_id") === "soak")
+    val hashAfter = after.orderBy("idx").collect()
+      .map(_.mkString("|")).mkString("\n").hashCode
+    assert(after.count() == nThreads * per && hashAfter == hashBefore)
+    assert(led.completedIndices(spark, "soak").count() == nThreads * per)
+  }
+
+  test("crash-mid-stage hygiene: staging orphans invisible to readers, janitored by clean") {
+    val dir = Files.createTempDirectory("graft-stgorphan").toString
+    val led = new Ledger(dir)
+    led.recordCompleted(spark, "r", Seq(0L, 1L), 1L, 1L)
+    // a writer killed between stage and rename leaves bytes ONLY under
+    // _staging (naming contract at appendRows) — fake one per shape:
+    // a parquet-named file (appendLocal) and a staged job dir (appendRows)
+    val stg = Paths.get(s"$dir/_staging")
+    Files.write(stg.resolve("dead-beef.parquet"), Array[Byte](1, 2, 3))
+    val deadDir = stg.resolve("dead-job-dir")
+    Files.createDirectories(deadDir.resolve("_temporary"))
+    Files.write(deadDir.resolve("part-0.parquet"), Array[Byte](4, 5))
+    // readers see exactly the committed rows — orphans are invisible
+    assert(led.completedIndices(spark, "r").count() == 2)
+    // fresh orphans are NOT removed (could be an in-flight commit)...
+    assert(led.clean(spark, olderThanMs = 60000) == 0)
+    // ...aged ones are
+    Seq(stg.resolve("dead-beef.parquet"), deadDir).foreach { p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 120000))
+    }
+    assert(led.clean(spark, olderThanMs = 60000) == 2)
+    assert(!Files.exists(stg.resolve("dead-beef.parquet")) &&
+      !Files.exists(deadDir))
+    // ledger contents untouched by the janitor
+    assert(led.completedIndices(spark, "r").count() == 2)
+  }
+
   test("year-split sink writes (variable, year) partition layout") {
     val s = spark
     import s.implicits._

@@ -234,6 +234,7 @@ object SparkEntry {
     "q_dashboard_artifacts" -> (qDashboardArtifacts _),
     "q_dashboard_workers_multi" -> (qDashboardWorkersMulti _),
     "q_dashboard_stages_idx" -> (qDashboardStagesIdx _),
+    "q_dashboard_progress" -> (qDashboardProgress _),
     "q_pipeline_from_config" -> (qPipelineFromConfig _),
     "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
@@ -1515,6 +1516,38 @@ object SparkEntry {
         (min(col("wall_ns")) >= 0).cast("int").as("wall_nonneg"))
       .withColumn("run_executed", lit(r1.nExecuted))
       .orderBy("idx")
+  }
+
+  /** Progress/stall view (`run/progress_monitor.py` + `run/progress_app
+    * .py` — the reference's live monitor polls exactly these numbers from
+    * the store): over the crashed-at-5 dashboard fixture, the run-level
+    * counters (8 total / 5 completed / 1 failed / 2 remaining), the worker
+    * census, and the STALL DETECTOR — a second session's claimant is
+    * injected holding idx 6 with a heartbeat ten minutes older than `now`,
+    * and must surface as the one stalled worker (the driver's own
+    * heartbeat is fresh, so its held index does not). Throughput and ETA
+    * are wall-clock-dependent and gate as booleans; completed row totals
+    * tie back to the orders data.
+    */
+  private def qDashboardProgress(s: SparkSession, dir: String): DataFrame = {
+    val (ledger, runId) = dashboardLedgerFor(s, dir, "graft_dash_prg")
+    val now = System.currentTimeMillis()
+    ledger.recordWorkerHeartbeat(s, runId, "w_stuck", 77L, "otherhost",
+      "inv_x", Some(6L), 0L, now - 600000L)
+    val stalledIdx = ledger.stalledWorkersDf(s, runId, 60000L, now)
+      .select("current_index").collect().map(_.getLong(0)).headOption
+      .getOrElse(-1L)
+    val completedRows = s.read.parquet(s"${ledger.path}/index_results")
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .groupBy(col("idx")).agg(max("n_rows").as("n"))
+      .agg(sum("n").as("completed_rows"))
+    ledger.progressDf(s, runId, stallThresholdMs = 60000L, nowMs = now)
+      .select(col("total"), col("completed"), col("failed"), col("remaining"),
+        col("n_workers"), col("n_stalled"), col("first_stalled_worker"),
+        (col("throughput_per_min") > 0.0).cast("int").as("throughput_pos"),
+        (col("eta_s") >= 0.0).cast("int").as("eta_nonneg"))
+      .withColumn("stalled_index", lit(stalledIdx))
+      .crossJoin(completedRows)
   }
 
   /** Config-file-driven execution END TO END (`core/serialization.py:
@@ -8644,6 +8677,22 @@ object SparkEntry {
         |  1 AS order_from_zero, 1 AS order_distinct, 1 AS wall_nonneg,
         |  CAST(8 AS BIGINT) AS run_executed
         |FROM i ORDER BY idx""".stripMargin,
+
+    // Progress/stall-view mirror: crashed-at-5 counters, a two-worker
+    // census, exactly one stalled claimant (the injected w_stuck holding
+    // idx 6 on a 10-minute-old heartbeat; the driver's heartbeat is
+    // fresh); throughput/ETA gate as booleans; completed rows replay from
+    // the per-residue 'O'-order counts.
+    "q_dashboard_progress" ->
+      """WITH c AS (SELECT o_orderkey % 8 AS idx, count(*) AS n
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        |SELECT CAST(8 AS BIGINT) AS total, CAST(5 AS BIGINT) AS completed,
+        |  CAST(1 AS BIGINT) AS failed, CAST(2 AS BIGINT) AS remaining,
+        |  CAST(2 AS BIGINT) AS n_workers, CAST(1 AS BIGINT) AS n_stalled,
+        |  'w_stuck' AS first_stalled_worker, 1 AS throughput_pos,
+        |  1 AS eta_nonneg, CAST(6 AS BIGINT) AS stalled_index,
+        |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS completed_rows
+        |""".stripMargin,
 
     // Config-file-driven run mirror: the loaded pipeline's artifact values
     // replay from orders; hash_equal pins load(save(p)) == p's identity.

@@ -438,14 +438,27 @@ final class Ledger(dir: String) {
                             workerId: String, pid: Long, hostname: String,
                             invocationId: String,
                             currentIndex: Option[Long],
-                            completedCount: Long): Unit = {
+                            completedCount: Long): Unit =
+    recordWorkerHeartbeat(spark, runId, workerId, pid, hostname,
+      invocationId, currentIndex, completedCount, System.currentTimeMillis())
+
+  /** Explicit-timestamp variant — monitors compare heartbeat ages against
+    * their own clock, so writers that already read the clock (the Runner's
+    * throttled stage-grain refresh) pass it through, and tests/oracles can
+    * pin deterministic liveness states.
+    */
+  def recordWorkerHeartbeat(spark: SparkSession, runId: String,
+                            workerId: String, pid: Long, hostname: String,
+                            invocationId: String,
+                            currentIndex: Option[Long],
+                            completedCount: Long, tsMs: Long): Unit = {
     appendLocal(spark, "workers",
       Seq("worker_id" -> StringT, "run_id" -> StringT, "pid" -> LongT,
         "hostname" -> StringT, "invocation_id" -> StringT,
         "current_index" -> LongT, "completed_count" -> LongT,
         "ts" -> LongT),
       Seq(Seq(workerId, runId, pid, hostname, invocationId,
-        currentIndex, completedCount, System.currentTimeMillis())))
+        currentIndex, completedCount, tsMs)))
   }
 
   /** Raw workers rows for a run (schema-typed empty frame if none). */
@@ -899,5 +912,71 @@ final class Ledger(dir: String) {
         col("invocation_id"),
         coalesce(col("completed"), lit(0L)).as("completed"),
         coalesce(col("failed"), lit(0L)).as("failed"))
+  }
+
+  /** STALL DETECTOR (the data core of the reference's live progress
+    * monitor, `run/progress_monitor.py`): workers whose LATEST heartbeat
+    * carries a `current_index` — i.e. they hold a claim mid-index — but is
+    * older than `stallThresholdMs` at `nowMs`. A worker that finished
+    * cleanly heartbeats with current_index = NULL at run end, so it never
+    * surfaces here no matter how old its last row; a crashed or hung
+    * claimant keeps its index attached to a heartbeat that stops
+    * refreshing, which is exactly the signature this filters for. `nowMs`
+    * is a parameter (no wall-clock read inside the view) so monitors
+    * evaluate staleness against their own clock and tests stay
+    * deterministic.
+    */
+  def stalledWorkersDf(spark: SparkSession, runId: String,
+                       stallThresholdMs: Long, nowMs: Long): DataFrame =
+    workersDf(spark, runId)
+      .filter(col("current_index").isNotNull &&
+        col("last_heartbeat") < lit(nowMs - stallThresholdMs))
+      .select(col("worker_id"), col("current_index"), col("last_heartbeat"),
+        (lit(nowMs) - col("last_heartbeat")).as("stalled_ms"))
+
+  /** `progress` view — one row of run liveness (the numbers
+    * `run/progress_monitor.py` / `run/progress_app.py` poll from the
+    * store): the summary counters, per-run THROUGHPUT in indices/min
+    * (completed count over the span from the run's recorded `started_at`
+    * to the newest completion — both ledger timestamps, so the view is a
+    * pure function of the tables), an ETA for the remainder at that rate
+    * (null until throughput exists), and the stall detector's counts.
+    * Heartbeats refresh on every commit AND — throttled — on every
+    * scheduler-stage completion inside a long-running index (the Runner's
+    * stage-grain refresh), so a stalled worker means genuinely no forward
+    * progress, not just a slow index.
+    */
+  def progressDf(spark: SparkSession, runId: String,
+                 stallThresholdMs: Long, nowMs: Long): DataFrame = {
+    val sm = summaryDf(spark, runId).collect()(0)
+    val (total, completed, failed, remaining) =
+      (sm.getAs[Long]("total"), sm.getAs[Long]("completed"),
+        sm.getAs[Long]("failed"), sm.getAs[Long]("remaining"))
+    val startedAt: Option[Long] =
+      if (!pathExists(spark, runsPath)) None
+      else readTable(spark, runsPath).filter(col("run_id") === runId)
+        .agg(min("started_at")).collect().headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+    val lastFinished: Option[Long] =
+      if (!pathExists(spark, idxPath)) None
+      else readTable(spark, idxPath)
+        .filter(col("run_id") === runId && col("status") === "completed")
+        .agg(max("finished_at")).collect().headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+    val throughputPerMin: Option[Double] = for {
+      s <- startedAt; f <- lastFinished if completed > 0
+    } yield completed * 60000.0 / math.max(f - s, 1L)
+    val etaS: Option[Double] =
+      throughputPerMin.filter(_ > 0).map(t => remaining * 60.0 / t)
+    val st = stalledWorkersDf(spark, runId, stallThresholdMs, nowMs)
+      .agg(count(lit(1)).as("n"), min("worker_id").as("w")).collect()(0)
+    val nWorkers = workersDf(spark, runId).count()
+    import spark.implicits._
+    Seq((total, completed, failed, remaining,
+      throughputPerMin.getOrElse(Double.NaN), etaS.getOrElse(Double.NaN),
+      nWorkers, st.getLong(0), Option(st.getString(1)).getOrElse("")))
+      .toDF("total", "completed", "failed", "remaining",
+        "throughput_per_min", "eta_s", "n_workers", "n_stalled",
+        "first_stalled_worker")
   }
 }

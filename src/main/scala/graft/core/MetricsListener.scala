@@ -49,7 +49,9 @@ object MetricsListener {
   * wall time is the scheduler stage; each completed stage records wall
   * time, summed executor task time, and task count.
   */
-final class StageListener(jobGroup: Option[String]) extends org.apache.spark.scheduler.SparkListener {
+final class StageListener(jobGroup: Option[String],
+                          onStage: () => Unit = () => ())
+    extends org.apache.spark.scheduler.SparkListener {
   final case class StageRec(stageId: Int, name: String, wallNs: Long,
                             executorRunNs: Long, nTasks: Int,
                             peakMemoryBytes: Long)
@@ -84,6 +86,9 @@ final class StageListener(jobGroup: Option[String]) extends org.apache.spark.sch
         // index_results.peak_memory_bytes (core/pipeline_store.py:550-563)
         si.taskMetrics.peakExecutionMemory)
     }
+    // progress hook (the Runner's throttled mid-index heartbeat refresh);
+    // never let a callback failure poison the shared listener bus
+    try onStage() catch { case _: Throwable => () }
   }
 
   def records: Seq[StageRec] = buf.synchronized(buf.toVector)
@@ -111,8 +116,9 @@ object StageListener {
     * SparkContext, so without the filter a concurrent job on another
     * thread would leak its stages into this run's stage_metrics.
     */
-  def attach(spark: SparkSession, jobGroup: Option[String] = None): StageListener = {
-    val l = new StageListener(jobGroup)
+  def attach(spark: SparkSession, jobGroup: Option[String] = None,
+             onStage: () => Unit = () => ()): StageListener = {
+    val l = new StageListener(jobGroup, onStage)
     spark.sparkContext.addSparkListener(l)
     l
   }

@@ -173,11 +173,19 @@ object Runner {
     * once per invocation (and on crash), keyed (idx, run_id, stage_order)
     * exactly like the reference's stage_metrics.
     */
+  /** `heartbeatIntervalMs` throttles the STAGE-GRAIN heartbeat refresh:
+    * commit-grained heartbeats alone would let a long-running index read
+    * as a stall (`Ledger.stalledWorkersDf`), so every scheduler-stage
+    * completion inside an index also refreshes the heartbeat — but only
+    * when the last one is older than this interval, so cheap indices
+    * (1-2 sub-second stages) never pay an extra ledger append.
+    */
   def runPerIndex(spark: SparkSession, pipeline: Pipeline, idxCol: String,
                   ledgerDir: String, resume: Boolean = true,
                   beforeIndex: Long => Unit = _ => (),
                   workerId: String = "driver",
-                  invocationId: Option[String] = None): RunResult = {
+                  invocationId: Option[String] = None,
+                  heartbeatIntervalMs: Long = 10000L): RunResult = {
     val ledger = new Ledger(ledgerDir)
     val runId = pipeline.configHash.take(16)
 
@@ -245,12 +253,26 @@ object Runner {
       .select("path").collect().map(_.getString(0)).toSet
     val stageRecs = Seq.newBuilder[(Long, StageListener#StageRec)]
     var executed = 0
+    // shared by the commit path and the stage-grain refresh callbacks
+    val lastBeat =
+      new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
     try {
       todo.foreach { idx =>
         if (claim(idx)) {
           val t0 = System.nanoTime()
           val group = s"graft_run_${runId}_idx_$idx"
-          val stages = StageListener.attach(spark, Some(group))
+          // stage-grain heartbeat: a long index refreshes liveness on each
+          // completed scheduler stage (throttled), so the stall detector
+          // only fires on genuinely-stopped progress
+          val stages = StageListener.attach(spark, Some(group), onStage = () => {
+            val now = System.currentTimeMillis()
+            val prev = lastBeat.get()
+            if (now - prev >= heartbeatIntervalMs &&
+                lastBeat.compareAndSet(prev, now))
+              ledger.recordWorkerHeartbeat(spark, runId, workerId, pid,
+                hostname, invocationId.getOrElse(runId), Some(idx),
+                executed.toLong, now)
+          })
           try {
             beforeIndex(idx)
             spark.sparkContext.setJobGroup(group, s"graft pipeline $runId idx $idx")
@@ -278,6 +300,7 @@ object Runner {
             stageRecs ++= stages.records.map(idx -> _)
             paths ++= p
             executed += 1
+            lastBeat.set(System.currentTimeMillis())
             ledger.recordWorkerHeartbeat(spark, runId, workerId, pid,
               hostname, invocationId.getOrElse(runId), Some(idx),
               executed.toLong)

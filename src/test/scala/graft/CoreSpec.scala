@@ -610,6 +610,45 @@ class CoreSpec extends SparkSpec {
     assert(led.completedIndices(spark, "r").count() == 2)
   }
 
+  test("progress view: stall detector + throughput; stage-grain heartbeat refresh") {
+    val dir = Files.createTempDirectory("graft-progress").toString
+    val led = new Ledger(dir)
+    val now = System.currentTimeMillis()
+    led.recordRunStart(spark, "r", "{}", None, Some(4L))
+    led.recordCompleted(spark, "r", Seq(0L, 1L), 1L, 5L, 0L, None, "w_live")
+    led.recordWorkerHeartbeat(spark, "r", "w_live", 1L, "h", "inv", None, 2L, now)
+    // a claimant that went silent mid-index: holds idx 3, 10 min stale
+    led.recordWorkerHeartbeat(spark, "r", "w_stuck", 2L, "h", "inv",
+      Some(3L), 0L, now - 600000L)
+    val st = led.stalledWorkersDf(spark, "r", 60000L, now).collect()
+    assert(st.length == 1 && st.head.getString(0) == "w_stuck" &&
+      st.head.getLong(1) == 3L && st.head.getLong(3) >= 600000L)
+    // a cleanly-finished worker (NULL current_index) never reads as
+    // stalled, no matter how old its last heartbeat
+    val stLater = led.stalledWorkersDf(spark, "r", 60000L, now + 3600000L)
+      .collect().map(_.getString(0)).toSeq
+    assert(stLater == Seq("w_stuck"))
+    val pg = led.progressDf(spark, "r", 60000L, now).collect().head
+    assert(pg.getAs[Long]("total") == 4 && pg.getAs[Long]("completed") == 2 &&
+      pg.getAs[Long]("remaining") == 2 && pg.getAs[Long]("n_workers") == 2)
+    assert(pg.getAs[Long]("n_stalled") == 1 &&
+      pg.getAs[String]("first_stalled_worker") == "w_stuck")
+    assert(pg.getAs[Double]("throughput_per_min") > 0.0 &&
+      pg.getAs[Double]("eta_s") >= 0.0)
+
+    // stage-grain refresh: with a zero throttle interval every completed
+    // scheduler stage writes a mid-index heartbeat carrying that index
+    val dir2 = Files.createTempDirectory("graft-hb").toString
+    val p = Pipeline(mkSource(3)).filter(doubleFilter)
+    val r = Runner.runPerIndex(spark, p, "idx", dir2,
+      heartbeatIntervalMs = 0L)
+    val hb = new Ledger(dir2).workers(spark, r.runId)
+    // commit-grain alone: 1 registration + 3 commits + 1 final = 5 rows;
+    // stage refreshes add at least one per index beyond that
+    assert(hb.count() > 5, s"expected stage-grain refreshes, got ${hb.count()}")
+    assert(hb.filter(col("current_index").isNotNull).count() > 3)
+  }
+
   test("year-split sink writes (variable, year) partition layout") {
     val s = spark
     import s.implicits._

@@ -845,6 +845,66 @@ object SimilarityOps {
       .withColumn("is_survivor", col("id") === col("component"))
   }
 
+  /** ANN recall report — the tuning instrument a production retrieval
+    * stack is sized with (recall@k vs probe/code budget; FAISS publishes
+    * exactly these curves): measured recall@k of each quantized tier
+    * against the EXACT [[topKCosine]] ground truth on the query sample
+    * `id < maxQueryId`. Composes the shipped operators — IVF with real
+    * pruning (`nProbe` of the centroid lists), PQ ADC ranking, SQ8
+    * flat-scan, binary-Hamming flat-scan — and scores each by ground-truth
+    * overlap. The flat integer tiers rank the query itself first, so they
+    * search k+1 and drop self (equivalent to excluding self from the
+    * candidate set: wherever self ranks, the surviving prefix is the
+    * non-self top-k). Output: one row per tier,
+    * (tier, n_queries, k, hits, possible, recall), recall rounded for
+    * cross-engine parity. Cost: ground truth is the brute-force oracle
+    * tier over the BOUNDED query sample (|Q|·N, the documented baseline
+    * shape); each quantized tier is probe/code-bounded as shipped.
+    */
+  def annRecallReport(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, maxQueryId: Long,
+                      centroids: Seq[Array[Float]], nProbe: Int,
+                      codebooks: Seq[Seq[Array[Float]]],
+                      dimHint: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qids = (0L until maxQueryId).toSeq
+    // ground truth, pinned: bounded at k·|Q| rows and reused by every
+    // tier's hit join plus the possible count (the Materialize.pin
+    // lifecycle — no persist left behind)
+    val truth = graft.core.Materialize.pin(
+      topKCosine(df, idCol, vecCol, k, maxQueryId)
+        .select(col("ia").as("q"), col("ib").as("nb")))
+    val possible = truth.count()
+    def dropSelf(d: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q")).orderBy(col("rank"))
+      d.filter(col("q") =!= col("nb"))
+        .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+        .select("q", "nb")
+    }
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfTopK(df, idCol, vecCol, k, maxQueryId, centroids, nProbe)
+        .select(col("ia").as("q"), col("ib").as("nb")),
+      "pq" -> pqTopK(df, idCol, vecCol, k, maxQueryId, codebooks, dimHint)
+        .select(col("ia").as("q"), col("ib").as("nb")),
+      "sq8" -> dropSelf(int8TopK(df, idCol, vecCol, qids, k + 1)
+        .select(col("qid").as("q"), col(idCol).as("nb"), col("rank"))),
+      "binary" -> dropSelf(hammingTopK(df, idCol, vecCol, qids, k + 1)
+        .select(col("qid").as("q"), col(idCol).as("nb"), col("rank"))))
+    val tagged = tiers.map { case (t, d) => d.withColumn("tier", lit(t)) }
+      .reduce(_.unionByName(_))
+    val hits = tagged.join(broadcast(truth), Seq("q", "nb"), "left_semi")
+      .groupBy("tier").agg(count(lit(1)).as("hits"))
+    // literal tier spine: a tier with zero overlap still reports its row
+    tiers.map(_._1).toDF("tier")
+      .join(hits, Seq("tier"), "left")
+      .select(col("tier"), lit(maxQueryId).as("n_queries"), lit(k).as("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(possible).as("possible"),
+        round(coalesce(col("hits"), lit(0L)) / lit(possible.toDouble)
+          + lit(1e-9), 4).as("recall"))
+  }
+
   /** Brute-force top-k neighbours for a query subset: rank by (rounded cos
     * desc, id asc) so ties are deterministic across engines.
     */

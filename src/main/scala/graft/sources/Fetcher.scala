@@ -100,7 +100,7 @@ object HadoopFetcher extends Fetcher {
   * (cache key = digest of the sorted manifest), which is the reference's
   * skip-if-downloaded behavior (`ahmedml.py:296-303`).
   */
-class HttpFetcher extends Fetcher {
+class HttpFetcher(cacheDir: Path = FetchCache.root) extends Fetcher {
   override val schemes: Seq[String] = Seq("http", "https")
 
   protected def get(uri: String): Array[Byte] = {
@@ -119,8 +119,7 @@ class HttpFetcher extends Fetcher {
   override def fetch(spark: SparkSession, uri: String): Array[Byte] =
     get(uri)
 
-  private def cacheRoot(key: String): Path =
-    Paths.get(System.getProperty("java.io.tmpdir"), "graft_fetch", key)
+  private def cacheRoot(key: String): Path = cacheDir.resolve(key)
 
   private def digest(s: String): String =
     MessageDigest.getInstance("SHA-256")
@@ -189,6 +188,8 @@ class HttpFetcher extends Fetcher {
       }
     }
     if (!allStaged) Files.write(done, Array.emptyByteArray)
+    else Files.setLastModifiedTime(done, // LRU touch: marker mtime = last use
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
     root.toString
   }
 
@@ -196,6 +197,91 @@ class HttpFetcher extends Fetcher {
     val name = uri.split('/').last
     val staged = stage(Seq((uri, if (name.isEmpty) "object" else name)))
     s"$staged/${if (name.isEmpty) "object" else name}"
+  }
+}
+
+/** Content-addressed fetch-cache maintenance — the `LedgerCatalog`
+  * treatment (list / total size / remove / remove-older-than / evict-to-
+  * budget) for the staging cache under `java.io.tmpdir/graft_fetch`, which
+  * otherwise accretes one never-evicted directory per content key. An
+  * entry's LAST USE is its `_STAGED` marker's mtime — [[HttpFetcher.stage]]
+  * touches the marker on every cache hit — so eviction is true LRU, not
+  * creation-order. Nothing evicts implicitly (same discipline as
+  * `Ledger.compact`): a removed entry is re-fetched on next use, and
+  * content-keyed naming makes removal always safe — there is no dangling
+  * reference a re-fetch wouldn't recreate bit-identically.
+  */
+object FetchCache {
+  def root: Path =
+    Paths.get(System.getProperty("java.io.tmpdir"), "graft_fetch")
+
+  final case class Entry(key: String, path: String, sizeBytes: Long,
+                         nFiles: Int, lastUsedMs: Long)
+
+  private def walkSize(p: Path): (Long, Int) = {
+    var bytes = 0L
+    var n = 0
+    val st = Files.walk(p)
+    try st.forEach { f =>
+      if (Files.isRegularFile(f)) { bytes += Files.size(f); n += 1 }
+    } finally st.close()
+    (bytes, n)
+  }
+
+  /** One row per cached staging root, oldest-used first. */
+  def list(under: Path = root): Seq[Entry] = {
+    val r = under
+    if (!Files.isDirectory(r)) return Nil
+    val st = Files.list(r)
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.filter(Files.isDirectory(_)).toVector
+    } finally st.close()
+    dirs.map { d =>
+      val marker = d.resolve("_STAGED")
+      val lastUsed =
+        (if (Files.exists(marker)) Files.getLastModifiedTime(marker)
+         else Files.getLastModifiedTime(d)).toMillis
+      val (bytes, n) = walkSize(d)
+      Entry(d.getFileName.toString, d.toString, bytes, n, lastUsed)
+    }.sortBy(_.lastUsedMs)
+  }
+
+  def totalSizeBytes(under: Path = root): Long =
+    list(under).map(_.sizeBytes).sum
+
+  private def delete(p: Path): Unit = {
+    val st = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector.reverseIterator // children before dirs
+        .foreach(Files.deleteIfExists(_))
+    } finally st.close()
+  }
+
+  /** Remove entries by exact content key. Returns the number removed. */
+  def remove(keys: Seq[String], under: Path = root): Int = {
+    val ks = keys.toSet
+    list(under).filter(e => ks.contains(e.key))
+      .map { e => delete(Paths.get(e.path)); 1 }.sum
+  }
+
+  /** Remove entries last used before `cutoffMs`. Returns count removed. */
+  def removeOlderThan(cutoffMs: Long, under: Path = root): Int =
+    list(under).filter(_.lastUsedMs < cutoffMs)
+      .map { e => delete(Paths.get(e.path)); 1 }.sum
+
+  /** LRU-evict oldest-used entries until the cache fits `maxBytes`.
+    * Returns the number of entries removed.
+    */
+  def evictToSize(maxBytes: Long, under: Path = root): Int = {
+    val entries = list(under) // oldest first
+    var total = entries.map(_.sizeBytes).sum
+    var removed = 0
+    entries.iterator.takeWhile(_ => total > maxBytes).foreach { e =>
+      delete(Paths.get(e.path)); total -= e.sizeBytes; removed += 1
+    }
+    removed
   }
 }
 

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.HttpServer
 
-import graft.sources.{AhmedMlSource, Fetchers, HfFetcher, HttpFetcher, LocalFetcher}
+import graft.sources.{AhmedMlSource, FetchCache, Fetchers, HfFetcher, HttpFetcher, LocalFetcher}
 
 /** The dataset-fetch seam: local pass-through (what every oracle query
   * uses), the HTTP staging backend against a loopback server (real
@@ -135,6 +135,49 @@ class FetcherSpec extends SparkSpec {
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(http.stage(badManifest), "nonexistent")))
     } finally server.stop(0)
+  }
+
+  test("fetch-cache maintenance: list, LRU touch on hit, remove-older-than, evict-to-budget") {
+    import java.nio.file.{Files => NF, Paths => NP}
+    // isolated cache root (suites run in parallel; never mutate the shared
+    // JVM-wide graft_fetch cache from a maintenance test) + offline fetcher
+    val cacheRoot = NF.createTempDirectory("graft_fetch_evict")
+    val http = new HttpFetcher(cacheRoot) {
+      override protected def get(uri: String): Array[Byte] =
+        s"body of $uri padded ${"x" * 64}".getBytes("UTF-8")
+    }
+    val r1 = http.stage(Seq(("http://t.invalid/a.bin", "a.bin")))
+    val r2 = http.stage(Seq(("http://t.invalid/b.bin", "b.bin")))
+    val k1 = NP.get(r1).getFileName.toString
+    val k2 = NP.get(r2).getFileName.toString
+    val l0 = FetchCache.list(cacheRoot)
+    assert(l0.map(_.key).toSet == Set(k1, k2))
+    assert(l0.forall(e => e.sizeBytes > 0 && e.nFiles == 2)) // file + marker
+    assert(FetchCache.totalSizeBytes(cacheRoot) == l0.map(_.sizeBytes).sum)
+    // LRU: backdate k1's marker, then a cache HIT must refresh last-use
+    val m1 = NP.get(r1, "_STAGED")
+    val old = System.currentTimeMillis() - 600000L
+    NF.setLastModifiedTime(m1,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    assert(FetchCache.list(cacheRoot).find(_.key == k1).get.lastUsedMs == old)
+    http.stage(Seq(("http://t.invalid/a.bin", "a.bin"))) // hit, no refetch
+    assert(FetchCache.list(cacheRoot).find(_.key == k1).get.lastUsedMs > old)
+    // remove-older-than: backdate k1 again; only it falls past the cutoff
+    NF.setLastModifiedTime(m1,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    assert(FetchCache.removeOlderThan(
+      System.currentTimeMillis() - 300000L, cacheRoot) == 1)
+    assert(FetchCache.list(cacheRoot).map(_.key) == Seq(k2))
+    // a removed entry is simply re-fetched on next use
+    val r1b = http.stage(Seq(("http://t.invalid/a.bin", "a.bin")))
+    assert(r1b == r1 && NF.exists(NP.get(r1b, "a.bin")))
+    // evict-to-budget drops oldest-used first until under the cap
+    assert(FetchCache.evictToSize(1L, cacheRoot) == 2)
+    assert(FetchCache.totalSizeBytes(cacheRoot) == 0L)
+    // exact-key removal on a rebuilt entry
+    http.stage(Seq(("http://t.invalid/b.bin", "b.bin")))
+    assert(FetchCache.remove(Seq(k2), cacheRoot) == 1)
+    assert(FetchCache.list(cacheRoot).isEmpty)
   }
 
   test("registry swap-in: a custom backend serves its scheme") {

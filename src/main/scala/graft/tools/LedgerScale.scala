@@ -18,8 +18,21 @@ import graft.core.Ledger
   *   3. `compact()`, verify the completed set is bit-identical;
   *   4. time the same probe against the compacted ledger.
   *
-  * Usage: `runMain graft.tools.LedgerScale [nCommits] [reps] [ledgerDir]`
-  * Prints one JSON line: commit wall, file counts, probe medians, speedup.
+  * Usage: `runMain graft.tools.LedgerScale [nCommits] [reps] [ledgerDir]
+  * [compactEvery]` — a non-zero `compactEvery` (r13, VERDICT item 5)
+  * interleaves `compact()` INTO the run every N commits, the way a
+  * 10⁵-index production run would actually operate, and records a
+  * mid-run probe after each compaction: the claim of the whole design is
+  * that the resume probe stays O(current file count) — bounded by the
+  * compaction cadence — rather than O(total committed indices). Each
+  * mid-run probe also re-asserts the completed COUNT and the completed-set
+  * CONTENT (sum of indices) across the compaction boundary. Claim listing
+  * is O(1) in committed history structurally: claims live in per-
+  * invocation namespaces, so a fresh invocation starts from an empty dir
+  * no matter how many indices past runs committed.
+  *
+  * Prints one JSON line: commit wall, file counts, probe medians, speedup,
+  * and the mid-run probe trajectory.
   */
 object LedgerScale {
 
@@ -51,15 +64,40 @@ object LedgerScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
     val led = new Ledger(dir)
     val runId = "scale_run"
+    var compactTotalSec = 0.0
+    val midProbes = Seq.newBuilder[String]
     val tCommit0 = System.nanoTime()
     (0L until nCommits.toLong).foreach { i =>
       led.recordCompleted(spark, runId, Seq(i), 1000L, 10L)
       if ((i + 1) % 1000 == 0)
         System.err.println(s"[ledger-scale] ${i + 1}/$nCommits commits")
+      if (compactEvery > 0 && (i + 1) % compactEvery == 0) {
+        val tc = System.nanoTime()
+        val rep = led.compact(spark)
+        val cSec = (System.nanoTime() - tc) / 1e9
+        compactTotalSec += cSec
+        val tp = System.nanoTime()
+        val agg = led.completedIndices(spark, runId)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("idx")).collect()(0)
+        val pSec = (System.nanoTime() - tp) / 1e9
+        // count AND content across the compaction boundary
+        require(agg.getLong(0) == i + 1,
+          s"completed count ${agg.getLong(0)} != ${i + 1} after mid-run compact")
+        require(agg.getLong(1) == i * (i + 1) / 2,
+          s"completed-set content drift after mid-run compact at ${i + 1}")
+        val files = rep.get("index_results").map(_._2).getOrElse(-1)
+        midProbes += s"""{"at":${i + 1},"files":$files,""" +
+          s""""compact_sec":$cSec,"probe_sec":$pSec}"""
+        System.err.println(s"[ledger-scale] compacted at ${i + 1}: " +
+          s"$files files, probe ${pSec}s")
+      }
     }
-    val commitSec = (System.nanoTime() - tCommit0) / 1e9
+    val commitSec = (System.nanoTime() - tCommit0) / 1e9 - compactTotalSec
 
     def parquetFiles(): Int = {
       def walk(f: java.io.File): Int =
@@ -79,7 +117,10 @@ object LedgerScale {
       s"completed-set drift: $nBefore before vs $nAfter after vs $nCommits committed")
 
     println(s"""{"tool":"ledger_scale","n_commits":$nCommits,""" +
-      s""""commit_sec":$commitSec,"files_before":$filesBefore,""" +
+      s""""commit_sec":$commitSec,"compact_every":$compactEvery,""" +
+      s""""mid_compact_total_sec":$compactTotalSec,""" +
+      s""""mid_probes":[${midProbes.result().mkString(",")}],""" +
+      s""""files_before":$filesBefore,""" +
       s""""files_after":$filesAfter,"compact_sec":$compactSec,""" +
       s""""probe_cold_before_sec":$coldBefore,"probe_med_before_sec":$medBefore,""" +
       s""""probe_cold_after_sec":$coldAfter,"probe_med_after_sec":$medAfter,""" +

@@ -610,6 +610,24 @@ class CoreSpec extends SparkSpec {
     assert(led.completedIndices(spark, "r").count() == 2)
   }
 
+  test("resume across a compaction boundary re-runs exactly the remainder") {
+    val dir = Files.createTempDirectory("graft-rescmp").toString
+    val p = Pipeline(mkSource(8)).filter(doubleFilter)
+    val crashed = try {
+      Runner.runPerIndex(spark, p, "idx", dir,
+        beforeIndex = i => if (i == 5L) throw new RuntimeException("boom"))
+      false
+    } catch { case e: RuntimeException if e.getMessage == "boom" => true }
+    assert(crashed)
+    val led = new Ledger(dir)
+    // compact the crashed run's ledger (force a rewrite of every table)
+    led.compact(spark, maxFilesPerTable = 1)
+    // the resumed run must execute exactly the remaining 3 indices
+    val r2 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r2.nSkipped == 5 && r2.nExecuted == 3 && r2.nTotal == 8)
+    assert(led.completedIndices(spark, r2.runId).count() == 8)
+  }
+
   test("progress view: stall detector + throughput; stage-grain heartbeat refresh") {
     val dir = Files.createTempDirectory("graft-progress").toString
     val led = new Ledger(dir)

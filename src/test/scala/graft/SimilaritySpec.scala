@@ -122,6 +122,40 @@ class SimilaritySpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("annRecallReport: recall@k vs nProbe curve — monotone, 1.0 at full probe") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 64)
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 64)
+    def report(nProbe: Int): Map[String, (Long, Long, Double)] =
+      SimilarityOps.annRecallReport(emb, "vec_id", "embedding",
+        k = 10, maxQueryId = 6L, cents, nProbe, books, dimHint = 64)
+        .collect().map(r => r.getAs[String]("tier") ->
+          ((r.getAs[Long]("hits"), r.getAs[Long]("possible"),
+            r.getAs[Double]("recall")))).toMap
+    val curve = Seq(1, 2, 4, 8).map(np => np -> report(np))
+    curve.foreach { case (np, rep) =>
+      assert(rep.keySet == Set("ivf", "pq", "sq8", "binary"), s"nProbe $np")
+      rep.foreach { case (tier, (hits, possible, recall)) =>
+        assert(possible == 60L && hits <= possible, s"$tier at nProbe $np")
+        assert(math.abs(recall - math.rint(
+          hits.toDouble / possible * 10000) / 10000) < 1e-6)
+      }
+    }
+    // the tuning curve: IVF recall never decreases with more lists probed,
+    // and probing ALL lists is brute force — recall exactly 1.0
+    val ivf = curve.map { case (np, rep) => np -> rep("ivf")._3 }
+    ivf.sliding(2).foreach { case Seq((n1, r1), (n2, r2)) =>
+      assert(r1 <= r2 + 1e-9, s"recall dropped $n1→$n2: $r1 > $r2")
+    }
+    assert(ivf.last._2 == 1.0, s"full probe must equal brute: ${ivf.last}")
+    // flat tiers don't depend on nProbe: identical rows across the curve
+    Seq("pq", "sq8", "binary").foreach { t =>
+      assert(curve.map(_._2(t)).distinct.size == 1, s"$t varied with nProbe")
+    }
+  }
+
   test("PQ: zero-quantization-error codebooks reproduce exact L2 ranking") {
     val s = spark
     import s.implicits._

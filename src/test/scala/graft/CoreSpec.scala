@@ -482,10 +482,18 @@ class CoreSpec extends SparkSpec {
     // silently blanking the new columns
     assert(led.runMeta(spark, "new_run") == (Some("/art/root"), Some(7L)))
     assert(led.runMeta(spark, "old_run") == (None, None))
-    // compact's rewrite must carry the merged schema, not a partial one
+    // compact's rewrite must carry the merged schema, not a partial one —
+    // via the DRIVER fast path (default: tiny table, parquet-mr merge)...
     led.compact(spark, maxFilesPerTable = 1)
     assert(led.runMeta(spark, "new_run") == (Some("/art/root"), Some(7L)))
     assert(led.runMeta(spark, "old_run") == (None, None))
+    // ...and via the SPARK path (smallTableBytes = 0 forces it), over a
+    // re-fragmented mixed-schema table
+    Seq(("old_run2", "{}", 2L)).toDF("run_id", "config_json", "started_at")
+      .coalesce(1).write.mode("append").parquet(s"$dir/runs")
+    led.compact(spark, maxFilesPerTable = 1, smallTableBytes = 0L)
+    assert(led.runMeta(spark, "new_run") == (Some("/art/root"), Some(7L)))
+    assert(led.runMeta(spark, "old_run2") == (None, None))
   }
 
   test("ledger compaction: many per-index commits re-bin; contents unchanged") {

@@ -20,19 +20,136 @@ final class Ledger(dir: String) {
   private def idxPath = s"$dir/index_results"
   private def runsPath = s"$dir/runs"
 
-  /** EVERY ledger-table read goes through here with `mergeSchema` on: the
-    * tables gained columns across rounds (runs: run_dir/total_indices,
-    * logs: worker_id, stage_metrics: idx) and mixed old+new ledgers are an
-    * explicitly supported back-compat case — without schema merge,
-    * parquet's schema comes from one arbitrary footer, silently blanking
-    * new-file values (runMeta → (None, None), logs misattributed) and,
-    * worse, letting `compact()` rewrite the table with the partial schema
-    * and permanently drop the new columns. Ledger tables are tiny and
-    * compaction keeps file counts bounded, so the extra footer reads are
-    * noise.
+  /** Canonical column contract of every ledger table — the static schema
+    * each read requests. The tables gained columns across rounds (runs:
+    * run_dir/total_indices, logs: worker_id, stage_metrics: idx) and mixed
+    * old+new ledgers are an explicitly supported back-compat case. The
+    * first fix (r13) read with `mergeSchema`, which is CORRECT but pays a
+    * footer parse per file — O(committed indices) before compaction runs,
+    * exactly the probe cost the compaction work exists to bound (measured:
+    * the most ledger-read-heavy fixture regressed 2.9 → 3.9 s). A ledger
+    * table's schema isn't data-dependent — it is a versioned contract this
+    * map states once — so reads request it explicitly: O(1) in file count,
+    * old files surface missing columns as null (the same semantics merge
+    * gave), and unknown extra columns are ignored on the hot path.
+    * `compact()` keeps a mergeSchema read (it is a maintenance pass that
+    * already opens every footer) so columns beyond this contract survive
+    * rewrites.
+    */
+  private val tableSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def t(cols: (String, DataType)*): StructType =
+      StructType(cols.map { case (n, dt) => StructField(n, dt, nullable = true) })
+    Map(
+      "runs" -> t("run_id" -> StringType, "config_json" -> StringType,
+        "started_at" -> LongType, "run_dir" -> StringType,
+        "total_indices" -> LongType),
+      "index_results" -> t("idx" -> LongType, "run_id" -> StringType,
+        "status" -> StringType, "wall_ns" -> LongType, "n_rows" -> LongType,
+        "peak_memory_bytes" -> LongType, "gpu_memory_bytes" -> LongType,
+        "worker_id" -> StringType, "finished_at" -> LongType),
+      "errors" -> t("idx" -> LongType, "run_id" -> StringType,
+        "status" -> StringType, "wall_ns" -> LongType, "n_rows" -> LongType,
+        "worker_id" -> StringType, "finished_at" -> LongType,
+        "error" -> StringType),
+      "stage_metrics" -> t("run_id" -> StringType, "idx" -> LongType,
+        "stage_order" -> IntegerType, "stage_id" -> IntegerType,
+        "stage_name" -> StringType, "wall_ns" -> LongType,
+        "executor_run_ns" -> LongType, "n_tasks" -> IntegerType,
+        "peak_memory_bytes" -> LongType),
+      "output_files" -> t("path" -> StringType, "idx" -> LongType,
+        "run_id" -> StringType, "seq" -> IntegerType),
+      "filter_artifacts" -> t("path" -> StringType, "idx" -> LongType,
+        "run_id" -> StringType, "filter_name" -> StringType,
+        "filter_order" -> IntegerType),
+      "workers" -> t("worker_id" -> StringType, "run_id" -> StringType,
+        "pid" -> LongType, "hostname" -> StringType,
+        "invocation_id" -> StringType, "current_index" -> LongType,
+        "completed_count" -> LongType, "ts" -> LongType),
+      "logs" -> t("level" -> StringType, "logger_name" -> StringType,
+        "message" -> StringType, "idx" -> LongType, "run_id" -> StringType,
+        "ts" -> LongType, "worker_id" -> StringType))
+  }
+
+  /** Run-scoped commit-file prefix: every per-commit append tags its
+    * installed file `r<md5(run_id)[0,8)>_<uuid>.parquet`. The prefix is a
+    * pure function of run_id and every append carries exactly one run's
+    * rows, so a single-run read can PRUNE other runs' uncompacted tail
+    * files by NAME — no footer, no open, no bytes. Pruning is an
+    * optimization only: the `run_id` filter stays on every read, so a
+    * prefix collision (8 hex chars) merely reads extra files it then
+    * filters out. Compacted bins and pre-prefix legacy commits mix runs
+    * and keep non-matching names ([[tailFileRe]] can't match a UUID — 'r'
+    * is not a hex digit), so they land in the always-read shared bucket;
+    * post-compaction that bucket is small by construction, which is why
+    * pruning only needs to cover the tail.
+    */
+  private[graft] def runPrefix(runId: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(runId.getBytes("UTF-8"))
+    "r" + h.take(4).map(b => f"$b%02x").mkString + "_"
+  }
+
+  private val tailFileRe = java.util.regex.Pattern.compile("r[0-9a-f]{8}_.*")
+
+  /** The files a single-run read must touch: the run's own tail files plus
+    * every shared (compacted/legacy) file. None = prune nothing — either a
+    * nested directory appeared (not a layout this ledger writes, so fall
+    * back to the whole-directory read rather than risk under-reading) or
+    * the selection kept every file anyway (reading the directory plans one
+    * LIST instead of N per-path statuses — the cheaper shape on an object
+    * store).
+    */
+  private[graft] def prunedFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path,
+                                runId: String): Option[Seq[String]] = {
+    val pre = runPrefix(runId)
+    val entries = fs.listStatus(p)
+    if (entries.exists(_.isDirectory)) return None
+    val parquet = entries.iterator.map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    val kept = entries.iterator.map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.endsWith(".parquet") &&
+          (!tailFileRe.matcher(n).matches() || n.startsWith(pre))
+      }
+      .map(_.toString).toSeq
+    if (kept.size == parquet) None else Some(kept)
+  }
+
+  /** EVERY hot-path ledger-table read goes through here with the table's
+    * canonical schema (see [[tableSchemas]]); an unknown table name (none
+    * exist today) falls back to the mergeSchema read rather than guessing.
+    * `forRun` additionally prunes other runs' tail files by name (see
+    * [[runPrefix]]): a shared multi-run ledger's resume probe then costs
+    * O(this run's uncompacted commits + compacted bins), not O(every run's
+    * history).
     */
   private def readTable(spark: SparkSession, p: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(p)
+    readTable(spark, p, None)
+
+  private def readTable(spark: SparkSession, p: String,
+                        forRun: Option[String]): DataFrame = {
+    val table = p.substring(p.lastIndexOf('/') + 1)
+    tableSchemas.get(table) match {
+      case Some(schema) =>
+        val pruned = forRun.flatMap { runId =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          prunedFiles(hp.getFileSystem(
+            spark.sparkContext.hadoopConfiguration), hp, runId)
+        }
+        pruned match {
+          case Some(files) if files.isEmpty =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          case Some(files) =>
+            spark.read.schema(schema).parquet(files: _*)
+          case None => spark.read.schema(schema).parquet(p)
+        }
+      case None => spark.read.option("mergeSchema", "true").parquet(p)
+    }
+  }
 
   /** MULTI-WRITER-safe append: stage the rows under a UUID dir, then move
     * each part file into the table under a unique name. A plain
@@ -53,7 +170,7 @@ final class Ledger(dir: String) {
     * `compact()` can see or trip over — only an orphan under `_staging/`,
     * which [[clean]] janitors by age.
     */
-  private def appendRows(df: DataFrame, table: String,
+  private def appendRows(df: DataFrame, table: String, runId: String,
                          singleFile: Boolean = true): Unit = {
     val spark = df.sparkSession
     val staging = new org.apache.hadoop.fs.Path(
@@ -67,7 +184,7 @@ final class Ledger(dir: String) {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
         require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dest,
-          s"${java.util.UUID.randomUUID()}.parquet")),
+          s"${runPrefix(runId)}${java.util.UUID.randomUUID()}.parquet")),
           s"ledger append: rename into $dest failed")
       }
     fs.delete(staging, true)
@@ -107,7 +224,7 @@ final class Ledger(dir: String) {
     * recordCompleted keeps the Spark path — its index set never lands on
     * the driver.
     */
-  private def appendLocal(spark: SparkSession, table: String,
+  private def appendLocal(spark: SparkSession, table: String, runId: String,
                           cols: Seq[(String, ColT)],
                           rows: Seq[Seq[Any]]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroup
@@ -144,7 +261,7 @@ final class Ledger(dir: String) {
     val dest = new org.apache.hadoop.fs.Path(s"$dir/$table")
     fs.mkdirs(dest)
     require(fs.rename(staging, new org.apache.hadoop.fs.Path(dest,
-      s"${java.util.UUID.randomUUID()}.parquet")),
+      s"${runPrefix(runId)}${java.util.UUID.randomUUID()}.parquet")),
       s"ledger append: rename into $dest failed")
   }
 
@@ -161,7 +278,7 @@ final class Ledger(dir: String) {
   def recordRunStart(spark: SparkSession, runId: String, configJson: String,
                      runDir: Option[String],
                      totalIndices: Option[Long]): Unit = {
-    appendLocal(spark, "runs",
+    appendLocal(spark, "runs", runId,
       Seq("run_id" -> StringT, "config_json" -> StringT,
         "started_at" -> LongT, "run_dir" -> StringT,
         "total_indices" -> LongT),
@@ -175,7 +292,7 @@ final class Ledger(dir: String) {
     */
   def runMeta(spark: SparkSession, runId: String): (Option[String], Option[Long]) = {
     if (!pathExists(spark, runsPath)) return (None, None)
-    val df = readTable(spark, runsPath).filter(col("run_id") === runId)
+    val df = readTable(spark, runsPath, Some(runId)).filter(col("run_id") === runId)
     val withCols = Seq("run_dir", "total_indices").foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }
@@ -247,7 +364,7 @@ final class Ledger(dir: String) {
                       workerId: String): Unit = {
     if (indices.isEmpty) return
     val now = System.currentTimeMillis()
-    appendLocal(spark, "index_results",
+    appendLocal(spark, "index_results", runId,
       Seq("idx" -> LongT, "run_id" -> StringT, "status" -> StringT,
         "wall_ns" -> LongT, "n_rows" -> LongT,
         "peak_memory_bytes" -> LongT, "gpu_memory_bytes" -> LongT,
@@ -278,7 +395,7 @@ final class Ledger(dir: String) {
       .withColumn("worker_id", lit(workerId))
       .withColumn("finished_at", lit(System.currentTimeMillis()))
       .observe(obs, count(lit(1)).as("n")),
-      "index_results", singleFile = false)
+      "index_results", runId, singleFile = false)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -304,7 +421,7 @@ final class Ledger(dir: String) {
   def recordStageMetricsIdx(spark: SparkSession, runId: String,
                             stages: Seq[(Long, StageListener#StageRec)]): Unit = {
     if (stages.isEmpty) return
-    appendLocal(spark, "stage_metrics",
+    appendLocal(spark, "stage_metrics", runId,
       Seq("run_id" -> StringT, "idx" -> LongT, "stage_order" -> IntT,
         "stage_id" -> IntT, "stage_name" -> StringT, "wall_ns" -> LongT,
         "executor_run_ns" -> LongT, "n_tasks" -> IntT,
@@ -327,7 +444,7 @@ final class Ledger(dir: String) {
       Seq.empty[(String, Long, Int, Int, String, Long, Long, Int, Long)]
         .toDF("run_id", "idx", "stage_order", "stage_id", "stage_name",
           "wall_ns", "executor_run_ns", "n_tasks", "peak_memory_bytes")
-    } else readTable(spark, p).filter(col("run_id") === runId)
+    } else readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
   }
 
   // ------------------------------------------------ provenance tables
@@ -345,7 +462,7 @@ final class Ledger(dir: String) {
   def recordOutputFiles(spark: SparkSession, runId: String, idx: Long,
                         paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
-    appendLocal(spark, "output_files",
+    appendLocal(spark, "output_files", runId,
       Seq("path" -> StringT, "idx" -> LongT, "run_id" -> StringT,
         "seq" -> IntT),
       paths.zipWithIndex.map { case (p, seq) => Seq[Any](p, idx, runId, seq) })
@@ -358,7 +475,7 @@ final class Ledger(dir: String) {
                             filterName: String, filterOrder: Int,
                             paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
-    appendLocal(spark, "filter_artifacts",
+    appendLocal(spark, "filter_artifacts", runId,
       Seq("path" -> StringT, "idx" -> LongT, "run_id" -> StringT,
         "filter_name" -> StringT, "filter_order" -> IntT),
       paths.map(p => Seq[Any](p, idx, runId, filterName, filterOrder)))
@@ -380,7 +497,7 @@ final class Ledger(dir: String) {
     if (!pathExists(spark, p)) {
       import spark.implicits._
       Seq.empty[(String, Long, String, Int)].toDF("path", "idx", "run_id", "seq")
-    } else readTable(spark, p).filter(col("run_id") === runId)
+    } else readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
       .groupBy(col("path"))
       .agg(min(struct(col("idx"), col("seq"))).as("_m"))
       .select(col("path"), col("_m.idx").as("idx"),
@@ -394,7 +511,7 @@ final class Ledger(dir: String) {
       import spark.implicits._
       Seq.empty[(String, Long, String, String, Int)]
         .toDF("path", "idx", "run_id", "filter_name", "filter_order")
-    } else readTable(spark, p).filter(col("run_id") === runId)
+    } else readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
   }
 
   /** `output_paths` view (`dashboard/data.py:247-262` over
@@ -452,7 +569,7 @@ final class Ledger(dir: String) {
                             invocationId: String,
                             currentIndex: Option[Long],
                             completedCount: Long, tsMs: Long): Unit = {
-    appendLocal(spark, "workers",
+    appendLocal(spark, "workers", runId,
       Seq("worker_id" -> StringT, "run_id" -> StringT, "pid" -> LongT,
         "hostname" -> StringT, "invocation_id" -> StringT,
         "current_index" -> LongT, "completed_count" -> LongT,
@@ -469,7 +586,7 @@ final class Ledger(dir: String) {
       Seq.empty[(String, String, Long, String, String, Option[Long], Long, Long)]
         .toDF("worker_id", "run_id", "pid", "hostname", "invocation_id",
           "current_index", "completed_count", "ts")
-    } else readTable(spark, p).filter(col("run_id") === runId)
+    } else readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
   }
 
   def recordError(spark: SparkSession, runId: String, idx: Long,
@@ -478,7 +595,7 @@ final class Ledger(dir: String) {
 
   def recordError(spark: SparkSession, runId: String, idx: Long, error: String,
                   workerId: String): Unit = {
-    appendLocal(spark, "errors",
+    appendLocal(spark, "errors", runId,
       Seq("idx" -> LongT, "run_id" -> StringT, "status" -> StringT,
         "wall_ns" -> LongT, "n_rows" -> LongT, "worker_id" -> StringT,
         "finished_at" -> LongT, "error" -> StringT),
@@ -505,7 +622,7 @@ final class Ledger(dir: String) {
                  workerId: String): Unit = {
     if (entries.isEmpty) return
     val now = System.currentTimeMillis()
-    appendLocal(spark, "logs",
+    appendLocal(spark, "logs", runId,
       Seq("level" -> StringT, "logger_name" -> StringT,
         "message" -> StringT, "idx" -> LongT, "run_id" -> StringT,
         "ts" -> LongT, "worker_id" -> StringT),
@@ -522,7 +639,7 @@ final class Ledger(dir: String) {
         .toDF("level", "logger_name", "message", "idx", "run_id", "ts",
           "worker_id")
     } else {
-      val df = readTable(spark, p).filter(col("run_id") === runId)
+      val df = readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
       // ledgers written before the worker_id column read as "driver"
       if (df.columns.contains("worker_id")) df
       else df.withColumn("worker_id", lit("driver"))
@@ -539,7 +656,7 @@ final class Ledger(dir: String) {
   def completedIndices(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     if (!pathExists(spark, idxPath)) Seq.empty[Long].toDF("idx")
-    else readTable(spark, idxPath)
+    else readTable(spark, idxPath, Some(runId))
       .filter(col("run_id") === runId && col("status") === "completed")
       .select("idx").distinct()
   }
@@ -549,7 +666,7 @@ final class Ledger(dir: String) {
     import spark.implicits._
     val errPath = s"$dir/errors"
     if (!pathExists(spark, errPath)) Seq.empty[Long].toDF("idx")
-    else readTable(spark, errPath)
+    else readTable(spark, errPath, Some(runId))
       .filter(col("run_id") === runId)
       .select("idx").distinct()
   }
@@ -588,7 +705,7 @@ final class Ledger(dir: String) {
   def indexDf(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     val comp =
-      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath, Some(runId))
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, Long, Long, Long)]
          .toDF("idx", "wall_ns", "peak_memory_bytes", "finished_at")
@@ -601,7 +718,7 @@ final class Ledger(dir: String) {
           col("m.gpu_memory_bytes").as("_gpu"), lit(1).as("_done"))
     val errPath = s"$dir/errors"
     val errs =
-      (if (pathExists(spark, errPath)) readTable(spark, errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath, Some(runId))
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, Long, String)].toDF("idx", "finished_at", "error"))
         .groupBy(col("idx").cast("long").as("idx"))
@@ -665,13 +782,13 @@ final class Ledger(dir: String) {
                       workerId: String): DataFrame = {
     import spark.implicits._
     val comp =
-      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath, Some(runId))
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
     val errPath = s"$dir/errors"
     val errs =
-      (if (pathExists(spark, errPath)) readTable(spark, errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath, Some(runId))
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
@@ -990,13 +1107,13 @@ final class Ledger(dir: String) {
   def workersDf(spark: SparkSession, runId: String): DataFrame = {
     import spark.implicits._
     val compRows =
-      (if (pathExists(spark, idxPath)) readTable(spark, idxPath)
+      (if (pathExists(spark, idxPath)) readTable(spark, idxPath, Some(runId))
          .filter(col("run_id") === runId && col("status") === "completed")
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
     val errPath = s"$dir/errors"
     val errRows =
-      (if (pathExists(spark, errPath)) readTable(spark, errPath)
+      (if (pathExists(spark, errPath)) readTable(spark, errPath, Some(runId))
          .filter(col("run_id") === runId)
        else Seq.empty[(Long, String)].toDF("idx", "worker_id"))
         .select(col("worker_id"), col("idx").cast("long").as("idx"))
@@ -1067,12 +1184,12 @@ final class Ledger(dir: String) {
         sm.getAs[Long]("failed"), sm.getAs[Long]("remaining"))
     val startedAt: Option[Long] =
       if (!pathExists(spark, runsPath)) None
-      else readTable(spark, runsPath).filter(col("run_id") === runId)
+      else readTable(spark, runsPath, Some(runId)).filter(col("run_id") === runId)
         .agg(min("started_at")).collect().headOption
         .filterNot(_.isNullAt(0)).map(_.getLong(0))
     val lastFinished: Option[Long] =
       if (!pathExists(spark, idxPath)) None
-      else readTable(spark, idxPath)
+      else readTable(spark, idxPath, Some(runId))
         .filter(col("run_id") === runId && col("status") === "completed")
         .agg(max("finished_at")).collect().headOption
         .filterNot(_.isNullAt(0)).map(_.getLong(0))

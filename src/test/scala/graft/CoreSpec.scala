@@ -496,6 +496,44 @@ class CoreSpec extends SparkSpec {
     assert(led.runMeta(spark, "old_run2") == (None, None))
   }
 
+  test("per-run tail pruning: one run's read skips other runs' commit files") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val led = new Ledger(dir)
+    val s = spark
+    import s.implicits._
+    // two runs interleave per-index commits into ONE shared ledger
+    (0L until 30L).foreach(i => led.recordCompleted(spark, "run_a", Seq(i), 1L, 1L))
+    (0L until 50L).foreach(i => led.recordCompleted(spark, "run_b", Seq(i), 1L, 1L))
+    val idxDir = new org.apache.hadoop.fs.Path(s"$dir/index_results")
+    val fs = idxDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // selection level: run_a's read plans exactly its own 30 tail files —
+    // run_b's 50 are pruned by NAME, never opened
+    val sel = led.prunedFiles(fs, idxDir, "run_a").get
+    assert(sel.size == 30)
+    assert(sel.forall(_.contains(led.runPrefix("run_a"))))
+    // result level: both runs' probes stay correct
+    assert(led.completedIndices(spark, "run_a").count() == 30)
+    assert(led.completedIndices(spark, "run_b").count() == 50)
+    // a LEGACY (pre-prefix) commit file is in the always-read shared
+    // bucket: raw part-file append of one more run_a completion
+    Seq((99L, "run_a", "completed", 1L, 1L))
+      .toDF("idx", "run_id", "status", "wall_ns", "n_rows")
+      .coalesce(1).write.mode("append").parquet(idxDir.toString)
+    assert(led.prunedFiles(fs, idxDir, "run_a").get.size == 31)
+    assert(led.completedIndices(spark, "run_a").count() == 31)
+    // compaction folds the tails into shared bins; reads stay correct and
+    // new tail commits resume pruning on top of the compacted base
+    led.compact(spark, maxFilesPerTable = 1)
+    assert(led.completedIndices(spark, "run_a").count() == 31)
+    assert(led.completedIndices(spark, "run_b").count() == 50)
+    led.recordCompleted(spark, "run_b", Seq(50L), 1L, 1L)
+    val selB = led.prunedFiles(fs, idxDir, "run_a").get
+    // run_a sees the compacted shared bin but NOT run_b's fresh tail file
+    assert(!selB.exists(_.contains(led.runPrefix("run_b"))))
+    assert(led.completedIndices(spark, "run_a").count() == 31)
+    assert(led.completedIndices(spark, "run_b").count() == 51)
+  }
+
   test("ledger compaction: many per-index commits re-bin; contents unchanged") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val led = new Ledger(dir)

@@ -41,8 +41,34 @@ object AnnCurve {
       s"""{"n_probe":$np,"ivf":${rep("ivf")},"pq":${rep("pq")},""" +
         s""""sq8":${rep("sq8")},"binary":${rep("binary")},"sec":$sec}"""
     }
+
+    // PQ CODE-BUDGET arm: recall@k vs codebook geometry at a fixed byte
+    // budget (the other axis a deployment tunes — FAISS's mxk tables).
+    // Bytes/vector = m·log2(k)/8; (8,256) and (16,16) spend the SAME
+    // 8 bytes, trading subspace count against per-subspace resolution.
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val truth = graft.core.Materialize.pin(
+      SimilarityOps.topKCosine(emb, "vec_id", "embedding", k, nq)
+        .select(col("ia").as("q"), col("ib").as("nb")))
+    val possible = truth.count().toDouble
+    val budgets = Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 256))
+    val pqRows = budgets.map { case (m, kk) =>
+      val t0 = System.nanoTime()
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = m, k = kk, iters = 2, dimHint = 64)
+      val hits = SimilarityOps.pqTopK(emb, "vec_id", "embedding", k, nq,
+        cb, dimHint = 64)
+        .select(col("ia").as("q"), col("ib").as("nb"))
+        .join(broadcast(truth), Seq("q", "nb"), "left_semi")
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bits = m * (math.log(kk) / math.log(2)).round
+      s"""{"m":$m,"k_codebook":$kk,"bytes_per_vec":${bits / 8.0},""" +
+        s""""recall":${hits / possible},"sec":$sec}"""
+    }
     println(s"""{"tool":"ann_curve","sf_dir":"$dir","k":$k,""" +
-      s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}]}""")
+      s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}],""" +
+      s""""pq_budget":[${pqRows.mkString(",")}]}""")
     spark.stop()
   }
 }

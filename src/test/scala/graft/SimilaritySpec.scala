@@ -156,6 +156,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ code budget: more bytes per vector buys recall (deterministic)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val truth = SimilarityOps.topKCosine(emb, "vec_id", "embedding", 10, 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(m: Int, kk: Int): Double = {
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = m, k = kk, iters = 2, dimHint = 64)
+      val got = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 6L,
+        cb, dimHint = 64).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // deterministic init + fixed data → these are FIXED numbers, not flaky
+    // statistics; pin the budget ordering the AnnCurve table documents
+    // (4 B: m=8,k=16 → 8 B: m=16,k=16 → 16 B: m=16,k=256)
+    val r4 = recall(8, 16)
+    val r8 = recall(16, 16)
+    val r16 = recall(16, 256)
+    assert(r4 >= 0.0 && r16 <= 1.0)
+    assert(r8 >= r4, s"8-byte codes ($r8) under 4-byte ($r4)")
+    assert(r16 >= r8, s"16-byte codes ($r16) under 8-byte ($r8)")
+    assert(r16 > r4, s"4× the code budget bought nothing: $r4 → $r16")
+  }
+
   test("PQ: zero-quantization-error codebooks reproduce exact L2 ranking") {
     val s = spark
     import s.implicits._

@@ -236,6 +236,7 @@ object SparkEntry {
     "q_dashboard_workers_multi" -> (qDashboardWorkersMulti _),
     "q_dashboard_stages_idx" -> (qDashboardStagesIdx _),
     "q_dashboard_progress" -> (qDashboardProgress _),
+    "q_ledger_reset" -> (qLedgerReset _),
     "q_pipeline_from_config" -> (qPipelineFromConfig _),
     "q_text_pipeline_e2e" -> (qTextPipelineE2e _),
     "q_volume_assembly" -> (qVolumeAssembly _),
@@ -1549,6 +1550,56 @@ object SparkEntry {
         (col("eta_s") >= 0.0).cast("int").as("eta_nonneg"))
       .withColumn("stalled_index", lit(stalledIdx))
       .crossJoin(completedRows)
+  }
+
+  /** Destructive store edits — the reference's `reset_index(i)` /
+    * `reset()` (`pipeline_store.py:1455-1508`): run A completes per-index,
+    * `resetIndex(3)` clears exactly index 3's records so the resume
+    * re-runs it alone; a SECOND pipeline (run B) sharing the ledger is
+    * then `resetRun`-cleared while run A's records survive untouched. The
+    * oracle replays run A's per-index accounting from orders and pins the
+    * reset counters analytically.
+    */
+  private def qLedgerReset(s: SparkSession, dir: String): DataFrame = {
+    val ledgerDir = freshTmpDir("graft_reset", dir)
+    val sinkA = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pipeA = graft.core.Pipeline(
+      graft.core.PSource("orders_by_mod6", Map("table" -> "orders", "mod" -> "6"),
+        sp => Tables.orders(sp, dir).withColumn("idx", col("o_orderkey") % 6)),
+      Vector(graft.core.PFilter("open_orders", Map("status" -> "O"),
+        df => df.filter(col("o_orderstatus") === "O"))),
+      Some(graft.core.PSink("per_idx_parquet", Map("path" -> "art_a"),
+        df => {
+          val p = s"$ledgerDir/art_a/part_${sinkA.getAndIncrement()}"
+          df.write.mode("overwrite").parquet(p)
+          Seq(p)
+        })))
+    val pipeB = graft.core.Pipeline(
+      graft.core.PSource("orders_by_mod4", Map("table" -> "orders", "mod" -> "4"),
+        sp => Tables.orders(sp, dir).withColumn("idx", col("o_orderkey") % 4)),
+      Vector.empty,
+      Some(graft.core.PSink("noop_count", Map.empty,
+        df => { df.count(); Nil })))
+    val rA = graft.core.Runner.runPerIndex(s, pipeA, "idx", ledgerDir)
+    val rB = graft.core.Runner.runPerIndex(s, pipeB, "idx", ledgerDir)
+    val ledger = new graft.core.Ledger(ledgerDir)
+    ledger.resetIndex(s, rA.runId, 3L)
+    val afterReset = ledger.completedIndices(s, rA.runId).count() // 5
+    val rA2 = graft.core.Runner.runPerIndex(s, pipeA, "idx", ledgerDir)
+    ledger.resetRun(s, rB.runId)
+    val bCompleted = ledger.completedIndices(s, rB.runId).count() // 0
+    val bMetaCleared =
+      if (ledger.runMeta(s, rB.runId) == (None, None)) 1 else 0
+    s.read.parquet(s"${ledger.path}/index_results")
+      .filter(col("run_id") === rA.runId && col("status") === "completed")
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(max("n_rows").as("n_rows"))
+      .withColumn("a_completed_after_reset", lit(afterReset))
+      .withColumn("resume_executed", lit(rA2.nExecuted.toLong))
+      .withColumn("resume_skipped", lit(rA2.nSkipped.toLong))
+      .withColumn("b_completed_after_reset", lit(bCompleted))
+      .withColumn("b_meta_cleared", lit(bMetaCleared))
+      .orderBy("idx")
   }
 
   /** Config-file-driven execution END TO END (`core/serialization.py:
@@ -8817,6 +8868,21 @@ object SparkEntry {
         |  1 AS eta_nonneg, CAST(6 AS BIGINT) AS stalled_index,
         |  CAST((SELECT sum(n) FROM c WHERE idx <= 4) AS BIGINT) AS completed_rows
         |""".stripMargin,
+
+    // Reset-family mirror (reference reset()/reset_index()): run A's
+    // per-index completed counts replay from orders; the reset counters
+    // are analytic — resetIndex(3) leaves 5 completed and the resume
+    // re-runs exactly 1; resetRun(B) zeroes B's records and its run meta.
+    "q_ledger_reset" ->
+      """SELECT CAST(o_orderkey % 6 AS BIGINT) AS idx,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(5 AS BIGINT) AS a_completed_after_reset,
+        |  CAST(1 AS BIGINT) AS resume_executed,
+        |  CAST(5 AS BIGINT) AS resume_skipped,
+        |  CAST(0 AS BIGINT) AS b_completed_after_reset,
+        |  1 AS b_meta_cleared
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Config-file-driven run mirror: the loaded pipeline's artifact values
     // replay from orders; hash_equal pins load(save(p)) == p's identity.

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Checkpoint + metrics ledger as partitioned Parquet (replaces the
@@ -982,31 +982,41 @@ final class Ledger(dir: String) {
     * single-digit seconds per 20k-file table. Pass 0 to force the Spark
     * path (large or externally-written tables take it automatically).
     */
-  def compact(spark: SparkSession, maxFilesPerTable: Int = 64,
-              lockTtlMs: Long = 60L * 60 * 1000,
-              smallTableBytes: Long = 64L << 20): Map[String, (Int, Int)] = {
+  /** ONE maintenance lock serializes every destructive table rewrite —
+    * compact() AND the reset family — against each other (two concurrent
+    * rewrites could re-install each other's deleted snapshots). Stale-lock
+    * break is CRASH-RECOVERY, not normal mutual exclusion: a live holder
+    * releases in `finally`, so a lock older than the TTL means a killed
+    * process. The status read tolerates the lock vanishing underneath it
+    * (a racing holder's release), and the break itself is best-effort: two
+    * processes both breaking a stale lock in the same instant can at worst
+    * DUPLICATE rows (both install their rewritten copy), never lose them —
+    * and every resolve-at-read view tolerates duplicates.
+    */
+  private def withMaintenanceLock[A](spark: SparkSession, what: String,
+                                     lockTtlMs: Long)(body: => A): A = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
     val lfs = lock.getFileSystem(fsConf)
     lfs.mkdirs(lock.getParent)
-    // Stale-lock break — CRASH-RECOVERY path, not normal mutual exclusion:
-    // a live compactor releases in `finally`, so a lock older than the TTL
-    // means a killed process. The status read tolerates the lock vanishing
-    // underneath it (a racing compactor's release), and the break itself is
-    // best-effort: two compactors both breaking a stale lock in the same
-    // instant can at worst DUPLICATE rows (both install their compacted
-    // copy), never lose them — and every resolve-at-read view tolerates
-    // duplicates.
     val lockAge = try Some(System.currentTimeMillis() -
       lfs.getFileStatus(lock).getModificationTime)
     catch { case _: java.io.FileNotFoundException => None }
     if (lockAge.exists(_ > lockTtlMs))
-      lfs.delete(lock, false) // crashed compactor's stale lock
+      lfs.delete(lock, false) // crashed holder's stale lock
     if (!tryLock(lfs, lock))
       throw new IllegalStateException(
-        s"ledger compaction already in progress (maintenance lock $lock; " +
-          s"locks older than $lockTtlMs ms are broken as stale)")
-    try {
+        s"ledger maintenance already in progress — $what refused " +
+          s"(maintenance lock $lock; locks older than $lockTtlMs ms are " +
+          "broken as stale)")
+    try body finally lfs.delete(lock, false)
+  }
+
+  def compact(spark: SparkSession, maxFilesPerTable: Int = 64,
+              lockTtlMs: Long = 60L * 60 * 1000,
+              smallTableBytes: Long = 64L << 20): Map[String, (Int, Int)] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    withMaintenanceLock(spark, "compact", lockTtlMs) {
       clean(spark) // janitor staging orphans while we hold the lock
       val tables = Seq("index_results", "runs", "errors", "logs",
         "stage_metrics", "output_files", "filter_artifacts", "workers")
@@ -1065,7 +1075,182 @@ final class Ledger(dir: String) {
           }
         }
       }.toMap
-    } finally lfs.delete(lock, false)
+    }
+  }
+
+  // ------------------------------------------------------- reset family
+  // The reference's destructive store edits (`pipeline_store.py:1455-1508`):
+  // `reset()` clears every record of a run (filter_artifacts, output_files,
+  // stage_metrics, index_results, workers, pipeline_runs — logs are KEPT,
+  // matching the reference), `reset_index(i)` clears one index's records so
+  // a resume re-runs it from scratch. In an append-only parquet ledger a
+  // row delete is a rewrite — but the per-run commit-file prefix makes the
+  // common case cheap: a run's own TAIL files contain only that run's rows,
+  // so resetRun deletes them outright; only SHARED files (compacted bins,
+  // legacy names) need the read-filter-rewrite, and only when they actually
+  // hold the run's rows. Both take the maintenance lock (they are
+  // destructive rewrites racing compact() and each other) and clear the
+  // run's claim namespaces so a resumed invocation re-claims reset indices.
+
+  /** Snapshot of a table's parquet files split into (this run's tail files,
+    * shared files); other runs' tail files are never touched.
+    */
+  private def splitSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path, runId: String)
+      : (Seq[org.apache.hadoop.fs.Path], Seq[org.apache.hadoop.fs.Path]) = {
+    val pre = runPrefix(runId)
+    val all = fs.listStatus(p).iterator.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    (all.filter(_.getName.startsWith(pre)),
+      all.filter(q => !tailFileRe.matcher(q.getName).matches()))
+  }
+
+  /** Rewrite `shared` without the rows matching `drop`, installing under
+    * plain (shared-bucket) names; no-op when no shared file holds such
+    * rows. mergeSchema read — a maintenance pass, like compact's.
+    */
+  private def rewriteSharedWithout(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   p: org.apache.hadoop.fs.Path,
+                                   shared: Seq[org.apache.hadoop.fs.Path],
+                                   drop: Column): Unit = {
+    if (shared.isEmpty) return
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(shared.map(_.toString): _*)
+    if (df.filter(drop).isEmpty) return
+    val keep = df.filter(!drop)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
+    keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(p,
+          s"${java.util.UUID.randomUUID()}.parquet")),
+          s"reset: install into $p failed")
+      }
+    fs.delete(tmp, true)
+    shared.foreach(f => fs.delete(f, false))
+  }
+
+  /** Reference `reset()` (`pipeline_store.py:1455-1477`): clear every
+    * record of `runId` (logs kept). Divergence, documented: the reference
+    * re-registers the run inside reset; here registration happens at the
+    * next `recordRunStart`, which every Runner entry point already calls.
+    * Returns table → files deleted outright (the run's own tail).
+    */
+  def resetRun(spark: SparkSession, runId: String,
+               lockTtlMs: Long = 60L * 60 * 1000): Map[String, Int] =
+    withMaintenanceLock(spark, s"resetRun($runId)", lockTtlMs) {
+      val fsConf = spark.sparkContext.hadoopConfiguration
+      val tables = Seq("filter_artifacts", "output_files", "stage_metrics",
+        "index_results", "errors", "workers", "runs")
+      val report = tables.map { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        val fs = p.getFileSystem(fsConf)
+        if (!fs.exists(p)) t -> 0
+        else {
+          val (mine, shared) = splitSnapshot(fs, p, runId)
+          mine.foreach(f => fs.delete(f, false)) // only this run's rows
+          rewriteSharedWithout(spark, fs, p, shared, col("run_id") === runId)
+          t -> mine.size
+        }
+      }.toMap
+      val claims = new org.apache.hadoop.fs.Path(s"$dir/claims/$runId")
+      val cfs = claims.getFileSystem(fsConf)
+      if (cfs.exists(claims)) cfs.delete(claims, true)
+      report
+    }
+
+  /** Rewrite one table without the rows matching `drop`, touching only
+    * `runId`'s own tail files and the shared bucket: surviving tail rows
+    * are re-installed UNDER THE RUN'S PREFIX (so per-run pruning keeps
+    * working after the rewrite); other runs' tail files are never read.
+    * Caller holds the maintenance lock.
+    */
+  private def rewriteRunWithout(spark: SparkSession, table: String,
+                                runId: String, drop: Column): Unit = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(fsConf)
+    if (!fs.exists(p)) return
+    val (mine, shared) = splitSnapshot(fs, p, runId)
+    if (mine.nonEmpty) {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(mine.map(_.toString): _*)
+      if (!df.filter(drop).isEmpty) {
+        val keep = df.filter(!drop)
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
+        keep.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        fs.listStatus(tmp).iterator
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(p,
+                s"${runPrefix(runId)}${java.util.UUID.randomUUID()}.parquet")),
+              s"rewrite: install into $p failed")
+          }
+        fs.delete(tmp, true)
+        mine.foreach(f => fs.delete(f, false))
+      }
+    }
+    rewriteSharedWithout(spark, fs, p, shared, drop)
+  }
+
+  /** Reference `reset_index(i)` (`pipeline_store.py:1478-1508`): clear one
+    * index's records (filter_artifacts, output_files, stage_metrics,
+    * index_results — plus our split-out errors table, whose rows live in
+    * index_results in the reference) so a resume re-runs exactly that
+    * index.
+    */
+  def resetIndex(spark: SparkSession, runId: String, idx: Long,
+                 lockTtlMs: Long = 60L * 60 * 1000): Unit =
+    withMaintenanceLock(spark, s"resetIndex($runId, $idx)", lockTtlMs) {
+      val drop = col("run_id") === runId && col("idx") === idx
+      Seq("filter_artifacts", "output_files", "stage_metrics",
+        "index_results", "errors")
+        .foreach(rewriteRunWithout(spark, _, runId, drop))
+      // drop the index's claim files in every invocation namespace, so a
+      // resumed invocation re-claims it
+      val claims = new org.apache.hadoop.fs.Path(s"$dir/claims/$runId")
+      val cfs = claims.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (cfs.exists(claims)) {
+        cfs.listStatus(claims).iterator.filter(_.isDirectory).foreach { inv =>
+          val c = new org.apache.hadoop.fs.Path(inv.getPath, s"idx_$idx")
+          if (cfs.exists(c)) cfs.delete(c, false)
+        }
+      }
+    }
+
+  /** Reference `index_for_path` (`pipeline_store.py:1510-1531`): which
+    * source index produced this output file — the reverse lookup over the
+    * (path, run_id)-resolved output_files view.
+    */
+  def indexForPath(spark: SparkSession, runId: String,
+                   path: String): Option[Long] =
+    outputFiles(spark, runId).filter(col("path") === path)
+      .select("idx").collect().headOption.map(_.getLong(0))
+
+  /** Reference `replace_filter_artifacts` (`pipeline_store.py:1593-1635`):
+    * after a shard-merge (`gather_pipeline`), drop the shard artifact rows
+    * and record ONE merged row at the reference's representative idx = 0 —
+    * the dashboard then points at the final merged file. The delete is a
+    * run-scoped rewrite under the maintenance lock; the insert rides the
+    * normal append path.
+    */
+  def replaceFilterArtifacts(spark: SparkSession, runId: String,
+                             filterName: String, filterOrder: Int,
+                             oldPaths: Seq[String], mergedPath: String,
+                             lockTtlMs: Long = 60L * 60 * 1000): Unit = {
+    withMaintenanceLock(spark, s"replaceFilterArtifacts($runId)", lockTtlMs) {
+      if (oldPaths.nonEmpty)
+        rewriteRunWithout(spark, "filter_artifacts", runId,
+          col("run_id") === runId && col("path").isin(oldPaths: _*))
+    }
+    recordFilterArtifacts(spark, runId, 0L, filterName, filterOrder,
+      Seq(mergedPath))
   }
 
   /** `logs_df` parity (`dashboard/data.py:283-321` over

@@ -128,6 +128,81 @@ class CoreSpec extends SparkSpec {
     assert(r3.nExecuted == 0 && r3.nSkipped == 8 && r3.writtenPaths.isEmpty)
   }
 
+  test("resetIndex: one index's records clear; resume re-runs exactly it") {
+    val dir = Files.createTempDirectory("graft-reset-idx").toString
+    val out = Files.createTempDirectory("graft-reset-out").toString
+    val p = Pipeline(mkSource(6)).filter(doubleFilter)
+      .write(Sinks.parquetSink(s"$out/data", Seq("idx")))
+    val r1 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r1.nExecuted == 6)
+    val runId = r1.runId
+    val led = new Ledger(dir)
+    assert(led.stageMetrics(spark, runId).filter(col("idx") === 3L).count() > 0)
+    led.resetIndex(spark, runId, 3L)
+    // exactly index 3's records are gone, everywhere the reference clears
+    assert(led.completedIndices(spark, runId).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 4L, 5L))
+    assert(led.outputPathsDf(spark, runId, 3L).count() == 0)
+    assert(led.stageMetrics(spark, runId).filter(col("idx") === 3L).count() == 0)
+    assert(led.isCompleted(spark, runId, 3L).isEmpty)
+    // neighbours untouched
+    assert(led.isCompleted(spark, runId, 2L).nonEmpty)
+    assert(led.outputPathsDf(spark, runId, 4L).count() > 0)
+    // resume re-runs exactly the reset index
+    val r2 = Runner.runPerIndex(spark, p, "idx", dir)
+    assert(r2.nExecuted == 1 && r2.nSkipped == 5)
+    assert(led.completedIndices(spark, runId).count() == 6)
+  }
+
+  test("replaceFilterArtifacts merges shard rows; indexForPath reverse lookup") {
+    val dir = Files.createTempDirectory("graft-replart").toString
+    val led = new Ledger(dir)
+    led.recordOutputFiles(spark, "r", 2L, Seq("/out/a", "/out/b"))
+    assert(led.indexForPath(spark, "r", "/out/b").contains(2L))
+    assert(led.indexForPath(spark, "r", "/nope").isEmpty)
+    led.recordFilterArtifacts(spark, "r", 0L, "stats", 1, Seq("/s/shard0"))
+    led.recordFilterArtifacts(spark, "r", 1L, "stats", 1, Seq("/s/shard1"))
+    led.recordFilterArtifacts(spark, "r", 0L, "other", 2, Seq("/o/keep"))
+    led.replaceFilterArtifacts(spark, "r", "stats", 1,
+      Seq("/s/shard0", "/s/shard1"), "/s/merged")
+    // shard rows replaced by ONE merged row at the representative idx 0;
+    // unrelated filters' artifacts untouched
+    val rows = led.filterArtifacts(spark, "r")
+      .collect().map(r => (r.getAs[String]("path"), r.getAs[Long]("idx"),
+        r.getAs[String]("filter_name"))).toSet
+    assert(rows == Set(("/s/merged", 0L, "stats"), ("/o/keep", 0L, "other")))
+  }
+
+  test("resetRun clears one run from a shared ledger; other runs untouched") {
+    val dir = Files.createTempDirectory("graft-reset-run").toString
+    val led = new Ledger(dir)
+    // two runs interleave; compact folds the early tail into SHARED bins,
+    // later commits rebuild per-run tails — reset must handle both shapes
+    (0L until 10L).foreach { i =>
+      led.recordCompleted(spark, "run_a", Seq(i), 1L, 1L)
+      led.recordCompleted(spark, "run_b", Seq(i), 1L, 1L)
+    }
+    led.recordRunStart(spark, "run_a", "{}", None, Some(10L))
+    led.recordRunStart(spark, "run_b", "{}", None, Some(10L))
+    led.recordWorkerHeartbeat(spark, "run_a", "w1", 1L, "h", "inv", None, 0L,
+      System.currentTimeMillis())
+    led.compact(spark, maxFilesPerTable = 1)
+    (10L until 15L).foreach { i =>
+      led.recordCompleted(spark, "run_a", Seq(i), 1L, 1L)
+      led.recordCompleted(spark, "run_b", Seq(i), 1L, 1L)
+    }
+    val bBefore = led.indexDf(spark, "run_b").collect().map(_.toString).sorted
+    led.resetRun(spark, "run_a")
+    // every run_a record is gone (tails deleted, shared bins rewritten)
+    assert(led.completedIndices(spark, "run_a").count() == 0)
+    assert(led.workers(spark, "run_a").count() == 0)
+    assert(led.runMeta(spark, "run_a") == (None, None))
+    // run_b is bit-identical, including its compacted-bin rows
+    assert(led.completedIndices(spark, "run_b").count() == 15)
+    assert(led.indexDf(spark, "run_b").collect().map(_.toString).sorted
+      .sameElements(bBefore))
+  }
+
   test("runner without resume executes everything") {
     val dir = Files.createTempDirectory("graft-ledger2").toString
     val p = Pipeline(mkSource(6)).filter(doubleFilter)

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_passage_dedup" -> (qPassageDedup _),
     "q_tfidf" -> (qTfidf _),
     "q_streaming_dedup" -> (qStreamingDedup _),
+    "q_streaming_incremental" -> (qStreamingIncremental _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -3722,6 +3723,52 @@ object SparkEntry {
       .orderBy("ia", "ib")
   }
 
+  /** Streaming snapshot-ingest dedup against a STANDING index
+    * ([[graft.streaming.StreamingDedup.incrementalCandidates]]): odd docs
+    * arrive as a file stream and classify against the even-doc batch index
+    * through stateless stream-static equi-joins (append mode, no
+    * watermark, no state store). The drain folds the match rows into the
+    * exact > near_candidate > novel verdict with min matching index id;
+    * the oracle replays fingerprints, signatures, band keys, and the fold
+    * in SQL.
+    */
+  private def qStreamingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val streamDir = freshTmpDir("graft_stream_incr", dir)
+    val docs = Tables.documents(s, dir)
+    // the ingest batch: every odd doc, PLUS exact copies of a slice of the
+    // index (even doc_id % 100 == 0, re-keyed odd) so the exact tier fires
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 500001L).as("doc_id"), col("text")))
+    incoming.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val index = docs.filter(col("doc_id") % 2 === 0)
+    val stream = s.readStream.schema(incoming.schema)
+      .option("recursiveFileLookup", "true").parquet(streamDir)
+    val cand = graft.streaming.StreamingDedup.incrementalCandidates(
+      stream, index, "doc_id", "text", ShingleK)
+    val qname = s"graft_sincr_${math.abs(dir.hashCode)}"
+    val q = cand.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val verdicts = s.table(qname).groupBy(col("id").as("doc_id")).agg(
+      min(when(col("tier") === "exact", col("old_id"))).as("_ex"),
+      min(when(col("tier") === "near", col("old_id"))).as("_nr"),
+      countDistinct(when(col("tier") === "near", col("old_id")))
+        .as("n_near_cands"))
+    s.read.parquet(streamDir).select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("_ex").isNotNull, "exact")
+          .when(col("_nr").isNotNull, "near_candidate")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("_ex"), col("_nr")).as("match_id"),
+        coalesce(col("n_near_cands"), lit(0L)).as("n_near_cands"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher rule-set gate (minWords lowered to 20 for the short synthetic
     * docs so the verdict varies): every metric and the combined `passes`
     * recompute in SQL — exact integer-ratio fractions, unrounded
@@ -6010,6 +6057,45 @@ object SparkEntry {
          |FROM band a JOIN band b USING (band, bk)
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Streaming snapshot-ingest mirror: fingerprint equality (exact) and
+    // band collisions (near candidates) against the even-doc index, folded
+    // exact > near_candidate > novel with min matching index id — the same
+    // CTE family as q_incremental_dedup, minus its batch verify tier (the
+    // stream emits candidate grade; verification stays a batch pass).
+    "q_streaming_incremental" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |cp AS (SELECT doc_id + 500001 AS doc_id, doc_id AS src
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |nw AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id FROM cp),
+         |fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+         |ex AS (SELECT n.doc_id, min(o.doc_id) AS m
+         |  FROM fp n JOIN fp o ON n.f = o.f
+         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0 GROUP BY 1
+         |  UNION ALL
+         |  SELECT cp.doc_id, min(o.doc_id)
+         |  FROM cp JOIN fp s ON s.doc_id = cp.src
+         |    JOIN fp o ON o.f = s.f AND o.doc_id % 2 = 0 GROUP BY 1),
+         |cand AS (SELECT a.doc_id AS dn, b.doc_id AS dod
+         |  FROM band a JOIN band b USING (band, bk)
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT cp.doc_id, b.doc_id
+         |  FROM cp JOIN band a ON a.doc_id = cp.src
+         |    JOIN band b USING (band, bk)
+         |  WHERE b.doc_id % 2 = 0),
+         |nearc AS (SELECT dn AS doc_id, min(dod) AS m,
+         |  CAST(count(DISTINCT dod) AS BIGINT) AS nc FROM cand GROUP BY 1)
+         |SELECT nw.doc_id,
+         |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+         |       WHEN nearc.m IS NOT NULL THEN 'near_candidate'
+         |       ELSE 'novel' END AS verdict,
+         |  coalesce(ex.m, nearc.m) AS match_id,
+         |  coalesce(nearc.nc, CAST(0 AS BIGINT)) AS n_near_cands
+         |FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nearc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok FROM documents),

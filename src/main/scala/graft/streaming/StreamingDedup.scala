@@ -101,4 +101,55 @@ object StreamingDedup {
       out.iterator
     }
   }
+
+  /** Streaming snapshot-ingest dedup — the continuous face of
+    * [[graft.operators.DedupOps.incrementalDedup]]'s first two tiers: an
+    * INCOMING stream is classified against a STANDING batch index with
+    * nothing but STATELESS stream-static equi-joins, so the query runs in
+    * append mode with no watermark and no state store at all — the index
+    * side (fingerprints + LSH band keys) is computed once per (micro)batch
+    * plan from the static frame, and per-arrival cost follows the batch,
+    * never the corpus. Emits one row per (incoming id, index id, tier)
+    * match: tier `exact` = normalized-md5 fingerprint equality, tier
+    * `near` = a colliding MinHash band (candidate grade — the Jaccard
+    * VERIFY tier stays the batch discipline downstream of the drain,
+    * exactly like `bandPairs → jaccardPairs`). Works unchanged on a batch
+    * `incoming` frame (one semantics, two execution shapes).
+    */
+  def incrementalCandidates(incoming: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val idxFp = index.select(col(idCol).cast("long").as("old_id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("key"),
+      lit("exact").as("tier"))
+    val idxBands = DedupOps.bandKeys(
+      DedupOps.minhashSignatures(
+        DedupOps.shingleSet(index, idCol, textCol, k), idCol), idCol)
+      .select(col(idCol).cast("long").as("old_id"),
+        concat_ws("|", col("band"), col("band_key")).as("key"),
+        lit("near").as("tier"))
+    val idxKeys = idxFp.unionByName(idxBands)
+    val nBands = DedupOps.NumPerms / DedupOps.BandRows
+    val fpRows = incoming.select(col(idCol).cast("long").as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("key"),
+      lit("exact").as("tier"))
+    // signatures as a single-pass typed map per row (the streaming shape —
+    // no aggregation; see nearDupCandidates)
+    val sigRows = incoming
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, DedupOps.minhashSigRow(text, k)) }
+      .toDF("id", "_sig")
+      .filter(size(col("_sig")) > 0)
+      .select(col("id"), explode(array((0 until nBands).map { b =>
+        concat_ws("|", lit(b),
+          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+            element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*))
+      }: _*)).as("key"), lit("near").as("tier"))
+    fpRows.unionByName(sigRows)
+      .join(idxKeys, Seq("tier", "key"))
+      .select(col("id"), col("old_id"), col("tier"))
+  }
 }

@@ -131,6 +131,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental candidates vs standing index: tiers, novelty, batch face") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val index = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "spark shuffles partition data across the cluster nodes " +
+        "while executors exchange sorted blocks during wide stages"))
+      .toDF("doc_id", "text")
+    val exactDup = (1L, "the quick brown fox jumps over the lazy dog")
+    val nearDup = (3L, "spark shuffles partition data across the cluster racks " +
+      "while executors exchange sorted blocks during wide stages")
+    val novel = (5L, "an entirely unrelated sentence about volcanic geology")
+    val input = MemoryStream[(Long, String)]
+    val cand = StreamingDedup.incrementalCandidates(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text", k = 3)
+    val q = cand.writeStream.format("memory").queryName("sic")
+      .outputMode("append").start()
+    try {
+      input.addData(exactDup, novel)
+      q.processAllAvailable()
+      input.addData(nearDup)
+      q.processAllAvailable()
+      val rows = s.table("sic")
+        .select("id", "old_id", "tier").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // the exact dup hits BOTH tiers (identical text collides on every
+      // band too); the near dup hits only the band tier; novel hits none
+      assert(rows.contains((1L, 10L, "exact")))
+      assert(rows.contains((1L, 10L, "near")))
+      assert(rows.contains((3L, 12L, "near")))
+      assert(!rows.exists(_._1 == 5L))
+      assert(!rows.exists(r => r._1 == 3L && r._3 == "exact"))
+      // batch face: same semantics on a batch incoming frame
+      val batch = StreamingDedup.incrementalCandidates(
+        Seq(exactDup, nearDup, novel).toDF("doc_id", "text"),
+        index, "doc_id", "text", k = 3)
+        .select("id", "old_id", "tier").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("streaming state equals the batch Welford aggregator") {
     val s = spark
     import s.implicits._

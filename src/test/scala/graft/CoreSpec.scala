@@ -661,6 +661,17 @@ class CoreSpec extends SparkSpec {
     // lock released on exit
     assert(!Files.exists(lock))
     assert(led.completedIndices(spark, "r").count() == 20)
+    // the reset family shares the SAME lock: all destructive rewrites
+    // serialize against each other, not just compact-vs-compact
+    Files.createFile(lock)
+    assert(intercept[IllegalStateException] {
+      led.resetRun(spark, "r")
+    }.getMessage.contains("already in progress"))
+    assert(intercept[IllegalStateException] {
+      led.resetIndex(spark, "r", 3L)
+    }.getMessage.contains("already in progress"))
+    Files.delete(lock)
+    assert(led.completedIndices(spark, "r").count() == 20) // refused = untouched
   }
 
   test("compact racing live committers loses zero rows") {

@@ -173,6 +173,12 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(batch == rows)
     } finally q.stop()
+    // cold-start edge: an EMPTY standing index classifies everything novel
+    // (no matches emitted) instead of failing on the empty static side
+    val cold = StreamingDedup.incrementalCandidates(
+      Seq(exactDup, nearDup, novel).toDF("doc_id", "text"),
+      index.limit(0), "doc_id", "text", k = 3)
+    assert(cold.count() == 0)
   }
 
   test("streaming state equals the batch Welford aggregator") {

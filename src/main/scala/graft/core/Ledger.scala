@@ -640,9 +640,11 @@ final class Ledger(dir: String) {
           "worker_id")
     } else {
       val df = readTable(spark, p, Some(runId)).filter(col("run_id") === runId)
-      // ledgers written before the worker_id column read as "driver"
-      if (df.columns.contains("worker_id")) df
-      else df.withColumn("worker_id", lit("driver"))
+      // Ledgers written before the worker_id column read as "driver". The
+      // static table schema always injects the column (pre-column files
+      // surface NULL), so the back-compat shim is per-ROW, not per-schema:
+      // recordLogs never writes a null worker_id, so NULL ⇔ legacy row.
+      df.withColumn("worker_id", coalesce(col("worker_id"), lit("driver")))
     }
   }
 
@@ -1108,6 +1110,16 @@ final class Ledger(dir: String) {
   /** Rewrite `shared` without the rows matching `drop`, installing under
     * plain (shared-bucket) names; no-op when no shared file holds such
     * rows. mergeSchema read — a maintenance pass, like compact's.
+    *
+    * NULL discipline: legacy mixed-ledger rows may lack a column the
+    * predicate references (e.g. pre-idx stage_metrics), making `drop`
+    * evaluate to NULL — or the whole selected file set may lack the
+    * column, making the predicate unresolvable. A destructive rewrite
+    * must treat both as "not dropped": missing canonical columns are
+    * padded with NULL so the predicate resolves, `!NULL` is NULL and a
+    * bare `filter(!drop)` would silently delete those rows, so the
+    * trigger check and the kept set both coalesce the predicate, and the
+    * kept rows are written back with their ORIGINAL columns only.
     */
   private def rewriteSharedWithout(spark: SparkSession,
                                    fs: org.apache.hadoop.fs.FileSystem,
@@ -1115,10 +1127,17 @@ final class Ledger(dir: String) {
                                    shared: Seq[org.apache.hadoop.fs.Path],
                                    drop: Column): Unit = {
     if (shared.isEmpty) return
-    val df = spark.read.option("mergeSchema", "true")
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(shared.map(_.toString): _*)
-    if (df.filter(drop).isEmpty) return
-    val keep = df.filter(!drop)
+    val df = tableSchemas.get(p.getName) match {
+      case Some(sc) => sc.fields.foldLeft(raw)((d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType)))
+      case None => raw
+    }
+    if (df.filter(coalesce(drop, lit(false))).isEmpty) return
+    val keep = df.filter(coalesce(!drop, lit(true)))
+      .select(raw.columns.map(col).toIndexedSeq: _*)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
     keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -1151,9 +1170,29 @@ final class Ledger(dir: String) {
         if (!fs.exists(p)) t -> 0
         else {
           val (mine, shared) = splitSnapshot(fs, p, runId)
-          mine.foreach(f => fs.delete(f, false)) // only this run's rows
+          // The name-prefix match is only 8 hex chars of MD5 — fine on the
+          // read path (the run_id filter stays on), but an outright unlink
+          // must not trust it: a prefix COLLISION between two run_ids would
+          // delete another run's commits. One column-pruned scan over the
+          // candidate tail finds files carrying any foreign run_id; those
+          // are rewritten (dropping only this run's rows) instead of
+          // unlinked. Clean files — the entire set, absent a collision —
+          // stay pure unlinks.
+          val (clean, dirty) =
+            if (mine.isEmpty) (Seq.empty[org.apache.hadoop.fs.Path], Seq.empty[org.apache.hadoop.fs.Path])
+            else {
+              val foreign = spark.read.option("mergeSchema", "true")
+                .parquet(mine.map(_.toString): _*)
+                .filter(col("run_id").isNull || col("run_id") =!= runId)
+                .select(input_file_name().as("f"))
+                .distinct().collect().map(_.getString(0)).toSet
+              mine.partition(f => !foreign.exists(_.endsWith("/" + f.getName)))
+            }
+          clean.foreach(f => fs.delete(f, false)) // provably only this run's rows
+          rewriteSharedWithout(spark, fs, p, dirty,
+            col("run_id") === runId)
           rewriteSharedWithout(spark, fs, p, shared, col("run_id") === runId)
-          t -> mine.size
+          t -> clean.size
         }
       }.toMap
       val claims = new org.apache.hadoop.fs.Path(s"$dir/claims/$runId")
@@ -1176,10 +1215,19 @@ final class Ledger(dir: String) {
     if (!fs.exists(p)) return
     val (mine, shared) = splitSnapshot(fs, p, runId)
     if (mine.nonEmpty) {
-      val df = spark.read.option("mergeSchema", "true")
+      val raw = spark.read.option("mergeSchema", "true")
         .parquet(mine.map(_.toString): _*)
-      if (!df.filter(drop).isEmpty) {
-        val keep = df.filter(!drop)
+      // same NULL discipline as rewriteSharedWithout: a row or file the
+      // predicate can't see (missing column → NULL/unresolvable) is KEPT
+      val df = tableSchemas.get(table) match {
+        case Some(sc) => sc.fields.foldLeft(raw)((d, f) =>
+          if (d.columns.contains(f.name)) d
+          else d.withColumn(f.name, lit(null).cast(f.dataType)))
+        case None => raw
+      }
+      if (!df.filter(coalesce(drop, lit(false))).isEmpty) {
+        val keep = df.filter(coalesce(!drop, lit(true)))
+          .select(raw.columns.map(col).toIndexedSeq: _*)
         val tmp = new org.apache.hadoop.fs.Path(
           s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
         keep.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -1236,22 +1284,34 @@ final class Ledger(dir: String) {
   /** Reference `replace_filter_artifacts` (`pipeline_store.py:1593-1635`):
     * after a shard-merge (`gather_pipeline`), drop the shard artifact rows
     * and record ONE merged row at the reference's representative idx = 0 —
-    * the dashboard then points at the final merged file. The delete is a
-    * run-scoped rewrite under the maintenance lock; the insert rides the
-    * normal append path.
+    * the dashboard then points at the final merged file. Both steps run
+    * INSIDE one maintenance-lock hold, insert-first: the reference does
+    * delete+insert in a single SQLite transaction, and the closest
+    * crash-safe analogue here is append-then-rewrite — a crash between
+    * the steps leaves shard rows AND the merged row (a recoverable
+    * superset a re-invocation collapses), never the neither-state a
+    * delete-then-unlocked-insert ordering would expose to concurrent
+    * readers.
     */
   def replaceFilterArtifacts(spark: SparkSession, runId: String,
                              filterName: String, filterOrder: Int,
                              oldPaths: Seq[String], mergedPath: String,
-                             lockTtlMs: Long = 60L * 60 * 1000): Unit = {
+                             lockTtlMs: Long = 60L * 60 * 1000): Unit =
     withMaintenanceLock(spark, s"replaceFilterArtifacts($runId)", lockTtlMs) {
+      // insert-if-absent keeps a retry of the same merge (after a crash
+      // between the two steps) from stacking duplicate merged rows
+      val already = filterArtifacts(spark, runId)
+        .filter(col("path") === mergedPath &&
+          col("filter_name") === filterName)
+        .limit(1).count() > 0
+      if (!already)
+        recordFilterArtifacts(spark, runId, 0L, filterName, filterOrder,
+          Seq(mergedPath))
       if (oldPaths.nonEmpty)
         rewriteRunWithout(spark, "filter_artifacts", runId,
-          col("run_id") === runId && col("path").isin(oldPaths: _*))
+          col("run_id") === runId && col("path").isin(oldPaths: _*) &&
+            col("path") =!= mergedPath)
     }
-    recordFilterArtifacts(spark, runId, 0L, filterName, filterOrder,
-      Seq(mergedPath))
-  }
 
   /** `logs_df` parity (`dashboard/data.py:283-321` over
     * `pipeline_store.get_logs`): the leveled, bounded log tail. Level

@@ -203,6 +203,111 @@ class CoreSpec extends SparkSpec {
       .sameElements(bBefore))
   }
 
+  test("reset rewrites keep NULL-predicate legacy rows (mixed-ledger schemas)") {
+    // A legacy stage_metrics file WITHOUT the idx column sits in the shared
+    // bucket (pre-prefix ledgers are a documented supported shape). For its
+    // rows (run_id === r && idx === 3) evaluates to NULL — a destructive
+    // rewrite must treat that as "keep", not silently delete them.
+    val dir = Files.createTempDirectory("graft-reset-null").toString
+    val led = new Ledger(dir)
+    val sl = new StageListener(None)
+    val rec = sl.StageRec(1, "s0", 10L, 10L, 1, 0L)
+    led.recordStageMetricsIdx(spark, "r", Seq((3L, rec), (4L, rec)))
+    // legacy file: same table, no idx column, non-tail (shared-bucket) name
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-legacy").toString
+    Seq(("r", 0, 7, "legacy_stage", 5L, 5L, 1, 0L))
+      .toDF("run_id", "stage_order", "stage_id", "stage_name", "wall_ns",
+        "executor_run_ns", "n_tasks", "peak_memory_bytes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/legacy")
+    val part = new java.io.File(s"$tmp/legacy").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(s"$dir/stage_metrics/legacy.parquet"))
+    assert(led.stageMetrics(spark, "r").count() == 3)
+    led.resetIndex(spark, "r", 3L)
+    val after = led.stageMetrics(spark, "r")
+      .select("stage_name").collect().map(_.getString(0)).toSet
+    // idx 3's row gone; idx 4 AND the NULL-idx legacy row both survive
+    assert(after == Set("legacy_stage", "s0"))
+    assert(led.stageMetrics(spark, "r").count() == 2)
+  }
+
+  test("resetRun survives a run-prefix collision: foreign rows rewritten, not unlinked") {
+    // Brute-force a REAL pair of run ids whose 8-hex MD5 prefixes collide
+    // (birthday bound over 32 bits: ~2^16 hashes, deterministic order so
+    // the pair is stable across runs). Both runs then share commit-file
+    // prefixes, so resetRun's name-prefix match selects the other run's
+    // tail files too — the verify-before-unlink pass must rewrite them
+    // (dropping only the target run's rows) instead of deleting.
+    val dir = Files.createTempDirectory("graft-reset-coll").toString
+    val led = new Ledger(dir)
+    val seen = scala.collection.mutable.Map.empty[String, String]
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty) {
+      val id = s"collide_$i"
+      val pre = led.runPrefix(id)
+      seen.get(pre) match {
+        case Some(prev) => pair = Some((prev, id))
+        case None => seen(pre) = id
+      }
+      i += 1
+    }
+    val (runX, runA) = pair.get
+    assert(led.runPrefix(runX) == led.runPrefix(runA) && runX != runA)
+    led.recordCompleted(spark, runX, Seq(7L), 1L, 1L)
+    led.recordCompleted(spark, runA, Seq(1L), 1L, 1L)
+    led.resetRun(spark, runA)
+    assert(led.completedIndices(spark, runA).count() == 0)
+    // runX's commit file carried runA's prefix too; it was rewritten (or
+    // left intact when it held no runA rows), never unlinked
+    assert(led.completedIndices(spark, runX)
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
+  test("logs: pre-worker_id legacy rows read as driver; tagged rows keep their tag") {
+    val dir = Files.createTempDirectory("graft-logs-legacy").toString
+    val led = new Ledger(dir)
+    led.recordLogs(spark, "r", Seq(("INFO", "lg", "tagged", 0L)), "w9")
+    // legacy logs file without the worker_id column, shared-bucket name
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-logs-tmp").toString
+    Seq(("INFO", "lg", "legacy", 0L, "r", 1L))
+      .toDF("level", "logger_name", "message", "idx", "run_id", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/legacy")
+    val part = new java.io.File(s"$tmp/legacy").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(s"$dir/logs/legacy.parquet"))
+    val rows = led.logs(spark, "r")
+      .select("message", "worker_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("tagged", "w9"), ("legacy", "driver")))
+  }
+
+  test("replaceFilterArtifacts refuses under a held lock; superset collapses on retry") {
+    val dir = Files.createTempDirectory("graft-replock").toString
+    val led = new Ledger(dir)
+    led.recordFilterArtifacts(spark, "r", 0L, "stats", 1, Seq("/s/shard0"))
+    val lock = Paths.get(s"$dir/_maintenance/compact.lock")
+    Files.createDirectories(lock.getParent)
+    Files.createFile(lock)
+    // the whole insert+rewrite runs under the shared maintenance lock
+    assert(intercept[IllegalStateException] {
+      led.replaceFilterArtifacts(spark, "r", "stats", 1,
+        Seq("/s/shard0"), "/s/merged")
+    }.getMessage.contains("already in progress"))
+    assert(led.filterArtifacts(spark, "r").collect()
+      .map(_.getAs[String]("path")).toSet == Set("/s/shard0")) // untouched
+    Files.delete(lock)
+    // crash-between-steps leaves {shards, merged}; a re-invocation of the
+    // same merge collapses the superset back to exactly the merged row
+    led.recordFilterArtifacts(spark, "r", 0L, "stats", 1, Seq("/s/merged"))
+    led.replaceFilterArtifacts(spark, "r", "stats", 1,
+      Seq("/s/shard0"), "/s/merged")
+    assert(led.filterArtifacts(spark, "r").collect()
+      .map(_.getAs[String]("path")).toSet == Set("/s/merged"))
+  }
+
   test("runner without resume executes everything") {
     val dir = Files.createTempDirectory("graft-ledger2").toString
     val p = Pipeline(mkSource(6)).filter(doubleFilter)

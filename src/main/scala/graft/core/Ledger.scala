@@ -923,23 +923,6 @@ final class Ledger(dir: String) {
     } finally writer.close()
   }
 
-  /** Atomic create-exclusive of the maintenance lock (same per-scheme split
-    * as the Runner's index claims: Hadoop `createNewFile` is
-    * check-then-create on the local FS, NIO `Files.createFile` is O_EXCL).
-    */
-  private def tryLock(fs: org.apache.hadoop.fs.FileSystem,
-                      lock: org.apache.hadoop.fs.Path): Boolean =
-    if (fs.getScheme == "file") {
-      try {
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(lock.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    }
-
   /** Ledger small-files compaction — the scale discipline the ledger's OWN
     * metadata needs: per-index commits append one tiny parquet file each,
     * so a 10⁴–10⁵-index `runPerIndex` run turns every resume probe into a
@@ -1001,17 +984,17 @@ final class Ledger(dir: String) {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
     val lfs = lock.getFileSystem(fsConf)
     lfs.mkdirs(lock.getParent)
-    val lockAge = try Some(System.currentTimeMillis() -
-      lfs.getFileStatus(lock).getModificationTime)
-    catch { case _: java.io.FileNotFoundException => None }
-    if (lockAge.exists(_ > lockTtlMs))
-      lfs.delete(lock, false) // crashed holder's stale lock
-    if (!tryLock(lfs, lock))
+    // Per-store exclusion primitive (LockProvider): create-exclusive on
+    // file/HDFS, fencing-token lease on stores configured
+    // `graft.lock.provider.<scheme>=lease`. Stale-break (TTL) lives in
+    // the provider.
+    val lp = LockProvider.forFs(lfs)
+    if (!lp.tryAcquire(lfs, lock, lockTtlMs))
       throw new IllegalStateException(
         s"ledger maintenance already in progress — $what refused " +
           s"(maintenance lock $lock; locks older than $lockTtlMs ms are " +
           "broken as stale)")
-    try body finally lfs.delete(lock, false)
+    try body finally lp.release(lfs, lock)
   }
 
   def compact(spark: SparkSession, maxFilesPerTable: Int = 64,

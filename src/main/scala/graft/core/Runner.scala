@@ -218,26 +218,21 @@ object Runner {
       fs.mkdirs(p)
       (fs, p)
     }
-    // Atomic create-exclusive, per scheme. Hadoop's FileSystem.createNewFile
-    // is CHECK-THEN-CREATE on the local filesystem (a TOCTOU hole the
+    // Per-store exclusion primitive (LockProvider). The default is atomic
+    // create-exclusive per scheme: Hadoop's FileSystem.createNewFile is
+    // CHECK-THEN-CREATE on the local filesystem (a TOCTOU hole the
     // WorkerRace soak hit at 80 indices: racing claimants both passed the
     // exists() check and both "won"); java.nio's createFile is O_EXCL —
-    // genuinely atomic — so local claims go through NIO, while remote
-    // schemes use create(overwrite = false), which HDFS enforces atomically
-    // server-side (object stores without atomic create-exclusive should
-    // coordinate claims on a consistent store instead).
+    // genuinely atomic — so local claims go through NIO, while HDFS-class
+    // schemes use create(overwrite = false), enforced atomically
+    // server-side. Object stores WITHOUT atomic create-exclusive route
+    // through the fencing-token lease (`graft.lock.provider.<scheme>=
+    // lease` — see LockProvider's safety argument); claims never expire,
+    // hence the MaxValue TTL.
+    val claimProvider = claimDir.map { case (fs, _) => LockProvider.forFs(fs) }
     def claim(idx: Long): Boolean = claimDir.forall { case (fs, p) =>
-      val target = new org.apache.hadoop.fs.Path(p, s"idx_$idx")
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(target.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        try { fs.create(target, false).close(); true }
-        catch { case _: java.io.IOException => false }
-      }
+      claimProvider.get.tryAcquire(fs,
+        new org.apache.hadoop.fs.Path(p, s"idx_$idx"), Long.MaxValue)
     }
 
     ledger.recordRunStart(spark, runId, pipeline.canonicalConfig,

@@ -208,10 +208,134 @@ case class PackSignBits(child: Expression, thresholds: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Codegen'd PQ distance table: for one subspace slice (an `Array[Float]`
+  * column) and a LITERAL codebook of k sub-centroids, emit the length-k
+  * array of squared L2 distances `‖x − c_j‖² = 〈x,x〉 − 2〈x,c_j〉 + 〈c_j,c_j〉`.
+  *
+  * This replaces a fan of k separate literal-codebook dot expressions
+  * (`array(sqDist(c_0), …, sqDist(c_k))`): at (m=16, k=256) that fan
+  * generates a projection past janino's method-size limit, fails
+  * compilation, and silently drops the whole stage to interpreted
+  * expression eval — 10–30× slower with no functional signal. Here the
+  * codebook rides as a reference object and the generated code is one
+  * constant-size nested loop, so the projection stays inside whole-stage
+  * codegen at ANY (m, k).
+  *
+  * Float math is BIT-IDENTICAL to the expression fan it replaces (the
+  * DuckDB oracle pins it): 〈x,x〉 and each 〈x,c_j〉 are left-to-right double
+  * sums of float products (FloatVecDot's order), 〈c_j,c_j〉 is precomputed
+  * with the same loop, and the combine is `(vv − 2.0·dq) + cc` in double —
+  * the exact association the old `(vv - lit(2.0)*dot(s,c)) + dot(c,c)`
+  * column tree produced. Length mismatch folds 〈x,c_j〉 over the common
+  * prefix, like FloatVecDot.
+  */
+case class FloatSqDistTable(child: Expression, codebook: IndexedSeq[Float],
+                            k: Int, subDim: Int) extends UnaryExpression {
+  require(codebook.length == k * subDim,
+    s"codebook ${codebook.length} != $k*$subDim")
+
+  // IndexedSeq params for element-wise case-class equality (see
+  // PackSignBits); primitive arrays derived once per instance for the loop.
+  @transient private lazy val cbArr: Array[Float] = codebook.toArray
+  @transient private lazy val ccArr: Array[Double] = {
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      while (i < subDim) {
+        val v = cbArr(c * subDim + i).toDouble
+        s += v * v
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "float_sqdist_table"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < len) {
+      val v = a.getFloat(i).toDouble
+      vv += v * v
+      i += 1
+    }
+    val m = math.min(len, subDim)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var dq = 0.0
+      val base = c * subDim
+      i = 0
+      while (i < m) {
+        dq += a.getFloat(i).toDouble * cbArr(base + i).toDouble
+        i += 1
+      }
+      out(c) = (vv - 2.0 * dq) + ccArr(c)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cb", cbArr, "float[]")
+    val cc = ctx.addReferenceObj("cc", ccArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val vv = ctx.freshName("vv")
+      val dq = ctx.freshName("dq")
+      val base = ctx.freshName("base")
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $len = $a.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  double v = (double) $a.getFloat($i);
+         |  $vv += v * v;
+         |}
+         |int $m = java.lang.Math.min($len, $subDim);
+         |double[] $out = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $dq = 0.0;
+         |  int $base = $c * $subDim;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dq += (double) $a.getFloat($i) * (double) $cb[$base + $i];
+         |  }
+         |  $out[$c] = ($vv - 2.0 * $dq) + $cc[$c];
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd length-k squared-L2 table against a literal PQ codebook. */
+  def sqDistTable(v: Column, cents: Seq[Array[Float]]): Column = {
+    require(cents.nonEmpty)
+    val subDim = cents.head.length
+    Bridge.column(FloatSqDistTable(Bridge.expression(v),
+      cents.flatten.toIndexedSeq, cents.length, subDim))
+  }
 
   /** Codegen'd signed-int8 dot over two BINARY code columns. */
   def dotB(a: Column, b: Column): Column =

@@ -251,6 +251,42 @@ object SimilarityOps {
 
   // ------------------------------------------------------------------ IVF
 
+  /** Deterministic training sample: keep rows whose id-hash falls in the
+    * first `fraction` of the hash range — one narrow filtered scan, no
+    * sort, no count, same rows every invocation (the id hash is the only
+    * input). This is the FAISS training discipline: Lloyd rounds on a
+    * bounded representative sample instead of scanning the full corpus
+    * per iteration — at the ×1000 tier training dominated q_ivfpq-class
+    * walls, and centroid quality needs only enough points per cell, not
+    * every point.
+    */
+  private def trainSample(df: DataFrame, idCol: String,
+                          fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"trainSampleFraction $fraction outside (0, 1]")
+    if (fraction >= 1.0) df
+    else df.filter(pmod(xxhash64(col(idCol)), lit(1000000L)) <
+      math.round(fraction * 1000000L))
+  }
+
+  /** Run `body` with the training sample PERSISTED when it is a real
+    * subsample: Lloyd iterates the same rows several times, and without
+    * the pin every round re-scans (and re-filters) the full corpus — the
+    * measured ×1000-tier effect was a 2× training win where the sample
+    * ratio promised 10×. A fraction-of-the-corpus sample is small by
+    * construction (that's why it was sampled), so MEMORY_AND_DISK is
+    * safe; the full-corpus path (fraction = 1) keeps its unpinned plan.
+    * Always unpersists — the sample never outlives training.
+    */
+  private def withPinnedSample[A](train: DataFrame, fraction: Double)
+                                 (body: DataFrame => A): A =
+    if (fraction >= 1.0) body(train)
+    else {
+      val pinned = train.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try body(pinned) finally { pinned.unpersist(); () }
+    }
+
   /** IVF coarse quantizer: k-means over the (normalized-dot) similarity,
     * deterministic init (k rows with the smallest xxhash64 of the id) and a
     * fixed number of Lloyd rounds. Centroids are COLLECTED — the coarse
@@ -258,33 +294,44 @@ object SimilarityOps {
     * indexes broadcast to every searcher at scale. Assignment and the
     * mean-recompute are distributed DataFrame ops (argmax over k codegen'd
     * dots; posexplode + grouped avg), so the corpus is never collected.
+    *
+    * `trainSampleFraction` < 1 trains on a deterministic id-hash sample
+    * (see [[trainSample]]); 1.0 (the default, and what every oracle query
+    * pins) scans the full corpus each round.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int = 5, dimHint: Int = 0): Seq[Array[Float]] = {
+                   k: Int, iters: Int = 5, dimHint: Int = 0,
+                   trainSampleFraction: Double = 1.0): Seq[Array[Float]] = {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
-    var centroids: Seq[Array[Float]] = df
-      .orderBy(xxhash64(col(idCol)))
-      .limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray).toSeq
-    var it = 0
-    while (it < iters) {
-      val assigned = df.select(col(vecCol).as("v"),
-        assignColumn(col(vecCol), centroids).as("cid"))
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect() // k·dim rows — the quantizer, not the corpus
-      val next = centroids.toArray.clone()
-      means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
-        val c = new Array[Float](dim)
-        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
-        next(cid) = c
+    withPinnedSample(trainSample(df, idCol, trainSampleFraction),
+      trainSampleFraction) { train =>
+      var centroids: Seq[Array[Float]] = train
+        .orderBy(xxhash64(col(idCol)))
+        .limit(k).select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray).toSeq
+      require(centroids.length == k,
+        s"train sample holds ${centroids.length} < k=$k vectors; raise " +
+          s"trainSampleFraction ($trainSampleFraction)")
+      var it = 0
+      while (it < iters) {
+        val assigned = train.select(col(vecCol).as("v"),
+          assignColumn(col(vecCol), centroids).as("cid"))
+        val means = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .collect() // k·dim rows — the quantizer, not the corpus
+        val next = centroids.toArray.clone()
+        means.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+          val c = new Array[Float](dim)
+          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+          next(cid) = c
+        }
+        centroids = next.toSeq
+        it += 1
       }
-      centroids = next.toSeq
-      it += 1
+      centroids
     }
-    centroids
   }
 
   /** Per-vector coarse assignment WITH the quality signal an embedding
@@ -353,15 +400,10 @@ object SimilarityOps {
 
   // ------------------------------------------------- PQ (product quantization)
 
-  /** Squared-L2 distance in the cross-engine parity form: ‖v−c‖² =
-    * (v·v − 2·v·c) + c·c with every dot a sequential double-widened fold
-    * (FloatVecDot here, `list_dot_product` in the oracle) and this exact
-    * association — both engines produce bit-identical doubles.
-    */
-  private def sqDist(vv: Column, s: Column, c: Array[Float]): Column = {
-    val cl = typedLit(c)
-    (vv - lit(2.0) * dot(s, cl)) + dot(cl, cl)
-  }
+  // Squared-L2 distances use the cross-engine parity form: ‖v−c‖² =
+  // (v·v − 2·v·c) + c·c with every dot a sequential double-widened fold
+  // (FloatSqDistTable here, `list_dot_product` in the oracle) and this
+  // exact association — both engines produce bit-identical doubles.
 
   /** Train product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search" — the IVF-PQ memory side of
@@ -375,16 +417,26 @@ object SimilarityOps {
     * fixed Lloyd rounds, same discipline as [[ivfCentroids]]; the
     * codebooks are COLLECTED (m·k·(dim/m) floats — the broadcast index),
     * assignments and mean-recomputes are distributed.
+    *
+    * `trainSampleFraction` < 1 trains on a deterministic id-hash sample
+    * (see [[trainSample]]); 1.0 (the default, and what every oracle query
+    * pins) scans the full corpus each round.
     */
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                   m: Int, k: Int, iters: Int = 3,
-                  dimHint: Int = 0): Seq[Seq[Array[Float]]] = {
+                  dimHint: Int = 0,
+                  trainSampleFraction: Double = 1.0): Seq[Seq[Array[Float]]] = {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val init = df.orderBy(xxhash64(col(idCol))).limit(k)
+    withPinnedSample(trainSample(df, idCol, trainSampleFraction),
+      trainSampleFraction) { train =>
+    val init = train.orderBy(xxhash64(col(idCol))).limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(init.length == k,
+      s"train sample holds ${init.length} < k=$k vectors; raise " +
+        s"trainSampleFraction ($trainSampleFraction)")
     var books: Array[Seq[Array[Float]]] = Array.tabulate(m) { sub =>
       init.map(_.slice(sub * subDim, (sub + 1) * subDim)).toSeq
     }
@@ -397,10 +449,9 @@ object SimilarityOps {
     while (it < iters) {
       val assigned = (0 until m).map { sub =>
         val s = slice(col(vecCol), sub * subDim + 1, subDim)
-        df.select(s.as("sv"))
-          .withColumn("vv", dot(col("sv"), col("sv")))
+        train.select(s.as("sv"))
           .select(lit(sub).as("sub"), col("sv"),
-            pqAssign(col("vv"), col("sv"), books(sub)).as("code"))
+            pqAssign(col("sv"), books(sub)).as("code"))
       }.reduce(_ unionByName _)
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -416,32 +467,57 @@ object SimilarityOps {
       it += 1
     }
     books.toSeq
+    }
   }
 
-  /** Code of the min-distance codebook entry (deterministic ties → lowest
-    * code: struct comparison orders by distance, then code).
+  /** Train the full IVF-PQ index (coarse centroids + codebooks) off ONE
+    * pinned training sample: at production scale the dominant sampled-
+    * train cost is the corpus scan that materializes the sample, and
+    * training the two quantizers separately pays it twice. Composes the
+    * two trainers over a shared pin; with `trainSampleFraction = 1.0` it
+    * is exactly the two independent calls (no pin, oracle plans
+    * untouched). Deterministic: the shared sample is the same id-hash
+    * selection each trainer would draw alone, so results are identical
+    * to separate sampled calls.
     */
-  private def pqAssign(vv: Column, s: Column, cents: Seq[Array[Float]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, code) =>
-      struct(sqDist(vv, s, c).as("d"), lit(code).as("code"))
+  def annTrain(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, m: Int, k: Int,
+               ivfIters: Int = 3, pqIters: Int = 2, dimHint: Int = 0,
+               trainSampleFraction: Double = 1.0)
+      : (Seq[Array[Float]], Seq[Seq[Array[Float]]]) =
+    withPinnedSample(trainSample(df, idCol, trainSampleFraction),
+      trainSampleFraction) { train =>
+      (ivfCentroids(train, idCol, vecCol, nlist, ivfIters, dimHint),
+        pqCodebooks(train, idCol, vecCol, m, k, pqIters, dimHint))
     }
-    array_min(array(scored: _*)).getField("code")
+
+  /** Code of the min-distance codebook entry (deterministic ties → lowest
+    * code: `array_position` finds the FIRST occurrence of the min, which
+    * is the lowest code — the same tie rule the struct-min formulation
+    * this replaces had). One codegen'd table expression, not k literal
+    * dots, so assignment stays compiled at any codebook size.
+    */
+  private def pqAssign(s: Column, cents: Seq[Array[Float]]): Column = {
+    val t = graft.functions.VectorExpressions.sqDistTable(s, cents)
+    (array_position(t, array_min(t)) - 1).cast("int")
   }
 
   /** Per-(vector, subspace, code) squared distances — the shared building
     * block: assignments are the per-(vector, subspace) argmin rows, ADC
     * tables are the query rows. One union of m narrow projections, each a
-    * slice + k codegen'd dot expressions; no shuffle.
+    * slice + ONE codegen'd FloatSqDistTable loop (bit-identical math to
+    * the k-literal-expression fan it replaces, which failed janino
+    * compilation past (m=16, k≈256) and silently ran interpreted); no
+    * shuffle.
     */
   private def pqDistances(df: DataFrame, idCol: String, vecCol: String,
                           codebooks: Seq[Seq[Array[Float]]], subDim: Int): DataFrame =
     codebooks.zipWithIndex.map { case (cb, sub) =>
       val s = slice(col(vecCol), sub * subDim + 1, subDim)
       df.select(col(idCol).as("vid"), s.as("sv"))
-        .withColumn("vv", dot(col("sv"), col("sv")))
         .select(col("vid"), lit(sub).as("sub"),
-          posexplode(array(cb.map(c =>
-            sqDist(col("vv"), col("sv"), c)): _*)).as(Seq("code", "d")))
+          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
+            .as(Seq("code", "d")))
     }.reduce(_ unionByName _)
 
   /** PQ asymmetric-distance top-k (ADC): the corpus is stored as m-code

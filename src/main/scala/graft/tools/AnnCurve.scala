@@ -9,7 +9,9 @@ import graft.operators.SimilarityOps
   * (recall rises with lists probed; cost is the probed fraction of the
   * corpus). Composes [[SimilarityOps.annRecallReport]] at each nProbe.
   *
-  * Usage: `runMain graft.tools.AnnCurve [sfDir] [k] [nQueries] [nlist]`
+  * Usage: `runMain graft.tools.AnnCurve [sfDir] [k] [nQueries] [nlist] [arms]`
+  * `arms` = comma list of {curve, pq_budget, sampled_train} (default all —
+  * a big scaled table can run just the arm under study).
   * Prints one JSON line: per-nProbe recall for every tier.
   */
 object AnnCurve {
@@ -18,6 +20,8 @@ object AnnCurve {
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val nq = args.lift(2).map(_.toLong).getOrElse(8L)
     val nlist = args.lift(3).map(_.toInt).getOrElse(8)
+    val arms = args.lift(4).map(_.split(",").toSet)
+      .getOrElse(Set("curve", "pq_budget", "sampled_train"))
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -26,12 +30,13 @@ object AnnCurve {
     spark.sparkContext.setLogLevel("ERROR")
 
     val emb = graft.sources.Tables.embeddings(spark, dir)
+    val probes = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nlist).toSeq
+    val rows = if (!arms("curve")) Seq.empty[String] else {
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = nlist, iters = 3, dimHint = 64)
     val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 16, iters = 2, dimHint = 64)
-    val probes = Iterator.iterate(1)(_ * 2).takeWhile(_ <= nlist).toSeq
-    val rows = probes.map { np =>
+    probes.map { np =>
       val t0 = System.nanoTime()
       val rep = SimilarityOps.annRecallReport(emb, "vec_id", "embedding",
         k, nq, cents, np, books, dimHint = 64)
@@ -41,18 +46,20 @@ object AnnCurve {
       s"""{"n_probe":$np,"ivf":${rep("ivf")},"pq":${rep("pq")},""" +
         s""""sq8":${rep("sq8")},"binary":${rep("binary")},"sec":$sec}"""
     }
+    }
 
     // PQ CODE-BUDGET arm: recall@k vs codebook geometry at a fixed byte
     // budget (the other axis a deployment tunes — FAISS's mxk tables).
     // Bytes/vector = m·log2(k)/8; (8,256) and (16,16) spend the SAME
     // 8 bytes, trading subspace count against per-subspace resolution.
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
-    val truth = graft.core.Materialize.pin(
+    lazy val truth = graft.core.Materialize.pin(
       SimilarityOps.topKCosine(emb, "vec_id", "embedding", k, nq)
         .select(col("ia").as("q"), col("ib").as("nb")))
-    val possible = truth.count().toDouble
+    lazy val possible = truth.count().toDouble
     val budgets = Seq((8, 16), (8, 64), (8, 256), (16, 16), (16, 256))
-    val pqRows = budgets.map { case (m, kk) =>
+    val pqRows = if (!arms("pq_budget")) Seq.empty[String]
+    else budgets.map { case (m, kk) =>
       val t0 = System.nanoTime()
       val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
         m = m, k = kk, iters = 2, dimHint = 64)
@@ -66,9 +73,32 @@ object AnnCurve {
       s"""{"m":$m,"k_codebook":$kk,"bytes_per_vec":${bits / 8.0},""" +
         s""""recall":${hits / possible},"sec":$sec}"""
     }
+    // SAMPLED-TRAIN arm: the FAISS discipline — Lloyd on a deterministic
+    // id-hash sample instead of full-corpus scans per round. Production
+    // question: how much recall does a 10× / 20× cheaper training pass
+    // give up at a fixed probe budget? (Answer it with measurements, not
+    // the folklore.) Uses the SAME ground truth as the budget arm.
+    val sampleArm = if (!arms("sampled_train")) Seq.empty[String]
+    else Seq(1.0, 0.1, 0.05).map { frac =>
+      val t0 = System.nanoTime()
+      val (cents, books) = SimilarityOps.annTrain(emb, "vec_id", "embedding",
+        nlist = nlist, m = 8, k = 16, ivfIters = 3, pqIters = 2,
+        dimHint = 64, trainSampleFraction = frac)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", k, nq,
+        cents, books, nProbe = nlist, dimHint = 64)
+        .select(col("ia").as("q"), col("ib").as("nb"))
+        .join(broadcast(truth), Seq("q", "nb"), "left_semi")
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      val rankSec = (System.nanoTime() - t1) / 1e9
+      s"""{"train_fraction":$frac,"recall":${hits / possible},""" +
+        s""""train_sec":$trainSec,"rank_sec":$rankSec}"""
+    }
     println(s"""{"tool":"ann_curve","sf_dir":"$dir","k":$k,""" +
       s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}],""" +
-      s""""pq_budget":[${pqRows.mkString(",")}]}""")
+      s""""pq_budget":[${pqRows.mkString(",")}],""" +
+      s""""sampled_train":[${sampleArm.mkString(",")}]}""")
     spark.stop()
   }
 }

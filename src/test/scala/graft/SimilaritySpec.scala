@@ -179,6 +179,76 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 > r4, s"4× the code budget bought nothing: $r4 → $r16")
   }
 
+  test("sample-bounded training: deterministic, recall holds, tiny-sample guard") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // deterministic: same fraction → identical codebooks/centroids
+    val c1 = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dimHint = 64, trainSampleFraction = 0.5)
+    val c2 = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2, dimHint = 64, trainSampleFraction = 0.5)
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq))
+    // a sampled-train index still ranks: recall@10 vs brute stays in the
+    // same class as full-train (both trained on isotropic noise — the
+    // documented PQ worst case; the pin is "not degenerate", the measured
+    // parity row lives in the AnnCurve table at sf0.1)
+    val truth = SimilarityOps.topKCosine(emb, "vec_id", "embedding", 10, 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cbS = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2, dimHint = 64, trainSampleFraction = 0.5)
+    val gotS = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 6L,
+      cbS, dimHint = 64).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cbF = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 16, iters = 2, dimHint = 64)
+    val gotF = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 6L,
+      cbF, dimHint = 64).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rS = (gotS & truth).size.toDouble / truth.size
+    val rF = (gotF & truth).size.toDouble / truth.size
+    assert(rS >= 0.5 * rF,
+      s"half-corpus training collapsed recall: $rS vs full-train $rF")
+    // annTrain (shared-pin composition) is bit-identical to the two
+    // separate sampled calls it fuses
+    val (cA, bA) = SimilarityOps.annTrain(emb, "vec_id", "embedding",
+      nlist = 4, m = 16, k = 16, ivfIters = 2, pqIters = 2, dimHint = 64,
+      trainSampleFraction = 0.5)
+    assert(cA.map(_.toSeq) == c1.map(_.toSeq))
+    assert(bA.map(_.map(_.toSeq)) == cbS.map(_.map(_.toSeq)))
+    // a sample too small to seed k centroids fails loudly, never silently
+    // returns a short codebook
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 256, iters = 1, dimHint = 64,
+        trainSampleFraction = 0.001)
+    }
+    assert(e.getMessage.contains("train sample"))
+  }
+
+  test("PQ at (m=16, k=256) stays inside codegen — no interpreted fallback") {
+    // The k-literal-expression fan this path used to build failed janino
+    // compilation at large (m, k) (~13k-line generated method) and Spark
+    // silently dropped to interpreted eval — correct results, 10–30×
+    // slower, nothing failing. Pin the fix: with fallback DISABLED, a
+    // codegen failure anywhere in the train+rank plan throws instead of
+    // degrading, so this test fails loudly if the projection ever
+    // regresses past the method-size limit.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 16, k = 256, iters = 1, dimHint = 64)
+      val got = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 4L,
+        cb, dimHint = 64)
+      assert(got.count() == 40)
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("PQ: zero-quantization-error codebooks reproduce exact L2 ranking") {
     val s = spark
     import s.implicits._

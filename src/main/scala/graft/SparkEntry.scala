@@ -109,6 +109,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_streaming_incremental" -> (qStreamingIncremental _),
+    "q_streaming_folding" -> (qStreamingFolding _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -3769,6 +3770,56 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Folding snapshot-ingest dedup (`StreamingDedup.foldingIncrementalDedup`):
+    * two file-source batches replayed through TWO AvailableNow runs over
+    * one checkpoint (the kill-between-batches resume shape). Batch 1 is
+    * the odd-of-three docs plus re-keyed copies of index docs; batch 2 is
+    * the two-of-three docs plus re-keyed copies of BATCH-1 docs — those
+    * must match the FOLDED index (batch 1's novel fingerprints), which is
+    * exactly what the static-index variant can't do.
+    */
+  private def qStreamingFolding(s: SparkSession, dir: String): DataFrame = {
+    val root = freshTmpDir("graft_stream_fold", dir)
+    val docs = Tables.documents(s, dir)
+    val index = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 600001L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 15 === 10)
+        .select((col("doc_id") + 700001L).as("doc_id"), col("text")))
+    val (inDir, idxDir, outDir, ckDir) =
+      (s"$root/in", s"$root/idx", s"$root/out", s"$root/ck")
+    graft.streaming.StreamingDedup.seedIndex(index, "doc_id", "text",
+      ShingleK, idxDir)
+    def run(): Unit = {
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      graft.streaming.StreamingDedup.foldingIncrementalDedup(stream,
+        "doc_id", "text", ShingleK, idxDir, outDir, ckDir)
+        .awaitTermination()
+    }
+    b1.coalesce(1).write.parquet(s"$inDir/f1")
+    run()
+    b2.coalesce(1).write.parquet(s"$inDir/f2")
+    run()
+    val verdicts = s.read.parquet(outDir).groupBy(col("id").as("doc_id")).agg(
+      min(when(col("tier") === "exact", col("old_id"))).as("_ex"),
+      min(when(col("tier") === "near", col("old_id"))).as("_nr"),
+      countDistinct(when(col("tier") === "near", col("old_id")))
+        .as("n_near_cands"))
+    b1.select("doc_id").withColumn("batch", lit(1))
+      .unionByName(b2.select("doc_id").withColumn("batch", lit(2)))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("batch"),
+        when(col("_ex").isNotNull, "exact")
+          .when(col("_nr").isNotNull, "near_candidate")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("_ex"), col("_nr")).as("match_id"),
+        coalesce(col("n_near_cands"), lit(0L)).as("n_near_cands"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher rule-set gate (minWords lowered to 20 for the short synthetic
     * docs so the verdict varies): every metric and the combined `passes`
     * recompute in SQL — exact integer-ratio fractions, unrounded
@@ -6095,6 +6146,64 @@ object SparkEntry {
          |  coalesce(ex.m, nearc.m) AS match_id,
          |  coalesce(nearc.nc, CAST(0 AS BIGINT)) AS n_near_cands
          |FROM nw LEFT JOIN ex USING (doc_id) LEFT JOIN nearc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Folding mirror: batch-1 verdicts vs the seed index; batch-1's novel
+    // arrivals (no exact match anywhere) fold their fp + band keys in;
+    // batch-2 verdicts run against seed ∪ novel1. Within-batch exact
+    // matches go to the min-arrival-id winner of each fingerprint group
+    // (within-batch NEAR candidates are out of contract on this path).
+    "q_streaming_folding" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+         |arr AS (
+         |  SELECT doc_id AS aid, doc_id AS src, 1 AS batch FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL SELECT doc_id + 600001, doc_id, 1 FROM documents WHERE doc_id % 15 = 0
+         |  UNION ALL SELECT doc_id AS aid, doc_id AS src, 2 AS batch FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL SELECT doc_id + 700001, doc_id, 2 FROM documents WHERE doc_id % 15 = 10),
+         |afp AS (SELECT a.aid, a.batch, fp.f FROM arr a JOIN fp ON fp.doc_id = a.src),
+         |aband AS (SELECT a.aid, a.batch, band.band, band.bk
+         |  FROM arr a JOIN band ON band.doc_id = a.src),
+         |idx0 AS (SELECT doc_id AS old_id, f FROM fp WHERE doc_id % 3 = 0),
+         |idxb0 AS (SELECT doc_id AS old_id, band, bk FROM band WHERE doc_id % 3 = 0),
+         |ex1raw AS (
+         |  SELECT n.aid, i.old_id AS m FROM afp n JOIN idx0 i ON n.f = i.f WHERE n.batch = 1
+         |  UNION ALL
+         |  SELECT n.aid, w.win FROM afp n
+         |    JOIN (SELECT f, min(aid) AS win FROM afp WHERE batch = 1 GROUP BY 1) w
+         |    ON n.f = w.f WHERE n.batch = 1 AND n.aid > w.win),
+         |ex1 AS (SELECT aid, min(m) AS m FROM ex1raw GROUP BY 1),
+         |novel1 AS (SELECT aid FROM afp WHERE batch = 1
+         |  AND aid NOT IN (SELECT aid FROM ex1)),
+         |idx1 AS (SELECT old_id, f FROM idx0
+         |  UNION ALL SELECT n.aid, a.f FROM novel1 n JOIN afp a ON a.aid = n.aid),
+         |idxb1 AS (SELECT old_id, band, bk FROM idxb0
+         |  UNION ALL SELECT n.aid, ab.band, ab.bk FROM novel1 n JOIN aband ab ON ab.aid = n.aid),
+         |ex2raw AS (
+         |  SELECT n.aid, i.old_id AS m FROM afp n JOIN idx1 i ON n.f = i.f WHERE n.batch = 2
+         |  UNION ALL
+         |  SELECT n.aid, w.win FROM afp n
+         |    JOIN (SELECT f, min(aid) AS win FROM afp WHERE batch = 2 GROUP BY 1) w
+         |    ON n.f = w.f WHERE n.batch = 2 AND n.aid > w.win),
+         |ex2 AS (SELECT aid, min(m) AS m FROM ex2raw GROUP BY 1),
+         |ex AS (SELECT * FROM ex1 UNION ALL SELECT * FROM ex2),
+         |nr AS (
+         |  SELECT n.aid, min(i.old_id) AS m, CAST(count(DISTINCT i.old_id) AS BIGINT) AS nc
+         |  FROM aband n JOIN idxb0 i ON n.band = i.band AND n.bk = i.bk
+         |  WHERE n.batch = 1 GROUP BY 1
+         |  UNION ALL
+         |  SELECT n.aid, min(i.old_id), CAST(count(DISTINCT i.old_id) AS BIGINT)
+         |  FROM aband n JOIN idxb1 i ON n.band = i.band AND n.bk = i.bk
+         |  WHERE n.batch = 2 GROUP BY 1)
+         |SELECT arr.aid AS doc_id, arr.batch AS batch,
+         |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+         |       WHEN nr.m IS NOT NULL THEN 'near_candidate'
+         |       ELSE 'novel' END AS verdict,
+         |  coalesce(ex.m, nr.m) AS match_id,
+         |  coalesce(nr.nc, CAST(0 AS BIGINT)) AS n_near_cands
+         |FROM arr LEFT JOIN ex ON ex.aid = arr.aid
+         |  LEFT JOIN nr ON nr.aid = arr.aid
          |ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->

@@ -997,14 +997,50 @@ final class Ledger(dir: String) {
     try body finally lp.release(lfs, lock)
   }
 
+  /** The ledger's table directories, the compaction/maintenance universe. */
+  private val allTables = Seq("index_results", "runs", "errors", "logs",
+    "stage_metrics", "output_files", "filter_artifacts", "workers")
+
+  /** Auto-compaction policy: compact ONLY when some table's file count
+    * exceeds `maxFilesPerTable`, checked with one LIST per table BEFORE
+    * taking any lock — the steady-state call (nothing over threshold) is
+    * lock-free and job-free, so a runner can invoke this on every commit
+    * boundary without contending with live maintainers. When a rewrite is
+    * due it runs the normal [[compact]] under the maintenance lock,
+    * REFUSING (None) rather than blocking or throwing if another
+    * maintainer holds it — whoever holds the lock is doing the work this
+    * call wanted done.
+    *
+    * Returns None = refused (locked); Some(empty) = nothing over
+    * threshold; Some(report) = compacted.
+    */
+  def maintainIfNeeded(spark: SparkSession, maxFilesPerTable: Int = 64,
+                       lockTtlMs: Long = 60L * 60 * 1000)
+      : Option[Map[String, (Int, Int)]] = {
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val over = allTables.exists { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(fsConf)
+      fs.exists(p) && fs.listStatus(p).count { s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")
+      } > maxFilesPerTable
+    }
+    if (!over) Some(Map.empty)
+    else
+      try Some(compact(spark, maxFilesPerTable, lockTtlMs))
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("already in progress") => None
+      }
+  }
+
   def compact(spark: SparkSession, maxFilesPerTable: Int = 64,
               lockTtlMs: Long = 60L * 60 * 1000,
               smallTableBytes: Long = 64L << 20): Map[String, (Int, Int)] = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     withMaintenanceLock(spark, "compact", lockTtlMs) {
       clean(spark) // janitor staging orphans while we hold the lock
-      val tables = Seq("index_results", "runs", "errors", "logs",
-        "stage_metrics", "output_files", "filter_artifacts", "workers")
+      val tables = allTables
       tables.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
         val fs = p.getFileSystem(fsConf)
@@ -1147,6 +1183,14 @@ final class Ledger(dir: String) {
       val fsConf = spark.sparkContext.hadoopConfiguration
       val tables = Seq("filter_artifacts", "output_files", "stage_metrics",
         "index_results", "errors", "workers", "runs")
+      // does any OTHER registered run share this run's 8-hex file prefix?
+      // (one tiny runs-table read; see the unlink-safety note below)
+      val pre = runPrefix(runId)
+      val registeredCollision = pathExists(spark, s"$dir/runs") &&
+        readTable(spark, s"$dir/runs", None)
+          .select("run_id").distinct().collect()
+          .exists(r => r.getString(0) != runId &&
+            runPrefix(r.getString(0)) == pre)
       val report = tables.map { t =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
         val fs = p.getFileSystem(fsConf)
@@ -1156,13 +1200,19 @@ final class Ledger(dir: String) {
           // The name-prefix match is only 8 hex chars of MD5 — fine on the
           // read path (the run_id filter stays on), but an outright unlink
           // must not trust it: a prefix COLLISION between two run_ids would
-          // delete another run's commits. One column-pruned scan over the
-          // candidate tail finds files carrying any foreign run_id; those
-          // are rewritten (dropping only this run's rows) instead of
-          // unlinked. Clean files — the entire set, absent a collision —
-          // stay pure unlinks.
+          // delete another run's commits. Collision is only possible when
+          // another run_id HASHES to the same prefix, and the runs table
+          // registers every run (every Runner entry point records it), so
+          // the common case proves exclusivity with one tiny table read
+          // and the tail stays PURE UNLINKS. Only under a registered
+          // collision does one column-pruned scan over the candidate tail
+          // find the files carrying foreign rows; those are rewritten
+          // (dropping only this run's rows) instead of unlinked. Residual
+          // assumption, documented: a prefix-colliding writer that never
+          // called recordRunStart is invisible to the fast path.
           val (clean, dirty) =
-            if (mine.isEmpty) (Seq.empty[org.apache.hadoop.fs.Path], Seq.empty[org.apache.hadoop.fs.Path])
+            if (mine.isEmpty || !registeredCollision)
+              (mine, Seq.empty[org.apache.hadoop.fs.Path])
             else {
               val foreign = spark.read.option("mergeSchema", "true")
                 .parquet(mine.map(_.toString): _*)

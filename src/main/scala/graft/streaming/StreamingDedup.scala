@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -119,8 +119,18 @@ object StreamingDedup {
   def incrementalCandidates(incoming: DataFrame, index: DataFrame,
                             idCol: String, textCol: String,
                             k: Int): DataFrame = {
-    val spark = incoming.sparkSession
-    import spark.implicits._
+    val idxKeys = indexKeys(index, idCol, textCol, k)
+    arrivalKeys(incoming, idCol, textCol, k)
+      .join(idxKeys, Seq("tier", "key"))
+      .select(col("id"), col("old_id"), col("tier"))
+  }
+
+  /** Standing-index key rows: (old_id, key, tier) — exact = normalized-md5
+    * fingerprint, near = each MinHash band key (the batch aggregation
+    * shape; the index side is batch by contract).
+    */
+  private def indexKeys(index: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
     val idxFp = index.select(col(idCol).cast("long").as("old_id"),
       graft.functions.Text.fingerprint(col(textCol)).as("key"),
       lit("exact").as("tier"))
@@ -130,13 +140,21 @@ object StreamingDedup {
       .select(col(idCol).cast("long").as("old_id"),
         concat_ws("|", col("band"), col("band_key")).as("key"),
         lit("near").as("tier"))
-    val idxKeys = idxFp.unionByName(idxBands)
+    idxFp.unionByName(idxBands)
+  }
+
+  /** Arrival key rows: (id, key, tier) — same key space as [[indexKeys]],
+    * but signatures via the single-pass typed map per row (the streaming
+    * shape — no aggregation; see [[nearDupCandidates]]).
+    */
+  private def arrivalKeys(incoming: DataFrame, idCol: String,
+                          textCol: String, k: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
     val nBands = DedupOps.NumPerms / DedupOps.BandRows
     val fpRows = incoming.select(col(idCol).cast("long").as("id"),
       graft.functions.Text.fingerprint(col(textCol)).as("key"),
       lit("exact").as("tier"))
-    // signatures as a single-pass typed map per row (the streaming shape —
-    // no aggregation; see nearDupCandidates)
     val sigRows = incoming
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
@@ -149,7 +167,131 @@ object StreamingDedup {
             element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*))
       }: _*)).as("key"), lit("near").as("tier"))
     fpRows.unionByName(sigRows)
-      .join(idxKeys, Seq("tier", "key"))
-      .select(col("id"), col("old_id"), col("tier"))
+  }
+
+  // ------------------------- folding ingestion (standing-index refresh)
+
+  /** Folding snapshot-ingest dedup: like [[incrementalCandidates]] but the
+    * standing index is a PARQUET DIRECTORY that each micro-batch appends
+    * its NOVEL arrivals' keys back into, so batch N+1 dedups against
+    * batch N (the production ingestion loop; the static-index variant
+    * classifies but never learns). Per batch, inside `foreachBatch`:
+    *
+    *  1. match arrivals against the index snapshot (exact + near tiers,
+    *     stateless equi-joins — identical semantics to the static path)
+    *     plus WITHIN-batch exact matches (fingerprint groups keep the
+    *     min-id winner; losers match it). Within-batch near candidates
+    *     are [[nearDupCandidates]]'s job, not this path's (documented).
+    *  2. install the match rows, then the novel arrivals' keys (novel =
+    *     no exact match anywhere; near candidates do NOT block folding —
+    *     they are candidates pending the batch verify tier), each via
+    *     stage-then-rename under a `b<batchId>_` file prefix — the ledger
+    *     commit discipline.
+    *
+    * EXACTLY-ONCE across restarts: `foreachBatch` replays a batch id
+    * after a crash; each apply first REMOVES its own `b<batchId>_` files
+    * from both directories, so a half-applied batch is wiped and
+    * re-installed rather than doubled. Readers between the wipe and the
+    * re-install see the pre-batch state — the same transient the ledger's
+    * compact() documents. State is O(index keys) on disk, O(batch) in
+    * memory; nothing driver-side scales with the corpus.
+    */
+  def foldingIncrementalDedup(incoming: DataFrame, idCol: String,
+                              textCol: String, k: Int, indexDir: String,
+                              matchesDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIncrementalBatch(batch, batchId, idCol, textCol, k,
+          indexDir, matchesDir)
+      }
+      .start()
+
+  /** Seed the standing index directory with EVERY key of `index` (the
+    * initial corpus — no dedup applied; installed under the `seed_`
+    * prefix so batch replay hygiene never touches it).
+    */
+  def seedIndex(index: DataFrame, idCol: String, textCol: String, k: Int,
+                indexDir: String): Unit =
+    install(indexKeys(index, idCol, textCol, k), indexDir, "seed_")
+
+  /** One batch of the folding loop — public so a batch backfill can run
+    * the identical transition without a streaming query. Idempotent per
+    * (batch, batchId): replays wipe their own installs first.
+    */
+  def applyIncrementalBatch(batch: DataFrame, batchId: Long, idCol: String,
+                            textCol: String, k: Int, indexDir: String,
+                            matchesDir: String): Unit = {
+    val spark = batch.sparkSession
+    Seq(indexDir, matchesDir).foreach(removeBatchFiles(spark, _, batchId))
+    val index = readIndexDir(spark, indexDir)
+    val keys = arrivalKeys(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idxMatches = keys.join(index, Seq("tier", "key"))
+        .select(col("id"), col("old_id"), col("tier"))
+      val fp = keys.filter(col("tier") === "exact").select("id", "key")
+      val withinMatches = fp
+        .join(fp.groupBy("key").agg(min("id").as("old_id")), "key")
+        .filter(col("id") > col("old_id"))
+        .select(col("id"), col("old_id"), lit("exact").as("tier"))
+      val matches = idxMatches.unionByName(withinMatches)
+      install(matches, matchesDir, s"b${batchId}_")
+      val dupIds = matches.filter(col("tier") === "exact")
+        .select("id").distinct()
+      val novelKeys = keys.join(dupIds, Seq("id"), "left_anti")
+        .select(col("id").as("old_id"), col("key"), col("tier"))
+      install(novelKeys, indexDir, s"b${batchId}_")
+    } finally { keys.unpersist(); () }
+  }
+
+  /** Index-directory snapshot — schema-typed empty frame on cold start
+    * (an empty standing index classifies every arrival novel).
+    */
+  private def readIndexDir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")
+    }
+    if (!hasData) Seq.empty[(Long, String, String)]
+      .toDF("old_id", "key", "tier")
+    else spark.read.parquet(dir)
+  }
+
+  /** Stage-then-rename install (the ledger commit discipline): write to a
+    * `_staging` subdir (hidden from readers — Spark skips `_`-prefixed
+    * paths), rename the part files in under `<prefix><uuid>.parquet`.
+    */
+  private def install(df: DataFrame, dir: String, prefix: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_staging/${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target,
+          s"$prefix${java.util.UUID.randomUUID()}.parquet")),
+          s"folding install into $dir failed")
+      }
+    fs.delete(tmp, true)
+  }
+
+  private def removeBatchFiles(spark: SparkSession, dir: String,
+                               batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).iterator
+        .filter(s => s.isFile && s.getPath.getName.startsWith(s"b${batchId}_"))
+        .foreach(s => fs.delete(s.getPath, false))
   }
 }

@@ -19,7 +19,7 @@ import graft.core.Ledger
   *   4. time the same probe against the compacted ledger.
   *
   * Usage: `runMain graft.tools.LedgerScale [nCommits] [reps] [ledgerDir]
-  * [compactEvery]` — a non-zero `compactEvery` (r13, VERDICT item 5)
+  * [compactEvery]` — a POSITIVE `compactEvery` (r13, VERDICT item 5)
   * interleaves `compact()` INTO the run every N commits, the way a
   * 10⁵-index production run would actually operate, and records a
   * mid-run probe after each compaction: the claim of the whole design is
@@ -30,6 +30,14 @@ import graft.core.Ledger
   * is O(1) in committed history structurally: claims live in per-
   * invocation namespaces, so a fresh invocation starts from an empty dir
   * no matter how many indices past runs committed.
+  *
+  * A NEGATIVE `compactEvery` = −maxFilesPerTable selects the POLICY mode
+  * (r14): instead of a fixed cadence, every 100 commits calls
+  * `Ledger.maintainIfNeeded(maxFilesPerTable)` — the steady-state call is
+  * one LIST per table, lock-free — and records a mid-probe row whenever
+  * the policy actually compacted. The probe-latency trajectory must match
+  * the manual-cadence table (both bound the file count; the policy just
+  * derives the cadence from the threshold).
   *
   * Prints one JSON line: commit wall, file counts, probe medians, speedup,
   * and the mid-run probe trajectory.
@@ -74,27 +82,34 @@ object LedgerScale {
       led.recordCompleted(spark, runId, Seq(i), 1000L, 10L)
       if ((i + 1) % 1000 == 0)
         System.err.println(s"[ledger-scale] ${i + 1}/$nCommits commits")
-      if (compactEvery > 0 && (i + 1) % compactEvery == 0) {
+      val policyDue = compactEvery < 0 && (i + 1) % 100 == 0
+      if ((compactEvery > 0 && (i + 1) % compactEvery == 0) || policyDue) {
         val tc = System.nanoTime()
-        val rep = led.compact(spark)
+        val rep =
+          if (policyDue)
+            led.maintainIfNeeded(spark, maxFilesPerTable = -compactEvery)
+              .getOrElse(sys.error("maintainIfNeeded refused with no rival"))
+          else led.compact(spark)
         val cSec = (System.nanoTime() - tc) / 1e9
         compactTotalSec += cSec
-        val tp = System.nanoTime()
-        val agg = led.completedIndices(spark, runId)
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)),
-            org.apache.spark.sql.functions.sum("idx")).collect()(0)
-        val pSec = (System.nanoTime() - tp) / 1e9
-        // count AND content across the compaction boundary
-        require(agg.getLong(0) == i + 1,
-          s"completed count ${agg.getLong(0)} != ${i + 1} after mid-run compact")
-        require(agg.getLong(1) == i * (i + 1) / 2,
-          s"completed-set content drift after mid-run compact at ${i + 1}")
-        val files = rep.get("index_results").map(_._2).getOrElse(-1)
-        midProbes += s"""{"at":${i + 1},"files":$files,""" +
-          s""""compact_sec":$cSec,"probe_sec":$pSec}"""
-        System.err.println(s"[ledger-scale] compacted at ${i + 1}: " +
-          s"$files files, probe ${pSec}s")
+        if (rep.nonEmpty) { // policy under threshold = no work, no probe row
+          val tp = System.nanoTime()
+          val agg = led.completedIndices(spark, runId)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.sum("idx")).collect()(0)
+          val pSec = (System.nanoTime() - tp) / 1e9
+          // count AND content across the compaction boundary
+          require(agg.getLong(0) == i + 1,
+            s"completed count ${agg.getLong(0)} != ${i + 1} after mid-run compact")
+          require(agg.getLong(1) == i * (i + 1) / 2,
+            s"completed-set content drift after mid-run compact at ${i + 1}")
+          val files = rep.get("index_results").map(_._2).getOrElse(-1)
+          midProbes += s"""{"at":${i + 1},"files":$files,""" +
+            s""""compact_sec":$cSec,"probe_sec":$pSec}"""
+          System.err.println(s"[ledger-scale] compacted at ${i + 1}: " +
+            s"$files files, probe ${pSec}s")
+        }
       }
     }
     val commitSec = (System.nanoTime() - tCommit0) / 1e9 - compactTotalSec

@@ -255,6 +255,10 @@ class CoreSpec extends SparkSpec {
     }
     val (runX, runA) = pair.get
     assert(led.runPrefix(runX) == led.runPrefix(runA) && runX != runA)
+    // both runs REGISTERED (every Runner entry point does this) — the
+    // unlink fast path must notice the registered collision and verify
+    led.recordRunStart(spark, runX, "{}", None, Some(1L))
+    led.recordRunStart(spark, runA, "{}", None, Some(1L))
     led.recordCompleted(spark, runX, Seq(7L), 1L, 1L)
     led.recordCompleted(spark, runA, Seq(1L), 1L, 1L)
     led.resetRun(spark, runA)
@@ -777,6 +781,31 @@ class CoreSpec extends SparkSpec {
     }.getMessage.contains("already in progress"))
     Files.delete(lock)
     assert(led.completedIndices(spark, "r").count() == 20) // refused = untouched
+  }
+
+  test("maintainIfNeeded: threshold-gated, lock-free under threshold, refuses when locked") {
+    val dir = Files.createTempDirectory("graft-maintain").toString
+    val led = new Ledger(dir)
+    (0L until 10L).foreach(i => led.recordCompleted(spark, "r", Seq(i), 1L, 1L))
+    // under threshold: no work, Some(empty) — and it never takes the lock,
+    // so it succeeds even while another maintainer holds it
+    val lock = Paths.get(s"$dir/_maintenance/compact.lock")
+    Files.createDirectories(lock.getParent)
+    Files.createFile(lock)
+    assert(led.maintainIfNeeded(spark, maxFilesPerTable = 64)
+      .contains(Map.empty[String, (Int, Int)]))
+    // over threshold while locked: refuse with None, touch nothing
+    assert(led.maintainIfNeeded(spark, maxFilesPerTable = 4).isEmpty)
+    assert(new java.io.File(s"$dir/index_results")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 10)
+    Files.delete(lock)
+    // over threshold, unlocked: compacts exactly the offending table
+    val rep = led.maintainIfNeeded(spark, maxFilesPerTable = 4).get
+    assert(rep("index_results")._1 == 10 && rep("index_results")._2 <= 4)
+    assert(led.completedIndices(spark, "r").count() == 10)
+    // idempotent steady state after the rewrite
+    assert(led.maintainIfNeeded(spark, maxFilesPerTable = 4)
+      .contains(Map.empty[String, (Int, Int)]))
   }
 
   test("compact racing live committers loses zero rows") {

@@ -181,6 +181,56 @@ class StreamingSpec extends SparkSpec {
     assert(cold.count() == 0)
   }
 
+  test("folding incremental dedup: batch N+1 dedups against batch N; resume + replay safe") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fold").toString
+    val (inDir, idxDir, outDir, ckDir) =
+      (s"$root/in", s"$root/idx", s"$root/out", s"$root/ck")
+    val seedDoc = (10L, "the quick brown fox jumps over the lazy dog")
+    StreamingDedup.seedIndex(Seq(seedDoc).toDF("doc_id", "text"),
+      "doc_id", "text", 3, idxDir)
+    // batch 1: a seed dup, a NOVEL doc, and a within-batch copy of it
+    val novelText = "an entirely unrelated sentence about volcanic geology"
+    Seq((1L, seedDoc._2), (2L, novelText), (3L, novelText))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/f1")
+    def run(): Unit = {
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      val q = StreamingDedup.foldingIncrementalDedup(stream,
+        "doc_id", "text", 3, idxDir, outDir, ckDir)
+      q.awaitTermination()
+    }
+    run() // processes batch 1, then the AvailableNow query terminates
+    def matches() = s.read.parquet(outDir)
+      .filter(col("tier") === "exact")
+      .select("id", "old_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // seed dup matched; within-batch copy matched its min-id winner;
+    // the novel winner matched nothing and FOLDED into the index
+    assert(matches() == Set((1L, 10L), (3L, 2L)))
+    // batch 2 (a later file + a fresh AvailableNow run = the
+    // kill-between-batches resume shape): a copy of batch 1's novel doc
+    // must now be an EXACT dup of it via the folded index
+    Seq((4L, novelText)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$inDir/f2")
+    run()
+    assert(matches() == Set((1L, 10L), (3L, 2L), (4L, 2L)))
+    // crash-replay idempotence: re-applying a batch id wipes and
+    // re-installs its own files — no doubled matches, no doubled keys
+    val keysBefore = s.read.parquet(idxDir).count()
+    val rowsBefore = s.read.parquet(outDir).count()
+    StreamingDedup.applyIncrementalBatch(
+      Seq((4L, novelText)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", 3, idxDir, outDir)
+    assert(s.read.parquet(outDir).count() == rowsBefore)
+    assert(s.read.parquet(idxDir).count() == keysBefore)
+    assert(matches() == Set((1L, 10L), (3L, 2L), (4L, 2L)))
+  }
+
   test("streaming state equals the batch Welford aggregator") {
     val s = spark
     import s.implicits._

@@ -179,6 +179,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r16 > r4, s"4× the code budget bought nothing: $r4 → $r16")
   }
 
+  test("clustered embedding fixture: deterministic, structure dominates noise") {
+    import graft.tools.ClusteredEmbeddings.vector
+    // fully deterministic in (seed, id)
+    assert(vector(42L, 16, 64, 0.3, 7L).toSeq == vector(42L, 16, 64, 0.3, 7L).toSeq)
+    assert(vector(42L, 16, 64, 0.3, 7L).toSeq != vector(43L, 16, 64, 0.3, 7L).toSeq)
+    // mixture structure: same-cluster pairs (id % clusters equal) are
+    // closer than cross-cluster pairs — the property that makes this
+    // fixture PQ/IVF's structured case rather than isotropic noise.
+    // Deterministic fixture → fixed numbers, not a statistical flake.
+    def d(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val intra = for (i <- 0 until 8) yield
+      d(vector(42L, 16, 64, 0.3, i.toLong), vector(42L, 16, 64, 0.3, i + 16L))
+    val inter = for (i <- 0 until 8) yield
+      d(vector(42L, 16, 64, 0.3, i.toLong), vector(42L, 16, 64, 0.3, i + 1L))
+    assert(intra.max < inter.min,
+      s"cluster structure absent: intra ${intra.max} !< inter ${inter.min}")
+  }
+
   test("sample-bounded training: deterministic, recall holds, tiny-sample guard") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // deterministic: same fraction → identical codebooks/centroids

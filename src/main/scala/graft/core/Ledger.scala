@@ -978,8 +978,8 @@ final class Ledger(dir: String) {
     * DUPLICATE rows (both install their rewritten copy), never lose them —
     * and every resolve-at-read view tolerates duplicates.
     */
-  private def withMaintenanceLock[A](spark: SparkSession, what: String,
-                                     lockTtlMs: Long)(body: => A): A = {
+  private[graft] def withMaintenanceLock[A](spark: SparkSession, what: String,
+                                            lockTtlMs: Long)(body: => A): A = {
     val fsConf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
     val lfs = lock.getFileSystem(fsConf)
@@ -994,7 +994,25 @@ final class Ledger(dir: String) {
         s"ledger maintenance already in progress — $what refused " +
           s"(maintenance lock $lock; locks older than $lockTtlMs ms are " +
           "broken as stale)")
-    try body finally lp.release(lfs, lock)
+    // RENEWAL: a rewrite that outlives the TTL (a 100 TB-class ledger's
+    // compaction) must not have its lock stale-broken mid-install by a
+    // rival maintainer — a live holder refreshes at TTL/4 from a daemon
+    // thread, so staleness again means exactly "crashed holder".
+    val renewer = new Thread(() => {
+      val period = math.max(lockTtlMs / 4, 250L)
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(period)
+          lp.renew(lfs, lock)
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-maintenance-lock-renewer")
+    renewer.setDaemon(true)
+    renewer.start()
+    try body finally {
+      renewer.interrupt()
+      lp.release(lfs, lock)
+    }
   }
 
   /** The ledger's table directories, the compaction/maintenance universe. */

@@ -85,6 +85,11 @@ object LockProvider {
 
     override def release(fs: FileSystem, path: Path): Unit =
       fs.delete(path, false)
+
+    /** Renewal = refresh the marker's mtime (staleness is mtime-based). */
+    override def renew(fs: FileSystem, path: Path): Boolean =
+      try { fs.setTimes(path, System.currentTimeMillis(), -1); true }
+      catch { case _: java.io.IOException => false }
   }
 
   /** Fencing-token lease for last-writer-wins stores (see the trait doc

@@ -783,6 +783,29 @@ class CoreSpec extends SparkSpec {
     assert(led.completedIndices(spark, "r").count() == 20) // refused = untouched
   }
 
+  test("maintenance lock renewal: a live slow holder is never stale-broken") {
+    val dir = Files.createTempDirectory("graft-renew").toString
+    val led = new Ledger(dir)
+    (0L until 6L).foreach(i => led.recordCompleted(spark, "r", Seq(i), 1L, 1L))
+    val holderDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() =>
+      led.withMaintenanceLock(spark, "slow-holder", lockTtlMs = 1000L) {
+        Thread.sleep(2600); holderDone.set(true)
+      })
+    holder.start()
+    Thread.sleep(1500) // well past the 1 s TTL — renewal (TTL/4) keeps it live
+    // a rival with the SAME short TTL must refuse, not stale-break
+    assert(intercept[IllegalStateException] {
+      led.compact(spark, lockTtlMs = 1000L)
+    }.getMessage.contains("already in progress"))
+    assert(!holderDone.get(), "holder finished early; the refusal proved nothing")
+    holder.join()
+    assert(holderDone.get())
+    // released on exit: the rival now acquires normally
+    led.compact(spark, lockTtlMs = 1000L)
+    assert(led.completedIndices(spark, "r").count() == 6)
+  }
+
   test("maintainIfNeeded: threshold-gated, lock-free under threshold, refuses when locked") {
     val dir = Files.createTempDirectory("graft-maintain").toString
     val led = new Ledger(dir)

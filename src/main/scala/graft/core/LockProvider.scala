@@ -97,6 +97,14 @@ object LockProvider {
     * token, so one process acquiring two different paths is fine, and a
     * process that lost an overwrite race holds a token the surviving
     * lease doesn't match.
+    *
+    * COST, stated honestly: every successful acquire sleeps `settleMs`
+    * (the read-back-verify window). That is nothing for the maintenance
+    * lock (one acquire per compact/reset) but material for PER-INDEX
+    * claims — a 10⁴-index run would spend 10⁴·settle in sleeps. On an
+    * object store, either coordinate claims on a consistent store (the
+    * documented recommendation), enlarge the work grain (fewer, larger
+    * indices), or accept the latency; correctness holds regardless.
     */
   final class Lease(settleMs: Long) extends LockProvider {
     private val token = java.util.UUID.randomUUID().toString

@@ -132,6 +132,16 @@ final class Ledger(dir: String) {
   private def readTable(spark: SparkSession, p: String,
                         forRun: Option[String]): DataFrame = {
     val table = p.substring(p.lastIndexOf('/') + 1)
+    // ignoreMissingFiles, scoped to ledger reads: a reader whose plan
+    // listed a tail file that compact() then re-binned and DELETED would
+    // otherwise crash at execution (seen under the naf soak; the window
+    // exists on every store). Skipping the vanished file under-reads from
+    // a stale plan, which this design tolerates by construction: resume
+    // decisions are at-least-once over idempotent per-index installs (a
+    // missed completed row re-runs an index, never loses data) and every
+    // duplicate-sensitive view resolves at read. The maintenance paths
+    // that must NOT under-read (compact/reset rewrites) read their own
+    // explicit snapshots under the maintenance lock, not this path.
     tableSchemas.get(table) match {
       case Some(schema) =>
         val pruned = forRun.flatMap { runId =>
@@ -139,15 +149,26 @@ final class Ledger(dir: String) {
           prunedFiles(hp.getFileSystem(
             spark.sparkContext.hadoopConfiguration), hp, runId)
         }
+        val rd = spark.read.schema(schema)
+          .option("ignoreMissingFiles", "true")
         pruned match {
           case Some(files) if files.isEmpty =>
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           case Some(files) =>
-            spark.read.schema(schema).parquet(files: _*)
-          case None => spark.read.schema(schema).parquet(p)
+            // explicit roots are STATTED at planning — a root compact()
+            // just deleted throws there, where ignoreMissingFiles does
+            // not apply; fall back to the directory read (one LIST, sees
+            // the post-compaction state)
+            try rd.parquet(files: _*)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException |
+                  _: java.io.FileNotFoundException => rd.parquet(p)
+            }
+          case None => rd.parquet(p)
         }
-      case None => spark.read.option("mergeSchema", "true").parquet(p)
+      case None => spark.read.option("mergeSchema", "true")
+        .option("ignoreMissingFiles", "true").parquet(p)
     }
   }
 

@@ -109,17 +109,31 @@ object LockProvider {
   final class Lease(settleMs: Long) extends LockProvider {
     private val token = java.util.UUID.randomUUID().toString
 
-    private def readLease(fs: FileSystem, path: Path): Option[(String, Long)] =
+    /** A lease file's observed state. `Garbled` (empty or unparsable) is
+      * NOT absent: on a store whose writes are not atomically visible, it
+      * means a PUT is in flight THIS INSTANT — treating it as absent let a
+      * contender steal a just-created claim in the CompactRace naf soak
+      * (one index committed twice). Real object-store PUTs are
+      * atomic-visibility, so Garbled there means a torn/corrupt object —
+      * refusing is the right call in both worlds.
+      */
+    private sealed trait LeaseState
+    private case object Absent extends LeaseState
+    private case object Garbled extends LeaseState
+    private final case class Held(t: String, ts: Long) extends LeaseState
+
+    private def readLease(fs: FileSystem, path: Path): LeaseState =
       try {
         val in = fs.open(path)
         val bytes = try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
         finally in.close()
         val s = new String(bytes, StandardCharsets.UTF_8)
         val i = s.indexOf('\n')
-        if (i < 0) None else Some((s.substring(0, i), s.substring(i + 1).trim.toLong))
+        if (i < 0) Garbled
+        else Held(s.substring(0, i), s.substring(i + 1).trim.toLong)
       } catch {
-        case _: java.io.FileNotFoundException => None
-        case _: NumberFormatException => None
+        case _: java.io.FileNotFoundException => Absent
+        case _: NumberFormatException => Garbled
       }
 
     private def put(fs: FileSystem, path: Path): Unit = {
@@ -129,26 +143,41 @@ object LockProvider {
       finally out.close()
     }
 
+    private def mtimeAge(fs: FileSystem, path: Path): Option[Long] =
+      try Some(System.currentTimeMillis() -
+        fs.getFileStatus(path).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+
     override def tryAcquire(fs: FileSystem, path: Path, ttlMs: Long): Boolean = {
       readLease(fs, path) match {
-        case Some((t, ts)) if t != token &&
+        case Held(t, ts) if t != token &&
             System.currentTimeMillis() - ts <= ttlMs =>
           return false // fresh foreign lease — refuse WITHOUT writing
+        case Garbled =>
+          // a PUT in flight — refuse, UNLESS the writer died mid-PUT long
+          // ago (mtime past the TTL): then break the remnant and contend
+          if (!mtimeAge(fs, path).exists(_ > ttlMs)) return false
+          fs.delete(path, false)
         case _ => () // absent, stale, or our own crashed remnant
       }
       put(fs, path)
       Thread.sleep(settleMs) // let a racing PUT land
-      readLease(fs, path).exists(_._1 == token) // survived = acquired
+      readLease(fs, path) match {
+        case Held(t, _) => t == token // survived = acquired
+        case _ => false // overwritten, deleted, or torn — not ours
+      }
     }
 
     override def release(fs: FileSystem, path: Path): Unit =
       // token-guarded: never delete a lease we lost to a racing writer
-      if (readLease(fs, path).exists(_._1 == token))
-        fs.delete(path, false)
+      readLease(fs, path) match {
+        case Held(t, _) if t == token => fs.delete(path, false); ()
+        case _ => ()
+      }
 
     override def renew(fs: FileSystem, path: Path): Boolean =
       readLease(fs, path) match {
-        case Some((t, _)) if t == token => put(fs, path); true
+        case Held(t, _) if t == token => put(fs, path); true
         case _ => false
       }
   }

@@ -23,7 +23,11 @@ import graft.core.{Ledger, PFilter, PSink, PSource, Pipeline, Runner}
   *    maintenance lock (refusals counted, never corrupting);
   *  - heartbeat/provenance tables survive too (workersDf sums to N).
   *
-  * Usage: `runMain graft.tools.CompactRace [nIndices] [nWorkers] [compactEveryMs]`
+  * Usage: `runMain graft.tools.CompactRace [nIndices] [nWorkers]
+  * [compactEveryMs] [store]` — `store=naf` runs the whole soak on the
+  * simulated non-atomic object store (`NonAtomicFileSystem`) with the
+  * fencing-token LEASE lock provider, proving the claim/maintenance
+  * protocols hold where create-exclusive doesn't exist.
   * Prints one JSON line.
   */
 object CompactRace {
@@ -31,6 +35,7 @@ object CompactRace {
     val n = args.headOption.map(_.toInt).getOrElse(400)
     val w = args.lift(1).map(_.toInt).getOrElse(4)
     val everyMs = args.lift(2).map(_.toLong).getOrElse(25L)
+    val store = args.lift(3).getOrElse("file")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -38,8 +43,7 @@ object CompactRace {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ledgerDir =
-      java.nio.file.Files.createTempDirectory("graft_compact_race").toString
+    val ledgerDir = RaceStores.ledgerDir(spark, store, "graft_compact_race")
     val pipe = Pipeline(
       PSource("range", Map("n" -> n.toString), s =>
         s.range(n).withColumnRenamed("id", "idx")

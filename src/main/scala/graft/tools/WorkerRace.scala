@@ -26,6 +26,9 @@ object WorkerRace {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(400)
     val w = args.lift(1).map(_.toInt).getOrElse(4)
+    // args(2) = store: `naf` runs the soak on the simulated non-atomic
+    // object store with the lease lock provider (see RaceStores)
+    val store = args.lift(2).getOrElse("file")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -33,8 +36,7 @@ object WorkerRace {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val ledgerDir =
-      java.nio.file.Files.createTempDirectory("graft_worker_race").toString
+    val ledgerDir = RaceStores.ledgerDir(spark, store, "graft_worker_race")
     val pipe = Pipeline(
       PSource("range", Map("n" -> n.toString), s =>
         s.range(n).withColumnRenamed("id", "idx")

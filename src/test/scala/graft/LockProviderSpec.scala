@@ -116,6 +116,28 @@ class LockProviderSpec extends SparkSpec {
     }
   }
 
+  test("lease: a torn/in-flight PUT (empty lease file) is refused, stale remnant broken") {
+    // On a store whose writes are not atomically visible, an empty or
+    // unparsable lease file means a PUT is in flight RIGHT NOW — treating
+    // it as absent let a contender steal a just-created claim (the
+    // CompactRace naf soak hit this as a double-committed index). It must
+    // refuse — unless the remnant is older than the TTL (writer died
+    // mid-PUT), in which case it breaks and contends.
+    withNaf(lease = true) {
+      val dir = Files.createTempDirectory("graft-naf-torn").toString
+      val target = new Path(s"naf://$dir/lock")
+      val fs = target.getFileSystem(hconf)
+      fs.create(target, true).close() // empty file = torn PUT
+      val p = new LockProvider.Lease(10)
+      assert(!p.tryAcquire(fs, target, 60000), "stole a mid-PUT lease")
+      assert(fs.exists(target), "refusal must not delete the in-flight lease")
+      Thread.sleep(30)
+      assert(p.tryAcquire(fs, target, 20), "aged torn remnant not broken")
+      p.release(fs, target)
+      assert(!fs.exists(target))
+    }
+  }
+
   test("runPerIndex claims are exactly-once on the adversarial store via lease") {
     withNaf(lease = true) {
       val dir = "naf://" + Files.createTempDirectory("graft-naf-run").toString

@@ -324,10 +324,88 @@ case class FloatSqDistTable(child: Expression, codebook: IndexedSeq[Float],
     copy(child = newChild)
 }
 
+/** Codegen'd dot TABLE against a literal centroid matrix: for one
+  * `Array[Float]` column and k sub-centroids, emit the length-k array of
+  * 〈x, c_j〉 dots — the IVF assignment/probing kernel. Same motivation and
+  * discipline as [[FloatSqDistTable]]: the k-literal-`FloatVecDot` fan it
+  * replaces generates O(k·dim) lines of projection code and fails janino
+  * past a few hundred centroids (production IVF runs nlist in the
+  * thousands), while this is one constant-size nested loop that stays in
+  * whole-stage codegen at any k. Float math is bit-identical to the fan:
+  * each dot is FloatVecDot's left-to-right double sum over the common
+  * prefix.
+  */
+case class FloatDotTable(child: Expression, centroids: IndexedSeq[Float],
+                         k: Int, dim: Int) extends UnaryExpression {
+  require(centroids.length == k * dim, s"centroids ${centroids.length} != $k*$dim")
+
+  @transient private lazy val cbArr: Array[Float] = centroids.toArray
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "float_dot_table"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = math.min(a.numElements(), dim)
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < m) {
+        s += a.getFloat(i).toDouble * cbArr(base + i).toDouble
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("cb", cbArr, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $out = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $s = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $cb[$base + $i];
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
     Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd length-k dot table against a literal centroid matrix. */
+  def dotTable(v: Column, cents: Seq[Array[Float]]): Column = {
+    require(cents.nonEmpty)
+    val dim = cents.head.length
+    Bridge.column(FloatDotTable(Bridge.expression(v),
+      cents.flatten.toIndexedSeq, cents.length, dim))
+  }
 
   /** Codegen'd length-k squared-L2 table against a literal PQ codebook. */
   def sqDistTable(v: Column, cents: Seq[Array[Float]]): Column = {

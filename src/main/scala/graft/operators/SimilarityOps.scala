@@ -344,31 +344,40 @@ object SimilarityOps {
     */
   def centroidAssignment(df: DataFrame, idCol: String, vecCol: String,
                          centroids: Seq[Array[Float]]): DataFrame = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
-      struct(dot(col(vecCol), typedLit(c)).as("s"), lit(-i).as("nid"),
-        lit(n).as("cn"))
-    }
-    val best = array_max(array(scored: _*))
-    df.select(col(idCol), (-best.getField("nid")).cast("int").as("cid"),
-      (best.getField("s") / (l2Norm(col(vecCol)) * best.getField("cn")))
-        .as("cos_c"))
+    // one codegen'd dot-table loop + a literal norm array — NOT a k-fan of
+    // literal dots (janino method-size wall past a few hundred centroids;
+    // see FloatDotTable). Ties → FIRST occurrence of the max = lowest cid,
+    // the same rule the struct-max formulation had.
+    val t = graft.functions.VectorExpressions.dotTable(col(vecCol), centroids)
+    val norms = typedLit(centroids.map(c =>
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)))
+    df.select(col(idCol), l2Norm(col(vecCol)).as("_vn"), t.as("_t"))
+      .select(col(idCol), col("_vn"), col("_t"),
+        (array_position(col("_t"), array_max(col("_t"))) - 1)
+          .cast("int").as("cid"))
+      .select(col(idCol), col("cid"),
+        (element_at(col("_t"), col("cid") + 1) /
+          (col("_vn") * element_at(norms, col("cid") + 1)))
+          .as("cos_c"))
   }
 
-  /** cid of the max-dot centroid (deterministic ties → lowest cid). */
+  /** cid of the max-dot centroid (deterministic ties → lowest cid: first
+    * occurrence of the max).
+    */
   private def assignColumn(v: Column, centroids: Seq[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(v, typedLit(c)).as("s"), lit(-i).as("nid"))
-    }
-    (-array_max(array(scored: _*)).getField("nid")).cast("int")
+    val t = graft.functions.VectorExpressions.dotTable(v, centroids)
+    (array_position(t, array_max(t)) - 1).cast("int")
   }
 
-  /** The `nProbe` highest-dot centroid ids for a query vector. */
+  /** The `nProbe` highest-dot centroid ids for a query vector (ties →
+    * lowest cid first, the original comparator's rule).
+    */
   private def probeColumn(v: Column, centroids: Seq[Array[Float]], nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dot(v, typedLit(c)).as("s"), lit(-i).as("nid"))
-    }
-    transform(slice(array_sort(array(scored: _*),
+    val t = graft.functions.VectorExpressions.dotTable(v, centroids)
+    val scored = zip_with(t,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct(s.as("s"), (-i).as("nid")))
+    transform(slice(array_sort(scored,
       (a, b) => when(a.getField("s") > b.getField("s"), -1)
         .when(a.getField("s") < b.getField("s"), 1)
         .otherwise(signum(b.getField("nid") - a.getField("nid")).cast("int"))),

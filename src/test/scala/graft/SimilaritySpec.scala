@@ -260,6 +260,13 @@ class SimilaritySpec extends SparkSpec {
       val got = SimilarityOps.pqTopK(emb, "vec_id", "embedding", 10, 4L,
         cb, dimHint = 64)
       assert(got.count() == 40)
+      // same wall for IVF at production-scale nlist: assignment/probing
+      // go through ONE FloatDotTable loop, not a 256-literal-dot fan
+      val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+        k = 256, iters = 1, dimHint = 64)
+      val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", 5, 3L,
+        cents, nProbe = 8)
+      assert(ivf.count() > 0)
     } finally {
       prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
         spark.conf.set("spark.sql.codegen.fallback", _))

@@ -392,9 +392,27 @@ object SimilarityOps {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               maxQueryId: Long, centroids: Seq[Array[Float]],
-              nProbe: Int = 4): DataFrame = {
-    val lists = df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
-      l2Norm(col(vecCol)).as("nb"), assignColumn(col(vecCol), centroids).as("cid"))
+              nProbe: Int = 4): DataFrame =
+    ivfTopKOverLists(ivfLists(df, idCol, vecCol, centroids),
+      df, idCol, vecCol, k, maxQueryId, centroids, nProbe)
+
+  /** The IVF INDEX: every corpus vector tagged with its coarse list. This
+    * is the one O(n·nlist·dim) pass of the design — index BUILD, paid once
+    * and amortized over every query batch. A deployment materializes it
+    * (persist or write) instead of recomputing per search; [[ivfTopK]]
+    * folds it inline for the single-shot oracle shape.
+    */
+  def ivfLists(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Array[Float]]): DataFrame =
+    df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"),
+      assignColumn(col(vecCol), centroids).as("cid"))
+
+  /** Probe-bounded search over a prebuilt [[ivfLists]] index. */
+  def ivfTopKOverLists(lists: DataFrame, df: DataFrame, idCol: String,
+                       vecCol: String, k: Int, maxQueryId: Long,
+                       centroids: Seq[Array[Float]],
+                       nProbe: Int = 4): DataFrame = {
     val queries = df.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("ia"), col(vecCol).as("va"), l2Norm(col(vecCol)).as("na"),
         explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))

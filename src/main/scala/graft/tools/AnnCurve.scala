@@ -22,6 +22,7 @@ object AnnCurve {
     val nlist = args.lift(3).map(_.toInt).getOrElse(8)
     val arms = args.lift(4).map(_.split(",").toSet)
       .getOrElse(Set("curve", "pq_budget", "sampled_train"))
+    // ivf_scale is opt-in (√n-sized nlist — meant for the big scaled table)
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -95,10 +96,42 @@ object AnnCurve {
       s"""{"train_fraction":$frac,"recall":${hits / possible},""" +
         s""""train_sec":$trainSec,"rank_sec":$rankSec}"""
     }
+    // IVF-SCALE arm: production-shaped nlist (≈√n) — possible at all only
+    // with the FloatDotTable kernel (the literal-dot fan failed janino
+    // past a few hundred centroids). Sampled training (the FAISS
+    // discipline), then one probe-bounded search; reports the two walls.
+    val ivfScale = if (!arms("ivf_scale")) Seq.empty[String]
+    else {
+      val nTotal = emb.count()
+      val bigList = math.max(64,
+        math.min(4096, math.round(math.sqrt(nTotal.toDouble)).toInt))
+      val frac = math.min(1.0, math.max(0.02, (bigList * 50.0) / nTotal))
+      val t0 = System.nanoTime()
+      val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+        k = bigList, iters = 2, dimHint = 64, trainSampleFraction = frac)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      // index BUILD (the one O(n·nlist·dim) pass, paid once) measured
+      // apart from the per-query-batch probe cost a deployment tunes
+      val t1 = System.nanoTime()
+      val lists = SimilarityOps.ivfLists(emb, "vec_id", "embedding", cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lists.count()
+      val buildSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val nRes = SimilarityOps.ivfTopKOverLists(lists, emb, "vec_id",
+        "embedding", k, nq, cents,
+        nProbe = math.max(1, bigList / 32)).count()
+      val probeSec = (System.nanoTime() - t2) / 1e9
+      lists.unpersist()
+      Seq(s"""{"nlist":$bigList,"train_fraction":$frac,"n_vectors":$nTotal,""" +
+        s""""train_sec":$trainSec,"build_sec":$buildSec,""" +
+        s""""probe_sec":$probeSec,"rows":$nRes}""")
+    }
     println(s"""{"tool":"ann_curve","sf_dir":"$dir","k":$k,""" +
       s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}],""" +
       s""""pq_budget":[${pqRows.mkString(",")}],""" +
-      s""""sampled_train":[${sampleArm.mkString(",")}]}""")
+      s""""sampled_train":[${sampleArm.mkString(",")}],""" +
+      s""""ivf_scale":[${ivfScale.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -1018,22 +1018,59 @@ final class Ledger(dir: String) {
     // RENEWAL: a rewrite that outlives the TTL (a 100 TB-class ledger's
     // compaction) must not have its lock stale-broken mid-install by a
     // rival maintainer — a live holder refreshes at TTL/4 from a daemon
-    // thread, so staleness again means exactly "crashed holder".
+    // thread, so staleness again means exactly "crashed holder". A FAILED
+    // renew means the lock is no longer ours (lease stolen, or broken
+    // after a pause past the TTL): record the loss and stop renewing —
+    // the destructive phases fence on it (checkFence below) and abort
+    // rather than rewrite/delete without exclusion.
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val renewer = new Thread(() => {
       val period = math.max(lockTtlMs / 4, 250L)
       try {
-        while (!Thread.interrupted()) {
+        var ours = true
+        while (ours && !Thread.interrupted()) {
           Thread.sleep(period)
-          lp.renew(lfs, lock)
+          // interrupt = the release path, not a fence loss; don't renew
+          // a lease release is about to delete
+          if (!Thread.currentThread().isInterrupted &&
+              !lp.renew(lfs, lock)) {
+            lost.set(true)
+            ours = false
+          }
         }
       } catch { case _: InterruptedException => () }
     }, "graft-maintenance-lock-renewer")
     renewer.setDaemon(true)
     renewer.start()
+    // Resource fence for the body's destructive phases: before every
+    // install/unlink, checkFence() re-verifies the lock is still OURS
+    // (renewer flag + a token read through the provider), so a holder
+    // whose lease was stolen aborts with its staged output orphaned for
+    // clean() instead of deleting rows a rival maintainer now owns.
+    Ledger.fence.set(() =>
+      if (lost.get() || !lp.verify(lfs, lock))
+        throw new IllegalStateException(
+          s"maintenance lock $lock lost mid-$what (lease stolen or renew " +
+            "failed) — aborting before the destructive phase; staged " +
+            "output is orphaned for clean()"))
     try body finally {
+      Ledger.fence.remove()
       renewer.interrupt()
+      // JOIN before release: a renew already past its token check could
+      // otherwise re-PUT the lease after release deletes it, leaving an
+      // orphan lock that refuses all maintenance until the TTL expires
+      renewer.join()
       lp.release(lfs, lock)
     }
+  }
+
+  /** Fence gate for destructive maintenance phases (see
+    * [[withMaintenanceLock]]): throws when the maintenance lock is no
+    * longer this holder's; no-op outside a maintenance-lock scope.
+    */
+  private[graft] def checkFence(): Unit = {
+    val g = Ledger.fence.get()
+    if (g != null) g()
   }
 
   /** The ledger's table directories, the compaction/maintenance universe. */
@@ -1113,7 +1150,11 @@ final class Ledger(dir: String) {
               .coalesce(target)
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
             // install compacted files into the LIVE dir, then drop the
-            // snapshot; concurrent commits are adds and survive both steps
+            // snapshot; concurrent commits are adds and survive both steps.
+            // Fence first: if the lock was stolen mid-rewrite, abort here
+            // with the staged output orphaned for clean() — installing and
+            // deleting without exclusion could race a rival's rewrite.
+            checkFence()
             fs.listStatus(tmp).iterator
               .filter(_.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
@@ -1122,6 +1163,7 @@ final class Ledger(dir: String) {
                   s"compact: install into $p failed")
               }
             fs.delete(tmp, true)
+            checkFence() // fence again before the snapshot unlinks
             snap.foreach(f => fs.delete(f.getPath, false))
             val after = {
               val it = fs.listFiles(p, true)
@@ -1151,6 +1193,48 @@ final class Ledger(dir: String) {
   // hold the run's rows. Both take the maintenance lock (they are
   // destructive rewrites racing compact() and each other) and clear the
   // run's claim namespaces so a resumed invocation re-claims reset indices.
+
+  /** Names of the candidate files whose parquet footer statistics PROVE
+    * every row belongs to `runId`: each `run_id` column chunk must show
+    * min = max = runId with zero nulls. The proof needs no registration
+    * assumption (any writer's file speaks for itself through its own
+    * footer) and costs footer-sized IO per file. Missing, truncated, or
+    * unreadable stats fail the proof and fall to the read-filter-rewrite
+    * path — never wrong, at worst slower; run_id strings sit far below
+    * parquet's 64-byte stat-truncation threshold in every entry point.
+    * Large tails fan the footer reads out as one Spark job (the 10⁴-commit
+    * reset shape); small ones stay a driver loop.
+    */
+  private def provablyExclusive(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                files: Seq[org.apache.hadoop.fs.Path],
+                                runId: String): Set[String] = {
+    def proof(pfs: org.apache.hadoop.fs.FileSystem,
+              f: org.apache.hadoop.fs.Path): Boolean =
+      try {
+        val chunks = graft.sources.ParquetFooter.parseFooter(
+          graft.sources.ParquetFooter.readFooterBytes(pfs, f))
+          .filter(_.column == "run_id")
+        chunks.nonEmpty && chunks.forall(c =>
+          c.nullCount.contains(0L) && c.minV.contains(runId) &&
+            c.maxV.contains(runId))
+      } catch { case _: Exception => false }
+    if (files.size <= 64)
+      files.iterator.filter(proof(fs, _)).map(_.getName).toSet
+    else {
+      import org.apache.spark.sql.Encoders
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.createDataset(files.map(_.toString))(Encoders.STRING)
+        .mapPartitions { it =>
+          it.filter { s =>
+            val p = new org.apache.hadoop.fs.Path(s)
+            proof(p.getFileSystem(conf.value), p)
+          }.map(s => new org.apache.hadoop.fs.Path(s).getName)
+        }(Encoders.STRING)
+        .collect().toSet // names only — bounded by the candidate tail
+    }
+  }
 
   /** Snapshot of a table's parquet files split into (this run's tail files,
     * shared files); other runs' tail files are never touched.
@@ -1199,6 +1283,7 @@ final class Ledger(dir: String) {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
     keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    checkFence() // abort before install/unlink if the lock was stolen
     fs.listStatus(tmp).iterator
       .filter(_.getPath.getName.endsWith(".parquet"))
       .foreach { f =>
@@ -1222,14 +1307,6 @@ final class Ledger(dir: String) {
       val fsConf = spark.sparkContext.hadoopConfiguration
       val tables = Seq("filter_artifacts", "output_files", "stage_metrics",
         "index_results", "errors", "workers", "runs")
-      // does any OTHER registered run share this run's 8-hex file prefix?
-      // (one tiny runs-table read; see the unlink-safety note below)
-      val pre = runPrefix(runId)
-      val registeredCollision = pathExists(spark, s"$dir/runs") &&
-        readTable(spark, s"$dir/runs", None)
-          .select("run_id").distinct().collect()
-          .exists(r => r.getString(0) != runId &&
-            runPrefix(r.getString(0)) == pre)
       val report = tables.map { t =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
         val fs = p.getFileSystem(fsConf)
@@ -1239,27 +1316,15 @@ final class Ledger(dir: String) {
           // The name-prefix match is only 8 hex chars of MD5 — fine on the
           // read path (the run_id filter stays on), but an outright unlink
           // must not trust it: a prefix COLLISION between two run_ids would
-          // delete another run's commits. Collision is only possible when
-          // another run_id HASHES to the same prefix, and the runs table
-          // registers every run (every Runner entry point records it), so
-          // the common case proves exclusivity with one tiny table read
-          // and the tail stays PURE UNLINKS. Only under a registered
-          // collision does one column-pruned scan over the candidate tail
-          // find the files carrying foreign rows; those are rewritten
-          // (dropping only this run's rows) instead of unlinked. Residual
-          // assumption, documented: a prefix-colliding writer that never
-          // called recordRunStart is invisible to the fast path.
+          // delete another run's commits. Exclusivity is proven per file
+          // from PARQUET FOOTER STATISTICS (see [[provablyExclusive]]) —
+          // no registration assumption at all (the r14 runs-table check
+          // was blind to writers that never called recordRunStart), at
+          // footer-sized IO per candidate tail file.
+          val provable = provablyExclusive(spark, fs, mine, runId)
           val (clean, dirty) =
-            if (mine.isEmpty || !registeredCollision)
-              (mine, Seq.empty[org.apache.hadoop.fs.Path])
-            else {
-              val foreign = spark.read.option("mergeSchema", "true")
-                .parquet(mine.map(_.toString): _*)
-                .filter(col("run_id").isNull || col("run_id") =!= runId)
-                .select(input_file_name().as("f"))
-                .distinct().collect().map(_.getString(0)).toSet
-              mine.partition(f => !foreign.exists(_.endsWith("/" + f.getName)))
-            }
+            mine.partition(f => provable.contains(f.getName))
+          checkFence() // abort before the unlinks if the lock was stolen
           clean.foreach(f => fs.delete(f, false)) // provably only this run's rows
           rewriteSharedWithout(spark, fs, p, dirty,
             col("run_id") === runId)
@@ -1304,6 +1369,7 @@ final class Ledger(dir: String) {
           s"$dir/_staging/reset_${java.util.UUID.randomUUID()}")
         keep.coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(tmp.toString)
+        checkFence() // abort before install/unlink if the lock was stolen
         fs.listStatus(tmp).iterator
           .filter(_.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
@@ -1526,4 +1592,13 @@ final class Ledger(dir: String) {
         "throughput_per_min", "eta_s", "n_workers", "n_stalled",
         "first_stalled_worker")
   }
+}
+
+object Ledger {
+  /** Per-thread fence installed by [[Ledger.withMaintenanceLock]] for the
+    * duration of a maintenance body; destructive phases consult it via
+    * `checkFence()`. Thread-local because maintenance bodies run on the
+    * calling thread and two ledgers may maintain concurrently.
+    */
+  private val fence = new ThreadLocal[() => Unit]
 }

@@ -19,16 +19,28 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    server-side (the namenode serializes creates).
   *  - S3-class object stores — NO atomic create-exclusive at the Hadoop
   *    FS API level: PUT is last-writer-wins, so check-then-create races.
-  *    [[LockProvider.Lease]] closes this with a fencing-token lease:
-  *    PUT own token → settle delay → read-back-verify. Safety argument:
-  *    a contender only PUTs after reading absent-or-stale, so with
-  *    strong read-after-write consistency (S3 since 2020) two PUTs can
-  *    only race within one GET+PUT latency window; the settle delay is
-  *    sized above that window, after which exactly the surviving token's
-  *    writer claims victory and every other contender reads a foreign
-  *    token and refuses. Release and renewal are token-guarded, so a
-  *    contender that lost the overwrite race can never delete or extend
-  *    the winner's lease.
+  *    [[LockProvider.Lease]] narrows this with a fencing-token lease:
+  *    read (refuse live foreign) → re-read immediately before the PUT →
+  *    PUT own token → settle delay → read-back-verify. With strong
+  *    read-after-write consistency (S3 since 2020) two contenders
+  *    ACTIVELY racing resolve within the settle window: exactly the
+  *    surviving token's writer claims victory, every other contender
+  *    reads a foreign token and refuses. Release and renewal are
+  *    token-guarded, so a contender that lost the overwrite race can
+  *    never delete or extend the winner's lease.
+  *
+  *    RESIDUAL WINDOW, stated honestly: a contender STALLED between its
+  *    pre-PUT read (absent/stale) and its PUT — a GC pause or preemption
+  *    longer than one GET+PUT round-trip — can still overwrite a lease a
+  *    rival acquired and settled in the meantime, and both pass their own
+  *    read-back windows. The lease protocol alone is therefore exclusion
+  *    with high probability, not a proof; the SAFETY net is fencing at
+  *    the resource: destructive phases re-[[LockProvider.verify]] the
+  *    token before every install/unlink (the ledger's maintenance
+  *    rewrites do exactly this), so a holder whose lease was overwritten
+  *    aborts before damage instead of proceeding. A store with a true
+  *    CAS primitive (S3 conditional PUT, GCS generation preconditions)
+  *    should get its own provider; the Hadoop FS API doesn't expose one.
   *
   * Selection is per-scheme via [[LockProvider.forFs]]: `file`/`hdfs` and
   * anything unconfigured default to [[LockProvider.CreateExclusive]];
@@ -56,6 +68,18 @@ trait LockProvider {
     * released). Returns false if the lease is no longer this caller's.
     */
   def renew(fs: FileSystem, path: Path): Boolean = true
+
+  /** Resource fence: is the marker at `path` still THIS caller's? Checked
+    * by destructive phases immediately before each install/unlink, so a
+    * holder whose lock was stolen (lease overwritten in the residual
+    * race window, or stale-broken after a pause past the TTL) aborts
+    * before damage. Where the protocol can't tell own from foreign
+    * (create-exclusive has no token), presence is the best available
+    * check — a stolen-and-held marker passes, but the stale-break that
+    * enables stealing there requires the holder to have already stopped
+    * renewing for a full TTL.
+    */
+  def verify(fs: FileSystem, path: Path): Boolean = true
 }
 
 object LockProvider {
@@ -90,6 +114,11 @@ object LockProvider {
     override def renew(fs: FileSystem, path: Path): Boolean =
       try { fs.setTimes(path, System.currentTimeMillis(), -1); true }
       catch { case _: java.io.IOException => false }
+
+    /** No token to compare — presence is the strongest available check. */
+    override def verify(fs: FileSystem, path: Path): Boolean =
+      try fs.getFileStatus(path) != null
+      catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Fencing-token lease for last-writer-wins stores (see the trait doc
@@ -160,6 +189,18 @@ object LockProvider {
           fs.delete(path, false)
         case _ => () // absent, stale, or our own crashed remnant
       }
+      // Re-read IMMEDIATELY before the PUT: if this contender stalled
+      // after the screening read above (GC pause, preemption), a rival may
+      // have acquired and settled in the meantime — overwriting its live
+      // lease would mint two winners. This narrows the stall-exposed gap
+      // to one GET+PUT; the residual window is closed at the resource by
+      // verify() before destructive phases (see the trait doc).
+      readLease(fs, path) match {
+        case Held(t, ts) if t != token &&
+            System.currentTimeMillis() - ts <= ttlMs => return false
+        case Garbled => return false // a PUT is in flight this instant
+        case _ => ()
+      }
       put(fs, path)
       Thread.sleep(settleMs) // let a racing PUT land
       readLease(fs, path) match {
@@ -177,7 +218,20 @@ object LockProvider {
 
     override def renew(fs: FileSystem, path: Path): Boolean =
       readLease(fs, path) match {
-        case Held(t, _) if t == token => put(fs, path); true
+        case Held(t, _) if t == token =>
+          // the release path interrupts the renewer and JOINS it before
+          // deleting the lease; still, don't re-PUT once interrupted — a
+          // renew racing its own release would re-create the just-deleted
+          // file as an orphan that refuses all maintenance until the TTL
+          if (Thread.currentThread().isInterrupted) false
+          else { put(fs, path); true }
+        case _ => false
+      }
+
+    /** The real fence: the lease must still carry OUR token. */
+    override def verify(fs: FileSystem, path: Path): Boolean =
+      readLease(fs, path) match {
+        case Held(t, _) => t == token
         case _ => false
       }
   }

@@ -297,12 +297,15 @@ case class FloatSqDistTable(child: Expression, codebook: IndexedSeq[Float],
       val len = ctx.freshName("len")
       val m = ctx.freshName("m")
       val out = ctx.freshName("out")
+      val v = ctx.freshName("v") // freshName: a bare local can shadow an
+      // enclosing generated scope's `v`, which janino rejects — and the
+      // rejection silently drops the stage to interpreted eval
       s"""
          |int $len = $a.numElements();
          |double $vv = 0.0;
          |for (int $i = 0; $i < $len; $i++) {
-         |  double v = (double) $a.getFloat($i);
-         |  $vv += v * v;
+         |  double $v = (double) $a.getFloat($i);
+         |  $vv += $v * $v;
          |}
          |int $m = java.lang.Math.min($len, $subDim);
          |double[] $out = new double[$k];

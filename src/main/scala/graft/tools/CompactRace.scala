@@ -24,10 +24,17 @@ import graft.core.{Ledger, PFilter, PSink, PSource, Pipeline, Runner}
   *  - heartbeat/provenance tables survive too (workersDf sums to N).
   *
   * Usage: `runMain graft.tools.CompactRace [nIndices] [nWorkers]
-  * [compactEveryMs] [store]` — `store=naf` runs the whole soak on the
-  * simulated non-atomic object store (`NonAtomicFileSystem`) with the
+  * [compactEveryMs] [store] [steal]` — `store=naf` runs the whole soak on
+  * the simulated non-atomic object store (`NonAtomicFileSystem`) with the
   * fencing-token LEASE lock provider, proving the claim/maintenance
-  * protocols hold where create-exclusive doesn't exist.
+  * protocols hold where create-exclusive doesn't exist. `steal` (naf
+  * only) adds a FORCED-STEAL arm: a rival thread periodically overwrites
+  * the maintenance lease mid-soak (ttl 0 = everything is stale), so live
+  * compactors lose their fence mid-rewrite and must ABORT before their
+  * destructive phase (counted as fence_aborts). Steal-mode integrity is
+  * asserted on the resolve-at-read views (a fence abort between install
+  * and snapshot-delete legitimately leaves duplicate ROWS, the documented
+  * tolerated state — never lost ones).
   * Prints one JSON line.
   */
 object CompactRace {
@@ -36,6 +43,10 @@ object CompactRace {
     val w = args.lift(1).map(_.toInt).getOrElse(4)
     val everyMs = args.lift(2).map(_.toLong).getOrElse(25L)
     val store = args.lift(3).getOrElse("file")
+    val steal = args.lift(4).contains("steal")
+    require(!steal || store == "naf",
+      "the forced-steal arm needs the lease provider (store=naf): " +
+        "create-exclusive has no token to steal")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -57,6 +68,7 @@ object CompactRace {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
     val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fenceAborts = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors =
       new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     // TWO maintenance threads: exercises the lock's mutual exclusion too
@@ -65,6 +77,9 @@ object CompactRace {
         while (!stop.get()) {
           try { led.compact(spark, maxFilesPerTable = 16); compactions.incrementAndGet(); () }
           catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("lost mid-") =>
+              fenceAborts.incrementAndGet(); ()
             case _: IllegalStateException => refusals.incrementAndGet(); ()
             case e: Throwable => errors.add(e); ()
           }
@@ -72,6 +87,25 @@ object CompactRace {
         }
       })
     }
+    // forced-steal arm: a rival lease-holder overwrites the maintenance
+    // lock mid-soak, holds it briefly, and releases — live compactors
+    // must fence-abort, never rewrite without exclusion
+    val stealer = new Thread(() => {
+      val lockPath = new org.apache.hadoop.fs.Path(
+        s"$ledgerDir/_maintenance/compact.lock")
+      val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      while (!stop.get()) {
+        Thread.sleep(everyMs * 4)
+        try {
+          val rival = new graft.core.LockProvider.Lease(
+            fs.getConf.getLong("graft.lock.lease.settle.ms", 60L))
+          if (rival.tryAcquire(fs, lockPath, 0L)) { // everything is stale
+            Thread.sleep(everyMs)
+            rival.release(fs, lockPath)
+          }
+        } catch { case _: Throwable => () }
+      }
+    })
     val t0 = System.nanoTime()
     val workers = (1 to w).map { i =>
       new Thread(() => {
@@ -83,16 +117,23 @@ object CompactRace {
       })
     }
     maint.foreach(_.start()); workers.foreach(_.start())
+    if (steal) stealer.start()
     workers.foreach(_.join()); stop.set(true); maint.foreach(_.join())
+    if (steal) stealer.join()
     val wallSec = (System.nanoTime() - t0) / 1e9
     require(errors.isEmpty, s"threads failed: ${errors.toArray.toSeq}")
 
     def contentHash(): (Long, Int) = {
-      val rows = spark.read.option("mergeSchema", "true")
+      // steal mode asserts on the resolve-at-read view: a fence abort
+      // between install and snapshot-delete leaves duplicate ROWS (the
+      // documented tolerated state); latest-wins resolution must still
+      // see exactly one completion per index, before and after the final
+      // compaction. Raw-row uniqueness stays the no-steal assertion.
+      val raw = spark.read.option("mergeSchema", "true")
         .parquet(s"$ledgerDir/index_results")
         .filter(col("run_id") === runId && col("status") === "completed")
         .select("idx", "run_id", "status", "n_rows", "worker_id")
-        .orderBy("idx").collect()
+      val rows = (if (steal) raw.distinct() else raw).orderBy("idx").collect()
       (rows.length.toLong, rows.map(_.mkString("|")).mkString("\n").hashCode)
     }
     val (rawRows, hashBefore) = contentHash()
@@ -107,10 +148,14 @@ object CompactRace {
     val splits = led.workersDf(spark, runId)
       .agg(sum("completed")).collect()(0).getLong(0)
     require(splits == n, s"workersDf sums $splits != $n")
+    require(!steal || fenceAborts.get() > 0,
+      "steal arm ran but no compactor ever fence-aborted — the steal " +
+        "never interleaved with a live rewrite; rerun with more indices")
 
     println(s"""{"tool":"compact_race","n_indices":$n,"n_workers":$w,""" +
       s""""wall_sec":$wallSec,"compactions":${compactions.get()},""" +
       s""""lock_refusals":${refusals.get()},""" +
+      s""""fence_aborts":${fenceAborts.get()},"steal":$steal,""" +
       s""""final_files":${finalReport.get("index_results").map(_._2).getOrElse(-1)},""" +
       s""""lost_updates":0,"content_stable":true}""")
     spark.stop()

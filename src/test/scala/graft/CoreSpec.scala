@@ -255,16 +255,19 @@ class CoreSpec extends SparkSpec {
     }
     val (runX, runA) = pair.get
     assert(led.runPrefix(runX) == led.runPrefix(runA) && runX != runA)
-    // both runs REGISTERED (every Runner entry point does this) — the
-    // unlink fast path must notice the registered collision and verify
-    led.recordRunStart(spark, runX, "{}", None, Some(1L))
+    // runX is deliberately NOT registered (no recordRunStart): the r14
+    // fast path trusted the runs table and was blind to unregistered
+    // prefix-colliding writers — its tail files were unlinked. The footer-
+    // statistics proof reads exclusivity off each candidate file itself,
+    // so registration no longer matters.
     led.recordRunStart(spark, runA, "{}", None, Some(1L))
     led.recordCompleted(spark, runX, Seq(7L), 1L, 1L)
     led.recordCompleted(spark, runA, Seq(1L), 1L, 1L)
     led.resetRun(spark, runA)
     assert(led.completedIndices(spark, runA).count() == 0)
-    // runX's commit file carried runA's prefix too; it was rewritten (or
-    // left intact when it held no runA rows), never unlinked
+    // runX's commit file carried runA's prefix too; its footer stats fail
+    // the min=max=runA proof, so it was rewritten (or left intact when it
+    // held no runA rows), never unlinked
     assert(led.completedIndices(spark, runX)
       .collect().map(_.getLong(0)).toSet == Set(7L))
   }

@@ -173,6 +173,71 @@ class LockProviderSpec extends SparkSpec {
     }
   }
 
+  test("fence loss aborts destructive maintenance: forced steal mid-rewrite") {
+    // The r14 renewer discarded renew()'s Boolean: a holder whose lease
+    // was stolen (GC pause past the TTL, or the lease race's residual
+    // window) kept rewriting and deleting without exclusion. Now every
+    // destructive phase runs checkFence() — renewer flag + a token
+    // re-verify through the provider — and must abort BEFORE damage.
+    withNaf(lease = true) {
+      val dir = "naf://" + Files.createTempDirectory("graft-naf-steal").toString
+      val led = new Ledger(dir)
+      (0L until 8L).foreach(i => led.recordCompleted(spark, "r", Seq(i), 1L, 1L))
+      val lockPath = new Path(s"$dir/_maintenance/compact.lock")
+      val fs = lockPath.getFileSystem(hconf)
+      val inBody = new java.util.concurrent.CountDownLatch(1)
+      val stolen = new java.util.concurrent.CountDownLatch(1)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val victim = new Thread(() => {
+        try {
+          led.withMaintenanceLock(spark, "steal-victim", lockTtlMs = 60000L) {
+            inBody.countDown()
+            stolen.await()
+            led.checkFence() // the gate every install/unlink phase runs
+            throw new AssertionError("fence did not trip after the steal")
+          }
+        } catch { case t: Throwable => err.set(t) }
+        ()
+      })
+      victim.start()
+      inBody.await()
+      // rival force-steals: ttl 0 treats ANY lease as stale and overwrites
+      val rival = new LockProvider.Lease(60)
+      assert(rival.tryAcquire(fs, lockPath, 0L), "rival failed to steal")
+      stolen.countDown()
+      victim.join()
+      assert(err.get().isInstanceOf[IllegalStateException] &&
+        err.get().getMessage.contains("lost mid-"),
+        s"expected a fence abort, got ${err.get()}")
+      // the victim's token-guarded release must NOT free the rival's lease
+      assert(rival.verify(fs, lockPath),
+        "victim's release deleted the rival's stolen lease")
+      rival.release(fs, lockPath)
+      // no destructive phase ran — ledger rows intact
+      assert(led.completedIndices(spark, "r").count() == 8)
+    }
+  }
+
+  test("release joins the renewer: no orphan lease after a renewing hold") {
+    withNaf(lease = true) {
+      val dir = "naf://" + Files.createTempDirectory("graft-naf-renew").toString
+      val led = new Ledger(dir)
+      val lockPath = new Path(s"$dir/_maintenance/compact.lock")
+      val fs = lockPath.getFileSystem(hconf)
+      // TTL small enough that the renewer fires (period = max(ttl/4, 250))
+      led.withMaintenanceLock(spark, "renewing-hold", lockTtlMs = 1000L) {
+        Thread.sleep(700) // at least one renew lands mid-hold
+      }
+      // release ran after interrupt+join: a renew past its token check
+      // cannot re-PUT the lease after the delete — no orphan refusing
+      // all maintenance until the TTL
+      assert(!fs.exists(lockPath), "orphan lease left after release")
+      // and the lock is immediately re-acquirable
+      led.withMaintenanceLock(spark, "reacquire", lockTtlMs = 1000L)(())
+      assert(!fs.exists(lockPath))
+    }
+  }
+
   test("maintenance lock serializes compactions on the adversarial store") {
     withNaf(lease = true) {
       val dir = "naf://" + Files.createTempDirectory("graft-naf-cmp").toString

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_streaming_dedup" -> (qStreamingDedup _),
     "q_streaming_incremental" -> (qStreamingIncremental _),
     "q_streaming_folding" -> (qStreamingFolding _),
+    "q_streaming_folding_verify" -> (qStreamingFoldingVerify _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_lsh_jaccard" -> (qLshJaccard _),
     "q_minhash_signatures" -> (qMinhashSignatures _),
@@ -3820,6 +3821,58 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Folding loop with the IN-LOOP VERIFY TIER and forced index
+    * compaction: same two-batch fixture as [[qStreamingFolding]], but
+    * near candidates are scored by MinHash signature-component agreement
+    * (the unbiased Jaccard estimate, ≥ 8/16 components at τ = 0.5 —
+    * integer on both engines) against the signature rows the index now
+    * carries; survivors install as `near_verified`, the rest are
+    * rejected. `maxIndexFiles = 4` forces the fold/compaction path to
+    * run under the oracle too (folding changes file layout, never rows).
+    */
+  private def qStreamingFoldingVerify(s: SparkSession, dir: String): DataFrame = {
+    val root = freshTmpDir("graft_stream_foldv", dir)
+    val docs = Tables.documents(s, dir)
+    val index = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 600001L).as("doc_id"), col("text")))
+    val b2 = docs.filter(col("doc_id") % 3 === 2).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") % 15 === 10)
+        .select((col("doc_id") + 700001L).as("doc_id"), col("text")))
+    val (inDir, idxDir, outDir, ckDir) =
+      (s"$root/in", s"$root/idx", s"$root/out", s"$root/ck")
+    graft.streaming.StreamingDedup.seedIndex(index, "doc_id", "text",
+      ShingleK, idxDir)
+    def run(): Unit = {
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .option("recursiveFileLookup", "true").parquet(inDir)
+      graft.streaming.StreamingDedup.foldingIncrementalDedup(stream,
+        "doc_id", "text", ShingleK, idxDir, outDir, ckDir,
+        maxIndexFiles = 4, verifyTau = 0.5)
+        .awaitTermination()
+    }
+    b1.coalesce(1).write.parquet(s"$inDir/f1")
+    run()
+    b2.coalesce(1).write.parquet(s"$inDir/f2")
+    run()
+    val verdicts = s.read.parquet(outDir).groupBy(col("id").as("doc_id")).agg(
+      min(when(col("tier") === "exact", col("old_id"))).as("_ex"),
+      min(when(col("tier") === "near_verified", col("old_id"))).as("_nv"),
+      countDistinct(when(col("tier") === "near_verified", col("old_id")))
+        .as("n_verified"))
+    b1.select("doc_id").withColumn("batch", lit(1))
+      .unionByName(b2.select("doc_id").withColumn("batch", lit(2)))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("batch"),
+        when(col("_ex").isNotNull, "exact")
+          .when(col("_nv").isNotNull, "near_verified")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("_ex"), col("_nv")).as("match_id"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher rule-set gate (minWords lowered to 20 for the short synthetic
     * docs so the verdict varies): every metric and the combined `passes`
     * recompute in SQL — exact integer-ratio fractions, unrounded
@@ -5974,6 +6027,22 @@ object SparkEntry {
        |h AS (SELECT doc_id, ${hash64Sql("sh")} % ${DedupOps.MinhashPrime} AS h FROM sh),
        |sig AS (SELECT doc_id, $SigCols FROM h GROUP BY 1)""".stripMargin
 
+  /** Signature column projections for the verify-tier folding oracle. */
+  private def sigColsOf(alias: String): String =
+    DedupOps.permA.indices.map(i => s"$alias.sig_$i").mkString(", ")
+  private val SigColList = sigColsOf("s")
+  private val SigColListBare =
+    DedupOps.permA.indices.map(i => s"sig_$i").mkString(", ")
+
+  /** Count of agreeing signature components between two sig-row aliases —
+    * the integer form of the MinHash Jaccard estimate (est ≥ τ ⇔ this sum
+    * ≥ τ·NumPerms; exact on both engines, no float threshold to chase).
+    */
+  private def sigAgreeSql(a: String, b: String): String =
+    DedupOps.permA.indices
+      .map(i => s"(CASE WHEN $a.sig_$i = $b.sig_$i THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
   /** Cycle CTE over the quantized-event `r` CTE (columns g, v, rn): `e`
     * holds exactly `n` positions per group, wrapping `rn` modulo the
     * group's row count — the SQL mirror of [[cyclePad]], an identity
@@ -6202,6 +6271,74 @@ object SparkEntry {
          |       ELSE 'novel' END AS verdict,
          |  coalesce(ex.m, nr.m) AS match_id,
          |  coalesce(nr.nc, CAST(0 AS BIGINT)) AS n_near_cands
+         |FROM arr LEFT JOIN ex ON ex.aid = arr.aid
+         |  LEFT JOIN nr ON nr.aid = arr.aid
+         |ORDER BY doc_id""".stripMargin,
+
+    // Verify-tier folding mirror: the near tier additionally requires ≥ 8
+    // of 16 signature components to agree between the arrival and the
+    // index doc (the MinHash Jaccard estimate at τ = 0.5 — integer
+    // arithmetic on both engines); folded novel arrivals contribute their
+    // source doc's signature, exactly what the index's sig rows carry.
+    "q_streaming_folding_verify" ->
+      s"""WITH $SigCte,
+         |band AS ($BandUnion),
+         |fp AS (SELECT doc_id, md5($NormSql) AS f FROM documents),
+         |arr AS (
+         |  SELECT doc_id AS aid, doc_id AS src, 1 AS batch FROM documents WHERE doc_id % 3 = 1
+         |  UNION ALL SELECT doc_id + 600001, doc_id, 1 FROM documents WHERE doc_id % 15 = 0
+         |  UNION ALL SELECT doc_id AS aid, doc_id AS src, 2 AS batch FROM documents WHERE doc_id % 3 = 2
+         |  UNION ALL SELECT doc_id + 700001, doc_id, 2 FROM documents WHERE doc_id % 15 = 10),
+         |afp AS (SELECT a.aid, a.batch, fp.f FROM arr a JOIN fp ON fp.doc_id = a.src),
+         |aband AS (SELECT a.aid, a.batch, band.band, band.bk
+         |  FROM arr a JOIN band ON band.doc_id = a.src),
+         |asig AS (SELECT a.aid, $SigColList FROM arr a JOIN sig s ON s.doc_id = a.src),
+         |idx0 AS (SELECT doc_id AS old_id, f FROM fp WHERE doc_id % 3 = 0),
+         |idxb0 AS (SELECT doc_id AS old_id, band, bk FROM band WHERE doc_id % 3 = 0),
+         |isig0 AS (SELECT doc_id AS old_id, $SigColListBare FROM sig WHERE doc_id % 3 = 0),
+         |ex1raw AS (
+         |  SELECT n.aid, i.old_id AS m FROM afp n JOIN idx0 i ON n.f = i.f WHERE n.batch = 1
+         |  UNION ALL
+         |  SELECT n.aid, w.win FROM afp n
+         |    JOIN (SELECT f, min(aid) AS win FROM afp WHERE batch = 1 GROUP BY 1) w
+         |    ON n.f = w.f WHERE n.batch = 1 AND n.aid > w.win),
+         |ex1 AS (SELECT aid, min(m) AS m FROM ex1raw GROUP BY 1),
+         |novel1 AS (SELECT aid FROM afp WHERE batch = 1
+         |  AND aid NOT IN (SELECT aid FROM ex1)),
+         |idx1 AS (SELECT old_id, f FROM idx0
+         |  UNION ALL SELECT n.aid, a.f FROM novel1 n JOIN afp a ON a.aid = n.aid),
+         |idxb1 AS (SELECT old_id, band, bk FROM idxb0
+         |  UNION ALL SELECT n.aid, ab.band, ab.bk FROM novel1 n JOIN aband ab ON ab.aid = n.aid),
+         |isig1 AS (SELECT old_id, $SigColListBare FROM isig0
+         |  UNION ALL SELECT n.aid, ${sigColsOf("a")} FROM novel1 n JOIN asig a ON a.aid = n.aid),
+         |ex2raw AS (
+         |  SELECT n.aid, i.old_id AS m FROM afp n JOIN idx1 i ON n.f = i.f WHERE n.batch = 2
+         |  UNION ALL
+         |  SELECT n.aid, w.win FROM afp n
+         |    JOIN (SELECT f, min(aid) AS win FROM afp WHERE batch = 2 GROUP BY 1) w
+         |    ON n.f = w.f WHERE n.batch = 2 AND n.aid > w.win),
+         |ex2 AS (SELECT aid, min(m) AS m FROM ex2raw GROUP BY 1),
+         |ex AS (SELECT * FROM ex1 UNION ALL SELECT * FROM ex2),
+         |nr AS (
+         |  SELECT n.aid, min(i.old_id) AS m, CAST(count(DISTINCT i.old_id) AS BIGINT) AS nc
+         |  FROM aband n JOIN idxb0 i ON n.band = i.band AND n.bk = i.bk
+         |    JOIN asig a ON a.aid = n.aid
+         |    JOIN isig0 s ON s.old_id = i.old_id
+         |  WHERE n.batch = 1 AND ${sigAgreeSql("a", "s")} >= ${DedupOps.NumPerms / 2}
+         |  GROUP BY 1
+         |  UNION ALL
+         |  SELECT n.aid, min(i.old_id), CAST(count(DISTINCT i.old_id) AS BIGINT)
+         |  FROM aband n JOIN idxb1 i ON n.band = i.band AND n.bk = i.bk
+         |    JOIN asig a ON a.aid = n.aid
+         |    JOIN isig1 s ON s.old_id = i.old_id
+         |  WHERE n.batch = 2 AND ${sigAgreeSql("a", "s")} >= ${DedupOps.NumPerms / 2}
+         |  GROUP BY 1)
+         |SELECT arr.aid AS doc_id, arr.batch AS batch,
+         |  CASE WHEN ex.m IS NOT NULL THEN 'exact'
+         |       WHEN nr.m IS NOT NULL THEN 'near_verified'
+         |       ELSE 'novel' END AS verdict,
+         |  coalesce(ex.m, nr.m) AS match_id,
+         |  coalesce(nr.nc, CAST(0 AS BIGINT)) AS n_verified
          |FROM arr LEFT JOIN ex ON ex.aid = arr.aid
          |  LEFT JOIN nr ON nr.aid = arr.aid
          |ORDER BY doc_id""".stripMargin,

@@ -143,6 +143,32 @@ object StreamingDedup {
     idxFp.unionByName(idxBands)
   }
 
+  /** Standing-index SIGNATURE rows: (old_id, key = null, tier = "sig",
+    * sig = the full MinHash signature array) — one row per doc that has
+    * one (≥ k tokens), the batch aggregation shape. These rows ride the
+    * same index table as the key rows (their null key never equi-matches
+    * a probe) and are what the in-loop VERIFY tier scores candidates
+    * against: the signature-component agreement fraction is the standard
+    * unbiased MinHash estimate of Jaccard, O(NumPerms) per candidate,
+    * self-contained in the index artifact (no corpus re-read). 128 bytes
+    * per doc at NumPerms = 16.
+    */
+  private def indexSigRows(index: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val sigArr = array(
+      (0 until DedupOps.NumPerms).map(i => col(s"sig_$i")): _*)
+    DedupOps.minhashSignatures(
+      DedupOps.shingleSet(index, idCol, textCol, k), idCol)
+      .select(col(idCol).cast("long").as("old_id"),
+        lit(null).cast("string").as("key"), lit("sig").as("tier"),
+        sigArr.as("sig"))
+  }
+
+  /** Key rows padded to the 4-column index schema (null sig). */
+  private def withNullSig(keys: DataFrame): DataFrame =
+    keys.select(col(keys.columns.head), col("key"), col("tier"),
+      lit(null).cast("array<long>").as("sig"))
+
   /** Arrival key rows: (id, key, tier) — same key space as [[indexKeys]],
     * but signatures via the single-pass typed map per row (the streaming
     * shape — no aggregation; see [[nearDupCandidates]]).
@@ -167,6 +193,40 @@ object StreamingDedup {
             element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*))
       }: _*)).as("key"), lit("near").as("tier"))
     fpRows.unionByName(sigRows)
+  }
+
+  /** Arrival rows in the 4-column index schema — the folding loop's batch
+    * face: exact fingerprint rows (column md5, one narrow scan), near
+    * band-key rows and one signature row per doc (both derived from the
+    * same single-pass typed-map signature frame, the streaming shape).
+    * The signature row is what the verify tier scores and what folds into
+    * the index so FUTURE batches can verify against this doc.
+    */
+  private def arrivalRows(incoming: DataFrame, idCol: String,
+                          textCol: String, k: Int): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val nBands = DedupOps.NumPerms / DedupOps.BandRows
+    val fpRows = incoming.select(col(idCol).cast("long").as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("key"),
+      lit("exact").as("tier"), lit(null).cast("array<long>").as("sig"))
+    val sigBase = incoming
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, DedupOps.minhashSigRow(text, k)) }
+      .toDF("id", "_sig")
+      .filter(size(col("_sig")) > 0)
+    val nearRows = sigBase
+      .select(col("id"), explode(array((0 until nBands).map { b =>
+        concat_ws("|", lit(b),
+          concat_ws("_", (0 until DedupOps.BandRows).map(r =>
+            element_at(col("_sig"), b * DedupOps.BandRows + r + 1)): _*))
+      }: _*)).as("key"), lit("near").as("tier"),
+        lit(null).cast("array<long>").as("sig"))
+    val sigRows = sigBase.select(col("id"),
+      lit(null).cast("string").as("key"), lit("sig").as("tier"),
+      col("_sig").as("sig"))
+    fpRows.unionByName(nearRows).unionByName(sigRows)
   }
 
   // ------------------------- folding ingestion (standing-index refresh)
@@ -198,37 +258,59 @@ object StreamingDedup {
     */
   def foldingIncrementalDedup(incoming: DataFrame, idCol: String,
                               textCol: String, k: Int, indexDir: String,
-                              matchesDir: String, checkpointDir: String)
+                              matchesDir: String, checkpointDir: String,
+                              maxIndexFiles: Int = 64,
+                              verifyTau: Double = 0.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     incoming.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIncrementalBatch(batch, batchId, idCol, textCol, k,
-          indexDir, matchesDir)
+          indexDir, matchesDir, maxIndexFiles, verifyTau)
       }
       .start()
 
   /** Seed the standing index directory with EVERY key of `index` (the
     * initial corpus — no dedup applied; installed under the `seed_`
-    * prefix so batch replay hygiene never touches it).
+    * prefix so batch replay hygiene never touches it), plus one
+    * signature row per doc for the verify tier.
     */
   def seedIndex(index: DataFrame, idCol: String, textCol: String, k: Int,
                 indexDir: String): Unit =
-    install(indexKeys(index, idCol, textCol, k), indexDir, "seed_")
+    install(withNullSig(indexKeys(index, idCol, textCol, k))
+      .unionByName(indexSigRows(index, idCol, textCol, k)),
+      indexDir, "seed_")
 
   /** One batch of the folding loop — public so a batch backfill can run
     * the identical transition without a streaming query. Idempotent per
-    * (batch, batchId): replays wipe their own installs first.
+    * (batch, batchId): replays wipe their own installs first, and the
+    * index fold ([[maintainIndexDir]]) runs between the wipe and the
+    * read, folding only batches STRICTLY BELOW this one (committed by
+    * the foreachBatch contract) so replay hygiene stays intact.
+    *
+    * `verifyTau` > 0 turns on the in-loop VERIFY tier: near candidates
+    * whose arrival/index signature-component agreement (the unbiased
+    * MinHash Jaccard estimate) reaches the threshold install as tier
+    * `near_verified`; candidates below it are REJECTED (a band collision
+    * with low estimated Jaccard); candidates where either side lacks a
+    * signature stay tier `near` (candidate grade). Exact-Jaccard
+    * re-verification over the original corpus remains the batch
+    * discipline downstream (`DedupOps.jaccardPairs`); this tier is the
+    * index-self-contained filter that runs at ingestion cadence, O(16)
+    * per candidate.
     */
   def applyIncrementalBatch(batch: DataFrame, batchId: Long, idCol: String,
                             textCol: String, k: Int, indexDir: String,
-                            matchesDir: String): Unit = {
+                            matchesDir: String, maxIndexFiles: Int = 64,
+                            verifyTau: Double = 0.0): Unit = {
     val spark = batch.sparkSession
     Seq(indexDir, matchesDir).foreach(removeBatchFiles(spark, _, batchId))
+    maintainIndexDir(spark, indexDir, batchId, maxIndexFiles)
     val index = readIndexDir(spark, indexDir)
-    val keys = arrivalKeys(batch, idCol, textCol, k)
+    val arr = arrivalRows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = arr.filter(col("tier") =!= "sig").select("id", "key", "tier")
     try {
       val idxMatches = keys.join(index, Seq("tier", "key"))
         .select(col("id"), col("old_id"), col("tier"))
@@ -237,29 +319,204 @@ object StreamingDedup {
         .join(fp.groupBy("key").agg(min("id").as("old_id")), "key")
         .filter(col("id") > col("old_id"))
         .select(col("id"), col("old_id"), lit("exact").as("tier"))
-      val matches = idxMatches.unionByName(withinMatches)
+      val matches0 = idxMatches.unionByName(withinMatches)
+      val matches =
+        if (verifyTau <= 0.0) matches0
+        else {
+          val asig = arr.filter(col("tier") === "sig")
+            .select(col("id"), col("sig").as("_as"))
+          val isig = index.filter(col("tier") === "sig")
+            .select(col("old_id"), col("sig").as("_is"))
+          val est = aggregate(
+            zip_with(col("_as"), col("_is"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v)
+            .cast("double") / lit(DedupOps.NumPerms.toDouble)
+          matches0.filter(col("tier") =!= "near").unionByName(
+            matches0.filter(col("tier") === "near")
+              .join(asig, Seq("id"), "left")
+              .join(isig, Seq("old_id"), "left")
+              .withColumn("_est",
+                when(col("_as").isNotNull && col("_is").isNotNull, est))
+              .filter(col("_est").isNull || col("_est") >= verifyTau)
+              .withColumn("tier", when(col("_est").isNotNull,
+                lit("near_verified")).otherwise(col("tier")))
+              .select("id", "old_id", "tier"))
+        }
       install(matches, matchesDir, s"b${batchId}_")
       val dupIds = matches.filter(col("tier") === "exact")
         .select("id").distinct()
-      val novelKeys = keys.join(dupIds, Seq("id"), "left_anti")
-        .select(col("id").as("old_id"), col("key"), col("tier"))
-      install(novelKeys, indexDir, s"b${batchId}_")
-    } finally { keys.unpersist(); () }
+      val novelRows = arr.join(dupIds, Seq("id"), "left_anti")
+        .select(col("id").as("old_id"), col("key"), col("tier"), col("sig"))
+      install(novelRows, indexDir, s"b${batchId}_")
+    } finally { arr.unpersist(); () }
   }
 
-  /** Index-directory snapshot — schema-typed empty frame on cold start
+  /** Index-directory snapshot over the COMMITTED read set (see
+    * [[committedIndexFiles]]) — schema-typed empty frame on cold start
     * (an empty standing index classifies every arrival novel).
     */
   private def readIndexDir(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet")
+    val files = committedIndexFiles(fs, p)._1
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema)
+    else spark.read.schema(IndexSchema).parquet(files.map(_.toString): _*)
+  }
+
+  /** The index table's versioned schema contract (requested explicitly on
+    * every read — O(1) in file count, the ledger's static-schema
+    * discipline; `sig` reads as null from files that predate it).
+    */
+  private val IndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("old_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("key",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tier",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  // -------------------------- standing-index maintenance (fold/compact)
+
+  private val FoldRe =
+    java.util.regex.Pattern.compile("fold(\\d+)_([0-9a-f]{8})_p(\\d+)of(\\d+)\\.parquet")
+  private val BatchFileRe = java.util.regex.Pattern.compile("b(\\d+)_.*\\.parquet")
+
+  /** The COMMITTED read set of an index directory, plus the fold
+    * generation it reflects (−1 when no complete fold exists).
+    *
+    * File kinds: `seed_*` (initial corpus), `b<id>_*` (batch installs),
+    * `fold<gen>_<attempt>_p<i>of<n>` (compacted generations — gen is the
+    * batch id whose maintenance pass folded everything before it). A fold
+    * attempt is COMPLETE iff all n parts are present — multi-file
+    * installs aren't atomic, so completeness is encoded in the NAMES and
+    * a crash mid-install leaves an invisible partial attempt while the
+    * sources stay live (they are deleted only after the last rename).
+    * Readers take: the max complete generation's parts (max attempt id
+    * breaks the tie between two identical completed attempts of one
+    * replayed generation), plus `b<i>_` files with i ≥ gen (gen's own
+    * batch installs AFTER its fold), plus seed files only when no fold
+    * exists. Everything else — older folds, folded batches, seed under a
+    * fold, partial attempts — is superseded: present on disk until the
+    * next fold janitors it, but never read, so a crash between a fold's
+    * install and its source deletes can DUPLICATE files, never rows in
+    * any read.
+    */
+  private[graft] def committedIndexFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                         p: org.apache.hadoop.fs.Path)
+      : (Seq[org.apache.hadoop.fs.Path], Long) = {
+    if (!fs.exists(p)) return (Nil, -1L)
+    val files = fs.listStatus(p).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).toSeq
+    val folds = files.flatMap { f =>
+      val m = FoldRe.matcher(f.getName)
+      if (m.matches())
+        Some((m.group(1).toLong, m.group(2), m.group(3).toInt,
+          m.group(4).toInt, f))
+      else None
     }
-    if (!hasData) Seq.empty[(Long, String, String)]
-      .toDF("old_id", "key", "tier")
-    else spark.read.parquet(dir)
+    val complete = folds.groupBy(x => (x._1, x._2)).filter {
+      case (_, parts) =>
+        val n = parts.head._4
+        parts.forall(_._4 == n) && parts.map(_._3).distinct.size == n
+    }
+    def batchId(f: org.apache.hadoop.fs.Path): Option[Long] = {
+      val m = BatchFileRe.matcher(f.getName)
+      if (m.matches()) Some(m.group(1).toLong) else None
+    }
+    if (complete.isEmpty)
+      (files.filter(f => f.getName.startsWith("seed_") ||
+        batchId(f).isDefined), -1L)
+    else {
+      val (gen, attempt) = complete.keys.max
+      val chosen = complete((gen, attempt)).map(_._5)
+      (chosen ++ files.filter(f => batchId(f).exists(_ >= gen)), gen)
+    }
+  }
+
+  /** Fold the standing index when its committed read set exceeds
+    * `maxFiles` — the ingestion loop's compaction (without it the index
+    * accretes one file per batch forever: O(batches) files listed and
+    * re-planned EVERY batch, the one-file-per-commit wall the ledger's
+    * compact() kills for commit tables). Runs inside the batch
+    * transition, after the replay wipe and before the index read:
+    *
+    *  - folds ONLY committed state — seed, complete folds, and `b<i>_`
+    *    files with i < currentBatchId (foreachBatch guarantees batches
+    *    below the current id are committed; the current batch's own
+    *    files were just wiped) — so replay hygiene is untouched;
+    *  - installs the merged rows as ONE new generation
+    *    `fold<currentBatchId>_<attempt>_p<i>of<n>` (completeness in the
+    *    names — see [[committedIndexFiles]]), then deletes every other
+    *    index file (all now superseded, including crash leftovers);
+    *  - takes a [[graft.core.LockProvider]] lock at
+    *    `<dir>/_maintenance/fold.lock` and REFUSES (skips, retried next
+    *    batch) when a rival maintainer holds it — the streaming query is
+    *    the only writer by contract, but a manual backfill or external
+    *    maintenance call must not interleave destructively;
+    *  - skips when this generation already folded (a replayed batch
+    *    after a crash-between-fold-and-install: the complete fold<B>
+    *    attempt IS the committed pre-batch state).
+    *
+    * Steady state is one LIST per batch (the threshold check) — lock-free
+    * and job-free below threshold, the maintainIfNeeded discipline.
+    * Returns true iff a fold ran.
+    */
+  def maintainIndexDir(spark: SparkSession, indexDir: String,
+                       currentBatchId: Long, maxFiles: Int = 64,
+                       lockTtlMs: Long = 10L * 60 * 1000): Boolean = {
+    if (maxFiles <= 0) return false
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val (probe, probeGen) = committedIndexFiles(fs, p)
+    if (probe.size <= maxFiles || probeGen == currentBatchId) return false
+    val lock = new org.apache.hadoop.fs.Path(
+      s"$indexDir/_maintenance/fold.lock")
+    val lfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lfs.mkdirs(lock.getParent)
+    val lp = graft.core.LockProvider.forFs(lfs)
+    if (!lp.tryAcquire(lfs, lock, lockTtlMs)) return false // rival folding
+    try {
+      val (snap, gen) = committedIndexFiles(fs, p) // re-list under the lock
+      if (snap.size <= maxFiles || gen == currentBatchId) return false
+      // janitor crashed-fold staging first (single writer + lock held:
+      // nothing in _staging can be live)
+      val staging = new org.apache.hadoop.fs.Path(s"$indexDir/_staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val attempt = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$indexDir/_staging/fold_$attempt")
+      spark.read.schema(IndexSchema)
+        .parquet(snap.map(_.toString): _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = fs.listStatus(tmp).iterator
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      val n = parts.size
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(fs.rename(f, new org.apache.hadoop.fs.Path(p,
+          s"fold${currentBatchId}_${attempt}_p${i + 1}of$n.parquet")),
+          s"fold install into $indexDir failed")
+      }
+      fs.delete(tmp, true)
+      // every pre-fold file is now superseded (sources folded; older
+      // generations, folded batches, seed, and partial attempts covered)
+      fs.listStatus(p).iterator
+        .filter { s =>
+          val name = s.getPath.getName
+          s.isFile && name.endsWith(".parquet") &&
+            !name.startsWith(s"fold${currentBatchId}_${attempt}_")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+      true
+    } finally lp.release(lfs, lock)
   }
 
   /** Stage-then-rename install (the ledger commit discipline): write to a

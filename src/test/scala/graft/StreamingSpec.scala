@@ -231,6 +231,125 @@ class StreamingSpec extends SparkSpec {
     assert(matches() == Set((1L, 10L), (3L, 2L), (4L, 2L)))
   }
 
+  test("folding index compaction: file count bounded, classification identical, crash-mid-fold safe") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    def docs(i: Long) = Seq(
+      (100 * i + 1, s"novel document number $i about topic ${i % 7} in depth"),
+      (100 * i + 2, "the quick brown fox jumps over the lazy dog")) // seed dup
+      .toDF("doc_id", "text")
+    def runLoop(root: String, maxFiles: Int, n: Int): Unit = {
+      StreamingDedup.seedIndex(
+        Seq((10L, "the quick brown fox jumps over the lazy dog"))
+          .toDF("doc_id", "text"), "doc_id", "text", 3, s"$root/idx")
+      (0 until n).foreach(i => StreamingDedup.applyIncrementalBatch(
+        docs(i.toLong), i.toLong, "doc_id", "text", 3,
+        s"$root/idx", s"$root/out", maxIndexFiles = maxFiles))
+    }
+    def idxFiles(root: String) = new java.io.File(s"$root/idx").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    def verdicts(root: String) = s.read.parquet(s"$root/out")
+      .select("id", "old_id", "tier").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val n = 24
+    val folded = java.nio.file.Files.createTempDirectory("graft-foldc").toString
+    val unfolded = java.nio.file.Files.createTempDirectory("graft-foldu").toString
+    runLoop(folded, maxFiles = 6, n = n)
+    runLoop(unfolded, maxFiles = 0, n = n) // compaction off
+    // classification identical with and without folding
+    assert(verdicts(folded) == verdicts(unfolded))
+    assert(verdicts(folded).contains((2L, 10L, "exact"))) // seed dup in b0
+    // file count bounded (≤ threshold + one batch install + fold parts),
+    // not O(batches); the unfolded dir shows the wall being killed
+    assert(idxFiles(folded).size <= 10,
+      s"folded index grew to ${idxFiles(folded).size} files")
+    assert(idxFiles(unfolded).size > n, "unfolded baseline did not grow")
+    // crash-after-install-before-delete: restore superseded files next to
+    // the live fold (the exact mid-fold kill state) — reads must not
+    // double-count, and the next maintenance janitors them
+    val idxPath = new org.apache.hadoop.fs.Path(s"$folded/idx")
+    val fs = idxPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val preCrash = verdicts(folded)
+    // fabricate the leftover state: copy a live fold part back under a
+    // STALE batch prefix (a source file the fold's delete never reached)
+    val aLive = idxFiles(folded).find(_.startsWith("fold")).get
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$folded/idx/$aLive"),
+      java.nio.file.Paths.get(s"$folded/idx/b0_leftover.parquet"))
+    // the reader's committed set must exclude the superseded leftover
+    assert(!StreamingDedup.committedIndexFiles(fs, idxPath)._1
+      .map(_.getName).contains("b0_leftover.parquet"))
+    // replaying the NEXT batch reads only the committed set: verdicts for
+    // a fresh arrival of a known doc are unchanged (no doubled matches)
+    StreamingDedup.applyIncrementalBatch(
+      Seq((9001L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), n.toLong, "doc_id", "text", 3,
+      s"$folded/idx", s"$folded/out", maxIndexFiles = 6)
+    val post = s.read.parquet(s"$folded/out")
+      .filter(col("id") === 9001L && col("tier") === "exact").count()
+    assert(post == 1L, s"mid-fold leftover double-counted: $post exact rows")
+    assert(verdicts(folded) -- preCrash ==
+      Set((9001L, 10L, "exact"), (9001L, 10L, "near")))
+  }
+
+  test("folding verify tier: low-estimate band collision rejected, high verified") {
+    import graft.streaming.StreamingDedup
+    import graft.operators.DedupOps
+    val s = spark
+    import s.implicits._
+    // search a deterministic fixture: an indexed text and an arrival that
+    // COLLIDE on at least one full MinHash band yet agree on fewer than
+    // half the signature components (est < 0.5) — the pair the band tier
+    // admits and the verify tier must reject
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val baseSig = DedupOps.minhashSigRow(base, 3)
+    def bandsOf(sig: Array[Long]): Set[Int] =
+      (0 until DedupOps.NumPerms / DedupOps.BandRows).filter { b =>
+        (0 until DedupOps.BandRows).forall(r =>
+          sig(b * DedupOps.BandRows + r) == baseSig(b * DedupOps.BandRows + r))
+      }.toSet
+    def agree(sig: Array[Long]): Int =
+      sig.indices.count(i => sig(i) == baseSig(i))
+    // candidates must share ALL base shingles (base + junk suffix): a
+    // signature position can only ever agree when the base's own argmin
+    // shingle is shared, so a partially-shared prefix deterministically
+    // blocks whole bands regardless of the suffix
+    val lowCand = (0 until 20000).iterator.map { i =>
+      base + (1 to 12).map(j => s" junk${i}x$j").mkString
+    }.find { t =>
+      val sg = DedupOps.minhashSigRow(t, 3)
+      bandsOf(sg).nonEmpty && agree(sg) < DedupOps.NumPerms / 2
+    }
+    assert(lowCand.isDefined, "no band-collision-low-agreement fixture found")
+    val highCand = base + " iota" // near-identical: most components agree
+    assert(agree(DedupOps.minhashSigRow(highCand, 3)) >= DedupOps.NumPerms / 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-foldv").toString
+    StreamingDedup.seedIndex(Seq((10L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$root/idx")
+    StreamingDedup.applyIncrementalBatch(
+      Seq((1L, lowCand.get), (2L, highCand)).toDF("doc_id", "text"),
+      0L, "doc_id", "text", 3, s"$root/idx", s"$root/out",
+      verifyTau = 0.5)
+    val out = s.read.parquet(s"$root/out")
+      .select("id", "old_id", "tier").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((2L, 10L, "near_verified")),
+      s"verify tier emitted $out")
+    // control: with verify OFF the low-estimate collision passes as a
+    // candidate — the tier is exactly what separates them
+    val root2 = java.nio.file.Files.createTempDirectory("graft-foldv0").toString
+    StreamingDedup.seedIndex(Seq((10L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$root2/idx")
+    StreamingDedup.applyIncrementalBatch(
+      Seq((1L, lowCand.get), (2L, highCand)).toDF("doc_id", "text"),
+      0L, "doc_id", "text", 3, s"$root2/idx", s"$root2/out")
+    val out2 = s.read.parquet(s"$root2/out")
+      .select("id", "tier").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out2 == Set((1L, "near"), (2L, "near")))
+  }
+
   test("streaming state equals the batch Welford aggregator") {
     val s = spark
     import s.implicits._

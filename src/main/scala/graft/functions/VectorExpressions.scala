@@ -397,6 +397,202 @@ case class FloatDotTable(child: Expression, centroids: IndexedSeq[Float],
     copy(child = newChild)
 }
 
+/** Codegen'd TWO-LEVEL coarse assignment — the IVF build kernel at
+  * production nlist: a flat argmax over nlist centroids is O(nlist·dim)
+  * dots per vector (measured 49.5 s for 2M vectors at nlist=1414 — the
+  * whole index-build bill at corpus scale). Here the centroids are
+  * pre-clustered into ~√nlist supergroups (driver-side, they are k·dim
+  * floats); per vector this computes the nSuper supergroup dots, selects
+  * the `sProbe` best, and scans ONLY their member centroids —
+  * O((√nlist + sProbe·nlist/√nlist)·dim), ~an order fewer dots — with
+  * exactness recoverable by raising sProbe (sProbe = nSuper reproduces
+  * the flat argmax bit-for-bit). Members live in a CSR layout riding as
+  * reference objects; ties break to the LOWEST original centroid id,
+  * matching the flat path's first-occurrence-of-max rule.
+  */
+case class TwoLevelArgMax(child: Expression,
+                          superCents: IndexedSeq[Float], nSuper: Int,
+                          dim: Int,
+                          memberCents: IndexedSeq[Float],
+                          memberCids: IndexedSeq[Int],
+                          groupStart: IndexedSeq[Int],
+                          sProbe: Int) extends UnaryExpression {
+  require(superCents.length == nSuper * dim, "bad supercentroid matrix")
+  require(groupStart.length == nSuper + 1 &&
+    memberCents.length == memberCids.length * dim, "bad CSR member layout")
+  require(sProbe >= 1 && sProbe <= nSuper, s"sProbe $sProbe out of 1..$nSuper")
+
+  @transient private lazy val scArr: Array[Float] = superCents.toArray
+  @transient private lazy val mcArr: Array[Float] = memberCents.toArray
+  @transient private lazy val idArr: Array[Int] = memberCids.toArray
+  @transient private lazy val gsArr: Array[Int] = groupStart.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "two_level_argmax"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = math.min(a.numElements(), dim)
+    val x = new Array[Double](m)
+    var i = 0
+    while (i < m) { x(i) = a.getFloat(i).toDouble; i += 1 }
+    val s = new Array[Double](nSuper)
+    var g = 0
+    while (g < nSuper) {
+      var d = 0.0
+      val base = g * dim
+      i = 0
+      while (i < m) { d += x(i) * scArr(base + i); i += 1 }
+      s(g) = d
+      g += 1
+    }
+    val taken = new Array[Boolean](nSuper)
+    var best = Double.NegativeInfinity
+    var bestCid = Int.MaxValue
+    var p = 0
+    while (p < sProbe) {
+      var bg = -1
+      var bs = Double.NegativeInfinity
+      g = 0
+      while (g < nSuper) {
+        if (!taken(g) && s(g) > bs) { bs = s(g); bg = g }
+        g += 1
+      }
+      taken(bg) = true
+      var mi = gsArr(bg)
+      while (mi < gsArr(bg + 1)) {
+        var d = 0.0
+        val base = mi * dim
+        i = 0
+        while (i < m) { d += x(i) * mcArr(base + i); i += 1 }
+        if (d > best || (d == best && idArr(mi) < bestCid)) {
+          best = d; bestCid = idArr(mi)
+        }
+        mi += 1
+      }
+      p += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("sc", scArr, "float[]")
+    val mc = ctx.addReferenceObj("mc", mcArr, "float[]")
+    val ids = ctx.addReferenceObj("ids", idArr, "int[]")
+    val gs = ctx.addReferenceObj("gs", gsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val g = ctx.freshName("g")
+      val p = ctx.freshName("p")
+      val mi = ctx.freshName("mi")
+      val m = ctx.freshName("m")
+      val x = ctx.freshName("x")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val taken = ctx.freshName("taken")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val bg = ctx.freshName("bg")
+      val bs = ctx.freshName("bs")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $x = new double[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $x[$i] = (double) $a.getFloat($i);
+         |}
+         |double[] $s = new double[$nSuper];
+         |for (int $g = 0; $g < $nSuper; $g++) {
+         |  double $d = 0.0;
+         |  int $base = $g * $dim;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $d += $x[$i] * $sc[$base + $i];
+         |  }
+         |  $s[$g] = $d;
+         |}
+         |boolean[] $taken = new boolean[$nSuper];
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $bestCid = java.lang.Integer.MAX_VALUE;
+         |for (int $p = 0; $p < $sProbe; $p++) {
+         |  int $bg = -1;
+         |  double $bs = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $g = 0; $g < $nSuper; $g++) {
+         |    if (!$taken[$g] && $s[$g] > $bs) { $bs = $s[$g]; $bg = $g; }
+         |  }
+         |  $taken[$bg] = true;
+         |  for (int $mi = $gs[$bg]; $mi < $gs[$bg + 1]; $mi++) {
+         |    double $d = 0.0;
+         |    int $base = $mi * $dim;
+         |    for (int $i = 0; $i < $m; $i++) {
+         |      $d += $x[$i] * $mc[$base + $i];
+         |    }
+         |    if ($d > $best || ($d == $best && $ids[$mi] < $bestCid)) {
+         |      $best = $d; $bestCid = $ids[$mi];
+         |    }
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd scaled int8 dot for RESIDUAL scalar quantization: over a
+  * float query vector and a BINARY column of signed-byte residual codes,
+  * Σ q_d · (codes_d + 128) · scale_d — the dequantized-residual part of
+  * 〈q, x̂〉 = 〈q, centroid〉 + 〈q, mn〉 + Σ q_d·(code_d+128)·scale_d, so a
+  * residual-SQ8 ranking never materializes the reconstructed vector
+  * (the FAISS IVF-SQ residual search shape: coarse term via the
+  * centroid dot table, per-dim offsets as literal vectors, and this
+  * kernel for the code-dependent term). Per-dim scales ride as a
+  * reference object; length mismatch folds over the common prefix.
+  */
+case class ByteScaledDot(left: Expression, right: Expression,
+                         scale: IndexedSeq[Double]) extends BinaryExpression {
+
+  @transient private lazy val scArr: Array[Double] = scale.toArray
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_scaled_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[Array[Byte]]
+    val n = math.min(math.min(q.numElements(), codes.length), scArr.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += q.getFloat(i).toDouble * ((codes(i) + 128) * scArr(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("sc", scArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.length), $sc.length);
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} +=
+         |    (double) $a.getFloat($i) * (($b[$i] + 128) * $sc[$i]);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product over two `Array[Float]` columns. */
   def dotF(a: Column, b: Column): Column =
@@ -421,6 +617,29 @@ object VectorExpressions {
   /** Codegen'd signed-int8 dot over two BINARY code columns. */
   def dotB(a: Column, b: Column): Column =
     Bridge.column(ByteVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd Σ q_d·(code_d+128)·scale_d over (float query, byte codes). */
+  def scaledDotB(q: Column, codes: Column, scale: Array[Double]): Column =
+    Bridge.column(ByteScaledDot(Bridge.expression(q),
+      Bridge.expression(codes), scale.toIndexedSeq))
+
+  /** Codegen'd two-level coarse assignment (see [[TwoLevelArgMax]]).
+    * `groups(g)` lists the original centroid ids in supergroup g;
+    * `superCents(g)` is that group's centroid-of-centroids.
+    */
+  def twoLevelArgMax(v: Column, centroids: Seq[Array[Float]],
+                     superCents: Seq[Array[Float]],
+                     groups: Seq[Seq[Int]], sProbe: Int): Column = {
+    require(superCents.nonEmpty && groups.length == superCents.length)
+    val dim = superCents.head.length
+    val memberCids = groups.flatten
+    val memberCents = memberCids.flatMap(centroids(_).toSeq)
+    val groupStart = groups.scanLeft(0)(_ + _.length)
+    Bridge.column(TwoLevelArgMax(Bridge.expression(v),
+      superCents.flatten.toIndexedSeq, superCents.length, dim,
+      memberCents.toIndexedSeq, memberCids.toIndexedSeq,
+      groupStart.toIndexedSeq, sProbe))
+  }
 
   /** Codegen'd Hamming distance over two BINARY packed-bit columns. */
   def hammingB(a: Column, b: Column): Column =

@@ -408,6 +408,87 @@ object SimilarityOps {
       l2Norm(col(vecCol)).as("nb"),
       assignColumn(col(vecCol), centroids).as("cid"))
 
+  /** Cluster the COARSE CENTROIDS into ~√nlist supergroups, driver-side —
+    * they are nlist·dim floats, the broadcast constant, so a plain Lloyd
+    * loop here costs microseconds-to-milliseconds and nothing
+    * distributed. Deterministic: init takes evenly spaced centroids,
+    * assignment maximizes dot (the coarse quantizer's own metric, ties →
+    * lowest group), means recompute in index order, fixed rounds. Empty
+    * groups keep their previous center (they then attract nothing and
+    * scan nothing). Returns (supercentroids, members per group in
+    * ascending cid order — the CSR layout [[graft.functions.VectorExpressions.twoLevelArgMax]] wants).
+    */
+  def superCluster(centroids: Seq[Array[Float]], nSuper: Int,
+                   iters: Int = 10): (Seq[Array[Float]], Seq[Seq[Int]]) = {
+    require(nSuper >= 1 && nSuper <= centroids.length,
+      s"nSuper $nSuper out of 1..${centroids.length}")
+    val n = centroids.length
+    val dim = centroids.head.length
+    var sup: Array[Array[Float]] =
+      Array.tabulate(nSuper)(g => centroids((g.toLong * n / nSuper).toInt).clone())
+    var assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < n) {
+        var bg = 0
+        var bd = Double.NegativeInfinity
+        var g = 0
+        while (g < nSuper) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { d += centroids(c)(i).toDouble * sup(g)(i).toDouble; i += 1 }
+          if (d > bd) { bd = d; bg = g }
+          g += 1
+        }
+        assign(c) = bg
+        c += 1
+      }
+      val sums = Array.fill(nSuper)(new Array[Double](dim))
+      val counts = new Array[Int](nSuper)
+      c = 0
+      while (c < n) {
+        val g = assign(c)
+        counts(g) += 1
+        var i = 0
+        while (i < dim) { sums(g)(i) += centroids(c)(i).toDouble; i += 1 }
+        c += 1
+      }
+      sup = Array.tabulate(nSuper) { g =>
+        if (counts(g) == 0) sup(g)
+        else Array.tabulate(dim)(i => (sums(g)(i) / counts(g)).toFloat)
+      }
+      it += 1
+    }
+    val groups = (0 until nSuper).map(g =>
+      (0 until n).filter(assign(_) == g))
+    (sup.toSeq, groups)
+  }
+
+  /** The IVF index built with TWO-LEVEL coarse assignment — the flat
+    * [[ivfLists]] pass is O(n·nlist·dim) and is the whole index-build
+    * bill at production nlist (49.5 s at 2M×1414 in the r14 table); this
+    * scans √nlist supergroups then only the `sProbe` best groups'
+    * members, ~an order fewer dots per vector. Assignment is exact
+    * whenever the true centroid's supergroup lands in the sProbe probed
+    * ones (sProbe = nSuper reproduces the flat argmax bit-for-bit); a
+    * vector assigned to a near-best list instead is the standard
+    * approximate-build trade — recall impact is measured, not assumed
+    * (AnnCurve ivf_scale arm).
+    */
+  def ivfListsTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[Array[Float]],
+                       sProbe: Int = 3, nSuperHint: Int = 0): DataFrame = {
+    val nSuper = if (nSuperHint > 0) nSuperHint
+      else math.max(1, math.round(math.sqrt(centroids.length.toDouble)).toInt)
+    val (sup, groups) = superCluster(centroids, nSuper)
+    df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"),
+      graft.functions.VectorExpressions.twoLevelArgMax(
+        col(vecCol), centroids, sup, groups,
+        math.min(sProbe, nSuper)).as("cid"))
+  }
+
   /** Probe-bounded search over a prebuilt [[ivfLists]] index. */
   def ivfTopKOverLists(lists: DataFrame, df: DataFrame, idCol: String,
                        vecCol: String, k: Int, maxQueryId: Long,
@@ -735,6 +816,172 @@ object SimilarityOps {
     graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "_dot", k)
       .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
         col("_dot").cast("long").as("qdot"))
+  }
+
+  // ------------------------------------------- residual encoding (FAISS)
+  // Quantize x − centroid(x) instead of raw x: on clustered data (every
+  // real embedding corpus) the full-width raw quantizer spends its 256
+  // levels spanning the WHOLE corpus range while the distances that
+  // decide rankings are within-cluster gaps — the r14 clustered fixture
+  // measured SQ8 recall@10 collapsing 0.725 → 0.425 for exactly this
+  // reason. Residuals shrink the quantized dynamic range to those gaps,
+  // at identical bytes/vector (the list id was already stored by IVF).
+
+  /** x − centroid(x) per row, with its coarse assignment: (id, vec, cid,
+    * resid). The residual is the float difference in the vector's own
+    * width; the centroid table rides as one literal.
+    */
+  def residualFrame(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Array[Float]]): DataFrame = {
+    val cents = typedLit(centroids.map(_.toSeq))
+    df.select(col(idCol).cast("long").as(idCol), col(vecCol),
+      assignColumn(col(vecCol), centroids).as("cid"))
+      .withColumn("resid",
+        zip_with(col(vecCol), element_at(cents, col("cid") + 1),
+          (x, c) => (x - c).cast("float")))
+  }
+
+  /** Residual SQ8 index: per-dim [min, max] ranges train on the RESIDUALS
+    * (their dynamic range is the within-cluster gap — the point), codes
+    * pack to one signed-byte BINARY column exactly like [[int8Codes]].
+    * Returns (codes table (id, cid, codes), per-dim mins, per-dim scales)
+    * — the two double vectors are the dequantization constants a searcher
+    * bakes into its plan as literals.
+    */
+  def int8ResidualIndex(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Array[Float]])
+      : (DataFrame, Array[Double], Array[Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val xs = residualFrame(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("cid"), l2Norm(col(vecCol)).as("nb"),
+        posexplode(col("resid")).as(Seq("pos", "xf")))
+      .select(col("id"), col("cid"), col("nb"), col("pos"),
+        col("xf").cast("double").as("x"))
+    val rangeRows = xs.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx")).collect()
+    val dim = if (rangeRows.isEmpty) 0 else rangeRows.map(_.getInt(0)).max + 1
+    val mn = new Array[Double](dim)
+    val scale = new Array[Double](dim)
+    rangeRows.foreach { r =>
+      val p = r.getInt(0)
+      mn(p) = r.getDouble(1)
+      val w = r.getDouble(2) - r.getDouble(1)
+      scale(p) = if (w == 0.0) 0.0 else w / 255.0
+    }
+    val ranges = rangeRows.map(r =>
+      (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+      .toDF("pos", "mn", "mx")
+    val codes = xs.join(broadcast(ranges), "pos")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          (round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
+            - 128).cast("int")))
+      .select(col("id"), col("cid"), col("nb"), col("pos"), col("code"))
+      .as[(Long, Int, Double, Int, Int)]
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Long, Int, Double),
+                    it: Iterator[(Long, Int, Double, Int, Int)]) =>
+        (key._1, key._2, key._3, it.toArray.sortBy(_._4).map(_._5.toByte))
+      }
+      .toDF(idCol, "cid", "nb", "codes")
+    (codes, mn, scale)
+  }
+
+  /** IVF + residual-SQ8 top-k: probe `nProbe` lists, rank in-list by the
+    * COSINE of the dequantized reconstruction,
+    * 〈q, x̂〉 / (‖q‖·‖x‖) where 〈q, x̂〉 = 〈q, c_list〉 + 〈q, mn〉 +
+    * Σ q_d·(code_d+128)·scale_d — three codegen kernels (the centroid dot
+    * table, one literal-vector dot, [[graft.functions.ByteVecDot]]'s
+    * scaled sibling), never a reconstructed vector materialized. The TRUE
+    * vector norm rides the index as a 4-byte-per-vector sidecar (the
+    * FAISS discipline for IP/cosine metrics over quantized codes):
+    * on clustered data norms vary BY CLUSTER, so unnormalized dot ranking
+    * — what the raw symmetric [[int8TopK]] kernel does — caps recall
+    * against a cosine ground truth regardless of quantizer quality; the
+    * isotropic fixture hides this entirely because χ-concentrated norms
+    * make dot ≈ scaled cosine. Same output contract as [[ivfSq8TopK]];
+    * `nProbe = centroids.length` makes it a pure quantizer-quality
+    * comparison against [[int8TopK]] at (almost) identical bytes/vector
+    * (+4 for the norm).
+    */
+  def ivfSq8ResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                         queryIds: Seq[Long], k: Int,
+                         centroids: Seq[Array[Float]],
+                         nProbe: Int): DataFrame = {
+    val (codes, mn, scale) = int8ResidualIndex(df, idCol, vecCol, centroids)
+    val lists = codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mnF = typedLit(mn.map(_.toFloat).toSeq)
+    val probes = df.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("qid"), col(vecCol).as("_qv"),
+        l2Norm(col(vecCol)).as("_qn"),
+        explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
+      .withColumn("_cd", element_at(
+        graft.functions.VectorExpressions.dotTable(col("_qv"), centroids),
+        col("cid") + 1))
+      .withColumn("_md", dot(col("_qv"), mnF))
+    val scored = probes.join(lists, "cid")
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol),
+        round((col("_cd") + col("_md") +
+          graft.functions.VectorExpressions.scaledDotB(
+            col("_qv"), col("codes"), scale)) / (col("_qn") * col("nb"))
+          + lit(1e-9), 4).as("cos_r"))
+    val top = graft.functions.TopK.topKPerGroup(scored, "qid", idCol, "cos_r", k)
+      .select(col("qid").cast("long").as("qid"), col("rank"), col(idCol),
+        col("cos_r"))
+    val pinned = graft.core.Materialize.pin(top)
+    lists.unpersist(false)
+    pinned
+  }
+
+  /** IVF-PQ with RESIDUAL codes (Jégou et al. 2011 §V's published main
+    * variant): codebooks quantize x − centroid(x); a query computes one
+    * ADC table per PROBED LIST over (q − c_list) and candidates are
+    * scored only through their own list's table — the join carries
+    * (cid, sub, code), so per-query work is nProbe·m·k table entries
+    * plus the probed lists' occupancy, exactly [[ivfPqTopK]]'s shape
+    * with the residual's tighter quantization range. Train `codebooks`
+    * on [[residualFrame]]'s `resid` column (e.g.
+    * `pqCodebooks(residualFrame(df, ...), idCol, "resid", m, k)`).
+    */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+                        k: Int, maxQueryId: Long,
+                        centroids: Seq[Array[Float]],
+                        codebooks: Seq[Seq[Array[Float]]], nProbe: Int = 3,
+                        dimHint: Int = 0): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    val subDim = dim / codebooks.length
+    val rf = residualFrame(df, idCol, vecCol, centroids)
+    val codes = codebooks.zipWithIndex.map { case (cb, sub) =>
+      rf.select(col(idCol).as("ib"), col("cid"),
+        slice(col("resid"), sub * subDim + 1, subDim).as("sv"))
+        .select(col("ib"), col("cid"), lit(sub).as("sub"),
+          pqAssign(col("sv"), cb).as("code"))
+    }.reduce(_ unionByName _)
+    val cents = typedLit(centroids.map(_.toSeq))
+    val qresid = df.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("ia"), col(vecCol).as("_qv"),
+        explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
+      .withColumn("_qr",
+        zip_with(col("_qv"), element_at(cents, col("cid") + 1),
+          (x, c) => (x - c).cast("float")))
+    val qd = codebooks.zipWithIndex.map { case (cb, sub) =>
+      qresid.select(col("ia"), col("cid"),
+        slice(col("_qr"), sub * subDim + 1, subDim).as("sv"))
+        .select(col("ia"), col("cid"), lit(sub).as("sub"),
+          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
+            .as(Seq("code", "d")))
+    }.reduce(_ unionByName _)
+    val scored = qd.join(codes, Seq("cid", "sub", "code"))
+      .filter(col("ia") =!= col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(round(sum(col("d")) + lit(1e-9), 4).as("adist_r"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("adist_r").asc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
   }
 
   /** Quantized brute-force top-k (SQ8 search): each query's codes ride a

@@ -96,6 +96,63 @@ object AnnCurve {
       s"""{"train_fraction":$frac,"recall":${hits / possible},""" +
         s""""train_sec":$trainSec,"rank_sec":$rankSec}"""
     }
+    // RESIDUAL arm (run on the CLUSTERED fixture — ClusteredEmbeddings —
+    // where the r14 table measured raw SQ8 collapsing 0.725 → 0.425):
+    // quantize x − centroid(x) instead of raw x, at IDENTICAL
+    // bytes/vector, and probe ALL lists so the comparison isolates
+    // quantizer quality from coarse-pruning recall. The FAISS residual
+    // discipline: the raw quantizer spends its 256 levels on the corpus
+    // span; the residual one spends them on within-cluster gaps — the
+    // distances that decide rankings on clustered data.
+    val residualArm = if (!arms("residual")) Seq.empty[String]
+    else {
+      val qids = (0L until nq).toSeq
+      def dropSelfRecall(d: org.apache.spark.sql.DataFrame): Double = {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val w = Window.partitionBy(col("q")).orderBy(col("rank"))
+        val hits = d.filter(col("q") =!= col("nb"))
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k)
+          .select("q", "nb")
+          .join(broadcast(truth), Seq("q", "nb"), "left_semi")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        hits / possible
+      }
+      val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+        k = nlist, iters = 3, dimHint = 64)
+      val t0 = System.nanoTime()
+      val sq8Raw = dropSelfRecall(
+        SimilarityOps.int8TopK(emb, "vec_id", "embedding", qids, k + 1)
+          .select(col("qid").as("q"), col("vec_id").as("nb"), col("rank")))
+      val t1 = System.nanoTime()
+      val sq8Res = dropSelfRecall(
+        SimilarityOps.ivfSq8ResidualTopK(emb, "vec_id", "embedding", qids,
+          k + 1, cents, nProbe = nlist)
+          .select(col("qid").as("q"), col("vec_id").as("nb"), col("rank")))
+      val t2 = System.nanoTime()
+      def pqRecall(d: org.apache.spark.sql.DataFrame): Double = {
+        val hits = d.select(col("ia").as("q"), col("ib").as("nb"))
+          .join(broadcast(truth), Seq("q", "nb"), "left_semi")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        hits / possible
+      }
+      val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2, dimHint = 64)
+      val pqRaw = pqRecall(SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        k, nq, books, dimHint = 64))
+      val t3 = System.nanoTime()
+      val rBooks = SimilarityOps.pqCodebooks(
+        SimilarityOps.residualFrame(emb, "vec_id", "embedding", cents),
+        "vec_id", "resid", m = 8, k = 16, iters = 2, dimHint = 64)
+      val pqRes = pqRecall(SimilarityOps.ivfPqResidualTopK(emb, "vec_id",
+        "embedding", k, nq, cents, rBooks, nProbe = nlist, dimHint = 64))
+      val t4 = System.nanoTime()
+      Seq(
+        s"""{"tier":"sq8_raw","bytes_per_vec":64,"recall":$sq8Raw,"sec":${(t1 - t0) / 1e9}}""",
+        s"""{"tier":"sq8_residual","bytes_per_vec":64,"recall":$sq8Res,"sec":${(t2 - t1) / 1e9}}""",
+        s"""{"tier":"pq_raw_8x16","bytes_per_vec":4,"recall":$pqRaw,"sec":${(t3 - t2) / 1e9}}""",
+        s"""{"tier":"pq_residual_8x16","bytes_per_vec":4,"recall":$pqRes,"sec":${(t4 - t3) / 1e9}}""")
+    }
     // IVF-SCALE arm: production-shaped nlist (≈√n) — possible at all only
     // with the FloatDotTable kernel (the literal-dot fan failed janino
     // past a few hundred centroids). Sampled training (the FAISS
@@ -111,26 +168,47 @@ object AnnCurve {
         k = bigList, iters = 2, dimHint = 64, trainSampleFraction = frac)
       val trainSec = (System.nanoTime() - t0) / 1e9
       // index BUILD (the one O(n·nlist·dim) pass, paid once) measured
-      // apart from the per-query-batch probe cost a deployment tunes
+      // apart from the per-query-batch probe cost a deployment tunes —
+      // then the TWO-LEVEL build (supergroup pre-scan, ~an order fewer
+      // dots) on the same centroids: build wall and probe recall for
+      // both, so the approximate-assignment trade is a measured number
+      val np = math.max(1, bigList / 32)
+      def recallOf(lists: org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val d = SimilarityOps.ivfTopKOverLists(lists, emb, "vec_id",
+          "embedding", k, nq, cents, nProbe = np)
+        val hits = d.select(col("ia").as("q"), col("ib").as("nb"))
+          .join(broadcast(truth), Seq("q", "nb"), "left_semi")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        (hits / possible, hits)
+      }
       val t1 = System.nanoTime()
-      val lists = SimilarityOps.ivfLists(emb, "vec_id", "embedding", cents)
+      val flat = SimilarityOps.ivfLists(emb, "vec_id", "embedding", cents)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      lists.count()
+      flat.count()
       val buildSec = (System.nanoTime() - t1) / 1e9
       val t2 = System.nanoTime()
-      val nRes = SimilarityOps.ivfTopKOverLists(lists, emb, "vec_id",
-        "embedding", k, nq, cents,
-        nProbe = math.max(1, bigList / 32)).count()
+      val (flatRecall, _) = recallOf(flat)
       val probeSec = (System.nanoTime() - t2) / 1e9
-      lists.unpersist()
+      flat.unpersist()
+      val t3 = System.nanoTime()
+      val two = SimilarityOps.ivfListsTwoLevel(emb, "vec_id", "embedding",
+        cents, sProbe = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      two.count()
+      val build2Sec = (System.nanoTime() - t3) / 1e9
+      val (twoRecall, _) = recallOf(two)
+      two.unpersist()
       Seq(s"""{"nlist":$bigList,"train_fraction":$frac,"n_vectors":$nTotal,""" +
         s""""train_sec":$trainSec,"build_sec":$buildSec,""" +
-        s""""probe_sec":$probeSec,"rows":$nRes}""")
+        s""""probe_sec":$probeSec,"recall":$flatRecall,""" +
+        s""""twolevel_build_sec":$build2Sec,"twolevel_recall":$twoRecall,""" +
+        s""""build_speedup":${buildSec / build2Sec}}""")
     }
     println(s"""{"tool":"ann_curve","sf_dir":"$dir","k":$k,""" +
       s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}],""" +
       s""""pq_budget":[${pqRows.mkString(",")}],""" +
       s""""sampled_train":[${sampleArm.mkString(",")}],""" +
+      s""""residual":[${residualArm.mkString(",")}],""" +
       s""""ivf_scale":[${ivfScale.mkString(",")}]}""")
     spark.stop()
   }

@@ -241,6 +241,98 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("train sample"))
   }
 
+  // shared clustered mini-fixture for the residual/two-level specs:
+  // 400 vectors, 8 true clusters, dim 32 — deterministic, so every
+  // recall below is a fixed number, not a statistical flake
+  private def clusteredDf = {
+    val s = spark
+    import s.implicits._
+    (0 until 400).map(i =>
+      (i.toLong, graft.tools.ClusteredEmbeddings.vector(42L, 8, 32, 0.25, i.toLong)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def topPairs(d: org.apache.spark.sql.DataFrame, qCol: String,
+                       nbCol: String, k: Int): Set[(Long, Long)] = {
+    // drop self, keep the best k per query by the emitted rank order
+    d.filter(col(qCol) =!= col(nbCol))
+      .collect()
+      .map(r => (r.getAs[Long](qCol), r.getAs[Long](nbCol), r.getAs[Int]("rank")))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) => rows.sortBy(_._3).take(k).map(t => (t._1, t._2)) }
+      .toSet
+  }
+
+  test("residual SQ8: norm-corrected reconstruction beats raw int8 on clustered data") {
+    val df = clusteredDf
+    val qids = (0L until 6L).toSeq
+    val truth = SimilarityOps.topKCosine(df, "vec_id", "embedding", 10, 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(got: Set[(Long, Long)]) = (got & truth).size.toDouble / truth.size
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val raw = recall(topPairs(
+      SimilarityOps.int8TopK(df, "vec_id", "embedding", qids, 11),
+      "qid", "vec_id", 10))
+    // nProbe = nlist isolates quantizer quality from coarse pruning:
+    // identical code bytes, residual range = within-cluster gaps, plus
+    // the true-norm sidecar that makes dot ranking a cosine ranking
+    val res = recall(topPairs(
+      SimilarityOps.ivfSq8ResidualTopK(df, "vec_id", "embedding", qids, 11,
+        cents, nProbe = 8),
+      "qid", "vec_id", 10))
+    assert(res > raw, s"residual SQ8 $res !> raw $raw")
+    assert(res >= 0.9, s"residual SQ8 recall floor broken: $res")
+  }
+
+  test("residual PQ: all-list probe beats raw PQ at equal code bytes on clustered data") {
+    val df = clusteredDf
+    val truth = SimilarityOps.topKCosine(df, "vec_id", "embedding", 10, 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(got: Set[(Long, Long)]) = (got & truth).size.toDouble / truth.size
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val rawBooks = SimilarityOps.pqCodebooks(df, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2, dimHint = 32)
+    val raw = recall(SimilarityOps.pqTopK(df, "vec_id", "embedding", 10, 6L,
+      rawBooks, dimHint = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    val resBooks = SimilarityOps.pqCodebooks(
+      SimilarityOps.residualFrame(df, "vec_id", "embedding", cents),
+      "vec_id", "resid", m = 8, k = 16, iters = 2, dimHint = 32)
+    val res = recall(SimilarityOps.ivfPqResidualTopK(df, "vec_id", "embedding",
+      10, 6L, cents, resBooks, nProbe = 8, dimHint = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    // ≥, not >: at this 400-vector/32-dim mini-fixture the two recalls tie
+    // (deterministically); the strict residual LIFT is measured on the
+    // 2000-vector clustered table (0.15 → 0.3375 at nlist=16, BASELINE.md)
+    assert(res >= raw, s"residual PQ $res regressed below raw $raw")
+    assert(res >= 0.5, s"residual PQ recall floor broken: $res")
+  }
+
+  test("two-level coarse assignment: exhaustive probe equals flat exactly; groups partition") {
+    val df = clusteredDf
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val (sup, groups) = SimilarityOps.superCluster(cents, 3)
+    assert(sup.length == 3 && groups.flatten.sorted == (0 until 8))
+    def cids(d: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      d.select("ib", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = cids(SimilarityOps.ivfLists(df, "vec_id", "embedding", cents))
+    // sProbe = nSuper is exhaustive → bit-identical to the flat argmax
+    // (same double fold, same lowest-cid tie rule, any member order)
+    val exhaustive = cids(SimilarityOps.ivfListsTwoLevel(df, "vec_id",
+      "embedding", cents, sProbe = 3, nSuperHint = 3))
+    assert(exhaustive == flat)
+    // the approximate build (fewer supergroups probed) agrees on nearly
+    // every vector of the clustered fixture — deterministic number
+    val approx = cids(SimilarityOps.ivfListsTwoLevel(df, "vec_id",
+      "embedding", cents, sProbe = 1, nSuperHint = 3))
+    val agree = flat.count { case (id, c) => approx(id) == c }.toDouble / flat.size
+    assert(agree >= 0.8, s"two-level sProbe=1 agreement too low: $agree")
+  }
+
   test("PQ at (m=16, k=256) stays inside codegen — no interpreted fallback") {
     // The k-literal-expression fan this path used to build failed janino
     // compilation at large (m, k) (~13k-line generated method) and Spark

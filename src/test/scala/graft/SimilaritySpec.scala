@@ -333,6 +333,45 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.8, s"two-level sProbe=1 agreement too low: $agree")
   }
 
+  test("IVF index persist/reload: loaded probe equals one-shot; ledger resume skips the build") {
+    val df = clusteredDf
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long, Double)] =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val oneShot = rows(SimilarityOps.ivfTopK(df, "vec_id", "embedding",
+      10, 6L, cents, nProbe = 3))
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    // save → load → probe: identical to the one-shot composition
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.ivfLists(df, "vec_id", "embedding", cents), cents,
+      s"$root/index")
+    val (lists, loadedCents) = SimilarityOps.loadIvfIndex(spark, s"$root/index")
+    assert(loadedCents.map(_.toSeq) == cents.map(_.toSeq))
+    assert(rows(SimilarityOps.ivfTopKOverLists(lists, df, "vec_id",
+      "embedding", 10, 6L, loadedCents, nProbe = 3)) == oneShot)
+    // ledger discipline: first call trains+builds+records; the second
+    // session loads WITHOUT rebuilding (index files untouched on disk)
+    val (_, c1) = SimilarityOps.ivfIndexCached(df, "vec_id", "embedding",
+      nlist = 8, s"$root/idx2", s"$root/ledger", "runA", dimHint = 32)
+    def mtimes() = new java.io.File(s"$root/idx2/lists.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = mtimes()
+    assert(before.nonEmpty)
+    val (l2, c2) = SimilarityOps.ivfIndexCached(df, "vec_id", "embedding",
+      nlist = 8, s"$root/idx2", s"$root/ledger", "runA", dimHint = 32)
+    assert(mtimes() == before, "resume rebuilt the persisted index")
+    assert(c2.map(_.toSeq) == c1.map(_.toSeq))
+    // the cached build used two-level assignment with sProbe = nSuper
+    // (exhaustive at nlist=8) — its probe equals the flat one-shot
+    assert(rows(SimilarityOps.ivfTopKOverLists(l2, df, "vec_id",
+      "embedding", 10, 6L, c2, nProbe = 3)) ==
+      rows(SimilarityOps.ivfTopK(df, "vec_id", "embedding", 10, 6L, c2,
+        nProbe = 3)))
+  }
+
   test("PQ at (m=16, k=256) stays inside codegen — no interpreted fallback") {
     // The k-literal-expression fan this path used to build failed janino
     // compilation at large (m, k) (~13k-line generated method) and Spark

@@ -51,6 +51,16 @@ object Bench {
     val loadStart = loadavg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // CPU convention, machine-enforced (the r14 quiet run burned one
+    // 32-cpu attempt on a smaller box — loadavg 7.5, artifact discarded):
+    // local[n] above the actual core count measures the oversubscription,
+    // not the engine. Warn loudly and stamp both numbers in the artifact
+    // so every round's class is readable without archaeology.
+    val cpusAvailable = Runtime.getRuntime.availableProcessors()
+    if (cpus.toInt > cpusAvailable)
+      System.err.println(s"[bench] WARNING: local[$cpus] exceeds the " +
+        s"$cpusAvailable available cores — timings will measure " +
+        "oversubscription; rerun with SPARK_GRAFT_CPUS<=" + cpusAvailable)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,6 +95,12 @@ object Bench {
       })
     var spills = List.empty[(String, Long, Long)]
     var failed = List.empty[String]
+    // SPARK_GRAFT_TIMES=1 adds the raw per-rep walls to the JSON — the
+    // noise-triage channel: a flagged median is adjudicated from its own
+    // rep spread (scheduling noise reads as a wide spread around a stable
+    // floor; a code regression moves the floor).
+    val emitTimes = sys.env.get("SPARK_GRAFT_TIMES").contains("1")
+    var repTimes = List.empty[(String, Seq[Double])]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -120,6 +136,7 @@ object Bench {
       val med =
         if (!ok) { failed ::= name; -1.0 }
         else times.sorted.apply(times.size / 2)
+      if (emitTimes) repTimes ::= ((name, times.toSeq))
       if (trackSpill) {
         // listener bus is async; drain so spill bytes attribute to the
         // query that caused them
@@ -142,7 +159,12 @@ object Bench {
       else spills.reverse.map { case (n, m, d) =>
         s""""$n":{"mem":$m,"disk":$d,"reps":$reps}"""
       }.mkString(""","spills":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson}"""
+    val timesJson =
+      if (!emitTimes) ""
+      else repTimes.reverse.map { case (n, ts) =>
+        s""""$n":[${ts.mkString(",")}]"""
+      }.mkString(""","times":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"cpus_available":$cpusAvailable,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson$timesJson}"""
     println(line)
     // Full per-query artifact on disk: the driver's BENCH_r{N}.json keeps
     // only a truncated tail of stdout, which hides most of the suite from

@@ -58,6 +58,19 @@ class NonAtomicFileSystem extends RawLocalFileSystem {
     } else super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
 
+  // Object stores have no POSIX modes: RawLocalFileSystem's create()
+  // chmods the file right after creating it, and a rival's concurrent
+  // DELETE between the two (the steal soak's release racing a fresh PUT)
+  // crashes a codepath that on a real object store is one atomic PUT.
+  // Swallow only the missing-file case — the object is simply gone.
+  override def setPermission(p: Path, permission: FsPermission): Unit =
+    try super.setPermission(p, permission)
+    catch {
+      case e: java.io.IOException
+          if e.getMessage != null && (e.getMessage.contains("No such file")
+            || e.getMessage.contains("chmod")) => ()
+    }
+
   // same lazy-permission materialization issue as CountingFileSystem:
   // RawLocalFileSystem statuses reject foreign schemes when they load
   // permissions via `new File(uri)`

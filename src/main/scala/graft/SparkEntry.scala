@@ -151,6 +151,7 @@ object SparkEntry {
     "q_int8_topk" -> (qInt8Topk _),
     "q_hamming_topk" -> (qHammingTopk _),
     "q_ivfsq_topk" -> (qIvfSqTopk _),
+    "q_ivfsq_residual_topk" -> (qIvfSqResidualTopk _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_pca_project" -> (qPcaProject _),
     "q_random_projection" -> (qRandomProjection _),
@@ -3260,6 +3261,36 @@ object SparkEntry {
       .toDF("cid", "w").coalesce(1)
       .write.mode("overwrite").parquet(IvfSqCentroidsDir)
     SimilarityOps.ivfSq8TopK(emb, "vec_id", "embedding",
+      queryIds = Seq(0L, 1L, 2L), k = 5, cents, nProbe = 2)
+      .orderBy("qid", "rank")
+  }
+
+  /** Materialization point for the q_ivfsq_residual_topk coarse
+    * quantizer — FLOAT values, because the residual subtraction is float
+    * arithmetic and the oracle must subtract the same floats.
+    */
+  private val IvfSqResCentroidsDir = s"$MatRoot/ivfsqres_centroids"
+
+  /** IVF + RESIDUAL SQ8 search (the FAISS residual discipline): codes
+    * quantize x − centroid(x) — per-dim ranges train on the residuals,
+    * whose dynamic range is the within-cluster gap — and ranking is the
+    * cosine of the dequantized reconstruction with the TRUE vector norm
+    * riding the index as a sidecar. The oracle replays everything:
+    * assignment and probe pruning against the materialized quantizer,
+    * the float residual subtraction (explicit FLOAT casts — Spark's
+    * zip_with subtracts floats), the recomputed residual code table, the
+    * three score terms (〈q,c〉 + 〈q,mn_float〉 + Σ q·(code+128)·scale), and
+    * the epsilon-stabilized rounded cosine ranking.
+    */
+  private def qIvfSqResidualTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 64)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cid", "w").coalesce(1)
+      .write.mode("overwrite").parquet(IvfSqResCentroidsDir)
+    SimilarityOps.ivfSq8ResidualTopK(emb, "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L), k = 5, cents, nProbe = 2)
       .orderBy("qid", "rank")
   }
@@ -6597,6 +6628,69 @@ object SparkEntry {
 
     // SQ8 mirror: the identical per-dim quantization, integer dots via
     // a (pos-keyed) sum, and the same (dot DESC, id) ranking.
+    // Residual-SQ8 mirror: the full FAISS residual pipeline in SQL —
+    // coarse assignment + probe pruning vs the materialized FLOAT
+    // quantizer, float residual subtraction (matching Spark's zip_with
+    // float math bit-for-bit), per-dim ranges over residuals, half-up
+    // codes, then the three-term reconstruction dot over the stored
+    // codes divided by true norms (the 4-byte sidecar), rounded with the
+    // shared epsilon. mn enters the score FLOAT-cast (the engine bakes
+    // mn as a float literal vector).
+    "q_ivfsq_residual_topk" ->
+      s"""WITH cent AS (SELECT cid, w FROM '$IvfSqResCentroidsDir/*.parquet'),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], c.w::DOUBLE[]) AS s
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc) z WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |  FROM sc WHERE vec_id IN (0, 1, 2)) z WHERE rn <= 2),
+         |res AS (SELECT e.vec_id AS id, CAST(t.i - 1 AS INT) AS pos,
+         |    CAST(CAST(e.embedding[CAST(t.i AS INT)] AS FLOAT)
+         |      - CAST(c.w[CAST(t.i AS INT)] AS FLOAT) AS DOUBLE) AS r
+         |  FROM embeddings e JOIN asg a USING (vec_id)
+         |    JOIN cent c ON c.cid = a.cid,
+         |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t),
+         |rg AS (SELECT pos, min(r) AS mn, max(r) AS mx FROM res GROUP BY 1),
+         |cd AS (SELECT id, pos,
+         |    CASE WHEN mx = mn THEN 0
+         |      ELSE CAST(round((r - mn) / (mx - mn) * 255.0) AS INT) - 128
+         |    END AS code,
+         |    CASE WHEN mx = mn THEN 0.0 ELSE (mx - mn) / 255.0 END AS scale
+         |  FROM res JOIN rg USING (pos)),
+         |nrm AS (SELECT vec_id AS id,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nb
+         |  FROM embeddings),
+         |cand AS (SELECT p.qid, p.cid, a.vec_id AS id
+         |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+         |md AS (SELECT q.vec_id AS qid,
+         |    sum(CAST(q.embedding[pos + 1] AS DOUBLE)
+         |      * CAST(CAST(rg.mn AS FLOAT) AS DOUBLE)) AS mdot
+         |  FROM embeddings q CROSS JOIN rg WHERE q.vec_id IN (0, 1, 2)
+         |  GROUP BY 1),
+         |sd AS (SELECT cand.qid, cand.id,
+         |    sum(CAST(q.embedding[cd.pos + 1] AS DOUBLE)
+         |      * ((cd.code + 128) * cd.scale)) AS sdot
+         |  FROM cand JOIN cd ON cd.id = cand.id
+         |    JOIN embeddings q ON q.vec_id = cand.qid
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT cand.qid, cand.id,
+         |    round((cdq.s + md.mdot + sd.sdot) / (qn.nb * cn.nb) + 1e-9, 4)
+         |      AS cos_r
+         |  FROM cand
+         |    JOIN sc cdq ON cdq.vec_id = cand.qid AND cdq.cid = cand.cid
+         |    JOIN md ON md.qid = cand.qid
+         |    JOIN sd ON sd.qid = cand.qid AND sd.id = cand.id
+         |    JOIN nrm qn ON qn.id = cand.qid
+         |    JOIN nrm cn ON cn.id = cand.id),
+         |r AS (SELECT qid, id, cos_r,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, id) AS rn
+         |  FROM scored)
+         |SELECT qid, CAST(rn AS INT) AS rank, id AS vec_id, cos_r
+         |FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q_int8_topk" ->
       """WITH xs AS (SELECT vec_id AS id, CAST(t.i - 1 AS INT) AS pos,
         |    CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS x

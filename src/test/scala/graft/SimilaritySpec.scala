@@ -398,6 +398,16 @@ class SimilaritySpec extends SparkSpec {
       val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", 5, 3L,
         cents, nProbe = 8)
       assert(ivf.count() > 0)
+      // the round-15 kernels hold the same pin: residual SQ8 search
+      // (ByteScaledDot) and the two-level build (TwoLevelArgMax) must
+      // compile under CODEGEN_ONLY — a janino rejection here throws
+      // instead of silently interpreting
+      val res = SimilarityOps.ivfSq8ResidualTopK(emb, "vec_id", "embedding",
+        (0L until 3L).toSeq, 5, cents.take(16), nProbe = 16)
+      assert(res.count() > 0)
+      val two = SimilarityOps.ivfListsTwoLevel(emb, "vec_id", "embedding",
+        cents.take(16), sProbe = 2)
+      assert(two.count() > 0)
     } finally {
       prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
         spark.conf.set("spark.sql.codegen.fallback", _))

@@ -57,14 +57,18 @@ object Bench {
     // not the engine. Warn loudly and stamp both numbers in the artifact
     // so every round's class is readable without archaeology.
     val cpusAvailable = Runtime.getRuntime.availableProcessors()
-    if (cpus.toInt > cpusAvailable)
+    // `*` (local[*]) and other non-numeric masters are valid — the guard
+    // and the artifact field must not choke on them
+    val cpusNum = scala.util.Try(cpus.toInt).toOption
+    if (cpusNum.exists(_ > cpusAvailable))
       System.err.println(s"[bench] WARNING: local[$cpus] exceeds the " +
         s"$cpusAvailable available cores — timings will measure " +
         "oversubscription; rerun with SPARK_GRAFT_CPUS<=" + cpusAvailable)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        cpusNum.getOrElse(cpusAvailable).toString)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach { conf =>
       conf.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
@@ -164,7 +168,7 @@ object Bench {
       else repTimes.reverse.map { case (n, ts) =>
         s""""$n":[${ts.mkString(",")}]"""
       }.mkString(""","times":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":$cpus,"cpus_available":$cpusAvailable,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson$timesJson}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","cpus":${cpusNum.getOrElse(-1)},"cpus_master":"$cpus","cpus_available":$cpusAvailable,"reps":$reps,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loaded":$loaded$spillJson$timesJson}"""
     println(line)
     // Full per-query artifact on disk: the driver's BENCH_r{N}.json keeps
     // only a truncated tail of stdout, which hides most of the suite from

@@ -421,6 +421,7 @@ case class TwoLevelArgMax(child: Expression,
   require(groupStart.length == nSuper + 1 &&
     memberCents.length == memberCids.length * dim, "bad CSR member layout")
   require(sProbe >= 1 && sProbe <= nSuper, s"sProbe $sProbe out of 1..$nSuper")
+  require(memberCids.nonEmpty, "two_level_argmax needs >= 1 member centroid")
 
   @transient private lazy val scArr: Array[Float] = superCents.toArray
   @transient private lazy val mcArr: Array[Float] = memberCents.toArray
@@ -446,32 +447,57 @@ case class TwoLevelArgMax(child: Expression,
       s(g) = d
       g += 1
     }
+    // Probe selection SKIPS empty supergroups (stale empty-group centers
+    // from superCluster attract nothing and must not burn a probe slot or
+    // win the argmax with zero members behind it); a selection pass that
+    // finds no comparable score (all remaining scores NaN — an all-NaN
+    // input vector) falls back to the lowest non-taken non-empty group so
+    // the result is still deterministic, and the FIRST member scanned
+    // always installs (bestCid == MaxValue clause) so NaN dots can never
+    // leave the sentinel behind.
     val taken = new Array[Boolean](nSuper)
     var best = Double.NegativeInfinity
     var bestCid = Int.MaxValue
     var p = 0
-    while (p < sProbe) {
+    var exhausted = false
+    while (p < sProbe && !exhausted) {
       var bg = -1
       var bs = Double.NegativeInfinity
       g = 0
       while (g < nSuper) {
-        if (!taken(g) && s(g) > bs) { bs = s(g); bg = g }
+        if (!taken(g) && gsArr(g + 1) > gsArr(g) && s(g) > bs) {
+          bs = s(g); bg = g
+        }
         g += 1
       }
-      taken(bg) = true
-      var mi = gsArr(bg)
-      while (mi < gsArr(bg + 1)) {
-        var d = 0.0
-        val base = mi * dim
-        i = 0
-        while (i < m) { d += x(i) * mcArr(base + i); i += 1 }
-        if (d > best || (d == best && idArr(mi) < bestCid)) {
-          best = d; bestCid = idArr(mi)
+      if (bg == -1) {
+        g = 0
+        while (bg == -1 && g < nSuper) {
+          if (!taken(g) && gsArr(g + 1) > gsArr(g)) bg = g
+          g += 1
         }
-        mi += 1
       }
-      p += 1
+      if (bg == -1) exhausted = true
+      else {
+        taken(bg) = true
+        var mi = gsArr(bg)
+        while (mi < gsArr(bg + 1)) {
+          var d = 0.0
+          val base = mi * dim
+          i = 0
+          while (i < m) { d += x(i) * mcArr(base + i); i += 1 }
+          if (d > best || bestCid == Int.MaxValue ||
+              (d == best && idArr(mi) < bestCid)) {
+            best = d; bestCid = idArr(mi)
+          }
+          mi += 1
+        }
+        p += 1
+      }
     }
+    if (bestCid == Int.MaxValue)
+      throw new IllegalStateException(
+        "two_level_argmax scanned no member centroid — empty CSR layout")
     bestCid
   }
 
@@ -517,8 +543,16 @@ case class TwoLevelArgMax(child: Expression,
          |  int $bg = -1;
          |  double $bs = java.lang.Double.NEGATIVE_INFINITY;
          |  for (int $g = 0; $g < $nSuper; $g++) {
-         |    if (!$taken[$g] && $s[$g] > $bs) { $bs = $s[$g]; $bg = $g; }
+         |    if (!$taken[$g] && $gs[$g + 1] > $gs[$g] && $s[$g] > $bs) {
+         |      $bs = $s[$g]; $bg = $g;
+         |    }
          |  }
+         |  if ($bg == -1) {
+         |    for (int $g = 0; $bg == -1 && $g < $nSuper; $g++) {
+         |      if (!$taken[$g] && $gs[$g + 1] > $gs[$g]) { $bg = $g; }
+         |    }
+         |  }
+         |  if ($bg == -1) break;
          |  $taken[$bg] = true;
          |  for (int $mi = $gs[$bg]; $mi < $gs[$bg + 1]; $mi++) {
          |    double $d = 0.0;
@@ -526,10 +560,15 @@ case class TwoLevelArgMax(child: Expression,
          |    for (int $i = 0; $i < $m; $i++) {
          |      $d += $x[$i] * $mc[$base + $i];
          |    }
-         |    if ($d > $best || ($d == $best && $ids[$mi] < $bestCid)) {
+         |    if ($d > $best || $bestCid == java.lang.Integer.MAX_VALUE ||
+         |        ($d == $best && $ids[$mi] < $bestCid)) {
          |      $best = $d; $bestCid = $ids[$mi];
          |    }
          |  }
+         |}
+         |if ($bestCid == java.lang.Integer.MAX_VALUE) {
+         |  throw new IllegalStateException(
+         |    "two_level_argmax scanned no member centroid - empty CSR layout");
          |}
          |${ev.value} = $bestCid;
        """.stripMargin

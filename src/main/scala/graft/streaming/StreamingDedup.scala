@@ -387,6 +387,15 @@ object StreamingDedup {
     java.util.regex.Pattern.compile("fold(\\d+)_([0-9a-f]{8})_p(\\d+)of(\\d+)\\.parquet")
   private val BatchFileRe = java.util.regex.Pattern.compile("b(\\d+)_.*\\.parquet")
 
+  /** Test seam: runs between the fold's install renames and its delete
+    * pass, so specs can deterministically pin the two interleaves the
+    * FoldSteal soak only hits probabilistically — a lease steal (the
+    * delete fence must abort) and a rival install landing post-snapshot
+    * (the snapshot-scoped delete must leave it untouched). No-op in
+    * production.
+    */
+  private[graft] var postFoldInstallHook: () => Unit = () => ()
+
   /** The COMMITTED read set of an index directory, plus the fold
     * generation it reflects (−1 when no complete fold exists).
     *
@@ -453,20 +462,41 @@ object StreamingDedup {
     *    files were just wiped) — so replay hygiene is untouched;
     *  - installs the merged rows as ONE new generation
     *    `fold<currentBatchId>_<attempt>_p<i>of<n>` (completeness in the
-    *    names — see [[committedIndexFiles]]), then deletes every other
-    *    index file (all now superseded, including crash leftovers);
+    *    names — see [[committedIndexFiles]]), then deletes EXACTLY its
+    *    locked snapshot plus identifiable stale artifacts (older/partial
+    *    fold attempts, the superseded seed, pre-generation batch files) —
+    *    never "everything not the new fold", so an install that landed
+    *    AFTER the snapshot (a rival backfill's `b<i>_` files, a newer
+    *    writer's fold) survives unfolded rather than being destroyed;
     *  - takes a [[graft.core.LockProvider]] lock at
     *    `<dir>/_maintenance/fold.lock` and REFUSES (skips, retried next
     *    batch) when a rival maintainer holds it — the streaming query is
     *    the only writer by contract, but a manual backfill or external
     *    maintenance call must not interleave destructively;
+    *  - FENCES its destructive phases (the ledger maintenance discipline,
+    *    [[graft.core.Ledger]] withMaintenanceLock): a daemon renewer
+    *    refreshes the lease at TTL/4, and the lock is re-verified
+    *    (renewer lost-flag + token read-back) immediately before the
+    *    install renames and again before the delete pass — a holder
+    *    whose lease was stolen (paused past the TTL, or overwritten in
+    *    the lease protocol's residual race window) ABORTS with its
+    *    staged output orphaned for the next fold's janitor instead of
+    *    deleting files a live rival now owns;
+    *  - treats `b<i>_` files with i ≥ currentBatchId as a NEWER writer
+    *    incarnation's installs (the wipe at the top of this batch
+    *    removed our own): visible at snapshot time → REFUSES the fold
+    *    (an old-watermark backfill skips; the right-watermark fold runs
+    *    later); appearing mid-fold → ABORTS before install (we are the
+    *    zombie the fence exists for);
     *  - skips when this generation already folded (a replayed batch
     *    after a crash-between-fold-and-install: the complete fold<B>
     *    attempt IS the committed pre-batch state).
     *
     * Steady state is one LIST per batch (the threshold check) — lock-free
     * and job-free below threshold, the maintainIfNeeded discipline.
-    * Returns true iff a fold ran.
+    * Returns true iff a fold ran; throws IllegalStateException on a
+    * fence loss (nothing destructive has happened — the streaming query
+    * fails the batch and the replay re-runs it cleanly).
     */
   def maintainIndexDir(spark: SparkSession, indexDir: String,
                        currentBatchId: Long, maxFiles: Int = 64,
@@ -483,9 +513,50 @@ object StreamingDedup {
     lfs.mkdirs(lock.getParent)
     val lp = graft.core.LockProvider.forFs(lfs)
     if (!lp.tryAcquire(lfs, lock, lockTtlMs)) return false // rival folding
+    // TTL/4 renewer + lost-flag: a fold that outlives the TTL (100 TB
+    // index generations) must not be stale-broken mid-run; a FAILED renew
+    // means the lease is no longer ours and the destructive phases below
+    // must abort (see graft.core.Ledger's withMaintenanceLock, the same
+    // discipline).
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val renewer = new Thread(() => {
+      val period = math.max(lockTtlMs / 4, 250L)
+      try {
+        var ours = true
+        while (ours && !Thread.interrupted()) {
+          Thread.sleep(period)
+          if (!Thread.currentThread().isInterrupted &&
+              !lp.renew(lfs, lock)) {
+            lost.set(true)
+            ours = false
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-fold-lock-renewer")
+    renewer.setDaemon(true)
+    renewer.start()
+    def fence(phase: String): Unit =
+      if (lost.get() || !lp.verify(lfs, lock))
+        throw new IllegalStateException(
+          s"fold lock $lock lost mid-$phase (lease stolen or renew " +
+            "failed) — aborting before the destructive phase; staged " +
+            "output is orphaned for the next fold's janitor")
+    // b<i>_ with i ≥ currentBatchId: the wipe removed our own, so any
+    // such file was installed by a NEWER writer incarnation — this
+    // fold's watermark is stale (we are the zombie).
+    def newerWriterVisible(): Boolean =
+      fs.listStatus(p).iterator.exists { s =>
+        val m = BatchFileRe.matcher(s.getPath.getName)
+        s.isFile && m.matches() && m.group(1).toLong >= currentBatchId
+      }
     try {
       val (snap, gen) = committedIndexFiles(fs, p) // re-list under the lock
       if (snap.size <= maxFiles || gen == currentBatchId) return false
+      // REFUSE (skip — a fold at the right watermark will run later)
+      // when newer batch installs are already visible at snapshot time:
+      // an old-batch backfill or a stale replay must not fold at a
+      // superseded watermark
+      if (newerWriterVisible()) return false
       // janitor crashed-fold staging first (single writer + lock held:
       // nothing in _staging can be live)
       val staging = new org.apache.hadoop.fs.Path(s"$indexDir/_staging")
@@ -500,23 +571,60 @@ object StreamingDedup {
       val parts = fs.listStatus(tmp).iterator
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath).toSeq
       val n = parts.size
+      fence("fold install")
+      if (newerWriterVisible())
+        throw new IllegalStateException(
+          s"fold of $indexDir aborted mid-fold install: batch files with " +
+            s"id >= $currentBatchId appeared since the locked snapshot — " +
+            "a newer writer incarnation is live; this fold's watermark " +
+            "is stale")
       parts.zipWithIndex.foreach { case (f, i) =>
         require(fs.rename(f, new org.apache.hadoop.fs.Path(p,
           s"fold${currentBatchId}_${attempt}_p${i + 1}of$n.parquet")),
           s"fold install into $indexDir failed")
       }
       fs.delete(tmp, true)
-      // every pre-fold file is now superseded (sources folded; older
-      // generations, folded batches, seed, and partial attempts covered)
+      postFoldInstallHook()
+      // SNAPSHOT-SCOPED delete: exactly the folded sources plus artifacts
+      // identifiable as stale from the names alone — (a) fold attempts of
+      // generations ≤ ours that aren't the one just installed (older
+      // generations, partial/duplicate attempts: crash leftovers — no
+      // LIVE rival can be installing one while we hold the fenced lock),
+      // (b) seed files (superseded by ANY complete fold, and ours now
+      // exists), (c) `b<i>_` files with i < the snapshot generation
+      // (superseded before we started — never readable). A `b<i>_` file
+      // NOT in the snapshot with i ≥ gen is a rival install that landed
+      // after the snapshot: it SURVIVES to be folded by a later pass.
+      fence("fold delete")
+      val snapNames = snap.map(_.getName).toSet
       fs.listStatus(p).iterator
         .filter { s =>
           val name = s.getPath.getName
-          s.isFile && name.endsWith(".parquet") &&
-            !name.startsWith(s"fold${currentBatchId}_${attempt}_")
+          s.isFile && name.endsWith(".parquet") && {
+            snapNames.contains(name) || {
+              val fm = FoldRe.matcher(name)
+              if (fm.matches())
+                fm.group(1).toLong < currentBatchId ||
+                  (fm.group(1).toLong == currentBatchId &&
+                    fm.group(2) != attempt)
+              else if (name.startsWith("seed_")) true
+              else {
+                val bm = BatchFileRe.matcher(name)
+                bm.matches() && bm.group(1).toLong < gen
+              }
+            }
+          }
         }
         .foreach(s => fs.delete(s.getPath, false))
       true
-    } finally lp.release(lfs, lock)
+    } finally {
+      renewer.interrupt()
+      // JOIN before release: a renew already past its token check could
+      // otherwise re-PUT the lease after release deletes it, leaving an
+      // orphan lock that refuses all folds until the TTL expires
+      renewer.join()
+      lp.release(lfs, lock)
+    }
   }
 
   /** Stage-then-rename install (the ledger commit discipline): write to a

@@ -333,6 +333,47 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.8, s"two-level sProbe=1 agreement too low: $agree")
   }
 
+  test("two-level argmax degenerate inputs: empty supergroups never win, NaN vectors never crash") {
+    val s = spark
+    import s.implicits._
+    // three supergroups, the MIDDLE one empty (a stale empty-group center
+    // from superCluster): its center is deliberately the best match for
+    // the probe vector, so pre-fix it would win the supergroup argmax at
+    // sProbe=1 and return Int.MaxValue (vector silently dropped)
+    val cents = Seq(Array(1f, 0f), Array(0f, 1f))
+    val sup = Seq(Array(1f, 0f), Array(10f, 10f), Array(0f, 1f))
+    val groups = Seq(Seq(0), Seq.empty[Int], Seq(1))
+    val df = Seq(
+      (1L, Seq(5f, 5f)),          // empty group's center is its best dot
+      (2L, Seq(1f, 0f)),
+      (3L, Seq(Float.NaN, Float.NaN)) // all-NaN: pre-fix AIOOBE
+    ).toDF("vec_id", "embedding")
+    for (probe <- 1 to 3) {
+      val got = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.twoLevelArgMax(
+          col("embedding"), cents, sup, groups, probe).as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.values.forall(c => c == 0 || c == 1),
+        s"sProbe=$probe returned a non-member cid: $got")
+      // vector 2 is exactly centroid 0 — a real member must win, never
+      // the empty group's sentinel
+      assert(got(2L) == 0, s"sProbe=$probe: $got")
+    }
+    // interpreted path (nullSafeEval, no codegen) agrees on the NaN case
+    val memberCids = groups.flatten
+    val memberCents = memberCids.flatMap(cents(_).toSeq)
+    val groupStart = groups.scanLeft(0)(_ + _.length)
+    val interp = graft.functions.TwoLevelArgMax(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(Float.NaN, Float.NaN),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      sup.flatten.toIndexedSeq, 3, 2, memberCents.toIndexedSeq,
+      memberCids.toIndexedSeq, groupStart.toIndexedSeq, 1)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(interp == 0 || interp == 1, s"interpreted NaN path: $interp")
+  }
+
   test("IVF index persist/reload: loaded probe equals one-shot; ledger resume skips the build") {
     val df = clusteredDf
     val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",

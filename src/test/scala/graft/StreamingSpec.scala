@@ -293,6 +293,113 @@ class StreamingSpec extends SparkSpec {
       Set((9001L, 10L, "exact"), (9001L, 10L, "near")))
   }
 
+  test("fold fence: a stolen lease aborts before the delete phase; nothing destroyed; retry resolves clean") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    // lease provider on the simulated non-atomic store: the fence's token
+    // read-back is what detects a steal (create-exclusive has no token)
+    val hc = s.sparkContext.hadoopConfiguration
+    hc.set("fs.naf.impl", classOf[graft.tools.NonAtomicFileSystem].getName)
+    hc.set("fs.naf.impl.disable.cache", "true")
+    hc.set("graft.lock.provider.naf", "lease")
+    hc.set("graft.lock.lease.settle.ms", "10")
+    val root = java.nio.file.Files.createTempDirectory("graft-foldfence").toString
+    val idx = s"naf://$root/idx"
+    StreamingDedup.seedIndex(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, idx)
+    (0 until 6).foreach(i => StreamingDedup.applyIncrementalBatch(
+      Seq((100L * i + 1, s"novel doc $i about subject ${i % 3} in detail"))
+        .toDF("doc_id", "text"), i.toLong, "doc_id", "text", 3,
+      idx, s"$root/out", maxIndexFiles = 0)) // accrete, no fold yet
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(hc)
+    def names() = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    def committedRows() = {
+      val files = StreamingDedup.committedIndexFiles(fs, p)._1
+      s.read.option("mergeSchema", "true")
+        .parquet(files.map(_.toString): _*)
+        .select("old_id", "key", "tier").distinct().collect()
+        .map(_.mkString("|")).toSet
+    }
+    val preNames = names()
+    val preRows = committedRows()
+    // steal the lease between the fold's install and its delete pass —
+    // the delete fence (token read-back) must abort with nothing deleted
+    StreamingDedup.postFoldInstallHook = () => {
+      val lock = new org.apache.hadoop.fs.Path(s"$idx/_maintenance/fold.lock")
+      val rival = new graft.core.LockProvider.Lease(10L)
+      assert(rival.tryAcquire(fs, lock, 0L), "steal failed")
+      rival.release(fs, lock)
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        StreamingDedup.maintainIndexDir(s, idx, currentBatchId = 6L,
+          maxFiles = 4)
+      }
+      assert(e.getMessage.contains("lost mid-fold delete"), e.getMessage)
+    } finally StreamingDedup.postFoldInstallHook = () => ()
+    // abort happened AFTER install, BEFORE delete: every pre-fold file
+    // survives, the new fold generation is present, and the resolved
+    // read set is byte-identical (duplicate FILES tolerated, rows never)
+    val postNames = names()
+    assert(preNames.subsetOf(postNames),
+      s"fence abort lost files: ${preNames.diff(postNames)}")
+    assert(postNames.exists(_.startsWith("fold6_")), "fold install missing")
+    assert(committedRows() == preRows, "resolved rows drifted across abort")
+    // the replayed batch transition skips (generation 6 already folded)
+    // and a LATER watermark's fold janitors the leftovers
+    assert(!StreamingDedup.maintainIndexDir(s, idx, 6L, maxFiles = 4))
+    StreamingDedup.applyIncrementalBatch(
+      Seq((9001L, "one more novel row to advance the watermark"))
+        .toDF("doc_id", "text"), 6L, "doc_id", "text", 3,
+      idx, s"$root/out", maxIndexFiles = 4)
+    assert(committedRows().size >= preRows.size)
+  }
+
+  test("fold delete is snapshot-scoped: a rival install landing mid-fold survives and stays readable") {
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-foldsnap").toString
+    val idx = s"$root/idx"
+    StreamingDedup.seedIndex(
+      Seq((10L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"), "doc_id", "text", 3, idx)
+    (0 until 6).foreach(i => StreamingDedup.applyIncrementalBatch(
+      Seq((100L * i + 1, s"novel doc $i about subject ${i % 3} in detail"))
+        .toDF("doc_id", "text"), i.toLong, "doc_id", "text", 3,
+      idx, s"$root/out", maxIndexFiles = 0))
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a rival backfill installs batch 9's keys between the fold's
+    // snapshot and its delete pass (the ADVICE r15 interleave): the
+    // old rule deleted everything-not-the-new-fold, losing these rows
+    // before they were ever folded
+    StreamingDedup.postFoldInstallHook = () =>
+      StreamingDedup.applyIncrementalBatch(
+        Seq((9901L, "rival backfill doc that must survive the fold"))
+          .toDF("doc_id", "text"), 9L, "doc_id", "text", 3,
+        idx, s"$root/out", maxIndexFiles = 0)
+    try assert(StreamingDedup.maintainIndexDir(s, idx, 6L, maxFiles = 4))
+    finally StreamingDedup.postFoldInstallHook = () => ()
+    val names = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    assert(names.exists(_.startsWith("b9_")), "rival install deleted")
+    assert(!names.exists(_.startsWith("seed_")), "folded seed not janitored")
+    assert(!names.exists(_.startsWith("b0_")), "folded batch not janitored")
+    // and the survivor is READABLE: committed set = fold6 + b>=6
+    val files = StreamingDedup.committedIndexFiles(fs, p)._1
+    val rows = s.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*)
+    assert(rows.filter(col("old_id") === 9901L).count() > 0,
+      "rival rows not in the committed read set")
+    assert(rows.filter(col("old_id") === 10L).count() > 0,
+      "seed rows lost by the fold")
+  }
+
   test("folding verify tier: low-estimate band collision rejected, high verified") {
     import graft.streaming.StreamingDedup
     import graft.operators.DedupOps

@@ -224,6 +224,7 @@ object SparkEntry {
     "q_netcdf_time" -> (qNetcdfTime _),
     "q_netcdf_auto" -> (qNetcdfAuto _),
     "q_ivf_topk" -> (qIvfTopk _),
+    "q_ivf_append" -> (qIvfAppend _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_atomic_stats" -> (qAtomicStats _),
     "q_aselmdb_roundtrip" -> (qAselmdbRoundtrip _),
@@ -326,6 +327,33 @@ object SparkEntry {
       k = 16, iters = 3, dimHint = 64)
     SimilarityOps.ivfTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
       centroids = cents, nProbe = 16)
+      .orderBy("ia", "rank")
+  }
+
+  /** Incremental-append IVF probe (VERDICT r15 item 3): base build over
+    * the even-id half, two parity appends over the odd ids with the
+    * FROZEN quantizer, a compaction fold, then a probe over the LOADED
+    * committed read set at nProbe = nlist. Exhaustive probing makes the
+    * brute-force SQL the oracle for the whole append/fold/read-set
+    * chain: a row lost, duplicated, or misassigned anywhere in it
+    * changes the ranked output.
+    */
+  private def qIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = SimilarityOps.ivfCentroids(base, "vec_id", "embedding",
+      k = 16, iters = 3, dimHint = 64)
+    val idx = freshTmpDir("ivf_append", dir)
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.ivfLists(base, "vec_id", "embedding", cents), cents, idx)
+    SimilarityOps.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === 1), "vec_id", "embedding", idx)
+    SimilarityOps.appendToIvfIndex(
+      emb.filter(col("vec_id") % 4 === 3), "vec_id", "embedding", idx)
+    SimilarityOps.compactIvfIndex(s, idx, maxParts = 2)
+    val (lists, loadedCents) = SimilarityOps.loadIvfIndex(s, idx)
+    SimilarityOps.ivfTopKOverLists(lists, emb, "vec_id", "embedding",
+      k = 5, maxQueryId = 20L, loadedCents, nProbe = 16)
       .orderBy("ia", "rank")
   }
 
@@ -6823,6 +6851,18 @@ object SparkEntry {
     // Same mirror as q_topk_cosine: at nProbe = k the IVF search is
     // exhaustive by construction.
     "q_ivf_topk" ->
+      s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 20),
+         |r AS (SELECT ia, ib, cos_r,
+         |  CAST(row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS INTEGER) AS rank
+         |  FROM sc)
+         |SELECT ia, rank, ib, cos_r FROM r WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // append path: exhaustive probe over the loaded committed read set
+    // equals brute-force — same oracle as q_ivf_topk by construction
+    "q_ivf_append" ->
       s"""WITH sc AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
          |  round(${cosSql("a", "b")} + 1e-9, 4) AS cos_r
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id

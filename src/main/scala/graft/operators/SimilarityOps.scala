@@ -316,7 +316,7 @@ object SimilarityOps {
       var it = 0
       while (it < iters) {
         val assigned = train.select(col(vecCol).as("v"),
-          assignColumn(col(vecCol), centroids).as("cid"))
+          flatAssign(col(vecCol), centroids).as("cid"))
         val means = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -339,34 +339,58 @@ object SimilarityOps {
     * [[semanticDedup]] convention) and the cosine of the vector to its
     * OWN centroid. Centroid norms are baked in driver-side as literals
     * (k constants — sequential Σw² like the codegen dot, so an oracle's
-    * `sqrt(list_dot_product(w, w))` reproduces them bit-for-bit); the
-    * per-row cost is k codegen dots, no shuffle.
+    * `sqrt(list_dot_product(w, w))` reproduces them bit-for-bit).
+    *
+    * Assignment runs the TWO-LEVEL kernel ([[graft.functions.TwoLevelArgMax]])
+    * so corpus-as-queries paths stop re-paying the flat O(k·dim) scan the
+    * index BUILD already escaped (VERDICT r15 item 7): `sProbe <= 0` (the
+    * default, and what every oracle pins) probes ALL supergroups —
+    * bit-identical to the flat argmax (spec-pinned) at a √k-dot overhead;
+    * a production caller passes a small `sProbe` for the ~√k-fold cheaper
+    * approximate assignment, the same trade [[ivfListsTwoLevel]] measures.
     */
   def centroidAssignment(df: DataFrame, idCol: String, vecCol: String,
-                         centroids: Seq[Array[Float]]): DataFrame = {
-    // one codegen'd dot-table loop + a literal norm array — NOT a k-fan of
-    // literal dots (janino method-size wall past a few hundred centroids;
-    // see FloatDotTable). Ties → FIRST occurrence of the max = lowest cid,
-    // the same rule the struct-max formulation had.
-    val t = graft.functions.VectorExpressions.dotTable(col(vecCol), centroids)
+                         centroids: Seq[Array[Float]],
+                         sProbe: Int = 0): DataFrame = {
     val norms = typedLit(centroids.map(c =>
       math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)))
-    df.select(col(idCol), l2Norm(col(vecCol)).as("_vn"), t.as("_t"))
-      .select(col(idCol), col("_vn"), col("_t"),
-        (array_position(col("_t"), array_max(col("_t"))) - 1)
-          .cast("int").as("cid"))
+    val cents2d = typedLit(centroids.map(_.toSeq))
+    df.select(col(idCol), col(vecCol).as("_v"),
+        l2Norm(col(vecCol)).as("_vn"),
+        assignColumn(col(vecCol), centroids, sProbe).as("cid"))
       .select(col(idCol), col("cid"),
-        (element_at(col("_t"), col("cid") + 1) /
+        // same sequential double-widened fold the flat dot table ran, on
+        // ONE centroid instead of k — bit-identical cos_c
+        (dot(col("_v"), element_at(cents2d, col("cid") + 1)) /
           (col("_vn") * element_at(norms, col("cid") + 1)))
           .as("cos_c"))
   }
 
-  /** cid of the max-dot centroid (deterministic ties → lowest cid: first
-    * occurrence of the max).
+  /** cid of the max-dot centroid via the FLAT codegen dot table
+    * (deterministic ties → lowest cid: first occurrence of the max). The
+    * exhaustive reference form — the Lloyd trainer and the flat
+    * [[ivfLists]] build keep it; corpus-as-queries consumers go through
+    * [[assignColumn]]'s two-level kernel instead.
     */
-  private def assignColumn(v: Column, centroids: Seq[Array[Float]]): Column = {
+  private def flatAssign(v: Column, centroids: Seq[Array[Float]]): Column = {
     val t = graft.functions.VectorExpressions.dotTable(v, centroids)
     (array_position(t, array_max(t)) - 1).cast("int")
+  }
+
+  /** cid of the max-dot centroid (deterministic ties → lowest cid) via the
+    * two-level kernel. `sProbe <= 0` probes every supergroup — bit-parity
+    * with the flat `array_max(dotTable)` form (the spec-pinned
+    * sProbe = nSuper identity) — while a positive `sProbe` buys the
+    * approximate √k-dot assignment.
+    */
+  private def assignColumn(v: Column, centroids: Seq[Array[Float]],
+                           sProbe: Int = 0): Column = {
+    val nSuper = math.max(1,
+      math.round(math.sqrt(centroids.length.toDouble)).toInt)
+    val (sup, groups) = superCluster(centroids, nSuper)
+    val p = if (sProbe <= 0) nSuper else math.min(sProbe, nSuper)
+    graft.functions.VectorExpressions.twoLevelArgMax(v, centroids, sup,
+      groups, p)
   }
 
   /** The `nProbe` highest-dot centroid ids for a query vector (ties →
@@ -406,7 +430,7 @@ object SimilarityOps {
                centroids: Seq[Array[Float]]): DataFrame =
     df.select(col(idCol).as("ib"), col(vecCol).as("vb"),
       l2Norm(col(vecCol)).as("nb"),
-      assignColumn(col(vecCol), centroids).as("cid"))
+      flatAssign(col(vecCol), centroids).as("cid"))
 
   /** Cluster the COARSE CENTROIDS into ~√nlist supergroups, driver-side —
     * they are nlist·dim floats, the broadcast constant, so a plain Lloyd
@@ -509,15 +533,246 @@ object SimilarityOps {
 
   /** Reload a persisted IVF index: (lists frame, centroid table). The
     * centroid sidecar is nlist·dim floats — the broadcast constant — so
-    * collecting it is the same bounded move the trainer makes.
+    * collecting it is the same bounded move the trainer makes. The lists
+    * frame is the COMMITTED read set ([[committedIvfParts]]): the newest
+    * complete fold (or the base build) plus every append generation
+    * above it.
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (DataFrame, Seq[Array[Float]]) = {
-    val lists = spark.read.parquet(s"$dir/lists.parquet")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (parts, _) = committedIvfParts(fs, p)
+    val lists = spark.read.parquet(parts.map(_.toString): _*)
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
       .collect().sortBy(_.getInt(0))
       .map(_.getSeq[Float](1).toArray).toSeq
     (lists, cents)
+  }
+
+  // ----------------------------------------- IVF index incremental append
+
+  // Append/fold generations ride in DIRECTORY names (each part is one
+  // Spark-written parquet directory, staged under `_staging` and RENAMED
+  // into place — the rename is the commit, so presence == complete):
+  //   lists.parquet                  the base build (generation 0)
+  //   append_<gen>_<attempt>.parquet an appended batch, gen strictly
+  //                                  increasing per the listing at stage
+  //                                  time (rival appends that raced to the
+  //                                  same gen both survive — gens order
+  //                                  batches, they don't dedupe them)
+  //   fold_<gen>_<attempt>.parquet   a compaction of everything with
+  //                                  generation ≤ gen
+  private val IvfAppendRe =
+    java.util.regex.Pattern.compile("append_(\\d+)_([0-9a-f]{8})\\.parquet")
+  private val IvfFoldRe =
+    java.util.regex.Pattern.compile("fold_(\\d+)_([0-9a-f]{8})\\.parquet")
+
+  /** Test seam between the compaction's fold install and its delete pass
+    * (see [[graft.streaming.StreamingDedup.postFoldInstallHook]] — the
+    * same two interleaves need deterministic pinning). No-op in
+    * production.
+    */
+  private[graft] var postIvfFoldInstallHook: () => Unit = () => ()
+
+  /** The committed read set of an appendable IVF index directory and the
+    * highest generation visible: the newest complete fold if one exists
+    * (ties on generation → lexicographically first attempt; duplicate
+    * attempts hold identical rows), else the base `lists.parquet`, plus
+    * every `append_<gen>` with gen above the fold's.
+    */
+  def committedIvfParts(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path)
+      : (Seq[org.apache.hadoop.fs.Path], Long) = {
+    val entries = fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath).toSeq
+    val folds = entries.flatMap { e =>
+      val m = IvfFoldRe.matcher(e.getName)
+      if (m.matches()) Some((m.group(1).toLong, e)) else None
+    }
+    val appends = entries.flatMap { e =>
+      val m = IvfAppendRe.matcher(e.getName)
+      if (m.matches()) Some((m.group(1).toLong, e)) else None
+    }
+    val foldGen = if (folds.isEmpty) -1L else folds.map(_._1).max
+    val base =
+      if (foldGen >= 0)
+        folds.filter(_._1 == foldGen).map(_._2).minBy(_.getName)
+      else new org.apache.hadoop.fs.Path(dir, "lists.parquet")
+    val live = appends.filter(_._1 > foldGen).sortBy(_._1).map(_._2)
+    val maxGen = (foldGen max 0L) max
+      (if (appends.isEmpty) 0L else appends.map(_._1).max)
+    (base +: live, maxGen)
+  }
+
+  /** Append a batch of new vectors to a persisted IVF index WITHOUT
+    * rebuilding it (VERDICT r15 item 3 — the dedup side's folding
+    * discipline applied to the ANN index): arrivals are assigned with the
+    * FROZEN quantizer (the centroid sidecar, through the two-level
+    * kernel; `sProbe <= 0` probes all supergroups — bit-parity with the
+    * flat build — and a positive sProbe buys the approximate √k-dot
+    * assignment), staged as one parquet directory, and renamed in as the
+    * next append generation. Cost follows the BATCH (batch · assignment),
+    * never the corpus — the one-shot build bill stays amortized as the
+    * index grows. Returns the installed generation.
+    *
+    * The frozen quantizer drifts as the corpus grows: gate on
+    * [[ivfIndexImbalance]] and retrain when the occupancy skew passes the
+    * recommendation threshold.
+    */
+  def appendToIvfIndex(newRows: DataFrame, idCol: String, vecCol: String,
+                       dir: String, sProbe: Int = 0): Long = {
+    val spark = newRows.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val nSuper = math.max(1,
+      math.round(math.sqrt(cents.length.toDouble)).toInt)
+    val p = if (sProbe <= 0) nSuper else math.min(sProbe, nSuper)
+    val lists = ivfListsTwoLevel(newRows, idCol, vecCol, cents,
+      sProbe = p, nSuperHint = nSuper)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, maxGen) = committedIvfParts(fs, root)
+    val gen = maxGen + 1
+    val attempt = f"${scala.util.Random.nextInt(0x7fffffff)}%08x"
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$dir/_staging/append_${gen}_$attempt.parquet")
+    lists.write.mode("overwrite").parquet(staged.toString)
+    require(fs.rename(staged,
+      new org.apache.hadoop.fs.Path(root, staged.getName)),
+      s"append install into $dir failed")
+    gen
+  }
+
+  /** Occupancy-skew report for an appendable IVF index — the retrain
+    * trigger: appends assign against the FROZEN quantizer, so as the
+    * corpus distribution drifts the hottest list grows past the mean and
+    * probe cost degrades toward a scan of that list. One row:
+    * (nlist, n_vectors, max_list, mean_list, imbalance = max/mean,
+    * retrain_recommended = imbalance > threshold).
+    */
+  def ivfIndexImbalance(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, threshold: Double = 4.0): DataFrame = {
+    val (lists, cents) = loadIvfIndex(spark, dir)
+    val occ = lists.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    occ.agg(
+      lit(cents.length).as("nlist"),
+      sum(col("sz")).as("n_vectors"),
+      max(col("sz")).as("max_list"),
+      round(sum(col("sz")) / lit(cents.length.toDouble) + lit(1e-9), 4)
+        .as("mean_list"))
+      .withColumn("imbalance",
+        round(col("max_list") / col("mean_list") + lit(1e-9), 4))
+      .withColumn("retrain_recommended", col("imbalance") > threshold)
+  }
+
+  /** Fold an appendable IVF index's committed parts into one generation
+    * when the part count passes `maxParts` — the standing-dedup-index
+    * compaction discipline ([[graft.streaming.StreamingDedup.maintainIndexDir]])
+    * applied to the ANN lists: LockProvider lease + TTL/4 renewer, fence
+    * re-verify (renewer lost-flag + token read-back) before the install
+    * rename AND before the delete pass, and a SNAPSHOT-SCOPED delete —
+    * exactly the parts read into the fold plus name-identifiable stale
+    * artifacts, never "everything not the new fold" — so a rival append
+    * landing after the snapshot survives unfolded. Returns true iff a
+    * fold ran; throws on a fence loss (staged output orphaned, nothing
+    * destroyed).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxParts: Int = 8,
+                      lockTtlMs: Long = 600000L): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
+    val lfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lfs.mkdirs(lock.getParent)
+    val lp = graft.core.LockProvider.forFs(lfs)
+    if (!lp.tryAcquire(lfs, lock, lockTtlMs)) return false // rival folding
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val renewer = new Thread(() => {
+      val period = math.max(lockTtlMs / 4, 250L)
+      try {
+        var ours = true
+        while (ours && !Thread.interrupted()) {
+          Thread.sleep(period)
+          if (!Thread.currentThread().isInterrupted &&
+              !lp.renew(lfs, lock)) { lost.set(true); ours = false }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-ivf-compact-renewer")
+    renewer.setDaemon(true)
+    renewer.start()
+    def fence(phase: String): Unit =
+      if (lost.get() || !lp.verify(lfs, lock))
+        throw new IllegalStateException(
+          s"ivf compact lock $lock lost mid-$phase (lease stolen or " +
+            "renew failed) — aborting before the destructive phase; " +
+            "staged output is orphaned for the next compaction's janitor")
+    // stale-by-NAME artifacts given a newest complete fold at `foldGen`
+    // (ignoring `keep`): older folds, duplicate attempts of the newest
+    // generation, appends a fold already covers, and the base build once
+    // ANY complete fold exists (every fold chain starts by covering it).
+    // An append landing after a fold's snapshot carries gen > foldGen
+    // and is never stale.
+    def staleParts(foldGen: Long, keep: String): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(root).iterator.filter(_.isDirectory)
+        .map(_.getPath)
+        .filter { q =>
+          val name = q.getName
+          name != keep && foldGen >= 0 && {
+            val fm = IvfFoldRe.matcher(name)
+            val am = IvfAppendRe.matcher(name)
+            if (fm.matches()) fm.group(1).toLong <= foldGen
+            else if (am.matches()) am.group(1).toLong <= foldGen
+            else name == "lists.parquet"
+          }
+        }.toSeq
+    def newestFoldGen(): Long = {
+      val gens = fs.listStatus(root).filter(_.isDirectory).flatMap { s =>
+        val m = IvfFoldRe.matcher(s.getPath.getName)
+        if (m.matches()) Some(m.group(1).toLong) else None
+      }
+      if (gens.isEmpty) -1L else gens.max
+    }
+    try {
+      val (snap, maxGen) = committedIvfParts(fs, root) // re-list under lock
+      if (snap.size <= maxParts) {
+        // below threshold: no fold, but JANITOR leftovers a fence-aborted
+        // predecessor orphaned (its fold installed; its delete never ran)
+        val keep = snap.head.getName
+        val stale = staleParts(newestFoldGen(), keep)
+        if (stale.nonEmpty) {
+          fence("janitor delete")
+          stale.foreach(fs.delete(_, true))
+        }
+        return false
+      }
+      // janitor crashed-fold staging (lock held: nothing there is live)
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      val attempt = f"${scala.util.Random.nextInt(0x7fffffff)}%08x"
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$dir/_staging/fold_${maxGen}_$attempt.parquet")
+      spark.read.parquet(snap.map(_.toString): _*)
+        .write.mode("overwrite").parquet(staged.toString)
+      fence("fold install")
+      require(fs.rename(staged,
+        new org.apache.hadoop.fs.Path(root, staged.getName)),
+        s"ivf fold install into $dir failed")
+      postIvfFoldInstallHook()
+      // snapshot-scoped delete: the folded parts, plus stale-by-name
+      // artifacts (older folds, appends at or below the new generation
+      // that a previous fold already superseded). An append landing
+      // after the snapshot carries gen > maxGen and survives.
+      fence("fold delete")
+      staleParts(maxGen, staged.getName).foreach(fs.delete(_, true))
+      true
+    } finally {
+      renewer.interrupt()
+      renewer.join() // see maintainIndexDir: no post-release re-PUT
+      lp.release(lfs, lock)
+    }
   }
 
   /** Build-or-load the IVF index through a [[graft.core.Ledger]] — the
@@ -902,7 +1157,7 @@ object SimilarityOps {
                     centroids: Seq[Array[Float]]): DataFrame = {
     val cents = typedLit(centroids.map(_.toSeq))
     df.select(col(idCol).cast("long").as(idCol), col(vecCol),
-      assignColumn(col(vecCol), centroids).as("cid"))
+      flatAssign(col(vecCol), centroids).as("cid"))
       .withColumn("resid",
         zip_with(col(vecCol), element_at(cents, col("cid") + 1),
           (x, c) => (x - c).cast("float")))
@@ -1204,7 +1459,7 @@ object SimilarityOps {
       .groupBy(col("vid").as("ib"), col("sub"))
       .agg(min(struct(col("d"), col("code"))).getField("code").as("code"))
     val members = df.select(col(idCol).as("ib"),
-      assignColumn(col(vecCol), centroids).as("cid"))
+      flatAssign(col(vecCol), centroids).as("cid"))
     val probes = df.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("ia"),
         explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
@@ -1231,19 +1486,23 @@ object SimilarityOps {
     * clusters, connect pairs ≥ τ, and keep the minimum id of each semantic
     * duplicate group.
     *
-    * Scale shape: assignment is an argmax over k codegen'd dots per row;
-    * the pair join buckets on cluster id, so the quadratic term is bounded
-    * by cluster occupancy (≈ n/k with balanced centroids — k grows with the
-    * corpus exactly like the IVF quantizer), never corpus-wide; group
-    * resolution is the checkpoint-truncated CC used by `resolveClusters`.
+    * Scale shape: assignment runs the two-level kernel (`sProbe <= 0`
+    * probes all supergroups — bit-parity with the flat k-dot argmax;
+    * production passes a small sProbe for the √k-dot approximate
+    * assignment, the same trade the index build makes); the pair join
+    * buckets on cluster id, so the quadratic term is bounded by cluster
+    * occupancy (≈ n/k with balanced centroids — k grows with the corpus
+    * exactly like the IVF quantizer), never corpus-wide; group resolution
+    * is the checkpoint-truncated CC used by `resolveClusters`.
     *
     * Output: one row per input id — (id, cid, component, is_survivor).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-                    centroids: Seq[Array[Float]]): DataFrame = {
+                    centroids: Seq[Array[Float]],
+                    sProbe: Int = 0): DataFrame = {
     val base0 = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
-      assignColumn(col(vecCol), centroids).as("cid"))
+      assignColumn(col(vecCol), centroids, sProbe).as("cid"))
     val base = // referenced by both pair sides and the id universe
       if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

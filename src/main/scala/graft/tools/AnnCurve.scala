@@ -198,18 +198,65 @@ object AnnCurve {
       val build2Sec = (System.nanoTime() - t3) / 1e9
       val (twoRecall, _) = recallOf(two)
       two.unpersist()
+      // corpus-as-queries ASSIGNMENT wall (VERDICT r15 item 7):
+      // centroidAssignment at a small sProbe rides the same two-level
+      // kernel as the build, so its wall should sit in the two-level
+      // build's class, not the flat scan's
+      val t4 = System.nanoTime()
+      SimilarityOps.centroidAssignment(emb, "vec_id", "embedding", cents,
+        sProbe = 3).write.mode("overwrite").format("noop").save()
+      val assignSec = (System.nanoTime() - t4) / 1e9
       Seq(s"""{"nlist":$bigList,"train_fraction":$frac,"n_vectors":$nTotal,""" +
         s""""train_sec":$trainSec,"build_sec":$buildSec,""" +
         s""""probe_sec":$probeSec,"recall":$flatRecall,""" +
         s""""twolevel_build_sec":$build2Sec,"twolevel_recall":$twoRecall,""" +
-        s""""build_speedup":${buildSec / build2Sec}}""")
+        s""""build_speedup":${buildSec / build2Sec},""" +
+        s""""assign_sprobe3_sec":$assignSec}""")
+    }
+    // IVF-APPEND arm: append cost must follow the BATCH, not the corpus —
+    // the whole point of the appendable index (a rebuild's cost grows with
+    // the corpus; an append's must not). Build once per corpus scale
+    // (1×/2×/4× the table, ids offset to stay unique), then time one
+    // fixed-size append into each: flat walls across scales = the claim.
+    val ivfAppend = if (!arms("ivf_append")) Seq.empty[String]
+    else {
+      import org.apache.spark.sql.functions.expr
+      val batch = emb.limit(2000)
+        .select((col("vec_id") + 90000000L).as("vec_id"), col("embedding"))
+      val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+        k = nlist, iters = 2, dimHint = 64)
+      Seq(1, 2, 4).map { mult =>
+        val corpus = (0 until mult).map(i =>
+          emb.select((col("vec_id") + i.toLong * 10000000L).as("vec_id"),
+            col("embedding"))).reduce(_ unionByName _)
+        val n = corpus.count()
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annappend_$mult"
+        val root = new java.io.File(dir)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        val t0 = System.nanoTime()
+        SimilarityOps.saveIvfIndex(
+          SimilarityOps.ivfLists(corpus, "vec_id", "embedding", cents),
+          cents, dir)
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        SimilarityOps.appendToIvfIndex(batch, "vec_id", "embedding", dir,
+          sProbe = 3)
+        val appendSec = (System.nanoTime() - t1) / 1e9
+        s"""{"corpus_mult":$mult,"n_vectors":$n,"batch_rows":2000,""" +
+          s""""build_sec":$buildSec,"append_sec":$appendSec}"""
+      }
     }
     println(s"""{"tool":"ann_curve","sf_dir":"$dir","k":$k,""" +
       s""""n_queries":$nq,"nlist":$nlist,"curve":[${rows.mkString(",")}],""" +
       s""""pq_budget":[${pqRows.mkString(",")}],""" +
       s""""sampled_train":[${sampleArm.mkString(",")}],""" +
       s""""residual":[${residualArm.mkString(",")}],""" +
-      s""""ivf_scale":[${ivfScale.mkString(",")}]}""")
+      s""""ivf_scale":[${ivfScale.mkString(",")}],""" +
+      s""""ivf_append":[${ivfAppend.mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -333,6 +333,57 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.8, s"two-level sProbe=1 agreement too low: $agree")
   }
 
+  test("corpus-as-queries paths on the two-level kernel: default is bit-parity with flat; small sProbe well-formed") {
+    val df = clusteredDf
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    // flat reference recomputed inline (the pre-r16 formulation):
+    // argmax over the codegen dot table, ties -> lowest cid, cos to own
+    // centroid from the same table entry
+    val t = graft.functions.VectorExpressions.dotTable(col("embedding"), cents)
+    val norms = typedLit(cents.map(c =>
+      math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)))
+    val flat = df.select(col("vec_id"),
+        sqrt(graft.functions.VectorExpressions.dotF(
+          col("embedding"), col("embedding"))).as("_vn"), t.as("_t"))
+      .select(col("vec_id"),
+        (array_position(col("_t"), array_max(col("_t"))) - 1)
+          .cast("int").as("cid"), col("_vn"), col("_t"))
+      .select(col("vec_id"), col("cid"),
+        (element_at(col("_t"), col("cid") + 1) /
+          (col("_vn") * element_at(norms, col("cid") + 1))).as("cos_c"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val twoLevel = SimilarityOps.centroidAssignment(
+        df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(twoLevel == flat, "default centroidAssignment drifted from flat")
+    // production knob: a 1-probe assignment returns real cids and agrees
+    // on nearly all of the clustered fixture
+    val approx = SimilarityOps.centroidAssignment(
+        df, "vec_id", "embedding", cents, sProbe = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(approx.values.forall(c => c >= 0 && c < 8))
+    val agree = flat.count { case (id, (c, _)) => approx(id) == c }
+      .toDouble / flat.size
+    assert(agree >= 0.8, s"sProbe=1 assignment agreement too low: $agree")
+    // semanticDedup rides the same kernel: default equals the flat-era
+    // output shape and survivor rule on a fixture with exact duplicates
+    val s = spark
+    import s.implicits._
+    val dup = df.unionByName(
+      df.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 1000).as("vec_id"), col("embedding")))
+    val sd = SimilarityOps.semanticDedup(dup, "vec_id", "embedding",
+      0.9999, cents).collect()
+    assert(sd.length == 405)
+    val bySurv = sd.map(r => r.getAs[Long]("id") ->
+      r.getAs[Boolean]("is_survivor")).toMap
+    (0L until 5L).foreach { i =>
+      assert(bySurv(i), s"low id $i should survive its dup pair")
+      assert(!bySurv(i + 1000), s"clone ${i + 1000} should be deduped")
+    }
+  }
+
   test("two-level argmax degenerate inputs: empty supergroups never win, NaN vectors never crash") {
     val s = spark
     import s.implicits._
@@ -372,6 +423,171 @@ class SimilaritySpec extends SparkSpec {
       memberCids.toIndexedSeq, groupStart.toIndexedSeq, 1)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
     assert(interp == 0 || interp == 1, s"interpreted NaN path: $interp")
+  }
+
+  test("IVF append: build+append equals one-shot on the union; compact folds parts and preserves the read set") {
+    val df = clusteredDf
+    val a = df.filter(col("vec_id") < 300)
+    val b = df.filter(col("vec_id") >= 300)
+    val cents = SimilarityOps.ivfCentroids(a, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfappend")
+      .toString + "/idx"
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.ivfLists(a, "vec_id", "embedding", cents), cents, dir)
+    // parity append (sProbe <= 0 probes all supergroups = flat argmax)
+    val gen1 = SimilarityOps.appendToIvfIndex(b, "vec_id", "embedding", dir)
+    assert(gen1 == 1L)
+    def listRows(d: org.apache.spark.sql.DataFrame): Set[(Long, Int)] =
+      d.select("ib", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val oneShot = listRows(
+      SimilarityOps.ivfLists(df, "vec_id", "embedding", cents))
+    val (loaded, centsLoaded) = SimilarityOps.loadIvfIndex(spark, dir)
+    assert(centsLoaded.map(_.toSeq) == cents.map(_.toSeq))
+    assert(listRows(loaded) == oneShot,
+      "build+append read set drifted from the one-shot build")
+    // probe over the loaded index == probe over the one-shot lists
+    def probe(lists: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.ivfTopKOverLists(lists, df, "vec_id", "embedding",
+        5, 6L, cents, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probe(loaded) == probe(
+      SimilarityOps.ivfLists(df, "vec_id", "embedding", cents)))
+    // drive the part count over the compaction threshold, fold, and
+    // verify the committed read set is unchanged while parts collapse
+    val s = spark
+    import s.implicits._
+    (0 until 4).foreach { i =>
+      SimilarityOps.appendToIvfIndex(
+        Seq((1000L + i, graft.tools.ClusteredEmbeddings
+          .vector(42L, 8, 32, 0.25, 1000L + i))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    val before = listRows(SimilarityOps.loadIvfIndex(spark, dir)._1)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(SimilarityOps.compactIvfIndex(spark, dir, maxParts = 2))
+    assert(listRows(SimilarityOps.loadIvfIndex(spark, dir)._1) == before,
+      "compaction changed the committed read set")
+    val partNames = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n == "lists.parquet" || n.startsWith("append_") ||
+        n.startsWith("fold_")).toSeq
+    assert(partNames.size == 1 && partNames.head.startsWith("fold_5_"),
+      s"unexpected parts after compact: $partNames")
+    assert(!SimilarityOps.compactIvfIndex(spark, dir, maxParts = 2),
+      "second compact should be a no-op below threshold")
+    // append after compact lands above the fold generation and is read
+    val gen2 = SimilarityOps.appendToIvfIndex(
+      Seq((2000L, graft.tools.ClusteredEmbeddings
+        .vector(42L, 8, 32, 0.25, 2000L))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    assert(gen2 == 6L)
+    val after = listRows(SimilarityOps.loadIvfIndex(spark, dir)._1)
+    assert(after.size == before.size + 1 && after.exists(_._1 == 2000L))
+    // imbalance report: one row, sane fields, no retrain on this fixture
+    val imb = SimilarityOps.ivfIndexImbalance(spark, dir).collect()(0)
+    assert(imb.getAs[Int]("nlist") == 8)
+    assert(imb.getAs[Long]("n_vectors") == after.size.toLong)
+    assert(imb.getAs[Double]("imbalance") >= 1.0)
+  }
+
+  test("IVF compact delete is snapshot-scoped: a rival append landing mid-fold survives and stays readable") {
+    val df = clusteredDf
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsnap")
+      .toString + "/idx"
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.ivfLists(df.filter(col("vec_id") < 100),
+        "vec_id", "embedding", cents), cents, dir)
+    (0 until 3).foreach { i =>
+      SimilarityOps.appendToIvfIndex(
+        df.filter(col("vec_id") === (100 + i).toLong),
+        "vec_id", "embedding", dir)
+    }
+    // a rival append installs between the fold's install and its delete
+    // pass: the old everything-not-the-fold rule would destroy it before
+    // it was ever folded
+    SimilarityOps.postIvfFoldInstallHook = () =>
+      SimilarityOps.appendToIvfIndex(
+        df.filter(col("vec_id") === 399L), "vec_id", "embedding", dir)
+    try assert(SimilarityOps.compactIvfIndex(spark, dir, maxParts = 2))
+    finally SimilarityOps.postIvfFoldInstallHook = () => ()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(names.exists(_.startsWith("append_")), "rival append deleted")
+    assert(!names.contains("lists.parquet"), "folded base not janitored")
+    val (loaded, _) = SimilarityOps.loadIvfIndex(spark, dir)
+    val ids = loaded.select("ib").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(399L), "rival rows not in the committed read set")
+    assert(ids.contains(0L) && ids.contains(102L), "folded rows lost")
+  }
+
+  test("IVF compact fence: a stolen lease aborts before the delete phase; nothing destroyed") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.naf.impl", classOf[graft.tools.NonAtomicFileSystem].getName)
+    hc.set("fs.naf.impl.disable.cache", "true")
+    hc.set("graft.lock.provider.naf", "lease")
+    hc.set("graft.lock.lease.settle.ms", "10")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivffence").toString
+    val dir = s"naf://$root/idx"
+    val df = clusteredDf
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    SimilarityOps.saveIvfIndex(
+      SimilarityOps.ivfLists(df.filter(col("vec_id") < 100),
+        "vec_id", "embedding", cents), cents, dir)
+    (0 until 3).foreach { i =>
+      SimilarityOps.appendToIvfIndex(
+        df.filter(col("vec_id") === (100 + i).toLong),
+        "vec_id", "embedding", dir)
+    }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(hc)
+    def rows() = {
+      val (parts, _) = SimilarityOps.committedIvfParts(fs, p)
+      spark.read.parquet(parts.map(_.toString): _*)
+        .select("ib", "cid").distinct().collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    }
+    val pre = rows()
+    val preNames = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    SimilarityOps.postIvfFoldInstallHook = () => {
+      val lock = new org.apache.hadoop.fs.Path(s"$dir/_maintenance/compact.lock")
+      val rival = new graft.core.LockProvider.Lease(10L)
+      assert(rival.tryAcquire(fs, lock, 0L), "steal failed")
+      rival.release(fs, lock)
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SimilarityOps.compactIvfIndex(spark, dir, maxParts = 2)
+      }
+      assert(e.getMessage.contains("lost mid-fold delete"), e.getMessage)
+    } finally SimilarityOps.postIvfFoldInstallHook = () => ()
+    // abort landed AFTER install, BEFORE delete: all pre-fold parts
+    // survive and the committed read set is unchanged (the newest fold
+    // holds the same rows the parts it folded held)
+    val postNames = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    assert(preNames.subsetOf(postNames),
+      s"fence abort lost parts: ${preNames.diff(postNames)}")
+    assert(rows() == pre, "committed read set drifted across the abort")
+    // a retried compaction janitors the orphaned pre-fold parts (the
+    // installed fold already covers them) without folding again
+    assert(!SimilarityOps.compactIvfIndex(spark, dir, maxParts = 2))
+    val cleanNames = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n == "lists.parquet" || n.startsWith("append_") ||
+        n.startsWith("fold_")).toSeq
+    assert(cleanNames.size == 1 && cleanNames.head.startsWith("fold_3_"),
+      s"janitor left unexpected parts: $cleanNames")
+    assert(rows() == pre)
   }
 
   test("IVF index persist/reload: loaded probe equals one-shot; ledger resume skips the build") {

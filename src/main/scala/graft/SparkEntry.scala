@@ -147,6 +147,7 @@ object SparkEntry {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_pq_topk" -> (qPqTopk _),
     "q_ivfpq_topk" -> (qIvfPqTopk _),
+    "q_ivfpq_residual_cos" -> (qIvfPqResidualCosTopk _),
     "q_scalar_quantize" -> (qScalarQuantize _),
     "q_int8_topk" -> (qInt8Topk _),
     "q_hamming_topk" -> (qHammingTopk _),
@@ -3391,6 +3392,38 @@ object SparkEntry {
     */
   private val IvfPqCentroidsDir = s"$MatRoot/ivfpq_centroids"
   private val IvfPqCodebooksDir = s"$MatRoot/ivfpq_codebooks"
+
+  private val IvfPqResCentroidsDir = s"$MatRoot/ivfpqres_centroids"
+  private val IvfPqResCodebooksDir = s"$MatRoot/ivfpqres_codebooks"
+
+  /** IVF-PQ RESIDUAL search ranked by the norm-corrected cosine estimate
+    * (VERDICT r15 item 2): codebooks train on x − centroid(x), the ADC
+    * L2 sum converts through the polarization identity with the true-norm
+    * sidecar — cos ≈ (‖q‖² + ‖x‖² − ‖q − x̂‖²)/(2‖q‖‖x‖). The oracle
+    * recomputes routing, float residual subtraction, codes, per-list ADC
+    * tables, norms, and the identity from the same materialized
+    * constants, so candidate restriction AND the score algebra are both
+    * checked.
+    */
+  private def qIvfPqResidualCosTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dimHint = 64)
+    cents.zipWithIndex.map { case (c, cid) => (cid, c.map(_.toDouble).toSeq) }
+      .toDF("cid", "c").coalesce(1)
+      .write.mode("overwrite").parquet(IvfPqResCentroidsDir)
+    val books = SimilarityOps.pqCodebooks(
+      SimilarityOps.residualFrame(emb, "vec_id", "embedding", cents),
+      "vec_id", "resid", m = 8, k = 16, iters = 2, dimHint = 64)
+    books.zipWithIndex.flatMap { case (cb, sub) =>
+      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
+    }.toDF("sub", "code", "c").coalesce(1)
+      .write.mode("overwrite").parquet(IvfPqResCodebooksDir)
+    SimilarityOps.ivfPqResidualCosineTopK(emb, "vec_id", "embedding",
+      k = 5, maxQueryId = 20L, cents, books, nProbe = 3, dimHint = 64)
+      .orderBy("ia", "rank")
+  }
 
   /** IVF-PQ composed gate: coarse routing restricts candidates to the
     * probed lists, ADC ranks them. Both trained structures materialize so
@@ -6824,6 +6857,73 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY ia ORDER BY adist_r, ib) AS rank
          |  FROM sc)
          |SELECT ia, CAST(rank AS INT) AS rank, ib, adist_r
+         |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
+
+    // Residual IVF-PQ cosine mirror: routing, FLOAT residual subtraction,
+    // per-vector residual codes, ADC L2 sums over the query's per-list
+    // residual, and the polarization-identity score with true-norm
+    // sidecars — candidate restriction AND score algebra replayed from
+    // the same materialized constants.
+    "q_ivfpq_residual_cos" ->
+      s"""WITH ct AS (SELECT cid, c FROM '$IvfPqResCentroidsDir/*.parquet'),
+         |cb AS (SELECT sub, code, c FROM '$IvfPqResCodebooksDir/*.parquet'),
+         |cd AS (SELECT e.vec_id, ct.cid,
+         |    list_dot_product(e.embedding::DOUBLE[], ct.c) AS dp
+         |  FROM embeddings e CROSS JOIN ct),
+         |asgc AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+         |    FROM cd) z WHERE rn = 1),
+         |probe AS (SELECT vec_id AS ia, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dp DESC, cid) AS rn
+         |    FROM cd WHERE vec_id < 20) z WHERE rn <= 3),
+         |rv AS (SELECT e.vec_id, list_transform(generate_series(1, 64),
+         |      i -> CAST(CAST(e.embedding[i] AS FLOAT)
+         |        - CAST(ct.c[i] AS FLOAT) AS DOUBLE)) AS r
+         |  FROM embeddings e JOIN asgc a USING (vec_id)
+         |    JOIN ct ON ct.cid = a.cid),
+         |sv AS (SELECT rv.vec_id, s.sub,
+         |    list_slice(rv.r, s.sub * 8 + 1, s.sub * 8 + 8) AS v
+         |  FROM rv CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |d AS (SELECT sv.vec_id, sv.sub, cb.code,
+         |    (list_dot_product(sv.v, sv.v) - 2.0 * list_dot_product(sv.v, cb.c))
+         |      + list_dot_product(cb.c, cb.c) AS d
+         |  FROM sv JOIN cb ON cb.sub = sv.sub),
+         |asg AS (SELECT vec_id AS ib, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |    FROM d) z WHERE rn = 1),
+         |qrv AS (SELECT p.ia, p.cid, list_transform(generate_series(1, 64),
+         |      i -> CAST(CAST(e.embedding[i] AS FLOAT)
+         |        - CAST(ct.c[i] AS FLOAT) AS DOUBLE)) AS r
+         |  FROM probe p JOIN embeddings e ON e.vec_id = p.ia
+         |    JOIN ct ON ct.cid = p.cid),
+         |qsv AS (SELECT q.ia, q.cid, s.sub,
+         |    list_slice(q.r, s.sub * 8 + 1, s.sub * 8 + 8) AS v
+         |  FROM qrv q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+         |qd AS (SELECT q.ia, q.cid, q.sub, cb.code,
+         |    (list_dot_product(q.v, q.v) - 2.0 * list_dot_product(q.v, cb.c))
+         |      + list_dot_product(cb.c, cb.c) AS d
+         |  FROM qsv q JOIN cb ON cb.sub = q.sub),
+         |nrm AS (SELECT vec_id,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+         |  FROM embeddings),
+         |cand AS (SELECT DISTINCT p.ia, p.cid, mem.vec_id AS ib
+         |  FROM probe p JOIN asgc mem ON mem.cid = p.cid AND mem.vec_id <> p.ia),
+         |sc AS (SELECT c.ia, c.ib,
+         |    round((qn.n * qn.n + nn.n * nn.n - sum(q.d))
+         |      / (2.0 * qn.n * nn.n) + 1e-9, 4) AS cos_r
+         |  FROM cand c JOIN asg a ON a.ib = c.ib
+         |  JOIN qd q ON q.ia = c.ia AND q.cid = c.cid
+         |    AND q.sub = a.sub AND q.code = a.code
+         |  JOIN nrm qn ON qn.vec_id = c.ia
+         |  JOIN nrm nn ON nn.vec_id = c.ib
+         |  GROUP BY c.ia, c.ib, qn.n, nn.n),
+         |rk AS (SELECT ia, ib, cos_r,
+         |    row_number() OVER (PARTITION BY ia ORDER BY cos_r DESC, ib) AS rank
+         |  FROM sc)
+         |SELECT ia, CAST(rank AS INT) AS rank, ib, cos_r
          |FROM rk WHERE rank <= 5 ORDER BY ia, rank""".stripMargin,
 
     "q_random_projection" ->

@@ -1306,6 +1306,72 @@ object SimilarityOps {
       .select(col("ia"), col("rank"), col("ib"), col("adist_r"))
   }
 
+  /** IVF-PQ residual ranking by a norm-corrected COSINE estimate — the
+    * correction that lifted residual SQ8 0.425 → ~1.0 applied to the PQ
+    * tier (VERDICT r15 item 2: PQ residual recall at 4+4 B was capped at
+    * 0.19–0.34 against the cosine ground truth). [[ivfPqResidualTopK]]'s
+    * ADC ranks by ‖q − x̂‖², which against COSINE bakes in the
+    * candidate's norm; on clustered corpora norms vary by cluster and
+    * that bias dominates quantizer error. The fix keeps the L2-ADC sum
+    * (its error largely CANCELS near the query — the ‖x̂‖² term carries a
+    * 〈x, e〉 that offsets 〈q, e〉 when q ≈ x, which a naive reconstructed-
+    * dot table does not) and converts it through the polarization
+    * identity with the TRUE norm sidecar:
+    *   cos ≈ (‖q‖² + ‖x‖² − ‖q − x̂‖²) / (2·‖q‖·‖x‖)
+    * — exact as quantization error → 0, cluster-norm bias gone, and the
+    * residual −‖e‖²/2 term penalizes badly-quantized candidates (the
+    * bounded MSE bias every ADC searcher carries). ‖x‖ rides the code
+    * table as the 4-byte sidecar, the [[ivfSq8ResidualTopK]] discipline.
+    * Same probe shape and cost as the L2 form.
+    */
+  def ivfPqResidualCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                              k: Int, maxQueryId: Long,
+                              centroids: Seq[Array[Float]],
+                              codebooks: Seq[Seq[Array[Float]]],
+                              nProbe: Int = 3,
+                              dimHint: Int = 0): DataFrame = {
+    val dim = if (dimHint > 0) dimHint
+              else df.select(size(col(vecCol))).first().getInt(0)
+    val subDim = dim / codebooks.length
+    val rf = residualFrame(df, idCol, vecCol, centroids)
+      .withColumn("nb", l2Norm(col(vecCol)))
+    val codes = codebooks.zipWithIndex.map { case (cb, sub) =>
+      rf.select(col(idCol).as("ib"), col("cid"), col("nb"),
+        slice(col("resid"), sub * subDim + 1, subDim).as("sv"))
+        .select(col("ib"), col("cid"), col("nb"), lit(sub).as("sub"),
+          pqAssign(col("sv"), cb).as("code"))
+    }.reduce(_ unionByName _)
+    val cents = typedLit(centroids.map(_.toSeq))
+    val qresid = df.filter(col(idCol) < maxQueryId)
+      .select(col(idCol).as("ia"), col(vecCol).as("_qv"),
+        l2Norm(col(vecCol)).as("_qn"),
+        explode(probeColumn(col(vecCol), centroids, nProbe)).as("cid"))
+      .withColumn("_qr",
+        zip_with(col("_qv"), element_at(cents, col("cid") + 1),
+          (x, c) => (x - c).cast("float")))
+    val qd = codebooks.zipWithIndex.map { case (cb, sub) =>
+      qresid.select(col("ia"), col("cid"), col("_qn"),
+        slice(col("_qr"), sub * subDim + 1, subDim).as("sv"))
+        .select(col("ia"), col("cid"), col("_qn"), lit(sub).as("sub"),
+          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
+            .as(Seq("code", "d")))
+    }.reduce(_ unionByName _)
+    // a candidate lives in exactly one list, so each (ia, ib) group holds
+    // the m sub rows of one probed cid — _qn/nb constant within it;
+    // sum(d) = ‖(q − c) − r̂‖² = ‖q − x̂‖², comparable across lists
+    val scored = qd.join(codes, Seq("cid", "sub", "code"))
+      .filter(col("ia") =!= col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(round((max(col("_qn")) * max(col("_qn")) +
+        max(col("nb")) * max(col("nb")) - sum(col("d"))) /
+        (lit(2.0) * max(col("_qn")) * max(col("nb"))) + lit(1e-9), 4)
+        .as("cos_r"))
+    val w = Window.partitionBy(col("ia")).orderBy(col("cos_r").desc, col("ib").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("ia"), col("rank"), col("ib"), col("cos_r"))
+  }
+
   /** Quantized brute-force top-k (SQ8 search): each query's codes ride a
     * bounded broadcast against the corpus code table, scores are EXACT
     * integer dots through the codegen [[graft.functions.ByteVecDot]]

@@ -299,6 +299,15 @@ object StreamingDedup {
     * discipline downstream (`DedupOps.jaccardPairs`); this tier is the
     * index-self-contained filter that runs at ingestion cadence, O(16)
     * per candidate.
+    *
+    * CHOOSING tau (measured curve: tools/VerifyTauCurve + BASELINE.md
+    * r16 table, labeled fixture, J ≥ 0.5 ground truth): the default
+    * 8/16 keeps 99% of candidate dups at 0.77 precision (its false
+    * positives are mostly J ∈ [0.35, 0.5) genuine near-dups); for a
+    * ≥ 0.85 precision target use 13/16 and accept ~38% candidate
+    * false-rejects. END-TO-END recall is governed by the 4×4 banding
+    * S-curve (pairs at J just over 0.5 mostly never become candidates)
+    * — tune bands/rows for coverage, tau only for candidate precision.
     */
   def applyIncrementalBatch(batch: DataFrame, batchId: Long, idCol: String,
                             textCol: String, k: Int, indexDir: String,

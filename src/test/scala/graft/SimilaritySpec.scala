@@ -310,6 +310,40 @@ class SimilaritySpec extends SparkSpec {
     assert(res >= 0.5, s"residual PQ recall floor broken: $res")
   }
 
+  test("residual PQ byte envelope: more code bytes buy recall; 8 code-bytes clear the 0.5 class (floor-pinned)") {
+    // the r16 envelope finding (BASELINE.md residual_budget table): at
+    // 4 B codes the ceiling is QUANTIZER RESOLUTION, not norm bias — the
+    // ≥0.5 recall class needs 8 B codes (m=8, k=256). Pinned here on the
+    // deterministic mini-fixture so the envelope can't silently regress.
+    val df = clusteredDf
+    val truth = SimilarityOps.topKCosine(df, "vec_id", "embedding", 10, 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(d: org.apache.spark.sql.DataFrame) =
+      (d.collect().map(r => (r.getLong(0), r.getLong(2))).toSet & truth)
+        .size.toDouble / truth.size
+    val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",
+      k = 8, iters = 3, dimHint = 32)
+    val rf = SimilarityOps.residualFrame(df, "vec_id", "embedding", cents)
+    def booksAt(kk: Int) = SimilarityOps.pqCodebooks(rf, "vec_id", "resid",
+      m = 8, k = kk, iters = 2, dimHint = 32)
+    val r16 = recall(SimilarityOps.ivfPqResidualTopK(df, "vec_id",
+      "embedding", 10, 6L, cents, booksAt(16), nProbe = 8, dimHint = 32))
+    val b256 = booksAt(256)
+    val r256 = recall(SimilarityOps.ivfPqResidualTopK(df, "vec_id",
+      "embedding", 10, 6L, cents, b256, nProbe = 8, dimHint = 32))
+    assert(r256 >= r16, s"8 code-bytes ($r256) regressed below 4 ($r16)")
+    assert(r256 >= 0.65, s"residual PQ 8x256 recall floor broken: $r256" +
+      " (deterministic 0.7 on this fixture; 0.6125 on the 2k/16-cluster)")
+    // the norm-corrected cosine ranker: at low quantizer error the norm
+    // bias dominates and cosine OVERTAKES L2 (0.867 vs 0.7 here, and
+    // 0.7625 vs 0.7375 at 16x256 on the 2k fixture); at high error the
+    // L2 form's correlated-error cancellation wins. Pin: never more than
+    // a step below L2, and ahead at this fixture's 8x256 point.
+    val rCos = recall(SimilarityOps.ivfPqResidualCosineTopK(df, "vec_id",
+      "embedding", 10, 6L, cents, b256, nProbe = 8, dimHint = 32))
+    assert(rCos >= r256, s"cosine ranker lost its 8x256 lead: $rCos vs $r256")
+  }
+
   test("two-level coarse assignment: exhaustive probe equals flat exactly; groups partition") {
     val df = clusteredDf
     val cents = SimilarityOps.ivfCentroids(df, "vec_id", "embedding",

@@ -400,6 +400,58 @@ class StreamingSpec extends SparkSpec {
       "seed rows lost by the fold")
   }
 
+  test("verify tier tau=8/16 operating point pinned on the labeled near-dup fixture") {
+    // the VerifyTauCurve fixture at nBase=400 (BASELINE.md r16 table):
+    // engineered kept-prefix pairs with exact 3-shingle Jaccard
+    // (m-2)/(116-(m-2)), label = J >= 0.5. The default tau = 8/16 must
+    // keep its measured row: >= 99% of candidate dups verified (exactly
+    // one false reject on this fixture) at precision >= 0.75. Guards the
+    // threshold semantics AND the signature plumbing end to end.
+    import graft.streaming.StreamingDedup
+    val s = spark
+    import s.implicits._
+    val bigT = 60
+    val grid = Seq(10, 16, 22, 28, 34, 38, 40, 42, 44, 48, 52, 55)
+    def tokens(doc: Int, tag: String, from: Int, until: Int): Seq[String] =
+      (from until until).map(j => s"${tag}${doc}_t$j")
+    val rows = (0 until 400).flatMap { i =>
+      val m = grid(i % grid.size)
+      val base = tokens(i, "d", 0, bigT)
+      val variant = tokens(i, "d", 0, m) ++ tokens(i, "v", m, bigT)
+      val sShared = (m - 2).toDouble
+      val j = sShared / (2.0 * (bigT - 2) - sShared)
+      Seq((i.toLong, base.mkString(" "), -1.0),
+        (100000L + i, variant.mkString(" "), j))
+    }
+    val df = rows.toDF("doc_id", "text", "jaccard")
+    val labels = df.filter(col("jaccard") >= 0).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2) >= 0.5)).toMap
+    def runAt(tau: Double): Map[Long, String] = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-taupin").toString
+      StreamingDedup.seedIndex(df.filter(col("jaccard") < 0)
+        .select("doc_id", "text"), "doc_id", "text", 3, s"$root/idx")
+      StreamingDedup.applyIncrementalBatch(
+        df.filter(col("jaccard") >= 0).select("doc_id", "text"), 0L,
+        "doc_id", "text", 3, s"$root/idx", s"$root/out",
+        maxIndexFiles = 0, verifyTau = tau)
+      s.read.parquet(s"$root/out")
+        .filter(col("tier").isin("near", "near_verified"))
+        .select("id", "tier").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val candidates = runAt(0.0).keySet
+    val candDup = candidates.count(labels(_))
+    val verified = runAt(0.5).filter(_._2 == "near_verified").keySet
+    val tp = verified.count(labels(_))
+    val fp = verified.size - tp
+    // exact deterministic pins from the measured curve
+    assert(candDup == 103, s"candidate dup census drifted: $candDup")
+    assert(tp == 102 && fp == 30,
+      s"tau=8/16 row drifted: tp=$tp fp=$fp (expected 102/30)")
+    assert(candDup - tp == 1, s"false rejects at tau=8: ${candDup - tp}")
+  }
+
   test("folding verify tier: low-estimate band collision rejected, high verified") {
     import graft.streaming.StreamingDedup
     import graft.operators.DedupOps

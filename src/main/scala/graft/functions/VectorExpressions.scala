@@ -208,6 +208,79 @@ case class PackSignBits(child: Expression, thresholds: IndexedSeq[Double],
     copy(child = newChild)
 }
 
+/** Codegen'd one-pass SQ8 encoding against literal per-dimension ranges:
+  * element i packs to `round(((x − mn_i) / (mx_i − mn_i)) · 255) − 128` as
+  * one signed byte (constant dims, mx == mn, pack to 0). This replaces the
+  * posexplode → broadcast-range join → groupByKey/mapGroups reassembly the
+  * int8 index builders ran — that formulation shuffled dim× the corpus row
+  * count through an object-serialized regroup just to reassemble what was
+  * already row-local (guide §2.3/§4), exactly the hazard [[PackSignBits]]
+  * already closed for the 1-bit tier.
+  *
+  * Math is BIT-IDENTICAL to the column tree it replaces (the DuckDB oracle
+  * pins it): x widens float→double, the scale term associates as
+  * `((x − mn) / (mx − mn)) · 255.0`, and rounding is Spark's
+  * `Round(_, 0)` on DoubleType — `BigDecimal.valueOf(d).setScale(0,
+  * HALF_UP)` — not `Math.round`, whose floor(x+0.5) form disagrees on
+  * values like the largest double below an exact half.
+  */
+case class PackInt8(child: Expression, mns: IndexedSeq[Double],
+                    mxs: IndexedSeq[Double]) extends UnaryExpression {
+
+  @transient private lazy val mnArr: Array[Double] = mns.toArray
+  @transient private lazy val mxArr: Array[Double] = mxs.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "pack_int8"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), mnArr.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val mn = mnArr(i); val mx = mxArr(i)
+      if (mx != mn) {
+        val scaled = ((a.getFloat(i).toDouble - mn) / (mx - mn)) * 255.0
+        val r = java.math.BigDecimal.valueOf(scaled)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = (r.toInt - 128).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("mn", mnArr, "double[]")
+    val mx = ctx.addReferenceObj("mx", mxArr, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val sc = ctx.freshName("sc")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $mn.length);
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($mx[$i] != $mn[$i]) {
+         |    double $sc = (((double) $a.getFloat($i) - $mn[$i])
+         |      / ($mx[$i] - $mn[$i])) * 255.0;
+         |    double $r = java.math.BigDecimal.valueOf($sc)
+         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    $out[$i] = (byte) (((int) $r) - 128);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd PQ distance table: for one subspace slice (an `Array[Float]`
   * column) and a LITERAL codebook of k sub-centroids, emit the length-k
   * array of squared L2 distances `‖x − c_j‖² = 〈x,x〉 − 2〈x,c_j〉 + 〈c_j,c_j〉`.
@@ -689,4 +762,9 @@ object VectorExpressions {
                constDims: Array[Boolean]): Column =
     Bridge.column(PackSignBits(Bridge.expression(v),
       thresholds.toIndexedSeq, constDims.toIndexedSeq))
+
+  /** Codegen'd one-pass SQ8 byte packing against literal per-dim ranges. */
+  def packInt8(v: Column, mns: Array[Double], mxs: Array[Double]): Column =
+    Bridge.column(PackInt8(Bridge.expression(v),
+      mns.toIndexedSeq, mxs.toIndexedSeq))
 }

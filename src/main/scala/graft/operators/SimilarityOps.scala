@@ -317,6 +317,12 @@ object SimilarityOps {
       while (it < iters) {
         val assigned = train.select(col(vecCol).as("v"),
           flatAssign(col(vecCol), centroids).as("cid"))
+        // posexplode + partial aggregation: the explode is narrow (no
+        // shuffle of the dim× rows — partials bound the exchange to
+        // ≤ k·dim rows per map partition). An r16 A/B against a
+        // dim-avg-columns single-aggregate form measured the explode form
+        // FASTER (the wide aggregate re-pays janino compilation every
+        // Lloyd round because the centroid literals change) — kept.
         val means = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -870,19 +876,24 @@ object SimilarityOps {
     var books: Array[Seq[Array[Float]]] = Array.tabulate(m) { sub =>
       init.map(_.slice(sub * subDim, (sub + 1) * subDim)).toSeq
     }
-    // All m subspaces train in ONE aggregation job per Lloyd round (a union
-    // of m narrow slice-projections, each assigning against its OWN literal
-    // codebook — no per-subspace driver loop over the corpus): at corpus
-    // scale an iteration costs one scan set + one k·m·subDim-row collect,
-    // not m of each. Empty clusters keep their previous centroid.
+    // All m subspaces train in ONE aggregation job per Lloyd round, off ONE
+    // corpus scan: each row emits its m (sub, slice, code) structs through
+    // an exploded array, each slice assigned against its OWN literal
+    // codebook. The union-of-m-projections form this replaces produced the
+    // same rows from m separate scans of the training frame — m× the scan
+    // and decode cost (and, when the frame is a residual view, m× the
+    // coarse-assignment dot table) per round. Empty clusters keep their
+    // previous centroid.
     var it = 0
     while (it < iters) {
-      val assigned = (0 until m).map { sub =>
+      val entries = array((0 until m).map { sub =>
         val s = slice(col(vecCol), sub * subDim + 1, subDim)
-        train.select(s.as("sv"))
-          .select(lit(sub).as("sub"), col("sv"),
-            pqAssign(col("sv"), books(sub)).as("code"))
-      }.reduce(_ unionByName _)
+        struct(lit(sub).as("sub"), s.as("sv"),
+          pqAssign(s, books(sub)).as("code"))
+      }: _*)
+      val assigned = train.select(explode(entries).as("_e"))
+        .select(col("_e.sub").as("sub"), col("_e.sv").as("sv"),
+          col("_e.code").as("code"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("mu"))
@@ -941,14 +952,21 @@ object SimilarityOps {
     * shuffle.
     */
   private def pqDistances(df: DataFrame, idCol: String, vecCol: String,
-                          codebooks: Seq[Seq[Array[Float]]], subDim: Int): DataFrame =
-    codebooks.zipWithIndex.map { case (cb, sub) =>
-      val s = slice(col(vecCol), sub * subDim + 1, subDim)
-      df.select(col(idCol).as("vid"), s.as("sv"))
-        .select(col("vid"), lit(sub).as("sub"),
-          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
-            .as(Seq("code", "d")))
-    }.reduce(_ unionByName _)
+                          codebooks: Seq[Seq[Array[Float]]], subDim: Int): DataFrame = {
+    // ONE corpus scan emitting all m subspace tables as an exploded array
+    // of (sub, table) structs — the union-of-m-projections form this
+    // replaces re-scanned (and re-decoded) the corpus m times to produce
+    // the same rows (guide §2.4: remove redundant passes). Row content,
+    // kernel math, and the (sub, code) grouping downstream are unchanged.
+    val entries = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      struct(lit(sub).as("sub"),
+        graft.functions.VectorExpressions.sqDistTable(
+          slice(col(vecCol), sub * subDim + 1, subDim), cb).as("t"))
+    }: _*)
+    df.select(col(idCol).as("vid"), explode(entries).as("_e"))
+      .select(col("vid"), col("_e.sub").as("sub"),
+        posexplode(col("_e.t")).as(Seq("code", "d")))
+  }
 
   /** PQ asymmetric-distance top-k (ADC): the corpus is stored as m-code
     * words (one argmin row per vector and subspace), each query computes
@@ -1084,26 +1102,28 @@ object SimilarityOps {
     * exact-integer [[int8TopK]] kernel.
     */
   def int8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val xs = df.select(col(idCol).cast("long").as("id"),
-      posexplode(col(vecCol)).as(Seq("pos", "xf")))
-      .select(col("id"), col("pos"), col("xf").cast("double").as("x"))
-    val ranges = xs.groupBy("pos")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    xs.join(broadcast(ranges), "pos")
-      .withColumn("code",
-        when(col("mx") === col("mn"), lit(0)).otherwise(
-          (round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
-            - 128).cast("int")))
-      .select(col("id"), col("pos"), col("code"))
-      .as[(Long, Int, Int)]
-      .groupByKey(_._1)
-      .mapGroups { (id, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        (id, rows.map(_._3.toByte))
-      }
-      .toDF(idCol, "codes")
+    // The range aggregate reduces to DIM rows — bounded by embedding
+    // dimensionality, not corpus size — so collecting it is the same
+    // bounded-constant move as binaryCodes, and the packing becomes one
+    // shuffle-free codegen projection. The posexplode → broadcast-range
+    // join → groupByKey/mapGroups formulation this replaces shuffled dim×
+    // the corpus row count through an object-serialized regroup just to
+    // reassemble what was already row-local (guide §2.3/§4).
+    val rangeRows = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast("double").as("x"))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+    val dim = if (rangeRows.isEmpty) 0 else rangeRows.map(_.getInt(0)).max + 1
+    val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
+    rangeRows.foreach { r =>
+      mn(r.getInt(0)) = r.getDouble(1)
+      mx(r.getInt(0)) = r.getDouble(2)
+    }
+    df.select(col(idCol).cast("long").as(idCol),
+      graft.functions.VectorExpressions.packInt8(col(vecCol), mn, mx)
+        .as("codes"))
   }
 
   /** IVF + SQ8 composed index — the FAISS pairing: the coarse quantizer
@@ -1173,40 +1193,31 @@ object SimilarityOps {
   def int8ResidualIndex(df: DataFrame, idCol: String, vecCol: String,
                         centroids: Seq[Array[Float]])
       : (DataFrame, Array[Double], Array[Double]) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val xs = residualFrame(df, idCol, vecCol, centroids)
-      .select(col(idCol).as("id"), col("cid"), l2Norm(col(vecCol)).as("nb"),
-        posexplode(col("resid")).as(Seq("pos", "xf")))
-      .select(col("id"), col("cid"), col("nb"), col("pos"),
-        col("xf").cast("double").as("x"))
-    val rangeRows = xs.groupBy("pos")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx")).collect()
+    // Same shuffle-free discipline as [[int8Codes]]: collect the bounded
+    // per-dim residual ranges, then ONE codegen projection packs every row
+    // — the assignment dot table and the residual subtraction run once per
+    // row instead of riding a dim×-exploded shuffle + object regroup.
+    val rf = residualFrame(df, idCol, vecCol, centroids)
+    val rangeRows = rf
+      .select(posexplode(col("resid")).as(Seq("pos", "xf")))
+      .select(col("pos"), col("xf").cast("double").as("x"))
+      .groupBy("pos").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
     val dim = if (rangeRows.isEmpty) 0 else rangeRows.map(_.getInt(0)).max + 1
     val mn = new Array[Double](dim)
+    val mx = new Array[Double](dim)
     val scale = new Array[Double](dim)
     rangeRows.foreach { r =>
       val p = r.getInt(0)
       mn(p) = r.getDouble(1)
+      mx(p) = r.getDouble(2)
       val w = r.getDouble(2) - r.getDouble(1)
       scale(p) = if (w == 0.0) 0.0 else w / 255.0
     }
-    val ranges = rangeRows.map(r =>
-      (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
-      .toDF("pos", "mn", "mx")
-    val codes = xs.join(broadcast(ranges), "pos")
-      .withColumn("code",
-        when(col("mx") === col("mn"), lit(0)).otherwise(
-          (round((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0)
-            - 128).cast("int")))
-      .select(col("id"), col("cid"), col("nb"), col("pos"), col("code"))
-      .as[(Long, Int, Double, Int, Int)]
-      .groupByKey(r => (r._1, r._2, r._3))
-      .mapGroups { (key: (Long, Int, Double),
-                    it: Iterator[(Long, Int, Double, Int, Int)]) =>
-        (key._1, key._2, key._3, it.toArray.sortBy(_._4).map(_._5.toByte))
-      }
-      .toDF(idCol, "cid", "nb", "codes")
+    val codes = rf.select(col(idCol).cast("long").as(idCol), col("cid"),
+      l2Norm(col(vecCol)).as("nb"),
+      graft.functions.VectorExpressions.packInt8(col("resid"), mn, mx)
+        .as("codes"))
     (codes, mn, scale)
   }
 
@@ -1275,13 +1286,18 @@ object SimilarityOps {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     val subDim = dim / codebooks.length
+    // Single-scan forms of the m-way unions (the pqDistances discipline):
+    // the corpus-side codes scan runs the residual subtraction and coarse
+    // assignment ONCE per row instead of once per subspace.
     val rf = residualFrame(df, idCol, vecCol, centroids)
-    val codes = codebooks.zipWithIndex.map { case (cb, sub) =>
-      rf.select(col(idCol).as("ib"), col("cid"),
-        slice(col("resid"), sub * subDim + 1, subDim).as("sv"))
-        .select(col("ib"), col("cid"), lit(sub).as("sub"),
-          pqAssign(col("sv"), cb).as("code"))
-    }.reduce(_ unionByName _)
+    val codeEntries = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      struct(lit(sub).as("sub"),
+        pqAssign(slice(col("resid"), sub * subDim + 1, subDim), cb).as("code"))
+    }: _*)
+    val codes = rf
+      .select(col(idCol).as("ib"), col("cid"), explode(codeEntries).as("_e"))
+      .select(col("ib"), col("cid"), col("_e.sub").as("sub"),
+        col("_e.code").as("code"))
     val cents = typedLit(centroids.map(_.toSeq))
     val qresid = df.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("ia"), col(vecCol).as("_qv"),
@@ -1289,13 +1305,15 @@ object SimilarityOps {
       .withColumn("_qr",
         zip_with(col("_qv"), element_at(cents, col("cid") + 1),
           (x, c) => (x - c).cast("float")))
-    val qd = codebooks.zipWithIndex.map { case (cb, sub) =>
-      qresid.select(col("ia"), col("cid"),
-        slice(col("_qr"), sub * subDim + 1, subDim).as("sv"))
-        .select(col("ia"), col("cid"), lit(sub).as("sub"),
-          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
-            .as(Seq("code", "d")))
-    }.reduce(_ unionByName _)
+    val qdEntries = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      struct(lit(sub).as("sub"),
+        graft.functions.VectorExpressions.sqDistTable(
+          slice(col("_qr"), sub * subDim + 1, subDim), cb).as("t"))
+    }: _*)
+    val qd = qresid
+      .select(col("ia"), col("cid"), explode(qdEntries).as("_e"))
+      .select(col("ia"), col("cid"), col("_e.sub").as("sub"),
+        posexplode(col("_e.t")).as(Seq("code", "d")))
     val scored = qd.join(codes, Seq("cid", "sub", "code"))
       .filter(col("ia") =!= col("ib"))
       .groupBy(col("ia"), col("ib"))
@@ -1333,14 +1351,21 @@ object SimilarityOps {
     val dim = if (dimHint > 0) dimHint
               else df.select(size(col(vecCol))).first().getInt(0)
     val subDim = dim / codebooks.length
+    // Single-scan forms of the m-way unions (the pqDistances discipline):
+    // one corpus pass computes residual + coarse assignment + norm, then
+    // explodes the m (sub, code) structs — the union form re-paid the
+    // residual dot table per subspace.
     val rf = residualFrame(df, idCol, vecCol, centroids)
       .withColumn("nb", l2Norm(col(vecCol)))
-    val codes = codebooks.zipWithIndex.map { case (cb, sub) =>
-      rf.select(col(idCol).as("ib"), col("cid"), col("nb"),
-        slice(col("resid"), sub * subDim + 1, subDim).as("sv"))
-        .select(col("ib"), col("cid"), col("nb"), lit(sub).as("sub"),
-          pqAssign(col("sv"), cb).as("code"))
-    }.reduce(_ unionByName _)
+    val codeEntries = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      struct(lit(sub).as("sub"),
+        pqAssign(slice(col("resid"), sub * subDim + 1, subDim), cb).as("code"))
+    }: _*)
+    val codes = rf
+      .select(col(idCol).as("ib"), col("cid"), col("nb"),
+        explode(codeEntries).as("_e"))
+      .select(col("ib"), col("cid"), col("nb"), col("_e.sub").as("sub"),
+        col("_e.code").as("code"))
     val cents = typedLit(centroids.map(_.toSeq))
     val qresid = df.filter(col(idCol) < maxQueryId)
       .select(col(idCol).as("ia"), col(vecCol).as("_qv"),
@@ -1349,13 +1374,15 @@ object SimilarityOps {
       .withColumn("_qr",
         zip_with(col("_qv"), element_at(cents, col("cid") + 1),
           (x, c) => (x - c).cast("float")))
-    val qd = codebooks.zipWithIndex.map { case (cb, sub) =>
-      qresid.select(col("ia"), col("cid"), col("_qn"),
-        slice(col("_qr"), sub * subDim + 1, subDim).as("sv"))
-        .select(col("ia"), col("cid"), col("_qn"), lit(sub).as("sub"),
-          posexplode(graft.functions.VectorExpressions.sqDistTable(col("sv"), cb))
-            .as(Seq("code", "d")))
-    }.reduce(_ unionByName _)
+    val qdEntries = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      struct(lit(sub).as("sub"),
+        graft.functions.VectorExpressions.sqDistTable(
+          slice(col("_qr"), sub * subDim + 1, subDim), cb).as("t"))
+    }: _*)
+    val qd = qresid
+      .select(col("ia"), col("cid"), col("_qn"), explode(qdEntries).as("_e"))
+      .select(col("ia"), col("cid"), col("_qn"), col("_e.sub").as("sub"),
+        posexplode(col("_e.t")).as(Seq("code", "d")))
     // a candidate lives in exactly one list, so each (ia, ib) group holds
     // the m sub rows of one probed cid — _qn/nb constant within it;
     // sum(d) = ‖(q − c) − r̂‖² = ‖q − x̂‖², comparable across lists

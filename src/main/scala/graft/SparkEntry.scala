@@ -403,11 +403,13 @@ object SparkEntry {
       stream.select(col("l_returnflag"), col("l_partkey")),
       "l_returnflag", "l_partkey", k)
     val qname = s"graft_kmv_${math.abs(dir.hashCode)}"
-    val q = sk.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = sk.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val exact = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("n_exact"))
     s.table(qname)
@@ -445,11 +447,13 @@ object SparkEntry {
       .groupBy(window(col("ts"), "60 days"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val qname = s"graft_trend_${math.abs(dir.hashCode)}"
-    val q = counts.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val w = Window.partitionBy("window_start")
       .orderBy(col("n").desc, col("event_type"))
     s.table(qname)
@@ -476,11 +480,13 @@ object SparkEntry {
     val regs = graft.streaming.StreamingSketch.cmsRegisters(toks, "tok",
       d = 3, w = 1024L)
     val qname = s"graft_cms_${math.abs(dir.hashCode)}"
-    val q = regs.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = regs.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .filter(col("cnt") >= 100)
       .select(col("j"), col("bucket"), col("cnt"))
@@ -512,11 +518,13 @@ object SparkEntry {
       stream, "ts", Seq("event_type"), "value",
       windowDur = "30 days", watermarkDelay = "1 hour")
     val qname = s"graft_stream_${math.abs(dir.hashCode)}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .select(col("window_start"), col("event_type"), col("n"),
         rnd("mean", 4).as("mean"), rnd("var_pop", 4).as("var_pop"),
@@ -586,11 +594,13 @@ object SparkEntry {
     val agg = graft.streaming.StreamingSessions.sessionAgg(
       stream, "user_id", "ts", "value", gap = "1 hour", watermarkDelay = "1 hour")
     val qname = s"graft_sessions_${math.abs(dir.hashCode)}"
-    val q = agg.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val emitted = s.table(qname).where(col("user_id") >= 0)
     // loud guard against silent late-drops: every real event must be in
     // exactly one emitted session
@@ -3807,11 +3817,13 @@ object SparkEntry {
     val cand = graft.streaming.StreamingDedup.nearDupCandidates(
       stream, "doc_id", "text", "ts", k = ShingleK, watermarkDelayMs = 3600000L)
     val qname = s"graft_sdedup_${math.abs(dir.hashCode)}"
-    val q = cand.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = cand.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname).groupBy(col("ia"), col("ib"))
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("ia", "ib")
@@ -3842,11 +3854,13 @@ object SparkEntry {
     val cand = graft.streaming.StreamingDedup.incrementalCandidates(
       stream, index, "doc_id", "text", ShingleK)
     val qname = s"graft_sincr_${math.abs(dir.hashCode)}"
-    val q = cand.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = cand.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val verdicts = s.table(qname).groupBy(col("id").as("doc_id")).agg(
       min(when(col("tier") === "exact", col("old_id"))).as("_ex"),
       min(when(col("tier") === "near", col("old_id"))).as("_nr"),
@@ -3885,7 +3899,7 @@ object SparkEntry {
       (s"$root/in", s"$root/idx", s"$root/out", s"$root/ck")
     graft.streaming.StreamingDedup.seedIndex(index, "doc_id", "text",
       ShingleK, idxDir)
-    def run(): Unit = {
+    def run(): Unit = graft.streaming.StatePartitions.scaledFor(s, inDir) {
       val stream = s.readStream.schema("doc_id LONG, text STRING")
         .option("recursiveFileLookup", "true").parquet(inDir)
       graft.streaming.StreamingDedup.foldingIncrementalDedup(stream,
@@ -3936,7 +3950,7 @@ object SparkEntry {
       (s"$root/in", s"$root/idx", s"$root/out", s"$root/ck")
     graft.streaming.StreamingDedup.seedIndex(index, "doc_id", "text",
       ShingleK, idxDir)
-    def run(): Unit = {
+    def run(): Unit = graft.streaming.StatePartitions.scaledFor(s, inDir) {
       val stream = s.readStream.schema("doc_id LONG, text STRING")
         .option("recursiveFileLookup", "true").parquet(inDir)
       graft.streaming.StreamingDedup.foldingIncrementalDedup(stream,
@@ -4986,11 +5000,13 @@ object SparkEntry {
       impressions, clicks, "user_id", "i_ts", "c_ts",
       window = "1 HOUR", watermarkDelay = "1 hour")
     val qname = s"graft_sj_${math.abs(dir.hashCode)}"
-    val q = pairs.writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.streaming.StatePartitions.scaledFor(s, streamDir) {
+      val q = pairs.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(qname)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),

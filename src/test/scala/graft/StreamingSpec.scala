@@ -586,4 +586,34 @@ class StreamingSpec extends SparkSpec {
         (1L, (base + 5000) * 1000, 4.0)))
     } finally q.stop()
   }
+
+  test("StatePartitions: size-derived, floored at min(4, session), capped at session") {
+    import graft.streaming.StatePartitions
+    val s = spark
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      // tiny input: the min(4, session) floor governs
+      assert(StatePartitions.forBytes(s, 1L << 20) === 4)
+      // size governs between floor and cap: 640 MB / 64 MB = 10
+      assert(StatePartitions.forBytes(s, 640L << 20) === 10)
+      // huge input: capped by the session's configured parallelism
+      assert(StatePartitions.forBytes(s, 1L << 40) === 32)
+      // a smaller session parallelism caps the floor too
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      assert(StatePartitions.forBytes(s, 1L << 20) === 2)
+      // the bytes-per-partition knob rescales the derivation
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      s.conf.set(StatePartitions.BytesPerPartitionKey, (1L << 20).toString)
+      assert(StatePartitions.forBytes(s, 8L << 20) === 8)
+      // scaled() restores the session value even on failure
+      intercept[RuntimeException] {
+        StatePartitions.scaled(s, 1L << 20) { throw new RuntimeException("x") }
+      }
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "32")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", old)
+      s.conf.unset(StatePartitions.BytesPerPartitionKey)
+    }
+  }
 }

@@ -50,7 +50,8 @@ object MetricsListener {
   * time, summed executor task time, and task count.
   */
 final class StageListener(jobGroup: Option[String],
-                          onStage: () => Unit = () => ())
+                          onStage: () => Unit = () => (),
+                          sc: Option[org.apache.spark.SparkContext] = None)
     extends org.apache.spark.scheduler.SparkListener {
   final case class StageRec(stageId: Int, name: String, wallNs: Long,
                             executorRunNs: Long, nTasks: Int,
@@ -93,19 +94,32 @@ final class StageListener(jobGroup: Option[String],
 
   def records: Seq[StageRec] = buf.synchronized(buf.toVector)
 
-  /** Listener events are delivered asynchronously; wait until the record
-    * count is stable (or the timeout passes) before reading.
+  /** Listener events are delivered asynchronously; drain the bus before
+    * reading. The caller's action has already returned, so every stage
+    * event is posted — `waitUntilEmpty` makes delivery deterministic in a
+    * handful of ms, where the poll-until-stable loop this replaces paid
+    * ≥ 2 polls × stableMs PER INDEX and the full 2 s timeout whenever a
+    * job group legitimately produced no stage events (measured: the
+    * dominant non-job wall inside q_ledger_reset / the pipeline queries).
+    * The poll fallback remains only for a listener constructed without a
+    * context (spec-level direct use).
     */
   def awaitQuiesce(timeoutMs: Long = 2000L, stableMs: Long = 100L): Seq[StageRec] = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var last = -1
-    while (System.currentTimeMillis() < deadline) {
-      val n = buf.synchronized(buf.length)
-      if (n == last && n > 0) return records
-      last = n
-      Thread.sleep(stableMs)
+    sc match {
+      case Some(c) =>
+        org.apache.spark.sql.graft.Bridge.drainListenerBus(c)
+        records
+      case None =>
+        val deadline = System.currentTimeMillis() + timeoutMs
+        var last = -1
+        while (System.currentTimeMillis() < deadline) {
+          val n = buf.synchronized(buf.length)
+          if (n == last && n > 0) return records
+          last = n
+          Thread.sleep(stableMs)
+        }
+        records
     }
-    records
   }
 }
 
@@ -118,7 +132,7 @@ object StageListener {
     */
   def attach(spark: SparkSession, jobGroup: Option[String] = None,
              onStage: () => Unit = () => ()): StageListener = {
-    val l = new StageListener(jobGroup, onStage)
+    val l = new StageListener(jobGroup, onStage, Some(spark.sparkContext))
     spark.sparkContext.addSparkListener(l)
     l
   }

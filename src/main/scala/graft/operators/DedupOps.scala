@@ -520,8 +520,14 @@ object DedupOps {
     def dropCkptDirs(dirs: Set[String]): Unit = ckpt.dropCkptDirs(dirs)
     var (labels, labelDirs) = checkpointed(
       ids.select(col(idCol).as("node"), col(idCol).cast("long").as("label")))
+    // One cheap count over the just-checkpointed labels sizes the loop:
+    // every round re-pays the shuffle width in per-stage constants, so the
+    // width follows the label-set size (capped at the session's configured
+    // parallelism — production-scale graphs keep cluster width).
+    val nNodes = labels.count()
     var converged = false
     var it = 0
+    graft.core.AdaptiveWidth.scaled(ids.sparkSession, nNodes) {
     while (!converged && it < maxIter) {
       // Convergence detection piggybacks on the propagation action itself:
       // the old labels are LEFT-joined below the checkpoint and the
@@ -543,6 +549,7 @@ object DedupOps {
       labelDirs = newDirs
       converged = changed == 0
       it += 1
+    }
     }
     sym.unpersist(false)
     if (!converged) None
@@ -612,6 +619,8 @@ object DedupOps {
     var prev = summary(edges)
     var converged = false
     var it = 0
+    // loop width follows the edge-set size (see minLabelRoundsOpt)
+    graft.core.AdaptiveWidth.scaled(spark, prev._1) {
     while (!converged && it < maxIter) {
       val (next, newDirs) = ckpt.checkpointed(smallStar(largeStar(edges)))
       val cur = summary(next)
@@ -621,6 +630,7 @@ object DedupOps {
       converged = cur == prev
       prev = cur
       it += 1
+    }
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponentsStars did not converge after $maxIter rounds")

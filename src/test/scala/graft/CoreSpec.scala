@@ -976,4 +976,30 @@ class CoreSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(years == Set("year=2023", "year=2024"))
   }
+
+  test("AdaptiveWidth: rows-derived, floored at min(4, session), capped at session") {
+    import graft.core.AdaptiveWidth
+    val s = spark
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      // small loop state: the min(4, session) floor governs
+      assert(AdaptiveWidth.forRows(s, 10000L) === 4)
+      // size governs between floor and cap: 16M rows / 2M = 8
+      assert(AdaptiveWidth.forRows(s, 16000000L) === 8)
+      // huge state: capped by the session's configured parallelism
+      assert(AdaptiveWidth.forRows(s, Long.MaxValue / 4) === 32)
+      // the rows-per-partition knob rescales the derivation
+      s.conf.set(AdaptiveWidth.RowsPerPartitionKey, "1000")
+      assert(AdaptiveWidth.forRows(s, 6000L) === 6)
+      // scaled() restores the session value even on failure
+      intercept[RuntimeException] {
+        AdaptiveWidth.scaled(s, 10L) { throw new RuntimeException("x") }
+      }
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "32")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", old)
+      s.conf.unset(AdaptiveWidth.RowsPerPartitionKey)
+    }
+  }
 }

@@ -2053,16 +2053,32 @@ object SparkEntry {
     val noPd = Seq.empty[(Long, Long, String, Double)]
       .toDF("mesh_id", "point_id", "field", "value")
 
-    graft.sinks.VtuSink.write(pts, cells, noPd, root, format = "appended-zlib",
-      cellData = Some(cellData), nameTemplate = "run_{id}/volume_{id}.vtu")
-    graft.sinks.VtuSink.write(pts, cells, pd, root, format = "appended-zlib",
-      nameTemplate = "run_{id}/boundary_{id}.vtp", polyData = true)
-    graft.sinks.StlSink.write(pts, cells, root,
-      nameTemplate = "run_{id}/ahmed_{id}.stl")
-    Seq("xNormal", "yNormal").foreach { ax =>
-      graft.sinks.VtuSink.write(pts, cells, pd, root,
-        nameTemplate = s"run_{id}/slices/$ax-autocfd-{id}.vtp", polyData = true)
-    }
+    // The five mesh writes are independent jobs over disjoint output paths
+    // — submit them from a small pool so each job's straggler tail
+    // back-fills with the next job's tasks (guide §2.6) instead of running
+    // five scan+collect_list pipelines strictly end to end.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val writes = Seq[() => Unit](
+        () => { graft.sinks.VtuSink.write(pts, cells, noPd, root,
+          format = "appended-zlib", cellData = Some(cellData),
+          nameTemplate = "run_{id}/volume_{id}.vtu"); () },
+        () => { graft.sinks.VtuSink.write(pts, cells, pd, root,
+          format = "appended-zlib",
+          nameTemplate = "run_{id}/boundary_{id}.vtp", polyData = true); () },
+        () => { graft.sinks.StlSink.write(pts, cells, root,
+          nameTemplate = "run_{id}/ahmed_{id}.stl"); () },
+        () => { graft.sinks.VtuSink.write(pts, cells, pd, root,
+          nameTemplate = "run_{id}/slices/xNormal-autocfd-{id}.vtp",
+          polyData = true); () },
+        () => { graft.sinks.VtuSink.write(pts, cells, pd, root,
+          nameTemplate = s"run_{id}/slices/yNormal-autocfd-{id}.vtp",
+          polyData = true); () })
+      val futs = writes.map(w => scala.concurrent.Future(w())(ec))
+      futs.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     (0 until 3).foreach { r =>
       graft.sources.AhmedMlSource.writeCsv(s, s"$root/run_$r/force_mom_$r.csv",
         Seq("cd" -> (0.25 + r / 8.0), "cl" -> (-r / 16.0)))
@@ -2283,8 +2299,14 @@ object SparkEntry {
   private def stageOverLoopback(srv: String): (String, Int) = {
     import scala.jdk.CollectionConverters._
     val base = java.nio.file.Paths.get(srv)
+    // Exclude Hadoop checksum sidecars (".name.crc") from the manifest:
+    // they are transport-local artifacts, not dataset objects, and whether
+    // they exist depends on a JVM-global FileSystem flag other sinks
+    // mutate (setWriteChecksum) — counting them made n_staged depend on
+    // which queries ran earlier in the session.
     val files = java.nio.file.Files.walk(base).iterator().asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p)).toSeq
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.endsWith(".crc")).toSeq
       .sortBy(_.toString)
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)

@@ -192,6 +192,15 @@ object Bench {
         } else p
       java.nio.file.Files.write(dest, (line + "\n").getBytes("UTF-8"))
     }
+    // Driver-parse channel (VERDICT r16 item 2): the one-line JSON printed
+    // above is followed by Spark shutdown chatter and sbt's [success]
+    // trailer, so a parser that takes the LAST stdout line has returned
+    // null since round 10. Mirror the line to a fixed filename at the cwd
+    // (repo root under `sbt runMain`) and re-print it after spark.stop()
+    // so it is the last line THIS process emits.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(line)
   }
 }

@@ -238,11 +238,12 @@ object DedupOps {
   def containmentPairs(shingles0: DataFrame, idCol: String, tau: Double,
                        maxDocFreq: Option[Int] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau $tau out of (0, 1]")
-    val shingles = maxDocFreq.fold(shingles0) { df =>
+    val filtered = maxDocFreq.fold(shingles0) { df =>
       val rare = shingles0.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= df).select("sh")
       shingles0.join(rare, Seq("sh"), "left_semi")
     }
+    val shingles = cached(filtered) // referenced 3× (sizes + both join sides)
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = shingles.select(col(idCol).as("da"), col("sh"))
     val b = shingles.select(col(idCol).as("db"), col("sh"))
@@ -505,16 +506,13 @@ object DedupOps {
 
   /** Min-label propagation core: `Some(labels, rounds)` on convergence
     * within `maxIter`, `None` when the budget runs out (the adaptive entry
-    * point's escalation signal). The symmetrized-edge cache is released on
+    * point's escalation signal). The materialized edge set is dropped on
     * BOTH exits — labels are checkpointed each round, so nothing returned
     * references it.
     */
   private def minLabelRoundsOpt(ids: DataFrame, idCol: String, pairs: DataFrame,
                                 maxIter: Int,
                                 checkpointDir: Option[String]): Option[(DataFrame, Int)] = {
-    val sym = cached(
-      pairs.select(col("da").as("a"), col("db").as("b"))
-        .union(pairs.select(col("db").as("a"), col("da").as("b"))))
     val ckpt = new CkptCycle(ids.sparkSession, checkpointDir)
     def checkpointed(df: DataFrame): (DataFrame, Set[String]) = ckpt.checkpointed(df)
     def dropCkptDirs(dirs: Set[String]): Unit = ckpt.dropCkptDirs(dirs)
@@ -527,7 +525,19 @@ object DedupOps {
     val nNodes = labels.count()
     var converged = false
     var it = 0
+    var edgeDirs = Set.empty[String]
     graft.core.AdaptiveWidth.scaled(ids.sparkSession, nNodes) {
+    // Materialize the edge set ONCE before symmetrizing (guide §2.4): the
+    // caller's `pairs` is typically an expensive LSH-band + verify chain,
+    // and the old persist-of-a-union evaluated that subtree TWICE (both
+    // union branches) while keeping its full logical plan alive inside
+    // every round's re-planning. Checkpointing first (inside the scaled
+    // scope, where the old first-round materialization also ran) runs the
+    // chain once and truncates each round's plan to an edge-set scan.
+    val (edges, eDirs) = checkpointed(
+      pairs.select(col("da").as("a"), col("db").as("b")))
+    edgeDirs = eDirs
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     while (!converged && it < maxIter) {
       // Convergence detection piggybacks on the propagation action itself:
       // the old labels are LEFT-joined below the checkpoint and the
@@ -551,7 +561,7 @@ object DedupOps {
       it += 1
     }
     }
-    sym.unpersist(false)
+    dropCkptDirs(edgeDirs) // labels are checkpointed; nothing references edges
     if (!converged) None
     else Some((labels.withColumnRenamed("node", idCol)
       .withColumnRenamed("label", "component"), it))

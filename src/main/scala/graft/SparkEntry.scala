@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.DriverParquet
+import graft.core.DriverParquet.{DoubleArrT, DoubleT, IntT, StringT}
 import graft.functions.{Physics, Text}
 import graft.operators.{CurationOps, DedupOps, MultimodalOps, RelationalOps, SimilarityOps, StatsOps, TextOps}
 import graft.sinks.TarSink
@@ -1706,11 +1708,11 @@ object SparkEntry {
           df => graft.operators.DedupOps.dedupKeepFirst(df, "doc_id", "text")),
         graft.core.PFilter("blocklist_gate",
           Map("terms" -> "slow,dup,stream", "maxHits" -> "2"),
-          df => df.join(
-            TextOps.blocklistScan(df, "doc_id", "text",
-              Seq("slow", "dup", "stream"), maxHits = 2)
-              .filter(col("pass")).select("doc_id"),
-            Seq("doc_id"), "left_semi")),
+          // row-local gate form (r17): the old join(blocklistScan(df)…,
+          // left_semi) duplicated the token-gate+dedup subtree into both
+          // join sides; same row set (see TextOps.blocklistGate)
+          df => TextOps.blocklistGate(df, "text",
+            Seq("slow", "dup", "stream"), maxHits = 2)),
         graft.core.PFilter("stats_by_idx_lang", Map("groups" -> "idx,lang"),
           df => df.groupBy(col("idx"), col("lang"))
             .agg(count(lit(1)).as("n_docs"),
@@ -2076,8 +2078,20 @@ object SparkEntry {
           nameTemplate = s"run_{id}/slices/yNormal-autocfd-{id}.vtp",
           polyData = true); () })
       val futs = writes.map(w => scala.concurrent.Future(w())(ec))
-      futs.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
+      // Await ALL futures (not sequentially first-to-last): if one write
+      // fails, the others must still be awaited before leaving the block,
+      // or the downstream CSV writes and reads of `root` would race jobs
+      // still running in the pool on the failure path.
+      val all = scala.concurrent.Future.sequence(futs)(
+        scala.collection.BuildFrom.buildFromIterableOps, ec)
+      try scala.concurrent.Await.result(all,
+        scala.concurrent.duration.Duration.Inf)
+      catch {
+        case e: Throwable =>
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
+      }
     } finally pool.shutdown()
     (0 until 3).foreach { r =>
       graft.sources.AhmedMlSource.writeCsv(s, s"$root/run_$r/force_mom_$r.csv",
@@ -2310,6 +2324,12 @@ object SparkEntry {
       .sortBy(_.toString)
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // The default (null) executor serves every request on the dispatch
+    // thread — the fetcher now stages from a small pool (guide §2.6), so
+    // give the server matching parallelism or the concurrent GETs would
+    // re-serialize here.
+    val srvPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(srvPool)
     server.createContext("/", new com.sun.net.httpserver.HttpHandler {
       override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         val rel = ex.getRequestURI.getPath.stripPrefix("/")
@@ -2330,14 +2350,24 @@ object SparkEntry {
           val rel = base.relativize(f).toString
           (s"http://127.0.0.1:$port/$rel", rel)
         }
-        val digests = files.map { f =>
-          base.relativize(f).toString ->
-            java.security.MessageDigest.getInstance("SHA-256")
-              .digest(java.nio.file.Files.readAllBytes(f))
-              .map(b => f"$b%02x").mkString
-        }.toMap
+        // independent per-file hashing — overlap it on the same small pool
+        // the transport uses (the manifest digest pass was a sequential
+        // read+sha256 of every object before any byte traveled)
+        val digPool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val digests =
+          try files.map { f =>
+            f -> digPool.submit(new java.util.concurrent.Callable[String] {
+              override def call(): String =
+                java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(java.nio.file.Files.readAllBytes(f))
+                  .map(b => f"$b%02x").mkString
+            })
+          }.map { case (f, fut) =>
+            base.relativize(f).toString -> fut.get()
+          }.toMap
+          finally digPool.shutdown()
         new graft.sources.HttpFetcher().stage(manifest, digests)
-      } finally server.stop(0)
+      } finally { server.stop(0); srvPool.shutdown() }
     (root, files.size)
   }
 
@@ -2628,9 +2658,9 @@ object SparkEntry {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val merges = TextOps.trainBpe(docs, "text", BpeNumMerges)
-    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-      .toDF("rank", "lhs", "rhs").coalesce(1)
-      .write.mode("overwrite").parquet(BpeMergesDir)
+    DriverParquet.write(s, BpeMergesDir,
+      Seq("rank" -> IntT, "lhs" -> StringT, "rhs" -> StringT),
+      merges.zipWithIndex.map { case ((l, r), i) => Seq(i, l, r) })
     TextOps.bpeEncode(docs, "doc_id", "text", merges)
   }
 
@@ -3244,11 +3274,13 @@ object SparkEntry {
   private def writeAnnPlanes(s: SparkSession): Int = {
     import s.implicits._
     val k = SimilarityOps.annPlanesFor(n = 2000L, targetBucket = 250L)
-    SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
-      .flatMap { case (t, pls) =>
-        pls.zipWithIndex.map { case (pl, p) => (t, p, pl.map(_.toDouble).toSeq) }
-      }.toDF("tbl", "plane", "w").coalesce(1)
-      .write.mode("overwrite").parquet(AnnPlanesDir)
+    DriverParquet.write(s, AnnPlanesDir,
+      Seq("tbl" -> IntT, "plane" -> IntT, "w" -> DoubleArrT),
+      SimilarityOps.tablePlanes(dim = 64, nTables = 12, planesPerTable = k)
+        .flatMap { case (t, pls) =>
+          pls.zipWithIndex.map { case (pl, p) =>
+            Seq(t, p, pl.map(_.toDouble).toSeq) }
+        })
     k
   }
 
@@ -3290,10 +3322,12 @@ object SparkEntry {
     val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 16, iters = 2, dimHint = 64)
     // bounded codebook dump: m·k rows × subDim doubles — the broadcast index
-    books.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
-    }.toDF("sub", "code", "c").coalesce(1)
-      .write.mode("overwrite").parquet(PqCodebooksDir)
+    DriverParquet.write(s, PqCodebooksDir,
+      Seq("sub" -> IntT, "code" -> IntT, "c" -> DoubleArrT),
+      books.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          Seq(sub, code, c.map(_.toDouble).toSeq) }
+      })
     SimilarityOps.pqTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
       books, dimHint = 64)
       .orderBy("ia", "rank")
@@ -3318,9 +3352,9 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 3, dimHint = 64)
-    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "w").coalesce(1)
-      .write.mode("overwrite").parquet(IvfSqCentroidsDir)
+    DriverParquet.write(s, IvfSqCentroidsDir,
+      Seq("cid" -> IntT, "w" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c.map(_.toDouble).toSeq) })
     SimilarityOps.ivfSq8TopK(emb, "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L), k = 5, cents, nProbe = 2)
       .orderBy("qid", "rank")
@@ -3348,9 +3382,9 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 3, dimHint = 64)
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cid", "w").coalesce(1)
-      .write.mode("overwrite").parquet(IvfSqResCentroidsDir)
+    DriverParquet.write(s, IvfSqResCentroidsDir,
+      Seq("cid" -> IntT, "w" -> DriverParquet.FloatArrT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c.toSeq) })
     SimilarityOps.ivfSq8ResidualTopK(emb, "vec_id", "embedding",
       queryIds = Seq(0L, 1L, 2L), k = 5, cents, nProbe = 2)
       .orderBy("qid", "rank")
@@ -3410,8 +3444,10 @@ object SparkEntry {
       while (i < 64) { md += mean(i) * wf(i).toDouble; i += 1 }
       (c, wf.map(_.toDouble).toSeq, md, lam)
     }
-    rows.toDF("comp", "w", "mu_dot", "eigenvalue").coalesce(1)
-      .write.mode("overwrite").parquet(PcaBasisDir)
+    DriverParquet.write(s, PcaBasisDir,
+      Seq("comp" -> IntT, "w" -> DoubleArrT, "mu_dot" -> DoubleT,
+        "eigenvalue" -> DoubleT),
+      rows.map { case (c, w, md, lam) => Seq(c, w, md, lam) })
     val projs = rows.map { case (c, _, md, _) =>
       (rnd(graft.operators.SimilarityOps.dot(col("embedding"),
         typedLit(comps(c)._1.map(_.toFloat))) - lit(md), 5)).as(s"p${c}_r")
@@ -3442,16 +3478,19 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 2, dimHint = 64)
-    cents.zipWithIndex.map { case (c, cid) => (cid, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "c").coalesce(1)
-      .write.mode("overwrite").parquet(IvfPqResCentroidsDir)
+    DriverParquet.write(s, IvfPqResCentroidsDir,
+      Seq("cid" -> IntT, "c" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, cid) =>
+        Seq(cid, c.map(_.toDouble).toSeq) })
     val books = SimilarityOps.pqCodebooks(
       SimilarityOps.residualFrame(emb, "vec_id", "embedding", cents),
       "vec_id", "resid", m = 8, k = 16, iters = 2, dimHint = 64)
-    books.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
-    }.toDF("sub", "code", "c").coalesce(1)
-      .write.mode("overwrite").parquet(IvfPqResCodebooksDir)
+    DriverParquet.write(s, IvfPqResCodebooksDir,
+      Seq("sub" -> IntT, "code" -> IntT, "c" -> DoubleArrT),
+      books.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          Seq(sub, code, c.map(_.toDouble).toSeq) }
+      })
     SimilarityOps.ivfPqResidualCosineTopK(emb, "vec_id", "embedding",
       k = 5, maxQueryId = 20L, cents, books, nProbe = 3, dimHint = 64)
       .orderBy("ia", "rank")
@@ -3469,15 +3508,18 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 2, dimHint = 64)
-    cents.zipWithIndex.map { case (c, cid) => (cid, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "c").coalesce(1)
-      .write.mode("overwrite").parquet(IvfPqCentroidsDir)
+    DriverParquet.write(s, IvfPqCentroidsDir,
+      Seq("cid" -> IntT, "c" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, cid) =>
+        Seq(cid, c.map(_.toDouble).toSeq) })
     val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 16, iters = 2, dimHint = 64)
-    books.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
-    }.toDF("sub", "code", "c").coalesce(1)
-      .write.mode("overwrite").parquet(IvfPqCodebooksDir)
+    DriverParquet.write(s, IvfPqCodebooksDir,
+      Seq("sub" -> IntT, "code" -> IntT, "c" -> DoubleArrT),
+      books.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          Seq(sub, code, c.map(_.toDouble).toSeq) }
+      })
     SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding", k = 5, maxQueryId = 20L,
       cents, books, nProbe = 3, dimHint = 64)
       .orderBy("ia", "rank")
@@ -3503,15 +3545,17 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 3, dimHint = 64)
-    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "w").coalesce(1)
-      .write.mode("overwrite").parquet(AnnRecallCentroidsDir)
+    DriverParquet.write(s, AnnRecallCentroidsDir,
+      Seq("cid" -> IntT, "w" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c.map(_.toDouble).toSeq) })
     val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
       m = 8, k = 16, iters = 2, dimHint = 64)
-    books.zipWithIndex.flatMap { case (cb, sub) =>
-      cb.zipWithIndex.map { case (c, code) => (sub, code, c.map(_.toDouble).toSeq) }
-    }.toDF("sub", "code", "c").coalesce(1)
-      .write.mode("overwrite").parquet(AnnRecallCodebooksDir)
+    DriverParquet.write(s, AnnRecallCodebooksDir,
+      Seq("sub" -> IntT, "code" -> IntT, "c" -> DoubleArrT),
+      books.zipWithIndex.flatMap { case (cb, sub) =>
+        cb.zipWithIndex.map { case (c, code) =>
+          Seq(sub, code, c.map(_.toDouble).toSeq) }
+      })
     SimilarityOps.annRecallReport(emb, "vec_id", "embedding",
       k = 10, maxQueryId = 8L, cents, nProbe = 2, books, dimHint = 64)
       .orderBy("tier")
@@ -3575,10 +3619,10 @@ object SparkEntry {
   private def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val outDim = 8
-    SimilarityOps.hyperplanes(64, outDim, seed = 20260813L).zipWithIndex
-      .map { case (w, j) => (j, w.map(_.toDouble).toSeq) }
-      .toDF("plane", "w").coalesce(1)
-      .write.mode("overwrite").parquet(RpPlanesDir)
+    DriverParquet.write(s, RpPlanesDir,
+      Seq("plane" -> IntT, "w" -> DoubleArrT),
+      SimilarityOps.hyperplanes(64, outDim, seed = 20260813L).zipWithIndex
+        .map { case (w, j) => Seq(j, w.map(_.toDouble).toSeq) })
     SimilarityOps.randomProject(Tables.embeddings(s, dir), "vec_id", "embedding",
       outDim = outDim, dim = 64, seed = 20260813L)
       .select(col("vec_id") +: (0 until outDim).map(j => rnd(s"r$j", 6).as(s"r$j")): _*)
@@ -3650,7 +3694,11 @@ object SparkEntry {
     * shingles, ultra-common shingles dropped (bounds the pair blowup).
     */
   private def qJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the maxDocFreq stop-shingle cut references the shingle set
+    // twice (df aggregate + semi-join probe side) — same discipline as
+    // qLshJaccard's shared set
     val sh = DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupOps.jaccardPairs(sh, "doc_id", 0.2, maxDocFreq = Some(MaxShingleDf))
       .select(col("da"), col("db"), rnd("jac", 4).as("jac"))
       .orderBy("da", "db")
@@ -3753,9 +3801,9 @@ object SparkEntry {
       k = 16, iters = 3, dimHint = 64)
     // bounded quantizer dump (k rows × dim doubles); written per run so the
     // oracle reads EXACTLY the centroids this run clustered with
-    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "w").coalesce(1)
-      .write.mode("overwrite").parquet(SemCentroidsDir)
+    DriverParquet.write(s, SemCentroidsDir,
+      Seq("cid" -> IntT, "w" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c.map(_.toDouble).toSeq) })
     SimilarityOps.semanticDedup(emb, "vec_id", "embedding", tau = 0.3, cents)
       .select(col("id").as("vec_id"), col("cid"), col("component"),
         col("is_survivor"))
@@ -3787,9 +3835,9 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val cents = SimilarityOps.ivfCentroids(emb, "vec_id", "embedding",
       k = 8, iters = 3, dimHint = 64)
-    cents.zipWithIndex.map { case (c, i) => (i, c.map(_.toDouble).toSeq) }
-      .toDF("cid", "w").coalesce(1)
-      .write.mode("overwrite").parquet(EmbOutCentroidsDir)
+    DriverParquet.write(s, EmbOutCentroidsDir,
+      Seq("cid" -> IntT, "w" -> DoubleArrT),
+      cents.zipWithIndex.map { case (c, i) => Seq(i, c.map(_.toDouble).toSeq) })
     val assigned = SimilarityOps.centroidAssignment(emb, "vec_id",
       "embedding", cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -4302,9 +4350,9 @@ object SparkEntry {
     */
   private def qAudioSpectral(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    MultimodalOps.dftTwiddles(64)
-      .toDF("k", "re_w", "im_w").coalesce(1)
-      .write.mode("overwrite").parquet(DftTwiddlesDir)
+    DriverParquet.write(s, DftTwiddlesDir,
+      Seq("k" -> IntT, "re_w" -> DoubleArrT, "im_w" -> DoubleArrT),
+      MultimodalOps.dftTwiddles(64).map { case (k, re, im) => Seq(k, re, im) })
     MultimodalOps.audioSpectral(audioCorpus(s, dir, withCopies = false),
       "g", "wav", frameLen = 64, nFrames = 4)
       .select(col("g"), col("frame"),
@@ -4346,9 +4394,9 @@ object SparkEntry {
     */
   private def qAudioFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    MultimodalOps.dftTwiddles(64)
-      .toDF("k", "re_w", "im_w").coalesce(1)
-      .write.mode("overwrite").parquet(DftTwiddlesDir)
+    DriverParquet.write(s, DftTwiddlesDir,
+      Seq("k" -> IntT, "re_w" -> DoubleArrT, "im_w" -> DoubleArrT),
+      MultimodalOps.dftTwiddles(64).map { case (k, re, im) => Seq(k, re, im) })
     MultimodalOps.audioFingerprint(
       audioCorpus(s, dir, withCopies = false), "g", "wav")
       .orderBy("g")
@@ -5304,7 +5352,10 @@ object SparkEntry {
     */
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     DedupOps.containmentPairs(
-      DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK),
+      // persisted: the stop-shingle cut + sizes + both join sides all
+      // reference the shingle set (qLshJaccard discipline)
+      DedupOps.shingleSet(Tables.documents(s, dir), "doc_id", "text", ShingleK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       "doc_id", tau = 0.8, maxDocFreq = Some(MaxShingleDf))
       .orderBy("da", "db")
 

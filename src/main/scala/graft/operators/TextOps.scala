@@ -632,6 +632,23 @@ object TextOps {
       (size(hits) <= maxHits).as("pass"))
   }
 
+  /** The acting form of [[blocklistScan]]: keep rows that pass the hit
+    * gate. The predicate is ROW-LOCAL (same normalized-regex hit count),
+    * so this is a plain filter — the `join(blocklistScan(df)…, left_semi)`
+    * composition it replaces duplicated df's whole upstream subtree into
+    * both join sides and paid a join for a per-row decision (guide §2.4).
+    * Row set identical: ids are unique per row and the scan emits one
+    * verdict row per input row, so semi-join ≡ filter.
+    */
+  def blocklistGate(df: DataFrame, textCol: String,
+                    terms: Seq[String], maxHits: Long = 0): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      s"blocklist terms must be non-empty [a-z0-9]+ words: $terms")
+    val pat = "\\b(" + terms.mkString("|") + ")\\b"
+    val hits = regexp_extract_all(Text.norm(col(textCol)), lit(pat), lit(1))
+    df.filter(size(hits) <= maxHits)
+  }
+
   /** Zipf rank-frequency diagnostic — the corpus-health check beside the
     * drift tests: natural language follows freq ∝ rank^s with s ≈ −1
     * (Zipf 1949), so the OLS slope of ln(freq) on ln(rank) over the

@@ -52,6 +52,15 @@ object StatePartitions {
     * `spark.sql.shuffle.partitions` scaled to the input volume, restoring
     * the session value after — batch stages planned outside this scope
     * keep the session's parallelism.
+    *
+    * NOT thread-safe across queries: the override mutates the
+    * SESSION-scoped conf (set/restore), so two scopes racing on one
+    * SparkSession can clobber or leak each other's width. Every declared
+    * query runs its scopes single-threaded on the session (the bench and
+    * Verify drivers are sequential; the only in-repo multi-threaded job
+    * submission — the AhmedML fixture writes — never enters a scope). A
+    * caller that needs concurrent scopes must give each thread its own
+    * `SparkSession.newSession` (session confs are per-session there).
     */
   def scaled[A](s: SparkSession, inputBytes: Long)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"

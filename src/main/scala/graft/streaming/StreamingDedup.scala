@@ -277,10 +277,23 @@ object StreamingDedup {
     * signature row per doc for the verify tier.
     */
   def seedIndex(index: DataFrame, idCol: String, textCol: String, k: Int,
-                indexDir: String): Unit =
-    install(withNullSig(indexKeys(index, idCol, textCol, k))
-      .unionByName(indexSigRows(index, idCol, textCol, k)),
-      indexDir, "seed_")
+                indexDir: String): Unit = {
+    // Size the seed install to the corpus (guide §6): unscaled, the union
+    // of the two session-width aggregates fans a tiny seed into one file
+    // per shuffle partition per branch (measured 161 files at sf0.1),
+    // and every subsequent micro-batch re-lists and the first fold
+    // re-reads that many footers. One count per SEED (amortized over the
+    // stream's whole lifetime, never per batch) derives the width the
+    // same way the CC loops do; at production scale the cap keeps
+    // cluster-width parallelism and ~rows-per-partition-sized files.
+    val rows = index.count()
+    val w = graft.core.AdaptiveWidth.forRows(index.sparkSession, rows)
+    graft.core.AdaptiveWidth.scaled(index.sparkSession, rows) {
+      install(withNullSig(indexKeys(index, idCol, textCol, k))
+        .unionByName(indexSigRows(index, idCol, textCol, k)).coalesce(w),
+        indexDir, "seed_")
+    }
+  }
 
   /** One batch of the folding loop — public so a batch backfill can run
     * the identical transition without a streaming query. Idempotent per
@@ -574,8 +587,22 @@ object StreamingDedup {
         .replace("-", "").take(8)
       val tmp = new org.apache.hadoop.fs.Path(
         s"$indexDir/_staging/fold_$attempt")
+      // Size the fold output from the snapshot's known bytes (guide §6):
+      // the fold plan has no shuffle, so AQE cannot coalesce it — without
+      // this a fold of many tiny batch installs keeps the oversharded
+      // layout instead of compacting it. Target bytes/file rides the
+      // streaming state conf; floor 1 (a compaction may legitimately
+      // produce one file), no cap needed (bytes-derived).
+      val snapBytes = snap.iterator.map(f =>
+        try fs.getFileStatus(f).getLen catch { case _: Throwable => 0L }).sum
+      val targetBytes = spark.conf
+        .getOption(graft.streaming.StatePartitions.BytesPerPartitionKey)
+        .map(_.toLong).getOrElse(64L * 1024 * 1024)
+      val foldParts = math.max(1L,
+        math.ceil(snapBytes.toDouble / targetBytes.toDouble).toLong).toInt
       spark.read.schema(IndexSchema)
         .parquet(snap.map(_.toString): _*)
+        .coalesce(foldParts)
         .write.mode("overwrite").parquet(tmp.toString)
       val parts = fs.listStatus(tmp).iterator
         .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath).toSeq

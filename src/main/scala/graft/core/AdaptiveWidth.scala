@@ -28,6 +28,12 @@ object AdaptiveWidth {
 
   /** Run `f` with `spark.sql.shuffle.partitions` scaled to the loop
     * state's row count, restoring the session value after.
+    *
+    * NOT thread-safe across loops: mutates the session-scoped conf
+    * (set/restore) — concurrent scopes on one SparkSession can clobber or
+    * leak each other's width. All in-repo callers run single-threaded on
+    * the session (see StatePartitions.scaled for the same contract);
+    * concurrent callers need per-thread `SparkSession.newSession`.
     */
   def scaled[A](s: SparkSession, rows: Long)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"

@@ -107,7 +107,11 @@ final class StageListener(jobGroup: Option[String],
   def awaitQuiesce(timeoutMs: Long = 2000L, stableMs: Long = 100L): Seq[StageRec] = {
     sc match {
       case Some(c) =>
-        org.apache.spark.sql.graft.Bridge.drainListenerBus(c)
+        // waitUntilEmpty throws TimeoutException if the bus doesn't drain
+        // within its internal default; degrade to the records delivered so
+        // far (the old poll path's behavior) instead of failing the run
+        try org.apache.spark.sql.graft.Bridge.drainListenerBus(c)
+        catch { case _: java.util.concurrent.TimeoutException => () }
         records
       case None =>
         val deadline = System.currentTimeMillis() + timeoutMs

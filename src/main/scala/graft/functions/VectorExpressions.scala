@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding-similarity hot path.
   *
@@ -233,6 +233,21 @@ case class PackInt8(child: Expression, mns: IndexedSeq[Double],
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "pack_int8"
 
+  // getFloat on an array<double> would silently pack garbage where the
+  // column tree this replaces cast any numeric type — reject non-float
+  // element types at analysis. (Parquet-sourced arrays commonly declare
+  // containsNull=true even when no element is null, so element
+  // nullability is accepted; a genuinely-null element packs as the mn
+  // code, same as the interpreted path.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_int8 requires array<float> input, got ${other.catalogString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), mnArr.length)
@@ -273,6 +288,55 @@ case class PackInt8(child: Expression, mns: IndexedSeq[Double],
          |  }
          |}
          |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd bitset membership test for a LongType position column: true
+  * iff bit `pos` of the reference-object long[] bitset is set. The Bloom
+  * prune's membership test expressed as `element_at(<m-element literal
+  * array>, pos)` inlined the whole bitset into the plan THREE times (one
+  * per probe level) — a ~100 KB condition string that bloated plan
+  * stringification/serialization and janino input (measured: q_bloom_prune
+  * first-rep 8 s, warm +0.6 s). Here the bitset rides as a reference
+  * object (m/64 longs) and the plan prints `bitset_contains(pos)`.
+  * Out-of-range positions test false (callers mod by m, so none occur).
+  */
+case class BitsetContains(child: Expression, bits: IndexedSeq[Long])
+    extends UnaryExpression {
+
+  @transient private lazy val bitArr: Array[Long] = bits.toArray
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bitset_contains"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitset_contains requires bigint input, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[Long]
+    val w = (v >>> 6).toInt
+    v >= 0 && w < bitArr.length && (bitArr(w) & (1L << (v & 63))) != 0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bits", bitArr, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val w = ctx.freshName("w")
+      s"""
+         |int $w = (int) ($v >>> 6);
+         |${ev.value} = $v >= 0 && $w < $b.length
+         |  && (($b[$w] & (1L << ((int) ($v & 63L)))) != 0L);
        """.stripMargin
     })
   }
@@ -767,4 +831,8 @@ object VectorExpressions {
   def packInt8(v: Column, mns: Array[Double], mxs: Array[Double]): Column =
     Bridge.column(PackInt8(Bridge.expression(v),
       mns.toIndexedSeq, mxs.toIndexedSeq))
+
+  /** Codegen'd reference-object bitset membership test on a long column. */
+  def bitsetContains(pos: Column, bits: Array[Long]): Column =
+    Bridge.column(BitsetContains(Bridge.expression(pos), bits.toIndexedSeq))
 }

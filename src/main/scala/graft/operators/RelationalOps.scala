@@ -85,17 +85,26 @@ object RelationalOps {
     def pos(j: Column, c: Column): Column =
       graft.functions.Text.hash64(
         concat(j.cast("string"), lit("_"), c.cast("string"))) % m
-    val bits0 = dim
+    // The filter's state is exactly m bits — bounded by the DECLARED width,
+    // never the dim cardinality — so collect the set positions once and
+    // prune with ONE codegen'd conjunctive filter (guide §2.4/§4): the
+    // d stacked broadcast left_semi joins this replaces each paid a
+    // broadcast exchange + hashed-relation probe per level for what is a
+    // row-local bit test. Hash math unchanged (md5-derived pos per level),
+    // so the surviving row set — false positives included — is identical.
+    val bitRows = dim
       .select(explode(sequence(lit(0), lit(d - 1))).as("j"), col(dimKey).as("_k"))
       .select(pos(col("j"), col("_k")).as("pos")).distinct()
-    val bits = // referenced by all d probes — build the dim side once
-      if (dim.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        bits0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else bits0
-    (0 until d).foldLeft(fact) { (acc, j) =>
-      acc.join(broadcast(bits),
-        pos(lit(j), acc(factKey)) === bits("pos"), "left_semi")
+      .collect()
+    val bits = new Array[Long](((m + 63) / 64).toInt)
+    bitRows.foreach { r =>
+      val p = r.getLong(0)
+      bits((p >>> 6).toInt) |= 1L << (p & 63)
     }
+    fact.filter((0 until d).map { j =>
+      graft.functions.VectorExpressions.bitsetContains(
+        pos(lit(j), col(factKey)), bits)
+    }.reduce(_ && _))
   }
 
   /** Skew-safe equi-join: replicate the small side across `nSalts` salt
@@ -517,19 +526,33 @@ object RelationalOps {
     def cell(c: Column): Column = floor(c.cast("double") / radius).cast("long")
     val right = points.select(col(idCol).as("id_b"), col(xCol).as("_xb"),
       col(yCol).as("_yb"), cell(col(xCol)).as("_cx"), cell(col(yCol)).as("_cy"))
-    val neighbors = array((for (dx <- -1 to 1; dy <- -1 to 1)
-      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    // HALF-PLANE neighbor fan (guide §2.3 — shuffle/probe fewer rows): of
+    // the 8 directed non-zero offsets, keep the 4 whose (dy, dx) is
+    // lexicographically positive; every unordered pair of NEIGHBORING
+    // cells is then visited exactly once (one of d / −d survives), and the
+    // same-cell case keeps the id_a < id_b half. Versus the full 3×3 fan
+    // this halves the exploded probe rows (9→5 per point) and the
+    // post-join refinement stream; the surviving orientation's ids are
+    // normalized with least/greatest, so the result SET is identical.
+    val offsets = Seq((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+    val neighbors = array(offsets.map { case (dx, dy) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)
     val left = points.select(col(idCol).as("id_a"), col(xCol).as("_xa"),
       col(yCol).as("_ya"), cell(col(xCol)).as("_cx0"), cell(col(yCol)).as("_cy0"))
       .withColumn("_n", explode(neighbors))
       .select(col("id_a"), col("_xa"), col("_ya"),
         (col("_cx0") + col("_n.dx")).as("_cx"),
-        (col("_cy0") + col("_n.dy")).as("_cy"))
+        (col("_cy0") + col("_n.dy")).as("_cy"),
+        (col("_n.dx") === 0 && col("_n.dy") === 0).as("_same"))
     val d2 = (col("_xa") - col("_xb")) * (col("_xa") - col("_xb")) +
       (col("_ya") - col("_yb")) * (col("_ya") - col("_yb"))
     left.join(right, Seq("_cx", "_cy"))
-      .where(col("id_a") < col("id_b") && d2 <= lit(radius * radius))
-      .select(col("id_a"), col("id_b"), d2.as("dist2"))
+      // same cell: points pair once under id order; directed offset: the
+      // two cells differ, so the points are distinct rows by construction
+      .where((!col("_same") || col("id_a") < col("id_b")) &&
+        d2 <= lit(radius * radius))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), d2.as("dist2"))
   }
 
   /** SCD-2 interval construction (slowly-changing-dimension type 2, the

@@ -1121,9 +1121,13 @@ object SimilarityOps {
       mn(r.getInt(0)) = r.getDouble(1)
       mx(r.getInt(0)) = r.getDouble(2)
     }
-    df.select(col(idCol).cast("long").as(idCol),
-      graft.functions.VectorExpressions.packInt8(col(vecCol), mn, mx)
-        .as("codes"))
+    // null/empty vectors never reached the old posexplode-based path (no
+    // positions to explode); keep them out here too, or a zero-length codes
+    // row would surface as a spurious distance-0 candidate downstream
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as(idCol),
+        graft.functions.VectorExpressions.packInt8(col(vecCol), mn, mx)
+          .as("codes"))
   }
 
   /** IVF + SQ8 composed index — the FAISS pairing: the coarse quantizer

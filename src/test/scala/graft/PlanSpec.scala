@@ -530,22 +530,22 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("bloomPruneJoin: d broadcast semi probes, no fact-side shuffle, pass superset of match") {
+  test("bloomPruneJoin: one codegen filter over the fact scan, no joins, pass superset of match") {
     val li = graft.sources.Tables.lineitem(spark, dir)
     val urgent = graft.sources.Tables.orders(spark, dir)
       .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
     val pruned = graft.operators.RelationalOps.bloomPruneJoin(
       li, "l_orderkey", urgent, "o_orderkey", m = 16384L, d = 3)
     val p = pruned.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size == 3,
-      s"expected 3 broadcast semi probes:\n$p")
-    // the FACT lineage must stay shuffle-free: the lineitem scan feeds the
-    // innermost semi probe directly (the only hash Exchanges allowed are
-    // the dim-side position dedups, one per probe's broadcast subtree)
-    assert(p.contains(":- FileScan parquet [l_orderkey"),
-      s"fact scan must feed the probes directly:\n$p")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
-      s"unexpected extra shuffles beyond the dim-side dedups:\n$p")
+    // r17: the m-bounded bit positions are collected once and the prune is
+    // ONE conjunctive filter — no join, no broadcast, no exchange anywhere
+    // in the pruned-fact plan (the d stacked broadcast semi probes each
+    // paid an exchange + hashed-relation build for a row-local bit test)
+    assert(!p.contains("Join"), s"prune must be a filter, not a join:\n$p")
+    assert(!p.contains("Exchange"), s"prune plan must be exchange-free:\n$p")
+    assert(p.contains("FileScan parquet [l_orderkey"),
+      s"fact scan must feed the filter directly:\n$p")
+    assert("Filter".r.findAllIn(p).nonEmpty, s"expected the bit-test filter:\n$p")
     // semantics: every true match survives pruning
     val trueMatch = li.join(urgent.select("o_orderkey"),
       li("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"),

@@ -45,6 +45,11 @@ object GraphOps {
     require(n > 0, "pageRank needs a non-empty graph")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).localCheckpoint()
+    // loop width follows the rank-table size (the CC-loop discipline,
+    // guide §2): each round otherwise re-pays the session's full shuffle
+    // width in per-stage constants; production-scale graphs hit the cap
+    // and keep cluster width
+    graft.core.AdaptiveWidth.scaled(edges.sparkSession, n) {
     (1 to iterations).foreach { _ =>
       val dangling = ranks
         .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
@@ -61,6 +66,7 @@ object GraphOps {
         .localCheckpoint()
       ranks.unpersist()
       ranks = next
+    }
     }
     e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks
@@ -88,11 +94,13 @@ object GraphOps {
       .distinct()
       .repartition(col("src"))
       .persist()
-    e.count() // materialize once
+    val m = e.count() // materialize once; also sizes the loop width below
     var dist = sources.distinct.map(s => (s, 0L)).toDF("node", "dist")
       .localCheckpoint()
     var converged = false
     var it = 0
+    // loop width follows the edge count (CC-loop discipline, guide §2)
+    graft.core.AdaptiveWidth.scaled(spark, m) {
     while (!converged && it < maxIter) {
       val obs = org.apache.spark.sql.Observation()
       val relaxed = dist.join(e, col("node") === col("src"))
@@ -108,6 +116,7 @@ object GraphOps {
       dist = next
       converged = changed == 0
       it += 1
+    }
     }
     e.unpersist()
     if (!converged) throw new IllegalStateException(

@@ -92,10 +92,12 @@ object DedupOps {
       .groupBy("src_a", "src_b")
       .agg(countDistinct(col("h")).as("n_shared_shingles"))
     // directed: documents of src_a carrying >= 1 shingle present in src_b
-    val docsDir = sh.toDF("id", "src_a", "h")
+    // — cached: referenced once per direction below, and each reference
+    // would otherwise re-run the hash join + distinct-count aggregation
+    val docsDir = cached(sh.toDF("id", "src_a", "h")
       .join(b, "h").filter(col("src_a") =!= col("src_b"))
       .groupBy("src_a", "src_b")
-      .agg(countDistinct(col("id")).as("n_docs"))
+      .agg(countDistinct(col("id")).as("n_docs")))
     shared
       .join(docsDir.toDF("src_a", "src_b", "n_docs_a"), Seq("src_a", "src_b"))
       .join(docsDir.select(col("src_b").as("src_a"), col("src_a").as("src_b"),
@@ -525,19 +527,23 @@ object DedupOps {
     val nNodes = labels.count()
     var converged = false
     var it = 0
-    var edgeDirs = Set.empty[String]
-    graft.core.AdaptiveWidth.scaled(ids.sparkSession, nNodes) {
     // Materialize the edge set ONCE before symmetrizing (guide §2.4): the
     // caller's `pairs` is typically an expensive LSH-band + verify chain,
     // and the old persist-of-a-union evaluated that subtree TWICE (both
-    // union branches) while keeping its full logical plan alive inside
-    // every round's re-planning. Checkpointing first (inside the scaled
-    // scope, where the old first-round materialization also ran) runs the
-    // chain once and truncates each round's plan to an edge-set scan.
-    val (edges, eDirs) = checkpointed(
-      pairs.select(col("da").as("a"), col("db").as("b")))
-    edgeDirs = eDirs
+    // union branches inside the union's one materialization). Persist +
+    // eager count (inside the scaled scope, where the old first-round
+    // materialization also ran) runs the chain once; both union branches
+    // then read the cache. persist — NOT localCheckpoint — because a
+    // local checkpoint's RDD blocks survive clearCache()/unpersist and
+    // only ContextCleaner GC frees them: at a 100× clone-dense edge set
+    // (tools ScaleUp sf10, tens of millions of pairs) the leaked blocks
+    // pressured every later query in the session (measured: q_pq_topk
+    // 68→92 s at sf10 before this was a persist).
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    graft.core.AdaptiveWidth.scaled(ids.sparkSession, nNodes) {
+    edges.count()
     while (!converged && it < maxIter) {
       // Convergence detection piggybacks on the propagation action itself:
       // the old labels are LEFT-joined below the checkpoint and the
@@ -561,7 +567,7 @@ object DedupOps {
       it += 1
     }
     }
-    dropCkptDirs(edgeDirs) // labels are checkpointed; nothing references edges
+    edges.unpersist(false) // labels are checkpointed; nothing references edges
     if (!converged) None
     else Some((labels.withColumnRenamed("node", idCol)
       .withColumnRenamed("label", "component"), it))
